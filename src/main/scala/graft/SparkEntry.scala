@@ -1,13 +1,685 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.operators._
+
+/**
+ * Driver contract: one `queries` entry per implemented operator from
+ * SURVEY.md §2 (plus the training-data-pipeline extensions), each with an
+ * equivalent DuckDB oracle over the same parquet tables.
+ *
+ * The graphite operators run over a metric stream synthesized
+ * deterministically from the `events` table (path/value/time/version
+ * derived per-row with engine-portable expressions), so the oracle can
+ * state the expected result in plain SQL while the Spark side exercises
+ * the real pipeline (parse -> normalize -> expand -> dedup -> rollup).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // fixed "now" for deterministic receive-time/drop-window semantics
+  private val NowSec = 1706745600L // 2024-02-01T00:00:00Z
+
+  private def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /**
+   * events with an epoch-seconds `time` column, robust to how the session
+   * surfaces the parquet TIMESTAMP(NANOS) column (long nanos under
+   * spark.sql.legacy.parquet.nanosAsLong, timestamp otherwise).
+   */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+    val t = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case _                                   => col("ts").cast("long")
+    }
+    ev.withColumn("tsec", t)
+  }
+
+  /**
+   * Synthesized metric stream: one point per event.
+   * path = evt.<event_type>.u<user_id%10>.<sum|min|max|value>,
+   * time = epoch seconds, version = event_id.
+   */
+  private def metricStream(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      concat(
+        lit("evt."), col("event_type"), lit(".u"), col("user_id") % 10, lit("."),
+        when(col("user_id") % 4 === 0, "sum")
+          .when(col("user_id") % 4 === 1, "min")
+          .when(col("user_id") % 4 === 2, "max")
+          .otherwise("value")).as("path"),
+      col("value"),
+      col("tsec").as("time"),
+      col("event_id").as("version"))
+
+  /** The same stream rendered as plaintext protocol lines. */
+  private def metricLines(s: SparkSession, dir: String): DataFrame =
+    metricStream(s, dir).select(
+      concat_ws(" ", col("path"), col("value").cast("string"), col("time").cast("string")).as("line"))
+
+  /** Shared oracle CTE matching metricStream. */
+  private val OracleM =
+    """WITH m AS (
+      |  SELECT 'evt.' || event_type || '.u' || (user_id % 10) || '.' ||
+      |         CASE user_id % 4 WHEN 0 THEN 'sum' WHEN 1 THEN 'min'
+      |                          WHEN 2 THEN 'max' ELSE 'value' END AS path,
+      |         value,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS "time",
+      |         event_id AS version
+      |  FROM events)""".stripMargin
+
+  private def withDate(df: DataFrame): DataFrame = GraphiteOps.withDate(df)
+
+  // ======================= flagship =======================
+
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  // ======================= queries =======================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- graphite: ingest pipeline (SURVEY §2.2/§2.3/§2.6) ----
+
+    "g_points" -> ((s, dir) => {
+      // full receive path: plaintext line -> parse -> normalize -> points
+      val pts = GraphiteOps.parseLines(metricLines(s, dir), "line", NowSec)
+      GraphiteOps.points(pts, zeroTimestamp = true)
+        .orderBy("path", "time", "value")
+    }),
+
+    "g_points_reverse" -> ((s, dir) => {
+      val pts = GraphiteOps.parseLines(metricLines(s, dir), "line", NowSec)
+      GraphiteOps.points(pts, reverse = true, zeroTimestamp = true)
+        .orderBy("path", "time", "value")
+    }),
+
+    "g_drop_filters" -> ((s, dir) => {
+      val pts = withDate(metricStream(s, dir))
+      GraphiteOps.dropFilters(pts, NowSec,
+          dropFutureSec = Some(7L * 86400), dropPastSec = Some(7L * 86400),
+          maxNameLen = Some(20))
+        .select("path", "time", "value")
+        .orderBy("path", "time", "value")
+    }),
+
+    "g_blacklist" -> ((s, dir) => {
+      val bl = new Blacklist(Seq("evt.error.*.*", "*.*.u0.*"))
+      val pts = withDate(metricStream(s, dir))
+      GraphiteOps.points(pts, blacklist = Some(bl), zeroTimestamp = true)
+        .select("path").distinct().orderBy("path")
+    }),
+
+    // ---- graphite: expansions (SURVEY §2.5) ----
+
+    "g_index" -> ((s, dir) => {
+      val pts = withDate(metricStream(s, dir))
+      GraphiteOps.indexExpand(pts).orderBy("date", "level", "path")
+    }),
+
+    "g_tagged" -> ((s, dir) => {
+      val tagged = events(s, dir).select(
+        concat(lit("evt."), col("event_type"), lit("?env=prod&zone=u"), col("user_id") % 10).as("path"),
+        col("tsec").as("time"))
+      GraphiteOps.taggedExpand(withDate(tagged))
+        .select(col("date"), col("tag1"), col("path"), array_join(col("tags"), ",").as("tags_csv"))
+        .orderBy("date", "tag1", "path")
+    }),
+
+    // ---- graphite: query-side semantics (SURVEY §2.4) ----
+
+    "g_lww" -> ((s, dir) => {
+      // ReplacingMergeTree(Version) read view: last write wins per series-hour
+      val pts = metricStream(s, dir)
+        .withColumn("bucket", col("time") - col("time") % 3600)
+      GraphiteOps.lwwLatest(pts, Seq("path", "bucket"), "version", Seq("value"))
+        .select(col("path"), col("bucket"), round(col("value"), 4).as("value"), col("version"))
+        .orderBy("path", "bucket")
+    }),
+
+    "g_rollup" -> ((s, dir) => {
+      val cfg = Rollup.Config(
+        rules = Seq(
+          Rollup.Rule("""\.sum$""".r, Rollup.Sum, Seq(Rollup.Retention(0, 3600))),
+          Rollup.Rule("""\.min$""".r, Rollup.Min, Seq(Rollup.Retention(0, 3600))),
+          Rollup.Rule("""\.max$""".r, Rollup.Max, Seq(Rollup.Retention(0, 3600)))),
+        default = Rollup.Rule("""^""".r, Rollup.Avg, Seq(Rollup.Retention(0, 3600))))
+      GraphiteOps.rollup(metricStream(s, dir), cfg, NowSec)
+        .select(col("path"), col("time"), round(col("value"), 4).as("value"), col("points"))
+        .orderBy("path", "time")
+    }),
+
+    // ---- graphite: find/lookup API (index scans) ----
+
+    "g_find_prefix" -> ((s, dir) => {
+      val idx = GraphiteOps.indexExpand(withDate(metricStream(s, dir)))
+        .filter(col("level") < 10000) // daily direct rows
+      GraphiteOps.findPrefix(idx, "evt.purchase.")
+        .orderBy("date", "level", "path")
+    }),
+
+    "g_find_suffix" -> ((s, dir) => {
+      // suffix query routed through the reverse index (prefix-prunable scan)
+      val revIdx = withDate(metricStream(s, dir))
+        .select(GraphiteOps.pathReverse(col("path")).as("path")).distinct()
+      GraphiteOps.findSuffix(revIdx, ".sum").select("path").orderBy("path")
+    }),
+
+    "g_find_tag" -> ((s, dir) => {
+      val tagged = events(s, dir).select(
+        concat(lit("evt."), col("event_type"), lit("?env=prod&zone=u"), col("user_id") % 10).as("path"),
+        col("tsec").as("time"))
+      GraphiteOps.findByTag(GraphiteOps.taggedExpand(withDate(tagged)), "zone", "u3")
+        .select("path").distinct().orderBy("path")
+    }),
+
+    // ---- graphite: scalar kernels as columns ----
+
+    "g_path_kernels" -> ((s, dir) => {
+      val raw = table(s, dir, "events")
+        .select(concat(lit("evt.."), col("event_type"), lit("..u"), col("user_id") % 10).as("raw"))
+        .distinct()
+      raw.select(
+          col("raw"),
+          GraphiteOps.removeDoubleDot(col("raw")).as("clean"),
+          GraphiteOps.pathReverse(GraphiteOps.removeDoubleDot(col("raw"))).as("rev"),
+          GraphiteOps.pathLevel(GraphiteOps.removeDoubleDot(col("raw"))).as("level"))
+        .orderBy("raw")
+    }),
+
+    "g_json_fields" -> ((s, dir) => {
+      // telegraf-style JSON field extraction from the props column
+      table(s, dir, "events")
+        .filter(col("props").rlike("\"k\": (\\d+)"))
+        .select(col("event_id"), regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
+        .filter(col("k") % 7 === 0)
+        .orderBy("event_id")
+    }),
+
+    // ---- relational core ----
+
+    "q1_agg" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q2_join_agg" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy("n_name")
+    }),
+
+    "q3_window_topk" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      table(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rnk")
+    }),
+
+    "q4_sort_limit" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(10)
+    }),
+
+    "q5_setop" -> ((s, dir) => {
+      val withOrders = table(s, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
+      val nearby = table(s, dir, "customer").filter(col("c_nationkey") < 5)
+        .select(col("c_custkey").as("custkey"))
+      withOrders.intersect(nearby).orderBy("custkey")
+    }),
+
+    "q6_grouping" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q7_events_hourly" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy((col("tsec") - col("tsec") % 3600).as("hour_ts"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("hour_ts", "event_type")
+    }),
+
+    "q8_new_series" -> ((s, dir) => {
+      // exists-cache semantics: series first seen on the newest day
+      // (per-batch anti-join against the accumulated index)
+      val m = withDate(metricStream(s, dir)).select("date", "path").distinct()
+      val maxDate = m.agg(max("date")).first().getDate(0)
+      val today = m.filter(col("date") === maxDate).select("path")
+      val history = m.filter(col("date") < maxDate).select("path")
+      today.except(history).orderBy("path")
+    }),
+
+    // ---- training-data pipeline: dedup ----
+
+    "d_dedup_exact" -> ((s, dir) =>
+      DedupOps.exactDuplicates(table(s, dir, "documents"), "doc_id", "text").orderBy("fp")),
+
+    "d_dedup_minhash" -> ((s, dir) =>
+      DedupOps.minhashCandidates(table(s, dir, "documents"), "doc_id", "text", k = 16, bands = 4, w = 3)
+        .orderBy("id_a", "id_b")),
+
+    "d_dedup_simhash" -> ((s, dir) =>
+      DedupOps.simhashPairs(table(s, dir, "documents"), "doc_id", "text", maxDist = 9)
+        .orderBy("id_a", "id_b")),
+
+    "d_dedup_jaccard" -> ((s, dir) =>
+      DedupOps.jaccardPairs(table(s, dir, "documents"), "doc_id", "text", minJaccard = 0.8, w = 3)
+        .orderBy("id_a", "id_b")),
+
+    // ---- training-data pipeline: similarity search ----
+
+    "s_ann_cosine" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      SimilarityOps.bruteForceTopK(e.filter(col("id") < 5), e, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "s_ann_lsh" -> ((s, dir) => {
+      // LSH-bucketed ANN (scale path); no SQL oracle — recall is asserted
+      // against brute force in the test suite
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      SimilarityOps.lshTopK(e.filter(col("id") < 5), e, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- training-data pipeline: text analysis ----
+
+    "t_tokens" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      d.select(
+          col("doc_id"),
+          TextOps.tokenCount(col("text")).as("ws_tokens"),
+          TextOps.subwordCount(col("text")).as("subword_tokens"),
+          size(array_distinct(TextOps.words(col("text")))).cast("long").as("distinct_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "t_quality" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    "t_langid" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langGuess(col("text")).as("lang_guess"), col("lang"))
+        .orderBy("doc_id")),
+
+    "t_fingerprint" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // ---- training-data pipeline: multimodal columns ----
+
+    "m_media_decode" -> ((s, dir) => {
+      // binary media plumbing over a synthesized blob column (decode stubbed)
+      val docs = table(s, dir, "documents").withColumn("blob", unhex(md5(col("text"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "image/fake")
+      MultimodalOps.decodeImageStub(media)
+        .select(col("media_id"), col("meta.byte_len").as("byte_len"),
+          col("width"), col("height"), col("channels_mod"))
+        .orderBy("media_id")
+    }),
+
+    "m_media_frames" -> ((s, dir) => {
+      // frame-sampling plumbing; rows-only check (binary slicing)
+      val docs = table(s, dir, "documents").withColumn("blob", unhex(md5(col("text"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "video/fake")
+      MultimodalOps.sampleFrames(media, chunkBytes = 4, everyNth = 2)
+        .select(col("media_id"), col("frame_no"), length(col("frame_bytes")).cast("long").as("frame_len"))
+        .orderBy("media_id", "frame_no")
+    })
+  )
+
+  // ======================= oracles =======================
+
+  def oracleSql: Map[String, String] = Map(
+
+    "g_points" ->
+      s"""$OracleM
+         |SELECT path, value, "time",
+         |       DATE '1970-01-01' + CAST("time" // 86400 AS INT) AS date,
+         |       0::BIGINT AS "timestamp"
+         |FROM m ORDER BY path, "time", value""".stripMargin,
+
+    "g_points_reverse" ->
+      s"""$OracleM
+         |SELECT array_to_string(list_reverse(string_split(path, '.')), '.') AS path,
+         |       value, "time",
+         |       DATE '1970-01-01' + CAST("time" // 86400 AS INT) AS date,
+         |       0::BIGINT AS "timestamp"
+         |FROM m ORDER BY path, "time", value""".stripMargin,
+
+    "g_drop_filters" ->
+      s"""$OracleM
+         |SELECT path, "time", value FROM m
+         |WHERE "time" <= ${NowSec + 7 * 86400} AND "time" >= ${NowSec - 7 * 86400}
+         |  AND length(path) <= 20
+         |ORDER BY path, "time", value""".stripMargin,
+
+    "g_blacklist" ->
+      s"""$OracleM
+         |SELECT DISTINCT path FROM m
+         |WHERE NOT (regexp_matches(path, '^evt\\.error\\.[^.]*\\.[^.]*$$')
+         |        OR regexp_matches(path, '^[^.]*\\.[^.]*\\.u0\\.[^.]*$$'))
+         |ORDER BY path""".stripMargin,
+
+    "g_index" ->
+      s"""$OracleM,
+         |series AS (
+         |  SELECT DISTINCT DATE '1970-01-01' + CAST("time" // 86400 AS INT) AS date, path FROM m),
+         |parts AS (SELECT date, path, string_split(path, '.') AS p FROM series),
+         |rows_all AS (
+         |  SELECT DATE '1970-02-12' AS date, len(p) + 20000 AS level, path FROM parts
+         |  UNION ALL
+         |  SELECT DATE '1970-02-12', i + 20000, array_to_string(p[1:i], '.') || '.'
+         |    FROM parts, unnest(generate_series(1, len(p) - 1)) AS t(i)
+         |  UNION ALL
+         |  SELECT DATE '1970-02-12', len(p) + 30000, array_to_string(list_reverse(p), '.') FROM parts
+         |  UNION ALL
+         |  SELECT date, len(p), path FROM parts
+         |  UNION ALL
+         |  SELECT date, len(p) + 10000, array_to_string(list_reverse(p), '.') FROM parts)
+         |SELECT DISTINCT date, level, path FROM rows_all
+         |ORDER BY date, level, path""".stripMargin,
+
+    "g_tagged" ->
+      """WITH tser AS (
+        |  SELECT DISTINCT
+        |    DATE '1970-01-01' + CAST(CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS INT) AS date,
+        |    'evt.' || event_type || '?env=prod&zone=u' || (user_id % 10) AS path,
+        |    'evt.' || event_type AS name,
+        |    'u' || (user_id % 10) AS zone
+        |  FROM events)
+        |SELECT date, unnest(['__name__=' || name, 'env=prod', 'zone=' || zone]) AS tag1, path,
+        |       '__name__=' || name || ',env=prod,zone=' || zone AS tags_csv
+        |FROM tser
+        |ORDER BY date, tag1, path""".stripMargin,
+
+    "g_lww" ->
+      s"""$OracleM
+         |SELECT path, ("time" - "time" % 3600) AS bucket,
+         |       round(arg_max(value, version), 4) AS value, max(version) AS version
+         |FROM m GROUP BY 1, 2 ORDER BY path, bucket""".stripMargin,
+
+    "g_rollup" ->
+      s"""$OracleM
+         |SELECT path, ("time" - "time" % 3600) AS "time",
+         |       round(CASE
+         |         WHEN regexp_matches(path, '\\.sum$$') THEN sum(value)
+         |         WHEN regexp_matches(path, '\\.min$$') THEN min(value)
+         |         WHEN regexp_matches(path, '\\.max$$') THEN max(value)
+         |         ELSE avg(value) END, 4) AS value,
+         |       count(*) AS points
+         |FROM m GROUP BY 1, 2 ORDER BY path, "time"""".stripMargin,
+
+    "g_find_prefix" ->
+      s"""$OracleM,
+         |series AS (
+         |  SELECT DISTINCT DATE '1970-01-01' + CAST("time" // 86400 AS INT) AS date, path FROM m)
+         |SELECT date, len(string_split(path, '.')) AS level, path
+         |FROM series WHERE path LIKE 'evt.purchase.%'
+         |ORDER BY date, level, path""".stripMargin,
+
+    "g_find_suffix" ->
+      s"""$OracleM
+         |SELECT DISTINCT path FROM m WHERE path LIKE '%.sum' ORDER BY path""".stripMargin,
+
+    "g_find_tag" ->
+      """SELECT DISTINCT 'evt.' || event_type || '?env=prod&zone=u' || (user_id % 10) AS path
+        |FROM events WHERE user_id % 10 = 3 ORDER BY path""".stripMargin,
+
+    "g_path_kernels" ->
+      """WITH raw AS (
+        |  SELECT DISTINCT 'evt..' || event_type || '..u' || (user_id % 10) AS raw FROM events),
+        |clean AS (SELECT raw, regexp_replace(raw, '\.{2,}', '.', 'g') AS clean FROM raw)
+        |SELECT raw, clean,
+        |       array_to_string(list_reverse(string_split(clean, '.')), '.') AS rev,
+        |       len(string_split(clean, '.')) AS level
+        |FROM clean ORDER BY raw""".stripMargin,
+
+    "g_json_fields" ->
+      """SELECT event_id, regexp_extract(props, '"k": (\d+)', 1)::BIGINT AS k
+        |FROM events
+        |WHERE regexp_matches(props, '"k": (\d+)')
+        |  AND regexp_extract(props, '"k": (\d+)', 1)::BIGINT % 7 = 0
+        |ORDER BY event_id""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q2_join_agg" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q3_window_topk" ->
+      """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+
+    "q4_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 10""".stripMargin,
+
+    "q5_setop" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders
+        |INTERSECT
+        |SELECT c_custkey AS custkey FROM customer WHERE c_nationkey < 5
+        |ORDER BY custkey""".stripMargin,
+
+    "q6_grouping" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q7_events_hourly" ->
+      """WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_type, value FROM events)
+        |SELECT (tsec - tsec % 3600) AS hour_ts, event_type,
+        |       count(*) AS cnt, round(sum(value), 4) AS sum_value
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q8_new_series" ->
+      s"""$OracleM,
+         |series AS (
+         |  SELECT DISTINCT DATE '1970-01-01' + CAST("time" // 86400 AS INT) AS date, path FROM m)
+         |SELECT DISTINCT path FROM series WHERE date = (SELECT max(date) FROM series)
+         |EXCEPT
+         |SELECT DISTINCT path FROM series WHERE date < (SELECT max(date) FROM series)
+         |ORDER BY path""".stripMargin,
+
+    "d_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |       min(doc_id) AS canonical_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d_dedup_minhash" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS wd
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(wd) < 3 THEN [array_to_string(wd, ' ')]
+        |         ELSE list_transform(generate_series(1, len(wd) - 2),
+        |                             i -> array_to_string(wd[i:i+2], ' ')) END)) AS sh
+        |  FROM w),
+        |mh AS (
+        |  SELECT doc_id, seed, min(md5(seed || ':' || sh)) AS mh
+        |  FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+        |  GROUP BY 1, 2),
+        |band AS (
+        |  SELECT doc_id, seed // 4 AS band,
+        |         string_agg(seed || '~' || mh, '|' ORDER BY seed || '~' || mh) AS bandval
+        |  FROM mh GROUP BY 1, 2)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM band a JOIN band b ON a.band = b.band AND a.bandval = b.bandval
+        |                        AND a.doc_id < b.doc_id
+        |ORDER BY 1, 2""".stripMargin,
+
+    "d_dedup_simhash" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word
+        |  FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM w),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, (SELECT unnest(generate_series(0, 59)) AS b) bb
+        |  GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS simhash
+        |  FROM bits GROUP BY 1),
+        |seg AS (
+        |  SELECT doc_id, simhash, seg, (simhash >> (seg * 6)) & 63 AS segval
+        |  FROM sh, (SELECT unnest(generate_series(0, 9)) AS seg) ss)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        |FROM seg a JOIN seg b ON a.seg = b.seg AND a.segval = b.segval
+        |                      AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 9
+        |ORDER BY 1, 2""".stripMargin,
+
+    "d_dedup_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS wd
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(wd) < 3 THEN [array_to_string(wd, ' ')]
+        |         ELSE list_transform(generate_series(1, len(wd) - 2),
+        |                             i -> array_to_string(wd[i:i+2], ' ')) END)) AS sh
+        |  FROM w),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       round(inter::DOUBLE / (x.n + y.n - inter), 4) AS jaccard
+        |FROM inter JOIN n x ON id_a = x.doc_id JOIN n y ON id_b = y.doc_id
+        |WHERE round(inter::DOUBLE / (x.n + y.n - inter), 4) >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
+
+    "s_ann_cosine" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))), 6) AS sim
+        |  FROM q, c WHERE query_id <> neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank::BIGINT AS rank, neighbor_id, round(sim, 4) AS sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "t_tokens" ->
+      """WITH w AS (
+        |  SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS wd
+        |  FROM documents)
+        |SELECT doc_id,
+        |       len(wd)::BIGINT AS ws_tokens,
+        |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS subword_tokens,
+        |       len(list_distinct(wd))::BIGINT AS distinct_tokens
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    "t_quality" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |         length(text)::BIGINT AS len,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS lw,
+        |         (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))::BIGINT AS np
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, len, np,
+        |    len(lw)::BIGINT AS nw,
+        |    len(list_filter(lw, x -> x IN ('the','a','an','of','to','and','in','is','on','for')))::BIGINT AS ns
+        |  FROM w)
+        |SELECT doc_id,
+        |       (400 * least(len, 500)) // 500
+        |     + CASE WHEN nw = 0 THEN 0 ELSE (300 * least(ns * 5, nw)) // nw END
+        |     + CASE WHEN len = 0 THEN 0 ELSE (300 * greatest(len - np * 5, 0)) // len END AS quality
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "t_langid" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS lw
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(lw, x -> x IN ('the','and','of','to','is'))) AS en,
+        |    len(list_filter(lw, x -> x IN ('der','die','das','und','ist'))) AS de,
+        |    len(list_filter(lw, x -> x IN ('el','la','los','de','es'))) AS es
+        |  FROM w)
+        |SELECT doc_id,
+        |       CASE WHEN de > en AND de > es THEN 'de'
+        |            WHEN es > en AND es >= de THEN 'es'
+        |            WHEN en > 0 THEN 'en' ELSE 'unknown' END AS lang_guess,
+        |       lang
+        |FROM hits ORDER BY doc_id""".stripMargin,
+
+    "t_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m_media_decode" ->
+      """WITH hx AS (SELECT doc_id, md5(upper(md5(text))) AS h FROM documents)
+        |SELECT doc_id AS media_id, 16::BIGINT AS byte_len,
+        |       ('0x' || substr(h, 1, 2))::BIGINT AS width,
+        |       ('0x' || substr(h, 3, 2))::BIGINT AS height,
+        |       (('0x' || substr(h, 5, 2))::BIGINT % 3) AS channels_mod
+        |FROM hx ORDER BY media_id""".stripMargin
+  )
 }

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines, from cheap to
+ * thorough: exact-hash, MinHash+LSH, SimHash, exact n-gram Jaccard.
+ *
+ * Scale design: every near-dup path is LSH-shaped — candidates come from
+ * equality joins on bucket keys (shuffle-partitionable, skew-safe), never
+ * from an O(n²) cross join. The only quadratic step is *within* a bucket,
+ * whose size is bounded by the banding parameters.
+ *
+ * Hashing uses md5 (hex string) rather than xxhash so results are
+ * reproducible across engines and languages — at ingest scale the scan
+ * dominates; md5-vs-xxhash is noise next to the shuffle.
+ */
+object DedupOps {
+
+  /** Word w-shingles (default w=3) as a distinct array. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val ws = TextOps.words(text)
+    array_distinct(
+      when(size(ws) < w, array(array_join(ws, " ")))
+        .otherwise(transform(
+          sequence(lit(1), size(ws) - (w - 1)),
+          i => array_join(slice(ws, i, lit(w)), " "))))
+  }
+
+  /**
+   * Exact dedup: group by content fingerprint, keep the smallest id as
+   * canonical. Output: (fingerprint, canonical_id, dup_count).
+   */
+  def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("dup_count"))
+
+  /**
+   * MinHash signature matrix: one row per (doc, seed) with the min md5 over
+   * the doc's shingles. k seeds = k independent permutation approximations.
+   */
+  private def minhashRows(docs: DataFrame, idCol: String, textCol: String, k: Int, w: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), w)).as("sh"))
+      .crossJoin(spark_seeds(k))
+      .groupBy(col("id"), col("seed"))
+      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh")))).as("mh"))
+
+  private def spark_seeds(k: Int): DataFrame = {
+    import org.apache.spark.sql.SparkSession
+    val s = SparkSession.active
+    s.range(k).select(col("id").cast("int").as("seed"))
+  }
+
+  /**
+   * MinHash + LSH candidate pairs: k signatures banded into `bands` bands
+   * of k/bands rows each; docs sharing any band bucket are candidates.
+   * Output: distinct (id_a, id_b) with id_a < id_b.
+   *
+   * Probability a pair with Jaccard j collides: 1-(1-j^(k/bands))^bands.
+   */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 16, bands: Int = 4, w: Int = 3): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rowsPerBand = k / bands
+    val sig = minhashRows(docs, idCol, textCol, k, w)
+      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+      // band value = min-hash strings of the band in seed order, joined
+      .groupBy(col("id"), col("band"))
+      .agg(array_join(array_sort(collect_list(concat(col("seed").cast("string"), lit("~"), col("mh")))), "|").as("bandval"))
+    val a = sig.select(col("band"), col("bandval"), col("id").as("id_a"))
+    val b = sig.select(col("band"), col("bandval"), col("id").as("id_b"))
+    a.join(b, Seq("band", "bandval"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /**
+   * Exact n-gram Jaccard similarity for candidate pairs, computed via a
+   * shingle equality join (no cross join): |A∩B| from the join,
+   * |A∪B| = |A|+|B|-|A∩B|. Output pairs with similarity >= minJaccard.
+   */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   minJaccard: Double, w: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), explode(shingles(col(textCol), w)).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .withColumn("jaccard", round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /**
+   * 60-bit SimHash per document from word hashes: bit b of the hash is 1
+   * iff the sum over words of ±1 (by bit b of the word hash) is positive.
+   * Word hash = first 15 hex chars of md5 (60 bits, engine-portable).
+   */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // words taken WITH multiplicity: term frequency is the signal that
+    // separates documents drawn from a shared vocabulary
+    val wordRows = docs
+      .select(col(idCol).as("id"), explode(TextOps.words(col(textCol))).as("w"))
+      .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
+    val bits = wordRows
+      .select(col("id"), explode(sequence(lit(0), lit(59))).as("b"),
+        col("h"))
+      .withColumn("contrib", when(expr("shiftright(h, cast(b as int)) & 1") === 1, 1).otherwise(-1))
+      .groupBy("id", "b")
+      .agg(sum("contrib").as("s"))
+    bits
+      .groupBy("id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), cast(b as int))")).otherwise(0L)).as("simhash"))
+  }
+
+  /**
+   * SimHash near-dup pairs with Hamming distance <= maxDist. Bucketed by
+   * maxDist+1 disjoint hash segments (pigeonhole: any pair within the
+   * distance bound shares at least one exact segment), so candidate
+   * generation is an equality join — no cross join at any scale.
+   * Default: maxDist 9 -> 10 segments of 6 bits over the 60-bit hash.
+   */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxDist: Int = 9): DataFrame = {
+    val segments = maxDist + 1
+    require(60 % segments == 0, s"need segments ($segments) dividing 60")
+    val segBits = 60 / segments
+    val segMask = (1L << segBits) - 1
+    val sh = simhash(docs, idCol, textCol)
+    val seg = sh.select(col("id"), col("simhash"),
+        explode(sequence(lit(0), lit(segments - 1))).as("seg"))
+      .withColumn("segval", expr(s"shiftright(simhash, cast(seg * $segBits as int)) & $segMask"))
+    val a = seg.select(col("seg"), col("segval"), col("id").as("id_a"), col("simhash").as("h_a"))
+    val b = seg.select(col("seg"), col("segval"), col("id").as("id_b"), col("simhash").as("h_b"))
+    a.join(b, Seq("seg", "segval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over embedding columns (array<float>).
+ *
+ * Brute-force cosine top-k is the exact baseline (broadcast the query
+ * set, scan the corpus once — embarrassingly parallel, no shuffle until
+ * the final per-query top-k). The LSH variant buckets by random
+ * hyperplane signs so each query only scans its bucket — the 100 TB path
+ * where a full scan per query set is no longer acceptable.
+ */
+object SimilarityOps {
+
+  /** Elementwise dot product of two double arrays (codegen'd fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /**
+   * Exact top-k cosine neighbors for each query vector.
+   * queries/corpus: (id, embedding array<float/double>). The query side is
+   * broadcast (small by construction); ranking uses a per-query window on
+   * the rounded similarity with id tiebreak for full determinism.
+   */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), asDouble(col("embedding")).as("qv"))
+    val c = corpus.select(col("id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+    val scored = broadcast(q).join(c,
+        if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+  }
+
+  /**
+   * Random-hyperplane LSH signatures: `nbits` sign bits from deterministic
+   * pseudo-random planes (seeded hash of (plane, dim) — reproducible, no
+   * stored model). Vectors whose signatures share a band become join-key
+   * candidates; exact cosine re-ranks within candidates.
+   */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nbits: Int = 16, bands: Int = 4, dim: Int = 64): DataFrame = {
+    require(nbits % bands == 0)
+    val spark = org.apache.spark.sql.SparkSession.active
+
+    // deterministic pseudo-random plane matrix: nbits x dim in [-1, 1)
+    val planes: Array[Array[Double]] = Array.tabulate(nbits, dim) { (b, d) =>
+      val h = scala.util.hashing.MurmurHash3.stringHash(s"plane:$b:$d")
+      (h.toDouble / Int.MaxValue)
+    }
+    val planesB = spark.sparkContext.broadcast(planes)
+    val sigUdf = udf { (v: Seq[Float]) =>
+      val p = planesB.value
+      var sig = 0L
+      var b = 0
+      while (b < p.length) {
+        var s = 0.0
+        var d = 0
+        val pb = p(b)
+        val n = math.min(pb.length, v.length)
+        while (d < n) { s += pb(d) * v(d); d += 1 }
+        if (s > 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+
+    val bandBits = nbits / bands
+    val mask = (1L << bandBits) - 1
+    def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+      df.select(col("id").as(idAs), asDouble(col("embedding")).as(vecAs),
+          sigUdf(col("embedding")).as("sig"))
+        .select(col(idAs), col(vecAs), explode(sequence(lit(0), lit(bands - 1))).as("band"),
+          col("sig"))
+        .withColumn("bandval", expr(s"shiftright(sig, cast(band * $bandBits as int)) & $mask"))
+        .drop("sig")
+
+    val q = banded(queries, "query_id", "qv")
+    val c = banded(corpus, "neighbor_id", "cv")
+    val candidates = q.join(c, Seq("band", "bandval"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "cv")
+      .distinct()
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    candidates
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+  }
+}

@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: load each query result
+parquet written by graft.Verify, run the corresponding oracle SQL in DuckDB
+over the same sf directory, and compare row sets (columns sorted by name,
+rows sorted, values stringified).
+
+Usage: check_oracle.py <verify_out_dir> <sf_dir>
+"""
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+
+def canon(rows, cols):
+    """Sort columns by name, stringify values, sort rows."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def cell(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return f"{v:.10g}"
+        return str(v)
+
+    out = [tuple(cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    tables = ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+
+    failures = 0
+    names = sorted(
+        d for d in os.listdir(out_dir)
+        if os.path.isdir(os.path.join(out_dir, d)))
+    for name in names:
+        res_path = os.path.join(out_dir, name)
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{res_path}/*.parquet'").fetchall()
+            got_cols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL  {name}: cannot read result: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            status = "rows-only"
+            ok = len(got) > 0
+            print(f"{'ok   ' if ok else 'FAIL '} {name}: {status}, rows={len(got)}")
+            if not ok:
+                failures += 1
+            continue
+        try:
+            exp = con.execute(oracles[name]).fetchall()
+            exp_cols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL  {name}: oracle error: {e}")
+            failures += 1
+            continue
+        gc, g = canon(got, got_cols)
+        ec, e = canon(exp, exp_cols)
+        if gc != ec:
+            print(f"FAIL  {name}: columns differ: spark={gc} duckdb={ec}")
+            failures += 1
+        elif g != e:
+            print(f"FAIL  {name}: rows differ: spark={len(g)} duckdb={len(e)}")
+            sg, se = set(g), set(e)
+            for r in list(sg - se)[:3]:
+                print(f"      spark-only: {r}")
+            for r in list(se - sg)[:3]:
+                print(f"      duck-only : {r}")
+            failures += 1
+        else:
+            print(f"ok    {name}: {len(g)} rows match")
+    print(f"\n{len(names) - failures}/{len(names)} queries match")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
