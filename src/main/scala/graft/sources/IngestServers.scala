@@ -1,0 +1,247 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.Executors
+import java.util.concurrent.atomic.AtomicBoolean
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.core.GraphiteTags
+import graft.streaming.SpoolWriter
+
+/**
+ * HTTP ingest front-end: Prometheus remote write (snappy+protobuf) and
+ * Telegraf JSON on one listener, mirroring the reference's HTTP
+ * receivers (/root/reference/receiver/prometheus.go:173-191,
+ * telegraf_http_json.go:139-150). Decoded points land in the spool with
+ * the shared receive-time version stamp.
+ */
+final class HttpIngestServer(
+    spool: SpoolWriter,
+    port: Int,
+    tagConfig: GraphiteTags.TagConfig = GraphiteTags.Disabled,
+    telegrafConcat: String = "_",
+    clock: () => Long = () => System.currentTimeMillis() / 1000
+) extends AutoCloseable {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 64)
+  server.setExecutor(Executors.newFixedThreadPool(4))
+
+  def boundPort: Int = server.getAddress.getPort
+
+  private def readBody(ex: HttpExchange): Array[Byte] = ex.getRequestBody.readAllBytes()
+
+  private def respond(ex: HttpExchange, code: Int, msg: String = ""): Unit = {
+    val b = msg.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(code, if (b.isEmpty) -1 else b.length)
+    if (b.nonEmpty) ex.getResponseBody.write(b)
+    ex.close()
+  }
+
+  server.createContext("/api/prom/write", (ex: HttpExchange) => {
+    try {
+      val now = clock()
+      val series = PrometheusRemoteWrite.decodeSnappy(readBody(ex))
+      series.foreach { s =>
+        s.samples.foreach(p => spool.write(s.canonicalName, p.value, p.timestampSec, now))
+      }
+      respond(ex, 200)
+    } catch { case e: Exception => respond(ex, 400, e.getMessage) }
+  })
+
+  server.createContext("/telegraf", (ex: HttpExchange) => {
+    try {
+      val now = clock()
+      val pts = TelegrafJson.decode(new String(readBody(ex), StandardCharsets.UTF_8), telegrafConcat)
+      pts.foreach(p => spool.write(p.path, p.value, p.timestamp, now))
+      respond(ex, 200)
+    } catch { case e: Exception => respond(ex, 400, e.getMessage) }
+  })
+
+  server.start()
+
+  override def close(): Unit = server.stop(0)
+}
+
+/**
+ * Pickle front-end: framed (4-byte BE length) pickle messages over TCP
+ * (/root/reference/receiver/pickle.go).
+ */
+final class PickleServer(
+    spool: SpoolWriter,
+    port: Int,
+    tagConfig: GraphiteTags.TagConfig = GraphiteTags.Disabled,
+    clock: () => Long = () => System.currentTimeMillis() / 1000
+) extends AutoCloseable {
+
+  private val server = new java.net.ServerSocket()
+  server.setReuseAddress(true)
+  server.bind(new InetSocketAddress(port))
+  private val pool = Executors.newCachedThreadPool()
+  private val running = new AtomicBoolean(true)
+
+  def boundPort: Int = server.getLocalPort
+
+  private val acceptor = new Thread(() => {
+    while (running.get()) {
+      try {
+        val sock = server.accept()
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            val in = new java.io.DataInputStream(new java.io.BufferedInputStream(sock.getInputStream))
+            try {
+              var frame = PickleProtocol.readFrame(in)
+              while (frame.isDefined) {
+                val now = clock()
+                PickleProtocol.decode(frame.get).foreach { p =>
+                  // pickle names go through the same normalize path as plaintext
+                  GraphiteTags.normalize(tagConfig, graft.core.GraphitePath.removeDoubleDot(p.name)) match {
+                    case Right(canonical) if !p.value.isNaN =>
+                      spool.write(canonical, p.value, p.timestamp, now)
+                    case _ => // dropped
+                  }
+                }
+                frame = PickleProtocol.readFrame(in)
+              }
+            } catch { case _: Exception => /* bad frame or peer closed */ }
+            finally sock.close()
+          }
+        })
+      } catch { case _: Exception if !running.get() => }
+    }
+  }, s"pickle-acceptor-$port")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  override def close(): Unit = { running.set(false); server.close(); pool.shutdown() }
+}
+
+/**
+ * Carbon Store/StoreSync front-end. The reference serves these as gRPC
+ * (/root/reference/receiver/grpc.go); without a gRPC runtime available
+ * this server speaks the same `carbon.proto` Payload bytes over a
+ * length-prefixed TCP framing (4-byte BE length + 1-byte opcode:
+ * 0=Store, 1=StoreSync) — a DOCUMENTED DIVERGENCE in transport, not in
+ * semantics: validation (empty name, >16384 name, empty points) and the
+ * StoreSync guarantee (ack only after the spool chunk is durably
+ * rotated, grpc.go:72-184 + writer.go:265-283) are preserved.
+ */
+final class FramedStoreServer(
+    spool: SpoolWriter,
+    port: Int,
+    tagConfig: GraphiteTags.TagConfig = GraphiteTags.Disabled,
+    clock: () => Long = () => System.currentTimeMillis() / 1000
+) extends AutoCloseable {
+
+  val MaxNameLen = 16384
+
+  private val server = new java.net.ServerSocket()
+  server.setReuseAddress(true)
+  server.bind(new InetSocketAddress(port))
+  private val pool = Executors.newCachedThreadPool()
+  private val running = new AtomicBoolean(true)
+
+  def boundPort: Int = server.getLocalPort
+
+  private def store(payload: Array[Byte], now: Long): Either[String, Int] = {
+    val metrics = CarbonPayload.decode(payload)
+    // validate everything first (the reference fails the whole RPC)
+    metrics.foreach { m =>
+      if (m.name.isEmpty) return Left("empty metric name")
+      if (m.name.length > MaxNameLen) return Left("metric name too long")
+      if (m.points.isEmpty) return Left(s"metric '${m.name}' has no points")
+    }
+    var n = 0
+    metrics.foreach { m =>
+      GraphiteTags.normalize(tagConfig, m.name) match {
+        case Right(canonical) =>
+          m.points.foreach { p =>
+            if (!p.value.isNaN) { spool.write(canonical, p.value, p.timestamp, now); n += 1 }
+          }
+        case Left(err) => return Left(err)
+      }
+    }
+    Right(n)
+  }
+
+  private val acceptor = new Thread(() => {
+    while (running.get()) {
+      try {
+        val sock = server.accept()
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            val in = new java.io.DataInputStream(new java.io.BufferedInputStream(sock.getInputStream))
+            val out = new java.io.DataOutputStream(sock.getOutputStream)
+            try {
+              while (true) {
+                val len = in.readInt()
+                val op = in.readByte()
+                val body = new Array[Byte](len - 1)
+                in.readFully(body)
+                store(body, clock()) match {
+                  case Right(_) =>
+                    if (op == 1) spool.rotate() // StoreSync: durable before ack
+                    out.writeByte(0) // OK
+                  case Left(err) =>
+                    out.writeByte(1)
+                    val eb = err.getBytes(StandardCharsets.UTF_8)
+                    out.writeInt(eb.length)
+                    out.write(eb)
+                }
+                out.flush()
+              }
+            } catch { case _: Exception => /* peer closed */ }
+            finally sock.close()
+          }
+        })
+      } catch { case _: Exception if !running.get() => }
+    }
+  }, s"store-acceptor-$port")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  override def close(): Unit = { running.set(false); server.close(); pool.shutdown() }
+}
+
+/**
+ * Self-metrics collector: periodically emits the front-ends' own
+ * counters as points into the same spool (reference
+ * /root/reference/carbon/collector.go:44-318).
+ */
+final class SelfMetricsCollector(
+    spool: SpoolWriter,
+    prefix: String = "carbon.agents.graft",
+    intervalMs: Long = 60000,
+    clock: () => Long = () => System.currentTimeMillis() / 1000
+) extends AutoCloseable {
+
+  private val running = new AtomicBoolean(true)
+  private var lastWritten = 0L
+  private var lastErrors = 0L
+
+  def collectOnce(): Unit = {
+    val now = clock()
+    val written = spool.pointsWritten.get()
+    val errors = spool.parseErrors.get()
+    // rate-style counters: delta since last interval, like the reference's
+    // swap-to-zero atomics (receiver/base.go:129-153)
+    spool.write(s"$prefix.pointsWritten", (written - lastWritten).toDouble, now, now)
+    spool.write(s"$prefix.parseErrors", (errors - lastErrors).toDouble, now, now)
+    lastWritten = written
+    lastErrors = errors
+  }
+
+  private val timer = new Thread(() => {
+    var interrupted = false
+    while (running.get() && !interrupted) {
+      try Thread.sleep(intervalMs)
+      catch { case _: InterruptedException => interrupted = true }
+      if (running.get() && !interrupted) collectOnce()
+    }
+  }, "self-metrics")
+  timer.setDaemon(true)
+  timer.start()
+
+  override def close(): Unit = { running.set(false); timer.interrupt() }
+}

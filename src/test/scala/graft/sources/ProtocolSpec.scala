@@ -1,0 +1,217 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.SpoolWriter
+
+/** Protocol front-end kernels vs reference goldens (FIXTURES.md §8/§9). */
+class ProtocolSpec extends AnyFunSuite {
+
+  // --- telegraf: receiver/telegraf_http_json_test.go:43-80 ---
+  test("telegraf JSON golden (empty concat char, as in the reference test)") {
+    val payload =
+      """{"metrics":[
+        | {"name":"name with space.","timestamp":1670348700,
+        |  "fields":{"counter":3538944},
+        |  "tags":{"key with space":"value with space","name":"name_value"}},
+        | {"name":"name with space.","timestamp":1670348702,
+        |  "fields":{"gauge":3538945},"tags":{"key2":"value2","key1":"value2"}}]}""".stripMargin
+    val pts = TelegrafJson.decode(payload, concatChar = "").sortBy(_.timestamp)
+    assert(pts.map(p => (p.path, p.value, p.timestamp)) == Seq(
+      ("name%20with%20space.counter?key+with+space=value+with+space&_name=name_value", 3538944.0, 1670348700L),
+      ("name%20with%20space.gauge?key1=value2&key2=value2", 3538945.0, 1670348702L)))
+  }
+
+  test("telegraf tag encoding quirks") {
+    // single tag: reserved-name rename NOT applied (reference fast path)
+    assert(TelegrafJson.encodeTags(Map("name" -> "v")) == "name=v")
+    // multi tag: rename applied, keys sorted by ORIGINAL name
+    assert(TelegrafJson.encodeTags(Map("name" -> "name with space", "tag" -> "value with space")) ==
+      "_name=name+with+space&tag=value+with+space")
+    // bool fields -> 0/1; field "value" not appended
+    val pts = TelegrafJson.decode(
+      """{"metrics":[{"name":"m","timestamp":5,"fields":{"value":true,"other":false},"tags":{}}]}""")
+    assert(pts.map(p => (p.path, p.value)).toSet == Set(("m?", 1.0), ("m_other?", 0.0)))
+  }
+
+  // --- prometheus remote write: labels -> canonical tagged name ---
+  test("prometheus WriteRequest decode with hand-rolled proto scan") {
+    // build a WriteRequest wire-format body by hand:
+    // TimeSeries{labels: [__name__=up, job=node&a b], samples: [(1.0, 1625478240000ms)]}
+    def lenDelim(tag: Int, body: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(tag)
+      var v = body.length
+      while ((v & ~0x7f) != 0) { out.write((v & 0x7f) | 0x80); v >>>= 7 }
+      out.write(v)
+      out.write(body)
+      out.toByteArray
+    }
+    def label(k: String, v: String): Array[Byte] =
+      lenDelim(0x0a, k.getBytes(StandardCharsets.UTF_8)) ++ lenDelim(0x12, v.getBytes(StandardCharsets.UTF_8))
+    def varint(v0: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var v = v0
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+      out.toByteArray
+    }
+    val sample = {
+      val bits = java.lang.Double.doubleToLongBits(1.0)
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(0x09)
+      (0 until 8).foreach(i => b.write(((bits >>> (8 * i)) & 0xff).toInt))
+      b.write(0x10)
+      b.write(varint(1625478240000L))
+      b.toByteArray
+    }
+    val ts = lenDelim(0x0a, label("job", "node&a b")) ++
+      lenDelim(0x0a, label("__name__", "up")) ++
+      lenDelim(0x12, sample)
+    val req = lenDelim(0x0a, ts)
+
+    val series = PrometheusRemoteWrite.decode(req)
+    assert(series.size == 1)
+    assert(series.head.canonicalName == "up?job=node%26a+b")
+    assert(series.head.samples == Seq(PrometheusRemoteWrite.Sample(1.0, 1625478240L)))
+  }
+
+  test("prometheus series without __name__ is dropped") {
+    // reuse CarbonPayload's encoder shapes: craft a labels-only series
+    val ts = {
+      val out = new java.io.ByteArrayOutputStream()
+      val lbl = {
+        val b = new java.io.ByteArrayOutputStream()
+        b.write(0x0a); b.write(1); b.write('k')
+        b.write(0x12); b.write(1); b.write('v')
+        b.toByteArray
+      }
+      out.write(0x0a); out.write(lbl.length); out.write(lbl)
+      out.toByteArray
+    }
+    val req = new java.io.ByteArrayOutputStream()
+    req.write(0x0a); req.write(ts.length); req.write(ts)
+    assert(PrometheusRemoteWrite.decode(req.toByteArray).isEmpty)
+  }
+
+  // --- carbon payload (gRPC body) round trip ---
+  test("carbon Payload encode/decode round trip") {
+    val metrics = Seq(
+      CarbonPayload.Metric("host1.cpu.load", Seq(
+        CarbonPayload.Point(1625478240L, 0.5), CarbonPayload.Point(1625478300L, 1.5))),
+      CarbonPayload.Metric("host2.mem;env=prod", Seq(CarbonPayload.Point(1625478240L, 42.0))))
+    assert(CarbonPayload.decode(CarbonPayload.encode(metrics)) == metrics)
+  }
+
+  // --- pickle ---
+  test("pickle decode: graphite [(name,(ts,value))] shapes") {
+    // protocol-2 style opcodes, hand-assembled
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(0x80); bos.write(2) // PROTO 2
+    bos.write(']') // EMPTY_LIST
+    bos.write('(') // MARK
+    // ("metric.one", (1625478240, 3.14))
+    bos.write(0x8c); bos.write(10); bos.write("metric.one".getBytes(StandardCharsets.UTF_8))
+    bos.write('J') // BININT LE 1625478240
+    val tsInt = 1625478240
+    (0 until 4).foreach(i => bos.write((tsInt >>> (8 * i)) & 0xff))
+    bos.write('G') // BINFLOAT BE
+    val bits = java.lang.Double.doubleToLongBits(3.14)
+    (7 to 0 by -1).foreach(i => bos.write(((bits >>> (8 * i)) & 0xff).toInt))
+    bos.write(0x86) // TUPLE2 -> (ts, value)
+    bos.write(0x86) // TUPLE2 -> (name, (ts, value))
+    // ("metric.two", (1, 2)) with ascii ints
+    bos.write('U'); bos.write(10); bos.write("metric.two".getBytes(StandardCharsets.UTF_8))
+    bos.write('I'); bos.write("1\n".getBytes); bos.write('F'); bos.write("2.0\n".getBytes)
+    bos.write(0x86); bos.write(0x86)
+    bos.write('e') // APPENDS
+    bos.write('.') // STOP
+    val pts = PickleProtocol.decode(bos.toByteArray)
+    assert(pts == Seq(
+      PickleProtocol.Point("metric.one", 1625478240L, 3.14),
+      PickleProtocol.Point("metric.two", 1L, 2.0)))
+  }
+
+  // --- live servers over real sockets ---
+  test("HTTP telegraf + framed StoreSync end-to-end into the spool") {
+    val dir = Files.createTempDirectory("graft-proto").toString
+    val spool = new SpoolWriter(s"$dir/spool", chunkIntervalMs = 50)
+    val http = new HttpIngestServer(spool, port = 0, clock = () => 1625478999L)
+    val store = new FramedStoreServer(spool, port = 0, clock = () => 1625478999L)
+    try {
+      // telegraf over HTTP
+      val url = new java.net.URI(s"http://127.0.0.1:${http.boundPort}/telegraf").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(
+        """{"metrics":[{"name":"web","timestamp":1625478240,"fields":{"value":7},"tags":{"host":"a"}}]}"""
+          .getBytes(StandardCharsets.UTF_8))
+      assert(conn.getResponseCode == 200)
+
+      // StoreSync over the framed socket
+      val payload = CarbonPayload.encode(Seq(
+        CarbonPayload.Metric("srv.cpu", Seq(CarbonPayload.Point(1625478240L, 9.9)))))
+      val sock = new java.net.Socket("127.0.0.1", store.boundPort)
+      val out = new java.io.DataOutputStream(sock.getOutputStream)
+      out.writeInt(payload.length + 1)
+      out.writeByte(1) // StoreSync
+      out.write(payload)
+      out.flush()
+      val resp = sock.getInputStream.read()
+      assert(resp == 0, "StoreSync must ack success")
+      sock.close()
+
+      // StoreSync rotated the chunk: the spooled records must be durable NOW
+      val files = Files.list(java.nio.file.Paths.get(s"$dir/spool")).toArray.map(_.toString)
+      val ready = files.filter(_.endsWith(".tsv"))
+      assert(ready.nonEmpty, "StoreSync ack requires a rotated chunk")
+      val content = ready.map(f => Files.readString(java.nio.file.Paths.get(f))).mkString
+      assert(content.contains("srv.cpu\t9.9\t1625478240\t1625478999"))
+      assert(content.contains("web?host=a\t7.0\t1625478240\t1625478999"))
+
+      // validation error path: empty metric name fails the whole call
+      val bad = CarbonPayload.encode(Seq(CarbonPayload.Metric("", Seq(CarbonPayload.Point(1L, 1.0)))))
+      val sock2 = new java.net.Socket("127.0.0.1", store.boundPort)
+      val out2 = new java.io.DataOutputStream(sock2.getOutputStream)
+      out2.writeInt(bad.length + 1); out2.writeByte(0); out2.write(bad); out2.flush()
+      assert(sock2.getInputStream.read() == 1, "empty name must be rejected")
+      sock2.close()
+    } finally {
+      http.close(); store.close(); spool.close()
+    }
+  }
+
+  test("UDP front-end drops trailing partial line") {
+    val dir = Files.createTempDirectory("graft-udp").toString
+    val spool = new SpoolWriter(s"$dir/spool", chunkIntervalMs = 50)
+    val udp = new UdpLineServer(spool, port = 0, clock = () => 1625478999L)
+    try {
+      val sock = new java.net.DatagramSocket()
+      val payload = "a.b 1 1625478240\nc.d 2 1625478240\npartial.line 3".getBytes(StandardCharsets.UTF_8)
+      sock.send(new java.net.DatagramPacket(payload, payload.length,
+        java.net.InetAddress.getLoopbackAddress, udp.boundPort))
+      val deadline = System.currentTimeMillis() + 5000
+      while (spool.pointsWritten.get() < 2 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(spool.pointsWritten.get() == 2, "only complete lines count")
+      sock.close()
+    } finally { udp.close(); spool.close() }
+  }
+
+  test("self-metrics collector emits rate counters into the spool") {
+    val dir = Files.createTempDirectory("graft-self").toString
+    val spool = new SpoolWriter(s"$dir/spool", chunkIntervalMs = 50)
+    val collector = new SelfMetricsCollector(spool, intervalMs = 3600000, clock = () => 1625478999L)
+    spool.write("x.y", 1.0, 1625478240L, 1625478999L)
+    spool.write("x.z", 2.0, 1625478240L, 1625478999L)
+    collector.collectOnce()
+    spool.close()
+    collector.close()
+    val files = Files.list(java.nio.file.Paths.get(s"$dir/spool")).toArray.map(_.toString).filter(_.endsWith(".tsv"))
+    val content = files.map(f => Files.readString(java.nio.file.Paths.get(f))).mkString
+    assert(content.contains("carbon.agents.graft.pointsWritten\t2.0"))
+  }
+}
