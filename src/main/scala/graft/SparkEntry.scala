@@ -294,6 +294,11 @@ object SparkEntry {
       DedupOps.jaccardPairs(table(s, dir, "documents"), "doc_id", "text", minJaccard = 0.8, w = 3)
         .orderBy("id_a", "id_b")),
 
+    "d_dedup_neardup" -> ((s, dir) =>
+      // the scale path: LSH candidates, exact-jaccard verify on candidates only
+      DedupOps.nearDuplicates(table(s, dir, "documents"), "doc_id", "text", minJaccard = 0.8)
+        .orderBy("id_a", "id_b")),
+
     // ---- training-data pipeline: similarity search ----
 
     "s_ann_cosine" -> ((s, dir) => {
@@ -561,6 +566,39 @@ object SparkEntry {
         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM band a JOIN band b ON a.band = b.band AND a.bandval = b.bandval
         |                        AND a.doc_id < b.doc_id
+        |ORDER BY 1, 2""".stripMargin,
+
+    "d_dedup_neardup" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS wd
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(wd) < 3 THEN [array_to_string(wd, ' ')]
+        |         ELSE list_transform(generate_series(1, len(wd) - 2),
+        |                             i -> array_to_string(wd[i:i+2], ' ')) END)) AS sh
+        |  FROM w),
+        |mh AS (
+        |  SELECT doc_id, seed, min(md5(seed || ':' || sh)) AS mh
+        |  FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+        |  GROUP BY 1, 2),
+        |band AS (
+        |  SELECT doc_id, seed // 4 AS band,
+        |         string_agg(seed || '~' || mh, '|' ORDER BY seed || '~' || mh) AS bandval
+        |  FROM mh GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM band a JOIN band b ON a.band = b.band AND a.bandval = b.bandval
+        |                          AND a.doc_id < b.doc_id),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT id_a, id_b, count(*) AS inter
+        |  FROM cand JOIN sh a ON id_a = a.doc_id JOIN sh b ON id_b = b.doc_id AND a.sh = b.sh
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       round(inter::DOUBLE / (x.n + y.n - inter), 4) AS jaccard
+        |FROM inter JOIN n x ON id_a = x.doc_id JOIN n y ON id_b = y.doc_id
+        |WHERE round(inter::DOUBLE / (x.n + y.n - inter), 4) >= 0.8
         |ORDER BY 1, 2""".stripMargin,
 
     "d_dedup_simhash" ->

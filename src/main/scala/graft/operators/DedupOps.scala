@@ -39,40 +39,39 @@ object DedupOps {
       .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("dup_count"))
 
   /**
-   * MinHash signature matrix: one row per (doc, seed) with the min md5 over
-   * the doc's shingles. k seeds = k independent permutation approximations.
-   */
-  private def minhashRows(docs: DataFrame, idCol: String, textCol: String, k: Int, w: Int): DataFrame =
-    docs
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), w)).as("sh"))
-      .crossJoin(spark_seeds(k))
-      .groupBy(col("id"), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh")))).as("mh"))
-
-  private def spark_seeds(k: Int): DataFrame = {
-    import org.apache.spark.sql.SparkSession
-    val s = SparkSession.active
-    s.range(k).select(col("id").cast("int").as("seed"))
-  }
-
-  /**
    * MinHash + LSH candidate pairs: k signatures banded into `bands` bands
    * of k/bands rows each; docs sharing any band bucket are candidates.
    * Output: distinct (id_a, id_b) with id_a < id_b.
    *
    * Probability a pair with Jaccard j collides: 1-(1-j^(k/bands))^bands.
+   *
+   * Plan shape: ONE aggregation over the exploded shingle rows computes
+   * all k min-hashes as separate agg columns (map-side partial min, no
+   * seed cross-join — a k-fold shuffle reduction vs the naive matrix),
+   * then bands explode k/bands-sized groups into join keys.
    */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 16, bands: Int = 4, w: Int = 3): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
-    val sig = minhashRows(docs, idCol, textCol, k, w)
-      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
-      // band value = min-hash strings of the band in seed order, joined
-      .groupBy(col("id"), col("band"))
-      .agg(array_join(array_sort(collect_list(concat(col("seed").cast("string"), lit("~"), col("mh")))), "|").as("bandval"))
-    val a = sig.select(col("band"), col("bandval"), col("id").as("id_a"))
-    val b = sig.select(col("band"), col("bandval"), col("id").as("id_b"))
+    val mhCols = (0 until k).map(s =>
+      min(md5(concat(lit(s.toString), lit(":"), col("sh")))).as(s"mh$s"))
+    val sig = docs
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), w)).as("sh"))
+      .groupBy(col("id"))
+      .agg(mhCols.head, mhCols.tail: _*)
+    // band value: seed-tagged minhashes of the band, sorted and joined --
+    // byte-identical to the (id, seed) matrix formulation
+    val bandStructs = array((0 until bands).map { b =>
+      val members = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(s => concat(lit(s.toString), lit("~"), col(s"mh$s")))
+      struct(lit(b).as("band"), array_join(array_sort(array(members: _*)), "|").as("bandval"))
+    }: _*)
+    val banded = sig
+      .select(col("id"), explode(bandStructs).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bandval").as("bandval"))
+    val a = banded.select(col("band"), col("bandval"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bandval"), col("id").as("id_b"))
     a.join(b, Seq("band", "bandval"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
@@ -86,10 +85,43 @@ object DedupOps {
    */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    minJaccard: Double, w: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), explode(shingles(col(textCol), w)).as("sh"))
+    // join on 64-bit shingle hashes, not the shingle strings: the
+    // equality join carries 8-byte keys instead of ~30-byte text
+    // (collision odds ~|shingles|^2 / 2^65 — immaterial next to the
+    // sampling noise of any near-dup threshold)
+    val sh = docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), w)).as("shs"))
+      .select(col("id"), xxhash64(col("shs")).as("sh"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .withColumn("jaccard", round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /**
+   * The 100 TB near-dup path: LSH candidate generation + exact Jaccard
+   * verification restricted to candidate pairs. `jaccardPairs` compares
+   * every co-shingled pair — exact but quadratic in bucket skew;
+   * this composition only pays exact-verification cost for pairs that
+   * already collided in a band, which is how dedup runs at corpus scale.
+   */
+  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                     minJaccard: Double, k: Int = 16, bands: Int = 4, w: Int = 3): DataFrame = {
+    val cand = minhashCandidates(docs, idCol, textCol, k, bands, w)
+    val sh = docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), w)).as("shs"))
+      .select(col("id"), xxhash64(col("shs")).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("x"), col("id_a") === col("x.id"))
+      .join(sh.as("y"), col("id_b") === col("y.id") && col("x.sh") === col("y.sh"))
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
@@ -106,19 +138,26 @@ object DedupOps {
    */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // words taken WITH multiplicity: term frequency is the signal that
-    // separates documents drawn from a shared vocabulary
+    // separates documents drawn from a shared vocabulary.
+    // Plan shape: md5/conv computed ONCE per word in a projection, then 60
+    // cheap ±1 contribution columns, then plain sums. Sums partial-agg
+    // map-side, so the shuffle carries 60 longs per (doc, partition) — the
+    // only shape that survives a trillion-word corpus (an exchange of raw
+    // word rows would be faster on local[32] and disastrous on a cluster).
     val wordRows = docs
       .select(col(idCol).as("id"), explode(TextOps.words(col(textCol))).as("w"))
       .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
-    val bits = wordRows
-      .select(col("id"), explode(sequence(lit(0), lit(59))).as("b"),
-        col("h"))
-      .withColumn("contrib", when(expr("shiftright(h, cast(b as int)) & 1") === 1, 1).otherwise(-1))
-      .groupBy("id", "b")
-      .agg(sum("contrib").as("s"))
-    bits
+    val withContribs = wordRows.select(
+      col("id") +: (0 until 60).map(b =>
+        (expr(s"shiftright(h, $b) & 1") * 2 - 1).cast("long").as(s"c$b")): _*)
+    val bitSums = (0 until 60).map(b => sum(col(s"c$b")).as(s"s$b"))
+    val assemble = (0 until 60)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    withContribs
       .groupBy("id")
-      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), cast(b as int))")).otherwise(0L)).as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), assemble.as("simhash"))
   }
 
   /**
@@ -142,7 +181,7 @@ object DedupOps {
     a.join(b, Seq("seg", "segval"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist) // BEFORE distinct: shrink the shuffle to survivors
       .distinct()
-      .filter(col("hamming") <= maxDist)
   }
 }
