@@ -5,16 +5,24 @@ import org.apache.spark.sql.SparkSession
 /**
  * Benchmark main (driver contract): runs every SparkEntry query against
  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query wall times.
+ * The same line is also written to SPARK_GRAFT_BENCH_OUT (default
+ * bench_out.json in the cwd) so the result survives any log wrapping of
+ * stdout by the build tool.
  *
  * Timing methodology: one untimed warmup action first (JIT + codegen +
  * session init would otherwise land on the first query), then each query
  * is fully materialized through the noop sink — count() would let column
  * pruning skip most of the scan work for non-aggregating queries.
+ *
+ * A failing query is NOT silently timed as ~0 s: it is reported in a
+ * "failed" list, its time excluded from the total, and the process exits
+ * non-zero so a broken query can never inflate the round's apparent speed.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,18 +38,31 @@ object Bench {
 
     // warmup: session init, codegen, parquet footer reads
     try materialize(SparkEntry.queries("q1_agg")(spark, sfDir))
-    catch { case _: Throwable => }
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir))
-      catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { materialize(fn(spark, sfDir)); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] QUERY FAILED $name: $e")
+            false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val passed = results.filter(_._3)
+    val failed = results.filterNot(_._3).map(_._1)
+    val qs = passed.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = passed.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -268,13 +268,17 @@ object SparkEntry {
     }),
 
     "q8_new_series" -> ((s, dir) => {
-      // exists-cache semantics: series first seen on the newest day
-      // (per-batch anti-join against the accumulated index)
-      val m = withDate(metricStream(s, dir)).select("date", "path").distinct()
-      val maxDate = m.agg(max("date")).first().getDate(0)
-      val today = m.filter(col("date") === maxDate).select("path")
-      val history = m.filter(col("date") < maxDate).select("path")
-      today.except(history).orderBy("path")
+      // exists-cache semantics: series first seen on the newest day.
+      // One scan + one shuffle: per-path (first,last) seen dates, then a
+      // broadcast join against the 1-row global max — a path is new today
+      // iff its first-seen date IS the global newest date. No driver-side
+      // action, no recomputation of the stream per branch.
+      val perPath = withDate(metricStream(s, dir))
+        .groupBy("path")
+        .agg(min("date").as("first_date"), max("date").as("last_date"))
+      val maxd = perPath.agg(max("last_date").as("maxd"))
+      perPath.join(broadcast(maxd), col("first_date") === col("maxd"))
+        .select("path").orderBy("path")
     }),
 
     // ---- training-data pipeline: dedup ----
@@ -308,8 +312,10 @@ object SparkEntry {
     }),
 
     "s_ann_lsh" -> ((s, dir) => {
-      // LSH-bucketed ANN (scale path); no SQL oracle — recall is asserted
-      // against brute force in the test suite
+      // LSH-bucketed ANN (scale path). The md5-derived hyperplanes make the
+      // signatures engine-portable, so the full pipeline (sign bits -> band
+      // join -> exact cosine re-rank) has a DuckDB oracle; recall vs brute
+      // force is additionally asserted in OperatorSpec.
       val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
       SimilarityOps.lshTopK(e.filter(col("id") < 5), e, k = 5)
         .orderBy("query_id", "rank")
@@ -662,6 +668,39 @@ object SparkEntry {
         |SELECT query_id, rank::BIGINT AS rank, neighbor_id, round(sim, 4) AS sim
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    "s_ann_lsh" ->
+      """WITH planes AS (
+        |  SELECT b, list_transform(generate_series(0, 63),
+        |           d -> (('0x' || substr(md5('plane:' || b || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS pl
+        |  FROM (SELECT unnest(generate_series(0, 23)) AS b)),
+        |sig AS (
+        |  SELECT vec_id,
+        |         sum(CASE WHEN list_sum(list_transform(range(1, 65),
+        |               i -> pl[i] * embedding[i]::DOUBLE)) > 0
+        |             THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sig
+        |  FROM embeddings, planes GROUP BY 1),
+        |banded AS (
+        |  SELECT vec_id, band, (sig >> (band * 3)) & 7 AS bandval
+        |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) bb),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM banded q JOIN banded c ON q.band = c.band AND q.bandval = c.bandval
+        |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * qe.embedding[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)))), 6) AS sim
+        |  FROM cand JOIN embeddings qe ON query_id = qe.vec_id
+        |            JOIN embeddings ce ON neighbor_id = ce.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank::BIGINT AS rank, neighbor_id, round(sim, 4) AS sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "t_tokens" ->
       """WITH w AS (
         |  SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS wd
@@ -718,6 +757,13 @@ object SparkEntry {
         |       ('0x' || substr(h, 1, 2))::BIGINT AS width,
         |       ('0x' || substr(h, 3, 2))::BIGINT AS height,
         |       (('0x' || substr(h, 5, 2))::BIGINT % 3) AS channels_mod
-        |FROM hx ORDER BY media_id""".stripMargin
+        |FROM hx ORDER BY media_id""".stripMargin,
+
+    // blob = unhex(md5(text)) is always 16 bytes; chunkBytes=4 -> chunks
+    // 0..3, everyNth=2 keeps 0 and 2, each fully inside the blob -> len 4.
+    "m_media_frames" ->
+      """SELECT doc_id AS media_id, unnest([0::BIGINT, 2::BIGINT]) AS frame_no,
+        |       4::BIGINT AS frame_len
+        |FROM documents ORDER BY media_id, frame_no""".stripMargin
   )
 }

@@ -82,16 +82,34 @@ object DedupOps {
    * Exact n-gram Jaccard similarity for candidate pairs, computed via a
    * shingle equality join (no cross join): |A∩B| from the join,
    * |A∪B| = |A|+|B|-|A∩B|. Output pairs with similarity >= minJaccard.
+   *
+   * `maxShingleDf` caps the document frequency of shingles entering the
+   * self-join (standard stop-shingle removal): one boilerplate sentence
+   * shared by 1M docs would otherwise fan the co-shingle join out to 10¹²
+   * rows. Shingles above the cap are removed from the UNIVERSE (both
+   * intersection and set sizes), so the score stays a true Jaccard over
+   * the retained shingles. Default 10⁴ is inactive on any corpus where a
+   * shingle isn't shared by >10k docs.
    */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   minJaccard: Double, w: Int = 3): DataFrame = {
+                   minJaccard: Double, w: Int = 3,
+                   maxShingleDf: Long = 10000L): DataFrame = {
     // join on 64-bit shingle hashes, not the shingle strings: the
     // equality join carries 8-byte keys instead of ~30-byte text
     // (collision odds ~|shingles|^2 / 2^65 — immaterial next to the
     // sampling noise of any near-dup threshold)
-    val sh = docs.select(col(idCol).as("id"),
+    val shAll = docs.select(col(idCol).as("id"),
       explode(shingles(col(textCol), w)).as("shs"))
       .select(col("id"), xxhash64(col("shs")).as("sh"))
+    val sh =
+      if (maxShingleDf == Long.MaxValue) shAll
+      else {
+        // df per shingle partial-aggregates map-side; the semi join back is
+        // an equality join on the 8-byte hash — both scale-safe.
+        val rare = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf).select("sh")
+        shAll.join(rare, Seq("sh"), "left_semi")
+      }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))

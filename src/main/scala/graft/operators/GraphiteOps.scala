@@ -42,13 +42,18 @@ object GraphiteOps {
    */
   def treePrefixes(path: Column): Column = {
     val parts = split(path, "\\.", -1)
-    transform(
+    val walked = transform(
       sequence(lit(1), size(parts) - 1),
       i => struct(
         i.cast("long").as("level"),
         concat(array_join(slice(parts, lit(1), i), "."), lit(".")).as("prefix")
       )
     )
+    // Guard the single-segment case: sequence(1, 0) generates a DESCENDING
+    // [1, 0], which would fabricate phantom prefix rows ("solo." and ".")
+    // where the reference (uploader/index.go `for l--; l > 0`) emits none.
+    // slice(walked, 1, 0) is an empty array of the same struct type.
+    when(size(parts) > 1, walked).otherwise(slice(walked, 1, 0))
   }
 
   /** Collapse consecutive dots (receiver/plain.go:22-51). */

@@ -46,22 +46,36 @@ object SimilarityOps {
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
   }
 
+  /** First 8 md5 hex chars of `s` as an unsigned 32-bit value. */
+  private def md5Head32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+  }
+
+  /**
+   * The deterministic pseudo-random plane matrix used by [[lshTopK]]:
+   * nbits x dim values in [-1, 1), derived from md5("plane:b:d") so any
+   * engine with an md5 function (the DuckDB oracle included) can
+   * reproduce the exact signatures: (uint32(md5[0:4]) / 2^31) - 1.
+   */
+  def lshPlanes(nbits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nbits, dim) { (b, d) =>
+      md5Head32(s"plane:$b:$d").toDouble / (1L << 31) - 1.0
+    }
+
   /**
    * Random-hyperplane LSH signatures: `nbits` sign bits from deterministic
-   * pseudo-random planes (seeded hash of (plane, dim) — reproducible, no
+   * pseudo-random planes (md5-derived via [[lshPlanes]] — reproducible, no
    * stored model). Vectors whose signatures share a band become join-key
    * candidates; exact cosine re-ranks within candidates.
    */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nbits: Int = 16, bands: Int = 4, dim: Int = 64): DataFrame = {
+              nbits: Int = 24, bands: Int = 8, dim: Int = 64): DataFrame = {
     require(nbits % bands == 0)
     val spark = org.apache.spark.sql.SparkSession.active
 
-    // deterministic pseudo-random plane matrix: nbits x dim in [-1, 1)
-    val planes: Array[Array[Double]] = Array.tabulate(nbits, dim) { (b, d) =>
-      val h = scala.util.hashing.MurmurHash3.stringHash(s"plane:$b:$d")
-      (h.toDouble / Int.MaxValue)
-    }
+    val planes: Array[Array[Double]] = lshPlanes(nbits, dim)
     val planesB = spark.sparkContext.broadcast(planes)
     val sigUdf = udf { (v: Seq[Float]) =>
       val p = planesB.value

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Operator-level specs that need a SparkSession: index expansion edge
+  * cases, LSH recall vs brute force, jaccard stop-shingle capping. */
+class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.01"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-operators")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("indexExpand emits no phantom prefix rows for single-segment paths") {
+    val ss = spark; import ss.implicits._
+    // reference (uploader/index.go `for l--; l > 0`): a level-1 name yields
+    // no ancestor-prefix rows at all — only the 4 direct rows.
+    val pts = Seq(("solo", java.sql.Date.valueOf("2021-07-05")))
+      .toDF("path", "date")
+    val rows = GraphiteOps.indexExpand(pts)
+      .select(col("date").cast("string"), col("level"), col("path"))
+      .orderBy("level")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(rows.toSeq == Seq(
+      ("2021-07-05", 1L, "solo"),
+      ("2021-07-05", 10001L, "solo"),
+      ("1970-02-12", 20001L, "solo"),
+      ("1970-02-12", 30001L, "solo")))
+  }
+
+  test("indexExpand multi-segment still walks every prefix") {
+    val ss = spark; import ss.implicits._
+    val pts = Seq(("a.b.c", java.sql.Date.valueOf("2021-07-05"))).toDF("path", "date")
+    val tree = GraphiteOps.indexExpand(pts)
+      .filter(col("level").between(20000, 29999))
+      .select("level", "path").orderBy("level")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(tree.toSeq == Seq((20001L, "a."), (20002L, "a.b."), (20003L, "a.b.c")))
+  }
+
+  test("lshTopK recall@5 vs bruteForceTopK on sf0.01 embeddings") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.filter(col("id") < 20)
+    val brute = SimilarityOps.bruteForceTopK(q, e, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityOps.lshTopK(q, e, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.6, s"LSH recall@5 $recall < 0.6 (|brute|=${brute.size}, hit=${(brute & lsh).size})")
+  }
+
+  test("jaccardPairs df cap is inactive on normal corpora") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val capped = DedupOps.jaccardPairs(docs, "doc_id", "text", 0.8, maxShingleDf = 10000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = DedupOps.jaccardPairs(docs, "doc_id", "text", 0.8, maxShingleDf = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == uncapped && capped.nonEmpty)
+  }
+
+  test("jaccardPairs df cap drops hot shingles from the join universe") {
+    val ss = spark; import ss.implicits._
+    // 40 docs all sharing one boilerplate sentence (one hot shingle each
+    // way), pairwise distinct otherwise; docs 0/1 additionally share their
+    // entire non-boilerplate text.
+    val boiler = "this content is licensed for reuse"
+    val docs = (0 until 40).map { i =>
+      val body = if (i <= 1) "alpha beta gamma delta epsilon zeta"
+      else s"unique$i word$i token$i item$i entry$i value$i"
+      (i.toLong, s"$boiler $body")
+    }.toDF("doc_id", "text")
+
+    // cap=5 < 40 removes every shingle touching the boilerplate prefix;
+    // docs 0 and 1 still match on their identical bodies.
+    val capped = DedupOps.jaccardPairs(docs, "doc_id", "text", 0.5, maxShingleDf = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((0L, 1L)))
+
+    // and the capped join fan-out is bounded: the uncapped inter-join
+    // produces a row per co-shingled pair (>= 40*39/2 from the hot
+    // shingles); capped, only the 0-1 pair survives to scoring.
+    val uncapped = DedupOps.jaccardPairs(docs, "doc_id", "text", 0.0, maxShingleDf = Long.MaxValue)
+      .count()
+    val cappedAll = DedupOps.jaccardPairs(docs, "doc_id", "text", 0.0, maxShingleDf = 5L)
+      .count()
+    assert(uncapped >= 40L * 39 / 2)
+    assert(cappedAll == 1L)
+  }
+}
