@@ -170,35 +170,53 @@ object GraphiteOps {
    * magnitude smaller than the point stream.
    */
   def indexExpand(pts: DataFrame, treeDate: java.sql.Date = Dates.daysToDate(Dates.DefaultTreeDate),
-                  disableDailyIndex: Boolean = false): DataFrame = {
+                  disableDailyIndex: Boolean = false): DataFrame =
+    indexExpandVersioned(pts.withColumn("version", lit(0L)), treeDate, disableDailyIndex)
+      .drop("version")
+
+  /**
+   * [[indexExpand]] carrying a per-row `version`: each emitted index row
+   * holds the max receive-time version among the series that produced it
+   * (the reference stamps rows with the uploader's clock,
+   * uploader/index.go:48 — per-series receive time is the same signal
+   * without a driver-side clock read). Dedup happens in the same
+   * aggregations that compute the max, so the plan still shuffles the
+   * distinct series set, never the raw point stream.
+   */
+  def indexExpandVersioned(pts: DataFrame,
+                           treeDate: java.sql.Date = Dates.daysToDate(Dates.DefaultTreeDate),
+                           disableDailyIndex: Boolean = false): DataFrame = {
     val series = pts
       .filter(!isTagged(col("path")))
-      .select(col("date"), col("path"))
-      .distinct()
+      .groupBy(col("date"), col("path"))
+      .agg(max(col("version")).as("version"))
 
     val level = pathLevel(col("path"))
     val revPath = pathReverse(col("path"))
     val tree = series.select(
       lit(treeDate).as("date"),
       (level + 20000L).as("level"),
-      col("path"))
+      col("path"),
+      col("version"))
     val treeRev = series.select(
       lit(treeDate).as("date"),
       (level + 30000L).as("level"),
-      revPath.as("path"))
+      revPath.as("path"),
+      col("version"))
     val prefixes = series
-      .select(explode(treePrefixes(col("path"))).as("p"))
-      .select(lit(treeDate).as("date"), (col("p.level") + 20000L).as("level"), col("p.prefix").as("path"))
+      .select(explode(treePrefixes(col("path"))).as("p"), col("version"))
+      .select(lit(treeDate).as("date"), (col("p.level") + 20000L).as("level"),
+        col("p.prefix").as("path"), col("version"))
 
     val treeAll = tree.union(treeRev).union(prefixes)
     val all =
       if (disableDailyIndex) treeAll
       else {
-        val daily = series.select(col("date"), level.as("level"), col("path"))
-        val dailyRev = series.select(col("date"), (level + 10000L).as("level"), revPath.as("path"))
+        val daily = series.select(col("date"), level.as("level"), col("path"), col("version"))
+        val dailyRev = series.select(col("date"), (level + 10000L).as("level"), revPath.as("path"), col("version"))
         treeAll.union(daily).union(dailyRev)
       }
-    all.distinct()
+    all.groupBy("date", "level", "path").agg(max("version").as("version"))
   }
 
   /**
@@ -207,11 +225,17 @@ object GraphiteOps {
    * `ignoredMetrics` (or "*") suppresses the per-tag rows, leaving only
    * the __name__ row (README.md:172-183).
    */
-  def taggedExpand(pts: DataFrame, ignoredMetrics: Set[String] = Set.empty): DataFrame = {
+  def taggedExpand(pts: DataFrame, ignoredMetrics: Set[String] = Set.empty): DataFrame =
+    taggedExpandVersioned(pts.withColumn("version", lit(0L)), ignoredMetrics)
+      .drop("version")
+
+  /** [[taggedExpand]] carrying per-row max receive-time `version` (see
+    * [[indexExpandVersioned]] for the rationale). */
+  def taggedExpandVersioned(pts: DataFrame, ignoredMetrics: Set[String] = Set.empty): DataFrame = {
     val series = pts
       .filter(isTagged(col("path")))
-      .select(col("date"), col("path"))
-      .distinct()
+      .groupBy(col("date"), col("path"))
+      .agg(max(col("version")).as("version"))
 
     val parseUdf = udf { (path: String) =>
       GraphiteTags.parseTagged(path) match {
@@ -227,8 +251,12 @@ object GraphiteOps {
     series
       .withColumn("_t", parseUdf(col("path")))
       .filter(col("_t").isNotNull)
-      .select(col("date"), explode(col("_t._1")).as("tag1"), col("path"), col("_t._2").as("tags"))
-      .distinct()
+      .select(col("date"), explode(col("_t._1")).as("tag1"), col("path"),
+        col("_t._2").as("tags"), col("version"))
+      // tags is functionally determined by path, so any value per group works;
+      // the groupBy doubles as the per-chunk dedup.
+      .groupBy("date", "tag1", "path")
+      .agg(first(col("tags")).as("tags"), max("version").as("version"))
   }
 
   // ---------- query-side semantics (§2.4: ReplacingMergeTree / rollup) ----------

@@ -40,8 +40,14 @@ final class SpoolWriter(
   /** Parse errors since start. */
   val parseErrors = new AtomicLong(0)
 
+  // per-process uniqueness: the per-instance seq alone collides when two
+  // writers (or a restarted one) open chunks in the same millisecond, and
+  // the later atomic rename would silently REPLACE the earlier chunk
+  private val writerId = f"${scala.util.Random.nextInt(0xffffff)}%06x"
+
   private def openChunk(): Unit = {
-    currentPath = spoolDir.resolve(f"chunk-${System.currentTimeMillis()}%013d-${seq.incrementAndGet()}%06d.tsv.tmp")
+    currentPath = spoolDir.resolve(
+      f"chunk-${System.currentTimeMillis()}%013d-$writerId-${seq.incrementAndGet()}%06d.tsv.tmp")
     current = Files.newBufferedWriter(currentPath, StandardCharsets.UTF_8,
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     currentBytes = 0L

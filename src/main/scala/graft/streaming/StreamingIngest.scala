@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
-import graft.core.{Blacklist, Dates}
+import graft.core.Blacklist
 import graft.operators.GraphiteOps
 
 /**
@@ -17,13 +17,25 @@ import graft.operators.GraphiteOps
  *   spool chunks            = writer/writer.go chunk files
  *   micro-batch trigger     = 1 s chunk rotation cadence
  *   foreachBatch fan-out    = symlink fan-out to N uploaders
- *   anti-join vs index      = cross-chunk exists-cache (cached.go)
+ *   TTL-bounded anti-join   = cross-chunk exists-cache (uploader/cmap.go)
+ *   clearExistsCache()      = SIGUSR1 cache clear (carbon-clickhouse.go:146)
  *   checkpoint dir          = done-marker / LinkAll crash recovery
  *
- * Delivery is at-least-once with duplicate absorption at read time
- * (last-write-wins / rollup views) — the same contract the reference
- * offers via ReplacingMergeTree, and the reason plain parquet appends
- * suffice without a transactional table format.
+ * Table layout: every micro-batch writes into its own
+ * `batch=b<batchId>` subdirectory (a partition column under the table
+ * root), so a batch REPLAYED after a partial failure overwrites exactly
+ * its own output — the four per-table appends become idempotent without
+ * a transactional format. Readers see the batch dirs as one partitioned
+ * table.
+ *
+ * Exists-cache scale design: index/tagged rows are partitioned by
+ * `udate` (receive-time day). The per-batch anti-join reads ONLY
+ * partitions with `udate >= today - cacheTtlDays` (statically pruned),
+ * so its cost tracks series churn within the TTL window, not total
+ * index history. A series silent for longer than the TTL is re-emitted
+ * with a newer version — exactly the reference's cache-ttl semantics
+ * (uploader/cmap.go:97-141) — and absorbed by the last-write-wins read
+ * views.
  */
 final class StreamingIngest(
     spark: SparkSession,
@@ -33,7 +45,9 @@ final class StreamingIngest(
     blacklist: Option[Blacklist] = None,
     disableDailyIndex: Boolean = false,
     utcDate: Boolean = true,
-    maxFilesPerTrigger: Option[Int] = None
+    maxFilesPerTrigger: Option[Int] = None,
+    cacheTtlDays: Int = 1,
+    ignoredTaggedMetrics: Set[String] = Set.empty
 ) {
 
   private val spoolSchema = StructType(Seq(
@@ -47,6 +61,13 @@ final class StreamingIngest(
   private def indexPath = s"$tablesDir/index"
   private def taggedPath = s"$tablesDir/tagged"
 
+  /** SIGUSR1 equivalent: the next micro-batch skips the exists-cache
+    * anti-join and re-emits every series it sees (duplicates are
+    * harmless under the LWW read views — same contract as the
+    * reference's cache clear). */
+  @volatile private var cacheClearRequested = false
+  def clearExistsCache(): Unit = cacheClearRequested = true
+
   /** The streaming source: completed spool chunks as a CSV stream. */
   private def source(): DataFrame = {
     val r = spark.readStream
@@ -57,22 +78,35 @@ final class StreamingIngest(
     r.csv(spoolDir)
   }
 
-  private def appendMonthPartitioned(df: DataFrame, path: String): Unit =
-    df.withColumn("month", date_format(col("date"), "yyyyMM"))
-      .sortWithinPartitions("path", "time") // (Path, Time) clustering for row-group skipping
-      .write.mode("append").partitionBy("month").parquet(path)
+  private def udateCol = date_from_unix_date((col("version") / 86400L).cast("int"))
 
-  private def appendPlain(df: DataFrame, path: String): Unit =
-    df.write.mode("append").parquet(path)
+  /** Write one batch's slice of a table into its own batch=b<id> dir;
+    * mode=overwrite makes a replayed batch idempotent. */
+  private def writeBatch(df: DataFrame, tableRoot: String, batchId: Long,
+                         partitionCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    val sorted = if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.map(col): _*) else df
+    sorted.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(s"$tableRoot/batch=b$batchId")
+  }
 
-  private def tableOrEmpty(path: String, schema: StructType): DataFrame = {
-    // explicit existence probe: first batch has no table yet, and letting
-    // the reader throw fills the log with caught-but-printed stack traces
+  private def tableExists(path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
   }
+
+  private def readOrEmpty(path: String, canonical: StructType): DataFrame =
+    if (!tableExists(path))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], canonical)
+    else
+      try spark.read.parquet(path).select(canonical.fieldNames.map(col).toSeq: _*)
+      catch {
+        // all batch dirs empty (e.g. every row anti-joined away) -> no
+        // footers to infer from; semantically an empty table
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], canonical)
+      }
 
   private val indexSchema = StructType(Seq(
     StructField("date", DateType), StructField("level", LongType),
@@ -83,36 +117,85 @@ final class StreamingIngest(
     StructField("path", StringType), StructField("tags", ArrayType(StringType)),
     StructField("version", LongType)))
 
+  private val pointsSchema = StructType(Seq(
+    StructField("path", StringType), StructField("value", DoubleType),
+    StructField("time", LongType), StructField("date", DateType),
+    StructField("timestamp", LongType)))
+
+  private def ttlCutoff: java.sql.Date =
+    java.sql.Date.valueOf(java.time.LocalDate.now(java.time.ZoneOffset.UTC).minusDays(cacheTtlDays.toLong))
+
+  /** Exists-cache view: the key columns of rows uploaded within the TTL
+    * window. The literal udate filter prunes table partitions at plan
+    * time — this scan must NOT grow with total index history.
+    *
+    * `excludeBatch` removes the CURRENT batch's own (possibly partial)
+    * previous output from the cache view: a replayed batch overwrites
+    * its own dir, so anti-joining against it would both suppress rows
+    * it is about to rewrite and trust keys from a half-written failure.
+    */
+  private[streaming] def existingKeysWithinTtl(path: String, keys: StructType,
+                                               excludeBatch: Option[Long] = None): DataFrame =
+    if (!tableExists(path))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], keys)
+    else
+      try {
+        val base = spark.read.parquet(path).filter(col("udate") >= lit(ttlCutoff))
+        val scoped = excludeBatch.fold(base)(id => base.filter(col("batch") =!= lit(s"b$id")))
+        scoped.select(keys.fieldNames.map(col).toSeq: _*)
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], keys)
+      }
+
+  private def keysOf(s: StructType, names: String*): StructType =
+    StructType(names.map(n => s(n)))
+
   /** One micro-batch: fan the canonical points out to all four tables. */
   private[streaming] def processBatch(batch: DataFrame, batchId: Long): Unit = {
-    if (batch.isEmpty) return
     val spark = batch.sparkSession
     val pts = GraphiteOps.withDate(batch, utcDate).cache()
     try {
-      appendMonthPartitioned(
-        GraphiteOps.points(pts, blacklist, reverse = false, zeroTimestamp = true), pointsPath)
-      appendMonthPartitioned(
-        GraphiteOps.points(pts, blacklist, reverse = true, zeroTimestamp = true), pointsReversePath)
+      // The single driver action per batch: an empty micro-batch would
+      // otherwise still pay four write jobs and litter empty batch dirs.
+      if (pts.isEmpty) return
 
-      val version = pts.agg(max("version")).first() match {
-        case r if r.isNullAt(0) => 0L
-        case r                  => r.getLong(0)
-      }
+      writeBatch(
+        GraphiteOps.points(pts, blacklist, reverse = false, zeroTimestamp = true)
+          .withColumn("month", date_format(col("date"), "yyyyMM")),
+        pointsPath, batchId, Seq("month"), sortCols = Seq("path", "time"))
+      writeBatch(
+        GraphiteOps.points(pts, blacklist, reverse = true, zeroTimestamp = true)
+          .withColumn("month", date_format(col("date"), "yyyyMM")),
+        pointsReversePath, batchId, Seq("month"), sortCols = Seq("path", "time"))
 
-      // exists-cache semantics: only rows whose (date,level?,path) key is not
-      // already in the accumulated table survive the anti-join. Committed
-      // only after a successful append (cached.go:108-110) because a failed
-      // batch simply never writes — the next attempt re-expands.
-      val newIndex = GraphiteOps.indexExpand(pts, disableDailyIndex = disableDailyIndex)
-        .withColumn("version", lit(version))
-      val existingIndex = tableOrEmpty(indexPath, indexSchema).select("date", "level", "path")
-      appendPlain(
-        newIndex.join(existingIndex, Seq("date", "level", "path"), "left_anti"), indexPath)
+      val clearCache = cacheClearRequested
+      if (clearCache) cacheClearRequested = false
 
-      val newTagged = GraphiteOps.taggedExpand(pts).withColumn("version", lit(version))
-      val existingTagged = tableOrEmpty(taggedPath, taggedSchema).select("date", "tag1", "path")
-      appendPlain(
-        newTagged.join(existingTagged, Seq("date", "tag1", "path"), "left_anti"), taggedPath)
+      // Exists-cache semantics: only rows whose key is not already in the
+      // TTL window of the accumulated table survive the anti-join.
+      // Committed only after a successful write (cached.go:108-110): a
+      // failed batch never renames its output into place, and the replay
+      // overwrites the same batch dir.
+      val newIndex = GraphiteOps
+        .indexExpandVersioned(pts, disableDailyIndex = disableDailyIndex)
+        .withColumn("udate", udateCol)
+      val idxOut =
+        if (clearCache) newIndex
+        else newIndex.join(
+          existingKeysWithinTtl(indexPath, keysOf(indexSchema, "date", "level", "path"), Some(batchId)),
+          Seq("date", "level", "path"), "left_anti")
+      writeBatch(idxOut, indexPath, batchId, Seq("udate"))
+
+      val newTagged = GraphiteOps
+        .taggedExpandVersioned(pts, ignoredTaggedMetrics)
+        .withColumn("udate", udateCol)
+      val tagOut =
+        if (clearCache) newTagged
+        else newTagged.join(
+          existingKeysWithinTtl(taggedPath, keysOf(taggedSchema, "date", "tag1", "path"), Some(batchId)),
+          Seq("date", "tag1", "path"), "left_anti")
+      writeBatch(tagOut, taggedPath, batchId, Seq("udate"))
     } finally pts.unpersist()
   }
 
@@ -136,12 +219,16 @@ final class StreamingIngest(
 
   // ---- read-side views (the ClickHouse table semantics) ----
 
-  def pointsTable(): DataFrame = spark.read.parquet(pointsPath)
-  def pointsReverseTable(): DataFrame = spark.read.parquet(pointsReversePath)
-  def indexTable(): DataFrame = tableOrEmpty(indexPath, indexSchema)
-  def taggedTable(): DataFrame = tableOrEmpty(taggedPath, taggedSchema)
+  def pointsTable(): DataFrame = readOrEmpty(pointsPath, pointsSchema)
+  def pointsReverseTable(): DataFrame = readOrEmpty(pointsReversePath, pointsSchema)
+  def indexTable(): DataFrame = readOrEmpty(indexPath, indexSchema)
+  def taggedTable(): DataFrame = readOrEmpty(taggedPath, taggedSchema)
 
   /** ReplacingMergeTree(Version)-equivalent read view of the index. */
   def indexLatest(): DataFrame =
     GraphiteOps.lwwLatest(indexTable(), Seq("date", "level", "path"), "version", Nil)
+
+  /** ReplacingMergeTree(Version)-equivalent read view of the tagged table. */
+  def taggedLatest(): DataFrame =
+    GraphiteOps.lwwLatest(taggedTable(), Seq("date", "tag1", "path"), "version", Seq("tags"))
 }

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.GraphiteOps
+
+/**
+ * Maintenance compaction for the streaming tables: per-batch micro-dirs
+ * (`batch=b<id>`, one per 1 s trigger) accumulate forever otherwise,
+ * degrading both the read views and the TTL anti-join with tiny-file
+ * overhead. ClickHouse does this as background merges; here it is an
+ * explicit job over the plain-parquet layout.
+ *
+ * Crash-safety contract (plain FS, no transactions — the production
+ * path for this would be a transactional table format):
+ *  - LWW tables (index/tagged): the compacted dir is renamed IN before
+ *    the source dirs are removed. A crash in between leaves duplicate
+ *    rows, which the LWW read views absorb — never wrong reads.
+ *  - points: duplicates are semantically meaningful (rollup counts
+ *    them), so the source dirs are moved to a hidden `.trash-*` dir
+ *    before the compacted dir is renamed in. A crash in between leaves
+ *    the data recoverable in `.trash-*` (operator restores by renaming
+ *    back); readers see a gap until then, never double-counts.
+ */
+object TableCompactor {
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def batchDirs(spark: SparkSession, root: String): Seq[Path] = {
+    val f = fs(spark, root)
+    if (!f.exists(new Path(root))) Nil
+    else f.listStatus(new Path(root)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath)
+  }
+
+  /**
+   * LWW-compact an index/tagged-shaped table: fold every batch dir into
+   * one, keeping the max-version row per key. Returns the number of
+   * batch dirs folded (0 = nothing to do).
+   */
+  /** Batch dirs with no data files at all (a batch whose every row
+    * anti-joined away) can simply be removed. Returns true if the table
+    * had no data to compact. */
+  private def dropIfAllEmpty(spark: SparkSession, tableRoot: String, dirs: Seq[Path]): Boolean = {
+    val readable =
+      try { spark.read.parquet(tableRoot); false }
+      catch { case _: org.apache.spark.sql.AnalysisException => true }
+    if (readable) dirs.foreach(d => fs(spark, tableRoot).delete(d, true))
+    readable
+  }
+
+  def compactLww(spark: SparkSession, tableRoot: String,
+                 keys: Seq[String], payloadCols: Seq[String]): Int = {
+    val dirs = batchDirs(spark, tableRoot)
+    if (dirs.length <= 1) return 0
+    if (dropIfAllEmpty(spark, tableRoot, dirs)) return dirs.length
+    val f = fs(spark, tableRoot)
+
+    val compacted = GraphiteOps
+      .lwwLatest(spark.read.parquet(tableRoot), keys, "version", payloadCols)
+      .withColumn("udate", date_from_unix_date((col("version") / 86400L).cast("int")))
+    val stamp = System.currentTimeMillis()
+    val tmp = new Path(tableRoot, s".compact-$stamp")
+    compacted.write.mode("overwrite").partitionBy("udate").parquet(tmp.toString)
+
+    // new dir visible first, then sources removed: a crash in between
+    // leaves duplicates that the LWW read views absorb
+    require(f.rename(tmp, new Path(tableRoot, s"batch=c$stamp")), s"rename failed for $tmp")
+    dirs.foreach(d => f.delete(d, true))
+    dirs.length
+  }
+
+  /**
+   * Fold a points-shaped table's batch dirs into one, re-clustered by
+   * (path, time) within monthly partitions. No dedup — duplicate points
+   * are data. Returns the number of batch dirs folded.
+   */
+  def compactPoints(spark: SparkSession, tableRoot: String): Int = {
+    val dirs = batchDirs(spark, tableRoot)
+    if (dirs.length <= 1) return 0
+    if (dropIfAllEmpty(spark, tableRoot, dirs)) return dirs.length
+    val f = fs(spark, tableRoot)
+
+    val stamp = System.currentTimeMillis()
+    val tmp = new Path(tableRoot, s".compact-$stamp")
+    spark.read.parquet(tableRoot)
+      .select("path", "value", "time", "date", "timestamp")
+      .withColumn("month", date_format(col("date"), "yyyyMM"))
+      .repartition(col("month"))
+      .sortWithinPartitions(col("path"), col("time"))
+      .write.mode("overwrite").partitionBy("month").parquet(tmp.toString)
+
+    // sources out of sight first (recoverable in .trash), THEN the
+    // compacted dir in — readers can never double-count points
+    val trash = new Path(tableRoot, s".trash-$stamp")
+    f.mkdirs(trash)
+    dirs.foreach(d => require(f.rename(d, new Path(trash, d.getName)), s"trash move failed for $d"))
+    require(f.rename(tmp, new Path(tableRoot, s"batch=c$stamp")), s"rename failed for $tmp")
+    f.delete(trash, true)
+    dirs.length
+  }
+
+  /** Compact all four tables of a [[StreamingIngest]] layout. */
+  def compactAll(spark: SparkSession, tablesDir: String): Map[String, Int] = Map(
+    "points" -> compactPoints(spark, s"$tablesDir/points"),
+    "points_reverse" -> compactPoints(spark, s"$tablesDir/points_reverse"),
+    "index" -> compactLww(spark, s"$tablesDir/index", Seq("date", "level", "path"), Nil),
+    "tagged" -> compactLww(spark, s"$tablesDir/tagged", Seq("date", "tag1", "path"), Seq("tags")))
+}

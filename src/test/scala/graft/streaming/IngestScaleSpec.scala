@@ -1,0 +1,165 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/**
+ * Scale-behavior specs for the streaming ingest: TTL-bounded
+ * exists-cache (re-emission after expiry + partition-pruned anti-join
+ * scan), idempotent batch replay, cache clear, and table compaction.
+ */
+class IngestScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-ingest-scale")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def nowSec = System.currentTimeMillis() / 1000
+
+  private def freshIngest(ttlDays: Int = 1, maxFiles: Option[Int] = None): (StreamingIngest, String) = {
+    val work = Files.createTempDirectory("graft-scale").toString
+    val ingest = new StreamingIngest(spark, s"$work/spool", s"$work/tables", s"$work/ckpt",
+      maxFilesPerTrigger = maxFiles, cacheTtlDays = ttlDays)
+    (ingest, work)
+  }
+
+  private def spoolLines(work: String, lines: Seq[String], version: Long): Unit = {
+    val w = new SpoolWriter(s"$work/spool", chunkIntervalMs = 100)
+    lines.foreach(l => w.writeLine(l, version))
+    w.close()
+  }
+
+  test("exists-cache TTL: expired series re-emitted once, absorbed by LWW view") {
+    val (ingest, work) = freshIngest(ttlDays = 1)
+    val lines = Seq("a.b.metric 1.0 1625478240", "c.d.metric 2.0 1625478240")
+
+    // first sighting THREE days ago (receive-time version) -> udate outside TTL
+    spoolLines(work, lines, nowSec - 3 * 86400)
+    ingest.runAvailableNow()
+    val rawAfterFirst = ingest.indexTable().count()
+    val latestAfterFirst = ingest.indexLatest().count()
+    assert(rawAfterFirst == latestAfterFirst && rawAfterFirst > 0)
+
+    // same series again, now: outside the anti-join window -> re-emitted
+    spoolLines(work, lines, nowSec)
+    ingest.runAvailableNow()
+    assert(ingest.indexTable().count() == 2 * rawAfterFirst,
+      "series silent past the TTL must be re-emitted (reference cache-ttl semantics)")
+    assert(ingest.indexLatest().count() == latestAfterFirst,
+      "LWW read view must absorb the re-emission")
+
+    // and again within the TTL: anti-join now dedups
+    spoolLines(work, lines, nowSec)
+    ingest.runAvailableNow()
+    assert(ingest.indexTable().count() == 2 * rawAfterFirst,
+      "series within the TTL window must be dedupped")
+  }
+
+  test("anti-join scan is partition-pruned to the TTL window") {
+    val (ingest, work) = freshIngest(ttlDays = 1)
+    // 5 distinct upload days, only the last within TTL
+    for (d <- 4 to 0 by -1)
+      spoolLines(work, Seq(s"day$d.metric 1.0 1625478240"), nowSec - d * 86400)
+    ingest.runAvailableNow()
+
+    val keys = StructType(Seq(StructField("date", DateType),
+      StructField("level", LongType), StructField("path", StringType)))
+    val bounded = ingest.existingKeysWithinTtl(s"$work/tables/index", keys)
+    val scans = bounded.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    val selected = scans.map(_.selectedPartitions.partitionCount).sum
+    val total = spark.read.parquet(s"$work/tables/index")
+      .select("udate").distinct().count()
+    assert(total == 5, s"expected 5 distinct udate partitions, got $total")
+    // day0 (today) and day1 (= today - ttl) remain; day2..day4 pruned
+    assert(selected <= 2,
+      s"anti-join read $selected partitions; must scan only the TTL window, not index history")
+  }
+
+  test("cache clear forces re-emission of the next batch (SIGUSR1 semantics)") {
+    val (ingest, work) = freshIngest()
+    val lines = Seq("x.y.z 1.0 1625478240")
+    spoolLines(work, lines, nowSec)
+    ingest.runAvailableNow()
+    val raw = ingest.indexTable().count()
+
+    spoolLines(work, lines, nowSec)
+    ingest.clearExistsCache()
+    ingest.runAvailableNow()
+    assert(ingest.indexTable().count() == 2 * raw, "cleared cache must re-emit")
+    assert(ingest.indexLatest().count() == raw)
+
+    spoolLines(work, lines, nowSec)
+    ingest.runAvailableNow()
+    assert(ingest.indexTable().count() == 2 * raw, "clear applies to one batch only")
+  }
+
+  test("replayed batch is idempotent (per-batch dir overwrite)") {
+    val (ingest, _) = freshIngest()
+    val ss = spark; import ss.implicits._
+    val batch = Seq(
+      ("replay.a.b", 1.5, 1625478240L, nowSec),
+      ("replay.c.d", 2.5, 1625478240L, nowSec))
+      .toDF("path", "value", "time", "version")
+
+    ingest.processBatch(batch, 7L)
+    val pts = ingest.pointsTable().count()
+    val idx = ingest.indexTable().count()
+    // simulate a retry of the same epoch after a partial failure
+    ingest.processBatch(batch, 7L)
+    assert(ingest.pointsTable().count() == pts, "replay must not duplicate points")
+    assert(ingest.indexTable().count() == idx)
+    // a NEW batch with the same content only appends points (index dedups)
+    ingest.processBatch(batch, 8L)
+    assert(ingest.pointsTable().count() == 2 * pts)
+    assert(ingest.indexTable().count() == idx)
+  }
+
+  test("compaction bounds batch-dir count and preserves table contents") {
+    val (ingest, work) = freshIngest(maxFiles = Some(1))
+    // 6 chunks -> 6 micro-batches -> 6 batch dirs per table
+    for (i <- 0 until 6)
+      spoolLines(work, Seq(s"compact.m$i.v 1.0 ${1625478240L + i}", "compact.shared.v 2.0 1625478240"), nowSec)
+    ingest.runAvailableNow()
+
+    def dirCount(t: String) = {
+      val f = new java.io.File(s"$work/tables/$t")
+      f.listFiles().count(d => d.isDirectory && d.getName.startsWith("batch="))
+    }
+    assert(dirCount("points") == 6)
+
+    val ptsBefore = ingest.pointsTable().orderBy("path", "time").collect().toSeq
+    val idxBefore = ingest.indexLatest().select("date", "level", "path")
+      .orderBy("date", "level", "path").collect().toSeq
+
+    val folded = TableCompactor.compactAll(spark, s"$work/tables")
+    assert(folded("points") == 6 && folded("index") == 6)
+    assert(dirCount("points") == 1 && dirCount("index") == 1)
+
+    assert(ingest.pointsTable().orderBy("path", "time").collect().toSeq == ptsBefore)
+    assert(ingest.indexLatest().select("date", "level", "path")
+      .orderBy("date", "level", "path").collect().toSeq == idxBefore)
+    // raw == latest after LWW compaction
+    assert(ingest.indexTable().count() == idxBefore.size)
+
+    // compaction is idempotent / no-op on a single dir
+    assert(TableCompactor.compactAll(spark, s"$work/tables").values.sum == 0)
+  }
+}
