@@ -129,6 +129,34 @@ object SparkEntry {
         .orderBy("date", "tag1", "path")
     }),
 
+    "g_tree" -> ((s, dir) => {
+      // legacy graphite-web tree table type (uploader/tree.go)
+      val pts = withDate(metricStream(s, dir))
+      GraphiteOps.treeExpand(pts).orderBy("date", "level", "path")
+    }),
+
+    "g_series" -> ((s, dir) => {
+      // legacy series passthrough type (uploader/series.go)
+      val pts = withDate(metricStream(s, dir))
+      GraphiteOps.seriesExpand(pts).orderBy("date", "level", "path")
+    }),
+
+    "g_series_reverse" -> ((s, dir) => {
+      val pts = withDate(metricStream(s, dir))
+      GraphiteOps.seriesExpand(pts, reverse = true).orderBy("date", "level", "path")
+    }),
+
+    "g_tagged_ignored" -> ((s, dir) => {
+      // ignored-tagged-metrics: listed names emit ONLY the __name__ row
+      // (README.md:172-183, uploader/tagged.go:145-147)
+      val tagged = events(s, dir).select(
+        concat(lit("evt."), col("event_type"), lit("?env=prod&zone=u"), col("user_id") % 10).as("path"),
+        col("tsec").as("time"))
+      GraphiteOps.taggedExpand(withDate(tagged), ignoredMetrics = Set("evt.purchase"))
+        .select(col("date"), col("tag1"), col("path"), array_join(col("tags"), ",").as("tags_csv"))
+        .orderBy("date", "tag1", "path")
+    }),
+
     // ---- graphite: query-side semantics (SURVEY §2.4) ----
 
     "g_lww" -> ((s, dir) => {
@@ -431,6 +459,46 @@ object SparkEntry {
         |    'u' || (user_id % 10) AS zone
         |  FROM events)
         |SELECT date, unnest(['__name__=' || name, 'env=prod', 'zone=' || zone]) AS tag1, path,
+        |       '__name__=' || name || ',env=prod,zone=' || zone AS tags_csv
+        |FROM tser
+        |ORDER BY date, tag1, path""".stripMargin,
+
+    "g_tree" ->
+      s"""$OracleM,
+         |parts AS (SELECT DISTINCT path, string_split(path, '.') AS p FROM m),
+         |rows_all AS (
+         |  SELECT len(p) AS level, path FROM parts
+         |  UNION ALL
+         |  SELECT i, array_to_string(p[1:i], '.') || '.'
+         |    FROM parts, unnest(generate_series(1, len(p) - 1)) AS t(i))
+         |SELECT DISTINCT DATE '1970-02-12' AS date, level, path FROM rows_all
+         |ORDER BY date, level, path""".stripMargin,
+
+    "g_series" ->
+      s"""$OracleM
+         |SELECT DISTINCT DATE '1970-01-01' + CAST("time" // 86400 AS INT) AS date,
+         |       len(string_split(path, '.')) AS level, path
+         |FROM m ORDER BY date, level, path""".stripMargin,
+
+    "g_series_reverse" ->
+      s"""$OracleM
+         |SELECT DISTINCT DATE '1970-01-01' + CAST("time" // 86400 AS INT) AS date,
+         |       len(string_split(path, '.')) AS level,
+         |       array_to_string(list_reverse(string_split(path, '.')), '.') AS path
+         |FROM m ORDER BY date, level, path""".stripMargin,
+
+    "g_tagged_ignored" ->
+      """WITH tser AS (
+        |  SELECT DISTINCT
+        |    DATE '1970-01-01' + CAST(CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS INT) AS date,
+        |    'evt.' || event_type || '?env=prod&zone=u' || (user_id % 10) AS path,
+        |    'evt.' || event_type AS name,
+        |    'u' || (user_id % 10) AS zone
+        |  FROM events)
+        |SELECT date,
+        |       unnest(CASE WHEN name = 'evt.purchase' THEN ['__name__=' || name]
+        |                   ELSE ['__name__=' || name, 'env=prod', 'zone=' || zone] END) AS tag1,
+        |       path,
         |       '__name__=' || name || ',env=prod,zone=' || zone AS tags_csv
         |FROM tser
         |ORDER BY date, tag1, path""".stripMargin,

@@ -220,6 +220,60 @@ object GraphiteOps {
   }
 
   /**
+   * Legacy `tree`-table expansion (uploader/tree.go:31-118): per new
+   * plain path, one row at its level plus one row per unseen ancestor
+   * prefix — all at a FIXED tree date, with UNOFFSET levels (the
+   * 20000/30000 offsets exist only in the merged modern index). Tagged
+   * series are skipped.
+   */
+  def treeExpand(pts: DataFrame,
+                 treeDate: java.sql.Date = Dates.daysToDate(Dates.DefaultTreeDate)): DataFrame =
+    treeExpandVersioned(pts.withColumn("version", lit(0L)), treeDate).drop("version")
+
+  /** [[treeExpand]] carrying per-row max receive-time `version`. */
+  def treeExpandVersioned(pts: DataFrame,
+                          treeDate: java.sql.Date = Dates.daysToDate(Dates.DefaultTreeDate)): DataFrame = {
+    // tree cache keys are names WITHOUT a day component (tree.go:82-107)
+    val series = pts
+      .filter(!isTagged(col("path")))
+      .groupBy(col("path"))
+      .agg(max(col("version")).as("version"))
+    val direct = series.select(
+      lit(treeDate).as("date"),
+      pathLevel(col("path")).as("level"),
+      col("path"),
+      col("version"))
+    val prefixes = series
+      .select(explode(treePrefixes(col("path"))).as("p"), col("version"))
+      .select(lit(treeDate).as("date"), col("p.level").as("level"),
+        col("p.prefix").as("path"), col("version"))
+    direct.union(prefixes)
+      .groupBy("date", "level", "path").agg(max("version").as("version"))
+  }
+
+  /**
+   * Legacy `series` / `series-reverse` passthrough (uploader/series.go:
+   * 28-87): one (date, level, path) row per new (day, plain path); the
+   * reverse variant stores the segment-reversed path (level counted on
+   * the unreversed name — identical by construction). No prefix rows.
+   */
+  def seriesExpand(pts: DataFrame, reverse: Boolean = false): DataFrame =
+    seriesExpandVersioned(pts.withColumn("version", lit(0L)), reverse).drop("version")
+
+  /** [[seriesExpand]] carrying per-row max receive-time `version`. */
+  def seriesExpandVersioned(pts: DataFrame, reverse: Boolean = false): DataFrame = {
+    val named = pts
+      .filter(!isTagged(col("path")))
+      .groupBy(col("date"), col("path"))
+      .agg(max(col("version")).as("version"))
+    named.select(
+      col("date"),
+      pathLevel(col("path")).as("level"),
+      (if (reverse) pathReverse(col("path")) else col("path")).as("path"),
+      col("version"))
+  }
+
+  /**
    * Tagged-table expansion: one row per Tag1 in {__name__=name} ∪ tags,
    * carrying the full unescaped tag list (uploader/tagged.go:121-182).
    * `ignoredMetrics` (or "*") suppresses the per-tag rows, leaving only

@@ -7,7 +7,7 @@ import java.util.concurrent.atomic.AtomicBoolean
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
-import graft.core.GraphiteTags
+import graft.core.{DropFilter, GraphiteTags}
 import graft.streaming.SpoolWriter
 
 /**
@@ -22,8 +22,13 @@ final class HttpIngestServer(
     port: Int,
     tagConfig: GraphiteTags.TagConfig = GraphiteTags.Disabled,
     telegrafConcat: String = "_",
+    drops: DropFilter = DropFilter.Empty,
     clock: () => Long = () => System.currentTimeMillis() / 1000
 ) extends AutoCloseable {
+
+  private def spoolIfAccepted(name: String, value: Double, ts: Long, now: Long): Unit =
+    if (drops.accepts(name, ts, now)) spool.write(name, value, ts, now)
+    else spool.droppedPoints.incrementAndGet()
 
   private val server = HttpServer.create(new InetSocketAddress(port), 64)
   server.setExecutor(Executors.newFixedThreadPool(4))
@@ -44,7 +49,7 @@ final class HttpIngestServer(
       val now = clock()
       val series = PrometheusRemoteWrite.decodeSnappy(readBody(ex))
       series.foreach { s =>
-        s.samples.foreach(p => spool.write(s.canonicalName, p.value, p.timestampSec, now))
+        s.samples.foreach(p => spoolIfAccepted(s.canonicalName, p.value, p.timestampSec, now))
       }
       respond(ex, 200)
     } catch { case e: Exception => respond(ex, 400, e.getMessage) }
@@ -54,7 +59,7 @@ final class HttpIngestServer(
     try {
       val now = clock()
       val pts = TelegrafJson.decode(new String(readBody(ex), StandardCharsets.UTF_8), telegrafConcat)
-      pts.foreach(p => spool.write(p.path, p.value, p.timestamp, now))
+      pts.foreach(p => spoolIfAccepted(p.path, p.value, p.timestamp, now))
       respond(ex, 200)
     } catch { case e: Exception => respond(ex, 400, e.getMessage) }
   })
@@ -72,6 +77,7 @@ final class PickleServer(
     spool: SpoolWriter,
     port: Int,
     tagConfig: GraphiteTags.TagConfig = GraphiteTags.Disabled,
+    drops: DropFilter = DropFilter.Empty,
     clock: () => Long = () => System.currentTimeMillis() / 1000
 ) extends AutoCloseable {
 
@@ -97,7 +103,7 @@ final class PickleServer(
                 PickleProtocol.decode(frame.get).foreach { p =>
                   // pickle names go through the same normalize path as plaintext
                   GraphiteTags.normalize(tagConfig, graft.core.GraphitePath.removeDoubleDot(p.name)) match {
-                    case Right(canonical) if !p.value.isNaN =>
+                    case Right(canonical) if !p.value.isNaN && drops.accepts(canonical, p.timestamp, now) =>
                       spool.write(canonical, p.value, p.timestamp, now)
                     case _ => // dropped
                   }
@@ -131,6 +137,7 @@ final class FramedStoreServer(
     spool: SpoolWriter,
     port: Int,
     tagConfig: GraphiteTags.TagConfig = GraphiteTags.Disabled,
+    drops: DropFilter = DropFilter.Empty,
     clock: () => Long = () => System.currentTimeMillis() / 1000
 ) extends AutoCloseable {
 
@@ -157,7 +164,9 @@ final class FramedStoreServer(
       GraphiteTags.normalize(tagConfig, m.name) match {
         case Right(canonical) =>
           m.points.foreach { p =>
-            if (!p.value.isNaN) { spool.write(canonical, p.value, p.timestamp, now); n += 1 }
+            if (!p.value.isNaN && drops.accepts(canonical, p.timestamp, now)) {
+              spool.write(canonical, p.value, p.timestamp, now); n += 1
+            }
           }
         case Left(err) => return Left(err)
       }

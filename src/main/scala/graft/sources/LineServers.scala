@@ -5,20 +5,23 @@ import java.nio.charset.StandardCharsets
 import java.util.concurrent.Executors
 import java.util.concurrent.atomic.AtomicBoolean
 
-import graft.core.GraphiteTags
+import graft.core.{DropFilter, GraphiteTags}
 import graft.streaming.SpoolWriter
 
 /**
  * Plaintext protocol front-ends (no Spark): accept `name value ts\n`
  * lines and append parsed canonical records to the spool. The thread
  * boundary and receive-time stamping mirror /root/reference/receiver/
- * tcp.go:34-147 and udp.go:34-95; partial-line carry is handled by the
- * BufferedReader line framing.
+ * tcp.go:34-147 and udp.go:34-95. Framing is on '\n' ONLY (a lone '\r'
+ * is not a terminator; the parser strips a trailing '\r'), and a
+ * connection cut mid-line DISCARDS the partial tail instead of
+ * ingesting a truncated metric — tcp.go:83-96 semantics.
  */
 final class TcpLineServer(
     spool: SpoolWriter,
     port: Int,
     tagConfig: GraphiteTags.TagConfig = GraphiteTags.Disabled,
+    drops: DropFilter = DropFilter.Empty,
     clock: () => Long = () => System.currentTimeMillis() / 1000
 ) extends AutoCloseable {
 
@@ -43,14 +46,37 @@ final class TcpLineServer(
   acceptor.start()
 
   private def handle(sock: Socket): Unit = {
-    // receive time is stamped per line batch, like the reference's buffer stamp
-    val in = new java.io.BufferedReader(
-      new java.io.InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8), 256 * 1024)
+    // explicit '\n' framing at the byte level (BufferedReader.readLine
+    // would treat lone '\r' as a terminator and surface the EOF tail as
+    // a complete line — both diverge from receiver/tcp.go)
+    val in = new java.io.BufferedInputStream(sock.getInputStream, 256 * 1024)
+    val pending = new java.io.ByteArrayOutputStream(512)
+    val buf = new Array[Byte](64 * 1024)
     try {
-      var line = in.readLine()
-      while (line != null) {
-        if (line.nonEmpty) spool.writeLine(line, clock(), tagConfig)
-        line = in.readLine()
+      var n = in.read(buf)
+      while (n >= 0) {
+        // receive time stamped per read batch, like the reference's buffer stamp
+        val now = clock()
+        var start = 0
+        var i = 0
+        while (i < n) {
+          if (buf(i) == '\n') {
+            pending.write(buf, start, i - start)
+            val line = new String(pending.toByteArray, StandardCharsets.UTF_8)
+            pending.reset()
+            if (line.nonEmpty) spool.writeLine(line, now, tagConfig, drops)
+            start = i + 1
+          }
+          i += 1
+        }
+        pending.write(buf, start, n - start)
+        n = in.read(buf)
+      }
+      // EOF with no trailing '\n': the partial tail is dropped (tcp.go:83-96)
+      if (pending.size() > 0) {
+        spool.parseErrors.incrementAndGet()
+        spool.droppedRing.record(new String(pending.toByteArray, StandardCharsets.UTF_8),
+          "partial line at connection close")
       }
     } catch { case _: java.io.IOException => /* peer closed */ }
     finally sock.close()
@@ -68,6 +94,7 @@ final class UdpLineServer(
     spool: SpoolWriter,
     port: Int,
     tagConfig: GraphiteTags.TagConfig = GraphiteTags.Disabled,
+    drops: DropFilter = DropFilter.Empty,
     clock: () => Long = () => System.currentTimeMillis() / 1000
 ) extends AutoCloseable {
 
@@ -93,7 +120,7 @@ final class UdpLineServer(
           case i  => text.substring(0, i)
         }
         upToLastNl.split("\n").foreach { line =>
-          if (line.nonEmpty) spool.writeLine(line, now, tagConfig)
+          if (line.nonEmpty) spool.writeLine(line, now, tagConfig, drops)
         }
       } catch { case _: Exception if !running.get() => /* closing */ }
     }

@@ -70,11 +70,18 @@ object ProtoWire {
 /**
  * Prometheus remote-write decode: snappy-compressed protobuf
  * `WriteRequest{ repeated TimeSeries{ repeated Label, repeated Sample } }`
- * -> canonical tagged points. Label handling matches
+ * -> canonical tagged points. Label handling follows
  * /root/reference/helper/tags/prometheus.go:20-52: `__name__` hoisted and
- * path-escaped, remaining labels stable-sorted and query-escaped; series
- * without `__name__` and NaN samples are dropped; sample timestamps are
- * milliseconds -> seconds (receiver/prometheus.go:97-107).
+ * path-escaped, remaining labels stable-sorted and query-escaped; NaN
+ * samples are dropped; sample timestamps are milliseconds -> seconds
+ * (receiver/prometheus.go:97-107).
+ *
+ * DELIBERATE DIVERGENCE: a series with NO `__name__` label is dropped
+ * here. The reference (prometheus.go:29-38) unconditionally writes '?'
+ * then skips only labels[0], emitting a nameless `?k=v&...` point when
+ * `__name__` is absent — an artifact of its alloc-free writer, not a
+ * semantic the scrape protocol can produce (Prometheus always sends
+ * `__name__`). Dropping keeps nameless rows out of every index.
  */
 object PrometheusRemoteWrite {
   import ProtoWire._

@@ -1,0 +1,141 @@
+package graft.streaming
+
+import graft.core.{Blacklist, DropFilter, GraphiteTags, Toml}
+
+/**
+ * TOML-driven engine configuration mapping the reference's config
+ * surface (/root/reference/carbon/config.go:38-302, README.md) onto the
+ * Spark engine's components. The same file shape as the reference's
+ * deployments boots this engine — see tests/plain/carbon-clickhouse
+ * .conf.tpl for the canonical example:
+ *
+ *   [data]     path, chunk-interval, chunk-max-size, utc-date
+ *   [upload.X] type (points | points-reverse | index | tagged | tree |
+ *              series | series-reverse), zero-timestamp, cache-ttl,
+ *              ignored-patterns, ignored-tagged-metrics,
+ *              disable-daily-index
+ *   [tcp]/[udp]/[pickle]/[grpc]/[prometheus]/[telegraf_http_json]
+ *              listen, enabled, drop-future, drop-past, drop-longer-than
+ *   [convert_to_tagged] enabled, separator, tags, templates
+ *
+ * ClickHouse-transport keys (url, timeout, threads, tls, compress-data)
+ * are accepted and ignored: the sink here is the parquet table layout,
+ * not an HTTP insert.
+ */
+object EngineConfig {
+
+  final case class Receiver(
+      enabled: Boolean,
+      port: Option[Int],
+      drops: DropFilter)
+
+  final case class Upload(
+      name: String,
+      typ: String,
+      zeroTimestamp: Boolean,
+      cacheTtlDays: Option[Int],
+      ignoredPatterns: Seq[String],
+      ignoredTaggedMetrics: Seq[String],
+      disableDailyIndex: Boolean)
+
+  final case class Config(
+      dataPath: Option[String],
+      chunkIntervalMs: Long,
+      chunkMaxBytes: Long,
+      utcDate: Boolean,
+      tcp: Receiver,
+      udp: Receiver,
+      pickle: Receiver,
+      store: Receiver, // the reference's [grpc] section (transport diverged)
+      prometheus: Receiver,
+      telegraf: Receiver,
+      telegrafConcat: String,
+      uploads: Seq[Upload],
+      tagConfig: GraphiteTags.TagConfig) {
+
+    def upload(typ: String): Option[Upload] = uploads.find(_.typ == typ)
+
+    /** Blacklist compiled from the points uploader's ignored-patterns. */
+    def blacklist: Option[Blacklist] = {
+      val pats = uploads.filter(u => u.typ == "points" || u.typ == "points-reverse")
+        .flatMap(_.ignoredPatterns)
+      if (pats.isEmpty) None else Some(new Blacklist(pats))
+    }
+
+    /** Union of cache-ttls in days (the anti-join window must cover the
+      * longest-lived cache); reference default is 12h -> 1 day here. */
+    def cacheTtlDays: Int =
+      uploads.flatMap(_.cacheTtlDays).reduceOption(_ max _).getOrElse(1)
+
+    def disableDailyIndex: Boolean = upload("index").exists(_.disableDailyIndex)
+
+    def ignoredTaggedMetrics: Set[String] =
+      uploads.filter(_.typ == "tagged").flatMap(_.ignoredTaggedMetrics).toSet
+
+    /** Legacy table types to emit alongside the modern four. */
+    def legacyTables: Set[String] =
+      uploads.map(_.typ).filter(Set("tree", "series", "series-reverse")).toSet
+  }
+
+  def load(path: String): Config =
+    parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  def parse(text: String): Config = {
+    val doc = Toml.parse(text)
+
+    def durSec(table: String, key: String): Option[Long] =
+      Toml.str(doc, table, key).map(Toml.durationMs(_) / 1000).filter(_ > 0)
+
+    def receiver(table: String): Receiver = Receiver(
+      enabled = Toml.bool(doc, table, "enabled"),
+      port = Toml.str(doc, table, "listen").flatMap(portOf),
+      drops = DropFilter(
+        dropFutureSec = durSec(table, "drop-future"),
+        dropPastSec = durSec(table, "drop-past"),
+        dropLongerThan = Toml.long(doc, table, "drop-longer-than").map(_.toInt).filter(_ > 0)))
+
+    val uploads = Toml.tablesUnder(doc, "upload").map { t =>
+      Upload(
+        name = t.stripPrefix("upload."),
+        typ = Toml.str(doc, t, "type").getOrElse("points"),
+        zeroTimestamp = Toml.bool(doc, t, "zero-timestamp"),
+        cacheTtlDays = Toml.str(doc, t, "cache-ttl")
+          .map(s => math.max(1, math.ceil(Toml.durationMs(s) / 86400000.0).toInt)),
+        ignoredPatterns = Toml.strings(doc, t, "ignored-patterns"),
+        ignoredTaggedMetrics = Toml.strings(doc, t, "ignored-tagged-metrics"),
+        disableDailyIndex = Toml.bool(doc, t, "disable-daily-index"))
+    }
+
+    val tagConfig =
+      if (!Toml.bool(doc, "convert_to_tagged", "enabled")) GraphiteTags.Disabled
+      else GraphiteTags.configure(
+        enabled = true,
+        separator = Toml.str(doc, "convert_to_tagged", "separator").getOrElse("_"),
+        tags = Toml.strings(doc, "convert_to_tagged", "tags"),
+        templates = Toml.strings(doc, "convert_to_tagged", "templates"))
+
+    Config(
+      dataPath = Toml.str(doc, "data", "path"),
+      chunkIntervalMs = Toml.str(doc, "data", "chunk-interval").map(Toml.durationMs).getOrElse(1000L),
+      chunkMaxBytes = Toml.long(doc, "data", "chunk-max-size").map(_ * 1024L * 1024L)
+        .getOrElse(64L * 1024 * 1024),
+      utcDate = Toml.bool(doc, "data", "utc-date", default = true),
+      tcp = receiver("tcp"),
+      udp = receiver("udp"),
+      pickle = receiver("pickle"),
+      store = receiver("grpc"),
+      prometheus = receiver("prometheus"),
+      telegraf = receiver("telegraf_http_json"),
+      telegrafConcat = Toml.str(doc, "telegraf_http_json", "concat").getOrElse("_"),
+      uploads = uploads,
+      tagConfig = tagConfig)
+  }
+
+  /** ":2003" / "0.0.0.0:2003" / "host:0" -> port. */
+  private def portOf(listen: String): Option[Int] = {
+    val idx = listen.lastIndexOf(':')
+    if (idx < 0) None
+    else scala.util.Try(listen.substring(idx + 1).toInt).toOption
+  }
+}

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.SparkSession
 
+import graft.core.DropFilter
 import graft.sources._
 
 /**
@@ -9,15 +10,21 @@ import graft.sources._
  * protocol front-ends (TCP/UDP plaintext, pickle, HTTP telegraf +
  * prometheus remote write, framed Store/StoreSync) feeding a spool dir,
  * and the Structured Streaming job fanning micro-batches out to the
- * points / points_reverse / index / tagged tables.
+ * points / points_reverse / index / tagged (+ legacy tree/series)
+ * tables.
  *
  * Usage:
- *   graft.streaming.IngestMain <workDir> [--tcp PORT] [--udp PORT]
- *     [--pickle PORT] [--http PORT] [--store PORT] [--trigger-ms N]
- *     [--chunk-ms N] [--once]
+ *   graft.streaming.IngestMain <workDir> [--config FILE.toml]
+ *     [--tcp PORT] [--udp PORT] [--pickle PORT] [--http PORT]
+ *     [--store PORT] [--trigger-ms N] [--chunk-ms N] [--once]
  *
- * `--once` drains the spool and exits (backfill mode); otherwise the
- * stream runs until SIGTERM. Port 0 binds ephemeral (printed on stdout).
+ * `--config` boots from a reference-shaped TOML file (see EngineConfig;
+ * the same sections as /root/reference/carbon/config.go) — receiver
+ * enablement/ports, drop windows, convert_to_tagged templates,
+ * blacklist, cache-ttl, uploader table types. Explicit port flags
+ * override the config. `--once` drains the spool and exits (backfill
+ * mode); otherwise the stream runs until SIGTERM. Port 0 binds
+ * ephemeral (printed on stdout).
  */
 object IngestMain {
   def main(args: Array[String]): Unit = {
@@ -25,10 +32,18 @@ object IngestMain {
     def flag(name: String): Option[String] =
       args.sliding(2).collectFirst { case Array(`name`, v) => v }
     val once = args.contains("--once")
-    val triggerMs = flag("--trigger-ms").map(_.toLong).getOrElse(1000L)
-    val chunkMs = flag("--chunk-ms").map(_.toLong).getOrElse(1000L)
 
-    val spool = new SpoolWriter(s"$work/spool", chunkIntervalMs = chunkMs)
+    val cfg = flag("--config").map(EngineConfig.load)
+    def receiver(fromCfg: EngineConfig.Config => EngineConfig.Receiver): EngineConfig.Receiver =
+      cfg.map(fromCfg).getOrElse(EngineConfig.Receiver(enabled = false, None, DropFilter.Empty))
+
+    val triggerMs = flag("--trigger-ms").map(_.toLong).getOrElse(1000L)
+    val chunkMs = flag("--chunk-ms").map(_.toLong)
+      .orElse(cfg.map(_.chunkIntervalMs)).getOrElse(1000L)
+    val tagConfig = cfg.map(_.tagConfig).getOrElse(graft.core.GraphiteTags.Disabled)
+
+    val spool = new SpoolWriter(s"$work/spool", chunkIntervalMs = chunkMs,
+      chunkMaxBytes = cfg.map(_.chunkMaxBytes).getOrElse(64L * 1024 * 1024))
     val rotator = new Thread(() => {
       while (true) { Thread.sleep(chunkMs); spool.maybeRotate() }
     }, "spool-rotator")
@@ -36,24 +51,35 @@ object IngestMain {
     rotator.start()
 
     val servers = Seq.newBuilder[AutoCloseable]
-    flag("--tcp").foreach { p =>
-      val s = new TcpLineServer(spool, p.toInt); servers += s
+    def port(flagName: String, r: EngineConfig.Receiver): Option[Int] =
+      flag(flagName).map(_.toInt).orElse(if (r.enabled) r.port.orElse(Some(0)) else None)
+
+    val tcpR = receiver(_.tcp)
+    port("--tcp", tcpR).foreach { p =>
+      val s = new TcpLineServer(spool, p, tagConfig, tcpR.drops); servers += s
       println(s"tcp listening on ${s.boundPort}")
     }
-    flag("--udp").foreach { p =>
-      val s = new UdpLineServer(spool, p.toInt); servers += s
+    val udpR = receiver(_.udp)
+    port("--udp", udpR).foreach { p =>
+      val s = new UdpLineServer(spool, p, tagConfig, udpR.drops); servers += s
       println(s"udp listening on ${s.boundPort}")
     }
-    flag("--pickle").foreach { p =>
-      val s = new PickleServer(spool, p.toInt); servers += s
+    val pickleR = receiver(_.pickle)
+    port("--pickle", pickleR).foreach { p =>
+      val s = new PickleServer(spool, p, tagConfig, pickleR.drops); servers += s
       println(s"pickle listening on ${s.boundPort}")
     }
-    flag("--http").foreach { p =>
-      val s = new HttpIngestServer(spool, p.toInt); servers += s
+    val promR = receiver(_.prometheus)
+    val telegrafR = receiver(_.telegraf)
+    val httpR = if (promR.enabled || telegrafR.enabled) promR.copy(enabled = true) else promR
+    port("--http", httpR).foreach { p =>
+      val s = new HttpIngestServer(spool, p, tagConfig,
+        cfg.map(_.telegrafConcat).getOrElse("_"), telegrafR.drops); servers += s
       println(s"http (telegraf + prometheus) listening on ${s.boundPort}")
     }
-    flag("--store").foreach { p =>
-      val s = new FramedStoreServer(spool, p.toInt); servers += s
+    val storeR = receiver(_.store)
+    port("--store", storeR).foreach { p =>
+      val s = new FramedStoreServer(spool, p, tagConfig, storeR.drops); servers += s
       println(s"store listening on ${s.boundPort}")
     }
     val collector = new SelfMetricsCollector(spool)
@@ -69,7 +95,13 @@ object IngestMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val ingest = new StreamingIngest(spark, s"$work/spool", s"$work/tables", s"$work/ckpt")
+    val ingest = new StreamingIngest(spark, s"$work/spool", s"$work/tables", s"$work/ckpt",
+      blacklist = cfg.flatMap(_.blacklist),
+      disableDailyIndex = cfg.exists(_.disableDailyIndex),
+      utcDate = cfg.forall(_.utcDate),
+      cacheTtlDays = cfg.map(_.cacheTtlDays).getOrElse(1),
+      ignoredTaggedMetrics = cfg.map(_.ignoredTaggedMetrics).getOrElse(Set.empty),
+      legacyTables = cfg.map(_.legacyTables).getOrElse(Set.empty))
     if (once) {
       spool.rotate()
       ingest.runAvailableNow()

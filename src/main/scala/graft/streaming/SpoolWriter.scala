@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import java.util.concurrent.atomic.AtomicLong
 
-import graft.core.{GraphiteTags, PlainProtocol}
+import graft.core.{DropFilter, DroppedRing, GraphiteTags, PlainProtocol}
 
 /**
  * Chunk-rotating spool writer — the hand-off point between protocol
@@ -39,6 +39,27 @@ final class SpoolWriter(
   val pointsWritten = new AtomicLong(0)
   /** Parse errors since start. */
   val parseErrors = new AtomicLong(0)
+  /** Names rejected for containing TSV-breaking control bytes. */
+  val rejectedNames = new AtomicLong(0)
+  /** Points dropped by receiver drop filters. */
+  val droppedPoints = new AtomicLong(0)
+  /** Last-1000 dropped lines with reasons (receiver/base.go:88-127). */
+  val droppedRing = new DroppedRing(1000)
+
+  /** TSV interchange cannot carry tab/newline in the name column. Only
+    * binary protocols (pickle, framed Store) can produce such names —
+    * the reference's RowBinary spool is length-prefixed and would pass
+    * them through; rejecting (and counting) at the spool boundary is a
+    * DOCUMENTED DIVERGENCE that keeps every downstream row well-formed. */
+  private def nameIsSpoolable(path: String): Boolean = {
+    var i = 0
+    while (i < path.length) {
+      val c = path.charAt(i)
+      if (c == '\t' || c == '\n' || c == '\r') return false
+      i += 1
+    }
+    true
+  }
 
   // per-process uniqueness: the per-instance seq alone collides when two
   // writers (or a restarted one) open chunks in the same millisecond, and
@@ -55,7 +76,12 @@ final class SpoolWriter(
   }
 
   /** Append one canonical record. Thread-safe. */
-  def write(path: String, value: Double, time: Long, version: Long): Unit = lock.synchronized {
+  def write(path: String, value: Double, time: Long, version: Long): Unit = {
+    if (!nameIsSpoolable(path)) { rejectedNames.incrementAndGet(); return }
+    writeChecked(path, value, time, version)
+  }
+
+  private def writeChecked(path: String, value: Double, time: Long, version: Long): Unit = lock.synchronized {
     if (current == null) openChunk()
     val line = new java.lang.StringBuilder(path.length + 40)
       .append(path).append('\t').append(value).append('\t')
@@ -68,12 +94,19 @@ final class SpoolWriter(
 
   /**
    * Parse a raw plaintext protocol line and spool it; bad lines are
-   * counted and dropped (receiver semantics).
+   * counted and dropped, as are points failing the receiver's drop
+   * filters (receiver/base.go:68-86 semantics).
    */
-  def writeLine(line: String, now: Long, config: GraphiteTags.TagConfig = GraphiteTags.Disabled): Boolean =
+  def writeLine(line: String, now: Long,
+                config: GraphiteTags.TagConfig = GraphiteTags.Disabled,
+                drops: DropFilter = DropFilter.Empty): Boolean =
     PlainProtocol.parseLine(line, now, config) match {
-      case Right(p) => write(p.name, p.value, p.timestamp, now); true
-      case Left(_)  => parseErrors.incrementAndGet(); false
+      case Right(p) if drops.accepts(p.name, p.timestamp, now) =>
+        write(p.name, p.value, p.timestamp, now); true
+      case Right(_) =>
+        droppedPoints.incrementAndGet(); droppedRing.record(line, "drop filter"); false
+      case Left(err) =>
+        parseErrors.incrementAndGet(); droppedRing.record(line, err); false
     }
 
   private def rotateLocked(): Unit = {

@@ -47,8 +47,11 @@ final class StreamingIngest(
     utcDate: Boolean = true,
     maxFilesPerTrigger: Option[Int] = None,
     cacheTtlDays: Int = 1,
-    ignoredTaggedMetrics: Set[String] = Set.empty
+    ignoredTaggedMetrics: Set[String] = Set.empty,
+    legacyTables: Set[String] = Set.empty // of: tree, series, series-reverse
 ) {
+  require(legacyTables.subsetOf(Set("tree", "series", "series-reverse")),
+    s"unknown legacy table types: ${legacyTables -- Set("tree", "series", "series-reverse")}")
 
   private val spoolSchema = StructType(Seq(
     StructField("path", StringType),
@@ -60,6 +63,7 @@ final class StreamingIngest(
   private def pointsReversePath = s"$tablesDir/points_reverse"
   private def indexPath = s"$tablesDir/index"
   private def taggedPath = s"$tablesDir/tagged"
+  private def legacyPath(typ: String) = s"$tablesDir/${typ.replace('-', '_')}"
 
   /** SIGUSR1 equivalent: the next micro-batch skips the exists-cache
     * anti-join and re-emits every series it sees (duplicates are
@@ -196,6 +200,22 @@ final class StreamingIngest(
           existingKeysWithinTtl(taggedPath, keysOf(taggedSchema, "date", "tag1", "path"), Some(batchId)),
           Seq("date", "tag1", "path"), "left_anti")
       writeBatch(tagOut, taggedPath, batchId, Seq("udate"))
+
+      // legacy graphite-web table types (uploader/uploader.go:47-64),
+      // same exists-cache + per-batch-dir machinery as the modern index
+      for (typ <- legacyTables) {
+        val rows = (typ match {
+          case "tree"           => GraphiteOps.treeExpandVersioned(pts)
+          case "series"         => GraphiteOps.seriesExpandVersioned(pts, reverse = false)
+          case "series-reverse" => GraphiteOps.seriesExpandVersioned(pts, reverse = true)
+        }).withColumn("udate", udateCol)
+        val out =
+          if (clearCache) rows
+          else rows.join(
+            existingKeysWithinTtl(legacyPath(typ), keysOf(indexSchema, "date", "level", "path"), Some(batchId)),
+            Seq("date", "level", "path"), "left_anti")
+        writeBatch(out, legacyPath(typ), batchId, Seq("udate"))
+      }
     } finally pts.unpersist()
   }
 
@@ -231,4 +251,7 @@ final class StreamingIngest(
   /** ReplacingMergeTree(Version)-equivalent read view of the tagged table. */
   def taggedLatest(): DataFrame =
     GraphiteOps.lwwLatest(taggedTable(), Seq("date", "tag1", "path"), "version", Seq("tags"))
+
+  /** Legacy table read view ("tree", "series", "series-reverse"). */
+  def legacyTable(typ: String): DataFrame = readOrEmpty(legacyPath(typ), indexSchema)
 }

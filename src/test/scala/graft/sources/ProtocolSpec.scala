@@ -201,6 +201,53 @@ class ProtocolSpec extends AnyFunSuite {
     } finally { udp.close(); spool.close() }
   }
 
+  test("TCP framing: '\\n'-only terminators, partial tail at EOF dropped") {
+    val dir = Files.createTempDirectory("graft-tcp").toString
+    val spool = new SpoolWriter(s"$dir/spool", chunkIntervalMs = 50)
+    val tcp = new TcpLineServer(spool, port = 0, clock = () => 1625478999L)
+    try {
+      val sock = new java.net.Socket("127.0.0.1", tcp.boundPort)
+      // \r\n tolerated (parser strips \r); connection cut mid-line drops
+      // the tail instead of ingesting a truncated metric (tcp.go:83-96)
+      sock.getOutputStream.write(
+        "a.b 1 1625478240\r\nc.d 2 1625478240\ntruncated.metric 3 16254".getBytes(StandardCharsets.UTF_8))
+      sock.getOutputStream.flush()
+      sock.close()
+      val deadline = System.currentTimeMillis() + 5000
+      while (spool.parseErrors.get() < 1 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(spool.pointsWritten.get() == 2, "only '\\n'-terminated lines count")
+      assert(spool.droppedRing.dump().exists(_._2.contains("partial line")))
+    } finally { tcp.close(); spool.close() }
+  }
+
+  test("drop filters: future/past windows and name length applied per receiver") {
+    val dir = Files.createTempDirectory("graft-drops").toString
+    val spool = new SpoolWriter(s"$dir/spool", chunkIntervalMs = 50)
+    val now = 1625478999L
+    val drops = graft.core.DropFilter(
+      dropFutureSec = Some(3600), dropPastSec = Some(3600), dropLongerThan = Some(10))
+    assert(spool.writeLine(s"a.b 1 ${now + 60}", now, drops = drops))
+    assert(!spool.writeLine(s"a.b 1 ${now + 7200}", now, drops = drops), "too far in the future")
+    assert(!spool.writeLine(s"a.b 1 ${now - 7200}", now, drops = drops), "too far in the past")
+    assert(!spool.writeLine(s"a.very.long.name 1 $now", now, drops = drops), "name too long")
+    assert(spool.droppedPoints.get() == 3)
+    spool.close()
+  }
+
+  test("spool rejects names with TSV-breaking control bytes") {
+    val dir = Files.createTempDirectory("graft-reject").toString
+    val spool = new SpoolWriter(s"$dir/spool", chunkIntervalMs = 50)
+    spool.write("bad\tname", 1.0, 1L, 1L)
+    spool.write("bad\nname", 1.0, 1L, 1L)
+    spool.write("good.name", 1.0, 1L, 1L)
+    spool.close()
+    assert(spool.rejectedNames.get() == 2)
+    assert(spool.pointsWritten.get() == 1)
+    val files = Files.list(java.nio.file.Paths.get(s"$dir/spool")).toArray.map(_.toString).filter(_.endsWith(".tsv"))
+    val content = files.map(f => Files.readString(java.nio.file.Paths.get(f))).mkString
+    assert(content.linesIterator.size == 1 && content.startsWith("good.name\t"))
+  }
+
   test("self-metrics collector emits rate counters into the spool") {
     val dir = Files.createTempDirectory("graft-self").toString
     val spool = new SpoolWriter(s"$dir/spool", chunkIntervalMs = 50)

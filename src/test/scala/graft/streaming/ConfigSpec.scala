@@ -1,0 +1,216 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.core.Toml
+
+/**
+ * Config-driven operation: the reference-shaped TOML
+ * (tests/plain/carbon-clickhouse.conf.tpl) maps onto the engine, and an
+ * e2e boot from a rendered config exercises disable-daily-index and the
+ * legacy tree/series/series-reverse uploader types.
+ */
+class ConfigSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-config")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** tests/plain/carbon-clickhouse.conf.tpl with its template vars rendered. */
+  private val referenceShapedConf =
+    """[common]
+      |
+      |[data]
+      |path = "/tmp/graft-conf-store"
+      |chunk-max-size = 128
+      |chunk-interval = "5s"
+      |chunk-auto-interval = ""
+      |
+      |[upload.graphite_index]
+      |type = "index"
+      |table = "graphite_index"
+      |url = "http://localhost:8123/"
+      |timeout = "2m30s"
+      |cache-ttl = "1h"
+      |
+      |[upload.graphite_tags]
+      |type = "tagged"
+      |table = "graphite_tags"
+      |threads = 3
+      |url = "http://localhost:8123/"
+      |timeout = "2m30s"
+      |cache-ttl = "1h"
+      |ignored-tagged-metrics = ["noisy.metric"]
+      |
+      |[upload.graphite_reverse]
+      |type = "points-reverse"
+      |table = "graphite_reverse"
+      |url = "http://localhost:8123/"
+      |timeout = "2m30s"
+      |zero-timestamp = true
+      |
+      |[upload.graphite]
+      |type = "points"
+      |table = "graphite"
+      |url = "http://localhost:8123/"
+      |timeout = "2m30s"
+      |zero-timestamp = true
+      |ignored-patterns = [
+      |    "ignored.metric.*",
+      |]
+      |
+      |[tcp]
+      |listen = ":2003"
+      |enabled = true
+      |drop-future = "0s"
+      |drop-past = "0s"
+      |
+      |[udp]
+      |enabled = false
+      |
+      |[pickle]
+      |enabled = false
+      |
+      |[grpc]
+      |enabled = false
+      |
+      |[prometheus]
+      |enabled = false
+      |
+      |[telegraf_http_json]
+      |enabled = false
+      |
+      |[logging]
+      |file = "/tmp/graft-conf-store/carbon-clickhouse.log"
+      |level = "debug"
+      |""".stripMargin
+
+  test("parses the reference e2e config template shape") {
+    val cfg = EngineConfig.parse(referenceShapedConf)
+    assert(cfg.chunkIntervalMs == 5000)
+    assert(cfg.chunkMaxBytes == 128L * 1024 * 1024)
+    assert(cfg.utcDate)
+    assert(cfg.tcp.enabled && cfg.tcp.port.contains(2003))
+    assert(cfg.tcp.drops.isEmpty, "0s drop windows mean disabled")
+    assert(!cfg.udp.enabled && !cfg.pickle.enabled && !cfg.prometheus.enabled)
+    assert(cfg.uploads.map(_.typ).sorted == Seq("index", "points", "points-reverse", "tagged"))
+    assert(cfg.upload("index").flatMap(_.cacheTtlDays).contains(1), "1h ttl rounds up to 1 day")
+    assert(cfg.upload("points").exists(_.zeroTimestamp))
+    assert(cfg.ignoredTaggedMetrics == Set("noisy.metric"))
+    assert(cfg.blacklist.exists(_.contains("ignored.metric.x", isReverse = false)))
+    assert(cfg.legacyTables.isEmpty)
+  }
+
+  test("duration and toml edge cases") {
+    assert(Toml.durationMs("2m30s") == 150000)
+    assert(Toml.durationMs("1h") == 3600000)
+    assert(Toml.durationMs("100ms") == 100)
+    assert(Toml.durationMs("0s") == 0)
+    val doc = Toml.parse("a = [\n  \"x\", # comment\n  \"y\"\n]\nb = 3\n[t.u]\nc = \"q#r\"")
+    assert(Toml.strings(doc, "", "a") == Seq("x", "y"))
+    assert(Toml.long(doc, "", "b").contains(3L))
+    assert(Toml.str(doc, "t.u", "c").contains("q#r"))
+  }
+
+  test("e2e boot from nodaily config with legacy table types") {
+    val work = Files.createTempDirectory("graft-conf-e2e").toString
+    val conf = EngineConfig.parse(
+      """[data]
+        |chunk-interval = "1s"
+        |
+        |[upload.graphite_index]
+        |type = "index"
+        |cache-ttl = "12h"
+        |disable-daily-index = true
+        |
+        |[upload.graphite_tree]
+        |type = "tree"
+        |
+        |[upload.graphite_series]
+        |type = "series"
+        |
+        |[upload.graphite_series_r]
+        |type = "series-reverse"
+        |
+        |[upload.graphite]
+        |type = "points"
+        |zero-timestamp = true
+        |""".stripMargin)
+    assert(conf.disableDailyIndex)
+    assert(conf.legacyTables == Set("tree", "series", "series-reverse"))
+
+    val spool = new SpoolWriter(s"$work/spool", chunkIntervalMs = 100)
+    Seq(
+      "test.host1.cpu.loadavg 10.2 1625478240",
+      "test.host1.cpu.loadavg 9.4 1625478300",
+      "cpu.loadavg;env=test;host=host1 2.1 1625478240"
+    ).foreach(l => spool.writeLine(l, System.currentTimeMillis() / 1000)) // receive time = now
+    spool.close()
+
+    val ingest = new StreamingIngest(spark, s"$work/spool", s"$work/tables", s"$work/ckpt",
+      blacklist = conf.blacklist,
+      disableDailyIndex = conf.disableDailyIndex,
+      utcDate = conf.utcDate,
+      cacheTtlDays = conf.cacheTtlDays,
+      ignoredTaggedMetrics = conf.ignoredTaggedMetrics,
+      legacyTables = conf.legacyTables)
+    ingest.runAvailableNow()
+
+    // tests/plain-nodaily/test.toml verify #1: ONLY tree rows, no daily rows
+    val idx = ingest.indexTable()
+      .filter(col("path").startsWith("test.") || col("path").endsWith(".test"))
+      .select(col("date").cast("string"), col("level"), col("path"))
+      .orderBy("date", "level", "path")
+      .collect().map(r => s"${r.getString(0)} ${r.getLong(1)} ${r.getString(2)}")
+    assert(idx.toSeq == Seq(
+      "1970-02-12 20001 test.",
+      "1970-02-12 20002 test.host1.",
+      "1970-02-12 20003 test.host1.cpu.",
+      "1970-02-12 20004 test.host1.cpu.loadavg",
+      "1970-02-12 30004 loadavg.cpu.host1.test"))
+
+    // legacy tree: unoffset levels at the fixed tree date, prefixes included
+    val tree = ingest.legacyTable("tree")
+      .select(col("date").cast("string"), col("level"), col("path"))
+      .orderBy("level", "path")
+      .collect().map(r => s"${r.getString(0)} ${r.getLong(1)} ${r.getString(2)}")
+    assert(tree.toSeq == Seq(
+      "1970-02-12 1 test.",
+      "1970-02-12 2 test.host1.",
+      "1970-02-12 3 test.host1.cpu.",
+      "1970-02-12 4 test.host1.cpu.loadavg"))
+
+    // legacy series: one row per (day, path), no prefixes; reverse variant reversed
+    val series = ingest.legacyTable("series")
+      .select(col("date").cast("string"), col("level"), col("path"))
+      .collect().map(r => s"${r.getString(0)} ${r.getLong(1)} ${r.getString(2)}")
+    assert(series.toSeq == Seq("2021-07-05 4 test.host1.cpu.loadavg"))
+    val seriesRev = ingest.legacyTable("series-reverse")
+      .select(col("path")).collect().map(_.getString(0))
+    assert(seriesRev.toSeq == Seq("loadavg.cpu.host1.test"))
+
+    // re-ingest within TTL: legacy tables dedup too
+    val spool2 = new SpoolWriter(s"$work/spool", chunkIntervalMs = 100)
+    spool2.writeLine("test.host1.cpu.loadavg 1.1 1625478360", System.currentTimeMillis() / 1000)
+    spool2.close()
+    ingest.runAvailableNow()
+    assert(ingest.legacyTable("tree").count() == 4)
+    assert(ingest.legacyTable("series").count() == 1)
+  }
+}
