@@ -130,8 +130,9 @@ final class PickleServer(
  * length-prefixed TCP framing (4-byte BE length + 1-byte opcode:
  * 0=Store, 1=StoreSync) — a DOCUMENTED DIVERGENCE in transport, not in
  * semantics: validation (empty name, >16384 name, empty points) and the
- * StoreSync guarantee (ack only after the spool chunk is durably
- * rotated, grpc.go:72-184 + writer.go:265-283) are preserved.
+ * StoreSync guarantee are preserved. "Sync" acks once the records are
+ * flushed to the OS chunk file (grpc.go:72-184 + writer.go:265-283 —
+ * buffered-to-OS-file, NOT rotated/uploaded).
  */
 final class FramedStoreServer(
     spool: SpoolWriter,
@@ -190,7 +191,7 @@ final class FramedStoreServer(
                 in.readFully(body)
                 store(body, clock()) match {
                   case Right(_) =>
-                    if (op == 1) spool.rotate() // StoreSync: durable before ack
+                    if (op == 1) spool.flushCurrent() // StoreSync: flushed to OS file before ack
                     out.writeByte(0) // OK
                   case Left(err) =>
                     out.writeByte(1)

@@ -18,22 +18,25 @@ import graft.core.{DropFilter, DroppedRing, GraphiteTags, PlainProtocol}
  * canonical interchange row (§1.1). Plain text instead of RowBinary is a
  * deliberate divergence: Spark's text/csv source reads it natively and
  * splittably; wire-compat with ClickHouse spool files buys nothing here.
+ *
+ * Concurrency: the writer is STRIPED — each stripe owns its own chunk
+ * file and lock, and a writing thread sticks to one stripe, so N
+ * ingest connections don't serialize on a single monitor (the
+ * reference gives each connection pooled buffers, receiver/buffer.go;
+ * striping is the same contention fix for a shared append sink). Line
+ * formatting happens outside the lock. The ingest loadtest
+ * (graft.tools.IngestLoadTest) is the regression harness for this.
  */
 final class SpoolWriter(
     dir: String,
     chunkIntervalMs: Long = 1000,
-    chunkMaxBytes: Long = 64L * 1024 * 1024
+    chunkMaxBytes: Long = 64L * 1024 * 1024,
+    stripes: Int = SpoolWriter.DefaultStripes
 ) extends AutoCloseable {
+  require(stripes > 0)
 
   private val spoolDir = Paths.get(dir)
   Files.createDirectories(spoolDir)
-
-  private val seq = new AtomicLong(0)
-  private var current: java.io.BufferedWriter = _
-  private var currentPath: Path = _
-  private var currentBytes = 0L
-  private var openedAt = 0L
-  private val lock = new Object
 
   /** Points written since start (self-metrics source). */
   val pointsWritten = new AtomicLong(0)
@@ -45,6 +48,57 @@ final class SpoolWriter(
   val droppedPoints = new AtomicLong(0)
   /** Last-1000 dropped lines with reasons (receiver/base.go:88-127). */
   val droppedRing = new DroppedRing(1000)
+
+  // per-process uniqueness: a per-instance seq alone collides when two
+  // writers (or a restarted one) open chunks in the same millisecond, and
+  // the later atomic rename would silently REPLACE the earlier chunk
+  private val writerId = f"${scala.util.Random.nextInt(0xffffff)}%06x"
+  private val seq = new AtomicLong(0)
+
+  private final class Stripe {
+    var current: java.io.BufferedWriter = _
+    var currentPath: Path = _
+    var currentBytes = 0L
+    var openedAt = 0L
+    val lock = new Object
+
+    def openChunk(): Unit = {
+      currentPath = spoolDir.resolve(
+        f"chunk-${System.currentTimeMillis()}%013d-$writerId-${seq.incrementAndGet()}%06d.tsv.tmp")
+      current = Files.newBufferedWriter(currentPath, StandardCharsets.UTF_8,
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      currentBytes = 0L
+      openedAt = System.currentTimeMillis()
+    }
+
+    def write(line: String): Unit = lock.synchronized {
+      if (current == null) openChunk()
+      current.write(line)
+      currentBytes += line.length
+      if (currentBytes >= chunkMaxBytes) rotateLocked()
+    }
+
+    def rotateLocked(): Unit = {
+      if (current != null) {
+        current.close()
+        // atomic visibility: drop the .tmp suffix only when complete
+        val done = currentPath.resolveSibling(currentPath.getFileName.toString.stripSuffix(".tmp"))
+        Files.move(currentPath, done, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        current = null
+      }
+    }
+
+    def flush(): Unit = lock.synchronized { if (current != null) current.flush() }
+    def rotate(): Unit = lock.synchronized(rotateLocked())
+    def maybeRotate(): Unit = lock.synchronized {
+      if (current != null && System.currentTimeMillis() - openedAt >= chunkIntervalMs) rotateLocked()
+    }
+  }
+
+  private val stripeArr = Array.fill(stripes)(new Stripe)
+
+  private def myStripe: Stripe =
+    stripeArr(((Thread.currentThread().getId % stripes) + stripes).toInt % stripes)
 
   /** TSV interchange cannot carry tab/newline in the name column. Only
     * binary protocols (pickle, framed Store) can produce such names —
@@ -61,35 +115,15 @@ final class SpoolWriter(
     true
   }
 
-  // per-process uniqueness: the per-instance seq alone collides when two
-  // writers (or a restarted one) open chunks in the same millisecond, and
-  // the later atomic rename would silently REPLACE the earlier chunk
-  private val writerId = f"${scala.util.Random.nextInt(0xffffff)}%06x"
-
-  private def openChunk(): Unit = {
-    currentPath = spoolDir.resolve(
-      f"chunk-${System.currentTimeMillis()}%013d-$writerId-${seq.incrementAndGet()}%06d.tsv.tmp")
-    current = Files.newBufferedWriter(currentPath, StandardCharsets.UTF_8,
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-    currentBytes = 0L
-    openedAt = System.currentTimeMillis()
-  }
-
   /** Append one canonical record. Thread-safe. */
   def write(path: String, value: Double, time: Long, version: Long): Unit = {
     if (!nameIsSpoolable(path)) { rejectedNames.incrementAndGet(); return }
-    writeChecked(path, value, time, version)
-  }
-
-  private def writeChecked(path: String, value: Double, time: Long, version: Long): Unit = lock.synchronized {
-    if (current == null) openChunk()
+    // format OUTSIDE the stripe lock
     val line = new java.lang.StringBuilder(path.length + 40)
       .append(path).append('\t').append(value).append('\t')
       .append(time).append('\t').append(version).append('\n').toString
-    current.write(line)
-    currentBytes += line.length
+    myStripe.write(line)
     pointsWritten.incrementAndGet()
-    if (currentBytes >= chunkMaxBytes) rotateLocked()
   }
 
   /**
@@ -109,23 +143,25 @@ final class SpoolWriter(
         parseErrors.incrementAndGet(); droppedRing.record(line, err); false
     }
 
-  private def rotateLocked(): Unit = {
-    if (current != null) {
-      current.close()
-      // atomic visibility: drop the .tmp suffix only when complete
-      val done = currentPath.resolveSibling(currentPath.getFileName.toString.stripSuffix(".tmp"))
-      Files.move(currentPath, done, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      current = null
-    }
-  }
+  /**
+   * Flush every stripe's buffer to its OS file — the StoreSync
+   * durability point (writer.go:265-283 confirms write buffers after
+   * bufio.Flush, BEFORE rotation/upload).
+   */
+  def flushCurrent(): Unit = stripeArr.foreach(_.flush())
 
-  /** Rotate if the chunk interval has elapsed (call from a timer). */
-  def maybeRotate(): Unit = lock.synchronized {
-    if (current != null && System.currentTimeMillis() - openedAt >= chunkIntervalMs) rotateLocked()
-  }
+  /** Rotate chunks whose interval has elapsed (call from a timer). */
+  def maybeRotate(): Unit = stripeArr.foreach(_.maybeRotate())
 
-  /** Force-rotate the current chunk (flush for sync acks / shutdown). */
-  def rotate(): Unit = lock.synchronized(rotateLocked())
+  /** Force-rotate all current chunks (flush for sync acks / shutdown). */
+  def rotate(): Unit = stripeArr.foreach(_.rotate())
 
   override def close(): Unit = rotate()
+}
+
+object SpoolWriter {
+  /** Enough stripes to take lock contention off the ingest hot path
+    * without exploding the chunk-file count. */
+  val DefaultStripes: Int =
+    math.max(2, math.min(8, Runtime.getRuntime.availableProcessors() / 4))
 }

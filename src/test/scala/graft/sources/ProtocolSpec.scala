@@ -165,10 +165,12 @@ class ProtocolSpec extends AnyFunSuite {
       assert(resp == 0, "StoreSync must ack success")
       sock.close()
 
-      // StoreSync rotated the chunk: the spooled records must be durable NOW
+      // StoreSync ack = records flushed to the OS chunk file (the reference's
+      // buffered-to-OS-file guarantee, writer.go:265-283) — the bytes must be
+      // on disk NOW, in the in-flight .tmp chunk or an already-rotated one
       val files = Files.list(java.nio.file.Paths.get(s"$dir/spool")).toArray.map(_.toString)
-      val ready = files.filter(_.endsWith(".tsv"))
-      assert(ready.nonEmpty, "StoreSync ack requires a rotated chunk")
+      val ready = files.filter(f => f.endsWith(".tsv") || f.endsWith(".tsv.tmp"))
+      assert(ready.nonEmpty, "StoreSync ack requires a durable chunk file")
       val content = ready.map(f => Files.readString(java.nio.file.Paths.get(f))).mkString
       assert(content.contains("srv.cpu\t9.9\t1625478240\t1625478999"))
       assert(content.contains("web?host=a\t7.0\t1625478240\t1625478999"))
