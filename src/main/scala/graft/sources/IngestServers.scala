@@ -124,35 +124,26 @@ final class PickleServer(
 }
 
 /**
- * Carbon Store/StoreSync front-end. The reference serves these as gRPC
- * (/root/reference/receiver/grpc.go); without a gRPC runtime available
- * this server speaks the same `carbon.proto` Payload bytes over a
- * length-prefixed TCP framing (4-byte BE length + 1-byte opcode:
- * 0=Store, 1=StoreSync) — a DOCUMENTED DIVERGENCE in transport, not in
- * semantics: validation (empty name, >16384 name, empty points) and the
- * StoreSync guarantee are preserved. "Sync" acks once the records are
- * flushed to the OS chunk file (grpc.go:72-184 + writer.go:265-283 —
+ * Carbon Store/StoreSync over a minimal length-prefixed TCP framing
+ * (4-byte BE length + 1-byte opcode: 0=Store, 1=StoreSync) carrying
+ * the same `carbon.proto` Payload bytes. The wire-compatible gRPC
+ * transport is [[GrpcStoreServer]]; this framed variant remains as a
+ * dependency-free alternative and the load-test target. Semantics are
+ * shared via [[CarbonStore]]; "sync" acks once the records are flushed
+ * to the OS chunk file (grpc.go:72-184 + writer.go:265-283 —
  * buffered-to-OS-file, NOT rotated/uploaded).
  */
-final class FramedStoreServer(
-    spool: SpoolWriter,
-    port: Int,
-    tagConfig: GraphiteTags.TagConfig = GraphiteTags.Disabled,
-    drops: DropFilter = DropFilter.Empty,
-    clock: () => Long = () => System.currentTimeMillis() / 1000
-) extends AutoCloseable {
-
+/**
+ * Shared Store/StoreSync semantics for both transports (real gRPC and
+ * the framed-TCP stand-in): validation — empty name, >16384-byte name,
+ * empty points fail the WHOLE call (grpc.go:84-110) — then normalize +
+ * drop-filter + spool.
+ */
+private[sources] object CarbonStore {
   val MaxNameLen = 16384
 
-  private val server = new java.net.ServerSocket()
-  server.setReuseAddress(true)
-  server.bind(new InetSocketAddress(port))
-  private val pool = Executors.newCachedThreadPool()
-  private val running = new AtomicBoolean(true)
-
-  def boundPort: Int = server.getLocalPort
-
-  private def store(payload: Array[Byte], now: Long): Either[String, Int] = {
+  def store(spool: SpoolWriter, tagConfig: GraphiteTags.TagConfig, drops: DropFilter,
+            payload: Array[Byte], now: Long): Either[String, Int] = {
     val metrics = CarbonPayload.decode(payload)
     // validate everything first (the reference fails the whole RPC)
     metrics.foreach { m =>
@@ -174,6 +165,28 @@ final class FramedStoreServer(
     }
     Right(n)
   }
+}
+
+final class FramedStoreServer(
+    spool: SpoolWriter,
+    port: Int,
+    tagConfig: GraphiteTags.TagConfig = GraphiteTags.Disabled,
+    drops: DropFilter = DropFilter.Empty,
+    clock: () => Long = () => System.currentTimeMillis() / 1000
+) extends AutoCloseable {
+
+  val MaxNameLen: Int = CarbonStore.MaxNameLen
+
+  private val server = new java.net.ServerSocket()
+  server.setReuseAddress(true)
+  server.bind(new InetSocketAddress(port))
+  private val pool = Executors.newCachedThreadPool()
+  private val running = new AtomicBoolean(true)
+
+  def boundPort: Int = server.getLocalPort
+
+  private def store(payload: Array[Byte], now: Long): Either[String, Int] =
+    CarbonStore.store(spool, tagConfig, drops, payload, now)
 
   private val acceptor = new Thread(() => {
     while (running.get()) {

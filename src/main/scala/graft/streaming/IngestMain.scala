@@ -77,10 +77,16 @@ object IngestMain {
         cfg.map(_.telegrafConcat).getOrElse("_"), telegrafR.drops); servers += s
       println(s"http (telegraf + prometheus) listening on ${s.boundPort}")
     }
+    // the reference's [grpc] section boots the REAL gRPC Carbon service;
+    // --store additionally offers the framed-TCP transport stand-in
     val storeR = receiver(_.store)
-    port("--store", storeR).foreach { p =>
+    port("--grpc", storeR).foreach { p =>
+      val s = new GrpcStoreServer(spool, p, tagConfig, storeR.drops); servers += s
+      println(s"grpc (Carbon service) listening on ${s.boundPort}")
+    }
+    flag("--store").map(_.toInt).foreach { p =>
       val s = new FramedStoreServer(spool, p, tagConfig, storeR.drops); servers += s
-      println(s"store listening on ${s.boundPort}")
+      println(s"store (framed) listening on ${s.boundPort}")
     }
     val collector = new SelfMetricsCollector(spool)
     servers += collector
