@@ -242,17 +242,25 @@ final class SelfMetricsCollector(
   private val running = new AtomicBoolean(true)
   private var lastWritten = 0L
   private var lastErrors = 0L
+  private var lastRejected = 0L
+  private var lastDropped = 0L
 
   def collectOnce(): Unit = {
     val now = clock()
     val written = spool.pointsWritten.get()
     val errors = spool.parseErrors.get()
+    val rejected = spool.rejectedNames.get()
+    val dropped = spool.droppedPoints.get()
     // rate-style counters: delta since last interval, like the reference's
     // swap-to-zero atomics (receiver/base.go:129-153)
     spool.write(s"$prefix.pointsWritten", (written - lastWritten).toDouble, now, now)
     spool.write(s"$prefix.parseErrors", (errors - lastErrors).toDouble, now, now)
+    spool.write(s"$prefix.rejectedNames", (rejected - lastRejected).toDouble, now, now)
+    spool.write(s"$prefix.droppedPoints", (dropped - lastDropped).toDouble, now, now)
     lastWritten = written
     lastErrors = errors
+    lastRejected = rejected
+    lastDropped = dropped
   }
 
   private val timer = new Thread(() => {

@@ -36,12 +36,14 @@ object EngineConfig {
       cacheTtlDays: Option[Int],
       ignoredPatterns: Seq[String],
       ignoredTaggedMetrics: Seq[String],
-      disableDailyIndex: Boolean)
+      disableDailyIndex: Boolean,
+      hash: String)
 
   final case class Config(
       dataPath: Option[String],
       chunkIntervalMs: Long,
       chunkMaxBytes: Long,
+      chunkAutoInterval: Option[graft.core.ChunkAutoInterval],
       utcDate: Boolean,
       tcp: Receiver,
       udp: Receiver,
@@ -75,6 +77,10 @@ object EngineConfig {
     /** Legacy table types to emit alongside the modern four. */
     def legacyTables: Set[String] =
       uploads.map(_.typ).filter(Set("tree", "series", "series-reverse")).toSet
+
+    /** The reference's per-uploader `hash = "city64"` option: store an
+      * 8-byte hash as the exists-cache key (uploader/hash.go:9-25). */
+    def hashCacheKeys: Boolean = uploads.exists(u => u.hash.nonEmpty && u.hash != "no")
   }
 
   def load(path: String): Config =
@@ -104,7 +110,8 @@ object EngineConfig {
           .map(s => math.max(1, math.ceil(Toml.durationMs(s) / 86400000.0).toInt)),
         ignoredPatterns = Toml.strings(doc, t, "ignored-patterns"),
         ignoredTaggedMetrics = Toml.strings(doc, t, "ignored-tagged-metrics"),
-        disableDailyIndex = Toml.bool(doc, t, "disable-daily-index"))
+        disableDailyIndex = Toml.bool(doc, t, "disable-daily-index"),
+        hash = Toml.str(doc, t, "hash").getOrElse(""))
     }
 
     val tagConfig =
@@ -120,6 +127,9 @@ object EngineConfig {
       chunkIntervalMs = Toml.str(doc, "data", "chunk-interval").map(Toml.durationMs).getOrElse(1000L),
       chunkMaxBytes = Toml.long(doc, "data", "chunk-max-size").map(_ * 1024L * 1024L)
         .getOrElse(64L * 1024 * 1024),
+      chunkAutoInterval = Toml.str(doc, "data", "chunk-auto-interval").filter(_.trim.nonEmpty)
+        .map(s => graft.core.ChunkAutoInterval.parse(s,
+          Toml.str(doc, "data", "chunk-interval").map(Toml.durationMs).getOrElse(1000L))),
       utcDate = Toml.bool(doc, "data", "utc-date", default = true),
       tcp = receiver("tcp"),
       udp = receiver("udp"),

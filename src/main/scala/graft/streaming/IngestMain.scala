@@ -43,7 +43,8 @@ object IngestMain {
     val tagConfig = cfg.map(_.tagConfig).getOrElse(graft.core.GraphiteTags.Disabled)
 
     val spool = new SpoolWriter(s"$work/spool", chunkIntervalMs = chunkMs,
-      chunkMaxBytes = cfg.map(_.chunkMaxBytes).getOrElse(64L * 1024 * 1024))
+      chunkMaxBytes = cfg.map(_.chunkMaxBytes).getOrElse(64L * 1024 * 1024),
+      autoInterval = cfg.flatMap(_.chunkAutoInterval))
     val rotator = new Thread(() => {
       while (true) { Thread.sleep(chunkMs); spool.maybeRotate() }
     }, "spool-rotator")
@@ -107,7 +108,8 @@ object IngestMain {
       utcDate = cfg.forall(_.utcDate),
       cacheTtlDays = cfg.map(_.cacheTtlDays).getOrElse(1),
       ignoredTaggedMetrics = cfg.map(_.ignoredTaggedMetrics).getOrElse(Set.empty),
-      legacyTables = cfg.map(_.legacyTables).getOrElse(Set.empty))
+      legacyTables = cfg.map(_.legacyTables).getOrElse(Set.empty),
+      hashCacheKeys = cfg.exists(_.hashCacheKeys))
     if (once) {
       spool.rotate()
       ingest.runAvailableNow()

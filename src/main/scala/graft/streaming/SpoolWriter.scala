@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import java.util.concurrent.atomic.AtomicLong
 
-import graft.core.{DropFilter, DroppedRing, GraphiteTags, PlainProtocol}
+import graft.core.{ChunkAutoInterval, DropFilter, DroppedRing, GraphiteTags, PlainProtocol}
 
 /**
  * Chunk-rotating spool writer — the hand-off point between protocol
@@ -31,7 +31,8 @@ final class SpoolWriter(
     dir: String,
     chunkIntervalMs: Long = 1000,
     chunkMaxBytes: Long = 64L * 1024 * 1024,
-    stripes: Int = SpoolWriter.DefaultStripes
+    stripes: Int = SpoolWriter.DefaultStripes,
+    autoInterval: Option[ChunkAutoInterval] = None
 ) extends AutoCloseable {
   require(stripes > 0)
 
@@ -90,8 +91,8 @@ final class SpoolWriter(
 
     def flush(): Unit = lock.synchronized { if (current != null) current.flush() }
     def rotate(): Unit = lock.synchronized(rotateLocked())
-    def maybeRotate(): Unit = lock.synchronized {
-      if (current != null && System.currentTimeMillis() - openedAt >= chunkIntervalMs) rotateLocked()
+    def maybeRotate(intervalMs: Long): Unit = lock.synchronized {
+      if (current != null && System.currentTimeMillis() - openedAt >= intervalMs) rotateLocked()
     }
   }
 
@@ -150,8 +151,32 @@ final class SpoolWriter(
    */
   def flushCurrent(): Unit = stripeArr.foreach(_.flush())
 
-  /** Rotate chunks whose interval has elapsed (call from a timer). */
-  def maybeRotate(): Unit = stripeArr.foreach(_.maybeRotate())
+  /** Rotated chunks not yet consumed+cleaned by the streaming job —
+    * the reference's "unhandled files" backpressure signal
+    * (writer.go:146-162; requires the stream's cleanSource=delete). */
+  def unhandledChunks(): Int = {
+    val ds = Files.newDirectoryStream(spoolDir, "*.tsv")
+    try {
+      var n = 0
+      val it = ds.iterator()
+      while (it.hasNext) { it.next(); n += 1 }
+      n
+    } finally ds.close()
+  }
+
+  /**
+   * Rotate chunks whose interval has elapsed (call from a timer). With
+   * an [[ChunkAutoInterval]] configured, the effective interval grows
+   * with the count of unhandled chunks (chunk_interval.go:68-85) —
+   * fewer, larger chunks when the consumer is behind.
+   */
+  def maybeRotate(): Unit = {
+    val intervalMs = autoInterval match {
+      case Some(auto) => auto.intervalMsFor(unhandledChunks())
+      case None       => chunkIntervalMs
+    }
+    stripeArr.foreach(_.maybeRotate(intervalMs))
+  }
 
   /** Force-rotate all current chunks (flush for sync acks / shutdown). */
   def rotate(): Unit = stripeArr.foreach(_.rotate())

@@ -48,7 +48,9 @@ final class StreamingIngest(
     maxFilesPerTrigger: Option[Int] = None,
     cacheTtlDays: Int = 1,
     ignoredTaggedMetrics: Set[String] = Set.empty,
-    legacyTables: Set[String] = Set.empty // of: tree, series, series-reverse
+    legacyTables: Set[String] = Set.empty, // of: tree, series, series-reverse
+    hashCacheKeys: Boolean = false,
+    cleanSpool: Boolean = true
 ) {
   require(legacyTables.subsetOf(Set("tree", "series", "series-reverse")),
     s"unknown legacy table types: ${legacyTables -- Set("tree", "series", "series-reverse")}")
@@ -72,12 +74,17 @@ final class StreamingIngest(
   @volatile private var cacheClearRequested = false
   def clearExistsCache(): Unit = cacheClearRequested = true
 
-  /** The streaming source: completed spool chunks as a CSV stream. */
+  /** The streaming source: completed spool chunks as a CSV stream.
+    * cleanSource=delete removes consumed chunks (the reference's
+    * uploaders delete handled chunks, writer/cleanup.go) — without it
+    * the spool grows forever and the auto-interval backpressure signal
+    * (SpoolWriter.unhandledChunks) never drains. */
   private def source(): DataFrame = {
     val r = spark.readStream
       .schema(spoolSchema)
       .option("sep", "\t")
       .option("pathGlobFilter", "*.tsv") // never read in-flight .tmp chunks
+    if (cleanSpool) r.option("cleanSource", "delete")
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
     r.csv(spoolDir)
   }
@@ -155,6 +162,28 @@ final class StreamingIngest(
   private def keysOf(s: StructType, names: String*): StructType =
     StructType(names.map(n => s(n)))
 
+  /**
+   * Exists-cache anti-join for one expansion table. With
+   * `hashCacheKeys` (the reference's `hash = "city64"` option,
+   * uploader/hash.go:9-25) both sides join on the 8-byte xxhash64 of
+   * the composite key instead of the full strings — a smaller shuffle
+   * at the same accepted risk: a hash collision suppresses a genuinely
+   * new series row.
+   */
+  private def dedupAgainstExisting(rows: DataFrame, tablePath: String, keys: StructType,
+                                   batchId: Long, clearCache: Boolean): DataFrame =
+    if (clearCache) rows
+    else {
+      val keyNames = keys.fieldNames.toSeq
+      val existing = existingKeysWithinTtl(tablePath, keys, Some(batchId))
+      if (!hashCacheKeys) rows.join(existing, keyNames, "left_anti")
+      else {
+        def hashed(df: DataFrame) =
+          df.withColumn("_k", xxhash64(concat_ws("\u0000", keyNames.map(col): _*)))
+        hashed(rows).join(hashed(existing).select("_k"), Seq("_k"), "left_anti").drop("_k")
+      }
+    }
+
   /** One micro-batch: fan the canonical points out to all four tables. */
   private[streaming] def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
@@ -184,22 +213,18 @@ final class StreamingIngest(
       val newIndex = GraphiteOps
         .indexExpandVersioned(pts, disableDailyIndex = disableDailyIndex)
         .withColumn("udate", udateCol)
-      val idxOut =
-        if (clearCache) newIndex
-        else newIndex.join(
-          existingKeysWithinTtl(indexPath, keysOf(indexSchema, "date", "level", "path"), Some(batchId)),
-          Seq("date", "level", "path"), "left_anti")
-      writeBatch(idxOut, indexPath, batchId, Seq("udate"))
+      writeBatch(
+        dedupAgainstExisting(newIndex, indexPath,
+          keysOf(indexSchema, "date", "level", "path"), batchId, clearCache),
+        indexPath, batchId, Seq("udate"))
 
       val newTagged = GraphiteOps
         .taggedExpandVersioned(pts, ignoredTaggedMetrics)
         .withColumn("udate", udateCol)
-      val tagOut =
-        if (clearCache) newTagged
-        else newTagged.join(
-          existingKeysWithinTtl(taggedPath, keysOf(taggedSchema, "date", "tag1", "path"), Some(batchId)),
-          Seq("date", "tag1", "path"), "left_anti")
-      writeBatch(tagOut, taggedPath, batchId, Seq("udate"))
+      writeBatch(
+        dedupAgainstExisting(newTagged, taggedPath,
+          keysOf(taggedSchema, "date", "tag1", "path"), batchId, clearCache),
+        taggedPath, batchId, Seq("udate"))
 
       // legacy graphite-web table types (uploader/uploader.go:47-64),
       // same exists-cache + per-batch-dir machinery as the modern index
@@ -209,12 +234,10 @@ final class StreamingIngest(
           case "series"         => GraphiteOps.seriesExpandVersioned(pts, reverse = false)
           case "series-reverse" => GraphiteOps.seriesExpandVersioned(pts, reverse = true)
         }).withColumn("udate", udateCol)
-        val out =
-          if (clearCache) rows
-          else rows.join(
-            existingKeysWithinTtl(legacyPath(typ), keysOf(indexSchema, "date", "level", "path"), Some(batchId)),
-            Seq("date", "level", "path"), "left_anti")
-        writeBatch(out, legacyPath(typ), batchId, Seq("udate"))
+        writeBatch(
+          dedupAgainstExisting(rows, legacyPath(typ),
+            keysOf(indexSchema, "date", "level", "path"), batchId, clearCache),
+          legacyPath(typ), batchId, Seq("udate"))
       }
     } finally pts.unpersist()
   }

@@ -132,6 +132,66 @@ class IngestScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ingest.indexTable().count() == idx)
   }
 
+  test("hashed cache keys dedup like string keys (city64-equivalent option)") {
+    val work = Files.createTempDirectory("graft-hashkeys").toString
+    val ingest = new StreamingIngest(spark, s"$work/spool", s"$work/tables", s"$work/ckpt",
+      hashCacheKeys = true)
+    val lines = Seq("h.a.one 1.0 1625478240", "h.b.two 2.0 1625478240")
+    spoolLines(work, lines, nowSec)
+    ingest.runAvailableNow()
+    val raw = ingest.indexTable().count()
+    assert(raw > 0)
+    spoolLines(work, lines :+ "h.c.three 3.0 1625478240", nowSec)
+    ingest.runAvailableNow()
+    // old series dedupped via the 8-byte hash join, new series still lands
+    assert(ingest.indexTable().filter(col("path").startsWith("h.c.")).count() > 0)
+    assert(ingest.indexTable().count() ==
+      ingest.indexTable().select("date", "level", "path").distinct().count(),
+      "no duplicate keys -> hash dedup worked")
+  }
+
+  test("chunk auto-interval backs off with unhandled chunk count") {
+    val auto = graft.core.ChunkAutoInterval.parse("5:10s,20:60s", 1000L)
+    assert(auto.intervalMsFor(0) == 1000L)
+    assert(auto.intervalMsFor(4) == 1000L)
+    assert(auto.intervalMsFor(5) == 10000L)
+    assert(auto.intervalMsFor(19) == 10000L)
+    assert(auto.intervalMsFor(500) == 60000L)
+    // empty rule string = always default (the reference's "" config)
+    assert(graft.core.ChunkAutoInterval.parse("", 700L).intervalMsFor(100) == 700L)
+
+    // writer applies the backed-off interval: with 0 ready chunks a 50ms
+    // interval rotates; pre-seed >=5 ready chunks and the 10s rule wins
+    val dir = Files.createTempDirectory("graft-auto").toString
+    for (i <- 0 until 6)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/spool-seed$i.tsv"), "x\t1\t1\t1\n")
+    val w = new SpoolWriter(dir, chunkIntervalMs = 50,
+      autoInterval = Some(graft.core.ChunkAutoInterval.parse("5:10s", 50L)))
+    w.write("a.b", 1.0, 1L, 1L)
+    assert(w.unhandledChunks() == 6)
+    Thread.sleep(120)
+    w.maybeRotate() // 6 unhandled >= 5 -> 10s interval -> no rotation yet
+    assert(w.unhandledChunks() == 6, "rotation must back off under backlog")
+    w.close()
+  }
+
+  test("streaming source cleans consumed spool chunks (cleanSource=delete)") {
+    // Spark's file-source cleaner defers deletion to later batches, so a
+    // continuous stream keeps the spool bounded with ~one-batch lag.
+    val (ingest, work) = freshIngest()
+    def ready() = new java.io.File(s"$work/spool").listFiles().count(_.getName.endsWith(".tsv"))
+    spoolLines(work, Seq("clean.a.b 1.0 1625478240"), nowSec)
+    ingest.runAvailableNow()
+    spoolLines(work, Seq("clean.c.d 2.0 1625478240"), nowSec)
+    ingest.runAvailableNow()
+    spoolLines(work, Seq("clean.e.f 3.0 1625478240"), nowSec)
+    ingest.runAvailableNow()
+    val deadline = System.currentTimeMillis() + 15000
+    while (ready() > 1 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(ready() <= 1, "consumed chunks must be deleted (spool growth is unbounded otherwise)")
+    assert(ingest.pointsTable().count() == 3)
+  }
+
   test("compaction bounds batch-dir count and preserves table contents") {
     val (ingest, work) = freshIngest(maxFiles = Some(1))
     // 6 chunks -> 6 micro-batches -> 6 batch dirs per table
