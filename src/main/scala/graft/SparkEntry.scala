@@ -180,6 +180,21 @@ object SparkEntry {
         .orderBy("path", "time")
     }),
 
+    "g_rollup_multi" -> ((s, dir) => {
+      // multi-retention rollup: age >= 3 days -> 1 h precision, else 1 min
+      // (rollup.xml age->precision buckets)
+      val rets = Seq(Rollup.Retention(0, 60), Rollup.Retention(259200, 3600))
+      val cfg = Rollup.Config(
+        rules = Seq(
+          Rollup.Rule("""\.sum$""".r, Rollup.Sum, rets),
+          Rollup.Rule("""\.min$""".r, Rollup.Min, rets),
+          Rollup.Rule("""\.max$""".r, Rollup.Max, rets)),
+        default = Rollup.Rule("""^""".r, Rollup.Avg, rets))
+      GraphiteOps.rollup(metricStream(s, dir), cfg, NowSec)
+        .select(col("path"), col("time"), round(col("value"), 4).as("value"), col("points"))
+        .orderBy("path", "time")
+    }),
+
     // ---- graphite: find/lookup API (index scans) ----
 
     "g_find_prefix" -> ((s, dir) => {
@@ -512,6 +527,20 @@ object SparkEntry {
     "g_rollup" ->
       s"""$OracleM
          |SELECT path, ("time" - "time" % 3600) AS "time",
+         |       round(CASE
+         |         WHEN regexp_matches(path, '\\.sum$$') THEN sum(value)
+         |         WHEN regexp_matches(path, '\\.min$$') THEN min(value)
+         |         WHEN regexp_matches(path, '\\.max$$') THEN max(value)
+         |         ELSE avg(value) END, 4) AS value,
+         |       count(*) AS points
+         |FROM m GROUP BY 1, 2 ORDER BY path, "time"""".stripMargin,
+
+    "g_rollup_multi" ->
+      s"""$OracleM
+         |SELECT path,
+         |       CASE WHEN $NowSec - "time" >= 259200
+         |            THEN ("time" - "time" % 3600)
+         |            ELSE ("time" - "time" % 60) END AS "time",
          |       round(CASE
          |         WHEN regexp_matches(path, '\\.sum$$') THEN sum(value)
          |         WHEN regexp_matches(path, '\\.min$$') THEN min(value)

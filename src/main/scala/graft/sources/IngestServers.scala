@@ -55,6 +55,29 @@ final class HttpIngestServer(
     } catch { case e: Exception => respond(ex, 400, e.getMessage) }
   })
 
+  // the reference's main triage surface: the last-1000 dropped lines
+  // with reasons (receiver/base.go:88-127 /debug/receive/*/dropped/)
+  server.createContext("/debug/dropped", (ex: HttpExchange) => {
+    val body = spool.droppedRing.dump()
+      .map { case (line, reason) =>
+        s"""{"line":${jsonStr(line)},"reason":${jsonStr(reason)}}"""
+      }
+      .mkString("[", ",", "]")
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    respond(ex, 200, body)
+  })
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case '\n'         => "\\n"
+      case '\r'         => "\\r"
+      case '\t'         => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
+
   server.createContext("/telegraf", (ex: HttpExchange) => {
     try {
       val now = clock()

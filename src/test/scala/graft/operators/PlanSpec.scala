@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.SparkEntry
+
+/**
+ * Physical-plan assertions for the headline queries: the properties
+ * that make these plans survive a 100x scale-up — broadcast joins where
+ * a side is small, predicate pushdown into the parquet scan, partition
+ * pruning on the storage layout, and no cartesian products anywhere in
+ * the dedup/ANN family.
+ */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .appName("graft-plans")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q2_join_agg broadcasts the small dimension sides") {
+    val plan = planOf("q2_join_agg")
+    assert(plan.contains("BroadcastHashJoin"), "customer/nation must broadcast")
+  }
+
+  test("q1_agg pushes the shipdate filter into the parquet scan") {
+    val plan = planOf("q1_agg")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"filter must reach the scan:\n${plan.take(400)}")
+  }
+
+  test("scans prune columns to the projection (ReadSchema)") {
+    val df = SparkEntry.queries("q4_sort_limit")(spark, sfDir)
+    val scans = df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    // 3-column projection over the 16-column lineitem table
+    val read = scans.head.schema.fieldNames.toSet
+    assert(read == Set("l_orderkey", "l_linenumber", "l_extendedprice"),
+      s"scan must read only projected columns, got $read")
+  }
+
+  test("dedup/ANN family plans contain no cartesian products") {
+    for (q <- Seq("d_dedup_minhash", "d_dedup_simhash", "d_dedup_jaccard",
+        "d_dedup_neardup", "s_ann_lsh")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q must not cross join")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q must not nested-loop join")
+    }
+  }
+
+  test("points storage layout prunes monthly partitions") {
+    val work = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    val ss = spark; import ss.implicits._
+    val pts = (0 until 6).flatMap { m =>
+      Seq((s"prune.metric.a", 1.0, 1609459200L + m * 2678400L, java.sql.Date.valueOf(f"2021-${m + 1}%02d-01"), 0L))
+    }.toDF("path", "value", "time", "date", "timestamp")
+    GraphiteOps.writePointsTable(pts, s"$work/points")
+
+    val filtered = spark.read.parquet(s"$work/points").filter(col("month") === "202103")
+    val scan = filtered.queryExecution.executedPlan
+      .collect { case s: FileSourceScanExec => s }.head
+    assert(scan.selectedPartitions.partitionCount == 1,
+      "month filter must prune to a single partition")
+  }
+}

@@ -250,6 +250,22 @@ class ProtocolSpec extends AnyFunSuite {
     assert(content.linesIterator.size == 1 && content.startsWith("good.name\t"))
   }
 
+  test("/debug/dropped exposes the last dropped lines with reasons") {
+    val dir = Files.createTempDirectory("graft-debug").toString
+    val spool = new SpoolWriter(s"$dir/spool", chunkIntervalMs = 50)
+    val http = new HttpIngestServer(spool, port = 0)
+    try {
+      spool.writeLine("garbage with \"quotes\"", 1625478999L)
+      spool.writeLine("ok.metric 1.0 1625478240", 1625478999L)
+      spool.writeLine("nanvalue NaN 1625478240", 1625478999L)
+      val url = new java.net.URI(s"http://127.0.0.1:${http.boundPort}/debug/dropped").toURL
+      val body = new String(url.openStream().readAllBytes(), StandardCharsets.UTF_8)
+      assert(body.contains("garbage with \\\"quotes\\\""))
+      assert(body.contains("nanvalue"))
+      assert(!body.contains("ok.metric"))
+    } finally { http.close(); spool.close() }
+  }
+
   test("self-metrics collector emits rate counters into the spool") {
     val dir = Files.createTempDirectory("graft-self").toString
     val spool = new SpoolWriter(s"$dir/spool", chunkIntervalMs = 50)
