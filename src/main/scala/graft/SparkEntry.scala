@@ -211,6 +211,15 @@ object SparkEntry {
       GraphiteOps.findSuffix(revIdx, ".sum").select("path").orderBy("path")
     }),
 
+    "g_find_glob" -> ((s, dir) => {
+      // graphite-web style glob find: literal head prefix-prunes, the
+      // glob regex filters survivors
+      val idx = GraphiteOps.indexExpand(withDate(metricStream(s, dir)))
+        .filter(col("level") < 10000) // daily direct rows
+      GraphiteOps.findGlob(idx, "evt.*.u3.{sum,max}")
+        .orderBy("date", "level", "path")
+    }),
+
     "g_find_tag" -> ((s, dir) => {
       val tagged = events(s, dir).select(
         concat(lit("evt."), col("event_type"), lit("?env=prod&zone=u"), col("user_id") % 10).as("path"),
@@ -346,6 +355,14 @@ object SparkEntry {
       DedupOps.nearDuplicates(table(s, dir, "documents"), "doc_id", "text", minJaccard = 0.8)
         .orderBy("id_a", "id_b")),
 
+    "d_dedup_cosine" -> ((s, dir) => {
+      // embedding-space near-dup: hyperplane-banded candidates, exact
+      // cosine verify — no cross join
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      SimilarityOps.cosineNearDuplicates(e, minCosine = 0.25)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- training-data pipeline: similarity search ----
 
     "s_ann_cosine" -> ((s, dir) => {
@@ -361,6 +378,13 @@ object SparkEntry {
       // force is additionally asserted in OperatorSpec.
       val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
       SimilarityOps.lshTopK(e.filter(col("id") < 5), e, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "s_ann_ivf" -> ((s, dir) => {
+      // IVF ANN: fixed md5-derived codebook, nprobe cells per query
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      SimilarityOps.ivfTopK(e.filter(col("id") < 5), e, k = 5)
         .orderBy("query_id", "rank")
     }),
 
@@ -561,6 +585,15 @@ object SparkEntry {
       s"""$OracleM
          |SELECT DISTINCT path FROM m WHERE path LIKE '%.sum' ORDER BY path""".stripMargin,
 
+    "g_find_glob" ->
+      s"""$OracleM,
+         |series AS (
+         |  SELECT DISTINCT DATE '1970-01-01' + CAST("time" // 86400 AS INT) AS date, path FROM m)
+         |SELECT date, len(string_split(path, '.')) AS level, path
+         |FROM series
+         |WHERE regexp_matches(path, '^evt\\.[^.]*\\.u3\\.(?:sum|max)$$')
+         |ORDER BY date, level, path""".stripMargin,
+
     "g_find_tag" ->
       """SELECT DISTINCT 'evt.' || event_type || '?env=prod&zone=u' || (user_id % 10) AS path
         |FROM events WHERE user_id % 10 = 3 ORDER BY path""".stripMargin,
@@ -748,6 +781,71 @@ object SparkEntry {
         |WHERE round(inter::DOUBLE / (x.n + y.n - inter), 4) >= 0.8
         |ORDER BY 1, 2""".stripMargin,
 
+    "d_dedup_cosine" ->
+      """WITH planes AS (
+        |  SELECT b, list_transform(generate_series(0, 63),
+        |           d -> (('0x' || substr(md5('plane:' || b || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS pl
+        |  FROM (SELECT unnest(generate_series(0, 23)) AS b)),
+        |sig AS (
+        |  SELECT vec_id,
+        |         sum(CASE WHEN list_sum(list_transform(range(1, 65),
+        |               i -> pl[i] * embedding[i]::DOUBLE)) > 0
+        |             THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sig
+        |  FROM embeddings, planes GROUP BY 1),
+        |banded AS (
+        |  SELECT vec_id, band, (sig >> (band * 3)) & 7 AS bandval
+        |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) bb),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.bandval = b.bandval
+        |                              AND a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT id_a, id_b,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> ae.embedding[i]::DOUBLE * be.embedding[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> ae.embedding[i]::DOUBLE * ae.embedding[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> be.embedding[i]::DOUBLE * be.embedding[i]::DOUBLE)))), 6) AS sim
+        |  FROM cand JOIN embeddings ae ON id_a = ae.vec_id
+        |            JOIN embeddings be ON id_b = be.vec_id)
+        |SELECT id_a, id_b, sim
+        |FROM scored WHERE sim >= 0.25 ORDER BY id_a, id_b""".stripMargin,
+
+    "s_ann_ivf" ->
+      """WITH cent AS (
+        |  SELECT c, list_transform(generate_series(0, 63),
+        |           d -> (('0x' || substr(md5('centroid:' || c || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS cv
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS c)),
+        |cellsim AS (
+        |  SELECT vec_id, c,
+        |         list_sum(list_transform(range(1, 65), i -> cv[i] * embedding[i]::DOUBLE)) /
+        |         (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) *
+        |          sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS csim
+        |  FROM embeddings, cent),
+        |ranked_cells AS (
+        |  SELECT vec_id, c,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c ASC) AS crank
+        |  FROM cellsim),
+        |assign AS (SELECT vec_id, c AS cell FROM ranked_cells WHERE crank = 1),
+        |probes AS (SELECT vec_id, c AS cell FROM ranked_cells WHERE crank <= 4 AND vec_id < 5),
+        |cand AS (
+        |  SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+        |  FROM probes p JOIN assign a ON p.cell = a.cell
+        |  WHERE p.vec_id <> a.vec_id),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * qe.embedding[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)))), 6) AS sim
+        |  FROM cand JOIN embeddings qe ON query_id = qe.vec_id
+        |            JOIN embeddings ce ON neighbor_id = ce.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank::BIGINT AS rank, neighbor_id, sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "s_ann_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
@@ -762,7 +860,7 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id, sim,
         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
         |  FROM scored)
-        |SELECT query_id, rank::BIGINT AS rank, neighbor_id, round(sim, 4) AS sim
+        |SELECT query_id, rank::BIGINT AS rank, neighbor_id, sim
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "s_ann_lsh" ->
@@ -795,7 +893,7 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id, sim,
         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
         |  FROM scored)
-        |SELECT query_id, rank::BIGINT AS rank, neighbor_id, round(sim, 4) AS sim
+        |SELECT query_id, rank::BIGINT AS rank, neighbor_id, sim
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "t_tokens" ->

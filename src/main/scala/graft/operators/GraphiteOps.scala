@@ -400,6 +400,44 @@ object GraphiteOps {
   def findByTag(tagged: DataFrame, key: String, value: String): DataFrame =
     tagged.filter(col("tag1") === s"$key=$value")
 
+  /**
+   * Graphite glob -> anchored Java regex: `*` = one segment wildcard
+   * (`[^.]*`), `?` = one char, `{a,b}` = alternation, `[...]` passes
+   * through as a char class — the same pattern language the blacklist
+   * trie accepts (uploader/filter.go) and graphite-web uses for find.
+   */
+  def globToRegex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    while (i < glob.length) {
+      glob.charAt(i) match {
+        case '*' => sb.append("[^.]*")
+        case '?' => sb.append("[^.]")
+        case '{' => sb.append("(?:")
+        case ',' => sb.append('|')
+        case '}' => sb.append(')')
+        case '[' => sb.append('[')
+        case ']' => sb.append(']')
+        case c if "\\.^$+()|".indexOf(c.toInt) >= 0 => sb.append('\\').append(c)
+        case c   => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('$').toString
+  }
+
+  /**
+   * Glob lookup over the index (graphite-web find): the longest literal
+   * prefix before the first wildcard becomes a `startsWith` predicate —
+   * prunable against the (path-sorted) parquet layout — and the full
+   * glob matches as an anchored regex on the survivors.
+   */
+  def findGlob(index: DataFrame, glob: String): DataFrame = {
+    val litPrefix = glob.takeWhile(c => "*?{[".indexOf(c.toInt) < 0)
+    val base = if (litPrefix.nonEmpty) index.filter(col("path").startsWith(litPrefix)) else index
+    base.filter(col("path").rlike(globToRegex(glob)))
+  }
+
   // ---------- storage layout (§2.4 table semantics) ----------
 
   /**

@@ -43,7 +43,100 @@ object SimilarityOps {
     scored
       .withColumn("rank", row_number().over(win))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /**
+   * Embedding near-duplicate pairs: corpus vectors whose cosine
+   * similarity meets `minCosine`, found via the same hyperplane LSH
+   * banding as [[lshTopK]] (candidates = band collisions, exact cosine
+   * verifies) — the embedding-space member of the dedup family. Output:
+   * (id_a < id_b, sim), engine-portable like the rest (md5 planes).
+   */
+  def cosineNearDuplicates(corpus: DataFrame, minCosine: Double,
+                           nbits: Int = 24, bands: Int = 8, dim: Int = 64): DataFrame = {
+    require(nbits % bands == 0)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val planesB = spark.sparkContext.broadcast(lshPlanes(nbits, dim))
+    val sigUdf = udf { (v: Seq[Float]) =>
+      val p = planesB.value
+      var sig = 0L
+      var b = 0
+      while (b < p.length) {
+        var s = 0.0
+        var d = 0
+        val pb = p(b)
+        val n = math.min(pb.length, v.length)
+        while (d < n) { s += pb(d) * v(d); d += 1 }
+        if (s > 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+    val bandBits = nbits / bands
+    val mask = (1L << bandBits) - 1
+    val banded = corpus
+      .select(col("id"), asDouble(col("embedding")).as("v"), sigUdf(col("embedding")).as("sig"))
+      .select(col("id"), col("v"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+      .withColumn("bandval", expr(s"shiftright(sig, cast(band * $bandBits as int)) & $mask"))
+      .drop("sig")
+    val a = banded.select(col("band"), col("bandval"), col("id").as("id_a"), col("v").as("va"))
+    val b = banded.select(col("band"), col("bandval"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("band", "bandval"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "va", "id_b", "vb")
+      .distinct()
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") >= minCosine)
+      // no second rounding: round(round(x,6),4) lands on exact decimal
+      // halves whose binary-double representation engines round apart
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /**
+   * IVF-style ANN: corpus vectors are assigned to their nearest coarse
+   * centroid (a FIXED, md5-derived codebook — no training pass, so any
+   * engine reproduces the cells); each query probes its `nprobe`
+   * nearest centroids and exact-cosine re-ranks only those cells. The
+   * codebook-partitioned scan is the classic IVF scale shape: per-query
+   * work is nprobe/ncells of the corpus.
+   */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              ncells: Int = 16, nprobe: Int = 4, dim: Int = 64): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    // centroids from the same deterministic generator as the planes
+    val centroids: Array[Array[Double]] = Array.tabulate(ncells, dim) { (c, d) =>
+      md5Head32(s"centroid:$c:$d").toDouble / (1L << 31) - 1.0
+    }
+    val centB = spark.sparkContext.broadcast(centroids)
+    def cellsUdf(n: Int) = udf { (v: Seq[Float]) =>
+      val cs = centB.value
+      // rank cells by cosine to the vector, take top n
+      val sims = cs.indices.map { ci =>
+        val c = cs(ci)
+        var dot = 0.0; var nc = 0.0; var nv = 0.0
+        var d = 0
+        val len = math.min(c.length, v.length)
+        while (d < len) { dot += c(d) * v(d); nc += c(d) * c(d); nv += v(d).toDouble * v(d); d += 1 }
+        (ci, dot / (math.sqrt(nc) * math.sqrt(nv)))
+      }
+      sims.sortBy { case (ci, s) => (-s, ci) }.take(n).map(_._1)
+    }
+    val c = corpus.select(col("id").as("neighbor_id"), asDouble(col("embedding")).as("cv"),
+      explode(cellsUdf(1)(col("embedding"))).as("cell"))
+    val q = queries.select(col("id").as("query_id"), asDouble(col("embedding")).as("qv"),
+      explode(cellsUdf(nprobe)(col("embedding"))).as("cell"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "cv")
+      .distinct()
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("sim"))
   }
 
   /** First 8 md5 hex chars of `s` as an unsigned 32-bit value. */
@@ -116,6 +209,6 @@ object SimilarityOps {
     candidates
       .withColumn("rank", row_number().over(win))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("sim"))
   }
 }
