@@ -184,51 +184,72 @@ final class StreamingIngest(
       }
     }
 
-  /** One micro-batch: fan the canonical points out to all four tables. */
+  /**
+   * One micro-batch: fan the canonical points out to all tables.
+   *
+   * The single driver action per batch is one stats aggregate over the
+   * cached batch (materializing the cache in the process); it gates
+   * empty batches and lets the tagged/legacy writes be skipped when
+   * the batch carries no rows for them. The per-table writes then run
+   * CONCURRENTLY — the reference uploads tables from parallel
+   * per-uploader threads (uploader/base.go:65-214), and the jobs are
+   * independent appends over the shared cached batch. A failure in any
+   * write fails the batch; the replay overwrites the same batch dirs.
+   */
   private[streaming] def processBatch(batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
     val pts = GraphiteOps.withDate(batch, utcDate).cache()
     try {
-      // The single driver action per batch: an empty micro-batch would
-      // otherwise still pay four write jobs and litter empty batch dirs.
-      if (pts.isEmpty) return
-
-      writeBatch(
-        GraphiteOps.points(pts, blacklist, reverse = false, zeroTimestamp = true)
-          .withColumn("month", date_format(col("date"), "yyyyMM")),
-        pointsPath, batchId, Seq("month"), sortCols = Seq("path", "time"))
-      writeBatch(
-        GraphiteOps.points(pts, blacklist, reverse = true, zeroTimestamp = true)
-          .withColumn("month", date_format(col("date"), "yyyyMM")),
-        pointsReversePath, batchId, Seq("month"), sortCols = Seq("path", "time"))
+      val stats = pts.agg(
+        count(lit(1)).as("n"),
+        sum(when(GraphiteOps.isTagged(col("path")), 1L).otherwise(0L)).as("tagged")).first()
+      val n = stats.getLong(0)
+      if (n == 0) return
+      val nTagged = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+      val nPlain = n - nTagged
 
       val clearCache = cacheClearRequested
       if (clearCache) cacheClearRequested = false
 
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = StreamingIngest.writePool
+
+      val tasks = Seq.newBuilder[Future[Unit]]
+      tasks += Future(writeBatch(
+        GraphiteOps.points(pts, blacklist, reverse = false, zeroTimestamp = true)
+          .withColumn("month", date_format(col("date"), "yyyyMM")),
+        pointsPath, batchId, Seq("month"), sortCols = Seq("path", "time")))
+      tasks += Future(writeBatch(
+        GraphiteOps.points(pts, blacklist, reverse = true, zeroTimestamp = true)
+          .withColumn("month", date_format(col("date"), "yyyyMM")),
+        pointsReversePath, batchId, Seq("month"), sortCols = Seq("path", "time")))
+
       // Exists-cache semantics: only rows whose key is not already in the
       // TTL window of the accumulated table survive the anti-join.
-      // Committed only after a successful write (cached.go:108-110): a
-      // failed batch never renames its output into place, and the replay
-      // overwrites the same batch dir.
-      val newIndex = GraphiteOps
-        .indexExpandVersioned(pts, disableDailyIndex = disableDailyIndex)
-        .withColumn("udate", udateCol)
-      writeBatch(
-        dedupAgainstExisting(newIndex, indexPath,
-          keysOf(indexSchema, "date", "level", "path"), batchId, clearCache),
-        indexPath, batchId, Seq("udate"))
+      // Committed only after a successful write (cached.go:108-110).
+      if (nPlain > 0) tasks += Future {
+        val newIndex = GraphiteOps
+          .indexExpandVersioned(pts, disableDailyIndex = disableDailyIndex)
+          .withColumn("udate", udateCol)
+        writeBatch(
+          dedupAgainstExisting(newIndex, indexPath,
+            keysOf(indexSchema, "date", "level", "path"), batchId, clearCache),
+          indexPath, batchId, Seq("udate"))
+      }
 
-      val newTagged = GraphiteOps
-        .taggedExpandVersioned(pts, ignoredTaggedMetrics)
-        .withColumn("udate", udateCol)
-      writeBatch(
-        dedupAgainstExisting(newTagged, taggedPath,
-          keysOf(taggedSchema, "date", "tag1", "path"), batchId, clearCache),
-        taggedPath, batchId, Seq("udate"))
+      if (nTagged > 0) tasks += Future {
+        val newTagged = GraphiteOps
+          .taggedExpandVersioned(pts, ignoredTaggedMetrics)
+          .withColumn("udate", udateCol)
+        writeBatch(
+          dedupAgainstExisting(newTagged, taggedPath,
+            keysOf(taggedSchema, "date", "tag1", "path"), batchId, clearCache),
+          taggedPath, batchId, Seq("udate"))
+      }
 
       // legacy graphite-web table types (uploader/uploader.go:47-64),
       // same exists-cache + per-batch-dir machinery as the modern index
-      for (typ <- legacyTables) {
+      if (nPlain > 0) for (typ <- legacyTables) tasks += Future {
         val rows = (typ match {
           case "tree"           => GraphiteOps.treeExpandVersioned(pts)
           case "series"         => GraphiteOps.seriesExpandVersioned(pts, reverse = false)
@@ -239,6 +260,8 @@ final class StreamingIngest(
             keysOf(indexSchema, "date", "level", "path"), batchId, clearCache),
           legacyPath(typ), batchId, Seq("udate"))
       }
+
+      Await.result(Future.sequence(tasks.result()), Duration.Inf)
     } finally pts.unpersist()
   }
 
@@ -277,4 +300,18 @@ final class StreamingIngest(
 
   /** Legacy table read view ("tree", "series", "series-reverse"). */
   def legacyTable(typ: String): DataFrame = readOrEmpty(legacyPath(typ), indexSchema)
+}
+
+object StreamingIngest {
+  /** Shared pool for the concurrent per-table batch writes (the
+    * reference's per-uploader threads). Daemon threads; sized for the
+    * table fan-out, not the cluster — each task is a Spark job whose
+    * parallelism comes from the executors. */
+  private[streaming] lazy val writePool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+        val t = new Thread(r, "graft-table-writer")
+        t.setDaemon(true)
+        t
+      }))
 }
