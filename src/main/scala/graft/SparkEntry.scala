@@ -427,6 +427,15 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "m_media_batch" -> ((s, dir) => {
+      // partition-batched decode (mapPartitions, per-partition init) —
+      // the heavy-decoder plumbing shape; stub results match m_media_decode
+      val docs = table(s, dir, "documents").withColumn("blob", unhex(md5(col("text"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "image/fake")
+      MultimodalOps.decodeImageBatched(media)
+        .orderBy("media_id")
+    }),
+
     "m_media_frames" -> ((s, dir) => {
       // frame-sampling plumbing; rows-only check (binary slicing)
       val docs = table(s, dir, "documents").withColumn("blob", unhex(md5(col("text"))))
@@ -947,6 +956,14 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "m_media_decode" ->
+      """WITH hx AS (SELECT doc_id, md5(upper(md5(text))) AS h FROM documents)
+        |SELECT doc_id AS media_id, 16::BIGINT AS byte_len,
+        |       ('0x' || substr(h, 1, 2))::BIGINT AS width,
+        |       ('0x' || substr(h, 3, 2))::BIGINT AS height,
+        |       (('0x' || substr(h, 5, 2))::BIGINT % 3) AS channels_mod
+        |FROM hx ORDER BY media_id""".stripMargin,
+
+    "m_media_batch" ->
       """WITH hx AS (SELECT doc_id, md5(upper(md5(text))) AS h FROM documents)
         |SELECT doc_id AS media_id, 16::BIGINT AS byte_len,
         |       ('0x' || substr(h, 1, 2))::BIGINT AS width,

@@ -53,6 +53,47 @@ object MultimodalOps {
         (conv(substring(col("_hx"), 5, 2), 16, 10).cast("long") % 3).as("channels_mod"))
 
   /**
+   * Partition-batched decode — the REAL plumbing shape for a heavy
+   * decoder or model: one iterator-to-iterator `mapPartitions` pass,
+   * with a per-partition "model handle" opened once and rows processed
+   * in bounded batches (what a Pandas-UDF / mapInPandas pipeline does
+   * in the Python stack; this container has no codec libs, so the
+   * decode itself is the same deterministic md5 stub as
+   * [[decodeImageStub]] — results are identical and share its oracle).
+   */
+  def decodeImageBatched(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("byte_len", LongType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("channels_mod", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("content"), col("meta.byte_len").as("byte_len"))
+      .mapPartitions { rows =>
+        // per-partition init: a real decoder/model loads ONCE here
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+        rows.grouped(batchSize).flatMap { batch =>
+          // a real implementation hands the whole batch to the decoder;
+          // the stub derives dimensions from the content hash per row
+          batch.map { r =>
+            val content = r.getAs[Array[Byte]]("content")
+            md.reset()
+            val h = hex(md.digest(hex(content).toUpperCase.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            Row(
+              r.getAs[Long]("media_id"),
+              r.getAs[Long]("byte_len"),
+              java.lang.Long.parseLong(h.substring(0, 2), 16),
+              java.lang.Long.parseLong(h.substring(2, 4), 16),
+              java.lang.Long.parseLong(h.substring(4, 6), 16) % 3)
+          }
+        }
+      }(enc)
+  }
+
+  /**
    * Frame-sampling plumbing: emit every nth "frame" of a media blob as a
    * (media_id, frame_no, frame_bytes) row. The slicing is real (byte
    * ranges via substring on binary); frame boundaries are stubbed as

@@ -110,6 +110,7 @@ object IngestMain {
       ignoredTaggedMetrics = cfg.map(_.ignoredTaggedMetrics).getOrElse(Set.empty),
       legacyTables = cfg.map(_.legacyTables).getOrElse(Set.empty),
       hashCacheKeys = cfg.exists(_.hashCacheKeys))
+    spark.streams.addListener(new IngestMetricsListener(spool))
     if (once) {
       spool.rotate()
       ingest.runAvailableNow()

@@ -192,6 +192,30 @@ class IngestScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ingest.pointsTable().count() == 3)
   }
 
+  test("streaming listener feeds engine metrics back into the spool") {
+    val (ingest, work) = freshIngest()
+    val spool = new SpoolWriter(s"$work/spool", chunkIntervalMs = 100)
+    val listener = new IngestMetricsListener(spool, clock = () => 1625478999L)
+    spark.streams.addListener(listener)
+    try {
+      spoolLines(work, Seq("listen.a.b 1.0 1625478240"), nowSec)
+      ingest.runAvailableNow()
+      // the listener emits 3 points per progress event, asynchronously
+      val deadline = System.currentTimeMillis() + 10000
+      while (spool.pointsWritten.get() < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      spool.rotate()
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(s"$work/spool"))
+        .toArray.map(_.toString).filter(_.endsWith(".tsv"))
+      val content = files.map(f => java.nio.file.Files.readString(java.nio.file.Paths.get(f))).mkString
+      assert(content.contains("carbon.agents.graft.stream.inputRows"))
+      assert(content.contains("carbon.agents.graft.stream.batchDurationMs"))
+    } finally {
+      spark.streams.removeListener(listener)
+      spool.close()
+    }
+  }
+
   test("compaction bounds batch-dir count and preserves table contents") {
     val (ingest, work) = freshIngest(maxFiles = Some(1))
     // 6 chunks -> 6 micro-batches -> 6 batch dirs per table
