@@ -104,6 +104,67 @@ object TableCompactor {
     dirs.length
   }
 
+  /**
+   * Physical rollup of aged points — what GraphiteMergeTree does during
+   * background merges (tests/clickhouse/rollup/rollup.xml): every month
+   * partition wholly older than `olderThanSec` is rewritten with the
+   * rollup aggregation applied (pattern -> fn, age -> precision), so
+   * storage shrinks to one row per (path, precision bucket). Readers
+   * keep using the same rollup read view: rollup() over already-rolled
+   * rows is idempotent for sum/min/max; for avg the view must read the
+   * rolled value as a pre-aggregated point (the reference has the same
+   * semantics — once ClickHouse merges, the raw samples are gone).
+   *
+   * Uses the points-compaction crash contract: sources move to a
+   * hidden .trash dir before the rewritten partition renames in.
+   * Returns the number of month partitions rolled up.
+   */
+  def rollupPoints(spark: SparkSession, tableRoot: String,
+                   config: graft.core.Rollup.Config, nowSec: Long,
+                   olderThanSec: Long): Int = {
+    val f = fs(spark, tableRoot)
+    if (!f.exists(new Path(tableRoot))) return 0
+    val cutoffMonth = {
+      val d = java.time.LocalDate.ofEpochDay((nowSec - olderThanSec) / 86400)
+      d.getYear * 100 + d.getMonthValue
+    }
+    // month partitions live under every batch dir; batch=r* dirs are
+    // already-rolled output and must not be re-rolled (late-arriving
+    // aged batches simply produce an additional r-dir for the month,
+    // which the rollup read view re-aggregates)
+    val months = batchDirs(spark, tableRoot)
+      .filterNot(_.getName.startsWith("batch=r"))
+      .flatMap(b => f.listStatus(b).toSeq.filter(_.isDirectory).map(_.getPath))
+      .filter(_.getName.startsWith("month="))
+      .groupBy(_.getName.stripPrefix("month=").toInt)
+      .filter { case (m, _) => m < cutoffMonth }
+    if (months.isEmpty) return 0
+
+    val stamp = System.currentTimeMillis()
+    for ((month, dirs) <- months) {
+      val rows = spark.read.parquet(dirs.map(_.toString): _*)
+      val rolled = GraphiteOps.rollup(rows.select("path", "time", "value"), config, nowSec)
+        .select(
+          col("path"), col("value"), col("time"),
+          date_from_unix_date((col("time") / 86400L).cast("int")).as("date"),
+          lit(0L).as("timestamp"))
+        .repartition(1)
+        .sortWithinPartitions(col("path"), col("time"))
+      val tmp = new Path(tableRoot, s".rollup-$stamp-$month")
+      rolled.write.mode("overwrite").parquet(tmp.toString)
+      val trash = new Path(tableRoot, s".trash-rollup-$stamp-$month")
+      f.mkdirs(trash)
+      dirs.zipWithIndex.foreach { case (d, i) =>
+        require(f.rename(d, new Path(trash, s"$i-${d.getName}")), s"trash move failed for $d")
+      }
+      val dest = new Path(tableRoot, s"batch=r$stamp-$month/month=$month")
+      f.mkdirs(dest.getParent)
+      require(f.rename(tmp, dest), s"rename failed for $tmp")
+      f.delete(trash, true)
+    }
+    months.size
+  }
+
   /** Compact all four tables of a [[StreamingIngest]] layout. */
   def compactAll(spark: SparkSession, tablesDir: String): Map[String, Int] = Map(
     "points" -> compactPoints(spark, s"$tablesDir/points"),

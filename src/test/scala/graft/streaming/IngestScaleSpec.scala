@@ -192,6 +192,45 @@ class IngestScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ingest.pointsTable().count() == 3)
   }
 
+  test("rollup compaction rewrites aged month partitions (GraphiteMergeTree merge)") {
+    import graft.core.Rollup
+    val (ingest, work) = freshIngest()
+    val ss = spark; import ss.implicits._
+    // three samples of an avg path + two of a .sum path in Jan 2021
+    // (aged), one recent sample
+    val old1 = 1609459200L // 2021-01-01 00:00:00
+    val now = nowSec // pin: nowSec is a def
+    val batch = Seq(
+      ("aged.cpu.value", 1.0, old1, now),
+      ("aged.cpu.value", 3.0, old1 + 60, now),
+      ("aged.cpu.value", 5.0, old1 + 7200, now),
+      ("aged.req.sum", 2.0, old1, now),
+      ("aged.req.sum", 7.0, old1 + 60, now),
+      ("fresh.cpu.value", 9.0, now, now))
+      .toDF("path", "value", "time", "version")
+    ingest.processBatch(batch, 0L)
+    assert(ingest.pointsTable().count() == 6)
+
+    val cfg = Rollup.Config(
+      rules = Seq(Rollup.Rule("""\.sum$""".r, Rollup.Sum, Seq(Rollup.Retention(0, 3600)))),
+      default = Rollup.Rule("""^""".r, Rollup.Avg, Seq(Rollup.Retention(0, 3600))))
+    val rolled = TableCompactor.rollupPoints(spark, s"$work/tables/points", cfg, now,
+      olderThanSec = 30L * 86400)
+    assert(rolled == 1, "exactly the 202101 partition is aged")
+
+    val rows = ingest.pointsTable()
+      .select("path", "time", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set(
+      ("aged.cpu.value", old1, 2.0),        // avg(1,3) in hour bucket 0
+      ("aged.cpu.value", old1 + 7200, 5.0), // own bucket
+      ("aged.req.sum", old1, 9.0),          // sum(2,7)
+      ("fresh.cpu.value", now, 9.0)))       // untouched
+
+    // idempotent: nothing aged remains unrolled
+    assert(TableCompactor.rollupPoints(spark, s"$work/tables/points", cfg, now, 30L * 86400) == 0)
+  }
+
   test("streaming listener feeds engine metrics back into the spool") {
     val (ingest, work) = freshIngest()
     val spool = new SpoolWriter(s"$work/spool", chunkIntervalMs = 100)
