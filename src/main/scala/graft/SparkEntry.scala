@@ -802,8 +802,8 @@ object SparkEntry {
         |             THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sig
         |  FROM embeddings, planes GROUP BY 1),
         |banded AS (
-        |  SELECT vec_id, band, (sig >> (band * 3)) & 7 AS bandval
-        |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) bb),
+        |  SELECT vec_id, band, (sig >> (band * 6)) & 63 AS bandval
+        |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) bb),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bandval = b.bandval
