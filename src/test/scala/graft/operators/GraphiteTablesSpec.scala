@@ -1,0 +1,96 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.core.Rollup
+import graft.streaming.{SpoolWriter, StreamingIngest}
+
+/** The user-facing query layer over an ingested table layout. */
+class GraphiteTablesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var tables: GraphiteTables = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-query-layer")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val work = Files.createTempDirectory("graft-qlayer").toString
+    val spool = new SpoolWriter(s"$work/spool", chunkIntervalMs = 100)
+    val now = System.currentTimeMillis() / 1000
+    Seq(
+      "web.host1.cpu.load 1.0 1625478240",
+      "web.host1.cpu.load 2.0 1625478300",
+      "web.host2.cpu.load 3.0 1625478240",
+      "web.host2.mem.used 4.0 1625478240",
+      "db.host1.cpu.load 5.0 1625478240",
+      "req.count;dc=east;env=prod 6.0 1625478240",
+      "req.count;dc=west;env=prod 7.0 1625478240"
+    ).foreach(l => spool.writeLine(l, now))
+    spool.close()
+    val ingest = new StreamingIngest(spark, s"$work/spool", s"$work/tables", s"$work/ckpt")
+    ingest.runAvailableNow()
+    tables = new GraphiteTables(spark, s"$work/tables")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val d1 = java.sql.Date.valueOf("2021-07-01")
+  private val d2 = java.sql.Date.valueOf("2021-07-31")
+
+  test("glob routing picks the orientation with the longer literal head") {
+    assert(!tables.preferReverse("web.host1.*.load")) // "web.host1." beats "load."
+    assert(tables.preferReverse("*.host1.cpu.load"))  // "load.cpu.host1." beats ""
+    assert(tables.preferReverse("web.*.cpu.load"))    // "load.cpu." beats "web."
+    assert(tables.reverseGlob("*.host1.cpu.load") == "load.cpu.host1.*")
+  }
+
+  test("find: forward glob") {
+    val got = tables.find("web.*.cpu.load", d1, d2).collect().map(_.getString(0)).sorted
+    assert(got.toSeq == Seq("web.host1.cpu.load", "web.host2.cpu.load"))
+  }
+
+  test("find: suffix-heavy glob routes through the reverse index, returns forward paths") {
+    val got = tables.find("*.host1.cpu.load", d1, d2).collect().map(_.getString(0)).sorted
+    assert(got.toSeq == Seq("db.host1.cpu.load", "web.host1.cpu.load"))
+  }
+
+  test("seriesRange reads the window, reverse-routed globs included") {
+    val fwd = tables.seriesRange("web.host1.*.*", 1625478240L, 1625478300L)
+      .select("path", "value").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(fwd.toSeq == Seq(("web.host1.cpu.load", 1.0)))
+    val rev = tables.seriesRange("*.*.cpu.load", 1625478240L, 1625478400L)
+      .select("path", "value").collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._2)
+    assert(rev.toSeq == Seq(
+      ("web.host1.cpu.load", 1.0), ("web.host1.cpu.load", 2.0),
+      ("web.host2.cpu.load", 3.0), ("db.host1.cpu.load", 5.0)))
+  }
+
+  test("seriesRangeRollup aggregates per precision bucket") {
+    val cfg = Rollup.Config(Nil, Rollup.Rule("""^""".r, Rollup.Avg, Seq(Rollup.Retention(0, 3600))))
+    val got = tables.seriesRangeRollup("web.host1.cpu.*", 0L, 4102444800L, cfg, 1625480000L)
+      .select("path", "value", "points").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("web.host1.cpu.load", 1.5, 2L)))
+  }
+
+  test("tag browsing: keys, values, seriesByTag") {
+    assert(tables.tagKeys().collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("__name__", "dc", "env"))
+    assert(tables.tagValues("dc").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("east", "west"))
+    assert(tables.seriesByTag("dc", "east").collect().map(_.getString(0)).toSeq ==
+      Seq("req.count?dc=east&env=prod"))
+  }
+}
