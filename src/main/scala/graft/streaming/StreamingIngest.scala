@@ -273,6 +273,61 @@ final class StreamingIngest(
       .foreachBatch((df: DataFrame, id: Long) => processBatch(df, id))
       .start()
 
+  /**
+   * Live pre-aggregation stream: watermarked event-time windows over
+   * the same spool, appending FINALIZED buckets (path, bucket start,
+   * avg/sum/min/max/count) to a `points_<precision>s` table — the
+   * Structured Streaming-native half of the rollup story (the batch
+   * rollup views recompute; this materializes closed windows once).
+   * Late points beyond the watermark are dropped from the live table
+   * only — the raw points table still has them (§2.8: late data is
+   * accepted on the append-only path).
+   *
+   * Runs as its own query with its own checkpoint so it can lag or
+   * restart independently of the table fan-out, like a separate
+   * uploader in the reference.
+   */
+  def startLiveRollup(precisionSec: Int, watermarkDelaySec: Int,
+                      triggerMs: Long = 1000,
+                      availableNow: Boolean = false): StreamingQuery = {
+    // two independent consumers of one spool dir cannot compose with
+    // chunk deletion: whichever deletes first starves the other
+    require(!cleanSpool,
+      "startLiveRollup shares the spool with the table fan-out: construct StreamingIngest with cleanSpool = false")
+    val out = s"$tablesDir/points_${precisionSec}s"
+    val q = source()
+      .withColumn("ets", timestamp_seconds(col("time")))
+      .withWatermark("ets", s"$watermarkDelaySec seconds")
+      .groupBy(window(col("ets"), s"$precisionSec seconds"), col("path"))
+      .agg(
+        avg(col("value")).as("avg_value"),
+        sum(col("value")).as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        count(lit(1)).as("points"))
+      .select(
+        col("path"),
+        col("window.start").cast("long").as("bucket"),
+        col("avg_value"), col("sum_value"), col("min_value"), col("max_value"), col("points"))
+      .writeStream
+      .outputMode("append") // only watermark-finalized windows are written
+      .option("checkpointLocation", s"$checkpointDir-live$precisionSec")
+      .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(triggerMs))
+      .format("parquet")
+      .option("path", out)
+    q.start()
+  }
+
+  /** Read view of a live-rollup table. */
+  def liveRollupTable(precisionSec: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("path", StringType), StructField("bucket", LongType),
+      StructField("avg_value", DoubleType), StructField("sum_value", DoubleType),
+      StructField("min_value", DoubleType), StructField("max_value", DoubleType),
+      StructField("points", LongType)))
+    readOrEmpty(s"$tablesDir/points_${precisionSec}s", schema)
+  }
+
   /** Drain everything currently in the spool, then stop (for tests/backfill). */
   def runAvailableNow(): Unit = {
     val q = source().writeStream

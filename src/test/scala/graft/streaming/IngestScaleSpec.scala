@@ -192,6 +192,38 @@ class IngestScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ingest.pointsTable().count() == 3)
   }
 
+  test("live rollup: watermarked windows finalize and append once") {
+    val work = Files.createTempDirectory("graft-live").toString
+    val ingest = new StreamingIngest(spark, s"$work/spool", s"$work/tables", s"$work/ckpt",
+      cleanSpool = false)
+    val t0 = 1625478000L // aligned minute
+    // batch 1: two samples in minute 0, one in minute 1
+    spoolLines(work, Seq(
+      s"live.a 1.0 $t0", s"live.a 3.0 ${t0 + 30}", s"live.a 5.0 ${t0 + 60}"), nowSec)
+    var q = ingest.startLiveRollup(precisionSec = 60, watermarkDelaySec = 10, availableNow = true)
+    q.awaitTermination()
+    // watermark starts at 0 for the first batch -> nothing finalized yet
+    assert(ingest.liveRollupTable(60).count() == 0)
+
+    // batch 2: event time advances past minute 1 + delay -> minutes 0,1 close
+    spoolLines(work, Seq(s"live.a 7.0 ${t0 + 200}"), nowSec)
+    q = ingest.startLiveRollup(60, 10, availableNow = true)
+    q.awaitTermination()
+    spoolLines(work, Seq(s"live.a 9.0 ${t0 + 400}"), nowSec)
+    q = ingest.startLiveRollup(60, 10, availableNow = true)
+    q.awaitTermination()
+
+    val rows = ingest.liveRollupTable(60)
+      .select("path", "bucket", "avg_value", "sum_value", "points")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .sortBy(_._2)
+    assert(rows.toSeq == Seq(
+      ("live.a", t0, 2.0, 4.0, 2L),         // avg(1,3), sum 4
+      ("live.a", t0 + 60, 5.0, 5.0, 1L),
+      ("live.a", t0 + 180, 7.0, 7.0, 1L)),  // closed once watermark passed t0+250
+      s"finalized minute buckets expected, got ${rows.toSeq}")
+  }
+
   test("rollup compaction rewrites aged month partitions (GraphiteMergeTree merge)") {
     import graft.core.Rollup
     val (ingest, work) = freshIngest()
