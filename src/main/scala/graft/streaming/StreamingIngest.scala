@@ -261,7 +261,12 @@ final class StreamingIngest(
           legacyPath(typ), batchId, Seq("udate"))
       }
 
-      Await.result(Future.sequence(tasks.result()), Duration.Inf)
+      // drain EVERY write before surfacing a failure: rethrowing while a
+      // sibling job is still writing would let the batch retry overwrite
+      // a dir a zombie task is concurrently appending to
+      val results = tasks.result().map(f =>
+        Await.ready(f, Duration.Inf).value.get)
+      results.collectFirst { case scala.util.Failure(e) => throw e }
     } finally pts.unpersist()
   }
 
