@@ -13,6 +13,10 @@ import graft.operators.GraphiteOps
  * overhead. ClickHouse does this as background merges; here it is an
  * explicit job over the plain-parquet layout.
  *
+ * Run quiesced (or accept the documented windows): compaction is a
+ * maintenance job like ClickHouse's merges; a batch dir written WHILE
+ * a fold runs is simply not included and survives to the next fold.
+ *
  * Crash-safety contract (plain FS, no transactions — the production
  * path for this would be a transactional table format):
  *  - LWW tables (index/tagged): the compacted dir is renamed IN before
