@@ -162,25 +162,43 @@ object DedupOps {
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // words taken WITH multiplicity: term frequency is the signal that
     // separates documents drawn from a shared vocabulary.
-    // Plan shape: md5/conv computed ONCE per word in a projection, then 60
-    // cheap ±1 contribution columns, then plain sums. Sums partial-agg
-    // map-side, so the shuffle carries 60 longs per (doc, partition) — the
-    // only shape that survives a trillion-word corpus (an exchange of raw
-    // word rows would be faster on local[32] and disastrous on a cluster).
+    // Plan shape (4th A/B in tools/PlanScratch — 2.1x the 60-column
+    // variant at sf0.1): md5/conv ONCE per word in a projection, then a
+    // typed Aggregator whose buffer is one Array[Long](60) updated by an
+    // imperative loop — partial aggregation still combines map-side, so
+    // the shuffle carries one 60-long buffer per (doc, partition), the
+    // same bytes as 60 sum columns without evaluating 60 aggregate
+    // expression trees per word. Requires an integral id column.
+    val sp = docs.sparkSession
+    import sp.implicits._
     val wordRows = docs
-      .select(col(idCol).as("id"), explode(TextOps.words(col(textCol))).as("w"))
-      .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
-    val withContribs = wordRows.select(
-      col("id") +: (0 until 60).map(b =>
-        (expr(s"shiftright(h, $b) & 1") * 2 - 1).cast("long").as(s"c$b")): _*)
-    val bitSums = (0 until 60).map(b => sum(col(s"c$b")).as(s"s$b"))
-    val assemble = (0 until 60)
-      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
-      .reduce(_ + _)
-    withContribs
-      .groupBy("id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"), assemble.as("simhash"))
+      .select(col(idCol).cast("long").as("id"), explode(TextOps.words(col(textCol))).as("w"))
+      .select(col("id"),
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+      .as[(Long, Long)]
+    val simAgg = new org.apache.spark.sql.expressions.Aggregator[(Long, Long), Array[Long], Long] {
+      def zero: Array[Long] = new Array[Long](60)
+      def reduce(buf: Array[Long], row: (Long, Long)): Array[Long] = {
+        val h = row._2
+        var b = 0
+        while (b < 60) { buf(b) += ((h >>> b) & 1L) * 2 - 1; b += 1 }
+        buf
+      }
+      def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+        var i = 0
+        while (i < 60) { a(i) += b(i); i += 1 }
+        a
+      }
+      def finish(buf: Array[Long]): Long = {
+        var sig = 0L
+        var b = 0
+        while (b < 60) { if (buf(b) > 0) sig |= 1L << b; b += 1 }
+        sig
+      }
+      def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] = implicitly
+      def outputEncoder: org.apache.spark.sql.Encoder[Long] = implicitly
+    }
+    wordRows.groupByKey(_._1).agg(simAgg.toColumn.name("simhash")).toDF("id", "simhash")
   }
 
   /**

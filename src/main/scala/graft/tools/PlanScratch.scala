@@ -62,6 +62,40 @@ object PlanScratch {
         .select(col("id"), assemble.as("simhash")))
     }
 
+    // variant D: typed Aggregator, one Array[Long](60) buffer instead of
+    // 60 SUM aggregates (imperative update loop; leaves codegen)
+    time("D typed-aggregator") {
+      import spark.implicits._
+      val wordRows = docs
+        .select(col("doc_id").as("id"), explode(graft.operators.TextOps.words(col("text"))).as("w"))
+        .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
+        .select(col("id").as[Long], col("h").as[Long])
+      val simAgg = new org.apache.spark.sql.expressions.Aggregator[(Long, Long), Array[Long], Long] {
+        def zero: Array[Long] = new Array[Long](60)
+        def reduce(buf: Array[Long], row: (Long, Long)): Array[Long] = {
+          val h = row._2
+          var b = 0
+          while (b < 60) { buf(b) += ((h >>> b) & 1L) * 2 - 1; b += 1 }
+          buf
+        }
+        def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+          var i = 0
+          while (i < 60) { a(i) += b(i); i += 1 }
+          a
+        }
+        def finish(buf: Array[Long]): Long = {
+          var sig = 0L
+          var b = 0
+          while (b < 60) { if (buf(b) > 0) sig |= 1L << b; b += 1 }
+          sig
+        }
+        def bufferEncoder = implicitly[org.apache.spark.sql.Encoder[Array[Long]]]
+        def outputEncoder = implicitly[org.apache.spark.sql.Encoder[Long]]
+      }
+      materialize(
+        wordRows.groupByKey(_._1).agg(simAgg.toColumn.name("simhash")).toDF("id", "simhash"))
+    }
+
     args.headOption.foreach { q =>
       println(s"=== plan for $q ===")
       graft.SparkEntry.queries(q)(spark, sfDir).explain("formatted")
