@@ -45,6 +45,9 @@ object PickleProtocol {
   def decode(body: Array[Byte]): Seq[Point] = {
     val r = new Reader(body)
     val stack = scala.collection.mutable.ArrayBuffer.empty[Any]
+    // real python picklers ALWAYS emit memo puts (p/q/r/MEMOIZE) for
+    // protocols >= 0 — a VM without a memo rejects every real frame
+    val memo = scala.collection.mutable.HashMap.empty[Int, Any]
     var result: Any = null
     var done = false
 
@@ -103,6 +106,16 @@ object PickleProtocol {
         case 'N'  => stack += null // NONE
         case 0x88 => stack += true // NEWTRUE
         case 0x89 => stack += false // NEWFALSE
+        case ')'  => stack += Seq.empty // EMPTY_TUPLE
+        case '0'  => stack.remove(stack.length - 1) // POP
+        case '2'  => stack += stack.last // DUP
+        case 'p'  => memo(r.line().toInt) = stack.last // PUT (ascii)
+        case 'g'  => stack += memo(r.line().toInt) // GET (ascii)
+        case 'q'  => memo(r.u1) = stack.last // BINPUT
+        case 'r'  => memo(r.i4le) = stack.last // LONG_BINPUT
+        case 'h'  => stack += memo(r.u1) // BINGET
+        case 'j'  => stack += memo(r.i4le) // LONG_BINGET
+        case 0x94 => memo(memo.size) = stack.last // MEMOIZE (protocol 4)
         case '.'  => result = stack.remove(stack.length - 1); done = true // STOP
         case other => throw new IllegalArgumentException(f"unsupported pickle opcode 0x$other%02x")
       }

@@ -40,6 +40,8 @@ object EngineConfig {
       hash: String)
 
   final case class Config(
+      metricPrefix: String,
+      metricIntervalMs: Long,
       dataPath: Option[String],
       chunkIntervalMs: Long,
       chunkMaxBytes: Long,
@@ -123,6 +125,15 @@ object EngineConfig {
         templates = Toml.strings(doc, "convert_to_tagged", "templates"))
 
     Config(
+      // {host} placeholder resolved like the reference (carbon/config.go
+      // MetricPrefix default "carbon.agents.{host}")
+      metricPrefix = Toml.str(doc, "common", "metric-prefix")
+        .getOrElse("carbon.agents.{host}")
+        .replace("{host}",
+          scala.util.Try(java.net.InetAddress.getLocalHost.getHostName.replace('.', '_'))
+            .getOrElse("localhost")),
+      metricIntervalMs = Toml.str(doc, "common", "metric-interval")
+        .map(Toml.durationMs).getOrElse(60000L),
       dataPath = Toml.str(doc, "data", "path"),
       chunkIntervalMs = Toml.str(doc, "data", "chunk-interval").map(Toml.durationMs).getOrElse(1000L),
       chunkMaxBytes = Toml.long(doc, "data", "chunk-max-size").map(_ * 1024L * 1024L)

@@ -89,7 +89,9 @@ object IngestMain {
       val s = new FramedStoreServer(spool, p, tagConfig, storeR.drops); servers += s
       println(s"store (framed) listening on ${s.boundPort}")
     }
-    val collector = new SelfMetricsCollector(spool)
+    val collector = new SelfMetricsCollector(spool,
+      prefix = cfg.map(_.metricPrefix).getOrElse("carbon.agents.graft"),
+      intervalMs = cfg.map(_.metricIntervalMs).getOrElse(60000L))
     servers += collector
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -135,6 +135,28 @@ class ProtocolSpec extends AnyFunSuite {
       PickleProtocol.Point("metric.two", 1L, 2.0)))
   }
 
+  test("pickle decode: REAL python pickle.dumps bytes, protocols 0/1/2/4") {
+    // pickle.dumps([('proto.pickle.metric', (1625478240, 3.0)),
+    //               ('second.metric', (1625478300, 4.5))], protocol=p).hex()
+    // — includes the memo opcodes (p/q/MEMOIZE) every real sender emits
+    val goldens = Map(
+      0 -> ("286c70300a285670726f746f2e7069636b6c652e6d65747269630a70310a2849313632353437383234300a46332e300a74" +
+        "70320a7470330a6128567365636f6e642e6d65747269630a70340a2849313632353437383330300a46342e350a7470350a7470360a612e"),
+      1 -> ("5d71002828581300000070726f746f2e7069636b6c652e6d65747269637101284a60d4e2604740080000000000007471027471" +
+        "0328580d0000007365636f6e642e6d65747269637104284a9cd4e260474012000000000000747105747106652e"),
+      2 -> ("80025d710028581300000070726f746f2e7069636b6c652e6d657472696371014a60d4e26047400800000000000086710286710" +
+        "3580d0000007365636f6e642e6d657472696371044a9cd4e260474012000000000000867105867106652e"),
+      4 -> ("8004954f000000000000005d94288c1370726f746f2e7069636b6c652e6d6574726963944a60d4e26047400800000000000086948" +
+        "6948c0d7365636f6e642e6d6574726963944a9cd4e26047401200000000000086948694652e"))
+    val expected = Seq(
+      PickleProtocol.Point("proto.pickle.metric", 1625478240L, 3.0),
+      PickleProtocol.Point("second.metric", 1625478300L, 4.5))
+    for ((proto, hexStr) <- goldens) {
+      val bytes = hexStr.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      assert(PickleProtocol.decode(bytes) == expected, s"protocol $proto")
+    }
+  }
+
   // --- live servers over real sockets ---
   test("HTTP telegraf + framed StoreSync end-to-end into the spool") {
     val dir = Files.createTempDirectory("graft-proto").toString

@@ -117,6 +117,15 @@ class ConfigSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cfg.legacyTables.isEmpty)
   }
 
+  test("common section: metric prefix with {host} placeholder, interval") {
+    val cfg = EngineConfig.parse(
+      "[common]\nmetric-prefix = \"carbon.agents.{host}\"\nmetric-interval = \"30s\"\n")
+    assert(!cfg.metricPrefix.contains("{host}"))
+    assert(cfg.metricPrefix.startsWith("carbon.agents."))
+    assert(cfg.metricIntervalMs == 30000L)
+    assert(EngineConfig.parse("").metricIntervalMs == 60000L)
+  }
+
   test("duration and toml edge cases") {
     assert(Toml.durationMs("2m30s") == 150000)
     assert(Toml.durationMs("1h") == 3600000)
