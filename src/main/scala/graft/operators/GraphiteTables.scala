@@ -60,6 +60,26 @@ final class GraphiteTables(spark: SparkSession, tablesDir: String) {
   }
 
   /**
+   * Tree-based find (the date-less legacy lookup graphite-web uses when
+   * the daily index is disabled): glob over the tree rows of the merged
+   * index (level offset 20000), returning each match with its
+   * branch/leaf flag — branches are the dot-terminated ancestor prefix
+   * rows, leaves are full metric paths. The glob matches the node name
+   * WITHOUT the trailing dot, so `web.*` finds both the `web.host1.`
+   * branch and a `web.total` leaf.
+   */
+  def findTree(glob: String): DataFrame = {
+    val tree = index()
+      .filter(col("level") >= 20000 && col("level") < 30000)
+      .select(col("path"),
+        (!col("path").endsWith(".")).as("is_leaf"),
+        regexp_replace(col("path"), "\\.$", "").as("node"))
+    GraphiteOps.findGlob(tree.withColumnRenamed("path", "_p").withColumnRenamed("node", "path"), glob)
+      .select(col("path"), col("is_leaf"))
+      .distinct()
+  }
+
+  /**
    * Range read: raw points for paths matching the glob in
    * [fromSec, untilSec); routed to the better-pruning table. Output
    * rows always carry forward paths.

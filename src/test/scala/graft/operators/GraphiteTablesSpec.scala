@@ -85,6 +85,18 @@ class GraphiteTablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq(("web.host1.cpu.load", 1.5, 2L)))
   }
 
+  test("findTree: date-less lookup with branch/leaf flags (nodaily fallback)") {
+    val got = tables.findTree("web.*").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).sortBy(_._1)
+    assert(got.toSeq == Seq(("web.host1", false), ("web.host2", false)))
+    val leaves = tables.findTree("web.host1.cpu.*").collect()
+      .map(r => (r.getString(0), r.getBoolean(1)))
+    assert(leaves.toSeq == Seq(("web.host1.cpu.load", true)))
+    val mixed = tables.findTree("db.host1.*").collect()
+      .map(r => (r.getString(0), r.getBoolean(1)))
+    assert(mixed.toSeq == Seq(("db.host1.cpu", false)))
+  }
+
   test("tag browsing: keys, values, seriesByTag") {
     assert(tables.tagKeys().collect().map(_.getString(0)).sorted.toSeq ==
       Seq("__name__", "dc", "env"))
