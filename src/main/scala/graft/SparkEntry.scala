@@ -1011,7 +1011,7 @@ object SparkEntry {
         |           i -> ('0x' || substr(upper(md5(text)), i * 2 + 1, 2))::BIGINT) AS bytes
         |  FROM documents)
         |SELECT media_id, 16::BIGINT AS byte_len,
-        |       (list_sum(bytes) * 1000) // 16 AS byte_mean_milli,
+        |       ((list_sum(bytes) * 1000) // 16)::BIGINT AS byte_mean_milli,
         |       len(list_distinct(bytes))::BIGINT AS distinct_bytes,
         |       list_max(bytes) AS max_byte
         |FROM b ORDER BY media_id""".stripMargin,

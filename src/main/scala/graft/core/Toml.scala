@@ -77,6 +77,35 @@ object Toml {
     doc.keys.filter(_.startsWith(prefix + ".")).toSeq.sorted
 
   /**
+   * Reference Size option (helper/config/size.go:12-37): a bare integer
+   * is BYTES (the reference's tests use `chunk-max-size = 128` = 128
+   * bytes), a k/m/g suffix multiplies by 1024^n, negative is rejected.
+   * Accepts both TOML integers and quoted strings ("512m").
+   */
+  def sizeBytes(doc: Doc, table: String, key: String): Option[Long] =
+    doc.get(table).flatMap(_.get(key)).map {
+      case IntV(v) => require(v >= 0, s"size must be greater than 0: $key"); v
+      case Num(v)  => require(v >= 0, s"size must be greater than 0: $key"); v.toLong
+      case Str(s)  => parseSize(s)
+      case other   => throw new IllegalArgumentException(s"bad size for $key: $other")
+    }
+
+  /** "128" -> 128 bytes, "512k"/"64m"/"1g" -> suffixed multiples of 1024. */
+  def parseSize(s: String): Long = {
+    val t = s.trim.toLowerCase
+    require(t.nonEmpty, "empty size")
+    val (num, mult) = t.last match {
+      case 'k' => (t.dropRight(1).trim, 1024L)
+      case 'm' => (t.dropRight(1).trim, 1024L * 1024)
+      case 'g' => (t.dropRight(1).trim, 1024L * 1024 * 1024)
+      case _   => (t, 1L)
+    }
+    val v = num.toLong * mult
+    require(v >= 0, "size must be greater than 0")
+    v
+  }
+
+  /**
    * Go-style duration ("2m30s", "1h", "100ms", "0s") to milliseconds.
    * The reference treats a zero duration as "disabled" for drop windows.
    */

@@ -171,6 +171,15 @@ object DedupOps {
     // expression trees per word. Requires an integral id column.
     val sp = docs.sparkSession
     import sp.implicits._
+    // fail fast: a non-integral id would cast to null and silently
+    // collapse every document into one group with one bogus signature
+    val idType = docs.select(col(idCol)).schema.head.dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(idType),
+      s"simhash requires an integral id column; '$idCol' is $idType " +
+        "(hash string ids to long first, e.g. xxhash64)")
     val wordRows = docs
       .select(col(idCol).cast("long").as("id"), explode(TextOps.words(col(textCol))).as("w"))
       .select(col("id"),

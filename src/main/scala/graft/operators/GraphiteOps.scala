@@ -405,24 +405,42 @@ object GraphiteOps {
    * (`[^.]*`), `?` = one char, `{a,b}` = alternation, `[...]` passes
    * through as a char class — the same pattern language the blacklist
    * trie accepts (uploader/filter.go) and graphite-web uses for find.
+   *
+   * Context-sensitive like graphite-web's translation: `,` means
+   * alternation only INSIDE `{}` (a bare comma is a literal); `*`/`?`
+   * and the other glob metas pass through verbatim inside a `[...]`
+   * class; unbalanced `{`/`}` or an unclosed `[` is rejected rather
+   * than emitting an uncompilable regex that throws at query time.
    */
   def globToRegex(glob: String): String = {
     val sb = new StringBuilder("^")
+    var braces = 0  // `{}` nesting depth
+    var inClass = false // inside `[...]`
     var i = 0
     while (i < glob.length) {
-      glob.charAt(i) match {
+      val c = glob.charAt(i)
+      if (inClass) {
+        if (c == ']') inClass = false
+        // regex metas a glob class should treat literally
+        if (c == '\\' || c == '[') sb.append('\\')
+        sb.append(c)
+      } else c match {
         case '*' => sb.append("[^.]*")
         case '?' => sb.append("[^.]")
-        case '{' => sb.append("(?:")
-        case ',' => sb.append('|')
-        case '}' => sb.append(')')
-        case '[' => sb.append('[')
-        case ']' => sb.append(']')
-        case c if "\\.^$+()|".indexOf(c.toInt) >= 0 => sb.append('\\').append(c)
-        case c   => sb.append(c)
+        case '{' => braces += 1; sb.append("(?:")
+        case '}' =>
+          require(braces > 0, s"unbalanced '}' in glob: $glob")
+          braces -= 1; sb.append(')')
+        case ',' => if (braces > 0) sb.append('|') else sb.append(',')
+        case '[' => inClass = true; sb.append('[')
+        case ']' => sb.append("\\]")
+        case c2 if "\\.^$+()|".indexOf(c2.toInt) >= 0 => sb.append('\\').append(c2)
+        case c2  => sb.append(c2)
       }
       i += 1
     }
+    require(braces == 0, s"unbalanced '{' in glob: $glob")
+    require(!inClass, s"unclosed '[' in glob: $glob")
     sb.append('$').toString
   }
 

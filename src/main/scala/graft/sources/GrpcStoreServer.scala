@@ -3,7 +3,7 @@ package graft.sources
 import org.sparkproject.connect.grpc.{MethodDescriptor, Server, ServerBuilder, ServerServiceDefinition, Status}
 import org.sparkproject.connect.grpc.stub.{ServerCalls, StreamObserver}
 
-import graft.core.{DropFilter, GraphiteTags}
+import graft.core.{DropFilter, DroppedRing, GraphiteTags}
 import graft.streaming.SpoolWriter
 
 /**
@@ -33,10 +33,13 @@ final class GrpcStoreServer(
     clock: () => Long = () => System.currentTimeMillis() / 1000
 ) extends AutoCloseable {
 
+  /** Per-receiver dropped ring (receiver/base.go:16). */
+  val droppedRing = new DroppedRing(1000)
+
   private def handler(sync: Boolean): ServerCalls.UnaryMethod[Array[Byte], Array[Byte]] =
     new ServerCalls.UnaryMethod[Array[Byte], Array[Byte]] {
       override def invoke(request: Array[Byte], obs: StreamObserver[Array[Byte]]): Unit =
-        try CarbonStore.store(spool, tagConfig, drops, request, clock()) match {
+        try CarbonStore.store(spool, tagConfig, drops, request, clock(), Some(droppedRing)) match {
           case Right(_) =>
             if (sync) spool.flushCurrent() // durable-before-ack
             obs.onNext(Array.emptyByteArray) // google.protobuf.Empty

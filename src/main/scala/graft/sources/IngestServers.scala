@@ -7,7 +7,7 @@ import java.util.concurrent.atomic.AtomicBoolean
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
-import graft.core.{DropFilter, GraphiteTags}
+import graft.core.{DropFilter, DroppedRing, GraphiteTags}
 import graft.streaming.SpoolWriter
 
 /**
@@ -16,19 +16,38 @@ import graft.streaming.SpoolWriter
  * receivers (/root/reference/receiver/prometheus.go:173-191,
  * telegraf_http_json.go:139-150). Decoded points land in the spool with
  * the shared receive-time version stamp.
+ *
+ * Each endpoint applies ITS OWN receiver's drop windows (the reference
+ * configures [prometheus] and [telegraf_http_json] separately) and owns
+ * a per-receiver dropped ring; `debugRings` lets the other front-ends
+ * register theirs so this listener can serve the reference's
+ * /debug/receive/<type>/dropped/ routes (carbon/app.go:265-353).
  */
 final class HttpIngestServer(
     spool: SpoolWriter,
     port: Int,
     tagConfig: GraphiteTags.TagConfig = GraphiteTags.Disabled,
     telegrafConcat: String = "_",
-    drops: DropFilter = DropFilter.Empty,
+    promDrops: DropFilter = DropFilter.Empty,
+    telegrafDrops: DropFilter = DropFilter.Empty,
+    debugRings: Map[String, DroppedRing] = Map.empty,
+    onCacheClear: () => Unit = () => (),
     clock: () => Long = () => System.currentTimeMillis() / 1000
 ) extends AutoCloseable {
 
-  private def spoolIfAccepted(name: String, value: Double, ts: Long, now: Long): Unit =
+  /** Per-receiver dropped rings (receiver/base.go:16). */
+  val promRing = new DroppedRing(1000)
+  val telegrafRing = new DroppedRing(1000)
+
+  private def spoolIfAccepted(drops: DropFilter, ring: DroppedRing,
+                              name: String, value: Double, ts: Long, now: Long): Unit =
     if (drops.accepts(name, ts, now)) spool.write(name, value, ts, now)
-    else spool.droppedPoints.incrementAndGet()
+    else {
+      spool.droppedPoints.incrementAndGet()
+      // same shape as the reference's saveDropped (base.go:104-111)
+      ring.record(s"rcv:$now\tname:$name\ttimestamp:$ts\tvalue:$value", "drop filter")
+      spool.droppedRing.record(name, "drop filter")
+    }
 
   private val server = HttpServer.create(new InetSocketAddress(port), 64)
   server.setExecutor(Executors.newFixedThreadPool(4))
@@ -49,10 +68,34 @@ final class HttpIngestServer(
       val now = clock()
       val series = PrometheusRemoteWrite.decodeSnappy(readBody(ex))
       series.foreach { s =>
-        s.samples.foreach(p => spoolIfAccepted(s.canonicalName, p.value, p.timestampSec, now))
+        s.samples.foreach(p =>
+          spoolIfAccepted(promDrops, promRing, s.canonicalName, p.value, p.timestampSec, now))
       }
       respond(ex, 200)
     } catch { case e: Exception => respond(ex, 400, e.getMessage) }
+  })
+
+  // per-receiver dropped routes (carbon/app.go:265-353); the reference
+  // serves text/plain sorted lines — JSON here matches /debug/dropped
+  private val allRings =
+    debugRings ++ Map("prometheus" -> promRing, "telegraf_http_json" -> telegrafRing)
+  allRings.foreach { case (name, ring) =>
+    server.createContext(s"/debug/receive/$name/dropped/", (ex: HttpExchange) => {
+      val body = ring.dump()
+        .map { case (line, reason) =>
+          s"""{"line":${jsonStr(line)},"reason":${jsonStr(reason)}}"""
+        }
+        .mkString("[", ",", "]")
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      respond(ex, 200, body)
+    })
+  }
+
+  // admin analogue of the reference's SIGUSR1 exists-cache clear
+  // (carbon-clickhouse.go:146-148): POST/GET both accepted
+  server.createContext("/admin/clear-cache", (ex: HttpExchange) => {
+    onCacheClear()
+    respond(ex, 200, "cache clear requested\n")
   })
 
   // the reference's main triage surface: the last-1000 dropped lines
@@ -82,7 +125,7 @@ final class HttpIngestServer(
     try {
       val now = clock()
       val pts = TelegrafJson.decode(new String(readBody(ex), StandardCharsets.UTF_8), telegrafConcat)
-      pts.foreach(p => spoolIfAccepted(p.path, p.value, p.timestamp, now))
+      pts.foreach(p => spoolIfAccepted(telegrafDrops, telegrafRing, p.path, p.value, p.timestamp, now))
       respond(ex, 200)
     } catch { case e: Exception => respond(ex, 400, e.getMessage) }
   })
@@ -103,6 +146,9 @@ final class PickleServer(
     drops: DropFilter = DropFilter.Empty,
     clock: () => Long = () => System.currentTimeMillis() / 1000
 ) extends AutoCloseable {
+
+  /** Per-receiver dropped ring (receiver/base.go:16). */
+  val droppedRing = new DroppedRing(1000)
 
   private val server = new java.net.ServerSocket()
   server.setReuseAddress(true)
@@ -128,7 +174,13 @@ final class PickleServer(
                   GraphiteTags.normalize(tagConfig, graft.core.GraphitePath.removeDoubleDot(p.name)) match {
                     case Right(canonical) if !p.value.isNaN && drops.accepts(canonical, p.timestamp, now) =>
                       spool.write(canonical, p.value, p.timestamp, now)
-                    case _ => // dropped
+                    case Right(canonical) =>
+                      spool.droppedPoints.incrementAndGet()
+                      droppedRing.record(s"rcv:$now\tname:$canonical\ttimestamp:${p.timestamp}\tvalue:${p.value}",
+                        if (p.value.isNaN) "NaN value" else "drop filter")
+                    case Left(err) =>
+                      spool.parseErrors.incrementAndGet()
+                      droppedRing.record(p.name, err)
                   }
                 }
                 frame = PickleProtocol.readFrame(in)
@@ -166,7 +218,8 @@ private[sources] object CarbonStore {
   val MaxNameLen = 16384
 
   def store(spool: SpoolWriter, tagConfig: GraphiteTags.TagConfig, drops: DropFilter,
-            payload: Array[Byte], now: Long): Either[String, Int] = {
+            payload: Array[Byte], now: Long,
+            ring: Option[DroppedRing] = None): Either[String, Int] = {
     val metrics = CarbonPayload.decode(payload)
     // validate everything first (the reference fails the whole RPC)
     metrics.foreach { m =>
@@ -181,6 +234,11 @@ private[sources] object CarbonStore {
           m.points.foreach { p =>
             if (!p.value.isNaN && drops.accepts(canonical, p.timestamp, now)) {
               spool.write(canonical, p.value, p.timestamp, now); n += 1
+            } else {
+              spool.droppedPoints.incrementAndGet()
+              ring.foreach(_.record(
+                s"rcv:$now\tname:$canonical\ttimestamp:${p.timestamp}\tvalue:${p.value}",
+                if (p.value.isNaN) "NaN value" else "drop filter"))
             }
           }
         case Left(err) => return Left(err)
@@ -200,6 +258,9 @@ final class FramedStoreServer(
 
   val MaxNameLen: Int = CarbonStore.MaxNameLen
 
+  /** Per-receiver dropped ring (receiver/base.go:16). */
+  val droppedRing = new DroppedRing(1000)
+
   private val server = new java.net.ServerSocket()
   server.setReuseAddress(true)
   server.bind(new InetSocketAddress(port))
@@ -209,7 +270,7 @@ final class FramedStoreServer(
   def boundPort: Int = server.getLocalPort
 
   private def store(payload: Array[Byte], now: Long): Either[String, Int] =
-    CarbonStore.store(spool, tagConfig, drops, payload, now)
+    CarbonStore.store(spool, tagConfig, drops, payload, now, Some(droppedRing))
 
   private val acceptor = new Thread(() => {
     while (running.get()) {

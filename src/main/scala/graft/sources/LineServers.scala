@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 import java.util.concurrent.Executors
 import java.util.concurrent.atomic.AtomicBoolean
 
-import graft.core.{DropFilter, GraphiteTags}
+import graft.core.{DropFilter, DroppedRing, GraphiteTags}
 import graft.streaming.SpoolWriter
 
 /**
@@ -24,6 +24,9 @@ final class TcpLineServer(
     drops: DropFilter = DropFilter.Empty,
     clock: () => Long = () => System.currentTimeMillis() / 1000
 ) extends AutoCloseable {
+
+  /** Per-receiver dropped ring (receiver/base.go:16). */
+  val droppedRing = new DroppedRing(1000)
 
   private val server = new ServerSocket()
   server.setReuseAddress(true)
@@ -64,7 +67,7 @@ final class TcpLineServer(
             pending.write(buf, start, i - start)
             val line = new String(pending.toByteArray, StandardCharsets.UTF_8)
             pending.reset()
-            if (line.nonEmpty) spool.writeLine(line, now, tagConfig, drops)
+            if (line.nonEmpty) spool.writeLine(line, now, tagConfig, drops, Some(droppedRing))
             start = i + 1
           }
           i += 1
@@ -75,8 +78,9 @@ final class TcpLineServer(
       // EOF with no trailing '\n': the partial tail is dropped (tcp.go:83-96)
       if (pending.size() > 0) {
         spool.parseErrors.incrementAndGet()
-        spool.droppedRing.record(new String(pending.toByteArray, StandardCharsets.UTF_8),
-          "partial line at connection close")
+        val tail = new String(pending.toByteArray, StandardCharsets.UTF_8)
+        spool.droppedRing.record(tail, "partial line at connection close")
+        droppedRing.record(tail, "partial line at connection close")
       }
     } catch { case _: java.io.IOException => /* peer closed */ }
     finally sock.close()
@@ -97,6 +101,9 @@ final class UdpLineServer(
     drops: DropFilter = DropFilter.Empty,
     clock: () => Long = () => System.currentTimeMillis() / 1000
 ) extends AutoCloseable {
+
+  /** Per-receiver dropped ring (receiver/base.go:16). */
+  val droppedRing = new DroppedRing(1000)
 
   private val socket = new DatagramSocket(null)
   socket.setReuseAddress(true)
@@ -120,7 +127,7 @@ final class UdpLineServer(
           case i  => text.substring(0, i)
         }
         upToLastNl.split("\n").foreach { line =>
-          if (line.nonEmpty) spool.writeLine(line, now, tagConfig, drops)
+          if (line.nonEmpty) spool.writeLine(line, now, tagConfig, drops, Some(droppedRing))
         }
       } catch { case _: Exception if !running.get() => /* closing */ }
     }

@@ -136,8 +136,9 @@ object EngineConfig {
         .map(Toml.durationMs).getOrElse(60000L),
       dataPath = Toml.str(doc, "data", "path"),
       chunkIntervalMs = Toml.str(doc, "data", "chunk-interval").map(Toml.durationMs).getOrElse(1000L),
-      chunkMaxBytes = Toml.long(doc, "data", "chunk-max-size").map(_ * 1024L * 1024L)
-        .getOrElse(64L * 1024 * 1024),
+      // Size semantics (helper/config/size.go): bare int = bytes, k/m/g
+      // suffixes; 0 / absent = no size limit (writer.go:148 `maxSize == 0`)
+      chunkMaxBytes = Toml.sizeBytes(doc, "data", "chunk-max-size").getOrElse(0L),
       chunkAutoInterval = Toml.str(doc, "data", "chunk-auto-interval").filter(_.trim.nonEmpty)
         .map(s => graft.core.ChunkAutoInterval.parse(s,
           Toml.str(doc, "data", "chunk-interval").map(Toml.durationMs).getOrElse(1000L))),

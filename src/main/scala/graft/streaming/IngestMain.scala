@@ -43,7 +43,7 @@ object IngestMain {
     val tagConfig = cfg.map(_.tagConfig).getOrElse(graft.core.GraphiteTags.Disabled)
 
     val spool = new SpoolWriter(s"$work/spool", chunkIntervalMs = chunkMs,
-      chunkMaxBytes = cfg.map(_.chunkMaxBytes).getOrElse(64L * 1024 * 1024),
+      chunkMaxBytes = cfg.map(_.chunkMaxBytes).getOrElse(0L), // 0 = unlimited (writer.go:148)
       autoInterval = cfg.flatMap(_.chunkAutoInterval))
     val rotator = new Thread(() => {
       while (true) { Thread.sleep(chunkMs); spool.maybeRotate() }
@@ -52,42 +52,63 @@ object IngestMain {
     rotator.start()
 
     val servers = Seq.newBuilder[AutoCloseable]
+    val debugRings = Map.newBuilder[String, graft.core.DroppedRing]
     def port(flagName: String, r: EngineConfig.Receiver): Option[Int] =
       flag(flagName).map(_.toInt).orElse(if (r.enabled) r.port.orElse(Some(0)) else None)
 
     val tcpR = receiver(_.tcp)
     port("--tcp", tcpR).foreach { p =>
       val s = new TcpLineServer(spool, p, tagConfig, tcpR.drops); servers += s
+      debugRings += "tcp" -> s.droppedRing
       println(s"tcp listening on ${s.boundPort}")
     }
     val udpR = receiver(_.udp)
     port("--udp", udpR).foreach { p =>
       val s = new UdpLineServer(spool, p, tagConfig, udpR.drops); servers += s
+      debugRings += "udp" -> s.droppedRing
       println(s"udp listening on ${s.boundPort}")
     }
     val pickleR = receiver(_.pickle)
     port("--pickle", pickleR).foreach { p =>
       val s = new PickleServer(spool, p, tagConfig, pickleR.drops); servers += s
+      debugRings += "pickle" -> s.droppedRing
       println(s"pickle listening on ${s.boundPort}")
-    }
-    val promR = receiver(_.prometheus)
-    val telegrafR = receiver(_.telegraf)
-    val httpR = if (promR.enabled || telegrafR.enabled) promR.copy(enabled = true) else promR
-    port("--http", httpR).foreach { p =>
-      val s = new HttpIngestServer(spool, p, tagConfig,
-        cfg.map(_.telegrafConcat).getOrElse("_"), telegrafR.drops); servers += s
-      println(s"http (telegraf + prometheus) listening on ${s.boundPort}")
     }
     // the reference's [grpc] section boots the REAL gRPC Carbon service;
     // --store additionally offers the framed-TCP transport stand-in
     val storeR = receiver(_.store)
     port("--grpc", storeR).foreach { p =>
       val s = new GrpcStoreServer(spool, p, tagConfig, storeR.drops); servers += s
+      debugRings += "grpc" -> s.droppedRing
       println(s"grpc (Carbon service) listening on ${s.boundPort}")
     }
     flag("--store").map(_.toInt).foreach { p =>
       val s = new FramedStoreServer(spool, p, tagConfig, storeR.drops); servers += s
+      debugRings += "store" -> s.droppedRing
       println(s"store (framed) listening on ${s.boundPort}")
+    }
+    // Shared HTTP listener: each endpoint applies ITS OWN receiver's drop
+    // windows; the listen port comes from whichever section is enabled
+    // (prometheus wins if both name one). Also hosts the per-receiver
+    // /debug/receive/<type>/dropped/ routes and the admin cache clear.
+    val promR = receiver(_.prometheus)
+    val telegrafR = receiver(_.telegraf)
+    val httpEnabled = promR.enabled || telegrafR.enabled
+    val httpPort = flag("--http").map(_.toInt)
+      .orElse(if (promR.enabled) promR.port.orElse(Some(0)) else None)
+      .orElse(if (telegrafR.enabled) telegrafR.port.orElse(Some(0)) else None)
+      .orElse(if (httpEnabled) Some(0) else None)
+    // the streaming job is built after the servers; route the admin
+    // cache-clear through a holder so the HTTP front-end can reach it
+    @volatile var ingestHolder: StreamingIngest = null
+    httpPort.foreach { p =>
+      val s = new HttpIngestServer(spool, p, tagConfig,
+        cfg.map(_.telegrafConcat).getOrElse("_"),
+        promDrops = promR.drops, telegrafDrops = telegrafR.drops,
+        debugRings = debugRings.result(),
+        onCacheClear = () => Option(ingestHolder).foreach(_.clearExistsCache()))
+      servers += s
+      println(s"http (telegraf + prometheus) listening on ${s.boundPort}")
     }
     val collector = new SelfMetricsCollector(spool,
       prefix = cfg.map(_.metricPrefix).getOrElse("carbon.agents.graft"),
@@ -112,6 +133,11 @@ object IngestMain {
       ignoredTaggedMetrics = cfg.map(_.ignoredTaggedMetrics).getOrElse(Set.empty),
       legacyTables = cfg.map(_.legacyTables).getOrElse(Set.empty),
       hashCacheKeys = cfg.exists(_.hashCacheKeys))
+    ingestHolder = ingest
+    // SIGUSR1 clears the exists-caches like the reference
+    // (carbon-clickhouse.go:146-148); unavailable JVMs just skip it
+    scala.util.Try(sun.misc.Signal.handle(new sun.misc.Signal("USR1"),
+      (_: sun.misc.Signal) => ingest.clearExistsCache()))
     spark.streams.addListener(new IngestMetricsListener(spool))
     if (once) {
       spool.rotate()

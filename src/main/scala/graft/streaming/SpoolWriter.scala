@@ -30,7 +30,7 @@ import graft.core.{ChunkAutoInterval, DropFilter, DroppedRing, GraphiteTags, Pla
 final class SpoolWriter(
     dir: String,
     chunkIntervalMs: Long = 1000,
-    chunkMaxBytes: Long = 64L * 1024 * 1024,
+    chunkMaxBytes: Long = 0, // 0 = no size limit (writer.go:148)
     stripes: Int = SpoolWriter.DefaultStripes,
     autoInterval: Option[ChunkAutoInterval] = None
 ) extends AutoCloseable {
@@ -76,7 +76,7 @@ final class SpoolWriter(
       if (current == null) openChunk()
       current.write(line)
       currentBytes += line.length
-      if (currentBytes >= chunkMaxBytes) rotateLocked()
+      if (chunkMaxBytes > 0 && currentBytes >= chunkMaxBytes) rotateLocked()
     }
 
     def rotateLocked(): Unit = {
@@ -130,19 +130,27 @@ final class SpoolWriter(
   /**
    * Parse a raw plaintext protocol line and spool it; bad lines are
    * counted and dropped, as are points failing the receiver's drop
-   * filters (receiver/base.go:68-86 semantics).
+   * filters (receiver/base.go:68-86 semantics). Drops are recorded in
+   * the writer's aggregate ring AND, when given, the calling receiver's
+   * own ring (the reference keeps one ring per receiver, base.go:16).
    */
   def writeLine(line: String, now: Long,
                 config: GraphiteTags.TagConfig = GraphiteTags.Disabled,
-                drops: DropFilter = DropFilter.Empty): Boolean =
+                drops: DropFilter = DropFilter.Empty,
+                ring: Option[DroppedRing] = None): Boolean = {
+    def rec(reason: String): Unit = {
+      droppedRing.record(line, reason)
+      ring.foreach(_.record(line, reason))
+    }
     PlainProtocol.parseLine(line, now, config) match {
       case Right(p) if drops.accepts(p.name, p.timestamp, now) =>
         write(p.name, p.value, p.timestamp, now); true
       case Right(_) =>
-        droppedPoints.incrementAndGet(); droppedRing.record(line, "drop filter"); false
+        droppedPoints.incrementAndGet(); rec("drop filter"); false
       case Left(err) =>
-        parseErrors.incrementAndGet(); droppedRing.record(line, err); false
+        parseErrors.incrementAndGet(); rec(err); false
     }
+  }
 
   /**
    * Flush every stripe's buffer to its OS file — the StoreSync

@@ -64,8 +64,14 @@ object TableCompactor {
     if (dropIfAllEmpty(spark, tableRoot, dirs)) return dirs.length
     val f = fs(spark, tableRoot)
 
+    // read EXACTLY the listed dirs: a batch dir committed after the
+    // listing must not be folded into the output (it would then be both
+    // compacted AND left in place — the delete set below only covers the
+    // listed snapshot)
     val compacted = GraphiteOps
-      .lwwLatest(spark.read.parquet(tableRoot), keys, "version", payloadCols)
+      .lwwLatest(
+        spark.read.option("basePath", tableRoot).parquet(dirs.map(_.toString): _*),
+        keys, "version", payloadCols)
       .withColumn("udate", date_from_unix_date((col("version") / 86400L).cast("int")))
     val stamp = System.currentTimeMillis()
     val tmp = new Path(tableRoot, s".compact-$stamp")
@@ -91,7 +97,10 @@ object TableCompactor {
 
     val stamp = System.currentTimeMillis()
     val tmp = new Path(tableRoot, s".compact-$stamp")
-    spark.read.parquet(tableRoot)
+    // snapshot read of exactly the listed dirs (see compactLww): a dir
+    // committed between the listing and this job would otherwise be
+    // folded AND survive in place — double-counted by rollup
+    spark.read.option("basePath", tableRoot).parquet(dirs.map(_.toString): _*)
       .select("path", "value", "time", "date", "timestamp")
       .withColumn("month", date_format(col("date"), "yyyyMM"))
       .repartition(col("month"))

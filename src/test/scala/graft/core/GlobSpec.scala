@@ -55,6 +55,25 @@ class GlobSpec extends AnyFunSuite {
     })
   }
 
+  test("comma is literal outside braces; glob metas literal inside classes") {
+    // `a,b` is the literal path "a,b", NOT an alternation
+    assert(GraphiteOps.globToRegex("a,b").r.matches("a,b"))
+    assert(!GraphiteOps.globToRegex("a,b").r.matches("a"))
+    // but inside braces it alternates, including nested context
+    assert(GraphiteOps.globToRegex("{a,b},c").r.matches("a,c"))
+    assert(GraphiteOps.globToRegex("{a,b},c").r.matches("b,c"))
+    // `*` and `?` inside a character class are literal characters
+    assert(GraphiteOps.globToRegex("m[*]x").r.matches("m*x"))
+    assert(!GraphiteOps.globToRegex("m[*]x").r.matches("mzx"))
+    assert(GraphiteOps.globToRegex("m[?a]x").r.matches("m?x"))
+    assert(GraphiteOps.globToRegex("m[?a]x").r.matches("max"))
+    // unbalanced braces / unclosed class are rejected up front, not at
+    // rlike time with an uncompilable pattern
+    intercept[IllegalArgumentException](GraphiteOps.globToRegex("a{b"))
+    intercept[IllegalArgumentException](GraphiteOps.globToRegex("a}b"))
+    intercept[IllegalArgumentException](GraphiteOps.globToRegex("a[b"))
+  }
+
   test("alternation and char classes") {
     val re = GraphiteOps.globToRegex("evt.{purchase,refund}.u[0-3].*").r
     assert(re.matches("evt.purchase.u2.sum"))

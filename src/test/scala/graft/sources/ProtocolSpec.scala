@@ -288,6 +288,57 @@ class ProtocolSpec extends AnyFunSuite {
     } finally { http.close(); spool.close() }
   }
 
+  test("per-receiver dropped rings, per-endpoint drop filters, admin cache clear") {
+    val dir = Files.createTempDirectory("graft-rings").toString
+    val spool = new SpoolWriter(s"$dir/spool", chunkIntervalMs = 50)
+    val now = 1625478999L
+    // prometheus drops everything >1h old; telegraf has NO drop windows —
+    // the two endpoints must not share filters (carbon/config.go keeps
+    // [prometheus] and [telegraf_http_json] separate)
+    val tcp = new TcpLineServer(spool, port = 0,
+      drops = graft.core.DropFilter(dropPastSec = Some(3600), dropFutureSec = None, dropLongerThan = None),
+      clock = () => now)
+    @volatile var cleared = false
+    val http = new HttpIngestServer(spool, port = 0,
+      promDrops = graft.core.DropFilter(dropPastSec = Some(3600), dropFutureSec = None, dropLongerThan = None),
+      telegrafDrops = graft.core.DropFilter.Empty,
+      debugRings = Map("tcp" -> tcp.droppedRing),
+      onCacheClear = () => cleared = true,
+      clock = () => now)
+    try {
+      def get(path: String): String = {
+        val url = new java.net.URI(s"http://127.0.0.1:${http.boundPort}$path").toURL
+        new String(url.openStream().readAllBytes(), StandardCharsets.UTF_8)
+      }
+      def postTelegraf(body: String): Int = {
+        val url = new java.net.URI(s"http://127.0.0.1:${http.boundPort}/telegraf").toURL
+        val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8))
+        conn.getResponseCode
+      }
+      // an hour-old point: telegraf (no windows) accepts what prometheus would drop
+      val old = now - 7200
+      assert(postTelegraf(
+        s"""{"metrics":[{"name":"aged","timestamp":$old,"fields":{"value":1},"tags":{}}]}""") == 200)
+      assert(spool.droppedPoints.get() == 0, "telegraf endpoint has no drop windows")
+
+      // a TCP drop lands in the TCP receiver's own ring...
+      val sock = new java.net.Socket("127.0.0.1", tcp.boundPort)
+      sock.getOutputStream.write(s"stale.metric 1 $old\n".getBytes(StandardCharsets.UTF_8))
+      sock.getOutputStream.flush(); sock.close()
+      val deadline = System.currentTimeMillis() + 5000
+      while (tcp.droppedRing.size < 1 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(get("/debug/receive/tcp/dropped/").contains("stale.metric"))
+      // ...and NOT in the prometheus receiver's ring
+      assert(!get("/debug/receive/prometheus/dropped/").contains("stale.metric"))
+
+      // admin cache clear (SIGUSR1 analogue) reaches the engine hook
+      assert(get("/admin/clear-cache").contains("requested"))
+      assert(cleared)
+    } finally { tcp.close(); http.close(); spool.close() }
+  }
+
   test("self-metrics collector emits rate counters into the spool") {
     val dir = Files.createTempDirectory("graft-self").toString
     val spool = new SpoolWriter(s"$dir/spool", chunkIntervalMs = 50)

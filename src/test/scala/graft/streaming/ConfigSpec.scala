@@ -104,7 +104,9 @@ class ConfigSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("parses the reference e2e config template shape") {
     val cfg = EngineConfig.parse(referenceShapedConf)
     assert(cfg.chunkIntervalMs == 5000)
-    assert(cfg.chunkMaxBytes == 128L * 1024 * 1024)
+    // bare Size int is BYTES (helper/config/size.go; the reference's e2e
+    // template really does mean a 128-byte rotation cap)
+    assert(cfg.chunkMaxBytes == 128L)
     assert(cfg.utcDate)
     assert(cfg.tcp.enabled && cfg.tcp.port.contains(2003))
     assert(cfg.tcp.drops.isEmpty, "0s drop windows mean disabled")
@@ -124,6 +126,28 @@ class ConfigSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cfg.metricPrefix.startsWith("carbon.agents."))
     assert(cfg.metricIntervalMs == 30000L)
     assert(EngineConfig.parse("").metricIntervalMs == 60000L)
+  }
+
+  test("size option: bare bytes, k/m/g suffixes, 0 = unlimited") {
+    // helper/config/size.go semantics
+    assert(Toml.parseSize("128") == 128L)
+    assert(Toml.parseSize("512k") == 512L * 1024)
+    assert(Toml.parseSize("64m") == 64L * 1024 * 1024)
+    assert(Toml.parseSize("1g") == 1024L * 1024 * 1024)
+    intercept[Exception](Toml.parseSize("-1"))
+    // suffixed string form from the README ("512m") parses too
+    assert(EngineConfig.parse("[data]\nchunk-max-size = \"512m\"\n").chunkMaxBytes == 512L * 1024 * 1024)
+    // 0 / absent = no size limit (writer.go:148) -> rotation by interval only
+    assert(EngineConfig.parse("[data]\nchunk-max-size = 0\n").chunkMaxBytes == 0L)
+    assert(EngineConfig.parse("").chunkMaxBytes == 0L)
+    val dir = Files.createTempDirectory("graft-size").toString
+    val unlimited = new SpoolWriter(s"$dir/spool", chunkIntervalMs = 3600000, chunkMaxBytes = 0)
+    (1 to 100).foreach(i => unlimited.write(s"a.b.c$i", i.toDouble, 1625478240L, 1625478999L))
+    unlimited.close()
+    val chunks = Files.list(java.nio.file.Paths.get(s"$dir/spool")).toArray
+      .map(_.toString).count(_.endsWith(".tsv"))
+    assert(chunks <= SpoolWriter.DefaultStripes,
+      s"chunkMaxBytes=0 must not rotate per write (got $chunks chunks)")
   }
 
   test("duration and toml edge cases") {
