@@ -132,7 +132,10 @@ object IngestMain {
       cacheTtlDays = cfg.map(_.cacheTtlDays).getOrElse(1),
       ignoredTaggedMetrics = cfg.map(_.ignoredTaggedMetrics).getOrElse(Set.empty),
       legacyTables = cfg.map(_.legacyTables).getOrElse(Set.empty),
-      hashCacheKeys = cfg.exists(_.hashCacheKeys))
+      hashCacheKeys = cfg.exists(_.hashCacheKeys),
+      // online background-merge analogue; --compact-every 0 disables
+      compactEveryBatches =
+        flag("--compact-every").map(_.toInt).orElse(Some(300)).filter(_ > 0))
     ingestHolder = ingest
     // SIGUSR1 clears the exists-caches like the reference
     // (carbon-clickhouse.go:146-148); unavailable JVMs just skip it

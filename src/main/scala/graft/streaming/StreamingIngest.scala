@@ -50,7 +50,8 @@ final class StreamingIngest(
     ignoredTaggedMetrics: Set[String] = Set.empty,
     legacyTables: Set[String] = Set.empty, // of: tree, series, series-reverse
     hashCacheKeys: Boolean = false,
-    cleanSpool: Boolean = true
+    cleanSpool: Boolean = true,
+    compactEveryBatches: Option[Int] = None // online fold cadence; None = off
 ) {
   require(legacyTables.subsetOf(Set("tree", "series", "series-reverse")),
     s"unknown legacy table types: ${legacyTables -- Set("tree", "series", "series-reverse")}")
@@ -267,6 +268,17 @@ final class StreamingIngest(
       val results = tasks.result().map(f =>
         Await.ready(f, Duration.Inf).value.get)
       results.collectFirst { case scala.util.Failure(e) => throw e }
+
+      // Online compaction (ClickHouse background-merge analogue): every
+      // N batches, fold the batch dirs STRICTLY OLDER than this batch —
+      // they are checkpoint-committed and immutable (this stream is the
+      // only writer and writes only b<batchId>), so no quiesce is
+      // needed. Runs on the stream thread, so the next batch's
+      // exists-cache scan never races a dir rename. Keeps dir count —
+      // and with it per-batch file-listing cost — bounded under
+      // continuous 1 s ingest.
+      if (compactEveryBatches.exists(n => n > 0 && batchId > 0 && batchId % n == 0))
+        TableCompactor.onlineCompact(spark, tablesDir, fence = batchId, legacyTables)
     } finally pts.unpersist()
   }
 

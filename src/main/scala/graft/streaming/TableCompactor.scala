@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.util.concurrent.atomic.AtomicLong
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -7,21 +9,33 @@ import org.apache.spark.sql.functions._
 import graft.operators.GraphiteOps
 
 /**
- * Maintenance compaction for the streaming tables: per-batch micro-dirs
+ * Compaction for the streaming tables: per-batch micro-dirs
  * (`batch=b<id>`, one per 1 s trigger) accumulate forever otherwise,
  * degrading both the read views and the TTL anti-join with tiny-file
- * overhead. ClickHouse does this as background merges; here it is an
- * explicit job over the plain-parquet layout.
+ * and file-listing overhead. ClickHouse does this as background merges;
+ * here it is a two-tier fold over the plain-parquet layout:
  *
- * Run quiesced (or accept the documented windows): compaction is a
- * maintenance job like ClickHouse's merges; a batch dir written WHILE
- * a fold runs is simply not included and survives to the next fold.
+ *  - **Online tier** ([[onlineCompact]], called from inside the
+ *    streaming job every N batches): folds the `batch=b<id>` dirs with
+ *    `id < fence` into one `batch=c<stamp>` dir. The fence is the
+ *    CURRENT batch id — every older dir is checkpoint-committed and
+ *    immutable (the stream writes only its own `b<batchId>` dir), so
+ *    this needs NO quiesce. Cost is proportional to the N new batches,
+ *    never to table history.
+ *  - **Size-tiered c-fold** (same call): when `tier` or more c-dirs
+ *    exist, the `tier` smallest are folded into one. Dir sizes grow
+ *    geometrically, so a row is rewritten O(log history) times total —
+ *    the classic size-tiered-LSM bound; the table never gets rewritten
+ *    wholesale on the hot path.
+ *  - **Maintenance tier** ([[compactAll]]): full fold of every batch
+ *    dir into one, for offline housekeeping (or tests).
  *
  * Crash-safety contract (plain FS, no transactions — the production
  * path for this would be a transactional table format):
- *  - LWW tables (index/tagged): the compacted dir is renamed IN before
- *    the source dirs are removed. A crash in between leaves duplicate
- *    rows, which the LWW read views absorb — never wrong reads.
+ *  - LWW tables (index/tagged/legacy): the compacted dir is renamed IN
+ *    before the source dirs are removed. A crash in between leaves
+ *    duplicate rows, which the LWW read views absorb — never wrong
+ *    reads.
  *  - points: duplicates are semantically meaningful (rollup counts
  *    them), so the source dirs are moved to a hidden `.trash-*` dir
  *    before the compacted dir is renamed in. A crash in between leaves
@@ -29,6 +43,11 @@ import graft.operators.GraphiteOps
  *    back); readers see a gap until then, never double-counts.
  */
 object TableCompactor {
+
+  /** Monotonic stamp so two folds in the same millisecond (the online
+    * b-fold followed by a c-fold) never collide on a dir name. */
+  private val stampSeq = new AtomicLong()
+  private def nextStamp(): String = s"${System.currentTimeMillis()}-${stampSeq.incrementAndGet()}"
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -41,80 +60,140 @@ object TableCompactor {
       .map(_.getPath)
   }
 
+  /** Streamed dirs `batch=b<id>` with id strictly below the fence —
+    * checkpoint-committed, immutable, safe to fold online. */
+  private def bDirsBelow(spark: SparkSession, root: String, fence: Long): Seq[Path] =
+    batchDirs(spark, root).filter { p =>
+      val n = p.getName.stripPrefix("batch=")
+      n.startsWith("b") && n.drop(1).toLongOption.exists(_ < fence)
+    }
+
+  private def cDirs(spark: SparkSession, root: String): Seq[Path] =
+    batchDirs(spark, root).filter(_.getName.stripPrefix("batch=").startsWith("c"))
+
+  /**
+   * Read exactly `dirs` as one snapshot of the table. A batch dir
+   * committed after the caller listed `dirs` must NOT be folded into
+   * the output — it would then be both compacted AND left in place
+   * (the delete/trash set only covers the listed snapshot). Returns
+   * None when no listed dir has any data file (all-empty fold).
+   */
+  private def readDirs(spark: SparkSession, tableRoot: String, dirs: Seq[Path]): Option[DataFrame] =
+    try Some(spark.read.option("basePath", tableRoot).parquet(dirs.map(_.toString): _*))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Fold `dirs` of an LWW-shaped table (max-version row per key) into
+    * one new c-dir. Returns the number of dirs folded. */
+  private def foldLwwDirs(spark: SparkSession, tableRoot: String, dirs: Seq[Path],
+                          keys: Seq[String], payloadCols: Seq[String]): Int = {
+    if (dirs.length <= 1) return 0
+    val f = fs(spark, tableRoot)
+    readDirs(spark, tableRoot, dirs) match {
+      case None => // every listed dir is empty (all rows anti-joined away)
+        dirs.foreach(d => f.delete(d, true)); dirs.length
+      case Some(df) =>
+        val compacted = GraphiteOps.lwwLatest(df, keys, "version", payloadCols)
+          .withColumn("udate", date_from_unix_date((col("version") / 86400L).cast("int")))
+        val stamp = nextStamp()
+        val tmp = new Path(tableRoot, s".compact-$stamp")
+        compacted.write.mode("overwrite").partitionBy("udate").parquet(tmp.toString)
+        // new dir visible first, then sources removed: a crash in between
+        // leaves duplicates that the LWW read views absorb
+        require(f.rename(tmp, new Path(tableRoot, s"batch=c$stamp")), s"rename failed for $tmp")
+        dirs.foreach(d => f.delete(d, true))
+        dirs.length
+    }
+  }
+
+  /** Fold `dirs` of a points-shaped table (no dedup — duplicate points
+    * are data), re-clustered by (path, time) within monthly partitions.
+    * Returns the number of dirs folded. */
+  private def foldPointsDirs(spark: SparkSession, tableRoot: String, dirs: Seq[Path]): Int = {
+    if (dirs.length <= 1) return 0
+    val f = fs(spark, tableRoot)
+    readDirs(spark, tableRoot, dirs) match {
+      case None =>
+        dirs.foreach(d => f.delete(d, true)); dirs.length
+      case Some(df) =>
+        val stamp = nextStamp()
+        val tmp = new Path(tableRoot, s".compact-$stamp")
+        df.select("path", "value", "time", "date", "timestamp")
+          .withColumn("month", date_format(col("date"), "yyyyMM"))
+          .repartition(col("month"))
+          .sortWithinPartitions(col("path"), col("time"))
+          .write.mode("overwrite").partitionBy("month").parquet(tmp.toString)
+
+        // sources out of sight first (recoverable in .trash), THEN the
+        // compacted dir in — readers can never double-count points
+        val trash = new Path(tableRoot, s".trash-$stamp")
+        f.mkdirs(trash)
+        dirs.foreach(d => require(f.rename(d, new Path(trash, d.getName)), s"trash move failed for $d"))
+        require(f.rename(tmp, new Path(tableRoot, s"batch=c$stamp")), s"rename failed for $tmp")
+        f.delete(trash, true)
+        dirs.length
+    }
+  }
+
+  /** Size-tiered fold of accumulated c-dirs: when `tier` or more exist,
+    * fold the `tier` smallest into one. Geometric dir growth bounds a
+    * row's lifetime rewrites at O(log history). */
+  private def foldTier(spark: SparkSession, tableRoot: String, tier: Int,
+                       fold: Seq[Path] => Int): Int = {
+    val cs = cDirs(spark, tableRoot)
+    if (cs.length < tier) 0
+    else {
+      val f = fs(spark, tableRoot)
+      fold(cs.sortBy(p => f.getContentSummary(p).getLength).take(tier))
+    }
+  }
+
   /**
    * LWW-compact an index/tagged-shaped table: fold every batch dir into
    * one, keeping the max-version row per key. Returns the number of
    * batch dirs folded (0 = nothing to do).
    */
-  /** Batch dirs with no data files at all (a batch whose every row
-    * anti-joined away) can simply be removed. Returns true if the table
-    * had no data to compact. */
-  private def dropIfAllEmpty(spark: SparkSession, tableRoot: String, dirs: Seq[Path]): Boolean = {
-    val readable =
-      try { spark.read.parquet(tableRoot); false }
-      catch { case _: org.apache.spark.sql.AnalysisException => true }
-    if (readable) dirs.foreach(d => fs(spark, tableRoot).delete(d, true))
-    readable
-  }
-
   def compactLww(spark: SparkSession, tableRoot: String,
-                 keys: Seq[String], payloadCols: Seq[String]): Int = {
-    val dirs = batchDirs(spark, tableRoot)
-    if (dirs.length <= 1) return 0
-    if (dropIfAllEmpty(spark, tableRoot, dirs)) return dirs.length
-    val f = fs(spark, tableRoot)
-
-    // read EXACTLY the listed dirs: a batch dir committed after the
-    // listing must not be folded into the output (it would then be both
-    // compacted AND left in place — the delete set below only covers the
-    // listed snapshot)
-    val compacted = GraphiteOps
-      .lwwLatest(
-        spark.read.option("basePath", tableRoot).parquet(dirs.map(_.toString): _*),
-        keys, "version", payloadCols)
-      .withColumn("udate", date_from_unix_date((col("version") / 86400L).cast("int")))
-    val stamp = System.currentTimeMillis()
-    val tmp = new Path(tableRoot, s".compact-$stamp")
-    compacted.write.mode("overwrite").partitionBy("udate").parquet(tmp.toString)
-
-    // new dir visible first, then sources removed: a crash in between
-    // leaves duplicates that the LWW read views absorb
-    require(f.rename(tmp, new Path(tableRoot, s"batch=c$stamp")), s"rename failed for $tmp")
-    dirs.foreach(d => f.delete(d, true))
-    dirs.length
-  }
+                 keys: Seq[String], payloadCols: Seq[String]): Int =
+    foldLwwDirs(spark, tableRoot, batchDirs(spark, tableRoot), keys, payloadCols)
 
   /**
    * Fold a points-shaped table's batch dirs into one, re-clustered by
    * (path, time) within monthly partitions. No dedup — duplicate points
    * are data. Returns the number of batch dirs folded.
    */
-  def compactPoints(spark: SparkSession, tableRoot: String): Int = {
-    val dirs = batchDirs(spark, tableRoot)
-    if (dirs.length <= 1) return 0
-    if (dropIfAllEmpty(spark, tableRoot, dirs)) return dirs.length
-    val f = fs(spark, tableRoot)
+  def compactPoints(spark: SparkSession, tableRoot: String): Int =
+    foldPointsDirs(spark, tableRoot, batchDirs(spark, tableRoot))
 
-    val stamp = System.currentTimeMillis()
-    val tmp = new Path(tableRoot, s".compact-$stamp")
-    // snapshot read of exactly the listed dirs (see compactLww): a dir
-    // committed between the listing and this job would otherwise be
-    // folded AND survive in place — double-counted by rollup
-    spark.read.option("basePath", tableRoot).parquet(dirs.map(_.toString): _*)
-      .select("path", "value", "time", "date", "timestamp")
-      .withColumn("month", date_format(col("date"), "yyyyMM"))
-      .repartition(col("month"))
-      .sortWithinPartitions(col("path"), col("time"))
-      .write.mode("overwrite").partitionBy("month").parquet(tmp.toString)
-
-    // sources out of sight first (recoverable in .trash), THEN the
-    // compacted dir in — readers can never double-count points
-    val trash = new Path(tableRoot, s".trash-$stamp")
-    f.mkdirs(trash)
-    dirs.foreach(d => require(f.rename(d, new Path(trash, d.getName)), s"trash move failed for $d"))
-    require(f.rename(tmp, new Path(tableRoot, s"batch=c$stamp")), s"rename failed for $tmp")
-    f.delete(trash, true)
-    dirs.length
+  /**
+   * Online (quiesce-free) compaction, called from INSIDE the streaming
+   * job (see [[StreamingIngest.processBatch]]): every `batch=b<id>` dir
+   * with `id < fence` is committed and immutable, so folding it races
+   * with nothing — the stream only ever writes `b<fence>`, and this
+   * runs on the stream's own thread so the next batch's anti-join scan
+   * starts only after the fold finished. c-dirs are size-tiered-folded
+   * when `tier` of them accumulate.
+   *
+   * Returns dirs folded per table (b-fold + c-fold combined).
+   */
+  def onlineCompact(spark: SparkSession, tablesDir: String, fence: Long,
+                    legacyTables: Set[String] = Set.empty, tier: Int = 8): Map[String, Int] = {
+    def points(table: String): Int = {
+      val root = s"$tablesDir/$table"
+      foldPointsDirs(spark, root, bDirsBelow(spark, root, fence)) +
+        foldTier(spark, root, tier, foldPointsDirs(spark, root, _))
+    }
+    def lww(table: String, keys: Seq[String], payload: Seq[String]): Int = {
+      val root = s"$tablesDir/$table"
+      foldLwwDirs(spark, root, bDirsBelow(spark, root, fence), keys, payload) +
+        foldTier(spark, root, tier, foldLwwDirs(spark, root, _, keys, payload))
+    }
+    val idxKeys = Seq("date", "level", "path")
+    Map(
+      "points" -> points("points"),
+      "points_reverse" -> points("points_reverse"),
+      "index" -> lww("index", idxKeys, Nil),
+      "tagged" -> lww("tagged", Seq("date", "tag1", "path"), Seq("tags"))) ++
+      legacyTables.map(t => t -> lww(t.replace('-', '_'), idxKeys, Nil))
   }
 
   /**

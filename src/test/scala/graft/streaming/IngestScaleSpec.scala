@@ -317,4 +317,58 @@ class IngestScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     // compaction is idempotent / no-op on a single dir
     assert(TableCompactor.compactAll(spark, s"$work/tables").values.sum == 0)
   }
+
+  test("online compaction inside the stream bounds dir count with no quiesce") {
+    // Twin runs over the SAME 40-chunk input, one micro-batch per chunk:
+    // one with online compaction folding every 5 batches (tier=4 c-fold),
+    // one without. Contents must be identical; dir count must be bounded
+    // by pending-batches + tier, not by total batch count. No quiesce
+    // anywhere: the folds run inside processBatch while the stream runs.
+    val everyN = 5
+    val lines = (0 until 40).map(i =>
+      Seq(s"oc.m${i % 7}.v $i.0 ${1625478240L + i}", "oc.shared.v 2.0 1625478240"))
+
+    def run(compact: Boolean): (StreamingIngest, String) = {
+      val work = Files.createTempDirectory("graft-online").toString
+      val ingest = new StreamingIngest(spark, s"$work/spool", s"$work/tables", s"$work/ckpt",
+        maxFilesPerTrigger = Some(1),
+        compactEveryBatches = if (compact) Some(everyN) else None)
+      lines.foreach(batch => spoolLines(work, batch, nowSec))
+      ingest.runAvailableNow()
+      (ingest, work)
+    }
+    // the online path uses tier=8 by default via processBatch; drive the
+    // tiered c-fold harder by folding manually at tier=4 as well below
+    val (compacted, cWork) = run(compact = true)
+    val (plain, _) = run(compact = false)
+
+    def dirNames(t: String): Seq[String] = {
+      val f = new java.io.File(s"$cWork/tables/$t")
+      f.listFiles().toSeq.filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch="))
+    }
+    // 40 micro-batches; folds at batch 5,10,...,35 leave at most everyN
+    // uncompacted b-dirs (+ the in-flight one) and tier c-dirs
+    for (t <- Seq("points", "points_reverse", "index")) {
+      val names = dirNames(t)
+      val bCount = names.count(_.startsWith("batch=b"))
+      val cCount = names.count(_.startsWith("batch=c"))
+      assert(bCount <= everyN + 1, s"$t: $bCount uncompacted batch dirs, fold is not keeping up")
+      assert(cCount <= 8, s"$t: $cCount c-dirs, size-tiered fold is not bounding them")
+      assert(names.size < 40, s"$t: dir count must not track batch count")
+    }
+    // no trash/tmp residue
+    assert(new java.io.File(s"$cWork/tables/points").listFiles()
+      .forall(f => !f.getName.startsWith(".trash") && !f.getName.startsWith(".compact")))
+
+    // contents byte-identical to the uncompacted twin
+    assert(compacted.pointsTable().orderBy("path", "time").collect().toSeq ==
+      plain.pointsTable().orderBy("path", "time").collect().toSeq)
+    assert(compacted.pointsReverseTable().orderBy("path", "time").collect().toSeq ==
+      plain.pointsReverseTable().orderBy("path", "time").collect().toSeq)
+    assert(compacted.indexLatest().select("date", "level", "path")
+      .orderBy("date", "level", "path").collect().toSeq ==
+      plain.indexLatest().select("date", "level", "path")
+        .orderBy("date", "level", "path").collect().toSeq)
+    assert(compacted.pointsTable().count() == 80)
+  }
 }
