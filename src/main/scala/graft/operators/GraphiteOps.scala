@@ -355,7 +355,18 @@ object GraphiteOps {
     }
 
     val fn = fnFor(config.rules)
-    val bucketed = points
+    // Weight-aware re-aggregation: a `points` column carries per-row
+    // sample counts (physically rolled rows, TableCompactor.rollupPoints);
+    // absent or null means a raw sample with weight 1. avg over a bucket
+    // mixing rolled and late raw rows is then the TRUE mean — an average
+    // of averages weighted by their counts, not by 1. sum/min/max are
+    // idempotent under re-aggregation and need no weighting. With all
+    // weights 1, sum(v*1)/sum(1) is bit-identical to avg(v).
+    val weighted =
+      if (points.columns.contains("points"))
+        points.withColumn("_w", coalesce(col("points").cast("long"), lit(1L)))
+      else points.withColumn("_w", lit(1L))
+    val bucketed = weighted
       .withColumn("_fn", fn)
       .withColumn("_prec", precCase)
       .withColumn("bucket", (col("time") - (col("time") % col("_prec"))))
@@ -363,11 +374,11 @@ object GraphiteOps {
     bucketed
       .groupBy(col("path"), col("bucket"), col("_fn"))
       .agg(
-        avg(col("value")).as("_avg"),
+        (sum(col("value") * col("_w")) / sum(col("_w"))).as("_avg"),
         sum(col("value")).as("_sum"),
         min(col("value")).as("_min"),
         max(col("value")).as("_max"),
-        count(lit(1)).as("points"))
+        sum(col("_w")).as("points"))
       .select(
         col("path"),
         col("bucket").as("time"),

@@ -359,6 +359,29 @@ final class StreamingIngest(
 
   def pointsTable(): DataFrame = readOrEmpty(pointsPath, pointsSchema)
   def pointsReverseTable(): DataFrame = readOrEmpty(pointsReversePath, pointsSchema)
+
+  /** Rollup-weighted points view: raw rows read with weight 1,
+    * physically rolled rows (TableCompactor.rollupPoints) carry their
+    * persisted `points` sample count — GraphiteOps.rollup() over this
+    * view computes the TRUE mean for a bucket mixing rolled and late
+    * raw rows instead of an average of averages. mergeSchema unifies
+    * the 5-column raw dirs with the 6-column rolled dirs. */
+  def pointsTableWeighted(): DataFrame = {
+    val weightedSchema = StructType(pointsSchema.fields :+ StructField("points", LongType))
+    if (!tableExists(pointsPath))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], weightedSchema)
+    else
+      try {
+        val df = spark.read.option("mergeSchema", "true").parquet(pointsPath)
+        val withW =
+          if (df.columns.contains("points")) df.withColumn("points", coalesce(col("points"), lit(1L)))
+          else df.withColumn("points", lit(1L))
+        withW.select(weightedSchema.fieldNames.map(col).toSeq: _*)
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], weightedSchema)
+      }
+  }
   def indexTable(): DataFrame = readOrEmpty(indexPath, indexSchema)
   def taggedTable(): DataFrame = readOrEmpty(taggedPath, taggedSchema)
 

@@ -68,6 +68,11 @@ object TableCompactor {
       n.startsWith("b") && n.drop(1).toLongOption.exists(_ < fence)
     }
 
+  /** Canonical raw-points projection plus the rollup weight column:
+    * rolled rows (batch=r* heritage) carry their sample count, raw rows
+    * read as weight 1 via mergeSchema+coalesce at the view layer. */
+  private val PointsCols = Seq("path", "value", "time", "date", "timestamp")
+
   private def cDirs(spark: SparkSession, root: String): Seq[Path] =
     batchDirs(spark, root).filter(_.getName.stripPrefix("batch=").startsWith("c"))
 
@@ -117,7 +122,7 @@ object TableCompactor {
       case Some(df) =>
         val stamp = nextStamp()
         val tmp = new Path(tableRoot, s".compact-$stamp")
-        df.select("path", "value", "time", "date", "timestamp")
+        df.select(PointsCols.head, PointsCols.tail: _*)
           .withColumn("month", date_format(col("date"), "yyyyMM"))
           .repartition(col("month"))
           .sortWithinPartitions(col("path"), col("time"))
@@ -162,7 +167,11 @@ object TableCompactor {
    * are data. Returns the number of batch dirs folded.
    */
   def compactPoints(spark: SparkSession, tableRoot: String): Int =
-    foldPointsDirs(spark, tableRoot, batchDirs(spark, tableRoot))
+    // batch=r* dirs are already-rolled output: re-folding them would
+    // drop their persisted `points` weights (5-column select) and they
+    // are already one dir per rollup pass — leave them alone
+    foldPointsDirs(spark, tableRoot,
+      batchDirs(spark, tableRoot).filterNot(_.getName.startsWith("batch=r")))
 
   /**
    * Online (quiesce-free) compaction, called from INSIDE the streaming
@@ -201,11 +210,14 @@ object TableCompactor {
    * background merges (tests/clickhouse/rollup/rollup.xml): every month
    * partition wholly older than `olderThanSec` is rewritten with the
    * rollup aggregation applied (pattern -> fn, age -> precision), so
-   * storage shrinks to one row per (path, precision bucket). Readers
-   * keep using the same rollup read view: rollup() over already-rolled
-   * rows is idempotent for sum/min/max; for avg the view must read the
-   * rolled value as a pre-aggregated point (the reference has the same
-   * semantics — once ClickHouse merges, the raw samples are gone).
+   * storage shrinks to one row per (path, precision bucket). The rolled
+   * rows PERSIST their sample count in a `points` column, and rollup()
+   * weights avg re-aggregation by it — so a read bucket mixing a rolled
+   * row (weight k) with late raw rows (weight 1) yields the true mean,
+   * not an average-of-averages. sum/min/max are idempotent and need no
+   * weights. (This is strictly better than the reference: once
+   * ClickHouse's GraphiteMergeTree merges an avg bucket, the count is
+   * gone and late rows skew the re-merge.)
    *
    * Uses the points-compaction crash contract: sources move to a
    * hidden .trash dir before the rewritten partition renames in.
@@ -239,7 +251,7 @@ object TableCompactor {
         .select(
           col("path"), col("value"), col("time"),
           date_from_unix_date((col("time") / 86400L).cast("int")).as("date"),
-          lit(0L).as("timestamp"))
+          lit(0L).as("timestamp"), col("points"))
         .repartition(1)
         .sortWithinPartitions(col("path"), col("time"))
       val tmp = new Path(tableRoot, s".rollup-$stamp-$month")

@@ -261,6 +261,23 @@ class IngestScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // idempotent: nothing aged remains unrolled
     assert(TableCompactor.rollupPoints(spark, s"$work/tables/points", cfg, now, 30L * 86400) == 0)
+
+    // Weight preservation: the rolled avg row persists points=2 for the
+    // hour-0 bucket (avg(1,3)=2.0). A LATE raw row (8.0) lands in the
+    // same bucket; the weighted read view + rollup() must yield the true
+    // mean (1+3+8)/3 = 4.0 — NOT avg(avg)=(2.0+8.0)/2 = 5.0.
+    val late = Seq(("aged.cpu.value", 8.0, old1 + 120, now))
+      .toDF("path", "value", "time", "version")
+    ingest.processBatch(late, 1L)
+    val weighted = ingest.pointsTableWeighted()
+    assert(weighted.filter($"path" === "aged.cpu.value" && $"time" === old1)
+      .select("points").head().getLong(0) == 2L, "rolled row must persist its sample count")
+    val reRolled = graft.operators.GraphiteOps.rollup(weighted, cfg, now)
+      .filter($"path" === "aged.cpu.value" && $"time" === old1)
+      .select("value", "points").head()
+    assert(reRolled.getDouble(0) == 4.0,
+      s"mixed rolled+late bucket must weight by sample count, got ${reRolled.getDouble(0)}")
+    assert(reRolled.getLong(1) == 3L)
   }
 
   test("streaming listener feeds engine metrics back into the spool") {
