@@ -156,17 +156,26 @@ object SimilarityOps {
       }
       sims.sortBy { case (ci, s) => (-s, ci) }.take(n).map(_._1)
     }
-    val c = corpus.select(col("id").as("neighbor_id"), asDouble(col("embedding")).as("cv"),
+    // candidates carry ONLY 8-byte ids through the cell join and the
+    // distinct — same shape as cosineNearDuplicates (15x measured win):
+    // vectors join back per-id AFTER dedup, so no array-typed shuffle
+    // or distinct key exists anywhere in the plan
+    val c = corpus.select(col("id").as("neighbor_id"),
       explode(cellsUdf(1)(col("embedding"))).as("cell"))
-    val q = queries.select(col("id").as("query_id"), asDouble(col("embedding")).as("qv"),
+    val q = queries.select(col("id").as("query_id"),
       explode(cellsUdf(nprobe)(col("embedding"))).as("cell"))
+    val cand = q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val qv = queries.select(col("id").as("query_id"), asDouble(col("embedding")).as("qv"))
+    val cv = corpus.select(col("id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    q.join(c, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv")
-      .distinct()
+    cand
+      .join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
       .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
       .withColumn("rank", row_number().over(win))
       .filter(col("rank") <= k)
@@ -222,25 +231,29 @@ object SimilarityOps {
 
     val bandBits = nbits / bands
     val mask = (1L << bandBits) - 1
-    def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame =
-      df.select(col("id").as(idAs), asDouble(col("embedding")).as(vecAs),
-          sigUdf(col("embedding")).as("sig"))
-        .select(col(idAs), col(vecAs), explode(sequence(lit(0), lit(bands - 1))).as("band"),
-          col("sig"))
+    // candidates carry ONLY 8-byte ids through the band join and the
+    // distinct — the cosineNearDuplicates shape (15x measured at
+    // sf0.1): vectors join back per-id AFTER dedup, so no array-typed
+    // shuffle or distinct key exists anywhere in the plan
+    def banded(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("id").as(idAs), sigUdf(col("embedding")).as("sig"))
+        .select(col(idAs), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
         .withColumn("bandval", expr(s"shiftright(sig, cast(band * $bandBits as int)) & $mask"))
         .drop("sig")
 
-    val q = banded(queries, "query_id", "qv")
-    val c = banded(corpus, "neighbor_id", "cv")
-    val candidates = q.join(c, Seq("band", "bandval"))
+    val cand = banded(queries, "query_id").join(banded(corpus, "neighbor_id"), Seq("band", "bandval"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv")
+      .select("query_id", "neighbor_id")
       .distinct()
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val qv = queries.select(col("id").as("query_id"), asDouble(col("embedding")).as("qv"))
+    val cv = corpus.select(col("id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    candidates
+    cand
+      .join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
       .withColumn("rank", row_number().over(win))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("sim"))

@@ -67,6 +67,40 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ANN candidate shuffles carry no array-typed keys") {
+    // lshTopK/ivfTopK/cosineNearDuplicates candidates must travel as
+    // 8-byte id pairs: vectors join back only AFTER the distinct. An
+    // array-typed join/distinct/exchange key means a 64-dim vector is
+    // being dragged through the candidate shuffle — the wrong shape at
+    // scale even when sf0.01 timings look fine.
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.types.ArrayType
+    for (q <- Seq("s_ann_lsh", "s_ann_ivf", "d_dedup_cosine")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
+      def noArray(what: String, exprs: Seq[Expression]): Unit =
+        assert(!exprs.exists(_.dataType.isInstanceOf[ArrayType]),
+          s"$q: $what keys must not be array-typed: $exprs")
+      plan.foreach {
+        case j: SortMergeJoinExec    => noArray("SMJ", j.leftKeys ++ j.rightKeys)
+        case j: ShuffledHashJoinExec => noArray("SHJ", j.leftKeys ++ j.rightKeys)
+        case j: BroadcastHashJoinExec => noArray("BHJ", j.leftKeys ++ j.rightKeys)
+        case a: HashAggregateExec    => noArray("agg", a.groupingExpressions)
+        case a: ObjectHashAggregateExec => noArray("agg", a.groupingExpressions)
+        case a: SortAggregateExec    => noArray("agg", a.groupingExpressions)
+        case e: ShuffleExchangeExec =>
+          val parts = e.outputPartitioning match {
+            case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning => h.expressions
+            case _ => Nil
+          }
+          noArray("exchange", parts)
+        case _ => ()
+      }
+    }
+  }
+
   test("points storage layout prunes monthly partitions") {
     val work = java.nio.file.Files.createTempDirectory("graft-prune").toString
     val ss = spark; import ss.implicits._
