@@ -45,6 +45,7 @@ object EngineConfig {
       dataPath: Option[String],
       chunkIntervalMs: Long,
       chunkMaxBytes: Long,
+      compression: String,
       chunkAutoInterval: Option[graft.core.ChunkAutoInterval],
       utcDate: Boolean,
       tcp: Receiver,
@@ -139,6 +140,14 @@ object EngineConfig {
       // Size semantics (helper/config/size.go): bare int = bytes, k/m/g
       // suffixes; 0 / absent = no size limit (writer.go:148 `maxSize == 0`)
       chunkMaxBytes = Toml.sizeBytes(doc, "data", "chunk-max-size").getOrElse(0L),
+      // [data] compression (carbon/config.go:95): reference takes
+      // none|lz4; the Spark-spool analogue is none|gzip (SpoolWriter doc)
+      compression = Toml.str(doc, "data", "compression").getOrElse("none") match {
+        case "none" => "none"
+        case "gzip" | "lz4" => "gzip" // lz4 accepted, served by gzip (divergence)
+        case other  => throw new IllegalArgumentException(
+          s"Compression algorithm '$other' not supported")
+      },
       chunkAutoInterval = Toml.str(doc, "data", "chunk-auto-interval").filter(_.trim.nonEmpty)
         .map(s => graft.core.ChunkAutoInterval.parse(s,
           Toml.str(doc, "data", "chunk-interval").map(Toml.durationMs).getOrElse(1000L))),

@@ -44,7 +44,8 @@ object IngestMain {
 
     val spool = new SpoolWriter(s"$work/spool", chunkIntervalMs = chunkMs,
       chunkMaxBytes = cfg.map(_.chunkMaxBytes).getOrElse(0L), // 0 = unlimited (writer.go:148)
-      autoInterval = cfg.flatMap(_.chunkAutoInterval))
+      autoInterval = cfg.flatMap(_.chunkAutoInterval),
+      compression = flag("--compress").orElse(cfg.map(_.compression)).getOrElse("none"))
     val rotator = new Thread(() => {
       while (true) { Thread.sleep(chunkMs); spool.maybeRotate() }
     }, "spool-rotator")

@@ -32,9 +32,18 @@ final class SpoolWriter(
     chunkIntervalMs: Long = 1000,
     chunkMaxBytes: Long = 0, // 0 = no size limit (writer.go:148)
     stripes: Int = SpoolWriter.DefaultStripes,
-    autoInterval: Option[ChunkAutoInterval] = None
+    autoInterval: Option[ChunkAutoInterval] = None,
+    compression: String = "none" // "none" | "gzip" ([data] compression)
 ) extends AutoCloseable {
   require(stripes > 0)
+  // The reference offers none|lz4 (helper/config/compression.go:16-19,
+  // writer.go:200-232). lz4 has no JDK/Spark-text codec; gzip is the
+  // spool-compression analogue Spark's csv source decompresses natively
+  // by the .gz extension — a DOCUMENTED DIVERGENCE in algorithm only.
+  require(compression == "none" || compression == "gzip",
+    s"Compression algorithm '$compression' not supported")
+  private val gz = compression == "gzip"
+  private val chunkExt = if (gz) ".tsv.gz" else ".tsv"
 
   private val spoolDir = Paths.get(dir)
   Files.createDirectories(spoolDir)
@@ -65,13 +74,20 @@ final class SpoolWriter(
 
     def openChunk(): Unit = {
       currentPath = spoolDir.resolve(
-        f"chunk-${System.currentTimeMillis()}%013d-$writerId-${seq.incrementAndGet()}%06d.tsv.tmp")
-      current = Files.newBufferedWriter(currentPath, StandardCharsets.UTF_8,
+        f"chunk-${System.currentTimeMillis()}%013d-$writerId-${seq.incrementAndGet()}%06d$chunkExt.tmp")
+      val fileOut = Files.newOutputStream(currentPath,
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      // syncFlush so flushCurrent() (the StoreSync durability point)
+      // pushes the current deflate block to the OS file, not a buffer
+      val out = if (gz) new java.util.zip.GZIPOutputStream(fileOut, 8192, true) else fileOut
+      current = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(out, StandardCharsets.UTF_8))
       currentBytes = 0L
       openedAt = System.currentTimeMillis()
     }
 
+    // size cap counts UNCOMPRESSED chars (with gzip the on-disk chunk is
+    // smaller; the cap still bounds the consumer's per-chunk work)
     def write(line: String): Unit = lock.synchronized {
       if (current == null) openChunk()
       current.write(line)
@@ -163,7 +179,7 @@ final class SpoolWriter(
     * the reference's "unhandled files" backpressure signal
     * (writer.go:146-162; requires the stream's cleanSource=delete). */
   def unhandledChunks(): Int = {
-    val ds = Files.newDirectoryStream(spoolDir, "*.tsv")
+    val ds = Files.newDirectoryStream(spoolDir, "*.{tsv,tsv.gz}")
     try {
       var n = 0
       val it = ds.iterator()

@@ -84,7 +84,7 @@ final class StreamingIngest(
     val r = spark.readStream
       .schema(spoolSchema)
       .option("sep", "\t")
-      .option("pathGlobFilter", "*.tsv") // never read in-flight .tmp chunks
+      .option("pathGlobFilter", "*.{tsv,tsv.gz}") // never read in-flight .tmp chunks; .gz decompresses by extension
     if (cleanSpool) r.option("cleanSource", "delete")
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
     r.csv(spoolDir)

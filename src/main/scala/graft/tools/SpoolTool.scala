@@ -43,14 +43,23 @@ object SpoolTool {
     s"${r.path}\t${r.value}\t${r.time}\t$date\t${r.version}"
   }
 
-  /** Salvage good rows; returns (good, bad) counts. */
+  /** Open a chunk for reading; .gz chunks (compression = "gzip")
+    * decompress transparently. */
+  private def chunkReader(path: String): java.io.BufferedReader = {
+    val in = Files.newInputStream(Paths.get(path))
+    val stream = if (path.endsWith(".gz")) new java.util.zip.GZIPInputStream(in) else in
+    new java.io.BufferedReader(new java.io.InputStreamReader(stream, StandardCharsets.UTF_8))
+  }
+
+  /** Salvage good rows; returns (good, bad) counts. A truncated gzip
+    * chunk (crash mid-write) keeps every row decoded before the cut. */
   def recover(in: String, out: String): (Long, Long) = {
     var good = 0L
     var bad = 0L
     val tmp = Paths.get(out + ".tmp")
     val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
     try {
-      val reader = Files.newBufferedReader(Paths.get(in), StandardCharsets.UTF_8)
+      val reader = chunkReader(in)
       try {
         var line = reader.readLine()
         while (line != null) {
@@ -61,6 +70,9 @@ object SpoolTool {
           }
           line = reader.readLine()
         }
+      } catch {
+        // truncated deflate stream: keep everything salvaged so far
+        case _: java.io.EOFException | _: java.util.zip.ZipException => bad += 1
       } finally reader.close()
     } finally w.close()
     // atomic visibility, same contract as SpoolWriter rotation
@@ -70,11 +82,19 @@ object SpoolTool {
 
   def main(args: Array[String]): Unit = args.toList match {
     case "cat" :: files if files.nonEmpty =>
-      for (f <- files; line <- Files.readAllLines(Paths.get(f), StandardCharsets.UTF_8).toArray(Array.empty[String]))
-        parseRow(line) match {
-          case Some(r) => println(render(r))
-          case None    => System.err.println(s"skip bad record: ${line.take(120)}")
-        }
+      for (f <- files) {
+        val r = chunkReader(f)
+        try {
+          var line = r.readLine()
+          while (line != null) {
+            parseRow(line) match {
+              case Some(row) => println(render(row))
+              case None      => System.err.println(s"skip bad record: ${line.take(120)}")
+            }
+            line = r.readLine()
+          }
+        } finally r.close()
+      }
     case "recover" :: in :: out :: Nil =>
       val (good, bad) = recover(in, out)
       System.err.println(s"recovered $good records, dropped $bad")

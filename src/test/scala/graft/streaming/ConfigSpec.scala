@@ -150,6 +150,43 @@ class ConfigSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"chunkMaxBytes=0 must not rotate per write (got $chunks chunks)")
   }
 
+  test("compression option parses and the streaming job reads a gzip spool end-to-end") {
+    // [data] compression (carbon/config.go:95): none|lz4 in the
+    // reference; gzip is the Spark-native analogue (lz4 maps to gzip as
+    // a documented divergence), anything else rejected like
+    // compression.go:41
+    assert(EngineConfig.parse("").compression == "none")
+    assert(EngineConfig.parse("[data]\ncompression = \"gzip\"\n").compression == "gzip")
+    assert(EngineConfig.parse("[data]\ncompression = \"lz4\"\n").compression == "gzip")
+    intercept[IllegalArgumentException](EngineConfig.parse("[data]\ncompression = \"zstd\"\n"))
+
+    val work = Files.createTempDirectory("graft-gz").toString
+    val spool = new SpoolWriter(s"$work/spool", chunkIntervalMs = 100, compression = "gzip")
+    spool.writeLine("gz.a.b 1.5 1625478240", 1625478999L)
+    spool.writeLine("gz.c.d 2.5 1625478300", 1625478999L)
+    spool.close()
+    val chunks = Files.list(java.nio.file.Paths.get(s"$work/spool")).toArray.map(_.toString)
+    assert(chunks.exists(_.endsWith(".tsv.gz")), s"expected gz chunks, got ${chunks.toSeq}")
+    assert(chunks.forall(!_.endsWith(".tsv")), "gzip writer must not emit plain chunks")
+
+    val ingest = new StreamingIngest(spark, s"$work/spool", s"$work/tables", s"$work/ckpt")
+    ingest.runAvailableNow()
+    val rows = ingest.pointsTable().select("path", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(rows == Set(("gz.a.b", 1.5), ("gz.c.d", 2.5)))
+
+    // SpoolTool reads gz chunks: recover keeps both rows
+    val out = s"$work/recovered.tsv"
+    // (the streaming job consumed+deleted the spool; write a fresh chunk)
+    val spool2 = new SpoolWriter(s"$work/spool2", chunkIntervalMs = 100, compression = "gzip")
+    spool2.writeLine("gz.e.f 3.5 1625478360", 1625478999L)
+    spool2.close()
+    val chunk2 = Files.list(java.nio.file.Paths.get(s"$work/spool2")).toArray
+      .map(_.toString).find(_.endsWith(".tsv.gz")).get
+    val (good, bad) = graft.tools.SpoolTool.recover(chunk2, out)
+    assert(good == 1 && bad == 0)
+  }
+
   test("duration and toml edge cases") {
     assert(Toml.durationMs("2m30s") == 150000)
     assert(Toml.durationMs("1h") == 3600000)
