@@ -32,6 +32,7 @@ final class HttpIngestServer(
     telegrafDrops: DropFilter = DropFilter.Empty,
     debugRings: Map[String, DroppedRing] = Map.empty,
     onCacheClear: () => Unit = () => (),
+    tls: Option[javax.net.ssl.SSLContext] = None, // tests/tls e2e intent
     clock: () => Long = () => System.currentTimeMillis() / 1000
 ) extends AutoCloseable {
 
@@ -49,7 +50,13 @@ final class HttpIngestServer(
       spool.droppedRing.record(name, "drop filter")
     }
 
-  private val server = HttpServer.create(new InetSocketAddress(port), 64)
+  private val server = tls match {
+    case Some(ctx) =>
+      val s = com.sun.net.httpserver.HttpsServer.create(new InetSocketAddress(port), 64)
+      s.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(ctx))
+      s
+    case None => HttpServer.create(new InetSocketAddress(port), 64)
+  }
   server.setExecutor(Executors.newFixedThreadPool(4))
 
   def boundPort: Int = server.getAddress.getPort

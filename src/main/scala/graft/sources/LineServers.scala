@@ -22,13 +22,17 @@ final class TcpLineServer(
     port: Int,
     tagConfig: GraphiteTags.TagConfig = GraphiteTags.Disabled,
     drops: DropFilter = DropFilter.Empty,
+    tls: Option[javax.net.ssl.SSLContext] = None, // tests/tls e2e intent
     clock: () => Long = () => System.currentTimeMillis() / 1000
 ) extends AutoCloseable {
 
   /** Per-receiver dropped ring (receiver/base.go:16). */
   val droppedRing = new DroppedRing(1000)
 
-  private val server = new ServerSocket()
+  private val server = tls match {
+    case Some(ctx) => ctx.getServerSocketFactory.createServerSocket()
+    case None      => new ServerSocket()
+  }
   server.setReuseAddress(true)
   server.bind(new InetSocketAddress(port))
   private val pool = Executors.newCachedThreadPool()

@@ -27,7 +27,14 @@ object EngineConfig {
   final case class Receiver(
       enabled: Boolean,
       port: Option[Int],
-      drops: DropFilter)
+      drops: DropFilter,
+      // listener-side TLS material, shaped like the reference's tls
+      // cert/key pairs (tests/tls `certificates = [{cert, key}]`)
+      tlsCert: Option[String] = None,
+      tlsKey: Option[String] = None) {
+    def tlsContext: Option[javax.net.ssl.SSLContext] =
+      for (c <- tlsCert; k <- tlsKey) yield graft.core.Tls.serverContext(c, k)
+  }
 
   final case class Upload(
       name: String,
@@ -102,7 +109,9 @@ object EngineConfig {
       drops = DropFilter(
         dropFutureSec = durSec(table, "drop-future"),
         dropPastSec = durSec(table, "drop-past"),
-        dropLongerThan = Toml.long(doc, table, "drop-longer-than").map(_.toInt).filter(_ > 0)))
+        dropLongerThan = Toml.long(doc, table, "drop-longer-than").map(_.toInt).filter(_ > 0)),
+      tlsCert = Toml.str(doc, s"$table.tls", "cert"),
+      tlsKey = Toml.str(doc, s"$table.tls", "key"))
 
     val uploads = Toml.tablesUnder(doc, "upload").map { t =>
       Upload(

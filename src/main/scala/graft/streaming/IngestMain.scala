@@ -59,7 +59,8 @@ object IngestMain {
 
     val tcpR = receiver(_.tcp)
     port("--tcp", tcpR).foreach { p =>
-      val s = new TcpLineServer(spool, p, tagConfig, tcpR.drops); servers += s
+      val s = new TcpLineServer(spool, p, tagConfig, tcpR.drops, tls = tcpR.tlsContext)
+      servers += s
       debugRings += "tcp" -> s.droppedRing
       println(s"tcp listening on ${s.boundPort}")
     }
@@ -107,7 +108,8 @@ object IngestMain {
         cfg.map(_.telegrafConcat).getOrElse("_"),
         promDrops = promR.drops, telegrafDrops = telegrafR.drops,
         debugRings = debugRings.result(),
-        onCacheClear = () => Option(ingestHolder).foreach(_.clearExistsCache()))
+        onCacheClear = () => Option(ingestHolder).foreach(_.clearExistsCache()),
+        tls = promR.tlsContext.orElse(telegrafR.tlsContext))
       servers += s
       println(s"http (telegraf + prometheus) listening on ${s.boundPort}")
     }
