@@ -44,7 +44,8 @@ object EngineConfig {
       ignoredPatterns: Seq[String],
       ignoredTaggedMetrics: Seq[String],
       disableDailyIndex: Boolean,
-      hash: String)
+      hash: String,
+      date: Option[String]) // tree-row date, "YYYY-MM-DD" (uploader/config.go:40)
 
   final case class Config(
       metricPrefix: String,
@@ -91,6 +92,14 @@ object EngineConfig {
     /** The reference's per-uploader `hash = "city64"` option: store an
       * 8-byte hash as the exists-cache key (uploader/hash.go:9-25). */
     def hashCacheKeys: Boolean = uploads.exists(u => u.hash.nonEmpty && u.hash != "no")
+
+    /** Configurable tree-row date (`date = "YYYY-MM-DD"` on the index /
+      * tree uploader, uploader/config.go:38-44, index.go:155-158);
+      * absent = the magic day 42 (1970-02-12, index.go:25). The
+      * reference parses in LOCAL time; UTC here matches utc-date mode. */
+    def treeDate: Option[java.sql.Date] =
+      uploads.filter(u => u.typ == "index" || u.typ == "tree")
+        .flatMap(_.date).headOption.map(java.sql.Date.valueOf)
   }
 
   def load(path: String): Config =
@@ -123,7 +132,8 @@ object EngineConfig {
         ignoredPatterns = Toml.strings(doc, t, "ignored-patterns"),
         ignoredTaggedMetrics = Toml.strings(doc, t, "ignored-tagged-metrics"),
         disableDailyIndex = Toml.bool(doc, t, "disable-daily-index"),
-        hash = Toml.str(doc, t, "hash").getOrElse(""))
+        hash = Toml.str(doc, t, "hash").getOrElse(""),
+        date = Toml.str(doc, t, "date").filter(_.nonEmpty))
     }
 
     val tagConfig =

@@ -138,7 +138,8 @@ object IngestMain {
       hashCacheKeys = cfg.exists(_.hashCacheKeys),
       // online background-merge analogue; --compact-every 0 disables
       compactEveryBatches =
-        flag("--compact-every").map(_.toInt).orElse(Some(300)).filter(_ > 0))
+        flag("--compact-every").map(_.toInt).orElse(Some(300)).filter(_ > 0),
+      treeDate = cfg.flatMap(_.treeDate))
     ingestHolder = ingest
     // SIGUSR1 clears the exists-caches like the reference
     // (carbon-clickhouse.go:146-148); unavailable JVMs just skip it

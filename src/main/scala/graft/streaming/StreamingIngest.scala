@@ -51,7 +51,8 @@ final class StreamingIngest(
     legacyTables: Set[String] = Set.empty, // of: tree, series, series-reverse
     hashCacheKeys: Boolean = false,
     cleanSpool: Boolean = true,
-    compactEveryBatches: Option[Int] = None // online fold cadence; None = off
+    compactEveryBatches: Option[Int] = None, // online fold cadence; None = off
+    treeDate: Option[java.sql.Date] = None // tree-row date; None = day 42
 ) {
   require(legacyTables.subsetOf(Set("tree", "series", "series-reverse")),
     s"unknown legacy table types: ${legacyTables -- Set("tree", "series", "series-reverse")}")
@@ -230,7 +231,9 @@ final class StreamingIngest(
       // Committed only after a successful write (cached.go:108-110).
       if (nPlain > 0) tasks += Future {
         val newIndex = GraphiteOps
-          .indexExpandVersioned(pts, disableDailyIndex = disableDailyIndex)
+          .indexExpandVersioned(pts,
+            treeDate = treeDate.getOrElse(graft.core.Dates.daysToDate(graft.core.Dates.DefaultTreeDate)),
+            disableDailyIndex = disableDailyIndex)
           .withColumn("udate", udateCol)
         writeBatch(
           dedupAgainstExisting(newIndex, indexPath,
@@ -252,7 +255,8 @@ final class StreamingIngest(
       // same exists-cache + per-batch-dir machinery as the modern index
       if (nPlain > 0) for (typ <- legacyTables) tasks += Future {
         val rows = (typ match {
-          case "tree"           => GraphiteOps.treeExpandVersioned(pts)
+          case "tree"           => GraphiteOps.treeExpandVersioned(pts,
+            treeDate.getOrElse(graft.core.Dates.daysToDate(graft.core.Dates.DefaultTreeDate)))
           case "series"         => GraphiteOps.seriesExpandVersioned(pts, reverse = false)
           case "series-reverse" => GraphiteOps.seriesExpandVersioned(pts, reverse = true)
         }).withColumn("udate", udateCol)

@@ -187,6 +187,26 @@ class ConfigSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(good == 1 && bad == 0)
   }
 
+  test("configurable tree date (uploader `date` key) reaches the index expansion") {
+    // absent -> magic day 42 default
+    assert(EngineConfig.parse(referenceShapedConf).treeDate.isEmpty)
+    val cfg = EngineConfig.parse(
+      "[upload.graphite_index]\ntype = \"index\"\ndate = \"2021-07-05\"\n")
+    assert(cfg.treeDate.contains(java.sql.Date.valueOf("2021-07-05")))
+
+    val work = Files.createTempDirectory("graft-treedate").toString
+    val spool = new SpoolWriter(s"$work/spool", chunkIntervalMs = 100)
+    spool.writeLine("td.a.b 1.0 1625478240", 1625478999L)
+    spool.close()
+    val ingest = new StreamingIngest(spark, s"$work/spool", s"$work/tables", s"$work/ckpt",
+      treeDate = cfg.treeDate)
+    ingest.runAvailableNow()
+    val treeDates = ingest.indexTable().filter(col("level") > 20000L)
+      .select("date").distinct().collect().map(_.getDate(0)).toSet
+    assert(treeDates == Set(java.sql.Date.valueOf("2021-07-05")),
+      s"tree rows must carry the configured date, got $treeDates")
+  }
+
   test("duration and toml edge cases") {
     assert(Toml.durationMs("2m30s") == 150000)
     assert(Toml.durationMs("1h") == 3600000)
