@@ -44,6 +44,31 @@ object SimilarityOps {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /**
+   * [[cosineUdf]] over the RAW float arrays: `Array[Float]` parameters
+   * deserialize via `ArrayData.toFloatArray` (a primitive copy — no
+   * per-element boxing like `Seq[Double]`), and each element is cast to
+   * double at use, which is bit-identical to transforming the array to
+   * double first. Marked nondeterministic ON PURPOSE: it is pure, but
+   * the marker stops Catalyst from (a) pushing the `sim >= min` filter
+   * into the vector join condition and (b) collapsing projections —
+   * both of which made the verify cosine evaluate TWICE per candidate
+   * pair (measured 2x on the sf0.1 verify phase).
+   */
+  private val cosineFloatUdf = udf { (a: Array[Float], b: Array[Float]) =>
+    val n = math.min(a.length, b.length)
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+    var na = 0.0
+    i = 0
+    while (i < a.length) { na += a(i).toDouble * a(i).toDouble; i += 1 }
+    var nb = 0.0
+    i = 0
+    while (i < b.length) { nb += b(i).toDouble * b(i).toDouble; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }.asNondeterministic()
+
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   /**
@@ -116,11 +141,14 @@ object SimilarityOps {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    val vecs = corpus.select(col("id"), asDouble(col("embedding")).as("v"))
+    // raw float vectors join back (no asDouble transform — the float
+    // UDF casts per element, bit-identically); nondeterministic UDF
+    // keeps the verify cosine evaluated ONCE per pair (see its doc)
+    val vecs = corpus.select(col("id"), col("embedding").as("v"))
     cand
       .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
-      .withColumn("sim", round(cosineUdf(col("va"), col("vb")), 6))
+      .withColumn("sim", round(cosineFloatUdf(col("va"), col("vb")), 6))
       .filter(col("sim") >= minCosine)
       // no second rounding: round(round(x,6),4) lands on exact decimal
       // halves whose binary-double representation engines round apart
