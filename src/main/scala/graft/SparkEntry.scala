@@ -850,7 +850,7 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c ASC) AS crank
         |  FROM cellsim),
         |assign AS (SELECT vec_id, c AS cell FROM ranked_cells WHERE crank = 1),
-        |probes AS (SELECT vec_id, c AS cell FROM ranked_cells WHERE crank <= 4 AND vec_id < 5),
+        |probes AS (SELECT vec_id, c AS cell FROM ranked_cells WHERE crank <= 6 AND vec_id < 5),
         |cand AS (
         |  SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
         |  FROM probes p JOIN assign a ON p.cell = a.cell

@@ -79,28 +79,46 @@ final class GraphiteTables(spark: SparkSession, tablesDir: String) {
       .distinct()
   }
 
+  /** Rollup-weighted table read: raw rows weight 1; physically rolled
+    * rows (TableCompactor.rollupPoints) contribute their persisted
+    * sample count so avg re-aggregation stays the true mean. */
+  private def pointsWeighted(name: String): DataFrame = {
+    val df = spark.read.option("mergeSchema", "true").parquet(s"$tablesDir/$name")
+    val w = if (df.columns.contains("points")) coalesce(col("points"), lit(1L)) else lit(1L)
+    df.select(col("path"), col("value"), col("time"), w.as("points"))
+  }
+
+  private def rangeOver(fwd: => DataFrame, rev: => DataFrame, glob: String,
+                        fromSec: Long, untilSec: Long): DataFrame = {
+    val window = (df: DataFrame) =>
+      df.filter(col("time") >= fromSec && col("time") < untilSec)
+    if (!preferReverse(glob))
+      window(GraphiteOps.findGlob(fwd, glob))
+    else
+      window(GraphiteOps.findGlob(rev, reverseGlob(glob)))
+        .withColumn("path", GraphiteOps.pathReverse(col("path")))
+  }
+
   /**
    * Range read: raw points for paths matching the glob in
    * [fromSec, untilSec); routed to the better-pruning table. Output
    * rows always carry forward paths.
    */
-  def seriesRange(glob: String, fromSec: Long, untilSec: Long): DataFrame = {
-    val window = (df: DataFrame) =>
-      df.filter(col("time") >= fromSec && col("time") < untilSec)
-    if (!preferReverse(glob))
-      window(GraphiteOps.findGlob(points(), glob))
-    else
-      window(GraphiteOps.findGlob(pointsReverse(), reverseGlob(glob)))
-        .withColumn("path", GraphiteOps.pathReverse(col("path")))
-  }
+  def seriesRange(glob: String, fromSec: Long, untilSec: Long): DataFrame =
+    rangeOver(points(), pointsReverse(), glob, fromSec, untilSec)
 
   /**
    * Rolled-up range read (what a render query consumes): rollup rules
    * applied over the raw range, one row per (path, precision bucket).
+   * Reads the WEIGHTED view so a bucket mixing physically rolled rows
+   * with late raw rows averages by sample count, not by row.
    */
   def seriesRangeRollup(glob: String, fromSec: Long, untilSec: Long,
                         config: Rollup.Config, nowSec: Long): DataFrame =
-    GraphiteOps.rollup(seriesRange(glob, fromSec, untilSec).select("path", "time", "value"),
+    GraphiteOps.rollup(
+      rangeOver(pointsWeighted("points"), pointsWeighted("points_reverse"),
+          glob, fromSec, untilSec)
+        .select("path", "time", "value", "points"),
       config, nowSec)
 
   /** Distinct tag keys (graphite-web /tags). */

@@ -164,7 +164,7 @@ object SimilarityOps {
    * work is nprobe/ncells of the corpus.
    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              ncells: Int = 16, nprobe: Int = 4, dim: Int = 64): DataFrame = {
+              ncells: Int = 16, nprobe: Int = 6, dim: Int = 64): DataFrame = {
     val spark = org.apache.spark.sql.SparkSession.active
     // centroids from the same deterministic generator as the planes
     val centroids: Array[Array[Double]] = Array.tabulate(ncells, dim) { (c, d) =>

@@ -85,6 +85,33 @@ class GraphiteTablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq(("web.host1.cpu.load", 1.5, 2L)))
   }
 
+  test("seriesRangeRollup weights physically rolled buckets by sample count") {
+    // separate layout: aged samples -> physical rollup -> late raw row
+    val work = Files.createTempDirectory("graft-qlayer-roll").toString
+    val spool = new SpoolWriter(s"$work/spool", chunkIntervalMs = 100)
+    val now = System.currentTimeMillis() / 1000
+    val old1 = 1609459200L // 2021-01-01, aged
+    Seq(s"roll.cpu.v 1.0 $old1", s"roll.cpu.v 3.0 ${old1 + 60}")
+      .foreach(l => spool.writeLine(l, now))
+    spool.close()
+    val ingest = new StreamingIngest(spark, s"$work/spool", s"$work/tables", s"$work/ckpt")
+    ingest.runAvailableNow()
+    val cfg = Rollup.Config(Nil, Rollup.Rule("""^""".r, Rollup.Avg, Seq(Rollup.Retention(0, 3600))))
+    assert(graft.streaming.TableCompactor.rollupPoints(
+      spark, s"$work/tables/points", cfg, now, 30L * 86400) == 1)
+    // late raw sample lands in the already-rolled hour bucket
+    val spool2 = new SpoolWriter(s"$work/spool", chunkIntervalMs = 100)
+    spool2.writeLine(s"roll.cpu.v 8.0 ${old1 + 120}", now)
+    spool2.close()
+    ingest.runAvailableNow()
+
+    val t = new GraphiteTables(spark, s"$work/tables")
+    val got = t.seriesRangeRollup("roll.cpu.*", 0L, 4102444800L, cfg, now)
+      .select("value", "points").collect().map(r => (r.getDouble(0), r.getLong(1)))
+    // true mean (1+3+8)/3 = 4.0 over 3 samples, not avg(avg(1,3), 8) = 5.0
+    assert(got.toSeq == Seq((4.0, 3L)), s"got ${got.toSeq}")
+  }
+
   test("findTree: date-less lookup with branch/leaf flags (nodaily fallback)") {
     val got = tables.findTree("web.*").collect()
       .map(r => (r.getString(0), r.getBoolean(1))).sortBy(_._1)

@@ -67,6 +67,20 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.6, s"LSH recall@5 $recall < 0.6 (|brute|=${brute.size}, hit=${(brute & lsh).size})")
   }
 
+  test("ivfTopK recall@5 vs bruteForceTopK on sf0.01 embeddings") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.filter(col("id") < 20)
+    val brute = SimilarityOps.bruteForceTopK(q, e, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityOps.ivfTopK(q, e, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall@5 $recall < 0.6 (|brute|=${brute.size}, hit=${(brute & ivf).size})")
+  }
+
   test("jaccardPairs df cap is inactive on normal corpora") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val capped = DedupOps.jaccardPairs(docs, "doc_id", "text", 0.8, maxShingleDf = 10000L)
