@@ -92,5 +92,5 @@ object TextOps {
    * exact-dup clustering before any pairwise work.
    */
   def fingerprint(text: Column): Column =
-    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+    FastHash.fastMd5(trim(regexp_replace(lower(text), "\\s+", " ")))
 }
