@@ -108,9 +108,11 @@ object DedupOps {
     // ultra-hot shingle materializes df longs once before the filter
     // drops it (8 MB at df=1e6) — bounded, unlike the join fan-out it
     // replaces.
+    // fused shingle+hash kernel (Shingles.scala): value-identical to
+    // explode(shingles(...)) |> xxhash64, measured 3.9 s -> sub-second
+    // on the pre-join stage at sf0.1
     val sh = docs.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), w)).as("shs"))
-      .select(col("id"), xxhash64(col("shs")).as("sh"))
+      explode(ShingleHashes(col(textCol), w)).as("sh"))
     val grouped = sh.groupBy("sh").agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) <= maxShingleDf)
     val sizes = grouped.select(explode(col("ids")).as("id"))
@@ -141,8 +143,7 @@ object DedupOps {
                      minJaccard: Double, k: Int = 16, bands: Int = 4, w: Int = 3): DataFrame = {
     val cand = minhashCandidates(docs, idCol, textCol, k, bands, w)
     val sh = docs.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), w)).as("shs"))
-      .select(col("id"), xxhash64(col("shs")).as("sh"))
+      explode(ShingleHashes(col(textCol), w)).as("sh"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("x"), col("id_a") === col("x.id"))

@@ -81,6 +81,26 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.6, s"IVF recall@5 $recall < 0.6 (|brute|=${brute.size}, hit=${(brute & ivf).size})")
   }
 
+  test("fused shingle-hash kernel is value-identical to the column formulation") {
+    val ss = spark; import ss.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+      .union(Seq(
+        (900001L, ""),                          // empty text -> hash of ""
+        (900002L, "one"),                       // < w words -> single shingle
+        (900003L, "one two"),
+        (900004L, "  tabs\tand\nnewlines \r\n spaced  "), // \s variety
+        (900005L, "a b a b a b a b")            // repeated shingles -> distinct
+      ).toDF("id", "text"))
+    val fused = docs.select(col("id"), explode(ShingleHashes(col("text"), 3)).as("sh"))
+    val columnar = docs
+      .select(col("id"), explode(DedupOps.shingles(col("text"), 3)).as("shs"))
+      .select(col("id"), xxhash64(col("shs")).as("sh"))
+    assert(fused.count() == columnar.count())
+    assert(fused.exceptAll(columnar).isEmpty && columnar.exceptAll(fused).isEmpty,
+      "fused kernel must produce exactly the xxhash64-of-shingle-string multiset")
+  }
+
   test("jaccardPairs df cap is inactive on normal corpora") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val capped = DedupOps.jaccardPairs(docs, "doc_id", "text", 0.8, maxShingleDf = 10000L)
