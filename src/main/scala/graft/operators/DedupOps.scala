@@ -54,20 +54,17 @@ object DedupOps {
                         k: Int = 16, bands: Int = 4, w: Int = 3): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
-    val mhCols = (0 until k).map(s =>
-      // FastMd5: thread-local digest, ~10-30% off the dominant agg
-      // (tools/FastMd5AB; the 4-md5 sliced variant re-measured SLOWER
-      // even with the fast digest — slicing stays rejected)
-      min(FastHash.fastMd5(concat(lit(s.toString), lit(":"), col("sh")))).as(s"mh$s"))
-    val sig = docs
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), w)).as("sh"))
-      .groupBy(col("id"))
-      .agg(mhCols.head, mhCols.tail: _*)
+    // signature as a PROJECTION (MinhashSig.scala): a minhash signature
+    // is a pure per-document function, so no exploded-shingle shuffle
+    // and no k min-agg trees — value-identical to the aggregation
+    // formulation (OperatorSpec equivalence test) and to the DuckDB
+    // oracle, which still aggregates over shingle strings
+    val sig = docs.select(col(idCol).as("id"), MinhashSig(col(textCol), k, w).as("mh"))
     // band value: seed-tagged minhashes of the band, sorted and joined --
     // byte-identical to the (id, seed) matrix formulation
     val bandStructs = array((0 until bands).map { b =>
       val members = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(s => concat(lit(s.toString), lit("~"), col(s"mh$s")))
+        .map(s => concat(lit(s.toString), lit("~"), element_at(col("mh"), s + 1)))
       struct(lit(b).as("band"), array_join(array_sort(array(members: _*)), "|").as("bandval"))
     }: _*)
     val banded = sig

@@ -101,6 +101,28 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "fused kernel must produce exactly the xxhash64-of-shingle-string multiset")
   }
 
+  test("minhash projection kernel matches the aggregation formulation") {
+    val ss = spark; import ss.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+      .union(Seq(
+        (900001L, ""),                 // empty text still gets a signature
+        (900002L, "one two"),          // < w words
+        (900003L, "rep rep rep rep")   // duplicate shingles don't move minima
+      ).toDF("id", "text"))
+    // the aggregation formulation the kernel replaced (shipped through r3)
+    val mhCols = (0 until 16).map(s =>
+      min(md5(concat(lit(s.toString), lit(":"), col("sh")))).as(s"mh$s"))
+    val aggSig = docs
+      .select(col("id"), explode(DedupOps.shingles(col("text"), 3)).as("sh"))
+      .groupBy(col("id")).agg(mhCols.head, mhCols.tail: _*)
+      .select(col("id"), array((0 until 16).map(s => col(s"mh$s")): _*).as("mh"))
+    val kernelSig = docs.select(col("id"), MinhashSig(col("text"), 16, 3).as("mh"))
+    assert(kernelSig.count() == docs.count())
+    assert(aggSig.exceptAll(kernelSig).isEmpty && kernelSig.exceptAll(aggSig).isEmpty,
+      "projection kernel must reproduce every per-seed md5 minimum exactly")
+  }
+
   test("jaccardPairs df cap is inactive on normal corpora") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val capped = DedupOps.jaccardPairs(docs, "doc_id", "text", 0.8, maxShingleDf = 10000L)
