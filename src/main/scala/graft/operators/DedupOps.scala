@@ -160,59 +160,15 @@ object DedupOps {
    * iff the sum over words of ±1 (by bit b of the word hash) is positive.
    * Word hash = first 15 hex chars of md5 (60 bits, engine-portable).
    */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // words taken WITH multiplicity: term frequency is the signal that
-    // separates documents drawn from a shared vocabulary.
-    // Plan shape (4th A/B in tools/PlanScratch — 2.1x the 60-column
-    // variant at sf0.1): md5/conv ONCE per word in a projection, then a
-    // typed Aggregator whose buffer is one Array[Long](60) updated by an
-    // imperative loop — partial aggregation still combines map-side, so
-    // the shuffle carries one 60-long buffer per (doc, partition), the
-    // same bytes as 60 sum columns without evaluating 60 aggregate
-    // expression trees per word. Requires an integral id column.
-    val sp = docs.sparkSession
-    import sp.implicits._
-    // fail fast: a non-integral id would cast to null and silently
-    // collapse every document into one group with one bogus signature
-    val idType = docs.select(col(idCol)).schema.head.dataType
-    require(Set[org.apache.spark.sql.types.DataType](
-        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
-        .contains(idType),
-      s"simhash requires an integral id column; '$idCol' is $idType " +
-        "(hash string ids to long first, e.g. xxhash64)")
-    val wordRows = docs
-      .select(col(idCol).cast("long").as("id"), explode(TextOps.words(col(textCol))).as("w"))
-      .select(col("id"),
-        // fused top-60-bits digest — same value as
-        // conv(substring(md5(w),1,15),16,10)::long without the hex
-        // string, substring, or base-conversion steps
-        FastHash.md5Head60(col("w")).as("h"))
-      .as[(Long, Long)]
-    val simAgg = new org.apache.spark.sql.expressions.Aggregator[(Long, Long), Array[Long], Long] {
-      def zero: Array[Long] = new Array[Long](60)
-      def reduce(buf: Array[Long], row: (Long, Long)): Array[Long] = {
-        val h = row._2
-        var b = 0
-        while (b < 60) { buf(b) += ((h >>> b) & 1L) * 2 - 1; b += 1 }
-        buf
-      }
-      def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-        var i = 0
-        while (i < 60) { a(i) += b(i); i += 1 }
-        a
-      }
-      def finish(buf: Array[Long]): Long = {
-        var sig = 0L
-        var b = 0
-        while (b < 60) { if (buf(b) > 0) sig |= 1L << b; b += 1 }
-        sig
-      }
-      def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] = implicitly
-      def outputEncoder: org.apache.spark.sql.Encoder[Long] = implicitly
-    }
-    wordRows.groupByKey(_._1).agg(simAgg.toColumn.name("simhash")).toDF("id", "simhash")
-  }
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // one-pass projection kernel (Simhash60.scala): a simhash is a pure
+    // per-document function, so no word explode, no shuffle, no typed
+    // Aggregator — and no integral-id restriction (the groupBy is gone).
+    // Wordless docs produce a null signature and are dropped, exactly
+    // like the explode-based formulation that emitted no row for them
+    // (OperatorSpec equivalence test).
+    docs.select(col(idCol).as("id"), Simhash60(col(textCol)).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /**
    * SimHash near-dup pairs with Hamming distance <= maxDist. Bucketed by

@@ -123,6 +123,35 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "projection kernel must reproduce every per-seed md5 minimum exactly")
   }
 
+  test("simhash projection kernel matches the word-explode formulation") {
+    val ss = spark; import ss.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+      .union(Seq(
+        (900001L, "   \t \n "),            // wordless -> NO signature row
+        (900002L, "solo"),
+        (900003L, "rep rep rep rep")       // multiplicity votes
+      ).toDF("id", "text"))
+    // the explode + sum-per-bit formulation the kernel replaced
+    val wordRows = docs
+      .select(col("id"), explode(TextOps.words(col("text"))).as("w"))
+      .select(col("id"), conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+    val bitSums = (0 until 60).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1L) * 2 - 1).as(s"s$b"))
+    val aggSig = wordRows.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 60).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+    val kernelSig = DedupOps.simhash(docs, "id", "text")
+    assert(kernelSig.filter($"id" === 900001L).isEmpty,
+      "wordless doc must have no signature, like the explode formulation")
+    assert(aggSig.exceptAll(kernelSig).isEmpty && kernelSig.exceptAll(aggSig).isEmpty,
+      "projection kernel must reproduce every 60-bit signature exactly")
+    // string ids work now that the groupBy is gone
+    val strIds = docs.select(concat(lit("doc-"), col("id")).as("id"), col("text"))
+    assert(DedupOps.simhash(strIds, "id", "text").count() == kernelSig.count())
+  }
+
   test("jaccardPairs df cap is inactive on normal corpora") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val capped = DedupOps.jaccardPairs(docs, "doc_id", "text", 0.8, maxShingleDf = 10000L)
