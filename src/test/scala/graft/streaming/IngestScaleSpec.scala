@@ -335,6 +335,34 @@ class IngestScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TableCompactor.compactAll(spark, s"$work/tables").values.sum == 0)
   }
 
+  test("restart from checkpoint resumes exactly-once (no loss, no double-count)") {
+    // Phase 1: ingest a first tranche, stop. Phase 2: NEW StreamingIngest
+    // instance over the same checkpoint ingests a second tranche. The
+    // points table must hold every point exactly once — the checkpoint
+    // fences consumed chunks, per-batch dirs fence replays — and the
+    // index LWW view must stay duplicate-free.
+    val work = Files.createTempDirectory("graft-restart").toString
+    def ingest() = new StreamingIngest(spark, s"$work/spool", s"$work/tables", s"$work/ckpt",
+      maxFilesPerTrigger = Some(1), compactEveryBatches = Some(3))
+    for (i <- 0 until 5)
+      spoolLines(work, Seq(s"restart.a$i.v ${i}.0 ${1625478240L + i}"), nowSec)
+    ingest().runAvailableNow()
+
+    for (i <- 5 until 9)
+      spoolLines(work, Seq(s"restart.a$i.v ${i}.0 ${1625478240L + i}"), nowSec)
+    ingest().runAvailableNow() // fresh instance, same checkpoint
+
+    val got = ingest().pointsTable().select("path", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    assert(got == (0 until 9).map(i => (s"restart.a$i.v", i.toDouble)),
+      s"every point exactly once across the restart, got $got")
+    val latest = ingest().indexLatest()
+    assert(latest.count() == ingest().indexTable().count() ||
+      ingest().indexTable().count() >= latest.count()) // raw >= LWW, no key lost
+    assert(latest.filter(col("level") === 3 && !col("path").endsWith("."))
+      .count() == 9, "all 9 series in the LWW index view")
+  }
+
   test("online compaction inside the stream bounds dir count with no quiesce") {
     // Twin runs over the SAME 40-chunk input, one micro-batch per chunk:
     // one with online compaction folding every 5 batches (tier=4 c-fold),
