@@ -355,6 +355,24 @@ object SparkEntry {
       DedupOps.nearDuplicates(table(s, dir, "documents"), "doc_id", "text", minJaccard = 0.8)
         .orderBy("id_a", "id_b")),
 
+    "d_dedup_clusters" -> ((s, dir) =>
+      // pairs -> per-document keep/drop decisions: connected components
+      // over the LSH-verified near-dup graph, canonical = min doc id
+      DedupOps.duplicateClusters(table(s, dir, "documents"), "doc_id", "text", minJaccard = 0.8)
+        .orderBy("id")),
+
+    "d_decontaminate" -> ((s, dir) => {
+      // train/test decontamination: corpus docs sharing >= 0.5 n-gram
+      // Jaccard with a reference (benchmark) set — here the first 50
+      // docs stand in as the benchmark
+      val docs = table(s, dir, "documents")
+      DedupOps.contaminationPairs(
+        docs.filter(col("doc_id") >= 50), "doc_id", "text",
+        docs.filter(col("doc_id") < 50), "doc_id", "text",
+        minJaccard = 0.5)
+        .orderBy("corpus_id", "ref_id")
+    }),
+
     "d_dedup_cosine" -> ((s, dir) => {
       // embedding-space near-dup: hyperplane-banded candidates, exact
       // cosine verify — no cross join
@@ -803,6 +821,68 @@ object SparkEntry {
         |       round(inter::DOUBLE / (x.n + y.n - inter), 4) AS jaccard
         |FROM inter JOIN n x ON id_a = x.doc_id JOIN n y ON id_b = y.doc_id
         |WHERE round(inter::DOUBLE / (x.n + y.n - inter), 4) >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
+
+    "d_dedup_clusters" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS wd
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(wd) < 3 THEN [array_to_string(wd, ' ')]
+        |         ELSE list_transform(generate_series(1, len(wd) - 2),
+        |                             i -> array_to_string(wd[i:i+2], ' ')) END)) AS sh
+        |  FROM w),
+        |mh AS (
+        |  SELECT doc_id, seed, min(md5(seed || ':' || sh)) AS mh
+        |  FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+        |  GROUP BY 1, 2),
+        |band AS (
+        |  SELECT doc_id, seed // 4 AS band,
+        |         string_agg(seed || '~' || mh, '|' ORDER BY seed || '~' || mh) AS bandval
+        |  FROM mh GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM band a JOIN band b ON a.band = b.band AND a.bandval = b.bandval
+        |                          AND a.doc_id < b.doc_id),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT id_a, id_b, count(*) AS inter
+        |  FROM cand JOIN sh a ON id_a = a.doc_id JOIN sh b ON id_b = b.doc_id AND a.sh = b.sh
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN n x ON id_a = x.doc_id JOIN n y ON id_b = y.doc_id
+        |  WHERE round(inter::DOUBLE / (x.n + y.n - inter), 4) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT rr.id, e.b FROM reach rr JOIN edges e ON e.a = rr.r)
+        |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "d_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS wd
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(wd) < 3 THEN [array_to_string(wd, ' ')]
+        |         ELSE list_transform(generate_series(1, len(wd) - 2),
+        |                             i -> array_to_string(wd[i:i+2], ' ')) END)) AS sh
+        |  FROM w),
+        |c AS (SELECT * FROM sh WHERE doc_id >= 50),
+        |r AS (SELECT * FROM sh WHERE doc_id < 50),
+        |nc AS (SELECT doc_id, count(*) AS n FROM c GROUP BY 1),
+        |nr AS (SELECT doc_id, count(*) AS n FROM r GROUP BY 1),
+        |inter AS (
+        |  SELECT c.doc_id AS cid, r.doc_id AS rid, count(*) AS inter
+        |  FROM c JOIN r ON c.sh = r.sh GROUP BY 1, 2)
+        |SELECT cid AS corpus_id, rid AS ref_id,
+        |       round(inter::DOUBLE / (nc.n + nr.n - inter), 4) AS jaccard
+        |FROM inter JOIN nc ON cid = nc.doc_id JOIN nr ON rid = nr.doc_id
+        |WHERE round(inter::DOUBLE / (nc.n + nr.n - inter), 4) >= 0.5
         |ORDER BY 1, 2""".stripMargin,
 
     "d_dedup_cosine" ->

@@ -194,4 +194,96 @@ object DedupOps {
       .filter(col("hamming") <= maxDist) // BEFORE distinct: shrink the shuffle to survivors
       .distinct()
   }
+
+  /**
+   * Connected components over an undirected edge list by min-label
+   * propagation: every node's label converges to the smallest node id
+   * in its component. One join + one aggregate per round, O(component
+   * diameter) rounds — near-dup clusters are short chains, so a handful
+   * of rounds closes 100 TB-scale graphs (the same scheme GraphX's
+   * ConnectedComponents Pregel runs, expressed as DataFrame ops so AQE
+   * handles skewed hub nodes). Lineage is truncated per round with
+   * localCheckpoint; convergence is detected distributedly (one count
+   * of changed labels), never by collecting the labels.
+   *
+   * Output: (id, cluster_id) for EVERY node — singletons label
+   * themselves.
+   */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxIterations: Int = 25): DataFrame = {
+    // materialize the edge list ONCE: every round joins against it, and
+    // without the checkpoint each round would re-run the whole upstream
+    // pipeline (e.g. the LSH near-dup candidate generation) per join
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("cluster_id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIterations && !converged) {
+      // smallest label reachable in one hop (incl. own)
+      val viaNeighbor = sym
+        .join(labels.select(col("id").as("dst"), col("cluster_id")), "dst")
+        .select(col("src").as("id"), col("cluster_id"))
+      val next = labels.select(col("id"), col("cluster_id"))
+        .union(viaNeighbor)
+        .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "id")
+        .filter(col("cluster_id") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /**
+   * Duplicate-cluster assignment — the step that turns near-dup PAIRS
+   * into per-document keep/drop decisions: components over the
+   * LSH-verified pair graph, each document labeled with the smallest
+   * doc id of its cluster (the canonical survivor). Singleton documents
+   * are their own cluster.
+   */
+  def duplicateClusters(docs: DataFrame, idCol: String, textCol: String,
+                        minJaccard: Double, k: Int = 16, bands: Int = 4,
+                        w: Int = 3): DataFrame = {
+    val pairs = nearDuplicates(docs, idCol, textCol, minJaccard, k, bands, w)
+      .select("id_a", "id_b")
+    connectedComponents(docs.select(col(idCol).as("id")), pairs)
+  }
+
+  /**
+   * Cross-corpus contamination pairs (train/test decontamination): for
+   * every (corpus doc, reference doc) pair, the n-gram Jaccard over the
+   * two shingle sets, kept when >= minJaccard. Same grouped-by-shingle
+   * plan as [[jaccardPairs]] but across TWO relations: one shuffle
+   * co-groups both sides' doc ids per 8-byte shingle hash, pair
+   * generation is bounded by the df cap on the REFERENCE side (the
+   * benchmark set is the small side; a boilerplate shingle shared by
+   * the whole corpus cannot fan out past cap x corpus-df).
+   */
+  def contaminationPairs(corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
+                         ref: DataFrame, refIdCol: String, refTextCol: String,
+                         minJaccard: Double, w: Int = 3,
+                         maxShingleDf: Long = 10000L): DataFrame = {
+    val cs = corpus.select(col(corpusIdCol).as("cid"),
+      explode(ShingleHashes(col(corpusTextCol), w)).as("sh"))
+    val rs = ref.select(col(refIdCol).as("rid"),
+      explode(ShingleHashes(col(refTextCol), w)).as("sh"))
+    val csizes = cs.groupBy("cid").agg(count(lit(1)).as("nc"))
+    val rsizes = rs.groupBy("rid").agg(count(lit(1)).as("nr"))
+    val grouped = rs.groupBy("sh").agg(collect_list(col("rid")).as("rids"))
+      .filter(size(col("rids")) <= maxShingleDf)
+    val inter = cs.join(grouped, "sh")
+      .select(col("cid"), explode(col("rids")).as("rid"))
+      .groupBy("cid", "rid").agg(count(lit(1)).as("inter"))
+    inter
+      .join(csizes, "cid")
+      .join(rsizes, "rid")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("nc") + col("nr") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("cid").as("corpus_id"), col("rid").as("ref_id"), col("jaccard"))
+  }
 }

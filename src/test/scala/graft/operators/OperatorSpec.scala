@@ -152,6 +152,17 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(DedupOps.simhash(strIds, "id", "text").count() == kernelSig.count())
   }
 
+  test("connectedComponents: chains, singletons, min-label canonical") {
+    val ss = spark; import ss.implicits._
+    val nodes = (1L to 8L).toDF("id")
+    // component {1,2,3,4} as a chain, {6,7} as a pair, {5},{8} singletons
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L)).toDF("id_a", "id_b")
+    val got = DedupOps.connectedComponents(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 8L))
+  }
+
   test("jaccardPairs df cap is inactive on normal corpora") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val capped = DedupOps.jaccardPairs(docs, "doc_id", "text", 0.8, maxShingleDf = 10000L)
