@@ -12,9 +12,14 @@ import org.apache.spark.sql.functions._
  * from an O(n²) cross join. The only quadratic step is *within* a bucket,
  * whose size is bounded by the banding parameters.
  *
- * Hashing uses md5 (hex string) rather than xxhash so results are
- * reproducible across engines and languages — at ingest scale the scan
- * dominates; md5-vs-xxhash is noise next to the shuffle.
+ * Hashing that reaches RESULTS (minhash signatures, simhash bits,
+ * fingerprints) uses md5 so every value is reproducible across engines
+ * and languages — the DuckDB oracles recompute them from the strings.
+ * Hashes that only serve as internal equality keys (jaccard shingle
+ * grouping) use xxhash64. The per-document signature functions run as
+ * one-pass codegen kernels (MinhashSig/Simhash60/ShingleHashes), each
+ * proven value-identical to its column/aggregation formulation in
+ * OperatorSpec.
  */
 object DedupOps {
 

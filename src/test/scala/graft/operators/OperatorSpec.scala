@@ -152,6 +152,36 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(DedupOps.simhash(strIds, "id", "text").count() == kernelSig.count())
   }
 
+  test("kernel equivalence holds on generated unicode/whitespace-heavy texts") {
+    val ss = spark; import ss.implicits._
+    // deterministic generator: words mixing ascii, unicode (multi-byte
+    // UTF-8), digits and punctuation; separators mixing every Java \s
+    // whitespace char, repeated
+    val rnd = new scala.util.Random(20260812L)
+    val vocab = Vector("alpha", "Ω", "иван", "全角", "x1", "-", "a.b", "%7E", "", "eé")
+    val seps = Vector(" ", "  ", "\t", "\n", "\r\n", "  ", "\f", " \t ")
+    val texts = (0 until 200).map { i =>
+      val n = rnd.nextInt(12)
+      (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(seps(rnd.nextInt(seps.size)), seps(rnd.nextInt(seps.size)), ""))
+    }
+    val docs = texts.toDF("id", "text")
+    val fused = docs.select(col("id"), explode(ShingleHashes(col("text"), 3)).as("sh"))
+    val columnar = docs
+      .select(col("id"), explode(DedupOps.shingles(col("text"), 3)).as("shs"))
+      .select(col("id"), xxhash64(col("shs")).as("sh"))
+    assert(fused.exceptAll(columnar).isEmpty && columnar.exceptAll(fused).isEmpty)
+
+    val mhCols = (0 until 16).map(s =>
+      min(md5(concat(lit(s.toString), lit(":"), col("sh")))).as(s"mh$s"))
+    val aggSig = docs
+      .select(col("id"), explode(DedupOps.shingles(col("text"), 3)).as("sh"))
+      .groupBy(col("id")).agg(mhCols.head, mhCols.tail: _*)
+      .select(col("id"), array((0 until 16).map(s => col(s"mh$s")): _*).as("mh"))
+    val kernelSig = docs.select(col("id"), MinhashSig(col("text"), 16, 3).as("mh"))
+    assert(aggSig.exceptAll(kernelSig).isEmpty && kernelSig.exceptAll(aggSig).isEmpty)
+  }
+
   test("connectedComponents: chains, singletons, min-label canonical") {
     val ss = spark; import ss.implicits._
     val nodes = (1L to 8L).toDF("id")
