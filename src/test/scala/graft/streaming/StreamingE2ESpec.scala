@@ -163,4 +163,48 @@ class StreamingE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     // but points are append-only (duplicates absorbed at read time)
     assert(ingest.pointsTable().count() == 2 * corpus.size)
   }
+
+  test("tests/tls corpus: the same corpus over a TLS listener produces the same tables") {
+    // tests/tls/test.toml replays the plain corpus against TLS-terminated
+    // endpoints; same here with the checked-in PEM pair
+    def res(name: String): String =
+      new java.io.File(getClass.getClassLoader.getResource(s"tls/$name").toURI).getAbsolutePath
+    val serverCtx = graft.core.Tls.serverContext(res("server.crt"), res("server.key"))
+    val clientCtx = graft.core.Tls.clientContext(Seq(res("server.crt")))
+
+    val tlsWork = Files.createTempDirectory("graft-e2e-tls")
+    val spool = new SpoolWriter(s"$tlsWork/spool", chunkIntervalMs = 100)
+    val tcp = new TcpLineServer(spool, port = 0, tls = Some(serverCtx))
+    val sock = clientCtx.getSocketFactory.createSocket("localhost", tcp.boundPort)
+    sock.getOutputStream.write(corpus.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    sock.getOutputStream.flush()
+    sock.close()
+    val deadline = System.currentTimeMillis() + 10000
+    while (spool.pointsWritten.get() < corpus.size && System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    assert(spool.pointsWritten.get() == corpus.size)
+    tcp.close()
+    spool.close()
+
+    val ingest = new StreamingIngest(spark, s"$tlsWork/spool", s"$tlsWork/tables", s"$tlsWork/ckpt")
+    ingest.runAvailableNow()
+    // spot goldens: the index tree rows and the escaped tagged path arrive
+    // exactly as over plaintext
+    val idx = ingest.indexTable()
+      .filter(col("path").startsWith("test.") || col("path").endsWith(".test"))
+      .select(col("date").cast("string"), col("level"), col("path")).distinct()
+      .orderBy("date", "level", "path").collect()
+      .map(r => s"${r.getString(0)} ${r.getLong(1)} ${r.getString(2)}")
+    assert(idx.toSeq == Seq(
+      "1970-02-12 20001 test.",
+      "1970-02-12 20002 test.host1.",
+      "1970-02-12 20003 test.host1.cpu.",
+      "1970-02-12 20004 test.host1.cpu.loadavg",
+      "1970-02-12 30004 loadavg.cpu.host1.test",
+      "2021-07-05 4 test.host1.cpu.loadavg",
+      "2021-07-05 10004 loadavg.cpu.host1.test"))
+    assert(ingest.pointsTable().count() == corpus.size)
+    assert(ingest.taggedTable().filter(
+      col("path") === "non-ascii.%D0%B8%D0%B2%D0%B0%D0%BD?tagged=true").count() == 2)
+  }
 }
