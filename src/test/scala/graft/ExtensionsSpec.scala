@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The custom expressions registered through SparkSessionExtensions are
+  * callable from SQL and agree with the built-ins they accelerate. */
+class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .appName("graft-ext")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("fast_md5 / md5_head60 / simhash60 / shingle_hashes / minhash_sig from SQL") {
+    val r = spark.sql("""
+      SELECT fast_md5('hello world') AS fm,
+             md5('hello world') AS builtin,
+             md5_head60('w') AS h60,
+             conv(substring(md5('w'), 1, 15), 16, 10) AS h60ref,
+             simhash60('a b c a') AS sim,
+             size(shingle_hashes('a b c d', 3)) AS nsh,
+             size(minhash_sig('a b c d', 16, 3)) AS nmh
+    """).head()
+    assert(r.getString(0) == r.getString(1), "fast_md5 must equal builtin md5")
+    assert(r.getLong(2).toString == r.getString(3), "md5_head60 must equal conv(substring(md5))")
+    assert(r.getLong(4) >= 0, "simhash is 60-bit non-negative")
+    assert(r.getInt(5) == 2 && r.getInt(6) == 16)
+    // literal-arg validation
+    intercept[Exception](spark.sql("SELECT minhash_sig('x', 'not-an-int')").collect())
+  }
+}
