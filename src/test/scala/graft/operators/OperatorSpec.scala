@@ -182,6 +182,22 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(aggSig.exceptAll(kernelSig).isEmpty && kernelSig.exceptAll(aggSig).isEmpty)
   }
 
+  test("contaminationPairs flags planted benchmark overlap, asymmetric sides") {
+    val ss = spark; import ss.implicits._
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated benchmark question about physics")).toDF("id", "text")
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // verbatim leak
+      (11L, "prefix words then the quick brown fox jumps over the lazy dog tonight"), // partial
+      (12L, "nothing in common with any reference document here")).toDF("id", "text")
+    val got = DedupOps.contaminationPairs(corpus, "id", "text", ref, "id", "text",
+      minJaccard = 0.5).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(p => (p._1, p._2)).toSet == Set((10L, 1L), (11L, 1L)),
+      s"exactly the leaked docs pair with reference 1, got ${got.toSeq}")
+    assert(got.find(_._1 == 10L).get._3 == 1.0, "verbatim leak has jaccard 1.0")
+  }
+
   test("connectedComponents: chains, singletons, min-label canonical") {
     val ss = spark; import ss.implicits._
     val nodes = (1L to 8L).toDF("id")
