@@ -42,7 +42,10 @@ object IngestMain {
       .orElse(cfg.map(_.chunkIntervalMs)).getOrElse(1000L)
     val tagConfig = cfg.map(_.tagConfig).getOrElse(graft.core.GraphiteTags.Disabled)
 
-    val spool = new SpoolWriter(s"$work/spool", chunkIntervalMs = chunkMs,
+    // [data] path is the reference's chunk directory (carbon/config.go
+    // dataConfig.Path); absent -> <workDir>/spool
+    val spoolDir = cfg.flatMap(_.dataPath).getOrElse(s"$work/spool")
+    val spool = new SpoolWriter(spoolDir, chunkIntervalMs = chunkMs,
       chunkMaxBytes = cfg.map(_.chunkMaxBytes).getOrElse(0L), // 0 = unlimited (writer.go:148)
       autoInterval = cfg.flatMap(_.chunkAutoInterval),
       compression = flag("--compress").orElse(cfg.map(_.compression)).getOrElse("none"))
@@ -128,7 +131,7 @@ object IngestMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val ingest = new StreamingIngest(spark, s"$work/spool", s"$work/tables", s"$work/ckpt",
+    val ingest = new StreamingIngest(spark, spoolDir, s"$work/tables", s"$work/ckpt",
       blacklist = cfg.flatMap(_.blacklist),
       disableDailyIndex = cfg.exists(_.disableDailyIndex),
       utcDate = cfg.forall(_.utcDate),
