@@ -2,7 +2,14 @@
 """Local replica of the driver's correctness gate: load each query result
 parquet written by graft.Verify, run the corresponding oracle SQL in DuckDB
 over the same sf directory, and compare row sets (columns sorted by name,
-rows sorted, values stringified).
+rows sorted, values stringified) AND the physical value types.
+
+The type check exists because stringified compare once masked a real
+driver failure: an oracle column typed HUGEINT hashed differently from
+Spark's int64 even though every stringified value matched. Types are
+canonicalized only across aliases of the same physical family
+(int32/int64 both map to "int"); int-vs-decimal or int-vs-double is a
+FAIL here like it is in the driver's typed hash.
 
 Usage: check_oracle.py <verify_out_dir> <sf_dir>
 """
@@ -14,7 +21,22 @@ import sys
 import duckdb
 
 
-def canon(rows, cols):
+def canon_type(duck_type):
+    """Map DuckDB type names onto the driver-relevant families."""
+    t = str(duck_type).upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE"):
+        return "float"
+    if t.startswith("DECIMAL") or t == "HUGEINT":
+        return "decimal"  # hashes differently from int64 driver-side
+    if t.startswith("VARCHAR"):
+        return "str"
+    return t.lower()
+
+
+def canon(rows, cols, types):
     """Sort columns by name, stringify values, sort rows."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
 
@@ -29,7 +51,8 @@ def canon(rows, cols):
 
     out = [tuple(cell(r[i]) for i in order) for r in rows]
     out.sort()
-    return [cols[i] for i in order], out
+    return ([cols[i] for i in order], out,
+            [canon_type(types[i]) for i in order])
 
 
 def main():
@@ -55,6 +78,7 @@ def main():
             got = con.execute(
                 f"SELECT * FROM '{res_path}/*.parquet'").fetchall()
             got_cols = [d[0] for d in con.description]
+            got_types = [d[1] for d in con.description]
         except Exception as e:
             print(f"FAIL  {name}: cannot read result: {e}")
             failures += 1
@@ -69,14 +93,19 @@ def main():
         try:
             exp = con.execute(oracles[name]).fetchall()
             exp_cols = [d[0] for d in con.description]
+            exp_types = [d[1] for d in con.description]
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
             failures += 1
             continue
-        gc, g = canon(got, got_cols)
-        ec, e = canon(exp, exp_cols)
+        gc, g, gt = canon(got, got_cols, got_types)
+        ec, e, et = canon(exp, exp_cols, exp_types)
         if gc != ec:
             print(f"FAIL  {name}: columns differ: spark={gc} duckdb={ec}")
+            failures += 1
+        elif gt != et:
+            print(f"FAIL  {name}: TYPES differ (driver's typed hash would "
+                  f"mismatch): spark={list(zip(gc, gt))} duckdb={list(zip(ec, et))}")
             failures += 1
         elif g != e:
             print(f"FAIL  {name}: rows differ: spark={len(g)} duckdb={len(e)}")
