@@ -60,11 +60,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("dedup/ANN family plans contain no cartesian products") {
     for (q <- Seq("d_dedup_minhash", "d_dedup_simhash", "d_dedup_jaccard",
-        "d_dedup_neardup", "s_ann_lsh")) {
+        "d_dedup_neardup", "s_ann_lsh", "d_decontaminate")) {
       val plan = planOf(q)
       assert(!plan.contains("CartesianProduct"), s"$q must not cross join")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q must not nested-loop join")
     }
+  }
+
+  test("jaccard reuses the co-shingle exchange for sizes and intersections") {
+    // the grouped-pairs plan's claim: both downstream aggregates read the
+    // same groupBy(sh) shuffle output, not two scans of the corpus. With
+    // AQE on, reuse is a runtime stage decision invisible in the plan
+    // string, so assert on the static plan with AQE off.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = planOf("d_dedup_jaccard")
+      assert(plan.contains("ReusedExchange"),
+        s"sizes + intersections must share one co-shingle exchange:\n${plan.take(800)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("ANN candidate shuffles carry no array-typed keys") {
