@@ -63,8 +63,13 @@ object DedupOps {
     // is a pure per-document function, so no exploded-shingle shuffle
     // and no k min-agg trees — value-identical to the aggregation
     // formulation (OperatorSpec equivalence test) and to the DuckDB
-    // oracle, which still aggregates over shingle strings
+    // oracle, which still aggregates over shingle strings. Null-text
+    // docs produce a null signature and are dropped (matching the
+    // explode+groupBy formulation, which emitted no row for them) —
+    // without the filter they'd all share one empty bandval and form a
+    // single quadratic bucket.
     val sig = docs.select(col(idCol).as("id"), MinhashSig(col(textCol), k, w).as("mh"))
+      .filter(col("mh").isNotNull)
     // band value: seed-tagged minhashes of the band, sorted and joined --
     // byte-identical to the (id, seed) matrix formulation
     val bandStructs = array((0 until bands).map { b =>
@@ -213,6 +218,13 @@ object DedupOps {
    *
    * Output: (id, cluster_id) for EVERY node — singletons label
    * themselves.
+   *
+   * If the label propagation has not converged after `maxIterations`
+   * rounds (a component with diameter > maxIterations), the returned
+   * labels are only partially propagated — some cluster_id may not be
+   * the component minimum. This is loudly logged; callers needing a
+   * hard guarantee should raise `maxIterations` (rounds needed =
+   * component diameter, so 25 covers any realistic near-dup graph).
    */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIterations: Int = 25): DataFrame = {
@@ -222,25 +234,42 @@ object DedupOps {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("cluster_id")).localCheckpoint()
+    // only nodes touching an edge participate in propagation — in a
+    // dedup graph that's a small fraction of the corpus; every other
+    // node is a singleton that labels itself in the final join, so the
+    // per-round shuffles are sized by the edge set, not the corpus
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id")).localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIterations && !converged) {
-      // smallest label reachable in one hop (incl. own)
+      // smallest label reachable in one hop (incl. own); labels only
+      // ever DECREASE, so convergence = "no id's min dropped below its
+      // own previous label", detected inside the same aggregation (no
+      // extra join): prev = the min over own rows only
       val viaNeighbor = sym
         .join(labels.select(col("id").as("dst"), col("cluster_id")), "dst")
-        .select(col("src").as("id"), col("cluster_id"))
-      val next = labels.select(col("id"), col("cluster_id"))
+        .select(col("src").as("id"), col("cluster_id"), lit(false).as("own"))
+      val step = labels.select(col("id"), col("cluster_id"), lit(true).as("own"))
         .union(viaNeighbor)
-        .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
+        .groupBy("id").agg(
+          min(col("cluster_id")).as("cluster_id"),
+          min(when(col("own"), col("cluster_id"))).as("prev"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "id")
-        .filter(col("cluster_id") =!= col("prev")).count()
-      labels = next
+      val changed = step.filter(col("cluster_id") < col("prev")).count()
+      labels = step.select(col("id"), col("cluster_id"))
       converged = changed == 0
       iter += 1
     }
-    labels
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"connectedComponents: label propagation did NOT converge after " +
+          s"$maxIterations iterations — cluster_id may not be the component minimum " +
+          s"for components with diameter > $maxIterations; raise maxIterations")
+    // singletons (no incident edge) label themselves
+    nodes.select(col("id"))
+      .join(labels.withColumnRenamed("cluster_id", "cc"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cc"), col("id")).as("cluster_id"))
   }
 
   /**

@@ -201,8 +201,11 @@ object SimilarityOps {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
+    // no forced broadcast of qv: the planner/AQE picks broadcast when the
+    // query set is actually small, and degrades to a shuffle join (instead
+    // of a driver OOM) when a caller passes a large one
     cand
-      .join(broadcast(qv), "query_id")
+      .join(qv, "query_id")
       .join(cv, "neighbor_id")
       .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
       .withColumn("rank", row_number().over(win))
@@ -278,8 +281,9 @@ object SimilarityOps {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
+    // no forced broadcast of qv (see ivfTopK) — planner/AQE decides
     cand
-      .join(broadcast(qv), "query_id")
+      .join(qv, "query_id")
       .join(cv, "neighbor_id")
       .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
       .withColumn("rank", row_number().over(win))

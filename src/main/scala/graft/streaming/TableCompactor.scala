@@ -77,37 +77,52 @@ object TableCompactor {
     batchDirs(spark, root).filter(_.getName.stripPrefix("batch=").startsWith("c"))
 
   /**
-   * Read exactly `dirs` as one snapshot of the table. A batch dir
-   * committed after the caller listed `dirs` must NOT be folded into
-   * the output — it would then be both compacted AND left in place
-   * (the delete/trash set only covers the listed snapshot). Returns
-   * None when no listed dir has any data file (all-empty fold).
+   * A dir is "empty" only when an explicit recursive file listing finds
+   * no non-hidden, non-zero data file — a batch whose rows were all
+   * anti-joined away writes just a _SUCCESS marker. Deciding emptiness
+   * by catching AnalysisException from the read (the old scheme) would
+   * let a transient FS/path error masquerade as "all empty" and delete
+   * committed dirs; read errors must propagate instead.
    */
-  private def readDirs(spark: SparkSession, tableRoot: String, dirs: Seq[Path]): Option[DataFrame] =
-    try Some(spark.read.option("basePath", tableRoot).parquet(dirs.map(_.toString): _*))
-    catch { case _: org.apache.spark.sql.AnalysisException => None }
+  private def hasDataFiles(f: org.apache.hadoop.fs.FileSystem, dir: Path): Boolean = {
+    val it = f.listFiles(dir, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val n = s.getPath.getName
+      if (s.isFile && s.getLen > 0 && !n.startsWith(".") && !n.startsWith("_")) return true
+    }
+    false
+  }
 
   /** Fold `dirs` of an LWW-shaped table (max-version row per key) into
-    * one new c-dir. Returns the number of dirs folded. */
+    * one new c-dir. Reads exactly the listed snapshot — a batch dir
+    * committed after the caller listed `dirs` must NOT be folded in (it
+    * would then be both compacted AND left in place). Returns the
+    * number of dirs folded. */
   private def foldLwwDirs(spark: SparkSession, tableRoot: String, dirs: Seq[Path],
                           keys: Seq[String], payloadCols: Seq[String]): Int = {
     if (dirs.length <= 1) return 0
     val f = fs(spark, tableRoot)
-    readDirs(spark, tableRoot, dirs) match {
-      case None => // every listed dir is empty (all rows anti-joined away)
-        dirs.foreach(d => f.delete(d, true)); dirs.length
-      case Some(df) =>
-        val compacted = GraphiteOps.lwwLatest(df, keys, "version", payloadCols)
-          .withColumn("udate", date_from_unix_date((col("version") / 86400L).cast("int")))
-        val stamp = nextStamp()
-        val tmp = new Path(tableRoot, s".compact-$stamp")
-        compacted.write.mode("overwrite").partitionBy("udate").parquet(tmp.toString)
-        // new dir visible first, then sources removed: a crash in between
-        // leaves duplicates that the LWW read views absorb
-        require(f.rename(tmp, new Path(tableRoot, s"batch=c$stamp")), s"rename failed for $tmp")
-        dirs.foreach(d => f.delete(d, true))
-        dirs.length
+    val (dataDirs, emptyDirs) = dirs.partition(hasDataFiles(f, _))
+    if (dataDirs.isEmpty) { // verified empty by listing — safe to drop
+      emptyDirs.foreach(d => f.delete(d, true))
+      return emptyDirs.length
     }
+    if (dataDirs.length == 1) { // nothing to fold; still reap empties
+      emptyDirs.foreach(d => f.delete(d, true))
+      return emptyDirs.length
+    }
+    val df = spark.read.option("basePath", tableRoot).parquet(dataDirs.map(_.toString): _*)
+    val compacted = GraphiteOps.lwwLatest(df, keys, "version", payloadCols)
+      .withColumn("udate", date_from_unix_date((col("version") / 86400L).cast("int")))
+    val stamp = nextStamp()
+    val tmp = new Path(tableRoot, s".compact-$stamp")
+    compacted.write.mode("overwrite").partitionBy("udate").parquet(tmp.toString)
+    // new dir visible first, then sources removed: a crash in between
+    // leaves duplicates that the LWW read views absorb
+    require(f.rename(tmp, new Path(tableRoot, s"batch=c$stamp")), s"rename failed for $tmp")
+    dirs.foreach(d => f.delete(d, true))
+    dirs.length
   }
 
   /** Fold `dirs` of a points-shaped table (no dedup — duplicate points
@@ -116,27 +131,29 @@ object TableCompactor {
   private def foldPointsDirs(spark: SparkSession, tableRoot: String, dirs: Seq[Path]): Int = {
     if (dirs.length <= 1) return 0
     val f = fs(spark, tableRoot)
-    readDirs(spark, tableRoot, dirs) match {
-      case None =>
-        dirs.foreach(d => f.delete(d, true)); dirs.length
-      case Some(df) =>
-        val stamp = nextStamp()
-        val tmp = new Path(tableRoot, s".compact-$stamp")
-        df.select(PointsCols.head, PointsCols.tail: _*)
-          .withColumn("month", date_format(col("date"), "yyyyMM"))
-          .repartition(col("month"))
-          .sortWithinPartitions(col("path"), col("time"))
-          .write.mode("overwrite").partitionBy("month").parquet(tmp.toString)
-
-        // sources out of sight first (recoverable in .trash), THEN the
-        // compacted dir in — readers can never double-count points
-        val trash = new Path(tableRoot, s".trash-$stamp")
-        f.mkdirs(trash)
-        dirs.foreach(d => require(f.rename(d, new Path(trash, d.getName)), s"trash move failed for $d"))
-        require(f.rename(tmp, new Path(tableRoot, s"batch=c$stamp")), s"rename failed for $tmp")
-        f.delete(trash, true)
-        dirs.length
+    val (dataDirs, emptyDirs) = dirs.partition(hasDataFiles(f, _))
+    if (dataDirs.length <= 1) { // nothing to fold; reap verified-empty dirs only
+      emptyDirs.foreach(d => f.delete(d, true))
+      return emptyDirs.length
     }
+    val df = spark.read.option("basePath", tableRoot).parquet(dataDirs.map(_.toString): _*)
+    val stamp = nextStamp()
+    val tmp = new Path(tableRoot, s".compact-$stamp")
+    df.select(PointsCols.head, PointsCols.tail: _*)
+      .withColumn("month", date_format(col("date"), "yyyyMM"))
+      .repartition(col("month"))
+      .sortWithinPartitions(col("path"), col("time"))
+      .write.mode("overwrite").partitionBy("month").parquet(tmp.toString)
+
+    // sources out of sight first (recoverable in .trash), THEN the
+    // compacted dir in — readers can never double-count points
+    val trash = new Path(tableRoot, s".trash-$stamp")
+    f.mkdirs(trash)
+    dataDirs.foreach(d => require(f.rename(d, new Path(trash, d.getName)), s"trash move failed for $d"))
+    require(f.rename(tmp, new Path(tableRoot, s"batch=c$stamp")), s"rename failed for $tmp")
+    f.delete(trash, true)
+    emptyDirs.foreach(d => f.delete(d, true))
+    dirs.length
   }
 
   /** Size-tiered fold of accumulated c-dirs: when `tier` or more exist,

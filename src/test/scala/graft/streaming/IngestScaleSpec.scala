@@ -335,6 +335,38 @@ class IngestScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TableCompactor.compactAll(spark, s"$work/tables").values.sum == 0)
   }
 
+  test("compaction reaps verified-empty dirs but never deletes on read failure") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val root = JFiles.createTempDirectory("graft-compact-safety").toString
+
+    // two batch dirs holding only _SUCCESS markers (a batch whose rows
+    // were all anti-joined away): emptiness is decided by explicit file
+    // listing, so both are reaped without a read
+    for (b <- Seq("b1", "b2")) {
+      JFiles.createDirectories(Paths.get(s"$root/batch=$b"))
+      JFiles.write(Paths.get(s"$root/batch=$b/_SUCCESS"), Array.emptyByteArray)
+    }
+    assert(TableCompactor.compactLww(spark, root, Seq("date", "level", "path"), Nil) == 2)
+    assert(!new java.io.File(s"$root/batch=b1").exists())
+    assert(!new java.io.File(s"$root/batch=b2").exists())
+
+    // a dir whose data file cannot be read as parquet must fail the fold
+    // loudly — the old scheme (AnalysisException => "all empty") would
+    // have deleted committed data here
+    val ss = spark; import ss.implicits._
+    Seq((java.sql.Date.valueOf("2021-07-05"), 1L, "a.b", 5L))
+      .toDF("date", "level", "path", "version")
+      .write.parquet(s"$root/batch=b3")
+    JFiles.createDirectories(Paths.get(s"$root/batch=b4"))
+    JFiles.write(Paths.get(s"$root/batch=b4/part-garbage.parquet"),
+      "this is not parquet".getBytes)
+    intercept[Exception] {
+      TableCompactor.compactLww(spark, root, Seq("date", "level", "path"), Nil)
+    }
+    assert(new java.io.File(s"$root/batch=b3").exists(), "committed dir must survive a failed fold")
+    assert(new java.io.File(s"$root/batch=b4").exists(), "unreadable dir must survive, not be deleted")
+  }
+
   test("restart from checkpoint resumes exactly-once (no loss, no double-count)") {
     // Phase 1: ingest a first tranche, stop. Phase 2: NEW StreamingIngest
     // instance over the same checkpoint ingests a second tranche. The
