@@ -216,7 +216,9 @@ object SparkEntry {
       // glob regex filters survivors
       val idx = GraphiteOps.indexExpand(withDate(metricStream(s, dir)))
         .filter(col("level") < 10000) // daily direct rows
-      GraphiteOps.findGlob(idx, "evt.*.u3.{sum,max}")
+      // u{2,4}: even user buckets, so the sum/max suffixes actually
+      // occur (u3 would be vacuous — odd user_id can't hit %4 in {0,2})
+      GraphiteOps.findGlob(idx, "evt.*.u{2,4}.{sum,max}")
         .orderBy("date", "level", "path")
     }),
 
@@ -225,6 +227,20 @@ object SparkEntry {
         concat(lit("evt."), col("event_type"), lit("?env=prod&zone=u"), col("user_id") % 10).as("path"),
         col("tsec").as("time"))
       GraphiteOps.findByTag(GraphiteOps.taggedExpand(withDate(tagged)), "zone", "u3")
+        .select("path").distinct().orderBy("path")
+    }),
+
+    "g_find_multitag" -> ((s, dir) => {
+      // seriesByTag('env=prod','zone=u3') AND semantics: env varies by
+      // event_id parity, zone by user bucket, so the intersection is a
+      // real subset of either matcher alone
+      val tagged = events(s, dir).select(
+        concat(lit("evt."), col("event_type"),
+          lit("?env="), when(col("event_id") % 2 === 0, "prod").otherwise("staging"),
+          lit("&zone=u"), col("user_id") % 10).as("path"),
+        col("tsec").as("time"))
+      GraphiteOps.findByTags(GraphiteOps.taggedExpand(withDate(tagged)),
+          Seq("env" -> "prod", "zone" -> "u3"))
         .select("path").distinct().orderBy("path")
     }),
 
@@ -320,17 +336,18 @@ object SparkEntry {
     }),
 
     "q8_new_series" -> ((s, dir) => {
-      // exists-cache semantics: series first seen on the newest day.
-      // One scan + one shuffle: per-path (first,last) seen dates, then a
-      // broadcast join against the 1-row global max — a path is new today
-      // iff its first-seen date IS the global newest date. No driver-side
-      // action, no recomputation of the stream per branch.
+      // exists-cache semantics: how many series are first seen each day
+      // (what the cross-chunk exists-cache admits per day). One scan, two
+      // shuffles: per-path min(date), then per-day count. (The previous
+      // "paths new on the newest day" phrasing was vacuously empty on
+      // this corpus — every path spans every day — so its oracle checked
+      // nothing.)
       val perPath = withDate(metricStream(s, dir))
         .groupBy("path")
-        .agg(min("date").as("first_date"), max("date").as("last_date"))
-      val maxd = perPath.agg(max("last_date").as("maxd"))
-      perPath.join(broadcast(maxd), col("first_date") === col("maxd"))
-        .select("path").orderBy("path")
+        .agg(min("date").as("first_date"))
+      perPath.groupBy("first_date")
+        .agg(count(lit(1)).as("new_series"))
+        .orderBy("first_date")
     }),
 
     // ---- training-data pipeline: dedup ----
@@ -432,6 +449,35 @@ object SparkEntry {
       table(s, dir, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
+
+    // ---- training-data pipeline: sampling / mixing / shuffling ----
+
+    "p_sample" -> ((s, dir) =>
+      // deterministic Bernoulli sample: pure filter, no shuffle
+      SampleOps.bernoulliSample(table(s, dir, "documents"), "doc_id", rate = 0.25)
+        .select(col("doc_id"))
+        .orderBy("doc_id")),
+
+    "p_sample_stratified" -> ((s, dir) =>
+      // exact-fraction per-language sample (smallest hash keys win)
+      SampleOps.stratifiedSample(table(s, dir, "documents"), "doc_id", "lang", fraction = 0.2)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
+    "p_mixture" -> ((s, dir) => {
+      // data mixing: per-language token budgets, docs taken in hash order
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TextOps.tokenCount(col("text")).as("tokens"))
+      SampleOps.tokenBudgetMixture(d, "doc_id", "lang", "tokens",
+          Map("en" -> 4000L, "de" -> 1500L, "es" -> 1500L, "fr" -> 1000L, "zh" -> 2000L))
+        .select(col("doc_id"), col("lang"), col("tokens"), col("cum_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "p_shuffle" -> ((s, dir) =>
+      // deterministic global order randomization (sort + zipWithIndex)
+      SampleOps.deterministicShuffle(table(s, dir, "documents"), "doc_id")
+        .orderBy("pos")),
 
     // ---- training-data pipeline: multimodal columns ----
 
@@ -633,12 +679,16 @@ object SparkEntry {
          |  SELECT DISTINCT DATE '1970-01-01' + CAST("time" // 86400 AS INT) AS date, path FROM m)
          |SELECT date, len(string_split(path, '.')) AS level, path
          |FROM series
-         |WHERE regexp_matches(path, '^evt\\.[^.]*\\.u3\\.(?:sum|max)$$')
+         |WHERE regexp_matches(path, '^evt\\.[^.]*\\.u(?:2|4)\\.(?:sum|max)$$')
          |ORDER BY date, level, path""".stripMargin,
 
     "g_find_tag" ->
       """SELECT DISTINCT 'evt.' || event_type || '?env=prod&zone=u' || (user_id % 10) AS path
         |FROM events WHERE user_id % 10 = 3 ORDER BY path""".stripMargin,
+
+    "g_find_multitag" ->
+      """SELECT DISTINCT 'evt.' || event_type || '?env=prod&zone=u' || (user_id % 10) AS path
+        |FROM events WHERE event_id % 2 = 0 AND user_id % 10 = 3 ORDER BY path""".stripMargin,
 
     "g_path_kernels" ->
       """WITH raw AS (
@@ -711,12 +761,11 @@ object SparkEntry {
 
     "q8_new_series" ->
       s"""$OracleM,
-         |series AS (
-         |  SELECT DISTINCT DATE '1970-01-01' + CAST("time" // 86400 AS INT) AS date, path FROM m)
-         |SELECT DISTINCT path FROM series WHERE date = (SELECT max(date) FROM series)
-         |EXCEPT
-         |SELECT DISTINCT path FROM series WHERE date < (SELECT max(date) FROM series)
-         |ORDER BY path""".stripMargin,
+         |births AS (
+         |  SELECT path, min(DATE '1970-01-01' + CAST("time" // 86400 AS INT)) AS first_date
+         |  FROM m GROUP BY 1)
+         |SELECT first_date, count(*)::BIGINT AS new_series
+         |FROM births GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
@@ -876,9 +925,14 @@ object SparkEntry {
         |r AS (SELECT * FROM sh WHERE doc_id < 50),
         |nc AS (SELECT doc_id, count(*) AS n FROM c GROUP BY 1),
         |nr AS (SELECT doc_id, count(*) AS n FROM r GROUP BY 1),
+        |-- engine's maxShingleDf=10000 mirrored: shingles whose REF-side
+        |-- document frequency exceeds the cap are excluded from the
+        |-- intersection (sizes stay uncapped, matching contaminationPairs)
+        |kept AS (SELECT sh FROM r GROUP BY sh HAVING count(*) <= 10000),
         |inter AS (
         |  SELECT c.doc_id AS cid, r.doc_id AS rid, count(*) AS inter
-        |  FROM c JOIN r ON c.sh = r.sh GROUP BY 1, 2)
+        |  FROM c JOIN r ON c.sh = r.sh JOIN kept k ON r.sh = k.sh
+        |  GROUP BY 1, 2)
         |SELECT cid AS corpus_id, rid AS ref_id,
         |       round(inter::DOUBLE / (nc.n + nr.n - inter), 4) AS jaccard
         |FROM inter JOIN nc ON cid = nc.doc_id JOIN nr ON rid = nr.doc_id
@@ -1049,6 +1103,48 @@ object SparkEntry {
     "t_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // hash fraction = uint60(md5('sample:' || id)) / 2^60 — identical
+    // IEEE double math on both engines, so the < compare can't diverge
+    "p_sample" ->
+      """SELECT doc_id FROM documents
+        |WHERE ('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT
+        |      / 1152921504606846976.0 < 0.25
+        |ORDER BY doc_id""".stripMargin,
+
+    // ::DOUBLE on the fraction: DuckDB would otherwise use exact decimal
+    // arithmetic where Spark uses IEEE doubles (ceil could differ by 1)
+    "p_sample_stratified" ->
+      """WITH k AS (
+        |  SELECT doc_id, lang, substr(md5('stratified:' || doc_id), 1, 15) AS k
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM k)
+        |SELECT doc_id, lang FROM r
+        |WHERE rn <= ceil(n * 0.2::DOUBLE) ORDER BY doc_id""".stripMargin,
+
+    "p_mixture" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS tokens,
+        |         substr(md5('mixture:' || doc_id), 1, 15) AS k
+        |  FROM documents),
+        |b(lang, budget) AS (VALUES ('en', 4000), ('de', 1500), ('es', 1500), ('fr', 1000), ('zh', 2000)),
+        |c AS (
+        |  SELECT t.doc_id, t.lang, t.tokens, b.budget,
+        |         sum(t.tokens) OVER (PARTITION BY t.lang ORDER BY t.k, t.doc_id
+        |                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM t JOIN b ON t.lang = b.lang)
+        |SELECT doc_id, lang, tokens, cum_tokens::BIGINT AS cum_tokens FROM c
+        |WHERE cum_tokens - tokens < budget ORDER BY doc_id""".stripMargin,
+
+    "p_shuffle" ->
+      """SELECT doc_id AS id,
+        |       row_number() OVER (ORDER BY substr(md5('shuffle:' || doc_id), 1, 15), doc_id)::BIGINT AS pos
+        |FROM documents ORDER BY pos""".stripMargin,
 
     "m_media_decode" ->
       """WITH hx AS (SELECT doc_id, md5(upper(md5(text))) AS h FROM documents)

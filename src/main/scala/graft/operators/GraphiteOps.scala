@@ -412,6 +412,23 @@ object GraphiteOps {
     tagged.filter(col("tag1") === s"$key=$value")
 
   /**
+   * Multi-matcher tag lookup — graphite's `seriesByTag('k1=v1','k2=v2')`
+   * AND semantics. The FIRST matcher routes through the `tag1` index
+   * entry (an equality on the tagged table's leading cluster key, so
+   * row groups prune); the remaining matchers filter each row's full
+   * Tags array. One scan, no join — the same execution shape
+   * graphite-clickhouse uses (most selective tag picks the index entry,
+   * the rest post-filter).
+   */
+  def findByTags(tagged: DataFrame, matchers: Seq[(String, String)]): DataFrame = {
+    require(matchers.nonEmpty, "at least one tag matcher")
+    val (k0, v0) = matchers.head
+    matchers.tail.foldLeft(tagged.filter(col("tag1") === s"$k0=$v0")) {
+      case (df, (k, v)) => df.filter(array_contains(col("tags"), s"$k=$v"))
+    }
+  }
+
+  /**
    * Graphite glob -> anchored Java regex: `*` = one segment wildcard
    * (`[^.]*`), `?` = one char, `{a,b}` = alternation, `[...]` passes
    * through as a char class — the same pattern language the blacklist

@@ -135,4 +135,8 @@ final class GraphiteTables(spark: SparkSession, tablesDir: String) {
   /** Series carrying tag key=value (seriesByTag('key=value')). */
   def seriesByTag(key: String, value: String): DataFrame =
     GraphiteOps.findByTag(tagged(), key, value).select("path").distinct()
+
+  /** Series carrying ALL the given tags (seriesByTag('k1=v1','k2=v2')). */
+  def seriesByTags(matchers: Seq[(String, String)]): DataFrame =
+    GraphiteOps.findByTags(tagged(), matchers).select("path").distinct()
 }

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/**
+ * Deterministic sampling / mixing / shuffling for training-data
+ * pipelines — the selection layer between a deduplicated corpus and a
+ * training run.
+ *
+ * Every operator keys its randomness off `md5(salt:id)`, not an RNG:
+ * results are reproducible across engines (the DuckDB oracles recompute
+ * the identical keys), across cluster sizes, and across partition
+ * orders — rerunning a sample after adding executors yields the same
+ * document set, which is what makes training data auditable.
+ */
+object SampleOps {
+
+  /** 60-bit hash key as FIXED-WIDTH hex — order-portable across engines
+    * (binary string comparison on both sides). */
+  def hashKey(id: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), lit(":"), id.cast("string"))), 1, 15)
+
+  /** [[hashKey]] as a uniform double in [0, 1). */
+  def keyFraction(id: Column, salt: String): Column =
+    conv(hashKey(id, salt), 16, 10).cast("long").cast("double") / (1L << 60).toDouble
+
+  /**
+   * Deterministic Bernoulli sample: keep a doc iff its hash fraction is
+   * below `rate`. A pure codegen'd filter — no shuffle, no state, scales
+   * to any corpus size, and the kept set is stable under reruns and
+   * corpus appends (a doc's fate depends only on its own id).
+   */
+  def bernoulliSample(docs: DataFrame, idCol: String, rate: Double,
+                      salt: String = "sample"): DataFrame =
+    docs.filter(keyFraction(col(idCol), salt) < rate)
+
+  /**
+   * Exact-fraction stratified sample: within each stratum keep the
+   * `ceil(n * fraction)` docs with the smallest hash keys. One shuffle
+   * partitioned by stratum.
+   *
+   * Scale note: each stratum ranks inside one task, so this is the
+   * right tool for many medium strata (sources, shards, dates). For a
+   * handful of billion-doc strata prefer [[bernoulliSample]] applied
+   * per stratum — approximate counts, but no per-stratum sort.
+   */
+  def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
+                       fraction: Double, salt: String = "stratified"): DataFrame = {
+    val byStratum = Window.partitionBy(col(stratumCol))
+    val ord = byStratum.orderBy(hashKey(col(idCol), salt), col(idCol))
+    docs
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("nn", count(lit(1)).over(byStratum))
+      .filter(col("rn") <= ceil(col("nn") * fraction))
+      .drop("rn", "nn")
+  }
+
+  /**
+   * Token-budget mixture ("data mixing"): per domain, take docs in hash
+   * order until the domain's token budget is exhausted. The first doc
+   * CROSSING the budget is kept (the filter admits a doc that STARTS
+   * under budget), so every domain with a positive budget contributes at
+   * least one doc and the overshoot is bounded by one document.
+   * Domains absent from `budgets` are dropped. Output keeps the input
+   * columns plus the running `cum_tokens`.
+   */
+  def tokenBudgetMixture(docs: DataFrame, idCol: String, domainCol: String,
+                         tokensCol: String, budgets: Map[String, Long],
+                         salt: String = "mixture"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val b = budgets.toSeq.toDF(domainCol, "budget")
+    val win = Window.partitionBy(col(domainCol))
+      .orderBy(hashKey(col(idCol), salt), col(idCol))
+    docs
+      .join(broadcast(b), domainCol)
+      .withColumn("cum_tokens", sum(col(tokensCol)).over(win))
+      .filter(col("cum_tokens") - col(tokensCol) < col("budget"))
+      .drop("budget")
+  }
+
+  /**
+   * Deterministic global shuffle: every doc gets a stable position
+   * `1..N` in hash order — the "randomize example order" step before
+   * sharding a training set, reproducible run-to-run.
+   *
+   * Scale shape: a range-partitioned sort (Spark samples split points,
+   * every partition sorts in parallel) followed by zipWithIndex, which
+   * computes per-partition offsets with one extra tiny job — there is no
+   * single-task bottleneck and no driver materialization at any corpus
+   * size. Output: (id, pos).
+   */
+  def deterministicShuffle(docs: DataFrame, idCol: String,
+                           salt: String = "shuffle"): DataFrame = {
+    val sorted = docs
+      .select(col(idCol).as("id"))
+      .withColumn("k", hashKey(col("id"), salt))
+      .orderBy(col("k"), col("id"))
+      .drop("k")
+    val schema = StructType(sorted.schema.fields :+ StructField("pos", LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row(r.get(0), i + 1L) }
+    sorted.sparkSession.createDataFrame(rdd, schema)
+  }
+}

@@ -123,6 +123,22 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "projection kernel must reproduce every per-seed md5 minimum exactly")
   }
 
+  test("minhashCandidates drops null-text docs instead of bucketing them together") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String]),
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val cand = DedupOps.minhashCandidates(docs, "id", "text").collect()
+    // identical real docs collide; the null-text docs must NOT form a
+    // shared bucket (their null signatures would all band to one empty
+    // bandval and pair quadratically)
+    assert(cand.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
   test("simhash projection kernel matches the word-explode formulation") {
     val ss = spark; import ss.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -207,6 +223,63 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 8L))
+  }
+
+  test("sampling family: deterministic, exact strata, bounded budgets, true permutation") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    // bernoulli: deterministic, append-stable, rate in the right ballpark
+    val s1 = SampleOps.bernoulliSample(docs, "doc_id", 0.25)
+    val n = docs.count().toDouble
+    val kept = s1.count()
+    assert(math.abs(kept / n - 0.25) < 0.08, s"rate off: ${kept / n}")
+    assert(SampleOps.bernoulliSample(docs, "doc_id", 0.25).collect().toSet ==
+      s1.collect().toSet, "must be run-to-run deterministic")
+    // a doc's fate depends only on its own id: sampling half the corpus
+    // keeps exactly the sampled docs that fall in that half
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    assert(SampleOps.bernoulliSample(half, "doc_id", 0.25)
+      .select("doc_id").collect().toSet ==
+      s1.filter(col("doc_id") % 2 === 0).select("doc_id").collect().toSet)
+
+    // stratified: per-stratum counts are EXACTLY ceil(n * frac)
+    val strat = SampleOps.stratifiedSample(docs, "doc_id", "lang", 0.2)
+    val got = strat.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> math.ceil(r.getLong(1) * 0.2).toLong).toMap
+    assert(got == want, s"got $got want $want")
+
+    // mixture: every kept doc STARTS under its domain budget (overshoot
+    // bounded by one doc), and every budgeted domain contributes
+    val budgets = Map("en" -> 4000L, "de" -> 1500L, "es" -> 1500L, "fr" -> 1000L, "zh" -> 2000L)
+    val toks = docs.select(col("doc_id"), col("lang"),
+      TextOps.tokenCount(col("text")).as("tokens"))
+    val mix = SampleOps.tokenBudgetMixture(toks, "doc_id", "lang", "tokens", budgets)
+    val byLang = mix.groupBy("lang")
+      .agg(sum("tokens").as("tok"), max(col("cum_tokens") - col("tokens")).as("maxStart"),
+        count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    for ((lang, budget) <- budgets) {
+      val (_, maxStart, cnt) = byLang(lang)
+      assert(cnt >= 1, s"$lang: budgeted domain must contribute")
+      assert(maxStart < budget, s"$lang: a kept doc started at/after budget")
+    }
+    // each domain's selection is budget-exhausting: total tokens reach
+    // the budget (or the domain ran out of docs entirely)
+    val totalByLang = toks.groupBy("lang").agg(sum("tokens").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, budget) <- budgets) {
+      val (tok, _, _) = byLang(lang)
+      assert(tok >= math.min(budget, totalByLang(lang)), s"$lang: budget under-filled")
+    }
+
+    // shuffle: a deterministic permutation — pos is exactly 1..N
+    val shuf = SampleOps.deterministicShuffle(docs, "doc_id")
+    val poss = shuf.select("pos").collect().map(_.getLong(0)).sorted
+    assert(poss.toSeq == (1L to n.toLong).toSeq, "pos must be a permutation of 1..N")
+    assert(SampleOps.deterministicShuffle(docs, "doc_id").collect().toSet ==
+      shuf.collect().toSet, "must be run-to-run deterministic")
   }
 
   test("jaccardPairs df cap is inactive on normal corpora") {
