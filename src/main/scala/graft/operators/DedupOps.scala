@@ -83,11 +83,18 @@ object DedupOps {
     val banded = sig
       .select(col("id"), explode(bandStructs).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bandval").as("bandval"))
-    val a = banded.select(col("band"), col("bandval"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bandval"), col("id").as("id_b"))
-    a.join(b, Seq("band", "bandval"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    // grouped-pairs plan (the jaccardPairs shape) instead of a band
+    // self-join: a self-join reads the corpus and runs the signature
+    // kernel TWICE (once per side — exchange reuse can't help when the
+    // planner broadcasts a side); grouping co-banded ids per bucket
+    // runs the kernel once and generates pairs with codegen'd array ops
+    // bounded by bucket-size² — the same quadratic the join had.
+    banded.groupBy("band", "bandval").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        "filter(flatten(transform(ids, x -> transform(ids, y -> struct(x as id_a, y as id_b)))), p -> p.id_a < p.id_b)"))
+        .as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
   }
 
@@ -177,11 +184,15 @@ object DedupOps {
     // one-pass projection kernel (Simhash60.scala): a simhash is a pure
     // per-document function, so no word explode, no shuffle, no typed
     // Aggregator — and no integral-id restriction (the groupBy is gone).
-    // Wordless docs produce a null signature and are dropped, exactly
-    // like the explode-based formulation that emitted no row for them
-    // (OperatorSpec equivalence test).
-    docs.select(col(idCol).as("id"), Simhash60(col(textCol)).as("simhash"))
-      .filter(col("simhash").isNotNull)
+    // Wordless docs are dropped, exactly like the explode-based
+    // formulation that emitted no row for them (OperatorSpec equivalence
+    // test). The wordless test runs BEFORE the projection as a cheap
+    // regex — the kernel is null iff the text has no non-\s char, and a
+    // filter on the projected signature would be pushed below the
+    // projection and re-evaluate the whole md5-per-word kernel per row
+    // (the same +70% trap measured on the minhash query).
+    docs.filter(col(textCol).isNotNull && col(textCol).rlike("\\S"))
+      .select(col(idCol).as("id"), Simhash60(col(textCol)).as("simhash"))
 
   /**
    * SimHash near-dup pairs with Hamming distance <= maxDist. Bucketed by
@@ -199,6 +210,13 @@ object DedupOps {
     val seg = sh.select(col("id"), col("simhash"),
         explode(sequence(lit(0), lit(segments - 1))).as("seg"))
       .withColumn("segval", expr(s"shiftright(simhash, cast(seg * $segBits as int)) & $segMask"))
+    // SELF-JOIN here, deliberately NOT the minhash grouped-pairs plan:
+    // 6-bit segments have only 64 bucket values, so buckets hold ~n/64
+    // docs and grouped pairs would MATERIALIZE bucket² struct arrays per
+    // group (measured 43 s vs 3 s at sf0.1). The join streams the same
+    // quadratic through codegen with the hamming filter applied in the
+    // stream. The Simhash60 kernel runs once per side — the join's cost,
+    // but the cheaper one in this bucket-density regime.
     val a = seg.select(col("seg"), col("segval"), col("id").as("id_a"), col("simhash").as("h_a"))
     val b = seg.select(col("seg"), col("segval"), col("id").as("id_b"), col("simhash").as("h_b"))
     a.join(b, Seq("seg", "segval"))

@@ -135,6 +135,10 @@ object SimilarityOps {
       .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
       .withColumn("bandval", expr(s"shiftright(sig, cast(band * $bandBits as int)) & $mask"))
       .drop("sig")
+    // SELF-JOIN, deliberately not the minhash grouped-pairs plan: 6-bit
+    // bands have only 64 bucket values, so buckets are dense and grouped
+    // pairs would materialize bucket² arrays per group (the simhash
+    // lesson, DedupOps.simhashPairs); the join streams the quadratic.
     val a = banded.select(col("band"), col("bandval"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bandval"), col("id").as("id_b"))
     val cand = a.join(b, Seq("band", "bandval"))

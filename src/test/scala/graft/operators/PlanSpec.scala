@@ -115,6 +115,45 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("projection kernels never re-evaluate inside a Filter") {
+    // a null filter placed on a projected kernel column gets pushed
+    // below the projection and re-evaluates the kernel per row — a
+    // measured +70% on the minhash query. Kernels must appear in
+    // Project operators only, never in a Filter condition.
+    import org.apache.spark.sql.execution.FilterExec
+    for ((q, kernel) <- Seq(
+        ("d_dedup_minhash", "minhashsigexpr"),
+        ("d_dedup_simhash", "simhash60expr"),
+        ("d_dedup_jaccard", "shinglehashesexpr"))) {
+      val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
+      plan.foreach {
+        case f: FilterExec =>
+          assert(!f.condition.toString.toLowerCase.contains(kernel),
+            s"$q: '$kernel' re-evaluated inside a Filter: ${f.condition}")
+        case _ => ()
+      }
+    }
+  }
+
+  test("sampling family plans have the right shuffle shapes") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def shuffles(name: String): Int =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }.length
+    // bernoulli sampling is a pure filter: the only exchange is the
+    // final orderBy's range partitioning, nothing key-hashed
+    val sample = SparkEntry.queries("p_sample")(spark, sfDir).queryExecution.executedPlan
+    val hashEx = sample.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashEx.isEmpty, "p_sample must not hash-shuffle — it is a pure filter")
+    // stratified + mixture: exactly one hash shuffle (the stratum/domain
+    // window), plus the final sort's range exchange
+    assert(shuffles("p_sample_stratified") <= 2, "stratified: one window shuffle + output sort")
+    assert(shuffles("p_mixture") <= 2, "mixture: one window shuffle + output sort")
+  }
+
   test("points storage layout prunes monthly partitions") {
     val work = java.nio.file.Files.createTempDirectory("graft-prune").toString
     val ss = spark; import ss.implicits._
