@@ -450,6 +450,18 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    "t_redact" -> ((s, dir) => {
+      // PII scrub: the corpus has no natural PII, so plant a per-doc
+      // deterministic email + phone + IP and verify the scrubbed text
+      val d = table(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com"),
+          lit(" or +1 (415) 555-01"), col("doc_id"),
+          lit(" node 10.0.0."), pmod(col("doc_id"), lit(256))).as("text"))
+      d.select(col("doc_id"), TextOps.redact(col("text")).as("redacted"))
+        .orderBy("doc_id")
+    }),
+
     // ---- training-data pipeline: sampling / mixing / shuffling ----
 
     "p_sample" -> ((s, dir) =>
@@ -1103,6 +1115,23 @@ object SparkEntry {
     "t_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same planted PII, same three RE2-safe patterns in the same order
+    "t_redact" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || doc_id || '@example.com'
+        |              || ' or +1 (415) 555-01' || doc_id
+        |              || ' node 10.0.0.' || (doc_id % 256) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |       regexp_replace(
+        |         regexp_replace(
+        |           regexp_replace(text,
+        |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |           '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+        |         '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS redacted
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // hash fraction = uint60(md5('sample:' || id)) / 2^60 — identical
     // IEEE double math on both engines, so the < compare can't diverge

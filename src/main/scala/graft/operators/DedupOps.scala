@@ -206,7 +206,11 @@ object DedupOps {
     require(60 % segments == 0, s"need segments ($segments) dividing 60")
     val segBits = 60 / segments
     val segMask = (1L << segBits) - 1
-    val sh = simhash(docs, idCol, textCol)
+    // materialize the signatures ONCE: the relation is 16 bytes/doc (id
+    // + 60-bit hash), so caching it is O(corpus-count), not O(text) —
+    // without it each self-join side re-scans the corpus and re-runs the
+    // md5-per-word kernel
+    val sh = simhash(docs, idCol, textCol).localCheckpoint()
     val seg = sh.select(col("id"), col("simhash"),
         explode(sequence(lit(0), lit(segments - 1))).as("seg"))
       .withColumn("segval", expr(s"shiftright(simhash, cast(seg * $segBits as int)) & $segMask"))

@@ -130,8 +130,11 @@ object SimilarityOps {
     // candidates carry ONLY the 8-byte id pair through the join+distinct;
     // vectors join back afterwards — dragging two 64-dim arrays through
     // the all-pairs shuffle was measured at 15x the cost at sf0.1
-    val banded = corpus
-      .select(col("id"), sigUdf(col("embedding")).as("sig"))
+    // signatures materialized ONCE (16 bytes/vector): both self-join
+    // sides would otherwise re-scan the corpus and re-run the plane UDF
+    val sigs = corpus.select(col("id"), sigUdf(col("embedding")).as("sig"))
+      .localCheckpoint()
+    val banded = sigs
       .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
       .withColumn("bandval", expr(s"shiftright(sig, cast(band * $bandBits as int)) & $mask"))
       .drop("sig")

@@ -93,4 +93,22 @@ object TextOps {
    */
   def fingerprint(text: Column): Column =
     FastHash.fastMd5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /**
+   * PII redaction: emails, IPv4 addresses, and phone-shaped digit runs
+   * replaced by type tags — the standard scrub step before corpus text
+   * reaches a training run. A pure codegen'd regexp_replace chain (no
+   * UDF, no shuffle). ORDER MATTERS: emails first (they contain digits
+   * and dots), then IPs (a bare IP also matches the looser phone
+   * shape), then phones over what remains. The patterns avoid
+   * backtracking AND `\b` (RE2's default mode rejects word boundaries),
+   * so RE2-based engines reproduce them byte-identically.
+   */
+  def redact(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}", "<IP>")
+    regexp_replace(ip, "\\+?\\d[\\d\\s().-]{7,}\\d", "<PHONE>")
+  }
 }

@@ -132,4 +132,15 @@ class GraphiteTablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tables.seriesByTag("dc", "east").collect().map(_.getString(0)).toSeq ==
       Seq("req.count?dc=east&env=prod"))
   }
+
+  test("seriesByTags: multi-matcher AND semantics") {
+    // env=prod matches both series; adding dc=west intersects to one
+    assert(tables.seriesByTags(Seq("env" -> "prod", "dc" -> "west"))
+      .collect().map(_.getString(0)).toSeq == Seq("req.count?dc=west&env=prod"))
+    // both matchers on one series; order of matchers is irrelevant
+    assert(tables.seriesByTags(Seq("dc" -> "west", "env" -> "prod"))
+      .collect().map(_.getString(0)).toSeq == Seq("req.count?dc=west&env=prod"))
+    // a matcher with no series yields empty, not an error
+    assert(tables.seriesByTags(Seq("env" -> "prod", "dc" -> "north")).isEmpty)
+  }
 }
