@@ -491,6 +491,16 @@ object SparkEntry {
       SampleOps.deterministicShuffle(table(s, dir, "documents"), "doc_id")
         .orderBy("pos")),
 
+    "p_pack" -> ((s, dir) => {
+      // sequence packing: docs -> 2048-token training sequences, 8
+      // hash shards packing independently (no global sort anywhere)
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("tokens"))
+      SampleOps.packSequences(d, "doc_id", "tokens", seqTokens = 2048L, shards = 8)
+        .select(col("doc_id"), col("tokens"), col("shard"), col("seq_no"), col("seq_offset"))
+        .orderBy("doc_id")
+    }),
+
     // ---- training-data pipeline: multimodal columns ----
 
     "m_media_decode" -> ((s, dir) => {
@@ -1174,6 +1184,21 @@ object SparkEntry {
       """SELECT doc_id AS id,
         |       row_number() OVER (ORDER BY substr(md5('shuffle:' || doc_id), 1, 15), doc_id)::BIGINT AS pos
         |FROM documents ORDER BY pos""".stripMargin,
+
+    "p_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS tokens,
+        |         substr(md5('pack:' || doc_id), 1, 15) AS k,
+        |         (('0x' || substr(md5('pack:' || doc_id), 1, 15))::BIGINT % 8) AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tokens, shard,
+        |         (sum(tokens) OVER (PARTITION BY shard ORDER BY k, doc_id
+        |                            ROWS UNBOUNDED PRECEDING) - tokens)::BIGINT AS seq_offset
+        |  FROM t)
+        |SELECT doc_id, tokens, shard, (seq_offset // 2048)::BIGINT AS seq_no, seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "m_media_decode" ->
       """WITH hx AS (SELECT doc_id, md5(upper(md5(text))) AS h FROM documents)

@@ -83,6 +83,29 @@ object SampleOps {
   }
 
   /**
+   * Sequence packing: assign docs to fixed-token-budget training
+   * sequences. Docs are sharded by hash (so no global sort exists —
+   * each shard packs independently, the distributed-packing shape),
+   * ordered deterministically within the shard, and cut greedily: a doc
+   * belongs to the sequence its RUNNING token offset falls into, so
+   * every sequence holds ~seqTokens tokens (the doc straddling a
+   * boundary goes to the earlier sequence, the standard greedy pack).
+   * Output: input columns + (shard, seq_no, seq_offset) where
+   * seq_offset is the doc's token offset within its shard's stream.
+   */
+  def packSequences(docs: DataFrame, idCol: String, tokensCol: String,
+                    seqTokens: Long, shards: Int,
+                    salt: String = "pack"): DataFrame = {
+    val shard = pmod(conv(hashKey(col(idCol), salt), 16, 10).cast("long"), lit(shards.toLong))
+    val win = Window.partitionBy(col("shard"))
+      .orderBy(hashKey(col(idCol), salt), col(idCol))
+    docs
+      .withColumn("shard", shard)
+      .withColumn("seq_offset", sum(col(tokensCol)).over(win) - col(tokensCol))
+      .withColumn("seq_no", floor(col("seq_offset") / seqTokens))
+  }
+
+  /**
    * Deterministic global shuffle: every doc gets a stable position
    * `1..N` in hash order — the "randomize example order" step before
    * sharding a training set, reproducible run-to-run.
