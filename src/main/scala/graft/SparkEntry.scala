@@ -491,6 +491,22 @@ object SparkEntry {
       SampleOps.deterministicShuffle(table(s, dir, "documents"), "doc_id")
         .orderBy("pos")),
 
+    "p_corpus" -> ((s, dir) => {
+      // end-to-end corpus construction: exact-dedup survivors, quality
+      // floor, language filter — the composition a training-data build
+      // actually runs. Every stage is a previously-verified operator;
+      // the dedup side groups before joining so the join input is one
+      // row per canonical doc.
+      val docs = table(s, dir, "documents")
+      val keep = DedupOps.exactDuplicates(docs, "doc_id", "text")
+        .select(col("canonical_id").as("doc_id"))
+      docs.join(keep, "doc_id")
+        .filter(TextOps.qualityScore(col("text")) >= 500 &&
+          TextOps.langGuess(col("text")) === "en")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     "p_pack" -> ((s, dir) => {
       // sequence packing: docs -> 2048-token training sequences, 8
       // hash shards packing independently (no global sort anywhere)
@@ -1184,6 +1200,42 @@ object SparkEntry {
       """SELECT doc_id AS id,
         |       row_number() OVER (ORDER BY substr(md5('shuffle:' || doc_id), 1, 15), doc_id)::BIGINT AS pos
         |FROM documents ORDER BY pos""".stripMargin,
+
+    // composition of the d_dedup_exact + t_quality + t_langid oracles
+    "p_corpus" ->
+      """WITH keep AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM documents
+        |  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))),
+        |w AS (
+        |  SELECT doc_id, lang, text,
+        |         length(text)::BIGINT AS len,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS lw,
+        |         (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))::BIGINT AS np
+        |  FROM documents JOIN keep USING (doc_id)),
+        |f AS (
+        |  SELECT doc_id, lang, lw, len, np,
+        |    len(lw)::BIGINT AS nw,
+        |    len(list_filter(lw, x -> x IN ('the','a','an','of','to','and','in','is','on','for')))::BIGINT AS ns
+        |  FROM w),
+        |q AS (
+        |  SELECT doc_id, lang, lw,
+        |       (400 * least(len, 500)) // 500
+        |     + CASE WHEN nw = 0 THEN 0 ELSE (300 * least(ns * 5, nw)) // nw END
+        |     + CASE WHEN len = 0 THEN 0 ELSE (300 * greatest(len - np * 5, 0)) // len END AS quality
+        |  FROM f),
+        |h AS (
+        |  SELECT doc_id, lang, quality,
+        |    len(list_filter(lw, x -> x IN ('the','and','of','to','is'))) AS en,
+        |    len(list_filter(lw, x -> x IN ('der','die','das','und','ist'))) AS de,
+        |    len(list_filter(lw, x -> x IN ('el','la','los','de','es'))) AS es
+        |  FROM q)
+        |SELECT doc_id, lang FROM h
+        |WHERE quality >= 500
+        |  AND (CASE WHEN de > en AND de > es THEN 'de'
+        |            WHEN es > en AND es >= de THEN 'es'
+        |            WHEN en > 0 THEN 'en' ELSE 'unknown' END) = 'en'
+        |ORDER BY doc_id""".stripMargin,
 
     "p_pack" ->
       """WITH t AS (

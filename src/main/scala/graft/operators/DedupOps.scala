@@ -200,6 +200,13 @@ object DedupOps {
    * distance bound shares at least one exact segment), so candidate
    * generation is an equality join — no cross join at any scale.
    * Default: maxDist 9 -> 10 segments of 6 bits over the 60-bit hash.
+   *
+   * Scale knob: bucket density is ~n / 2^(60/(maxDist+1)), so candidate
+   * volume grows quadratically with corpus size at fixed maxDist. For
+   * large corpora TIGHTEN maxDist — e.g. maxDist 3 gives 4 segments of
+   * 15 bits = 32768 bucket values per segment, 512x sparser than the
+   * default — or move to the minhash/LSH family whose band values are
+   * unbounded-cardinality strings.
    */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxDist: Int = 9): DataFrame = {
     val segments = maxDist + 1
