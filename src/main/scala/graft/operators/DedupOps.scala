@@ -158,10 +158,22 @@ object DedupOps {
    */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      minJaccard: Double, k: Int = 16, bands: Int = 4, w: Int = 3): DataFrame = {
-    val cand = minhashCandidates(docs, idCol, textCol, k, bands, w)
-    val sh = docs.select(col(idCol).as("id"),
-      explode(ShingleHashes(col(textCol), w)).as("sh"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    // candidate pairs materialize ONCE (16 bytes/pair): referencing the
+    // lazy pipeline twice (ids + verify join) would re-run the whole
+    // minhash candidate generation per reference
+    val cand = minhashCandidates(docs, idCol, textCol, k, bands, w).localCheckpoint()
+    // exact verification only ever touches docs that appear in a
+    // candidate pair, so the shingle explosion is SEMI-JOINED down to
+    // them first — at corpus scale near-dup candidates are a small
+    // fraction, and exploding shingles over the full corpus (the
+    // previous shape) was the dominant verify cost
+    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val candDocs = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(candIds, "id")
+    val sh = candDocs.select(col("id"), explode(ShingleHashes(col("text"), w)).as("sh"))
+    // set sizes via the array length of the SAME kernel — a projection,
+    // not another explode+groupBy shuffle
+    val sizes = candDocs.select(col("id"), size(ShingleHashes(col("text"), w)).cast("long").as("n"))
     val inter = cand
       .join(sh.as("x"), col("id_a") === col("x.id"))
       .join(sh.as("y"), col("id_b") === col("y.id") && col("x.sh") === col("y.sh"))
