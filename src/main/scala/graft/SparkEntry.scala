@@ -378,6 +378,17 @@ object SparkEntry {
       DedupOps.duplicateClusters(table(s, dir, "documents"), "doc_id", "text", minJaccard = 0.8)
         .orderBy("id")),
 
+    "d_dedup_incremental" -> ((s, dir) => {
+      // new-batch dedup against the already-accepted corpus: docs
+      // 0..249 are "accepted", 250+ arrive as the new batch; survivors
+      // are new docs whose fingerprint is unseen, min-id within batch
+      val docs = table(s, dir, "documents")
+      val known = docs.filter(col("doc_id") < 250)
+        .select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+      DedupOps.incrementalDeduplicate(docs.filter(col("doc_id") >= 250), "doc_id", "text", known)
+        .orderBy("id")
+    }),
+
     "d_decontaminate" -> ((s, dir) => {
       // train/test decontamination: corpus docs sharing >= 0.5 n-gram
       // Jaccard with a reference (benchmark) set — here the first 50
@@ -948,6 +959,16 @@ object SparkEntry {
         |  UNION
         |  SELECT rr.id, e.b FROM reach rr JOIN edges e ON e.a = rr.r)
         |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "d_dedup_incremental" ->
+      """WITH fp AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |known AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 250),
+        |newb AS (SELECT * FROM fp WHERE doc_id >= 250)
+        |SELECT min(doc_id) AS id, fp FROM newb
+        |WHERE fp NOT IN (SELECT fp FROM known)
+        |GROUP BY fp ORDER BY id""".stripMargin,
 
     "d_decontaminate" ->
       """WITH w AS (

@@ -44,6 +44,25 @@ object DedupOps {
       .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("dup_count"))
 
   /**
+   * Incremental exact dedup: which docs of a NEW batch survive against
+   * an already-accepted corpus — the document-side analogue of the
+   * metrics exists-cache (dedup against everything crawled so far
+   * without rescanning it). `knownFps` is the accepted corpus's
+   * fingerprint column (persist it alongside the corpus; at scale this
+   * is a fingerprint-partitioned table, and the anti-join shuffles only
+   * the new batch against it). Within the batch, the smallest id per
+   * fingerprint wins, like [[exactDuplicates]].
+   * Output: (id, fp) of surviving new docs.
+   */
+  def incrementalDeduplicate(newDocs: DataFrame, idCol: String, textCol: String,
+                             knownFps: DataFrame): DataFrame =
+    newDocs
+      .select(col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp"))
+      .join(knownFps.select(col(knownFps.columns.head).as("fp")), Seq("fp"), "left_anti")
+      .groupBy("fp").agg(min(col("id")).as("id"))
+      .select("id", "fp")
+
+  /**
    * MinHash + LSH candidate pairs: k signatures banded into `bands` bands
    * of k/bands rows each; docs sharing any band bucket are candidates.
    * Output: distinct (id_a, id_b) with id_a < id_b.
