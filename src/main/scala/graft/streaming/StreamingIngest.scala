@@ -282,7 +282,16 @@ final class StreamingIngest(
       // and with it per-batch file-listing cost — bounded under
       // continuous 1 s ingest.
       if (compactEveryBatches.exists(n => n > 0 && batchId > 0 && batchId % n == 0))
-        TableCompactor.onlineCompact(spark, tablesDir, fence = batchId, legacyTables)
+        try TableCompactor.onlineCompact(spark, tablesDir, fence = batchId, legacyTables)
+        catch {
+          // a failed fold must not kill ingest (the reference's merges
+          // fail independently of writes): every fold is crash-safe at
+          // any interruption point — new-dir-first for LWW tables,
+          // trash-first for points — so log and retry next cycle
+          case scala.util.control.NonFatal(e) =>
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"online compaction failed at batch $batchId (will retry next cycle)", e)
+        }
     } finally pts.unpersist()
   }
 

@@ -335,6 +335,39 @@ class IngestScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TableCompactor.compactAll(spark, s"$work/tables").values.sum == 0)
   }
 
+  test("a failing online compaction does not kill the ingest stream") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val work = Files.createTempDirectory("graft-compact-survive").toString
+    def ingest() = new StreamingIngest(spark, s"$work/spool", s"$work/tables", s"$work/ckpt",
+      maxFilesPerTrigger = Some(1), compactEveryBatches = Some(3))
+
+    spoolLines(work, Seq("survive.m0.v 1.0 1625478240"), nowSec)
+    ingest().runAvailableNow()
+
+    // poison the committed batch dir (inside the month leaf, so only
+    // parquet READS fail, not partition discovery): hasDataFiles sees a
+    // data file, the fold's read throws — the stream must log and keep
+    // ingesting
+    val poison = Paths.get(s"$work/tables/points/batch=b0/month=202107/part-garbage.parquet")
+    JFiles.write(poison, "not parquet".getBytes)
+    for (i <- 1 to 4)
+      spoolLines(work, Seq(s"survive.m$i.v 1.0 ${1625478240L + i}"), nowSec)
+    ingest().runAvailableNow() // batches 1..4; compaction fires at batch 3 and fails
+
+    // the unreadable dir was NOT deleted, and every batch kept flowing:
+    // all five b-dirs exist (the failed fold removed none, ate none)
+    assert(JFiles.exists(poison))
+    val bDirs = new java.io.File(s"$work/tables/points").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=b")).map(_.getName).sorted
+    assert(bDirs.toSeq == (0 to 4).map(i => s"batch=b$i"),
+      s"stream must keep committing batches past a failed fold, got ${bDirs.toSeq}")
+    // with the poison removed, the data underneath is intact
+    JFiles.delete(poison)
+    val paths = ingest().pointsTable().select("path").collect().map(_.getString(0)).sorted
+    assert(paths.toSeq == (0 to 4).map(i => s"survive.m$i.v"),
+      s"all points must survive a failed compaction, got ${paths.toSeq}")
+  }
+
   test("compaction reaps verified-empty dirs but never deletes on read failure") {
     import java.nio.file.{Files => JFiles, Paths}
     val root = JFiles.createTempDirectory("graft-compact-safety").toString
