@@ -505,13 +505,10 @@ object SparkEntry {
     "p_corpus" -> ((s, dir) => {
       // end-to-end corpus construction: exact-dedup survivors, quality
       // floor, language filter — the composition a training-data build
-      // actually runs. Every stage is a previously-verified operator;
-      // the dedup side groups before joining so the join input is one
-      // row per canonical doc.
+      // actually runs, in ONE scan (window-by-fingerprint dedup, no
+      // aggregate+join double scan)
       val docs = table(s, dir, "documents")
-      val keep = DedupOps.exactDuplicates(docs, "doc_id", "text")
-        .select(col("canonical_id").as("doc_id"))
-      docs.join(keep, "doc_id")
+      DedupOps.dropExactDuplicates(docs, "doc_id", "text")
         .filter(TextOps.qualityScore(col("text")) >= 500 &&
           TextOps.langGuess(col("text")) === "en")
         .select(col("doc_id"), col("lang"))

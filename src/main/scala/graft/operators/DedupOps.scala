@@ -44,6 +44,22 @@ object DedupOps {
       .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("dup_count"))
 
   /**
+   * Apply-form exact dedup: RETURNS THE SURVIVING ROWS (all input
+   * columns), keeping the smallest-id doc per content fingerprint.
+   * One scan + one shuffle (window by fingerprint) — no aggregate+join
+   * double scan, which is what makes this the shape to compose into
+   * larger corpus-construction plans.
+   */
+  def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextOps.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    docs.withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /**
    * Incremental exact dedup: which docs of a NEW batch survive against
    * an already-accepted corpus — the document-side analogue of the
    * metrics exists-cache (dedup against everything crawled so far

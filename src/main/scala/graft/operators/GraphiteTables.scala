@@ -132,6 +132,23 @@ final class GraphiteTables(spark: SparkSession, tablesDir: String) {
       .select(expr(s"substring(tag1, ${key.length + 2})").as("value"))
       .distinct()
 
+  /** Tag-key autocomplete (graphite-web /tags/autoComplete/tags?tagPrefix=):
+    * the prefix applies to tag1 itself, so the clustered column prunes. */
+  def tagKeys(tagPrefix: String): DataFrame =
+    tagged()
+      .filter(col("tag1").startsWith(tagPrefix))
+      .select(substring_index(col("tag1"), "=", 1).as("key"))
+      .filter(col("key").startsWith(tagPrefix)) // prefix must not span the '='
+      .distinct()
+
+  /** Tag-value autocomplete (/tags/autoComplete/values?valuePrefix=):
+    * `key=valuePrefix` is a prefix of the clustered tag1 column. */
+  def tagValues(key: String, valuePrefix: String): DataFrame =
+    tagged()
+      .filter(col("tag1").startsWith(s"$key=$valuePrefix"))
+      .select(expr(s"substring(tag1, ${key.length + 2})").as("value"))
+      .distinct()
+
   /** Series carrying tag key=value (seriesByTag('key=value')). */
   def seriesByTag(key: String, value: String): DataFrame =
     GraphiteOps.findByTag(tagged(), key, value).select("path").distinct()

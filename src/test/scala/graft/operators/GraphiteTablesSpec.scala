@@ -133,6 +133,15 @@ class GraphiteTablesSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("req.count?dc=east&env=prod"))
   }
 
+  test("tag autocomplete: key and value prefixes") {
+    assert(tables.tagKeys("d").collect().map(_.getString(0)).toSeq == Seq("dc"))
+    assert(tables.tagKeys("dc=").collect().isEmpty, "prefix must not span the '='")
+    assert(tables.tagValues("dc", "e").collect().map(_.getString(0)).toSeq == Seq("east"))
+    assert(tables.tagValues("dc", "").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("east", "west"))
+    assert(tables.tagValues("dc", "north").collect().isEmpty)
+  }
+
   test("seriesByTags: multi-matcher AND semantics") {
     // env=prod matches both series; adding dc=west intersects to one
     assert(tables.seriesByTags(Seq("env" -> "prod", "dc" -> "west"))
