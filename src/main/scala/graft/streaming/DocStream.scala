@@ -1,0 +1,140 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.{DedupOps, TextOps}
+
+/**
+ * Streaming corpus ingestion — the training-data counterpart of
+ * [[StreamingIngest]]: documents arrive as JSONL files in a drop
+ * directory, and each micro-batch is
+ *
+ *  1. fingerprinted ([[TextOps.fingerprint]]) and deduplicated WITHIN
+ *     the batch (min-id per fingerprint, one window shuffle),
+ *  2. anti-joined against the accepted corpus's fingerprints — the
+ *     document exists-cache, the same per-batch anti-join scheme the
+ *     metrics tables use (nothing already accepted is rescanned or
+ *     re-admitted, even across restarts),
+ *  3. gated on quality ([[TextOps.qualityScore]] >= minQuality) and,
+ *     when `langs` is non-empty, on [[TextOps.langGuess]],
+ *  4. appended to the corpus as an idempotent `batch=b<id>` dir —
+ *     a replayed batch overwrites its own dir, never duplicates.
+ *     As with [[StreamingIngest]]'s tables, the corpus dir belongs to
+ *     ONE checkpoint lineage: batch ids are the idempotence fence, so
+ *     pointing a fresh checkpoint at an existing corpus would reuse
+ *     ids and overwrite foreign batch dirs.
+ *
+ * Rejected docs are counted per reason into [[lastBatchStats]] so an
+ * operator can watch admission rates (the dropped-ring analogue).
+ *
+ * At scale: the anti-join shuffles only the new batch against the
+ * fingerprint column of the accepted table (pruned to `fp` by column
+ * projection); the within-batch window is batch-sized. No operation
+ * here scales with corpus history except the fingerprint column scan,
+ * which is the same trade the reference's exists-cache makes — and
+ * compaction keeps the dir count bounded via [[TableCompactor]].
+ */
+class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
+                checkpointDir: String, minQuality: Long = 0L,
+                langs: Seq[String] = Nil,
+                maxFilesPerTrigger: Option[Int] = None) {
+
+  private val inputSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  /** (batchId, accepted, dupInBatch, dupExisting, lowQuality, wrongLang) */
+  @volatile var lastBatchStats: (Long, Long, Long, Long, Long, Long) = (-1L, 0L, 0L, 0L, 0L, 0L)
+
+  private def source(): DataFrame = {
+    val r = spark.readStream
+      .schema(inputSchema)
+      .option("pathGlobFilter", "*.{jsonl,json}")
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.json(dropDir)
+  }
+
+  private def tableExists(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  private def emptyFps: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("fp", StringType))))
+
+  /** Accepted fingerprints, excluding a replayed batch's own dir. The
+    * AnalysisException catch covers exactly one case — a corpus whose
+    * dirs hold no data file yet (all-rejected batches), where there is
+    * nothing to dedup against; it never gates a destructive action. */
+  private def acceptedFps(excludeBatch: Long): DataFrame =
+    if (!tableExists(corpusDir)) emptyFps
+    else
+      try spark.read.parquet(corpusDir)
+        .filter(col("batch") =!= lit(s"b$excludeBatch"))
+        .select("fp")
+      catch { case _: org.apache.spark.sql.AnalysisException => emptyFps }
+
+  private[streaming] def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val n = batch.count()
+    if (n == 0) return
+    val withFp = batch.withColumn("fp", TextOps.fingerprint(col("text")))
+    // within-batch dedup: min doc_id per fingerprint (one window shuffle)
+    val win = org.apache.spark.sql.expressions.Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val firstPerFp = withFp.withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1).drop("rn")
+    // document exists-cache: anti-join accepted fingerprints
+    val fresh = firstPerFp.join(acceptedFps(batchId), Seq("fp"), "left_anti")
+      .withColumn("quality", TextOps.qualityScore(col("text")))
+      .withColumn("lang_guess", TextOps.langGuess(col("text")))
+      .cache()
+    try {
+      val langOk = if (langs.isEmpty) lit(true) else col("lang_guess").isin(langs: _*)
+      val admitted = fresh.filter(col("quality") >= minQuality && langOk)
+      // stats ride the cached `fresh` (no re-read of the written dir —
+      // an all-rejected batch writes an empty dir that can't be read)
+      val nAdmitted = admitted.count()
+      admitted.write.mode("overwrite").parquet(s"$corpusDir/batch=b$batchId")
+
+      val nFresh = fresh.count()
+      val nLowQ = fresh.filter(col("quality") < minQuality).count()
+      val nFirst = firstPerFp.count()
+      lastBatchStats = (batchId, nAdmitted, n - nFirst, nFirst - nFresh,
+        nLowQ, nFresh - nLowQ - nAdmitted)
+    } finally fresh.unpersist()
+  }
+
+  def start(triggerMs: Long = 1000): StreamingQuery =
+    source().writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch((df: DataFrame, id: Long) => processBatch(df, id))
+      .start()
+
+  /** Drain everything currently in the drop dir, then stop. */
+  def runAvailableNow(): Unit = {
+    val q = source().writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((df: DataFrame, id: Long) => processBatch(df, id))
+      .start()
+    q.awaitTermination()
+  }
+
+  private def emptyCorpus: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(inputSchema.fields ++ Seq(
+        StructField("fp", StringType), StructField("quality", LongType),
+        StructField("lang_guess", StringType))))
+
+  /** The accepted corpus (doc_id, text, fp, quality, lang_guess). */
+  def accepted(): DataFrame =
+    if (!tableExists(corpusDir)) emptyCorpus
+    else
+      try spark.read.parquet(corpusDir).drop("batch")
+      catch { case _: org.apache.spark.sql.AnalysisException => emptyCorpus }
+}

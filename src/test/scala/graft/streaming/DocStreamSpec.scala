@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Streaming corpus ingestion e2e: within-batch dedup, cross-batch
+  * exists-cache, quality/language gates, restart persistence. */
+class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-doc-stream")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def jsonl(dir: String, name: String, docs: Seq[(Long, String)]): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val lines = docs.map { case (id, text) =>
+      val esc = text.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"doc_id":$id,"text":"$esc"}"""
+    }
+    Files.write(Paths.get(dir, name), lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  // long enough to clear the length floor of the quality score
+  private def goodText(tag: String) =
+    s"the quick brown fox $tag jumps over the lazy dog and runs on to the field " * 3
+
+  test("doc stream: dedup within and across batches, quality gate, restart persistence") {
+    val work = Files.createTempDirectory("graft-docstream").toString
+    def stream() = new DocStream(spark, s"$work/drop", s"$work/corpus", s"$work/ckpt",
+      minQuality = 500L, maxFilesPerTrigger = Some(1))
+
+    // phase 1: two files -> two batches; doc 3 duplicates doc 1's text
+    // (within feed), doc 4 is junk (quality floor)
+    jsonl(s"$work/drop", "a.jsonl", Seq(
+      1L -> goodText("alpha"),
+      2L -> goodText("beta"),
+      3L -> goodText("alpha")))
+    jsonl(s"$work/drop", "b.jsonl", Seq(
+      4L -> "%%% ### !!!",
+      5L -> goodText("gamma")))
+    stream().runAvailableNow()
+
+    val got1 = stream().accepted().select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got1.toSeq == Seq(1L, 2L, 5L),
+      s"dup text and junk must be rejected, got ${got1.toSeq}")
+
+    // phase 2 on a NEW instance over the same checkpoint (the restart
+    // contract: one checkpoint lineage per corpus dir): a re-sent dup
+    // of accepted content is rejected by the exists-cache, a new doc is
+    // admitted
+    jsonl(s"$work/drop", "c.jsonl", Seq(
+      6L -> goodText("alpha"), // fingerprint-dup of accepted doc 1
+      7L -> goodText("delta")))
+    val s2 = stream()
+    s2.runAvailableNow()
+
+    val got2 = s2.accepted().select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got2.toSeq == Seq(1L, 2L, 5L, 7L),
+      s"cross-restart exists-cache must reject re-sent content, got ${got2.toSeq}")
+
+    // per-reason admission stats of the last batch (docs 6, 7): no
+    // within-batch dups, 6 dup-existing, 7 admitted
+    val (_, admitted, dupBatch, dupExisting, lowQ, wrongLang) = s2.lastBatchStats
+    assert((admitted, dupBatch, dupExisting, lowQ, wrongLang) == ((1L, 0L, 1L, 0L, 0L)),
+      s"stats mismatch: ${s2.lastBatchStats}")
+  }
+
+  test("doc stream: language gate admits only listed languages") {
+    val work = Files.createTempDirectory("graft-docstream-lang").toString
+    val s = new DocStream(spark, s"$work/drop", s"$work/corpus", s"$work/ckpt",
+      minQuality = 0L, langs = Seq("en"))
+    jsonl(s"$work/drop", "a.jsonl", Seq(
+      1L -> "the cat and the dog of the house is to go",
+      2L -> "der hund und die katze ist und das haus und der baum ist gross"))
+    s.runAvailableNow()
+    assert(s.accepted().select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(s.lastBatchStats._2 == 1, "one admitted")
+  }
+}
