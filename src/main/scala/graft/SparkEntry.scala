@@ -244,6 +244,18 @@ object SparkEntry {
         .select("path").distinct().orderBy("path")
     }),
 
+    "g_find_tagspecs" -> ((s, dir) => {
+      // full matcher grammar: = routes, =~ admits u3|u4, != prunes u4
+      val tagged = events(s, dir).select(
+        concat(lit("evt."), col("event_type"),
+          lit("?env="), when(col("event_id") % 2 === 0, "prod").otherwise("staging"),
+          lit("&zone=u"), col("user_id") % 10).as("path"),
+        col("tsec").as("time"))
+      GraphiteOps.findByTagSpecs(GraphiteOps.taggedExpand(withDate(tagged)),
+          Seq("env=prod", "zone=~u[34]", "zone!=u4"))
+        .select("path").distinct().orderBy("path")
+    }),
+
     // ---- graphite: scalar kernels as columns ----
 
     "g_path_kernels" -> ((s, dir) => {
@@ -733,6 +745,11 @@ object SparkEntry {
         |FROM events WHERE user_id % 10 = 3 ORDER BY path""".stripMargin,
 
     "g_find_multitag" ->
+      """SELECT DISTINCT 'evt.' || event_type || '?env=prod&zone=u' || (user_id % 10) AS path
+        |FROM events WHERE event_id % 2 = 0 AND user_id % 10 = 3 ORDER BY path""".stripMargin,
+
+    // env=prod AND zone =~ u[34] AND zone != u4  ==  prod, bucket 3
+    "g_find_tagspecs" ->
       """SELECT DISTINCT 'evt.' || event_type || '?env=prod&zone=u' || (user_id % 10) AS path
         |FROM events WHERE event_id % 2 = 0 AND user_id % 10 = 3 ORDER BY path""".stripMargin,
 

@@ -429,6 +429,51 @@ object GraphiteOps {
   }
 
   /**
+   * Full graphite seriesByTag matcher grammar: specs like `env=prod`,
+   * `zone!=u3`, `dc=~east.*`, `host!=~web\d+` (`=~` anchors at the
+   * START of the value, graphite semantics; `!=` also matches series
+   * LACKING the tag, like graphite). Routing: the first `=` spec rides
+   * the tag1 cluster key; else the first `=~` rides tag1 as an anchored
+   * regex; at least one positive matcher is required (same rule
+   * graphite enforces) so a scan always has an index entry to route
+   * through. Remaining specs filter the row's Tags array in the same
+   * scan.
+   */
+  def findByTagSpecs(tagged: DataFrame, specs: Seq[String]): DataFrame = {
+    // parse "k<op>v" with the longest op winning: !=~ before != ; =~ before =
+    val parsed: Seq[(String, String, String)] = specs.map { s =>
+      val ops = Seq("!=~", "=~", "!=", "=")
+      val hit = ops.flatMap { op =>
+        val i = s.indexOf(op)
+        if (i > 0) Some((i, op)) else None
+      }.sortBy { case (i, op) => (i, -op.length) }.headOption
+      hit match {
+        case Some((i, op)) => (s.substring(0, i), op, s.substring(i + op.length))
+        case None => throw new IllegalArgumentException(s"bad tag spec: $s")
+      }
+    }
+    def valueRegex(k: String, v: String) = s"^${java.util.regex.Pattern.quote(k)}=(?:$v)"
+    def pred(k: String, op: String, v: String): Column = op match {
+      case "="   => array_contains(col("tags"), s"$k=$v")
+      case "!="  => !array_contains(col("tags"), s"$k=$v")
+      case "=~"  => exists(col("tags"), t => t.rlike(valueRegex(k, v)))
+      case "!=~" => !exists(col("tags"), t => t.rlike(valueRegex(k, v)))
+    }
+    val eqRoute = parsed.find(_._2 == "=")
+    val reRoute = parsed.find(_._2 == "=~")
+    require(eqRoute.isDefined || reRoute.isDefined,
+      "seriesByTag needs at least one positive matcher (= or =~)")
+    val (routed, rest) = eqRoute match {
+      case Some(m @ (k, _, v)) =>
+        (tagged.filter(col("tag1") === s"$k=$v"), parsed.filterNot(_ == m))
+      case None =>
+        val m @ (k, _, v) = reRoute.get
+        (tagged.filter(col("tag1").rlike(valueRegex(k, v))), parsed.filterNot(_ == m))
+    }
+    rest.foldLeft(routed) { case (df, (k, op, v)) => df.filter(pred(k, op, v)) }
+  }
+
+  /**
    * Graphite glob -> anchored Java regex: `*` = one segment wildcard
    * (`[^.]*`), `?` = one char, `{a,b}` = alternation, `[...]` passes
    * through as a char class — the same pattern language the blacklist

@@ -156,4 +156,8 @@ final class GraphiteTables(spark: SparkSession, tablesDir: String) {
   /** Series carrying ALL the given tags (seriesByTag('k1=v1','k2=v2')). */
   def seriesByTags(matchers: Seq[(String, String)]): DataFrame =
     GraphiteOps.findByTags(tagged(), matchers).select("path").distinct()
+
+  /** Full matcher grammar: seriesByTag('env=prod','zone!=u3','dc=~ea.*'). */
+  def seriesByTagSpecs(specs: Seq[String]): DataFrame =
+    GraphiteOps.findByTagSpecs(tagged(), specs).select("path").distinct()
 }

@@ -142,6 +142,24 @@ class GraphiteTablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tables.tagValues("dc", "north").collect().isEmpty)
   }
 
+  test("seriesByTagSpecs: =, !=, =~, !=~ matcher grammar") {
+    def specs(ss: String*): Seq[String] =
+      tables.seriesByTagSpecs(ss).collect().map(_.getString(0)).sorted.toSeq
+    val east = "req.count?dc=east&env=prod"
+    val west = "req.count?dc=west&env=prod"
+    assert(specs("env=prod") == Seq(east, west))
+    assert(specs("env=prod", "dc!=west") == Seq(east))
+    assert(specs("env=prod", "dc=~ea.*") == Seq(east))
+    assert(specs("dc=~.*st") == Seq(east, west), "=~ anchors at value START only")
+    assert(specs("env=prod", "dc!=~we.*") == Seq(east))
+    // != matches series LACKING the tag too (graphite semantics): the
+    // untagged corpus has no req.count series, so nothing changes here,
+    // but a spec of only negations must be rejected
+    intercept[IllegalArgumentException] {
+      tables.seriesByTagSpecs(Seq("dc!=east")).collect()
+    }
+  }
+
   test("seriesByTags: multi-matcher AND semantics") {
     // env=prod matches both series; adding dc=west intersects to one
     assert(tables.seriesByTags(Seq("env" -> "prod", "dc" -> "west"))
