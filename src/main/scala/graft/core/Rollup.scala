@@ -32,6 +32,42 @@ object Rollup {
     }
   }
 
+  private val FnByName: Map[String, AggFn] =
+    Seq(Avg, Sum, Min, Max).map(f => f.name -> f).toMap
+
+  /**
+   * Parse a ClickHouse GraphiteMergeTree rollup XML — the file a
+   * reference deployment already has (tests/clickhouse/rollup/
+   * rollup.xml): `<pattern>` entries with `<regexp>/<function>/
+   * <retention><age><precision>`, one `<default>`, any wrapper
+   * elements (`<yandex>`, `<clickhouse>`) tolerated. Pattern order is
+   * preserved (first match wins, like the engine). Unknown aggregation
+   * functions are rejected loudly rather than silently averaged.
+   */
+  def fromXml(xml: String): Config = {
+    val root = scala.xml.XML.loadString(xml)
+    def retentions(n: scala.xml.Node): Seq[Retention] = {
+      val rs = (n \ "retention").map { r =>
+        Retention((r \ "age").text.trim.toLong, (r \ "precision").text.trim.toLong)
+      }
+      require(rs.nonEmpty, "rollup entry without <retention>")
+      rs.sortBy(_.age)
+    }
+    def fn(n: scala.xml.Node): AggFn = {
+      val name = (n \ "function").text.trim
+      FnByName.getOrElse(name,
+        throw new IllegalArgumentException(s"unsupported rollup function: '$name'"))
+    }
+    val patterns = (root \\ "pattern").map { p =>
+      val re = (p \ "regexp").text.trim
+      require(re.nonEmpty, "<pattern> without <regexp>")
+      Rule(re.r, fn(p), retentions(p))
+    }
+    val defaults = root \\ "default"
+    require(defaults.length == 1, s"expected exactly one <default>, got ${defaults.length}")
+    Config(patterns, Rule("".r, fn(defaults.head), retentions(defaults.head)))
+  }
+
   /** The shipped test config: default avg; `\.sum$`->sum, `\.min$`->min, `\.max$`->max. */
   val ReferenceConfig: Config = Config(
     rules = Seq(

@@ -205,4 +205,39 @@ class KernelSpec extends AnyFunSuite {
     assert(c.ruleFor("a.b.c").fn == Rollup.Avg)
     assert(c.ruleFor("a.summary").fn == Rollup.Avg) // anchored at end
   }
+
+  test("rollup.xml loads: the reference deployment's own config file") {
+    // the exact shape carbon-clickhouse ships for its e2e ClickHouse
+    // (tests/clickhouse/rollup/rollup.xml): yandex wrapper, default avg,
+    // one pattern per agg suffix, multi-retention
+    val xml =
+      """<yandex><graphite_rollup>
+        |  <default>
+        |    <function>avg</function>
+        |    <retention><age>0</age><precision>60</precision></retention>
+        |    <retention><age>2592000</age><precision>3600</precision></retention>
+        |  </default>
+        |  <pattern>
+        |    <regexp>\.sum$</regexp><function>sum</function>
+        |    <retention><age>0</age><precision>1</precision></retention>
+        |  </pattern>
+        |  <pattern>
+        |    <regexp>\.max$</regexp><function>max</function>
+        |    <retention><age>0</age><precision>1</precision></retention>
+        |  </pattern>
+        |</graphite_rollup></yandex>""".stripMargin
+    val c = Rollup.fromXml(xml)
+    assert(c.ruleFor("a.b.sum").fn == Rollup.Sum)
+    assert(c.ruleFor("a.b.max").fn == Rollup.Max)
+    assert(c.ruleFor("a.b.c").fn == Rollup.Avg)
+    // multi-retention: age picks the precision
+    val d = c.ruleFor("a.b.c")
+    assert(c.precisionFor(d, 100) == 60)
+    assert(c.precisionFor(d, 3000000) == 3600)
+    // pattern order preserved; unknown function rejected loudly
+    intercept[IllegalArgumentException] {
+      Rollup.fromXml("<graphite_rollup><default><function>anyLast</function>" +
+        "<retention><age>0</age><precision>1</precision></retention></default></graphite_rollup>")
+    }
+  }
 }
