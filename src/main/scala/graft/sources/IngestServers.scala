@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.net.InetSocketAddress
+import java.net.{DatagramPacket, DatagramSocket, InetSocketAddress, Socket}
 import java.nio.charset.StandardCharsets
 import java.util.concurrent.Executors
 import java.util.concurrent.atomic.AtomicBoolean
@@ -327,6 +327,11 @@ final class SelfMetricsCollector(
     spool: SpoolWriter,
     prefix: String = "carbon.agents.graft",
     intervalMs: Long = 60000,
+    // [common] metric-endpoint (carbon/collector.go): "local" feeds the
+    // own pipeline; "tcp://h:p" / "udp://h:p" ship plaintext to a remote
+    // graphite, best-effort per interval (a down remote drops the
+    // interval's self-points, never blocks ingest)
+    endpoint: String = "local",
     clock: () => Long = () => System.currentTimeMillis() / 1000
 ) extends AutoCloseable {
 
@@ -336,6 +341,29 @@ final class SelfMetricsCollector(
   private var lastRejected = 0L
   private var lastDropped = 0L
 
+  private def emit(points: Seq[(String, Double, Long)]): Unit = endpoint match {
+    case "local" | "" =>
+      points.foreach { case (n, v, t) => spool.write(n, v, t, t) }
+    case ep if ep.startsWith("tcp://") || ep.startsWith("udp://") =>
+      val uri = java.net.URI.create(ep)
+      val payload = points.map { case (n, v, t) => s"$n $v $t\n" }.mkString
+        .getBytes(StandardCharsets.UTF_8)
+      try {
+        if (ep.startsWith("tcp://")) {
+          val s = new Socket(uri.getHost, uri.getPort)
+          try { s.getOutputStream.write(payload); s.getOutputStream.flush() }
+          finally s.close()
+        } else {
+          val s = new DatagramSocket()
+          try s.send(new DatagramPacket(payload, payload.length,
+            java.net.InetAddress.getByName(uri.getHost), uri.getPort))
+          finally s.close()
+        }
+      } catch { case _: java.io.IOException => /* remote down: drop interval */ }
+    case other =>
+      throw new IllegalArgumentException(s"bad metric-endpoint: $other")
+  }
+
   def collectOnce(): Unit = {
     val now = clock()
     val written = spool.pointsWritten.get()
@@ -344,10 +372,11 @@ final class SelfMetricsCollector(
     val dropped = spool.droppedPoints.get()
     // rate-style counters: delta since last interval, like the reference's
     // swap-to-zero atomics (receiver/base.go:129-153)
-    spool.write(s"$prefix.pointsWritten", (written - lastWritten).toDouble, now, now)
-    spool.write(s"$prefix.parseErrors", (errors - lastErrors).toDouble, now, now)
-    spool.write(s"$prefix.rejectedNames", (rejected - lastRejected).toDouble, now, now)
-    spool.write(s"$prefix.droppedPoints", (dropped - lastDropped).toDouble, now, now)
+    emit(Seq(
+      (s"$prefix.pointsWritten", (written - lastWritten).toDouble, now),
+      (s"$prefix.parseErrors", (errors - lastErrors).toDouble, now),
+      (s"$prefix.rejectedNames", (rejected - lastRejected).toDouble, now),
+      (s"$prefix.droppedPoints", (dropped - lastDropped).toDouble, now)))
     lastWritten = written
     lastErrors = errors
     lastRejected = rejected

@@ -23,6 +23,7 @@ final class TcpLineServer(
     tagConfig: GraphiteTags.TagConfig = GraphiteTags.Disabled,
     drops: DropFilter = DropFilter.Empty,
     tls: Option[javax.net.ssl.SSLContext] = None, // tests/tls e2e intent
+    readTimeoutMs: Option[Long] = None, // [tcp] read-timeout (config.go default 2m)
     clock: () => Long = () => System.currentTimeMillis() / 1000
 ) extends AutoCloseable {
 
@@ -53,6 +54,10 @@ final class TcpLineServer(
   acceptor.start()
 
   private def handle(sock: Socket): Unit = {
+    // idle-connection reaping (receiver/tcp.go read deadline): a read
+    // blocking past the timeout raises SocketTimeoutException, which the
+    // IOException handler below turns into a clean close
+    readTimeoutMs.foreach(ms => sock.setSoTimeout(ms.toInt))
     // explicit '\n' framing at the byte level (BufferedReader.readLine
     // would treat lone '\r' as a terminator and surface the EOF tail as
     // a complete line — both diverge from receiver/tcp.go)
@@ -103,6 +108,7 @@ final class UdpLineServer(
     port: Int,
     tagConfig: GraphiteTags.TagConfig = GraphiteTags.Disabled,
     drops: DropFilter = DropFilter.Empty,
+    logIncomplete: Boolean = false, // [udp] log-incomplete (receiver/udp.go)
     clock: () => Long = () => System.currentTimeMillis() / 1000
 ) extends AutoCloseable {
 
@@ -126,9 +132,15 @@ final class UdpLineServer(
         val text = new String(pkt.getData, pkt.getOffset, pkt.getLength, StandardCharsets.UTF_8)
         // datagrams may end without a newline; trailing partial lines are
         // dropped like the reference's udp.go "up to last \n" framing
-        val upToLastNl = text.lastIndexOf('\n') match {
-          case -1 => ""
-          case i  => text.substring(0, i)
+        val (upToLastNl, tail) = text.lastIndexOf('\n') match {
+          case -1 => ("", text)
+          case i  => (text.substring(0, i), text.substring(i + 1))
+        }
+        if (tail.nonEmpty) {
+          droppedRing.record(tail, "incomplete line in datagram")
+          if (logIncomplete) // [udp] log-incomplete = true (receiver/udp.go)
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"incomplete line in udp datagram: '$tail'")
         }
         upToLastNl.split("\n").foreach { line =>
           if (line.nonEmpty) spool.writeLine(line, now, tagConfig, drops, Some(droppedRing))

@@ -31,7 +31,9 @@ object EngineConfig {
       // listener-side TLS material, shaped like the reference's tls
       // cert/key pairs (tests/tls `certificates = [{cert, key}]`)
       tlsCert: Option[String] = None,
-      tlsKey: Option[String] = None) {
+      tlsKey: Option[String] = None,
+      readTimeoutMs: Option[Long] = None, // [tcp] read-timeout
+      logIncomplete: Boolean = false) {   // [udp] log-incomplete
     def tlsContext: Option[javax.net.ssl.SSLContext] =
       for (c <- tlsCert; k <- tlsKey) yield graft.core.Tls.serverContext(c, k)
   }
@@ -50,10 +52,13 @@ object EngineConfig {
   final case class Config(
       metricPrefix: String,
       metricIntervalMs: Long,
+      metricEndpoint: String, // [common] metric-endpoint: local | tcp://h:p | udp://h:p
+      maxCpu: Option[Int],    // [common] max-cpu -> local[n] worker threads
       dataPath: Option[String],
       chunkIntervalMs: Long,
       chunkMaxBytes: Long,
       compression: String,
+      compressionLevel: Option[Int], // [data] compression-level
       chunkAutoInterval: Option[graft.core.ChunkAutoInterval],
       utcDate: Boolean,
       tcp: Receiver,
@@ -120,7 +125,9 @@ object EngineConfig {
         dropPastSec = durSec(table, "drop-past"),
         dropLongerThan = Toml.long(doc, table, "drop-longer-than").map(_.toInt).filter(_ > 0)),
       tlsCert = Toml.str(doc, s"$table.tls", "cert"),
-      tlsKey = Toml.str(doc, s"$table.tls", "key"))
+      tlsKey = Toml.str(doc, s"$table.tls", "key"),
+      readTimeoutMs = Toml.str(doc, table, "read-timeout").map(Toml.durationMs).filter(_ > 0),
+      logIncomplete = Toml.bool(doc, table, "log-incomplete"))
 
     val uploads = Toml.tablesUnder(doc, "upload").map { t =>
       Upload(
@@ -154,6 +161,8 @@ object EngineConfig {
             .getOrElse("localhost")),
       metricIntervalMs = Toml.str(doc, "common", "metric-interval")
         .map(Toml.durationMs).getOrElse(60000L),
+      metricEndpoint = Toml.str(doc, "common", "metric-endpoint").getOrElse("local"),
+      maxCpu = Toml.long(doc, "common", "max-cpu").map(_.toInt).filter(_ > 0),
       dataPath = Toml.str(doc, "data", "path"),
       chunkIntervalMs = Toml.str(doc, "data", "chunk-interval").map(Toml.durationMs).getOrElse(1000L),
       // Size semantics (helper/config/size.go): bare int = bytes, k/m/g
@@ -167,6 +176,7 @@ object EngineConfig {
         case other  => throw new IllegalArgumentException(
           s"Compression algorithm '$other' not supported")
       },
+      compressionLevel = Toml.long(doc, "data", "compression-level").map(_.toInt).filter(_ > 0),
       chunkAutoInterval = Toml.str(doc, "data", "chunk-auto-interval").filter(_.trim.nonEmpty)
         .map(s => graft.core.ChunkAutoInterval.parse(s,
           Toml.str(doc, "data", "chunk-interval").map(Toml.durationMs).getOrElse(1000L))),

@@ -48,7 +48,8 @@ object IngestMain {
     val spool = new SpoolWriter(spoolDir, chunkIntervalMs = chunkMs,
       chunkMaxBytes = cfg.map(_.chunkMaxBytes).getOrElse(0L), // 0 = unlimited (writer.go:148)
       autoInterval = cfg.flatMap(_.chunkAutoInterval),
-      compression = flag("--compress").orElse(cfg.map(_.compression)).getOrElse("none"))
+      compression = flag("--compress").orElse(cfg.map(_.compression)).getOrElse("none"),
+      compressionLevel = cfg.flatMap(_.compressionLevel))
     val rotator = new Thread(() => {
       while (true) { Thread.sleep(chunkMs); spool.maybeRotate() }
     }, "spool-rotator")
@@ -62,14 +63,16 @@ object IngestMain {
 
     val tcpR = receiver(_.tcp)
     port("--tcp", tcpR).foreach { p =>
-      val s = new TcpLineServer(spool, p, tagConfig, tcpR.drops, tls = tcpR.tlsContext)
+      val s = new TcpLineServer(spool, p, tagConfig, tcpR.drops, tls = tcpR.tlsContext,
+        readTimeoutMs = tcpR.readTimeoutMs)
       servers += s
       debugRings += "tcp" -> s.droppedRing
       println(s"tcp listening on ${s.boundPort}")
     }
     val udpR = receiver(_.udp)
     port("--udp", udpR).foreach { p =>
-      val s = new UdpLineServer(spool, p, tagConfig, udpR.drops); servers += s
+      val s = new UdpLineServer(spool, p, tagConfig, udpR.drops,
+        logIncomplete = udpR.logIncomplete); servers += s
       debugRings += "udp" -> s.droppedRing
       println(s"udp listening on ${s.boundPort}")
     }
@@ -118,10 +121,15 @@ object IngestMain {
     }
     val collector = new SelfMetricsCollector(spool,
       prefix = cfg.map(_.metricPrefix).getOrElse("carbon.agents.graft"),
-      intervalMs = cfg.map(_.metricIntervalMs).getOrElse(60000L))
+      intervalMs = cfg.map(_.metricIntervalMs).getOrElse(60000L),
+      endpoint = cfg.map(_.metricEndpoint).getOrElse("local"))
     servers += collector
 
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // [common] max-cpu (the reference's GOMAXPROCS): worker threads for
+    // the local session; the env var wins for test harness control
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS")
+      .orElse(cfg.flatMap(_.maxCpu).map(_.toString))
+      .getOrElse("4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

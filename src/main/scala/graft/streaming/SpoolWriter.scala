@@ -33,7 +33,8 @@ final class SpoolWriter(
     chunkMaxBytes: Long = 0, // 0 = no size limit (writer.go:148)
     stripes: Int = SpoolWriter.DefaultStripes,
     autoInterval: Option[ChunkAutoInterval] = None,
-    compression: String = "none" // "none" | "gzip" ([data] compression)
+    compression: String = "none", // "none" | "gzip" ([data] compression)
+    compressionLevel: Option[Int] = None // [data] compression-level (1-9)
 ) extends AutoCloseable {
   require(stripes > 0)
   // The reference offers none|lz4 (helper/config/compression.go:16-19,
@@ -78,8 +79,14 @@ final class SpoolWriter(
       val fileOut = Files.newOutputStream(currentPath,
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
       // syncFlush so flushCurrent() (the StoreSync durability point)
-      // pushes the current deflate block to the OS file, not a buffer
-      val out = if (gz) new java.util.zip.GZIPOutputStream(fileOut, 8192, true) else fileOut
+      // pushes the current deflate block to the OS file, not a buffer;
+      // compression-level maps to the deflater level (reference
+      // carbon/config.go compression-level for lz4hc)
+      val out =
+        if (!gz) fileOut
+        else new java.util.zip.GZIPOutputStream(fileOut, 8192, true) {
+          compressionLevel.foreach(l => `def`.setLevel(math.min(9, math.max(1, l))))
+        }
       current = new java.io.BufferedWriter(
         new java.io.OutputStreamWriter(out, StandardCharsets.UTF_8))
       currentBytes = 0L

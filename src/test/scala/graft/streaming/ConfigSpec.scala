@@ -128,6 +128,56 @@ class ConfigSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(EngineConfig.parse("").metricIntervalMs == 60000L)
   }
 
+  test("r4 parity keys: max-cpu, metric-endpoint, read-timeout, log-incomplete, compression-level") {
+    val cfg = EngineConfig.parse(
+      """[common]
+        |max-cpu = 8
+        |metric-endpoint = "tcp://127.0.0.1:2003"
+        |[data]
+        |compression = "gzip"
+        |compression-level = 5
+        |[tcp]
+        |listen = ":2003"
+        |enabled = true
+        |read-timeout = "2m0s"
+        |[udp]
+        |listen = ":2003"
+        |enabled = true
+        |log-incomplete = true
+        |""".stripMargin)
+    assert(cfg.maxCpu.contains(8))
+    assert(cfg.metricEndpoint == "tcp://127.0.0.1:2003")
+    assert(cfg.compressionLevel.contains(5))
+    assert(cfg.tcp.readTimeoutMs.contains(120000L))
+    assert(cfg.udp.logIncomplete)
+    // defaults: local endpoint, no timeout, no level
+    val d = EngineConfig.parse("")
+    assert(d.metricEndpoint == "local" && d.maxCpu.isEmpty &&
+      d.tcp.readTimeoutMs.isEmpty && !d.udp.logIncomplete && d.compressionLevel.isEmpty)
+  }
+
+  test("metric-endpoint tcp:// ships self-points to a remote graphite listener") {
+    // a TcpLineServer stands in for the remote graphite: self-metrics
+    // emitted at the endpoint must arrive as plaintext points there, and
+    // the local spool must NOT receive them
+    val work = java.nio.file.Files.createTempDirectory("graft-endpoint").toString
+    val remoteSpool = new SpoolWriter(s"$work/remote", chunkIntervalMs = 50)
+    val remote = new graft.sources.TcpLineServer(remoteSpool, port = 0)
+    val localSpool = new SpoolWriter(s"$work/local", chunkIntervalMs = 50)
+    val collector = new graft.sources.SelfMetricsCollector(localSpool,
+      prefix = "carbon.agents.test", intervalMs = 3600000,
+      endpoint = s"tcp://127.0.0.1:${remote.boundPort}")
+    try {
+      localSpool.writeLine("seed.metric 1 1625478240", 1625478240L)
+      collector.collectOnce()
+      val deadline = System.currentTimeMillis() + 5000
+      while (remoteSpool.pointsWritten.get() < 4 && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(remoteSpool.pointsWritten.get() == 4, "4 self-metric points at the remote")
+      assert(localSpool.pointsWritten.get() == 1, "local spool holds only the seed point")
+    } finally { collector.close(); remote.close(); remoteSpool.close(); localSpool.close() }
+  }
+
   test("size option: bare bytes, k/m/g suffixes, 0 = unlimited") {
     // helper/config/size.go semantics
     assert(Toml.parseSize("128") == 128L)
