@@ -282,6 +282,26 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       shuf.collect().toSet, "must be run-to-run deterministic")
   }
 
+  test("mega-duplicate class: near-dup + clusters complete and label by minimum") {
+    val ss = spark; import ss.implicits._
+    // pathological corpus shape: one content class duplicated 400x (plus
+    // light per-doc noise classes) — the in-bucket quadratic this
+    // produces (~80k pairs in one band bucket) must stream through the
+    // banded plans, and every member must label to the class minimum
+    val mega = (0 until 400).map(i =>
+      (1000L + i, "the quick brown fox jumps over the lazy dog again and again"))
+    val uniques = (0 until 200).map(i =>
+      (5000L + i, s"unique document number $i with words entirely of its own kind $i"))
+    val docs = (mega ++ uniques).toDF("id", "text")
+    val clusters = DedupOps.duplicateClusters(docs, "id", "text", minJaccard = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size == 600)
+    for (i <- 0 until 400)
+      assert(clusters(1000L + i) == 1000L, s"doc ${1000 + i} must label to the class minimum")
+    for (i <- 0 until 200)
+      assert(clusters(5000L + i) == 5000L + i, "uniques are their own singletons")
+  }
+
   test("jaccardPairs df cap is inactive on normal corpora") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val capped = DedupOps.jaccardPairs(docs, "doc_id", "text", 0.8, maxShingleDf = 10000L)
