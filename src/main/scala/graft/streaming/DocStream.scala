@@ -40,7 +40,12 @@ import graft.operators.{DedupOps, TextOps}
 class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
                 checkpointDir: String, minQuality: Long = 0L,
                 langs: Seq[String] = Nil,
-                maxFilesPerTrigger: Option[Int] = None) {
+                maxFilesPerTrigger: Option[Int] = None,
+                // online compaction cadence, the StreamingIngest scheme:
+                // committed b-dirs fold every N batches so dir count —
+                // and the exists-anti-join's file listing — stays
+                // bounded under continuous triggers
+                compactEveryBatches: Option[Int] = None) {
 
   private val inputSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -105,6 +110,18 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
       val nFirst = firstPerFp.count()
       lastBatchStats = (batchId, nAdmitted, n - nFirst, nFirst - nFresh,
         nLowQ, nFresh - nLowQ - nAdmitted)
+
+      // dirs below the current batch id are checkpoint-committed and
+      // immutable — quiesce-free fold, failure tolerated (retried next
+      // cycle; every fold is crash-safe at any interruption point)
+      if (compactEveryBatches.exists(m => m > 0 && batchId > 0 && batchId % m == 0))
+        try TableCompactor.onlineCompactAppend(spark, corpusDir, fence = batchId,
+          sortCols = Seq("fp"))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"corpus compaction failed at batch $batchId (will retry)", e)
+        }
     } finally fresh.unpersist()
   }
 

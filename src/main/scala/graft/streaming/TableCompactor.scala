@@ -156,6 +156,45 @@ object TableCompactor {
     dirs.length
   }
 
+  /** Fold `dirs` of a plain append table (no dedup, no inner
+    * partitioning — e.g. a [[DocStream]] corpus) into one c-dir,
+    * clustered by `sortCols`. Rows are unique by construction upstream,
+    * so the points crash contract applies: sources to .trash first,
+    * compacted dir in second — readers never see a row twice. */
+  private def foldAppendDirs(spark: SparkSession, tableRoot: String, dirs: Seq[Path],
+                             sortCols: Seq[String]): Int = {
+    if (dirs.length <= 1) return 0
+    val f = fs(spark, tableRoot)
+    val (dataDirs, emptyDirs) = dirs.partition(hasDataFiles(f, _))
+    if (dataDirs.length <= 1) {
+      emptyDirs.foreach(d => f.delete(d, true))
+      return emptyDirs.length
+    }
+    val df = spark.read.option("basePath", tableRoot).parquet(dataDirs.map(_.toString): _*)
+    val stamp = nextStamp()
+    val tmp = new Path(tableRoot, s".compact-$stamp")
+    df.drop("batch")
+      .repartition(1)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val trash = new Path(tableRoot, s".trash-$stamp")
+    f.mkdirs(trash)
+    dataDirs.foreach(d => require(f.rename(d, new Path(trash, d.getName)), s"trash move failed for $d"))
+    require(f.rename(tmp, new Path(tableRoot, s"batch=c$stamp")), s"rename failed for $tmp")
+    f.delete(trash, true)
+    emptyDirs.foreach(d => f.delete(d, true))
+    dirs.length
+  }
+
+  /** Online (quiesce-free) compaction of a plain append table — the
+    * [[onlineCompact]] scheme for a [[DocStream]]-shaped corpus:
+    * committed `batch=b<id>` dirs below the fence fold into a c-dir,
+    * c-dirs size-tier-fold at `tier`. */
+  def onlineCompactAppend(spark: SparkSession, tableRoot: String, fence: Long,
+                          sortCols: Seq[String], tier: Int = 8): Int =
+    foldAppendDirs(spark, tableRoot, bDirsBelow(spark, tableRoot, fence), sortCols) +
+      foldTier(spark, tableRoot, tier, foldAppendDirs(spark, tableRoot, _, sortCols))
+
   /** Size-tiered fold of accumulated c-dirs: when `tier` or more exist,
     * fold the `tier` smallest into one. Geometric dir growth bounds a
     * row's lifetime rewrites at O(log history). */

@@ -79,6 +79,26 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stats mismatch: ${s2.lastBatchStats}")
   }
 
+  test("doc stream: online compaction bounds corpus dir count, content intact") {
+    val work = Files.createTempDirectory("graft-docstream-compact").toString
+    val s = new DocStream(spark, s"$work/drop", s"$work/corpus", s"$work/ckpt",
+      minQuality = 0L, maxFilesPerTrigger = Some(1), compactEveryBatches = Some(2))
+    for (i <- 0 until 6)
+      jsonl(s"$work/drop", s"f$i.jsonl", Seq((i.toLong, goodText(s"doc$i"))))
+    s.runAvailableNow()
+    val dirs = new java.io.File(s"$work/corpus").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName)
+    assert(dirs.length < 6, s"6 batches must fold below 6 dirs, got ${dirs.toSeq}")
+    assert(dirs.exists(_.startsWith("batch=c")), "at least one compacted dir")
+    assert(s.accepted().select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L to 5L), "every admitted doc exactly once through the folds")
+    // dedup against compacted dirs still holds: replaying known content
+    // admits nothing
+    jsonl(s"$work/drop", "dup.jsonl", Seq(100L -> goodText("doc3")))
+    s.runAvailableNow()
+    assert(s.accepted().count() == 6, "compacted fingerprints still gate admission")
+  }
+
   test("doc stream: language gate admits only listed languages") {
     val work = Files.createTempDirectory("graft-docstream-lang").toString
     val s = new DocStream(spark, s"$work/drop", s"$work/corpus", s"$work/ckpt",
