@@ -473,6 +473,13 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    "t_chunks" -> ((s, dir) =>
+      // context-window prep: 50-token chunks, 10-token overlap
+      TextOps.chunkDocuments(table(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 50, overlap = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_no")),
+
     "t_redact" -> ((s, dir) => {
       // PII scrub: the corpus has no natural PII, so plant a per-doc
       // deterministic email + phone + IP and verify the scrubbed text
@@ -1176,6 +1183,20 @@ object SparkEntry {
     "t_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_chunks" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS wd
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, wd, unnest(generate_series(1, greatest(len(wd) - 10, 1), 40)) AS start
+        |  FROM w)
+        |SELECT doc_id,
+        |       ((start - 1) // 40 + 1)::BIGINT AS chunk_no,
+        |       start::BIGINT AS start_token,
+        |       least(50, len(wd) - start + 1)::BIGINT AS n_tokens,
+        |       array_to_string(wd[start:start+49], ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_no""".stripMargin,
 
     // same planted PII, same three RE2-safe patterns in the same order
     "t_redact" ->

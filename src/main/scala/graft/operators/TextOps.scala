@@ -95,6 +95,32 @@ object TextOps {
     FastHash.fastMd5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
   /**
+   * Document chunking: split each doc into fixed-token windows with
+   * overlap — context-window preparation for training. One projection +
+   * one explode, no shuffle; chunk starts stride by chunkTokens-overlap
+   * and the last window may run short. A wordless doc yields one empty
+   * chunk (the doc stays representable downstream).
+   * Output: input id + (chunk_no, start_token, n_tokens, chunk_text).
+   */
+  def chunkDocuments(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    docs
+      .select(col(idCol).as("id"), words(col(textCol)).as("w"))
+      .select(col("id"), col("w"),
+        explode(sequence(lit(1), greatest(size(col("w")) - overlap, lit(1)), lit(stride)))
+          .as("start"))
+      .select(
+        col("id"),
+        (((col("start") - 1) / stride) + 1).cast("long").as("chunk_no"),
+        col("start").cast("long").as("start_token"),
+        least(lit(chunkTokens), size(col("w")) - col("start") + 1)
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("w"), col("start"), lit(chunkTokens)), " ").as("chunk_text"))
+  }
+
+  /**
    * PII redaction: emails, IPv4 addresses, and phone-shaped digit runs
    * replaced by type tags — the standard scrub step before corpus text
    * reaches a training run. A pure codegen'd regexp_replace chain (no

@@ -23,6 +23,13 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("every query has an oracle and vice versa (the driver's correctness contract)") {
+    val q = graft.SparkEntry.queries.keySet
+    val o = graft.SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle: ${q -- o}")
+    assert((o -- q).isEmpty, s"oracles without query: ${o -- q}")
+  }
+
   test("fast_md5 / md5_head60 / simhash60 / shingle_hashes / minhash_sig from SQL") {
     val r = spark.sql("""
       SELECT fast_md5('hello world') AS fm,
