@@ -282,6 +282,25 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       shuf.collect().toSet, "must be run-to-run deterministic")
   }
 
+  test("chunking invariants: full coverage, exact overlap, short tail") {
+    val ss = spark; import ss.implicits._
+    val text117 = (1 to 117).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text117), (2L, "only four words here"), (3L, "")).toDF("id", "text")
+    val chunks = TextOps.chunkDocuments(docs, "id", "text", chunkTokens = 50, overlap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+
+    // doc 1: starts 1, 41, 81 -> spans [1,50], [41,90], [81,117]
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(c => (c._3, c._4)).toSeq == Seq((1L, 50L), (41L, 50L), (81L, 37L)))
+    // consecutive chunks overlap by exactly `overlap` tokens
+    assert(d1(0)._5.split(" ").takeRight(10).toSeq == d1(1)._5.split(" ").take(10).toSeq)
+    // every token appears in some chunk, in order
+    assert(d1.flatMap(c => c._5.split(" ")).distinct.length == 117)
+    // short doc: one full-coverage chunk; empty doc: one empty chunk
+    assert(chunks.filter(_._1 == 2L).toSeq.map(c => (c._2, c._4)) == Seq((1L, 4L)))
+    assert(chunks.filter(_._1 == 3L).toSeq.map(c => (c._2, c._4, c._5)) == Seq((1L, 0L, "")))
+  }
+
   test("mega-duplicate class: near-dup + clusters complete and label by minimum") {
     val ss = spark; import ss.implicits._
     // pathological corpus shape: one content class duplicated 400x (plus
