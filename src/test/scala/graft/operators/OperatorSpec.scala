@@ -301,6 +301,22 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(chunks.filter(_._1 == 3L).toSeq.map(c => (c._2, c._4, c._5)) == Seq((1L, 0L, "")))
   }
 
+  test("simhash scale knob: tighter maxDist is exact, not approximate") {
+    // the documented 100 TB path is tightening maxDist (wider, sparser
+    // segments); pigeonhole banding is EXACT for its bound at any
+    // setting, so maxDist=3 (4 segments x 15 bits, 512x sparser buckets)
+    // must equal the maxDist=9 result filtered to hamming <= 3
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+    def pairs(maxDist: Int) =
+      DedupOps.simhashPairs(docs, "id", "text", maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val wide = pairs(9)
+    val tight = pairs(3)
+    assert(tight == wide.filter(_._3 <= 3),
+      "tight banding must find exactly the wide result's <=3 pairs")
+  }
+
   test("mega-duplicate class: near-dup + clusters complete and label by minimum") {
     val ss = spark; import ss.implicits._
     // pathological corpus shape: one content class duplicated 400x (plus
