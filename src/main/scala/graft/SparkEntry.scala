@@ -587,8 +587,77 @@ object SparkEntry {
       MultimodalOps.sampleFrames(media, chunkBytes = 4, everyNth = 2)
         .select(col("media_id"), col("frame_no"), length(col("frame_bytes")).cast("long").as("frame_len"))
         .orderBy("media_id", "frame_no")
+    }),
+
+    "d_dedup_lines" -> ((s, dir) => {
+      // CCNet-style line dedup: the corpus is single-line word soup, so
+      // lines are synthesized deterministically as 6-word windows (the
+      // same planted-input trick as t_redact); a line in >1 documents
+      // is boilerplate and is removed from every document
+      TextOps.dedupLines(linedDocs(s, dir), "doc_id", "text", maxDocFreq = 1)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "t_repetition" -> ((s, dir) => {
+      // Gopher-family repetition signals over the lined corpus; the
+      // corpus has no natural within-doc line repetition, so every 5th
+      // doc gets its first line appended again (planted-input trick,
+      // like t_redact's PII) — dup_line_frac is then a real signal
+      val planted = linedDocs(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit("\n"), element_at(split(col("text"), "\n"), 1)))
+          .otherwise(col("text")).as("text"))
+      TextOps.repetitionSignals(planted, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "p_vocab" -> ((s, dir) =>
+      // corpus vocabulary: global token counts, the BPE-training first step
+      TextOps.vocabulary(table(s, dir, "documents"), "text", topK = 100)
+        .orderBy("rank")),
+
+    "p_stats" -> ((s, dir) =>
+      // corpus composition per (source, lang) — the mixture-design input
+      SampleOps.corpusStats(table(s, dir, "documents"), Seq("source", "lang"), "text")
+        .orderBy("source", "lang")),
+
+    "s_centroids" -> ((s, dir) =>
+      // per-label exact mean embedding (class centroids)
+      KMeansOps.labelCentroids(table(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label")),
+
+    "d_dedup_semantic" -> ((s, dir) => {
+      // SemDeDup: deterministic k-means (k=8, 2 Lloyd rounds), exact
+      // cosine verify within each cell — the oracle replays the full
+      // training loop thanks to quantized-integer centroid means
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      KMeansOps.semanticNearDuplicates(e, "id", "embedding", minCosine = 0.25, k = 8, iters = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "s_ann_ivf_trained" -> ((s, dir) => {
+      // IVF ANN with a TRAINED codebook (2 Lloyd rounds) — cells adapt
+      // to the corpus, unlike s_ann_ivf's fixed md5 codebook
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      KMeansOps.ivfTopKTrained(e.filter(col("id") < 5), e, k = 5,
+          ncells = 16, nprobe = 6, iters = 2)
+        .orderBy("query_id", "rank")
     })
   )
+
+  /** documents with text reflowed into 6-word `\n` lines — the corpus is
+    * single-line word soup, so line-granularity operators synthesize
+    * their lines deterministically (both engines build the identical
+    * reflow). */
+  private def linedDocs(s: SparkSession, dir: String): DataFrame = {
+    val w = TextOps.words(col("text"))
+    table(s, dir, "documents").select(col("doc_id"),
+      array_join(
+        transform(sequence(lit(1), greatest(size(w), lit(1)), lit(6)),
+          i => array_join(slice(w, i, lit(6)), " ")), "\n").as("text"))
+  }
 
   // ======================= oracles =======================
 
@@ -1359,6 +1428,264 @@ object SparkEntry {
     "m_media_frames" ->
       """SELECT doc_id AS media_id, unnest([0::BIGINT, 2::BIGINT]) AS frame_no,
         |       4::BIGINT AS frame_len
-        |FROM documents ORDER BY media_id, frame_no""".stripMargin
+        |FROM documents ORDER BY media_id, frame_no""".stripMargin,
+
+    // same deterministic 6-word reflow as linedDocs; a non-blank line key
+    // (lowercased, trimmed) in >1 docs is removed from every doc
+    "d_dedup_lines" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS wd
+        |  FROM documents),
+        |lined AS (
+        |  SELECT doc_id, list_transform(generate_series(1, greatest(len(wd), 1), 6),
+        |           i -> array_to_string(wd[i:i+5], ' ')) AS ls
+        |  FROM w),
+        |l AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS pos, ls FROM lined),
+        |lx AS (SELECT doc_id, pos, ls[pos] AS ln, lower(trim(ls[pos])) AS key FROM l),
+        |hot AS (
+        |  SELECT key FROM (
+        |    SELECT key, count(DISTINCT doc_id) AS df FROM lx WHERE key <> '' GROUP BY 1) z
+        |  WHERE df > 1),
+        |kept AS (
+        |  SELECT doc_id, pos, ln FROM lx
+        |  WHERE key = '' OR key NOT IN (SELECT key FROM hot)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS kept_lines,
+        |         string_agg(ln, chr(10) ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY 1)
+        |SELECT lined.doc_id, len(lined.ls)::BIGINT AS n_lines,
+        |       coalesce(agg.kept_lines, 0)::BIGINT AS kept_lines,
+        |       coalesce(agg.clean_text, '') AS clean_text
+        |FROM lined LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "t_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS wd
+        |  FROM documents),
+        |lined0 AS (
+        |  SELECT doc_id, list_transform(generate_series(1, greatest(len(wd), 1), 6),
+        |           i -> array_to_string(wd[i:i+5], ' ')) AS ls0
+        |  FROM w),
+        |-- planted repetition: every 5th doc's first line appended again
+        |txt AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0
+        |              THEN array_to_string(ls0, chr(10)) || chr(10) || ls0[1]
+        |              ELSE array_to_string(ls0, chr(10)) END AS text
+        |  FROM lined0),
+        |base AS (
+        |  SELECT doc_id, lw, ls, len(lw)::BIGINT AS nw, len(ls)::BIGINT AS nl,
+        |         list_transform(generate_series(1, len(lw) - 1), i -> lw[i] || ' ' || lw[i+1]) AS bg
+        |  FROM (SELECT doc_id,
+        |               list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS lw,
+        |               string_split(text, chr(10)) AS ls
+        |        FROM txt) z),
+        |wc AS (SELECT doc_id, tk, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(lw) AS tk FROM base) z GROUP BY 1, 2),
+        |topw AS (SELECT doc_id, max(c) AS m FROM wc GROUP BY 1),
+        |bc AS (SELECT doc_id, tk, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(bg) AS tk FROM base) z GROUP BY 1, 2),
+        |topb AS (SELECT doc_id, max(c) AS m FROM bc GROUP BY 1)
+        |SELECT base.doc_id, nw AS n_words,
+        |       CASE WHEN nw <= 0 THEN 0.0
+        |            ELSE round((nw - len(list_distinct(lw)))::DOUBLE / nw, 4) END AS dup_word_frac,
+        |       CASE WHEN nw <= 0 THEN 0.0
+        |            ELSE round(coalesce(topw.m, 0)::DOUBLE / nw, 4) END AS top_word_frac,
+        |       CASE WHEN nw - 1 <= 0 THEN 0.0
+        |            ELSE round(coalesce(topb.m, 0)::DOUBLE / (nw - 1), 4) END AS top_bigram_frac,
+        |       CASE WHEN nl <= 0 THEN 0.0
+        |            ELSE round((nl - len(list_distinct(ls)))::DOUBLE / nl, 4) END AS dup_line_frac
+        |FROM base LEFT JOIN topw ON base.doc_id = topw.doc_id
+        |          LEFT JOIN topb ON base.doc_id = topb.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
+
+    "p_vocab" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |f AS (SELECT token, count(*) AS freq FROM t GROUP BY 1)
+        |SELECT row_number() OVER (ORDER BY freq DESC, token ASC)::BIGINT AS rank, token, freq
+        |FROM f ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
+
+    // per-doc quality identical to the t_quality oracle; all sums exact ints
+    "p_stats" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, lang, text,
+        |         length(text)::BIGINT AS len,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS lw,
+        |         (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))::BIGINT AS np
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, source, lang, len, np,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS tokens,
+        |    len(lw)::BIGINT AS nw,
+        |    len(list_filter(lw, x -> x IN ('the','a','an','of','to','and','in','is','on','for')))::BIGINT AS ns
+        |  FROM w),
+        |q AS (
+        |  SELECT source, lang, tokens, len,
+        |       (400 * least(len, 500)) // 500
+        |     + CASE WHEN nw = 0 THEN 0 ELSE (300 * least(ns * 5, nw)) // nw END
+        |     + CASE WHEN len = 0 THEN 0 ELSE (300 * greatest(len - np * 5, 0)) // len END AS quality
+        |  FROM f)
+        |SELECT source, lang, count(*) AS n_docs, sum(tokens)::BIGINT AS total_tokens,
+        |       sum(len)::BIGINT AS total_chars,
+        |       round(sum(quality)::DOUBLE / count(*)::DOUBLE, 4) AS avg_quality
+        |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // exact quantized means (floor(x*1e7 + 0.5) summed as BIGINT), so the
+    // centroid doubles are bit-identical to Spark's regardless of row order
+    "s_centroids" ->
+      """WITH c AS (
+        |  SELECT label, i,
+        |         sum(floor(embedding[i]::DOUBLE * 10000000.0 + 0.5))::BIGINT AS sq,
+        |         count(*) AS n
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) dims
+        |  GROUP BY 1, 2)
+        |SELECT label, min(n)::BIGINT AS n,
+        |       list(sq::DOUBLE / (n::DOUBLE * 10000000.0) ORDER BY i) AS centroid
+        |FROM c GROUP BY label ORDER BY label""".stripMargin,
+
+    // replays the FULL k-means training: md5 init, argmax-cosine assign
+    // (tie -> smaller cell), exact quantized means, 2 Lloyd rounds — then
+    // within-cell exact cosine pairs
+    "d_dedup_semantic" ->
+      """WITH c0 AS (
+        |  SELECT c, list_transform(generate_series(0, 63),
+        |           d -> (('0x' || substr(md5('kmeans:' || c || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS cv
+        |  FROM (SELECT unnest(generate_series(0, 7)) AS c)),
+        |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |s0 AS (
+        |  SELECT vec_id, c,
+        |         list_sum(list_transform(range(1, 65), i -> cv[i] * embedding[i]::DOUBLE)) /
+        |         (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) *
+        |          sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS s
+        |  FROM embeddings, c0),
+        |a0 AS (SELECT vec_id, c AS cell FROM (
+        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+        |         FROM s0) z WHERE rn = 1),
+        |m1 AS (
+        |  SELECT a0.cell, dims.i,
+        |         sum(floor(e.embedding[dims.i]::DOUBLE * 10000000.0 + 0.5))::BIGINT AS sq,
+        |         count(*) AS n
+        |  FROM a0, embeddings e, dims WHERE a0.vec_id = e.vec_id
+        |  GROUP BY 1, 2),
+        |c1m AS (SELECT cell AS c, list(sq::DOUBLE / (n::DOUBLE * 10000000.0) ORDER BY i) AS cv
+        |        FROM m1 GROUP BY 1),
+        |c1 AS (SELECT c0.c, coalesce(c1m.cv, c0.cv) AS cv FROM c0 LEFT JOIN c1m USING (c)),
+        |s1 AS (
+        |  SELECT vec_id, c,
+        |         list_sum(list_transform(range(1, 65), i -> cv[i] * embedding[i]::DOUBLE)) /
+        |         (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) *
+        |          sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS s
+        |  FROM embeddings, c1),
+        |a1 AS (SELECT vec_id, c AS cell FROM (
+        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+        |         FROM s1) z WHERE rn = 1),
+        |m2 AS (
+        |  SELECT a1.cell, dims.i,
+        |         sum(floor(e.embedding[dims.i]::DOUBLE * 10000000.0 + 0.5))::BIGINT AS sq,
+        |         count(*) AS n
+        |  FROM a1, embeddings e, dims WHERE a1.vec_id = e.vec_id
+        |  GROUP BY 1, 2),
+        |c2m AS (SELECT cell AS c, list(sq::DOUBLE / (n::DOUBLE * 10000000.0) ORDER BY i) AS cv
+        |        FROM m2 GROUP BY 1),
+        |c2 AS (SELECT c1.c, coalesce(c2m.cv, c1.cv) AS cv FROM c1 LEFT JOIN c2m USING (c)),
+        |s2 AS (
+        |  SELECT vec_id, c,
+        |         list_sum(list_transform(range(1, 65), i -> cv[i] * embedding[i]::DOUBLE)) /
+        |         (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) *
+        |          sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS s
+        |  FROM embeddings, c2),
+        |a2 AS (SELECT vec_id, c AS cell FROM (
+        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+        |         FROM s2) z WHERE rn = 1),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell
+        |  FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT id_a, id_b, cell,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> ae.embedding[i]::DOUBLE * be.embedding[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> ae.embedding[i]::DOUBLE * ae.embedding[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> be.embedding[i]::DOUBLE * be.embedding[i]::DOUBLE)))), 6) AS sim
+        |  FROM p JOIN embeddings ae ON id_a = ae.vec_id
+        |         JOIN embeddings be ON id_b = be.vec_id)
+        |SELECT id_a, id_b, cell::BIGINT AS cell, sim
+        |FROM scored WHERE sim >= 0.25 ORDER BY id_a, id_b""".stripMargin,
+
+    // the s_ann_ivf oracle with the codebook REPLACED by the same 2-round
+    // trained centroids as d_dedup_semantic (k=16, salt 'kmeans')
+    "s_ann_ivf_trained" ->
+      """WITH c0 AS (
+        |  SELECT c, list_transform(generate_series(0, 63),
+        |           d -> (('0x' || substr(md5('kmeans:' || c || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS cv
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS c)),
+        |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |s0 AS (
+        |  SELECT vec_id, c,
+        |         list_sum(list_transform(range(1, 65), i -> cv[i] * embedding[i]::DOUBLE)) /
+        |         (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) *
+        |          sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS s
+        |  FROM embeddings, c0),
+        |a0 AS (SELECT vec_id, c AS cell FROM (
+        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+        |         FROM s0) z WHERE rn = 1),
+        |m1 AS (
+        |  SELECT a0.cell, dims.i,
+        |         sum(floor(e.embedding[dims.i]::DOUBLE * 10000000.0 + 0.5))::BIGINT AS sq,
+        |         count(*) AS n
+        |  FROM a0, embeddings e, dims WHERE a0.vec_id = e.vec_id
+        |  GROUP BY 1, 2),
+        |c1m AS (SELECT cell AS c, list(sq::DOUBLE / (n::DOUBLE * 10000000.0) ORDER BY i) AS cv
+        |        FROM m1 GROUP BY 1),
+        |c1 AS (SELECT c0.c, coalesce(c1m.cv, c0.cv) AS cv FROM c0 LEFT JOIN c1m USING (c)),
+        |s1 AS (
+        |  SELECT vec_id, c,
+        |         list_sum(list_transform(range(1, 65), i -> cv[i] * embedding[i]::DOUBLE)) /
+        |         (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) *
+        |          sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS s
+        |  FROM embeddings, c1),
+        |a1 AS (SELECT vec_id, c AS cell FROM (
+        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+        |         FROM s1) z WHERE rn = 1),
+        |m2 AS (
+        |  SELECT a1.cell, dims.i,
+        |         sum(floor(e.embedding[dims.i]::DOUBLE * 10000000.0 + 0.5))::BIGINT AS sq,
+        |         count(*) AS n
+        |  FROM a1, embeddings e, dims WHERE a1.vec_id = e.vec_id
+        |  GROUP BY 1, 2),
+        |c2m AS (SELECT cell AS c, list(sq::DOUBLE / (n::DOUBLE * 10000000.0) ORDER BY i) AS cv
+        |        FROM m2 GROUP BY 1),
+        |c2 AS (SELECT c1.c, coalesce(c2m.cv, c1.cv) AS cv FROM c1 LEFT JOIN c2m USING (c)),
+        |s2 AS (
+        |  SELECT vec_id, c,
+        |         list_sum(list_transform(range(1, 65), i -> cv[i] * embedding[i]::DOUBLE)) /
+        |         (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) *
+        |          sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS s
+        |  FROM embeddings, c2),
+        |ranked_cells AS (
+        |  SELECT vec_id, c,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS crank
+        |  FROM s2),
+        |assign AS (SELECT vec_id, c AS cell FROM ranked_cells WHERE crank = 1),
+        |probes AS (SELECT vec_id, c AS cell FROM ranked_cells WHERE crank <= 6 AND vec_id < 5),
+        |cand AS (
+        |  SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+        |  FROM probes p JOIN assign a ON p.cell = a.cell
+        |  WHERE p.vec_id <> a.vec_id),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * qe.embedding[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)))), 6) AS sim
+        |  FROM cand JOIN embeddings qe ON query_id = qe.vec_id
+        |            JOIN embeddings ce ON neighbor_id = ce.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank::BIGINT AS rank, neighbor_id, sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
 }

@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic spherical k-means over embedding columns, and the two
+ * operators a training-data pipeline builds on it: SemDeDup-style
+ * semantic deduplication (cluster, then exact-verify within clusters)
+ * and IVF ANN with a TRAINED codebook (vs [[SimilarityOps.ivfTopK]]'s
+ * fixed md5 codebook — training adapts the cells to the corpus, which
+ * is what makes nprobe/ncells recall hold on real embedding
+ * distributions).
+ *
+ * Everything here is reproducible across engines, which is what lets
+ * the DuckDB oracles replay the full TRAINING loop, not just the final
+ * assignment:
+ *
+ *  - init centroids are md5-derived ("kmeans:c:d", same generator as
+ *    [[SimilarityOps.lshPlanes]]);
+ *  - assignment is argmax cosine with the cell index as tiebreak, an
+ *    ordered left-to-right fold like every other vector kernel in this
+ *    package;
+ *  - centroid means are EXACT: components quantize to integers
+ *    (floor(x*1e7 + 0.5)) and sum as longs, so the mean is independent
+ *    of partition order — a plain double `avg` would differ between
+ *    engines (and between Spark runs!) in the last ulps because
+ *    floating-point addition isn't associative, and a near-boundary
+ *    vector would then flip cells. The quantization (1e-7, below
+ *    float32's own granularity near 1.0) costs nothing in cluster
+ *    quality and buys bit-identical training everywhere.
+ *
+ * Scale shape: one pass per Lloyd round — assignment is a pure
+ * projection against broadcast centroids (no join, no shuffle), the
+ * mean update is a single groupBy(cell, dim) over posexploded
+ * components (map-side partial sums; k*dim result rows). Centroids
+ * (k x dim doubles) are a model artifact and live on the driver, like
+ * any trained model parameter.
+ */
+object KMeansOps {
+
+  /** First 8 md5 hex chars of `s` as an unsigned 32-bit value. */
+  private def md5Head32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+  }
+
+  /** Deterministic init codebook: component d of centroid c in [-1, 1). */
+  def initCentroids(k: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(k, dim) { (c, d) =>
+      md5Head32(s"kmeans:$c:$d").toDouble / (1L << 31) - 1.0
+    }
+
+  /**
+   * Rank all cells for a vector by cosine (desc, cell index asc) and
+   * return the top `n` — n=1 is the Lloyd assignment, n=nprobe is the
+   * IVF probe list. The fold order (dims left-to-right, double
+   * accumulators) is the contract the oracles replay.
+   */
+  private def cellsUdf(centroids: Array[Array[Double]], n: Int) = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val centB = spark.sparkContext.broadcast(centroids)
+    udf { (v: Seq[Float]) =>
+      val cs = centB.value
+      val sims = cs.indices.map { ci =>
+        val c = cs(ci)
+        var dot = 0.0; var nc = 0.0; var nv = 0.0
+        var d = 0
+        val len = math.min(c.length, v.length)
+        while (d < len) { dot += c(d) * v(d); nc += c(d) * c(d); nv += v(d).toDouble * v(d); d += 1 }
+        (ci, dot / (math.sqrt(nc) * math.sqrt(nv)))
+      }
+      sims.sortBy { case (ci, s) => (-s, ci) }.take(n).map(_._1)
+    }
+  }
+
+  /**
+   * `iters` Lloyd rounds from the md5 init. Each round: assign every
+   * vector to its argmax-cosine cell (projection, no shuffle), then
+   * recompute each cell's centroid as the exact quantized mean (one
+   * groupBy(cell, dim) shuffle producing k*dim rows). A cell that
+   * captured no vectors keeps its previous centroid. iters=0 returns
+   * the init codebook (= the fixed-codebook behavior).
+   */
+  def train(corpus: DataFrame, vecCol: String, k: Int, iters: Int, dim: Int): Array[Array[Double]] = {
+    var centroids = initCentroids(k, dim)
+    for (_ <- 0 until iters) {
+      val assigned = corpus.select(
+        element_at(cellsUdf(centroids, 1)(col(vecCol)), 1).as("cell"),
+        posexplode(col(vecCol)).as(Seq("pos", "el")))
+      // exact integer sums: floor(x*1e7 + 0.5) per component, summed as
+      // longs — order-independent, so ANY engine/partitioning that
+      // replays this arithmetic lands on the identical mean double
+      val sums = assigned
+        .groupBy("cell", "pos")
+        .agg(sum(floor(col("el").cast("double") * lit(1.0e7) + lit(0.5))).as("sq"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        val cell = r.getInt(0)
+        val pos = r.getInt(1)
+        val sq = r.getLong(2)
+        val n = r.getLong(3)
+        next(cell)(pos) = sq.toDouble / (n.toDouble * 1.0e7)
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** (id, cell) assignment of every corpus vector under `centroids`. */
+  def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+                  centroids: Array[Array[Double]]): DataFrame =
+    corpus.select(col(idCol).as("id"),
+      element_at(cellsUdf(centroids, 1)(col(vecCol)), 1).as("cell"))
+
+  /**
+   * SemDeDup-style semantic near-duplicates: k-means-cluster the
+   * corpus, then exact-cosine every within-cell pair and keep those
+   * >= minCosine. Clustering bounds the quadratic: pairs are only
+   * scored inside a cell (~n/k vectors), which is the property that
+   * lets semantic dedup run on a 100 TB embedding table — and unlike
+   * the LSH bands of [[SimilarityOps.cosineNearDuplicates]], the cells
+   * adapt to the corpus distribution.
+   *
+   * Plan shape: the within-cell pair generation is a SELF-JOIN on the
+   * cell id carrying only 8-byte ids (cells are dense buckets — the
+   * simhash lesson: grouped-pairs would materialize bucket-squared
+   * arrays); vectors join back per-id for the exact verify.
+   * Output: (id_a < id_b, cell, sim).
+   */
+  def semanticNearDuplicates(corpus: DataFrame, idCol: String, vecCol: String,
+                             minCosine: Double, k: Int = 8, iters: Int = 2,
+                             dim: Int = 64): DataFrame = {
+    val centroids = train(corpus, vecCol, k, iters, dim)
+    // assignments materialize ONCE (12 bytes/vector): both self-join
+    // sides would otherwise re-run the assignment UDF over the corpus
+    val cells = assignCells(corpus, idCol, vecCol, centroids).localCheckpoint()
+    val a = cells.select(col("cell"), col("id").as("id_a"))
+    val b = cells.select(col("cell"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .withColumn("sim", round(SimilarityOps.cosineFloat(col("va"), col("vb")), 6))
+      .filter(col("sim") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cell").cast("long").as("cell"), col("sim"))
+  }
+
+  /**
+   * IVF ANN with a codebook TRAINED on the corpus (`iters` Lloyd
+   * rounds) instead of [[SimilarityOps.ivfTopK]]'s fixed md5 cells.
+   * Identical probe/re-rank plan: corpus vectors live in their argmax
+   * cell, each query probes its `nprobe` nearest cells, candidates
+   * carry only ids, exact cosine re-ranks.
+   */
+  def ivfTopKTrained(queries: DataFrame, corpus: DataFrame, k: Int,
+                     ncells: Int = 16, nprobe: Int = 6, iters: Int = 2,
+                     dim: Int = 64): DataFrame = {
+    val centroids = train(corpus, "embedding", ncells, iters, dim)
+    val c = corpus.select(col("id").as("neighbor_id"),
+      explode(cellsUdf(centroids, 1)(col("embedding"))).as("cell"))
+    val q = queries.select(col("id").as("query_id"),
+      explode(cellsUdf(centroids, nprobe)(col("embedding"))).as("cell"))
+    val cand = q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val qv = queries.select(col("id").as("query_id"), transform(col("embedding"), x => x.cast("double")).as("qv"))
+    val cv = corpus.select(col("id").as("neighbor_id"), transform(col("embedding"), x => x.cast("double")).as("cv"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cand
+      .join(qv, "query_id")
+      .join(cv, "neighbor_id")
+      .withColumn("sim", round(SimilarityOps.cosine(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /**
+   * Exact per-label mean embedding (class centroids — label-balance
+   * diagnostics, cluster seeding, nearest-class-centroid filtering).
+   * Same quantized-integer mean as [[train]], but fully distributed:
+   * one groupBy(label, dim) with map-side partial sums, then the
+   * centroid array reassembles per label — no collect, no dependence
+   * of the result on partitioning. Output: (label, n, centroid).
+   */
+  def labelCentroids(vecs: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val comps = vecs.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "el")))
+      .groupBy("label", "pos")
+      .agg(sum(floor(col("el").cast("double") * lit(1.0e7) + lit(0.5))).as("sq"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (col("sq").cast("double") / (col("n").cast("double") * lit(1.0e7))).as("mean"),
+        col("n"))
+    comps.groupBy("label")
+      .agg(min(col("n")).as("n"),
+        transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+          s => s.getField("mean")).as("centroid"))
+      .select(col("label"), col("n"), col("centroid"))
+  }
+}

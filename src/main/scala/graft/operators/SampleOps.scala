@@ -127,4 +127,23 @@ object SampleOps {
     val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row(r.get(0), i + 1L) }
     sorted.sparkSession.createDataFrame(rdd, schema)
   }
+
+  /**
+   * Corpus composition report: per stratum (e.g. source x language),
+   * document count, total whitespace tokens, total characters, and mean
+   * quality score — the numbers a mixture design ([[tokenBudgetMixture]]
+   * budgets) is derived from. One groupBy with map-side partial aggs;
+   * every sum is an exact integer, and the mean divides two exact
+   * integers, so the report is reproducible anywhere.
+   */
+  def corpusStats(docs: DataFrame, strataCols: Seq[String], textCol: String): DataFrame =
+    docs.groupBy(strataCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col(textCol))).as("total_tokens"),
+        sum(length(col(textCol)).cast("long")).as("total_chars"),
+        sum(TextOps.qualityScore(col(textCol))).as("q_sum"))
+      .withColumn("avg_quality",
+        round(col("q_sum").cast("double") / col("n_docs").cast("double"), 4))
+      .drop("q_sum")
 }

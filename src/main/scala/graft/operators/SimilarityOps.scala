@@ -69,6 +69,9 @@ object SimilarityOps {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }.asNondeterministic()
 
+  /** [[cosineFloatUdf]] for sibling operators (KMeansOps's exact verify). */
+  def cosineFloat(a: Column, b: Column): Column = cosineFloatUdf(a, b)
+
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   /**

@@ -137,4 +137,109 @@ object TextOps {
       "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}", "<IP>")
     regexp_replace(ip, "\\+?\\d[\\d\\s().-]{7,}\\d", "<PHONE>")
   }
+
+  /**
+   * Line-level deduplication across the corpus (the CCNet scrub step):
+   * a line whose normalized key (lowercased, trimmed) appears in more
+   * than `maxDocFreq` distinct documents is removed from EVERY document
+   * — boilerplate headers, navigation chrome, license footers. Blank
+   * lines are structural and always kept (and never counted).
+   *
+   * Scale shape: one explode, one groupBy on the 8-byte line-key hash
+   * (map-side partial distinct — never the line strings; collision odds
+   * are ~|lines|²/2⁶⁵, immaterial for boilerplate removal), one
+   * anti-join of the line stream against the hot set (AQE broadcasts
+   * it when it is small, which boilerplate sets are), one groupBy(id)
+   * to reassemble. No step materializes more than the line relation.
+   *
+   * Output: (id, n_lines, kept_lines, clean_text) for every input doc
+   * — a doc whose every line was boilerplate survives with
+   * kept_lines=0 and empty clean_text.
+   */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 maxDocFreq: Long = 1L): DataFrame = {
+    val lines = docs.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("key", lower(trim(col("line"))))
+    val hot = lines.filter(col("key") =!= "")
+      .groupBy(xxhash64(col("key")).as("kh"))
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("kh")
+    // blank keys survive automatically: `hot` only ever contains
+    // non-empty keys, so their hashes can't match
+    val kept = lines.join(hot, xxhash64(col("key")) === col("kh"), "left_anti")
+    val perDoc = kept.groupBy("id").agg(
+      count(lit(1)).as("kept_lines"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("clean_text"))
+    docs.select(col(idCol).as("id"),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        coalesce(col("kept_lines"), lit(0L)).as("kept_lines"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Longest run in the sorted array = the mode's occurrence count. */
+  private def modeCount(arr: Column): Column =
+    aggregate(array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /**
+   * Repetition signals (the Gopher quality-filter family): how much of
+   * a document is the same content said again. All four are pure
+   * per-row folds over the (lowercased) word array — a projection, no
+   * shuffle, codegen'd — and all ratios are exact-integer divisions
+   * rounded to 4 places so every engine reproduces them bit-for-bit.
+   *
+   * Output columns: n_words, dup_word_frac ((n-distinct)/n),
+   * top_word_frac (mode count / n), top_bigram_frac (bigram mode
+   * count / (n-1)), dup_line_frac over `\n` lines ((lines-distinct)/lines).
+   */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(lower(col(textCol)))
+    val nW = size(w).cast("long")
+    val bigrams = when(size(w) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(w) - 1),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+    val lines = split(col(textCol), "\n")
+    val nL = size(lines).cast("long")
+    // <= 0: the bigram denominator is n_words-1, which is NEGATIVE for a
+    // wordless doc — 0/-1 would produce -0.0, which engines stringify apart
+    def frac(num: Column, den: Column): Column =
+      when(den <= 0L, 0.0).otherwise(round(num.cast("double") / den.cast("double"), 4))
+    docs.select(
+      col(idCol).as("id"),
+      nW.as("n_words"),
+      frac(nW - size(array_distinct(w)).cast("long"), nW).as("dup_word_frac"),
+      frac(modeCount(w), nW).as("top_word_frac"),
+      frac(modeCount(bigrams), nW - 1L).as("top_bigram_frac"),
+      frac(nL - size(array_distinct(lines)).cast("long"), nL).as("dup_line_frac"))
+  }
+
+  /**
+   * Corpus vocabulary: the `topK` most frequent (lowercased,
+   * whitespace-delimited) tokens with their global counts and rank.
+   * One explode + one groupBy with map-side combine — the wordcount
+   * shape, which is exactly how BPE tokenizer training starts. The
+   * rank window runs AFTER the limit, over topK rows, so no global
+   * single-task sort ever sees the full vocabulary.
+   */
+  def vocabulary(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token").asc)
+    docs.select(explode(words(lower(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(topK)
+      .withColumn("rank", row_number().over(win).cast("long"))
+      .select(col("rank"), col("token"), col("freq"))
+  }
 }

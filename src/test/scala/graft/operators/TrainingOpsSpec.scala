@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Specs for the round-4 training-data operators: line-level dedup,
+  * repetition signals, vocabulary, corpus stats, and the deterministic
+  * k-means family (semantic dedup, trained IVF, label centroids). */
+class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.01"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-training-ops")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // ---- dedupLines ----
+
+  test("dedupLines removes cross-doc boilerplate, keeps blanks, keeps empty docs") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq(
+      (1L, "COPYRIGHT FOOTER\nreal content one\n\nmore one"),
+      (2L, "copyright footer\nreal content two"), // case-insensitive key
+      (3L, "COPYRIGHT FOOTER"), // fully boilerplate
+      (4L, "unique only")
+    ).toDF("doc_id", "text")
+    val out = TextOps.dedupLines(docs, "doc_id", "text", maxDocFreq = 1)
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 4L, 3L, "real content one\n\nmore one"))) // blank kept
+    assert(out(1) == ((2L, 2L, 1L, "real content two")))
+    assert(out(2) == ((3L, 1L, 0L, ""))) // survives with nothing left
+    assert(out(3) == ((4L, 1L, 1L, "unique only")))
+  }
+
+  test("dedupLines maxDocFreq admits lines up to the cap") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq(
+      (1L, "shared\nown1"), (2L, "shared\nown2"), (3L, "own3")
+    ).toDF("doc_id", "text")
+    val kept = TextOps.dedupLines(docs, "doc_id", "text", maxDocFreq = 2)
+      .agg(sum("kept_lines")).head().getLong(0)
+    assert(kept == 5L) // df=2 'shared' survives under cap 2
+  }
+
+  // ---- repetitionSignals ----
+
+  test("repetitionSignals matches hand-computed fractions") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),            // 4 words, 2 distinct, mode 3, bigram 'a a' x2 / 3
+      (2L, "x\nx\ny"),            // 3 lines, 2 distinct
+      (3L, ""),                   // wordless: all zeros
+      (4L, "one two")             // no repetition at all
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out(0) == ((4L, 0.5, 0.75, 0.6667, 0.0)))
+    // words split on \s+ incl. \n: [x, x, y] -> mode 2/3; bigrams [x x, x y] -> 1/2
+    assert(out(1) == ((3L, 0.3333, 0.6667, 0.5, 0.3333)))
+    assert(out(2) == ((0L, 0.0, 0.0, 0.0, 0.0)))
+    // 2 words -> the single bigram is trivially the mode: 1/1
+    assert(out(3) == ((2L, 0.0, 0.5, 1.0, 0.0)))
+  }
+
+  // ---- vocabulary ----
+
+  test("vocabulary ranks by frequency then token, respects topK") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq("b a", "B b c", "a b").toDF("text")
+    val v = TextOps.vocabulary(docs, "text", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(v.toSeq == Seq((1L, "b", 4L), (2L, "a", 2L))) // 'a' before 'c' on tie
+  }
+
+  // ---- corpusStats ----
+
+  test("corpusStats aggregates exactly per stratum") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq(
+      ("s1", "en", "the cat"), ("s1", "en", "of dog"), ("s1", "de", "und")
+    ).toDF("source", "lang", "text")
+    val out = SampleOps.corpusStats(docs, Seq("source", "lang"), "text")
+      .orderBy("lang")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out(0) == (("de", 1L, 1L, 3L)))
+    assert(out(1) == (("en", 2L, 4L, 13L)))
+  }
+
+  // ---- k-means family ----
+
+  test("kmeans training is partitioning-invariant (exact quantized means)") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val a = KMeansOps.train(e.repartition(7), "embedding", k = 8, iters = 2, dim = 64)
+    val b = KMeansOps.train(e.repartition(3), "embedding", k = 8, iters = 2, dim = 64)
+    assert(a.length == 8 && a.flatten.length == 512)
+    // bit-exact equality, not approximate: the quantized-integer means
+    // are the mechanism that makes training reproducible anywhere
+    assert(a.flatten.toSeq == b.flatten.toSeq)
+    // training moved the codebook off its init
+    assert(a.flatten.toSeq != KMeansOps.initCentroids(8, 64).flatten.toSeq)
+  }
+
+  test("kmeans keeps the previous centroid for a cell that captured nothing") {
+    val ss = spark; import ss.implicits._
+    // 3 near-identical vectors -> they all land in one argmax cell, the
+    // other k-1 cells are empty every round and must keep their init
+    val v = Array.fill(64)(0.5f)
+    val e = Seq((1L, v.toSeq), (2L, v.map(_ + 0.001f).toSeq), (3L, v.map(_ - 0.001f).toSeq))
+      .toDF("id", "embedding")
+    val trained = KMeansOps.train(e, "embedding", k = 4, iters = 2, dim = 64)
+    val init = KMeansOps.initCentroids(4, 64)
+    val moved = (0 until 4).count(c => trained(c).toSeq != init(c).toSeq)
+    assert(moved == 1, s"expected exactly 1 non-empty cell to move, got $moved")
+    assert(trained.flatten.forall(d => !d.isNaN && !d.isInfinite))
+  }
+
+  test("semanticNearDuplicates pairs are co-cell and verified >= minCosine") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val pairs = KMeansOps.semanticNearDuplicates(e, "id", "embedding",
+      minCosine = 0.25, k = 8, iters = 2)
+    val rows = pairs.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(3) >= 0.25))
+    // co-cell by construction: both members' assigned cell equals the pair's
+    val cells = KMeansOps.assignCells(e, "id", "embedding",
+        KMeansOps.train(e, "embedding", 8, 2, 64))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.forall(r => cells(r.getLong(0)) == r.getLong(2) &&
+      cells(r.getLong(1)) == r.getLong(2)))
+  }
+
+  test("ivfTopKTrained recall@5 vs bruteForceTopK on sf0.01 embeddings") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.filter(col("id") < 20)
+    val brute = SimilarityOps.bruteForceTopK(q, e, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = KMeansOps.ivfTopKTrained(q, e, k = 5, ncells = 16, nprobe = 6, iters = 2)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"trained-IVF recall@5 $recall < 0.6")
+  }
+
+  test("labelCentroids equals a naive driver-side exact mean") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val got = KMeansOps.labelCentroids(e, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2))).toSeq
+      .sortBy(_._1)
+    val raw = e.select(col("label"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val naive = raw.groupBy(_._1).map { case (lbl, vs) =>
+      val n = vs.length.toLong
+      val cent = (0 until 64).map { d =>
+        val sq = vs.map(v => math.floor(v._2(d).toDouble * 1.0e7 + 0.5).toLong).sum
+        sq.toDouble / (n.toDouble * 1.0e7)
+      }
+      (lbl, n, cent)
+    }.toSeq.sortBy(_._1)
+    assert(got.map(g => (g._1, g._2, g._3.toSeq)) == naive.map(n => (n._1, n._2, n._3.toSeq)))
+  }
+}
