@@ -192,6 +192,39 @@ object TextOps {
       },
       acc => acc.getField("best"))
 
+  // <= 0: the bigram denominator is n_words-1, which is NEGATIVE for a
+  // wordless doc — 0/-1 would produce -0.0, which engines stringify apart
+  private def frac(num: Column, den: Column): Column =
+    when(den <= 0L, 0.0).otherwise(round(num.cast("double") / den.cast("double"), 4))
+
+  /** Fraction of (lowercased) words that repeat an earlier word. */
+  def dupWordFrac(text: Column): Column = {
+    val w = words(lower(text))
+    frac(size(w).cast("long") - size(array_distinct(w)).cast("long"), size(w).cast("long"))
+  }
+
+  /** The most frequent (lowercased) word's share of all words. */
+  def topWordFrac(text: Column): Column = {
+    val w = words(lower(text))
+    frac(modeCount(w), size(w).cast("long"))
+  }
+
+  /** The most frequent word 2-gram's share of all 2-grams. */
+  def topBigramFrac(text: Column): Column = {
+    val w = words(lower(text))
+    val bigrams = when(size(w) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(w) - 1),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+    frac(modeCount(bigrams), size(w).cast("long") - 1L)
+  }
+
+  /** Fraction of `\n` lines that repeat an earlier line (byte-exact). */
+  def dupLineFrac(text: Column): Column = {
+    val lines = split(text, "\n")
+    frac(size(lines).cast("long") - size(array_distinct(lines)).cast("long"),
+      size(lines).cast("long"))
+  }
+
   /**
    * Repetition signals (the Gopher quality-filter family): how much of
    * a document is the same content said again. All four are pure
@@ -203,26 +236,14 @@ object TextOps {
    * top_word_frac (mode count / n), top_bigram_frac (bigram mode
    * count / (n-1)), dup_line_frac over `\n` lines ((lines-distinct)/lines).
    */
-  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = words(lower(col(textCol)))
-    val nW = size(w).cast("long")
-    val bigrams = when(size(w) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(w) - 1),
-        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
-    val lines = split(col(textCol), "\n")
-    val nL = size(lines).cast("long")
-    // <= 0: the bigram denominator is n_words-1, which is NEGATIVE for a
-    // wordless doc — 0/-1 would produce -0.0, which engines stringify apart
-    def frac(num: Column, den: Column): Column =
-      when(den <= 0L, 0.0).otherwise(round(num.cast("double") / den.cast("double"), 4))
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
       col(idCol).as("id"),
-      nW.as("n_words"),
-      frac(nW - size(array_distinct(w)).cast("long"), nW).as("dup_word_frac"),
-      frac(modeCount(w), nW).as("top_word_frac"),
-      frac(modeCount(bigrams), nW - 1L).as("top_bigram_frac"),
-      frac(nL - size(array_distinct(lines)).cast("long"), nL).as("dup_line_frac"))
-  }
+      size(words(lower(col(textCol)))).cast("long").as("n_words"),
+      dupWordFrac(col(textCol)).as("dup_word_frac"),
+      topWordFrac(col(textCol)).as("top_word_frac"),
+      topBigramFrac(col(textCol)).as("top_bigram_frac"),
+      dupLineFrac(col(textCol)).as("dup_line_frac"))
 
   /**
    * Corpus vocabulary: the `topK` most frequent (lowercased,

@@ -18,8 +18,11 @@ import graft.operators.{DedupOps, TextOps}
  *     document exists-cache, the same per-batch anti-join scheme the
  *     metrics tables use (nothing already accepted is rescanned or
  *     re-admitted, even across restarts),
- *  3. gated on quality ([[TextOps.qualityScore]] >= minQuality) and,
- *     when `langs` is non-empty, on [[TextOps.langGuess]],
+ *  3. gated on quality ([[TextOps.qualityScore]] >= minQuality), on
+ *     language when `langs` is non-empty ([[TextOps.langGuess]]), and
+ *     on repetition when `maxTopWordFrac` is set
+ *     ([[TextOps.topWordFrac]] — the Gopher-style "one word dominates
+ *     the doc" reject),
  *  4. appended to the corpus as an idempotent `batch=b<id>` dir —
  *     a replayed batch overwrites its own dir, never duplicates.
  *     As with [[StreamingIngest]]'s tables, the corpus dir belongs to
@@ -45,13 +48,15 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
                 // committed b-dirs fold every N batches so dir count —
                 // and the exists-anti-join's file listing — stays
                 // bounded under continuous triggers
-                compactEveryBatches: Option[Int] = None) {
+                compactEveryBatches: Option[Int] = None,
+                // reject docs whose most frequent word exceeds this share
+                maxTopWordFrac: Option[Double] = None) {
 
   private val inputSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType)))
 
-  /** (batchId, accepted, dupInBatch, dupExisting, lowQuality, wrongLang) */
+  /** (batchId, accepted, dupInBatch, dupExisting, lowQuality, wrongLangOrRepetitious) */
   @volatile var lastBatchStats: (Long, Long, Long, Long, Long, Long) = (-1L, 0L, 0L, 0L, 0L, 0L)
 
   private def source(): DataFrame = {
@@ -99,7 +104,9 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
       .cache()
     try {
       val langOk = if (langs.isEmpty) lit(true) else col("lang_guess").isin(langs: _*)
-      val admitted = fresh.filter(col("quality") >= minQuality && langOk)
+      val repOk = maxTopWordFrac.map(m => TextOps.topWordFrac(col("text")) <= m)
+        .getOrElse(lit(true))
+      val admitted = fresh.filter(col("quality") >= minQuality && langOk && repOk)
       // stats ride the cached `fresh` (no re-read of the written dir —
       // an all-rejected batch writes an empty dir that can't be read)
       val nAdmitted = admitted.count()

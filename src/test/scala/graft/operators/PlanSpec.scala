@@ -60,7 +60,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("dedup/ANN family plans contain no cartesian products") {
     for (q <- Seq("d_dedup_minhash", "d_dedup_simhash", "d_dedup_jaccard",
-        "d_dedup_neardup", "s_ann_lsh", "d_decontaminate")) {
+        "d_dedup_neardup", "s_ann_lsh", "d_decontaminate",
+        "d_dedup_lines", "d_dedup_semantic", "s_ann_ivf_trained")) {
       val plan = planOf(q)
       assert(!plan.contains("CartesianProduct"), s"$q must not cross join")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q must not nested-loop join")
@@ -92,7 +93,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
     import org.apache.spark.sql.types.ArrayType
-    for (q <- Seq("s_ann_lsh", "s_ann_ivf", "d_dedup_cosine")) {
+    for (q <- Seq("s_ann_lsh", "s_ann_ivf", "d_dedup_cosine",
+        "d_dedup_semantic", "s_ann_ivf_trained")) {
       val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
       def noArray(what: String, exprs: Seq[Expression]): Unit =
         assert(!exprs.exists(_.dataType.isInstanceOf[ArrayType]),

@@ -99,6 +99,20 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.accepted().count() == 6, "compacted fingerprints still gate admission")
   }
 
+  test("doc stream: repetition gate rejects one-word-dominated docs") {
+    val work = Files.createTempDirectory("graft-docstream-rep").toString
+    val s = new DocStream(spark, s"$work/drop", s"$work/corpus", s"$work/ckpt",
+      minQuality = 0L, maxTopWordFrac = Some(0.3))
+    jsonl(s"$work/drop", "a.jsonl", Seq(
+      1L -> "the quick brown fox jumps over a lazy dog near the river bank today",
+      2L -> ("spam " * 20 + "one real word here")))
+    s.runAvailableNow()
+    assert(s.accepted().select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "the spam-dominated doc must be rejected")
+    val (_, admitted, _, _, _, rejected) = s.lastBatchStats
+    assert((admitted, rejected) == ((1L, 1L)), s"stats: ${s.lastBatchStats}")
+  }
+
   test("doc stream: language gate admits only listed languages") {
     val work = Files.createTempDirectory("graft-docstream-lang").toString
     val s = new DocStream(spark, s"$work/drop", s"$work/corpus", s"$work/ckpt",
