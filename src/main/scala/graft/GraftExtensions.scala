@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.operators.{FastMd5Expr, Md5Head60Expr, MinhashSigExpr, ShingleHashesExpr, Simhash60Expr}
+import graft.operators.{FastMd5Expr, Md5Head60Expr, MinhashSigExpr, RepetitionStatsExpr, ShingleHashesExpr, Simhash60Expr}
 
 /**
  * SparkSessionExtensions entry point: registers the engine's custom
@@ -49,5 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => MinhashSigExpr(args.head,
         if (args.length > 1) intLit(args(1), "k") else 16,
         if (args.length > 2) intLit(args(2), "w") else 3)))
+    ext.injectFunction((FunctionIdentifier("repetition_stats"),
+      info("repetition_stats",
+        "repetition_stats(text) - [n_words, distinct_words, top_word, top_bigram, n_lines, distinct_lines]"),
+      (args: Seq[Expression]) => RepetitionStatsExpr(args.head)))
   }
 }

@@ -227,23 +227,28 @@ object TextOps {
 
   /**
    * Repetition signals (the Gopher quality-filter family): how much of
-   * a document is the same content said again. All four are pure
-   * per-row folds over the (lowercased) word array — a projection, no
-   * shuffle, codegen'd — and all ratios are exact-integer divisions
-   * rounded to 4 places so every engine reproduces them bit-for-bit.
+   * a document is the same content said again. One [[RepetitionStats]]
+   * kernel pass per row supplies the exact integers (the per-column
+   * formulations above are value-identical — equivalence-tested — but
+   * interpreted and re-tokenizing per signal); all ratios are
+   * exact-integer divisions rounded to 4 places so every engine
+   * reproduces them bit-for-bit. A projection — no shuffle.
    *
    * Output columns: n_words, dup_word_frac ((n-distinct)/n),
    * top_word_frac (mode count / n), top_bigram_frac (bigram mode
    * count / (n-1)), dup_line_frac over `\n` lines ((lines-distinct)/lines).
    */
-  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val st = RepetitionStats(col(textCol))
+    def f(i: Int) = element_at(st, i)
     docs.select(
       col(idCol).as("id"),
-      size(words(lower(col(textCol)))).cast("long").as("n_words"),
-      dupWordFrac(col(textCol)).as("dup_word_frac"),
-      topWordFrac(col(textCol)).as("top_word_frac"),
-      topBigramFrac(col(textCol)).as("top_bigram_frac"),
-      dupLineFrac(col(textCol)).as("dup_line_frac"))
+      f(1).as("n_words"),
+      frac(f(1) - f(2), f(1)).as("dup_word_frac"),
+      frac(f(3), f(1)).as("top_word_frac"),
+      frac(f(4), f(1) - 1L).as("top_bigram_frac"),
+      frac(f(5) - f(6), f(5)).as("dup_line_frac"))
+  }
 
   /**
    * Corpus vocabulary: the `topK` most frequent (lowercased,

@@ -77,6 +77,25 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3) == ((2L, 0.0, 0.5, 1.0, 0.0)))
   }
 
+  test("RepetitionStats kernel is value-identical to the HOF column formulation") {
+    // the real corpus plus edge shapes: blank, one word, newlines, repeats
+    val ss = spark; import ss.implicits._
+    val edge = Seq((900001L, ""), (900002L, "solo"), (900003L, "a\n\na\nb b B"),
+      (900004L, "x X x\ty  y"), (900005L, " \n \n")).toDF("doc_id", "text")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).union(edge)
+    val viaKernel = TextOps.repetitionSignals(docs, "doc_id", "text")
+    val viaColumns = docs.select(
+      col("doc_id").as("id"),
+      size(TextOps.words(lower(col("text")))).cast("long").as("n_words"),
+      TextOps.dupWordFrac(col("text")).as("dup_word_frac"),
+      TextOps.topWordFrac(col("text")).as("top_word_frac"),
+      TextOps.topBigramFrac(col("text")).as("top_bigram_frac"),
+      TextOps.dupLineFrac(col("text")).as("dup_line_frac"))
+    assert(viaKernel.exceptAll(viaColumns).isEmpty && viaColumns.exceptAll(viaKernel).isEmpty,
+      "kernel and column formulations must agree on every row")
+  }
+
   // ---- vocabulary ----
 
   test("vocabulary ranks by frequency then token, respects topK") {
