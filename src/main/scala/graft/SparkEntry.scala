@@ -644,6 +644,21 @@ object SparkEntry {
       KMeansOps.ivfTopKTrained(e.filter(col("id") < 5), e, k = 5,
           ncells = 16, nprobe = 6, iters = 2)
         .orderBy("query_id", "rank")
+    }),
+
+    "t_rarity" -> ((s, dir) =>
+      // corpus-frequency rarity (the integer-exact perplexity stand-in):
+      // rare = global occurrence count < 20 at sf0.01's ~31-token vocab
+      TextOps.rarityStats(table(s, dir, "documents"), "doc_id", "text", rareBelow = 20L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    "s_label_knn" -> ((s, dir) => {
+      // k-NN auto-labeling: majority label of the 5 nearest neighbors
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"), col("label"))
+      SimilarityOps.knnClassify(e.filter(col("id") < 25), e, k = 5)
+        .orderBy("query_id")
     })
   )
 
@@ -1686,6 +1701,51 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
         |  FROM scored)
         |SELECT query_id, rank::BIGINT AS rank, neighbor_id, sim
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // HUGEINT-vs-BIGINT: DuckDB sums promote to int128, so every summed
+    // column casts back before comparing/dividing (the m_media_features
+    // lesson); the milli mean mirrors Spark's long*1000/long -> double
+    // division -> floor
+    "t_rarity" ->
+      """WITH inst AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |freq AS (SELECT token, count(*) AS freq FROM inst GROUP BY 1),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS n_words,
+        |         sum(CASE WHEN freq < 20 THEN 1 ELSE 0 END)::BIGINT AS rare_words,
+        |         sum(freq)::BIGINT AS freq_sum
+        |  FROM inst JOIN freq USING (token) GROUP BY 1)
+        |SELECT d.doc_id,
+        |       coalesce(n_words, 0)::BIGINT AS n_words,
+        |       coalesce(rare_words, 0)::BIGINT AS rare_words,
+        |       CASE WHEN coalesce(n_words, 0) = 0 THEN 0.0
+        |            ELSE round(rare_words::DOUBLE / n_words, 4) END AS rare_frac,
+        |       coalesce(floor(freq_sum * 1000 / n_words), 0)::BIGINT AS mean_freq_milli
+        |FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "s_label_knn" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 25),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id, label,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))), 6) AS sim
+        |  FROM q, c WHERE query_id <> neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, label,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored),
+        |votes AS (SELECT query_id, label, count(*) AS votes
+        |          FROM ranked WHERE rank <= 5 GROUP BY 1, 2),
+        |best AS (SELECT query_id, label, votes,
+        |                row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rn
+        |         FROM votes)
+        |SELECT query_id, label AS predicted_label, votes
+        |FROM best WHERE rn = 1 ORDER BY query_id""".stripMargin
   )
 }

@@ -97,6 +97,33 @@ object SimilarityOps {
   }
 
   /**
+   * k-NN label classification — the auto-labeling step of a training
+   * pipeline: each query vector takes the majority label of its k
+   * nearest corpus neighbors (exact cosine; ties break to the smaller
+   * label, rank ties to the smaller neighbor id, so the result is
+   * fully deterministic). `corpus` carries (id, embedding, label).
+   * Output: (query_id, predicted_label, votes).
+   *
+   * Built on [[bruteForceTopK]] — swap in [[lshTopK]]/ivf for the
+   * approximate variant at corpus scale; the voting join+aggregate is
+   * unchanged (labels join back per 8-byte neighbor id).
+   */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val topk = bruteForceTopK(queries,
+      corpus.select(col("id"), col("embedding")), k)
+    val labels = corpus.select(col("id").as("neighbor_id"), col("label"))
+    val votes = topk.join(labels, "neighbor_id")
+      .groupBy("query_id", "label")
+      .agg(count(lit(1)).as("votes"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label").asc)
+    votes.withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("label").as("predicted_label"), col("votes"))
+  }
+
+  /**
    * Embedding near-duplicate pairs: corpus vectors whose cosine
    * similarity meets `minCosine`, found via hyperplane LSH banding
    * (candidates = band collisions, exact cosine verifies) — the

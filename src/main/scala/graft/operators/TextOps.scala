@@ -268,4 +268,42 @@ object TextOps {
       .withColumn("rank", row_number().over(win).cast("long"))
       .select(col("rank"), col("token"), col("freq"))
   }
+
+  /**
+   * Corpus-frequency rarity signals — the cheap stand-in for language-
+   * model perplexity filtering: documents dominated by corpus-rare
+   * tokens are OOV-heavy (misspellings, boilerplate IDs, binary junk)
+   * and score high on `rare_frac`. All statistics are exact integers
+   * (no log-probabilities — libm `ln` is not bit-portable across
+   * engines): per word INSTANCE, its global occurrence count, then per
+   * doc the rare-instance fraction and the mean frequency in floor'd
+   * milli units.
+   *
+   * Scale shape: one wordcount aggregation builds the frequency table,
+   * one shuffle join scores the instances against it (AQE broadcasts
+   * the table when the vocabulary is small), one groupBy(id) folds per
+   * doc. Wordless docs survive with zero counts.
+   * Output: (id, n_words, rare_words, rare_frac, mean_freq_milli).
+   */
+  def rarityStats(docs: DataFrame, idCol: String, textCol: String,
+                  rareBelow: Long): DataFrame = {
+    val inst = docs.select(col(idCol).as("id"),
+      explode(words(lower(col(textCol)))).as("token"))
+    val freq = inst.groupBy("token").agg(count(lit(1)).as("freq"))
+    val perDoc = inst.join(freq, "token")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("freq") < rareBelow, 1L).otherwise(0L)).as("rare_words"),
+        sum(col("freq")).as("freq_sum"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("rare_words"), lit(0L)).as("rare_words"),
+        when(coalesce(col("n_words"), lit(0L)) === 0L, 0.0)
+          .otherwise(round(col("rare_words").cast("double") / col("n_words").cast("double"), 4))
+          .as("rare_frac"),
+        coalesce(floor(col("freq_sum") * 1000L / col("n_words")), lit(0L))
+          .as("mean_freq_milli"))
+  }
 }

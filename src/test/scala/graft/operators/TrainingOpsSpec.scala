@@ -120,6 +120,42 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1) == (("en", 2L, 4L, 13L)))
   }
 
+  // ---- rarity ----
+
+  test("rarityStats counts rare instances against the global table") {
+    val ss = spark; import ss.implicits._
+    // 'common' appears 4x globally, 'rare*' once each
+    val docs = Seq(
+      (1L, "common common rare1"),
+      (2L, "common rare2"),
+      (3L, "common"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = TextOps.rarityStats(docs, "doc_id", "text", rareBelow = 2L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(out(0) == ((1L, 3L, 1L, 0.3333, 3000L))) // freqs 4,4,1 -> mean 3.0
+    assert(out(1) == ((2L, 2L, 1L, 0.5, 2500L)))    // freqs 4,1
+    assert(out(2) == ((3L, 1L, 0L, 0.0, 4000L)))
+    assert(out(3) == ((4L, 0L, 0L, 0.0, 0L)))       // wordless doc survives
+  }
+
+  // ---- knn classification ----
+
+  test("knnClassify takes the majority label, deterministically") {
+    val ss = spark; import ss.implicits._
+    // 2D-ish vectors embedded in 4 dims: cluster A around (1,0), B around (0,1)
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat, 0.0f, 0.0f)
+    val corpus = Seq(
+      (10L, v(1.0, 0.05), 7), (11L, v(1.0, -0.05), 7), (12L, v(0.9, 0.1), 7),
+      (20L, v(0.05, 1.0), 9), (21L, v(-0.05, 1.0), 9), (22L, v(0.1, 0.9), 9),
+      (1L, v(0.99, 0.01), 7)
+    ).toDF("id", "embedding", "label")
+    val out = SimilarityOps.knnClassify(corpus.filter(col("id") === 1L), corpus, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 7, 3L)), s"got ${out.toSeq}")
+  }
+
   // ---- k-means family ----
 
   test("kmeans training is partitioning-invariant (exact quantized means)") {
