@@ -158,17 +158,39 @@ object TextOps {
    */
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
                  maxDocFreq: Long = 1L): DataFrame = {
+    val hot = lineKeys(docs, idCol, textCol)
+      .groupBy("kh").agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("kh")
+    scrubLines(docs, idCol, textCol, hot)
+  }
+
+  /** Distinct (id, kh) of every non-blank normalized line key — the
+    * relation both the batch [[dedupLines]] and a streaming incremental
+    * line-frequency table aggregate over. */
+  def lineKeys(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .withColumn("key", lower(trim(col("line"))))
+      .filter(col("key") =!= "")
+      .select(col("id"), xxhash64(col("key")).as("kh"))
+      .distinct()
+
+  /**
+   * Remove every line whose normalized key hash is in `hotKh` (one
+   * column `kh`) from every document — the scrub half of
+   * [[dedupLines]], reusable against an EXTERNALLY accumulated hot set
+   * (e.g. a streaming line-frequency table). Blank lines are never in
+   * a hot set (hot sets derive from non-blank keys) and so survive.
+   * Output: (id, n_lines, kept_lines, clean_text) for every input doc.
+   */
+  def scrubLines(docs: DataFrame, idCol: String, textCol: String,
+                 hotKh: DataFrame): DataFrame = {
     val lines = docs.select(col(idCol).as("id"),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
       .withColumn("key", lower(trim(col("line"))))
-    val hot = lines.filter(col("key") =!= "")
-      .groupBy(xxhash64(col("key")).as("kh"))
-      .agg(countDistinct(col("id")).as("df"))
-      .filter(col("df") > maxDocFreq)
-      .select("kh")
-    // blank keys survive automatically: `hot` only ever contains
-    // non-empty keys, so their hashes can't match
-    val kept = lines.join(hot, xxhash64(col("key")) === col("kh"), "left_anti")
+    val kept = lines.join(hotKh.select("kh"),
+      xxhash64(col("key")) === col("kh"), "left_anti")
     val perDoc = kept.groupBy("id").agg(
       count(lit(1)).as("kept_lines"),
       array_join(

@@ -12,8 +12,22 @@ import graft.operators.{DedupOps, TextOps}
  * [[StreamingIngest]]: documents arrive as JSONL files in a drop
  * directory, and each micro-batch is
  *
+ *  0. (when `dedupLinesMaxDf` is set) line-scrubbed against the
+ *     ACCUMULATED line-frequency table plus the batch's own counts —
+ *     the streaming form of CCNet boilerplate removal. Each batch
+ *     appends its per-line document frequencies to `_linedf/batch=b<id>`
+ *     (idempotent, compacted alongside the corpus; `_`-prefixed dirs
+ *     are invisible to the corpus reader), so a line becomes hot the
+ *     moment its lifetime df crosses the cap and every LATER document
+ *     arrives clean. Already-admitted docs are not rewritten — the
+ *     deliberate forward-only divergence from two-pass batch CCNet;
+ *     run [[graft.operators.TextOps.dedupLines]] over the corpus for
+ *     a retroactive pass.
+ *
  *  1. fingerprinted ([[TextOps.fingerprint]]) and deduplicated WITHIN
- *     the batch (min-id per fingerprint, one window shuffle),
+ *     the batch (min-id per fingerprint, one window shuffle) — on the
+ *     CLEAN text, so boilerplate can't make distinct docs collide or
+ *     keep near-identical docs apart,
  *  2. anti-joined against the accepted corpus's fingerprints — the
  *     document exists-cache, the same per-batch anti-join scheme the
  *     metrics tables use (nothing already accepted is rescanned or
@@ -50,7 +64,9 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
                 // bounded under continuous triggers
                 compactEveryBatches: Option[Int] = None,
                 // reject docs whose most frequent word exceeds this share
-                maxTopWordFrac: Option[Double] = None) {
+                maxTopWordFrac: Option[Double] = None,
+                // scrub lines whose lifetime document frequency exceeds this
+                dedupLinesMaxDf: Option[Long] = None) {
 
   private val inputSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -58,6 +74,9 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
 
   /** (batchId, accepted, dupInBatch, dupExisting, lowQuality, wrongLangOrRepetitious) */
   @volatile var lastBatchStats: (Long, Long, Long, Long, Long, Long) = (-1L, 0L, 0L, 0L, 0L, 0L)
+
+  /** (batchId, linesTotal, linesScrubbed) of the last batch (line scrub on). */
+  @volatile var lastScrubStats: (Long, Long, Long) = (-1L, 0L, 0L)
 
   private def source(): DataFrame = {
     val r = spark.readStream
@@ -89,9 +108,45 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
         .select("fp")
       catch { case _: org.apache.spark.sql.AnalysisException => emptyFps }
 
-  private[streaming] def processBatch(batch: DataFrame, batchId: Long): Unit = {
-    val n = batch.count()
+  private def emptyLineDf: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("kh", LongType), StructField("df", LongType))))
+
+  /** Accumulated per-line document frequencies (possibly several rows
+    * per key across batch dirs — summed at read), excluding a replayed
+    * batch's own dir. */
+  private def lineDfHistory(excludeBatch: Long): DataFrame = {
+    val path = s"$corpusDir/_linedf"
+    if (!tableExists(path)) emptyLineDf
+    else
+      try spark.read.parquet(path)
+        .filter(col("batch") =!= lit(s"b$excludeBatch"))
+        .select("kh", "df")
+      catch { case _: org.apache.spark.sql.AnalysisException => emptyLineDf }
+  }
+
+  /** Streaming CCNet scrub (step 0 of the pipeline doc): persist this
+    * batch's line dfs, then remove lines hot across history + batch. */
+  private def scrubBatch(batch: DataFrame, batchId: Long, maxDf: Long): DataFrame = {
+    val batchDf = TextOps.lineKeys(batch, "doc_id", "text")
+      .groupBy("kh").agg(count(lit(1)).as("df"))
+    batchDf.write.mode("overwrite").parquet(s"$corpusDir/_linedf/batch=b$batchId")
+    val hot = batchDf.union(lineDfHistory(batchId))
+      .groupBy("kh").agg(sum(col("df")).as("df"))
+      .filter(col("df") > maxDf)
+      .select("kh")
+    val scrubbed = TextOps.scrubLines(batch, "doc_id", "text", hot)
+    val st = scrubbed.agg(sum(col("n_lines")), sum(col("n_lines") - col("kept_lines"))).first()
+    lastScrubStats = (batchId,
+      if (st.isNullAt(0)) 0L else st.getLong(0),
+      if (st.isNullAt(1)) 0L else st.getLong(1))
+    scrubbed.select(col("id").as("doc_id"), col("clean_text").as("text"))
+  }
+
+  private[streaming] def processBatch(batch0: DataFrame, batchId: Long): Unit = {
+    val n = batch0.count()
     if (n == 0) return
+    val batch = dedupLinesMaxDf.map(scrubBatch(batch0, batchId, _)).getOrElse(batch0)
     val withFp = batch.withColumn("fp", TextOps.fingerprint(col("text")))
     // within-batch dedup: min doc_id per fingerprint (one window shuffle)
     val win = org.apache.spark.sql.expressions.Window.partitionBy(col("fp")).orderBy(col("doc_id"))
@@ -122,9 +177,15 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
       // immutable — quiesce-free fold, failure tolerated (retried next
       // cycle; every fold is crash-safe at any interruption point)
       if (compactEveryBatches.exists(m => m > 0 && batchId > 0 && batchId % m == 0))
-        try TableCompactor.onlineCompactAppend(spark, corpusDir, fence = batchId,
-          sortCols = Seq("fp"))
-        catch {
+        try {
+          TableCompactor.onlineCompactAppend(spark, corpusDir, fence = batchId,
+            sortCols = Seq("fp"))
+          // the line-df table folds on the same fence; its read path
+          // sums rows per key, so concatenation is the correct merge
+          if (dedupLinesMaxDf.isDefined && tableExists(s"$corpusDir/_linedf"))
+            TableCompactor.onlineCompactAppend(spark, s"$corpusDir/_linedf",
+              fence = batchId, sortCols = Seq("kh"))
+        } catch {
           case scala.util.control.NonFatal(e) =>
             org.slf4j.LoggerFactory.getLogger(getClass)
               .warn(s"corpus compaction failed at batch $batchId (will retry)", e)

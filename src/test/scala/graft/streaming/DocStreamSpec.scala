@@ -28,7 +28,7 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def jsonl(dir: String, name: String, docs: Seq[(Long, String)]): Unit = {
     Files.createDirectories(Paths.get(dir))
     val lines = docs.map { case (id, text) =>
-      val esc = text.replace("\\", "\\\\").replace("\"", "\\\"")
+      val esc = text.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
       s"""{"doc_id":$id,"text":"$esc"}"""
     }
     Files.write(Paths.get(dir, name), lines.mkString("\n").getBytes("UTF-8"))
@@ -111,6 +111,40 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the spam-dominated doc must be rejected")
     val (_, admitted, _, _, _, rejected) = s.lastBatchStats
     assert((admitted, rejected) == ((1L, 1L)), s"stats: ${s.lastBatchStats}")
+  }
+
+  test("doc stream: streaming line scrub removes boilerplate across batches") {
+    val work = Files.createTempDirectory("graft-docstream-lines").toString
+    def stream() = new DocStream(spark, s"$work/drop", s"$work/corpus", s"$work/ckpt",
+      minQuality = 0L, maxFilesPerTrigger = Some(1), dedupLinesMaxDf = Some(1L),
+      compactEveryBatches = Some(2))
+    val footer = "ALL RIGHTS RESERVED FOOTER"
+    // phase 1: two docs share the footer -> df=2 > 1 within the batch,
+    // both admitted docs come out scrubbed
+    jsonl(s"$work/drop", "a.jsonl", Seq(
+      1L -> s"alpha body one\n$footer",
+      2L -> s"beta body two\n$footer"))
+    stream().runAvailableNow()
+    // phase 2 (separate run so the batch is strictly LATER): a NEW doc
+    // carries the same footer -> hot purely from HISTORY
+    jsonl(s"$work/drop", "b.jsonl", Seq(
+      3L -> s"gamma body three\n$footer\nmore gamma"))
+    stream().runAvailableNow()
+    val got = stream().accepted().select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "alpha body one", s"got ${got(1L)}")
+    assert(got(2L) == "beta body two")
+    assert(got(3L) == "gamma body three\nmore gamma",
+      "history line-df must scrub later batches")
+    // one-doc batch: 3 lines total, 1 scrubbed
+    val s2 = stream()
+    jsonl(s"$work/drop", "c.jsonl", Seq(4L -> s"delta\n$footer\nbody"))
+    s2.runAvailableNow()
+    assert(s2.lastScrubStats._2 == 3L && s2.lastScrubStats._3 == 1L,
+      s"scrub stats: ${s2.lastScrubStats}")
+    // the _linedf side table must not leak into the corpus read
+    assert(stream().accepted().columns.toSet ==
+      Set("doc_id", "text", "fp", "quality", "lang_guess"))
   }
 
   test("doc stream: language gate admits only listed languages") {
