@@ -659,19 +659,30 @@ object SparkEntry {
         .select(col("vec_id").as("id"), col("embedding"), col("label"))
       SimilarityOps.knnClassify(e.filter(col("id") < 25), e, k = 5)
         .orderBy("query_id")
-    })
+    }),
+
+    "p_epochs" -> ((s, dir) =>
+      // domain upsampling: rare languages repeat per-epoch factors
+      SampleOps.upsampleEpochs(table(s, dir, "documents"), "lang",
+          Map("zh" -> 3, "fr" -> 2))
+        .select(col("doc_id"), col("lang"), col("epoch"))
+        .orderBy("doc_id", "epoch"))
   )
 
   /** documents with text reflowed into 6-word `\n` lines — the corpus is
     * single-line word soup, so line-granularity operators synthesize
     * their lines deterministically (both engines build the identical
-    * reflow). */
+    * reflow). The reflow materializes once (localCheckpoint): it is
+    * INPUT synthesis, not operator cost — a real corpus reads its lines
+    * from parquet — and the interpreted HOF reflow would otherwise be
+    * re-evaluated by every scan of the consuming operator's plan. */
   private def linedDocs(s: SparkSession, dir: String): DataFrame = {
     val w = TextOps.words(col("text"))
     table(s, dir, "documents").select(col("doc_id"),
       array_join(
         transform(sequence(lit(1), greatest(size(w), lit(1)), lit(6)),
           i => array_join(slice(w, i, lit(6)), " ")), "\n").as("text"))
+      .localCheckpoint()
   }
 
   // ======================= oracles =======================
@@ -1746,6 +1757,13 @@ object SparkEntry {
         |                row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rn
         |         FROM votes)
         |SELECT query_id, label AS predicted_label, votes
-        |FROM best WHERE rn = 1 ORDER BY query_id""".stripMargin
+        |FROM best WHERE rn = 1 ORDER BY query_id""".stripMargin,
+
+    "p_epochs" ->
+      """WITH r(lang, repeats) AS (VALUES ('zh', 3), ('fr', 2))
+        |SELECT doc_id, d.lang,
+        |       unnest(generate_series(1, coalesce(r.repeats, 1)))::BIGINT AS epoch
+        |FROM documents d LEFT JOIN r ON d.lang = r.lang
+        |ORDER BY doc_id, epoch""".stripMargin
   )
 }

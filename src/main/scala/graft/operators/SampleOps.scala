@@ -129,6 +129,27 @@ object SampleOps {
   }
 
   /**
+   * Domain upsampling: repeat every doc of domain d `repeats(d)` times
+   * (training-mixture epoch factors — rare domains see the model more
+   * than once per pass). Domains absent from `repeats` stay at one
+   * epoch. A pure broadcast-join + explode(sequence) projection — no
+   * shuffle, scales like the scan. Output: input columns + `epoch`
+   * (1-based).
+   */
+  def upsampleEpochs(docs: DataFrame, domainCol: String,
+                     repeats: Map[String, Int]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val r = repeats.toSeq.toDF(domainCol, "repeats")
+    docs
+      .join(broadcast(r), Seq(domainCol), "left")
+      // long-typed sequence: a generator cannot nest inside a cast
+      .withColumn("epoch",
+        explode(sequence(lit(1L), coalesce(col("repeats").cast("long"), lit(1L)))))
+      .drop("repeats")
+  }
+
+  /**
    * Corpus composition report: per stratum (e.g. source x language),
    * document count, total whitespace tokens, total characters, and mean
    * quality score — the numbers a mixture design ([[tokenBudgetMixture]]

@@ -140,6 +140,15 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3) == ((4L, 0L, 0L, 0.0, 0L)))       // wordless doc survives
   }
 
+  test("upsampleEpochs repeats listed domains, leaves the rest at one epoch") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq((1L, "zh"), (2L, "en")).toDF("doc_id", "lang")
+    val out = SampleOps.upsampleEpochs(docs, "lang", Map("zh" -> 3))
+      .select("doc_id", "epoch").orderBy("doc_id", "epoch")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L)))
+  }
+
   // ---- knn classification ----
 
   test("knnClassify takes the majority label, deterministically") {
