@@ -128,9 +128,14 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
   /** Streaming CCNet scrub (step 0 of the pipeline doc): persist this
     * batch's line dfs, then remove lines hot across history + batch. */
   private def scrubBatch(batch: DataFrame, batchId: Long, maxDf: Long): DataFrame = {
-    val batchDf = TextOps.lineKeys(batch, "doc_id", "text")
+    TextOps.lineKeys(batch, "doc_id", "text")
       .groupBy("kh").agg(count(lit(1)).as("df"))
-    batchDf.write.mode("overwrite").parquet(s"$corpusDir/_linedf/batch=b$batchId")
+      .write.mode("overwrite").parquet(s"$corpusDir/_linedf/batch=b$batchId")
+    // the batch's own counts read back from the dir just written — one
+    // source-parse job instead of two, and the scrub provably sees the
+    // exact rows later batches will
+    val batchDf = spark.read.parquet(s"$corpusDir/_linedf/batch=b$batchId")
+      .select("kh", "df")
     val hot = batchDf.union(lineDfHistory(batchId))
       .groupBy("kh").agg(sum(col("df")).as("df"))
       .filter(col("df") > maxDf)
