@@ -50,7 +50,13 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
 
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q1_agg,s_ann_lsh limits the run to named
+    // queries — an iteration aid; the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         try { materialize(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }

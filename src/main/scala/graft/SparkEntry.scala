@@ -624,9 +624,12 @@ object SparkEntry {
         .orderBy("source", "lang")),
 
     "s_centroids" -> ((s, dir) =>
-      // per-label exact mean embedding (class centroids)
-      KMeansOps.labelCentroids(table(s, dir, "embeddings"), "label", "embedding")
-        .orderBy("label")),
+      // per-label exact mean embedding (class centroids) in the
+      // exploded (label, pos, mean, n) form — flat scalar columns the
+      // columnar checker can sort/hash; labelCentroids assembles the
+      // same rows into the array facade for API users
+      KMeansOps.labelCentroidComponents(table(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label", "pos")),
 
     "d_dedup_semantic" -> ((s, dir) => {
       // SemDeDup: deterministic k-means (k=8, 2 Lloyd rounds), exact
@@ -1559,17 +1562,15 @@ object SparkEntry {
         |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // exact quantized means (floor(x*1e7 + 0.5) summed as BIGINT), so the
-    // centroid doubles are bit-identical to Spark's regardless of row order
+    // mean doubles are bit-identical to Spark's regardless of row order;
+    // exploded (label, pos, mean, n) rows — pos is 0-based like posexplode
     "s_centroids" ->
-      """WITH c AS (
-        |  SELECT label, i,
-        |         sum(floor(embedding[i]::DOUBLE * 10000000.0 + 0.5))::BIGINT AS sq,
-        |         count(*) AS n
-        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) dims
-        |  GROUP BY 1, 2)
-        |SELECT label, min(n)::BIGINT AS n,
-        |       list(sq::DOUBLE / (n::DOUBLE * 10000000.0) ORDER BY i) AS centroid
-        |FROM c GROUP BY label ORDER BY label""".stripMargin,
+      """SELECT label, i - 1 AS pos,
+        |       sum(floor(embedding[i]::DOUBLE * 10000000.0 + 0.5))::BIGINT::DOUBLE
+        |         / (count(*)::DOUBLE * 10000000.0) AS mean,
+        |       count(*) AS n
+        |FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) dims
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
 
     // replays the FULL k-means training: md5 init, argmax-cosine assign
     // (tie -> smaller cell), exact quantized means, 2 Lloyd rounds — then

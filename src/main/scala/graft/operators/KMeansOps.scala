@@ -62,18 +62,31 @@ object KMeansOps {
   private[graft] def cellsUdfPublic(centroids: Array[Array[Double]], n: Int) =
     cellsUdf(centroids, n)
 
+  // The codebook is captured by CLOSURE, not an explicit broadcast: a
+  // k x dim model is kilobytes, rides the task binary (which Spark
+  // torrent-broadcasts and garbage-collects per stage), and leaves no
+  // per-invocation Broadcast handle to leak in long-lived sessions —
+  // the earlier sparkContext.broadcast-per-call version leaked one
+  // block per Lloyd round. A genuinely large codebook (say 64k cells
+  // x 1k dims) belongs in a caller-managed broadcast with an explicit
+  // destroy; none of the operators here go there.
   private def cellsUdf(centroids: Array[Array[Double]], n: Int) = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    val centB = spark.sparkContext.broadcast(centroids)
     udf { (v: Seq[Float]) =>
-      val cs = centB.value
+      val cs = centroids
       val sims = cs.indices.map { ci =>
         val c = cs(ci)
         var dot = 0.0; var nc = 0.0; var nv = 0.0
         var d = 0
         val len = math.min(c.length, v.length)
         while (d < len) { dot += c(d) * v(d); nc += c(d) * c(d); nv += v(d).toDouble * v(d); d += 1 }
-        (ci, dot / (math.sqrt(nc) * math.sqrt(nv)))
+        // zero-norm guard: an all-zero vector has no cosine to any cell;
+        // -MaxValue (not NaN, whose sort order differs between engines)
+        // pins it deterministically to the lowest-index cells — and
+        // matches the DuckDB oracles as-is: there x/0 -> NULL, NULLs
+        // sort last, so the ORDER BY s DESC, c ASC tiebreak lands on
+        // the same cells
+        val den = math.sqrt(nc) * math.sqrt(nv)
+        (ci, if (den == 0.0) -Double.MaxValue else dot / den)
       }
       sims.sortBy { case (ci, s) => (-s, ci) }.take(n).map(_._1)
     }
@@ -172,15 +185,18 @@ object KMeansOps {
                      ncells: Int = 16, nprobe: Int = 6, iters: Int = 2,
                      dim: Int = 64): DataFrame = {
     val centroids = train(corpus, "embedding", ncells, iters, dim)
+    // query side materialized once for real planner stats + branch
+    // reuse — the SimilarityOps.lshTopK rationale, verbatim
+    val q0 = queries.localCheckpoint()
     val c = corpus.select(col("id").as("neighbor_id"),
       explode(cellsUdf(centroids, 1)(col("embedding"))).as("cell"))
-    val q = queries.select(col("id").as("query_id"),
+    val q = q0.select(col("id").as("query_id"),
       explode(cellsUdf(centroids, nprobe)(col("embedding"))).as("cell"))
     val cand = q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()
-    val qv = queries.select(col("id").as("query_id"), transform(col("embedding"), x => x.cast("double")).as("qv"))
+    val qv = q0.select(col("id").as("query_id"), transform(col("embedding"), x => x.cast("double")).as("qv"))
     val cv = corpus.select(col("id").as("neighbor_id"), transform(col("embedding"), x => x.cast("double")).as("cv"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
@@ -202,8 +218,19 @@ object KMeansOps {
    * centroid array reassembles per label — no collect, no dependence
    * of the result on partitioning. Output: (label, n, centroid).
    */
-  def labelCentroids(vecs: DataFrame, labelCol: String, vecCol: String): DataFrame = {
-    val comps = vecs.select(col(labelCol).as("label"),
+  /**
+   * The exploded form of [[labelCentroids]]: one row per (label,
+   * component position) with the exact quantized mean and the label's
+   * vector count. This is the RELATIONAL surface of the operator —
+   * flat scalar columns that any engine (or columnar checker) can
+   * sort/hash/compare directly, where the array-typed `centroid`
+   * column of the facade cannot be used as a sort/group key by most
+   * tabular tooling. Same plan as the facade minus the final
+   * collect_list reassembly: one groupBy(label, pos) with map-side
+   * partial sums. Output: (label, pos, mean, n).
+   */
+  def labelCentroidComponents(vecs: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    vecs.select(col(labelCol).as("label"),
         posexplode(col(vecCol)).as(Seq("pos", "el")))
       .groupBy("label", "pos")
       .agg(sum(floor(col("el").cast("double") * lit(1.0e7) + lit(0.5))).as("sq"),
@@ -211,6 +238,9 @@ object KMeansOps {
       .select(col("label"), col("pos"),
         (col("sq").cast("double") / (col("n").cast("double") * lit(1.0e7))).as("mean"),
         col("n"))
+
+  def labelCentroids(vecs: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val comps = labelCentroidComponents(vecs, labelCol, vecCol)
     comps.groupBy("label")
       .agg(min(col("n")).as("n"),
         transform(array_sort(collect_list(struct(col("pos"), col("mean")))),

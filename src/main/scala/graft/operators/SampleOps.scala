@@ -138,6 +138,11 @@ object SampleOps {
    */
   def upsampleEpochs(docs: DataFrame, domainCol: String,
                      repeats: Map[String, Int]): DataFrame = {
+    // a factor < 1 is a caller error, not a sampling request: Spark's
+    // sequence(1, 0) counts DOWN ([1, 0] — two epochs!), so a zero would
+    // silently DOUBLE the domain instead of dropping it
+    require(repeats.values.forall(_ >= 1),
+      s"epoch repeat factors must be >= 1 (use a sampler to downweight): $repeats")
     val spark = docs.sparkSession
     import spark.implicits._
     val r = repeats.toSeq.toDF(domainCol, "repeats")

@@ -104,13 +104,26 @@ object SimilarityOps {
    * fully deterministic). `corpus` carries (id, embedding, label).
    * Output: (query_id, predicted_label, votes).
    *
-   * Built on [[bruteForceTopK]] — swap in [[lshTopK]]/ivf for the
-   * approximate variant at corpus scale; the voting join+aggregate is
-   * unchanged (labels join back per 8-byte neighbor id).
+   * `strategy` picks the neighbor search: "exact" ([[bruteForceTopK]],
+   * the default — right for query-set-sized inputs), "lsh"
+   * ([[lshTopK]]), "ivf" ([[ivfTopK]], fixed codebook) or
+   * "ivf-trained" ([[KMeansOps.ivfTopKTrained]]) — the corpus-scale
+   * paths, where a full scan per query is no longer acceptable. The
+   * voting join+aggregate is identical for all four (labels join back
+   * per 8-byte neighbor id); only neighbor RECALL differs, which is
+   * what the approximate-vs-exact agreement tests pin.
    */
-  def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val topk = bruteForceTopK(queries,
-      corpus.select(col("id"), col("embedding")), k)
+  def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int,
+                  strategy: String = "exact"): DataFrame = {
+    val emb = corpus.select(col("id"), col("embedding"))
+    val topk = strategy match {
+      case "exact"       => bruteForceTopK(queries, emb, k)
+      case "lsh"         => lshTopK(queries, emb, k)
+      case "ivf"         => ivfTopK(queries, emb, k)
+      case "ivf-trained" => KMeansOps.ivfTopKTrained(queries, emb, k)
+      case other => throw new IllegalArgumentException(
+        s"knnClassify strategy must be exact|lsh|ivf|ivf-trained, got: $other")
+    }
     val labels = corpus.select(col("id").as("neighbor_id"), col("label"))
     val votes = topk.join(labels, "neighbor_id")
       .groupBy("query_id", "label")
@@ -138,10 +151,12 @@ object SimilarityOps {
   def cosineNearDuplicates(corpus: DataFrame, minCosine: Double,
                            nbits: Int = 24, bands: Int = 4, dim: Int = 64): DataFrame = {
     require(nbits % bands == 0)
-    val spark = org.apache.spark.sql.SparkSession.active
-    val planesB = spark.sparkContext.broadcast(lshPlanes(nbits, dim))
+    // planes captured by closure (nbits x dim doubles — kilobytes): the
+    // task binary is torrent-broadcast and stage-scoped, so no Broadcast
+    // handle leaks per call (KMeansOps.cellsUdf has the full rationale)
+    val planes = lshPlanes(nbits, dim)
     val sigUdf = udf { (v: Seq[Float]) =>
-      val p = planesB.value
+      val p = planes
       var sig = 0L
       var b = 0
       while (b < p.length) {
@@ -202,14 +217,16 @@ object SimilarityOps {
    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               ncells: Int = 16, nprobe: Int = 6, dim: Int = 64): DataFrame = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    // centroids from the same deterministic generator as the planes
+    // query side materialized once for real planner stats + branch
+    // reuse — the lshTopK rationale, verbatim
+    val q0 = queries.localCheckpoint()
+    // centroids from the same deterministic generator as the planes;
+    // closure-captured like KMeansOps.cellsUdf (no Broadcast leak)
     val centroids: Array[Array[Double]] = Array.tabulate(ncells, dim) { (c, d) =>
       md5Head32(s"centroid:$c:$d").toDouble / (1L << 31) - 1.0
     }
-    val centB = spark.sparkContext.broadcast(centroids)
     def cellsUdf(n: Int) = udf { (v: Seq[Float]) =>
-      val cs = centB.value
+      val cs = centroids
       // rank cells by cosine to the vector, take top n
       val sims = cs.indices.map { ci =>
         val c = cs(ci)
@@ -217,7 +234,10 @@ object SimilarityOps {
         var d = 0
         val len = math.min(c.length, v.length)
         while (d < len) { dot += c(d) * v(d); nc += c(d) * c(d); nv += v(d).toDouble * v(d); d += 1 }
-        (ci, dot / (math.sqrt(nc) * math.sqrt(nv)))
+        // zero-norm guard — matches KMeansOps.cellsUdf (and the oracle's
+        // NULL-last ordering) exactly
+        val den = math.sqrt(nc) * math.sqrt(nv)
+        (ci, if (den == 0.0) -Double.MaxValue else dot / den)
       }
       sims.sortBy { case (ci, s) => (-s, ci) }.take(n).map(_._1)
     }
@@ -227,13 +247,13 @@ object SimilarityOps {
     // or distinct key exists anywhere in the plan
     val c = corpus.select(col("id").as("neighbor_id"),
       explode(cellsUdf(1)(col("embedding"))).as("cell"))
-    val q = queries.select(col("id").as("query_id"),
+    val q = q0.select(col("id").as("query_id"),
       explode(cellsUdf(nprobe)(col("embedding"))).as("cell"))
     val cand = q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()
-    val qv = queries.select(col("id").as("query_id"), asDouble(col("embedding")).as("qv"))
+    val qv = q0.select(col("id").as("query_id"), asDouble(col("embedding")).as("qv"))
     val cv = corpus.select(col("id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
@@ -277,12 +297,20 @@ object SimilarityOps {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nbits: Int = 24, bands: Int = 8, dim: Int = 64): DataFrame = {
     require(nbits % bands == 0)
-    val spark = org.apache.spark.sql.SparkSession.active
-
+    // the query side MATERIALIZES once: it feeds two plan branches
+    // (band signatures + the qv re-rank join), and — the important
+    // part — the checkpoint carries its REAL size as the stats the
+    // planner sees. A filtered scan keeps the parent's size estimate
+    // (no CBO), so a 5-row query set read as `parquet.filter(...)`
+    // looked many-MB and took a shuffle join on the re-rank (the
+    // round-4 +19% regression); with true stats a small set broadcasts
+    // STATICALLY, and a big one still degrades to a shuffle join
+    // instead of the driver OOM a forced broadcast() hint risks.
+    val q0 = queries.localCheckpoint()
+    // planes captured by closure — see cosineNearDuplicates / cellsUdf
     val planes: Array[Array[Double]] = lshPlanes(nbits, dim)
-    val planesB = spark.sparkContext.broadcast(planes)
     val sigUdf = udf { (v: Seq[Float]) =>
-      val p = planesB.value
+      val p = planes
       var sig = 0L
       var b = 0
       while (b < p.length) {
@@ -309,11 +337,11 @@ object SimilarityOps {
         .withColumn("bandval", expr(s"shiftright(sig, cast(band * $bandBits as int)) & $mask"))
         .drop("sig")
 
-    val cand = banded(queries, "query_id").join(banded(corpus, "neighbor_id"), Seq("band", "bandval"))
+    val cand = banded(q0, "query_id").join(banded(corpus, "neighbor_id"), Seq("band", "bandval"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()
-    val qv = queries.select(col("id").as("query_id"), asDouble(col("embedding")).as("qv"))
+    val qv = q0.select(col("id").as("query_id"), asDouble(col("embedding")).as("qv"))
     val cv = corpus.select(col("id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))

@@ -165,6 +165,29 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((1L, 7, 3L)), s"got ${out.toSeq}")
   }
 
+  test("knnClassify lsh/ivf strategies agree with exact on most queries") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"), col("label"))
+    val q = e.filter(col("id") < 25).select("id", "embedding")
+    val exact = SimilarityOps.knnClassify(q, e, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // label agreement, not neighbor recall: majority voting absorbs most
+    // neighbor-set differences. The fixed-md5-codebook ivf gets a lower
+    // bar — its cells don't adapt to the corpus (that's exactly what
+    // ivf-trained exists for, and why its bar is higher).
+    for ((strategy, bar) <- Seq("lsh" -> 0.6, "ivf" -> 0.5, "ivf-trained" -> 0.6)) {
+      val approx = SimilarityOps.knnClassify(q, e, k = 5, strategy)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(approx.size == exact.size, s"$strategy predicted ${approx.size}/${exact.size} queries")
+      val agree = exact.count { case (id, lbl) => approx.get(id).contains(lbl) }
+      assert(agree.toDouble / exact.size >= bar,
+        s"$strategy agreement ${agree}/${exact.size} < $bar")
+    }
+    intercept[IllegalArgumentException] {
+      SimilarityOps.knnClassify(q, e, k = 5, "annoy")
+    }
+  }
+
   // ---- k-means family ----
 
   test("kmeans training is partitioning-invariant (exact quantized means)") {
