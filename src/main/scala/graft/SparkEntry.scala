@@ -547,12 +547,15 @@ object SparkEntry {
     // ---- training-data pipeline: multimodal columns ----
 
     "m_media_decode" -> ((s, dir) => {
-      // binary media plumbing over a synthesized blob column (decode stubbed)
-      val docs = table(s, dir, "documents").withColumn("blob", unhex(md5(col("text"))))
-      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "image/fake")
-      MultimodalOps.decodeImageStub(media)
-        .select(col("media_id"), col("meta.byte_len").as("byte_len"),
-          col("width"), col("height"), col("channels_mod"))
+      // REAL header decode over PLANTED binaries (the t_redact planted-
+      // input technique): each doc becomes a genuine PNG/JPEG/WAV header
+      // (by doc_id % 4) whose fields are arithmetic in doc_id, so the
+      // oracle predicts what the byte-level parser must read back; the
+      // %4==3 docs get magic-less junk (0x00-prefixed md5) and must fall
+      // through to the documented md5-stub fields
+      val docs = table(s, dir, "documents").withColumn("blob", unhex(mediaHex))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+      MultimodalOps.decodeMedia(media)
         .orderBy("media_id")
     }),
 
@@ -566,10 +569,13 @@ object SparkEntry {
     }),
 
     "m_media_resize" -> ((s, dir) => {
-      // fit-into-64-box integer resize planning over the decoded dims
-      val docs = table(s, dir, "documents").withColumn("blob", unhex(md5(col("text"))))
-      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "image/fake")
-      MultimodalOps.resizePlan(MultimodalOps.decodeImageStub(media), box = 64)
+      // fit-into-64-box integer resize planning over REAL decoded dims:
+      // even doc_ids plant a PNG header, odd ones a JPEG — the box math
+      // runs on what the byte parser read, not on stub hashes
+      val docs = table(s, dir, "documents").withColumn("blob",
+        unhex(when(col("doc_id") % 2 === 0, pngHex).otherwise(jpegHex)))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+      MultimodalOps.resizePlan(MultimodalOps.decodeMedia(media), box = 64)
         .orderBy("media_id")
     }),
 
@@ -687,6 +693,51 @@ object SparkEntry {
           i => array_join(slice(w, i, lit(6)), " ")), "\n").as("text"))
       .localCheckpoint()
   }
+
+  /** Planted-media hex builders: REAL container headers whose fields are
+    * arithmetic in doc_id, so the DuckDB oracle predicts exactly what
+    * the byte-level parser (MultimodalOps.parseHeader) must read back.
+    * Dims/rates: width = doc_id%200+1, height = doc_id%100+1,
+    * sample rate = 8000 + (doc_id%100)*10, channels = doc_id%2+1. */
+  private def hex4(c: Column): Column = lpad(hex(c), 4, "0")
+  private def hex8(c: Column): Column = lpad(hex(c), 8, "0")
+  private def le16(c: Column): Column =
+    concat(substring(hex4(c), 3, 2), substring(hex4(c), 1, 2))
+  private def le32(c: Column): Column =
+    concat(substring(hex8(c), 7, 2), substring(hex8(c), 5, 2),
+      substring(hex8(c), 3, 2), substring(hex8(c), 1, 2))
+  private def plantedW: Column = (col("doc_id") % 200 + 1).cast("long")
+  private def plantedH: Column = (col("doc_id") % 100 + 1).cast("long")
+  /** 33-byte PNG: signature, IHDR (w, h BE u32; depth 8, truecolor),
+    * unvalidated CRC filler. */
+  private def pngHex: Column = concat(
+    lit("89504E470D0A1A0A0000000D49484452"), hex8(plantedW), hex8(plantedH),
+    lit("0802000000DEADBEEF"))
+  /** 23-byte JPEG: SOI, SOF0 (len 17: precision 8, h/w BE u16, 3
+    * components), EOI. */
+  private def jpegHex: Column = concat(
+    lit("FFD8FFC0001108"), hex4(plantedH), hex4(plantedW),
+    lit("03011100021101031101FFD9"))
+  /** 44-byte WAV: RIFF/WAVE, fmt (PCM, channels LE u16, rate LE u32),
+    * empty data chunk. */
+  private def wavHex: Column = {
+    val chan = (col("doc_id") % 2 + 1).cast("long")
+    val rate = (col("doc_id") % 100 * 10 + 8000).cast("long")
+    concat(
+      lit("5249464624000000" + "57415645"),       // RIFF <size> WAVE
+      lit("666D7420" + "10000000" + "0100"),      // "fmt " len=16 PCM
+      le16(chan), le32(rate),
+      le32(rate * chan * 2), le16(chan * 2),      // byte rate, block align
+      lit("1000" + "64617461" + "00000000"))      // bits=16, empty data
+  }
+  /** Magic-less junk (0x00-prefixed md5 — cannot sniff as any format). */
+  private def unknownHex: Column = concat(lit("00"), md5(col("text")))
+  /** Mixed-format planting by doc_id % 4: png, jpeg, wav, unknown. */
+  private def mediaHex: Column =
+    when(col("doc_id") % 4 === 0, pngHex)
+      .when(col("doc_id") % 4 === 1, jpegHex)
+      .when(col("doc_id") % 4 === 2, wavHex)
+      .otherwise(unknownHex)
 
   // ======================= oracles =======================
 
@@ -1406,12 +1457,26 @@ object SparkEntry {
         |SELECT doc_id, tokens, shard, (seq_offset // 2048)::BIGINT AS seq_no, seq_offset
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    // predicts what the REAL byte-level header parser must read back from
+    // the planted binaries: png/jpeg dims and wav channel/rate are
+    // arithmetic in doc_id; %4==3 blobs are magic-less and take the
+    // documented md5-stub fallback (h = md5 of the uppercase content hex,
+    // where the content is 0x00 || md5(text))
     "m_media_decode" ->
-      """WITH hx AS (SELECT doc_id, md5(upper(md5(text))) AS h FROM documents)
-        |SELECT doc_id AS media_id, 16::BIGINT AS byte_len,
-        |       ('0x' || substr(h, 1, 2))::BIGINT AS width,
-        |       ('0x' || substr(h, 3, 2))::BIGINT AS height,
-        |       (('0x' || substr(h, 5, 2))::BIGINT % 3) AS channels_mod
+      """WITH hx AS (SELECT doc_id, md5('00' || upper(md5(text))) AS h FROM documents)
+        |SELECT doc_id AS media_id,
+        |       CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 23 WHEN 2 THEN 44 ELSE 17 END::BIGINT AS byte_len,
+        |       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'wav' ELSE 'unknown' END AS format,
+        |       CASE doc_id % 4 WHEN 2 THEN 0
+        |            WHEN 3 THEN ('0x' || substr(h, 1, 2))::BIGINT
+        |            ELSE doc_id % 200 + 1 END::BIGINT AS width,
+        |       CASE doc_id % 4 WHEN 2 THEN 0
+        |            WHEN 3 THEN ('0x' || substr(h, 3, 2))::BIGINT
+        |            ELSE doc_id % 100 + 1 END::BIGINT AS height,
+        |       CASE doc_id % 4 WHEN 2 THEN doc_id % 2 + 1
+        |            WHEN 3 THEN ('0x' || substr(h, 5, 2))::BIGINT % 3
+        |            ELSE 3 END::BIGINT AS channels,
+        |       CASE doc_id % 4 WHEN 2 THEN doc_id % 100 * 10 + 8000 ELSE 0 END::BIGINT AS sample_rate
         |FROM hx ORDER BY media_id""".stripMargin,
 
     "m_media_batch" ->
@@ -1422,23 +1487,20 @@ object SparkEntry {
         |       (('0x' || substr(h, 5, 2))::BIGINT % 3) AS channels_mod
         |FROM hx ORDER BY media_id""".stripMargin,
 
+    // box math over the REAL parsed dims of planted png (even doc_id) /
+    // jpeg (odd) headers; both plant width=doc_id%200+1, height=%100+1,
+    // always >= 1, so the degenerate clamp never fires here
     "m_media_resize" ->
-      """WITH hx AS (SELECT doc_id, md5(upper(md5(text))) AS h FROM documents),
-        |dims AS (
+      """WITH dims AS (
         |  SELECT doc_id AS media_id,
-        |         ('0x' || substr(h, 1, 2))::BIGINT AS width,
-        |         ('0x' || substr(h, 3, 2))::BIGINT AS height
-        |  FROM hx),
-        |cl AS (
-        |  SELECT media_id, width, height,
-        |         greatest(width, 1) AS w, greatest(height, 1) AS h
-        |  FROM dims)
-        |SELECT media_id, width, height,
+        |         (doc_id % 200 + 1)::BIGINT AS w, (doc_id % 100 + 1)::BIGINT AS h
+        |  FROM documents)
+        |SELECT media_id, w AS width, h AS height,
         |       CASE WHEN w >= h THEN 64
-        |            ELSE greatest(1, (w * 64) // h) END AS out_w,
+        |            ELSE greatest(1, (w * 64) // h) END::BIGINT AS out_w,
         |       CASE WHEN w >= h THEN greatest(1, (h * 64) // w)
-        |            ELSE 64 END AS out_h
-        |FROM cl ORDER BY media_id""".stripMargin,
+        |            ELSE 64 END::BIGINT AS out_h
+        |FROM dims ORDER BY media_id""".stripMargin,
 
     "m_media_features" ->
       """WITH b AS (

@@ -8,9 +8,12 @@ import org.apache.spark.sql.types._
  * Multimodal-column plumbing: images/audio/video travel as opaque
  * `binary` columns next to a typed metadata struct. The Spark-side
  * machinery — schema, batched per-partition processing, deterministic
- * partitioning by content hash — is real; the codec itself is a stub
- * (decode libraries are not available in this environment) that derives
- * deterministic fake dimensions from the content hash, clearly marked.
+ * partitioning by content hash — is real, and so is the header decode:
+ * [[decodeMedia]] parses PNG (IHDR), JPEG (SOFn) and WAV (fmt) headers
+ * in pure JVM code, no codec library. Only the PIXEL/SAMPLE stage is
+ * stubbed (decode libraries are not available in this environment):
+ * blobs that sniff as none of the three formats fall back to
+ * deterministic md5-derived dimensions, clearly marked.
  */
 object MultimodalOps {
 
@@ -128,6 +131,134 @@ object MultimodalOps {
               java.lang.Long.parseLong(h.substring(0, 2), 16),
               java.lang.Long.parseLong(h.substring(2, 4), 16),
               java.lang.Long.parseLong(h.substring(4, 6), 16) % 3)
+          }
+        }
+      }(enc)
+  }
+
+  /**
+   * Parsed header fields of a media blob. `format` is sniffed from the
+   * content magic, never trusted from metadata. Dimensions apply to
+   * images, channels to images AND audio (color components / audio
+   * channels), sampleRate to audio only (0 elsewhere).
+   */
+  private[graft] final case class MediaHeader(
+    format: String, width: Long, height: Long, channels: Long, sampleRate: Long)
+
+  private def u16be(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 8) | (b(o + 1) & 0xffL)
+  private def u32be(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) | ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def u16le(b: Array[Byte], o: Int): Long =
+    ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
+  private def u32le(b: Array[Byte], o: Int): Long =
+    ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) | ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
+
+  private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /**
+   * REAL header parse — pure-JVM readers of the three public container
+   * formats, no codec library:
+   *
+   *  - PNG (RFC 2083 / W3C): 8-byte signature, then the IHDR chunk is
+   *    required first — width/height are the two big-endian u32s at
+   *    offsets 16/20, color type at 25 maps to the channel count
+   *    (0 gray=1, 2 truecolor=3, 3 palette=1, 4 gray+alpha=2, 6 rgba=4).
+   *    Chunk CRCs are NOT validated — this is a header reader, not a
+   *    format checker.
+   *  - JPEG (ITU T.81): SOI marker, then a marker-segment walk to the
+   *    first frame header SOFn (0xC0-0xCF minus DHT 0xC4 / JPG 0xC8 /
+   *    DAC 0xCC): height/width are big-endian u16s at segment offsets
+   *    3/5, component count at 7.
+   *  - WAV (RIFF): "RIFF....WAVE", then a chunk walk to "fmt " —
+   *    channels is the little-endian u16 at fmt+2, sample rate the
+   *    little-endian u32 at fmt+4.
+   *
+   * Anything that doesn't sniff as one of the three (or is truncated
+   * mid-header) returns None and the caller falls back to the md5 stub
+   * fields — unknown mimes keep flowing instead of failing the batch.
+   */
+  private[graft] def parseHeader(b: Array[Byte]): Option[MediaHeader] = {
+    if (b == null) return None
+    // PNG: signature + IHDR (spec-required first chunk at offset 8)
+    if (b.length >= 29 && b.startsWith(PngSig) &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+      val channels = (b(25) & 0xff) match {
+        case 0 => 1L; case 2 => 3L; case 3 => 1L; case 4 => 2L; case 6 => 4L
+        case _ => return None
+      }
+      return Some(MediaHeader("png", u32be(b, 16), u32be(b, 20), channels, 0L))
+    }
+    // JPEG: SOI then marker walk to the first SOFn
+    if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      var pos = 2
+      while (pos + 9 < b.length) {
+        if ((b(pos) & 0xff) != 0xff) return None // desynced marker stream
+        val marker = b(pos + 1) & 0xff
+        if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+          return Some(MediaHeader("jpeg", u16be(b, pos + 7), u16be(b, pos + 5), b(pos + 9) & 0xffL, 0L))
+        if (marker == 0xd8 || marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) pos += 2
+        else pos += 2 + u16be(b, pos + 2).toInt
+      }
+      return None
+    }
+    // WAV: RIFF/WAVE then chunk walk to "fmt "
+    if (b.length >= 20 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
+      var pos = 12
+      while (pos + 8 <= b.length) {
+        val size = u32le(b, pos + 4)
+        if (b(pos) == 'f' && b(pos + 1) == 'm' && b(pos + 2) == 't' && b(pos + 3) == ' ') {
+          if (pos + 16 > b.length || size < 8) return None
+          return Some(MediaHeader("wav", 0L, 0L, u16le(b, pos + 10), u32le(b, pos + 12)))
+        }
+        pos += 8 + size.toInt + (size.toInt & 1) // RIFF chunks are word-aligned
+      }
+      return None
+    }
+    None
+  }
+
+  /**
+   * Partition-batched REAL decode: [[parseHeader]] over every blob with
+   * the [[decodeImageBatched]] plumbing shape (iterator-to-iterator,
+   * bounded batches, per-partition init — where a heavy decoder or
+   * model would load once). Blobs that sniff as none of the formats get
+   * `format = "unknown"` with the deterministic md5-stub dimensions, so
+   * a mixed-media table decodes in one pass without failing rows.
+   * Output: (media_id, byte_len, format, width, height, channels,
+   * sample_rate).
+   */
+  def decodeMedia(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("byte_len", LongType),
+      StructField("format", StringType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("channels", LongType),
+      StructField("sample_rate", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("content"), col("meta.byte_len").as("byte_len"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hexs(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val content = r.getAs[Array[Byte]]("content")
+            val hdr = parseHeader(content).getOrElse {
+              // md5-stub fallback, bit-identical to decodeImageBatched
+              md.reset()
+              val h = hexs(md.digest(hexs(content).toUpperCase
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+              MediaHeader("unknown",
+                java.lang.Long.parseLong(h.substring(0, 2), 16),
+                java.lang.Long.parseLong(h.substring(2, 4), 16),
+                java.lang.Long.parseLong(h.substring(4, 6), 16) % 3, 0L)
+            }
+            Row(r.getAs[Long]("media_id"), r.getAs[Long]("byte_len"),
+              hdr.format, hdr.width, hdr.height, hdr.channels, hdr.sampleRate)
           }
         }
       }(enc)

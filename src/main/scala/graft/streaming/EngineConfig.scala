@@ -169,11 +169,11 @@ object EngineConfig {
       // suffixes; 0 / absent = no size limit (writer.go:148 `maxSize == 0`)
       chunkMaxBytes = Toml.sizeBytes(doc, "data", "chunk-max-size").getOrElse(0L),
       // [data] compression (carbon/config.go:95): reference takes
-      // none|lz4; the Spark-spool analogue is none|gzip (SpoolWriter doc)
+      // none|lz4 (+level for lz4hc) — honored as real lz4 chunks
+      // (SpoolWriter.Lz4BlockOutputStream); gzip is an extra option
       compression = Toml.str(doc, "data", "compression").getOrElse("none") match {
-        case "none" => "none"
-        case "gzip" | "lz4" => "gzip" // lz4 accepted, served by gzip (divergence)
-        case other  => throw new IllegalArgumentException(
+        case ok @ ("none" | "gzip" | "lz4") => ok
+        case other => throw new IllegalArgumentException(
           s"Compression algorithm '$other' not supported")
       },
       compressionLevel = Toml.long(doc, "data", "compression-level").map(_.toInt).filter(_ > 0),

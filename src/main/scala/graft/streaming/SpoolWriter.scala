@@ -33,18 +33,22 @@ final class SpoolWriter(
     chunkMaxBytes: Long = 0, // 0 = no size limit (writer.go:148)
     stripes: Int = SpoolWriter.DefaultStripes,
     autoInterval: Option[ChunkAutoInterval] = None,
-    compression: String = "none", // "none" | "gzip" ([data] compression)
-    compressionLevel: Option[Int] = None // [data] compression-level (1-9)
+    compression: String = "none", // "none" | "gzip" | "lz4" ([data] compression)
+    compressionLevel: Option[Int] = None // [data] compression-level (gzip 1-9, lz4hc 1-17)
 ) extends AutoCloseable {
   require(stripes > 0)
-  // The reference offers none|lz4 (helper/config/compression.go:16-19,
-  // writer.go:200-232). lz4 has no JDK/Spark-text codec; gzip is the
-  // spool-compression analogue Spark's csv source decompresses natively
-  // by the .gz extension — a DOCUMENTED DIVERGENCE in algorithm only.
-  require(compression == "none" || compression == "gzip",
+  // The reference offers none|lz4|lz4hc (helper/config/compression.go:
+  // 16-19, writer.go:200-232); all three are honored — lz4 chunks use
+  // the Hadoop-Lz4Codec block layout (lz4-java ships with Spark), which
+  // Spark's text source decompresses natively by the .lz4 extension.
+  // gzip is an ADDITIONAL option the reference doesn't have (kept for
+  // ubiquity of .gz tooling). compression-level: deflate 1-9 for gzip,
+  // lz4hc 1-17 for lz4 (absent = fast/default mode, like the reference).
+  require(compression == "none" || compression == "gzip" || compression == "lz4",
     s"Compression algorithm '$compression' not supported")
   private val gz = compression == "gzip"
-  private val chunkExt = if (gz) ".tsv.gz" else ".tsv"
+  private val lz4 = compression == "lz4"
+  private val chunkExt = if (gz) ".tsv.gz" else if (lz4) ".tsv.lz4" else ".tsv"
 
   private val spoolDir = Paths.get(dir)
   Files.createDirectories(spoolDir)
@@ -83,10 +87,18 @@ final class SpoolWriter(
       // compression-level maps to the deflater level (reference
       // carbon/config.go compression-level for lz4hc)
       val out =
-        if (!gz) fileOut
-        else new java.util.zip.GZIPOutputStream(fileOut, 8192, true) {
+        if (gz) new java.util.zip.GZIPOutputStream(fileOut, 8192, true) {
           compressionLevel.foreach(l => `def`.setLevel(math.min(9, math.max(1, l))))
         }
+        else if (lz4) {
+          val factory = net.jpountz.lz4.LZ4Factory.fastestInstance()
+          val compressor = compressionLevel match {
+            case Some(l) => factory.highCompressor(math.min(17, math.max(1, l))) // lz4hc
+            case None    => factory.fastCompressor()
+          }
+          new SpoolWriter.Lz4BlockOutputStream(fileOut, compressor)
+        }
+        else fileOut
       current = new java.io.BufferedWriter(
         new java.io.OutputStreamWriter(out, StandardCharsets.UTF_8))
       currentBytes = 0L
@@ -186,7 +198,7 @@ final class SpoolWriter(
     * the reference's "unhandled files" backpressure signal
     * (writer.go:146-162; requires the stream's cleanSource=delete). */
   def unhandledChunks(): Int = {
-    val ds = Files.newDirectoryStream(spoolDir, "*.{tsv,tsv.gz}")
+    val ds = Files.newDirectoryStream(spoolDir, "*.{tsv,tsv.gz,tsv.lz4}")
     try {
       var n = 0
       val it = ds.iterator()
@@ -220,4 +232,58 @@ object SpoolWriter {
     * without exploding the chunk-file count. */
   val DefaultStripes: Int =
     math.max(2, math.min(8, Runtime.getRuntime.availableProcessors() / 4))
+
+  /**
+   * Flushable lz4 chunk stream in the Hadoop Lz4Codec on-disk layout —
+   * per block: uncompressed length (int BE), compressed length (int
+   * BE), one raw lz4 block — which is exactly what Hadoop's
+   * BlockDecompressorStream (and therefore Spark's text source, keyed
+   * by the .lz4 extension) reads back. Hand-rolled rather than
+   * `codec.createOutputStream` for ONE reason: here `flush()` FINISHES
+   * the current block and pushes it to the OS file — the StoreSync
+   * durable-before-ack point (writer.go:265-283) — where the codec's
+   * stream can keep a whole block buffered across flush. The reference
+   * frames lz4 the same way for its spool (writer.go:200-232).
+   */
+  private[graft] final class Lz4BlockOutputStream(
+      out: java.io.OutputStream,
+      compressor: net.jpountz.lz4.LZ4Compressor,
+      blockSize: Int = 64 * 1024) extends java.io.OutputStream {
+    private val buf = new Array[Byte](blockSize)
+    private var pos = 0
+    private val cbuf = new Array[Byte](compressor.maxCompressedLength(blockSize))
+
+    override def write(b: Int): Unit = {
+      if (pos == blockSize) emit()
+      buf(pos) = b.toByte
+      pos += 1
+    }
+
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      var o = off
+      var l = len
+      while (l > 0) {
+        if (pos == blockSize) emit()
+        val n = math.min(l, blockSize - pos)
+        System.arraycopy(b, o, buf, pos, n)
+        pos += n; o += n; l -= n
+      }
+    }
+
+    private def writeIntBE(v: Int): Unit = {
+      out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+
+    private def emit(): Unit = if (pos > 0) {
+      val clen = compressor.compress(buf, 0, pos, cbuf, 0)
+      writeIntBE(pos)
+      writeIntBE(clen)
+      out.write(cbuf, 0, clen)
+      pos = 0
+    }
+
+    override def flush(): Unit = { emit(); out.flush() }
+    override def close(): Unit = { emit(); out.close() }
+  }
 }

@@ -85,7 +85,7 @@ final class StreamingIngest(
     val r = spark.readStream
       .schema(spoolSchema)
       .option("sep", "\t")
-      .option("pathGlobFilter", "*.{tsv,tsv.gz}") // never read in-flight .tmp chunks; .gz decompresses by extension
+      .option("pathGlobFilter", "*.{tsv,tsv.gz,tsv.lz4}") // never read in-flight .tmp chunks; .gz/.lz4 decompress by extension
     if (cleanSpool) r.option("cleanSource", "delete")
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
     r.csv(spoolDir)

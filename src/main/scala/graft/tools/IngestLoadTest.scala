@@ -17,12 +17,13 @@ import graft.streaming.SpoolWriter
  *
  * `--transport framed` drives the framed-TCP stand-in; `--transport
  * grpc` drives the REAL gRPC Carbon service (the reference loadtest's
- * own transport). `--stripes` and `--compress gzip` expose the spool
- * knobs for the scaling numbers in EVIDENCE.md.
+ * own transport). `--stripes` and `--compress` expose the spool
+ * knobs for the scaling numbers in EVIDENCE.md; `spool_bytes` in the
+ * output is the on-disk size for the compression trade.
  *
  * Usage: graft.tools.IngestLoadTest [--transport framed|grpc]
  *   [--hosts N] [--plugins N] [--values N] [--threads N] [--rounds N]
- *   [--stripes N] [--compress none|gzip] [--workdir DIR]
+ *   [--stripes N] [--compress none|gzip|lz4] [--workdir DIR]
  */
 object IngestLoadTest {
 
@@ -114,6 +115,10 @@ object IngestLoadTest {
     server.close()
 
     val points = spool.pointsWritten.get()
-    println(f"""{"transport":"$transport","points":$points,"queries":${queries.get()},"sec":$sec%.3f,"points_per_sec":${points / sec}%.0f,"queries_per_sec":${queries.get() / sec}%.0f,"threads":$threads,"stripes":$stripes,"compress":"$compress"}""")
+    // on-disk spool size: the compression size-vs-CPU trade in one number
+    // (nothing consumed the chunks, so this is the complete byte count)
+    val spoolBytes = Files.list(java.nio.file.Paths.get(s"$workdir/spool")).toArray
+      .map(p => Files.size(p.asInstanceOf[java.nio.file.Path])).sum
+    println(f"""{"transport":"$transport","points":$points,"queries":${queries.get()},"sec":$sec%.3f,"points_per_sec":${points / sec}%.0f,"queries_per_sec":${queries.get() / sec}%.0f,"threads":$threads,"stripes":$stripes,"compress":"$compress","spool_bytes":$spoolBytes}""")
   }
 }

@@ -43,11 +43,18 @@ object SpoolTool {
     s"${r.path}\t${r.value}\t${r.time}\t$date\t${r.version}"
   }
 
-  /** Open a chunk for reading; .gz chunks (compression = "gzip")
-    * decompress transparently. */
+  /** Open a chunk for reading; .gz / .lz4 chunks decompress
+    * transparently (.lz4 via the same Hadoop codec Spark's text source
+    * resolves by extension — it reads the SpoolWriter block layout). */
   private def chunkReader(path: String): java.io.BufferedReader = {
     val in = Files.newInputStream(Paths.get(path))
-    val stream = if (path.endsWith(".gz")) new java.util.zip.GZIPInputStream(in) else in
+    val stream: java.io.InputStream =
+      if (path.endsWith(".gz")) new java.util.zip.GZIPInputStream(in)
+      else if (path.endsWith(".lz4")) {
+        val codec = new org.apache.hadoop.io.compress.Lz4Codec()
+        codec.setConf(new org.apache.hadoop.conf.Configuration(false))
+        codec.createInputStream(in)
+      } else in
     new java.io.BufferedReader(new java.io.InputStreamReader(stream, StandardCharsets.UTF_8))
   }
 

@@ -202,12 +202,11 @@ class ConfigSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("compression option parses and the streaming job reads a gzip spool end-to-end") {
     // [data] compression (carbon/config.go:95): none|lz4 in the
-    // reference; gzip is the Spark-native analogue (lz4 maps to gzip as
-    // a documented divergence), anything else rejected like
-    // compression.go:41
+    // reference — lz4 is honored as real lz4 chunks; gzip is an extra;
+    // anything else rejected like compression.go:41
     assert(EngineConfig.parse("").compression == "none")
     assert(EngineConfig.parse("[data]\ncompression = \"gzip\"\n").compression == "gzip")
-    assert(EngineConfig.parse("[data]\ncompression = \"lz4\"\n").compression == "gzip")
+    assert(EngineConfig.parse("[data]\ncompression = \"lz4\"\n").compression == "lz4")
     intercept[IllegalArgumentException](EngineConfig.parse("[data]\ncompression = \"zstd\"\n"))
 
     val work = Files.createTempDirectory("graft-gz").toString
@@ -234,6 +233,53 @@ class ConfigSpec extends AnyFunSuite with BeforeAndAfterAll {
     val chunk2 = Files.list(java.nio.file.Paths.get(s"$work/spool2")).toArray
       .map(_.toString).find(_.endsWith(".tsv.gz")).get
     val (good, bad) = graft.tools.SpoolTool.recover(chunk2, out)
+    assert(good == 1 && bad == 0)
+  }
+
+  test("lz4 spool round-trips through the streaming job, SpoolTool, and flush durability") {
+    // reference writer.go:200-232: lz4 (lz4hc with a level) spool
+    // compression — real lz4 chunks in the Hadoop block layout
+    val work = Files.createTempDirectory("graft-lz4").toString
+    val spool = new SpoolWriter(s"$work/spool", chunkIntervalMs = 100, compression = "lz4")
+    spool.writeLine("l4.a.b 1.5 1625478240", 1625478999L)
+    spool.writeLine("l4.c.d 2.5 1625478300", 1625478999L)
+
+    // StoreSync durability point: after flushCurrent() the rows must be
+    // decodable from the IN-FLIGHT .tmp chunk — the whole reason the
+    // block stream is hand-rolled instead of codec.createOutputStream
+    spool.flushCurrent()
+    val tmp = Files.list(java.nio.file.Paths.get(s"$work/spool")).toArray
+      .map(_.toString).filter(_.endsWith(".tsv.lz4.tmp"))
+    val codec = new org.apache.hadoop.io.compress.Lz4Codec()
+    codec.setConf(new org.apache.hadoop.conf.Configuration(false))
+    val durable = tmp.flatMap { p =>
+      val r = new java.io.BufferedReader(new java.io.InputStreamReader(
+        codec.createInputStream(Files.newInputStream(java.nio.file.Paths.get(p)))))
+      try Iterator.continually(r.readLine()).takeWhile(_ != null).toList finally r.close()
+    }
+    assert(durable.count(_.startsWith("l4.")) == 2,
+      s"both rows must be durable in the .tmp chunk after flush, got ${durable.toSeq}")
+
+    spool.close()
+    val chunks = Files.list(java.nio.file.Paths.get(s"$work/spool")).toArray.map(_.toString)
+    assert(chunks.exists(_.endsWith(".tsv.lz4")), s"expected lz4 chunks, got ${chunks.toSeq}")
+
+    // Spark's text source reads the chunks by extension
+    val ingest = new StreamingIngest(spark, s"$work/spool", s"$work/tables", s"$work/ckpt")
+    ingest.runAvailableNow()
+    val rows = ingest.pointsTable().select("path", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(rows == Set(("l4.a.b", 1.5), ("l4.c.d", 2.5)))
+
+    // SpoolTool reads lz4 chunks; lz4hc (compression-level) writes the
+    // same-layout chunks (HC only changes the encoder search)
+    val spool2 = new SpoolWriter(s"$work/spool2", chunkIntervalMs = 100,
+      compression = "lz4", compressionLevel = Some(9))
+    spool2.writeLine("l4.e.f 3.5 1625478360", 1625478999L)
+    spool2.close()
+    val chunk2 = Files.list(java.nio.file.Paths.get(s"$work/spool2")).toArray
+      .map(_.toString).find(_.endsWith(".tsv.lz4")).get
+    val (good, bad) = graft.tools.SpoolTool.recover(chunk2, s"$work/recovered-lz4.tsv")
     assert(good == 1 && bad == 0)
   }
 
