@@ -375,6 +375,14 @@ object SparkEntry {
       DedupOps.simhashPairs(table(s, dir, "documents"), "doc_id", "text", maxDist = 9)
         .orderBy("id_a", "id_b")),
 
+    "d_dedup_simhash_auto" -> ((s, dir) =>
+      // corpus-priced pigeonhole split: the segment count comes from the
+      // signature count (density target 128/bucket), so candidate volume
+      // stays linear in corpus size; the oracle replays the same pick
+      // from the same count
+      DedupOps.simhashPairsAuto(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+
     "d_dedup_jaccard" -> ((s, dir) =>
       DedupOps.jaccardPairs(table(s, dir, "documents"), "doc_id", "text", minJaccard = 0.8, w = 3)
         .orderBy("id_a", "id_b")),
@@ -1068,6 +1076,43 @@ object SparkEntry {
         |FROM seg a JOIN seg b ON a.seg = b.seg AND a.segval = b.segval
         |                      AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 9
+        |ORDER BY 1, 2""".stripMargin,
+
+    // same simhash replay, but the segment split is PICKED from the
+    // corpus count exactly like DedupOps.simhashAutoSegments: largest
+    // s in (10,6,5,4,3) with n <= 128 * 2^(60/s), else 2 — n counts
+    // docs surviving the wordless filter, the signature-relation count
+    "d_dedup_simhash_auto" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word
+        |  FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM w),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, (SELECT unnest(generate_series(0, 59)) AS b) bb
+        |  GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS simhash
+        |  FROM bits GROUP BY 1),
+        |pick AS (
+        |  SELECT CASE WHEN n <= 128 * (1::BIGINT << 6)  THEN 10
+        |              WHEN n <= 128 * (1::BIGINT << 10) THEN 6
+        |              WHEN n <= 128 * (1::BIGINT << 12) THEN 5
+        |              WHEN n <= 128 * (1::BIGINT << 15) THEN 4
+        |              WHEN n <= 128 * (1::BIGINT << 20) THEN 3
+        |              ELSE 2 END AS s
+        |  FROM (SELECT count(*) AS n FROM sh)),
+        |seg AS (
+        |  SELECT doc_id, simhash, seg,
+        |         (simhash >> (seg * (60 // p.s))) & ((1::BIGINT << (60 // p.s)) - 1) AS segval
+        |  FROM sh, pick p, (SELECT unnest(generate_series(0, 9)) AS seg) ss
+        |  WHERE seg < p.s)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        |FROM seg a JOIN seg b ON a.seg = b.seg AND a.segval = b.segval
+        |                      AND a.doc_id < b.doc_id, pick p
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= p.s - 1
         |ORDER BY 1, 2""".stripMargin,
 
     "d_dedup_jaccard" ->

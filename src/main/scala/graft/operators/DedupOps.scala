@@ -249,22 +249,64 @@ object DedupOps {
    * Default: maxDist 9 -> 10 segments of 6 bits over the 60-bit hash.
    *
    * Scale knob: bucket density is ~n / 2^(60/(maxDist+1)), so candidate
-   * volume grows quadratically with corpus size at fixed maxDist. For
-   * large corpora TIGHTEN maxDist — e.g. maxDist 3 gives 4 segments of
-   * 15 bits = 32768 bucket values per segment, 512x sparser than the
-   * default — or move to the minhash/LSH family whose band values are
-   * unbounded-cardinality strings.
+   * volume grows quadratically with corpus size at fixed maxDist —
+   * [[simhashPairsAuto]] derives the split from the corpus count so
+   * density (and thus per-doc candidate volume) stays constant; use it
+   * unless a specific Hamming bound is contractual. Or move to the
+   * minhash/LSH family whose band values are unbounded-cardinality
+   * strings.
    */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxDist: Int = 9): DataFrame = {
     val segments = maxDist + 1
     require(60 % segments == 0, s"need segments ($segments) dividing 60")
-    val segBits = 60 / segments
-    val segMask = (1L << segBits) - 1
     // materialize the signatures ONCE: the relation is 16 bytes/doc (id
     // + 60-bit hash), so caching it is O(corpus-count), not O(text) —
     // without it each self-join side re-scans the corpus and re-runs the
     // md5-per-word kernel
     val sh = simhash(docs, idCol, textCol).localCheckpoint()
+    simhashPairsFromSigs(sh, segments)
+  }
+
+  /**
+   * The segment count [[simhashPairsAuto]] picks for a corpus of `n`
+   * signatures: the LARGEST pigeonhole split (= widest Hamming
+   * tolerance, maxDist = segments-1) whose expected bucket density
+   * n / 2^(60/segments) stays <= `targetDensity` — candidate volume per
+   * segment is ~n * density / 2, so holding density constant holds the
+   * candidate count LINEAR in corpus size where a fixed split grows it
+   * quadratically. Splits walk the divisors of 60: 10 segments (6-bit
+   * buckets, the manual default), 6, 5, 4, 3, then 2 (30-bit buckets —
+   * enough for billions of docs at the default density). Deterministic
+   * in n, so the DuckDB oracle replays the same pick from the same
+   * count.
+   *
+   * At targetDensity=128 the pick goes 10 / 6 / 5 at sf0.01 / sf0.1 /
+   * sf1 of the synthetic corpus (5k / 50k / 500k docs) — the ScaleCurve
+   * evidence row; a 100M-doc corpus lands at 3 segments (20-bit
+   * buckets, maxDist 2), and past ~17B docs the split floors at 2.
+   */
+  def simhashAutoSegments(n: Long, targetDensity: Long = 128L): Int =
+    Seq(10, 6, 5, 4, 3).find(s => n <= targetDensity * (1L << (60 / s))).getOrElse(2)
+
+  /**
+   * [[simhashPairs]] with the segment width chosen FROM THE CORPUS
+   * (via [[simhashAutoSegments]]) instead of a manual maxDist: one
+   * count of the 16-byte/doc signature relation (already materialized
+   * for the join) prices the corpus, then the widest density-safe
+   * split runs. The returned pairs satisfy hamming <= chosen
+   * segments - 1; the choice itself is replayable by any engine that
+   * can count the same corpus.
+   */
+  def simhashPairsAuto(docs: DataFrame, idCol: String, textCol: String,
+                       targetDensity: Long = 128L): DataFrame = {
+    val sh = simhash(docs, idCol, textCol).localCheckpoint()
+    simhashPairsFromSigs(sh, simhashAutoSegments(sh.count(), targetDensity))
+  }
+
+  private def simhashPairsFromSigs(sh: DataFrame, segments: Int): DataFrame = {
+    val maxDist = segments - 1
+    val segBits = 60 / segments
+    val segMask = (1L << segBits) - 1
     val seg = sh.select(col("id"), col("simhash"),
         explode(sequence(lit(0), lit(segments - 1))).as("seg"))
       .withColumn("segval", expr(s"shiftright(simhash, cast(seg * $segBits as int)) & $segMask"))

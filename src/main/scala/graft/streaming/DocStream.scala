@@ -19,10 +19,11 @@ import graft.operators.{DedupOps, TextOps}
  *     (idempotent, compacted alongside the corpus; `_`-prefixed dirs
  *     are invisible to the corpus reader), so a line becomes hot the
  *     moment its lifetime df crosses the cap and every LATER document
- *     arrives clean. Already-admitted docs are not rewritten — the
- *     deliberate forward-only divergence from two-pass batch CCNet;
- *     run [[graft.operators.TextOps.dedupLines]] over the corpus for
- *     a retroactive pass.
+ *     arrives clean. Dfs count distinct CONTENT (the `_rawfps`
+ *     table), never copies of one doc. Already-admitted docs are not
+ *     rewritten by the stream — the deliberate forward-only divergence
+ *     from two-pass batch CCNet; [[retroScrubLines]] is the
+ *     compaction-style retroactive pass that closes the gap on demand.
  *
  *  1. fingerprinted ([[TextOps.fingerprint]]) and deduplicated WITHIN
  *     the batch (min-id per fingerprint, one window shuffle) — on the
@@ -125,10 +126,43 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
       catch { case _: org.apache.spark.sql.AnalysisException => emptyLineDf }
   }
 
+  private def emptyRawFps: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("fp_raw", StringType))))
+
+  /** Raw-content fingerprints already line-df-counted by earlier
+    * batches, excluding a replayed batch's own dir. */
+  private def rawFpHistory(excludeBatch: Long): DataFrame = {
+    val path = s"$corpusDir/_rawfps"
+    if (!tableExists(path)) emptyRawFps
+    else
+      try spark.read.parquet(path)
+        .filter(col("batch") =!= lit(s"b$excludeBatch"))
+        .select("fp_raw")
+      catch { case _: org.apache.spark.sql.AnalysisException => emptyRawFps }
+  }
+
   /** Streaming CCNet scrub (step 0 of the pipeline doc): persist this
-    * batch's line dfs, then remove lines hot across history + batch. */
+    * batch's line dfs, then remove lines hot across history + batch.
+    *
+    * Line dfs count distinct CONTENT, not copies: an exact-duplicate
+    * document must not push its own lines over the cap (the copies
+    * would all scrub to empty BEFORE fingerprint dedup could keep one
+    * — the round-4 ADVICE interaction). Within the batch one
+    * representative per raw fingerprint counts; across batches the
+    * `_rawfps` table (accumulated like `_linedf`, idempotent per batch
+    * dir) skips content counted by any earlier batch. The SCRUB still
+    * applies to every copy, so whichever copy survives dedup is clean. */
   private def scrubBatch(batch: DataFrame, batchId: Long, maxDf: Long): DataFrame = {
-    TextOps.lineKeys(batch, "doc_id", "text")
+    val withRaw = batch.withColumn("fp_raw", TextOps.fingerprint(col("text")))
+    val repWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp_raw")).orderBy(col("doc_id"))
+    val reps = withRaw.withColumn("rn", row_number().over(repWin))
+      .filter(col("rn") === 1)
+      .join(rawFpHistory(batchId), Seq("fp_raw"), "left_anti")
+    reps.select("fp_raw").write.mode("overwrite")
+      .parquet(s"$corpusDir/_rawfps/batch=b$batchId")
+    TextOps.lineKeys(reps, "doc_id", "text")
       .groupBy("kh").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$corpusDir/_linedf/batch=b$batchId")
     // the batch's own counts read back from the dir just written — one
@@ -190,6 +224,10 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
           if (dedupLinesMaxDf.isDefined && tableExists(s"$corpusDir/_linedf"))
             TableCompactor.onlineCompactAppend(spark, s"$corpusDir/_linedf",
               fence = batchId, sortCols = Seq("kh"))
+          // _rawfps reads via anti-join, so concatenation merges it too
+          if (dedupLinesMaxDf.isDefined && tableExists(s"$corpusDir/_rawfps"))
+            TableCompactor.onlineCompactAppend(spark, s"$corpusDir/_rawfps",
+              fence = batchId, sortCols = Seq("fp_raw"))
         } catch {
           case scala.util.control.NonFatal(e) =>
             org.slf4j.LoggerFactory.getLogger(getClass)
@@ -213,6 +251,74 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
       .foreachBatch((df: DataFrame, id: Long) => processBatch(df, id))
       .start()
     q.awaitTermination()
+  }
+
+  /**
+   * Retroactive corpus-wide line scrub — [[TextOps.dedupLines]]'s rule
+   * applied to the ADMITTED corpus, closing the streaming scrub's
+   * forward-only gap: a line that crossed the df cap at batch k was
+   * scrubbed from batch k+1 onward, but the docs admitted BEFORE k
+   * still carry it; this compaction-style pass rewrites them clean.
+   *
+   * Mechanics: the hot set is the stream's LIFETIME `_linedf` when
+   * present — the same df definition the forward scrub gates on. (The
+   * admitted corpus alone cannot identify late-hot lines: once the
+   * stream starts scrubbing a line, later admitted docs don't carry
+   * it, so an admitted-corpus recount would see df back under the cap
+   * exactly for the lines this pass exists to remove.) A corpus with
+   * no line-scrub state falls back to recomputing dfs from the
+   * admitted docs — there the pass IS batch [[TextOps.dedupLines]].
+   * Then scrub every doc against the hot set, and
+   * rewrite ONLY the batch dirs that actually contain a scrubbed doc —
+   * each dir overwritten whole, the same per-dir idempotent-replay
+   * contract the stream's own writes use (a crash mid-rewrite is
+   * repaired by rerunning the pass). `fp`/`quality`/`lang_guess`
+   * recompute on the clean text so the stored invariants
+   * (fp = fingerprint(text)) hold for future exists-cache joins.
+   *
+   * Idempotent: after a pass no admitted doc carries a hot line, so a
+   * second pass (same hot set from `_linedf`, or nothing above the cap
+   * in the recount fallback) scrubs zero lines and rewrites nothing.
+   * Safe against a LIVE stream: only dirs visible at read time are
+   * rewritten and the stream never revisits a committed dir (it would
+   * only overwrite a dir on replay of that same batch — whose content
+   * this pass preserves doc-for-doc, minus hot lines).
+   *
+   * Returns (docsRewritten, linesScrubbed).
+   */
+  def retroScrubLines(maxDf: Long): (Long, Long) = {
+    if (!tableExists(corpusDir)) return (0L, 0L)
+    val corpus =
+      try spark.read.parquet(corpusDir)
+      catch { case _: org.apache.spark.sql.AnalysisException => return (0L, 0L) }
+    val dfs =
+      if (tableExists(s"$corpusDir/_linedf"))
+        lineDfHistory(excludeBatch = -1L) // lifetime counts, no exclusion
+          .groupBy("kh").agg(sum(col("df")).as("df"))
+      else
+        TextOps.lineKeys(corpus, "doc_id", "text")
+          .groupBy("kh").agg(count_distinct(col("id")).as("df"))
+    val hot = dfs.filter(col("df") > maxDf)
+      .select("kh")
+      .localCheckpoint() // reused per-dir below; sized by the hot set
+    if (hot.isEmpty) return (0L, 0L)
+    val scrub = TextOps.scrubLines(corpus, "doc_id", "text", hot)
+      .withColumn("cut", col("n_lines") - col("kept_lines"))
+    val rewritten = corpus.join(
+        scrub.select(col("id").as("doc_id"), col("clean_text"), col("cut")), "doc_id")
+      .localCheckpoint() // one corpus pass; every dir rewrite reads from it
+    val dirty = rewritten.filter(col("cut") > 0)
+    val stats = dirty.agg(count(lit(1)), sum(col("cut"))).first()
+    val dirs = dirty.select("batch").distinct().collect().map(_.getString(0))
+    for (b <- dirs) {
+      rewritten.filter(col("batch") === b)
+        .select(col("doc_id"), col("clean_text").as("text"),
+          TextOps.fingerprint(col("clean_text")).as("fp"),
+          TextOps.qualityScore(col("clean_text")).as("quality"),
+          TextOps.langGuess(col("clean_text")).as("lang_guess"))
+        .write.mode("overwrite").parquet(s"$corpusDir/batch=$b")
+    }
+    (stats.getLong(0), if (stats.isNullAt(1)) 0L else stats.getLong(1))
   }
 
   private def emptyCorpus: DataFrame =

@@ -24,9 +24,13 @@ object ScaleCurve {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // the derived 10x corpus (graft.tools.MakeSf1) joins the curve when
+    // present — one more decade for the growth-shape read
+    val dirs = Seq("sf0.001", "sf0.01", "sf0.1").map(sf => sf -> s"/root/testdata/$sf") ++
+      (if (new java.io.File("/tmp/sf1graft").isDirectory) Seq("sf1*" -> "/tmp/sf1graft") else Nil)
+
     def run(name: String, f: String => DataFrame): Unit = {
-      val cells = Seq("sf0.001", "sf0.01", "sf0.1").map { sf =>
-        val dir = s"/root/testdata/$sf"
+      val cells = dirs.map { case (sf, dir) =>
         val t0 = System.nanoTime()
         val n = f(dir).count()
         val secs = (System.nanoTime() - t0) / 1e9
@@ -46,6 +50,7 @@ object ScaleCurve {
     run("minhash_cand", d => DedupOps.minhashCandidates(docs(d), "doc_id", "text"))
     run("neardup", d => DedupOps.nearDuplicates(docs(d), "doc_id", "text", 0.8))
     run("simhash_pairs", d => DedupOps.simhashPairs(docs(d), "doc_id", "text"))
+    run("simhash_auto", d => DedupOps.simhashPairsAuto(docs(d), "doc_id", "text"))
     run("jaccard_pairs", d => DedupOps.jaccardPairs(docs(d), "doc_id", "text", 0.8))
     run("clusters", d => DedupOps.duplicateClusters(docs(d), "doc_id", "text", 0.8))
     run("cosine_neardup", d => SimilarityOps.cosineNearDuplicates(embs(d), 0.25))

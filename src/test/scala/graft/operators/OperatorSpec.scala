@@ -317,6 +317,39 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "tight banding must find exactly the wide result's <=3 pairs")
   }
 
+  test("simhashAutoSegments pins the density-safe split per corpus size") {
+    // targetDensity=128: the widths the auto path picks are a CONTRACT
+    // (the oracle replays them from the same counts) — pin them
+    val expected = Seq(
+      0L -> 10, 5000L -> 10, 8192L -> 10,       // sf0.01 regime
+      8193L -> 6, 50000L -> 6, 131072L -> 6,    // sf0.1 regime
+      131073L -> 5, 500000L -> 5, 524288L -> 5, // sf1 regime
+      524289L -> 4, 4194304L -> 4,
+      4194305L -> 3, 100000000L -> 3,
+      134217729L -> 2, 10000000000L -> 2)
+    for ((n, s) <- expected)
+      assert(DedupOps.simhashAutoSegments(n) == s, s"n=$n expected $s")
+    // a raised density target widens the split at the same corpus size
+    assert(DedupOps.simhashAutoSegments(50000L, targetDensity = 1024L) == 10)
+  }
+
+  test("simhashPairsAuto equals the manual split it picks") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+    // sf0.01 (~5k docs) prices into the 10-segment regime -> the auto
+    // result must be EXACTLY the manual maxDist=9 result
+    val auto = DedupOps.simhashPairsAuto(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val manual = DedupOps.simhashPairs(docs, "id", "text", maxDist = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(auto == manual)
+    // a tighter density target drops it a regime: subset with the bound
+    // (500 docs at 4/bucket: 64*4 < 500 <= 1024*4 -> 6 segments)
+    val tight = DedupOps.simhashPairsAuto(docs, "id", "text", targetDensity = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tight == manual.filter(_._3 <= 5), "4/bucket at 500 docs -> 6 segments")
+  }
+
   test("mega-duplicate class: near-dup + clusters complete and label by minimum") {
     val ss = spark; import ss.implicits._
     // pathological corpus shape: one content class duplicated 400x (plus

@@ -147,6 +147,78 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set("doc_id", "text", "fp", "quality", "lang_guess"))
   }
 
+  test("doc stream: an exact duplicate cannot scrub itself to empty (content counts once)") {
+    // r4 ADVICE: with scrub before dedup, a second copy of an admitted
+    // doc used to push every one of its own lines over the df cap —
+    // both copies scrubbed to empty, and the empty doc was ADMITTED at
+    // minQuality=0 instead of being recognized as a duplicate
+    val work = Files.createTempDirectory("graft-docstream-dupscrub").toString
+    def stream() = new DocStream(spark, s"$work/drop", s"$work/corpus", s"$work/ckpt",
+      minQuality = 0L, maxFilesPerTrigger = Some(1), dedupLinesMaxDf = Some(1L))
+    val body = "unique document body\nwith a second line"
+    jsonl(s"$work/drop", "a.jsonl", Seq(1L -> body))
+    stream().runAvailableNow()
+    // later batch: byte-identical copy — its lines must NOT re-count
+    val s2 = stream()
+    jsonl(s"$work/drop", "b.jsonl", Seq(2L -> body))
+    s2.runAvailableNow()
+    val got = s2.accepted().select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> body),
+      s"the copy must be dropped as an existing dup, the original intact: $got")
+    assert(s2.lastBatchStats._4 == 1L, s"dupExisting expected: ${s2.lastBatchStats}")
+    // two copies of NEW content in ONE batch: one representative counts
+    // (df=1, not hot), within-batch dedup keeps the min id, full text
+    val s3 = stream()
+    val body3 = "fresh content here\nanother fresh line"
+    jsonl(s"$work/drop", "c.jsonl", Seq(5L -> body3, 6L -> body3))
+    s3.runAvailableNow()
+    val got3 = s3.accepted().select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got3 == Map(1L -> body, 5L -> body3), s"got $got3")
+  }
+
+  test("doc stream: retroScrubLines cleans late-hot lines from already-admitted docs") {
+    val work = Files.createTempDirectory("graft-docstream-retro").toString
+    def stream() = new DocStream(spark, s"$work/drop", s"$work/corpus", s"$work/ckpt",
+      minQuality = 0L, maxFilesPerTrigger = Some(1), dedupLinesMaxDf = Some(1L))
+    val footer = "COMMON FOOTER LINE"
+    // batch 1: the footer is df=1 -> not hot -> doc 1 admitted DIRTY
+    jsonl(s"$work/drop", "a.jsonl", Seq(1L -> s"alpha body\n$footer"))
+    stream().runAvailableNow()
+    // batch 2: second doc makes the footer hot -> doc 2 admitted clean,
+    // doc 1 still carries it (the forward-only gap)
+    val s2 = stream()
+    jsonl(s"$work/drop", "b.jsonl", Seq(2L -> s"beta body\n$footer\nbeta end"))
+    s2.runAvailableNow()
+    val before = s2.accepted().select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(before(1L) == s"alpha body\n$footer", "doc 1 dirty before the retro pass")
+    assert(before(2L) == "beta body\nbeta end", "doc 2 scrubbed forward")
+    // the retro pass rewrites exactly doc 1's dir
+    val s3 = stream()
+    assert(s3.retroScrubLines(1L) == ((1L, 1L)))
+    val after = s3.accepted().select("doc_id", "text", "fp", "quality")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val afterMap = after.map(t => t._1 -> t._2).toMap
+    assert(afterMap == Map(1L -> "alpha body", 2L -> "beta body\nbeta end"), s"$afterMap")
+    // rewritten columns keep their invariants (fp/quality recomputed)
+    val ss = spark; import ss.implicits._
+    val expect = after.map(_._2).toSeq.toDF("text")
+      .select(graft.operators.TextOps.fingerprint(org.apache.spark.sql.functions.col("text")))
+      .collect().map(_.getString(0)).toSet
+    assert(after.map(_._3).toSet == expect, "fp = fingerprint(text) after rewrite")
+    // idempotent: a second pass rewrites nothing
+    assert(s3.retroScrubLines(1L) == ((0L, 0L)))
+    // and the stream keeps running against the rewritten corpus
+    val s4 = stream()
+    jsonl(s"$work/drop", "c.jsonl", Seq(9L -> "gamma entirely new\ngamma second line"))
+    s4.runAvailableNow()
+    val cont = s4.accepted().select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cont(9L) == "gamma entirely new\ngamma second line" && cont.size == 3, s"$cont")
+  }
+
   test("doc stream: language gate admits only listed languages") {
     val work = Files.createTempDirectory("graft-docstream-lang").toString
     val s = new DocStream(spark, s"$work/drop", s"$work/corpus", s"$work/ckpt",
