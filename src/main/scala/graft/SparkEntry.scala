@@ -429,6 +429,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "d_dedup_cosine_auto" -> ((s, dir) => {
+      // corpus-priced band width (density target 128/bucket): candidate
+      // volume stays linear in corpus size; the oracle replays the pick
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      SimilarityOps.cosineNearDuplicatesAuto(e, minCosine = 0.25)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "d_dedup_semantic_auto" -> ((s, dir) => {
+      // corpus-priced cell count (target cell size 256): within-cell
+      // pair volume stays linear; oracle replays k AND the training loop
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      KMeansOps.semanticNearDuplicatesAuto(e, "id", "embedding", minCosine = 0.25)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- training-data pipeline: similarity search ----
 
     "s_ann_cosine" -> ((s, dir) => {
@@ -746,6 +762,76 @@ object SparkEntry {
       .when(col("doc_id") % 4 === 1, jpegHex)
       .when(col("doc_id") % 4 === 2, wavHex)
       .otherwise(unknownHex)
+
+
+  /** The d_dedup_semantic oracle body, parameterized by the leading
+    * CTE block: the fixed variant hardcodes 8 init cells, the auto
+    * variant prices k from the corpus count (KMeansOps.autoCells) —
+    * both then replay the IDENTICAL md5-init + 2-round quantized-mean
+    * training loop at that k, and the within-cell exact-cosine verify. */
+  private def semanticOracleSql(head: String): String =
+    "WITH " + head + ",\n" + SemanticOracleBody.stripMargin
+
+  private val SemanticOracleBody =
+    """|dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |s0 AS (
+        |  SELECT vec_id, c,
+        |         list_sum(list_transform(range(1, 65), i -> cv[i] * embedding[i]::DOUBLE)) /
+        |         (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) *
+        |          sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS s
+        |  FROM embeddings, c0),
+        |a0 AS (SELECT vec_id, c AS cell FROM (
+        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+        |         FROM s0) z WHERE rn = 1),
+        |m1 AS (
+        |  SELECT a0.cell, dims.i,
+        |         sum(floor(e.embedding[dims.i]::DOUBLE * 10000000.0 + 0.5))::BIGINT AS sq,
+        |         count(*) AS n
+        |  FROM a0, embeddings e, dims WHERE a0.vec_id = e.vec_id
+        |  GROUP BY 1, 2),
+        |c1m AS (SELECT cell AS c, list(sq::DOUBLE / (n::DOUBLE * 10000000.0) ORDER BY i) AS cv
+        |        FROM m1 GROUP BY 1),
+        |c1 AS (SELECT c0.c, coalesce(c1m.cv, c0.cv) AS cv FROM c0 LEFT JOIN c1m USING (c)),
+        |s1 AS (
+        |  SELECT vec_id, c,
+        |         list_sum(list_transform(range(1, 65), i -> cv[i] * embedding[i]::DOUBLE)) /
+        |         (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) *
+        |          sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS s
+        |  FROM embeddings, c1),
+        |a1 AS (SELECT vec_id, c AS cell FROM (
+        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+        |         FROM s1) z WHERE rn = 1),
+        |m2 AS (
+        |  SELECT a1.cell, dims.i,
+        |         sum(floor(e.embedding[dims.i]::DOUBLE * 10000000.0 + 0.5))::BIGINT AS sq,
+        |         count(*) AS n
+        |  FROM a1, embeddings e, dims WHERE a1.vec_id = e.vec_id
+        |  GROUP BY 1, 2),
+        |c2m AS (SELECT cell AS c, list(sq::DOUBLE / (n::DOUBLE * 10000000.0) ORDER BY i) AS cv
+        |        FROM m2 GROUP BY 1),
+        |c2 AS (SELECT c1.c, coalesce(c2m.cv, c1.cv) AS cv FROM c1 LEFT JOIN c2m USING (c)),
+        |s2 AS (
+        |  SELECT vec_id, c,
+        |         list_sum(list_transform(range(1, 65), i -> cv[i] * embedding[i]::DOUBLE)) /
+        |         (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) *
+        |          sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS s
+        |  FROM embeddings, c2),
+        |a2 AS (SELECT vec_id, c AS cell FROM (
+        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+        |         FROM s2) z WHERE rn = 1),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell
+        |  FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT id_a, id_b, cell,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> ae.embedding[i]::DOUBLE * be.embedding[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> ae.embedding[i]::DOUBLE * ae.embedding[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> be.embedding[i]::DOUBLE * be.embedding[i]::DOUBLE)))), 6) AS sim
+        |  FROM p JOIN embeddings ae ON id_a = ae.vec_id
+        |         JOIN embeddings be ON id_b = be.vec_id)
+        |SELECT id_a, id_b, cell::BIGINT AS cell, sim
+        |FROM scored WHERE sim >= 0.25 ORDER BY id_a, id_b"""
 
   // ======================= oracles =======================
 
@@ -1242,6 +1328,49 @@ object SparkEntry {
         |SELECT id_a, id_b, sim
         |FROM scored WHERE sim >= 0.25 ORDER BY id_a, id_b""".stripMargin,
 
+    // same replay, band width PICKED from the corpus count exactly like
+    // SimilarityOps.autoBandBits: smallest bits in 6..14 with
+    // n <= 128 * 2^bits; 4 bands of `bits` over a 4*bits-plane signature
+    "d_dedup_cosine_auto" ->
+      """WITH pick AS (
+        |  SELECT CASE WHEN n <= 128 * (1::BIGINT << 6)  THEN 6
+        |              WHEN n <= 128 * (1::BIGINT << 7)  THEN 7
+        |              WHEN n <= 128 * (1::BIGINT << 8)  THEN 8
+        |              WHEN n <= 128 * (1::BIGINT << 9)  THEN 9
+        |              WHEN n <= 128 * (1::BIGINT << 10) THEN 10
+        |              WHEN n <= 128 * (1::BIGINT << 11) THEN 11
+        |              WHEN n <= 128 * (1::BIGINT << 12) THEN 12
+        |              WHEN n <= 128 * (1::BIGINT << 13) THEN 13
+        |              ELSE 14 END AS bits
+        |  FROM (SELECT count(*) AS n FROM embeddings)),
+        |planes AS (
+        |  SELECT b, list_transform(generate_series(0, 63),
+        |           d -> (('0x' || substr(md5('plane:' || b || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS pl
+        |  FROM pick, (SELECT unnest(generate_series(0, 55)) AS b) bb WHERE b < 4 * bits),
+        |sig AS (
+        |  SELECT vec_id,
+        |         sum(CASE WHEN list_sum(list_transform(range(1, 65),
+        |               i -> pl[i] * embedding[i]::DOUBLE)) > 0
+        |             THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sig
+        |  FROM embeddings, planes GROUP BY 1),
+        |banded AS (
+        |  SELECT vec_id, band, (sig >> (band * bits)) & ((1::BIGINT << bits) - 1) AS bandval
+        |  FROM sig, pick, (SELECT unnest(generate_series(0, 3)) AS band) bb),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.bandval = b.bandval
+        |                              AND a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT id_a, id_b,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> ae.embedding[i]::DOUBLE * be.embedding[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> ae.embedding[i]::DOUBLE * ae.embedding[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> be.embedding[i]::DOUBLE * be.embedding[i]::DOUBLE)))), 6) AS sim
+        |  FROM cand JOIN embeddings ae ON id_a = ae.vec_id
+        |            JOIN embeddings be ON id_b = be.vec_id)
+        |SELECT id_a, id_b, sim
+        |FROM scored WHERE sim >= 0.25 ORDER BY id_a, id_b""".stripMargin,
+
     "s_ann_ivf" ->
       """WITH cent AS (
         |  SELECT c, list_transform(generate_series(0, 63),
@@ -1682,70 +1811,20 @@ object SparkEntry {
     // replays the FULL k-means training: md5 init, argmax-cosine assign
     // (tie -> smaller cell), exact quantized means, 2 Lloyd rounds — then
     // within-cell exact cosine pairs
-    "d_dedup_semantic" ->
-      """WITH c0 AS (
+    "d_dedup_semantic" -> semanticOracleSql(
+      """c0 AS (
         |  SELECT c, list_transform(generate_series(0, 63),
         |           d -> (('0x' || substr(md5('kmeans:' || c || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS cv
-        |  FROM (SELECT unnest(generate_series(0, 7)) AS c)),
-        |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
-        |s0 AS (
-        |  SELECT vec_id, c,
-        |         list_sum(list_transform(range(1, 65), i -> cv[i] * embedding[i]::DOUBLE)) /
-        |         (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) *
-        |          sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS s
-        |  FROM embeddings, c0),
-        |a0 AS (SELECT vec_id, c AS cell FROM (
-        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
-        |         FROM s0) z WHERE rn = 1),
-        |m1 AS (
-        |  SELECT a0.cell, dims.i,
-        |         sum(floor(e.embedding[dims.i]::DOUBLE * 10000000.0 + 0.5))::BIGINT AS sq,
-        |         count(*) AS n
-        |  FROM a0, embeddings e, dims WHERE a0.vec_id = e.vec_id
-        |  GROUP BY 1, 2),
-        |c1m AS (SELECT cell AS c, list(sq::DOUBLE / (n::DOUBLE * 10000000.0) ORDER BY i) AS cv
-        |        FROM m1 GROUP BY 1),
-        |c1 AS (SELECT c0.c, coalesce(c1m.cv, c0.cv) AS cv FROM c0 LEFT JOIN c1m USING (c)),
-        |s1 AS (
-        |  SELECT vec_id, c,
-        |         list_sum(list_transform(range(1, 65), i -> cv[i] * embedding[i]::DOUBLE)) /
-        |         (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) *
-        |          sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS s
-        |  FROM embeddings, c1),
-        |a1 AS (SELECT vec_id, c AS cell FROM (
-        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
-        |         FROM s1) z WHERE rn = 1),
-        |m2 AS (
-        |  SELECT a1.cell, dims.i,
-        |         sum(floor(e.embedding[dims.i]::DOUBLE * 10000000.0 + 0.5))::BIGINT AS sq,
-        |         count(*) AS n
-        |  FROM a1, embeddings e, dims WHERE a1.vec_id = e.vec_id
-        |  GROUP BY 1, 2),
-        |c2m AS (SELECT cell AS c, list(sq::DOUBLE / (n::DOUBLE * 10000000.0) ORDER BY i) AS cv
-        |        FROM m2 GROUP BY 1),
-        |c2 AS (SELECT c1.c, coalesce(c2m.cv, c1.cv) AS cv FROM c1 LEFT JOIN c2m USING (c)),
-        |s2 AS (
-        |  SELECT vec_id, c,
-        |         list_sum(list_transform(range(1, 65), i -> cv[i] * embedding[i]::DOUBLE)) /
-        |         (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) *
-        |          sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS s
-        |  FROM embeddings, c2),
-        |a2 AS (SELECT vec_id, c AS cell FROM (
-        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
-        |         FROM s2) z WHERE rn = 1),
-        |p AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell
-        |  FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id),
-        |scored AS (
-        |  SELECT id_a, id_b, cell,
-        |         round(
-        |           list_sum(list_transform(range(1, 65), i -> ae.embedding[i]::DOUBLE * be.embedding[i]::DOUBLE)) /
-        |           (sqrt(list_sum(list_transform(range(1, 65), i -> ae.embedding[i]::DOUBLE * ae.embedding[i]::DOUBLE))) *
-        |            sqrt(list_sum(list_transform(range(1, 65), i -> be.embedding[i]::DOUBLE * be.embedding[i]::DOUBLE)))), 6) AS sim
-        |  FROM p JOIN embeddings ae ON id_a = ae.vec_id
-        |         JOIN embeddings be ON id_b = be.vec_id)
-        |SELECT id_a, id_b, cell::BIGINT AS cell, sim
-        |FROM scored WHERE sim >= 0.25 ORDER BY id_a, id_b""".stripMargin,
+        |  FROM (SELECT unnest(generate_series(0, 7)) AS c))""".stripMargin),
+
+    // identical full-training replay, but k is PRICED from the corpus
+    // count exactly like KMeansOps.autoCells: k = greatest(8, n // 256)
+    "d_dedup_semantic_auto" -> semanticOracleSql(
+      """pick AS (SELECT greatest(8, count(*) // 256)::BIGINT AS k FROM embeddings),
+        |c0 AS (
+        |  SELECT c, list_transform(generate_series(0, 63),
+        |           d -> (('0x' || substr(md5('kmeans:' || c || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS cv
+        |  FROM pick, (SELECT unnest(generate_series(0, 4095)) AS c) cc WHERE c < k)""".stripMargin),
 
     // the s_ann_ivf oracle with the codebook REPLACED by the same 2-round
     // trained centroids as d_dedup_semantic (k=16, salt 'kmeans')

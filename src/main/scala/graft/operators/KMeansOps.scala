@@ -155,6 +155,31 @@ object KMeansOps {
    * arrays); vectors join back per-id for the exact verify.
    * Output: (id_a < id_b, cell, sim).
    */
+  /**
+   * The cell count [[semanticNearDuplicatesAuto]] prices for a corpus
+   * of `n` vectors: within-cell pair volume is ~n²/k, so holding the
+   * expected CELL SIZE n/k at `targetCellSize` holds pair volume
+   * linear in corpus size — k = max(8, n / targetCellSize). The same
+   * density argument as the simhash/LSH autos, applied to the one
+   * operator whose buckets are learned rather than hashed. More cells
+   * also cost: training's mean-update shuffle produces k*dim rows and
+   * assignment scans k centroids per vector — both linear in k, paid
+   * to keep the quadratic term flat.
+   */
+  def autoCells(n: Long, targetCellSize: Long = 256L): Int =
+    math.max(8L, n / targetCellSize).toInt
+
+  /**
+   * [[semanticNearDuplicates]] with k priced from the corpus count via
+   * [[autoCells]]. Deterministic in n — the DuckDB oracle replays the
+   * pick (and then the full training loop at that k).
+   */
+  def semanticNearDuplicatesAuto(corpus: DataFrame, idCol: String, vecCol: String,
+                                 minCosine: Double, targetCellSize: Long = 256L,
+                                 iters: Int = 2, dim: Int = 64): DataFrame =
+    semanticNearDuplicates(corpus, idCol, vecCol, minCosine,
+      k = autoCells(corpus.count(), targetCellSize), iters = iters, dim = dim)
+
   def semanticNearDuplicates(corpus: DataFrame, idCol: String, vecCol: String,
                              minCosine: Double, k: Int = 8, iters: Int = 2,
                              dim: Int = 64): DataFrame = {

@@ -148,6 +148,40 @@ object SimilarityOps {
    * at cos 0.9 with 4x6 bits) while admitting only ~6% of random pairs
    * as candidates — the knob that makes this all-pairs operator scale.
    */
+  /**
+   * The band width [[cosineNearDuplicatesAuto]] picks for a corpus of
+   * `n` vectors: the smallest width whose expected bucket density
+   * n / 2^bits stays <= `targetDensity` (floor 6 = the manual default,
+   * cap 14 so 4 bands still fit one 64-bit signature). Same density
+   * argument as [[graft.operators.DedupOps.simhashAutoSegments]]:
+   * constant density holds candidate volume linear in corpus size
+   * where fixed-width bands grow it quadratically (measured 21x per
+   * 10x corpus step in EVIDENCE.md before this existed).
+   *
+   * The trade — unlike the simhash pigeonhole, which is EXACT for its
+   * Hamming bound at any split — is probabilistic recall: a pair at
+   * angle θ collides in one band with prob (1-θ/π)^bits, so wider
+   * bands lower recall at the LOW end of similarity. Sized for the
+   * near-duplicate regime: at cos 0.95 a 12-bit band still collides
+   * ~73% of pairs across 4 bands (vs 94% at 6 bits); at cos 0.25 wide
+   * bands see almost nothing, by design — that regime is a similarity
+   * SEARCH, not dedup, and belongs to the top-k operators.
+   */
+  def autoBandBits(n: Long, targetDensity: Long = 128L): Int =
+    (6 to 14).find(b => n <= targetDensity * (1L << b)).getOrElse(14)
+
+  /**
+   * [[cosineNearDuplicates]] with the band width priced from the
+   * corpus count via [[autoBandBits]] (one count of the id column).
+   * Deterministic in n — the DuckDB oracle replays the pick.
+   */
+  def cosineNearDuplicatesAuto(corpus: DataFrame, minCosine: Double,
+                               targetDensity: Long = 128L, bands: Int = 4,
+                               dim: Int = 64): DataFrame = {
+    val bits = autoBandBits(corpus.count(), targetDensity)
+    cosineNearDuplicates(corpus, minCosine, nbits = bands * bits, bands = bands, dim = dim)
+  }
+
   def cosineNearDuplicates(corpus: DataFrame, minCosine: Double,
                            nbits: Int = 24, bands: Int = 4, dim: Int = 64): DataFrame = {
     require(nbits % bands == 0)

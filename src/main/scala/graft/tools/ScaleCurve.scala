@@ -54,7 +54,9 @@ object ScaleCurve {
     run("jaccard_pairs", d => DedupOps.jaccardPairs(docs(d), "doc_id", "text", 0.8))
     run("clusters", d => DedupOps.duplicateClusters(docs(d), "doc_id", "text", 0.8))
     run("cosine_neardup", d => SimilarityOps.cosineNearDuplicates(embs(d), 0.25))
+    run("cosine_auto", d => SimilarityOps.cosineNearDuplicatesAuto(embs(d), 0.25))
     run("semantic", d => KMeansOps.semanticNearDuplicates(embs(d), "id", "embedding", 0.25, 8, 2))
+    run("semantic_auto", d => KMeansOps.semanticNearDuplicatesAuto(embs(d), "id", "embedding", 0.25))
     run("ivf_trained", d => KMeansOps.ivfTopKTrained(
       embs(d).filter(col("id") < 5), embs(d), 5, 16, 6, 2))
 

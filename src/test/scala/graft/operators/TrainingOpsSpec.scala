@@ -247,6 +247,49 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.6, s"trained-IVF recall@5 $recall < 0.6")
   }
 
+  test("auto band-width / cell-count picks are pinned per corpus size") {
+    // targetDensity=128: contracts the oracles replay from the same counts
+    for ((n, bits) <- Seq(0L -> 6, 2000L -> 6, 8192L -> 6, 8193L -> 7,
+        20000L -> 8, 200000L -> 11, 2000000L -> 14, 10000000000L -> 14))
+      assert(SimilarityOps.autoBandBits(n) == bits, s"n=$n expected $bits bits")
+    for ((n, k) <- Seq(0L -> 8, 500L -> 8, 2048L -> 8, 20000L -> 78, 1000000L -> 3906))
+      assert(KMeansOps.autoCells(n) == k, s"n=$n expected $k cells")
+  }
+
+  test("auto cosine/semantic near-dup equal the manual pick at sf0.01") {
+    // 500 vectors price into bits=6 / k=8 — exactly the manual defaults,
+    // so the auto operators must return byte-identical pairs
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val cosFixed = SimilarityOps.cosineNearDuplicates(e, 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val cosAuto = SimilarityOps.cosineNearDuplicatesAuto(e, 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cosAuto == cosFixed)
+    val semFixed = KMeansOps.semanticNearDuplicates(e, "id", "embedding", 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val semAuto = KMeansOps.semanticNearDuplicatesAuto(e, "id", "embedding", 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(semAuto == semFixed)
+    // a forced tighter density changes the pick and every returned pair
+    // still carries a verified sim >= threshold (banding only drops
+    // candidates, never admits an unverified pair)
+    val tight = SimilarityOps.cosineNearDuplicatesAuto(e, 0.25, targetDensity = 16L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(tight.forall(_._3 >= 0.25))
+    assert(tight.map(t => (t._1, t._2)).toSet.subsetOf(
+      // wide-band candidates at bits=6 are not a superset in general,
+      // but VERIFIED pairs are always a subset of the exact >= 0.25 set:
+      // check against brute-force ground truth
+      e.select(col("id").as("id_a"), col("embedding").as("va"))
+        .join(e.select(col("id").as("id_b"), col("embedding").as("vb")),
+          col("id_a") < col("id_b"))
+        .withColumn("sim", round(SimilarityOps.cosineFloat(col("va"), col("vb")), 6))
+        .filter(col("sim") >= 0.25)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet))
+  }
+
   test("labelCentroids equals a naive driver-side exact mean") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val got = KMeansOps.labelCentroids(e, "label", "embedding")
