@@ -57,16 +57,34 @@ object TextOps {
    * 400·min(len,500)/500 + 300·min(5·stops,words)/words + 300·max(len−5·punct,0)/len.
    */
   def qualityScore(text: Column): Column = {
-    val len = length(text).cast("long")
-    val w = words(lower(text))
-    val nWords = size(w).cast("long")
-    val nStops = size(filter(w, x => x.isin(Stopwords: _*))).cast("long")
-    val nPunct = (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast("long")
+    // counts from the one-pass TextStats kernel (the interpreted-HOF
+    // formulation below is value-identical and kept as the reference
+    // for the equivalence test)
+    val st = TextStats(text)
+    scoreFromCounts(element_at(st, 1).cast("long"), element_at(st, 2).cast("long"),
+      element_at(st, 3).cast("long"), element_at(st, 4).cast("long"))
+  }
+
+  /** The score arithmetic on explicit counts — shared by the kernel
+    * path and the reference formulation. */
+  private def scoreFromCounts(len: Column, nWords: Column, nStops: Column,
+                              nPunct: Column): Column = {
     def idiv(a: Column, b: Column): Column = (a.cast("double") / b.cast("double")).cast("long")
     val lenScore = idiv(lit(400L) * least(len, lit(500L)), lit(500L))
     val stopScore = when(nWords === 0, 0L).otherwise(idiv(lit(300L) * least(nStops * 5L, nWords), nWords))
     val punctScore = when(len === 0, 0L).otherwise(idiv(lit(300L) * greatest(len - nPunct * 5L, lit(0L)), len))
     lenScore + stopScore + punctScore
+  }
+
+  /** The pre-kernel expression formulation of [[qualityScore]] — the
+    * oracle-shaped reference the equivalence test pins the kernel to. */
+  private[graft] def qualityScoreReference(text: Column): Column = {
+    val len = length(text).cast("long")
+    val w = words(lower(text))
+    val nWords = size(w).cast("long")
+    val nStops = size(filter(w, x => x.isin(Stopwords: _*))).cast("long")
+    val nPunct = (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast("long")
+    scoreFromCounts(len, nWords, nStops, nPunct)
   }
 
   /**
@@ -75,15 +93,26 @@ object TextOps {
    * shape (single projection, no shuffle) is what matters at scale.
    */
   def langGuess(text: Column): Column = {
+    // marker hits from the TextStats kernel — one text walk serves
+    // qualityScore AND langGuess in the same projection (CSE)
+    val st = TextStats(text)
+    langFromHits(element_at(st, 5), element_at(st, 6), element_at(st, 7))
+  }
+
+  private def langFromHits(en: Column, de: Column, es: Column): Column =
+    when(de > en && de > es, "de").when(es > en && es >= de, "es")
+      .when(en > 0, "en").otherwise("unknown")
+
+  /** Pre-kernel expression formulation of [[langGuess]] (equivalence
+    * test reference). */
+  private[graft] def langGuessReference(text: Column): Column = {
     def hits(markers: Seq[String]): Column = {
       val w = words(lower(text))
       size(filter(w, x => x.isin(markers: _*)))
     }
-    val en = hits(Seq("the", "and", "of", "to", "is"))
-    val de = hits(Seq("der", "die", "das", "und", "ist"))
-    val es = hits(Seq("el", "la", "los", "de", "es"))
-    when(de > en && de > es, "de").when(es > en && es >= de, "es")
-      .when(en > 0, "en").otherwise("unknown")
+    langFromHits(hits(Seq("the", "and", "of", "to", "is")),
+      hits(Seq("der", "die", "das", "und", "ist")),
+      hits(Seq("el", "la", "los", "de", "es")))
   }
 
   /**

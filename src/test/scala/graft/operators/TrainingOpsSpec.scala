@@ -290,6 +290,36 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet))
   }
 
+  test("TextStats kernel equals the expression formulation on corpus + adversarial strings") {
+    val ss = spark; import ss.implicits._
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet").select(col("text"))
+    // adversarial: unicode (counts as punct), Kelvin sign K (lowercases
+    // to ASCII k via UTF8String.toLowerCase — word can become a marker),
+    // empty, whitespace-only, all-punct, mixed \s kinds, emoji
+    // (supplementary code point = ONE char), trailing/leading spaces
+    val adversarial = Seq(
+      "", " ", "\t\n\f\r", "...", "!!! ### $$$",
+      "the THE The tHe", "und der die das ist", "el la los de es",
+      "café résumé naïve", "Kel der", // Kelvin K + el
+      "a\nb\nc", "  padded  words  ", "😀 emoji the",
+      "der die das", "1234 5678 to", "über straße groß").toDF("text")
+    for (df <- Seq(corpus, adversarial)) {
+      val rows = df.select(
+          TextOps.qualityScore(col("text")).as("q_kernel"),
+          TextOps.qualityScoreReference(col("text")).as("q_ref"),
+          TextOps.langGuess(col("text")).as("l_kernel"),
+          TextOps.langGuessReference(col("text")).as("l_ref"),
+          col("text"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getLong(0) == r.getLong(1),
+          s"quality mismatch on '${r.getString(4).take(60)}': ${r.getLong(0)} vs ${r.getLong(1)}")
+        assert(r.getString(2) == r.getString(3),
+          s"lang mismatch on '${r.getString(4).take(60)}': ${r.getString(2)} vs ${r.getString(3)}")
+      }
+    }
+  }
+
   test("labelCentroids equals a naive driver-side exact mean") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val got = KMeansOps.labelCentroids(e, "label", "embedding")
