@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.operators.{FastMd5Expr, Md5Head60Expr, MinhashSigExpr, RepetitionStatsExpr, ShingleHashesExpr, Simhash60Expr}
+import graft.operators.{FastMd5Expr, Md5Head60Expr, MinhashSigExpr, RepetitionStatsExpr, ShingleHashesExpr, Simhash60Expr, TextStatsExpr}
 
 /**
  * SparkSessionExtensions entry point: registers the engine's custom
@@ -53,5 +53,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("repetition_stats",
         "repetition_stats(text) - [n_words, distinct_words, top_word, top_bigram, n_lines, distinct_lines]"),
       (args: Seq[Expression]) => RepetitionStatsExpr(args.head)))
+    ext.injectFunction((FunctionIdentifier("text_stats"),
+      info("text_stats",
+        "text_stats(text) - [len, n_words, n_stops, n_punct, en_hits, de_hits, es_hits]"),
+      (args: Seq[Expression]) => TextStatsExpr(args.head)))
   }
 }

@@ -47,4 +47,15 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // literal-arg validation
     intercept[Exception](spark.sql("SELECT minhash_sig('x', 'not-an-int')").collect())
   }
+
+  test("repetition_stats / text_stats from SQL") {
+    val r = spark.sql("""
+      SELECT repetition_stats('a b a\na b a') AS rep,
+             text_stats('The cat, the dog!') AS ts
+    """).head()
+    assert(r.getSeq[Long](0) == Seq(6L, 2L, 4L, 2L, 2L, 1L), s"rep: ${r.getSeq[Long](0)}")
+    // 'the cat, the dog!': len 17, 4 words, 2 stops ('the' x2),
+    // 2 punct (comma, bang), en_hits 2, de/es 0
+    assert(r.getSeq[Long](1) == Seq(17L, 4L, 2L, 2L, 2L, 0L, 0L), s"ts: ${r.getSeq[Long](1)}")
+  }
 }
