@@ -409,6 +409,27 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "d_dedup_incremental_bloom" -> ((s, dir) => {
+      // the Bloom-routed form: sketch splits the batch, exact anti-join
+      // only for mightContain=true docs — result BIT-IDENTICAL to
+      // d_dedup_incremental (same oracle SQL), which is the point
+      val docs = table(s, dir, "documents")
+      val known = docs.filter(col("doc_id") < 250)
+        .select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+      DedupOps.incrementalDeduplicateBloom(docs.filter(col("doc_id") >= 250), "doc_id", "text",
+          known, expectedItems = 1000L)
+        .orderBy("id")
+    }),
+
+    "p_split" -> ((s, dir) =>
+      // deterministic 900/50/50 train/val/test assignment by id hash —
+      // membership is a pure function of doc_id, stable across corpus
+      // versions; the oracle replays the md5 bucket arithmetic
+      SampleOps.splitAssign(table(s, dir, "documents"), "doc_id",
+          Seq("train" -> 900, "val" -> 50, "test" -> 50))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")),
+
     "d_decontaminate" -> ((s, dir) => {
       // train/test decontamination: corpus docs sharing >= 0.5 n-gram
       // Jaccard with a reference (benchmark) set — here the first 50
@@ -1270,6 +1291,31 @@ object SparkEntry {
         |SELECT min(doc_id) AS id, fp FROM newb
         |WHERE fp NOT IN (SELECT fp FROM known)
         |GROUP BY fp ORDER BY id""".stripMargin,
+
+    // the Bloom sketch only routes rows to/around the exact join — the
+    // result is defined to be identical to the plain incremental dedup,
+    // so the oracle IS the plain incremental oracle
+    "d_dedup_incremental_bloom" ->
+      """WITH fp AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |known AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 250),
+        |newb AS (SELECT * FROM fp WHERE doc_id >= 250)
+        |SELECT min(doc_id) AS id, fp FROM newb
+        |WHERE fp NOT IN (SELECT fp FROM known)
+        |GROUP BY fp ORDER BY id""".stripMargin,
+
+    // same md5("split:"||id) % 1000 bucketing: [0,900) train,
+    // [900,950) val, [950,1000) test
+    "p_split" ->
+      """SELECT doc_id,
+        |       CASE WHEN b < 900 THEN 'train'
+        |            WHEN b < 950 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |             ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT % 1000 AS b
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "d_decontaminate" ->
       """WITH w AS (

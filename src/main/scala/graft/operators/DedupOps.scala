@@ -79,6 +79,42 @@ object DedupOps {
       .select("id", "fp")
 
   /**
+   * [[incrementalDeduplicate]] behind a Bloom pre-filter — the shape
+   * for a corpus whose fingerprint table is too large to anti-join
+   * every batch against in full. A Bloom filter over the accepted
+   * fingerprints (built distributed via `stat.bloomFilter`, living on
+   * the driver like any model artifact: ~1.2 GB at 10^9 fps / 1% fpp)
+   * splits the batch: mightContain=false docs are DEFINITELY new (no
+   * false negatives) and skip the join entirely; only the
+   * mightContain=true sliver — true duplicates plus the fpp share of
+   * the batch — pays the exact anti-join. The result is therefore
+   * BIT-IDENTICAL to [[incrementalDeduplicate]] (equivalence oracle
+   * `d_dedup_incremental_bloom`): the sketch only routes, it never
+   * decides membership.
+   *
+   * The filter is an explicit broadcast, NOT closure capture (contrast
+   * KMeansOps.cellsUdf): a corpus-sized Bloom is MBs-GBs, exactly what
+   * torrent broadcast exists for. One handle per call, scoped to the
+   * returned plan; per-batch streaming callers should build the filter
+   * once per compaction epoch, not per batch.
+   */
+  def incrementalDeduplicateBloom(newDocs: DataFrame, idCol: String, textCol: String,
+                                  knownFps: DataFrame, expectedItems: Long = 1000000L,
+                                  fpp: Double = 0.01): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val fpCol = knownFps.columns.head
+    val bloom = knownFps.stat.bloomFilter(col(fpCol), expectedItems, fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((fp: String) => fp != null && bloomB.value.mightContainString(fp))
+    val withFp = newDocs
+      .select(col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp"))
+    val survivors = withFp.filter(!mightContain(col("fp")))
+      .unionByName(withFp.filter(mightContain(col("fp")))
+        .join(knownFps.select(col(fpCol).as("fp")), Seq("fp"), "left_anti"))
+    survivors.groupBy("fp").agg(min(col("id")).as("id")).select("id", "fp")
+  }
+
+  /**
    * MinHash + LSH candidate pairs: k signatures banded into `bands` bands
    * of k/bands rows each; docs sharing any band bucket are candidates.
    * Output: distinct (id_a, id_b) with id_a < id_b.

@@ -155,6 +155,35 @@ object SampleOps {
   }
 
   /**
+   * Deterministic train/val/test assignment: every row lands in
+   * exactly one named split by its id's hash bucket (md5 of
+   * "split:<id>", mod 1000 — the same engine-portable generator as the
+   * sampling family, so DuckDB replays assignments bit-exactly and any
+   * rerun, on any engine, reproduces the identical split). `splits`
+   * are (name, permille) in order; buckets assign by cumulative range
+   * and must cover exactly 1000 so no row is silently dropped. A pure
+   * projection — no shuffle, scales like the scan, and membership is a
+   * function of the ID alone (adding documents later never moves an
+   * existing doc between splits — the property that keeps eval sets
+   * stable across corpus versions).
+   */
+  def splitAssign(docs: DataFrame, idCol: String,
+                  splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      s"split weights must be positive permille: $splits")
+    require(splits.map(_._2).sum == 1000,
+      s"split permille must sum to 1000, got ${splits.map(_._2).sum}: $splits")
+    val bucket = conv(substring(md5(concat(lit("split:"), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 1000
+    val assigned = splits.scanLeft(("", 0)) { case ((_, acc), (name, w)) => (name, acc + w) }
+      .sliding(2).map { case Seq((_, lo), (name, hi)) => (name, lo, hi) }.toSeq
+      .foldLeft(lit(null).cast("string")) { case (acc, (name, lo, hi)) =>
+        when(bucket >= lo && bucket < hi, name).otherwise(acc)
+      }
+    docs.withColumn("split", assigned)
+  }
+
+  /**
    * Corpus composition report: per stratum (e.g. source x language),
    * document count, total whitespace tokens, total characters, and mean
    * quality score — the numbers a mixture design ([[tokenBudgetMixture]]

@@ -350,6 +350,45 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tight == manual.filter(_._3 <= 5), "4/bucket at 500 docs -> 6 segments")
   }
 
+  test("splitAssign is deterministic, stable under corpus growth, and covers every row") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val splits = Seq("train" -> 900, "val" -> 50, "test" -> 50)
+    val a = SampleOps.splitAssign(docs, "doc_id", splits)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // covers every row, no nulls
+    assert(a.size == docs.count() && a.values.forall(s => Set("train", "val", "test")(s)))
+    // rough proportions (hash-uniform; 500 docs, generous tolerance)
+    val n = a.size.toDouble
+    assert(math.abs(a.values.count(_ == "train") / n - 0.9) < 0.06, s"train share off: $a")
+    // membership is a function of the id alone: computing the split on
+    // HALF the corpus assigns the same docs to the same splits
+    val b = SampleOps.splitAssign(docs.filter(col("doc_id") % 2 === 0), "doc_id", splits)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(b.forall { case (id, s) => a(id) == s })
+    // weight validation
+    intercept[IllegalArgumentException](
+      SampleOps.splitAssign(docs, "doc_id", Seq("a" -> 500, "b" -> 400)))
+    intercept[IllegalArgumentException](
+      SampleOps.splitAssign(docs, "doc_id", Seq("a" -> 1001, "b" -> -1)))
+  }
+
+  test("bloom-routed incremental dedup is bit-identical to the exact form") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+    val known = docs.filter(col("id") < 250)
+      .select(graft.operators.TextOps.fingerprint(col("text")).as("fp")).distinct()
+    val batch = docs.filter(col("id") >= 250)
+    val exact = DedupOps.incrementalDeduplicate(batch, "id", "text", known)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // generous and ABUSIVE sketch sizings: the sketch must never change
+    // the result, only how many rows pay the exact join
+    for ((items, fpp) <- Seq((1000L, 0.01), (10L, 0.5), (1000000L, 0.000001))) {
+      val bloom = DedupOps.incrementalDeduplicateBloom(batch, "id", "text", known, items, fpp)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(bloom == exact, s"items=$items fpp=$fpp diverged")
+    }
+  }
+
   test("mega-duplicate class: near-dup + clusters complete and label by minimum") {
     val ss = spark; import ss.implicits._
     // pathological corpus shape: one content class duplicated 400x (plus
