@@ -32,7 +32,13 @@ import graft.operators.{DedupOps, TextOps}
  *  2. anti-joined against the accepted corpus's fingerprints — the
  *     document exists-cache, the same per-batch anti-join scheme the
  *     metrics tables use (nothing already accepted is rescanned or
- *     re-admitted, even across restarts),
+ *     re-admitted, even across restarts). With `bloomExpectedItems`
+ *     set the check is BLOOM-ROUTED (the LSM shape): a filter over the
+ *     compacted history lets bloom-miss docs — no false negatives —
+ *     check only the small post-fence b-dir tail, and only true dups
+ *     plus the fpp share pay the full-history scan; the filter
+ *     rebuilds on cadence and with every compaction fold, and the
+ *     admitted set is identical with or without it,
  *  3. gated on quality ([[TextOps.qualityScore]] >= minQuality), on
  *     language when `langs` is non-empty ([[TextOps.langGuess]]), and
  *     on repetition when `maxTopWordFrac` is set
@@ -67,7 +73,13 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
                 // reject docs whose most frequent word exceeds this share
                 maxTopWordFrac: Option[Double] = None,
                 // scrub lines whose lifetime document frequency exceeds this
-                dedupLinesMaxDf: Option[Long] = None) {
+                dedupLinesMaxDf: Option[Long] = None,
+                // Bloom-route the exists-check (expected corpus fp count):
+                // most batch docs skip the corpus-history fp scan entirely
+                bloomExpectedItems: Option[Long] = None,
+                // rebuild cadence in batches (also rebuilds with every
+                // compaction — folds move history out of the b-dir tail)
+                bloomRebuildEvery: Int = 16) {
 
   private val inputSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -125,6 +137,75 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
         .select("kh", "df")
       catch { case _: org.apache.spark.sql.AnalysisException => emptyLineDf }
   }
+
+  /** (next uncovered batch id, filter): the filter covers every fp
+    * admitted in batches BELOW the fence, whatever dir (b or folded c)
+    * it lives in now. In-memory only — a restart rebuilds on cadence;
+    * until then the plain full anti-join runs, so correctness never
+    * depends on this state. */
+  @volatile private var bloomState: Option[(Long, org.apache.spark.util.sketch.BloomFilter)] = None
+
+  /** Ids of the live (unfolded) batch dirs. */
+  private def bDirIds(): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch=b"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("batch=b").toLong).toOption)
+  }
+
+  /** Fingerprints admitted since the bloom fence — the exact-join tail
+    * for bloom-miss docs. Always b-dirs: compaction only folds history
+    * the CURRENT bloom already covers (rebuild accompanies every fold). */
+  private def tailFps(fromBatch: Long, excludeBatch: Long): DataFrame = {
+    val ids = bDirIds().filter(id => id >= fromBatch && id != excludeBatch)
+    if (ids.isEmpty) emptyFps
+    else
+      try spark.read.parquet(ids.map(id => s"$corpusDir/batch=b$id"): _*).select("fp")
+      catch { case _: org.apache.spark.sql.AnalysisException => emptyFps }
+  }
+
+  /**
+   * The document exists-check, optionally Bloom-routed (the LSM shape):
+   * a filter over the compacted history splits the batch — bloom-miss
+   * docs are DEFINITELY absent from history (no false negatives) and
+   * only check the small post-fence tail; bloom-hit docs (true dups +
+   * the fpp share) pay the full-history anti-join. Without the filter
+   * (disabled, or first batches after a restart) every doc pays the
+   * full scan — the sketch only routes, so the admitted set is
+   * IDENTICAL either way (DocStreamSpec equivalence).
+   */
+  private def freshAgainstCorpus(candidates: DataFrame, batchId: Long): DataFrame =
+    bloomState match {
+      case Some((fence, bloom)) if bloomExpectedItems.isDefined =>
+        val bloomB = spark.sparkContext.broadcast(bloom)
+        val mc = udf((fp: String) => fp != null && bloomB.value.mightContainString(fp))
+        candidates.filter(mc(col("fp")))
+          .join(acceptedFps(batchId), Seq("fp"), "left_anti")
+          .unionByName(candidates.filter(!mc(col("fp")))
+            .join(tailFps(fence, batchId), Seq("fp"), "left_anti"))
+      case _ => candidates.join(acceptedFps(batchId), Seq("fp"), "left_anti")
+    }
+
+  /** Rebuild the routing filter over the WHOLE corpus as it exists now
+    * (including the batch just written — stale replay content only adds
+    * false positives, which route to the exact join and change
+    * nothing). Due on cadence, after any compaction attempt (folds move
+    * b-dirs out of the tail), and on first build. */
+  private def maybeRebuildBloom(batchId: Long, compactedThisBatch: Boolean): Unit =
+    bloomExpectedItems.foreach { items =>
+      val due = bloomState.isEmpty || compactedThisBatch ||
+        batchId + 1 - bloomState.get._1 >= bloomRebuildEvery
+      if (due) {
+        val all =
+          if (!tableExists(corpusDir)) emptyFps
+          else
+            try spark.read.parquet(corpusDir).select("fp")
+            catch { case _: org.apache.spark.sql.AnalysisException => emptyFps }
+        bloomState = Some((batchId + 1, all.stat.bloomFilter(col("fp"), items, 0.01)))
+      }
+    }
 
   private def emptyRawFps: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -191,8 +272,9 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
     val win = org.apache.spark.sql.expressions.Window.partitionBy(col("fp")).orderBy(col("doc_id"))
     val firstPerFp = withFp.withColumn("rn", row_number().over(win))
       .filter(col("rn") === 1).drop("rn")
-    // document exists-cache: anti-join accepted fingerprints
-    val fresh = firstPerFp.join(acceptedFps(batchId), Seq("fp"), "left_anti")
+    // document exists-cache: anti-join accepted fingerprints (Bloom-
+    // routed around the history scan when enabled)
+    val fresh = freshAgainstCorpus(firstPerFp, batchId)
       .withColumn("quality", TextOps.qualityScore(col("text")))
       .withColumn("lang_guess", TextOps.langGuess(col("text")))
       .cache()
@@ -215,7 +297,8 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
       // dirs below the current batch id are checkpoint-committed and
       // immutable — quiesce-free fold, failure tolerated (retried next
       // cycle; every fold is crash-safe at any interruption point)
-      if (compactEveryBatches.exists(m => m > 0 && batchId > 0 && batchId % m == 0))
+      val compacting = compactEveryBatches.exists(m => m > 0 && batchId > 0 && batchId % m == 0)
+      if (compacting)
         try {
           TableCompactor.onlineCompactAppend(spark, corpusDir, fence = batchId,
             sortCols = Seq("fp"))
@@ -233,6 +316,9 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
             org.slf4j.LoggerFactory.getLogger(getClass)
               .warn(s"corpus compaction failed at batch $batchId (will retry)", e)
         }
+      // rebuild AFTER any fold attempt: the new filter reads whatever
+      // layout exists now, so the tail invariant holds either way
+      maybeRebuildBloom(batchId, compacting)
     } finally fresh.unpersist()
   }
 

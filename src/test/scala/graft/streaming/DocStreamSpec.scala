@@ -219,6 +219,54 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cont(9L) == "gamma entirely new\ngamma second line" && cont.size == 3, s"$cont")
   }
 
+  test("doc stream: bloom-routed exists-check admits the same corpus as the exact path") {
+    // two identical feeds, one with bloom routing; maxFilesPerTrigger=1
+    // makes one batch per file, so several batches run INSIDE one
+    // DocStream instance and the in-memory filter actually routes. The
+    // feed hits every path: dup of COMPACTED in-bloom history (hit ->
+    // full join), dup of post-fence TAIL (miss -> tail join), fresh
+    // (miss, no tail hit). Phase 1 compacts so history folds into a
+    // c-dir; phase 2 disables compaction so the tail survives.
+    def feed(work: String, bloom: Boolean): Map[Long, String] = {
+      def mk(compact: Option[Int]) = new DocStream(spark, s"$work/drop", s"$work/corpus",
+        s"$work/ckpt", minQuality = 0L, maxFilesPerTrigger = Some(1),
+        compactEveryBatches = compact,
+        bloomExpectedItems = if (bloom) Some(1000L) else None, bloomRebuildEvery = 100)
+      // batch ORDER must be deterministic: the file source orders by
+      // modification time, and rapid writes tie — stamp each file with
+      // a strictly increasing mtime
+      var mtime = System.currentTimeMillis() - 60000
+      def drop(name: String, docs: Seq[(Long, String)]): Unit = {
+        jsonl(s"$work/drop", name, docs)
+        mtime += 2000
+        Files.setLastModifiedTime(Paths.get(s"$work/drop", name),
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      // phase 1: batches 0,1; compaction at b1 folds b0 into a c-dir
+      drop("a.jsonl", Seq(1L -> goodText("one"), 2L -> goodText("two")))
+      drop("b.jsonl", Seq(3L -> goodText("three")))
+      mk(Some(1)).runAvailableNow()
+      // phase 2, one instance: b2 (fallback, filter builds after it),
+      // b3 (routed; "ten" admitted PAST the fence), b4 (routed: dup of
+      // in-bloom "one" -> hit path, dup of tail "ten" -> miss path)
+      drop("c.jsonl", Seq(9L -> goodText("nine")))
+      drop("d.jsonl", Seq(10L -> goodText("ten")))
+      drop("e.jsonl", Seq(
+        4L -> goodText("one"), 5L -> goodText("ten"), 6L -> goodText("six")))
+      val s = mk(None)
+      s.runAvailableNow()
+      assert(s.lastBatchStats._4 == 2, s"both dups rejected as existing: ${s.lastBatchStats}")
+      s.accepted().select("doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val wb = Files.createTempDirectory("graft-docstream-bloom").toString
+    val bloomed = feed(wb, bloom = true)
+    val we = Files.createTempDirectory("graft-docstream-exact").toString
+    val exact = feed(we, bloom = false)
+    assert(bloomed == exact, s"bloom-routed corpus diverged:\n$bloomed\nvs\n$exact")
+    assert(bloomed.keySet == Set(1L, 2L, 3L, 9L, 10L, 6L))
+  }
+
   test("doc stream: language gate admits only listed languages") {
     val work = Files.createTempDirectory("graft-docstream-lang").toString
     val s = new DocStream(spark, s"$work/drop", s"$work/corpus", s"$work/ckpt",
