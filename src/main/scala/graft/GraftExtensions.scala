@@ -55,7 +55,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => RepetitionStatsExpr(args.head)))
     ext.injectFunction((FunctionIdentifier("text_stats"),
       info("text_stats",
-        "text_stats(text) - [len, n_words, n_stops, n_punct, en_hits, de_hits, es_hits]"),
+        "text_stats(text) - [len, n_words, n_stops, n_punct, en_hits, de_hits, es_hits, n_subwords]"),
       (args: Seq[Expression]) => TextStatsExpr(args.head)))
   }
 }

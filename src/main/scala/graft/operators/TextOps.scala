@@ -15,15 +15,28 @@ object TextOps {
   def words(text: Column): Column =
     filter(split(text, "\\s+"), w => w =!= "")
 
-  /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(words(text)).cast("long")
+  /** Whitespace token count — served by the [[TextStats]] kernel
+    * (word boundaries are whitespace, which lowercasing preserves, so
+    * the kernel's lowered-text word count is the raw-text word count;
+    * where a projection also computes quality/lang the kernel runs
+    * ONCE for all of them via subexpression elimination). */
+  def tokenCount(text: Column): Column = element_at(TextStats(text), 2)
+
+  /** Pre-kernel formulation (equivalence-test reference). */
+  private[graft] def tokenCountReference(text: Column): Column =
+    size(words(text)).cast("long")
 
   /**
    * BPE-ish subword token estimate: runs of letters, runs of digits, and
    * single punctuation marks each count as one token — the standard cheap
-   * proxy for byte-pair-encoded token counts.
+   * proxy for byte-pair-encoded token counts. Served by the
+   * [[TextStats]] kernel's state walk (value-identical to the regex
+   * count, equivalence-tested).
    */
-  def subwordCount(text: Column): Column =
+  def subwordCount(text: Column): Column = element_at(TextStats(text), 8)
+
+  /** Pre-kernel formulation (equivalence-test reference). */
+  private[graft] def subwordCountReference(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
 
   private val Stopwords = Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")

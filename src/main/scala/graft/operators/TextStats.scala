@@ -37,6 +37,11 @@ import org.apache.spark.unsafe.types.UTF8String
  *   [4] en_hits  — the/and/of/to/is
  *   [5] de_hits  — der/die/das/und/ist
  *   [6] es_hits  — el/la/los/de/es
+ *   [7] n_subwords — the BPE-ish estimate: letter runs, digit runs,
+ *       and every other code point one token each (the regex
+ *       `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` counted by the same state
+ *       walk: a non-ASCII code point both counts and breaks a run,
+ *       exactly like the regex's third alternative)
  */
 object TextStats {
 
@@ -56,22 +61,28 @@ object TextStats {
   @inline private def isSpace(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
 
-  @inline private def isAlnum(b: Byte): Boolean =
-    (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
-
   def stats(s: UTF8String): ArrayData = {
     // len + punct over the RAW text, per code point
     val rb = s.getBytes
     var len = 0L
     var nPunct = 0L
+    var nSub = 0L
+    var run = 0 // 0 none, 1 letter run, 2 digit run
     var j = 0
     while (j < rb.length) {
       val b = rb(j)
       if ((b & 0xc0) != 0x80) { // count lead bytes = code points
         len += 1
         if (b >= 0) { // ASCII
-          if (!isAlnum(b) && !isSpace(b)) nPunct += 1
-        } else nPunct += 1 // every non-ASCII code point matches [^A-Za-z0-9\s]
+          if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) {
+            if (run != 1) { nSub += 1; run = 1 }
+          } else if (b >= '0' && b <= '9') {
+            if (run != 2) { nSub += 1; run = 2 }
+          } else if (isSpace(b)) run = 0
+          else { nPunct += 1; nSub += 1; run = 0 }
+        } else { // every non-ASCII code point matches [^A-Za-z0-9\s]
+          nPunct += 1; nSub += 1; run = 0
+        }
       }
       j += 1
     }
@@ -101,7 +112,7 @@ object TextStats {
         }
       }
     }
-    new GenericArrayData(Array[Long](len, nWords, nStops, nPunct, en, de, es))
+    new GenericArrayData(Array[Long](len, nWords, nStops, nPunct, en, de, es, nSub))
   }
 
   def apply(text: Column): Column = {

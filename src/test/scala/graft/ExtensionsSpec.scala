@@ -54,8 +54,9 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
              text_stats('The cat, the dog!') AS ts
     """).head()
     assert(r.getSeq[Long](0) == Seq(6L, 2L, 4L, 2L, 2L, 1L), s"rep: ${r.getSeq[Long](0)}")
-    // 'the cat, the dog!': len 17, 4 words, 2 stops ('the' x2),
-    // 2 punct (comma, bang), en_hits 2, de/es 0
-    assert(r.getSeq[Long](1) == Seq(17L, 4L, 2L, 2L, 2L, 0L, 0L), s"ts: ${r.getSeq[Long](1)}")
+    // 'The cat, the dog!': len 17, 4 words, 2 stops ('the' x2),
+    // 2 punct (comma, bang), en_hits 2, de/es 0, 6 subwords
+    // (The|cat|,|the|dog|!)
+    assert(r.getSeq[Long](1) == Seq(17L, 4L, 2L, 2L, 2L, 0L, 0L, 6L), s"ts: ${r.getSeq[Long](1)}")
   }
 }

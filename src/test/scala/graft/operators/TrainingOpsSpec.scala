@@ -309,13 +309,21 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
           TextOps.qualityScoreReference(col("text")).as("q_ref"),
           TextOps.langGuess(col("text")).as("l_kernel"),
           TextOps.langGuessReference(col("text")).as("l_ref"),
-          col("text"))
+          col("text"),
+          TextOps.tokenCount(col("text")).as("t_kernel"),
+          TextOps.tokenCountReference(col("text")).as("t_ref"),
+          TextOps.subwordCount(col("text")).as("s_kernel"),
+          TextOps.subwordCountReference(col("text")).as("s_ref"))
         .collect()
       rows.foreach { r =>
         assert(r.getLong(0) == r.getLong(1),
           s"quality mismatch on '${r.getString(4).take(60)}': ${r.getLong(0)} vs ${r.getLong(1)}")
         assert(r.getString(2) == r.getString(3),
           s"lang mismatch on '${r.getString(4).take(60)}': ${r.getString(2)} vs ${r.getString(3)}")
+        assert(r.getLong(5) == r.getLong(6),
+          s"token-count mismatch on '${r.getString(4).take(60)}': ${r.getLong(5)} vs ${r.getLong(6)}")
+        assert(r.getLong(7) == r.getLong(8),
+          s"subword mismatch on '${r.getString(4).take(60)}': ${r.getLong(7)} vs ${r.getLong(8)}")
       }
     }
   }
