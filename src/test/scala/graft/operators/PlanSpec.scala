@@ -154,6 +154,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // window), plus the final sort's range exchange
     assert(shuffles("p_sample_stratified") <= 2, "stratified: one window shuffle + output sort")
     assert(shuffles("p_mixture") <= 2, "mixture: one window shuffle + output sort")
+    // split assignment is a pure projection: like p_sample, the only
+    // exchange allowed is the final orderBy's range partitioning —
+    // membership-by-id-hash must never shuffle the corpus
+    val split = SparkEntry.queries("p_split")(spark, sfDir).queryExecution.executedPlan
+    val splitHashEx = split.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(splitHashEx.isEmpty, "p_split must not hash-shuffle — it is a pure projection")
   }
 
   test("points storage layout prunes monthly partitions") {
