@@ -1864,9 +1864,10 @@ object SparkEntry {
         |  FROM (SELECT unnest(generate_series(0, 7)) AS c))""".stripMargin),
 
     // identical full-training replay, but k is PRICED from the corpus
-    // count exactly like KMeansOps.autoCells: k = greatest(8, n // 256)
+    // count exactly like KMeansOps.autoCells:
+    // k = least(65536, greatest(8, n // 256))
     "d_dedup_semantic_auto" -> semanticOracleSql(
-      """pick AS (SELECT greatest(8, count(*) // 256)::BIGINT AS k FROM embeddings),
+      """pick AS (SELECT least(65536, greatest(8, count(*) // 256))::BIGINT AS k FROM embeddings),
         |c0 AS (
         |  SELECT c, list_transform(generate_series(0, 63),
         |           d -> (('0x' || substr(md5('kmeans:' || c || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS cv

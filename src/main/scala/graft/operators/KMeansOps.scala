@@ -165,9 +165,18 @@ object KMeansOps {
    * also cost: training's mean-update shuffle produces k*dim rows and
    * assignment scans k centroids per vector — both linear in k, paid
    * to keep the quadratic term flat.
+   *
+   * `maxCells` caps k because centroids are DRIVER-SIDE model state
+   * (k x dim doubles: the default cap is 32 MB at dim=64, where an
+   * uncapped billion-vector corpus would demand ~2 GB) and assignment
+   * cost scans k centroids per vector. Past n = maxCells *
+   * targetCellSize (~17M vectors at the defaults) cell size grows
+   * beyond the target again — raise maxCells deliberately (pricing
+   * driver memory and the k-per-vector scan), or pre-partition the
+   * corpus and run per partition.
    */
-  def autoCells(n: Long, targetCellSize: Long = 256L): Int =
-    math.max(8L, n / targetCellSize).toInt
+  def autoCells(n: Long, targetCellSize: Long = 256L, maxCells: Int = 65536): Int =
+    math.min(maxCells.toLong, math.max(8L, n / targetCellSize)).toInt
 
   /**
    * [[semanticNearDuplicates]] with k priced from the corpus count via

@@ -252,7 +252,8 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     for ((n, bits) <- Seq(0L -> 6, 2000L -> 6, 8192L -> 6, 8193L -> 7,
         20000L -> 8, 200000L -> 11, 2000000L -> 14, 10000000000L -> 14))
       assert(SimilarityOps.autoBandBits(n) == bits, s"n=$n expected $bits bits")
-    for ((n, k) <- Seq(0L -> 8, 500L -> 8, 2048L -> 8, 20000L -> 78, 1000000L -> 3906))
+    for ((n, k) <- Seq(0L -> 8, 500L -> 8, 2048L -> 8, 20000L -> 78, 1000000L -> 3906,
+        20000000L -> 65536, 1000000000L -> 65536)) // driver-model cap binds
       assert(KMeansOps.autoCells(n) == k, s"n=$n expected $k cells")
   }
 
