@@ -63,6 +63,32 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MultimodalOps.parseHeader(bad).isEmpty)
   }
 
+  test("parseHeader handles progressive JPEG, EXIF APP1, and extended WAV fmt") {
+    // progressive JPEG: SOF2 (0xC2) is a frame header like SOF0
+    val sof2 = hx("FFD8 FFC20011 08 0040 0080 03 011100 021101 031101 FFD9")
+    assert(MultimodalOps.parseHeader(sof2)
+      .contains(MultimodalOps.MediaHeader("jpeg", 128, 64, 3, 0)))
+    // EXIF APP1 (odd length) before the SOF — skipped by length like APP0
+    val exif = hx("FFD8" +
+      "FFE1000B 457869660000 AABB CD" + // APP1 len 11
+      "FFC00011 08 0010 0020 01 011100 021101 031101" +
+      "FFD9")
+    assert(MultimodalOps.parseHeader(exif)
+      .contains(MultimodalOps.MediaHeader("jpeg", 32, 16, 1, 0)))
+    // DHT (0xC4) is NOT a frame header and must be skipped, not parsed
+    val dht = hx("FFD8 FFC40007 00 AABBCCDD" +
+      "FFC00011 08 0008 0009 03 011100 021101 031101 FFD9")
+    assert(MultimodalOps.parseHeader(dht)
+      .contains(MultimodalOps.MediaHeader("jpeg", 9, 8, 3, 0)))
+    // WAVE_FORMAT_EXTENSIBLE-style fmt with cbSize (chunk len 18): the
+    // channel/rate offsets are unchanged, the walk skips the extension
+    val wavExt = hx("52494646 2A000000 57415645" +
+      "666D7420 12000000 FFFE 0600 80BB0000 00DC0500 0C00 1800 0000" +
+      "64617461 00000000")
+    assert(MultimodalOps.parseHeader(wavExt)
+      .contains(MultimodalOps.MediaHeader("wav", 0, 0, 6, 48000)))
+  }
+
   test("parseHeader refuses truncated and junk input") {
     assert(MultimodalOps.parseHeader(null) === None)
     assert(MultimodalOps.parseHeader(Array.emptyByteArray) === None)
