@@ -143,7 +143,8 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
     * it lives in now. In-memory only — a restart rebuilds on cadence;
     * until then the plain full anti-join runs, so correctness never
     * depends on this state. */
-  @volatile private var bloomState: Option[(Long, org.apache.spark.util.sketch.BloomFilter)] = None
+  @volatile private var bloomState:
+    Option[(Long, org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])] = None
 
   /** Ids of the live (unfolded) batch dirs. */
   private def bDirIds(): Seq[Long] = {
@@ -178,8 +179,7 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
    */
   private def freshAgainstCorpus(candidates: DataFrame, batchId: Long): DataFrame =
     bloomState match {
-      case Some((fence, bloom)) if bloomExpectedItems.isDefined =>
-        val bloomB = spark.sparkContext.broadcast(bloom)
+      case Some((fence, bloomB)) if bloomExpectedItems.isDefined =>
         val mc = udf((fp: String) => fp != null && bloomB.value.mightContainString(fp))
         candidates.filter(mc(col("fp")))
           .join(acceptedFps(batchId), Seq("fp"), "left_anti")
@@ -203,7 +203,18 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
           else
             try spark.read.parquet(corpusDir).select("fp")
             catch { case _: org.apache.spark.sql.AnalysisException => emptyFps }
-        bloomState = Some((batchId + 1, all.stat.bloomFilter(col("fp"), items, 0.01)))
+        // ONE broadcast handle per filter generation, not per batch —
+        // the old generation is released once its last batch finished
+        // (unpersist, not destroy: a rebuild mid-batch on another
+        // thread cannot exist — foreachBatch is serial — but cheap
+        // safety costs nothing); a corpus-sized filter is exactly what
+        // torrent broadcast is for, unlike the closure-captured
+        // kilobyte codebooks (KMeansOps.cellsUdf rationale)
+        val next = spark.sparkContext.broadcast(
+          all.stat.bloomFilter(col("fp"), items, 0.01))
+        val old = bloomState.map(_._2)
+        bloomState = Some((batchId + 1, next))
+        old.foreach(_.unpersist(blocking = false))
       }
     }
 
