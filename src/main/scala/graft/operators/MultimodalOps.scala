@@ -212,6 +212,10 @@ object MultimodalOps {
           if (pos + 16 > b.length || size < 8) return None
           return Some(MediaHeader("wav", 0L, 0L, u16le(b, pos + 10), u32le(b, pos + 12)))
         }
+        // a declared size past the blob is malformed — and unguarded,
+        // a crafted u32 would overflow toInt negative and walk pos
+        // BACKWARD (an infinite loop on hostile input)
+        if (size > b.length) return None
         pos += 8 + size.toInt + (size.toInt & 1) // RIFF chunks are word-aligned
       }
       return None

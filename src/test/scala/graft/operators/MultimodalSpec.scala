@@ -98,6 +98,13 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MultimodalOps.parseHeader(hx("00112233445566778899")) === None)
     // SOI followed by a desynced (non-FF) byte stream
     assert(MultimodalOps.parseHeader(hx("FFD8 00 01 02 03 04 05 06 07 08 09")) === None)
+    // hostile RIFF: a chunk size of 0xFFFFFFFF overflows toInt negative
+    // — must refuse, not walk backward forever
+    assert(MultimodalOps.parseHeader(hx(
+      "52494646 24000000 57415645 4A554E4B FFFFFFFF 00" * 1)) === None)
+    // and a size that merely overruns the blob is refused too
+    assert(MultimodalOps.parseHeader(hx(
+      "52494646 24000000 57415645 4A554E4B 40000000 0000")) === None)
   }
 
   test("decodeMedia parses a mixed table in one pass, stub for unknown") {
