@@ -398,6 +398,13 @@ object SparkEntry {
       DedupOps.duplicateClusters(table(s, dir, "documents"), "doc_id", "text", minJaccard = 0.8)
         .orderBy("id")),
 
+    "d_canonical" -> ((s, dir) =>
+      // the retention policy on top: per cluster keep the HIGHEST-
+      // QUALITY member (tie -> smaller id), one row per cluster
+      DedupOps.canonicalPerCluster(table(s, dir, "documents"), "doc_id", "text",
+          minJaccard = 0.8)
+        .orderBy("cluster_id")),
+
     "d_dedup_incremental" -> ((s, dir) => {
       // new-batch dedup against the already-accepted corpus: docs
       // 0..249 are "accepted", 250+ arrive as the new batch; survivors
@@ -1281,6 +1288,67 @@ object SparkEntry {
         |  UNION
         |  SELECT rr.id, e.b FROM reach rr JOIN edges e ON e.a = rr.r)
         |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    // the clusters replay + the quality replay + per-cluster argmax
+    // (quality DESC, id ASC) — one row per cluster, singletons included
+    "d_canonical" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS wd
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(wd) < 3 THEN [array_to_string(wd, ' ')]
+        |         ELSE list_transform(generate_series(1, len(wd) - 2),
+        |                             i -> array_to_string(wd[i:i+2], ' ')) END)) AS sh
+        |  FROM w),
+        |mh AS (
+        |  SELECT doc_id, seed, min(md5(seed || ':' || sh)) AS mh
+        |  FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+        |  GROUP BY 1, 2),
+        |band AS (
+        |  SELECT doc_id, seed // 4 AS band,
+        |         string_agg(seed || '~' || mh, '|' ORDER BY seed || '~' || mh) AS bandval
+        |  FROM mh GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM band a JOIN band b ON a.band = b.band AND a.bandval = b.bandval
+        |                          AND a.doc_id < b.doc_id),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT id_a, id_b, count(*) AS inter
+        |  FROM cand JOIN sh a ON id_a = a.doc_id JOIN sh b ON id_b = b.doc_id AND a.sh = b.sh
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN n x ON id_a = x.doc_id JOIN n y ON id_b = y.doc_id
+        |  WHERE round(inter::DOUBLE / (x.n + y.n - inter), 4) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT rr.id, e.b FROM reach rr JOIN edges e ON e.a = rr.r),
+        |clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |qw AS (
+        |  SELECT doc_id, length(text)::BIGINT AS len,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS lw,
+        |         (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))::BIGINT AS np
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |       (400 * least(len, 500)) // 500
+        |     + CASE WHEN len(lw) = 0 THEN 0
+        |            ELSE (300 * least(len(list_filter(lw, x -> x IN ('the','a','an','of','to','and','in','is','on','for'))) * 5, len(lw))) // len(lw) END
+        |     + CASE WHEN len = 0 THEN 0 ELSE (300 * greatest(len - np * 5, 0)) // len END AS quality
+        |  FROM qw),
+        |ranked AS (
+        |  SELECT c.cluster_id, c.id, q.quality,
+        |         row_number() OVER (PARTITION BY c.cluster_id
+        |                            ORDER BY q.quality DESC, c.id ASC) AS rn,
+        |         count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+        |  FROM clusters c JOIN q ON c.id = q.doc_id)
+        |SELECT cluster_id, id AS canonical_id, quality, n_members
+        |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
     "d_dedup_incremental" ->
       """WITH fp AS (

@@ -445,6 +445,34 @@ object DedupOps {
   }
 
   /**
+   * Duplicate-cluster RETENTION POLICY: for every near-dup cluster keep
+   * the highest-QUALITY member ([[TextOps.qualityScore]]; ties to the
+   * smaller id), not the smallest id — dedup at training scale wants
+   * the best copy of each content class, not the first-crawled one.
+   * Output one row per cluster (singletons canonicalize themselves):
+   * (cluster_id, canonical_id, quality, n_members).
+   *
+   * Built on [[duplicateClusters]] (edges-sized propagation shuffles)
+   * plus one quality projection and one per-cluster argmax window —
+   * the window shuffles 20-byte label rows, never text.
+   */
+  def canonicalPerCluster(docs: DataFrame, idCol: String, textCol: String,
+                          minJaccard: Double, k: Int = 16, bands: Int = 4,
+                          w: Int = 3): DataFrame = {
+    val clusters = duplicateClusters(docs, idCol, textCol, minJaccard, k, bands, w)
+    val q = docs.select(col(idCol).as("id"), TextOps.qualityScore(col(textCol)).as("quality"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col("quality").desc, col("id").asc)
+    clusters.join(q, "id")
+      .withColumn("rn", row_number().over(win))
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("id").as("canonical_id"), col("quality"),
+        col("n_members"))
+  }
+
+  /**
    * Cross-corpus contamination pairs (train/test decontamination): for
    * every (corpus doc, reference doc) pair, the n-gram Jaccard over the
    * two shingle sets, kept when >= minJaccard. Same grouped-by-shingle

@@ -350,6 +350,27 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tight == manual.filter(_._3 <= 5), "4/bucket at 500 docs -> 6 segments")
   }
 
+  test("canonicalPerCluster keeps the best-quality member of every cluster") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+    val canon = DedupOps.canonicalPerCluster(docs, "id", "text", minJaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val clusters = DedupOps.duplicateClusters(docs, "id", "text", minJaccard = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val quality = docs.select(col("id"), graft.operators.TextOps.qualityScore(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one row per cluster, each member count right, canonical = argmax
+    // (quality desc, id asc) over the cluster's members
+    val byCluster = clusters.groupBy(_._2).map { case (c, ms) => c -> ms.map(_._1) }
+    assert(canon.length == byCluster.size)
+    canon.foreach { case (c, id, q, n) =>
+      val members = byCluster(c)
+      assert(members.length.toLong == n, s"cluster $c member count")
+      val best = members.minBy(m => (-quality(m), m))
+      assert(id == best && q == quality(best), s"cluster $c canonical")
+    }
+  }
+
   test("splitAssign is deterministic, stable under corpus growth, and covers every row") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val splits = Seq("train" -> 900, "val" -> 50, "test" -> 50)
