@@ -188,34 +188,61 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
       case _ => candidates.join(acceptedFps(batchId), Seq("fp"), "left_anti")
     }
 
+  /** Drop the routing filter (and its broadcast): the stream falls back
+    * to the plain full anti-join — always correct — until the next
+    * successful rebuild. Called whenever the in-memory fence can no
+    * longer be trusted against the on-disk layout: stream (re)start,
+    * a rebuild failure after a fold attempt, and a retroactive scrub
+    * (all three are ways admitted fps move where the old fence's
+    * routing would miss them — the no-false-negative invariant). */
+  private def resetBloomState(): Unit = {
+    val old = bloomState.map(_._2)
+    bloomState = None
+    old.foreach(_.unpersist(blocking = false))
+  }
+
   /** Rebuild the routing filter over the WHOLE corpus as it exists now
     * (including the batch just written — stale replay content only adds
     * false positives, which route to the exact join and change
     * nothing). Due on cadence, after any compaction attempt (folds move
-    * b-dirs out of the tail), and on first build. */
+    * b-dirs out of the tail), and on first build.
+    *
+    * A rebuild FAILURE clears the state instead of keeping the old
+    * filter: a fold this same batch may already have moved tail b-dirs
+    * the old fence relied on into c-dirs, and routing bloom-miss docs
+    * to a tail that no longer holds those fps would re-admit
+    * duplicates. No filter = full anti-join = correct, just slower
+    * until a later rebuild succeeds. */
   private def maybeRebuildBloom(batchId: Long, compactedThisBatch: Boolean): Unit =
     bloomExpectedItems.foreach { items =>
       val due = bloomState.isEmpty || compactedThisBatch ||
         batchId + 1 - bloomState.get._1 >= bloomRebuildEvery
-      if (due) {
-        val all =
-          if (!tableExists(corpusDir)) emptyFps
-          else
-            try spark.read.parquet(corpusDir).select("fp")
-            catch { case _: org.apache.spark.sql.AnalysisException => emptyFps }
-        // ONE broadcast handle per filter generation, not per batch —
-        // the old generation is released once its last batch finished
-        // (unpersist, not destroy: a rebuild mid-batch on another
-        // thread cannot exist — foreachBatch is serial — but cheap
-        // safety costs nothing); a corpus-sized filter is exactly what
-        // torrent broadcast is for, unlike the closure-captured
-        // kilobyte codebooks (KMeansOps.cellsUdf rationale)
-        val next = spark.sparkContext.broadcast(
-          all.stat.bloomFilter(col("fp"), items, 0.01))
-        val old = bloomState.map(_._2)
-        bloomState = Some((batchId + 1, next))
-        old.foreach(_.unpersist(blocking = false))
-      }
+      if (due)
+        try {
+          val all =
+            if (!tableExists(corpusDir)) emptyFps
+            else
+              try spark.read.parquet(corpusDir).select("fp")
+              catch { case _: org.apache.spark.sql.AnalysisException => emptyFps }
+          // ONE broadcast handle per filter generation, not per batch —
+          // the old generation is released once its last batch finished
+          // (unpersist, not destroy: a rebuild mid-batch on another
+          // thread cannot exist — foreachBatch is serial — but cheap
+          // safety costs nothing); a corpus-sized filter is exactly what
+          // torrent broadcast is for, unlike the closure-captured
+          // kilobyte codebooks (KMeansOps.cellsUdf rationale)
+          val next = spark.sparkContext.broadcast(
+            all.stat.bloomFilter(col("fp"), items, 0.01))
+          val old = bloomState.map(_._2)
+          bloomState = Some((batchId + 1, next))
+          old.foreach(_.unpersist(blocking = false))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            resetBloomState()
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"bloom rebuild failed at batch $batchId; routing " +
+                "disabled (full anti-join) until the next rebuild", e)
+        }
     }
 
   private def emptyRawFps: DataFrame =
@@ -333,15 +360,22 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
     } finally fresh.unpersist()
   }
 
-  def start(triggerMs: Long = 1000): StreamingQuery =
+  def start(triggerMs: Long = 1000): StreamingQuery = {
+    // a filter built in a previous run can be stale relative to what
+    // happened to the dirs since (external scrub, crashed rebuild) —
+    // restart from the always-correct full anti-join and rebuild on
+    // cadence (the ADVICE staleness case)
+    resetBloomState()
     source().writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch((df: DataFrame, id: Long) => processBatch(df, id))
       .start()
+  }
 
   /** Drain everything currently in the drop dir, then stop. */
   def runAvailableNow(): Unit = {
+    resetBloomState()
     val q = source().writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -365,13 +399,20 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
    * exactly for the lines this pass exists to remove.) A corpus with
    * no line-scrub state falls back to recomputing dfs from the
    * admitted docs — there the pass IS batch [[TextOps.dedupLines]].
-   * Then scrub every doc against the hot set, and
-   * rewrite ONLY the batch dirs that actually contain a scrubbed doc —
-   * each dir overwritten whole, the same per-dir idempotent-replay
-   * contract the stream's own writes use (a crash mid-rewrite is
-   * repaired by rerunning the pass). `fp`/`quality`/`lang_guess`
-   * recompute on the clean text so the stored invariants
-   * (fp = fingerprint(text)) hold for future exists-cache joins.
+   * Then a read-only pass over the corpus finds the
+   * batch dirs that actually contain a scrubbed doc (nothing
+   * materialized — only one stat row per dirty dir reaches the
+   * driver), and ONE dynamic-partition-overwrite write re-reads just
+   * those dirs (partition-pruned), re-scrubs them against the
+   * checkpointed hot set, and replaces exactly those `batch=`
+   * partitions. Each dir is still overwritten whole — the same per-dir
+   * idempotent-replay contract the stream's own writes use (a crash
+   * mid-rewrite is repaired by rerunning the pass) — but there is no
+   * corpus-sized materialization and no per-dir driver loop: at 100 TB
+   * the rewrite cost is sized by the DIRTY dirs, executed as one
+   * distributed job. `fp`/`quality`/`lang_guess` recompute on the
+   * clean text so the stored invariants (fp = fingerprint(text)) hold
+   * for future exists-cache joins.
    *
    * Idempotent: after a pass no admitted doc carries a hot line, so a
    * second pass (same hot set from `_linedf`, or nothing above the cap
@@ -397,25 +438,44 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
           .groupBy("kh").agg(count_distinct(col("id")).as("df"))
     val hot = dfs.filter(col("df") > maxDf)
       .select("kh")
-      .localCheckpoint() // reused per-dir below; sized by the hot set
+      .localCheckpoint() // reused by both scrub passes; sized by the hot set
     if (hot.isEmpty) return (0L, 0L)
+    // pass 1, read-only: which dirs hold a doc carrying a hot line, and
+    // the rewrite stats — one row PER DIRTY DIR reaches the driver,
+    // nothing corpus-sized is checkpointed or collected
     val scrub = TextOps.scrubLines(corpus, "doc_id", "text", hot)
       .withColumn("cut", col("n_lines") - col("kept_lines"))
-    val rewritten = corpus.join(
-        scrub.select(col("id").as("doc_id"), col("clean_text"), col("cut")), "doc_id")
-      .localCheckpoint() // one corpus pass; every dir rewrite reads from it
-    val dirty = rewritten.filter(col("cut") > 0)
-    val stats = dirty.agg(count(lit(1)), sum(col("cut"))).first()
-    val dirs = dirty.select("batch").distinct().collect().map(_.getString(0))
-    for (b <- dirs) {
-      rewritten.filter(col("batch") === b)
-        .select(col("doc_id"), col("clean_text").as("text"),
-          TextOps.fingerprint(col("clean_text")).as("fp"),
-          TextOps.qualityScore(col("clean_text")).as("quality"),
-          TextOps.langGuess(col("clean_text")).as("lang_guess"))
-        .write.mode("overwrite").parquet(s"$corpusDir/batch=$b")
-    }
-    (stats.getLong(0), if (stats.isNullAt(1)) 0L else stats.getLong(1))
+    val dirStats = scrub.filter(col("cut") > 0)
+      .join(corpus.select(col("doc_id").as("id"), col("batch")), "id")
+      .groupBy("batch")
+      .agg(count(lit(1)).as("docs"), sum(col("cut")).as("cut"))
+      .collect()
+    if (dirStats.isEmpty) return (0L, 0L)
+    val dirs = dirStats.map(_.getString(0)).toSeq
+    // pass 2, the write: re-read ONLY the dirty dirs (partition-pruned
+    // scan), re-scrub against the small checkpointed hot set, and
+    // replace exactly those batch= partitions in one dynamic-partition
+    // overwrite — clean dirs and the `_`-prefixed side tables are not
+    // touched, and a live stream's foreign batch dirs are invisible to
+    // the write (its partition set is the dirty set)
+    val dirtyCorpus = spark.read.parquet(corpusDir).filter(col("batch").isin(dirs: _*))
+    val cleaned = TextOps.scrubLines(dirtyCorpus, "doc_id", "text", hot)
+      .select(col("id").as("doc_id"), col("clean_text"))
+    dirtyCorpus.select("doc_id", "batch").join(cleaned, "doc_id")
+      .select(col("doc_id"), col("clean_text").as("text"),
+        TextOps.fingerprint(col("clean_text")).as("fp"),
+        TextOps.qualityScore(col("clean_text")).as("quality"),
+        TextOps.langGuess(col("clean_text")).as("lang_guess"),
+        col("batch"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(corpusDir)
+    // the rewrite changed stored fps; a live routing filter would call
+    // cleaned-content duplicates "definitely absent" (the ADVICE
+    // staleness case) — full anti-join until the next rebuild
+    resetBloomState()
+    (dirStats.map(_.getLong(1)).sum, dirStats.map(_.getLong(2)).sum)
   }
 
   private def emptyCorpus: DataFrame =
