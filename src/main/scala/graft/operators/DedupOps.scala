@@ -94,9 +94,15 @@ object DedupOps {
    *
    * The filter is an explicit broadcast, NOT closure capture (contrast
    * KMeansOps.cellsUdf): a corpus-sized Bloom is MBs-GBs, exactly what
-   * torrent broadcast exists for. One handle per call, scoped to the
-   * returned plan; per-batch streaming callers should build the filter
-   * once per compaction epoch, not per batch.
+   * torrent broadcast exists for. LIFECYCLE: this form builds the
+   * filter, EAGERLY materializes the (batch-sized) survivor set, and
+   * destroys the broadcast before returning — N calls in a loop hold
+   * at most one filter's worth of blocks at a time (the round-5
+   * VERDICT leak). The price is that the result is data, not a lazy
+   * plan; a long-lived caller that wants to amortize one filter across
+   * many lazy batch plans builds it once per compaction epoch and uses
+   * [[incrementalDeduplicateBloomWith]], owning the handle like
+   * DocStream's generation scheme does.
    */
   def incrementalDeduplicateBloom(newDocs: DataFrame, idCol: String, textCol: String,
                                   knownFps: DataFrame, expectedItems: Long = 1000000L,
@@ -105,6 +111,27 @@ object DedupOps {
     val fpCol = knownFps.columns.head
     val bloom = knownFps.stat.bloomFilter(col(fpCol), expectedItems, fpp)
     val bloomB = spark.sparkContext.broadcast(bloom)
+    // eager checkpoint = the plan is consumed HERE, batch-sized blocks;
+    // after it the filter has no remaining consumer and can be destroyed
+    try incrementalDeduplicateBloomWith(newDocs, idCol, textCol, knownFps, bloomB)
+      .localCheckpoint(true)
+    finally bloomB.destroy()
+  }
+
+  /**
+   * [[incrementalDeduplicateBloom]] with a CALLER-OWNED filter handle:
+   * returns the lazy routed plan and never touches the broadcast's
+   * lifecycle — build the filter once per compaction epoch, reuse it
+   * across every batch of the epoch, and unpersist/destroy it on
+   * rebuild (exactly [[graft.streaming.DocStream]]'s generation
+   * scheme). Result is bit-identical to [[incrementalDeduplicate]]:
+   * the sketch only routes, it never decides membership.
+   */
+  def incrementalDeduplicateBloomWith(newDocs: DataFrame, idCol: String, textCol: String,
+                                      knownFps: DataFrame,
+                                      bloomB: org.apache.spark.broadcast.Broadcast[
+                                        org.apache.spark.util.sketch.BloomFilter]): DataFrame = {
+    val fpCol = knownFps.columns.head
     val mightContain = udf((fp: String) => fp != null && bloomB.value.mightContainString(fp))
     val withFp = newDocs
       .select(col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp"))
@@ -285,21 +312,29 @@ object DedupOps {
    * Default: maxDist 9 -> 10 segments of 6 bits over the 60-bit hash.
    *
    * Scale knob: bucket density is ~n / 2^(60/(maxDist+1)), so candidate
-   * volume grows quadratically with corpus size at fixed maxDist —
-   * [[simhashPairsAuto]] derives the split from the corpus count so
-   * density (and thus per-doc candidate volume) stays constant; use it
-   * unless a specific Hamming bound is contractual. Or move to the
+   * volume grows quadratically with corpus size at fixed maxDist. The
+   * DEFAULT (maxDist not passed) therefore routes through the
+   * corpus-priced pick of [[simhashAutoSegments]] — the first API a
+   * user reaches is the one that survives a 100x corpus. Pass maxDist
+   * explicitly only when a specific Hamming bound is contractual
+   * (maxDist 9 = the historical fixed default); or move to the
    * minhash/LSH family whose band values are unbounded-cardinality
    * strings.
    */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxDist: Int = 9): DataFrame = {
-    val segments = maxDist + 1
-    require(60 % segments == 0, s"need segments ($segments) dividing 60")
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = -1): DataFrame = {
     // materialize the signatures ONCE: the relation is 16 bytes/doc (id
     // + 60-bit hash), so caching it is O(corpus-count), not O(text) —
     // without it each self-join side re-scans the corpus and re-runs the
     // md5-per-word kernel
     val sh = simhash(docs, idCol, textCol).localCheckpoint()
+    val segments =
+      if (maxDist < 0) simhashAutoSegments(sh.count())
+      else {
+        val s = maxDist + 1
+        require(60 % s == 0, s"need segments ($s) dividing 60")
+        s
+      }
     simhashPairsFromSigs(sh, segments)
   }
 

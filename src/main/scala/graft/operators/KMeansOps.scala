@@ -189,9 +189,16 @@ object KMeansOps {
     semanticNearDuplicates(corpus, idCol, vecCol, minCosine,
       k = autoCells(corpus.count(), targetCellSize), iters = iters, dim = dim)
 
+  /** Default (k not passed) routes through the corpus-priced cell count
+    * of [[autoCells]] — a plain call holds pair volume linear at any
+    * corpus size. Pass k explicitly (8 = the historical fixed default)
+    * only when a fixed clustering is contractual. */
   def semanticNearDuplicates(corpus: DataFrame, idCol: String, vecCol: String,
-                             minCosine: Double, k: Int = 8, iters: Int = 2,
+                             minCosine: Double, k: Int = -1, iters: Int = 2,
                              dim: Int = 64): DataFrame = {
+    if (k < 0)
+      return semanticNearDuplicatesAuto(corpus, idCol, vecCol, minCosine,
+        iters = iters, dim = dim)
     val centroids = train(corpus, vecCol, k, iters, dim)
     // assignments materialize ONCE (12 bytes/vector): both self-join
     // sides would otherwise re-run the assignment UDF over the corpus

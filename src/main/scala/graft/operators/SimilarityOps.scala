@@ -182,8 +182,14 @@ object SimilarityOps {
     cosineNearDuplicates(corpus, minCosine, nbits = bands * bits, bands = bands, dim = dim)
   }
 
+  /** Default (nbits not passed) routes through the corpus-priced band
+    * width of [[autoBandBits]] — the scale-safe path is the one a
+    * plain call reaches. Pass nbits explicitly (24 = the historical
+    * fixed default) only when a fixed banding is contractual. */
   def cosineNearDuplicates(corpus: DataFrame, minCosine: Double,
-                           nbits: Int = 24, bands: Int = 4, dim: Int = 64): DataFrame = {
+                           nbits: Int = -1, bands: Int = 4, dim: Int = 64): DataFrame = {
+    if (nbits < 0)
+      return cosineNearDuplicatesAuto(corpus, minCosine, bands = bands, dim = dim)
     require(nbits % bands == 0)
     // planes captured by closure (nbits x dim doubles — kilobytes): the
     // task binary is torrent-broadcast and stage-scoped, so no Broadcast

@@ -92,7 +92,7 @@ object BandPairsAB {
     time("minhash self-join (legacy)") {
       minhashJoin(docs, "doc_id", "text") }
     time("simhash self-join (shipped)") {
-      DedupOps.simhashPairs(docs, "doc_id", "text") }
+      DedupOps.simhashPairs(docs, "doc_id", "text", maxDist = 9) }
     time("simhash grouped (rejected)") {
       simhashGrouped(docs, "doc_id", "text") }
     spark.stop()

@@ -18,7 +18,7 @@ object CosineAB {
       .select(col("vec_id").as("id"), col("embedding"))
     for (i <- 1 to 3) {
       val t0 = System.nanoTime()
-      SimilarityOps.cosineNearDuplicates(e, 0.25).write.format("noop").mode("overwrite").save()
+      SimilarityOps.cosineNearDuplicates(e, 0.25, nbits = 24).write.format("noop").mode("overwrite").save()
       println(f"run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()

@@ -49,11 +49,11 @@ object ScaleCurve {
     run("exact", d => DedupOps.exactDuplicates(docs(d), "doc_id", "text"))
     run("minhash_cand", d => DedupOps.minhashCandidates(docs(d), "doc_id", "text"))
     run("neardup", d => DedupOps.nearDuplicates(docs(d), "doc_id", "text", 0.8))
-    run("simhash_pairs", d => DedupOps.simhashPairs(docs(d), "doc_id", "text"))
+    run("simhash_pairs", d => DedupOps.simhashPairs(docs(d), "doc_id", "text", maxDist = 9))
     run("simhash_auto", d => DedupOps.simhashPairsAuto(docs(d), "doc_id", "text"))
     run("jaccard_pairs", d => DedupOps.jaccardPairs(docs(d), "doc_id", "text", 0.8))
     run("clusters", d => DedupOps.duplicateClusters(docs(d), "doc_id", "text", 0.8))
-    run("cosine_neardup", d => SimilarityOps.cosineNearDuplicates(embs(d), 0.25))
+    run("cosine_neardup", d => SimilarityOps.cosineNearDuplicates(embs(d), 0.25, nbits = 24))
     run("cosine_auto", d => SimilarityOps.cosineNearDuplicatesAuto(embs(d), 0.25))
     run("semantic", d => KMeansOps.semanticNearDuplicates(embs(d), "id", "embedding", 0.25, 8, 2))
     run("semantic_auto", d => KMeansOps.semanticNearDuplicatesAuto(embs(d), "id", "embedding", 0.25))

@@ -343,6 +343,11 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val manual = DedupOps.simhashPairs(docs, "id", "text", maxDist = 9)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(auto == manual)
+    // the PLAIN call (no maxDist) routes through the auto pick — the
+    // scale-safe path is the default API (round-5 VERDICT #4)
+    val default = DedupOps.simhashPairs(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(default == auto)
     // a tighter density target drops it a regime: subset with the bound
     // (500 docs at 4/bucket: 64*4 < 500 <= 1024*4 -> 6 segments)
     val tight = DedupOps.simhashPairsAuto(docs, "id", "text", targetDensity = 4L)
@@ -408,6 +413,37 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => (r.getLong(0), r.getString(1))).toSet
       assert(bloom == exact, s"items=$items fpp=$fpp diverged")
     }
+  }
+
+  test("bloom-routed dedup releases its filter: no net broadcast growth across calls") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+    val known = docs.filter(col("id") < 250)
+      .select(graft.operators.TextOps.fingerprint(col("text")).as("fp")).distinct()
+    val batch = docs.filter(col("id") >= 250)
+    // a filter big enough that one leaked copy dominates task-binary
+    // noise: 4M items @1% ≈ 4.8 MB of bitset
+    val items = 4000000L
+    val filterBytes =
+      org.apache.spark.util.sketch.BloomFilter.create(items, 0.01).bitSize() / 8
+    assert(filterBytes > 4000000L)
+    // warm once so Spark's own lazy one-time broadcasts are counted in
+    // the baseline, then measure across repeated calls
+    DedupOps.incrementalDeduplicateBloom(batch, "id", "text", known, items, 0.01).count()
+    val (_, b0) = org.apache.spark.BroadcastProbe.broadcastBlocks(spark.sparkContext)
+    for (_ <- 1 to 4)
+      DedupOps.incrementalDeduplicateBloom(batch, "id", "text", known, items, 0.01).count()
+    // destroy(blocking=false) is async — poll instead of one-shot assert
+    var growth = Long.MaxValue
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (growth >= filterBytes && System.nanoTime() < deadline) {
+      growth = org.apache.spark.BroadcastProbe.broadcastBlocks(spark.sparkContext)._2 - b0
+      if (growth >= filterBytes) Thread.sleep(250)
+    }
+    // 4 leaked filters would be >= 4*filterBytes; released filters leave
+    // only sub-filter noise (task binaries from the extra jobs)
+    assert(growth < filterBytes,
+      s"broadcast bytes grew by $growth across 4 calls (one filter = $filterBytes)")
   }
 
   test("mega-duplicate class: near-dup + clusters complete and label by minimum") {

@@ -262,16 +262,24 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // so the auto operators must return byte-identical pairs
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding"))
-    val cosFixed = SimilarityOps.cosineNearDuplicates(e, 0.25)
+    val cosFixed = SimilarityOps.cosineNearDuplicates(e, 0.25, nbits = 24)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val cosAuto = SimilarityOps.cosineNearDuplicatesAuto(e, 0.25)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(cosAuto == cosFixed)
-    val semFixed = KMeansOps.semanticNearDuplicates(e, "id", "embedding", 0.25)
+    val semFixed = KMeansOps.semanticNearDuplicates(e, "id", "embedding", 0.25, k = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     val semAuto = KMeansOps.semanticNearDuplicatesAuto(e, "id", "embedding", 0.25)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(semAuto == semFixed)
+    // the PLAIN calls (no knob passed) now route through the autos —
+    // the scale-safe path is the default API (round-5 VERDICT #4)
+    val cosDefault = SimilarityOps.cosineNearDuplicates(e, 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cosDefault == cosAuto)
+    val semDefault = KMeansOps.semanticNearDuplicates(e, "id", "embedding", 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(semDefault == semAuto)
     // a forced tighter density changes the pick and every returned pair
     // still carries a verified sim >= threshold (banding only drops
     // candidates, never admits an unverified pair)
