@@ -451,9 +451,11 @@ object SparkEntry {
 
     "d_dedup_cosine" -> ((s, dir) => {
       // embedding-space near-dup: hyperplane-banded candidates, exact
-      // cosine verify — no cross join
+      // cosine verify — no cross join. nbits passed EXPLICITLY: this is
+      // the fixed-band contractual row; a plain call now routes to the
+      // corpus-priced auto (the d_dedup_cosine_auto row)
       val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
-      SimilarityOps.cosineNearDuplicates(e, minCosine = 0.25)
+      SimilarityOps.cosineNearDuplicates(e, minCosine = 0.25, nbits = 24)
         .orderBy("id_a", "id_b")
     }),
 
@@ -647,6 +649,27 @@ object SparkEntry {
         .orderBy("media_id", "frame_no")
     }),
 
+    "m_media_pixels" -> ((s, dir) => {
+      // REAL pixel-stage decode over planted PNGs — the planted-input
+      // technique one level deeper than m_media_decode: each %4!=3 doc
+      // becomes a genuine deflate-compressed 16x16 gray-8 PNG whose
+      // PIXELS are arithmetic in doc_id (pixel(i) = (doc_id*7+i*13)%256)
+      // with the scanline filter cycling (r+doc_id)%5, so the oracle's
+      // pixel-stat prediction only matches if inflate AND all five
+      // filter reversals are byte-exact. %4==3 docs get magic-less junk
+      // and must fall back to compressed-blob stats, decoded=false.
+      val buildPng = udf { (docId: Long) =>
+        val w = 16; val h = 16
+        val px = Array.tabulate(w * h)(i => ((docId * 7 + i * 13) % 256).toByte)
+        MultimodalOps.encodePngGray(px, w, h, r => ((r + docId) % 5).toInt)
+      }
+      val docs = table(s, dir, "documents").withColumn("blob",
+        when(col("doc_id") % 4 === 3, unhex(unknownHex))
+          .otherwise(buildPng(col("doc_id"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+      MultimodalOps.pixelFeatures(media).orderBy("media_id")
+    }),
+
     "d_dedup_lines" -> ((s, dir) => {
       // CCNet-style line dedup: the corpus is single-line word soup, so
       // lines are synthesized deterministically as 6-word windows (the
@@ -719,6 +742,25 @@ object SparkEntry {
       val e = table(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding"), col("label"))
       SimilarityOps.knnClassify(e.filter(col("id") < 25), e, k = 5)
+        .orderBy("query_id")
+    }),
+
+    "s_label_knn_lsh" -> ((s, dir) => {
+      // the strategy knob end-to-end: neighbors from LSH band collisions
+      // (the s_ann_lsh candidate math) feeding the same voting aggregate
+      // — the corpus-scale labeling path, oracle-checked like the exact one
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"), col("label"))
+      SimilarityOps.knnClassify(e.filter(col("id") < 25), e, k = 5, strategy = "lsh")
+        .orderBy("query_id")
+    }),
+
+    "s_label_knn_ivf_trained" -> ((s, dir) => {
+      // strategy = trained-codebook IVF: the s_ann_ivf_trained probe math
+      // (2 Lloyd rounds, quantized means) feeding the voting aggregate
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"), col("label"))
+      SimilarityOps.knnClassify(e.filter(col("id") < 25), e, k = 5, strategy = "ivf-trained")
         .orderBy("query_id")
     }),
 
@@ -1802,6 +1844,36 @@ object SparkEntry {
         |       list_max(bytes) AS max_byte
         |FROM b ORDER BY media_id""".stripMargin,
 
+    // pixel stats predicted from the SAME arithmetic that generated the
+    // planted pixels — no codec in the oracle: if Spark's inflate or any
+    // of the five filter reversals is off by one byte, the stats diverge.
+    // Junk rows (%4==3) replay the 17-byte 0x00+md5 blob distribution.
+    "m_media_pixels" ->
+      """WITH png AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 255), i -> (doc_id * 7 + i * 13) % 256) AS p
+        |  FROM documents WHERE doc_id % 4 <> 3),
+        |junk AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 16),
+        |           i -> CASE WHEN i = 0 THEN 0
+        |                     ELSE ('0x' || substr(upper(md5(text)), (i - 1) * 2 + 1, 2))::BIGINT END) AS b
+        |  FROM documents WHERE doc_id % 4 = 3)
+        |SELECT doc_id AS media_id, 'png' AS format, true AS decoded,
+        |       256::BIGINT AS n_vals,
+        |       ((list_sum(p) * 1000) // 256)::BIGINT AS mean_milli,
+        |       len(list_distinct(p))::BIGINT AS distinct_vals,
+        |       list_max(p)::BIGINT AS max_val
+        |FROM png
+        |UNION ALL
+        |SELECT doc_id AS media_id, 'unknown' AS format, false AS decoded,
+        |       17::BIGINT AS n_vals,
+        |       ((list_sum(b) * 1000) // 17)::BIGINT AS mean_milli,
+        |       len(list_distinct(b))::BIGINT AS distinct_vals,
+        |       list_max(b)::BIGINT AS max_val
+        |FROM junk
+        |ORDER BY media_id""".stripMargin,
+
     // blob = unhex(md5(text)) is always 16 bytes; chunkBytes=4 -> chunks
     // 0..3, everyNth=2 keeps 0 and 2, each fully inside the blob -> len 4.
     "m_media_frames" ->
@@ -1934,12 +2006,16 @@ object SparkEntry {
     // identical full-training replay, but k is PRICED from the corpus
     // count exactly like KMeansOps.autoCells:
     // k = least(65536, greatest(8, n // 256))
+    // The init-cell series runs to 65535 — the FULL autoCells cap — so
+    // the oracle replays any k the pick can produce (above ~1.05M
+    // embeddings the pick passes 4096 cells; a shorter series would
+    // silently train the oracle on fewer cells — round-5 ADVICE)
     "d_dedup_semantic_auto" -> semanticOracleSql(
       """pick AS (SELECT least(65536, greatest(8, count(*) // 256))::BIGINT AS k FROM embeddings),
         |c0 AS (
         |  SELECT c, list_transform(generate_series(0, 63),
         |           d -> (('0x' || substr(md5('kmeans:' || c || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS cv
-        |  FROM pick, (SELECT unnest(generate_series(0, 4095)) AS c) cc WHERE c < k)""".stripMargin),
+        |  FROM pick, (SELECT unnest(generate_series(0, 65535)) AS c) cc WHERE c < k)""".stripMargin),
 
     // the s_ann_ivf oracle with the codebook REPLACED by the same 2-round
     // trained centroids as d_dedup_semantic (k=16, salt 'kmeans')
@@ -2055,6 +2131,131 @@ object SparkEntry {
         |  FROM scored),
         |votes AS (SELECT query_id, label, count(*) AS votes
         |          FROM ranked WHERE rank <= 5 GROUP BY 1, 2),
+        |best AS (SELECT query_id, label, votes,
+        |                row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rn
+        |         FROM votes)
+        |SELECT query_id, label AS predicted_label, votes
+        |FROM best WHERE rn = 1 ORDER BY query_id""".stripMargin,
+
+    // the s_ann_lsh candidate/re-rank chain (same planes, bands, cosine)
+    // composed with s_label_knn's voting tail — pins knnClassify's "lsh"
+    // strategy end-to-end
+    "s_label_knn_lsh" ->
+      """WITH planes AS (
+        |  SELECT b, list_transform(generate_series(0, 63),
+        |           d -> (('0x' || substr(md5('plane:' || b || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS pl
+        |  FROM (SELECT unnest(generate_series(0, 23)) AS b)),
+        |sig AS (
+        |  SELECT vec_id,
+        |         sum(CASE WHEN list_sum(list_transform(range(1, 65),
+        |               i -> pl[i] * embedding[i]::DOUBLE)) > 0
+        |             THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sig
+        |  FROM embeddings, planes GROUP BY 1),
+        |banded AS (
+        |  SELECT vec_id, band, (sig >> (band * 3)) & 7 AS bandval
+        |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) bb),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM banded q JOIN banded c ON q.band = c.band AND q.bandval = c.bandval
+        |  WHERE q.vec_id < 25 AND q.vec_id <> c.vec_id),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * qe.embedding[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)))), 6) AS sim
+        |  FROM cand JOIN embeddings qe ON query_id = qe.vec_id
+        |            JOIN embeddings ce ON neighbor_id = ce.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored),
+        |votes AS (
+        |  SELECT query_id, e.label, count(*) AS votes
+        |  FROM ranked JOIN embeddings e ON neighbor_id = e.vec_id
+        |  WHERE rank <= 5 GROUP BY 1, 2),
+        |best AS (SELECT query_id, label, votes,
+        |                row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rn
+        |         FROM votes)
+        |SELECT query_id, label AS predicted_label, votes
+        |FROM best WHERE rn = 1 ORDER BY query_id""".stripMargin,
+
+    // the s_ann_ivf_trained probe chain (2 Lloyd rounds, quantized means)
+    // composed with the same voting tail — pins the "ivf-trained" strategy
+    "s_label_knn_ivf_trained" ->
+      """WITH c0 AS (
+        |  SELECT c, list_transform(generate_series(0, 63),
+        |           d -> (('0x' || substr(md5('kmeans:' || c || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS cv
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS c)),
+        |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |s0 AS (
+        |  SELECT vec_id, c,
+        |         list_sum(list_transform(range(1, 65), i -> cv[i] * embedding[i]::DOUBLE)) /
+        |         (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) *
+        |          sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS s
+        |  FROM embeddings, c0),
+        |a0 AS (SELECT vec_id, c AS cell FROM (
+        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+        |         FROM s0) z WHERE rn = 1),
+        |m1 AS (
+        |  SELECT a0.cell, dims.i,
+        |         sum(floor(e.embedding[dims.i]::DOUBLE * 10000000.0 + 0.5))::BIGINT AS sq,
+        |         count(*) AS n
+        |  FROM a0, embeddings e, dims WHERE a0.vec_id = e.vec_id
+        |  GROUP BY 1, 2),
+        |c1m AS (SELECT cell AS c, list(sq::DOUBLE / (n::DOUBLE * 10000000.0) ORDER BY i) AS cv
+        |        FROM m1 GROUP BY 1),
+        |c1 AS (SELECT c0.c, coalesce(c1m.cv, c0.cv) AS cv FROM c0 LEFT JOIN c1m USING (c)),
+        |s1 AS (
+        |  SELECT vec_id, c,
+        |         list_sum(list_transform(range(1, 65), i -> cv[i] * embedding[i]::DOUBLE)) /
+        |         (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) *
+        |          sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS s
+        |  FROM embeddings, c1),
+        |a1 AS (SELECT vec_id, c AS cell FROM (
+        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+        |         FROM s1) z WHERE rn = 1),
+        |m2 AS (
+        |  SELECT a1.cell, dims.i,
+        |         sum(floor(e.embedding[dims.i]::DOUBLE * 10000000.0 + 0.5))::BIGINT AS sq,
+        |         count(*) AS n
+        |  FROM a1, embeddings e, dims WHERE a1.vec_id = e.vec_id
+        |  GROUP BY 1, 2),
+        |c2m AS (SELECT cell AS c, list(sq::DOUBLE / (n::DOUBLE * 10000000.0) ORDER BY i) AS cv
+        |        FROM m2 GROUP BY 1),
+        |c2 AS (SELECT c1.c, coalesce(c2m.cv, c1.cv) AS cv FROM c1 LEFT JOIN c2m USING (c)),
+        |s2 AS (
+        |  SELECT vec_id, c,
+        |         list_sum(list_transform(range(1, 65), i -> cv[i] * embedding[i]::DOUBLE)) /
+        |         (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) *
+        |          sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS s
+        |  FROM embeddings, c2),
+        |ranked_cells AS (
+        |  SELECT vec_id, c,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS crank
+        |  FROM s2),
+        |assign AS (SELECT vec_id, c AS cell FROM ranked_cells WHERE crank = 1),
+        |probes AS (SELECT vec_id, c AS cell FROM ranked_cells WHERE crank <= 6 AND vec_id < 25),
+        |cand AS (
+        |  SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+        |  FROM probes p JOIN assign a ON p.cell = a.cell
+        |  WHERE p.vec_id <> a.vec_id),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * qe.embedding[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)))), 6) AS sim
+        |  FROM cand JOIN embeddings qe ON query_id = qe.vec_id
+        |            JOIN embeddings ce ON neighbor_id = ce.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored),
+        |votes AS (
+        |  SELECT query_id, e.label, count(*) AS votes
+        |  FROM ranked JOIN embeddings e ON neighbor_id = e.vec_id
+        |  WHERE rank <= 5 GROUP BY 1, 2),
         |best AS (SELECT query_id, label, votes,
         |                row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rn
         |         FROM votes)

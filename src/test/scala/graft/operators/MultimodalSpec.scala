@@ -87,6 +87,87 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       "64617461 00000000")
     assert(MultimodalOps.parseHeader(wavExt)
       .contains(MultimodalOps.MediaHeader("wav", 0, 0, 6, 48000)))
+    // T.81 B.1.1.2 fill bytes: any number of 0xFF padding bytes before
+    // a marker code are legal — the walk must consume them, not read
+    // the second 0xFF as a marker with a bogus length (round-5 ADVICE)
+    val padded = hx("FFD8 FFFFFF" + // two fill bytes before APP0's FF
+      "FFE00010 4A46494600 0101 00 0001 0001 00 00" +
+      "FFFF" +                      // one fill byte before SOF0's FF
+      "FFC00011 08 0100 0180 03 011100 021101 031101 FFD9")
+    assert(MultimodalOps.parseHeader(padded)
+      .contains(MultimodalOps.MediaHeader("jpeg", 384, 256, 3, 0)))
+  }
+
+  test("decodePngPixels round-trips the encoder across all five filters") {
+    // deterministic gradient-ish pixels stress every predictor: Sub
+    // (left), Up, Average, Paeth all see non-trivial neighbors
+    val w = 23; val h = 17 // deliberately not a power of two
+    val px = Array.tabulate(w * h)(i => ((i * 31 + 7) % 256).toByte)
+    for (f <- 0 to 4) {
+      val png = MultimodalOps.encodePngGray(px, w, h, _ => f)
+      val got = MultimodalOps.decodePngPixels(png)
+      assert(got.exists(_.sameElements(px)), s"filter $f did not round-trip")
+    }
+    // per-row cycling filters (what the m_media_pixels planting does)
+    val mixed = MultimodalOps.encodePngGray(px, w, h, r => r % 5)
+    assert(MultimodalOps.decodePngPixels(mixed).exists(_.sameElements(px)))
+    // the decoded stream also still header-parses like any PNG
+    assert(MultimodalOps.parseHeader(mixed)
+      .contains(MultimodalOps.MediaHeader("png", w, h, 1, 0)))
+  }
+
+  test("decodePngPixels refuses hostile and corrupt streams") {
+    val w = 8; val h = 8
+    val px = Array.tabulate(w * h)(_.toByte)
+    val good = MultimodalOps.encodePngGray(px, w, h, _ => 0)
+    assert(MultimodalOps.decodePngPixels(good).isDefined)
+    // truncated IDAT: cut the blob mid-chunk — inflate must starve, not hang
+    assert(MultimodalOps.decodePngPixels(good.take(good.length - 20)) === None)
+    // bad filter byte: corrupt the raw stream by re-encoding with an
+    // undefined type via direct byte surgery on the inflated stream —
+    // simplest equivalent: deflate a raw stream whose first byte is 9
+    val raw = new Array[Byte](h * (w + 1))
+    raw(0) = 9 // undefined filter type
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) zout.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val crc = new java.util.zip.CRC32()
+    val bos = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(t: String, d: Array[Byte]): Unit = {
+      bos.write(be32(d.length.toLong), 0, 4)
+      val tb = t.getBytes("US-ASCII")
+      crc.reset(); crc.update(tb); crc.update(d)
+      bos.write(tb, 0, 4); bos.write(d, 0, d.length); bos.write(be32(crc.getValue), 0, 4)
+    }
+    bos.write(hx("89504E470D0A1A0A"), 0, 8)
+    chunk("IHDR", be32(w.toLong) ++ be32(h.toLong) ++ Array[Byte](8, 0, 0, 0, 0))
+    chunk("IDAT", zout.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    assert(MultimodalOps.decodePngPixels(bos.toByteArray) === None)
+    // hostile IHDR dims: a 65535x65535 gray claim must refuse on the
+    // inflate-target cap, never allocate 4 GB
+    val big = good.clone()
+    big(16) = 0; big(17) = 0; big(18) = 0xff.toByte; big(19) = 0xff.toByte
+    big(20) = 0; big(21) = 0; big(22) = 0xff.toByte; big(23) = 0xff.toByte
+    assert(MultimodalOps.decodePngPixels(big) === None)
+    // hostile chunk length: 0xFFFFFFFF must refuse, not walk backward
+    val hostile = good.clone()
+    hostile(33) = 0xff.toByte; hostile(34) = 0xff.toByte
+    hostile(35) = 0xff.toByte; hostile(36) = 0xff.toByte
+    assert(MultimodalOps.decodePngPixels(hostile) === None)
+    // interlaced (Adam7) and 16-bit depth are out of scope — refuse
+    val adam7 = good.clone(); adam7(28) = 1
+    assert(MultimodalOps.decodePngPixels(adam7) === None)
+    val deep = good.clone(); deep(24) = 16
+    assert(MultimodalOps.decodePngPixels(deep) === None)
+    // JPEG and junk fall through to None (the pixelFeatures fallback)
+    assert(MultimodalOps.decodePngPixels(jpeg) === None)
+    assert(MultimodalOps.decodePngPixels(null) === None)
   }
 
   test("parseHeader refuses truncated and junk input") {
