@@ -46,6 +46,77 @@ class IngestScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     w.close()
   }
 
+  test("DocStream long-haul soak: 300 batches of compaction+bloom+scrub stay bounded") {
+    // the time-axis scale test the per-query bench never exercises:
+    // drive processBatch directly (the foreachBatch layer is covered by
+    // DocStreamSpec's real-stream cases) for 300 micro-batches with
+    // online compaction, bloom-routed exists-checks with generation
+    // rebuilds, and the streaming line scrub all enabled, then assert
+    // the three boundedness properties a week-long stream depends on
+    val work = Files.createTempDirectory("graft-doc-soak").toString
+    val ds = new DocStream(spark, s"$work/drop", s"$work/corpus", s"$work/ckpt",
+      minQuality = 0L, compactEveryBatches = Some(8),
+      dedupLinesMaxDf = Some(2), bloomExpectedItems = Some(2000000L),
+      bloomRebuildEvery = 16)
+    val boiler = "subscribe to our newsletter for daily updates"
+    def batchDf(b: Long) = {
+      val fresh = (0 until 5).map { i =>
+        (b * 100 + i, s"unique content words $b $i alpha beta gamma delta\n$boiler")
+      }
+      // every later batch re-sends one earlier doc's raw content — the
+      // bloom-hit path must keep rejecting it across all 300 batches
+      val replay = if (b > 0)
+        Seq((b * 100 + 99, s"unique content words ${b - 1} 0 alpha beta gamma delta\n$boiler"))
+      else Nil
+      spark.createDataFrame(fresh ++ replay).toDF("doc_id", "text")
+    }
+    val times = new Array[Double](300)
+    for (b <- 0 until 300) {
+      val t0 = System.nanoTime()
+      ds.processBatch(batchDf(b), b)
+      times(b) = (System.nanoTime() - t0) / 1e9
+    }
+    // correctness across the whole run: every fresh doc admitted once,
+    // every replay rejected, boilerplate scrubbed everywhere
+    val acc = ds.accepted()
+    assert(acc.count() == 1500L, "5 fresh docs per batch, replays rejected")
+    assert(acc.filter(col("text").contains("newsletter")).count() == 0L,
+      "hot boilerplate line scrubbed from every admitted doc")
+    val (_, admitted, _, dupExisting, _, _) = ds.lastBatchStats
+    assert((admitted, dupExisting) == ((5L, 1L)), s"final batch stats: ${ds.lastBatchStats}")
+    // bounded file counts: compaction folds every table, so dir counts
+    // must stay far below the 300 batches written
+    def dirCount(path: String): Int = {
+      val f = new java.io.File(path)
+      if (!f.exists()) 0
+      else f.listFiles().count(d => d.isDirectory && d.getName.startsWith("batch="))
+    }
+    assert(dirCount(s"$work/corpus") < 40,
+      s"corpus dirs unbounded: ${dirCount(s"$work/corpus")}")
+    assert(dirCount(s"$work/corpus/_linedf") < 40,
+      s"_linedf dirs unbounded: ${dirCount(s"$work/corpus/_linedf")}")
+    assert(dirCount(s"$work/corpus/_rawfps") < 40,
+      s"_rawfps dirs unbounded: ${dirCount(s"$work/corpus/_rawfps")}")
+    // bounded broadcast blocks: ~19 bloom generations were built (every
+    // 16 batches plus every fold); the generation scheme unpersists each
+    // predecessor, so at most the LIVE filter (plus one mid-release
+    // straggler) may remain in the filter's size class (>= 1 MB — task
+    // binaries are KBs, a 2M-item filter is ~2.3 MB)
+    val bigBlocks = org.apache.spark.BroadcastProbe
+      .largeBroadcastCount(spark.sparkContext, 1024 * 1024)
+    assert(bigBlocks <= 2, s"bloom generations leaked: $bigBlocks blocks >= 1 MB")
+    // flat per-batch latency: the late-run median must not drift away
+    // from the early-run median (compaction/rebuild spikes are absorbed
+    // by the median; 3x covers host noise, a linear drift would blow it)
+    def median(xs: Array[Double]): Double = {
+      val s = xs.sorted; s(s.length / 2)
+    }
+    val early = median(times.slice(20, 100))
+    val late = median(times.slice(220, 300))
+    assert(late < early * 3.0,
+      f"per-batch latency drifted: early median $early%.3f s, late median $late%.3f s")
+  }
+
   test("exists-cache TTL: expired series re-emitted once, absorbed by LWW view") {
     val (ingest, work) = freshIngest(ttlDays = 1)
     val lines = Seq("a.b.metric 1.0 1625478240", "c.d.metric 2.0 1625478240")
