@@ -195,9 +195,21 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(before(1L) == s"alpha body\n$footer", "doc 1 dirty before the retro pass")
     assert(before(2L) == "beta body\nbeta end", "doc 2 scrubbed forward")
-    // the retro pass rewrites exactly doc 1's dir
+    // the retro pass rewrites exactly doc 1's dir — the CLEAN dir's
+    // data files must be physically untouched (the scale property: the
+    // one partitioned write covers only dirty batch= partitions, no
+    // corpus-wide rewrite)
+    def dirFiles(name: String): Map[String, Long] = {
+      val d = new java.io.File(s"$work/corpus/$name")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val cleanBefore = dirFiles("batch=b1") // doc 2's dir (batch ids: 0, 1)
     val s3 = stream()
     assert(s3.retroScrubLines(1L) == ((1L, 1L)))
+    assert(dirFiles("batch=b1") == cleanBefore,
+      "clean dir rewritten — the retro pass must touch only dirty partitions")
     val after = s3.accepted().select("doc_id", "text", "fp", "quality")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
     val afterMap = after.map(t => t._1 -> t._2).toMap
