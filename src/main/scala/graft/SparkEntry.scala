@@ -670,6 +670,58 @@ object SparkEntry {
       MultimodalOps.pixelFeatures(media).orderBy("media_id")
     }),
 
+    "m_media_samples" -> ((s, dir) => {
+      // REAL sample-stage decode over planted WAVs — the m_media_pixels
+      // technique for audio (PCM needs no codec, so this stage is fully
+      // real): %4==0 docs carry mono 16-bit PCM, %4==1 mono 8-bit,
+      // %4==2 stereo 16-bit (same interleaved stream), all 48 samples
+      // arithmetic in doc_id, so the oracle's signed-sample stats
+      // (floor mean, |peak|, zero crossings) only match if the RIFF
+      // walk, the fmt dispatch and both sample widths are byte-exact.
+      // %4==3 docs get magic-less junk and must fall back to unsigned
+      // compressed-byte stats, decoded=false.
+      val buildWav = udf { (docId: Long) =>
+        val m = docId % 4
+        if (m == 1L) {
+          val s8 = Array.tabulate(48)(i => (((docId * 31 + i * 17) % 256) - 128).toInt)
+          MultimodalOps.encodeWavPcm(s8, bits = 8, channels = 1, sampleRate = 8000)
+        } else {
+          val s16 = Array.tabulate(48)(i => (((docId * 31 + i * 17) % 65536) - 32768).toInt)
+          MultimodalOps.encodeWavPcm(s16, bits = 16,
+            channels = if (m == 2L) 2 else 1, sampleRate = 16000)
+        }
+      }
+      val docs = table(s, dir, "documents").withColumn("blob",
+        when(col("doc_id") % 4 === 3, unhex(unknownHex)).otherwise(buildWav(col("doc_id"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+      MultimodalOps.sampleFeatures(media).orderBy("media_id")
+    }),
+
+    "m_media_pixels_jpeg" -> ((s, dir) => {
+      // REAL baseline-JPEG pixel decode over planted JPEGs — the
+      // m_media_pixels technique through the pure-JVM Huffman+IDCT
+      // path: each %4!=3 doc becomes a genuine 16x16 grayscale baseline
+      // JPEG of four flat 8x8 blocks whose values are arithmetic in
+      // doc_id. Flat blocks survive JPEG's lossy round-trip EXACTLY
+      // when the DC quant is 8 (coefficient = 8*(v-128)), so the
+      // oracle can predict pixel stats despite JPEG being lossy in
+      // general — the stats only match if the canonical-Huffman decode,
+      // the dequant and the IDCT are all exact. %4==3 docs get
+      // magic-less junk and must fall back, decoded=false.
+      val buildJpeg = udf { (docId: Long) =>
+        val blocks = Array.tabulate(4) { b =>
+          val zz = new Array[Int](64)
+          zz(0) = (((docId * 13 + b * 29) % 256) - 128).toInt
+          zz
+        }
+        JpegBaseline.encodeGrayBlocks(blocks, 2, 2, Array.fill(64)(8))
+      }
+      val docs = table(s, dir, "documents").withColumn("blob",
+        when(col("doc_id") % 4 === 3, unhex(unknownHex)).otherwise(buildJpeg(col("doc_id"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+      MultimodalOps.pixelFeatures(media).orderBy("media_id")
+    }),
+
     "d_dedup_lines" -> ((s, dir) => {
       // CCNet-style line dedup: the corpus is single-line word soup, so
       // lines are synthesized deterministically as 6-word windows (the
@@ -1865,6 +1917,75 @@ object SparkEntry {
         |       len(list_distinct(p))::BIGINT AS distinct_vals,
         |       list_max(p)::BIGINT AS max_val
         |FROM png
+        |UNION ALL
+        |SELECT doc_id AS media_id, 'unknown' AS format, false AS decoded,
+        |       17::BIGINT AS n_vals,
+        |       ((list_sum(b) * 1000) // 17)::BIGINT AS mean_milli,
+        |       len(list_distinct(b))::BIGINT AS distinct_vals,
+        |       list_max(b)::BIGINT AS max_val
+        |FROM junk
+        |ORDER BY media_id""".stripMargin,
+
+    // signed-sample stats predicted from the SAME arithmetic that
+    // generated the planted PCM — the zero-crossing count and |peak|
+    // only match if every 16-bit little-endian (and 8-bit offset-128)
+    // sample decodes exactly; mean uses floor over a double in both
+    // engines (integer floorDiv paths differ on negative numerators).
+    // Junk rows (%4==3) replay the 17-byte 0x00+md5 blob distribution.
+    "m_media_samples" ->
+      """WITH wav AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 4 = 1
+        |              THEN list_transform(generate_series(0, 47),
+        |                     i -> ((doc_id * 31 + i * 17) % 256) - 128)
+        |              ELSE list_transform(generate_series(0, 47),
+        |                     i -> ((doc_id * 31 + i * 17) % 65536) - 32768)
+        |         END AS sl
+        |  FROM documents WHERE doc_id % 4 <> 3),
+        |junk AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 16),
+        |           i -> CASE WHEN i = 0 THEN 0
+        |                     ELSE ('0x' || substr(upper(md5(text)), (i - 1) * 2 + 1, 2))::BIGINT END) AS b
+        |  FROM documents WHERE doc_id % 4 = 3)
+        |SELECT doc_id AS media_id, 'wav' AS format, true AS decoded,
+        |       48::BIGINT AS n_samples,
+        |       floor(list_sum(sl) * 1000 / 48.0)::BIGINT AS mean_milli,
+        |       list_max(list_transform(sl, x -> abs(x)))::BIGINT AS peak,
+        |       len(list_filter(generate_series(2, 48),
+        |             j -> (sl[j - 1] < 0) <> (sl[j] < 0)))::BIGINT AS zero_crossings
+        |FROM wav
+        |UNION ALL
+        |SELECT doc_id AS media_id, 'unknown' AS format, false AS decoded,
+        |       17::BIGINT AS n_samples,
+        |       floor(list_sum(b) * 1000 / 17.0)::BIGINT AS mean_milli,
+        |       list_max(b)::BIGINT AS peak,
+        |       0::BIGINT AS zero_crossings
+        |FROM junk
+        |ORDER BY media_id""".stripMargin,
+
+    // pixel stats predicted from the block-value arithmetic: a 16x16
+    // four-flat-block JPEG decodes to 64 copies of each block value
+    // (flat blocks are exact under DC quant 8), so sum = 64 * sum(bv);
+    // the four per-doc block values are always distinct (offsets 0, 29,
+    // 58, 87 mod 256). Junk rows replay the 0x00+md5 distribution.
+    "m_media_pixels_jpeg" ->
+      """WITH jb AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 3), b -> (doc_id * 13 + b * 29) % 256) AS bv
+        |  FROM documents WHERE doc_id % 4 <> 3),
+        |junk AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 16),
+        |           i -> CASE WHEN i = 0 THEN 0
+        |                     ELSE ('0x' || substr(upper(md5(text)), (i - 1) * 2 + 1, 2))::BIGINT END) AS b
+        |  FROM documents WHERE doc_id % 4 = 3)
+        |SELECT doc_id AS media_id, 'jpeg' AS format, true AS decoded,
+        |       256::BIGINT AS n_vals,
+        |       ((list_sum(bv) * 64 * 1000) // 256)::BIGINT AS mean_milli,
+        |       len(list_distinct(bv))::BIGINT AS distinct_vals,
+        |       list_max(bv)::BIGINT AS max_val
+        |FROM jb
         |UNION ALL
         |SELECT doc_id AS media_id, 'unknown' AS format, false AS decoded,
         |       17::BIGINT AS n_vals,

@@ -1,0 +1,593 @@
+package graft.operators
+
+/**
+ * REAL baseline-JPEG pixel decode, pure JVM — the last media stage that
+ * was honestly stubbed. The container has no codec library, but ITU
+ * T.81 baseline sequential needs none: the entropy stage is canonical
+ * Huffman over (run,size) symbols and the transform is a fixed 8x8
+ * DCT-III, both implementable exactly from the public spec. This
+ * closes the "JPEG entropy decode needs a codec" gap the same way
+ * `java.util.zip.Inflater` closed PNG's.
+ *
+ * Scope (and honest refusals, mirroring decodePngPixels' contract):
+ *  - SOF0/SOF1 (baseline / extended sequential), 8-bit precision,
+ *    1 or 3 components, any Hi/Vi sampling (4:4:4, 4:2:2, 4:2:0, ...),
+ *    DRI/RSTn restart intervals, 0xFF00 byte stuffing, multi-table
+ *    DQT/DHT segments, fill bytes before markers (T.81 B.1.1.2).
+ *  - Progressive (SOF2), arithmetic coding, 12-bit precision,
+ *    hierarchical, and anything truncated or desynced returns None —
+ *    callers fall back to compressed-blob features exactly as before.
+ *
+ * The IDCT is the separable double-precision form of the T.81 A.3.3
+ * formula; Java FP is strict (IEEE 754) since JDK 17, so results are
+ * bit-deterministic across executors. Chroma planes are upsampled
+ * nearest-neighbor and converted with the JFIF YCbCr matrix; grayscale
+ * streams skip both. A `maxPixels` cap refuses crafted SOF dimensions
+ * before allocating (the decodePngPixels inflate-cap lesson).
+ *
+ * The companion encoder exists for fixture synthesis only (the
+ * encodePngGray counterpart): arbitrary quantized coefficient blocks
+ * for grayscale, flat DC-only color MCUs for the sampling paths. Flat
+ * 8x8 blocks survive the quantized round-trip EXACTLY when the DC
+ * quant is 8 (DC coefficient of a flat block v is 8*(v-128)), which is
+ * what makes planted-JPEG pixel stats SQL-predictable for the driver
+ * oracle despite JPEG being lossy in general.
+ */
+object JpegBaseline {
+
+  final case class Decoded(samples: Array[Byte], width: Int, height: Int, channels: Int)
+
+  // zigzag index -> natural (row-major) index, T.81 Figure A.6
+  private[graft] val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // ct(x)(u) = C(u)/2 * cos((2x+1) u pi / 16) — the separable half of
+  // the T.81 A.3.3 IDCT basis
+  private val Cos: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+    val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    c / 2.0 * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  private object Bail extends Exception { override def fillInStackTrace(): Throwable = this }
+
+  /** Canonical Huffman table (T.81 C.2): codes assigned in increasing
+    * length then listing order. Decode walks lengths with the standard
+    * min/max-code algorithm — at most 16 steps per symbol. */
+  private final class Huff(bits: Array[Int], vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17) // -1 = no codes at this length
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) > 0) {
+          valPtr(l) = k
+          minCode(l) = code
+          code += bits(l - 1)
+          k += bits(l - 1)
+          maxCode(l) = code - 1
+        } else maxCode(l) = -1
+        code <<= 1
+        l += 1
+      }
+      if (k != vals.length) throw Bail
+    }
+    def value(idx: Int): Int = vals(idx)
+  }
+
+  /** Bit reader over the entropy-coded segment: 0xFF00 unstuffs to a
+    * literal 0xFF; any other marker mid-block is corruption (RSTn are
+    * consumed explicitly at restart boundaries, never here). */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var cnt = 0
+
+    def nextBit(): Int = {
+      if (cnt == 0) {
+        if (pos >= b.length) throw Bail
+        var byte = b(pos) & 0xff
+        pos += 1
+        if (byte == 0xff) {
+          if (pos >= b.length) throw Bail
+          val next = b(pos) & 0xff
+          if (next == 0x00) pos += 1          // stuffed literal 0xFF
+          else throw Bail                      // marker inside a block
+          byte = 0xff
+        }
+        acc = byte
+        cnt = 8
+      }
+      cnt -= 1
+      (acc >> cnt) & 1
+    }
+
+    def receive(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+
+    def decodeHuff(h: Huff): Int = {
+      var code = nextBit()
+      var l = 1
+      while (l <= 16) {
+        if (h.maxCode(l) >= 0 && code <= h.maxCode(l))
+          return h.value(h.valPtr(l) + code - h.minCode(l))
+        code = (code << 1) | nextBit()
+        l += 1
+      }
+      throw Bail // no code of length <= 16 matched — desynced stream
+    }
+
+    /** Byte-align and consume an expected RSTn marker (T.81 E.2.4). */
+    def restart(expected: Int): Unit = {
+      cnt = 0
+      if (pos + 1 >= b.length) throw Bail
+      if ((b(pos) & 0xff) != 0xff || (b(pos + 1) & 0xff) != expected) throw Bail
+      pos += 2
+    }
+  }
+
+  // T.81 F.2.2.1 EXTEND: map a received magnitude to its signed value
+  private def extend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  private final class Component(val id: Int, val h: Int, val v: Int, val tq: Int) {
+    var td = 0; var ta = 0
+    var plane: Array[Int] = null
+    var planeW = 0; var planeH = 0
+    var pred = 0
+  }
+
+  def decodePixels(jpeg: Array[Byte], maxPixels: Int = 1 << 26): Option[Decoded] =
+    try decodeOrBail(jpeg, maxPixels) catch { case Bail => None }
+
+  private def decodeOrBail(b: Array[Byte], maxPixels: Int): Option[Decoded] = {
+    if (b == null || b.length < 4) return None
+    if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    def u16(o: Int): Int = {
+      if (o + 1 >= b.length) throw Bail
+      ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    }
+    val quant = Array.ofDim[Int](4, 64)
+    val quantSeen = new Array[Boolean](4)
+    val dcTab = new Array[Huff](4)
+    val acTab = new Array[Huff](4)
+    var comps: Array[Component] = null
+    var width = 0; var height = 0
+    var dri = 0
+    var pos = 2
+    while (pos + 1 < b.length) {
+      if ((b(pos) & 0xff) != 0xff) return None // desynced marker stream
+      if ((b(pos + 1) & 0xff) == 0xff) { pos += 1 } // fill bytes (B.1.1.2)
+      else {
+        val marker = b(pos + 1) & 0xff
+        pos += 2
+        marker match {
+          case 0xd8 | 0x01 => // SOI / TEM: no payload
+          case 0xd9 => return None // EOI before any SOS
+          case 0xdb => // DQT: one or more tables
+            val end = pos + u16(pos)
+            if (end > b.length) throw Bail
+            var p = pos + 2
+            while (p < end) {
+              val pq = (b(p) & 0xff) >> 4
+              val tq = b(p) & 0x0f
+              if (tq > 3 || pq > 1) throw Bail
+              p += 1
+              var i = 0
+              while (i < 64) {
+                if (pq == 1) { quant(tq)(i) = u16(p); p += 2 }
+                else { if (p >= end) throw Bail; quant(tq)(i) = b(p) & 0xff; p += 1 }
+                i += 1
+              }
+              quantSeen(tq) = true
+            }
+            pos = end
+          case 0xc4 => // DHT: one or more tables
+            val end = pos + u16(pos)
+            if (end > b.length) throw Bail
+            var p = pos + 2
+            while (p < end) {
+              val tc = (b(p) & 0xff) >> 4
+              val th = b(p) & 0x0f
+              if (tc > 1 || th > 3) throw Bail
+              p += 1
+              if (p + 16 > end) throw Bail
+              val bits = Array.tabulate(16)(i => b(p + i) & 0xff)
+              p += 16
+              val n = bits.sum
+              if (p + n > end) throw Bail
+              val vals = Array.tabulate(n)(i => b(p + i) & 0xff)
+              p += n
+              val h = new Huff(bits, vals)
+              if (tc == 0) dcTab(th) = h else acTab(th) = h
+            }
+            pos = end
+          case 0xdd => // DRI
+            if (u16(pos) != 4) throw Bail
+            dri = u16(pos + 2)
+            pos += 4
+          case 0xc0 | 0xc1 => // SOF0 / SOF1: the supported frames
+            val len = u16(pos)
+            if (pos + len > b.length) throw Bail
+            if ((b(pos + 2) & 0xff) != 8) return None // 12-bit: unsupported
+            height = u16(pos + 3)
+            width = u16(pos + 5)
+            val nc = b(pos + 7) & 0xff
+            if (width <= 0 || height <= 0 || (nc != 1 && nc != 3)) return None
+            if (width.toLong * height * nc > maxPixels) return None
+            comps = Array.tabulate(nc) { i =>
+              val o = pos + 8 + 3 * i
+              if (o + 2 >= pos + len) throw Bail
+              val hv = b(o + 1) & 0xff
+              val c = new Component(b(o) & 0xff, hv >> 4, hv & 0x0f, b(o + 2) & 0x0f)
+              if (c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4 || c.tq > 3) throw Bail
+              c
+            }
+            pos += len
+          case m if m >= 0xc2 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
+            return None // progressive / arithmetic / lossless frames
+          case 0xda => // SOS: scan header then entropy data
+            if (comps == null) throw Bail
+            val len = u16(pos)
+            val ns = b(pos + 2) & 0xff
+            if (ns != comps.length) return None // partial scans: out of scope
+            var p = pos + 3
+            var i = 0
+            while (i < ns) {
+              val cs = b(p) & 0xff
+              val c = comps.find(_.id == cs).getOrElse(throw Bail)
+              c.td = (b(p + 1) & 0xff) >> 4
+              c.ta = b(p + 1) & 0x0f
+              p += 2
+              i += 1
+            }
+            return decodeScan(b, pos + len, comps, width, height, quant, quantSeen,
+              dcTab, acTab, dri)
+          case m if m >= 0xd0 && m <= 0xd7 => // stray RST outside a scan
+            throw Bail
+          case _ => // APPn, COM, everything else: skip by length
+            pos += u16(pos)
+        }
+      }
+    }
+    None // ran out of markers without a scan
+  }
+
+  private def decodeScan(b: Array[Byte], scanStart: Int, comps: Array[Component],
+                         width: Int, height: Int, quant: Array[Array[Int]],
+                         quantSeen: Array[Boolean], dcTab: Array[Huff],
+                         acTab: Array[Huff], dri: Int): Option[Decoded] = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    comps.foreach { c =>
+      if (!quantSeen(c.tq) || dcTab(c.td) == null || acTab(c.ta) == null) throw Bail
+      c.planeW = mcusX * c.h * 8
+      c.planeH = mcusY * c.v * 8
+      c.plane = new Array[Int](c.planeW * c.planeH)
+    }
+    val r = new BitReader(b, scanStart)
+    val coef = new Array[Int](64)
+    val block = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var mcu = 0
+    var rstN = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+          r.restart(0xd0 + rstN)
+          rstN = (rstN + 1) % 8
+          comps.foreach(_.pred = 0)
+        }
+        var ci = 0
+        while (ci < comps.length) {
+          val c = comps(ci)
+          val q = quant(c.tq)
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              // entropy-decode one block (T.81 F.2.2)
+              java.util.Arrays.fill(coef, 0)
+              val t = r.decodeHuff(dcTab(c.td))
+              if (t > 11) throw Bail
+              c.pred += extend(r.receive(t), t)
+              coef(0) = c.pred * q(0)
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = r.decodeHuff(acTab(c.ta))
+                val run = rs >> 4
+                val size = rs & 0x0f
+                if (size == 0) {
+                  if (run == 15) k += 16 // ZRL
+                  else eob = true        // EOB
+                } else {
+                  k += run
+                  if (k > 63) throw Bail
+                  // both the coefficient stream and the DQT payload are
+                  // in zigzag order: quant index is k, plane index Zigzag(k)
+                  coef(Zigzag(k)) = extend(r.receive(size), size) * q(k)
+                  k += 1
+                }
+              }
+              idct(coef, tmp, block)
+              // place into the component plane
+              val px0 = (mx * c.h + bx) * 8
+              val py0 = (my * c.v + by) * 8
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                val rowOff = (py0 + yy) * c.planeW + px0
+                while (xx < 8) {
+                  c.plane(rowOff + xx) = block(yy * 8 + xx)
+                  xx += 1
+                }
+                yy += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    // assemble output: gray passthrough, or upsample + JFIF YCbCr->RGB
+    if (comps.length == 1) {
+      val c = comps(0)
+      val out = new Array[Byte](width * height)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          out(y * width + x) = c.plane(y * c.planeW + x).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(Decoded(out, width, height, 1))
+    } else {
+      val out = new Array[Byte](width * height * 3)
+      val cy = comps(0); val cb = comps(1); val cr = comps(2)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val yv = cy.plane((y * cy.v / vmax) * cy.planeW + (x * cy.h / hmax))
+          val bv = cb.plane((y * cb.v / vmax) * cb.planeW + (x * cb.h / hmax)) - 128
+          val rv = cr.plane((y * cr.v / vmax) * cr.planeW + (x * cr.h / hmax)) - 128
+          val o = (y * width + x) * 3
+          out(o) = clamp(math.round(yv + 1.402 * rv).toInt).toByte
+          out(o + 1) = clamp(math.round(yv - 0.344136 * bv - 0.714136 * rv).toInt).toByte
+          out(o + 2) = clamp(math.round(yv + 1.772 * bv).toInt).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(Decoded(out, width, height, 3))
+    }
+  }
+
+  private def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** Separable IDCT + level shift + clamp: rows then columns through
+    * the cosine basis, matching the direct T.81 A.3.3 double sum. */
+  private def idct(coef: Array[Int], tmp: Array[Double], out: Array[Int]): Unit = {
+    // rows: G(x, v) = sum_u ct(x)(u) F(u, v)
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += Cos(x)(u) * coef(u * 8 + v); u += 1 }
+        tmp(x * 8 + v) = s
+        x += 1
+      }
+      v += 1
+    }
+    // cols: P(x, y) = sum_v ct(y)(v) G(x, v), then +128 and clamp
+    var x = 0
+    while (x < 8) {
+      var y = 0
+      while (y < 8) {
+        var s = 0.0
+        var vv = 0
+        while (vv < 8) { s += Cos(y)(vv) * tmp(x * 8 + vv); vv += 1 }
+        out(x * 8 + y) = clamp(math.round(s + 128.0).toInt)
+        y += 1
+      }
+      x += 1
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // fixture encoder (the encodePngGray counterpart)
+  // ------------------------------------------------------------------
+
+  // encoder Huffman tables: 12 DC categories at 4 bits, the 162
+  // standard AC (run,size) symbols at 8 bits — canonical, valid (the
+  // all-ones code stays unused in both), trivially derivable
+  private val EncDcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val EncDcVals = Array.tabulate(12)(identity)
+  private val EncAcBits = Array(0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val EncAcVals: Array[Int] =
+    Array(0x00, 0xf0) ++ (for (run <- 0 to 15; size <- 1 to 10) yield (run << 4) | size)
+
+  private def canonicalCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val m = scala.collection.mutable.Map[Int, (Int, Int)]()
+    var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < bits(l - 1)) { m(vals(k)) = (code, l); code += 1; k += 1; i += 1 }
+      code <<= 1
+      l += 1
+    }
+    m.toMap
+  }
+  private val EncDcCodes = canonicalCodes(EncDcBits, EncDcVals)
+  private val EncAcCodes = canonicalCodes(EncAcBits, EncAcVals)
+
+  private final class BitWriter(bos: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var cnt = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        cnt += 1
+        if (cnt == 8) {
+          bos.write(acc)
+          if (acc == 0xff) bos.write(0x00) // byte stuffing
+          acc = 0; cnt = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (cnt > 0) { put(0xff, 8 - cnt); () } // pad with 1s
+  }
+
+  private def category(v: Int): Int = {
+    var a = math.abs(v)
+    var t = 0
+    while (a != 0) { a >>= 1; t += 1 }
+    t
+  }
+
+  private def putCoded(w: BitWriter, codes: Map[Int, (Int, Int)], sym: Int, v: Int, size: Int): Unit = {
+    val (code, len) = codes(sym)
+    w.put(code, len)
+    if (size > 0) w.put(if (v < 0) v + (1 << size) - 1 else v, size)
+  }
+
+  private def writeBlock(w: BitWriter, zz: Array[Int], pred: Int): Int = {
+    val diff = zz(0) - pred
+    val t = category(diff)
+    putCoded(w, EncDcCodes, t, diff, t)
+    var run = 0
+    var k = 1
+    while (k < 64) {
+      if (zz(k) == 0) run += 1
+      else {
+        while (run > 15) { putCoded(w, EncAcCodes, 0xf0, 0, 0); run -= 16 }
+        val size = category(zz(k))
+        require(size <= 10, "encoder AC table covers sizes 1..10")
+        putCoded(w, EncAcCodes, (run << 4) | size, zz(k), size)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) putCoded(w, EncAcCodes, 0x00, 0, 0) // EOB
+    zz(0)
+  }
+
+  private def writeSegments(bos: java.io.ByteArrayOutputStream, quantZz: Array[Int],
+                            width: Int, height: Int,
+                            comps: Seq[(Int, Int, Int)], dri: Int = 0): Unit = {
+    def seg(marker: Int, payload: Array[Int]): Unit = {
+      bos.write(0xff); bos.write(marker)
+      val len = payload.length + 2
+      bos.write((len >> 8) & 0xff); bos.write(len & 0xff)
+      payload.foreach(bos.write)
+    }
+    bos.write(0xff); bos.write(0xd8) // SOI
+    seg(0xdb, Array(0x00) ++ quantZz) // DQT table 0, 8-bit
+    seg(0xc0, Array(8, (height >> 8) & 0xff, height & 0xff,
+      (width >> 8) & 0xff, width & 0xff, comps.length) ++
+      comps.flatMap { case (id, h, v) => Seq(id, (h << 4) | v, 0) })
+    seg(0xc4, Array(0x00) ++ EncDcBits ++ EncDcVals ++
+      Array(0x10) ++ EncAcBits ++ EncAcVals)
+    if (dri > 0) seg(0xdd, Array((dri >> 8) & 0xff, dri & 0xff))
+    seg(0xda, Array(comps.length) ++ comps.flatMap { case (id, _, _) => Seq(id, 0x00) } ++
+      Array(0, 63, 0))
+  }
+
+  /**
+   * Grayscale baseline encoder over QUANTIZED coefficient blocks in
+   * zigzag order (raster block order, `blocksW * blocksH` of them, 64
+   * coefficients each). One quant table (zigzag too) serves the single
+   * component. The driver fixture passes DC-only blocks; tests pass
+   * arbitrary AC patterns to pin the decoder against the reference
+   * IDCT.
+   */
+  private[graft] def encodeGrayBlocks(blocks: Array[Array[Int]], blocksW: Int, blocksH: Int,
+                                      quantZz: Array[Int], dri: Int = 0): Array[Byte] = {
+    require(blocks.length == blocksW * blocksH && blocks.forall(_.length == 64))
+    require(quantZz.length == 64 && quantZz.forall(q => q >= 1 && q <= 255))
+    val bos = new java.io.ByteArrayOutputStream()
+    writeSegments(bos, quantZz, blocksW * 8, blocksH * 8, Seq((1, 1, 1)), dri)
+    val w = new BitWriter(bos)
+    var pred = 0
+    var rstN = 0
+    var i = 0
+    while (i < blocks.length) {
+      if (dri > 0 && i > 0 && i % dri == 0) { // gray 1x1: one block per MCU
+        w.flush()
+        bos.write(0xff); bos.write(0xd0 + rstN)
+        rstN = (rstN + 1) % 8
+        pred = 0
+      }
+      pred = writeBlock(w, blocks(i), pred)
+      i += 1
+    }
+    w.flush()
+    bos.write(0xff); bos.write(0xd9) // EOI
+    bos.toByteArray
+  }
+
+  /**
+   * Flat-color 3-component baseline encoder: every block of every
+   * component is DC-only at the component's flat value, with Y sampled
+   * `(h, v)` against 1x1 chroma — (1,1) = 4:4:4, (2,2) = 4:2:0, (2,1)
+   * = 4:2:2. With the all-8s quant table the flat round-trip is exact,
+   * so YCbCr->RGB expectations are hand-computable constants.
+   */
+  private[graft] def encodeFlatColor(yVal: Int, cbVal: Int, crVal: Int,
+                                     mcusX: Int, mcusY: Int,
+                                     h: Int, v: Int): Array[Byte] = {
+    val quant = Array.fill(64)(8)
+    val bos = new java.io.ByteArrayOutputStream()
+    writeSegments(bos, quant, mcusX * 8 * h, mcusY * 8 * v,
+      Seq((1, h, v), (2, 1, 1), (3, 1, 1)))
+    val w = new BitWriter(bos)
+    val dc = Array(yVal - 128, cbVal - 128, crVal - 128) // quant 8 divides 8*(v-128)
+    val pred = Array(0, 0, 0)
+    val zz = new Array[Int](64)
+    var m = 0
+    while (m < mcusX * mcusY) {
+      var ci = 0
+      while (ci < 3) {
+        val nBlocks = if (ci == 0) h * v else 1
+        var bIdx = 0
+        while (bIdx < nBlocks) {
+          java.util.Arrays.fill(zz, 0)
+          zz(0) = dc(ci)
+          pred(ci) = writeBlock(w, zz, pred(ci))
+          bIdx += 1
+        }
+        ci += 1
+      }
+      m += 1
+    }
+    w.flush()
+    bos.write(0xff); bos.write(0xd9)
+    bos.toByteArray
+  }
+}

@@ -10,10 +10,14 @@ import org.apache.spark.sql.types._
  * machinery — schema, batched per-partition processing, deterministic
  * partitioning by content hash — is real, and so is the header decode:
  * [[decodeMedia]] parses PNG (IHDR), JPEG (SOFn) and WAV (fmt) headers
- * in pure JVM code, no codec library. Only the PIXEL/SAMPLE stage is
- * stubbed (decode libraries are not available in this environment):
- * blobs that sniff as none of the three formats fall back to
- * deterministic md5-derived dimensions, clearly marked.
+ * in pure JVM code, no codec library — and so is the pixel/sample
+ * stage for every format where the spec permits it without one: PNG
+ * pixels (inflate + filter reversal), baseline JPEG pixels
+ * ([[JpegBaseline]]: Huffman + IDCT), and WAV PCM samples (none
+ * needed). Only blobs that sniff as none of the formats, or use
+ * features out of decoder scope (progressive JPEG, float WAV), fall
+ * back to deterministic md5-derived dimensions / compressed-byte
+ * stats, clearly marked via `decoded=false`.
  */
 object MultimodalOps {
 
@@ -399,12 +403,115 @@ object MultimodalOps {
   }
 
   /**
+   * REAL WAV sample decode, pure JVM: PCM audio needs no codec at all —
+   * the data chunk IS the samples — so like the PNG pixel stage
+   * (deflate) the sample stage can be genuinely real here. Walks the
+   * RIFF chunks (same hostile-size guards as [[parseWav]]), accepts
+   * integer PCM (format 1, or WAVE_FORMAT_EXTENSIBLE 0xFFFE whose
+   * subformat code is 1) at 8 or 16 bits, and returns the interleaved
+   * sample stream as signed ints: 8-bit WAV stores unsigned bytes
+   * (centered by convention at 128 → sample = byte − 128), 16-bit
+   * stores signed little-endian. Returns None — the honest-fallback
+   * contract — for float/compressed formats, other bit depths, a data
+   * chunk whose declared size runs past the blob or isn't a whole
+   * number of samples, or a missing fmt/data chunk. `maxSamples` caps
+   * the allocation so a crafted RIFF size cannot allocate the executor
+   * away (the same lesson as decodePngPixels' inflate cap).
+   */
+  private[graft] def decodeWavSamples(b: Array[Byte],
+                                      maxSamples: Int = 1 << 24): Option[Array[Int]] = {
+    if (b == null || b.length < 20) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var fmtCode = -1
+    var bits = -1
+    var dataOff = -1
+    var dataLen = -1
+    var pos = 12
+    while (pos + 8 <= b.length) {
+      val size = u32le(b, pos + 4)
+      if (size > b.length || pos + 8 + size > b.length) return None
+      if (b(pos) == 'f' && b(pos + 1) == 'm' && b(pos + 2) == 't' && b(pos + 3) == ' ') {
+        if (size < 16) return None
+        fmtCode = u16le(b, pos + 8).toInt
+        bits = u16le(b, pos + 22).toInt
+        // WAVE_FORMAT_EXTENSIBLE: the real format code is the first two
+        // bytes of the 16-byte SubFormat GUID at fmt+24 (cbSize 22)
+        if (fmtCode == 0xfffe) {
+          if (size < 40) return None
+          fmtCode = u16le(b, pos + 8 + 24).toInt
+        }
+      } else if (b(pos) == 'd' && b(pos + 1) == 'a' && b(pos + 2) == 't' && b(pos + 3) == 'a') {
+        dataOff = pos + 8
+        dataLen = size.toInt
+      }
+      pos += 8 + size.toInt + (size.toInt & 1) // RIFF chunks are word-aligned
+    }
+    if (fmtCode != 1 || dataOff < 0) return None
+    bits match {
+      case 8 =>
+        if (dataLen > maxSamples) return None
+        val out = new Array[Int](dataLen)
+        var i = 0
+        while (i < dataLen) { out(i) = (b(dataOff + i) & 0xff) - 128; i += 1 }
+        Some(out)
+      case 16 =>
+        if ((dataLen & 1) != 0) return None // half a sample is corruption
+        val n = dataLen / 2
+        if (n > maxSamples) return None
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) = ((b(dataOff + 2 * i) & 0xff) | (b(dataOff + 2 * i + 1) << 8)).toShort.toInt
+          i += 1
+        }
+        Some(out)
+      case _ => None
+    }
+  }
+
+  /**
+   * Minimal REAL WAV/PCM encoder (fixture synthesis, the
+   * [[encodePngGray]] counterpart for audio): canonical
+   * RIFF/fmt/data layout, integer PCM at 8 or 16 bits. Samples are the
+   * signed convention [[decodeWavSamples]] returns (8-bit inputs must
+   * be −128..127 and are stored offset by +128; 16-bit are stored
+   * signed little-endian), interleaved when `channels > 1`.
+   */
+  private[graft] def encodeWavPcm(samples: Array[Int], bits: Int,
+                                  channels: Int, sampleRate: Int): Array[Byte] = {
+    require(bits == 8 || bits == 16, "integer PCM at 8 or 16 bits only")
+    require(samples.length % channels == 0, "samples must be whole interleaved frames")
+    val bytesPer = bits / 8
+    val dataLen = samples.length * bytesPer
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen + (dataLen & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen + (dataLen & 1))
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * bytesPer)      // byte rate
+      .putShort((channels * bytesPer).toShort)       // block align
+      .putShort(bits.toShort)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < samples.length) {
+      if (bits == 8) buf.put((samples(i) + 128).toByte)
+      else buf.putShort(samples(i).toShort)
+      i += 1
+    }
+    if ((dataLen & 1) != 0) buf.put(0.toByte) // RIFF word-alignment pad
+    buf.array()
+  }
+
+  /**
    * Pixel-level features where the pixel stage is genuinely decodable
-   * — PNGs via [[decodePngPixels]] get their stats over DECODED pixel
-   * samples (decoded=true); everything else (JPEG included — entropy
-   * decode needs a codec this container lacks) falls back to the
-   * compressed-blob byte distribution with decoded=false, format still
-   * honestly sniffed from the header. Same mapPartitions shape as
+   * — PNGs via [[decodePngPixels]] (inflate + filter reversal) and
+   * baseline JPEGs via [[JpegBaseline.decodePixels]] (pure-JVM Huffman
+   * + IDCT) get their stats over DECODED pixel samples (decoded=true);
+   * everything else (progressive JPEG, unknown formats, corrupt
+   * streams) falls back to the compressed-blob byte distribution with
+   * decoded=false, format still honestly sniffed from the header. Same mapPartitions shape as
    * [[decodeImageBatched]]: iterator-to-iterator, bounded batches, the
    * per-partition init slot where a heavy codec would load once.
    * Output: (media_id, format, decoded, n_vals, mean_milli,
@@ -443,13 +550,81 @@ object MultimodalOps {
         rows.grouped(batchSize).flatMap(_.map { r =>
           val content = r.getAs[Array[Byte]]("content")
           val fmt = parseHeader(content).map(_.format).getOrElse("unknown")
-          decodePngPixels(content) match {
-            case Some(px) =>
+          // PNG via inflate+filter reversal; baseline JPEG via the
+          // pure-JVM Huffman+IDCT decoder — both REAL pixel stages now
+          val decoded: Option[(String, Array[Byte])] =
+            decodePngPixels(content).map(("png", _))
+              .orElse(JpegBaseline.decodePixels(content).map(d => ("jpeg", d.samples)))
+          decoded match {
+            case Some((f, px)) =>
               val (n, mean, d, mx) = stats(px)
-              Row(r.getAs[Long]("media_id"), "png", true, n, mean, d, mx)
+              Row(r.getAs[Long]("media_id"), f, true, n, mean, d, mx)
             case None =>
               val (n, mean, d, mx) = stats(if (content == null) Array.emptyByteArray else content)
               Row(r.getAs[Long]("media_id"), fmt, false, n, mean, d, mx)
+          }
+        })
+      }(enc)
+  }
+
+  /**
+   * Sample-level audio features — the [[pixelFeatures]] counterpart for
+   * the WAV path, where the sample stage is genuinely decodable
+   * ([[decodeWavSamples]]: PCM needs no codec). Decoded blobs get their
+   * stats over the SIGNED interleaved sample stream (decoded=true):
+   * floor-mean in millis, peak = max |sample|, and zero crossings
+   * (sign flips between consecutive samples, negative vs non-negative —
+   * the classic cheap audio-activity signal). Everything else falls
+   * back to the compressed-blob unsigned byte distribution with
+   * decoded=false (bytes are never negative, so zero_crossings is 0 by
+   * construction), format still honestly sniffed from the header. Same
+   * mapPartitions shape as [[pixelFeatures]].
+   * Output: (media_id, format, decoded, n_samples, mean_milli, peak,
+   * zero_crossings).
+   */
+  def sampleFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("format", StringType),
+      StructField("decoded", BooleanType),
+      StructField("n_samples", LongType),
+      StructField("mean_milli", LongType),
+      StructField("peak", LongType),
+      StructField("zero_crossings", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        def stats(s: Array[Int]): (Long, Long, Long, Long) = {
+          if (s.length == 0) return (0L, 0L, 0L, 0L)
+          var sum = 0L
+          var peak = 0L
+          var crossings = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i)
+            sum += v
+            val a = math.abs(v.toLong)
+            if (a > peak) peak = a
+            if (i > 0 && ((s(i - 1) < 0) != (v < 0))) crossings += 1
+            i += 1
+          }
+          // floor over a double: exact for |sum*1000| < 2^53, and the
+          // same operation DuckDB's floor() performs — floorDiv-style
+          // integer paths differ between engines on negative numerators
+          (s.length.toLong, math.floor(sum * 1000.0 / s.length).toLong, peak, crossings)
+        }
+        rows.grouped(batchSize).flatMap(_.map { r =>
+          val content = r.getAs[Array[Byte]]("content")
+          val fmt = parseHeader(content).map(_.format).getOrElse("unknown")
+          decodeWavSamples(content) match {
+            case Some(s) =>
+              val (n, mean, p, zc) = stats(s)
+              Row(r.getAs[Long]("media_id"), "wav", true, n, mean, p, zc)
+            case None =>
+              val bytes = if (content == null) Array.emptyByteArray else content
+              val (n, mean, p, _) = stats(bytes.map(_ & 0xff))
+              Row(r.getAs[Long]("media_id"), fmt, false, n, mean, p, 0L)
           }
         })
       }(enc)

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Pins the pure-JVM baseline JPEG decoder. The key independence
+ * property: encoded streams are checked against a NAIVE direct
+ * O(n^4) IDCT computed straight from the T.81 A.3.3 double sum in
+ * this spec — the decoder's separable fast path must agree within
+ * +-1 (identical double math modulo summation order), and exactly on
+ * DC-only blocks (where both sums collapse to one term).
+ */
+class JpegBaselineSpec extends AnyFunSuite {
+
+  private def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** Direct T.81 A.3.3 reference: dequantized natural-order coefs in,
+    * level-shifted clamped pixels out. Deliberately the slow textbook
+    * quadruple loop, sharing nothing with the decoder's separable path. */
+  private def refIdct(coef: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    for (row <- 0 until 8; col <- 0 until 8) {
+      var s = 0.0
+      for (u <- 0 until 8; v <- 0 until 8) {
+        val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+        val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+        s += cu * cv / 4.0 * coef(u * 8 + v) *
+          math.cos((2 * row + 1) * u * math.Pi / 16.0) *
+          math.cos((2 * col + 1) * v * math.Pi / 16.0)
+      }
+      out(row * 8 + col) = clamp(math.round(s + 128.0).toInt)
+    }
+    out
+  }
+
+  /** zigzag quantized block -> expected pixels via the reference IDCT */
+  private def expectedPixels(zz: Array[Int], quantZz: Array[Int]): Array[Int] = {
+    val natural = new Array[Int](64)
+    for (k <- 0 until 64) natural(JpegBaseline.Zigzag(k)) = zz(k) * quantZz(k)
+    refIdct(natural)
+  }
+
+  private val flatQuant = Array.fill(64)(8)
+
+  private def flatBlock(v: Int): Array[Int] = {
+    val zz = new Array[Int](64)
+    zz(0) = v - 128 // DC quant 8 divides the flat-block coefficient 8*(v-128)
+    zz
+  }
+
+  test("flat DC-only blocks round-trip EXACTLY (the driver-oracle property)") {
+    val vals = Array(40, 200, 128, 3) // 2x2 blocks, 16x16 gray
+    val jpeg = JpegBaseline.encodeGrayBlocks(vals.map(flatBlock), 2, 2, flatQuant)
+    val d = JpegBaseline.decodePixels(jpeg).get
+    assert((d.width, d.height, d.channels) === ((16, 16, 1)))
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val want = vals((y / 8) * 2 + (x / 8))
+      assert((d.samples(y * 16 + x) & 0xff) === want, s"pixel ($x,$y)")
+    }
+    // and the existing header parser agrees on dimensions
+    assert(MultimodalOps.parseHeader(jpeg)
+      .contains(MultimodalOps.MediaHeader("jpeg", 16, 16, 1, 0)))
+  }
+
+  test("AC coefficients: decoder matches the naive reference IDCT") {
+    // deterministic pseudo-random blocks exercising DC swings, AC runs,
+    // negative values and a non-flat quant table
+    val quant = Array.tabulate(64)(k => 1 + (k * 7) % 23)
+    val blocks = Array.tabulate(6) { b =>
+      val zz = new Array[Int](64)
+      zz(0) = (b * 97 % 255) - 127 // DC swings across categories
+      for (k <- 1 until 64 if (k * 31 + b * 17) % 5 == 0)
+        zz(k) = ((k * 13 + b * 41) % 15) - 7
+      zz
+    }
+    val jpeg = JpegBaseline.encodeGrayBlocks(blocks, 3, 2, quant)
+    val d = JpegBaseline.decodePixels(jpeg).get
+    assert((d.width, d.height) === ((24, 16)))
+    for (b <- 0 until 6) {
+      val want = expectedPixels(blocks(b), quant)
+      val bx = (b % 3) * 8; val by = (b / 3) * 8
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val got = d.samples((by + y) * 24 + bx + x) & 0xff
+        assert(math.abs(got - want(y * 8 + x)) <= 1,
+          s"block $b pixel ($x,$y): got $got want ${want(y * 8 + x)}")
+      }
+    }
+  }
+
+  test("ZRL (16-zero runs) and high-index coefficients decode") {
+    val zz = new Array[Int](64)
+    zz(0) = 10
+    zz(20) = 5   // needs one ZRL after the DC
+    zz(40) = -3  // another long run
+    zz(63) = 2   // the last coefficient, maximal run handling
+    val jpeg = JpegBaseline.encodeGrayBlocks(Array(zz), 1, 1, flatQuant)
+    val d = JpegBaseline.decodePixels(jpeg).get
+    val want = expectedPixels(zz, flatQuant)
+    for (i <- 0 until 64)
+      assert(math.abs((d.samples(i) & 0xff) - want(i)) <= 1, s"pixel $i")
+  }
+
+  test("restart markers: DRI resets predictors and realigns") {
+    // 8 MCUs with dri=3 -> RST0 after 3, RST1 after 6; DC predictors
+    // reset at each boundary, so values after a marker re-encode from 0
+    val vals = Array(10, 250, 60, 200, 5, 128, 99, 180)
+    val jpeg = JpegBaseline.encodeGrayBlocks(vals.map(flatBlock), 8, 1, flatQuant, dri = 3)
+    // the stream really contains restart markers (not just a DRI header)
+    def count(pat: Int): Int = jpeg.sliding(2).count(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == pat)
+    assert(count(0xd0) >= 1 && count(0xd1) >= 1)
+    val d = JpegBaseline.decodePixels(jpeg).get
+    for (b <- vals.indices; x <- 0 until 8)
+      assert((d.samples(x + b * 8) & 0xff) === vals(b), s"block $b col $x")
+  }
+
+  test("flat color: 4:4:4 and 4:2:0 YCbCr->RGB with hand-computed constants") {
+    // neutral chroma: R=G=B=Y exactly, no rounding in the matrix
+    val gray = JpegBaseline.encodeFlatColor(120, 128, 128, 2, 2, 1, 1)
+    val dg = JpegBaseline.decodePixels(gray).get
+    assert((dg.width, dg.height, dg.channels) === ((16, 16, 3)))
+    assert(dg.samples.forall(b => (b & 0xff) == 120))
+    // saturated chroma, hand-computed: Y=100 Cb=200 Cr=50 ->
+    // R = round(100 + 1.402*(50-128))  = round(-9.356)  -> clamp 0
+    // G = round(100 - 0.344136*72 - 0.714136*(-78)) = round(130.92) = 131
+    // B = round(100 + 1.772*(200-128)) = round(227.58) = 228
+    for ((h, v) <- Seq((1, 1), (2, 2), (2, 1))) { // 4:4:4, 4:2:0, 4:2:2
+      val jpeg = JpegBaseline.encodeFlatColor(100, 200, 50, 1, 1, h, v)
+      val d = JpegBaseline.decodePixels(jpeg).get
+      assert((d.width, d.height, d.channels) === ((8 * h, 8 * v, 3)), s"$h:$v dims")
+      for (i <- 0 until d.width * d.height) {
+        assert((d.samples(3 * i) & 0xff) === 0, s"$h:$v R at $i")
+        assert((d.samples(3 * i + 1) & 0xff) === 131, s"$h:$v G at $i")
+        assert((d.samples(3 * i + 2) & 0xff) === 228, s"$h:$v B at $i")
+      }
+    }
+  }
+
+  test("hostile and out-of-scope streams refuse, never crash or hang") {
+    val good = JpegBaseline.encodeGrayBlocks(Array(flatBlock(77)), 1, 1, flatQuant)
+    assert(JpegBaseline.decodePixels(good).isDefined)
+    // truncated entropy stream: cut before EOI — the bit reader must
+    // starve cleanly
+    assert(JpegBaseline.decodePixels(good.take(good.length - 4)) === None)
+    // progressive: patch SOF0 -> SOF2
+    val prog = good.clone()
+    val sofAt = good.indices.find(i => (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(JpegBaseline.decodePixels(prog) === None)
+    // 12-bit precision
+    val deep = good.clone(); deep(sofAt + 4) = 12
+    assert(JpegBaseline.decodePixels(deep) === None)
+    // dimension bomb: 65535x65535 must refuse on the pixel cap before
+    // allocating planes
+    val bomb = good.clone()
+    bomb(sofAt + 5) = 0xff.toByte; bomb(sofAt + 6) = 0xff.toByte
+    bomb(sofAt + 7) = 0xff.toByte; bomb(sofAt + 8) = 0xff.toByte
+    assert(JpegBaseline.decodePixels(bomb) === None)
+    // desynced marker stream and junk
+    assert(JpegBaseline.decodePixels(Array[Byte](0xff.toByte, 0xd8.toByte, 1, 2, 3)) === None)
+    assert(JpegBaseline.decodePixels("not a jpeg".getBytes("US-ASCII")) === None)
+    assert(JpegBaseline.decodePixels(null) === None)
+    assert(JpegBaseline.decodePixels(Array.emptyByteArray) === None)
+    // header-only planted JPEG (the m_media_resize fixture shape): a
+    // SOF but no scan data -> None, the pixelFeatures fallback path
+    val headerOnly = good.take(sofAt + 13) // SOI..SOF segment only (2 marker + len 11)
+    assert(JpegBaseline.decodePixels(headerOnly) === None)
+  }
+}

@@ -170,6 +170,113 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MultimodalOps.decodePngPixels(null) === None)
   }
 
+  test("decodeWavSamples round-trips the PCM encoder at both widths") {
+    // full signed range at 16 bits, including the asymmetric extremes
+    val s16 = Array.tabulate(50)(i => (i * 2641 % 65536) - 32768)
+    val mono = MultimodalOps.encodeWavPcm(s16, bits = 16, channels = 1, sampleRate = 16000)
+    assert(MultimodalOps.decodeWavSamples(mono).exists(_.sameElements(s16)))
+    // stereo is the same interleaved stream — channel count must not
+    // change what the sample decoder returns
+    val stereo = MultimodalOps.encodeWavPcm(s16, bits = 16, channels = 2, sampleRate = 16000)
+    assert(MultimodalOps.decodeWavSamples(stereo).exists(_.sameElements(s16)))
+    // 8-bit stores offset-128 unsigned; decode recenters
+    val s8 = Array.tabulate(49)(i => (i * 37 % 256) - 128) // odd data len -> pad path
+    val w8 = MultimodalOps.encodeWavPcm(s8, bits = 8, channels = 1, sampleRate = 8000)
+    assert(MultimodalOps.decodeWavSamples(w8).exists(_.sameElements(s8)))
+    // and the encoder's output still header-parses like any WAV
+    assert(MultimodalOps.parseHeader(stereo)
+      .contains(MultimodalOps.MediaHeader("wav", 0, 0, 2, 16000)))
+  }
+
+  test("decodeWavSamples handles extensible fmt and refuses non-PCM") {
+    val s16 = Array.tabulate(16)(i => i * 1000 - 8000)
+    val base = MultimodalOps.encodeWavPcm(s16, bits = 16, channels = 1, sampleRate = 16000)
+    // rebuild with WAVE_FORMAT_EXTENSIBLE: fmt grows to 40 bytes, code
+    // 0xFFFE, real code in the first two SubFormat GUID bytes
+    def extensible(subCode: Int): Array[Byte] = {
+      val data = base.drop(44) // the data chunk payload incl. header
+      val buf = java.nio.ByteBuffer.allocate(12 + 48 + 8 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(4 + 48 + 8 + data.length)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(40)
+        .putShort(0xfffe.toShort).putShort(1).putInt(16000).putInt(32000)
+        .putShort(2).putShort(16)
+        .putShort(22)                 // cbSize
+        .putShort(16)                 // valid bits
+        .putInt(4)                    // channel mask
+        .putShort(subCode.toShort)    // SubFormat GUID bytes 0-1 = format code
+        .put(new Array[Byte](14))     // rest of the GUID
+      buf.put("data".getBytes("US-ASCII")).putInt(s16.length * 2)
+      s16.foreach(v => buf.putShort(v.toShort))
+      buf.array()
+    }
+    assert(MultimodalOps.decodeWavSamples(extensible(1)).exists(_.sameElements(s16)))
+    assert(MultimodalOps.decodeWavSamples(extensible(3)) === None) // IEEE float
+    // plain float (format 3) and 24-bit PCM refuse too
+    val float3 = base.clone(); float3(20) = 3
+    assert(MultimodalOps.decodeWavSamples(float3) === None)
+    val deep = base.clone(); deep(34) = 24
+    assert(MultimodalOps.decodeWavSamples(deep) === None)
+  }
+
+  test("decodeWavSamples refuses hostile and corrupt streams") {
+    val s16 = Array.tabulate(20)(i => i - 10)
+    val good = MultimodalOps.encodeWavPcm(s16, bits = 16, channels = 1, sampleRate = 8000)
+    assert(MultimodalOps.decodeWavSamples(good).isDefined)
+    // truncated: data chunk's declared size runs past the blob
+    assert(MultimodalOps.decodeWavSamples(good.take(good.length - 6)) === None)
+    // half a 16-bit sample: shrink the data size to an odd value that
+    // still fits the blob, so the odd-length check (not the truncation
+    // guard) is what refuses
+    val odd = good.clone(); odd(40) = 39
+    assert(MultimodalOps.decodeWavSamples(odd) === None)
+    // hostile chunk size 0xFFFFFFFF must refuse, not walk backward
+    val hostile = good.clone()
+    hostile(16) = 0xff.toByte; hostile(17) = 0xff.toByte
+    hostile(18) = 0xff.toByte; hostile(19) = 0xff.toByte
+    assert(MultimodalOps.decodeWavSamples(hostile) === None)
+    // a crafted sample count past the cap refuses before allocating
+    assert(MultimodalOps.decodeWavSamples(good, maxSamples = 4) === None)
+    // missing data chunk / junk / null
+    assert(MultimodalOps.decodeWavSamples(good.take(36)) === None)
+    assert(MultimodalOps.decodeWavSamples("RIFFjunk".getBytes("US-ASCII")) === None)
+    assert(MultimodalOps.decodeWavSamples(null) === None)
+  }
+
+  test("sampleFeatures: signed stats over decoded PCM, byte fallback otherwise") {
+    val ss = spark; import ss.implicits._
+    // hand-computed: sum=-7 over 5 samples -> floor(-1400.0) = -1400
+    // (floor, NOT truncation toward zero); crossings at -1->0 and 2->-5
+    val s = Array(-3, -1, 0, 2, -5)
+    val wav = MultimodalOps.encodeWavPcm(s, bits = 16, channels = 1, sampleRate = 8000)
+    val junk = Array[Byte](7, 3, 9) // no RIFF magic -> fallback
+    val df = Seq((1L, wav), (2L, junk)).toDF("doc_id", "blob")
+    val media = MultimodalOps.toMediaFrame(df, "doc_id", "blob", "mixed")
+    val got = MultimodalOps.sampleFeatures(media).orderBy("media_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got(0) === ((1L, "wav", true, 5L, -1400L, 5L, 2L)))
+    // fallback: unsigned bytes 7,3,9 -> mean floor(19000/3)=6333, no crossings
+    assert(got(1) === ((2L, "unknown", false, 3L, 6333L, 9L, 0L)))
+  }
+
+  test("pixelFeatures routes PNG and baseline JPEG to real pixels, rest to bytes") {
+    val ss = spark; import ss.implicits._
+    val png = MultimodalOps.encodePngGray(Array.tabulate(64)(i => (i * 3).toByte), 8, 8, _ => 2)
+    val jzz = new Array[Int](64); jzz(0) = 77 - 128 // flat 8x8 block of 77
+    val jpg = JpegBaseline.encodeGrayBlocks(Array(jzz), 1, 1, Array.fill(64)(8))
+    val junk = Array[Byte](1, 2, 3, 4)
+    val df = Seq((1L, png), (2L, jpg), (3L, junk)).toDF("doc_id", "blob")
+    val got = MultimodalOps.pixelFeatures(
+        MultimodalOps.toMediaFrame(df, "doc_id", "blob", "mixed"))
+      .orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getLong(3), r.getLong(6)))
+    assert(got(0) === ((1L, "png", true, 64L, 189L)))   // max = 63*3
+    assert(got(1) === ((2L, "jpeg", true, 64L, 77L)))   // flat block: max = value
+    assert(got(2) === ((3L, "unknown", false, 4L, 4L)))
+  }
+
   test("parseHeader refuses truncated and junk input") {
     assert(MultimodalOps.parseHeader(null) === None)
     assert(MultimodalOps.parseHeader(Array.emptyByteArray) === None)
