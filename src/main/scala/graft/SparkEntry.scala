@@ -722,6 +722,32 @@ object SparkEntry {
       MultimodalOps.pixelFeatures(media).orderBy("media_id")
     }),
 
+    "m_media_video" -> ((s, dir) => {
+      // REAL video -> frames -> pixels: each %4!=3 doc becomes a
+      // genuine AVI container (RIFF hdrl/movi) holding three MJPEG
+      // frames, each a 16x16 four-flat-block baseline JPEG arithmetic
+      // in (doc_id, frame). The per-frame pixel stats only match the
+      // oracle if the RIFF movi walk, the frame chunk extraction AND
+      // the whole JPEG decode chain are byte-exact. %4==3 docs get
+      // magic-less junk and must fall back to one frame_no=0 byte-stats
+      // row, decoded=false.
+      val buildAvi = udf { (docId: Long) =>
+        val frames = Array.tabulate(3) { j =>
+          val blocks = Array.tabulate(4) { b =>
+            val zz = new Array[Int](64)
+            zz(0) = (((docId * 13 + j * 37 + b * 29) % 256) - 128).toInt
+            zz
+          }
+          JpegBaseline.encodeGrayBlocks(blocks, 2, 2, Array.fill(64)(8))
+        }
+        MultimodalOps.encodeAviMjpeg(frames, 16, 16)
+      }
+      val docs = table(s, dir, "documents").withColumn("blob",
+        when(col("doc_id") % 4 === 3, unhex(unknownHex)).otherwise(buildAvi(col("doc_id"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+      MultimodalOps.videoFrameFeatures(media).orderBy("media_id", "frame_no")
+    }),
+
     "d_dedup_lines" -> ((s, dir) => {
       // CCNet-style line dedup: the corpus is single-line word soup, so
       // lines are synthesized deterministically as 6-word windows (the
@@ -1994,6 +2020,36 @@ object SparkEntry {
         |       list_max(b)::BIGINT AS max_val
         |FROM junk
         |ORDER BY media_id""".stripMargin,
+
+    // per-frame pixel stats predicted from the (doc_id, frame, block)
+    // arithmetic — three frames per doc, four flat blocks per frame,
+    // exact under DC quant 8 like m_media_pixels_jpeg. Junk rows
+    // collapse to a single frame_no=0 byte-stats row.
+    "m_media_video" ->
+      """WITH fr AS (
+        |  SELECT doc_id, j,
+        |         list_transform(generate_series(0, 3),
+        |           b -> (doc_id * 13 + j * 37 + b * 29) % 256) AS bv
+        |  FROM documents, (SELECT unnest(generate_series(0, 2)) AS j) js
+        |  WHERE doc_id % 4 <> 3),
+        |junk AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 16),
+        |           i -> CASE WHEN i = 0 THEN 0
+        |                     ELSE ('0x' || substr(upper(md5(text)), (i - 1) * 2 + 1, 2))::BIGINT END) AS b
+        |  FROM documents WHERE doc_id % 4 = 3)
+        |SELECT doc_id AS media_id, j::BIGINT AS frame_no, 'mjpeg' AS format,
+        |       true AS decoded, 256::BIGINT AS n_vals,
+        |       ((list_sum(bv) * 64 * 1000) // 256)::BIGINT AS mean_milli,
+        |       list_max(bv)::BIGINT AS max_val
+        |FROM fr
+        |UNION ALL
+        |SELECT doc_id AS media_id, 0::BIGINT AS frame_no, 'unknown' AS format,
+        |       false AS decoded, 17::BIGINT AS n_vals,
+        |       ((list_sum(b) * 1000) // 17)::BIGINT AS mean_milli,
+        |       list_max(b)::BIGINT AS max_val
+        |FROM junk
+        |ORDER BY media_id, frame_no""".stripMargin,
 
     // blob = unhex(md5(text)) is always 16 bytes; chunkBytes=4 -> chunks
     // 0..3, everyNth=2 keeps 0 and 2, each fully inside the blob -> len 4.

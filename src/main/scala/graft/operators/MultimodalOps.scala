@@ -691,4 +691,156 @@ object MultimodalOps {
         col("chunk").cast("long").as("frame_no"),
         expr(s"substring(content, chunk * $chunkBytes + 1, $chunkBytes)").as("frame_bytes"))
   }
+
+  /**
+   * REAL video-container frame walk — the container parser the
+   * [[sampleFrames]] scaladoc names as the stubbed piece, now real for
+   * AVI: the format is RIFF (the WAV machinery one level up), so the
+   * same guarded chunk walk finds `LIST('movi')` and yields its video
+   * subchunks (`##dc`/`##db` — compressed/uncompressed frame data for
+   * stream ##) in stream order. Returns None for non-AVI blobs, a
+   * missing movi LIST, hostile sizes (the WAV overflow lesson), or
+   * more than `maxFrames` frames (a crafted chunk list cannot OOM the
+   * executor).
+   */
+  private[graft] def parseAviFrames(b: Array[Byte],
+                                    maxFrames: Int = 4096): Option[Array[Array[Byte]]] = {
+    if (b == null || b.length < 12) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')) return None
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var pos = 12
+    while (pos + 8 <= b.length) {
+      val size = u32le(b, pos + 4)
+      if (size > b.length || pos + 8 + size > b.length) return None
+      if (b(pos) == 'L' && b(pos + 1) == 'I' && b(pos + 2) == 'S' && b(pos + 3) == 'T' &&
+          size >= 4 &&
+          b(pos + 8) == 'm' && b(pos + 9) == 'o' && b(pos + 10) == 'v' && b(pos + 11) == 'i') {
+        // walk the movi payload: video frames are '##dc' / '##db'
+        var p = pos + 12
+        val end = pos + 8 + size.toInt
+        while (p + 8 <= end) {
+          val fsize = u32le(b, p + 4)
+          if (fsize > b.length || p + 8 + fsize > end) return None
+          val isDigits = b(p) >= '0' && b(p) <= '9' && b(p + 1) >= '0' && b(p + 1) <= '9'
+          val isVideo = isDigits && ((b(p + 2) == 'd' && (b(p + 3) == 'c' || b(p + 3) == 'b')))
+          if (isVideo) {
+            if (frames.length >= maxFrames) return None
+            frames += java.util.Arrays.copyOfRange(b, p + 8, p + 8 + fsize.toInt)
+          }
+          p += 8 + fsize.toInt + (fsize.toInt & 1) // RIFF word alignment
+        }
+      }
+      pos += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (frames.isEmpty) None else Some(frames.toArray)
+  }
+
+  /**
+   * Minimal REAL AVI/MJPEG writer (fixture synthesis — the
+   * [[encodeWavPcm]] counterpart for video): canonical
+   * RIFF('AVI ') { LIST(hdrl){ avih, LIST(strl){ strh('vids'/'MJPG'),
+   * strf(BITMAPINFOHEADER) } }, LIST(movi){ '00dc' frames } } layout.
+   * Each frame payload is an opaque byte blob — the planted fixtures
+   * pass [[JpegBaseline]] streams so the full container->frame->pixel
+   * chain is real.
+   */
+  private[graft] def encodeAviMjpeg(frames: Array[Array[Byte]], width: Int, height: Int,
+                                    fps: Int = 25): Array[Byte] = {
+    require(frames.nonEmpty && fps > 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    // strf: BITMAPINFOHEADER (40 bytes)
+    val strf = le32(40) ++ le32(width) ++ le32(height) ++
+      Array[Byte](1, 0, 24, 0) ++ fcc("MJPG") ++ le32(width * height * 3) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    // strh: 56 bytes — fccType 'vids', handler 'MJPG', flags/prio+lang/
+    // initialFrames, scale/rate = 1/fps, start/length, suggested
+    // buffer/quality/sampleSize, rcFrame
+    val strh = fcc("vids") ++ fcc("MJPG") ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(1) ++ le32(fps) ++ le32(0) ++ le32(frames.length) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ Array[Byte](0, 0, 0, 0, 0, 0, 0, 0)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] =
+      fcc(id) ++ le32(payload.length) ++ payload ++
+        (if ((payload.length & 1) != 0) Array[Byte](0) else Array.emptyByteArray)
+    def list(tpe: String, payload: Array[Byte]): Array[Byte] =
+      fcc("LIST") ++ le32(4 + payload.length) ++ fcc(tpe) ++ payload
+    // avih: 56 bytes — frame period us, dims, total frames
+    val avih = le32(1000000 / fps) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(width) ++ le32(height) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)))
+    val payload = fcc("AVI ") ++ hdrl ++ movi
+    bos.write(fcc("RIFF"), 0, 4)
+    bos.write(le32(payload.length), 0, 4)
+    bos.write(payload, 0, payload.length)
+    bos.toByteArray
+  }
+
+  /**
+   * Per-frame pixel features over a video column: [[parseAviFrames]]
+   * walks the container, [[JpegBaseline.decodePixels]] decodes each
+   * MJPEG frame — the full video -> frames -> pixels chain with no
+   * codec library, in the [[pixelFeatures]] mapPartitions shape. AVI
+   * blobs yield one row per frame with stats over DECODED pixels
+   * (decoded=true; a frame that fails pixel decode falls back to its
+   * compressed bytes, decoded=false). Non-AVI blobs yield a single
+   * frame_no=0 row over the blob bytes, format honestly sniffed.
+   * Output: (media_id, frame_no, format, decoded, n_vals, mean_milli,
+   * max_val).
+   */
+  def videoFrameFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_no", LongType),
+      StructField("format", StringType),
+      StructField("decoded", BooleanType),
+      StructField("n_vals", LongType),
+      StructField("mean_milli", LongType),
+      StructField("max_val", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        def stats(bytes: Array[Byte]): (Long, Long, Long) = {
+          if (bytes.length == 0) return (0L, 0L, 0L)
+          var sum = 0L
+          var max = 0L
+          var i = 0
+          while (i < bytes.length) {
+            val v = bytes(i) & 0xff
+            sum += v
+            if (v > max) max = v
+            i += 1
+          }
+          (bytes.length.toLong, sum * 1000L / bytes.length, max)
+        }
+        rows.grouped(batchSize).flatMap(_.flatMap { r =>
+          val id = r.getAs[Long]("media_id")
+          val content = r.getAs[Array[Byte]]("content")
+          parseAviFrames(content) match {
+            case Some(frames) =>
+              frames.iterator.zipWithIndex.map { case (f, i) =>
+                JpegBaseline.decodePixels(f) match {
+                  case Some(d) =>
+                    val (n, mean, mx) = stats(d.samples)
+                    Row(id, i.toLong, "mjpeg", true, n, mean, mx)
+                  case None =>
+                    val (n, mean, mx) = stats(f)
+                    Row(id, i.toLong, "avi", false, n, mean, mx)
+                }
+              }.toSeq
+            case None =>
+              val bytes = if (content == null) Array.emptyByteArray else content
+              val fmt = parseHeader(bytes).map(_.format).getOrElse("unknown")
+              val (n, mean, mx) = stats(bytes)
+              Seq(Row(id, 0L, fmt, false, n, mean, mx))
+          }
+        })
+      }(enc)
+  }
 }

@@ -277,6 +277,52 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2) === ((3L, "unknown", false, 4L, 4L)))
   }
 
+  test("parseAviFrames round-trips the MJPEG writer and guards hostile input") {
+    val frames = Array("first frame".getBytes("US-ASCII"),
+      "second".getBytes("US-ASCII"), // odd length -> word-align pad path
+      Array.tabulate(64)(i => (i * 7).toByte))
+    val avi = MultimodalOps.encodeAviMjpeg(frames, 16, 16)
+    val got = MultimodalOps.parseAviFrames(avi)
+    assert(got.exists(fs => fs.length == 3 &&
+      fs.zip(frames).forall { case (a, b) => a.sameElements(b) }))
+    // truncated mid-movi
+    assert(MultimodalOps.parseAviFrames(avi.take(avi.length - 10)) === None)
+    // hostile top-level chunk size must refuse, not walk backward
+    val hostile = avi.clone()
+    hostile(16) = 0xff.toByte; hostile(17) = 0xff.toByte
+    hostile(18) = 0xff.toByte; hostile(19) = 0xff.toByte
+    assert(MultimodalOps.parseAviFrames(hostile) === None)
+    // frame-count cap: a crafted chunk list cannot grow unbounded
+    assert(MultimodalOps.parseAviFrames(avi, maxFrames = 2) === None)
+    // WAV is RIFF but not AVI; junk is not RIFF at all
+    val wav = MultimodalOps.encodeWavPcm(Array(1, 2, 3, 4), 16, 1, 8000)
+    assert(MultimodalOps.parseAviFrames(wav) === None)
+    assert(MultimodalOps.parseAviFrames("not avi".getBytes("US-ASCII")) === None)
+    assert(MultimodalOps.parseAviFrames(null) === None)
+  }
+
+  test("videoFrameFeatures: container walk + per-frame JPEG decode") {
+    val ss = spark; import ss.implicits._
+    def flatJpeg(v: Int): Array[Byte] = {
+      val zz = new Array[Int](64); zz(0) = v - 128
+      JpegBaseline.encodeGrayBlocks(Array(zz), 1, 1, Array.fill(64)(8))
+    }
+    // frames 0/1 decode to flat 8x8 pixels; frame 2 is a non-JPEG blob
+    // and must fall back to its own compressed bytes, decoded=false
+    val avi = MultimodalOps.encodeAviMjpeg(
+      Array(flatJpeg(50), flatJpeg(200), Array[Byte](9, 1, 5)), 8, 8)
+    val df = Seq((1L, avi), (2L, Array[Byte](1, 2, 3))).toDF("doc_id", "blob")
+    val got = MultimodalOps.videoFrameFeatures(
+        MultimodalOps.toMediaFrame(df, "doc_id", "blob", "video/avi"))
+      .orderBy("media_id", "frame_no").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got(0) === ((1L, 0L, "mjpeg", true, 64L, 50000L, 50L)))
+    assert(got(1) === ((1L, 1L, "mjpeg", true, 64L, 200000L, 200L)))
+    assert(got(2) === ((1L, 2L, "avi", false, 3L, 5000L, 9L)))
+    assert(got(3) === ((2L, 0L, "unknown", false, 3L, 2000L, 3L)))
+  }
+
   test("parseHeader refuses truncated and junk input") {
     assert(MultimodalOps.parseHeader(null) === None)
     assert(MultimodalOps.parseHeader(Array.emptyByteArray) === None)
