@@ -748,6 +748,24 @@ object SparkEntry {
       MultimodalOps.videoFrameFeatures(media).orderBy("media_id", "frame_no")
     }),
 
+    "m_media_pixels_gif" -> ((s, dir) => {
+      // REAL GIF/LZW pixel decode over planted GIFs — LZW is LOSSLESS,
+      // so unlike the JPEG row (flat blocks only) ANY index pattern is
+      // oracle-predictable: pixel(i) = (doc_id*11 + i*i*13) % 256
+      // exercises non-trivial dictionary growth per blob, and the
+      // stats only match if the sub-block walk, the code-width
+      // schedule and every dictionary expansion are exact. %4==3 docs
+      // get magic-less junk and must fall back, decoded=false.
+      val buildGif = udf { (docId: Long) =>
+        val px = Array.tabulate(256)(i => (((docId * 11 + i.toLong * i * 13) % 256)).toByte)
+        GifPixels.encodeGifGray(px, 16, 16)
+      }
+      val docs = table(s, dir, "documents").withColumn("blob",
+        when(col("doc_id") % 4 === 3, unhex(unknownHex)).otherwise(buildGif(col("doc_id"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+      MultimodalOps.pixelFeatures(media).orderBy("media_id")
+    }),
+
     "d_dedup_lines" -> ((s, dir) => {
       // CCNet-style line dedup: the corpus is single-line word soup, so
       // lines are synthesized deterministically as 6-word windows (the
@@ -2012,6 +2030,36 @@ object SparkEntry {
         |       len(list_distinct(bv))::BIGINT AS distinct_vals,
         |       list_max(bv)::BIGINT AS max_val
         |FROM jb
+        |UNION ALL
+        |SELECT doc_id AS media_id, 'unknown' AS format, false AS decoded,
+        |       17::BIGINT AS n_vals,
+        |       ((list_sum(b) * 1000) // 17)::BIGINT AS mean_milli,
+        |       len(list_distinct(b))::BIGINT AS distinct_vals,
+        |       list_max(b)::BIGINT AS max_val
+        |FROM junk
+        |ORDER BY media_id""".stripMargin,
+
+    // index-stream stats predicted from the planted arithmetic — LZW
+    // is lossless, so the full 256-pixel pattern (not just flat
+    // blocks) replays in SQL. Junk rows replay the 0x00+md5 blob.
+    "m_media_pixels_gif" ->
+      """WITH gp AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 255),
+        |           i -> (doc_id * 11 + i * i * 13) % 256) AS p
+        |  FROM documents WHERE doc_id % 4 <> 3),
+        |junk AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 16),
+        |           i -> CASE WHEN i = 0 THEN 0
+        |                     ELSE ('0x' || substr(upper(md5(text)), (i - 1) * 2 + 1, 2))::BIGINT END) AS b
+        |  FROM documents WHERE doc_id % 4 = 3)
+        |SELECT doc_id AS media_id, 'gif' AS format, true AS decoded,
+        |       256::BIGINT AS n_vals,
+        |       ((list_sum(p) * 1000) // 256)::BIGINT AS mean_milli,
+        |       len(list_distinct(p))::BIGINT AS distinct_vals,
+        |       list_max(p)::BIGINT AS max_val
+        |FROM gp
         |UNION ALL
         |SELECT doc_id AS media_id, 'unknown' AS format, false AS decoded,
         |       17::BIGINT AS n_vals,

@@ -161,7 +161,7 @@ object MultimodalOps {
   private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
   /**
-   * REAL header parse — pure-JVM readers of the three public container
+   * REAL header parse — pure-JVM readers of the public container
    * formats, no codec library:
    *
    *  - PNG (RFC 2083 / W3C): 8-byte signature, then the IHDR chunk is
@@ -212,6 +212,12 @@ object MultimodalOps {
       }
       return None
     }
+    // GIF (87a/89a): logical-screen dims from the header; palette
+    // images are index streams, so channels = 1 (the color-type-3 PNG
+    // convention)
+    if (b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      return Some(MediaHeader("gif", u16le(b, 6), u16le(b, 8), 1L, 0L))
     // WAV: RIFF/WAVE then chunk walk to "fmt "
     parseWav(b)
   }
@@ -551,10 +557,12 @@ object MultimodalOps {
           val content = r.getAs[Array[Byte]]("content")
           val fmt = parseHeader(content).map(_.format).getOrElse("unknown")
           // PNG via inflate+filter reversal; baseline JPEG via the
-          // pure-JVM Huffman+IDCT decoder — both REAL pixel stages now
+          // pure-JVM Huffman+IDCT decoder; GIF via the LZW decoder
+          // (index stream, like palette PNGs) — all REAL pixel stages
           val decoded: Option[(String, Array[Byte])] =
             decodePngPixels(content).map(("png", _))
               .orElse(JpegBaseline.decodePixels(content).map(d => ("jpeg", d.samples)))
+              .orElse(GifPixels.decodeGifPixels(content).map(("gif", _)))
           decoded match {
             case Some((f, px)) =>
               val (n, mean, d, mx) = stats(px)

@@ -266,8 +266,9 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val png = MultimodalOps.encodePngGray(Array.tabulate(64)(i => (i * 3).toByte), 8, 8, _ => 2)
     val jzz = new Array[Int](64); jzz(0) = 77 - 128 // flat 8x8 block of 77
     val jpg = JpegBaseline.encodeGrayBlocks(Array(jzz), 1, 1, Array.fill(64)(8))
+    val gif = GifPixels.encodeGifGray(Array.tabulate(64)(i => (i * 2).toByte), 8, 8)
     val junk = Array[Byte](1, 2, 3, 4)
-    val df = Seq((1L, png), (2L, jpg), (3L, junk)).toDF("doc_id", "blob")
+    val df = Seq((1L, png), (2L, jpg), (3L, junk), (4L, gif)).toDF("doc_id", "blob")
     val got = MultimodalOps.pixelFeatures(
         MultimodalOps.toMediaFrame(df, "doc_id", "blob", "mixed"))
       .orderBy("media_id").collect()
@@ -275,6 +276,7 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(0) === ((1L, "png", true, 64L, 189L)))   // max = 63*3
     assert(got(1) === ((2L, "jpeg", true, 64L, 77L)))   // flat block: max = value
     assert(got(2) === ((3L, "unknown", false, 4L, 4L)))
+    assert(got(3) === ((4L, "gif", true, 64L, 126L)))   // index stream: max = 63*2
   }
 
   test("parseAviFrames round-trips the MJPEG writer and guards hostile input") {
