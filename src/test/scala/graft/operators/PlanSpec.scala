@@ -165,6 +165,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(splitHashEx.isEmpty, "p_split must not hash-shuffle — it is a pure projection")
   }
 
+  test("media family plans are single-pass: no hash shuffle around the decoders") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // every media query is scan -> (planted blob) -> mapPartitions
+    // decode -> output sort: per-blob decode is a projection, so the
+    // only exchange allowed is the final orderBy's range partitioning —
+    // a hash shuffle here would mean the decoder moved data it didn't
+    // need to (the thing that would hurt most at 100 TB of blobs)
+    for (q <- Seq("m_media_decode", "m_media_pixels", "m_media_pixels_jpeg",
+                  "m_media_pixels_gif", "m_media_samples", "m_media_video")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
+      val hashEx = plan.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+      }
+      assert(hashEx.isEmpty, s"$q must not hash-shuffle — decode is per-blob")
+    }
+  }
+
   test("points storage layout prunes monthly partitions") {
     val work = java.nio.file.Files.createTempDirectory("graft-prune").toString
     val ss = spark; import ss.implicits._
