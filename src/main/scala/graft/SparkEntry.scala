@@ -766,6 +766,25 @@ object SparkEntry {
       MultimodalOps.pixelFeatures(media).orderBy("media_id")
     }),
 
+    "m_media_video_gif" -> ((s, dir) => {
+      // the OTHER multi-frame container: each %4!=3 doc becomes an
+      // animated GIF of three full-screen 16x16 frames, every frame an
+      // independent LZW stream over a (doc_id, frame)-arithmetic index
+      // pattern — videoFrameFeatures walks them like AVI movi chunks.
+      // LZW is lossless, so all three per-frame stat rows replay
+      // exactly. %4==3 docs get magic-less junk -> one fallback row.
+      val buildGifAnim = udf { (docId: Long) =>
+        val frames = Array.tabulate(3) { j =>
+          Array.tabulate(256)(i => (((docId * 7 + j * 19 + i.toLong * i * 13) % 256)).toByte)
+        }
+        GifPixels.encodeGifGrayFrames(frames, 16, 16)
+      }
+      val docs = table(s, dir, "documents").withColumn("blob",
+        when(col("doc_id") % 4 === 3, unhex(unknownHex)).otherwise(buildGifAnim(col("doc_id"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+      MultimodalOps.videoFrameFeatures(media).orderBy("media_id", "frame_no")
+    }),
+
     "d_dedup_lines" -> ((s, dir) => {
       // CCNet-style line dedup: the corpus is single-line word soup, so
       // lines are synthesized deterministically as 6-word windows (the
@@ -2068,6 +2087,35 @@ object SparkEntry {
         |       list_max(b)::BIGINT AS max_val
         |FROM junk
         |ORDER BY media_id""".stripMargin,
+
+    // animated-GIF frames: the per-frame index pattern replays exactly
+    // (LZW lossless); distinct_vals is absent from this surface (the
+    // video schema), mean/max carry the per-frame signal
+    "m_media_video_gif" ->
+      """WITH fr AS (
+        |  SELECT doc_id, j,
+        |         list_transform(generate_series(0, 255),
+        |           i -> (doc_id * 7 + j * 19 + i * i * 13) % 256) AS p
+        |  FROM documents, (SELECT unnest(generate_series(0, 2)) AS j) js
+        |  WHERE doc_id % 4 <> 3),
+        |junk AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 16),
+        |           i -> CASE WHEN i = 0 THEN 0
+        |                     ELSE ('0x' || substr(upper(md5(text)), (i - 1) * 2 + 1, 2))::BIGINT END) AS b
+        |  FROM documents WHERE doc_id % 4 = 3)
+        |SELECT doc_id AS media_id, j::BIGINT AS frame_no, 'gif' AS format,
+        |       true AS decoded, 256::BIGINT AS n_vals,
+        |       ((list_sum(p) * 1000) // 256)::BIGINT AS mean_milli,
+        |       list_max(p)::BIGINT AS max_val
+        |FROM fr
+        |UNION ALL
+        |SELECT doc_id AS media_id, 0::BIGINT AS frame_no, 'unknown' AS format,
+        |       false AS decoded, 17::BIGINT AS n_vals,
+        |       ((list_sum(b) * 1000) // 17)::BIGINT AS mean_milli,
+        |       list_max(b)::BIGINT AS max_val
+        |FROM junk
+        |ORDER BY media_id, frame_no""".stripMargin,
 
     // per-frame pixel stats predicted from the (doc_id, frame, block)
     // arithmetic — three frames per doc, four flat blocks per frame,

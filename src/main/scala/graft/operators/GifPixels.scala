@@ -33,21 +33,36 @@ object GifPixels {
   private def u16le(b: Array[Byte], o: Int): Int =
     ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
 
+  /** First frame's index stream (the [[MultimodalOps.pixelFeatures]]
+    * path; parsing stops at the first image, trailing bytes untouched). */
   def decodeGifPixels(b: Array[Byte], maxPixels: Int = 1 << 26): Option[Array[Byte]] =
-    try decodeOrBail(b, maxPixels) catch { case Bail => None }
+    try walk(b, maxPixels, maxFrames = 1).map(_.head) catch { case Bail => None }
 
-  private def decodeOrBail(b: Array[Byte], maxPixels: Int): Option[Array[Byte]] = {
+  /** EVERY frame's index stream — GIF89a allows any number of image
+    * descriptors (animations), each independently LZW-coded, so the
+    * [[MultimodalOps.videoFrameFeatures]] chain walks them like AVI
+    * movi chunks. Frames are returned as their OWN index streams (a
+    * frame may cover a sub-region of the logical screen; per-frame
+    * stats need no composition, and disposal/transparency composition
+    * is deliberately out of scope). */
+  def decodeGifFrames(b: Array[Byte], maxPixels: Int = 1 << 26,
+                      maxFrames: Int = 4096): Option[Array[Array[Byte]]] =
+    try walk(b, maxPixels, maxFrames) catch { case Bail => None }
+
+  private def walk(b: Array[Byte], maxPixels: Int, maxFrames: Int): Option[Array[Array[Byte]]] = {
     if (b == null || b.length < 13) return None
     if (!(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
           (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return None
-    var pos = 6
     val gctFlag = (b(10) & 0x80) != 0
     val gctSize = 3 * (1 << ((b(10) & 0x07) + 1))
-    pos = 13
+    var pos = 13
     if (gctFlag) pos += gctSize // palette bytes — indices are the output
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var total = 0L
     while (pos < b.length) {
       (b(pos) & 0xff) match {
-        case 0x3b => return None // trailer before any image
+        case 0x3b => // trailer
+          return if (frames.isEmpty) None else Some(frames.toArray)
         case 0x21 => // extension: label then sub-blocks
           pos += 2
           pos = skipSubBlocks(b, pos)
@@ -57,7 +72,8 @@ object GifPixels {
           val h = u16le(b, pos + 7)
           val packed = b(pos + 9) & 0xff
           if ((packed & 0x40) != 0) return None // interlaced: out of scope
-          if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return None
+          total += w.toLong * h
+          if (w <= 0 || h <= 0 || total > maxPixels) return None
           pos += 10
           if ((packed & 0x80) != 0) pos += 3 * (1 << ((packed & 0x07) + 1)) // LCT
           if (pos >= b.length) throw Bail
@@ -66,24 +82,31 @@ object GifPixels {
           pos += 1
           // gather the LZW payload from the length-prefixed sub-blocks
           val data = new java.io.ByteArrayOutputStream()
-          var p = pos
           var done = false
           while (!done) {
-            if (p >= b.length) throw Bail
-            val len = b(p) & 0xff
-            p += 1
+            if (pos >= b.length) throw Bail
+            val len = b(pos) & 0xff
+            pos += 1
             if (len == 0) done = true
             else {
-              if (p + len > b.length) throw Bail
-              data.write(b, p, len)
-              p += len
+              if (pos + len > b.length) throw Bail
+              data.write(b, pos, len)
+              pos += len
             }
           }
-          return lzwDecode(data.toByteArray, minCode, w * h)
+          lzwDecode(data.toByteArray, minCode, w * h) match {
+            case Some(px) =>
+              if (frames.length >= maxFrames) return None // refuse, never truncate silently
+              frames += px
+              // single-frame callers (decodeGifPixels) stop at the
+              // first image without validating the rest of the stream
+              if (maxFrames == 1) return Some(frames.toArray)
+            case None => return None
+          }
         case _ => throw Bail // unknown block type: desynced
       }
     }
-    None
+    None // ran off the end without a trailer
   }
 
   private def skipSubBlocks(b: Array[Byte], start: Int): Int = {
@@ -260,8 +283,15 @@ object GifPixels {
    * (i,i,i) so an index IS its luminance), one non-interlaced frame
    * LZW-compressed by [[lzwEncode]], sub-blocked at 255 bytes.
    */
-  private[graft] def encodeGifGray(indices: Array[Byte], width: Int, height: Int): Array[Byte] = {
-    require(indices.length == width * height, "indices must be width*height")
+  private[graft] def encodeGifGray(indices: Array[Byte], width: Int, height: Int): Array[Byte] =
+    encodeGifGrayFrames(Array(indices), width, height)
+
+  /** Multi-frame (animated) variant: one image descriptor + LZW stream
+    * per frame, all full-screen, shared gray GCT. */
+  private[graft] def encodeGifGrayFrames(frames: Array[Array[Byte]],
+                                         width: Int, height: Int): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.length == width * height),
+      "each frame must be width*height indices")
     val bos = new java.io.ByteArrayOutputStream()
     bos.write("GIF89a".getBytes("US-ASCII"), 0, 6)
     def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
@@ -270,19 +300,21 @@ object GifPixels {
     bos.write(0); bos.write(0) // background, aspect
     var i = 0
     while (i < 256) { bos.write(i); bos.write(i); bos.write(i); i += 1 } // gray GCT
-    bos.write(0x2c) // image descriptor
-    le16(0); le16(0); le16(width); le16(height)
-    bos.write(0x00) // no LCT, not interlaced
-    bos.write(8)    // LZW min code size
-    val lzw = lzwEncode(indices, 8)
-    var off = 0
-    while (off < lzw.length) {
-      val n = math.min(255, lzw.length - off)
-      bos.write(n)
-      bos.write(lzw, off, n)
-      off += n
+    frames.foreach { indices =>
+      bos.write(0x2c) // image descriptor
+      le16(0); le16(0); le16(width); le16(height)
+      bos.write(0x00) // no LCT, not interlaced
+      bos.write(8)    // LZW min code size
+      val lzw = lzwEncode(indices, 8)
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(255, lzw.length - off)
+        bos.write(n)
+        bos.write(lzw, off, n)
+        off += n
+      }
+      bos.write(0) // sub-block terminator
     }
-    bos.write(0) // sub-block terminator
     bos.write(0x3b) // trailer
     bos.toByteArray
   }

@@ -237,15 +237,20 @@ object JpegBaseline {
           case 0xda => // SOS: scan header then entropy data
             if (comps == null) throw Bail
             val len = u16(pos)
+            if (pos + 2 >= b.length) throw Bail
             val ns = b(pos + 2) & 0xff
             if (ns != comps.length) return None // partial scans: out of scope
             var p = pos + 3
             var i = 0
             while (i < ns) {
+              if (p + 1 >= b.length) throw Bail // truncated scan header
               val cs = b(p) & 0xff
               val c = comps.find(_.id == cs).getOrElse(throw Bail)
               c.td = (b(p + 1) & 0xff) >> 4
               c.ta = b(p + 1) & 0x0f
+              // table ids are 4-bit nibbles but only 0-3 exist (T.81
+              // B.2.3) — unvalidated they index past the 4-slot arrays
+              if (c.td > 3 || c.ta > 3) throw Bail
               p += 2
               i += 1
             }

@@ -791,13 +791,15 @@ object MultimodalOps {
 
   /**
    * Per-frame pixel features over a video column: [[parseAviFrames]]
-   * walks the container, [[JpegBaseline.decodePixels]] decodes each
-   * MJPEG frame — the full video -> frames -> pixels chain with no
-   * codec library, in the [[pixelFeatures]] mapPartitions shape. AVI
-   * blobs yield one row per frame with stats over DECODED pixels
-   * (decoded=true; a frame that fails pixel decode falls back to its
-   * compressed bytes, decoded=false). Non-AVI blobs yield a single
-   * frame_no=0 row over the blob bytes, format honestly sniffed.
+   * walks AVI containers ([[JpegBaseline.decodePixels]] decoding each
+   * MJPEG frame) and [[GifPixels.decodeGifFrames]] walks animated GIFs
+   * (each frame an independent LZW stream) — the full video -> frames
+   * -> pixels chain with no codec library, in the [[pixelFeatures]]
+   * mapPartitions shape. Multi-frame blobs yield one row per frame
+   * with stats over DECODED pixels (decoded=true; an AVI frame that
+   * fails pixel decode falls back to its compressed bytes,
+   * decoded=false). Everything else yields a single frame_no=0 row
+   * over the blob bytes, format honestly sniffed.
    * Output: (media_id, frame_no, format, decoded, n_vals, mean_milli,
    * max_val).
    */
@@ -842,11 +844,20 @@ object MultimodalOps {
                     Row(id, i.toLong, "avi", false, n, mean, mx)
                 }
               }.toSeq
-            case None =>
-              val bytes = if (content == null) Array.emptyByteArray else content
-              val fmt = parseHeader(bytes).map(_.format).getOrElse("unknown")
-              val (n, mean, mx) = stats(bytes)
-              Seq(Row(id, 0L, fmt, false, n, mean, mx))
+            case None => GifPixels.decodeGifFrames(content) match {
+              // animated GIFs are the other multi-frame container: one
+              // row per frame over its decoded index stream
+              case Some(frames) =>
+                frames.iterator.zipWithIndex.map { case (px, i) =>
+                  val (n, mean, mx) = stats(px)
+                  Row(id, i.toLong, "gif", true, n, mean, mx)
+                }.toSeq
+              case None =>
+                val bytes = if (content == null) Array.emptyByteArray else content
+                val fmt = parseHeader(bytes).map(_.format).getOrElse("unknown")
+                val (n, mean, mx) = stats(bytes)
+                Seq(Row(id, 0L, fmt, false, n, mean, mx))
+            }
           }
         })
       }(enc)

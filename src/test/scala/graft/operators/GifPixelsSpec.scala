@@ -53,6 +53,21 @@ class GifPixelsSpec extends AnyFunSuite {
     }
   }
 
+  test("animated GIFs: every frame decodes as its own LZW stream") {
+    val frames = Array.tabulate(3)(j =>
+      Array.tabulate(64)(i => ((j * 19 + i * i * 13) % 256).toByte))
+    val gif = GifPixels.encodeGifGrayFrames(frames, 8, 8)
+    val got = GifPixels.decodeGifFrames(gif)
+    assert(got.exists(fs => fs.length == 3 &&
+      fs.zip(frames).forall { case (a, b) => a.sameElements(b) }))
+    // decodeGifPixels keeps its first-frame contract on animations
+    assert(GifPixels.decodeGifPixels(gif).exists(_.sameElements(frames(0))))
+    // the frame cap refuses rather than silently truncating
+    assert(GifPixels.decodeGifFrames(gif, maxFrames = 2) === None)
+    // multi-frame mode requires the trailer (single-frame mode stops early)
+    assert(GifPixels.decodeGifFrames(gif.take(gif.length - 1)) === None)
+  }
+
   test("hostile and corrupt streams refuse") {
     val px = Array.tabulate(64)(i => (i * 3).toByte)
     val good = GifPixels.encodeGifGray(px, 8, 8)

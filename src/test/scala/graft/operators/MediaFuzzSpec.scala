@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Mutation-safety: the media decoders run inside executor tasks over
+ * untrusted blobs, so beyond the targeted hostile cases in each
+ * format's spec, EVERY decode of a corrupted stream must return (Some
+ * or None) — never throw, never hang, never allocate unboundedly.
+ * Deterministic single-byte and truncation mutations over valid
+ * fixtures of all four formats; any escape of the decoders' internal
+ * Bail discipline fails the suite as an uncaught exception.
+ */
+class MediaFuzzSpec extends AnyFunSuite {
+
+  private def fixtures: Seq[(String, Array[Byte])] = {
+    val png = MultimodalOps.encodePngGray(
+      Array.tabulate(64)(i => (i * 5).toByte), 8, 8, r => r % 5)
+    val zz = Array.tabulate(6) { b =>
+      val a = new Array[Int](64)
+      a(0) = b * 40 - 100
+      for (k <- 1 until 64 if (k + b) % 7 == 0) a(k) = (k % 11) - 5
+      a
+    }
+    val jpeg = JpegBaseline.encodeGrayBlocks(zz, 3, 2, Array.tabulate(64)(k => 1 + k % 17), dri = 2)
+    val gif = GifPixels.encodeGifGray(Array.tabulate(100)(i => ((i * i * 7) % 256).toByte), 10, 10)
+    val wav = MultimodalOps.encodeWavPcm(Array.tabulate(40)(i => i * 1337 % 30000 - 15000), 16, 2, 16000)
+    val avi = MultimodalOps.encodeAviMjpeg(Array(jpeg, "not a jpeg".getBytes("US-ASCII")), 24, 16)
+    Seq(("png", png), ("jpeg", jpeg), ("gif", gif), ("wav", wav), ("avi", avi))
+  }
+
+  private def decodeAll(b: Array[Byte]): Unit = {
+    MultimodalOps.decodePngPixels(b)
+    JpegBaseline.decodePixels(b)
+    GifPixels.decodeGifPixels(b)
+    GifPixels.decodeGifFrames(b)
+    MultimodalOps.decodeWavSamples(b)
+    MultimodalOps.parseAviFrames(b)
+    MultimodalOps.parseHeader(b)
+    ()
+  }
+
+  test("single-byte mutations never escape as exceptions") {
+    for ((name, fix) <- fixtures) {
+      // flip every byte position once through a deterministic xor; for
+      // longer fixtures stride so the suite stays fast but every region
+      // (magic, headers, tables, entropy data, trailers) is hit
+      val stride = math.max(1, fix.length / 192)
+      var pos = 0
+      while (pos < fix.length) {
+        for (x <- Seq(0xff, 0x01, 0x80)) {
+          val mut = fix.clone()
+          mut(pos) = (mut(pos) ^ x).toByte
+          decodeAll(mut) // must not throw
+        }
+        pos += stride
+      }
+      // and the unmutated fixture still decodes (guards the guard)
+      decodeAll(fix)
+      assert(true, s"$name survived")
+    }
+  }
+
+  test("truncations at every boundary never escape as exceptions") {
+    for ((_, fix) <- fixtures) {
+      val stride = math.max(1, fix.length / 128)
+      var n = 0
+      while (n < fix.length) {
+        decodeAll(fix.take(n)) // must not throw
+        n += stride
+      }
+    }
+  }
+
+  test("double mutations over the entropy-coded regions") {
+    for ((_, fix) <- fixtures) {
+      val third = fix.length / 3
+      for (s <- 0 until 64) {
+        val mut = fix.clone()
+        val p1 = third + (s * 31) % math.max(1, fix.length - third)
+        val p2 = third + (s * 57 + 11) % math.max(1, fix.length - third)
+        mut(p1) = (mut(p1) ^ 0xa5).toByte
+        mut(p2) = (mut(p2) + 1).toByte
+        decodeAll(mut)
+      }
+    }
+  }
+}
