@@ -656,12 +656,16 @@ object SparkEntry {
       // PIXELS are arithmetic in doc_id (pixel(i) = (doc_id*7+i*13)%256)
       // with the scanline filter cycling (r+doc_id)%5, so the oracle's
       // pixel-stat prediction only matches if inflate AND all five
-      // filter reversals are byte-exact. %4==3 docs get magic-less junk
-      // and must fall back to compressed-blob stats, decoded=false.
+      // filter reversals are byte-exact. Odd doc_ids additionally plant
+      // the stream Adam7-INTERLACED — the deinterlaced pixels must be
+      // identical, so the same oracle pins the seven-pass scatter too.
+      // %4==3 docs get magic-less junk and must fall back to
+      // compressed-blob stats, decoded=false.
       val buildPng = udf { (docId: Long) =>
         val w = 16; val h = 16
         val px = Array.tabulate(w * h)(i => ((docId * 7 + i * 13) % 256).toByte)
-        MultimodalOps.encodePngGray(px, w, h, r => ((r + docId) % 5).toInt)
+        MultimodalOps.encodePngGray(px, w, h, r => ((r + docId) % 5).toInt,
+          interlace = docId % 2 == 1)
       }
       val docs = table(s, dir, "documents").withColumn("blob",
         when(col("doc_id") % 4 === 3, unhex(unknownHex))

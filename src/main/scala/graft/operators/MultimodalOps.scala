@@ -43,11 +43,13 @@ object MultimodalOps {
       ).as("meta"))
 
   /**
-   * STUB DECODER — the real implementation would decode image headers
-   * (or run a batched model) per partition. Deterministic fake: width and
-   * height derived from the content md5 so tests and oracles are stable.
-   * Runs via mapPartitions-shaped batching in a real deployment; here the
-   * derivation is columnar since the stub is pure hashing.
+   * STUB DECODER — kept as the deterministic fallback surface (width/
+   * height derived from the content md5 so tests and oracles are
+   * stable) and as the plumbing-shape baseline the batched variant
+   * shares an oracle with. REAL decoding lives in [[decodeMedia]]
+   * (headers), [[pixelFeatures]] (PNG/JPEG/GIF pixels),
+   * [[sampleFeatures]] (WAV PCM) and [[videoFrameFeatures]]
+   * (AVI/animated-GIF frames).
    */
   def decodeImageStub(media: DataFrame): DataFrame =
     media
@@ -104,9 +106,11 @@ object MultimodalOps {
    * decoder or model: one iterator-to-iterator `mapPartitions` pass,
    * with a per-partition "model handle" opened once and rows processed
    * in bounded batches (what a Pandas-UDF / mapInPandas pipeline does
-   * in the Python stack; this container has no codec libs, so the
-   * decode itself is the same deterministic md5 stub as
-   * [[decodeImageStub]] — results are identical and share its oracle).
+   * in the Python stack). The decode body here stays the deterministic
+   * md5 stub so results are bit-identical to [[decodeImageStub]] and
+   * share its oracle — the REAL decode stages live in [[decodeMedia]],
+   * [[pixelFeatures]], [[sampleFeatures]] and [[videoFrameFeatures]],
+   * which reuse this same batching shape.
    */
   def decodeImageBatched(media: DataFrame, batchSize: Int = 64): DataFrame = {
     import org.apache.spark.sql.Row
@@ -259,8 +263,10 @@ object MultimodalOps {
    * the IHDR-derived size, and reverses the five per-scanline filters
    * (None/Sub/Up/Average/Paeth, RFC 2083 §6). Supports bit depth 8,
    * color types 0/2/3/4/6 (palette images return their index bytes —
-   * the per-byte featurizer treats them as the sample stream), no
-   * interlace. Returns None for anything else, for a truncated or
+   * the per-byte featurizer treats them as the sample stream), and
+   * both interlace methods — Adam7 sub-images are defiltered against
+   * their own neighbors and scattered to frame positions. Returns
+   * None for anything else, for a truncated or
    * corrupt deflate stream, an undefined filter byte, or hostile chunk
    * lengths — callers fall back to compressed-blob features, the same
    * honest-fallback contract as unknown formats. `maxPixelBytes` caps
@@ -277,14 +283,27 @@ object MultimodalOps {
     val depth = b(24) & 0xff
     val color = b(25) & 0xff
     val interlace = b(28) & 0xff
-    if (depth != 8 || interlace != 0) return None
+    if (depth != 8 || interlace > 1) return None
     val bpp = color match {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
       case _ => return None
     }
     if (width <= 0 || height <= 0) return None
     val stride = width * bpp
-    val rawLen = height * (stride + 1) // one filter byte per scanline
+    // pass geometry: Adam7's seven sub-images (RFC 2083 §2.6 —
+    // entirely-empty passes contribute no bytes, not even filter
+    // bytes), or one full-frame pass when not interlaced
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (interlace == 0) Array((0, 0, 1, 1))
+      else Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val dims = passes.map { case (x0, y0, dx, dy) =>
+      val wp = if (width > x0) (((width - x0) + dx - 1) / dx).toInt else 0
+      val hp = if (height > y0) (((height - y0) + dy - 1) / dy).toInt else 0
+      (wp, hp)
+    }
+    val rawLen = dims.map { case (wp, hp) =>
+      if (wp == 0 || hp == 0) 0L else hp.toLong * (1 + wp.toLong * bpp) }.sum
     if (rawLen <= 0 || rawLen > maxPixelBytes) return None
     // chunk walk: gather IDAT payloads (lengths guarded like the WAV walk)
     val idat = new java.io.ByteArrayOutputStream()
@@ -312,32 +331,63 @@ object MultimodalOps {
       if (off < raw.length) return None
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inf.end()
-    // reverse the per-scanline filter into the pixel array
+    // reverse the per-scanline filters pass by pass (each pass filters
+    // against ITS OWN neighbors, RFC 2083 §6.2), then scatter into
+    // frame positions; the non-interlaced case is one full-frame pass
+    // that arraycopies straight through
     val px = new Array[Byte](height.toInt * stride.toInt)
-    val st = stride.toInt
-    var r = 0
-    while (r < height) {
-      val inOff = r * (st + 1)
-      val outOff = r * st
-      val f = raw(inOff) & 0xff
-      if (f > 4) return None // undefined filter byte — corrupt stream
-      var c = 0
-      while (c < st) {
-        val x = raw(inOff + 1 + c) & 0xff
-        val a = if (c >= bpp) px(outOff + c - bpp) & 0xff else 0
-        val up = if (r > 0) px(outOff - st + c) & 0xff else 0
-        val ul = if (r > 0 && c >= bpp) px(outOff - st + c - bpp) & 0xff else 0
-        val v = f match {
-          case 0 => x
-          case 1 => x + a
-          case 2 => x + up
-          case 3 => x + (a + up) / 2
-          case 4 => x + paeth(a, up, ul)
+    val w = width.toInt
+    var inOff = 0
+    var p = 0
+    while (p < passes.length) {
+      val (x0, y0, dx, dy) = passes(p)
+      val (wp, hp) = dims(p)
+      if (wp > 0 && hp > 0) {
+        val pst = wp * bpp
+        val pass = new Array[Byte](hp * pst)
+        var r = 0
+        while (r < hp) {
+          val f = raw(inOff) & 0xff
+          if (f > 4) return None // undefined filter byte — corrupt stream
+          val rowOff = r * pst
+          var c = 0
+          while (c < pst) {
+            val x = raw(inOff + 1 + c) & 0xff
+            val a = if (c >= bpp) pass(rowOff + c - bpp) & 0xff else 0
+            val up = if (r > 0) pass(rowOff - pst + c) & 0xff else 0
+            val ul = if (r > 0 && c >= bpp) pass(rowOff - pst + c - bpp) & 0xff else 0
+            val v = f match {
+              case 0 => x
+              case 1 => x + a
+              case 2 => x + up
+              case 3 => x + (a + up) / 2
+              case 4 => x + paeth(a, up, ul)
+            }
+            pass(rowOff + c) = (v & 0xff).toByte
+            c += 1
+          }
+          inOff += 1 + pst
+          r += 1
         }
-        px(outOff + c) = (v & 0xff).toByte
-        c += 1
+        if (dx == 1 && dy == 1 && x0 == 0 && y0 == 0) {
+          System.arraycopy(pass, 0, px, 0, pass.length)
+        } else {
+          r = 0
+          while (r < hp) {
+            var cc = 0
+            while (cc < wp) {
+              var ch = 0
+              while (ch < bpp) {
+                px(((y0 + r * dy) * w + (x0 + cc * dx)) * bpp + ch) = pass(r * pst + cc * bpp + ch)
+                ch += 1
+              }
+              cc += 1
+            }
+            r += 1
+          }
+        }
       }
-      r += 1
+      p += 1
     }
     Some(px)
   }
@@ -352,7 +402,8 @@ object MultimodalOps {
    * PIXELS from the same arithmetic that generated them.
    */
   private[graft] def encodePngGray(pixels: Array[Byte], width: Int, height: Int,
-                                   filterOfRow: Int => Int): Array[Byte] = {
+                                   filterOfRow: Int => Int,
+                                   interlace: Boolean = false): Array[Byte] = {
     require(pixels.length == width * height, "pixels must be width*height")
     val bos = new java.io.ByteArrayOutputStream()
     def be32(v: Long): Array[Byte] = Array(
@@ -368,35 +419,60 @@ object MultimodalOps {
     }
     bos.write(PngSig, 0, PngSig.length)
     chunk("IHDR", be32(width.toLong) ++ be32(height.toLong) ++
-      Array[Byte](8, 0, 0, 0, 0)) // depth 8, gray, deflate, adaptive, no interlace
-    val raw = new Array[Byte](height * (width + 1))
-    var r = 0
-    while (r < height) {
-      val f = filterOfRow(r) & 0xff
-      require(f <= 4, s"filter $f undefined")
-      raw(r * (width + 1)) = f.toByte
-      var c = 0
-      while (c < width) {
-        val x = pixels(r * width + c) & 0xff
-        val a = if (c > 0) pixels(r * width + c - 1) & 0xff else 0
-        val up = if (r > 0) pixels((r - 1) * width + c) & 0xff else 0
-        val ul = if (r > 0 && c > 0) pixels((r - 1) * width + c - 1) & 0xff else 0
-        val v = f match {
-          case 0 => x
-          case 1 => x - a
-          case 2 => x - up
-          case 3 => x - (a + up) / 2
-          case 4 => x - paeth(a, up, ul)
+      Array[Byte](8, 0, 0, 0, if (interlace) 1 else 0)) // depth 8, gray
+    // build the filtered raw stream pass by pass (one full-frame pass
+    // when not interlaced; Adam7's seven sub-images otherwise, each
+    // gathered then filtered against its own neighbors)
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (!interlace) Array((0, 0, 1, 1))
+      else Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val rawOut = new java.io.ByteArrayOutputStream()
+    for ((x0, y0, dx, dy) <- passes) {
+      val wp = if (width > x0) (width - x0 + dx - 1) / dx else 0
+      val hp = if (height > y0) (height - y0 + dy - 1) / dy else 0
+      if (wp > 0 && hp > 0) {
+        val pp = new Array[Byte](hp * wp)
+        var r = 0
+        while (r < hp) {
+          var c = 0
+          while (c < wp) {
+            pp(r * wp + c) = pixels((y0 + r * dy) * width + (x0 + c * dx))
+            c += 1
+          }
+          r += 1
         }
-        raw(r * (width + 1) + 1 + c) = (v & 0xff).toByte
-        c += 1
+        val raw = new Array[Byte](hp * (wp + 1))
+        r = 0
+        while (r < hp) {
+          val f = filterOfRow(r) & 0xff
+          require(f <= 4, s"filter $f undefined")
+          raw(r * (wp + 1)) = f.toByte
+          var c = 0
+          while (c < wp) {
+            val x = pp(r * wp + c) & 0xff
+            val a = if (c > 0) pp(r * wp + c - 1) & 0xff else 0
+            val up = if (r > 0) pp((r - 1) * wp + c) & 0xff else 0
+            val ul = if (r > 0 && c > 0) pp((r - 1) * wp + c - 1) & 0xff else 0
+            val v = f match {
+              case 0 => x
+              case 1 => x - a
+              case 2 => x - up
+              case 3 => x - (a + up) / 2
+              case 4 => x - paeth(a, up, ul)
+            }
+            raw(r * (wp + 1) + 1 + c) = (v & 0xff).toByte
+            c += 1
+          }
+          r += 1
+        }
+        rawOut.write(raw, 0, raw.length)
       }
-      r += 1
     }
     val defl = new java.util.zip.Deflater()
     val zout = new java.io.ByteArrayOutputStream()
     try {
-      defl.setInput(raw); defl.finish()
+      defl.setInput(rawOut.toByteArray); defl.finish()
       val buf = new Array[Byte](8192)
       while (!defl.finished()) {
         val n = defl.deflate(buf)

@@ -16,6 +16,8 @@ class MediaFuzzSpec extends AnyFunSuite {
   private def fixtures: Seq[(String, Array[Byte])] = {
     val png = MultimodalOps.encodePngGray(
       Array.tabulate(64)(i => (i * 5).toByte), 8, 8, r => r % 5)
+    val pngAdam7 = MultimodalOps.encodePngGray(
+      Array.tabulate(77)(i => (i * 5).toByte), 11, 7, r => r % 5, interlace = true)
     val zz = Array.tabulate(6) { b =>
       val a = new Array[Int](64)
       a(0) = b * 40 - 100
@@ -26,7 +28,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     val gif = GifPixels.encodeGifGray(Array.tabulate(100)(i => ((i * i * 7) % 256).toByte), 10, 10)
     val wav = MultimodalOps.encodeWavPcm(Array.tabulate(40)(i => i * 1337 % 30000 - 15000), 16, 2, 16000)
     val avi = MultimodalOps.encodeAviMjpeg(Array(jpeg, "not a jpeg".getBytes("US-ASCII")), 24, 16)
-    Seq(("png", png), ("jpeg", jpeg), ("gif", gif), ("wav", wav), ("avi", avi))
+    Seq(("png", png), ("png-adam7", pngAdam7), ("jpeg", jpeg), ("gif", gif),
+      ("wav", wav), ("avi", avi))
   }
 
   private def decodeAll(b: Array[Byte]): Unit = {

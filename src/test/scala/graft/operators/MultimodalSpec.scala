@@ -160,14 +160,35 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     hostile(33) = 0xff.toByte; hostile(34) = 0xff.toByte
     hostile(35) = 0xff.toByte; hostile(36) = 0xff.toByte
     assert(MultimodalOps.decodePngPixels(hostile) === None)
-    // interlaced (Adam7) and 16-bit depth are out of scope — refuse
+    // flipping the interlace byte on a NON-interlaced stream makes the
+    // Adam7 raw length disagree with the deflate payload — refuse
     val adam7 = good.clone(); adam7(28) = 1
     assert(MultimodalOps.decodePngPixels(adam7) === None)
+    // 16-bit depth is out of scope — refuse
     val deep = good.clone(); deep(24) = 16
     assert(MultimodalOps.decodePngPixels(deep) === None)
     // JPEG and junk fall through to None (the pixelFeatures fallback)
     assert(MultimodalOps.decodePngPixels(jpeg) === None)
     assert(MultimodalOps.decodePngPixels(null) === None)
+  }
+
+  test("decodePngPixels round-trips Adam7 interlaced streams") {
+    // deinterlaced output must equal the original pixel order exactly,
+    // for dimensions exercising every pass-emptiness case
+    for ((w, h) <- Seq((23, 17), (8, 8), (16, 16), (5, 3), (1, 1), (2, 2), (9, 1), (1, 9))) {
+      val px = Array.tabulate(w * h)(i => ((i * 31 + 7) % 256).toByte)
+      for (f <- Seq(0, 4)) {
+        val png = MultimodalOps.encodePngGray(px, w, h, _ => f, interlace = true)
+        assert(MultimodalOps.decodePngPixels(png).exists(_.sameElements(px)),
+          s"${w}x$h filter $f did not round-trip interlaced")
+      }
+      val mixed = MultimodalOps.encodePngGray(px, w, h, r => r % 5, interlace = true)
+      assert(MultimodalOps.decodePngPixels(mixed).exists(_.sameElements(px)),
+        s"${w}x$h cycling filters")
+      // interlaced and plain encodings of the same pixels decode alike
+      val plain = MultimodalOps.encodePngGray(px, w, h, r => r % 5)
+      assert(MultimodalOps.decodePngPixels(plain).exists(_.sameElements(px)))
+    }
   }
 
   test("decodeWavSamples round-trips the PCM encoder at both widths") {
