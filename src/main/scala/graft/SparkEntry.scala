@@ -362,6 +362,40 @@ object SparkEntry {
         .orderBy("first_date")
     }),
 
+    "p_distinct_kmv" -> ((s, dir) =>
+      // KMV distinct sketch per lang; k=72 straddles the group sizes so
+      // BOTH branches are driver-checked: de(70)/fr(64) take the exact
+      // n_seen<k path, en/es/zh the (k-1)/(kth/2^60) estimate path
+      SketchOps.distinctSketch(table(s, dir, "documents"),
+          Seq("lang"), "text", k = 72)
+        .orderBy("lang")),
+
+    "q9_sessions" -> ((s, dir) =>
+      // gap-based sessionization (30 min): session_window in a plain
+      // groupBy — same declaration runs under Structured Streaming
+      EventOps.sessionize(events(s, dir), "user_id", "tsec", gapSec = 1800L, "value")
+        .orderBy("user_id", "session_start")),
+
+    "q10_asof" -> ((s, dir) => {
+      // attribution as-of join: each purchase matched to the latest
+      // at-or-before view by the same user — union + one running
+      // window, not a per-key-quadratic range join
+      val e = events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tsec"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("tsec").as("vtsec"))
+      EventOps.asofJoin(purchases, views, key = "user_id",
+          leftTime = "tsec", rightTime = "vtsec",
+          rightPayload = Seq("view_id", "vtsec"),
+          leftTie = "event_id", rightTie = "view_id")
+        .select(col("event_id"), col("user_id"), col("tsec"),
+          col("view_id"), col("vtsec").as("view_tsec"),
+          (col("tsec") - col("vtsec")).as("lag_s"))
+        .orderBy("event_id")
+    }),
+
     // ---- training-data pipeline: dedup ----
 
     "d_dedup_exact" -> ((s, dir) =>
@@ -849,11 +883,28 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s_ann_pq" -> ((s, dir) => {
+      // product-quantized ANN: 8 subquantizers x 32 cells (one Lloyd
+      // round each) rank the whole corpus from 8-int codes + a
+      // per-query integer distance table; float vectors are only
+      // touched for the 50-candidate exact-cosine re-rank
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      PqOps.pqTopK(e.filter(col("id") < 5), e, topk = 5,
+          m = 8, k = 32, iters = 1, cand = 50)
+        .orderBy("query_id", "rank")
+    }),
+
     "t_rarity" -> ((s, dir) =>
       // corpus-frequency rarity (the integer-exact perplexity stand-in):
       // rare = global occurrence count < 20 at sf0.01's ~31-token vocab
       TextOps.rarityStats(table(s, dir, "documents"), "doc_id", "text", rareBelow = 20L)
         .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    "t_perplexity" -> ((s, dir) =>
+      // corpus-trained unigram-LM mean NLL (nats) per doc — the real
+      // log-domain perplexity signal next to t_rarity's integer proxy
+      TextOps.unigramNll(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
     "s_label_knn" -> ((s, dir) => {
@@ -1268,6 +1319,52 @@ object SparkEntry {
          |  FROM m GROUP BY 1)
          |SELECT first_date, count(*)::BIGINT AS new_series
          |FROM births GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "p_distinct_kmv" ->
+      """WITH h AS (
+        |  SELECT DISTINCT lang, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, h,
+        |         row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+        |  FROM h)
+        |SELECT lang, count(*) AS n_seen, max(h) AS kth_hash,
+        |       round(CASE WHEN count(*) < 72 THEN count(*)::DOUBLE
+        |                  ELSE 71.0 / (max(h) / 1152921504606846976.0) END,
+        |             4) AS est_distinct
+        |FROM r WHERE rn <= 72 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q9_sessions" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, value FROM events),
+        |x AS (
+        |  SELECT user_id, tsec, value,
+        |         CASE WHEN lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec) IS NULL
+        |                OR tsec - lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec) > 1800
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, tsec, value,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY tsec
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, min(tsec) AS session_start, max(tsec) AS session_end,
+        |       max(tsec) - min(tsec) AS duration_s,
+        |       count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "q10_asof" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |                  CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+        |p AS (SELECT event_id, user_id, tsec FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS view_id, user_id, tsec AS vtsec FROM e WHERE event_type = 'view'),
+        |j AS (
+        |  SELECT p.event_id, p.user_id, p.tsec, v.view_id, v.vtsec,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY v.vtsec DESC, v.view_id DESC) AS rn
+        |  FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.vtsec <= p.tsec)
+        |SELECT event_id, user_id, tsec, view_id, vtsec AS view_tsec,
+        |       tsec - vtsec AS lag_s
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "d_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
@@ -2369,6 +2466,82 @@ object SparkEntry {
         |SELECT query_id, rank::BIGINT AS rank, neighbor_id, sim
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // replays PQ end-to-end: Forgy sub-codebook init (sub-slices of the
+    // 32 lowest-id vectors), one Lloyd round per subquantizer
+    // (argmin-L2² assignment, 1e-7-quantized exact means), corpus codes
+    // under the trained books, each query's 1e-9-quantized integer
+    // distance table, the ADC 50-candidate shortlist as an exact LONG
+    // sum across subspaces (order-independent by design), and the
+    // exact-cosine re-rank of the shortlist
+    "s_ann_pq" ->
+      """WITH subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+        |dims AS (SELECT unnest(generate_series(1, 8)) AS d),
+        |seed AS (SELECT vec_id, embedding,
+        |                row_number() OVER (ORDER BY vec_id) - 1 AS c
+        |         FROM embeddings QUALIFY c < 32),
+        |c0 AS (
+        |  SELECT sub, seed.c,
+        |         list(seed.embedding[sub*8 + d]::DOUBLE ORDER BY d) AS cv
+        |  FROM subs, seed, dims GROUP BY 1, 2),
+        |s0 AS (
+        |  SELECT vec_id, sub, c,
+        |         list_sum(list_transform(range(1, 9),
+        |           i -> (embedding[sub*8 + i]::DOUBLE - cv[i]) * (embedding[sub*8 + i]::DOUBLE - cv[i]))) AS dist
+        |  FROM embeddings, c0),
+        |a0 AS (SELECT vec_id, sub, c AS cell FROM (
+        |         SELECT vec_id, sub, c,
+        |                row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, c ASC) AS rn
+        |         FROM s0) z WHERE rn = 1),
+        |m1 AS (
+        |  SELECT a0.sub, a0.cell, dims.d,
+        |         sum(floor(e.embedding[a0.sub*8 + dims.d]::DOUBLE * 10000000.0 + 0.5))::BIGINT AS sq,
+        |         count(*) AS n
+        |  FROM a0, embeddings e, dims WHERE a0.vec_id = e.vec_id
+        |  GROUP BY 1, 2, 3),
+        |c1m AS (SELECT sub, cell AS c, list(sq::DOUBLE / (n::DOUBLE * 10000000.0) ORDER BY d) AS cv
+        |        FROM m1 GROUP BY 1, 2),
+        |c1 AS (SELECT c0.sub, c0.c, coalesce(c1m.cv, c0.cv) AS cv
+        |       FROM c0 LEFT JOIN c1m ON c0.sub = c1m.sub AND c0.c = c1m.c),
+        |s1 AS (
+        |  SELECT vec_id, sub, c,
+        |         list_sum(list_transform(range(1, 9),
+        |           i -> (embedding[sub*8 + i]::DOUBLE - cv[i]) * (embedding[sub*8 + i]::DOUBLE - cv[i]))) AS dist
+        |  FROM embeddings, c1),
+        |codes AS (SELECT vec_id, sub, c AS cell FROM (
+        |            SELECT vec_id, sub, c,
+        |                   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, c ASC) AS rn
+        |            FROM s1) z WHERE rn = 1),
+        |qd AS (
+        |  SELECT vec_id AS query_id, sub, c,
+        |         floor(list_sum(list_transform(range(1, 9),
+        |           i -> (embedding[sub*8 + i]::DOUBLE - cv[i]) * (embedding[sub*8 + i]::DOUBLE - cv[i])))
+        |           * 1000000000.0 + 0.5)::BIGINT AS dq
+        |  FROM embeddings, c1 WHERE vec_id < 5),
+        |adc AS (
+        |  SELECT qd.query_id, x.vec_id AS neighbor_id, sum(qd.dq)::BIGINT AS adist_q
+        |  FROM codes x JOIN qd ON qd.sub = x.sub AND qd.c = x.cell
+        |  WHERE x.vec_id <> qd.query_id
+        |  GROUP BY 1, 2),
+        |shortlist AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY adist_q ASC, neighbor_id ASC) AS arn
+        |    FROM adc) z WHERE arn <= 50),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * qe.embedding[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)))), 6) AS sim
+        |  FROM shortlist JOIN embeddings qe ON query_id = qe.vec_id
+        |                 JOIN embeddings ce ON neighbor_id = ce.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank::BIGINT AS rank, neighbor_id, sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     // HUGEINT-vs-BIGINT: DuckDB sums promote to int128, so every summed
     // column casts back before comparing/dividing (the m_media_features
     // lesson); the milli mean mirrors Spark's long*1000/long -> double
@@ -2390,6 +2563,20 @@ object SparkEntry {
         |       CASE WHEN coalesce(n_words, 0) = 0 THEN 0.0
         |            ELSE round(rare_words::DOUBLE / n_words, 4) END AS rare_frac,
         |       coalesce(floor(freq_sum * 1000 / n_words), 0)::BIGINT AS mean_freq_milli
+        |FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "t_perplexity" ->
+      """WITH inst AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |freq AS (SELECT token, count(*) AS freq FROM inst GROUP BY 1),
+        |tot AS (SELECT count(*)::DOUBLE AS n FROM inst),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS n_tokens, avg(ln(freq::DOUBLE)) AS mlf
+        |  FROM inst JOIN freq USING (token) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+        |       coalesce(round(ln((SELECT n FROM tot)) - mlf, 4), 0.0) AS avg_nll
         |FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     "s_label_knn" ->

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-time operators over the `events` stream table: gap-based
+ * sessionization and the scale-safe as-of join. Neither exists in the
+ * reference (carbon-clickhouse is ingest-only); both are table-stakes
+ * for the training-data / behavioral-analytics layer a 100 TB event
+ * corpus feeds.
+ */
+object EventOps {
+
+  /**
+   * Gap-based sessionization: consecutive events of one key belong to
+   * the same session while the gap to the previous event is <= `gapSec`
+   * (the boundary is INCLUSIVE — per-event windows [t, t+gap] that
+   * touch at a point merge); a strictly greater gap starts a new
+   * session. The spec pins this boundary because the oracle's
+   * gaps-and-islands replay must break on `>`, not `>=`.
+   *
+   * Spark-first: `session_window` in a plain `groupBy` — the SAME
+   * declaration works under Structured Streaming (with a watermark),
+   * where Spark merges session state incrementally instead of
+   * re-scanning history; batch and stream share one semantics. The
+   * plan is a single hash shuffle on the key + in-partition merge; no
+   * self-join, no window-function sort pass over the full corpus.
+   *
+   * Output: one row per (key, session) with start/end epoch seconds,
+   * duration, event count, and value sum (rounded 4 for the
+   * cross-engine compare).
+   */
+  def sessionize(events: DataFrame, keyCol: String, tsecCol: String,
+                 gapSec: Long, valueCol: String): DataFrame =
+    events
+      .groupBy(col(keyCol),
+        session_window(timestamp_seconds(col(tsecCol)), s"$gapSec seconds").as("w"))
+      .agg(
+        min(col(tsecCol)).as("session_start"),
+        max(col(tsecCol)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 4).as("sum_value"))
+      .select(col(keyCol), col("session_start"), col("session_end"),
+        (col("session_end") - col("session_start")).as("duration_s"),
+        col("n_events"), col("sum_value"))
+
+  /**
+   * As-of join: for each left row, the single latest right row of the
+   * same `key` whose time is <= the left row's time (inclusive; ties
+   * on time resolve to the largest `rightTie`). Left rows with no
+   * earlier right row keep nulls.
+   *
+   * Shape: the naive formulation is a range join (`l.key = r.key AND
+   * r.t <= l.t` + a per-left argmax) — per-key quadratic, and the
+   * single shape that melts down first on a dense 100 TB event table.
+   * This implementation is the union trick: tag both sides, union,
+   * and run ONE running `last(_, ignoreNulls)` window ordered by
+   * `(time, side, tie)` per key — one hash shuffle + one in-partition
+   * sort, linear in rows, no candidate explosion. Right rows sort
+   * before left rows at equal time, which is exactly the inclusive
+   * "at or before" bound. The running frame (UnboundedPreceding →
+   * CurrentRow) is Spark's streaming-frame fast path, so the window
+   * pass is a single forward scan. Hot keys skew the per-key sort;
+   * that is the documented caveat shared with every per-key window in
+   * this library (salt the key upstream if one key dominates).
+   *
+   * `rightPayload` names the right columns carried onto matches;
+   * output = all left columns + payload columns (null when unmatched).
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               rightPayload: Seq[String], leftTie: String,
+               rightTie: String): DataFrame = {
+    val lcols = left.columns.toSeq
+    val l = left.select(
+      col(key).as("_k"), col(leftTime).cast("long").as("_t"),
+      lit(1).as("_side"), col(leftTie).cast("long").as("_tie"),
+      struct(lcols.map(col): _*).as("_l"))
+    val r = right.select(
+      col(key).as("_k"), col(rightTime).cast("long").as("_t"),
+      lit(0).as("_side"), col(rightTie).cast("long").as("_tie"),
+      struct(rightPayload.map(col): _*).as("_r"))
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_t"), col("_side"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(lcols.map(c => col(s"_l.$c").as(c)) ++
+        rightPayload.map(c => col(s"_m.$c").as(c)): _*)
+  }
+}

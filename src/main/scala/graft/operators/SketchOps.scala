@@ -1,0 +1,141 @@
+package graft.operators
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Distinct-count sketches for corpus-scale cardinality questions
+ * ("how many distinct fingerprints / tokens / users per shard?") where
+ * an exact `count(distinct)` would shuffle every distinct value.
+ *
+ * KMV (k-minimum-values): keep the k smallest distinct hash values of
+ * a 60-bit uniform hash; if fewer than k were seen the count is exact,
+ * otherwise estimate n ≈ (k-1) / (kth_min / 2^60) (Bar-Yossef et al.,
+ * "Counting distinct elements in a data stream", RANDOM 2002). Unlike
+ * HLL the state is deterministic and ENGINE-PORTABLE — the DuckDB
+ * oracle replays the identical min-set from the identical md5-derived
+ * hash ([[FastHash.md5Head60]]), which approximate HLL registers never
+ * are — while staying mergeable: the union of two min-sets truncated
+ * to k is the min-set of the union.
+ *
+ * The aggregate is a [[TypedImperativeAggregate]]: per-group state is
+ * a bounded k-entry tree (k·8 bytes), partial states combine map-side
+ * and only k-sized buffers cross the shuffle — the same plan shape as
+ * a built-in agg, with memory independent of group cardinality. That
+ * is the 100 TB contract: a billion-distinct group costs the same
+ * k·8 bytes as a hundred-distinct group.
+ */
+object SketchOps {
+
+  import org.apache.spark.sql.GraftColumnBridge
+
+  private val TwoPow60 = 1152921504606846976.0 // 2^60 as double
+
+  /** KMV aggregate column over a LongType hash column: the sorted k
+    * smallest distinct values, as array<long>. */
+  def kmvSketch(hash: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      KmvSketchAgg(GraftColumnBridge.expression(hash), k).toAggregateExpression())
+
+  /**
+   * Per-group distinct estimate of `valueCol` via a k=`k` KMV sketch.
+   * Output: group cols + `n_seen` (min(k, distinct)), `kth_hash`
+   * (largest retained hash), `est_distinct` (exact when n_seen < k,
+   * rounded 4). The oracle replays hash, min-set, and estimate.
+   */
+  def distinctSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     k: Int = 256): DataFrame = {
+    val h = FastHash.md5Head60(col(valueCol).cast("string"))
+    df.select(groupCols.map(col) :+ h.as("_h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(kmvSketch(col("_h"), k).as("_mins"))
+      .select(groupCols.map(col) ++ Seq(
+        size(col("_mins")).cast("long").as("n_seen"),
+        element_at(col("_mins"), -1).as("kth_hash"),
+        round(
+          when(size(col("_mins")) < k, size(col("_mins")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              (element_at(col("_mins"), -1).cast("double") / lit(TwoPow60))),
+          4).as("est_distinct")): _*)
+  }
+}
+
+/** Bounded KMV state: the k smallest distinct non-negative longs. */
+final class KmvBuffer(val k: Int) {
+  val set = new java.util.TreeSet[java.lang.Long]()
+  def add(h: Long): Unit =
+    if (set.size < k) set.add(h)
+    else if (h < set.last) { if (set.add(h)) set.pollLast() }
+}
+
+/**
+ * The KMV k-minimum-values aggregate (see [[SketchOps]]). Input must
+ * be LongType (hash upstream — keeps the hot update a primitive
+ * compare); output is the ascending array of retained hashes, so the
+ * estimate stays a plain column expression and the raw sketch remains
+ * inspectable/mergeable downstream.
+ */
+case class KmvSketchAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression] {
+
+  require(k >= 2, s"KMV needs k >= 2, got $k")
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(b: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) b.add(v.asInstanceOf[Long])
+    b
+  }
+
+  override def merge(b: KmvBuffer, o: KmvBuffer): KmvBuffer = {
+    val it = o.set.iterator()
+    while (it.hasNext) b.add(it.next())
+    b
+  }
+
+  override def eval(b: KmvBuffer): Any = {
+    val out = new Array[Long](b.set.size)
+    val it = b.set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(b: KmvBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * b.set.size)
+    bb.putInt(b.set.size)
+    val it = b.set.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val b = new KmvBuffer(k)
+    var i = 0
+    while (i < n) { b.set.add(bb.getLong); i += 1 }
+    b
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_sketch"
+
+  override def withNewMutableAggBufferOffset(o: Int): KmvSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): KmvSketchAgg =
+    copy(child = c)
+}

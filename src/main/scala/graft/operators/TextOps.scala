@@ -370,4 +370,41 @@ object TextOps {
         coalesce(floor(col("freq_sum") * 1000L / col("n_words")), lit(0L))
           .as("mean_freq_milli"))
   }
+
+  /**
+   * Unigram-LM negative log-likelihood per document — the CCNet-style
+   * perplexity quality signal, with the LM trained on the corpus
+   * itself in the same plan (no external model): p(w) = freq(w)/N over
+   * all token instances, score = ln N - mean(ln freq) (the mean token
+   * NLL in nats; monotone with perplexity = e^score). High scores mark
+   * documents dominated by corpus-rare tokens; [[rarityStats]] is the
+   * integer-exact stand-in, this is the real log-domain signal.
+   *
+   * Plan family of [[rarityStats]]: one token-frequency aggregation,
+   * one instances⋈freq join keyed on token, one per-doc regroup — the
+   * corpus-sized sides only ever shuffle token ids and counts, never
+   * text. N rides along as a broadcast 1-row cross join, keeping the
+   * whole computation one lazy plan (no driver-side count).
+   *
+   * Cross-engine float note: ln is evaluated on INTEGER frequencies on
+   * both engines and the mean is rounded to 4 decimals, so the libm
+   * ulp-level differences between JVM log and DuckDB ln sit ~10 orders
+   * of magnitude below the comparison precision.
+   */
+  def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val inst = docs.select(col(idCol).as("doc_id"),
+      explode(words(lower(col(textCol)))).as("token"))
+    val freq = inst.groupBy("token").agg(count(lit(1)).as("freq"))
+    val tot = inst.agg(count(lit(1)).cast("double").as("n_total"))
+    val perDoc = inst.join(freq, "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log(col("freq").cast("double"))).as("mlf"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(round(log(col("n_total")) - col("mlf"), 4), lit(0.0)).as("avg_nll"))
+  }
 }

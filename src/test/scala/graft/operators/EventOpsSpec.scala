@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Specs for the event-time operators: gap-based sessionization
+  * (session_window semantics, gap-boundary inclusive/exclusive) and the
+  * union-trick as-of join (inclusive bound, tie-break, no-match nulls). */
+class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS); Spark 4 reads it as long
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .appName("graft-event-ops")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("sessionize: a gap of exactly gapSec still merges; strictly greater splits") {
+    val ss = spark; import ss.implicits._
+    // session_window merge is INCLUSIVE at the boundary: next == prev +
+    // gap merges (windows [t, t+gap] overlap at a point); only a
+    // strictly greater gap starts a new session — pinned here because
+    // the DuckDB oracle's islands formulation must use the same `>`
+    val ev = Seq(
+      (1L, 0L, 1.0), (1L, 100L, 2.0), (1L, 1899L, 3.0),
+      (1L, 3699L, 4.0), // delta exactly 1800 -> merges
+      (1L, 5500L, 6.0), // delta 1801 -> new session
+      (2L, 50L, 5.0)
+    ).toDF("user_id", "tsec", "value")
+    val out = EventOps.sessionize(ev, "user_id", "tsec", 1800L, "value")
+      .orderBy("user_id", "session_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 3699L, 3699L, 4L, 10.0),
+      (1L, 5500L, 5500L, 0L, 1L, 6.0),
+      (2L, 50L, 50L, 0L, 1L, 5.0)))
+  }
+
+  test("sessionize matches the gaps-and-islands window formulation on real events") {
+    val ss = spark
+    val ev = ss.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("tsec", expr("ts div 1000000000"))
+    val got = EventOps.sessionize(ev, "user_id", "tsec", 1800L, "value")
+      .select("user_id", "session_start", "n_events")
+    // independent islands formulation
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tsec")
+    val naive = ev
+      .withColumn("brk",
+        when(col("tsec") - lag("tsec", 1).over(w) > 1800L, 1)
+          .otherwise(when(lag("tsec", 1).over(w).isNull, 1).otherwise(0)))
+      .withColumn("sid", sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min("tsec").as("session_start"), count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "n_events")
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
+  test("asofJoin: inclusive bound, max-tie on equal times, null on no match") {
+    val ss = spark; import ss.implicits._
+    val left = Seq(
+      (10L, 1L, 100L), // match at exactly t=100 (inclusive)
+      (11L, 1L, 99L),  // matches t=50
+      (12L, 1L, 49L),  // no right row at/before -> nulls
+      (13L, 2L, 500L)  // key with two right rows at same t -> max tie
+    ).toDF("event_id", "user_id", "tsec")
+    val right = Seq(
+      (100L, 1L, 50L), (101L, 1L, 100L),
+      (200L, 2L, 400L), (201L, 2L, 400L)
+    ).toDF("view_id", "user_id", "vtsec")
+    val out = EventOps.asofJoin(left, right, key = "user_id",
+        leftTime = "tsec", rightTime = "vtsec",
+        rightPayload = Seq("view_id", "vtsec"),
+        leftTie = "event_id", rightTie = "view_id")
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.toSeq == Seq((10L, 101L), (11L, 100L), (12L, -1L), (13L, 201L)))
+  }
+
+  test("asofJoin plan: one shuffle on the key, no range join") {
+    val ss = spark; import ss.implicits._
+    val left = Seq((1L, 1L, 10L)).toDF("event_id", "user_id", "tsec")
+    val right = Seq((2L, 1L, 5L)).toDF("view_id", "user_id", "vtsec")
+    val plan = EventOps.asofJoin(left, right, "user_id", "tsec", "vtsec",
+      Seq("view_id", "vtsec"), "event_id", "view_id")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), s"as-of must not plan a join:\n$plan")
+  }
+}

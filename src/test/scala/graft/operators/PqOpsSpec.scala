@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Specs for product quantization: training determinism under
+  * repartitioning, code compactness, ADC recall against the exact
+  * scan, and the no-UDF codegen shape of the ADC ranking plan. */
+class PqOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.01"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-pq-ops")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    .select(col("vec_id").as("id"), col("embedding"))
+
+  test("sub-codebook training is partition-order independent (quantized means)") {
+    val e = embeddings
+    val a = PqOps.trainSubCodebooks(e.repartition(1), "id", "embedding", m = 8, k = 32, subDim = 8, iters = 1)
+    val b = PqOps.trainSubCodebooks(e.repartition(13), "id", "embedding", m = 8, k = 32, subDim = 8, iters = 1)
+    assert(a.flatten.flatten.toSeq == b.flatten.flatten.toSeq)
+  }
+
+  test("codes are m small ints; every cell index < k") {
+    val books = PqOps.trainSubCodebooks(embeddings, "id", "embedding", 8, 32, 8, iters = 1)
+    val codes = PqOps.encode(embeddings, "id", "embedding", books).collect()
+    assert(codes.length == 500)
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 8 && cs.forall(c => c >= 0 && c < 32))
+    }
+  }
+
+  test("shortlist+re-rank recall@5 vs bruteForceTopK on sf0.01 embeddings") {
+    val e = embeddings
+    val queries = e.filter(col("id") < 25)
+    val approx = PqOps.pqTopK(queries, e, topk = 5, m = 8, k = 32, iters = 1, cand = 50)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val brute = SimilarityOps.bruteForceTopK(queries, e, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // direct ADC ranking alone reads ~0.26 on this concentrated-distance
+    // corpus (PqRecallAB); the 50-candidate shortlist + exact re-rank is
+    // what makes PQ usable here
+    val recalls = brute.keys.toSeq.map(q => (approx(q) & brute(q)).size.toDouble / 5.0)
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.7, s"mean PQ recall@5 too low: $mean")
+  }
+
+  test("pqTopK equals a naive driver-side shortlist + exact re-rank") {
+    val e = embeddings
+    val books = PqOps.trainSubCodebooks(e, "id", "embedding", 8, 32, 8, iters = 1)
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def sub2(v: Array[Float], sub: Int, cell: Int): Double = {
+      var s = 0.0; var d = 0
+      while (d < 8) { val diff = v(sub * 8 + d).toDouble - books(sub)(cell)(d); s += diff * diff; d += 1 }
+      s
+    }
+    def code(v: Array[Float], sub: Int): Int =
+      (0 until 32).minBy(c => (sub2(v, sub, c), c))
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < 64) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = (0L until 5L).flatMap { q =>
+      val adc = vecs.keys.filter(_ != q).toSeq.map { x =>
+        val a = (0 until 8).map { sub =>
+          math.floor(sub2(vecs(q), sub, code(vecs(x), sub)) * 1.0e9 + 0.5).toLong
+        }.sum
+        (x, a)
+      }
+      val shortlist = adc.sortBy { case (x, a) => (a, x) }.take(50).map(_._1)
+      shortlist
+        .map(x => (x, BigDecimal(cosine(vecs(q), vecs(x)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .sortBy { case (x, s) => (-s, x) }.take(5).zipWithIndex
+        .map { case ((x, s), i) => (q, (i + 1).toLong, x, s) }
+    }.toSet
+    val got = PqOps.pqTopK(e.filter(col("id") < 5), e, topk = 5, m = 8, k = 32, iters = 1, cand = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expect)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Specs for the KMV distinct sketch: exactness below k, estimate
+  * accuracy above k, partition-layout invariance (mergeability), and
+  * the bounded-state plan shape (ObjectHashAggregate, partial merge). */
+class SketchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.01"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-sketch-ops")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("below k the sketch IS the exact distinct count; duplicates don't inflate it") {
+    val ss = spark; import ss.implicits._
+    val df = (Seq.tabulate(40)(i => ("g", s"v$i")) ++
+      Seq.fill(60)(("g", "v0")) ++ // heavy duplicate
+      Seq.tabulate(3)(i => ("h", s"w$i"))).toDF("grp", "v")
+    val out = SketchOps.distinctSketch(df, Seq("grp"), "v", k = 64)
+      .orderBy("grp").collect()
+    assert(out(0).getLong(1) == 40 && out(0).getDouble(3) == 40.0)
+    assert(out(1).getLong(1) == 3 && out(1).getDouble(3) == 3.0)
+  }
+
+  test("above k the estimate lands within 20% of truth on the real corpus") {
+    val ss = spark
+    val docs = ss.read.parquet(s"$sfDir/documents.parquet")
+    val est = SketchOps.distinctSketch(docs, Seq("lang"), "text", k = 32)
+      .select("lang", "est_distinct").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = docs.groupBy("lang").agg(countDistinct("text").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (lang, d) =>
+      val e = est(lang)
+      assert(math.abs(e - d) / d < 0.20, s"$lang: est $e vs exact $d")
+    }
+  }
+
+  test("sketch is partition-layout invariant (partial states merge losslessly)") {
+    val ss = spark
+    val docs = ss.read.parquet(s"$sfDir/documents.parquet")
+    val one = SketchOps.distinctSketch(docs.repartition(1), Seq("lang"), "text", k = 72)
+      .orderBy("lang").collect().toSeq
+    val many = SketchOps.distinctSketch(docs.repartition(16), Seq("lang"), "text", k = 72)
+      .orderBy("lang").collect().toSeq
+    assert(one == many)
+  }
+
+  test("plan: bounded ObjectHashAggregate with a map-side partial, no distinct shuffle") {
+    val ss = spark
+    val docs = ss.read.parquet(s"$sfDir/documents.parquet")
+    val plan = SketchOps.distinctSketch(docs, Seq("lang"), "text", k = 72)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_kmv_sketch") || plan.contains("partial kmv_sketch")
+      || plan.toLowerCase.contains("partial"), plan)
+    // one exchange for the final group-by; no expand/distinct pre-shuffle
+    assert(!plan.contains("Expand"), plan)
+  }
+}

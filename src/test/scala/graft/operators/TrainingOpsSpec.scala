@@ -337,6 +337,18 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("unigramNll: hand-computed corpus NLL, zero-token doc coalesces to 0") {
+    val ss = spark; import ss.implicits._
+    // corpus freqs: a:2 b:2 c:1, N=5
+    val docs = Seq((1L, "a A b"), (2L, "b c"), (3L, "  ")).toDF("doc_id", "text")
+    val out = TextOps.unigramNll(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc1: ln5 - mean(ln2, ln2, ln2) = ln(5/2) = 0.9163
+    // doc2: ln5 - mean(ln2, ln1)      = ln5 - ln2/2 = 1.2629
+    assert(out.toSeq == Seq((1L, 3L, 0.9163), (2L, 2L, 1.2629), (3L, 0L, 0.0)))
+  }
+
   test("labelCentroids equals a naive driver-side exact mean") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val got = KMeansOps.labelCentroids(e, "label", "embedding")
