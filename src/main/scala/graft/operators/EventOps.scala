@@ -22,21 +22,32 @@ object EventOps {
    * gaps-and-islands replay must break on `>`, not `>=`.
    *
    * Spark-first: `session_window` in a plain `groupBy` — the SAME
-   * declaration works under Structured Streaming (with a watermark),
-   * where Spark merges session state incrementally instead of
-   * re-scanning history; batch and stream share one semantics. The
-   * plan is a single hash shuffle on the key + in-partition merge; no
-   * self-join, no window-function sort pass over the full corpus.
+   * declaration works under Structured Streaming, where Spark merges
+   * session state incrementally instead of re-scanning history; batch
+   * and stream share one semantics (EventOpsSpec runs this exact
+   * method over a MemoryStream and asserts the closed sessions equal
+   * the batch output). The plan is a single hash shuffle on the key +
+   * in-partition merge; no self-join, no window-function sort pass
+   * over the full corpus.
+   *
+   * `watermarkDelaySec` (streaming only): bounds session state — a
+   * session is finalized and emitted once the event-time watermark
+   * passes its end, and events later than the delay are dropped. Leave
+   * None for batch (a watermark is a no-op there anyway).
    *
    * Output: one row per (key, session) with start/end epoch seconds,
    * duration, event count, and value sum (rounded 4 for the
    * cross-engine compare).
    */
   def sessionize(events: DataFrame, keyCol: String, tsecCol: String,
-                 gapSec: Long, valueCol: String): DataFrame =
-    events
+                 gapSec: Long, valueCol: String,
+                 watermarkDelaySec: Option[Long] = None): DataFrame = {
+    val withTs = events.withColumn("_swts", timestamp_seconds(col(tsecCol)))
+    val src = watermarkDelaySec.fold(withTs)(d =>
+      withTs.withWatermark("_swts", s"$d seconds"))
+    src
       .groupBy(col(keyCol),
-        session_window(timestamp_seconds(col(tsecCol)), s"$gapSec seconds").as("w"))
+        session_window(col("_swts"), s"$gapSec seconds").as("w"))
       .agg(
         min(col(tsecCol)).as("session_start"),
         max(col(tsecCol)).as("session_end"),
@@ -45,6 +56,7 @@ object EventOps {
       .select(col(keyCol), col("session_start"), col("session_end"),
         (col("session_end") - col("session_start")).as("duration_s"),
         col("n_events"), col("sum_value"))
+  }
 
   /**
    * As-of join: for each left row, the single latest right row of the

@@ -70,6 +70,41 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
   }
 
+  test("the same sessionize declaration runs under Structured Streaming; closed sessions equal batch") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Double)]
+    val stream = EventOps.sessionize(
+      mem.toDF.toDF("user_id", "tsec", "value"),
+      "user_id", "tsec", gapSec = 30L, "value", watermarkDelaySec = Some(10L))
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: two users, one session each; batch 2 advances the
+      // max event time; sentinel batches (user 99) push the watermark
+      // past every real session end so append mode finalizes them
+      mem.addData((1L, 100L, 1.0), (1L, 120L, 2.0), (2L, 105L, 5.0))
+      q.processAllAvailable()
+      mem.addData((1L, 1000L, 3.0))
+      q.processAllAvailable()
+      mem.addData((99L, 100000L, 0.0))
+      q.processAllAvailable()
+      mem.addData((99L, 200000L, 0.0))
+      q.processAllAvailable()
+      val streamed = ss.table("sess_stream").filter(col("user_id") =!= 99L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+      val batch = EventOps.sessionize(
+        Seq((1L, 100L, 1.0), (1L, 120L, 2.0), (2L, 105L, 5.0), (1L, 1000L, 3.0))
+          .toDF("user_id", "tsec", "value"),
+        "user_id", "tsec", 30L, "value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+      assert(streamed == batch, s"streamed $streamed != batch $batch")
+    } finally q.stop()
+  }
+
   test("asofJoin: inclusive bound, max-tie on equal times, null on no match") {
     val ss = spark; import ss.implicits._
     val left = Seq(
