@@ -396,6 +396,35 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q11_percentiles" -> ((s, dir) =>
+      // exact interpolated p50/p90/p99 per event type — Spark
+      // percentile and DuckDB quantile_cont share the type-7 definition
+      EventOps.groupPercentiles(events(s, dir), "event_type", "value",
+          Seq(0.5, 0.9, 0.99))
+        .orderBy("event_type")),
+
+    "q12_funnel" -> ((s, dir) =>
+      // ordered view -> click -> purchase funnel: per-user earliest
+      // stage times, each stage at-or-after the previous stage's time
+      EventOps.funnel(events(s, dir), "user_id", "tsec", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy("user_id")),
+
+    "g_summarize" -> ((s, dir) =>
+      // graphite summarize(1h, sum): tumbling epoch-aligned buckets
+      SeriesOps.summarize(metricStream(s, dir), 3600L, "sum")
+        .orderBy("path", "bucket_start")),
+
+    "g_per_second" -> ((s, dir) =>
+      // graphite perSecond: per-series rate with counter-reset nulls
+      SeriesOps.perSecond(metricStream(s, dir))
+        .orderBy("path", "time", "version")),
+
+    "g_moving_avg" -> ((s, dir) =>
+      // graphite movingAverage(5): integer-exact framed sums
+      SeriesOps.movingAverage(metricStream(s, dir), 5)
+        .orderBy("path", "time", "version")),
+
     // ---- training-data pipeline: dedup ----
 
     "d_dedup_exact" -> ((s, dir) =>
@@ -907,6 +936,19 @@ object SparkEntry {
       TextOps.unigramNll(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "t_topterms" -> ((s, dir) =>
+      // exact heavy hitters: 5 most frequent tokens per language,
+      // WindowGroupLimit prunes to 5 per group before the shuffle
+      TextOps.topTerms(table(s, dir, "documents"), "lang", "text", 5)
+        .orderBy("lang", "rank")),
+
+    "p_sample_weighted" -> ((s, dir) =>
+      // A-ES weighted sampling: 10 docs per lang, selection probability
+      // proportional to length; integer-quantized ln(u)/w ranking keys
+      SampleOps.weightedSample(table(s, dir, "documents"), "doc_id",
+          greatest(length(col("text")), lit(1)), "lang", 10)
+        .orderBy("lang", "rank")),
+
     "s_label_knn" -> ((s, dir) => {
       // k-NN auto-labeling: majority label of the 5 nearest neighbors
       val e = table(s, dir, "embeddings")
@@ -1365,6 +1407,60 @@ object SparkEntry {
         |SELECT event_id, user_id, tsec, view_id, vtsec AS view_tsec,
         |       tsec - vtsec AS lag_s
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q11_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.9), 4) AS p90,
+        |       round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q12_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |                  CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+        |s1 AS (SELECT user_id, min(tsec) AS t_view FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.tsec) AS t_click FROM e
+        |       JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.tsec >= s1.t_view GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.tsec) AS t_purchase FROM e
+        |       JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.tsec >= s2.t_click GROUP BY 1)
+        |SELECT u.user_id, s1.t_view, s2.t_click, s3.t_purchase
+        |FROM (SELECT DISTINCT user_id FROM e) u
+        |LEFT JOIN s1 USING (user_id)
+        |LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
+
+    "g_summarize" ->
+      s"""$OracleM
+         |SELECT path, "time" - ("time" % 3600) AS bucket_start,
+         |       count(*) AS n_points, round(sum(value), 4) AS value
+         |FROM m GROUP BY 1, 2 ORDER BY path, bucket_start""".stripMargin,
+
+    "g_per_second" ->
+      s"""$OracleM,
+         |x AS (
+         |  SELECT path, "time", version, value,
+         |         lag(value) OVER w AS pv, lag("time") OVER w AS pt
+         |  FROM m WINDOW w AS (PARTITION BY path ORDER BY "time", version))
+         |SELECT path, "time", version,
+         |       round(CASE WHEN pt IS NOT NULL AND "time" - pt > 0 AND value - pv >= 0
+         |                  THEN (value - pv) / CAST("time" - pt AS DOUBLE) END, 6) AS rate
+         |FROM x ORDER BY path, "time", version""".stripMargin,
+
+    "g_moving_avg" ->
+      s"""$OracleM,
+         |x AS (
+         |  SELECT path, "time", version,
+         |         count(*) OVER w AS n_window,
+         |         sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) OVER w AS sq
+         |  FROM m WINDOW w AS (PARTITION BY path ORDER BY "time", version
+         |                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+         |SELECT path, "time", version, n_window,
+         |       round(CAST(sq AS DOUBLE) / CAST(n_window AS DOUBLE) / 1000000.0, 6) AS mavg
+         |FROM x ORDER BY path, "time", version""".stripMargin,
 
     "d_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
@@ -2578,6 +2674,36 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
         |       coalesce(round(ln((SELECT n FROM tot)) - mlf, 4), 0.0) AS avg_nll
         |FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "t_topterms" ->
+      """WITH inst AS (
+        |  SELECT lang,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |c AS (SELECT lang, token, count(*) AS cnt FROM inst GROUP BY 1, 2),
+        |r AS (SELECT lang, token, cnt,
+        |             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS rank
+        |      FROM c)
+        |SELECT lang, rank::BIGINT AS rank, token, cnt
+        |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+    // u = (h+1)/2^60 with the +1 in INTEGER space (one int64->double
+    // rounding on both engines); the ln(u)/w key quantizes to a BIGINT
+    // before ranking so a last-ulp ln() difference cannot reorder
+    "p_sample_weighted" ->
+      """WITH w AS (
+        |  SELECT lang, doc_id, greatest(length(text), 1)::DOUBLE AS weight,
+        |         (('0x' || substr(md5('wsample:' || doc_id), 1, 15))::BIGINT + 1)
+        |           / 1152921504606846976.0 AS u
+        |  FROM documents),
+        |k AS (SELECT lang, doc_id, weight,
+        |             CAST(floor(ln(u) / weight * 1000000000000.0) AS BIGINT) AS wkey
+        |      FROM w WHERE weight > 0),
+        |r AS (SELECT lang, doc_id, weight, wkey,
+        |             row_number() OVER (PARTITION BY lang ORDER BY wkey DESC, doc_id ASC) AS rank
+        |      FROM k)
+        |SELECT lang, rank::BIGINT AS rank, doc_id, weight, wkey
+        |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
 
     "s_label_knn" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 25),

@@ -103,4 +103,70 @@ object EventOps {
       .select(lcols.map(c => col(s"_l.$c").as(c)) ++
         rightPayload.map(c => col(s"_m.$c").as(c)): _*)
   }
+
+  /**
+   * Ordered funnel: for each key, the earliest time it reached each
+   * stage IN ORDER — stage i+1 counts only at or after the key's
+   * stage-i time (inclusive: the same event time may satisfy two
+   * stages, the common instant-conversion convention). Output: one row
+   * per key with a nullable `t_<stage>` column per stage; a null means
+   * the funnel stopped before that stage.
+   *
+   * Shape: one `min` aggregation per stage plus one left join per
+   * stage, ALL keyed on `keyCol` — Spark plans them into reused
+   * exchanges, nothing shuffles twice, and no per-key event list is
+   * ever collected (the collect_list formulation caps at driver/state
+   * memory on hot keys; this one never materializes a key's history).
+   * Stage count is the plan depth — fine for the 3-10 stages real
+   * funnels have.
+   */
+  def funnel(events: DataFrame, keyCol: String, timeCol: String,
+             typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    var acc = events.select(col(keyCol)).distinct()
+    var prev: Option[String] = None
+    for (s <- stages) {
+      val tcol = s"t_$s"
+      val stageEv = events.filter(col(typeCol) === s)
+        .select(col(keyCol), col(timeCol).cast("long").as("_t"))
+      val reached = prev match {
+        case None =>
+          stageEv.groupBy(keyCol).agg(min("_t").as(tcol))
+        case Some(p) =>
+          stageEv.join(acc.select(col(keyCol), col(p)), keyCol)
+            .filter(col("_t") >= col(p))
+            .groupBy(keyCol).agg(min("_t").as(tcol))
+      }
+      acc = acc.join(reached, Seq(keyCol), "left")
+      prev = Some(tcol)
+    }
+    acc
+  }
+
+  /**
+   * Exact interpolated percentiles of `valueCol` per group — Spark's
+   * `percentile` and DuckDB's `quantile_cont` share the same
+   * definition (linear interpolation at rank p·(n-1), R type 7), so
+   * the result is oracle-replayable where an approx sketch (t-digest,
+   * KLL) never is. Exact percentiles sort each group in its partition:
+   * right for group-wise analytics (types, shards, dates); for a
+   * global percentile over 100 TB reach for a sketch and accept the
+   * error bound instead.
+   */
+  def groupPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+                       ps: Seq[Double]): DataFrame = {
+    val pct = percentile(col(valueCol), array(ps.map(lit): _*))
+    val named = ps.zipWithIndex.map { case (p, i) =>
+      round(element_at(col("_pct"), i + 1), 4)
+        .as("p" + formatP(p))
+    }
+    df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), pct.as("_pct"))
+      .select(col(groupCol) +: col("n") +: named: _*)
+  }
+
+  private def formatP(p: Double): String = {
+    val s = (p * 100).toString
+    (if (s.endsWith(".0")) s.dropRight(2) else s).replace(".", "_")
+  }
 }

@@ -201,4 +201,43 @@ object SampleOps {
       .withColumn("avg_quality",
         round(col("q_sum").cast("double") / col("n_docs").cast("double"), 4))
       .drop("q_sum")
+
+  /**
+   * Deterministic weighted sampling without replacement (A-ES /
+   * weighted reservoir, Efraimidis & Spirakis 2006): each doc draws a
+   * hash-derived uniform u ∈ (0, 1] and the `n` docs per stratum with
+   * the largest u^(1/w) win — equivalently, by ln(u)/w. A doc's key
+   * depends only on its id and weight, so the picked set is stable
+   * under reruns, partitioning, and corpus appends, exactly like
+   * [[bernoulliSample]], with selection probability proportional to
+   * `weightCol` (which must be > 0; non-positive weights are dropped).
+   *
+   * Cross-engine determinism: u = (hash60 + 1) / 2^60 converts the
+   * identical 60-bit integer on both engines (one round-to-nearest
+   * int→double, bit-identical); the ranking key `floor(1e12·ln(u)/w)`
+   * is quantized to a LONG before the window so a last-ulp libm
+   * difference in `ln` cannot reorder ranks — ties (astronomically
+   * rare) resolve by id. Shape: codegen projection + one per-stratum
+   * top-n window (`WindowGroupLimit` prunes to n per group map-side).
+   */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: org.apache.spark.sql.Column,
+                     stratumCol: String, n: Int,
+                     salt: String = "wsample"): DataFrame = {
+    // +1 in INTEGER space, then one int64->double round-to-nearest: the
+    // same order DuckDB evaluates (h+1)/2^60, so u is bit-identical —
+    // (double)h + 1.0 and (double)(h+1) can differ past 2^53
+    val u = (conv(hashKey(col(idCol), salt), 16, 10).cast("long") + lit(1L))
+      .cast("double") / lit((1L << 60).toDouble)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(col("wkey").desc, col(idCol).asc)
+    docs
+      .withColumn("weight", weightCol.cast("double"))
+      .filter(col("weight") > 0)
+      .withColumn("wkey", floor(log(u) / col("weight") * lit(1.0e12)).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select(col(stratumCol), col("rank").cast("long").as("rank"),
+        col(idCol), col("weight"), col("wkey"))
+  }
 }

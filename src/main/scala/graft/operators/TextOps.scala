@@ -407,4 +407,30 @@ object TextOps {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(round(log(col("n_total")) - col("mlf"), 4), lit(0.0)).as("avg_nll"))
   }
+
+  /**
+   * Exact heavy hitters: the `n` most frequent tokens per group, ties
+   * to the lexicographically smaller token. One token-count
+   * aggregation + a per-group top-n window — Spark turns the `rank <=
+   * n` filter into a `WindowGroupLimit`, so each partition keeps only
+   * n candidates per group before the window shuffle; the full
+   * (group, token) count table never sorts globally. That makes exact
+   * top-n viable at corpus scale whenever the GROUP fits a partition's
+   * candidate budget — the approximate alternative (count-min +
+   * heap) only becomes necessary when one group's distinct-token set
+   * is itself the bottleneck.
+   */
+  def topTerms(docs: DataFrame, groupCol: String, textCol: String,
+               n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(col("cnt").desc, col("token").asc)
+    docs.select(col(groupCol), explode(words(lower(col(textCol)))).as("token"))
+      .groupBy(groupCol, "token")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select(col(groupCol), col("rank").cast("long").as("rank"),
+        col("token"), col("cnt"))
+  }
 }

@@ -127,6 +127,45 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((10L, 101L), (11L, 100L), (12L, -1L), (13L, 201L)))
   }
 
+  test("funnel: order matters, same-time stage counts, null past the stop") {
+    val ss = spark; import ss.implicits._
+    val ev = Seq(
+      // user 1: full ordered funnel, purchase at the same second as click
+      (1L, "view", 100L), (1L, "click", 150L), (1L, "purchase", 150L),
+      // user 2: click BEFORE view only -> funnel stops after view
+      (2L, "click", 90L), (2L, "view", 100L), (2L, "purchase", 300L),
+      // user 3: never views -> all nulls
+      (3L, "click", 10L),
+      // user 4: views, clicks, never purchases
+      (4L, "view", 10L), (4L, "click", 20L)
+    ).toDF("user_id", "event_type", "tsec")
+    val out = EventOps.funnel(ev, "user_id", "tsec", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 100L, 150L, 150L),
+      (2L, 100L, -1L, -1L),   // the t=90 click predates the view
+      (3L, -1L, -1L, -1L),
+      (4L, 10L, 20L, -1L)))
+    // user 2's purchase at 300 must NOT count: stage 2 (click) was never
+    // reached, so stage 3 cannot be either — even though a purchase exists
+  }
+
+  test("groupPercentiles: interpolated values on a hand corpus") {
+    val ss = spark; import ss.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", 10.0))
+      .toDF("g", "v")
+    val out = EventOps.groupPercentiles(df, "g", "v", Seq(0.5, 0.9, 0.99))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    // n=4: p50 at rank 1.5 -> 2.5; p90 at rank 2.7 -> 3.7; p99 at 2.97 -> 3.97
+    assert(out.toSeq == Seq(("a", 4L, 2.5, 3.7, 3.97), ("b", 1L, 10.0, 10.0, 10.0)))
+  }
+
   test("asofJoin plan: one shuffle on the key, no range join") {
     val ss = spark; import ss.implicits._
     val left = Seq((1L, 1L, 10L)).toDF("event_id", "user_id", "tsec")

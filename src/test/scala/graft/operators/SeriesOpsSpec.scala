@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Specs for the graphite-style series functions: summarize bucket
+  * alignment and fns, perSecond reset/zero-dt/head nulls, movingAverage
+  * warm-up frames and integer-exact sums. */
+class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS); Spark 4 reads it as long
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .appName("graft-series-ops")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def pts(rows: (String, Double, Long, Long)*) = {
+    val ss = spark; import ss.implicits._
+    rows.toDF("path", "value", "time", "version")
+  }
+
+  test("summarize: epoch-aligned buckets, sum / last / count fns") {
+    // bucket 60: times 59 and 60 land in different buckets
+    val p = pts(("a", 1.0, 59L, 1L), ("a", 2.0, 60L, 2L), ("a", 3.0, 119L, 3L),
+      ("b", 5.0, 0L, 1L))
+    val sums = SeriesOps.summarize(p, 60L, "sum").orderBy("path", "bucket_start")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(sums.toSeq == Seq(("a", 0L, 1L, 1.0), ("a", 60L, 2L, 5.0), ("b", 0L, 1L, 5.0)))
+    // last = LWW by (time, version): same time, higher version wins
+    val lww = SeriesOps.summarize(
+      pts(("a", 1.0, 10L, 5L), ("a", 9.0, 10L, 6L), ("a", 4.0, 5L, 9L)), 60L, "last")
+      .collect().map(r => (r.getString(0), r.getDouble(3)))
+    assert(lww.toSeq == Seq(("a", 9.0)))
+    val cnt = SeriesOps.summarize(p, 3600L, "count").orderBy("path")
+      .collect().map(r => (r.getString(0), r.getDouble(3)))
+    assert(cnt.toSeq == Seq(("a", 3.0), ("b", 1.0)))
+  }
+
+  test("perSecond: head null, counter reset null, zero-dt null, plain rate") {
+    val p = pts(
+      ("a", 10.0, 100L, 1L),  // head -> null
+      ("a", 40.0, 110L, 2L),  // (40-10)/10 = 3.0
+      ("a", 5.0, 120L, 3L),   // reset (negative delta) -> null
+      ("a", 5.0, 120L, 4L),   // dt = 0 -> null
+      ("a", 25.0, 130L, 5L))  // (25-5)/10 = 2.0
+    val out = SeriesOps.perSecond(p).orderBy("time", "version")
+      .collect().map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    assert(out.toSeq == Seq(None, Some(3.0), None, None, Some(2.0)))
+  }
+
+  test("movingAverage: warm-up frames average what exists; matches a naive trailing mean") {
+    val p = pts(
+      ("a", 1.0, 1L, 1L), ("a", 2.0, 2L, 2L), ("a", 3.0, 3L, 3L),
+      ("a", 4.0, 4L, 4L), ("a", 5.0, 5L, 5L), ("a", 6.0, 6L, 6L))
+    val out = SeriesOps.movingAverage(p, 3).orderBy("time")
+      .collect().map(r => (r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq((1L, 1.0), (2L, 1.5), (3L, 2.0), (3L, 3.0), (3L, 4.0), (3L, 5.0)))
+  }
+
+  test("movingAverage is partition-layout invariant (integer frame sums)") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("tsec", expr("ts div 1000000000"))
+      .select(concat(lit("s."), col("user_id") % 7).as("path"),
+        col("value"), col("tsec").as("time"), col("event_id").as("version"))
+    val a = SeriesOps.movingAverage(ev.repartition(1), 5)
+      .orderBy("path", "time", "version").collect().toSeq
+    val b = SeriesOps.movingAverage(ev.repartition(13), 5)
+      .orderBy("path", "time", "version").collect().toSeq
+    assert(a == b)
+  }
+}

@@ -349,6 +349,38 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((1L, 3L, 0.9163), (2L, 2L, 1.2629), (3L, 0L, 0.0)))
   }
 
+  test("topTerms: frequency order, lexicographic tie-break, group isolation") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq(
+      (1L, "en", "b b a a c"), (2L, "en", "b z"),
+      (3L, "fr", "x")
+    ).toDF("doc_id", "lang", "text")
+    val out = TextOps.topTerms(docs, "lang", "text", 2)
+      .orderBy("lang", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // en: b=3, a=2 (c,z lose); tie a-vs-nothing; fr isolated
+    assert(out.toSeq == Seq(
+      ("en", 1L, "b", 3L), ("en", 2L, "a", 2L), ("fr", 1L, "x", 1L)))
+  }
+
+  test("weightedSample: deterministic under repartitioning, weight-proportional in aggregate") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SampleOps.weightedSample(df, "doc_id",
+        greatest(length(col("text")), lit(1)), "lang", 10)
+        .orderBy("lang", "rank").collect().toSeq
+    val a = run(docs.repartition(1))
+    val b = run(docs.repartition(13))
+    assert(a == b, "picked set must not depend on partition layout")
+    assert(a.size == 50 && a.forall(_.getDouble(3) > 0))
+    // aggregate weight-proportionality: the picked docs' mean weight must
+    // exceed the corpus mean (longer docs are proportionally likelier)
+    val meanAll = docs.agg(avg(greatest(length(col("text")), lit(1)))).first().getDouble(0)
+    val meanPicked = a.map(_.getDouble(3)).sum / a.size
+    assert(meanPicked > meanAll,
+      s"picked mean weight $meanPicked should exceed corpus mean $meanAll")
+  }
+
   test("labelCentroids equals a naive driver-side exact mean") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val got = KMeansOps.labelCentroids(e, "label", "embedding")
