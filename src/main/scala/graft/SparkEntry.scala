@@ -425,6 +425,20 @@ object SparkEntry {
       SeriesOps.movingAverage(metricStream(s, dir), 5)
         .orderBy("path", "time", "version")),
 
+    "q13_rolling" -> ((s, dir) =>
+      // trailing-1h per-user event count + value sum (RANGE frame:
+      // simultaneous events all see each other, no tie ambiguity)
+      EventOps.rollingCounts(
+          events(s, dir).select(col("event_id"), col("user_id"),
+            col("tsec"), col("value")),
+          "user_id", "tsec", "value", windowSec = 3600L)
+        .orderBy("event_id")),
+
+    "q14_histogram" -> ((s, dir) =>
+      // sparse fixed-width (50) value histogram per event type
+      EventOps.histogram(events(s, dir), "event_type", "value", width = 50.0)
+        .orderBy("event_type", "bin")),
+
     // ---- training-data pipeline: dedup ----
 
     "d_dedup_exact" -> ((s, dir) =>
@@ -941,6 +955,17 @@ object SparkEntry {
       // WindowGroupLimit prunes to 5 per group before the shuffle
       TextOps.topTerms(table(s, dir, "documents"), "lang", "text", 5)
         .orderBy("lang", "rank")),
+
+    "t_tfidf" -> ((s, dir) =>
+      // top-3 tf-idf keywords per doc; 1e-6-quantized LONG scores
+      TextOps.tfidfTop(table(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("doc_id", "rank")),
+
+    "t_pmi" -> ((s, dir) =>
+      // top-20 bigram collocations by PMI, pairs seen >= 5 times
+      TextOps.pmiBigrams(table(s, dir, "documents"), "text",
+          minCount = 5L, n = 20)
+        .orderBy("rank")),
 
     "p_sample_weighted" -> ((s, dir) =>
       // A-ES weighted sampling: 10 docs per lang, selection probability
@@ -1461,6 +1486,23 @@ object SparkEntry {
          |SELECT path, "time", version, n_window,
          |       round(CAST(sq AS DOUBLE) / CAST(n_window AS DOUBLE) / 1000000.0, 6) AS mavg
          |FROM x ORDER BY path, "time", version""".stripMargin,
+
+    "q13_rolling" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |                  CAST(floor(epoch(ts)) AS BIGINT) AS tsec, value FROM events)
+        |SELECT event_id, user_id, tsec, value,
+        |       count(*) OVER w AS n_window,
+        |       round(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) OVER w
+        |             AS DOUBLE) / 1000000.0, 6) AS sum_window
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+        |                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q14_histogram" ->
+      """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+        |       CAST(floor(value / 50.0) AS BIGINT)::DOUBLE * 50.0 AS bin_lo,
+        |       count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
 
     "d_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
@@ -2686,6 +2728,56 @@ object SparkEntry {
         |      FROM c)
         |SELECT lang, rank::BIGINT AS rank, token, cnt
         |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+    "t_tfidf" ->
+      """WITH inst AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM inst GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM inst GROUP BY 1),
+        |nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+        |         CAST(floor(tf.tf::DOUBLE * ln((SELECT n_docs FROM nd) / dfq.df::DOUBLE)
+        |              * 1000000.0) AS BIGINT) AS score_micro
+        |  FROM tf JOIN dfq USING (token)),
+        |r AS (SELECT doc_id, token, tf, df, score_micro,
+        |             row_number() OVER (PARTITION BY doc_id
+        |                                ORDER BY score_micro DESC, token ASC) AS rank
+        |      FROM s)
+        |SELECT doc_id, rank::BIGINT AS rank, token, tf, df, score_micro
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // PMI as the SAME left-associated ln chain Spark evaluates, on
+    // exact integer counts, quantized to 1e-6 LONGS before ranking
+    "t_pmi" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |bg AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
+        |       FROM tok, unnest(range(1, len(ts))) AS t(i)),
+        |uni AS (
+        |  SELECT unnest(ts) AS w FROM tok),
+        |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+        |n1 AS (SELECT count(*)::BIGINT AS n_uni FROM uni),
+        |n2 AS (SELECT count(*)::BIGINT AS n_bi FROM bg),
+        |pairs AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+        |s AS (
+        |  SELECT p.w1, p.w2, p.c12, u1.c AS c1, u2.c AS c2,
+        |         CAST(floor((ln(p.c12::DOUBLE) + ln((SELECT n_uni FROM n1)::DOUBLE)
+        |                     + ln((SELECT n_uni FROM n1)::DOUBLE)
+        |                     - ln((SELECT n_bi FROM n2)::DOUBLE)
+        |                     - ln(u1.c::DOUBLE) - ln(u2.c::DOUBLE))
+        |              * 1000000.0) AS BIGINT) AS pmi_micro
+        |  FROM pairs p
+        |  JOIN uc u1 ON p.w1 = u1.w
+        |  JOIN uc u2 ON p.w2 = u2.w),
+        |r AS (SELECT *, row_number() OVER (ORDER BY pmi_micro DESC, w1 ASC, w2 ASC) AS rank
+        |      FROM s)
+        |SELECT rank::BIGINT AS rank, w1, w2, c12, c1, c2, pmi_micro
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     // u = (h+1)/2^60 with the +1 in INTEGER space (one int64->double
     // rounding on both engines); the ln(u)/w key quantizes to a BIGINT

@@ -165,8 +165,45 @@ object EventOps {
       .select(col(groupCol) +: col("n") +: named: _*)
   }
 
-  private def formatP(p: Double): String = {
-    val s = (p * 100).toString
-    (if (s.endsWith(".0")) s.dropRight(2) else s).replace(".", "_")
+  private def formatP(p: Double): String =
+    (BigDecimal.valueOf(p) * 100).underlying.stripTrailingZeros.toPlainString
+      .replace(".", "_")
+
+  /**
+   * Trailing time-window features: for every event, the count and
+   * value-sum of the same key's events in `[t - windowSec, t]` — a
+   * RANGE frame, so simultaneous events all see each other regardless
+   * of row order (no tie ambiguity to pin). The frame sums
+   * 1e-6-quantized LONGS ([[SeriesOps.movingAverage]]'s policy) so
+   * segment-tree and in-order frame evaluation agree bit-exactly.
+   *
+   * One hash shuffle on the key + an in-partition range scan; state is
+   * the frame, not the key's history. The standard behavioral-feature
+   * primitive ("events in the last hour") for both fraud-style scoring
+   * and rate-limit analysis over an event corpus.
+   */
+  def rollingCounts(events: DataFrame, keyCol: String, timeCol: String,
+                    valueCol: String, windowSec: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(timeCol).cast("long"))
+      .rangeBetween(-windowSec, Window.currentRow)
+    events
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("sum_window",
+        round(sum(floor(col(valueCol) * lit(1.0e6) + lit(0.5)).cast("long")).over(w)
+          .cast("double") / lit(1.0e6), 6))
   }
+
+  /**
+   * Fixed-width histogram of `valueCol` per group: bin i covers
+   * `[i·width, (i+1)·width)`. Empty bins are absent (sparse output —
+   * at corpus scale a dense bin spine would be a cross join). One
+   * aggregation, map-side partial.
+   */
+  def histogram(df: DataFrame, groupCol: String, valueCol: String,
+                width: Double): DataFrame =
+    df.groupBy(col(groupCol),
+        floor(col(valueCol) / lit(width)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col(groupCol), col("bin"),
+        (col("bin").cast("double") * lit(width)).as("bin_lo"), col("n"))
 }

@@ -433,4 +433,93 @@ object TextOps {
       .select(col(groupCol), col("rank").cast("long").as("rank"),
         col("token"), col("cnt"))
   }
+
+  /**
+   * Per-document top-`n` terms by tf·idf, idf = ln(N_docs / df) with
+   * df = documents containing the token. The keyword-extraction
+   * primitive (and the classic retrieval weight) over a corpus whose
+   * LM-style signal [[unigramNll]] already serves.
+   *
+   * Ranking keys are `floor(1e6 · tf · ln(N/df))` LONGS — tf, df, N
+   * are exact integers on both engines, so the only float op is one
+   * `ln` and one multiply, and the 1e-6 quantization swallows last-ulp
+   * libm differences (score gaps below 1e-6 only occur for equal
+   * (tf, df) pairs, which quantize identically; ties resolve by
+   * token). Shape: token-keyed df aggregation joined to per-doc term
+   * counts — shuffles carry (id, token, count) rows only — then one
+   * per-doc top-n window (WindowGroupLimit).
+   */
+  def tfidfTop(docs: DataFrame, idCol: String, textCol: String,
+               n: Int): DataFrame = {
+    val inst = docs.select(col(idCol).as("doc_id"),
+      explode(words(lower(col(textCol)))).as("token"))
+    val tf = inst.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df_ = inst.groupBy("token")
+      .agg(countDistinct("doc_id").as("df"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("token").asc)
+    tf.join(df_, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_micro",
+        floor(col("tf").cast("double") * log(col("n_docs") / col("df").cast("double"))
+          * lit(1.0e6)).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("token"), col("tf"), col("df"), col("score_micro"))
+  }
+
+  /**
+   * Corpus bigram collocations by pointwise mutual information:
+   * pmi(w1,w2) = ln(p(w1,w2) / (p(w1)·p(w2))) over adjacent-token
+   * bigrams, keeping pairs seen >= `minCount` times, top `n` by PMI.
+   * The classic collocation/multi-word-expression detector (Church &
+   * Hanks 1990) — the signal behind phrase-aware tokenizer vocab.
+   *
+   * Bigrams come from a per-row array transform (no token self-join):
+   * the HOF emits (token i, token i+1) structs inside the projection,
+   * so corpus text never shuffles — only (w1, w2) pairs and counts do.
+   * PMI is evaluated as the left-associated chain
+   * `ln(c12) + ln(N1) + ln(N1) - ln(N2) - ln(c1) - ln(c2)` on exact
+   * integer counts and quantized to 1e-6 LONGS (same policy as
+   * [[tfidfTop]]: identical count tuples quantize identically,
+   * sub-1e-6 cross-engine drift cannot reorder).
+   */
+  def pmiBigrams(docs: DataFrame, textCol: String, minCount: Long,
+                 n: Int): DataFrame = {
+    val toks = docs.select(words(lower(col(textCol))).as("t"))
+    val bg = toks
+      .select(when(size(col("t")) >= 2,
+        expr("transform(sequence(1, size(t) - 1), i -> " +
+          "struct(element_at(t, i) as w1, element_at(t, i + 1) as w2))"))
+        .otherwise(expr("array()")).as("bgs"))
+      .select(explode(col("bgs")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = docs.select(explode(words(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val n1 = uni.agg(sum("c").as("n_uni"))
+    val pairs = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val n2 = bg.agg(count(lit(1)).as("n_bi"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pmi_micro").desc, col("w1").asc, col("w2").asc)
+    // no broadcast hint on the vocab side: it is the unbounded table;
+    // the minCount-filtered pairs are the small side and AQE broadcasts
+    // them when they fit
+    pairs
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .withColumn("pmi_micro",
+        floor((log(col("c12").cast("double")) + log(col("n_uni").cast("double"))
+          + log(col("n_uni").cast("double")) - log(col("n_bi").cast("double"))
+          - log(col("c1").cast("double")) - log(col("c2").cast("double")))
+          * lit(1.0e6)).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select(col("rank").cast("long").as("rank"), col("w1"), col("w2"),
+        col("c12"), col("c1"), col("c2"), col("pmi_micro"))
+  }
 }

@@ -166,6 +166,31 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq(("a", 4L, 2.5, 3.7, 3.97), ("b", 1L, 10.0, 10.0, 10.0)))
   }
 
+  test("rollingCounts: RANGE frame sees simultaneous events, window slides out") {
+    val ss = spark; import ss.implicits._
+    val ev = Seq(
+      (1L, 1L, 0L, 1.0), (2L, 1L, 0L, 2.0),      // simultaneous: both see both
+      (3L, 1L, 3600L, 4.0),                        // still includes t=0 (inclusive bound)
+      (4L, 1L, 3601L, 8.0),                        // t=0 pair slid out
+      (5L, 2L, 0L, 1.5)
+    ).toDF("event_id", "user_id", "tsec", "value")
+    val out = EventOps.rollingCounts(ev, "user_id", "tsec", "value", 3600L)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 3.0), (2L, 2L, 3.0), (3L, 3L, 7.0), (4L, 2L, 12.0), (5L, 1L, 1.5)))
+  }
+
+  test("histogram: floor binning, sparse bins, negative values") {
+    val ss = spark; import ss.implicits._
+    val df = Seq(("a", 0.0), ("a", 49.9), ("a", 50.0), ("a", 250.0), ("a", -0.1))
+      .toDF("g", "v")
+    val out = EventOps.histogram(df, "g", "v", 50.0)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq == Seq((-1L, -50.0, 1L), (0L, 0.0, 2L), (1L, 50.0, 1L), (5L, 250.0, 1L)))
+  }
+
   test("asofJoin plan: one shuffle on the key, no range join") {
     val ss = spark; import ss.implicits._
     val left = Seq((1L, 1L, 10L)).toDF("event_id", "user_id", "tsec")

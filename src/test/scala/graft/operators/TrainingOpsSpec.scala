@@ -363,6 +363,33 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("en", 1L, "b", 3L), ("en", 2L, "a", 2L), ("fr", 1L, "x", 1L)))
   }
 
+  test("tfidfTop: hand corpus — rare token outranks frequent one") {
+    val ss = spark; import ss.implicits._
+    // 'rare' df=1, 'common' df=3: doc1 has common x3 and rare x1;
+    // rare scores 1*ln(3) = 1.0986 > common 3*ln(1) = 0
+    val docs = Seq((1L, "common common common rare"), (2L, "common"), (3L, "common"))
+      .toDF("doc_id", "text")
+    val out = TextOps.tfidfTop(docs, "doc_id", "text", 2)
+      .filter(col("doc_id") === 1L).orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(5)))
+    assert(out.toSeq == Seq((1L, "rare", 1098612L), (2L, "common", 0L)))
+  }
+
+  test("pmiBigrams: collocated pair beats independent pair; minCount filters") {
+    val ss = spark; import ss.implicits._
+    // 'new york' always adjacent (4x); 'the a'/'a the' mixed freely
+    val docs = Seq(
+      (1L, "new york the a the a"), (2L, "new york a the a the"),
+      (3L, "new york the the a a"), (4L, "new york a a the the")
+    ).toDF("doc_id", "text")
+    val out = TextOps.pmiBigrams(docs, "text", minCount = 4L, n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.nonEmpty && out.head._2 == "new" && out.head._3 == "york",
+      s"the always-adjacent pair must rank first: ${out.toSeq}")
+    // single-doc bigram below minCount must be absent
+    assert(!out.exists(p => p._2 == "york"), "york-* pairs occur < 4 times")
+  }
+
   test("weightedSample: deterministic under repartitioning, weight-proportional in aggregate") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     def run(df: org.apache.spark.sql.DataFrame) =
