@@ -937,6 +937,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s_covariance" -> ((s, dir) =>
+      // exact-integer embedding covariance (upper triangle, 0-based):
+      // one mapPartitions pass -> dim²/2 LONG partials per partition
+      PcaOps.covariance(table(s, dir, "embeddings"), "embedding", 64)
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          col("n"), col("cov"))
+        .orderBy("i", "j")),
+
     "t_rarity" -> ((s, dir) =>
       // corpus-frequency rarity (the integer-exact perplexity stand-in):
       // rare = global occurrence count < 20 at sf0.01's ~31-token vocab
@@ -2716,6 +2724,27 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
         |       coalesce(round(ln((SELECT n FROM tot)) - mlf, 4), 0.0) AS avg_nll
         |FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // replays the quantized-LONG covariance sums exactly: per-component
+    // floor(x*1e7+0.5) and per-product floor(x_i*x_j*1e9+0.5) LONGS,
+    // then the identical double chain for E[xy] - E[x]E[y]
+    "s_covariance" ->
+      """WITH inst AS (
+        |  SELECT vec_id, i, embedding[i + 1]::DOUBLE AS x
+        |  FROM embeddings, unnest(generate_series(0, 63)) AS t(i)),
+        |p AS (
+        |  SELECT a.i AS i, b.i AS j, count(*) AS n,
+        |         sum(CAST(floor(a.x * b.x * 1000000000.0 + 0.5) AS BIGINT)) AS s2
+        |  FROM inst a JOIN inst b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |  GROUP BY 1, 2),
+        |s1 AS (SELECT i, sum(CAST(floor(x * 10000000.0 + 0.5) AS BIGINT)) AS s
+        |       FROM inst GROUP BY 1)
+        |SELECT p.i::BIGINT AS i, p.j::BIGINT AS j, p.n,
+        |       round((p.s2::DOUBLE / 1000000000.0) / p.n::DOUBLE
+        |             - (a.s::DOUBLE / 10000000.0 / p.n::DOUBLE)
+        |             * (b.s::DOUBLE / 10000000.0 / p.n::DOUBLE), 8) AS cov
+        |FROM p JOIN s1 a ON p.i = a.i JOIN s1 b ON p.j = b.i
+        |ORDER BY p.i, p.j""".stripMargin,
 
     "t_topterms" ->
       """WITH inst AS (
