@@ -59,6 +59,11 @@ object ScaleCurve {
     run("semantic_auto", d => KMeansOps.semanticNearDuplicatesAuto(embs(d), "id", "embedding", 0.25))
     run("ivf_trained", d => KMeansOps.ivfTopKTrained(
       embs(d).filter(col("id") < 5), embs(d), 5, 16, 6, 2))
+    run("pq_topk", d => graft.operators.PqOps.pqTopK(
+      embs(d).filter(col("id") < 5), embs(d), 5, 8, 32, 1, 50))
+    run("pmi_bigrams", d => graft.operators.TextOps.pmiBigrams(docs(d), "text", 5L, 20))
+    run("tfidf_top", d => graft.operators.TextOps.tfidfTop(docs(d), "doc_id", "text", 3))
+    run("covariance", d => graft.operators.PcaOps.covariance(embs(d), "embedding", 64))
 
     spark.stop()
   }
