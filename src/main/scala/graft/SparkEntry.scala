@@ -425,6 +425,16 @@ object SparkEntry {
       SeriesOps.movingAverage(metricStream(s, dir), 5)
         .orderBy("path", "time", "version")),
 
+    "g_outliers" -> ((s, dir) =>
+      // per-series z-score anomalies (|z| > 3), exact integer moments
+      SeriesOps.outliers(metricStream(s, dir), z = 3.0)
+        .orderBy("path", "time", "version")),
+
+    "g_highest" -> ((s, dir) =>
+      // graphite highestAverage(10): exact integer means
+      SeriesOps.highestAverage(metricStream(s, dir), 10)
+        .orderBy("rank")),
+
     "q13_rolling" -> ((s, dir) =>
       // trailing-1h per-user event count + value sum (RANGE frame:
       // simultaneous events all see each other, no tie ambiguity)
@@ -1494,6 +1504,41 @@ object SparkEntry {
          |SELECT path, "time", version, n_window,
          |       round(CAST(sq AS DOUBLE) / CAST(n_window AS DOUBLE) / 1000000.0, 6) AS mavg
          |FROM x ORDER BY path, "time", version""".stripMargin,
+
+    "g_outliers" ->
+      s"""$OracleM,
+         |st AS (
+         |  SELECT path, count(*) AS n,
+         |         sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS s1,
+         |         sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)
+         |             * CAST(floor(value * 1000.0 + 0.5) AS BIGINT)) AS s2
+         |  FROM m GROUP BY 1),
+         |sx AS (
+         |  SELECT path, s1::DOUBLE / 1000000.0 / n::DOUBLE AS mean,
+         |         s2::DOUBLE / 1000000.0 / n::DOUBLE
+         |           - (s1::DOUBLE / 1000000.0 / n::DOUBLE)
+         |           * (s1::DOUBLE / 1000000.0 / n::DOUBLE) AS variance
+         |  FROM st)
+         |SELECT m.path, m."time", m.version, m.value,
+         |       round((m.value - sx.mean) / sqrt(sx.variance), 4) AS zscore
+         |FROM m JOIN sx ON m.path = sx.path
+         |WHERE sx.variance > 0 AND abs((m.value - sx.mean) / sqrt(sx.variance)) > 3.0
+         |ORDER BY m.path, m."time", m.version""".stripMargin,
+
+    "g_highest" ->
+      s"""$OracleM,
+         |st AS (
+         |  SELECT path, count(*) AS n_points,
+         |         sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS s1
+         |  FROM m GROUP BY 1),
+         |r AS (
+         |  SELECT path, n_points,
+         |         round(s1::DOUBLE / 1000000.0 / n_points::DOUBLE, 6) AS avg_value
+         |  FROM st),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY avg_value DESC, path ASC) AS rank
+         |       FROM r)
+         |SELECT rank::BIGINT AS rank, path, n_points, avg_value
+         |FROM rk WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     "q13_rolling" ->
       """WITH e AS (SELECT event_id, user_id,

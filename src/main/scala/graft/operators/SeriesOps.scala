@@ -95,4 +95,54 @@ object SeriesOps {
       cnt.as("n_window"),
       round(sumQ.cast("double") / cnt.cast("double") / lit(1.0e6), 6).as("mavg"))
   }
+
+  /**
+   * Per-series z-score outliers: points with |value − μ| > z·σ against
+   * their OWN series' population mean/stddev. Moments come from exact
+   * quantized LONG sums (values at 1e-6, squares at 1e-3 — squares use
+   * the coarser quantizer so a billion-point series of |v| ≤ ~3e6
+   * stays inside a LONG; past that, shard the sum) so both engines
+   * derive μ and σ² from identical integers through an identical
+   * double chain. Constant series (σ² ≤ 0) emit nothing. One
+   * aggregation + one same-key join (reused exchange under AQE).
+   */
+  def outliers(points: DataFrame, z: Double): DataFrame = {
+    val stats = points.groupBy("path").agg(
+      count(lit(1)).as("n"),
+      sum(floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long")).as("s1"),
+      sum(pow(floor(col("value") * lit(1.0e3) + lit(0.5)), 2).cast("long")).as("s2"))
+    val mean = col("s1").cast("double") / lit(1.0e6) / col("n").cast("double")
+    val variance = col("s2").cast("double") / lit(1.0e6) / col("n").cast("double") -
+      col("mean") * col("mean")
+    points.join(
+        stats.withColumn("mean", mean).withColumn("variance", variance)
+          .filter(col("variance") > 0)
+          .select(col("path"), col("mean"), col("variance")),
+        "path")
+      .withColumn("zscore",
+        (col("value") - col("mean")) / sqrt(col("variance")))
+      .filter(abs(col("zscore")) > z)
+      .select(col("path"), col("time"), col("version"), col("value"),
+        round(col("zscore"), 4).as("zscore"))
+  }
+
+  /**
+   * graphite `highestAverage(seriesList, n)`: the `n` series with the
+   * highest mean value, ties to the lexicographically smaller path.
+   * Exact integer mean; WindowGroupLimit keeps n per partition before
+   * the single-row rank exchange (the aggregate output is
+   * series-count-sized, not point-count-sized).
+   */
+  def highestAverage(points: DataFrame, n: Int): DataFrame = {
+    val w = Window.orderBy(col("avg_value").desc, col("path").asc)
+    points.groupBy("path")
+      .agg(count(lit(1)).as("n_points"),
+        sum(floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long")).as("s1"))
+      .withColumn("avg_value",
+        round(col("s1").cast("double") / lit(1.0e6) / col("n_points").cast("double"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select(col("rank").cast("long").as("rank"), col("path"),
+        col("n_points"), col("avg_value"))
+  }
 }

@@ -70,6 +70,30 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((1L, 1.0), (2L, 1.5), (3L, 2.0), (3L, 3.0), (3L, 4.0), (3L, 5.0)))
   }
 
+  test("outliers: flags only |z|>threshold points; constant series emit nothing") {
+    val ss = spark; import ss.implicits._
+    // series a: nine 10.0s and one 100.0 -> the 100 is the lone outlier
+    // (mean 19, sd 27 -> z = 3.0 exactly at... compute: mean=19, var=729, sd=27, z=(100-19)/27=3.0)
+    // exactly 3.0 is NOT > 3.0 -> use threshold 2.9 to include it
+    val a = (1 to 9).map(i => ("a", 10.0, i.toLong, i.toLong)) :+ ("a", 100.0, 10L, 10L)
+    val b = (1 to 5).map(i => ("b", 7.0, i.toLong, i.toLong)) // constant -> no output
+    val out = SeriesOps.outliers((a ++ b).toDF("path", "value", "time", "version"), 2.9)
+      .collect().map(r => (r.getString(0), r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(("a", 100.0, 3.0)))
+  }
+
+  test("highestAverage: exact means rank series, path tie-break") {
+    val ss = spark; import ss.implicits._
+    val p = Seq(
+      ("hi", 10.0, 1L, 1L), ("hi", 20.0, 2L, 2L),     // avg 15
+      ("mid", 15.0, 1L, 3L),                            // avg 15, 'hi' < 'mid'
+      ("lo", 1.0, 1L, 4L)
+    ).toDF("path", "value", "time", "version")
+    val out = SeriesOps.highestAverage(p, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, "hi", 15.0), (2L, "mid", 15.0)))
+  }
+
   test("movingAverage is partition-layout invariant (integer frame sums)") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .withColumn("tsec", expr("ts div 1000000000"))
