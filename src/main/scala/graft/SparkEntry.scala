@@ -362,6 +362,13 @@ object SparkEntry {
         .orderBy("first_date")
     }),
 
+    "q15_quantile_grid" -> ((s, dir) =>
+      // global p50/p90/p99/p999 from a 1e-3-grid histogram: the
+      // no-global-sort percentile path, exact to ±grid, mergeable
+      SketchOps.gridQuantiles(events(s, dir), "value",
+          Seq(0.5, 0.9, 0.99, 0.999), grid = 0.001)
+        .orderBy("p")),
+
     "p_distinct_kmv" -> ((s, dir) =>
       // KMV distinct sketch per lang; k=72 straddles the group sizes so
       // BOTH branches are driver-checked: de(70)/fr(64) take the exact
@@ -1404,6 +1411,26 @@ object SparkEntry {
          |  FROM m GROUP BY 1)
          |SELECT first_date, count(*)::BIGINT AS new_series
          |FROM births GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q15_quantile_grid" ->
+      """WITH cells AS (
+        |  SELECT CAST(floor(value / 0.001) AS BIGINT) AS cell, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |cum AS (
+        |  SELECT cell, cnt, sum(cnt) OVER (ORDER BY cell
+        |           ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+        |  FROM cells),
+        |n AS (SELECT count(*)::BIGINT AS n FROM events),
+        |-- ::DOUBLE: a bare decimal list infers DECIMAL(4,3) and the
+        |-- driver's typed compare would see 0.500 vs Spark's 0.5
+        |p AS (SELECT unnest([0.5, 0.9, 0.99, 0.999]::DOUBLE[]) AS p)
+        |SELECT p.p, q.cell, round(q.cell::DOUBLE * 0.001, 6) AS value_lo,
+        |       q.cum, n.n
+        |FROM p, n,
+        |LATERAL (SELECT cell, cum FROM cum
+        |         WHERE cum >= CAST(ceil(p.p * n.n::DOUBLE) AS BIGINT)
+        |         ORDER BY cell LIMIT 1) q
+        |ORDER BY p.p""".stripMargin,
 
     "p_distinct_kmv" ->
       """WITH h AS (

@@ -66,6 +66,44 @@ object SketchOps {
               (element_at(col("_mins"), -1).cast("double") / lit(TwoPow60))),
           4).as("est_distinct")): _*)
   }
+
+  /**
+   * GLOBAL quantiles from a fixed-grid histogram — the 100 TB
+   * percentile path [[graft.operators.EventOps.groupPercentiles]]'s
+   * scaladoc points to. Exact interpolated percentiles sort a group in
+   * one partition; a global sort of 100 TB is the plan that never
+   * finishes. This instead bins every value to `floor(v / grid)`
+   * (one map-side-combined aggregation, cell count bounded by
+   * value-range/grid, NOT by corpus size), then walks the cumulative
+   * histogram for each requested rank. The answer is exact to ±grid —
+   * a DETERMINISTIC error bound, unlike sampling sketches
+   * (t-digest/KLL), and the whole state is mergeable by cell-count
+   * addition, so the DuckDB oracle replays it bit-for-bit (no
+   * approximate sketch can offer that).
+   *
+   * Rank convention: quantile p is the value of the cell containing
+   * the ceil(p·n)-th smallest point (lower cell edge reported) — the
+   * inverted-CDF (type-1) definition, integer-exact on both engines.
+   * The cumulative walk is a window over CELLS (range/grid rows, e.g.
+   * 500k for a [0, 500) range at 1e-3), not over points.
+   */
+  def gridQuantiles(df: DataFrame, valueCol: String, ps: Seq[Double],
+                    grid: Double): DataFrame = {
+    val cells = df.groupBy(floor(col(valueCol) / lit(grid)).cast("long").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("cell")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells.withColumn("cum", sum("cnt").over(w))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("n"))))
+    ps.map { p =>
+      cum.filter(col("cum") >= ceil(lit(p) * col("n").cast("double")).cast("long"))
+        .orderBy("cell").limit(1)
+        .select(lit(p).as("p"), col("cell"),
+          round(col("cell").cast("double") * lit(grid), 6).as("value_lo"),
+          col("cum"), col("n"))
+    }.reduce(_.unionByName(_))
+  }
 }
 
 /** Bounded KMV state: the k smallest distinct non-negative longs. */

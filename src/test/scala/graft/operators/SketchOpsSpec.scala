@@ -61,6 +61,17 @@ class SketchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one == many)
   }
 
+  test("gridQuantiles: hand histogram, rank convention, exact-to-grid answers") {
+    val ss = spark; import ss.implicits._
+    // 100 values 0.0005..0.0995 (cells 0..99, one per cell)
+    val df = (0 until 100).map(i => i.toDouble / 1000.0 + 0.0005).toDF("v")
+    val out = SketchOps.gridQuantiles(df, "v", Seq(0.5, 0.99), 0.001)
+      .orderBy("p").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    // p=0.5 -> 50th smallest -> cell 49 (cum 50); p=0.99 -> 99th -> cell 98
+    assert(out.toSeq == Seq((0.5, 49L, 50L, 100L), (0.99, 98L, 99L, 100L)))
+  }
+
   test("plan: bounded ObjectHashAggregate with a map-side partial, no distinct shuffle") {
     val ss = spark
     val docs = ss.read.parquet(s"$sfDir/documents.parquet")
