@@ -369,6 +369,13 @@ object SparkEntry {
           Seq(0.5, 0.9, 0.99, 0.999), grid = 0.001)
         .orderBy("p")),
 
+    "q16_retention" -> ((s, dir) =>
+      // daily cohort retention matrix: first-active-day cohorts x
+      // day offsets, retained fraction vs cohort size — one distinct
+      // over (user, day), everything after is user-sized
+      EventOps.retention(events(s, dir), "user_id", "tsec", periodSec = 86400L)
+        .orderBy("cohort", "offset")),
+
     "p_distinct_kmv" -> ((s, dir) =>
       // KMV distinct sketch per lang; k=72 straddles the group sizes so
       // BOTH branches are driver-checked: de(70)/fr(64) take the exact
@@ -543,6 +550,18 @@ object SparkEntry {
         .orderBy("corpus_id", "ref_id")
     }),
 
+    "d_decontaminate_ngram" -> ((s, dir) => {
+      // GPT-3-appendix exact 13-gram collision decontamination: ANY
+      // shared 13-gram with the benchmark set flags the doc (no
+      // similarity threshold) — the other standard method next to
+      // d_decontaminate's Jaccard form
+      val docs = table(s, dir, "documents")
+      DedupOps.ngramCollisions(
+        docs.filter(col("doc_id") >= 50), "doc_id", "text",
+        docs.filter(col("doc_id") < 50), "doc_id", "text")
+        .orderBy("corpus_id")
+    }),
+
     "d_dedup_cosine" -> ((s, dir) => {
       // embedding-space near-dup: hyperplane-banded candidates, exact
       // cosine verify — no cross join. nbits passed EXPLICITLY: this is
@@ -614,6 +633,12 @@ object SparkEntry {
     "t_langid" -> ((s, dir) =>
       table(s, dir, "documents")
         .select(col("doc_id"), TextOps.langGuess(col("text")).as("lang_guess"), col("lang"))
+        .orderBy("doc_id")),
+
+    "t_gopher_rules" -> ((s, dir) =>
+      // the published Gopher/MassiveText per-rule quality filter —
+      // 0/1 flag per rule + the conjunction, pure codegen projection
+      TextOps.gopherRules(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
     "t_fingerprint" -> ((s, dir) =>
@@ -961,6 +986,13 @@ object SparkEntry {
         .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
           col("n"), col("cov"))
         .orderBy("i", "j")),
+
+    "s_quantize_int8" -> ((s, dir) =>
+      // per-dimension min/max int8 codes (faiss SQ8): stats pass is a
+      // dim-row model broadcast back; codes pass a pure projection
+      SimilarityOps.quantizeInt8(table(s, dir, "embeddings"), "vec_id", "embedding")
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id", "pos")),
 
     "t_rarity" -> ((s, dir) =>
       // corpus-frequency rarity (the integer-exact perplexity stand-in):
@@ -1432,6 +1464,20 @@ object SparkEntry {
         |         ORDER BY cell LIMIT 1) q
         |ORDER BY p.p""".stripMargin,
 
+    "q16_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS period
+        |  FROM events),
+        |c AS (SELECT user_id, min(period) AS cohort FROM a GROUP BY 1),
+        |sz AS (SELECT cohort, count(*) AS cohort_size FROM c GROUP BY 1),
+        |cell AS (
+        |  SELECT cohort, a.period - cohort AS "offset", count(*) AS n_users
+        |  FROM a JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort, "offset", n_users, cohort_size,
+        |       round(n_users::DOUBLE / cohort_size::DOUBLE, 4) AS retained
+        |FROM cell JOIN sz USING (cohort)
+        |ORDER BY cohort, "offset"""".stripMargin,
+
     "p_distinct_kmv" ->
       """WITH h AS (
         |  SELECT DISTINCT lang, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
@@ -1889,6 +1935,27 @@ object SparkEntry {
         |WHERE round(inter::DOUBLE / (nc.n + nr.n - inter), 4) >= 0.5
         |ORDER BY 1, 2""".stripMargin,
 
+    "d_decontaminate_ngram" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS wd
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(wd) < 13 THEN [array_to_string(wd, ' ')]
+        |         ELSE list_transform(generate_series(1, len(wd) - 12),
+        |                             i -> array_to_string(wd[i:i+12], ' ')) END)) AS sh
+        |  FROM w),
+        |c AS (SELECT * FROM sh WHERE doc_id >= 50),
+        |r AS (SELECT * FROM sh WHERE doc_id < 50),
+        |-- engine's maxShingleDf=10000 mirrored (r is per-doc distinct,
+        |-- so count(*) = distinct ref docs per shingle)
+        |kept AS (SELECT sh FROM r GROUP BY sh HAVING count(*) <= 10000),
+        |j AS (SELECT c.doc_id AS cid, c.sh, r.doc_id AS rid
+        |      FROM c JOIN r ON c.sh = r.sh JOIN kept k ON c.sh = k.sh)
+        |SELECT cid AS corpus_id, count(DISTINCT sh) AS n_grams,
+        |       count(DISTINCT rid) AS n_refs
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "d_dedup_cosine" ->
       """WITH planes AS (
         |  SELECT b, list_transform(generate_series(0, 63),
@@ -2092,6 +2159,50 @@ object SparkEntry {
         |            WHEN en > 0 THEN 'en' ELSE 'unknown' END AS lang_guess,
         |       lang
         |FROM hits ORDER BY doc_id""".stripMargin,
+
+    "t_gopher_rules" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS wd,
+        |         string_split(text, chr(10)) AS ln
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |         len(wd)::BIGINT AS n_words,
+        |         coalesce(list_sum(list_transform(wd, w -> length(w))), 0)::BIGINT AS nch,
+        |         len(list_filter(wd, w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS alpha_w,
+        |         len(ln)::BIGINT AS n_lines,
+        |         len(list_filter(ln, l -> regexp_matches(l, '^[ \t]*[-*•]')))::BIGINT AS bullets,
+        |         len(list_filter(ln, l -> regexp_matches(l, '(\.\.\.|…)$')))::BIGINT AS ell_lines,
+        |         (length(text) - length(replace(text, '#', '')))::BIGINT AS hashes,
+        |         (length(text) - length(replace(text, '...', ''))) / 3
+        |           + (length(text) - length(replace(text, '…', '')))::BIGINT AS ells,
+        |         (list_contains(list_transform(wd, w -> lower(w)), 'the')::INT
+        |          + list_contains(list_transform(wd, w -> lower(w)), 'be')::INT
+        |          + list_contains(list_transform(wd, w -> lower(w)), 'to')::INT
+        |          + list_contains(list_transform(wd, w -> lower(w)), 'of')::INT
+        |          + list_contains(list_transform(wd, w -> lower(w)), 'and')::INT
+        |          + list_contains(list_transform(wd, w -> lower(w)), 'that')::INT
+        |          + list_contains(list_transform(wd, w -> lower(w)), 'have')::INT
+        |          + list_contains(list_transform(wd, w -> lower(w)), 'with')::INT) AS stop_cnt
+        |  FROM b),
+        |f AS (
+        |  SELECT doc_id, n_words,
+        |    (n_words BETWEEN 50 AND 100000)::BIGINT AS r_words,
+        |    (n_words > 0 AND nch::DOUBLE / n_words >= 3.0
+        |                 AND nch::DOUBLE / n_words <= 10.0)::BIGINT AS r_wordlen,
+        |    (n_words > 0 AND hashes::DOUBLE / n_words <= 0.1
+        |                 AND ells / n_words <= 0.1)::BIGINT AS r_symbol,
+        |    (bullets::DOUBLE / n_lines <= 0.9)::BIGINT AS r_bullet,
+        |    (ell_lines::DOUBLE / n_lines <= 0.3)::BIGINT AS r_ellipsis,
+        |    (n_words > 0 AND alpha_w::DOUBLE / n_words >= 0.8)::BIGINT AS r_alpha,
+        |    (stop_cnt >= 2)::BIGINT AS r_stop
+        |  FROM c)
+        |SELECT doc_id, n_words, r_words, r_wordlen, r_symbol, r_bullet,
+        |       r_ellipsis, r_alpha, r_stop,
+        |       (r_words * r_wordlen * r_symbol * r_bullet * r_ellipsis
+        |        * r_alpha * r_stop)::BIGINT AS pass
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "t_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
@@ -2817,6 +2928,18 @@ object SparkEntry {
         |             * (b.s::DOUBLE / 10000000.0 / p.n::DOUBLE), 8) AS cov
         |FROM p JOIN s1 a ON p.i = a.i JOIN s1 b ON p.j = b.i
         |ORDER BY p.i, p.j""".stripMargin,
+
+    "s_quantize_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, i AS pos, embedding[i + 1]::DOUBLE AS x
+        |  FROM embeddings, unnest(generate_series(0, 63)) AS t(i)),
+        |st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM e GROUP BY 1)
+        |SELECT vec_id, pos::BIGINT AS pos,
+        |       CASE WHEN mx > mn
+        |            THEN CAST(least(255.0, floor((x - mn) * 255.0 / (mx - mn) + 0.5)) AS BIGINT)
+        |            ELSE 0 END AS code
+        |FROM e JOIN st USING (pos)
+        |ORDER BY vec_id, pos""".stripMargin,
 
     "t_topterms" ->
       """WITH inst AS (

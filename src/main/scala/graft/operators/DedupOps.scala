@@ -540,4 +540,39 @@ object DedupOps {
       .filter(col("jaccard") >= minJaccard)
       .select(col("cid").as("corpus_id"), col("rid").as("ref_id"), col("jaccard"))
   }
+
+  /**
+   * Exact n-gram collision decontamination (the GPT-3-appendix method,
+   * Brown et al. 2020 §C: a training document is contaminated if it
+   * shares ANY exact 13-gram with a benchmark document — no similarity
+   * threshold, a single collision flags the doc). Returns one row per
+   * contaminated corpus doc with the count of distinct colliding
+   * n-grams and of distinct reference docs hit.
+   *
+   * Same fused shingle kernel as [[jaccardPairs]] ([[ShingleHashes]]),
+   * just with w=13; documents shorter than n words contribute one
+   * whole-text shingle, so a short doc collides only on exact full-text
+   * match — the conservative reading of the method. The reference side
+   * is grouped per shingle with a df cap before the join, so a
+   * boilerplate n-gram shared by the whole benchmark cannot fan out
+   * past cap x corpus-df; the grouped ref side is benchmark-sized and
+   * broadcast-able at any corpus scale. Both aggregate counts are
+   * map-side combinable — at 100 TB this is one shuffle of the
+   * (corpus-side) colliding shingles only.
+   */
+  def ngramCollisions(corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
+                      ref: DataFrame, refIdCol: String, refTextCol: String,
+                      n: Int = 13, maxShingleDf: Long = 10000L): DataFrame = {
+    val cs = corpus.select(col(corpusIdCol).as("cid"),
+      explode(ShingleHashes(col(corpusTextCol), n)).as("sh"))
+    val rs = ref.select(col(refIdCol).as("rid"),
+      explode(ShingleHashes(col(refTextCol), n)).as("sh"))
+    val grouped = rs.groupBy("sh").agg(collect_set(col("rid")).as("rids"))
+      .filter(size(col("rids")) <= maxShingleDf)
+    cs.join(grouped, "sh")
+      .select(col("cid"), col("sh"), explode(col("rids")).as("rid"))
+      .groupBy("cid")
+      .agg(countDistinct(col("sh")).as("n_grams"), countDistinct(col("rid")).as("n_refs"))
+      .select(col("cid").as("corpus_id"), col("n_grams"), col("n_refs"))
+  }
 }

@@ -206,4 +206,37 @@ object EventOps {
       .agg(count(lit(1)).as("n"))
       .select(col(groupCol), col("bin"),
         (col("bin").cast("double") * lit(width)).as("bin_lo"), col("n"))
+
+  /**
+   * Classic cohort retention matrix: users are grouped by their first
+   * active period (integer `tsec div periodSec`), and each cell
+   * `(cohort, offset)` counts the cohort's users active `offset`
+   * periods later, with the retained fraction against the cohort's
+   * size. The standard product-analytics read on an event stream.
+   *
+   * Shape at scale: one distinct to (user, period) — the only shuffle
+   * touching event volume, map-side combined; then a per-user min and
+   * the cell counts, all over user-sized rows co-partitioned on
+   * user_id (the min and the join reuse one exchange). No window over
+   * raw events, no dense cohort x offset spine. Period arithmetic is
+   * pure integer division, so any engine replays cohort labels
+   * exactly; the retained fraction is a single int/int->double
+   * division rounded for display.
+   */
+  def retention(events: DataFrame, userCol: String, tsecCol: String,
+                periodSec: Long): DataFrame = {
+    val active = events
+      .select(col(userCol).as("user_id"),
+        expr(s"$tsecCol div $periodSec").as("period"))
+      .distinct()
+    val cohorts = active.groupBy("user_id").agg(min(col("period")).as("cohort"))
+    val sizes = cohorts.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+    active.join(cohorts, "user_id")
+      .groupBy(col("cohort"), (col("period") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .join(sizes, "cohort")
+      .select(col("cohort"), col("offset"), col("n_users"), col("cohort_size"),
+        round(col("n_users").cast("double") / col("cohort_size").cast("double"), 4)
+          .as("retained"))
+  }
 }

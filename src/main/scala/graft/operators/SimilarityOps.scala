@@ -395,4 +395,35 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("sim"))
   }
+
+  /**
+   * Per-dimension affine int8 quantization of an embedding column
+   * (the standard min/max scalar quantization faiss calls SQ8 and
+   * vector stores ship as "int8 compression"): each dimension is
+   * mapped through code = floor((x - min_d) * 255 / (max_d - min_d)
+   * + 0.5), clamped to [0, 255]; a constant dimension quantizes to 0.
+   * Output is the exploded codes table `(id, pos, code)` — 8x smaller
+   * per value than float32, the storage/IO win that makes 100 TB ANN
+   * corpora fit hot storage.
+   *
+   * Two passes, both scale-flat: the stats pass is one map-side-
+   * combined min/max aggregate down to `dim` rows (a model, broadcast
+   * back regardless of corpus size); the codes pass is a pure
+   * projection joined against that broadcast — no corpus-sized
+   * shuffle anywhere. Quantization arithmetic is kept in the exact
+   * left-associated double form `(x - mn) * 255.0 / (mx - mn) + 0.5`
+   * with an integer-valued floor so any IEEE-754 engine reproduces the
+   * codes bit-for-bit (the DuckDB oracle replays it verbatim).
+   */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val ex = emb.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("pos", "xf")))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("xf").cast("double").as("x"))
+    val stats = ex.groupBy("pos").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    ex.join(broadcast(stats), "pos")
+      .withColumn("code", when(col("mx") > col("mn"),
+          least(lit(255.0), floor((col("x") - col("mn")) * lit(255.0) / (col("mx") - col("mn")) + lit(0.5)))
+            .cast("long"))
+        .otherwise(lit(0L)))
+      .select(col("id"), col("pos"), col("code"))
+  }
 }

@@ -490,6 +490,65 @@ object TextOps {
    * [[tfidfTop]]: identical count tuples quantize identically,
    * sub-1e-6 cross-engine drift cannot reorder).
    */
+  /**
+   * The published Gopher / MassiveText document-quality rule set
+   * (Rae et al. 2021, appendix A.1.1) as per-rule pass flags plus the
+   * conjunction — the de-facto standard heuristic filter for web-scale
+   * LLM pretraining corpora, kept separate from [[qualityScore]]'s
+   * composite score because users filter on the RULES (and tune
+   * individual thresholds), not on a blended number. Rules: word count
+   * in [50, 100000]; mean word length in [3, 10]; hash and ellipsis
+   * symbol-to-word ratios each <= 0.1; <= 90% of lines starting with a
+   * bullet; <= 30% of lines ending with an ellipsis; >= 80% of words
+   * containing an alphabetic character; >= 2 of the 8 stop words
+   * (the, be, to, of, and, that, have, with) present.
+   *
+   * Every signal is a built-in expression over the text column (regex
+   * counts + length arithmetic — whole-stage codegen, no HOF lambda on
+   * the corpus-row path, no shuffle): a pure projection that scales to
+   * any corpus size. Counting formulations are engine-portable by
+   * SEMANTICS (number of \S+ runs, lines as \n-splits, non-overlapping
+   * literal occurrences), so the DuckDB oracle replays them with list
+   * operations rather than trusting regex-engine parity; ratio
+   * comparisons perform the identical single int->double division on
+   * both engines. Flags are 0/1 LONGs.
+   */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nWords = regexp_count(t, lit("\\S+")).cast("long")
+    val nChars = length(regexp_replace(t, "\\s", "")).cast("long")
+    val alphaWords = regexp_count(t, lit("\\S*[A-Za-z]\\S*")).cast("long")
+    val nLines = size(split(t, "\n")).cast("long")
+    val bullets = regexp_count(t, lit("(?m)^[ \\t]*[-*\u2022]")).cast("long")
+    val ellLines = regexp_count(t, lit("(?m)(\\.\\.\\.|\u2026)$")).cast("long")
+    val hashes = (length(t) - length(replace(t, lit("#"), lit("")))).cast("long")
+    val ells = (length(t) - length(replace(t, lit("..."), lit("")))) / lit(3) +
+      (length(t) - length(replace(t, lit("\u2026"), lit("")))).cast("long")
+    val toks = split(lower(t), "\\s+")
+    val stopCnt = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(w => array_contains(toks, w).cast("long")).reduce(_ + _)
+
+    def flag(c: Column): Column = c.cast("long")
+    docs.select(
+        col(idCol),
+        nWords.as("n_words"),
+        flag(nWords.between(50L, 100000L)).as("r_words"),
+        flag(nWords > 0 &&
+          (nChars.cast("double") / nWords) >= 3.0 &&
+          (nChars.cast("double") / nWords) <= 10.0).as("r_wordlen"),
+        flag(nWords > 0 &&
+          (hashes.cast("double") / nWords) <= 0.1 &&
+          (ells / nWords) <= 0.1).as("r_symbol"),
+        flag((bullets.cast("double") / nLines) <= 0.9).as("r_bullet"),
+        flag((ellLines.cast("double") / nLines) <= 0.3).as("r_ellipsis"),
+        flag(nWords > 0 &&
+          (alphaWords.cast("double") / nWords) >= 0.8).as("r_alpha"),
+        flag(stopCnt >= 2L).as("r_stop"))
+      .withColumn("pass",
+        (col("r_words") * col("r_wordlen") * col("r_symbol") * col("r_bullet") *
+          col("r_ellipsis") * col("r_alpha") * col("r_stop")).cast("long"))
+  }
+
   def pmiBigrams(docs: DataFrame, textCol: String, minCount: Long,
                  n: Int): DataFrame = {
     val toks = docs.select(words(lower(col(textCol))).as("t"))

@@ -191,6 +191,26 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((-1L, -50.0, 1L), (0L, 0.0, 2L), (1L, 50.0, 1L), (5L, 250.0, 1L)))
   }
 
+  test("retention: cohorts by first-active period, distinct actives per cell, fractions") {
+    val ss = spark; import ss.implicits._
+    // periods of 100s. u1 first at p0, active p0/p1/p3 (twice in p1 —
+    // must count once); u2 first at p0, active p0 only; u3 first at p1,
+    // active p1/p2
+    val ev = Seq(
+      (1L, 10L), (1L, 110L), (1L, 150L), (1L, 310L),
+      (2L, 20L),
+      (3L, 120L), (3L, 210L)).toDF("user_id", "tsec")
+    val got = EventOps.retention(ev, "user_id", "tsec", periodSec = 100L)
+      .orderBy("cohort", "offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 2L, 2L, 1.0),  // u1, u2
+      (0L, 1L, 1L, 2L, 0.5),  // u1 (deduped within p1)
+      (0L, 3L, 1L, 2L, 0.5),  // u1
+      (1L, 0L, 1L, 1L, 1.0),  // u3
+      (1L, 1L, 1L, 1L, 1.0))) // u3
+  }
+
   test("asofJoin plan: one shuffle on the key, no range join") {
     val ss = spark; import ss.implicits._
     val left = Seq((1L, 1L, 10L)).toDF("event_id", "user_id", "tsec")

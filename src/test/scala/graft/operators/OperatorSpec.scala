@@ -214,6 +214,81 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.find(_._1 == 10L).get._3 == 1.0, "verbatim leak has jaccard 1.0")
   }
 
+  test("ngramCollisions: any shared 13-gram flags the doc, counts are distinct") {
+    val ss = spark; import ss.implicits._
+    val leak13 = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13"
+    val ref = Seq(
+      (1L, s"benchmark intro $leak13 benchmark outro words to pad the span"),
+      (2L, s"second reference repeating $leak13 plus unrelated tail tokens"),
+      (3L, "a reference with no overlap at all in any thirteen gram window of text here")
+    ).toDF("id", "text")
+    val corpus = Seq(
+      (10L, s"training document containing $leak13 inside a longer body of text"),
+      (11L, "twelve shared tokens only: w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 END"),
+      (12L, "completely clean training document with none of the benchmark span present here")
+    ).toDF("id", "text")
+    val got = DedupOps.ngramCollisions(corpus, "id", "text", ref, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // only doc 10 shares a full 13-gram; it hits refs 1 and 2 on that one gram
+    assert(got.toSeq == Seq((10L, 1L, 2L)), s"got ${got.toSeq}")
+  }
+
+  test("gopherRules: each rule trips on its crafted document") {
+    val ss = spark; import ss.implicits._
+    val good = ((1 to 60).map(i => s"word$i") ++
+      Seq("the", "be", "of", "and", "have")).mkString(" ")
+    val docs = Seq(
+      (1L, good),                                   // passes everything
+      (2L, "too few words to pass the count rule"), // r_words fails
+      (3L, ((1 to 60).map(_ => "a") ++ Seq("the", "be")).mkString(" ")), // mean wl < 3
+      (4L, ((1 to 60).map(i => s"w$i###")).mkString(" ") + " the be"),   // hash ratio
+      (5L, ((1 to 60).map(i => s"- item$i the be")).mkString("\n")),     // all bullets
+      (6L, ((1 to 60).map(i => s"line$i the be ...")).mkString("\n")),   // ellipsis lines
+      (7L, ((1 to 60).map(_.toString) ++ Seq("the", "be")).mkString(" ")), // numeric words
+      (8L, (1 to 60).map(i => s"word$i").mkString(" ")))                 // no stop words
+      .toDF("doc_id", "text")
+    val rows = TextOps.gopherRules(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, c: String): Long = rows(id).getAs[Long](c)
+    assert(f(1, "pass") == 1L, s"doc 1 should pass: ${rows(1)}")
+    assert(f(2, "r_words") == 0L)
+    assert(f(3, "r_wordlen") == 0L && f(3, "r_words") == 1L)
+    assert(f(4, "r_symbol") == 0L)
+    assert(f(5, "r_bullet") == 0L)
+    assert(f(6, "r_ellipsis") == 0L)
+    assert(f(7, "r_alpha") == 0L)
+    assert(f(8, "r_stop") == 0L && f(8, "pass") == 0L)
+  }
+
+  test("quantizeInt8: codes in [0,255], reconstruction within half a step, constant dim -> 0") {
+    val ss = spark; import ss.implicits._
+    val vecs = Seq(
+      (1L, Array(0.0f, -1.0f, 7.5f)),
+      (2L, Array(1.0f, -1.0f, 2.5f)),
+      (3L, Array(0.25f, -1.0f, -4.0f))).toDF("vec_id", "embedding")
+    val codes = SimilarityOps.quantizeInt8(vecs, "vec_id", "embedding")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(codes.values.forall(c => c >= 0 && c <= 255))
+    // dim 1 is constant -> code 0 everywhere
+    assert(Seq(1L, 2L, 3L).forall(id => codes((id, 1L)) == 0L))
+    // extremes map to the rail codes
+    assert(codes((1L, 0L)) == 0L && codes((2L, 0L)) == 255L)
+    assert(codes((1L, 2L)) == 255L && codes((3L, 2L)) == 0L)
+    // dequantize: |x - (mn + code*step)| <= step/2 for non-constant dims
+    val ranges = Map(0L -> (0.0, 1.0), 2L -> (-4.0, 7.5))
+    for (((id, pos), c) <- codes if pos != 1L) {
+      val (mn, mx) = ranges(pos)
+      val step = (mx - mn) / 255.0
+      val x = vecs.collect().find(_.getLong(0) == id).get
+        .getAs[scala.collection.Seq[Float]]("embedding")(pos.toInt).toDouble
+      assert(math.abs(x - (mn + c * step)) <= step / 2 + 1e-9,
+        s"vec $id dim $pos: x=$x code=$c")
+    }
+    // deterministic across runs
+    assert(SimilarityOps.quantizeInt8(vecs, "vec_id", "embedding")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap == codes)
+  }
+
   test("connectedComponents: chains, singletons, min-label canonical") {
     val ss = spark; import ss.implicits._
     val nodes = (1L to 8L).toDF("id")
