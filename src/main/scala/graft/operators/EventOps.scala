@@ -214,14 +214,20 @@ object EventOps {
    * periods later, with the retained fraction against the cohort's
    * size. The standard product-analytics read on an event stream.
    *
-   * Shape at scale: one distinct to (user, period) — the only shuffle
-   * touching event volume, map-side combined; then a per-user min and
-   * the cell counts, all over user-sized rows co-partitioned on
-   * user_id (the min and the join reuse one exchange). No window over
-   * raw events, no dense cohort x offset spine. Period arithmetic is
-   * pure integer division, so any engine replays cohort labels
-   * exactly; the retained fraction is a single int/int->double
-   * division rounded for display.
+   * Shape at scale: events are scanned ONCE — the map-side-combined
+   * distinct to (user, period) is the only shuffle touching event
+   * volume; the cohort label is a per-user window min over the
+   * already-tiny active set (a join-based formulation read the raw
+   * events three times, once per aggregate branch — measured in the
+   * plan, not guessed; a self-join for sizes still re-scanned, because
+   * the pushed offset-0 filter broke exchange reuse); cells aggregate
+   * map-side, and the cohort size is the cells' own offset-0 count
+   * read back by a window over the cohort-x-offset aggregate — rows
+   * bounded by the calendar, never by users or events. No dense
+   * cohort x offset spine.
+   * Period arithmetic is pure integer division, so any engine replays
+   * cohort labels exactly; the retained fraction is a single
+   * int/int->double division rounded for display.
    */
   def retention(events: DataFrame, userCol: String, tsecCol: String,
                 periodSec: Long): DataFrame = {
@@ -229,12 +235,13 @@ object EventOps {
       .select(col(userCol).as("user_id"),
         expr(s"$tsecCol div $periodSec").as("period"))
       .distinct()
-    val cohorts = active.groupBy("user_id").agg(min(col("period")).as("cohort"))
-    val sizes = cohorts.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
-    active.join(cohorts, "user_id")
+    active
+      .withColumn("cohort", min(col("period")).over(Window.partitionBy(col("user_id"))))
       .groupBy(col("cohort"), (col("period") - col("cohort")).as("offset"))
       .agg(count(lit(1)).as("n_users"))
-      .join(sizes, "cohort")
+      .withColumn("cohort_size",
+        max(when(col("offset") === 0, col("n_users")))
+          .over(Window.partitionBy(col("cohort"))))
       .select(col("cohort"), col("offset"), col("n_users"), col("cohort_size"),
         round(col("n_users").cast("double") / col("cohort_size").cast("double"), 4)
           .as("retained"))
