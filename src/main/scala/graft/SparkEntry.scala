@@ -1007,6 +1007,13 @@ object SparkEntry {
       TextOps.unigramNll(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "t_novelty" -> ((s, dir) =>
+      // fraction of each doc's distinct trigrams found in no other doc
+      // — the memorization/boilerplate signal; inverted-df shape
+      TextOps.noveltyStats(table(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     "t_topterms" -> ((s, dir) =>
       // exact heavy hitters: 5 most frequent tokens per language,
       // WindowGroupLimit prunes to 5 per group before the shuffle
@@ -2907,6 +2914,21 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
         |       coalesce(round(ln((SELECT n FROM tot)) - mlf, 4), 0.0) AS avg_nll
         |FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "t_novelty" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS wd
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(wd) < 3 THEN [array_to_string(wd, ' ')]
+        |         ELSE list_transform(generate_series(1, len(wd) - 2),
+        |                             i -> array_to_string(wd[i:i+2], ' ')) END)) AS sh
+        |  FROM w),
+        |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_shingles, sum((df.df = 1)::INT)::BIGINT AS n_unique,
+        |       round(sum((df.df = 1)::INT)::DOUBLE / count(*), 4) AS novelty
+        |FROM sh JOIN df USING (sh) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // replays the quantized-LONG covariance sums exactly: per-component
     // floor(x*1e7+0.5) and per-product floor(x_i*x_j*1e9+0.5) LONGS,

@@ -549,6 +549,36 @@ object TextOps {
           col("r_ellipsis") * col("r_alpha") * col("r_stop")).cast("long"))
   }
 
+  /**
+   * Per-document n-gram novelty: the fraction of a document's distinct
+   * word n-grams (default trigrams) that occur in NO other document —
+   * the standard cheap memorization/boilerplate signal (novel docs add
+   * information to a training mix; low-novelty docs are template echo
+   * even when no single pair crosses a dedup threshold). Emits
+   * `(id, n_shingles, n_unique, novelty)` with novelty rounded for
+   * display; ranking-grade consumers should use the two exact counts.
+   *
+   * Same inverted document-frequency shape as [[rarityStats]]/[[
+   * tfidfTop]], over the fused [[ShingleHashes]] kernel (per-doc
+   * distinct, so df counts documents): one map-side-combined df
+   * aggregate, one join of the shingle table against it, one aggregate
+   * back to doc rows — everything linear in corpus size, no pairwise
+   * work anywhere.
+   */
+  def noveltyStats(docs: DataFrame, idCol: String, textCol: String,
+                   w: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(ShingleHashes(col(textCol), w)).as("sh"))
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(df, "sh")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col("df") === 1).cast("long")).as("n_unique"))
+      .select(col("id"), col("n_shingles"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_shingles").cast("double"), 4)
+          .as("novelty"))
+  }
+
   def pmiBigrams(docs: DataFrame, textCol: String, minCount: Long,
                  n: Int): DataFrame = {
     val toks = docs.select(words(lower(col(textCol))).as("t"))

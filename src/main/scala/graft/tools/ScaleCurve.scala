@@ -65,6 +65,26 @@ object ScaleCurve {
     run("tfidf_top", d => graft.operators.TextOps.tfidfTop(docs(d), "doc_id", "text", 3))
     run("covariance", d => graft.operators.PcaOps.covariance(embs(d), "embedding", 64))
 
+    def evs(dir: String) = {
+      val e = spark.read.parquet(s"$dir/events.parquet")
+      val t = e.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+        case _                                   => col("ts").cast("long")
+      }
+      e.withColumn("tsec", t)
+    }
+    // benchmark-decontamination keeps a FIXED 50-doc ref side as the
+    // corpus grows — the realistic shape (benchmarks don't scale with
+    // training data), so growth should track the corpus linearly
+    run("ngram_collisions", d => DedupOps.ngramCollisions(
+      docs(d).filter(col("doc_id") >= 50), "doc_id", "text",
+      docs(d).filter(col("doc_id") < 50), "doc_id", "text"))
+    run("quantize_int8", d => SimilarityOps.quantizeInt8(
+      spark.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding"))
+    run("gopher_rules", d => graft.operators.TextOps.gopherRules(docs(d), "doc_id", "text"))
+    run("novelty", d => graft.operators.TextOps.noveltyStats(docs(d), "doc_id", "text"))
+    run("retention", d => graft.operators.EventOps.retention(evs(d), "user_id", "tsec", 86400L))
+
     spark.stop()
   }
 }

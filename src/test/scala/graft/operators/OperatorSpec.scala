@@ -260,6 +260,22 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f(8, "r_stop") == 0L && f(8, "pass") == 0L)
   }
 
+  test("noveltyStats: unique docs at 1.0, clones at 0.0, partial overlap exact") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq(
+      (1L, "a1 a2 a3 a4 a5"),   // trigram a1a2a3 shared with doc 4
+      (2L, "b1 b2 b3 b4 b5"),   // fully unique
+      (3L, "c1 c2 c3 c4"),      // clone pair with doc 5: all shingles shared
+      (5L, "c1 c2 c3 c4"),
+      (4L, "a1 a2 a3 d4 d5"))   // 1 of 3 trigrams shared
+      .toDF("doc_id", "text")
+    val got = TextOps.noveltyStats(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(2L) == ((3L, 3L, 1.0)))
+    assert(got(3L) == ((2L, 0L, 0.0)) && got(5L) == ((2L, 0L, 0.0)))
+    assert(got(1L) == ((3L, 2L, 0.6667)) && got(4L) == ((3L, 2L, 0.6667)))
+  }
+
   test("quantizeInt8: codes in [0,255], reconstruction within half a step, constant dim -> 0") {
     val ss = spark; import ss.implicits._
     val vecs = Seq(
