@@ -26,14 +26,19 @@ object SparkEntry {
 
   /**
    * events with an epoch-seconds `time` column, robust to how the session
-   * surfaces the parquet TIMESTAMP(NANOS) column (long nanos under
-   * spark.sql.legacy.parquet.nanosAsLong, timestamp otherwise).
+   * surfaces the parquet timestamp column: long nanos (TIMESTAMP(NANOS)
+   * under spark.sql.legacy.parquet.nanosAsLong), TIMESTAMP_NTZ (micros,
+   * which ANSI mode refuses to cast straight to long — route through
+   * TIMESTAMP; the session timezone is UTC so the instant is unchanged),
+   * or plain TIMESTAMP.
    */
   private def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val ev = table(s, dir, "events")
     val t = ev.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
-      case _                                   => col("ts").cast("long")
+      case LongType         => expr("ts div 1000000000")
+      case TimestampNTZType => col("ts").cast("timestamp").cast("long")
+      case _                => col("ts").cast("long")
     }
     ev.withColumn("tsec", t)
   }
@@ -448,6 +453,39 @@ object SparkEntry {
       // graphite highestAverage(10): exact integer means
       SeriesOps.highestAverage(metricStream(s, dir), 10)
         .orderBy("rank")),
+
+    "g_derivative" -> ((s, dir) =>
+      // graphite derivative: per-series point-to-point delta
+      SeriesOps.derivative(metricStream(s, dir))
+        .orderBy("path", "time", "version")),
+
+    "g_nn_derivative" -> ((s, dir) =>
+      // graphite nonNegativeDerivative: counter resets nulled
+      SeriesOps.nonNegativeDerivative(metricStream(s, dir))
+        .orderBy("path", "time", "version")),
+
+    "g_integral" -> ((s, dir) =>
+      // graphite integral: exact quantized-LONG running sum per series
+      SeriesOps.integral(metricStream(s, dir))
+        .orderBy("path", "time", "version")),
+
+    "g_time_shift" -> ((s, dir) =>
+      // timeShift(1h) overlay: 600s-consolidated series joined to
+      // itself one hour (6 buckets) earlier on (path, gtime)
+      SeriesOps.timeShiftCompare(metricStream(s, dir), shiftSec = 3600L, stepSec = 600L)
+        .orderBy("path", "gtime")),
+
+    "g_keep_last" -> ((s, dir) =>
+      // keepLastValue over a 600s consolidated grid, gaps filled from
+      // at most 3 buckets back
+      SeriesOps.keepLastValue(metricStream(s, dir), stepSec = 600L, limit = 3)
+        .orderBy("path", "gtime")),
+
+    "g_group_by_node" -> ((s, dir) =>
+      // groupByNode(1, sum): pointwise cross-series rollup on the
+      // second path segment (the event type)
+      SeriesOps.groupByNode(metricStream(s, dir), node = 1, fn = "sum")
+        .orderBy("node_group", "time")),
 
     "q13_rolling" -> ((s, dir) =>
       // trailing-1h per-user event count + value sum (RANGE frame:
@@ -1619,6 +1657,83 @@ object SparkEntry {
          |       FROM r)
          |SELECT rank::BIGINT AS rank, path, n_points, avg_value
          |FROM rk WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "g_derivative" ->
+      s"""$OracleM
+         |SELECT path, "time", version,
+         |       round(value - lag(value) OVER (PARTITION BY path
+         |                                      ORDER BY "time", version), 6) AS delta
+         |FROM m ORDER BY path, "time", version""".stripMargin,
+
+    "g_nn_derivative" ->
+      s"""$OracleM,
+         |x AS (
+         |  SELECT path, "time", version,
+         |         value - lag(value) OVER (PARTITION BY path
+         |                                  ORDER BY "time", version) AS d
+         |  FROM m)
+         |SELECT path, "time", version,
+         |       round(CASE WHEN d >= 0 THEN d END, 6) AS nn_delta
+         |FROM x ORDER BY path, "time", version""".stripMargin,
+
+    "g_integral" ->
+      s"""$OracleM,
+         |x AS (
+         |  SELECT path, "time", version,
+         |         sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+         |           OVER (PARTITION BY path ORDER BY "time", version
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rq
+         |  FROM m)
+         |SELECT path, "time", version,
+         |       round(rq::DOUBLE / 1000000.0, 6) AS running_total
+         |FROM x ORDER BY path, "time", version""".stripMargin,
+
+    "g_time_shift" ->
+      s"""$OracleM,
+         |lww AS (
+         |  SELECT path, gtime, value FROM (
+         |    SELECT path, "time" - ("time" % 600) AS gtime, value,
+         |           row_number() OVER (PARTITION BY path, "time" - ("time" % 600)
+         |                              ORDER BY "time" DESC, version DESC) AS rn
+         |    FROM m) WHERE rn = 1),
+         |sh AS (SELECT path, gtime + 3600 AS gtime, value AS value_shifted
+         |       FROM lww)
+         |SELECT lww.path, lww.gtime, lww.value, sh.value_shifted,
+         |       round(lww.value - sh.value_shifted, 6) AS shift_delta
+         |FROM lww JOIN sh ON lww.path = sh.path AND lww.gtime = sh.gtime
+         |ORDER BY lww.path, lww.gtime""".stripMargin,
+
+    "g_keep_last" ->
+      s"""$OracleM,
+         |lww AS (
+         |  SELECT path, gtime, value FROM (
+         |    SELECT path, "time" - ("time" % 600) AS gtime, value,
+         |           row_number() OVER (PARTITION BY path, "time" - ("time" % 600)
+         |                              ORDER BY "time" DESC, version DESC) AS rn
+         |    FROM m) WHERE rn = 1),
+         |sp AS (SELECT path, min(gtime) AS t0, max(gtime) AS t1
+         |       FROM lww GROUP BY 1),
+         |grid AS (SELECT path, unnest(generate_series(t0, t1, 600)) AS gtime
+         |         FROM sp),
+         |j AS (SELECT grid.path, grid.gtime, lww.value
+         |      FROM grid LEFT JOIN lww
+         |        ON grid.path = lww.path AND grid.gtime = lww.gtime)
+         |SELECT path, gtime, value IS NULL AS filled,
+         |       round(last_value(value IGNORE NULLS)
+         |               OVER (PARTITION BY path ORDER BY gtime
+         |                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS value_ff
+         |FROM j ORDER BY path, gtime""".stripMargin,
+
+    "g_group_by_node" ->
+      s"""$OracleM,
+         |lww AS (SELECT path, "time", max_by(value, version) AS value
+         |        FROM m GROUP BY 1, 2),
+         |k AS (SELECT str_split(path, '.')[2] AS node_group, "time",
+         |             CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS q
+         |      FROM lww)
+         |SELECT node_group, "time", count(*) AS n_series,
+         |       round(sum(q)::DOUBLE / 1000000.0, 6) AS value
+         |FROM k GROUP BY 1, 2 ORDER BY node_group, "time"""".stripMargin,
 
     "q13_rolling" ->
       """WITH e AS (SELECT event_id, user_id,

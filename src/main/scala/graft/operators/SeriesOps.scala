@@ -68,6 +68,111 @@ object SeriesOps {
       round(col("value") - lag("value", 1).over(seriesWindow), 6).as("delta"))
 
   /**
+   * graphite `nonNegativeDerivative(series)`: [[derivative]] with
+   * counter resets (negative deltas) emitted as null instead of a
+   * negative spike — the standard counter-metric rate prep.
+   */
+  def nonNegativeDerivative(points: DataFrame): DataFrame = {
+    val delta = col("value") - lag("value", 1).over(seriesWindow)
+    points.select(col("path"), col("time"), col("version"),
+      round(when(delta >= 0, delta), 6).as("nn_delta"))
+  }
+
+  /**
+   * graphite `integral(series)`: per-series running cumulative sum.
+   * The running sum accumulates 1e-6-quantized LONGS (same policy as
+   * [[movingAverage]]), so the prefix sums are exact integers in both
+   * engines — a plain double cumsum would drift between Spark's
+   * in-order frame evaluation and DuckDB's segment tree.
+   */
+  def integral(points: DataFrame): DataFrame = {
+    val frame = seriesWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runQ = sum(floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long")).over(frame)
+    points.select(col("path"), col("time"), col("version"),
+      round(runQ.cast("double") / lit(1.0e6), 6).as("running_total"))
+  }
+
+  /**
+   * graphite `timeShift(series, shift)` composed with its one real
+   * use: comparing a series against itself `shiftSec` earlier (the
+   * day-over-day render). Raw points are first consolidated onto a
+   * `stepSec` grid with a last-write-wins pick per bucket (graphite
+   * renders consolidated series; irregular raw instants would almost
+   * never collide exactly `shiftSec` apart), then the shifted copy
+   * equi-joins back on `(path, gtime)` — two same-key hash
+   * exchanges, the second reusable, no range scan. Inner join:
+   * buckets with no data `shiftSec` earlier drop, like a graphite
+   * overlay only draws where both windows have data.
+   */
+  def timeShiftCompare(points: DataFrame, shiftSec: Long, stepSec: Long): DataFrame = {
+    require(stepSec >= 1 && shiftSec % stepSec == 0,
+      s"timeShift shift=$shiftSec must be a multiple of step=$stepSec")
+    val lww = points
+      .groupBy(col("path"), (col("time") - col("time") % stepSec).as("gtime"))
+      .agg(max_by(col("value"), struct(col("time"), col("version"))).as("value"))
+    val shifted = lww.select(col("path"),
+      (col("gtime") + shiftSec).as("gtime"), col("value").as("value_shifted"))
+    lww.join(shifted, Seq("path", "gtime"))
+      .select(col("path"), col("gtime"), col("value"), col("value_shifted"),
+        round(col("value") - col("value_shifted"), 6).as("shift_delta"))
+  }
+
+  /**
+   * graphite `keepLastValue(series, limit)` over a consolidated
+   * fixed-step grid: each series is resampled to `stepSec` buckets
+   * (LWW pick within a bucket), the full per-series grid is
+   * materialized (`sequence` + explode — grid size is span/step per
+   * series, never corpus-sized), and empty buckets forward-fill from
+   * the most recent real value at most `limit` buckets back — the
+   * bounded-gap fill graphite uses so a dead series eventually shows
+   * the hole. `filled` marks synthesized rows. One shuffle for the
+   * bucket LWW; the span aggregate and grid join reuse its
+   * partitioning.
+   */
+  def keepLastValue(points: DataFrame, stepSec: Long, limit: Int): DataFrame = {
+    require(stepSec >= 1 && limit >= 0, s"keepLastValue step=$stepSec limit=$limit")
+    val lww = points
+      .groupBy(col("path"), (col("time") - col("time") % stepSec).as("gtime"))
+      .agg(max_by(col("value"), struct(col("time"), col("version"))).as("value"))
+    val grid = lww.groupBy("path")
+      .agg(min("gtime").as("t0"), max("gtime").as("t1"))
+      .select(col("path"),
+        explode(sequence(col("t0"), col("t1"), lit(stepSec))).as("gtime"))
+    val w = Window.partitionBy("path").orderBy("gtime")
+      .rowsBetween(-limit.toLong, Window.currentRow)
+    grid.join(lww, Seq("path", "gtime"), "left")
+      .select(col("path"), col("gtime"),
+        col("value").isNull.as("filled"),
+        round(last(col("value"), ignoreNulls = true).over(w), 6).as("value_ff"))
+  }
+
+  /**
+   * graphite `groupByNode(seriesList, node, fn)`: series whose dotted
+   * path shares the `node`-th segment aggregate pointwise per
+   * timestamp (after the same per-(path,time) LWW collapse as
+   * [[timeShiftCompare]]). `sum`/`avg` run on 1e-6-quantized LONGS
+   * (exact across engines); `min`/`max` are order statistics and need
+   * no quantizer. Output is `(node_group, time)`-sized — the
+   * cross-series rollup that turns per-host series into a service
+   * view.
+   */
+  def groupByNode(points: DataFrame, node: Int, fn: String): DataFrame = {
+    val lww = points.groupBy("path", "time")
+      .agg(max_by(col("value"), col("version")).as("value"))
+      .withColumn("node_group", split(col("path"), "\\.").getItem(node))
+    val q = floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long")
+    val agg = fn match {
+      case "sum" => round(sum(q).cast("double") / lit(1.0e6), 6)
+      case "avg" => round(sum(q).cast("double") / lit(1.0e6) / count(lit(1)).cast("double"), 6)
+      case "min" => min("value")
+      case "max" => max("value")
+      case other => throw new IllegalArgumentException(s"groupByNode fn: $other")
+    }
+    lww.groupBy("node_group", "time")
+      .agg(count(lit(1)).as("n_series"), agg.as("value"))
+  }
+
+  /**
    * graphite `perSecond(series)`: delta divided by the time step,
    * null on a counter reset (negative delta), a zero step (two
    * versions at one timestamp), or the series head.

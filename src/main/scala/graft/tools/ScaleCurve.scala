@@ -68,8 +68,9 @@ object ScaleCurve {
     def evs(dir: String) = {
       val e = spark.read.parquet(s"$dir/events.parquet")
       val t = e.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
-        case _                                   => col("ts").cast("long")
+        case org.apache.spark.sql.types.LongType         => expr("ts div 1000000000")
+        case org.apache.spark.sql.types.TimestampNTZType => col("ts").cast("timestamp").cast("long")
+        case _                                           => col("ts").cast("long")
       }
       e.withColumn("tsec", t)
     }

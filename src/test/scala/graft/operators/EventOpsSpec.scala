@@ -52,8 +52,14 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("sessionize matches the gaps-and-islands window formulation on real events") {
     val ss = spark
-    val ev = ss.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("tsec", expr("ts div 1000000000"))
+    val ev = {
+      val raw = ss.read.parquet("/root/testdata/sf0.001/events.parquet")
+      val t = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+        case _ => col("ts").cast("timestamp").cast("long")
+      }
+      raw.withColumn("tsec", t)
+    }
     val got = EventOps.sessionize(ev, "user_id", "tsec", 1800L, "value")
       .select("user_id", "session_start", "n_events")
     // independent islands formulation

@@ -94,9 +94,84 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((1L, "hi", 15.0), (2L, "mid", 15.0)))
   }
 
+  test("nonNegativeDerivative: head null, reset null, non-negative deltas kept") {
+    val p = pts(
+      ("a", 10.0, 100L, 1L),  // head -> null
+      ("a", 40.0, 110L, 2L),  // +30
+      ("a", 5.0, 120L, 3L),   // reset -> null
+      ("a", 5.0, 130L, 4L))   // +0 kept (>= 0)
+    val out = SeriesOps.nonNegativeDerivative(p).orderBy("time")
+      .collect().map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    assert(out.toSeq == Seq(None, Some(30.0), None, Some(0.0)))
+  }
+
+  test("integral: per-series exact running sum, independent across series") {
+    val p = pts(
+      ("a", 0.1, 1L, 1L), ("a", 0.2, 2L, 2L), ("a", 0.3, 3L, 3L),
+      ("b", 5.0, 1L, 4L), ("b", -2.0, 2L, 5L))
+    val out = SeriesOps.integral(p).orderBy("path", "time")
+      .collect().map(r => (r.getString(0), r.getDouble(3)))
+    // quantized-long prefix sums: 0.1+0.2 is exactly 0.3, not 0.30000000000000004
+    assert(out.toSeq == Seq(("a", 0.1), ("a", 0.3), ("a", 0.6), ("b", 5.0), ("b", 3.0)))
+  }
+
+  test("timeShiftCompare: bucket LWW then shift-join; only overlapping buckets emit") {
+    val p = pts(
+      ("a", 1.0, 0L, 1L),     // bucket 0
+      ("a", 9.0, 55L, 2L),    // bucket 0, later time wins LWW
+      ("a", 4.0, 65L, 3L),    // bucket 60 -> pairs with bucket 0
+      ("a", 7.0, 125L, 4L),   // bucket 120 -> pairs with bucket 60
+      ("b", 2.0, 60L, 5L))    // lone bucket, no t-60 partner
+    val out = SeriesOps.timeShiftCompare(p, shiftSec = 60L, stepSec = 60L)
+      .orderBy("path", "gtime")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("a", 60L, 4.0, 9.0), ("a", 120L, 7.0, 4.0)))
+    intercept[IllegalArgumentException] {
+      SeriesOps.timeShiftCompare(p, shiftSec = 90L, stepSec = 60L)
+    }
+  }
+
+  test("keepLastValue: fills gaps up to limit buckets, leaves longer holes null") {
+    val p = pts(
+      ("a", 1.0, 0L, 1L),    // bucket 0
+      ("a", 2.0, 60L, 2L),   // bucket 60
+      // buckets 120..300 empty (4-bucket gap), point at 360
+      ("a", 9.0, 360L, 3L))
+    val out = SeriesOps.keepLastValue(p, stepSec = 60L, limit = 2)
+      .orderBy("gtime")
+      .collect().map(r => (r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(out.toSeq == Seq(
+      (0L, false, Some(1.0)), (60L, false, Some(2.0)),
+      (120L, true, Some(2.0)), (180L, true, Some(2.0)),  // within limit=2 of bucket 60
+      (240L, true, None), (300L, true, None),             // beyond the fill limit
+      (360L, false, Some(9.0))))
+  }
+
+  test("groupByNode: LWW collapse then exact pointwise sum/avg on the node segment") {
+    val p = pts(
+      ("evt.click.u1", 0.1, 10L, 1L),
+      ("evt.click.u1", 0.3, 10L, 2L),  // same (path,time): version 2 wins LWW
+      ("evt.click.u2", 0.2, 10L, 3L),
+      ("evt.view.u1", 5.0, 10L, 4L))
+    val sum = SeriesOps.groupByNode(p, node = 1, fn = "sum").orderBy("node_group")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(sum.toSeq == Seq(("click", 2L, 0.5), ("view", 1L, 5.0)))
+    val avg = SeriesOps.groupByNode(p, node = 1, fn = "avg").orderBy("node_group")
+      .collect().map(r => (r.getString(0), r.getDouble(3)))
+    assert(avg.toSeq == Seq(("click", 0.25), ("view", 5.0)))
+    intercept[IllegalArgumentException] {
+      SeriesOps.groupByNode(p, node = 1, fn = "median")
+    }
+  }
+
   test("movingAverage is partition-layout invariant (integer frame sums)") {
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("tsec", expr("ts div 1000000000"))
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val tsec = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case _ => col("ts").cast("timestamp").cast("long")
+    }
+    val ev = raw.withColumn("tsec", tsec)
       .select(concat(lit("s."), col("user_id") % 7).as("path"),
         col("value"), col("tsec").as("time"), col("event_id").as("version"))
     val a = SeriesOps.movingAverage(ev.repartition(1), 5)
