@@ -487,6 +487,21 @@ object SparkEntry {
       SeriesOps.groupByNode(metricStream(s, dir), node = 1, fn = "sum")
         .orderBy("node_group", "time")),
 
+    "g_as_percent" -> ((s, dir) =>
+      // asPercent: each series' share of the pointwise all-series total
+      SeriesOps.asPercent(metricStream(s, dir))
+        .orderBy("path", "time")),
+
+    "g_moving_stddev" -> ((s, dir) =>
+      // stdev(series, 5): trailing 5-point population stddev
+      SeriesOps.movingStdDev(metricStream(s, dir), 5)
+        .orderBy("path", "time", "version")),
+
+    "g_seasonal" -> ((s, dir) =>
+      // hour-of-day baseline + residual per point
+      SeriesOps.seasonalBaseline(metricStream(s, dir))
+        .orderBy("path", "time")),
+
     "q13_rolling" -> ((s, dir) =>
       // trailing-1h per-user event count + value sum (RANGE frame:
       // simultaneous events all see each other, no tie ambiguity)
@@ -731,6 +746,12 @@ object SparkEntry {
       // deterministic global order randomization (sort + zipWithIndex)
       SampleOps.deterministicShuffle(table(s, dir, "documents"), "doc_id")
         .orderBy("pos")),
+
+    "p_domain_cap" -> ((s, dir) =>
+      // per-source frequency cap: at most 10 docs per source, hash-ranked
+      SampleOps.domainCap(table(s, dir, "documents"), "doc_id", "source", cap = 10)
+        .select(col("doc_id"), col("source"), col("domain_rank"))
+        .orderBy("doc_id")),
 
     "p_corpus" -> ((s, dir) => {
       // end-to-end corpus construction: exact-dedup survivors, quality
@@ -1735,6 +1756,52 @@ object SparkEntry {
          |       round(sum(q)::DOUBLE / 1000000.0, 6) AS value
          |FROM k GROUP BY 1, 2 ORDER BY node_group, "time"""".stripMargin,
 
+    "g_as_percent" ->
+      s"""$OracleM,
+         |lww AS (SELECT path, "time", max_by(value, version) AS value
+         |        FROM m GROUP BY 1, 2),
+         |q AS (SELECT path, "time", value,
+         |             CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS q
+         |      FROM lww),
+         |t AS (SELECT "time", CAST(sum(q) AS BIGINT) AS total_q
+         |      FROM q GROUP BY 1)
+         |SELECT q.path, q."time", q.value,
+         |       round(CASE WHEN t.total_q <> 0
+         |                  THEN q.q::DOUBLE / t.total_q::DOUBLE * 100.0 END, 6) AS pct
+         |FROM q JOIN t USING ("time") ORDER BY path, "time"""".stripMargin,
+
+    "g_moving_stddev" ->
+      s"""$OracleM,
+         |x AS (
+         |  SELECT path, "time", version,
+         |         count(*) OVER w AS n_window,
+         |         CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS s1,
+         |         CAST(sum(CAST(floor(value * 1000.0 + 0.5) * floor(value * 1000.0 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS s2
+         |  FROM m
+         |  WINDOW w AS (PARTITION BY path ORDER BY "time", version
+         |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+         |SELECT path, "time", version, n_window,
+         |       round(sqrt(greatest(
+         |         s2::DOUBLE / 1000000.0 / n_window::DOUBLE
+         |           - (s1::DOUBLE / 1000000.0 / n_window::DOUBLE)
+         |             * (s1::DOUBLE / 1000000.0 / n_window::DOUBLE), 0.0)), 6) AS mstddev
+         |FROM x ORDER BY path, "time", version""".stripMargin,
+
+    "g_seasonal" ->
+      s"""$OracleM,
+         |lww AS (SELECT path, "time", max_by(value, version) AS value
+         |        FROM m GROUP BY 1, 2),
+         |h AS (SELECT path, "time", ("time" % 86400) // 3600 AS hod, value FROM lww),
+         |p AS (SELECT path, hod, count(*) AS n_slot,
+         |             CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s1
+         |      FROM h GROUP BY 1, 2),
+         |b AS (SELECT path, hod,
+         |             round(s1::DOUBLE / 1000000.0 / n_slot::DOUBLE, 6) AS baseline
+         |      FROM p)
+         |SELECT h.path, h."time", h.hod, h.value, b.baseline,
+         |       round(h.value - b.baseline, 6) AS residual
+         |FROM h JOIN b USING (path, hod) ORDER BY path, "time"""".stripMargin,
+
     "q13_rolling" ->
       """WITH e AS (SELECT event_id, user_id,
         |                  CAST(floor(epoch(ts)) AS BIGINT) AS tsec, value FROM events)
@@ -2402,6 +2469,15 @@ object SparkEntry {
       """SELECT doc_id AS id,
         |       row_number() OVER (ORDER BY substr(md5('shuffle:' || doc_id), 1, 15), doc_id)::BIGINT AS pos
         |FROM documents ORDER BY pos""".stripMargin,
+
+    "p_domain_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY substr(md5('domaincap:' || doc_id), 1, 15), doc_id) AS domain_rank
+        |  FROM documents)
+        |SELECT doc_id, source, domain_rank::BIGINT AS domain_rank
+        |FROM r WHERE domain_rank <= 10 ORDER BY doc_id""".stripMargin,
 
     // composition of the d_dedup_exact + t_quality + t_langid oracles
     "p_corpus" ->

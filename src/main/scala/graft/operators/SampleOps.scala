@@ -129,6 +129,32 @@ object SampleOps {
   }
 
   /**
+   * Per-domain frequency cap: keep at most `cap` docs per domain, the
+   * winners chosen by hash order — the CommonCrawl-style "no single
+   * host dominates the mixture" quota. Hash ranking (not quality
+   * ranking — [[graft.operators.DedupOps]] canonicalization handles
+   * that) means the kept set is an unbiased fixed-size sample of each
+   * domain and is stable under corpus *growth only at the margin*: a
+   * new doc can displace at most one incumbent per domain. Output:
+   * input columns + `domain_rank` (1-based hash rank within the
+   * domain).
+   *
+   * Scale: one shuffle keyed by domain; ranking is in-partition.
+   * WindowGroupLimit pushes the `<= cap` cut below the exchange, so
+   * each map task forwards at most `cap` rows per domain it sees —
+   * the reduce side never materializes a mega-domain's full list.
+   */
+  def domainCap(docs: DataFrame, idCol: String, domainCol: String, cap: Int,
+                salt: String = "domaincap"): DataFrame = {
+    require(cap >= 1, s"domainCap needs cap >= 1, got $cap")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(hashKey(col(idCol), salt), col(idCol))
+    docs
+      .withColumn("domain_rank", row_number().over(w).cast("long"))
+      .filter(col("domain_rank") <= cap)
+  }
+
+  /**
    * Domain upsampling: repeat every doc of domain d `repeats(d)` times
    * (training-mixture epoch factors — rare domains see the model more
    * than once per pass). Domains absent from `repeats` stay at one

@@ -173,6 +173,82 @@ object SeriesOps {
   }
 
   /**
+   * graphite `asPercent(seriesList)`: each series' share of the
+   * pointwise all-series total (after the LWW collapse). Shares are
+   * computed from 1e-6-quantized LONG sums, so both engines divide
+   * the same exact integers — the one double division and round are
+   * then bit-identical. Instants whose total is zero emit a null
+   * share (graphite draws a gap rather than a division blowup).
+   *
+   * Scale: one shuffle for the LWW collapse, one time-keyed
+   * aggregate (instant-count-sized), one same-key join back. The
+   * per-time total is a single row per instant, never a broadcast of
+   * the series set.
+   */
+  def asPercent(points: DataFrame): DataFrame = {
+    val q = floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long")
+    val lww = points.groupBy("path", "time")
+      .agg(max_by(col("value"), col("version")).as("value"))
+      .withColumn("q", q)
+    val totals = lww.groupBy("time").agg(sum("q").as("total_q"))
+    lww.join(totals, "time")
+      .select(col("path"), col("time"), col("value"),
+        round(when(col("total_q") =!= 0L,
+          col("q").cast("double") / col("total_q").cast("double") * 100.0), 6)
+          .as("pct"))
+  }
+
+  /**
+   * graphite `stdev(series, points)`: trailing n-point population
+   * standard deviation per series. The frame accumulates the same
+   * exact quantized LONG sums as [[outliers]] (values at 1e-6,
+   * squares at 1e-3 — the coarser quantizer keeps a full frame of
+   * squares inside a LONG), so μ and σ² come from identical integers
+   * through an identical double chain on both engines; `sqrt` is
+   * IEEE-correctly-rounded everywhere. Quantization can push a
+   * near-constant frame's variance epsilon-negative — clamped to 0
+   * rather than NaN.
+   */
+  def movingStdDev(points: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"movingStdDev needs n >= 1, got $n")
+    val frame = seriesWindow.rowsBetween(-(n - 1L), Window.currentRow)
+    val s1 = sum(floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long")).over(frame)
+    val s2 = sum(pow(floor(col("value") * lit(1.0e3) + lit(0.5)), 2).cast("long")).over(frame)
+    val cnt = count(lit(1)).over(frame)
+    val mean = s1.cast("double") / lit(1.0e6) / cnt.cast("double")
+    val variance = s2.cast("double") / lit(1.0e6) / cnt.cast("double") - mean * mean
+    points.select(col("path"), col("time"), col("version"),
+      cnt.as("n_window"),
+      round(sqrt(greatest(variance, lit(0.0))), 6).as("mstddev"))
+  }
+
+  /**
+   * Time-of-day seasonal baseline: each series' mean per hour-of-day
+   * slot (exact quantized sums), joined back so every point carries
+   * its slot baseline and the residual — the "is tonight unusual for
+   * 3am" signal that a plain global z-score ([[outliers]]) washes
+   * out. Output is LWW-collapsed.
+   *
+   * Scale: the profile is 24 rows per series — aggregate-sized, and
+   * the join back is same-key on `(path, hod)` so AQE reuses the
+   * exchange; nothing is corpus-broadcast.
+   */
+  def seasonalBaseline(points: DataFrame): DataFrame = {
+    val lww = points.groupBy("path", "time")
+      .agg(max_by(col("value"), col("version")).as("value"))
+      .withColumn("hod", floor((col("time") % 86400L) / 3600.0d).cast("long"))
+    val profile = lww.groupBy("path", "hod").agg(
+      count(lit(1)).as("n_slot"),
+      sum(floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long")).as("s1"))
+      .withColumn("baseline",
+        round(col("s1").cast("double") / lit(1.0e6) / col("n_slot").cast("double"), 6))
+      .select("path", "hod", "baseline")
+    lww.join(profile, Seq("path", "hod"))
+      .select(col("path"), col("time"), col("hod"), col("value"),
+        col("baseline"), round(col("value") - col("baseline"), 6).as("residual"))
+  }
+
+  /**
    * graphite `perSecond(series)`: delta divided by the time step,
    * null on a counter reset (negative delta), a zero step (two
    * versions at one timestamp), or the series head.

@@ -165,6 +165,46 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("asPercent: shares sum to 100 per instant, zero-total instants go null") {
+    val p = pts(
+      ("a", 3.0, 10L, 1L), ("b", 1.0, 10L, 2L),          // 75 / 25
+      ("a", 5.0, 20L, 1L),                                 // lone series -> 100
+      ("a", 1.0, 30L, 1L), ("b", -1.0, 30L, 2L))           // total 0 -> null
+    val out = SeriesOps.asPercent(p).orderBy("time", "path")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(out.toSeq == Seq(
+      ("a", 10L, Some(75.0)), ("b", 10L, Some(25.0)),
+      ("a", 20L, Some(100.0)),
+      ("a", 30L, None), ("b", 30L, None)))
+  }
+
+  test("movingStdDev: hand-computed trailing stddev, constant frames are exactly 0") {
+    val p = pts(
+      ("a", 2.0, 1L, 1L), ("a", 2.0, 2L, 2L),   // constant warm-up -> 0
+      ("a", 8.0, 3L, 3L))                        // frame {2,2,8}: mean 4, var 8
+    val out = SeriesOps.movingStdDev(p, 3).orderBy("time")
+      .collect().map(r => (r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq((1L, 0.0), (2L, 0.0),
+      (3L, math.rint(math.sqrt(8.0) * 1e6) / 1e6)))
+  }
+
+  test("seasonalBaseline: per-slot means, residuals, LWW collapse first") {
+    val p = pts(
+      ("a", 10.0, 3600L, 1L),          // day 0, hod 1
+      ("a", 99.0, 90000L, 1L),         // day 1, hod 1 — but LWW below wins
+      ("a", 20.0, 90000L, 2L),         // same instant, higher version
+      ("a", 7.0, 7200L, 1L))           // hod 2, lone
+    val out = SeriesOps.seasonalBaseline(p).orderBy("time")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    // hod 1 baseline = (10+20)/2 = 15
+    assert(out.toSeq == Seq(
+      (3600L, 1L, 10.0, 15.0, -5.0),
+      (7200L, 2L, 7.0, 7.0, 0.0),
+      (90000L, 1L, 20.0, 15.0, 5.0)))
+  }
+
   test("movingAverage is partition-layout invariant (integer frame sums)") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val tsec = raw.schema("ts").dataType match {

@@ -140,6 +140,32 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3) == ((4L, 0L, 0L, 0.0, 0L)))       // wordless doc survives
   }
 
+  test("domainCap keeps exactly cap docs per domain, stable under corpus growth at the margin") {
+    val ss = spark; import ss.implicits._
+    val docs = (1L to 30L).map(i => (i, if (i <= 20) "big" else "small", s"text$i"))
+      .toDF("doc_id", "source", "text")
+    val capped = SampleOps.domainCap(docs, "doc_id", "source", cap = 5)
+    val bySrc = capped.groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(bySrc == Map("big" -> 5L, "small" -> 5L))
+    // ranks are 1..cap with no gaps
+    val ranks = capped.filter(col("source") === "big")
+      .select("domain_rank").collect().map(_.getLong(0)).sorted
+    assert(ranks.toSeq == (1L to 5L))
+    // appending docs displaces at most (new winners) — incumbents with
+    // rank <= cap in the grown corpus were already winners before
+    val grown = docs.union(Seq((31L, "big", "late")).toDF("doc_id", "source", "text"))
+    val before = capped.filter(col("source") === "big")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val after = SampleOps.domainCap(grown, "doc_id", "source", cap = 5)
+      .filter(col("source") === "big")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((after - 31L).subsetOf(before))
+    intercept[IllegalArgumentException] {
+      SampleOps.domainCap(docs, "doc_id", "source", cap = 0)
+    }
+  }
+
   test("upsampleEpochs repeats listed domains, leaves the rest at one epoch") {
     val ss = spark; import ss.implicits._
     val docs = Seq((1L, "zh"), (2L, "en")).toDF("doc_id", "lang")
