@@ -165,6 +165,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(splitHashEx.isEmpty, "p_split must not hash-shuffle — it is a pure projection")
   }
 
+  test("domainCap pushes the group limit below the exchange and prunes text") {
+    val plan = planOf("p_domain_cap")
+    // WindowGroupLimit must appear on BOTH sides of the domain exchange:
+    // the map side forwards at most cap rows per domain it sees, so a
+    // mega-domain never materializes its full list on one reducer
+    assert("WindowGroupLimit".r.findAllIn(plan).length >= 2,
+      s"domain cap needs map-side + reduce-side group limits:\n${plan.take(600)}")
+    assert(!plan.contains("text"), "cap ranks on (id, domain) only — text must prune")
+  }
+
+  test("series overlay plans: one hash shuffle for the window family") {
+    // derivative/integral/stddev are single-window plans: exactly one
+    // hash exchange (the per-path window), plus the output sort's range
+    // partitioning — a second hash shuffle would mean the plan re-keyed
+    // point-count-sized data it already had in place. Counted on the
+    // plan string: under AQE the tree hides below AdaptiveSparkPlanExec
+    for (q <- Seq("g_derivative", "g_nn_derivative", "g_integral", "g_moving_stddev")) {
+      val plan = planOf(q)
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(hashEx == 1, s"$q: one per-path window shuffle, got $hashEx:\n${plan.take(600)}")
+    }
+  }
+
   test("media family plans are single-pass: no hash shuffle around the decoders") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     // every media query is scan -> (planted blob) -> mapPartitions
