@@ -389,6 +389,24 @@ object SparkEntry {
           Seq("lang"), "text", k = 72)
         .orderBy("lang")),
 
+    "p_freq_cms" -> ((s, dir) => {
+      // count-min sketch (3x16 — deliberately narrower than the 31-token
+      // vocabulary so collisions are real and the min-of-rows path is
+      // exercised) point estimates for the probe docs' tokens, alongside
+      // exact counts — est_n >= exact_n always, and the driver check
+      // replays the identical salted-md5 sketch
+      val docs = table(s, dir, "documents")
+      val occ = docs.select(explode(TextOps.words(lower(col("text")))).as("token"))
+      val probes = docs.filter(col("doc_id") % 100 === 0)
+        .select(explode(TextOps.words(lower(col("text")))).as("token"))
+      val est = SketchOps.cmsEstimates(occ, "token", probes, depth = 3, width = 16)
+      val exact = occ.groupBy("token").agg(count(lit(1)).as("exact_n"))
+      est.join(exact, "token")
+        .select(col("token"), col("exact_n"), col("est_n"),
+          (col("est_n") - col("exact_n")).as("overcount"))
+        .orderBy("token")
+    }),
+
     "q9_sessions" -> ((s, dir) =>
       // gap-based sessionization (30 min): session_window in a plain
       // groupBy — same declaration runs under Structured Streaming
@@ -491,6 +509,11 @@ object SparkEntry {
       // asPercent: each series' share of the pointwise all-series total
       SeriesOps.asPercent(metricStream(s, dir))
         .orderBy("path", "time")),
+
+    "g_ema" -> ((s, dir) =>
+      // exponentialMovingAverage(8), truncated-window replayable form
+      SeriesOps.exponentialMovingAverage(metricStream(s, dir), n = 8, window = 8)
+        .orderBy("path", "time", "version")),
 
     "g_moving_stddev" -> ((s, dir) =>
       // stdev(series, 5): trailing 5-point population stddev
@@ -1558,6 +1581,30 @@ object SparkEntry {
         |             4) AS est_distinct
         |FROM r WHERE rn <= 72 GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "p_freq_cms" ->
+      """WITH occ AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |rows_i AS (SELECT unnest(generate_series(0, 2)) AS row_i),
+        |sk AS (
+        |  SELECT row_i,
+        |         ('0x' || substr(md5('cms' || row_i || ':' || token), 1, 15))::BIGINT % 16 AS bucket,
+        |         count(*) AS cnt
+        |  FROM occ CROSS JOIN rows_i GROUP BY 1, 2),
+        |probe AS (
+        |  SELECT DISTINCT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents WHERE doc_id % 100 = 0),
+        |pb AS (
+        |  SELECT p.token, r.row_i,
+        |         ('0x' || substr(md5('cms' || r.row_i || ':' || p.token), 1, 15))::BIGINT % 16 AS bucket
+        |  FROM probe p CROSS JOIN rows_i r),
+        |est AS (
+        |  SELECT pb.token, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est_n
+        |  FROM pb LEFT JOIN sk USING (row_i, bucket) GROUP BY 1),
+        |exact AS (SELECT token, count(*) AS exact_n FROM occ GROUP BY 1)
+        |SELECT e.token, x.exact_n, e.est_n, e.est_n - x.exact_n AS overcount
+        |FROM est e JOIN exact x USING (token) ORDER BY token""".stripMargin,
+
     "q9_sessions" ->
       """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, value FROM events),
         |x AS (
@@ -1769,6 +1816,25 @@ object SparkEntry {
          |       round(CASE WHEN t.total_q <> 0
          |                  THEN q.q::DOUBLE / t.total_q::DOUBLE * 100.0 END, 6) AS pct
          |FROM q JOIN t USING ("time") ORDER BY path, "time"""".stripMargin,
+
+    "g_ema" -> {
+      // the oracle is BUILT from SeriesOps.emaWeights — the identical
+      // quantized integer weights the Spark plan multiplies by
+      val wts = graft.operators.SeriesOps.emaWeights(8, 8)
+      val num = wts.zipWithIndex.map { case (w, k) =>
+        s"coalesce(CAST(floor(lag(value, $k) OVER w * 1000000.0 + 0.5) AS BIGINT) * $w, 0)"
+      }.mkString("\n           + ")
+      val den = wts.zipWithIndex.map { case (w, k) =>
+        s"CASE WHEN lag(value, $k) OVER w IS NOT NULL THEN $w ELSE 0 END"
+      }.mkString("\n           + ")
+      s"""$OracleM
+         |SELECT path, "time", version,
+         |       round(($num)::DOUBLE
+         |             / ($den)::DOUBLE / 1000000.0, 6) AS ema
+         |FROM m
+         |WINDOW w AS (PARTITION BY path ORDER BY "time", version)
+         |ORDER BY path, "time", version""".stripMargin
+    },
 
     "g_moving_stddev" ->
       s"""$OracleM,

@@ -248,6 +248,42 @@ object SeriesOps {
         col("baseline"), round(col("value") - col("baseline"), 6).as("residual"))
   }
 
+  /** Integer 1e-6 weights for [[exponentialMovingAverage]]: α(1−α)^k
+    * for k = 0..window−1, α = 2/(n+1), floor-quantized so both engines
+    * sum the same exact integers. Exposed so the oracle SQL is built
+    * from the IDENTICAL constants. */
+  def emaWeights(n: Int, window: Int): Seq[Long] = {
+    val a = 2.0 / (n + 1)
+    (0 until window).map(k => math.floor(a * math.pow(1 - a, k) * 1e6 + 0.5).toLong)
+  }
+
+  /**
+   * graphite `exponentialMovingAverage(series, n)` in its truncated-
+   * window form: a weighted trailing mean with weights α(1−α)^k,
+   * α = 2/(n+1), cut at `window` points (the tail past that carries
+   * < (1−α)^window of the mass). Graphite's own EMA seeds the
+   * recursion at the first point; the truncated form is the
+   * replayable variant — an unbounded recursion's double
+   * accumulation order cannot be pinned across engines, whereas here
+   * every term is an exact product of a 1e-6-quantized value and a
+   * 1e-6-quantized integer weight ([[emaWeights]]), and the head of a
+   * series renormalizes over the weights actually present (so the
+   * first point is itself, like graphite's seed).
+   */
+  def exponentialMovingAverage(points: DataFrame, n: Int, window: Int = 8): DataFrame = {
+    require(n >= 1 && window >= 1, s"ema n=$n window=$window")
+    val wts = emaWeights(n, window)
+    val terms = wts.zipWithIndex.map { case (wk, k) =>
+      val v = lag(col("value"), k).over(seriesWindow)
+      (when(v.isNotNull, floor(v * lit(1.0e6) + lit(0.5)).cast("long") * lit(wk)).otherwise(lit(0L)),
+       when(v.isNotNull, lit(wk)).otherwise(lit(0L)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    points.select(col("path"), col("time"), col("version"),
+      round(num.cast("double") / den.cast("double") / lit(1.0e6), 6).as("ema"))
+  }
+
   /**
    * graphite `perSecond(series)`: delta divided by the time step,
    * null on a counter reset (negative delta), a zero step (two

@@ -68,6 +68,46 @@ object SketchOps {
   }
 
   /**
+   * Count-min sketch point estimates (Cormode & Muthukrishnan, "An
+   * improved data stream summary: the count-min sketch and its
+   * applications", J. Algorithms 2005): `depth` hash rows ×
+   * `width` buckets of occurrence counts; a key's estimate is the MIN
+   * of its `depth` bucket counts — always ≥ the true count, within
+   * εN with probability 1−δ for width=⌈e/ε⌉, depth=⌈ln 1/δ⌉.
+   *
+   * Like [[kmvSketch]], the hashes are md5-derived
+   * ([[FastHash.md5Head60]] with a per-row salt), so the DuckDB
+   * oracle replays the identical sketch — the determinism property no
+   * library HLL/CMS offers. State is `depth × width` counters no
+   * matter how many occurrences stream through: the fixed-memory
+   * frequency table for corpora whose vocabulary would not fit.
+   *
+   * `items` is one row per occurrence; `probes` the candidate keys to
+   * estimate (CMS answers point queries, not enumeration — pair with
+   * [[graft.operators.TextOps.vocabulary]] when the keys are unknown).
+   *
+   * Scale: building the sketch is one map-side-combined aggregate
+   * (`depth`·occurrences rows in, `depth`·`width` out); estimates
+   * join probe buckets against those `depth`·`width` rows — AQE
+   * broadcasts the sketch side. No occurrence-sized shuffle anywhere.
+   */
+  def cmsEstimates(items: DataFrame, keyCol: String, probes: DataFrame,
+                   depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, s"cms depth=$depth width=$width")
+    def buckets(key: Column): Column = array((0 until depth).map { i =>
+      pmod(FastHash.md5Head60(concat(lit(s"cms$i:"), key)), lit(width.toLong))
+    }: _*)
+    val sketch = items
+      .select(posexplode(buckets(col(keyCol).cast("string"))).as(Seq("row_i", "bucket")))
+      .groupBy("row_i", "bucket").agg(count(lit(1)).as("cnt"))
+    probes.select(col(keyCol)).distinct()
+      .select(col(keyCol), posexplode(buckets(col(keyCol).cast("string"))).as(Seq("row_i", "bucket")))
+      .join(sketch, Seq("row_i", "bucket"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
+  }
+
+  /**
    * GLOBAL quantiles from a fixed-grid histogram — the 100 TB
    * percentile path [[graft.operators.EventOps.groupPercentiles]]'s
    * scaladoc points to. Exact interpolated percentiles sort a group in

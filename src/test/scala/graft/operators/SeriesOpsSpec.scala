@@ -205,6 +205,24 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (90000L, 1L, 20.0, 15.0, 5.0)))
   }
 
+  test("exponentialMovingAverage: head renormalizes to the value itself; terms match the weight formula") {
+    val p = pts(("a", 2.5, 1L, 1L), ("a", 4.0, 2L, 2L), ("a", 1.0, 3L, 3L))
+    val out = SeriesOps.exponentialMovingAverage(p, n = 8, window = 8)
+      .orderBy("time").collect().map(_.getDouble(3))
+    val w = SeriesOps.emaWeights(8, 8)
+    def q(v: Double) = math.floor(v * 1e6 + 0.5).toLong
+    def expect(vs: Seq[Double]) = { // vs newest-first
+      val num = vs.zip(w).map { case (v, wk) => q(v) * wk }.sum
+      val den = w.take(vs.length).sum
+      math.rint(num.toDouble / den.toDouble / 1e6 * 1e6) / 1e6
+    }
+    assert(out(0) == 2.5) // lone head: weighted avg of itself
+    assert(out(1) == expect(Seq(4.0, 2.5)))
+    assert(out(2) == expect(Seq(1.0, 4.0, 2.5)))
+    // newest point carries the α = 2/(n+1) share exactly
+    assert(w.head == 222222L)
+  }
+
   test("movingAverage is partition-layout invariant (integer frame sums)") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val tsec = raw.schema("ts").dataType match {

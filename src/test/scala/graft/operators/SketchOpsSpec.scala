@@ -72,6 +72,36 @@ class SketchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((0.5, 49L, 50L, 100L), (0.99, 98L, 99L, 100L)))
   }
 
+  test("cmsEstimates: never undercounts, exact when width clears the keyspace, 0 for unseen") {
+    val ss = spark; import ss.implicits._
+    val occ = (Seq.fill(10)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("token")
+    val probes = Seq("a", "b", "c", "ghost").toDF("token")
+    // wide sketch: 3 keys in 64 buckets ~never collide -> exact
+    val wide = SketchOps.cmsEstimates(occ, "token", probes, depth = 3, width = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(wide == Map("a" -> 10L, "b" -> 3L, "c" -> 1L, "ghost" -> 0L))
+    // degenerate 1-bucket sketch: every estimate is the stream length —
+    // the extreme of the ≥-truth guarantee
+    val narrow = SketchOps.cmsEstimates(occ, "token", probes, depth = 2, width = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(narrow == Map("a" -> 14L, "b" -> 14L, "c" -> 14L, "ghost" -> 14L))
+    // and in between, the estimate is bounded below by truth for seen keys
+    val mid = SketchOps.cmsEstimates(occ, "token", probes, depth = 2, width = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(mid("a") >= 10L && mid("b") >= 3L && mid("c") >= 1L)
+  }
+
+  test("cmsEstimates is partition-layout invariant (counter addition commutes)") {
+    val ss = spark; import ss.implicits._
+    val occ = (1 to 500).map(i => s"t${i % 37}").toDF("token")
+    val probes = (0 until 37).map(i => s"t$i").toDF("token")
+    val one = SketchOps.cmsEstimates(occ.repartition(1), "token", probes, 3, 8)
+      .orderBy("token").collect().toSeq
+    val many = SketchOps.cmsEstimates(occ.repartition(16), "token", probes, 3, 8)
+      .orderBy("token").collect().toSeq
+    assert(one == many)
+  }
+
   test("plan: bounded ObjectHashAggregate with a map-side partial, no distinct shuffle") {
     val ss = spark
     val docs = ss.read.parquet(s"$sfDir/documents.parquet")
