@@ -381,6 +381,17 @@ object SparkEntry {
       EventOps.retention(events(s, dir), "user_id", "tsec", periodSec = 86400L)
         .orderBy("cohort", "offset")),
 
+    "q17_pagerank" -> ((s, dir) => {
+      // 3-round integer-quantized PageRank on the undirected
+      // user <-> event_type bipartite graph
+      val fwd = events(s, dir).select(
+          concat(lit("u"), col("user_id")).as("src"),
+          concat(lit("e"), col("event_type")).as("dst"))
+        .distinct()
+      val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      GraphOps.pageRank(edges, iterations = 3).orderBy("node")
+    }),
+
     "p_distinct_kmv" -> ((s, dir) =>
       // KMV distinct sketch per lang; k=72 straddles the group sizes so
       // BOTH branches are driver-checked: de(70)/fr(64) take the exact
@@ -1566,6 +1577,33 @@ object SparkEntry {
         |       round(n_users::DOUBLE / cohort_size::DOUBLE, 4) AS retained
         |FROM cell JOIN sz USING (cohort)
         |ORDER BY cohort, "offset"""".stripMargin,
+
+    // unrolled integer-PageRank: every op is bigint (pr//deg, (17s)//20),
+    // so three CTE rounds replay Spark's three joins bit-for-bit
+    "q17_pagerank" -> {
+      def round(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT n.node,
+           |         (3 * (SELECT base FROM params)) // 20
+           |         + (17 * coalesce(c.s, 0)) // 20 AS pr
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(sum(p.pr // d.deg) AS BIGINT) AS s
+           |    FROM edges e JOIN $prev p ON p.node = e.src
+           |                 JOIN deg d ON d.node = e.src
+           |    GROUP BY 1) c ON c.node = n.node)""".stripMargin
+      s"""WITH fwd AS (
+         |  SELECT DISTINCT 'u' || user_id AS src, 'e' || event_type AS dst
+         |  FROM events),
+         |edges AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |params AS (SELECT 1000000000 // count(*) AS base FROM nodes),
+         |it0 AS (SELECT node, (SELECT base FROM params) AS pr FROM nodes),
+         |${round("it0", "it1")},
+         |${round("it1", "it2")},
+         |${round("it2", "it3")}
+         |SELECT node, pr FROM it3 ORDER BY node""".stripMargin
+    },
 
     "p_distinct_kmv" ->
       """WITH h AS (

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Specs for the integer-quantized PageRank: symmetric graphs keep the
+  * uniform fixed point exactly, a star concentrates rank on the hub by
+  * the same integer math as a naive reference, and the result is
+  * partition-layout invariant. */
+class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-graph-ops")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Naive driver-side replay of the identical integer recurrence. */
+  private def reference(edges: Seq[(String, String)], iters: Int,
+                        scale: Long = 1000000000L): Map[String, Long] = {
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = edges.map(_._1).distinct
+    val base = scale / nodes.size
+    val teleport = (3L * base) / 20L
+    var pr = nodes.map(_ -> base).toMap
+    for (_ <- 1 to iters) {
+      val s = edges.groupBy(_._2).view.mapValues(
+        _.map { case (src, _) => pr(src) / deg(src) }.sum).toMap
+      pr = nodes.map(n => n -> (teleport + (17L * s.getOrElse(n, 0L)) / 20L)).toMap
+    }
+    pr
+  }
+
+  private def undirected(pairs: (String, String)*): Seq[(String, String)] =
+    pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+
+  private def run(edges: Seq[(String, String)], iters: Int): Map[String, Long] = {
+    val ss = spark; import ss.implicits._
+    GraphOps.pageRank(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("symmetric 2-cycle holds the uniform fixed point exactly") {
+    val e = undirected(("a", "b"))
+    assert(run(e, 3) == Map("a" -> 500000000L, "b" -> 500000000L))
+  }
+
+  test("star graph concentrates rank on the hub; matches the integer reference") {
+    val e = undirected(("hub", "x"), ("hub", "y"), ("hub", "z"))
+    val got = run(e, 3)
+    assert(got == reference(e, 3))
+    assert(got("hub") > got("x") && got("x") == got("y") && got("y") == got("z"))
+  }
+
+  test("rank is partition-layout invariant (pure integer arithmetic)") {
+    val ss = spark; import ss.implicits._
+    val e = undirected(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c"))
+    val df = e.toDF("src", "dst")
+    val one = GraphOps.pageRank(df.repartition(1), 3)
+      .orderBy("node").collect().toSeq
+    val many = GraphOps.pageRank(df.repartition(7), 3)
+      .orderBy("node").collect().toSeq
+    assert(one == many)
+    assert(one.map(_.getLong(1)) == reference(e, 3).toSeq.sortBy(_._1).map(_._2))
+  }
+}
