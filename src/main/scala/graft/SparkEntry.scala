@@ -392,6 +392,19 @@ object SparkEntry {
       GraphOps.pageRank(edges, iterations = 3).orderBy("node")
     }),
 
+    "q18_ppr" -> ((s, dir) => {
+      // personalized PageRank seeded on the event-type nodes: user
+      // affinity to the activity vocabulary, zero for the unreachable
+      val fwd = events(s, dir).select(
+          concat(lit("u"), col("user_id")).as("src"),
+          concat(lit("e"), col("event_type")).as("dst"))
+        .distinct()
+      val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = edges.select(col("src").as("node"))
+        .filter(col("node").startsWith("e")).distinct()
+      GraphOps.personalizedPageRank(edges, seeds, iterations = 3).orderBy("node")
+    }),
+
     "p_distinct_kmv" -> ((s, dir) =>
       // KMV distinct sketch per lang; k=72 straddles the group sizes so
       // BOTH branches are driver-checked: de(70)/fr(64) take the exact
@@ -1599,6 +1612,36 @@ object SparkEntry {
          |nodes AS (SELECT DISTINCT src AS node FROM edges),
          |params AS (SELECT 1000000000 // count(*) AS base FROM nodes),
          |it0 AS (SELECT node, (SELECT base FROM params) AS pr FROM nodes),
+         |${round("it0", "it1")},
+         |${round("it1", "it2")},
+         |${round("it2", "it3")}
+         |SELECT node, pr FROM it3 ORDER BY node""".stripMargin
+    },
+
+    "q18_ppr" -> {
+      def round(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT n.node,
+           |         CASE WHEN n.node IN (SELECT node FROM seeds)
+           |              THEN (3 * (SELECT base FROM params)) // 20 ELSE 0 END
+           |         + (17 * coalesce(c.s, 0)) // 20 AS pr
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(sum(p.pr // d.deg) AS BIGINT) AS s
+           |    FROM edges e JOIN $prev p ON p.node = e.src
+           |                 JOIN deg d ON d.node = e.src
+           |    GROUP BY 1) c ON c.node = n.node)""".stripMargin
+      s"""WITH fwd AS (
+         |  SELECT DISTINCT 'u' || user_id AS src, 'e' || event_type AS dst
+         |  FROM events),
+         |edges AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |seeds AS (SELECT node FROM nodes WHERE node LIKE 'e%'),
+         |params AS (SELECT 1000000000 // count(*) AS base FROM seeds),
+         |it0 AS (
+         |  SELECT node, CASE WHEN node IN (SELECT node FROM seeds)
+         |                    THEN (SELECT base FROM params) ELSE 0 END AS pr
+         |  FROM nodes),
          |${round("it0", "it1")},
          |${round("it1", "it2")},
          |${round("it2", "it3")}

@@ -86,6 +86,28 @@ object ScaleCurve {
     run("novelty", d => graft.operators.TextOps.noveltyStats(docs(d), "doc_id", "text"))
     run("retention", d => graft.operators.EventOps.retention(evs(d), "user_id", "tsec", 86400L))
 
+    // new round-6 additions: the cap output is min(corpus, domains*cap)
+    // (saturates per domain), the CMS estimate set is probe-sized no
+    // matter the corpus, pagerank output is node-sized
+    run("domain_cap", d => graft.operators.SampleOps.domainCap(
+      docs(d), "doc_id", "source", cap = 10))
+    run("freq_cms", d => {
+      val occ = docs(d).select(explode(graft.operators.TextOps.words(lower(col("text")))).as("token"))
+      val probes = docs(d).filter(col("doc_id") % 100 === 0)
+        .select(explode(graft.operators.TextOps.words(lower(col("text")))).as("token"))
+      graft.operators.SketchOps.cmsEstimates(occ, "token", probes, 3, 16)
+    })
+    run("pagerank3", d => {
+      val fwd = evs(d).select(concat(lit("u"), col("user_id")).as("src"),
+        concat(lit("e"), col("event_type")).as("dst")).distinct()
+      graft.operators.GraphOps.pageRank(
+        fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))), 3)
+    })
+    run("keep_last", d => graft.operators.SeriesOps.keepLastValue(
+      evs(d).select(concat(lit("s."), col("user_id") % 100).as("path"),
+        col("value"), col("tsec").as("time"), col("event_id").as("version")),
+      stepSec = 600L, limit = 3))
+
     spark.stop()
   }
 }

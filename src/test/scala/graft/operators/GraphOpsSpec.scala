@@ -62,6 +62,33 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("hub") > got("x") && got("x") == got("y") && got("y") == got("z"))
   }
 
+  test("personalized PageRank: mass reaches only walk-connected nodes; seed holds the teleport") {
+    val ss = spark; import ss.implicits._
+    // two components: a-b connected, z isolated with its own partner w
+    val e = undirected(("a", "b"), ("z", "w"))
+    val seeds = Seq("a").toDF("node")
+    val got = GraphOps.personalizedPageRank(e.toDF("src", "dst"), seeds, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // unreachable component stays exactly 0 — quantized truth
+    assert(got("z") == 0L && got("w") == 0L)
+    // mass reached the neighbor (on a 2-node chain it OSCILLATES: after
+    // an odd round count the neighbor holds the bulk — that's the
+    // recurrence, not a bug, and the reference replay below pins it)
+    assert(got("a") > 0L && got("b") > 0L)
+    // replay the integer recurrence by hand: base = 1e9 (one seed)
+    val base = 1000000000L; val tele = (3L * base) / 20L
+    var pr = Map("a" -> base, "b" -> 0L, "z" -> 0L, "w" -> 0L)
+    val deg = Map("a" -> 1L, "b" -> 1L, "z" -> 1L, "w" -> 1L)
+    val edges = Seq(("a", "b"), ("b", "a"), ("z", "w"), ("w", "z"))
+    for (_ <- 1 to 3) {
+      val s = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => pr(u) / deg(u) }.sum).toMap
+      pr = pr.keys.map(n => n ->
+        ((if (n == "a") tele else 0L) + (17L * s.getOrElse(n, 0L)) / 20L)).toMap
+    }
+    assert(got == pr)
+  }
+
   test("rank is partition-layout invariant (pure integer arithmetic)") {
     val ss = spark; import ss.implicits._
     val e = undirected(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c"))
