@@ -392,6 +392,16 @@ object SparkEntry {
       GraphOps.pageRank(edges, iterations = 3).orderBy("node")
     }),
 
+    "q19_hits" -> ((s, dir) => {
+      // HITS on the DIRECTED user -> event_type graph, 2 rounds:
+      // which activity types does important usage point at
+      val fwd = events(s, dir).select(
+          concat(lit("u"), col("user_id")).as("src"),
+          concat(lit("e"), col("event_type")).as("dst"))
+        .distinct()
+      GraphOps.hits(fwd, iterations = 2).orderBy("side", "node")
+    }),
+
     "q18_ppr" -> ((s, dir) => {
       // personalized PageRank seeded on the event-type nodes: user
       // affinity to the activity vocabulary, zero for the unreachable
@@ -637,6 +647,19 @@ object SparkEntry {
           Seq("train" -> 900, "val" -> 50, "test" -> 50))
         .select(col("doc_id"), col("split"))
         .orderBy("doc_id")),
+
+    "d_corpus_diff" -> ((s, dir) => {
+      // snapshot audit: v2 drops doc_id%7==0, rewrites %5==0 (' v2'
+      // suffix), adds +10000 clones of %11==0 — classify every id
+      val docs = table(s, dir, "documents")
+      val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .union(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      DedupOps.corpusDiff(docs, v2, "doc_id", "text").orderBy("id")
+    }),
 
     "d_decontaminate" -> ((s, dir) => {
       // train/test decontamination: corpus docs sharing >= 0.5 n-gram
@@ -1618,6 +1641,33 @@ object SparkEntry {
          |SELECT node, pr FROM it3 ORDER BY node""".stripMargin
     },
 
+    "q19_hits" -> {
+      // one HITS round: auth step from the previous hub frame, then
+      // hub step from the NEW auth frame — same order as GraphOps.hits
+      def step(edgeKey: String, prev: String, raw: String, norm: String) =
+        s"""$raw AS (
+           |  SELECT f.${if (edgeKey == "src") "dst" else "src"} AS node,
+           |         CAST(sum(p.score) AS BIGINT) AS s
+           |  FROM fwd f JOIN $prev p ON p.node = f.$edgeKey GROUP BY 1),
+           |$norm AS (
+           |  SELECT node, (s * 1000000000) // (SELECT CAST(sum(s) AS BIGINT) FROM $raw) AS score
+           |  FROM $raw)""".stripMargin
+      s"""WITH fwd AS (
+         |  SELECT DISTINCT 'u' || user_id AS src, 'e' || event_type AS dst
+         |  FROM events),
+         |hubs AS (SELECT DISTINCT src AS node FROM fwd),
+         |h0 AS (SELECT node, 1000000000 // (SELECT count(*) FROM hubs) AS score
+         |       FROM hubs),
+         |${step("src", "h0", "a1r", "a1")},
+         |${step("dst", "a1", "h1r", "h1")},
+         |${step("src", "h1", "a2r", "a2")},
+         |${step("dst", "a2", "h2r", "h2")}
+         |SELECT node, 'hub' AS side, score FROM h2
+         |UNION ALL
+         |SELECT node, 'auth' AS side, score FROM a2
+         |ORDER BY side, node""".stripMargin
+    },
+
     "q18_ppr" -> {
       def round(prev: String, cur: String) =
         s"""$cur AS (
@@ -2242,6 +2292,28 @@ object SparkEntry {
         |             ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT % 1000 AS b
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "d_corpus_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id AS id,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |v2 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0),
+        |n AS (
+        |  SELECT doc_id AS id,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM v2)
+        |SELECT coalesce(o.id, n.id) AS id,
+        |       CASE WHEN o.fp IS NULL THEN 'added'
+        |            WHEN n.fp IS NULL THEN 'removed'
+        |            WHEN o.fp = n.fp THEN 'same'
+        |            ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.id = n.id
+        |ORDER BY id""".stripMargin,
 
     "d_decontaminate" ->
       """WITH w AS (

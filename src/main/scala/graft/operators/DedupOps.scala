@@ -575,4 +575,30 @@ object DedupOps {
       .agg(countDistinct(col("sh")).as("n_grams"), countDistinct(col("rid")).as("n_refs"))
       .select(col("cid").as("corpus_id"), col("n_grams"), col("n_refs"))
   }
+
+  /**
+   * Corpus snapshot diff: classify every id across two corpus versions
+   * as `added | removed | changed | same` by comparing
+   * [[TextOps.fingerprint]]s — the audit step before promoting a new
+   * crawl (how many docs did the pipeline silently rewrite?) and the
+   * input to incremental re-processing (only `added`/`changed` need
+   * the expensive stages re-run).
+   *
+   * Scale: both sides project to (id, 32-byte fingerprint) BEFORE the
+   * single same-key full-outer shuffle — text never moves. Output is
+   * id-set-sized.
+   */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol).as("id"),
+      TextOps.fingerprint(col(textCol)).as("fp_old"))
+    val n = newDocs.select(col(idCol).as("id"),
+      TextOps.fingerprint(col(textCol)).as("fp_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") === col("fp_new"), "same")
+          .otherwise("changed").as("status"))
+  }
 }

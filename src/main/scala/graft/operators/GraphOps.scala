@@ -103,4 +103,48 @@ object GraphOps {
     }
     ranks
   }
+
+  /**
+   * HITS hubs & authorities (Kleinberg, "Authoritative sources in a
+   * hyperlinked environment", JACM 1999) on a DIRECTED graph:
+   * authority = sum of pointing hubs, hub = sum of pointed-to
+   * authorities, each side L1-renormalized to `scale` after its step.
+   * The natural fit for bipartite interaction data — here "which
+   * entities does important activity point at, and which actors emit
+   * important activity".
+   *
+   * Integer policy: the renormalization keeps each side's mass ≤
+   * `scale`, so `raw · scale` stays under 2^63 and
+   * `(raw * scale) div total` is exact bigint on both engines — the
+   * normalization that makes unbounded-growth HITS replayable at all.
+   * The total is a one-row aggregate cross-joined back (broadcast),
+   * never a driver round-trip inside the loop.
+   *
+   * Output: (node, side='hub'|'auth', score). Scale shape per round:
+   * two edge-sized shuffle joins + two node-sized aggregates.
+   */
+  def hits(edges: DataFrame, iterations: Int,
+           scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1, s"hits iterations=$iterations")
+    val hubs = edges.select(col("src").as("node")).distinct()
+    val auths = edges.select(col("dst").as("node")).distinct()
+    val nHubs = hubs.count()
+    var hub = hubs.withColumn("score", lit(scale / nHubs))
+    var auth: DataFrame = null
+    def normalize(raw: DataFrame): DataFrame =
+      raw.crossJoin(broadcast(raw.agg(sum("s").as("total"))))
+        .select(col("node"), expr(s"(s * ${scale}L) div total").as("score"))
+    for (_ <- 1 to iterations) {
+      auth = normalize(
+        edges.join(hub, edges("src") === hub("node"))
+          .groupBy(col("dst").as("anode")).agg(sum("score").as("s"))
+          .select(col("anode").as("node"), col("s")))
+      hub = normalize(
+        edges.join(auth, edges("dst") === auth("node"))
+          .groupBy(col("src").as("hnode")).agg(sum("score").as("s"))
+          .select(col("hnode").as("node"), col("s")))
+    }
+    hub.select(col("node"), lit("hub").as("side"), col("score"))
+      .unionByName(auth.select(col("node"), lit("auth").as("side"), col("score")))
+  }
 }

@@ -89,6 +89,33 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == pr)
   }
 
+  test("HITS: the auth every hub points at dominates; sides renormalize to ~scale") {
+    val ss = spark; import ss.implicits._
+    // hubs u1,u2,u3 all point at 'popular'; only u1 points at 'niche'
+    val e = Seq(("u1", "popular"), ("u2", "popular"), ("u3", "popular"), ("u1", "niche"))
+      .toDF("src", "dst")
+    val got = GraphOps.hits(e, iterations = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got(("popular", "auth")) > got(("niche", "auth")))
+    // u1 points at both -> the strongest hub
+    assert(got(("u1", "hub")) > got(("u2", "hub")) &&
+      got(("u2", "hub")) == got(("u3", "hub")))
+    // L1 renormalization: each side sums to scale minus floor dust
+    val authSum = got.collect { case ((_, "auth"), v) => v }.sum
+    val hubSum = got.collect { case ((_, "hub"), v) => v }.sum
+    assert(authSum > 999999990L && authSum <= 1000000000L)
+    assert(hubSum > 999999990L && hubSum <= 1000000000L)
+  }
+
+  test("HITS is partition-layout invariant") {
+    val ss = spark; import ss.implicits._
+    val e = Seq(("u1", "a"), ("u2", "a"), ("u2", "b"), ("u3", "b"), ("u3", "c"))
+      .toDF("src", "dst")
+    val one = GraphOps.hits(e.repartition(1), 2).orderBy("side", "node").collect().toSeq
+    val many = GraphOps.hits(e.repartition(7), 2).orderBy("side", "node").collect().toSeq
+    assert(one == many)
+  }
+
   test("rank is partition-layout invariant (pure integer arithmetic)") {
     val ss = spark; import ss.implicits._
     val e = undirected(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c"))

@@ -223,6 +223,29 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(w.head == 222222L)
   }
 
+  test("the same summarize declaration runs under Structured Streaming; complete state equals batch") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Double, Long, Long)]
+    val stream = SeriesOps.summarize(
+      mem.toDF.toDF("path", "value", "time", "version"), 60L, "sum")
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("summ_stream")
+      .outputMode("complete").start()
+    try {
+      val b1 = Seq(("a", 1.0, 59L, 1L), ("a", 2.0, 60L, 2L))
+      val b2 = Seq(("a", 3.0, 119L, 3L), ("b", 5.0, 0L, 4L))
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamed = ss.table("summ_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = SeriesOps.summarize((b1 ++ b2).toDF("path", "value", "time", "version"), 60L, "sum")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch, s"streamed $streamed != batch $batch")
+    } finally q.stop()
+  }
+
   test("movingAverage is partition-layout invariant (integer frame sums)") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val tsec = raw.schema("ts").dataType match {

@@ -140,6 +140,21 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3) == ((4L, 0L, 0L, 0.0, 0L)))       // wordless doc survives
   }
 
+  test("corpusDiff classifies added/removed/changed/same; reflow-only edits read as same") {
+    val ss = spark; import ss.implicits._
+    val old = Seq(
+      (1L, "alpha beta"), (2L, "keep me"), (3L, "will change"), (4L, "will vanish"))
+      .toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, "  ALPHA\n beta "),     // reflow + case only -> fingerprint-same
+      (2L, "keep me"), (3L, "did change"), (5L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.corpusDiff(old, neu, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "same", 2L -> "same", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+  }
+
   test("domainCap keeps exactly cap docs per domain, stable under corpus growth at the margin") {
     val ss = spark; import ss.implicits._
     val docs = (1L to 30L).map(i => (i, if (i <= 20) "big" else "small", s"text$i"))
