@@ -415,6 +415,35 @@ object SparkEntry {
       GraphOps.personalizedPageRank(edges, seeds, iterations = 3).orderBy("node")
     }),
 
+    "q20_interval_join" -> ((s, dir) => {
+      // spike-neighborhood counts: for each high-value event, how many
+      // same-type events landed within +/-30 min — a theta join
+      // executed as a bucket-expansion EQUI join (thresholds pick 172
+      // windows incl. 9 empty ones, so the left-join zero path is
+      // driver-checked)
+      val e = events(s, dir)
+      val windows = e.filter(col("value") >= 200)
+        .select(col("event_id").as("win_id"), col("event_type").as("key"),
+          (col("tsec") - 1800L).as("lo"), (col("tsec") + 1800L).as("hi"))
+      val base = e.select(col("event_id").as("id"),
+        col("event_type").as("key"), col("tsec"))
+      EventOps.intervalJoinCount(windows, base, bucketSec = 3600L)
+        .orderBy("win_id")
+    }),
+
+    "q21_lpa" -> ((s, dir) => {
+      // 3-round deterministic label propagation on the undirected
+      // user <-> event_type bipartite graph: plurality label,
+      // min-label tie-break — the community detector of the
+      // iterate-until-k family
+      val fwd = events(s, dir).select(
+          concat(lit("u"), col("user_id")).as("src"),
+          concat(lit("e"), col("event_type")).as("dst"))
+        .distinct()
+      val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      GraphOps.labelPropagation(edges, iterations = 3).orderBy("node")
+    }),
+
     "p_distinct_kmv" -> ((s, dir) =>
       // KMV distinct sketch per lang; k=72 straddles the group sizes so
       // BOTH branches are driver-checked: de(70)/fr(64) take the exact
@@ -660,6 +689,14 @@ object SparkEntry {
           .select((col("doc_id") + 10000).as("doc_id"), col("text")))
       DedupOps.corpusDiff(docs, v2, "doc_id", "text").orderBy("id")
     }),
+
+    "d_dedup_spans" -> ((s, dir) =>
+      // duplicated-substring spans: per-doc merged word-position
+      // intervals covered by 13-grams appearing in >= 2 docs — the
+      // distributed re-expression of suffix-array substring dedup
+      DedupOps.duplicatedSpans(table(s, dir, "documents"), "doc_id", "text",
+          n = 13, minDocs = 2)
+        .orderBy("doc_id", "span_start")),
 
     "d_decontaminate" -> ((s, dir) => {
       // train/test decontamination: corpus docs sharing >= 0.5 n-gram
@@ -1105,6 +1142,18 @@ object SparkEntry {
       val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
       PqOps.pqTopK(e.filter(col("id") < 5), e, topk = 5,
           m = 8, k = 32, iters = 1, cand = 50)
+        .orderBy("query_id", "rank")
+    }),
+
+    "s_ann_ivf_pq" -> ((s, dir) => {
+      // IVF+PQ (FAISS IndexIVFPQ shape): trained coarse cells prune
+      // the scan to nprobe/ncells of the corpus, PQ codes shrink each
+      // scanned candidate to 8 ints, exact cosine re-ranks the ADC
+      // shortlist — both stages replayed end-to-end by the oracle
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      PqOps.ivfPqTopK(e.filter(col("id") < 5), e, topk = 5,
+          ncells = 16, nprobe = 6, coarseIters = 2,
+          m = 8, k = 32, pqIters = 1, cand = 50)
         .orderBy("query_id", "rank")
     }),
 
@@ -1696,6 +1745,48 @@ object SparkEntry {
          |${round("it1", "it2")},
          |${round("it2", "it3")}
          |SELECT node, pr FROM it3 ORDER BY node""".stripMargin
+    },
+
+    // the oracle runs the THETA form of the same join — the semantics
+    // the bucket-expansion plan must reproduce exactly
+    "q20_interval_join" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS tsec, value
+        |  FROM events),
+        |s AS (
+        |  SELECT event_id AS win_id, event_type AS k,
+        |         tsec - 1800 AS lo, tsec + 1800 AS hi
+        |  FROM e WHERE value >= 200)
+        |SELECT s.win_id, s.k AS "key", count(x.event_id) AS n_in_window
+        |FROM s LEFT JOIN e x
+        |  ON x.event_type = s.k AND x.tsec >= s.lo AND x.tsec < s.hi
+        | AND x.event_id <> s.win_id
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // unrolled plurality/min-label LPA: window argmax after the
+    // (dst, label) count replays Spark's row_number round exactly
+    "q21_lpa" -> {
+      def round(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT dst AS node, label FROM (
+           |    SELECT e.dst, p.label, count(*) AS c,
+           |           row_number() OVER (
+           |             PARTITION BY e.dst
+           |             ORDER BY count(*) DESC, p.label) AS rn
+           |    FROM edges e JOIN $prev p ON p.node = e.src
+           |    GROUP BY e.dst, p.label)
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH fwd AS (
+         |  SELECT DISTINCT 'u' || user_id AS src, 'e' || event_type AS dst
+         |  FROM events),
+         |edges AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |it0 AS (SELECT node, node AS label FROM nodes),
+         |${round("it0", "it1")},
+         |${round("it1", "it2")},
+         |${round("it2", "it3")}
+         |SELECT node, label FROM it3 ORDER BY node""".stripMargin
     },
 
     "p_distinct_kmv" ->
@@ -2314,6 +2405,31 @@ object SparkEntry {
         |            ELSE 'changed' END AS status
         |FROM o FULL OUTER JOIN n ON o.id = n.id
         |ORDER BY id""".stripMargin,
+
+    // replays the span pipeline on gram STRINGS where Spark groups
+    // xxhash64(gram) — hash-as-equality, the ShingleHashes stance;
+    // the islands CTE is the same lag + running-sum merge
+    "d_dedup_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS wd
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(wd[i:i+12], ' ') AS gram
+        |  FROM w, unnest(generate_series(1, len(wd) - 12)) AS t(i)
+        |  WHERE len(wd) >= 13),
+        |df AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |d AS (SELECT doc_id, pos FROM g JOIN df USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         sum(CASE WHEN prev IS NULL OR pos - prev > 13 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM (SELECT doc_id, pos,
+        |               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |        FROM d))
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 13 AS span_end,
+        |       count(*) AS n_grams
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     "d_decontaminate" ->
       """WITH w AS (
@@ -3267,6 +3383,138 @@ object SparkEntry {
         |  SELECT qd.query_id, x.vec_id AS neighbor_id, sum(qd.dq)::BIGINT AS adist_q
         |  FROM codes x JOIN qd ON qd.sub = x.sub AND qd.c = x.cell
         |  WHERE x.vec_id <> qd.query_id
+        |  GROUP BY 1, 2),
+        |shortlist AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY adist_q ASC, neighbor_id ASC) AS arn
+        |    FROM adc) z WHERE arn <= 50),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * qe.embedding[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)))), 6) AS sim
+        |  FROM shortlist JOIN embeddings qe ON query_id = qe.vec_id
+        |                 JOIN embeddings ce ON neighbor_id = ce.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank::BIGINT AS rank, neighbor_id, sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // IVF+PQ: the s_ann_ivf_trained coarse-quantizer replay (2 Lloyd
+    // rounds, probe ranking) composed with the s_ann_pq sub-codebook
+    // replay (Forgy init, 1 Lloyd round, codes, integer distance
+    // tables) — candidates are the IVF probe set, ranked by the exact
+    // LONG ADC sum, re-ranked by exact cosine
+    "s_ann_ivf_pq" ->
+      """WITH c0 AS (
+        |  SELECT c, list_transform(generate_series(0, 63),
+        |           d -> (('0x' || substr(md5('kmeans:' || c || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS cv
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS c)),
+        |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |s0 AS (
+        |  SELECT vec_id, c,
+        |         list_sum(list_transform(range(1, 65), i -> cv[i] * embedding[i]::DOUBLE)) /
+        |         (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) *
+        |          sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS s
+        |  FROM embeddings, c0),
+        |a0 AS (SELECT vec_id, c AS cell FROM (
+        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+        |         FROM s0) z WHERE rn = 1),
+        |m1 AS (
+        |  SELECT a0.cell, dims.i,
+        |         sum(floor(e.embedding[dims.i]::DOUBLE * 10000000.0 + 0.5))::BIGINT AS sq,
+        |         count(*) AS n
+        |  FROM a0, embeddings e, dims WHERE a0.vec_id = e.vec_id
+        |  GROUP BY 1, 2),
+        |c1m AS (SELECT cell AS c, list(sq::DOUBLE / (n::DOUBLE * 10000000.0) ORDER BY i) AS cv
+        |        FROM m1 GROUP BY 1),
+        |c1 AS (SELECT c0.c, coalesce(c1m.cv, c0.cv) AS cv FROM c0 LEFT JOIN c1m USING (c)),
+        |s1 AS (
+        |  SELECT vec_id, c,
+        |         list_sum(list_transform(range(1, 65), i -> cv[i] * embedding[i]::DOUBLE)) /
+        |         (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) *
+        |          sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS s
+        |  FROM embeddings, c1),
+        |a1 AS (SELECT vec_id, c AS cell FROM (
+        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+        |         FROM s1) z WHERE rn = 1),
+        |m2 AS (
+        |  SELECT a1.cell, dims.i,
+        |         sum(floor(e.embedding[dims.i]::DOUBLE * 10000000.0 + 0.5))::BIGINT AS sq,
+        |         count(*) AS n
+        |  FROM a1, embeddings e, dims WHERE a1.vec_id = e.vec_id
+        |  GROUP BY 1, 2),
+        |c2m AS (SELECT cell AS c, list(sq::DOUBLE / (n::DOUBLE * 10000000.0) ORDER BY i) AS cv
+        |        FROM m2 GROUP BY 1),
+        |c2 AS (SELECT c1.c, coalesce(c2m.cv, c1.cv) AS cv FROM c1 LEFT JOIN c2m USING (c)),
+        |s2 AS (
+        |  SELECT vec_id, c,
+        |         list_sum(list_transform(range(1, 65), i -> cv[i] * embedding[i]::DOUBLE)) /
+        |         (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) *
+        |          sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS s
+        |  FROM embeddings, c2),
+        |ranked_cells AS (
+        |  SELECT vec_id, c,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS crank
+        |  FROM s2),
+        |assign AS (SELECT vec_id, c AS cell FROM ranked_cells WHERE crank = 1),
+        |probes AS (SELECT vec_id, c AS cell FROM ranked_cells WHERE crank <= 6 AND vec_id < 5),
+        |cand0 AS (
+        |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+        |  FROM probes p JOIN assign a ON p.cell = a.cell
+        |  WHERE p.vec_id <> a.vec_id),
+        |subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+        |sdims AS (SELECT unnest(generate_series(1, 8)) AS d),
+        |seed AS (SELECT vec_id, embedding,
+        |                row_number() OVER (ORDER BY vec_id) - 1 AS c
+        |         FROM embeddings QUALIFY c < 32),
+        |pc0 AS (
+        |  SELECT sub, seed.c,
+        |         list(seed.embedding[sub*8 + d]::DOUBLE ORDER BY d) AS cv
+        |  FROM subs, seed, sdims GROUP BY 1, 2),
+        |ps0 AS (
+        |  SELECT vec_id, sub, c,
+        |         list_sum(list_transform(range(1, 9),
+        |           i -> (embedding[sub*8 + i]::DOUBLE - cv[i]) * (embedding[sub*8 + i]::DOUBLE - cv[i]))) AS dist
+        |  FROM embeddings, pc0),
+        |pa0 AS (SELECT vec_id, sub, c AS cell FROM (
+        |         SELECT vec_id, sub, c,
+        |                row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, c ASC) AS rn
+        |         FROM ps0) z WHERE rn = 1),
+        |pm1 AS (
+        |  SELECT pa0.sub, pa0.cell, sdims.d,
+        |         sum(floor(e.embedding[pa0.sub*8 + sdims.d]::DOUBLE * 10000000.0 + 0.5))::BIGINT AS sq,
+        |         count(*) AS n
+        |  FROM pa0, embeddings e, sdims WHERE pa0.vec_id = e.vec_id
+        |  GROUP BY 1, 2, 3),
+        |pc1m AS (SELECT sub, cell AS c, list(sq::DOUBLE / (n::DOUBLE * 10000000.0) ORDER BY d) AS cv
+        |        FROM pm1 GROUP BY 1, 2),
+        |pc1 AS (SELECT pc0.sub, pc0.c, coalesce(pc1m.cv, pc0.cv) AS cv
+        |       FROM pc0 LEFT JOIN pc1m ON pc0.sub = pc1m.sub AND pc0.c = pc1m.c),
+        |ps1 AS (
+        |  SELECT vec_id, sub, c,
+        |         list_sum(list_transform(range(1, 9),
+        |           i -> (embedding[sub*8 + i]::DOUBLE - cv[i]) * (embedding[sub*8 + i]::DOUBLE - cv[i]))) AS dist
+        |  FROM embeddings, pc1),
+        |codes AS (SELECT vec_id, sub, c AS cell FROM (
+        |            SELECT vec_id, sub, c,
+        |                   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, c ASC) AS rn
+        |            FROM ps1) z WHERE rn = 1),
+        |qd AS (
+        |  SELECT vec_id AS query_id, sub, c,
+        |         floor(list_sum(list_transform(range(1, 9),
+        |           i -> (embedding[sub*8 + i]::DOUBLE - cv[i]) * (embedding[sub*8 + i]::DOUBLE - cv[i])))
+        |           * 1000000000.0 + 0.5)::BIGINT AS dq
+        |  FROM embeddings, pc1 WHERE vec_id < 5),
+        |adc AS (
+        |  SELECT cd.query_id, cd.neighbor_id, sum(qd.dq)::BIGINT AS adist_q
+        |  FROM cand0 cd JOIN codes x ON x.vec_id = cd.neighbor_id
+        |                JOIN qd ON qd.query_id = cd.query_id
+        |                       AND qd.sub = x.sub AND qd.c = x.cell
         |  GROUP BY 1, 2),
         |shortlist AS (
         |  SELECT query_id, neighbor_id FROM (

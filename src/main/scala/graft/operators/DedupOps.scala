@@ -577,6 +577,71 @@ object DedupOps {
   }
 
   /**
+   * Position-level duplicated-span detection — the span analogue of
+   * exact substring dedup (Lee et al., "Deduplicating Training Data
+   * Makes Language Models Better", ACL 2022, which trims repeated
+   * substrings rather than dropping whole documents). The suffix-array
+   * construction of the paper is a single-machine algorithm; the
+   * distributed re-expression is n-gram anchoring: a maximal repeated
+   * substring of >= n words is exactly a maximal run of n-grams whose
+   * every n-gram occurs in >= `minDocs` distinct documents, so
+   * position-tagged n-grams + a document-frequency filter + an
+   * interval merge recover the same spans with three shuffles and no
+   * global order.
+   *
+   * Pipeline: (doc, pos, hash(n-gram)) instances -> per-hash distinct
+   * doc count (map-side combinable) -> the >= minDocs survivors
+   * semi-join back (only 8-byte hashes shuffle; gram text never
+   * leaves its map task) -> per-doc gaps-and-islands merge of the
+   * surviving [pos, pos+n) intervals (a lag + running-sum window,
+   * partitioned by doc — no sort wider than one document's hits).
+   * Docs shorter than n words have no n-gram and so no span — the
+   * whole-text fallback of [[ngramCollisions]] deliberately does NOT
+   * apply, because a span you would trim must be a real substring.
+   *
+   * Two same-length intervals merge when their position gap is <= n
+   * (overlap or touch); a gap of n+1 leaves a 1-word unique gap and
+   * two spans. Grams repeated only WITHIN one document don't count
+   * (distinct-doc df), but once a gram is cross-doc duplicated, every
+   * position of it in every holding doc is marked.
+   *
+   * Output: (doc_id, span_start, span_end, n_grams) — word-position
+   * spans, `span_end` exclusive, span-sized (bounded by corpus dup
+   * volume, not corpus size).
+   */
+  def duplicatedSpans(corpus: DataFrame, idCol: String, textCol: String,
+                      n: Int = 13, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 2, s"duplicatedSpans n=$n minDocs=$minDocs")
+    val wd = filter(split(col(textCol), "\\s+"), x => x =!= "")
+    val grams = corpus.select(col(idCol).as("doc_id"), wd.as("wd"))
+      .filter(size(col("wd")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("wd")) - n),
+        i => struct(i.as("pos"),
+          xxhash64(concat_ws(" ", slice(col("wd"), i + 1, lit(n)))).as("gh")))).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+    val dup = grams.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("gh")
+    val hits = grams.join(dup, "gh").select("doc_id", "pos")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > n, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(byDoc.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + n).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  /**
    * Corpus snapshot diff: classify every id across two corpus versions
    * as `added | removed | changed | same` by comparing
    * [[TextOps.fingerprint]]s — the audit step before promoting a new

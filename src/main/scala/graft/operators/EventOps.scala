@@ -246,4 +246,52 @@ object EventOps {
         round(col("n_users").cast("double") / col("cohort_size").cast("double"), 4)
           .as("retained"))
   }
+
+  /**
+   * Interval (time-range) join by bucket expansion: for every window
+   * row count the events of the same key whose time falls inside
+   * `[lo, hi)`. The textbook formulation is a theta join
+   * (`e.tsec BETWEEN w.lo AND w.hi`), which Spark can only execute as
+   * a BroadcastNestedLoopJoin — an O(windows x events) scan per key
+   * that dies the moment neither side broadcasts. This operator turns
+   * it into an EQUI join: windows explode onto the fixed time buckets
+   * they overlap (`lo div bucketSec .. (hi-1) div bucketSec`), events
+   * map onto their single containing bucket, the join runs on
+   * `(key, bucket)`, and the exact `[lo, hi)` containment is a cheap
+   * residual filter after the hash match.
+   *
+   * Requiring `bucketSec >= max(hi - lo)` caps the explode at 2 rows
+   * per window, so the shuffled volume is <= 2|W| + |E| regardless of
+   * corpus size — and because each EVENT carries exactly one bucket, a
+   * window spanning two buckets can never double-count a match (the
+   * event only exists in one of them). That asymmetry is the point:
+   * replicate the small, bounded side (windows), never the events.
+   *
+   * Windows with no match survive via the final left join against the
+   * window spine with a coalesce-to-0 count. `excludeSelf` drops the
+   * event whose id equals the window id — the "count the neighbors of
+   * a spike, not the spike" contract.
+   *
+   * Contract: `windows` has (win_id, key, lo, hi) with `hi > lo` and
+   * `hi - lo <= bucketSec`; `events` has (id, key, tsec); epoch values
+   * are non-negative (the bucket arithmetic uses integer `div`).
+   * Output: (win_id, key, n_in_window), window-sized.
+   */
+  def intervalJoinCount(windows: DataFrame, events: DataFrame,
+                        bucketSec: Long, excludeSelf: Boolean = true): DataFrame = {
+    require(bucketSec > 0, s"intervalJoinCount bucketSec=$bucketSec")
+    val w = windows
+      .filter(col("hi") > col("lo"))
+      .withColumn("bucket", explode(sequence(
+        expr(s"lo div $bucketSec"), expr(s"(hi - 1) div $bucketSec"))))
+    val e = events.withColumn("bucket", expr(s"tsec div $bucketSec"))
+    val matched = w.join(e, Seq("key", "bucket"))
+      .filter(col("tsec") >= col("lo") && col("tsec") < col("hi") &&
+        (if (excludeSelf) col("id") =!= col("win_id") else lit(true)))
+      .groupBy("win_id").agg(count(lit(1)).as("n"))
+    windows.select("win_id", "key")
+      .join(matched, Seq("win_id"), "left")
+      .select(col("win_id"), col("key"),
+        coalesce(col("n"), lit(0L)).as("n_in_window"))
+  }
 }

@@ -147,4 +147,51 @@ object GraphOps {
     hub.select(col("node"), lit("hub").as("side"), col("score"))
       .unionByName(auth.select(col("node"), lit("auth").as("side"), col("score")))
   }
+
+  /**
+   * Synchronous label propagation (Raghavan, Albert, Kumara, "Near
+   * linear time algorithm to detect community structures in large-scale
+   * networks", Phys. Rev. E 2007), made deterministic: every node
+   * starts labeled with its own id, and each round simultaneously
+   * adopts the PLURALITY label among its neighbors, ties broken to the
+   * lexicographically smallest label. The random visit order and
+   * random tie-break of the published algorithm are exactly what a
+   * distributed engine cannot replay — the synchronous
+   * plurality/min-label variant gives the same community-forming
+   * behavior with a bit-identical fixed-round result on any engine and
+   * any partitioning (the same policy that makes [[pageRank]]
+   * oracle-replayable).
+   *
+   * Scale shape per round: one edge-sized shuffle join (labels onto
+   * edge sources) + one (dst, label)-sized aggregate + one node-sized
+   * plurality argmax — the argmax is a row_number window over the
+   * count aggregate, so nothing bigger than the live (node, label)
+   * pair set is ever sorted. Labels are node ids (strings), so the
+   * frames stay two narrow columns deep regardless of graph size.
+   * Supply both edge directions for an undirected graph; every node
+   * must appear as a source (true for undirected). Fixed `iterations`
+   * rather than convergence detection — synchronous LPA on bipartite
+   * graphs can oscillate with period 2, so run-to-fixpoint is not
+   * well-defined; the fixed-round result IS the contract.
+   *
+   * Output: (node, label), node-sized.
+   */
+  def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, s"labelPropagation iterations=$iterations")
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to iterations) {
+      val counts = edges
+        .join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dst"))
+        .orderBy(col("c").desc, col("label").asc)
+      labels = counts
+        .withColumn("rn", row_number().over(win))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("node"), col("label"))
+    }
+    labels
+  }
 }

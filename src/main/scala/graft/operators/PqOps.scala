@@ -215,4 +215,79 @@ object PqOps {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("sim"))
   }
+
+  /**
+   * IVF+PQ ANN — the composition FAISS ships as `IndexIVFPQ` (Jégou et
+   * al. 2011 §V), and the standard billion-vector architecture: IVF
+   * prunes WHICH vectors are scanned (each query probes its `nprobe`
+   * nearest coarse cells out of `ncells`), PQ shrinks WHAT the scan
+   * reads (m small ints per candidate instead of dim floats), and an
+   * exact re-rank of the ≤`cand` ADC shortlist restores top-k quality.
+   * At 10⁹ vectors the probed fraction is nprobe/ncells of the corpus
+   * and the scanned bytes per candidate are m vs 4·dim — the two
+   * multiplicative savings are independent, which is the whole point
+   * of composing them.
+   *
+   * Divergence from FAISS, documented: codes are built on RAW vectors,
+   * not per-cell residuals. The coarse quantizer here is the COSINE
+   * k-means of [[KMeansOps.train]] (direction cells), so "residual"
+   * has no natural L2 meaning; raw-vector codes keep both stages
+   * independently replayable by the oracle and cost one shared
+   * codebook instead of ncells of them. The recall knob is `cand`
+   * exactly as in [[pqTopK]].
+   *
+   * Plan shape: the corpus index frame is (id, cell, codes) — the
+   * narrow "stored index" a real deployment materializes — built in
+   * one projection pass. Queries (small by the [[pqTopK]] contract)
+   * carry their probe cells and integer distance table, broadcast,
+   * and hash-join the index on `cell`; each corpus vector lives in
+   * exactly ONE cell, so a (query, neighbor) pair can never appear
+   * twice and no distinct is needed. ADC scoring is the codegen'd
+   * element_at LONG sum; float vectors are touched only in the
+   * ≤cand-per-query re-rank join.
+   */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, topk: Int,
+                ncells: Int = 16, nprobe: Int = 6, coarseIters: Int = 2,
+                m: Int = 8, k: Int = 32, pqIters: Int = 1, cand: Int = 50,
+                dim: Int = 64, excludeSelf: Boolean = true): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val centroids = KMeansOps.train(corpus, "embedding", ncells, coarseIters, dim)
+    val books = trainSubCodebooks(corpus, "id", "embedding", m, k, subDim, pqIters)
+    val q0 = queries.localCheckpoint()
+    val idx = corpus.select(col("id").as("neighbor_id"),
+      element_at(KMeansOps.cellsUdfPublic(centroids, 1)(col("embedding")), 1).as("cell"),
+      codesUdf(books)(col("embedding")).as("codes"))
+    val q = q0.select(col("id").as("query_id"),
+        distTableUdf(books)(col("embedding")).as("dt"),
+        KMeansOps.cellsUdfPublic(centroids, nprobe)(col("embedding")).as("probes"))
+      .select(col("query_id"), col("dt"), explode(col("probes")).as("cell"))
+    val adistQ: Column = (0 until m)
+      .map(sub => element_at(col("dt"),
+        lit(sub * k) + element_at(col("codes"), sub + 1) + 1))
+      .reduce(_ + _)
+    val scoredAdc = idx.join(broadcast(q), Seq("cell"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"), adistQ.as("adist_q"))
+    val winAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adist_q").asc, col("neighbor_id").asc)
+    val shortlist = scoredAdc
+      .withColumn("arn", row_number().over(winAdc))
+      .filter(col("arn") <= cand)
+      .select("query_id", "neighbor_id")
+    val qv = q0.select(col("id").as("query_id"), col("embedding").as("qe"))
+    val cv = corpus.select(col("id").as("neighbor_id"), col("embedding").as("ce"))
+    val winSim = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    shortlist
+      .join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
+      .withColumn("sim", round(SimilarityOps.cosineFloat(col("qe"), col("ce")), 6))
+      .withColumn("rank", row_number().over(winSim))
+      .filter(col("rank") <= topk)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("sim"))
+  }
 }

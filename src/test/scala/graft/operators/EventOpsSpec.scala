@@ -226,4 +226,51 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.optimizedPlan.toString
     assert(!plan.toLowerCase.contains("join"), s"as-of must not plan a join:\n$plan")
   }
+
+  test("intervalJoinCount: [lo, hi) boundaries, key isolation, self-exclusion, zero windows") {
+    val ss = spark; import ss.implicits._
+    // window w1 on key A covers [100, 200): event at 100 in, at 199 in,
+    // at 200 OUT, at 99 OUT; same times on key B never match; the event
+    // sharing the window's id is excluded; w2 matches nothing -> 0 row
+    val windows = Seq((1L, "A", 100L, 200L), (2L, "A", 5000L, 5100L))
+      .toDF("win_id", "key", "lo", "hi")
+    val evs = Seq(
+      (1L, "A", 150L),  // id == win_id -> excluded
+      (10L, "A", 100L), // lo inclusive
+      (11L, "A", 199L), // last covered second
+      (12L, "A", 200L), // hi exclusive
+      (13L, "A", 99L),  // below lo
+      (14L, "B", 150L)  // wrong key
+    ).toDF("id", "key", "tsec")
+    val got = EventOps.intervalJoinCount(windows, evs, bucketSec = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 0L))
+    val withSelf = EventOps.intervalJoinCount(windows, evs, bucketSec = 100L,
+      excludeSelf = false).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(withSelf == Map(1L -> 3L, 2L -> 0L))
+  }
+
+  test("intervalJoinCount: a window straddling two buckets never double-counts") {
+    val ss = spark; import ss.implicits._
+    // bucket = 100; window [150, 250) overlaps buckets 1 and 2 and so
+    // explodes into two rows — but each event lives in exactly one
+    // bucket, so every match is found once: events at 150 (bucket 1)
+    // and 240 (bucket 2) both count exactly once
+    val windows = Seq((7L, "A", 150L, 250L)).toDF("win_id", "key", "lo", "hi")
+    val evs = Seq((20L, "A", 150L), (21L, "A", 240L), (22L, "A", 250L))
+      .toDF("id", "key", "tsec")
+    val got = EventOps.intervalJoinCount(windows, evs, bucketSec = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(7L -> 2L))
+  }
+
+  test("intervalJoinCount plan: equi join on (key, bucket), no nested-loop join") {
+    val ss = spark; import ss.implicits._
+    val windows = Seq((1L, "A", 100L, 200L)).toDF("win_id", "key", "lo", "hi")
+    val evs = Seq((10L, "A", 150L)).toDF("id", "key", "tsec")
+    val plan = EventOps.intervalJoinCount(windows, evs, bucketSec = 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join must stay an equi join:\n$plan")
+  }
 }

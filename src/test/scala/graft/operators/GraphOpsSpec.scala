@@ -127,4 +127,45 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one == many)
     assert(one.map(_.getLong(1)) == reference(e, 3).toSeq.sortBy(_._1).map(_._2))
   }
+
+  private def runLpa(edges: Seq[(String, String)], iters: Int): Map[String, String] = {
+    val ss = spark; import ss.implicits._
+    GraphOps.labelPropagation(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("labelPropagation: disjoint triangles each converge to their min node label") {
+    // round 1 spreads min labels, round 2 builds plurality, round 3
+    // is the fixpoint — hand-traced: every triangle node ends on the
+    // triangle's lexicographic minimum, and the components never mix
+    val e = undirected(("a", "b"), ("b", "c"), ("c", "a"),
+      ("x", "y"), ("y", "z"), ("z", "x"))
+    val got = runLpa(e, 3)
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x", "z" -> "x"))
+  }
+
+  test("labelPropagation: plurality beats the smaller label; duplicate edges act as weight") {
+    // node m sees label z twice (duplicated edge) and label a once:
+    // plurality keeps z even though a < z lexicographically
+    val e = Seq(("z", "m"), ("z", "m"), ("a", "m"),
+      ("m", "z"), ("m", "z"), ("m", "a"))
+    val got = runLpa(e, 1)
+    assert(got("m") == "z")
+    // the strict-tie case on the same shape without the duplicate:
+    // one z vote vs one a vote -> min label a wins
+    val tied = Seq(("z", "m"), ("a", "m"), ("m", "z"), ("m", "a"))
+    assert(runLpa(tied, 1)("m") == "a")
+  }
+
+  test("labelPropagation is partition-layout invariant") {
+    val ss = spark; import ss.implicits._
+    val e = undirected(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c"))
+    val df = e.toDF("src", "dst")
+    val one = GraphOps.labelPropagation(df.repartition(1), 3)
+      .orderBy("node").collect().toSeq
+    val many = GraphOps.labelPropagation(df.repartition(7), 3)
+      .orderBy("node").collect().toSeq
+    assert(one == many)
+  }
 }

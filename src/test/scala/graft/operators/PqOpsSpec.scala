@@ -102,4 +102,45 @@ class PqOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(got == expect)
   }
+
+  test("ivfPqTopK: IVF candidates bound the scan; recall@5 vs brute force stays usable") {
+    val e = embeddings
+    val queries = e.filter(col("id") < 25)
+    val approx = PqOps.ivfPqTopK(queries, e, topk = 5,
+        ncells = 16, nprobe = 6, coarseIters = 2, m = 8, k = 32, pqIters = 1, cand = 50)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val brute = SimilarityOps.bruteForceTopK(queries, e, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // two stacked approximations (probe pruning + code quantization):
+    // the contract is "usable with the cand re-rank", not exactness —
+    // the threshold rides below pqTopK's because IVF can prune a true
+    // neighbor before ADC ever sees it
+    val recalls = brute.keys.toSeq.map(q =>
+      (approx.getOrElse(q, Set.empty) & brute(q)).size.toDouble / 5.0)
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.6, s"mean IVF+PQ recall@5 too low: $mean")
+    // every returned neighbor must come from a probed cell: re-run the
+    // coarse assignment and check containment
+    val cent = KMeansOps.train(e, "embedding", 16, 2, 64)
+    val assign = e.select(col("id"),
+        element_at(KMeansOps.cellsUdfPublic(cent, 1)(col("embedding")), 1).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probes = queries.select(col("id"),
+        KMeansOps.cellsUdfPublic(cent, 6)(col("embedding")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSet).toMap
+    approx.foreach { case (q, ns) =>
+      ns.foreach(n => assert(probes(q).contains(assign(n)),
+        s"neighbor $n of query $q is outside the probed cells"))
+    }
+  }
+
+  test("ivfPqTopK plan: equi joins only — no cartesian, no nested loop") {
+    val e = embeddings
+    val plan = PqOps.ivfPqTopK(e.filter(col("id") < 5), e, topk = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"IVF+PQ must stay equi-join shaped:\n$plan")
+  }
 }

@@ -466,4 +466,45 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.toSeq.sortBy(_._1)
     assert(got.map(g => (g._1, g._2, g._3.toSeq)) == naive.map(n => (n._1, n._2, n._3.toSeq)))
   }
+
+  // ---- duplicatedSpans ----
+
+  test("duplicatedSpans: shared run marked in both docs, touching spans merge, gap splits") {
+    val ss = spark; import ss.implicits._
+    // n=3 keeps the hand trace small. Docs 1 and 2 share the 5-word run
+    // "a b c d e" (3-grams at pos 0,1,2 -> one span [0,5)); doc 1 also
+    // shares "x y z" with doc 3 at a distance > n from the first span,
+    // so doc 1 gets TWO spans. Doc 4 repeats a gram only internally ->
+    // distinct-doc df = 1 -> no span. Doc 5 is shorter than n.
+    val docs = Seq(
+      (1L, "a b c d e q1 q2 q3 q4 x y z"),
+      (2L, "p1 a b c d e p2"),
+      (3L, "x y z tail1 tail2"),
+      (4L, "r s t u r s t u r s t"),
+      (5L, "one two")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.duplicatedSpans(docs, "doc_id", "text", n = 3, minDocs = 2)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 0, 5, 3L),  // "a b c d e": grams at 0,1,2 merged
+      (1L, 9, 12, 1L), // "x y z"
+      (2L, 1, 6, 3L),  // same run shifted by the p1 prefix
+      (3L, 0, 3, 1L)))
+  }
+
+  test("duplicatedSpans: a gap of exactly n merges (touching intervals), n+1 splits") {
+    val ss = spark; import ss.implicits._
+    // shared grams "g1 g2" (w=2) at positions 0 and 2 in doc 1: the
+    // intervals [0,2) and [2,4) touch -> one span [0,4). In doc 2 the
+    // second occurrence sits one word further -> [0,2) and [3,5) split.
+    val docs = Seq(
+      (1L, "g1 g2 g1 g2"),
+      (2L, "g1 g2 pad g1 g2")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.duplicatedSpans(docs, "doc_id", "text", n = 2, minDocs = 2)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(got == Seq((1L, 0, 4), (2L, 0, 2), (2L, 3, 5)))
+  }
 }
