@@ -1243,6 +1243,16 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    "s_label_knn_ivf_pq" -> ((s, dir) => {
+      // strategy = IVF+PQ: the billion-vector index shape feeding the
+      // same voting aggregate — probe pruning + code-sized scan for
+      // classification, not just retrieval
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"), col("label"))
+      SimilarityOps.knnClassify(e.filter(col("id") < 25), e, k = 5, strategy = "ivf-pq")
+        .orderBy("query_id")
+    }),
+
     "p_epochs" -> ((s, dir) =>
       // domain upsampling: rare languages repeat per-epoch factors
       SampleOps.upsampleEpochs(table(s, dir, "documents"), "lang",
@@ -1383,6 +1393,137 @@ object SparkEntry {
         |FROM scored WHERE sim >= 0.25 ORDER BY id_a, id_b"""
 
   // ======================= oracles =======================
+
+  /** The IVF+PQ oracle pipeline (coarse 2-round Lloyd cells + probe
+    * ranking, PQ Forgy/Lloyd sub-codebooks, codes, integer distance
+    * tables, probe-set ADC shortlist, exact-cosine ranked) shared by
+    * the retrieval and classification surfaces — only the query-set
+    * predicate and the final projection differ. */
+  private def ivfPqOracle(maxQuery: Int, tail: String): String =
+    s"""WITH c0 AS (
+        |  SELECT c, list_transform(generate_series(0, 63),
+        |           d -> (('0x' || substr(md5('kmeans:' || c || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS cv
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS c)),
+        |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |s0 AS (
+        |  SELECT vec_id, c,
+        |         list_sum(list_transform(range(1, 65), i -> cv[i] * embedding[i]::DOUBLE)) /
+        |         (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) *
+        |          sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS s
+        |  FROM embeddings, c0),
+        |a0 AS (SELECT vec_id, c AS cell FROM (
+        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+        |         FROM s0) z WHERE rn = 1),
+        |m1 AS (
+        |  SELECT a0.cell, dims.i,
+        |         sum(floor(e.embedding[dims.i]::DOUBLE * 10000000.0 + 0.5))::BIGINT AS sq,
+        |         count(*) AS n
+        |  FROM a0, embeddings e, dims WHERE a0.vec_id = e.vec_id
+        |  GROUP BY 1, 2),
+        |c1m AS (SELECT cell AS c, list(sq::DOUBLE / (n::DOUBLE * 10000000.0) ORDER BY i) AS cv
+        |        FROM m1 GROUP BY 1),
+        |c1 AS (SELECT c0.c, coalesce(c1m.cv, c0.cv) AS cv FROM c0 LEFT JOIN c1m USING (c)),
+        |s1 AS (
+        |  SELECT vec_id, c,
+        |         list_sum(list_transform(range(1, 65), i -> cv[i] * embedding[i]::DOUBLE)) /
+        |         (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) *
+        |          sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS s
+        |  FROM embeddings, c1),
+        |a1 AS (SELECT vec_id, c AS cell FROM (
+        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+        |         FROM s1) z WHERE rn = 1),
+        |m2 AS (
+        |  SELECT a1.cell, dims.i,
+        |         sum(floor(e.embedding[dims.i]::DOUBLE * 10000000.0 + 0.5))::BIGINT AS sq,
+        |         count(*) AS n
+        |  FROM a1, embeddings e, dims WHERE a1.vec_id = e.vec_id
+        |  GROUP BY 1, 2),
+        |c2m AS (SELECT cell AS c, list(sq::DOUBLE / (n::DOUBLE * 10000000.0) ORDER BY i) AS cv
+        |        FROM m2 GROUP BY 1),
+        |c2 AS (SELECT c1.c, coalesce(c2m.cv, c1.cv) AS cv FROM c1 LEFT JOIN c2m USING (c)),
+        |s2 AS (
+        |  SELECT vec_id, c,
+        |         list_sum(list_transform(range(1, 65), i -> cv[i] * embedding[i]::DOUBLE)) /
+        |         (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) *
+        |          sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS s
+        |  FROM embeddings, c2),
+        |ranked_cells AS (
+        |  SELECT vec_id, c,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS crank
+        |  FROM s2),
+        |assign AS (SELECT vec_id, c AS cell FROM ranked_cells WHERE crank = 1),
+        |probes AS (SELECT vec_id, c AS cell FROM ranked_cells WHERE crank <= 6 AND vec_id < $maxQuery),
+        |cand0 AS (
+        |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+        |  FROM probes p JOIN assign a ON p.cell = a.cell
+        |  WHERE p.vec_id <> a.vec_id),
+        |subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+        |sdims AS (SELECT unnest(generate_series(1, 8)) AS d),
+        |seed AS (SELECT vec_id, embedding,
+        |                row_number() OVER (ORDER BY vec_id) - 1 AS c
+        |         FROM embeddings QUALIFY c < 32),
+        |pc0 AS (
+        |  SELECT sub, seed.c,
+        |         list(seed.embedding[sub*8 + d]::DOUBLE ORDER BY d) AS cv
+        |  FROM subs, seed, sdims GROUP BY 1, 2),
+        |ps0 AS (
+        |  SELECT vec_id, sub, c,
+        |         list_sum(list_transform(range(1, 9),
+        |           i -> (embedding[sub*8 + i]::DOUBLE - cv[i]) * (embedding[sub*8 + i]::DOUBLE - cv[i]))) AS dist
+        |  FROM embeddings, pc0),
+        |pa0 AS (SELECT vec_id, sub, c AS cell FROM (
+        |         SELECT vec_id, sub, c,
+        |                row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, c ASC) AS rn
+        |         FROM ps0) z WHERE rn = 1),
+        |pm1 AS (
+        |  SELECT pa0.sub, pa0.cell, sdims.d,
+        |         sum(floor(e.embedding[pa0.sub*8 + sdims.d]::DOUBLE * 10000000.0 + 0.5))::BIGINT AS sq,
+        |         count(*) AS n
+        |  FROM pa0, embeddings e, sdims WHERE pa0.vec_id = e.vec_id
+        |  GROUP BY 1, 2, 3),
+        |pc1m AS (SELECT sub, cell AS c, list(sq::DOUBLE / (n::DOUBLE * 10000000.0) ORDER BY d) AS cv
+        |        FROM pm1 GROUP BY 1, 2),
+        |pc1 AS (SELECT pc0.sub, pc0.c, coalesce(pc1m.cv, pc0.cv) AS cv
+        |       FROM pc0 LEFT JOIN pc1m ON pc0.sub = pc1m.sub AND pc0.c = pc1m.c),
+        |ps1 AS (
+        |  SELECT vec_id, sub, c,
+        |         list_sum(list_transform(range(1, 9),
+        |           i -> (embedding[sub*8 + i]::DOUBLE - cv[i]) * (embedding[sub*8 + i]::DOUBLE - cv[i]))) AS dist
+        |  FROM embeddings, pc1),
+        |codes AS (SELECT vec_id, sub, c AS cell FROM (
+        |            SELECT vec_id, sub, c,
+        |                   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, c ASC) AS rn
+        |            FROM ps1) z WHERE rn = 1),
+        |qd AS (
+        |  SELECT vec_id AS query_id, sub, c,
+        |         floor(list_sum(list_transform(range(1, 9),
+        |           i -> (embedding[sub*8 + i]::DOUBLE - cv[i]) * (embedding[sub*8 + i]::DOUBLE - cv[i])))
+        |           * 1000000000.0 + 0.5)::BIGINT AS dq
+        |  FROM embeddings, pc1 WHERE vec_id < $maxQuery),
+        |adc AS (
+        |  SELECT cd.query_id, cd.neighbor_id, sum(qd.dq)::BIGINT AS adist_q
+        |  FROM cand0 cd JOIN codes x ON x.vec_id = cd.neighbor_id
+        |                JOIN qd ON qd.query_id = cd.query_id
+        |                       AND qd.sub = x.sub AND qd.c = x.cell
+        |  GROUP BY 1, 2),
+        |shortlist AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY adist_q ASC, neighbor_id ASC) AS arn
+        |    FROM adc) z WHERE arn <= 50),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * qe.embedding[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)))), 6) AS sim
+        |  FROM shortlist JOIN embeddings qe ON query_id = qe.vec_id
+        |                 JOIN embeddings ce ON neighbor_id = ce.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |$tail""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -3404,137 +3545,24 @@ object SparkEntry {
         |SELECT query_id, rank::BIGINT AS rank, neighbor_id, sim
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
-    // IVF+PQ: the s_ann_ivf_trained coarse-quantizer replay (2 Lloyd
-    // rounds, probe ranking) composed with the s_ann_pq sub-codebook
-    // replay (Forgy init, 1 Lloyd round, codes, integer distance
-    // tables) — candidates are the IVF probe set, ranked by the exact
-    // LONG ADC sum, re-ranked by exact cosine
-    "s_ann_ivf_pq" ->
-      """WITH c0 AS (
-        |  SELECT c, list_transform(generate_series(0, 63),
-        |           d -> (('0x' || substr(md5('kmeans:' || c || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS cv
-        |  FROM (SELECT unnest(generate_series(0, 15)) AS c)),
-        |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
-        |s0 AS (
-        |  SELECT vec_id, c,
-        |         list_sum(list_transform(range(1, 65), i -> cv[i] * embedding[i]::DOUBLE)) /
-        |         (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) *
-        |          sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS s
-        |  FROM embeddings, c0),
-        |a0 AS (SELECT vec_id, c AS cell FROM (
-        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
-        |         FROM s0) z WHERE rn = 1),
-        |m1 AS (
-        |  SELECT a0.cell, dims.i,
-        |         sum(floor(e.embedding[dims.i]::DOUBLE * 10000000.0 + 0.5))::BIGINT AS sq,
-        |         count(*) AS n
-        |  FROM a0, embeddings e, dims WHERE a0.vec_id = e.vec_id
-        |  GROUP BY 1, 2),
-        |c1m AS (SELECT cell AS c, list(sq::DOUBLE / (n::DOUBLE * 10000000.0) ORDER BY i) AS cv
-        |        FROM m1 GROUP BY 1),
-        |c1 AS (SELECT c0.c, coalesce(c1m.cv, c0.cv) AS cv FROM c0 LEFT JOIN c1m USING (c)),
-        |s1 AS (
-        |  SELECT vec_id, c,
-        |         list_sum(list_transform(range(1, 65), i -> cv[i] * embedding[i]::DOUBLE)) /
-        |         (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) *
-        |          sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS s
-        |  FROM embeddings, c1),
-        |a1 AS (SELECT vec_id, c AS cell FROM (
-        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
-        |         FROM s1) z WHERE rn = 1),
-        |m2 AS (
-        |  SELECT a1.cell, dims.i,
-        |         sum(floor(e.embedding[dims.i]::DOUBLE * 10000000.0 + 0.5))::BIGINT AS sq,
-        |         count(*) AS n
-        |  FROM a1, embeddings e, dims WHERE a1.vec_id = e.vec_id
-        |  GROUP BY 1, 2),
-        |c2m AS (SELECT cell AS c, list(sq::DOUBLE / (n::DOUBLE * 10000000.0) ORDER BY i) AS cv
-        |        FROM m2 GROUP BY 1),
-        |c2 AS (SELECT c1.c, coalesce(c2m.cv, c1.cv) AS cv FROM c1 LEFT JOIN c2m USING (c)),
-        |s2 AS (
-        |  SELECT vec_id, c,
-        |         list_sum(list_transform(range(1, 65), i -> cv[i] * embedding[i]::DOUBLE)) /
-        |         (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) *
-        |          sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS s
-        |  FROM embeddings, c2),
-        |ranked_cells AS (
-        |  SELECT vec_id, c,
-        |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS crank
-        |  FROM s2),
-        |assign AS (SELECT vec_id, c AS cell FROM ranked_cells WHERE crank = 1),
-        |probes AS (SELECT vec_id, c AS cell FROM ranked_cells WHERE crank <= 6 AND vec_id < 5),
-        |cand0 AS (
-        |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
-        |  FROM probes p JOIN assign a ON p.cell = a.cell
-        |  WHERE p.vec_id <> a.vec_id),
-        |subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
-        |sdims AS (SELECT unnest(generate_series(1, 8)) AS d),
-        |seed AS (SELECT vec_id, embedding,
-        |                row_number() OVER (ORDER BY vec_id) - 1 AS c
-        |         FROM embeddings QUALIFY c < 32),
-        |pc0 AS (
-        |  SELECT sub, seed.c,
-        |         list(seed.embedding[sub*8 + d]::DOUBLE ORDER BY d) AS cv
-        |  FROM subs, seed, sdims GROUP BY 1, 2),
-        |ps0 AS (
-        |  SELECT vec_id, sub, c,
-        |         list_sum(list_transform(range(1, 9),
-        |           i -> (embedding[sub*8 + i]::DOUBLE - cv[i]) * (embedding[sub*8 + i]::DOUBLE - cv[i]))) AS dist
-        |  FROM embeddings, pc0),
-        |pa0 AS (SELECT vec_id, sub, c AS cell FROM (
-        |         SELECT vec_id, sub, c,
-        |                row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, c ASC) AS rn
-        |         FROM ps0) z WHERE rn = 1),
-        |pm1 AS (
-        |  SELECT pa0.sub, pa0.cell, sdims.d,
-        |         sum(floor(e.embedding[pa0.sub*8 + sdims.d]::DOUBLE * 10000000.0 + 0.5))::BIGINT AS sq,
-        |         count(*) AS n
-        |  FROM pa0, embeddings e, sdims WHERE pa0.vec_id = e.vec_id
-        |  GROUP BY 1, 2, 3),
-        |pc1m AS (SELECT sub, cell AS c, list(sq::DOUBLE / (n::DOUBLE * 10000000.0) ORDER BY d) AS cv
-        |        FROM pm1 GROUP BY 1, 2),
-        |pc1 AS (SELECT pc0.sub, pc0.c, coalesce(pc1m.cv, pc0.cv) AS cv
-        |       FROM pc0 LEFT JOIN pc1m ON pc0.sub = pc1m.sub AND pc0.c = pc1m.c),
-        |ps1 AS (
-        |  SELECT vec_id, sub, c,
-        |         list_sum(list_transform(range(1, 9),
-        |           i -> (embedding[sub*8 + i]::DOUBLE - cv[i]) * (embedding[sub*8 + i]::DOUBLE - cv[i]))) AS dist
-        |  FROM embeddings, pc1),
-        |codes AS (SELECT vec_id, sub, c AS cell FROM (
-        |            SELECT vec_id, sub, c,
-        |                   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, c ASC) AS rn
-        |            FROM ps1) z WHERE rn = 1),
-        |qd AS (
-        |  SELECT vec_id AS query_id, sub, c,
-        |         floor(list_sum(list_transform(range(1, 9),
-        |           i -> (embedding[sub*8 + i]::DOUBLE - cv[i]) * (embedding[sub*8 + i]::DOUBLE - cv[i])))
-        |           * 1000000000.0 + 0.5)::BIGINT AS dq
-        |  FROM embeddings, pc1 WHERE vec_id < 5),
-        |adc AS (
-        |  SELECT cd.query_id, cd.neighbor_id, sum(qd.dq)::BIGINT AS adist_q
-        |  FROM cand0 cd JOIN codes x ON x.vec_id = cd.neighbor_id
-        |                JOIN qd ON qd.query_id = cd.query_id
-        |                       AND qd.sub = x.sub AND qd.c = x.cell
-        |  GROUP BY 1, 2),
-        |shortlist AS (
-        |  SELECT query_id, neighbor_id FROM (
-        |    SELECT query_id, neighbor_id,
-        |           row_number() OVER (PARTITION BY query_id ORDER BY adist_q ASC, neighbor_id ASC) AS arn
-        |    FROM adc) z WHERE arn <= 50),
-        |scored AS (
-        |  SELECT query_id, neighbor_id,
-        |         round(
-        |           list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)) /
-        |           (sqrt(list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * qe.embedding[i]::DOUBLE))) *
-        |            sqrt(list_sum(list_transform(range(1, 65), i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)))), 6) AS sim
-        |  FROM shortlist JOIN embeddings qe ON query_id = qe.vec_id
-        |                 JOIN embeddings ce ON neighbor_id = ce.vec_id),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id, sim,
-        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-        |  FROM scored)
-        |SELECT query_id, rank::BIGINT AS rank, neighbor_id, sim
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // IVF+PQ: the s_ann_ivf_trained coarse-quantizer replay composed
+    // with the s_ann_pq sub-codebook replay — candidates are the IVF
+    // probe set, ranked by the exact LONG ADC sum, re-ranked by exact
+    // cosine (CTEs shared with s_label_knn_ivf_pq via ivfPqOracle)
+    "s_ann_ivf_pq" -> ivfPqOracle(5,
+      """SELECT query_id, rank::BIGINT AS rank, neighbor_id, sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    "s_label_knn_ivf_pq" -> ivfPqOracle(25,
+      """, votes AS (
+        |  SELECT query_id, e.label, count(*) AS votes
+        |  FROM ranked JOIN embeddings e ON neighbor_id = e.vec_id
+        |  WHERE rank <= 5 GROUP BY 1, 2),
+        |best AS (SELECT query_id, label, votes,
+        |                row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rn
+        |         FROM votes)
+        |SELECT query_id, label AS predicted_label, votes
+        |FROM best WHERE rn = 1 ORDER BY query_id""".stripMargin),
 
     // HUGEINT-vs-BIGINT: DuckDB sums promote to int128, so every summed
     // column casts back before comparing/dividing (the m_media_features

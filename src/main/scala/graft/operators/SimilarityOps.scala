@@ -121,8 +121,9 @@ object SimilarityOps {
       case "lsh"         => lshTopK(queries, emb, k)
       case "ivf"         => ivfTopK(queries, emb, k)
       case "ivf-trained" => KMeansOps.ivfTopKTrained(queries, emb, k)
+      case "ivf-pq"      => PqOps.ivfPqTopK(queries, emb, k)
       case other => throw new IllegalArgumentException(
-        s"knnClassify strategy must be exact|lsh|ivf|ivf-trained, got: $other")
+        s"knnClassify strategy must be exact|lsh|ivf|ivf-trained|ivf-pq, got: $other")
     }
     val labels = corpus.select(col("id").as("neighbor_id"), col("label"))
     val votes = topk.join(labels, "neighbor_id")

@@ -108,6 +108,28 @@ object ScaleCurve {
         col("value"), col("tsec").as("time"), col("event_id").as("version")),
       stepSec = 600L, limit = 3))
 
+    // session-4 additions: interval-join output is window-sized (the
+    // spike count), LPA is node-sized, IVF+PQ is probe-sized, span
+    // output tracks duplicated VOLUME not corpus rows
+    run("interval_join", d => {
+      val e = evs(d)
+      graft.operators.EventOps.intervalJoinCount(
+        e.filter(col("value") >= 200)
+          .select(col("event_id").as("win_id"), col("event_type").as("key"),
+            (col("tsec") - 1800L).as("lo"), (col("tsec") + 1800L).as("hi")),
+        e.select(col("event_id").as("id"), col("event_type").as("key"), col("tsec")),
+        bucketSec = 3600L)
+    })
+    run("lpa3", d => {
+      val fwd = evs(d).select(concat(lit("u"), col("user_id")).as("src"),
+        concat(lit("e"), col("event_type")).as("dst")).distinct()
+      graft.operators.GraphOps.labelPropagation(
+        fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))), 3)
+    })
+    run("ivf_pq", d => graft.operators.PqOps.ivfPqTopK(
+      embs(d).filter(col("id") < 5), embs(d), 5))
+    run("dup_spans", d => DedupOps.duplicatedSpans(docs(d), "doc_id", "text"))
+
     spark.stop()
   }
 }
