@@ -690,6 +690,21 @@ object SparkEntry {
       DedupOps.corpusDiff(docs, v2, "doc_id", "text").orderBy("id")
     }),
 
+    "d_dedup_containment" -> ((s, dir) => {
+      // quote-inclusion dedup: the corpus plus synthetic two-doc
+      // digests (every 50th doc concatenated with its successor) —
+      // the sources sit INSIDE the digests with containment ~1.0
+      // where their Jaccard is ~0.5, the case this operator exists for
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val digests = docs.as("a").filter(col("a.doc_id") % 50 === 0)
+        .join(docs.as("b"), col("a.doc_id") + 1 === col("b.doc_id"))
+        .select((col("a.doc_id") + 20000).as("doc_id"),
+          concat(col("a.text"), lit(" "), col("b.text")).as("text"))
+      DedupOps.containmentPairs(docs.union(digests), "doc_id", "text",
+          minContainment = 0.9)
+        .orderBy("src_id", "dst_id")
+    }),
+
     "d_dedup_spans" -> ((s, dir) =>
       // duplicated-substring spans: per-doc merged word-position
       // intervals covered by 13-grams appearing in >= 2 docs — the
@@ -2546,6 +2561,41 @@ object SparkEntry {
         |            ELSE 'changed' END AS status
         |FROM o FULL OUTER JOIN n ON o.id = n.id
         |ORDER BY id""".stripMargin,
+
+    // directed containment over shingle STRINGS (hash-as-equality for
+    // Spark's xxhash64 groups); the digest construction replays the
+    // query's synthetic quote-inclusion corpus
+    "d_dedup_containment" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT a.doc_id + 20000 AS doc_id, a.text || ' ' || b.text AS text
+        |  FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+        |  WHERE a.doc_id % 50 = 0),
+        |w AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS wd
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(wd) < 3 THEN [array_to_string(wd, ' ')]
+        |         ELSE list_transform(generate_series(1, len(wd) - 2),
+        |                             i -> array_to_string(wd[i:i+2], ' ')) END)) AS sh
+        |  FROM w),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dirs AS (
+        |  SELECT id_a AS src_id, id_b AS dst_id,
+        |         round(inter::DOUBLE / x.n, 4) AS containment
+        |  FROM inter JOIN n x ON id_a = x.doc_id
+        |  UNION ALL
+        |  SELECT id_b AS src_id, id_a AS dst_id,
+        |         round(inter::DOUBLE / y.n, 4) AS containment
+        |  FROM inter JOIN n y ON id_b = y.doc_id)
+        |SELECT src_id, dst_id, containment FROM dirs
+        |WHERE containment >= 0.9 ORDER BY src_id, dst_id""".stripMargin,
 
     // replays the span pipeline on gram STRINGS where Spark groups
     // xxhash64(gram) — hash-as-equality, the ShingleHashes stance;

@@ -248,6 +248,51 @@ object DedupOps {
   }
 
   /**
+   * Directed containment pairs: C(src→dst) = |S(src) ∩ S(dst)| /
+   * |S(src)| over w-shingle sets — the asymmetric similarity Broder's
+   * resemblance paper defines alongside Jaccard ("On the resemblance
+   * and containment of documents", SEQUENCES 1997) and the one
+   * quote-inclusion dedup actually needs: a 200-word document pasted
+   * into a 5,000-word digest has Jaccard ≈ 0.04 (diluted by the big
+   * doc's size) but containment ≈ 1.0 from the small side. Training
+   * corpora are full of this shape (newsletter digests, forum quotes,
+   * scraped aggregators), and a Jaccard threshold can't see it.
+   *
+   * Same single-shuffle grouped-pairs plan as [[jaccardPairs]] (one
+   * exchange of 8-byte shingle hashes, df-capped groups, codegen pair
+   * expansion, ReusedExchange for the size aggregate); the only delta
+   * is the tail — each unordered co-shingle pair emits up to two
+   * DIRECTED rows, normalized by the source side's set size. Output:
+   * (src_id, dst_id, containment) where containment >= the threshold,
+   * src's shingles sitting inside dst.
+   */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       minContainment: Double, w: Int = 3,
+                       maxShingleDf: Long = 10000L): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(ShingleHashes(col(textCol), w)).as("sh"))
+    val grouped = sh.groupBy("sh").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) <= maxShingleDf)
+    val sizes = grouped.select(explode(col("ids")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = grouped
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        "filter(flatten(transform(ids, x -> transform(ids, y -> struct(x as id_a, y as id_b)))), p -> p.id_a < p.id_b)"))
+        .as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val joined = inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+    joined.select(col("id_a").as("src_id"), col("id_b").as("dst_id"),
+        round(col("inter").cast("double") / col("na").cast("double"), 4).as("containment"))
+      .unionByName(joined.select(col("id_b").as("src_id"), col("id_a").as("dst_id"),
+        round(col("inter").cast("double") / col("nb").cast("double"), 4).as("containment")))
+      .filter(col("containment") >= minContainment)
+  }
+
+  /**
    * The 100 TB near-dup path: LSH candidate generation + exact Jaccard
    * verification restricted to candidate pairs. `jaccardPairs` compares
    * every co-shingled pair — exact but quadratic in bucket skew;

@@ -129,6 +129,7 @@ object ScaleCurve {
     run("ivf_pq", d => graft.operators.PqOps.ivfPqTopK(
       embs(d).filter(col("id") < 5), embs(d), 5))
     run("dup_spans", d => DedupOps.duplicatedSpans(docs(d), "doc_id", "text"))
+    run("containment", d => DedupOps.containmentPairs(docs(d), "doc_id", "text", 0.9))
 
     spark.stop()
   }

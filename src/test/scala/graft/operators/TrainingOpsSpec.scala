@@ -471,6 +471,37 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(g => (g._1, g._2, g._3.toSeq)) == naive.map(n => (n._1, n._2, n._3.toSeq)))
   }
 
+  // ---- containmentPairs ----
+
+  test("containmentPairs: quoted doc hits ~1.0 into its digest where Jaccard dilutes") {
+    val ss = spark; import ss.implicits._
+    // small doc fully pasted into a big digest: containment small->big
+    // is 1.0 (every shingle of small occurs in big), big->small is low,
+    // and the Jaccard between them would sit near |small|/|big|
+    val small = "alpha beta gamma delta epsilon"
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, small),
+      (2L, s"$filler $small"),
+      (3L, "totally unrelated words here")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.containmentPairs(docs, "doc_id", "text", minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 2L, 1.0)), s"got $got")
+    val jac = DedupOps.jaccardPairs(docs, "doc_id", "text", minJaccard = 0.5)
+      .collect()
+    assert(jac.isEmpty, "Jaccard at 0.5 must NOT see the inclusion — that's the point")
+  }
+
+  test("containmentPairs: full duplicates contain each other in both directions") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq((1L, "same text here twice over"), (2L, "same text here twice over"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.containmentPairs(docs, "doc_id", "text", minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 1.0), (2L, 1L, 1.0)))
+  }
+
   // ---- duplicatedSpans ----
 
   test("duplicatedSpans: shared run marked in both docs, touching spans merge, gap splits") {
