@@ -1200,6 +1200,12 @@ object SparkEntry {
       TextOps.unigramNll(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "t_entropy" -> ((s, dir) =>
+      // per-doc token-distribution entropy + length-normalized form:
+      // the low-diversity (template/boilerplate) gate
+      TextOps.tokenEntropy(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "t_novelty" -> ((s, dir) =>
       // fraction of each doc's distinct trigrams found in no other doc
       // — the memorization/boilerplate signal; inverted-df shape
@@ -3650,6 +3656,28 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
         |       coalesce(round(ln((SELECT n FROM tot)) - mlf, 4), 0.0) AS avg_nll
         |FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // the factored entropy form (log2 n - sum(c*ln c)/n/ln 2) keeps the
+    // double chain identical on both engines; ln(2) and math.log(2.0)
+    // are the same IEEE double
+    "t_entropy" ->
+      """WITH inst AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, token, count(*) AS c FROM inst GROUP BY 1, 2),
+        |perdoc AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*) AS n_distinct,
+        |         ln(sum(c)::DOUBLE)/ln(2) - sum(c::DOUBLE * ln(c::DOUBLE))/sum(c)::DOUBLE/ln(2) AS h
+        |  FROM cnt GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+        |       coalesce(n_distinct, 0)::BIGINT AS n_distinct,
+        |       coalesce(round(h, 4), 0.0) AS entropy,
+        |       coalesce(CASE WHEN n_distinct > 1
+        |                     THEN round(h / (ln(n_distinct::DOUBLE)/ln(2)), 4)
+        |                     ELSE 0.0 END, 0.0) AS norm_entropy
+        |FROM documents d LEFT JOIN perdoc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "t_novelty" ->
       """WITH w AS (

@@ -409,6 +409,45 @@ object TextOps {
   }
 
   /**
+   * Per-document token-distribution entropy — the standard
+   * low-diversity gate (a templated page repeating 20 tokens has
+   * H ≈ 4 bits where natural prose of the same length sits near
+   * log2(n_tokens); MassiveText/Gopher-style pipelines threshold
+   * exactly this signal next to the repetition ratios). Uses the
+   * factored form H = log2(n) - (Σ c·log2 c)/n over within-doc token
+   * counts c, so the per-token work is one log on an integer count —
+   * both engines replay the identical double chain, no p_i division
+   * per term. `norm_entropy` = H / log2(distinct) ∈ [0,1] (1 = all
+   * tokens equally frequent; single-token and empty docs pin 0)
+   * makes the signal length-comparable for thresholding.
+   *
+   * Plan: one (doc, token) count aggregate (map-side combinable) +
+   * one doc-sized aggregate; empty docs survive via the left join.
+   */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = docs.select(col(idCol).as("doc_id"),
+        explode(words(lower(col(textCol)))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    val log2 = math.log(2.0)
+    val perDoc = counts.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (log(col("n_tokens").cast("double")) / lit(log2) -
+          col("clc") / col("n_tokens").cast("double") / lit(log2)).as("h"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(round(col("h"), 4), lit(0.0)).as("entropy"),
+        coalesce(when(col("n_distinct") > 1,
+            round(col("h") / (log(col("n_distinct").cast("double")) / lit(log2)), 4))
+          .otherwise(lit(0.0)), lit(0.0)).as("norm_entropy"))
+  }
+
+  /**
    * Exact heavy hitters: the `n` most frequent tokens per group, ties
    * to the lexicographically smaller token. One token-count
    * aggregation + a per-group top-n window — Spark turns the `rank <=

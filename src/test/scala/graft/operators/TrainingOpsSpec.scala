@@ -471,6 +471,27 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(g => (g._1, g._2, g._3.toSeq)) == naive.map(n => (n._1, n._2, n._3.toSeq)))
   }
 
+  // ---- tokenEntropy ----
+
+  test("tokenEntropy: uniform=log2(n), repeated=0, normalization, empty doc") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),   // uniform over 4 distinct: H=2.0, norm=1.0
+      (2L, "a a a a"),   // one token: H=0, norm pinned 0 (no 0/0)
+      (3L, "a a b b"),   // uniform over 2: H=1.0, norm=1.0
+      (4L, "")           // no tokens at all
+    ).toDF("doc_id", "text")
+    val got = TextOps.tokenEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (1L, 4L, 4L, 2.0, 1.0),
+      (2L, 4L, 1L, 0.0, 0.0),
+      (3L, 4L, 2L, 1.0, 1.0),
+      (4L, 0L, 0L, 0.0, 0.0)))
+  }
+
   // ---- containmentPairs ----
 
   test("containmentPairs: quoted doc hits ~1.0 into its digest where Jaccard dilutes") {
