@@ -535,6 +535,18 @@ object SparkEntry {
       SeriesOps.highestAverage(metricStream(s, dir), 10)
         .orderBy("rank")),
 
+    "g_linreg" -> ((s, dir) =>
+      // graphite linearRegression: per-series OLS as rational integer
+      // sums (milli-value per minute), NULL for degenerate series
+      SeriesOps.linearTrend(metricStream(s, dir))
+        .orderBy("path")),
+
+    "g_mad" -> ((s, dir) =>
+      // robust per-series outlier summary: exact dyadic median / MAD
+      // on doubled 1e-3-quantized integers, k = 3.5
+      SeriesOps.madOutliers(metricStream(s, dir), k = 3.5)
+        .orderBy("path")),
+
     "g_derivative" -> ((s, dir) =>
       // graphite derivative: per-series point-to-point delta
       SeriesOps.derivative(metricStream(s, dir))
@@ -630,6 +642,13 @@ object SparkEntry {
     "d_dedup_neardup" -> ((s, dir) =>
       // the scale path: LSH candidates, exact-jaccard verify on candidates only
       DedupOps.nearDuplicates(table(s, dir, "documents"), "doc_id", "text", minJaccard = 0.8)
+        .orderBy("id_a", "id_b")),
+
+    "d_dedup_editdist" -> ((s, dir) =>
+      // LSH blocking + bounded-Levenshtein verify: the dense-small-edit
+      // near-dup case word-shingle Jaccard is blind to
+      DedupOps.editDistancePairs(table(s, dir, "documents"), "doc_id", "text",
+          maxDist = 80)
         .orderBy("id_a", "id_b")),
 
     "d_dedup_clusters" -> ((s, dir) =>
@@ -1118,6 +1137,12 @@ object SparkEntry {
       TextOps.vocabulary(table(s, dir, "documents"), "text", topK = 100)
         .orderBy("rank")),
 
+    "p_bpe" -> ((s, dir) =>
+      // distributed BPE trainer: first 4 merges over the corpus
+      // word-frequency table; corpus scanned once, steps on vocab
+      TextOps.bpeMerges(table(s, dir, "documents"), "text", steps = 4)
+        .orderBy("step")),
+
     "p_stats" -> ((s, dir) =>
       // corpus composition per (source, lang) — the mixture-design input
       SampleOps.corpusStats(table(s, dir, "documents"), Seq("source", "lang"), "text")
@@ -1198,6 +1223,20 @@ object SparkEntry {
       // corpus-trained unigram-LM mean NLL (nats) per doc — the real
       // log-domain perplexity signal next to t_rarity's integer proxy
       TextOps.unigramNll(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "t_quality_rank" -> ((s, dir) =>
+      // keep the top 10% per language by quality score — integer
+      // rank-retention test, no percentile float anywhere
+      TextOps.qualityTopFraction(table(s, dir, "documents"), "doc_id", "text",
+          "lang", permille = 100)
+        .withColumnRenamed("grp", "lang").withColumnRenamed("id", "doc_id")
+        .orderBy("lang", "rank")),
+
+    "t_perplexity2" -> ((s, dir) =>
+      // corpus-trained bigram-LM mean NLL: the context-aware sibling
+      // of t_perplexity; high-here + low-there = word salad
+      TextOps.bigramNll(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
     "t_entropy" -> ((s, dir) =>
@@ -1351,6 +1390,39 @@ object SparkEntry {
     * training loop at that k, and the within-cell exact-cosine verify. */
   private def semanticOracleSql(head: String): String =
     "WITH " + head + ",\n" + SemanticOracleBody.stripMargin
+
+  /** Unrolled-CTE replay of [[graft.operators.TextOps.bpeMerges]]:
+    * per step, pair counts from the ||-delimited sequences, argmax
+    * with the same (freq DESC, t1, t2) tie-break, and the same
+    * `|t1||t2|` → `|t1t2|` replace-merge. */
+  private def bpeOracleSql(steps: Int): String = {
+    val head =
+      """WITH v AS (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS word
+        |    FROM documents) q GROUP BY 1),
+        |s0 AS (SELECT '||' || array_to_string(str_split(word, ''), '||') || '||' AS seq, cnt FROM v)""".stripMargin
+    val stepCtes = (1 to steps).map { i =>
+      val merge =
+        if (i < steps)
+          s""",
+             |s$i AS (SELECT replace(seq, '|' || t1 || '||' || t2 || '|',
+             |                       '|' || t1 || t2 || '|') AS seq, cnt
+             |        FROM s${i - 1}, b$i)""".stripMargin
+        else ""
+      s"""p$i AS (
+         |  SELECT t[i] AS t1, t[i + 1] AS t2, sum(cnt) AS freq FROM (
+         |    SELECT cnt, list_filter(str_split(seq, '||'), x -> x <> '') AS t
+         |    FROM s${i - 1}) q,
+         |    LATERAL unnest(generate_series(1, greatest(len(t) - 1, 0))) u(i)
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT t1, t2, freq FROM p$i ORDER BY freq DESC, t1, t2 LIMIT 1)""".stripMargin + merge
+    }
+    val tail = (1 to steps)
+      .map(i => s"SELECT ${i}::BIGINT AS step, t1, t2, freq::BIGINT AS freq FROM b$i")
+      .mkString("\n", "\nUNION ALL ", "\nORDER BY step")
+    (head +: stepCtes).mkString(",\n") + tail
+  }
 
   private val SemanticOracleBody =
     """|dims AS (SELECT unnest(generate_series(1, 64)) AS i),
@@ -2095,6 +2167,58 @@ object SparkEntry {
          |WHERE sx.variance > 0 AND abs((m.value - sx.mean) / sqrt(sx.variance)) > 3.0
          |ORDER BY m.path, m."time", m.version""".stripMargin,
 
+    "g_linreg" ->
+      s"""$OracleM,
+         |b AS (
+         |  SELECT path, "time",
+         |         CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS q
+         |  FROM m),
+         |x AS (
+         |  SELECT path,
+         |         ("time" - min("time") OVER (PARTITION BY path)) // 60 AS x, q
+         |  FROM b),
+         |a AS (
+         |  SELECT path, count(*)::BIGINT AS n,
+         |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(q) AS BIGINT) AS sq,
+         |         CAST(sum(x * x) AS BIGINT) AS sxx,
+         |         CAST(sum(x * q) AS BIGINT) AS sxq
+         |  FROM x GROUP BY 1),
+         |r AS (
+         |  SELECT path, n, n * sxq - sx * sq AS slope_num,
+         |         n * sxx - sx * sx AS slope_den, sx, sq
+         |  FROM a)
+         |SELECT path, n, slope_num, slope_den,
+         |       CASE WHEN slope_den <> 0
+         |            THEN round(slope_num::DOUBLE / slope_den::DOUBLE / 1000.0, 6)
+         |       END AS slope_per_min,
+         |       CASE WHEN slope_den <> 0
+         |            THEN round((sq::DOUBLE / n::DOUBLE
+         |                        - slope_num::DOUBLE / slope_den::DOUBLE
+         |                          * (sx::DOUBLE / n::DOUBLE)) / 1000.0, 6)
+         |       END AS intercept
+         |FROM r ORDER BY path""".stripMargin,
+
+    "g_mad" ->
+      s"""$OracleM,
+         |b AS (
+         |  SELECT path,
+         |         (CAST(floor(value * 1000.0 + 0.5) AS BIGINT) * 2)::DOUBLE AS q2
+         |  FROM m),
+         |med AS (
+         |  SELECT path, count(*)::BIGINT AS n, quantile_cont(q2, 0.5) AS med2
+         |  FROM b GROUP BY 1),
+         |dev AS (
+         |  SELECT b.path, n, med2, abs(q2 - med2) AS dev2
+         |  FROM b JOIN med USING (path)),
+         |mad AS (SELECT path, quantile_cont(dev2, 0.5) AS mad2 FROM dev GROUP BY 1)
+         |SELECT d.path, max(n)::BIGINT AS n,
+         |       round(max(med2) / 2000.0, 4) AS median,
+         |       round(max(mad2) / 2000.0, 4) AS mad,
+         |       CAST(sum(CASE WHEN mad2 > 0 AND dev2 > 3.5 * mad2
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM dev d JOIN mad USING (path)
+         |GROUP BY 1 ORDER BY d.path""".stripMargin,
+
     "g_highest" ->
       s"""$OracleM,
          |st AS (
@@ -2296,6 +2420,37 @@ object SparkEntry {
         |FROM band a JOIN band b ON a.band = b.band AND a.bandval = b.bandval
         |                        AND a.doc_id < b.doc_id
         |ORDER BY 1, 2""".stripMargin,
+
+    "d_dedup_editdist" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS wd
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(wd) < 3 THEN [array_to_string(wd, ' ')]
+        |         ELSE list_transform(generate_series(1, len(wd) - 2),
+        |                             i -> array_to_string(wd[i:i+2], ' ')) END)) AS sh
+        |  FROM w),
+        |mh AS (
+        |  SELECT doc_id, seed, min(md5(seed || ':' || sh)) AS mh
+        |  FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+        |  GROUP BY 1, 2),
+        |band AS (
+        |  SELECT doc_id, seed // 4 AS band,
+        |         string_agg(seed || '~' || mh, '|' ORDER BY seed || '~' || mh) AS bandval
+        |  FROM mh GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM band a JOIN band b ON a.band = b.band AND a.bandval = b.bandval
+        |                          AND a.doc_id < b.doc_id),
+        |v AS (
+        |  SELECT id_a, id_b, levenshtein(ta.text, tb.text)::BIGINT AS dist,
+        |         greatest(length(ta.text), length(tb.text), 1)::BIGINT AS maxlen
+        |  FROM cand JOIN documents ta ON id_a = ta.doc_id
+        |            JOIN documents tb ON id_b = tb.doc_id)
+        |SELECT id_a, id_b, dist,
+        |       round(1.0 - dist::DOUBLE / maxlen::DOUBLE, 4) AS sim
+        |FROM v WHERE dist <= 80 ORDER BY id_a, id_b""".stripMargin,
 
     "d_dedup_neardup" ->
       """WITH w AS (
@@ -3391,6 +3546,8 @@ object SparkEntry {
         |SELECT row_number() OVER (ORDER BY freq DESC, token ASC)::BIGINT AS rank, token, freq
         |FROM f ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
 
+    "p_bpe" -> bpeOracleSql(4),
+
     // per-doc quality identical to the t_quality oracle; all sums exact ints
     "p_stats" ->
       """WITH w AS (
@@ -3655,6 +3812,52 @@ object SparkEntry {
         |  FROM inst JOIN freq USING (token) GROUP BY 1)
         |SELECT d.doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
         |       coalesce(round(ln((SELECT n FROM tot)) - mlf, 4), 0.0) AS avg_nll
+        |FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "t_quality_rank" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, text,
+        |         length(text)::BIGINT AS len,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS lw,
+        |         (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))::BIGINT AS np
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, lang, len, np,
+        |    len(lw)::BIGINT AS nw,
+        |    len(list_filter(lw, x -> x IN ('the','a','an','of','to','and','in','is','on','for')))::BIGINT AS ns
+        |  FROM w),
+        |q AS (
+        |  SELECT doc_id, lang,
+        |       (400 * least(len, 500)) // 500
+        |     + CASE WHEN nw = 0 THEN 0 ELSE (300 * least(ns * 5, nw)) // nw END
+        |     + CASE WHEN len = 0 THEN 0 ELSE (300 * greatest(len - np * 5, 0)) // len END AS quality
+        |  FROM f),
+        |r AS (
+        |  SELECT lang, doc_id, quality,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY quality DESC, doc_id ASC) AS rank,
+        |         count(*) OVER (PARTITION BY lang) AS n_group
+        |  FROM q)
+        |SELECT lang, doc_id, quality, rank::BIGINT AS rank, n_group::BIGINT AS n_group
+        |FROM r WHERE rank * 1000 <= n_group * 100
+        |ORDER BY lang, rank""".stripMargin,
+
+    "t_perplexity2" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |inst AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM w, LATERAL unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM inst GROUP BY 1, 2),
+        |pre AS (SELECT w1, count(*) AS c1 FROM inst GROUP BY 1),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |         avg(ln(c1::DOUBLE) - ln(c12::DOUBLE)) AS nll
+        |  FROM inst JOIN big USING (w1, w2) JOIN pre USING (w1) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+        |       coalesce(round(nll, 4), 0.0) AS avg_nll
         |FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     // the factored entropy form (log2 n - sum(c*ln c)/n/ln 2) keeps the

@@ -711,4 +711,44 @@ object DedupOps {
           .when(col("fp_old") === col("fp_new"), "same")
           .otherwise("changed").as("status"))
   }
+
+  /**
+   * Edit-distance near-duplicates: MinHash/LSH blocking (the same band
+   * join every shingle-family detector here shares), then a
+   * CHARACTER-level Levenshtein verify over candidate pairs only.
+   * Jaccard on word shingles is blind to dense small edits (typo
+   * storms, OCR noise: every shingle changes, the set overlap
+   * collapses even though the strings are one keystroke apart per
+   * word); edit distance prices exactly that case.
+   *
+   * The verify uses Spark's bounded `levenshtein(l, r, threshold)` —
+   * the banded O(len·maxDist) form that abandons a pair the moment it
+   * exceeds the cap, not the O(len²) full matrix; at corpus scale the
+   * cap is what makes verifying long near-miss candidates affordable.
+   * Similarity is 1 − dist/max(len), on the pair's longer side.
+   *
+   * Scale: candidate pairs are LSH-bounded (never n²); text travels
+   * only to pairs that survived blocking, via the same semi-join-down
+   * shape as [[nearDuplicates]]. Pairs whose distance exceeds
+   * `maxDist` cost O(len·maxDist) and emit nothing.
+   */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int, k: Int = 16, bands: Int = 4,
+                        w: Int = 3): DataFrame = {
+    val cand = minhashCandidates(docs, idCol, textCol, k, bands, w).localCheckpoint()
+    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val texts = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(candIds, "id")
+    val joined = cand
+      .join(texts.select(col("id").as("id_a"), col("text").as("ta")), "id_a")
+      .join(texts.select(col("id").as("id_b"), col("text").as("tb")), "id_b")
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+    joined
+      .withColumn("maxlen",
+        greatest(length(col("ta")), length(col("tb")), lit(1)).cast("long"))
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"),
+        round(lit(1.0) - col("dist").cast("double") / col("maxlen").cast("double"), 4)
+          .as("sim"))
+  }
 }

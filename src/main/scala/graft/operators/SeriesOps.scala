@@ -362,4 +362,94 @@ object SeriesOps {
       .select(col("rank").cast("long").as("rank"), col("path"),
         col("n_points"), col("avg_value"))
   }
+
+  /**
+   * graphite `linearRegression(series)`: per-series ordinary least
+   * squares over (minutes-since-series-start, value), as RATIONAL
+   * integer sums — `slope_num / slope_den` is the exact OLS slope in
+   * milli-value units per minute, derivable bit-identically on any
+   * engine because every sum is a LONG over quantized inputs:
+   * x = (time − min time) / 60 (integer minutes), q = round(value·1e3).
+   *
+   *   slope_num = n·Σxq − Σx·Σq     slope_den = n·Σx² − (Σx)²
+   *
+   * Overflow audit (LONG max ~9.2e18): with a 30-day series span
+   * (x ≤ 43 200) and |value| ≤ 1e3 (q ≤ 1e6), n·Σxq ≤ n²·4.3e10 —
+   * safe to n ≈ 14 000 points/series; a year-long span is safe to
+   * n ≈ 4 000. Beyond that, coarsen x to hours (same formula). The
+   * doubles (`slope_per_min`, `intercept`) derive from the integer
+   * sums through one fixed arithmetic chain, so they replay too.
+   *
+   * Single-minute or single-point series (slope_den = 0) emit NULL
+   * slope/intercept. One hash aggregation on `path`; output is
+   * series-count-sized. Scale: no window, no join, no sort — the
+   * cheapest per-series shape there is.
+   */
+  def linearTrend(points: DataFrame): DataFrame = {
+    val q = floor(col("value") * lit(1.0e3) + lit(0.5)).cast("long")
+    val agg = points
+      .withColumn("tmin", min(col("time")).over(Window.partitionBy("path")))
+      .withColumn("x", ((col("time") - col("tmin")) / lit(60L)).cast("long"))
+      .withColumn("q", q)
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("q")).as("sq"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("q")).as("sxq"))
+    val num = col("n") * col("sxq") - col("sx") * col("sq")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val slope = col("slope_num").cast("double") / col("slope_den").cast("double")
+    val meanX = col("sx").cast("double") / col("n").cast("double")
+    val meanQ = col("sq").cast("double") / col("n").cast("double")
+    agg
+      .withColumn("slope_num", num)
+      .withColumn("slope_den", den)
+      .select(col("path"), col("n"), col("slope_num"), col("slope_den"),
+        when(col("slope_den") =!= 0L, round(slope / lit(1.0e3), 6))
+          .as("slope_per_min"),
+        when(col("slope_den") =!= 0L,
+            round((meanQ - slope * meanX) / lit(1.0e3), 6))
+          .as("intercept"))
+  }
+
+  /**
+   * Robust per-series outliers by median / MAD (median absolute
+   * deviation) — the z-score detector's heavy-tail-safe sibling:
+   * one wild point inflates σ and hides itself, but barely moves the
+   * median. Works on DOUBLED 1e-3-quantized integers (`q2 = 2·q`) so
+   * every exact-interpolated median is a dyadic rational (int or
+   * int + 0.5) that both engines represent exactly in a double —
+   * the same type-7 `percentile` / `quantile_cont` contract the group
+   * percentile operator pins. A point is an outlier when
+   * |q2 − median(q2)| > k·MAD(q2) (the 0.6745 σ-consistency constant
+   * is folded into the caller's k). Constant series (MAD = 0) emit
+   * zero outliers rather than all-points-outlying.
+   *
+   * Plan: three path-keyed hash shuffles (median agg → deviation join
+   * → MAD agg → count join), each over series-count-sized aggregate
+   * frames on one side; no global sort — the per-series exact median
+   * sorts only within its group's partition.
+   */
+  def madOutliers(points: DataFrame, k: Double): DataFrame = {
+    val q2 = (floor(col("value") * lit(1.0e3) + lit(0.5)).cast("long") * 2L)
+      .cast("double")
+    val med = points.groupBy("path").agg(
+      count(lit(1)).as("n"),
+      percentile(q2, lit(0.5)).as("med2"))
+    val dev = points.join(med, "path")
+      .withColumn("dev2", abs(q2 - col("med2")))
+    val mad = dev.groupBy("path").agg(percentile(col("dev2"), lit(0.5)).as("mad2"))
+    dev.join(mad, "path")
+      .groupBy("path")
+      .agg(first(col("n")).as("n"),
+        first(col("med2")).as("med2"),
+        first(col("mad2")).as("mad2"),
+        sum(when(col("mad2") > 0 && col("dev2") > lit(k) * col("mad2"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("path"), col("n"),
+        round(col("med2") / lit(2000.0), 4).as("median"),
+        round(col("mad2") / lit(2000.0), 4).as("mad"),
+        col("n_outliers"))
+  }
 }

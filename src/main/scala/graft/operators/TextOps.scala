@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -651,5 +652,142 @@ object TextOps {
       .filter(col("rank") <= n)
       .select(col("rank").cast("long").as("rank"), col("w1"), col("w2"),
         col("c12"), col("c1"), col("c2"), col("pmi_micro"))
+  }
+
+  /**
+   * Per-group top-fraction selection by quality score: keep the best
+   * `permille`/1000 of each group's documents, ranked by
+   * (quality DESC, id ASC) — the deterministic integer form of "keep
+   * the top 10% per language". The retention test is pure integer
+   * arithmetic (`rank · 1000 ≤ n_group · permille`), so the kept set
+   * is engine-exact with no percentile float anywhere.
+   *
+   * Scale: the rank is a per-group window — one shuffle keyed by the
+   * group column, full sort of each group in its partition. Fine
+   * while every group fits a partition (languages at corpus scale do
+   * not). The 100 TB form keeps this exact contract only for bounded
+   * groups; for corpus-sized groups, swap the window for a quality
+   * THRESHOLD from the fixed-grid quantile sketch (SketchOps) and
+   * accept grid-width tie imprecision at the boundary — the same
+   * trade the per-domain frequency cap documents.
+   */
+  def qualityTopFraction(docs: DataFrame, idCol: String, textCol: String,
+                         groupCol: String, permille: Int): DataFrame = {
+    require(permille >= 1 && permille <= 1000, s"permille in [1,1000], got $permille")
+    docs.select(col(groupCol).as("grp"), col(idCol).as("id"),
+        qualityScore(col(textCol)).as("quality"))
+      .withColumn("rank", row_number().over(Window.partitionBy("grp")
+        .orderBy(col("quality").desc, col("id").asc)))
+      .withColumn("n_group", count(lit(1)).over(Window.partitionBy("grp")))
+      .filter(col("rank") * 1000L <= col("n_group") * permille)
+      .select(col("grp"), col("id"), col("quality"),
+        col("rank").cast("long").as("rank"), col("n_group"))
+  }
+
+  /**
+   * Corpus-trained BIGRAM-LM mean NLL per document — the unigram
+   * model's context-aware sibling: P(w|prev) = c(prev,w) / c(prev,·),
+   * where c(prev,·) counts `prev` as the FIRST element of any corpus
+   * bigram (so the distribution sums to 1 by construction and no
+   * smoothing is needed on the training corpus itself). A doc of
+   * common words in a novel ORDER scores high here and low on the
+   * unigram NLL — the gap between the two is a word-salad signal.
+   *
+   * mean NLL = avg(ln c(prev,·) − ln c(prev,w)) in nats, rounded to
+   * 4 decimals (the shared libm-ulp headroom of the NLL family).
+   * Docs with < 2 tokens have no bigrams: n_bigrams 0, nll 0.
+   *
+   * Plan: bigrams via the zip-slice projection (no token self-join,
+   * the pmiBigrams lesson); two count aggregates (bigram, prefix) —
+   * both map-side combinable — and two equi joins back to instances.
+   */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), words(lower(col(textCol))).as("t"))
+    val inst = toks
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))))).as("bg"))
+      .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+    val big = inst.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val pre = inst.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val perDoc = inst
+      .join(big, Seq("w1", "w2"))
+      .join(pre, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(log(col("c1").cast("double")) - log(col("c12").cast("double"))).as("nll"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(round(col("nll"), 4), lit(0.0)).as("avg_nll"))
+  }
+
+  /**
+   * Distributed BPE trainer: the first `steps` byte-pair merges over
+   * the corpus word-frequency table, each step emitting the merged
+   * pair and its global count. Classic Sennrich BPE — per step, count
+   * every adjacent token pair weighted by word frequency, pick the
+   * most frequent (ties to the lexicographically smaller pair), and
+   * merge its occurrences LEFT-TO-RIGHT NON-OVERLAPPING in every word.
+   *
+   * The merge is expressed as a plain `replace`, no per-word loop:
+   * token sequences live as `||`-delimited strings (`||n||e||w||`),
+   * and the pattern `|t1||t2|` → `|t1t2|` consumes one delimiter from
+   * each side, leaving one — so two adjacent occurrences still match
+   * back-to-back, while an occurrence OVERLAPPING a just-merged token
+   * cannot (its delimiter was consumed). That makes the engine's
+   * leftmost-continue-after-replacement `replace` semantics exactly
+   * BPE's scan — on Spark and on any SQL engine with standard
+   * `replace`, which is what lets the oracle replay training
+   * verbatim. (Tokens must not contain `|`; the tokenizer's word
+   * charset here is `\S`, so a literal `|` in text would break the
+   * encoding — production use would map delimiters out first.)
+   *
+   * Scale: the corpus is touched ONCE (word-count aggregate,
+   * map-side combinable); every merge step runs on the vocabulary
+   * table, which is bounded (Heaps' law) and `localCheckpoint`ed so
+   * the k-step lineage never re-reads the corpus. Each step is one
+   * vocab-sized pair aggregate + a 1-row argmax broadcast into a
+   * projection — the sequential step barrier is inherent to BPE
+   * (merge k depends on merge k-1), not an implementation artifact.
+   */
+  def bpeMerges(docs: DataFrame, textCol: String, steps: Int): DataFrame = {
+    require(steps >= 1 && steps <= 64, s"steps in [1,64], got $steps")
+    val vocab = docs.select(explode(words(lower(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit("||"),
+        array_join(filter(split(col("word"), ""), t => length(t) > 0), "||"),
+        lit("||")).as("seq"), col("cnt"))
+      .localCheckpoint()
+
+    def bestPair(cur: DataFrame): DataFrame = {
+      val t = filter(split(col("seq"), "\\|\\|"), x => length(x) > 0)
+      cur.select(col("cnt"), t.as("t"))
+        .select(col("cnt"), explode(arrays_zip(
+          slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+          slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))))).as("bg"))
+        .select(col("cnt"), col("bg.0").as("t1"), col("bg.1").as("t2"))
+        .groupBy("t1", "t2").agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("t1").asc, col("t2").asc)
+        .limit(1)
+        .localCheckpoint() // 1 row; pins the argmax so merge + output share it
+    }
+
+    var cur = vocab
+    var out: DataFrame = null
+    for (step <- 1 to steps) {
+      val best = bestPair(cur)
+      val labeled = best.select(lit(step.toLong).as("step"),
+        col("t1"), col("t2"), col("freq"))
+      out = if (out == null) labeled else out.union(labeled)
+      if (step < steps)
+        cur = cur.crossJoin(broadcast(best.drop("freq")))
+          .withColumn("seq", replace(col("seq"),
+            concat(lit("|"), col("t1"), lit("||"), col("t2"), lit("|")),
+            concat(lit("|"), col("t1"), col("t2"), lit("|"))))
+          .select("seq", "cnt")
+    }
+    out
   }
 }

@@ -131,6 +131,21 @@ object ScaleCurve {
     run("dup_spans", d => DedupOps.duplicatedSpans(docs(d), "doc_id", "text"))
     run("containment", d => DedupOps.containmentPairs(docs(d), "doc_id", "text", 0.9))
 
+    // session-5 additions: linreg/mad are series-count-sized, editdist
+    // output tracks the LSH candidate set, bpe emits exactly `steps`
+    // rows (cost = one corpus scan + vocab-sized steps), quality rank
+    // keeps a fixed fraction, bigram NLL is doc-sized
+    def mstream(dir: String) = evs(dir).select(
+      concat(lit("s."), col("user_id") % 100).as("path"),
+      col("value"), col("tsec").as("time"), col("event_id").as("version"))
+    run("linreg", d => graft.operators.SeriesOps.linearTrend(mstream(d)))
+    run("mad", d => graft.operators.SeriesOps.madOutliers(mstream(d), 3.5))
+    run("editdist", d => DedupOps.editDistancePairs(docs(d), "doc_id", "text", 80))
+    run("quality_rank", d => graft.operators.TextOps.qualityTopFraction(
+      docs(d), "doc_id", "text", "lang", 100))
+    run("bigram_nll", d => graft.operators.TextOps.bigramNll(docs(d), "doc_id", "text"))
+    run("bpe4", d => graft.operators.TextOps.bpeMerges(docs(d), "text", 4))
+
     spark.stop()
   }
 }

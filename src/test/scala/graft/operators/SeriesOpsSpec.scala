@@ -246,6 +246,38 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("linearTrend: exact rational OLS, degenerate series emit NULL slope") {
+    val p = pts(
+      ("a", 1.0, 0L, 1L), ("a", 2.0, 60L, 2L), ("a", 3.0, 120L, 3L), // slope 1/min
+      ("b", 7.0, 500L, 1L),                    // single point
+      ("c", 1.0, 0L, 1L), ("c", 9.0, 30L, 2L)) // same minute -> den 0
+    val rows = SeriesOps.linearTrend(p).orderBy("path").collect()
+    val a = rows(0)
+    // n=3, sx=3, sq=6000, sxx=5, sxq=8000 -> num 6000, den 6
+    assert((a.getString(0), a.getLong(1), a.getLong(2), a.getLong(3)) ==
+      ("a", 3L, 6000L, 6L))
+    assert(a.getDouble(4) == 1.0 && a.getDouble(5) == 1.0)
+    assert(rows(1).isNullAt(4) && rows(1).isNullAt(5))
+    assert(rows(2).getLong(3) == 0L && rows(2).isNullAt(4))
+  }
+
+  test("madOutliers: dyadic medians, MAD=0 guard, even-count interpolation") {
+    val p = pts(
+      // one wild point against a constant base: MAD 0 -> no outliers
+      ("a", 1.0, 0L, 1L), ("a", 1.0, 1L, 2L), ("a", 1.0, 2L, 3L),
+      ("a", 1.0, 3L, 4L), ("a", 100.0, 4L, 5L),
+      // spread base: the wild point is the one outlier
+      ("b", 1.0, 0L, 1L), ("b", 2.0, 1L, 2L), ("b", 3.0, 2L, 3L),
+      ("b", 4.0, 3L, 4L), ("b", 100.0, 4L, 5L),
+      // even count: median/MAD interpolate to exact halves
+      ("c", 1.0, 0L, 1L), ("c", 2.0, 1L, 2L))
+    val rows = SeriesOps.madOutliers(p, k = 3.5).orderBy("path").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(rows(0) == ("a", 5L, 1.0, 0.0, 0L))
+    assert(rows(1) == ("b", 5L, 3.0, 1.0, 1L))
+    assert(rows(2) == ("c", 2L, 1.5, 0.5, 0L))
+  }
+
   test("movingAverage is partition-layout invariant (integer frame sums)") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val tsec = raw.schema("ts").dataType match {

@@ -563,4 +563,73 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
     assert(got == Seq((1L, 0, 4), (2L, 0, 2), (2L, 3, 5)))
   }
+
+  test("bpeMerges: Sennrich example — hand-computed merges, lexicographic tie-break") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq((1L,
+      "low low low lower lower newest newest newest newest widest"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bpeMerges(docs, "text", steps = 4).orderBy("step")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // step2 ties (l,o)=5 with (s,t)=5 -> lexicographic 'l' wins;
+    // step4 ties (e,we)=(n,e)=(we,st)=4 -> 'e' wins
+    assert(got == Seq((1L, "w", "e", 6L), (2L, "l", "o", 5L),
+      (3L, "s", "t", 5L), (4L, "e", "we", 4L)))
+  }
+
+  test("bpeMerges: back-to-back occurrences both merge, overlap with a fresh merge cannot") {
+    val ss = spark; import ss.implicits._
+    // "abab": both (a,b) occurrences merge in one step (delimiter
+    // sharing); "aaa" merges only the LEFTMOST (a,a) pair
+    val docs = Seq((1L, "abab abab abab aaa")).toDF("doc_id", "text")
+    val m = TextOps.bpeMerges(docs, "text", steps = 4).orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // step1: (a,b)=6; step2: (ab,ab)=3 beats (a,a)=2 (overlap-counted);
+    // step3: (a,a)=2 in "aaa"; step4: leftmost merge left [aa, a], so
+    // the surviving pair is (aa, a) — a rightmost merge would emit (a, aa)
+    assert(m == Seq(("a", "b", 6L), ("ab", "ab", 3L), ("a", "a", 2L), ("aa", "a", 1L)))
+  }
+
+  test("editDistancePairs: one-word edit verifies, threshold drops it, distinct docs never pair") {
+    val ss = spark; import ss.implicits._
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "alpha beta gamma delta epsilon zeta eta theta iota kappZ"
+    val docs = Seq(
+      (1L, t1), (2L, t2),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.editDistancePairs(docs, "doc_id", "text", maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq((1L, 2L, 1L, math.rint((1.0 - 1.0 / t1.length) * 1e4) / 1e4)))
+    // bounded verify: threshold 0 abandons the pair (banded levenshtein
+    // returns -1 past the cap; the filter drops it)
+    assert(DedupOps.editDistancePairs(docs, "doc_id", "text", maxDist = 0).isEmpty)
+  }
+
+  test("qualityTopFraction: integer retention per group, quality-then-id order") {
+    val ss = spark; import ss.implicits._
+    // 10 en docs of increasing length (higher quality), 5 short de docs
+    val docs = ((1 to 10).map(i => (i.toLong, "en", ("the word " * (i * 5)).trim)) ++
+      (11 to 15).map(i => (i.toLong, "de", "kurz text"))).toDF("doc_id", "lang", "text")
+    val got = TextOps.qualityTopFraction(docs, "doc_id", "text", "lang", permille = 200)
+      .orderBy("grp", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4))).toSeq
+    // en keeps 2 of 10 (the two longest), de keeps 1 of 5 (all tie -> min id)
+    assert(got == Seq(("de", 11L, 1L, 5L), ("en", 10L, 1L, 10L), ("en", 9L, 2L, 10L)))
+  }
+
+  test("bigramNll: conditional probabilities from prefix counts, short docs coalesce to 0") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bigramNll(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    // c(a,b)=2, c(a,c)=1, prefix c(a)=3
+    assert(got == Seq(
+      (1L, 1L, r4(math.log(3.0) - math.log(2.0))),
+      (2L, 1L, r4(math.log(3.0) - math.log(2.0))),
+      (3L, 1L, r4(math.log(3.0))),
+      (4L, 0L, 0.0)))
+  }
 }
