@@ -444,6 +444,15 @@ object SparkEntry {
       GraphOps.labelPropagation(edges, iterations = 3).orderBy("node")
     }),
 
+    "q22_triangles" -> ((s, dir) =>
+      // degree-oriented exact triangle counts on the banded
+      // (user % 997) <-> (user + k) % 997 graph from event props
+      GraphOps.triangleParticipation(events(s, dir).select(
+          (col("user_id") % 997).as("src"),
+          ((col("user_id") + get_json_object(col("props"), "$.k").cast("long")) % 997)
+            .as("dst")))
+        .orderBy("node")),
+
     "p_distinct_kmv" -> ((s, dir) =>
       // KMV distinct sketch per lang; k=72 straddles the group sizes so
       // BOTH branches are driver-checked: de(70)/fr(64) take the exact
@@ -789,6 +798,23 @@ object SparkEntry {
       SimilarityOps.bruteForceTopK(e.filter(col("id") < 5), e, k = 5)
         .orderBy("query_id", "rank")
     }),
+
+    "s_hard_negatives" -> ((s, dir) => {
+      // contrastive hard negatives: nearest corpus vectors with a
+      // DIFFERENT label, per query — the near-miss mining step
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"), col("label"))
+      SimilarityOps.hardNegatives(e.filter(col("id") < 5), e, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    "s_label_outliers" -> ((s, dir) =>
+      // label-noise audit: per label, the 5 vectors farthest from
+      // their own exact class centroid (mislabel candidates)
+      KMeansOps.labelOutliers(table(s, dir, "embeddings"), "vec_id", "label",
+          "embedding", topPerLabel = 5)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("label", "rank")),
 
     "s_ann_lsh" -> ((s, dir) => {
       // LSH-bucketed ANN (scale path). The md5-derived hyperplanes make the
@@ -1143,6 +1169,13 @@ object SparkEntry {
       TextOps.bpeMerges(table(s, dir, "documents"), "text", steps = 4)
         .orderBy("step")),
 
+    "p_bpe_encode" -> ((s, dir) =>
+      // apply the 4 trained merges back: per-doc word + BPE token
+      // counts via one join to the vocab-sized token-count map
+      TextOps.bpeEncodeCounts(table(s, dir, "documents"), "doc_id", "text",
+          steps = 4)
+        .orderBy("doc_id")),
+
     "p_stats" -> ((s, dir) =>
       // corpus composition per (source, lang) — the mixture-design input
       SampleOps.corpusStats(table(s, dir, "documents"), Seq("source", "lang"), "text")
@@ -1395,18 +1428,18 @@ object SparkEntry {
     * per step, pair counts from the ||-delimited sequences, argmax
     * with the same (freq DESC, t1, t2) tie-break, and the same
     * `|t1||t2|` → `|t1t2|` replace-merge. */
-  private def bpeOracleSql(steps: Int): String = {
+  private def bpeOracleSql(steps: Int, encode: Boolean = false): String = {
     val head =
       """WITH v AS (
         |  SELECT word, count(*) AS cnt FROM (
         |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS word
         |    FROM documents) q GROUP BY 1),
-        |s0 AS (SELECT '||' || array_to_string(str_split(word, ''), '||') || '||' AS seq, cnt FROM v)""".stripMargin
+        |s0 AS (SELECT word, '||' || array_to_string(str_split(word, ''), '||') || '||' AS seq, cnt FROM v)""".stripMargin
     val stepCtes = (1 to steps).map { i =>
       val merge =
-        if (i < steps)
+        if (i < steps || encode)
           s""",
-             |s$i AS (SELECT replace(seq, '|' || t1 || '||' || t2 || '|',
+             |s$i AS (SELECT word, replace(seq, '|' || t1 || '||' || t2 || '|',
              |                       '|' || t1 || t2 || '|') AS seq, cnt
              |        FROM s${i - 1}, b$i)""".stripMargin
         else ""
@@ -1418,9 +1451,24 @@ object SparkEntry {
          |  GROUP BY 1, 2),
          |b$i AS (SELECT t1, t2, freq FROM p$i ORDER BY freq DESC, t1, t2 LIMIT 1)""".stripMargin + merge
     }
-    val tail = (1 to steps)
-      .map(i => s"SELECT ${i}::BIGINT AS step, t1, t2, freq::BIGINT AS freq FROM b$i")
-      .mkString("\n", "\nUNION ALL ", "\nORDER BY step")
+    val tail =
+      if (encode)
+        s"""
+           |, tok AS (
+           |  SELECT word, len(list_filter(str_split(seq, '||'), x -> x <> ''))::BIGINT AS n_tok
+           |  FROM s$steps),
+           |inst AS (
+           |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS word
+           |  FROM documents),
+           |perdoc AS (
+           |  SELECT doc_id, count(*) AS n_words, sum(n_tok) AS n_bpe
+           |  FROM inst JOIN tok USING (word) GROUP BY 1)
+           |SELECT d.doc_id, coalesce(n_words, 0)::BIGINT AS n_words,
+           |       coalesce(n_bpe, 0)::BIGINT AS n_bpe_tokens
+           |FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id""".stripMargin
+      else (1 to steps)
+        .map(i => s"SELECT ${i}::BIGINT AS step, t1, t2, freq::BIGINT AS freq FROM b$i")
+        .mkString("\n", "\nUNION ALL ", "\nORDER BY step")
     (head +: stepCtes).mkString(",\n") + tail
   }
 
@@ -2000,6 +2048,22 @@ object SparkEntry {
 
     // unrolled plurality/min-label LPA: window argmax after the
     // (dst, label) count replays Spark's row_number round exactly
+    // same triangle SET as the degree-oriented Spark plan, enumerated
+    // in canonical a<b<c order (orientation changes join sizes, never
+    // the triangles)
+    "q22_triangles" ->
+      """WITH raw AS (
+        |  SELECT user_id % 997 AS u,
+        |         (user_id + json_extract_string(props, '$.k')::BIGINT) % 997 AS v
+        |  FROM events),
+        |e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw WHERE u <> v),
+        |t AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (SELECT unnest([x, y, z]) AS node FROM t)
+        |SELECT node, count(*) AS n_triangles FROM corners GROUP BY 1 ORDER BY node""".stripMargin,
+
     "q21_lpa" -> {
       def round(prev: String, cur: String) =
         s"""$cur AS (
@@ -2957,6 +3021,43 @@ object SparkEntry {
         |SELECT query_id, rank::BIGINT AS rank, neighbor_id, sim
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    "s_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS ql, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, label AS nl, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id, nl,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))), 6) AS sim
+        |  FROM q, c WHERE ql <> nl),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, nl, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank::BIGINT AS rank, neighbor_id, nl::BIGINT AS neighbor_label, sim
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "s_label_outliers" ->
+      """WITH comp AS (
+        |  SELECT label, i,
+        |         sum(floor(embedding[i]::DOUBLE * 10000000.0 + 0.5))::BIGINT::DOUBLE
+        |           / (count(*)::DOUBLE * 10000000.0) AS mean
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) dims
+        |  GROUP BY label, i),
+        |cen AS (SELECT label, list(mean ORDER BY i) AS centroid FROM comp GROUP BY 1),
+        |d AS (
+        |  SELECT e.label, e.vec_id,
+        |         round(sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> (e.embedding[i]::DOUBLE - centroid[i]) * (e.embedding[i]::DOUBLE - centroid[i])))), 6) AS dist
+        |  FROM embeddings e JOIN cen USING (label)),
+        |r AS (
+        |  SELECT label, vec_id, dist,
+        |         row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id ASC) AS rank
+        |  FROM d)
+        |SELECT label::BIGINT AS label, rank::BIGINT AS rank, vec_id, dist
+        |FROM r WHERE rank <= 5 ORDER BY label, rank""".stripMargin,
+
     "s_ann_lsh" ->
       """WITH planes AS (
         |  SELECT b, list_transform(generate_series(0, 63),
@@ -3547,6 +3648,7 @@ object SparkEntry {
         |FROM f ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
 
     "p_bpe" -> bpeOracleSql(4),
+    "p_bpe_encode" -> bpeOracleSql(4, encode = true),
 
     // per-doc quality identical to the t_quality oracle; all sums exact ints
     "p_stats" ->

@@ -288,4 +288,40 @@ object KMeansOps {
           s => s.getField("mean")).as("centroid"))
       .select(col("label"), col("n"), col("centroid"))
   }
+
+  /**
+   * Mislabel candidates: for each label, the `topPerLabel` vectors
+   * FARTHEST from their own label's exact centroid — the standard
+   * label-noise audit (a point sitting far from its class center in
+   * embedding space is the first thing a human should re-check, and
+   * what confident-learning pipelines prune). Distance is euclidean
+   * against the [[labelCentroids]] exact quantized mean, folded
+   * left-to-right over the zipped arrays so both engines walk the
+   * identical double chain; ties break to the smaller vector id.
+   *
+   * Scale: the centroid table is label-count-sized — broadcast — so
+   * the corpus is one scan + a per-label top-k window (WindowGroupLimit
+   * prunes to `topPerLabel` per partition before the label shuffle).
+   * No vector ever shuffles: only (label, id, dist) rows reach the
+   * rank exchange.
+   */
+  def labelOutliers(vecs: DataFrame, idCol: String, labelCol: String,
+                    vecCol: String, topPerLabel: Int): DataFrame = {
+    val cents = labelCentroids(vecs, labelCol, vecCol)
+      .select(col("label"), col("centroid"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(col("dist").desc, col("id").asc)
+    vecs.select(col(labelCol).as("label"), col(idCol).as("id"), col(vecCol).as("v"))
+      .join(broadcast(cents), "label")
+      .withColumn("dist", round(sqrt(aggregate(
+        zip_with(col("v"), col("centroid"), (x, c) => {
+          val d = x.cast("double") - c
+          d * d
+        }),
+        lit(0.0), (acc, e) => acc + e)), 6))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= topPerLabel)
+      .select(col("label").cast("long").as("label"),
+        col("rank").cast("long").as("rank"), col("id"), col("dist"))
+  }
 }

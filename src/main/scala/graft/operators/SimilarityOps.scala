@@ -97,6 +97,37 @@ object SimilarityOps {
   }
 
   /**
+   * Hard-negative mining for contrastive training: for each query
+   * vector, the `k` corpus vectors MOST similar to it that carry a
+   * DIFFERENT label — the near-misses a contrastive loss learns the
+   * most from (an easy negative contributes ~zero gradient). Same
+   * exact-cosine + windowed-rank shape as [[bruteForceTopK]] with the
+   * label-inequality folded into the join condition, so mismatched
+   * pairs are dropped at the broadcast probe, before any scoring.
+   *
+   * Scale: queries broadcast (a training batch, not the corpus); the
+   * corpus side streams through one scan. For corpus-sized query sets,
+   * route candidate generation through the ANN paths (lsh/ivf) first
+   * and re-rank with the label filter — the knnClassify pattern.
+   */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("label").as("query_label"),
+      asDouble(col("embedding")).as("qv"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("label").as("neighbor_label"),
+      asDouble(col("embedding")).as("cv"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    broadcast(q).join(c, col("query_label") =!= col("neighbor_label"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("neighbor_label").cast("long").as("neighbor_label"),
+        col("sim"))
+  }
+
+  /**
    * k-NN label classification — the auto-labeling step of a training
    * pipeline: each query vector takes the majority label of its k
    * nearest corpus neighbors (exact cosine; ties break to the smaller

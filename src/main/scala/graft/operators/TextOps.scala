@@ -752,11 +752,16 @@ object TextOps {
    * projection — the sequential step barrier is inherent to BPE
    * (merge k depends on merge k-1), not an implementation artifact.
    */
-  def bpeMerges(docs: DataFrame, textCol: String, steps: Int): DataFrame = {
+  def bpeMerges(docs: DataFrame, textCol: String, steps: Int): DataFrame =
+    bpeTrain(docs, textCol, steps)._1
+
+  /** (merge table, per-word sequences AFTER all `steps` merges). */
+  private def bpeTrain(docs: DataFrame, textCol: String,
+                       steps: Int): (DataFrame, DataFrame) = {
     require(steps >= 1 && steps <= 64, s"steps in [1,64], got $steps")
     val vocab = docs.select(explode(words(lower(col(textCol)))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .select(concat(lit("||"),
+      .select(col("word"), concat(lit("||"),
         array_join(filter(split(col("word"), ""), t => length(t) > 0), "||"),
         lit("||")).as("seq"), col("cnt"))
       .localCheckpoint()
@@ -781,13 +786,41 @@ object TextOps {
       val labeled = best.select(lit(step.toLong).as("step"),
         col("t1"), col("t2"), col("freq"))
       out = if (out == null) labeled else out.union(labeled)
-      if (step < steps)
-        cur = cur.crossJoin(broadcast(best.drop("freq")))
-          .withColumn("seq", replace(col("seq"),
-            concat(lit("|"), col("t1"), lit("||"), col("t2"), lit("|")),
-            concat(lit("|"), col("t1"), col("t2"), lit("|"))))
-          .select("seq", "cnt")
+      cur = cur.crossJoin(broadcast(best.drop("freq")))
+        .withColumn("seq", replace(col("seq"),
+          concat(lit("|"), col("t1"), lit("||"), col("t2"), lit("|")),
+          concat(lit("|"), col("t1"), col("t2"), lit("|"))))
+        .select("word", "seq", "cnt")
     }
-    out
+    (out, cur)
+  }
+
+  /**
+   * Apply the first `steps` BPE merges ([[bpeMerges]]) back to the
+   * corpus: per document, whitespace word count and the token count
+   * AFTER merging — the number a sequence-length budget or packing
+   * plan actually needs (chars before training, merged tokens after).
+   *
+   * The per-word token count is `|tokens(seq_k)|` on the trained
+   * vocabulary table, so encoding the corpus is ONE join from word
+   * instances to a vocab-sized (broadcastable) map — no per-doc merge
+   * replay. Empty docs survive with (0, 0) via the left join.
+   */
+  def bpeEncodeCounts(docs: DataFrame, idCol: String, textCol: String,
+                      steps: Int): DataFrame = {
+    val (_, seqs) = bpeTrain(docs, textCol, steps)
+    val tokCounts = seqs.select(col("word"),
+      size(filter(split(col("seq"), "\\|\\|"), x => length(x) > 0))
+        .cast("long").as("n_tok"))
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), explode(words(lower(col(textCol)))).as("word"))
+      .join(tokCounts, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_bpe_tokens"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
   }
 }

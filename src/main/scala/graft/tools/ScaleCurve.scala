@@ -145,6 +145,18 @@ object ScaleCurve {
       docs(d), "doc_id", "text", "lang", 100))
     run("bigram_nll", d => graft.operators.TextOps.bigramNll(docs(d), "doc_id", "text"))
     run("bpe4", d => graft.operators.TextOps.bpeMerges(docs(d), "text", 4))
+    run("bpe_encode", d => graft.operators.TextOps.bpeEncodeCounts(
+      docs(d), "doc_id", "text", 4))
+    run("hard_neg", d => {
+      val e = spark.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding"), col("label"))
+      SimilarityOps.hardNegatives(e.filter(col("id") < 5), e, 10)
+    })
+    run("label_outliers", d => graft.operators.KMeansOps.labelOutliers(
+      spark.read.parquet(s"$d/embeddings.parquet"), "vec_id", "label", "embedding", 5))
+    run("triangles", d => graft.operators.GraphOps.triangleParticipation(
+      evs(d).select((col("user_id") % 997).as("src"),
+        ((col("user_id") + get_json_object(col("props"), "$.k").cast("long")) % 997).as("dst"))))
 
     spark.stop()
   }

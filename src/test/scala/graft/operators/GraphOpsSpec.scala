@@ -168,4 +168,26 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("node").collect().toSeq
     assert(one == many)
   }
+
+  test("triangleParticipation: shared-edge triangles, duplicate/reversed edges, self-loops") {
+    val ss = spark; import ss.implicits._
+    // triangles {1,2,3} and {2,3,4}; (2,1) duplicates (1,2) reversed,
+    // (4,4) is a self-loop — both must not change the counts
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 4L), (2L, 1L), (4L, 4L))
+      .toDF("src", "dst")
+    val got = GraphOps.triangleParticipation(e).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 1L)))
+  }
+
+  test("triangleParticipation: triangle-free graph emits nothing; K4 gives 3 per node") {
+    val ss = spark; import ss.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(GraphOps.triangleParticipation(path).isEmpty)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = GraphOps.triangleParticipation(k4).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == (1L to 4L).map(n => (n, 3L)))
+  }
 }

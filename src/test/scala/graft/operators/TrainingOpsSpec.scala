@@ -590,6 +590,48 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m == Seq(("a", "b", 6L), ("ab", "ab", 3L), ("a", "a", 2L), ("aa", "a", 1L)))
   }
 
+  test("bpeEncodeCounts: Sennrich corpus token counts after 4 merges; empty doc -> (0,0)") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq(
+      (1L, "low low low lower lower newest newest newest newest widest"),
+      (2L, "")).toDF("doc_id", "text")
+    val got = TextOps.bpeEncodeCounts(docs, "doc_id", "text", steps = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // merges: we, lo, st, e+we -> low=[lo,w]=2, lower=[lo,we,r]=3,
+    // newest=[n,ewe,st]=3, widest=[w,i,d,e,st]=5
+    assert(got == Seq((1L, 10L, 3 * 2 + 2 * 3 + 4 * 3 + 1 * 5L), (2L, 0L, 0L)))
+  }
+
+  test("hardNegatives: nearest other-label neighbors only, own label excluded") {
+    val ss = spark; import ss.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),   // query, label 0
+      (1L, Array(1.0f, 0.01f), 0),  // same label: must never appear
+      (2L, Array(1.0f, 0.1f), 1),   // closest other-label
+      (3L, Array(0.0f, 1.0f), 1),   // orthogonal other-label
+      (4L, Array(1.0f, 0.2f), 2)    // second-closest other-label
+    ).toDF("id", "embedding", "label")
+    val got = SimilarityOps.hardNegatives(vecs.filter(col("id") === 0), vecs, k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((0L, 1L, 2L, 1L), (0L, 2L, 4L, 2L)))
+  }
+
+  test("labelOutliers: farthest-from-own-centroid ranking, id tie-break") {
+    val ss = spark; import ss.implicits._
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f), 0), (2L, Array(2.0f, 0.0f), 0), (3L, Array(4.0f, 0.0f), 0),
+      (4L, Array(5.0f, 5.0f), 1), (5L, Array(5.0f, 5.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = KMeansOps.labelOutliers(vecs, "vec_id", "label", "embedding", topPerLabel = 2)
+      .orderBy("label", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // label 0 centroid (2,0): dists 2,0,2 -> tie at 2.0 breaks to id 1
+    assert(got == Seq((0L, 1L, 1L, 2.0), (0L, 2L, 3L, 2.0),
+      (1L, 1L, 4L, 0.0), (1L, 2L, 5L, 0.0)))
+  }
+
   test("editDistancePairs: one-word edit verifies, threshold drops it, distinct docs never pair") {
     val ss = spark; import ss.implicits._
     val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
