@@ -453,6 +453,22 @@ object SparkEntry {
             .as("dst")))
         .orderBy("node")),
 
+    "q23_clustering" -> ((s, dir) =>
+      // local clustering coefficient (integer micro units) on the same
+      // graph: community density vs hub spray at equal connectivity
+      GraphOps.clusteringCoefficient(events(s, dir).select(
+          (col("user_id") % 997).as("src"),
+          ((col("user_id") + get_json_object(col("props"), "$.k").cast("long")) % 997)
+            .as("dst")))
+        .orderBy("node")),
+
+    "q24_winsorize" -> ((s, dir) =>
+      // per-type [p5, p95] winsorization of event values — exact
+      // interpolated band, clip keeps the row and bounds its leverage
+      EventOps.winsorize(events(s, dir), "event_id", "event_type", "value",
+          pLo = 0.05, pHi = 0.95)
+        .orderBy("event_id")),
+
     "p_distinct_kmv" -> ((s, dir) =>
       // KMV distinct sketch per lang; k=72 straddles the group sizes so
       // BOTH branches are driver-checked: de(70)/fr(64) take the exact
@@ -747,6 +763,17 @@ object SparkEntry {
       // docs stand in as the benchmark
       val docs = table(s, dir, "documents")
       DedupOps.contaminationPairs(
+        docs.filter(col("doc_id") >= 50), "doc_id", "text",
+        docs.filter(col("doc_id") < 50), "doc_id", "text",
+        minJaccard = 0.5)
+        .orderBy("corpus_id", "ref_id")
+    }),
+
+    "d_decontaminate_fuzzy" -> ((s, dir) => {
+      // LSH-blocked fuzzy benchmark decontamination: band match against
+      // the benchmark split, exact-Jaccard verify on candidates only
+      val docs = table(s, dir, "documents")
+      DedupOps.crossContamination(
         docs.filter(col("doc_id") >= 50), "doc_id", "text",
         docs.filter(col("doc_id") < 50), "doc_id", "text",
         minJaccard = 0.5)
@@ -1174,6 +1201,14 @@ object SparkEntry {
       // counts via one join to the vocab-sized token-count map
       TextOps.bpeEncodeCounts(table(s, dir, "documents"), "doc_id", "text",
           steps = 4)
+        .orderBy("doc_id")),
+
+    "p_split_grouped" -> ((s, dir) =>
+      // leakage-safe split: assignment keyed on the DOMAIN hash, so
+      // same-source near-duplicates can never straddle train/test
+      SampleOps.splitAssign(table(s, dir, "documents"), "source",
+          Seq("train" -> 900, "val" -> 50, "test" -> 50))
+        .select(col("doc_id"), col("source"), col("split"))
         .orderBy("doc_id")),
 
     "p_stats" -> ((s, dir) =>
@@ -2048,6 +2083,84 @@ object SparkEntry {
 
     // unrolled plurality/min-label LPA: window argmax after the
     // (dst, label) count replays Spark's row_number round exactly
+    // the fuzzy decontamination oracle replays the shared band CTEs on
+    // BOTH splits, joins bandvals across them, then verifies with the
+    // same word-shingle jaccard the near-dup oracles use
+    "d_decontaminate_fuzzy" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS wd
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(wd) < 3 THEN [array_to_string(wd, ' ')]
+        |         ELSE list_transform(generate_series(1, len(wd) - 2),
+        |                             i -> array_to_string(wd[i:i+2], ' ')) END)) AS sh
+        |  FROM w),
+        |mh AS (
+        |  SELECT doc_id, seed, min(md5(seed || ':' || sh)) AS mh
+        |  FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+        |  GROUP BY 1, 2),
+        |band AS (
+        |  SELECT doc_id, seed // 4 AS band,
+        |         string_agg(seed || '~' || mh, '|' ORDER BY seed || '~' || mh) AS bandval
+        |  FROM mh GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT c.doc_id AS corpus_id, r.doc_id AS ref_id
+        |  FROM band c JOIN band r ON c.band = r.band AND c.bandval = r.bandval
+        |  WHERE c.doc_id >= 50 AND r.doc_id < 50),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT corpus_id, ref_id, count(*) AS inter
+        |  FROM cand JOIN sh a ON corpus_id = a.doc_id
+        |            JOIN sh b ON ref_id = b.doc_id AND a.sh = b.sh
+        |  GROUP BY 1, 2)
+        |SELECT corpus_id, ref_id,
+        |       round(inter::DOUBLE / (x.n + y.n - inter), 4) AS jaccard
+        |FROM inter JOIN n x ON corpus_id = x.doc_id JOIN n y ON ref_id = y.doc_id
+        |WHERE round(inter::DOUBLE / (x.n + y.n - inter), 4) >= 0.5
+        |ORDER BY corpus_id, ref_id""".stripMargin,
+
+    "q23_clustering" ->
+      """WITH raw AS (
+        |  SELECT user_id % 997 AS u,
+        |         (user_id + json_extract_string(props, '$.k')::BIGINT) % 997 AS v
+        |  FROM events),
+        |e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw WHERE u <> v),
+        |deg AS (
+        |  SELECT node, count(*) AS deg
+        |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) q GROUP BY 1),
+        |t AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tri AS (
+        |  SELECT node, count(*) AS n_triangles
+        |  FROM (SELECT unnest([x, y, z]) AS node FROM t) q GROUP BY 1)
+        |SELECT d.node, d.deg, coalesce(n_triangles, 0)::BIGINT AS n_triangles,
+        |       CASE WHEN d.deg >= 2
+        |            THEN 2000000 * coalesce(n_triangles, 0) // (d.deg * (d.deg - 1))
+        |            ELSE 0 END::BIGINT AS coef_micro
+        |FROM deg d LEFT JOIN tri USING (node) ORDER BY d.node""".stripMargin,
+
+    "q24_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type, quantile_cont(value, 0.05) AS lo,
+        |         quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, event_type, round(lo, 4) AS lo, round(hi, 4) AS hi,
+        |       round(least(greatest(value, lo), hi), 4) AS value_w
+        |FROM events JOIN b USING (event_type) ORDER BY event_id""".stripMargin,
+
+    "p_split_grouped" ->
+      """SELECT doc_id, source,
+        |       CASE WHEN b < 900 THEN 'train'
+        |            WHEN b < 950 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM (SELECT doc_id, source,
+        |             ('0x' || substr(md5('split:' || source), 1, 8))::BIGINT % 1000 AS b
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
     // same triangle SET as the degree-oriented Spark plan, enumerated
     // in canonical a<b<c order (orientation changes join sizes, never
     // the triangles)

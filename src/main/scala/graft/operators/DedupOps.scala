@@ -153,10 +153,28 @@ object DedupOps {
    * seed cross-join — a k-fold shuffle reduction vs the naive matrix),
    * then bands explode k/bands-sized groups into join keys.
    */
-  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int = 16, bands: Int = 4, w: Int = 3): DataFrame = {
+  /** (id, band, bandval) LSH band frame — the shared blocking surface
+    * of [[minhashCandidates]] (self-pairs) and [[crossContamination]]
+    * (two-table pairs). */
+  private def minhashBanded(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int, bands: Int, w: Int): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
+    val sig = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), MinhashSig(col(textCol), k, w).as("mh"))
+    // band value: seed-tagged minhashes of the band, sorted and joined --
+    // byte-identical to the (id, seed) matrix formulation
+    val bandStructs = array((0 until bands).map { b =>
+      val members = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(s => concat(lit(s.toString), lit("~"), element_at(col("mh"), s + 1)))
+      struct(lit(b).as("band"), array_join(array_sort(array(members: _*)), "|").as("bandval"))
+    }: _*)
+    sig.select(col("id"), explode(bandStructs).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bandval").as("bandval"))
+  }
+
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 16, bands: Int = 4, w: Int = 3): DataFrame = {
     // signature as a PROJECTION (MinhashSig.scala): a minhash signature
     // is a pure per-document function, so no exploded-shingle shuffle
     // and no k min-agg trees — value-identical to the aggregation
@@ -169,18 +187,7 @@ object DedupOps {
     // signature: MinhashSig is null iff its input is, and a filter on
     // the projected signature would be pushed below the projection and
     // re-evaluate the kernel per row (measured +70% on this query).
-    val sig = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), MinhashSig(col(textCol), k, w).as("mh"))
-    // band value: seed-tagged minhashes of the band, sorted and joined --
-    // byte-identical to the (id, seed) matrix formulation
-    val bandStructs = array((0 until bands).map { b =>
-      val members = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(s => concat(lit(s.toString), lit("~"), element_at(col("mh"), s + 1)))
-      struct(lit(b).as("band"), array_join(array_sort(array(members: _*)), "|").as("bandval"))
-    }: _*)
-    val banded = sig
-      .select(col("id"), explode(bandStructs).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bandval").as("bandval"))
+    val banded = minhashBanded(docs, idCol, textCol, k, bands, w)
     // grouped-pairs plan (the jaccardPairs shape) instead of a band
     // self-join: a self-join reads the corpus and runs the signature
     // kernel TWICE (once per side — exchange reuse can't help when the
@@ -750,5 +757,59 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"),
         round(lit(1.0) - col("dist").cast("double") / col("maxlen").cast("double"), 4)
           .as("sim"))
+  }
+
+  /**
+   * FUZZY cross-corpus decontamination: MinHash/LSH band match between
+   * the training corpus and a benchmark set, then exact-Jaccard verify
+   * of the candidates — the complement to the exact methods here
+   * (thresholded-Jaccard decontamination and [[ngramCollisions]]'s
+   * any-shared-13-gram): it catches lightly-paraphrased or reformatted
+   * benchmark text that exact n-gram collision misses, at an
+   * LSH-bounded cost.
+   *
+   * Plan: both sides band through the one-pass signature kernel; the
+   * candidate join keys on (band, bandval) where the BENCHMARK side is
+   * tiny by construction (benchmarks don't grow with training data) —
+   * AQE broadcasts it, so the corpus never shuffles for blocking. The
+   * verify explodes shingles only for docs that appear in a candidate
+   * pair (semi-joined down exactly like [[nearDuplicates]]) and joins
+   * them on the (ref_id, shingle-hash) pair key — an equi join, never
+   * a per-pair shingle cross product.
+   * Output: (corpus_id, ref_id, jaccard >= minJaccard).
+   */
+  def crossContamination(corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
+                         ref: DataFrame, refIdCol: String, refTextCol: String,
+                         minJaccard: Double, k: Int = 16, bands: Int = 4,
+                         w: Int = 3): DataFrame = {
+    val bc = minhashBanded(corpus, corpusIdCol, corpusTextCol, k, bands, w)
+    val br = minhashBanded(ref, refIdCol, refTextCol, k, bands, w)
+      .withColumnRenamed("id", "ref_id")
+    val cand = bc.join(br, Seq("band", "bandval"))
+      .select(col("id").as("corpus_id"), col("ref_id"))
+      .distinct().localCheckpoint()
+    val cDocs = corpus
+      .select(col(corpusIdCol).as("corpus_id"), col(corpusTextCol).as("text"))
+      .join(cand.select("corpus_id").distinct(), "corpus_id")
+    val rDocs = ref
+      .select(col(refIdCol).as("ref_id"), col(refTextCol).as("text"))
+      .join(cand.select("ref_id").distinct(), "ref_id")
+    val shC = cDocs.select(col("corpus_id"), explode(ShingleHashes(col("text"), w)).as("sh"))
+    val shR = rDocs.select(col("ref_id"), explode(ShingleHashes(col("text"), w)).as("sh"))
+    val sizeC = cDocs.select(col("corpus_id"),
+      size(ShingleHashes(col("text"), w)).cast("long").as("na"))
+    val sizeR = rDocs.select(col("ref_id"),
+      size(ShingleHashes(col("text"), w)).cast("long").as("nb"))
+    cand
+      .join(shC, "corpus_id")
+      .join(shR, Seq("ref_id", "sh"))
+      .groupBy("corpus_id", "ref_id")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizeC, "corpus_id")
+      .join(sizeR, "ref_id")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("corpus_id"), col("ref_id"), col("jaccard"))
   }
 }

@@ -170,6 +170,32 @@ object EventOps {
       .replace(".", "_")
 
   /**
+   * Per-group winsorization: clip each value into its group's
+   * `[pLo, pHi]` exact interpolated percentile band — the outlier
+   * treatment that keeps the row (unlike a filter) while bounding its
+   * leverage, standard before any mean-based normalization of reward /
+   * engagement / latency features. The clip picks one of {value, lo,
+   * hi} so no new float arithmetic enters; the band itself rides the
+   * same type-7 percentile contract the group-percentile operator pins
+   * against DuckDB.
+   *
+   * Plan: one group aggregate (group-count-sized) joined back to the
+   * stream — AQE broadcasts the band table; the data side is a single
+   * scan, no window over the full stream.
+   */
+  def winsorize(df: DataFrame, idCol: String, groupCol: String, valueCol: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val bands = df.groupBy(groupCol).agg(
+      percentile(col(valueCol), lit(pLo)).as("lo"),
+      percentile(col(valueCol), lit(pHi)).as("hi"))
+    df.join(bands, groupCol)
+      .select(col(idCol), col(groupCol),
+        round(col("lo"), 4).as("lo"), round(col("hi"), 4).as("hi"),
+        round(least(greatest(col(valueCol), col("lo")), col("hi")), 4).as("value_w"))
+  }
+
+  /**
    * Trailing time-window features: for every event, the count and
    * value-sum of the same key's events in `[t - windowSec, t]` — a
    * RANGE frame, so simultaneous events all see each other regardless

@@ -211,13 +211,20 @@ object GraphOps {
    * no 10¹⁶-row wedge set — its edges all point INTO it. Both joins
    * are equi joins on node keys; no cartesian anywhere.
    */
-  def triangleParticipation(edges: DataFrame): DataFrame = {
-    val und = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+  private def undirect(edges: DataFrame): DataFrame = edges
+    .select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b"))
+    .filter(col("a") =!= col("b")).distinct()
+
+  private def degrees(und: DataFrame): DataFrame = und
+    .select(explode(array(col("a"), col("b"))).as("node"))
+    .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  def triangleParticipation(edges: DataFrame): DataFrame =
+    triangleCore(undirect(edges))
+
+  private def triangleCore(und: DataFrame): DataFrame = {
+    val deg = degrees(und)
     val fwd = struct(col("da"), col("a")) < struct(col("db"), col("b"))
     val oriented = und
       .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
@@ -232,5 +239,30 @@ object GraphOps {
       .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /**
+   * Local clustering coefficient per node: `2·T / (deg·(deg−1))` in
+   * integer MICRO units (`floor`-divided, so both engines derive the
+   * same LONG from the same exact T and deg — no float ratio to
+   * drift). Degree-1 and isolated-in-triangle-terms nodes report 0
+   * with `n_triangles` 0 via the left join; every node of the
+   * undirected graph gets a row. The density signal that separates a
+   * tight community (coef → 1) from a hub spraying unrelated links
+   * (coef → 0) at equal PageRank.
+   */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    // the canonical edge set is the shared input of the degree table
+    // and the triangle core; dedup it once (distinct = one shuffle)
+    // and let AQE reuse that exchange on both consumers
+    val und = undirect(edges)
+    val deg = degrees(und)
+    deg.join(triangleCore(und), Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+            floor(lit(2000000L) * coalesce(col("n_triangles"), lit(0L)) /
+              (col("deg") * (col("deg") - 1L))).cast("long"))
+          .otherwise(0L).as("coef_micro"))
   }
 }

@@ -157,6 +157,11 @@ object ScaleCurve {
     run("triangles", d => graft.operators.GraphOps.triangleParticipation(
       evs(d).select((col("user_id") % 997).as("src"),
         ((col("user_id") + get_json_object(col("props"), "$.k").cast("long")) % 997).as("dst"))))
+    run("decon_fuzzy", d => DedupOps.crossContamination(
+      docs(d).filter(col("doc_id") >= 50), "doc_id", "text",
+      docs(d).filter(col("doc_id") < 50), "doc_id", "text", 0.5))
+    run("winsorize", d => graft.operators.EventOps.winsorize(
+      evs(d), "event_id", "event_type", "value", 0.05, 0.95))
 
     spark.stop()
   }

@@ -273,4 +273,16 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"interval join must stay an equi join:\n$plan")
   }
+
+  test("winsorize: type-7 band [3.25, 7.75] on 1..10, clip keeps interior values") {
+    val ss = spark; import ss.implicits._
+    val df = (1 to 10).map(i => (i.toLong, "g", i.toDouble)).toDF("id", "grp", "value")
+    val got = EventOps.winsorize(df, "id", "grp", "value", pLo = 0.25, pHi = 0.75)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    // lo = 1 + 0.25*9 = 3.25, hi = 1 + 0.75*9 = 7.75
+    assert(got.forall { case (_, lo, hi, _) => lo == 3.25 && hi == 7.75 })
+    val byId = got.map(t => t._1 -> t._4).toMap
+    assert(byId(1L) == 3.25 && byId(5L) == 5.0 && byId(10L) == 7.75)
+  }
 }

@@ -180,6 +180,15 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 1L)))
   }
 
+  test("clusteringCoefficient: triangle + pendant — exact micro ratios, deg-1 zero row") {
+    val ss = spark; import ss.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = GraphOps.clusteringCoefficient(e).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 2L, 1L, 1000000L), (2L, 2L, 1L, 1000000L),
+      (3L, 3L, 1L, 333333L), (4L, 1L, 0L, 0L)))
+  }
+
   test("triangleParticipation: triangle-free graph emits nothing; K4 gives 3 per node") {
     val ss = spark; import ss.implicits._
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")

@@ -632,6 +632,23 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 1L, 4L, 0.0), (1L, 2L, 5L, 0.0)))
   }
 
+  test("crossContamination: cross-table pairs only — same-side duplicates never pair") {
+    val ss = spark; import ss.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (100L, shared),                // contaminated: identical to ref 1
+      (101L, shared),                // also contaminated; 100-101 must NOT pair
+      (102L, "totally different words with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val ref = Seq((1L, shared), (2L, "unrelated benchmark prompt text entirely"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.crossContamination(corpus, "doc_id", "text",
+        ref, "doc_id", "text", minJaccard = 0.5)
+      .orderBy("corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((100L, 1L, 1.0), (101L, 1L, 1.0)))
+  }
+
   test("editDistancePairs: one-word edit verifies, threshold drops it, distinct docs never pair") {
     val ss = spark; import ss.implicits._
     val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
