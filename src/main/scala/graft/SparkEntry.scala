@@ -560,6 +560,27 @@ object SparkEntry {
       SeriesOps.highestAverage(metricStream(s, dir), 10)
         .orderBy("rank")),
 
+    "g_npercentile" -> ((s, dir) =>
+      // graphite nPercentile(90): per-series exact type-7 percentile
+      SeriesOps.seriesPercentile(metricStream(s, dir), p = 90)
+        .orderBy("path")),
+
+    "g_remove_above_p" -> ((s, dir) =>
+      // graphite removeAbovePercentile(95): boundary value kept
+      SeriesOps.removeAbovePercentile(metricStream(s, dir), p = 95)
+        .orderBy("path", "time", "version")),
+
+    "g_filter_avg_above" -> ((s, dir) =>
+      // graphite averageAbove(49.5): whole-series retention by exact
+      // integer mean, strict comparison
+      SeriesOps.filterSeries(metricStream(s, dir), "avg", "above", 49.5)
+        .orderBy("path", "time", "version")),
+
+    "g_sort_by_total" -> ((s, dir) =>
+      // graphite sortByTotal + limit(10): integer-exact sums
+      SeriesOps.sortByTotal(metricStream(s, dir), 10)
+        .orderBy("rank")),
+
     "g_linreg" -> ((s, dir) =>
       // graphite linearRegression: per-series OLS as rational integer
       // sums (milli-value per minute), NULL for degenerate series
@@ -2343,6 +2364,43 @@ object SparkEntry {
          |FROM m JOIN sx ON m.path = sx.path
          |WHERE sx.variance > 0 AND abs((m.value - sx.mean) / sqrt(sx.variance)) > 3.0
          |ORDER BY m.path, m."time", m.version""".stripMargin,
+
+    "g_npercentile" ->
+      s"""$OracleM
+         |SELECT path, count(*)::BIGINT AS n_points,
+         |       round(quantile_cont(value, 0.9), 4) AS pval
+         |FROM m GROUP BY 1 ORDER BY path""".stripMargin,
+
+    "g_remove_above_p" ->
+      s"""$OracleM,
+         |b AS (SELECT path, quantile_cont(value, 0.95) AS cap FROM m GROUP BY 1)
+         |SELECT m.path, m."time", m.version, m.value
+         |FROM m JOIN b USING (path) WHERE m.value <= b.cap
+         |ORDER BY m.path, m."time", m.version""".stripMargin,
+
+    "g_filter_avg_above" ->
+      s"""$OracleM,
+         |st AS (
+         |  SELECT path,
+         |         sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))::DOUBLE
+         |           / 1000000.0 / count(*)::DOUBLE AS stat
+         |  FROM m GROUP BY 1)
+         |SELECT m.path, m."time", m.version, m.value
+         |FROM m JOIN st USING (path) WHERE st.stat > 49.5
+         |ORDER BY m.path, m."time", m.version""".stripMargin,
+
+    "g_sort_by_total" ->
+      s"""$OracleM,
+         |st AS (
+         |  SELECT path, count(*) AS n_points,
+         |         sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS s1
+         |  FROM m GROUP BY 1),
+         |r AS (
+         |  SELECT path, n_points, round(s1::DOUBLE / 1000000.0, 4) AS total,
+         |         row_number() OVER (ORDER BY round(s1::DOUBLE / 1000000.0, 4) DESC, path ASC) AS rank
+         |  FROM st)
+         |SELECT rank::BIGINT AS rank, path, n_points, total
+         |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     "g_linreg" ->
       s"""$OracleM,

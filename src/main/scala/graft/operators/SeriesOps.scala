@@ -364,6 +364,81 @@ object SeriesOps {
   }
 
   /**
+   * graphite `nPercentile(series, p)`: each series' exact interpolated
+   * p-th percentile (type-7, the [[graft.operators.EventOps.groupPercentiles]]
+   * contract) with its point count. One path-keyed aggregate; the
+   * per-series sort happens inside its group's partition, never
+   * globally.
+   */
+  def seriesPercentile(points: DataFrame, p: Double): DataFrame = {
+    require(p > 0 && p < 100, s"percentile in (0,100), got $p")
+    points.groupBy("path").agg(
+      count(lit(1)).as("n_points"),
+      round(percentile(col("value"), lit(p / 100.0)), 4).as("pval"))
+  }
+
+  /**
+   * graphite `removeAbovePercentile(series, p)`: drop every point
+   * strictly above its OWN series' p-th percentile (graphite keeps
+   * the boundary value). The aggregate band table joins back on the
+   * same path key — one reusable exchange, no window over the stream.
+   */
+  def removeAbovePercentile(points: DataFrame, p: Double): DataFrame = {
+    require(p > 0 && p < 100, s"percentile in (0,100), got $p")
+    val bands = points.groupBy("path")
+      .agg(percentile(col("value"), lit(p / 100.0)).as("cap"))
+    points.join(bands, "path")
+      .filter(col("value") <= col("cap"))
+      .select("path", "time", "version", "value")
+  }
+
+  /**
+   * graphite `filterSeries(series, fn, op, threshold)` — the family
+   * behind averageAbove / maximumBelow / sumAbove / …: keep every
+   * POINT of each series whose aggregate passes the test. `fn`:
+   * sum | avg | min | max (sum/avg from exact 1e-6-quantized LONGs,
+   * min/max are order statistics — no float arithmetic anywhere a
+   * threshold comparison could drift on); `op`: "above" (strict) or
+   * "below" (strict), graphite's semantics. Aggregate side is
+   * series-count-sized; AQE broadcasts it back onto the stream.
+   */
+  def filterSeries(points: DataFrame, fn: String, op: String,
+                   threshold: Double): DataFrame = {
+    val sumQ = sum(floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long"))
+    val stat = fn match {
+      case "sum" => sumQ.cast("double") / lit(1.0e6)
+      case "avg" => sumQ.cast("double") / lit(1.0e6) / count(lit(1)).cast("double")
+      case "min" => min(col("value"))
+      case "max" => max(col("value"))
+      case other => throw new IllegalArgumentException(s"filterSeries fn: $other")
+    }
+    val pass = op match {
+      case "above" => col("stat") > threshold
+      case "below" => col("stat") < threshold
+      case other   => throw new IllegalArgumentException(s"filterSeries op: $other")
+    }
+    val keep = points.groupBy("path").agg(stat.as("stat")).filter(pass).select("path")
+    points.join(keep, "path").select("path", "time", "version", "value")
+  }
+
+  /**
+   * graphite `sortByTotal(series)` + `limit(n)`: the `n` series with
+   * the largest integer-exact value sum, ties to the smaller path.
+   * The [[highestAverage]] plan with sum in place of mean.
+   */
+  def sortByTotal(points: DataFrame, n: Int): DataFrame = {
+    val w = Window.orderBy(col("total").desc, col("path").asc)
+    points.groupBy("path")
+      .agg(count(lit(1)).as("n_points"),
+        sum(floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long")).as("s1"))
+      .withColumn("total", round(col("s1").cast("double") / lit(1.0e6), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select(col("rank").cast("long").as("rank"), col("path"),
+        col("n_points"), col("total"))
+  }
+
+  /**
    * graphite `linearRegression(series)`: per-series ordinary least
    * squares over (minutes-since-series-start, value), as RATIONAL
    * integer sums — `slope_num / slope_den` is the exact OLS slope in

@@ -278,6 +278,32 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(2) == ("c", 2L, 1.5, 0.5, 0L))
   }
 
+  test("seriesPercentile / removeAbovePercentile: type-7 value, boundary point kept") {
+    val p = pts((1 to 10).map(i => ("a", i.toDouble, i.toLong, i.toLong)): _*)
+    val pct = SeriesOps.seriesPercentile(p, 90).collect()(0)
+    assert((pct.getString(0), pct.getLong(1), pct.getDouble(2)) == ("a", 10L, 9.1))
+    // p50 of 1..10 is 5.5: points 1..5 survive (boundary <= cap)
+    val kept = SeriesOps.removeAbovePercentile(p, 50).orderBy("time")
+      .collect().map(_.getDouble(3)).toSeq
+    assert(kept == (1 to 5).map(_.toDouble))
+  }
+
+  test("filterSeries: strict above/below on exact aggregates; sortByTotal ranks sums") {
+    val p = pts(
+      ("hot", 10.0, 1L, 1L), ("hot", 20.0, 2L, 2L),   // avg 15, sum 30
+      ("cold", 1.0, 1L, 1L), ("cold", 3.0, 2L, 2L),   // avg 2,  sum 4
+      ("edge", 5.0, 1L, 1L))                           // avg 5,  sum 5
+    val above = SeriesOps.filterSeries(p, "avg", "above", 5.0)
+      .select("path").distinct().collect().map(_.getString(0)).toSeq
+    assert(above == Seq("hot")) // strict: edge's avg == 5.0 is dropped
+    val below = SeriesOps.filterSeries(p, "max", "below", 5.0)
+      .select("path").distinct().collect().map(_.getString(0)).toSeq
+    assert(below == Seq("cold"))
+    val totals = SeriesOps.sortByTotal(p, 2).orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3))).toSeq
+    assert(totals == Seq((1L, "hot", 30.0), (2L, "edge", 5.0)))
+  }
+
   test("movingAverage is partition-layout invariant (integer frame sums)") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val tsec = raw.schema("ts").dataType match {
