@@ -299,6 +299,26 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    "q25_salted_join" -> ((s, dir) => {
+      // explicit skew salting: lineitem spread over 8 sub-keys of
+      // l_partkey, part replicated 8x — row-identical to the plain
+      // join, but no reducer ever owns a hot part alone
+      val li = table(s, dir, "lineitem").withColumnRenamed("l_partkey", "pk")
+      val pt = table(s, dir, "part").withColumnRenamed("p_partkey", "pk")
+      JoinOps.saltedJoin(li, pt, "pk", col("l_orderkey"), salt = 8)
+        .groupBy("p_brand")
+        .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("rev_cents"),
+          count(lit(1)).as("cnt"))
+        .orderBy("p_brand")
+    }),
+
+    "q26_kmv_overlap" -> ((s, dir) =>
+      // pre-join cardinality planning: KMV sketches of o_custkey and
+      // c_custkey, union by min-set merge, intersection by
+      // inclusion-exclusion — join sizing without the join
+      SketchOps.kmvOverlap(table(s, dir, "orders"), "o_custkey",
+        table(s, dir, "customer"), "c_custkey", k = 256)),
+
     "q2_join_agg" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
       val o = table(s, dir, "orders")
@@ -2220,6 +2240,36 @@ object SparkEntry {
          |${round("it2", "it3")}
          |SELECT node, label FROM it3 ORDER BY node""".stripMargin
     },
+
+    // the salted join is row-identical to the plain join by
+    // construction; the oracle states the plain join
+    "q25_salted_join" ->
+      """SELECT p_brand,
+        |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |       count(*) AS cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q26_kmv_overlap" ->
+      """WITH ha AS (SELECT DISTINCT ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT AS h FROM orders),
+        |hb AS (SELECT DISTINCT ('0x' || substr(md5(c_custkey::VARCHAR), 1, 15))::BIGINT AS h FROM customer),
+        |ra AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha),
+        |rb AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb),
+        |ru AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+        |       FROM (SELECT h FROM ha UNION SELECT h FROM hb) u),
+        |ea AS (SELECT CASE WHEN count(*) < 256 THEN count(*)::DOUBLE
+        |                   ELSE 255.0 / (max(h) / 1152921504606846976.0) END AS e
+        |       FROM ra WHERE rn <= 256),
+        |eb AS (SELECT CASE WHEN count(*) < 256 THEN count(*)::DOUBLE
+        |                   ELSE 255.0 / (max(h) / 1152921504606846976.0) END AS e
+        |       FROM rb WHERE rn <= 256),
+        |eu AS (SELECT CASE WHEN count(*) < 256 THEN count(*)::DOUBLE
+        |                   ELSE 255.0 / (max(h) / 1152921504606846976.0) END AS e
+        |       FROM ru WHERE rn <= 256)
+        |SELECT round((SELECT e FROM ea), 4) AS est_a,
+        |       round((SELECT e FROM eb), 4) AS est_b,
+        |       round((SELECT e FROM eu), 4) AS est_union,
+        |       round((SELECT e FROM ea) + (SELECT e FROM eb) - (SELECT e FROM eu), 4) AS est_intersect""".stripMargin,
 
     "p_distinct_kmv" ->
       """WITH h AS (

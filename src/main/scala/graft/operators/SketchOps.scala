@@ -68,6 +68,40 @@ object SketchOps {
   }
 
   /**
+   * Pre-join cardinality planning from two KMV sketches: distinct
+   * estimates of both key sets, of their UNION (the merge of the two
+   * min-sets truncated to k — the KMV mergeability property), and of
+   * their INTERSECTION by inclusion–exclusion
+   * (|A∩B| ≈ D(A) + D(B) − D(A∪B)). This answers "how big is this
+   * join, and how selective is the key overlap?" from two k·8-byte
+   * summaries, without running the join — the sketch-side tooling a
+   * planner (or an engineer sizing a 100 TB join) reads first.
+   * Estimates are exact whenever a set (or the union) has fewer than
+   * k distinct keys. Output: one row
+   * (est_a, est_b, est_union, est_intersect).
+   *
+   * Scale: each side is one map-side-combined aggregate to a single
+   * k-entry array; the merge is array math on two rows.
+   */
+  def kmvOverlap(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+                 k: Int = 256): DataFrame = {
+    def sketch(df: DataFrame, c: String, name: String) =
+      df.select(FastHash.md5Head60(col(c).cast("string")).as("_h"))
+        .agg(kmvSketch(col("_h"), k).as(name))
+    def est(mins: Column): Column =
+      when(size(mins) < k, size(mins).cast("double"))
+        .otherwise(lit((k - 1).toDouble) /
+          (element_at(mins, -1).cast("double") / lit(TwoPow60)))
+    sketch(a, aCol, "ma").crossJoin(sketch(b, bCol, "mb"))
+      .withColumn("mu", slice(array_sort(array_distinct(concat(col("ma"), col("mb")))), 1, k))
+      .select(
+        round(est(col("ma")), 4).as("est_a"),
+        round(est(col("mb")), 4).as("est_b"),
+        round(est(col("mu")), 4).as("est_union"),
+        round(est(col("ma")) + est(col("mb")) - est(col("mu")), 4).as("est_intersect"))
+  }
+
+  /**
    * Count-min sketch point estimates (Cormode & Muthukrishnan, "An
    * improved data stream summary: the count-min sketch and its
    * applications", J. Algorithms 2005): `depth` hash rows ×

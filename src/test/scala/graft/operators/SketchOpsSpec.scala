@@ -102,6 +102,25 @@ class SketchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one == many)
   }
 
+  test("kmvOverlap: exact below k — inclusion-exclusion recovers the true intersection") {
+    val ss = spark; import ss.implicits._
+    // |A|=60, |B|=50, |A∩B|=30: all sets below k=256, so every
+    // estimate is the exact count and the intersection is exact
+    val a = (1 to 60).map(_.toLong).toDF("key")
+    val b = (31 to 80).map(_.toLong).toDF("key")
+    val r = SketchOps.kmvOverlap(a, "key", b, "key", k = 256).collect()(0)
+    assert((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)) ==
+      ((60.0, 50.0, 80.0, 30.0)))
+  }
+
+  test("kmvOverlap: above k the union estimate stays within 15% of truth") {
+    val ss = spark; import ss.implicits._
+    val a = (1 to 3000).map(_.toLong).toDF("key")
+    val b = (2001 to 5000).map(_.toLong).toDF("key")
+    val r = SketchOps.kmvOverlap(a, "key", b, "key", k = 256).collect()(0)
+    assert(math.abs(r.getDouble(2) - 5000.0) / 5000.0 < 0.15, r.toString)
+  }
+
   test("plan: bounded ObjectHashAggregate with a map-side partial, no distinct shuffle") {
     val ss = spark
     val docs = ss.read.parquet(s"$sfDir/documents.parquet")
