@@ -1114,6 +1114,29 @@ object SparkEntry {
       MultimodalOps.sampleFeatures(media).orderBy("media_id")
     }),
 
+    "m_media_audio_frames" -> ((s, dir) => {
+      // windowed audio features over the same planted WAVs: 3 frames
+      // of 16 samples each — integer energy, floor'd milli RMS,
+      // frame-local zero crossings; junk docs fall back to one
+      // unsigned-byte frame, decoded=false
+      val buildWav = udf { (docId: Long) =>
+        val m = docId % 4
+        if (m == 1L) {
+          val s8 = Array.tabulate(48)(i => (((docId * 31 + i * 17) % 256) - 128).toInt)
+          MultimodalOps.encodeWavPcm(s8, bits = 8, channels = 1, sampleRate = 8000)
+        } else {
+          val s16 = Array.tabulate(48)(i => (((docId * 31 + i * 17) % 65536) - 32768).toInt)
+          MultimodalOps.encodeWavPcm(s16, bits = 16,
+            channels = if (m == 2L) 2 else 1, sampleRate = 16000)
+        }
+      }
+      val docs = table(s, dir, "documents").withColumn("blob",
+        when(col("doc_id") % 4 === 3, unhex(unknownHex)).otherwise(buildWav(col("doc_id"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+      MultimodalOps.audioFrameFeatures(media, frameSize = 16)
+        .orderBy("media_id", "frame_no")
+    }),
+
     "m_media_pixels_jpeg" -> ((s, dir) => {
       // REAL baseline-JPEG pixel decode over planted JPEGs — the
       // m_media_pixels technique through the pure-JVM Huffman+IDCT
@@ -3663,6 +3686,42 @@ object SparkEntry {
         |       0::BIGINT AS zero_crossings
         |FROM junk
         |ORDER BY media_id""".stripMargin,
+
+    "m_media_audio_frames" ->
+      """WITH wav AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 4 = 1
+        |              THEN list_transform(generate_series(0, 47),
+        |                     i -> ((doc_id * 31 + i * 17) % 256) - 128)
+        |              ELSE list_transform(generate_series(0, 47),
+        |                     i -> ((doc_id * 31 + i * 17) % 65536) - 32768)
+        |         END AS sl
+        |  FROM documents WHERE doc_id % 4 <> 3),
+        |fr AS (
+        |  SELECT doc_id, f,
+        |         list_transform(generate_series(f * 16 + 1, f * 16 + 16), j -> sl[j]) AS w
+        |  FROM wav, (SELECT unnest(generate_series(0, 2)) AS f) fs),
+        |junk AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 16),
+        |           i -> CASE WHEN i = 0 THEN 0
+        |                     ELSE ('0x' || substr(upper(md5(text)), (i - 1) * 2 + 1, 2))::BIGINT END) AS b
+        |  FROM documents WHERE doc_id % 4 = 3)
+        |SELECT doc_id AS media_id, f::BIGINT AS frame_no, true AS decoded,
+        |       16::BIGINT AS n_samples,
+        |       CAST(list_sum(list_transform(w, x -> x * x)) AS BIGINT) AS sumsq,
+        |       floor(sqrt(list_sum(list_transform(w, x -> x * x))::DOUBLE / 16.0) * 1000)::BIGINT AS rms_milli,
+        |       list_max(list_transform(w, x -> abs(x)))::BIGINT AS peak,
+        |       len(list_filter(generate_series(2, 16),
+        |             j -> (w[j - 1] < 0) <> (w[j] < 0)))::BIGINT AS zero_crossings
+        |FROM fr
+        |UNION ALL
+        |SELECT doc_id AS media_id, 0::BIGINT, false, 17::BIGINT,
+        |       CAST(list_sum(list_transform(b, x -> x * x)) AS BIGINT),
+        |       floor(sqrt(list_sum(list_transform(b, x -> x * x))::DOUBLE / 17.0) * 1000)::BIGINT,
+        |       list_max(b)::BIGINT, 0::BIGINT
+        |FROM junk
+        |ORDER BY media_id, frame_no""".stripMargin,
 
     // pixel stats predicted from the block-value arithmetic: a 16x16
     // four-flat-block JPEG decodes to 64 copies of each block value

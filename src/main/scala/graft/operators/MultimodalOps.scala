@@ -715,6 +715,73 @@ object MultimodalOps {
   }
 
   /**
+   * Windowed audio features over decoded PCM — the frame dimension a
+   * wav2vec-style pipeline consumes: per `frameSize`-sample window,
+   * exact integer energy (Σs², a LONG — 16-bit samples square to
+   * ≤ 2³⁰, so a billion-sample file stays inside), RMS in floor'd
+   * milli units (the one double op, `floor(sqrt(sumsq/n)·1000)`,
+   * identical IEEE chain on any engine), absolute peak and
+   * frame-LOCAL zero crossings (no cross-frame state, so frames are
+   * embarrassingly parallel). The tail frame may be partial
+   * (`n_samples < frameSize`). Undecodable blobs fall back to ONE
+   * frame_no=0 row of unsigned byte stats with `decoded = false` —
+   * the mixed-table contract every decode stage here shares.
+   */
+  def audioFrameFeatures(media: DataFrame, frameSize: Int,
+                         batchSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    require(frameSize >= 1, s"frameSize >= 1, got $frameSize")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_no", LongType),
+      StructField("decoded", BooleanType),
+      StructField("n_samples", LongType),
+      StructField("sumsq", LongType),
+      StructField("rms_milli", LongType),
+      StructField("peak", LongType),
+      StructField("zero_crossings", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        def frameStats(s: Array[Int], from: Int, until: Int): (Long, Long, Long, Long, Long) = {
+          var sumsq = 0L
+          var peak = 0L
+          var zc = 0L
+          var i = from
+          while (i < until) {
+            val v = s(i).toLong
+            sumsq += v * v
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            if (i > from && ((s(i - 1) < 0) != (s(i) < 0))) zc += 1
+            i += 1
+          }
+          val n = (until - from).toLong
+          val rms = if (n == 0) 0L else math.floor(math.sqrt(sumsq.toDouble / n) * 1000.0).toLong
+          (n, sumsq, rms, peak, zc)
+        }
+        rows.grouped(batchSize).flatMap(_.flatMap { r =>
+          val id = r.getAs[Long]("media_id")
+          val content = r.getAs[Array[Byte]]("content")
+          decodeWavSamples(content) match {
+            case Some(s) =>
+              (0 until math.max(1, (s.length + frameSize - 1) / frameSize)).map { f =>
+                val from = f * frameSize
+                val (n, sumsq, rms, peak, zc) =
+                  frameStats(s, from, math.min(from + frameSize, s.length))
+                Row(id, f.toLong, true, n, sumsq, rms, peak, zc)
+              }
+            case None =>
+              val bytes = if (content == null) Array.emptyByteArray else content
+              val u = bytes.map(_ & 0xff)
+              val (n, sumsq, rms, peak, zc) = frameStats(u, 0, u.length)
+              Seq(Row(id, 0L, false, n, sumsq, rms, peak, zc))
+          }
+        })
+      }(enc)
+  }
+
+  /**
    * Partition-batched REAL decode: [[parseHeader]] over every blob with
    * the [[decodeImageBatched]] plumbing shape (iterator-to-iterator,
    * bounded batches, per-partition init — where a heavy decoder or

@@ -384,6 +384,27 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3) == ((4L, "unknown", stub.getLong(2), stub.getLong(3), stub.getLong(4), 0L)))
   }
 
+  test("audioFrameFeatures: windowed energy/RMS/ZCR, partial tail, junk fallback") {
+    val ss = spark; import ss.implicits._
+    // 5 samples at frameSize 2: frames [3,-4], [0,5], [−2] (partial)
+    val wav = MultimodalOps.encodeWavPcm(Array(3, -4, 0, 5, -2), 16, 1, 8000)
+    val media = MultimodalOps.toMediaFrame(
+      Seq((1L, wav), (2L, "junk!".getBytes("US-ASCII"))).toDF("id", "blob"),
+      "id", "blob", "mixed")
+    val got = MultimodalOps.audioFrameFeatures(media, frameSize = 2)
+      .orderBy("media_id", "frame_no").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    // frame0: sumsq 25, rms floor(sqrt(12.5)*1000)=3535, peak 4, zc 1
+    // frame1: sumsq 25, rms 3535, peak 5, zc 0 (0 is non-negative)
+    // frame2: partial n=1, sumsq 4, rms 2000, peak 2, zc 0
+    assert(got(0) == ((1L, 0L, true, 2L, 25L, 3535L, 4L, 1L)))
+    assert(got(1) == ((1L, 1L, true, 2L, 25L, 3535L, 5L, 0L)))
+    assert(got(2) == ((1L, 2L, true, 1L, 4L, 2000L, 2L, 0L)))
+    // junk: one frame_no=0 row over unsigned bytes, decoded=false
+    assert(got(3)._1 == 2L && got(3)._2 == 0L && !got(3)._3 && got(3)._4 == 5L)
+  }
+
   test("resizePlan box math over parsed dims") {
     val ss = spark; import ss.implicits._
     val media = MultimodalOps.toMediaFrame(
