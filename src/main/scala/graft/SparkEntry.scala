@@ -1357,6 +1357,15 @@ object SparkEntry {
       TextOps.unigramNll(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "t_dsir" -> ((s, dir) => {
+      // DSIR importance weights: raw docs scored by a target-domain
+      // (benchmark split) unigram LM against the raw-corpus LM
+      val docs = table(s, dir, "documents")
+      TextOps.dsirWeights(docs.filter(col("doc_id") >= 50), "doc_id", "text",
+          docs.filter(col("doc_id") < 50), "text")
+        .orderBy("doc_id")
+    }),
+
     "t_quality_rank" -> ((s, dir) =>
       // keep the top 10% per language by quality score — integer
       // rank-retention test, no percentile float anywhere
@@ -4195,6 +4204,31 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
         |       coalesce(round(ln((SELECT n FROM tot)) - mlf, 4), 0.0) AS avg_nll
         |FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "t_dsir" ->
+      """WITH ri AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS w
+        |  FROM documents WHERE doc_id >= 50),
+        |rc AS (SELECT w, count(*) AS cr FROM ri GROUP BY 1),
+        |tc AS (
+        |  SELECT w, count(*) AS ct FROM (
+        |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS w
+        |    FROM documents WHERE doc_id < 50) q GROUP BY 1),
+        |tot AS (
+        |  SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM rc) AS nr,
+        |         (SELECT count(*) FROM rc) AS v,
+        |         (SELECT coalesce(CAST(sum(ct) AS BIGINT), 0) FROM tc) AS nt),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |         sum(ln(coalesce(ct, 0)::DOUBLE + 1.0) - ln(cr::DOUBLE + 1.0)) AS s
+        |  FROM ri JOIN rc USING (w) LEFT JOIN tc USING (w) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+        |       coalesce(round(s + n_tokens::DOUBLE *
+        |         (ln(nr::DOUBLE + v::DOUBLE) - ln(nt::DOUBLE + v::DOUBLE)), 4), 0.0) AS log_weight
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 50) d
+        |LEFT JOIN perdoc USING (doc_id) CROSS JOIN tot
+        |ORDER BY d.doc_id""".stripMargin,
 
     "t_quality_rank" ->
       """WITH w AS (

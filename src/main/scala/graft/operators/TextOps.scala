@@ -724,6 +724,56 @@ object TextOps {
   }
 
   /**
+   * DSIR-style importance weights (Xie et al., "Data Selection for
+   * Language Models via Importance Resampling", NeurIPS 2023 —
+   * unigram form): per raw-corpus document, the log importance weight
+   * of a target-domain unigram LM against the raw-corpus LM,
+   *
+   *   w(doc) = Σ_{tokens} [ ln(c_t(w)+1) − ln(c_r(w)+1) ]
+   *          + n_tokens · [ ln(N_r+V) − ln(N_t+V) ]
+   *
+   * (add-1 smoothing over the raw vocab V, factored so the per-token
+   * work is two integer-count logs and the normalizer is one scalar
+   * per doc). Docs that read like the TARGET (a benchmark, a curated
+   * set) score high; resampling raw data ∝ exp(w) shifts the mixture
+   * toward the target domain — the standard pretraining data-selection
+   * move. Tokens absent from the target contribute −ln(c_r+1), so
+   * off-domain jargon pushes weight down, as it should.
+   *
+   * Plan: two token-count aggregates (map-side combinable), three
+   * tiny scalar frames broadcast, one instance-to-counts join per
+   * side. Empty docs keep weight 0 via the left join.
+   */
+  def dsirWeights(raw: DataFrame, rawIdCol: String, rawTextCol: String,
+                  target: DataFrame, targetTextCol: String): DataFrame = {
+    val rawInst = raw.select(col(rawIdCol).as("doc_id"),
+      explode(words(lower(col(rawTextCol)))).as("w"))
+    val rawCnt = rawInst.groupBy("w").agg(count(lit(1)).as("cr"))
+    val tgtCnt = target.select(explode(words(lower(col(targetTextCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("ct"))
+    val rawTotals = rawCnt.agg(sum(col("cr")).as("nr"), count(lit(1)).as("v"))
+    val tgtTotal = tgtCnt.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
+    val perDoc = rawInst
+      .join(rawCnt, "w")
+      .join(tgtCnt, Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(log(coalesce(col("ct"), lit(0L)).cast("double") + 1.0) -
+          log(col("cr").cast("double") + 1.0)).as("s"))
+      .crossJoin(broadcast(rawTotals))
+      .crossJoin(broadcast(tgtTotal))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("s") + col("n_tokens").cast("double") *
+          (log(col("nr").cast("double") + col("v").cast("double")) -
+           log(col("nt").cast("double") + col("v").cast("double"))), 4).as("log_weight"))
+    raw.select(col(rawIdCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("log_weight"), lit(0.0)).as("log_weight"))
+  }
+
+  /**
    * Distributed BPE trainer: the first `steps` byte-pair merges over
    * the corpus word-frequency table, each step emitting the merged
    * pair and its global count. Classic Sennrich BPE — per step, count

@@ -162,6 +162,18 @@ object ScaleCurve {
       docs(d).filter(col("doc_id") < 50), "doc_id", "text", 0.5))
     run("winsorize", d => graft.operators.EventOps.winsorize(
       evs(d), "event_id", "event_type", "value", 0.05, 0.95))
+    run("dsir", d => graft.operators.TextOps.dsirWeights(
+      docs(d).filter(col("doc_id") >= 50), "doc_id", "text",
+      docs(d).filter(col("doc_id") < 50), "text"))
+    run("audio_frames", d => {
+      val wav = udf { (docId: Long) =>
+        val s16 = Array.tabulate(48)(i => (((docId * 31 + i * 17) % 65536) - 32768).toInt)
+        graft.operators.MultimodalOps.encodeWavPcm(s16, 16, 1, 16000)
+      }
+      val m = graft.operators.MultimodalOps.toMediaFrame(
+        docs(d).withColumn("blob", wav(col("doc_id"))), "doc_id", "blob", "mixed")
+      graft.operators.MultimodalOps.audioFrameFeatures(m, 16)
+    })
 
     spark.stop()
   }

@@ -632,6 +632,24 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 1L, 4L, 0.0), (1L, 2L, 5L, 0.0)))
   }
 
+  test("dsirWeights: target-like docs score above off-domain; empty doc -> 0") {
+    val ss = spark; import ss.implicits._
+    val raw = Seq((100L, "a a"), (101L, "z z"), (102L, ""))
+      .toDF("doc_id", "text")
+    val target = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val got = TextOps.dsirWeights(raw, "doc_id", "text", target, "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    // V=2 (raw vocab a,z), N_r=4, N_t=3; norm = ln(6) - ln(5) per token
+    val norm = math.log(6.0) - math.log(5.0)
+    assert(got == Seq(
+      (100L, 2L, r4(2 * (math.log(3.0) - math.log(3.0)) + 2 * norm)),
+      (101L, 2L, r4(2 * (math.log(1.0) - math.log(3.0)) + 2 * norm)),
+      (102L, 0L, 0.0)))
+    assert(got(0)._3 > got(1)._3) // in-domain beats off-domain
+  }
+
   test("crossContamination: cross-table pairs only — same-side duplicates never pair") {
     val ss = spark; import ss.implicits._
     val shared = "alpha beta gamma delta epsilon zeta eta theta"
