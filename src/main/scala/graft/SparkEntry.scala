@@ -1267,6 +1267,12 @@ object SparkEntry {
           steps = 4)
         .orderBy("doc_id")),
 
+    "p_shard" -> ((s, dir) =>
+      // rendezvous sharding into 16 shards: the stable layout key —
+      // adding a shard moves only the docs the new shard wins
+      SampleOps.rendezvousShard(table(s, dir, "documents"), "doc_id", shards = 16)
+        .orderBy("doc_id")),
+
     "p_split_grouped" -> ((s, dir) =>
       // leakage-safe split: assignment keyed on the DOMAIN hash, so
       // same-source near-duplicates can never straddle train/test
@@ -2223,6 +2229,17 @@ object SparkEntry {
         |SELECT event_id, event_type, round(lo, 4) AS lo, round(hi, 4) AS hi,
         |       round(least(greatest(value, lo), hi), 4) AS value_w
         |FROM events JOIN b USING (event_type) ORDER BY event_id""".stripMargin,
+
+    "p_shard" ->
+      """WITH h AS (
+        |  SELECT doc_id, s, md5('shard:' || s || ':' || doc_id) AS h
+        |  FROM documents, (SELECT unnest(generate_series(0, 15)) AS s) sh),
+        |r AS (
+        |  SELECT doc_id, s,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s) AS rn
+        |  FROM h)
+        |SELECT doc_id, s::BIGINT AS shard FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "p_split_grouped" ->
       """SELECT doc_id, source,

@@ -266,4 +266,25 @@ object SampleOps {
       .select(col(stratumCol), col("rank").cast("long").as("rank"),
         col(idCol), col("weight"), col("wkey"))
   }
+
+  /**
+   * Rendezvous (highest-random-weight) sharding: each document goes to
+   * the shard with the maximal `md5("shard:" + s + ":" + id)` — the
+   * sharding function whose STABILITY property a growing corpus
+   * layout needs: adding shard N+1 moves exactly the documents whose
+   * new hash wins (≈ 1/(N+1) of them, spec-pinned) and NOTHING else,
+   * where `id % N` reshuffles almost everything. Engine-portable
+   * (md5 strings compare lexicographically everywhere) and a pure
+   * projection — no shuffle, no state, usable as a write-partition
+   * key at any scale.
+   */
+  def rendezvousShard(docs: DataFrame, idCol: String, shards: Int): DataFrame = {
+    require(shards >= 1 && shards <= 4096, s"shards in [1,4096], got $shards")
+    val candidates = array((0 until shards).map { s =>
+      struct(md5(concat(lit(s"shard:$s:"), col(idCol).cast("string"))).as("h"),
+        lit(s.toLong).as("s"))
+    }: _*)
+    docs.select(col(idCol).as("doc_id"),
+      array_max(candidates).getField("s").as("shard"))
+  }
 }

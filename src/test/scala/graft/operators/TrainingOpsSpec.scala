@@ -632,6 +632,20 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 1L, 4L, 0.0), (1L, 2L, 5L, 0.0)))
   }
 
+  test("rendezvousShard: adding a shard moves ONLY docs the new shard wins") {
+    val ss = spark; import ss.implicits._
+    val docs = (1L to 500L).toDF("doc_id")
+    val s16 = SampleOps.rendezvousShard(docs, "doc_id", 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s17 = SampleOps.rendezvousShard(docs, "doc_id", 17).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val moved = (1L to 500L).filter(id => s16(id) != s17(id))
+    // every moved doc landed on the NEW shard; nothing reshuffled among 0..15
+    assert(moved.nonEmpty && moved.forall(id => s17(id) == 16L))
+    // expected movement ~ 500/17 ≈ 29; assert the modular-hash disaster didn't happen
+    assert(moved.size < 100, s"moved ${moved.size}")
+  }
+
   test("dsirWeights: target-like docs score above off-domain; empty doc -> 0") {
     val ss = spark; import ss.implicits._
     val raw = Seq((100L, "a a"), (101L, "z z"), (102L, ""))
