@@ -473,6 +473,22 @@ object SparkEntry {
             .as("dst")))
         .orderBy("node")),
 
+    "q27_zorder" -> ((s, dir) =>
+      // Morton layout key over (user bucket, time bucket): the
+      // two-dimensional data-skipping sort key
+      events(s, dir).select(col("event_id"),
+          (col("user_id") % 1024).as("xb"),
+          (col("tsec") % 1024).as("yb"))
+        .withColumn("zkey", LayoutOps.zorderKey2(col("xb"), col("yb"), bits = 10))
+        .orderBy("event_id")),
+
+    "s_mrl_audit" -> ((s, dir) =>
+      // Matryoshka truncation audit: cosine survival of the first 32
+      // of 64 dims, per label — the index-shrink go/no-go
+      SimilarityOps.truncationAudit(table(s, dir, "embeddings"), "vec_id",
+          "embedding", "label", keepDims = 32)
+        .orderBy("label")),
+
     "q23_clustering" -> ((s, dir) =>
       // local clustering coefficient (integer micro units) on the same
       // graph: community density vs hub spray at equal connectivity
@@ -2198,6 +2214,26 @@ object SparkEntry {
         |FROM inter JOIN n x ON corpus_id = x.doc_id JOIN n y ON ref_id = y.doc_id
         |WHERE round(inter::DOUBLE / (x.n + y.n - inter), 4) >= 0.5
         |ORDER BY corpus_id, ref_id""".stripMargin,
+
+    "q27_zorder" ->
+      """SELECT event_id, user_id % 1024 AS xb,
+        |       CAST(floor(epoch(ts)) AS BIGINT) % 1024 AS yb,
+        |       CAST(list_sum(list_transform(generate_series(0, 9),
+        |         b -> (((user_id % 1024) >> b) & 1) * (1::BIGINT << (2 * b))
+        |            + (((CAST(floor(epoch(ts)) AS BIGINT) % 1024) >> b) & 1) * (1::BIGINT << (2 * b + 1))))
+        |         AS BIGINT) AS zkey
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "s_mrl_audit" ->
+      """WITH e AS (
+        |  SELECT label,
+        |         list_sum(list_transform(range(1, 33), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS he,
+        |         list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS te
+        |  FROM embeddings),
+        |c AS (SELECT label, sqrt(he / te) AS cos FROM e WHERE te > 0)
+        |SELECT label::BIGINT AS label, count(*) AS n,
+        |       round(avg(cos), 4) AS avg_cos, round(min(cos), 4) AS min_cos
+        |FROM c GROUP BY 1 ORDER BY label""".stripMargin,
 
     "q23_clustering" ->
       """WITH raw AS (

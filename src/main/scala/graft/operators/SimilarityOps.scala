@@ -458,4 +458,36 @@ object SimilarityOps {
         .otherwise(lit(0L)))
       .select(col("id"), col("pos"), col("code"))
   }
+
+  /**
+   * Matryoshka-style truncation audit: per label, how much cosine
+   * similarity survives keeping only the FIRST `keepDims` components
+   * of each embedding. Because the truncated vector is a prefix of
+   * the full one, cos(full, head) collapses to √(head-energy /
+   * total-energy) — one left-to-right fold per row, no pairwise
+   * work. `avg_cos` near 1 says the leading dims carry the signal
+   * (truncate and pay 2× less everywhere downstream); `min_cos` is
+   * the tail risk — the worst-served vector of the label. The go/no-go
+   * audit before swapping a 64-dim index for a 32-dim one.
+   *
+   * Zero vectors are excluded (no direction to preserve). One
+   * projection + one label-sized aggregate.
+   */
+  def truncationAudit(emb: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String, keepDims: Int): DataFrame = {
+    require(keepDims >= 1, s"keepDims >= 1, got $keepDims")
+    val v = asDouble(col(vecCol))
+    val headE = aggregate(slice(v, 1, keepDims), lit(0.0), (a, e) => a + e * e)
+    val totalE = aggregate(v, lit(0.0), (a, e) => a + e * e)
+    emb.select(col(labelCol).as("label"),
+        headE.as("he"), totalE.as("te"))
+      .filter(col("te") > 0)
+      .withColumn("cos", sqrt(col("he") / col("te")))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("cos")), 4).as("avg_cos"),
+        round(min(col("cos")), 4).as("min_cos"))
+      .select(col("label").cast("long").as("label"), col("n"),
+        col("avg_cos"), col("min_cos"))
+  }
 }

@@ -632,6 +632,34 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 1L, 4L, 0.0), (1L, 2L, 5L, 0.0)))
   }
 
+  test("zorderKey2: hand-checked interleave; y-step flips only odd bit positions") {
+    val ss = spark; import ss.implicits._
+    // x=5 (101), y=3 (011), bits=3: z = 1 + 2 + 8 + 16 = 27
+    val got = Seq((5L, 3L)).toDF("x", "y")
+      .select(LayoutOps.zorderKey2(col("x"), col("y"), 3).as("z"))
+      .collect()(0).getLong(0)
+    assert(got == 27L)
+    // stepping y by 1 from even y touches only bit 1 (odd position)
+    val z0 = Seq((6L, 4L)).toDF("x", "y")
+      .select(LayoutOps.zorderKey2(col("x"), col("y"), 3)).collect()(0).getLong(0)
+    val z1 = Seq((6L, 5L)).toDF("x", "y")
+      .select(LayoutOps.zorderKey2(col("x"), col("y"), 3)).collect()(0).getLong(0)
+    assert((z0 ^ z1) == 2L)
+  }
+
+  test("truncationAudit: prefix energy ratio — balanced vs head-heavy labels") {
+    val ss = spark; import ss.implicits._
+    val vecs = Seq(
+      (1L, Array(3.0f, 4.0f), 0),  // head energy 9/25 -> cos 0.6
+      (2L, Array(1.0f, 0.0f), 1),  // all energy in head -> cos 1.0
+      (3L, Array(0.0f, 0.0f), 1)   // zero vector: excluded
+    ).toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.truncationAudit(vecs, "vec_id", "embedding", "label", keepDims = 1)
+      .orderBy("label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == Seq((0L, 1L, 0.6, 0.6), (1L, 1L, 1.0, 1.0)))
+  }
+
   test("rendezvousShard: adding a shard moves ONLY docs the new shard wins") {
     val ss = spark; import ss.implicits._
     val docs = (1L to 500L).toDF("doc_id")
