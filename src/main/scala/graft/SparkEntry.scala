@@ -1283,6 +1283,15 @@ object SparkEntry {
           steps = 4)
         .orderBy("doc_id")),
 
+    "p_curriculum" -> ((s, dir) =>
+      // per-lang quality deciles: integer (rank-1)*10 div n buckets,
+      // easiest (highest-quality) docs in bucket 0
+      SampleOps.curriculumBuckets(table(s, dir, "documents"), "doc_id",
+          TextOps.qualityScore(col("text")), "lang", k = 10)
+        .withColumnRenamed("grp", "lang").withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("score", "quality")
+        .orderBy("doc_id")),
+
     "p_shard" -> ((s, dir) =>
       // rendezvous sharding into 16 shards: the stable layout key —
       // adding a shard moves only the docs the new shard wins
@@ -2265,6 +2274,33 @@ object SparkEntry {
         |SELECT event_id, event_type, round(lo, 4) AS lo, round(hi, 4) AS hi,
         |       round(least(greatest(value, lo), hi), 4) AS value_w
         |FROM events JOIN b USING (event_type) ORDER BY event_id""".stripMargin,
+
+    "p_curriculum" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, text,
+        |         length(text)::BIGINT AS len,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS lw,
+        |         (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))::BIGINT AS np
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, lang, len, np,
+        |    len(lw)::BIGINT AS nw,
+        |    len(list_filter(lw, x -> x IN ('the','a','an','of','to','and','in','is','on','for')))::BIGINT AS ns
+        |  FROM w),
+        |q AS (
+        |  SELECT doc_id, lang,
+        |       (400 * least(len, 500)) // 500
+        |     + CASE WHEN nw = 0 THEN 0 ELSE (300 * least(ns * 5, nw)) // nw END
+        |     + CASE WHEN len = 0 THEN 0 ELSE (300 * greatest(len - np * 5, 0)) // len END AS quality
+        |  FROM f),
+        |r AS (
+        |  SELECT lang, doc_id, quality,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY quality DESC, doc_id ASC) AS rank,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM q)
+        |SELECT lang, doc_id, quality, ((rank - 1) * 10) // n AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "p_shard" ->
       """WITH h AS (

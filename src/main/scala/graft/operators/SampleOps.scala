@@ -268,6 +268,29 @@ object SampleOps {
   }
 
   /**
+   * Curriculum bucketing: per group, rank documents by `score`
+   * (descending — "easiest first" when the score is quality) and cut
+   * the ranking into `k` equal integer buckets,
+   * `bucket = (rank−1)·k div n` ∈ [0, k). A curriculum schedule then
+   * feeds bucket 0 before bucket 1 and so on. Pure integer retention
+   * math (the [[graft.operators.TextOps.qualityTopFraction]] policy
+   * generalized from one cut to k), deterministic under ties via the
+   * id order. Same scale caveat as every per-group ranking window:
+   * exact contract while a group fits a partition; corpus-sized
+   * groups swap the window for fixed-grid quantile thresholds.
+   */
+  def curriculumBuckets(docs: DataFrame, idCol: String, score: Column,
+                        groupCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k in [1,1000], got $k")
+    docs.select(col(groupCol).as("grp"), col(idCol).as("id"), score.as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("grp").orderBy(col("score").desc, col("id").asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+      .select(col("grp"), col("id"), col("score"),
+        floor((col("rank") - 1) * lit(k.toLong) / col("n")).cast("long").as("bucket"))
+  }
+
+  /**
    * Rendezvous (highest-random-weight) sharding: each document goes to
    * the shard with the maximal `md5("shard:" + s + ":" + id)` — the
    * sharding function whose STABILITY property a growing corpus

@@ -162,6 +162,18 @@ object ScaleCurve {
       docs(d).filter(col("doc_id") < 50), "doc_id", "text", 0.5))
     run("winsorize", d => graft.operators.EventOps.winsorize(
       evs(d), "event_id", "event_type", "value", 0.05, 0.95))
+    run("shard", d => graft.operators.SampleOps.rendezvousShard(docs(d), "doc_id", 16))
+    run("zorder", d => evs(d).select(graft.operators.LayoutOps.zorderKey2(
+      col("user_id") % 1024, col("tsec") % 1024, 10).as("z")))
+    run("mrl_audit", d => graft.operators.SimilarityOps.truncationAudit(
+      spark.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", "label", 32))
+    run("stream_anomaly", d => graft.streaming.StreamAnomaly.zscoreAnomalies(
+      evs(d).select(concat(lit("s."), col("user_id") % 100).as("path"),
+        col("tsec").as("time"), col("event_id").as("version"), col("value")), 3.0, 10).toDF)
+    run("salted_join", d => graft.operators.JoinOps.saltedJoin(
+      spark.read.parquet(s"$d/lineitem.parquet").withColumnRenamed("l_partkey", "pk"),
+      spark.read.parquet(s"$d/part.parquet").withColumnRenamed("p_partkey", "pk"),
+      "pk", col("l_orderkey"), 8))
     run("dsir", d => graft.operators.TextOps.dsirWeights(
       docs(d).filter(col("doc_id") >= 50), "doc_id", "text",
       docs(d).filter(col("doc_id") < 50), "text"))

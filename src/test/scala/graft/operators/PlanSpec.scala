@@ -220,4 +220,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scan.selectedPartitions.partitionCount == 1,
       "month filter must prune to a single partition")
   }
+
+  test("runtime bloom filter: a selective dim filter prunes the fact scan pre-shuffle") {
+    // the 100 TB shape: a selective dimension predicate should reach
+    // the fact side as an injected bloom semi-filter BEFORE the
+    // shuffle, not only as the join itself. The size thresholds are
+    // lowered because local test parquet is below the 10 GB default —
+    // the assertion is that the OPTIMIZER injects the filter for this
+    // plan shape at all.
+    val conf = spark.conf
+    val old = conf.getOption("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val oldB = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val pt = spark.read.parquet(s"$sfDir/part.parquet").filter(col("p_size") < 10)
+      val plan = li.join(pt, li("l_partkey") === pt("p_partkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"expected an injected runtime bloom filter:\n${plan.take(1500)}")
+    } finally {
+      old.fold(conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"))(
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", _))
+      oldB.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+    }
+  }
 }

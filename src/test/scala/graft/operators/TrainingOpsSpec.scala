@@ -632,6 +632,17 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 1L, 4L, 0.0), (1L, 2L, 5L, 0.0)))
   }
 
+  test("curriculumBuckets: (rank-1)*k div n cuts, desc score order, id tie-break") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq((1L, "g", 50L), (2L, "g", 40L), (3L, "g", 30L),
+      (4L, "g", 20L), (5L, "g", 20L)).toDF("id", "grp", "sc")
+    val got = SampleOps.curriculumBuckets(docs, "id", col("sc"), "grp", k = 2)
+      .orderBy("id").collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+    // ranks: 1(id1,50) 2(id2,40) 3(id3,30) 4(id4,20) 5(id5,20 tie->id)
+    // buckets: 0,0,0,1,1
+    assert(got == Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L)))
+  }
+
   test("zorderKey2: hand-checked interleave; y-step flips only odd bit positions") {
     val ss = spark; import ss.implicits._
     // x=5 (101), y=3 (011), bits=3: z = 1 + 2 + 8 + 16 = 27
