@@ -162,14 +162,31 @@ object SketchOps {
    * 500k for a [0, 500) range at 1e-3), not over points.
    */
   def gridQuantiles(df: DataFrame, valueCol: String, ps: Seq[Double],
-                    grid: Double): DataFrame = {
-    val cells = df.groupBy(floor(col(valueCol) / lit(grid)).cast("long").as("cell"))
+                    grid: Double): DataFrame =
+    quantilesFromCells(gridCells(df, valueCol, grid), ps, grid)
+
+  /**
+   * The grid histogram alone: `(cell, cnt)` with cell = ⌊v/grid⌋.
+   * This aggregate is STREAMING-SAFE (a plain groupBy count — run it
+   * under complete/update mode with bounded state = value-range/grid
+   * rows), and its output is mergeable across corpora by summing
+   * counts per cell. [[quantilesFromCells]] is the batch finisher —
+   * at stream read time, walk the tiny cells table, not the stream.
+   */
+  def gridCells(df: DataFrame, valueCol: String, grid: Double): DataFrame =
+    df.groupBy(floor(col(valueCol) / lit(grid)).cast("long").as("cell"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Cumulative walk over a `(cell, cnt)` histogram: the quantile
+    * read view. `n` derives from the cells themselves (Σcnt), so a
+    * merged or streamed histogram needs no side channel. */
+  def quantilesFromCells(cells: DataFrame, ps: Seq[Double],
+                         grid: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy("cell")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = cells.withColumn("cum", sum("cnt").over(w))
-      .crossJoin(broadcast(df.agg(count(lit(1)).as("n"))))
+      .crossJoin(broadcast(cells.agg(sum(col("cnt")).as("n"))))
     ps.map { p =>
       cum.filter(col("cum") >= ceil(lit(p) * col("n").cast("double")).cast("long"))
         .orderBy("cell").limit(1)

@@ -102,6 +102,29 @@ class SketchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one == many)
   }
 
+  test("gridCells runs under Structured Streaming; finisher over streamed cells equals batch") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Double]
+    val cellsStream = SketchOps.gridCells(mem.toDF.toDF("v"), "v", grid = 10.0)
+    assert(cellsStream.isStreaming)
+    val q = cellsStream.writeStream.format("memory").queryName("grid_cells")
+      .outputMode("complete").start()
+    try {
+      val b1 = Seq(1.0, 5.0, 17.0, 23.0)
+      val b2 = Seq(25.0, 99.0, 3.0, 41.0)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamed = SketchOps.quantilesFromCells(
+          ss.table("grid_cells"), Seq(0.5, 0.9), grid = 10.0)
+        .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+      val batch = SketchOps.gridQuantiles(
+          (b1 ++ b2).toDF("v"), "v", Seq(0.5, 0.9), grid = 10.0)
+        .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+      assert(streamed == batch, s"streamed $streamed != batch $batch")
+    } finally q.stop()
+  }
+
   test("kmvOverlap: exact below k — inclusion-exclusion recovers the true intersection") {
     val ss = spark; import ss.implicits._
     // |A|=60, |B|=50, |A∩B|=30: all sets below k=256, so every
