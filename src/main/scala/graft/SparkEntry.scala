@@ -489,6 +489,36 @@ object SparkEntry {
           "embedding", "label", keepDims = 32)
         .orderBy("label")),
 
+    "q28_pivot" -> ((s, dir) =>
+      // relational pivot: event counts per (hour-of-day x event_type)
+      // with an explicit column list so the shape is static
+      events(s, dir)
+        .select((floor(col("tsec") / 3600) % 24).cast("long").as("hour"),
+          col("event_type"))
+        .groupBy("hour")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("hour")),
+
+    "q29_transitions" -> ((s, dir) => {
+      // first-order Markov transitions between consecutive events per
+      // user ((time, event_id)-ordered); integer micro probabilities
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("tsec").asc, col("event_id").asc)
+      val pairs = events(s, dir)
+        .select(col("user_id"), col("tsec"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val totals = pairs.groupBy("from_type").agg(sum(col("cnt")).as("row_total"))
+      pairs.join(totals, "from_type")
+        .select(col("from_type"), col("to_type"), col("cnt"),
+          floor(col("cnt") * lit(1000000L) / col("row_total")).cast("long").as("p_micro"))
+        .orderBy("from_type", "to_type")
+    }),
+
     "q23_clustering" -> ((s, dir) =>
       // local clustering coefficient (integer micro units) on the same
       // graph: community density vs hub spray at equal connectivity
@@ -2243,6 +2273,32 @@ object SparkEntry {
         |SELECT label::BIGINT AS label, count(*) AS n,
         |       round(avg(cos), 4) AS avg_cos, round(min(cos), 4) AS min_cos
         |FROM c GROUP BY 1 ORDER BY label""".stripMargin,
+
+    "q28_pivot" ->
+      """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS hour,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+
+    "q29_transitions" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+        |  FROM events),
+        |x AS (
+        |  SELECT event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY tsec, event_id) AS next_type
+        |  FROM b),
+        |p AS (
+        |  SELECT event_type AS from_type, next_type AS to_type, count(*) AS cnt
+        |  FROM x WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(cnt) AS BIGINT) AS row_total FROM p GROUP BY 1)
+        |SELECT from_type, to_type, cnt, (cnt * 1000000) // row_total AS p_micro
+        |FROM p JOIN t USING (from_type) ORDER BY 1, 2""".stripMargin,
 
     "q23_clustering" ->
       """WITH raw AS (

@@ -221,6 +221,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "month filter must prune to a single partition")
   }
 
+  test("global top-k plans as TakeOrderedAndProject, never a full sort") {
+    // orderBy(...).limit(k) must become the per-partition-heap +
+    // driver-merge operator; a global Sort before a Limit would
+    // shuffle the corpus to sort it — the difference between O(n)
+    // and a full exchange at 100 TB
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = docs.orderBy(col("n_chars").desc, col("doc_id"))
+      .limit(10).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
   test("runtime bloom filter: a selective dim filter prunes the fact scan pre-shuffle") {
     // the 100 TB shape: a selective dimension predicate should reach
     // the fact side as an injected bloom semi-filter BEFORE the
