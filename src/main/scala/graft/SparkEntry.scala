@@ -626,6 +626,12 @@ object SparkEntry {
       SeriesOps.highestAverage(metricStream(s, dir), 10)
         .orderBy("rank")),
 
+    "g_m4" -> ((s, dir) =>
+      // M4 render downsampling: first/last/min/max per (series, 1h
+      // bucket) — one composite-struct hash aggregate, zero windows
+      SeriesOps.m4Downsample(metricStream(s, dir), bucketSec = 3600L)
+        .orderBy("path", "bucket_start")),
+
     "g_npercentile" -> ((s, dir) =>
       // graphite nPercentile(90): per-series exact type-7 percentile
       SeriesOps.seriesPercentile(metricStream(s, dir), p = 90)
@@ -2591,6 +2597,22 @@ object SparkEntry {
          |FROM m JOIN sx ON m.path = sx.path
          |WHERE sx.variance > 0 AND abs((m.value - sx.mean) / sqrt(sx.variance)) > 3.0
          |ORDER BY m.path, m."time", m.version""".stripMargin,
+
+    "g_m4" ->
+      s"""$OracleM,
+         |b AS (SELECT path, "time" - ("time" % 3600) AS bucket_start,
+         |             "time", version, value FROM m),
+         |a AS (
+         |  SELECT path, bucket_start, count(*) AS n_points,
+         |         min(struct_pack(t := "time", ver := version, v := value)) AS f,
+         |         max(struct_pack(t := "time", ver := version, v := value)) AS l,
+         |         min(struct_pack(v := value, t := "time", ver := version)) AS lo,
+         |         max(struct_pack(v := value, t := "time", ver := version)) AS hi
+         |  FROM b GROUP BY 1, 2)
+         |SELECT path, bucket_start, n_points,
+         |       f.t AS t_first, f.v AS v_first, l.t AS t_last, l.v AS v_last,
+         |       lo.t AS t_min, lo.v AS v_min, hi.t AS t_max, hi.v AS v_max
+         |FROM a ORDER BY path, bucket_start""".stripMargin,
 
     "g_npercentile" ->
       s"""$OracleM

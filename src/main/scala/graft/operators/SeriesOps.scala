@@ -364,6 +364,38 @@ object SeriesOps {
   }
 
   /**
+   * M4 downsampling (Jugel et al., "M4: A Visualization-Oriented Time
+   * Series Data Aggregation", VLDB 2014): per (series, time bucket),
+   * the first, last, min and max points — the four points that make a
+   * pixel-width bucket render EXACTLY like the raw series on a line
+   * chart, which is why it's the standard render-path reducer (a
+   * 10⁹-point series becomes 4·width rows with zero visual error).
+   *
+   * Each representative is one composite `min`/`max` over a struct —
+   * (time, version, value) for first/last, (value, time, version) for
+   * the extremes — so tie-breaks ride the struct's lexicographic
+   * order identically on any engine, and the whole operator is ONE
+   * hash aggregate with map-side partials: no window, no sort, no
+   * join. Output is bucket-count-sized.
+   */
+  def m4Downsample(points: DataFrame, bucketSec: Long): DataFrame = {
+    require(bucketSec >= 1, s"bucketSec >= 1, got $bucketSec")
+    val byTime = struct(col("time"), col("version"), col("value"))
+    val byValue = struct(col("value"), col("time"), col("version"))
+    points
+      .withColumn("bucket_start", (col("time") - col("time") % bucketSec))
+      .groupBy("path", "bucket_start")
+      .agg(count(lit(1)).as("n_points"),
+        min(byTime).as("f"), max(byTime).as("l"),
+        min(byValue).as("lo"), max(byValue).as("hi"))
+      .select(col("path"), col("bucket_start"), col("n_points"),
+        col("f.time").as("t_first"), col("f.value").as("v_first"),
+        col("l.time").as("t_last"), col("l.value").as("v_last"),
+        col("lo.time").as("t_min"), col("lo.value").as("v_min"),
+        col("hi.time").as("t_max"), col("hi.value").as("v_max"))
+  }
+
+  /**
    * graphite `nPercentile(series, p)`: each series' exact interpolated
    * p-th percentile (type-7, the [[graft.operators.EventOps.groupPercentiles]]
    * contract) with its point count. One path-keyed aggregate; the

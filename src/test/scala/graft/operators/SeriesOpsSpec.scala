@@ -278,6 +278,22 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(2) == ("c", 2L, 1.5, 0.5, 0L))
   }
 
+  test("m4Downsample: first/last/min/max per bucket, struct tie-breaks") {
+    val p = pts(
+      ("a", 5.0, 10L, 1L),   // first (and min tie with t=30: earliest wins)
+      ("a", 9.0, 20L, 1L),   // max
+      ("a", 5.0, 30L, 2L),   // min tie, later -> not the min pick
+      ("a", 7.0, 59L, 1L),   // last
+      ("a", 1.0, 60L, 1L))   // next bucket alone
+    val rows = SeriesOps.m4Downsample(p, bucketSec = 60L).orderBy("bucket_start")
+      .collect().map(r => (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5), r.getDouble(6),
+        r.getLong(7), r.getDouble(8), r.getLong(9), r.getDouble(10))).toSeq
+    assert(rows == Seq(
+      (0L, 4L, 10L, 5.0, 59L, 7.0, 10L, 5.0, 20L, 9.0),
+      (60L, 1L, 60L, 1.0, 60L, 1.0, 60L, 1.0, 60L, 1.0)))
+  }
+
   test("seriesPercentile / removeAbovePercentile: type-7 value, boundary point kept") {
     val p = pts((1 to 10).map(i => ("a", i.toDouble, i.toLong, i.toLong)): _*)
     val pct = SeriesOps.seriesPercentile(p, 90).collect()(0)
