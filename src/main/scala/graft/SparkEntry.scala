@@ -626,6 +626,18 @@ object SparkEntry {
       SeriesOps.highestAverage(metricStream(s, dir), 10)
         .orderBy("rank")),
 
+    "g_cusum" -> ((s, dir) =>
+      // CUSUM change-point locator: per series, the point of maximal
+      // integer cumulative deviation from the series mean
+      SeriesOps.cusumChangePoint(metricStream(s, dir))
+        .orderBy("path")),
+
+    "q30_benford" -> ((s, dir) =>
+      // Benford first-digit audit of event values: digit histogram
+      // + per-digit chi-square contributions
+      EventOps.benfordAudit(events(s, dir), "value")
+        .orderBy("digit")),
+
     "g_m4" -> ((s, dir) =>
       // M4 render downsampling: first/last/min/max per (series, 1h
       // bucket) — one composite-struct hash aggregate, zero windows
@@ -2597,6 +2609,45 @@ object SparkEntry {
          |FROM m JOIN sx ON m.path = sx.path
          |WHERE sx.variance > 0 AND abs((m.value - sx.mean) / sqrt(sx.variance)) > 3.0
          |ORDER BY m.path, m."time", m.version""".stripMargin,
+
+    "g_cusum" ->
+      s"""$OracleM,
+         |b AS (SELECT path, "time", version,
+         |             CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS q FROM m),
+         |x AS (
+         |  SELECT path, "time", version, q,
+         |         sum(q) OVER (PARTITION BY path ORDER BY "time", version
+         |                      ROWS UNBOUNDED PRECEDING) AS prefix,
+         |         row_number() OVER (PARTITION BY path ORDER BY "time", version) AS i,
+         |         count(*) OVER (PARTITION BY path) AS n,
+         |         sum(q) OVER (PARTITION BY path) AS sq
+         |  FROM b),
+         |c AS (SELECT path, "time", version, n,
+         |             CAST(n * prefix - i * sq AS BIGINT) AS cnum FROM x),
+         |r AS (
+         |  SELECT path, "time", version, n, cnum,
+         |         row_number() OVER (PARTITION BY path
+         |                            ORDER BY abs(cnum) DESC, "time", version) AS rn
+         |  FROM c)
+         |SELECT path, n::BIGINT AS n_points, "time" AS t_change,
+         |       version AS version_change, cnum AS cusum_num,
+         |       round(cnum::DOUBLE / (n::DOUBLE * 1000.0), 4) AS shift_milli
+         |FROM r WHERE rn = 1 ORDER BY path""".stripMargin,
+
+    "q30_benford" ->
+      """WITH q AS (
+        |  SELECT CAST(floor(abs(value) * 1000.0 + 0.5) AS BIGINT) AS q
+        |  FROM events),
+        |d AS (
+        |  SELECT CAST(substr(q::VARCHAR, 1, 1) AS BIGINT) AS digit, count(*) AS cnt
+        |  FROM q WHERE q >= 1 GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM d)
+        |SELECT digit, cnt,
+        |       round(n::DOUBLE * ln(1.0 + 1.0 / digit::DOUBLE) / ln(10.0), 4) AS expected,
+        |       round((cnt::DOUBLE - n::DOUBLE * ln(1.0 + 1.0 / digit::DOUBLE) / ln(10.0))
+        |             * (cnt::DOUBLE - n::DOUBLE * ln(1.0 + 1.0 / digit::DOUBLE) / ln(10.0))
+        |             / (n::DOUBLE * ln(1.0 + 1.0 / digit::DOUBLE) / ln(10.0)), 4) AS chi2_term
+        |FROM d, t ORDER BY digit""".stripMargin,
 
     "g_m4" ->
       s"""$OracleM,

@@ -170,6 +170,37 @@ object EventOps {
       .replace(".", "_")
 
   /**
+   * Benford first-digit audit: the digit histogram of a value column
+   * against Benford's law P(d) = log₁₀(1 + 1/d), with per-digit χ²
+   * contributions — the classic fabricated-data / broken-instrument
+   * screen (organic multiplicative quantities follow the law; a
+   * uniform or spiked first-digit histogram is a red flag worth a
+   * look even when, as with bounded uniform metrics, the law isn't
+   * expected to hold exactly). The first digit comes from the
+   * INTEGER string of the 1e-3-quantized value — integer formatting
+   * is engine-identical where float formatting is not. Values
+   * quantizing to 0 are excluded (no leading digit).
+   *
+   * One 9-row aggregate; the χ² chain is the only float math and
+   * both engines run it on the same integers.
+   */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val q = floor(abs(col(valueCol)) * lit(1.0e3) + lit(0.5)).cast("long")
+    val digits = df.select(q.as("q")).filter(col("q") >= 1)
+      .select(substring(col("q").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("cnt"))
+    val tot = digits.agg(sum(col("cnt")).as("n"))
+    val expected = col("n").cast("double") *
+      log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0))
+    digits.crossJoin(broadcast(tot))
+      .withColumn("exp", expected)
+      .select(col("digit"), col("cnt"),
+        round(col("exp"), 4).as("expected"),
+        round((col("cnt").cast("double") - col("exp")) *
+          (col("cnt").cast("double") - col("exp")) / col("exp"), 4).as("chi2_term"))
+  }
+
+  /**
    * Per-group winsorization: clip each value into its group's
    * `[pLo, pHi]` exact interpolated percentile band — the outlier
    * treatment that keeps the row (unlike a filter) while bounding its

@@ -364,6 +364,48 @@ object SeriesOps {
   }
 
   /**
+   * CUSUM change-point locator: for each series, the point where the
+   * cumulative deviation from the series mean peaks — the classic
+   * level-shift estimate (a series that jumps from baseline a to b
+   * has |Σ(x−x̄)| maximal exactly at the shift). All integer: with
+   * q = round(value·1e6) and prefix_i = Σ_{j≤i} q_j,
+   *
+   *   C_i = n·prefix_i − i·Σq     (deviation scaled by n to stay
+   *                                rational-free)
+   *
+   * the emitted point maximizes |C_i| (ties → earliest (time,
+   * version), via a single composite struct max). `shift_milli` =
+   * C/(n·1000) normalizes back to value·points units. Overflow
+   * envelope: n²·|value|·1e6 < 2⁶³ — a 30-day minutely series of
+   * |v| ≤ 10⁴ is safe; shard longer histories by window first.
+   *
+   * Plan: one path-keyed window (running sum + row number) + one
+   * hash aggregate — series-count-sized output.
+   */
+  def cusumChangePoint(points: DataFrame): DataFrame = {
+    val q = floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long")
+    val w = seriesWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("path")
+    val c = points
+      .withColumn("q", q)
+      .withColumn("prefix", sum(col("q")).over(w))
+      .withColumn("i", row_number().over(seriesWindow).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sq", sum(col("q")).over(wAll))
+      .withColumn("cnum", col("n") * col("prefix") - col("i") * col("sq"))
+    c.groupBy("path")
+      .agg(max(struct(abs(col("cnum")).as("a"), (-col("time")).as("nt"),
+        (-col("version")).as("nv"), col("cnum").as("c"),
+        col("time").as("t"), col("version").as("v"))).as("best"),
+        first(col("n")).as("n_points"))
+      .select(col("path"), col("n_points"),
+        col("best.t").as("t_change"), col("best.v").as("version_change"),
+        col("best.c").as("cusum_num"),
+        round(col("best.c").cast("double") /
+          (col("n_points").cast("double") * lit(1000.0)), 4).as("shift_milli"))
+  }
+
+  /**
    * M4 downsampling (Jugel et al., "M4: A Visualization-Oriented Time
    * Series Data Aggregation", VLDB 2014): per (series, time bucket),
    * the first, last, min and max points — the four points that make a

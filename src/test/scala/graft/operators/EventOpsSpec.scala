@@ -274,6 +274,18 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"interval join must stay an equi join:\n$plan")
   }
 
+  test("benfordAudit: integer-string first digits, zero excluded, chi2 chain") {
+    val ss = spark; import ss.implicits._
+    val df = Seq(1.0, 1.5, 2.0, 19.0, 0.0).toDF("value") // 0.0 -> q=0, excluded
+    val got = EventOps.benfordAudit(df, "value").orderBy("digit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    def exp(d: Int) = 4.0 * math.log(1.0 + 1.0 / d) / math.log(10.0)
+    assert(got == Seq(
+      (1L, 3L, r4(exp(1)), r4((3 - exp(1)) * (3 - exp(1)) / exp(1))),
+      (2L, 1L, r4(exp(2)), r4((1 - exp(2)) * (1 - exp(2)) / exp(2)))))
+  }
+
   test("winsorize: type-7 band [3.25, 7.75] on 1..10, clip keeps interior values") {
     val ss = spark; import ss.implicits._
     val df = (1 to 10).map(i => (i.toLong, "g", i.toDouble)).toDF("id", "grp", "value")

@@ -278,6 +278,15 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(2) == ("c", 2L, 1.5, 0.5, 0L))
   }
 
+  test("cusumChangePoint: level shift located at the step; exact integer numerator") {
+    // 1,1,1 then 5,5: |C| peaks at i=3 (the last pre-shift point)
+    val p = pts(("a", 1.0, 1L, 1L), ("a", 1.0, 2L, 2L), ("a", 1.0, 3L, 3L),
+      ("a", 5.0, 4L, 4L), ("a", 5.0, 5L, 5L))
+    val r = SeriesOps.cusumChangePoint(p).collect()(0)
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(5)) ==
+      ("a", 5L, 3L, -24000000L, -4800.0))
+  }
+
   test("m4Downsample: first/last/min/max per bucket, struct tie-breaks") {
     val p = pts(
       ("a", 5.0, 10L, 1L),   // first (and min tie with t=30: earliest wins)
