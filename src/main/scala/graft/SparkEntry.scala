@@ -931,6 +931,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s_rrf" -> ((s, dir) => {
+      // hybrid retrieval: fuse the full-precision top-10 with the
+      // 32-dim truncated-index top-10 by reciprocal rank (k=60)
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val t = e.select(col("id"), slice(col("embedding"), 1, 32).as("embedding"))
+      SimilarityOps.rrfFuse(
+        SimilarityOps.bruteForceTopK(e.filter(col("id") < 5), e, k = 10),
+        SimilarityOps.bruteForceTopK(t.filter(col("id") < 5), t, k = 10),
+        k = 60, topN = 5)
+        .orderBy("query_id", "fused_rank")
+    }),
+
     "s_hard_negatives" -> ((s, dir) => {
       // contrastive hard negatives: nearest corpus vectors with a
       // DIFFERENT label, per query — the near-miss mining step
@@ -3491,6 +3503,46 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank::BIGINT AS rank, neighbor_id, sim
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "s_rrf" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |full_s AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))), 6) AS sim
+        |  FROM q, c WHERE query_id <> neighbor_id),
+        |trunc_s AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(
+        |           list_sum(list_transform(range(1, 33), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 33), i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 33), i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))), 6) AS sim
+        |  FROM q, c WHERE query_id <> neighbor_id),
+        |ra AS (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM full_s),
+        |rb AS (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM trunc_s),
+        |u AS (
+        |  SELECT query_id, neighbor_id, floor(1000000.0 / (60.0 + rank::DOUBLE))::BIGINT AS contrib
+        |  FROM (SELECT * FROM ra WHERE rank <= 10 UNION ALL SELECT * FROM rb WHERE rank <= 10) z),
+        |g AS (
+        |  SELECT query_id, neighbor_id, CAST(sum(contrib) AS BIGINT) AS rrf_micro,
+        |         count(*) AS n_lists
+        |  FROM u GROUP BY 1, 2),
+        |f AS (
+        |  SELECT query_id, neighbor_id, rrf_micro, n_lists,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY rrf_micro DESC, n_lists DESC, neighbor_id) AS fused_rank
+        |  FROM g)
+        |SELECT query_id, fused_rank::BIGINT AS fused_rank, neighbor_id, rrf_micro, n_lists
+        |FROM f WHERE fused_rank <= 5 ORDER BY query_id, fused_rank""".stripMargin,
 
     "s_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, label AS ql, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -460,6 +460,39 @@ object SimilarityOps {
   }
 
   /**
+   * Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+   * merge two rankings of the same query set by summing
+   * `1/(k + rank)` per (query, candidate) — the standard hybrid-
+   * retrieval combiner (dense + sparse, cheap index + exact scorer)
+   * that needs NO score calibration because only ranks enter.
+   * Contributions are floored micro-integers
+   * (`⌊10⁶/(k+rank)⌋`, the repo's engine-exact policy), so the fused
+   * ordering is bit-identical anywhere; ties break to candidates
+   * present in more lists, then the smaller id. `n_lists` says
+   * whether both rankers or one produced the candidate.
+   *
+   * Scale: input rankings are (query × topk)-sized — the fusion is a
+   * union + one grouped sum + a WindowGroupLimit rank, never touching
+   * the corpus.
+   */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, topN: Int): DataFrame = {
+    require(k >= 1 && topN >= 1, s"rrfFuse k=$k topN=$topN")
+    val contrib = floor(lit(1.0e6) / (lit(k.toDouble) + col("rank").cast("double"))).cast("long")
+    val cols = Seq("query_id", "rank", "neighbor_id")
+    val scored = a.selectExpr(cols: _*).unionByName(b.selectExpr(cols: _*))
+      .withColumn("contrib", contrib)
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("contrib")).as("rrf_micro"), count(lit(1)).as("n_lists"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("n_lists").desc, col("neighbor_id").asc)
+    scored.withColumn("fused_rank", row_number().over(win))
+      .filter(col("fused_rank") <= topN)
+      .select(col("query_id"), col("fused_rank").cast("long").as("fused_rank"),
+        col("neighbor_id"), col("rrf_micro"), col("n_lists"))
+  }
+
+  /**
    * Matryoshka-style truncation audit: per label, how much cosine
    * similarity survives keeping only the FIRST `keepDims` components
    * of each embedding. Because the truncated vector is a prefix of

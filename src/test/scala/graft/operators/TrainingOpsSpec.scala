@@ -632,6 +632,17 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 1L, 4L, 0.0), (1L, 2L, 5L, 0.0)))
   }
 
+  test("rrfFuse: both-lists candidate outranks single-list; floored micro contributions") {
+    val ss = spark; import ss.implicits._
+    val a = Seq((1L, 1L, 100L), (1L, 2L, 200L)).toDF("query_id", "rank", "neighbor_id")
+    val b = Seq((1L, 1L, 200L), (1L, 2L, 300L)).toDF("query_id", "rank", "neighbor_id")
+    val got = SimilarityOps.rrfFuse(a, b, k = 1, topN = 3).orderBy("fused_rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // contribs: rank1 -> 500000, rank2 -> 333333
+    assert(got == Seq((1L, 200L, 833333L, 2L), (2L, 100L, 500000L, 1L),
+      (3L, 300L, 333333L, 1L)))
+  }
+
   test("curriculumBuckets: (rank-1)*k div n cuts, desc score order, id tie-break") {
     val ss = spark; import ss.implicits._
     val docs = Seq((1L, "g", 50L), (2L, "g", 40L), (3L, "g", 30L),
