@@ -319,6 +319,24 @@ object SparkEntry {
       SketchOps.kmvOverlap(table(s, dir, "orders"), "o_custkey",
         table(s, dir, "customer"), "c_custkey", k = 256)),
 
+    "q31_shipping_priority" -> ((s, dir) => {
+      // the TPC-H Q3 shape: selective filters on both join sides,
+      // three-way join, revenue agg, global top-10 — the classic
+      // join-order + TakeOrderedAndProject exercise
+      val c = table(s, dir, "customer").filter(col("c_nationkey") < 5)
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+      val li = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+          .cast("long")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
     "q2_join_agg" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
       val o = table(s, dir, "orders")
@@ -2447,6 +2465,18 @@ object SparkEntry {
          |${round("it2", "it3")}
          |SELECT node, label FROM it3 ORDER BY node""".stripMargin
     },
+
+    "q31_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)::BIGINT) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_nationkey < 5
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin,
 
     // the salted join is row-identical to the plain join by
     // construction; the oracle states the plain join

@@ -187,6 +187,27 @@ object ScaleCurve {
       graft.operators.MultimodalOps.audioFrameFeatures(m, 16)
     })
 
+    run("m4", d => graft.operators.SeriesOps.m4Downsample(mstream(d), 3600L))
+    run("cusum", d => graft.operators.SeriesOps.cusumChangePoint(mstream(d)))
+    run("transitions", d => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("tsec").asc, col("event_id").asc)
+      evs(d).select(col("user_id"), col("tsec"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type").count()
+    })
+    run("benford", d => graft.operators.EventOps.benfordAudit(evs(d), "value"))
+    run("curriculum", d => graft.operators.SampleOps.curriculumBuckets(
+      docs(d), "doc_id", graft.operators.TextOps.qualityScore(col("text")), "lang", 10))
+    run("rrf", d => {
+      val e = embs(d)
+      val t = e.select(col("id"), slice(col("embedding"), 1, 32).as("embedding"))
+      SimilarityOps.rrfFuse(
+        SimilarityOps.bruteForceTopK(e.filter(col("id") < 5), e, 10),
+        SimilarityOps.bruteForceTopK(t.filter(col("id") < 5), t, 10), 60, 5)
+    })
+
     spark.stop()
   }
 }
