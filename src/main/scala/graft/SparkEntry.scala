@@ -312,6 +312,13 @@ object SparkEntry {
         .orderBy("p_brand")
     }),
 
+    "q32_profile" -> ((s, dir) =>
+      // one-scan numeric profile of lineitem's measure columns:
+      // counts, min/max, exact quantized mean, KMV distinct estimate
+      SketchOps.numericProfile(table(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("column")),
+
     "q26_kmv_overlap" -> ((s, dir) =>
       // pre-join cardinality planning: KMV sketches of o_custkey and
       // c_custkey, union by min-set merge, intersection by
@@ -1638,6 +1645,26 @@ object SparkEntry {
     * variant prices k from the corpus count (KMeansOps.autoCells) —
     * both then replay the IDENTICAL md5-init + 2-round quantized-mean
     * training loop at that k, and the within-cell exact-cosine verify. */
+  /** Per-column profile replay: the same aggregate chain plus the
+    * p_distinct_kmv min-set pattern per column, unioned. */
+  private def profileOracleSql(table: String, cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS "column",
+         |       count($c)::BIGINT AS n_values,
+         |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |       round(min($c::DOUBLE), 6) AS min_value,
+         |       round(max($c::DOUBLE), 6) AS max_value,
+         |       round(sum(CAST(floor($c::DOUBLE * 1000000.0 + 0.5) AS BIGINT))::DOUBLE
+         |             / 1000000.0 / count($c)::DOUBLE, 6) AS mean_value,
+         |       (SELECT round(CASE WHEN count(*) < 256 THEN count(*)::DOUBLE
+         |                          ELSE 255.0 / (max(h) / 1152921504606846976.0) END, 4)
+         |        FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |              FROM (SELECT DISTINCT ('0x' || substr(md5($c::VARCHAR), 1, 15))::BIGINT AS h
+         |                    FROM $table WHERE $c IS NOT NULL) hh) r
+         |        WHERE rn <= 256) AS est_distinct
+         |FROM $table""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY \"column\""
+
   private def semanticOracleSql(head: String): String =
     "WITH " + head + ",\n" + SemanticOracleBody.stripMargin
 
@@ -2486,6 +2513,9 @@ object SparkEntry {
         |       count(*) AS cnt
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q32_profile" -> profileOracleSql("lineitem",
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
 
     "q26_kmv_overlap" ->
       """WITH ha AS (SELECT DISTINCT ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT AS h FROM orders),

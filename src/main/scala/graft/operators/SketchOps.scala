@@ -68,6 +68,47 @@ object SketchOps {
   }
 
   /**
+   * One-pass numeric profile: per listed column, row/null counts,
+   * min/max, exact quantized mean (LONG micro sum / count), and the
+   * KMV distinct estimate — the first query anyone runs against an
+   * unfamiliar 100 TB table, shaped so it stays ONE scan: all
+   * per-column aggregates evaluate in a single aggregate node, then
+   * unpivot to (column, …) rows driver-side tooling can diff between
+   * snapshots. Mean quantization at 1e-6 bounds |v|·rows < 2⁶³/10⁶
+   * (per the repo-wide sum policy).
+   */
+  def numericProfile(df: DataFrame, cols: Seq[String], k: Int = 256): DataFrame = {
+    require(cols.nonEmpty, "numericProfile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__nn"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        min(col(c).cast("double")).as(s"${c}__min"),
+        max(col(c).cast("double")).as(s"${c}__max"),
+        sum(floor(col(c).cast("double") * lit(1.0e6) + lit(0.5)).cast("long")).as(s"${c}__sq"),
+        kmvSketch(FastHash.md5Head60(col(c).cast("string")), k).as(s"${c}__mins"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      val mins = col(s"${c}__mins")
+      wide.select(
+        lit(c).as("column"),
+        col(s"${c}__nn").as("n_values"),
+        col(s"${c}__nulls").as("n_nulls"),
+        round(col(s"${c}__min"), 6).as("min_value"),
+        round(col(s"${c}__max"), 6).as("max_value"),
+        round(col(s"${c}__sq").cast("double") / lit(1.0e6) /
+          col(s"${c}__nn").cast("double"), 6).as("mean_value"),
+        round(
+          when(size(mins) < k, size(mins).cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              (element_at(mins, -1).cast("double") / lit(TwoPow60))), 4)
+          .as("est_distinct"))
+    }
+    rows.reduce(_.unionByName(_))
+  }
+
+  /**
    * Pre-join cardinality planning from two KMV sketches: distinct
    * estimates of both key sets, of their UNION (the merge of the two
    * min-sets truncated to k — the KMV mergeability property), and of

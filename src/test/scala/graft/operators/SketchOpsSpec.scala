@@ -102,6 +102,18 @@ class SketchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one == many)
   }
 
+  test("numericProfile: one row per column, nulls counted, exact mean, exact distinct below k") {
+    val ss = spark; import ss.implicits._
+    val df = Seq((Some(1.0), Some(10.0)), (Some(2.0), None), (Some(1.0), Some(30.0)))
+      .toDF("a", "b")
+    val got = SketchOps.numericProfile(df, Seq("a", "b")).orderBy("column").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got == Seq(
+      ("a", 3L, 0L, 1.0, 2.0, math.rint(4.0 / 3.0 * 1e6) / 1e6, 2.0),
+      ("b", 2L, 1L, 10.0, 30.0, 20.0, 2.0)))
+  }
+
   test("gridCells runs under Structured Streaming; finisher over streamed cells equals batch") {
     val ss = spark; import ss.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
