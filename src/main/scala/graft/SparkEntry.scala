@@ -1473,6 +1473,12 @@ object SparkEntry {
       TextOps.unigramNll(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "t_postings" -> ((s, dir) =>
+      // inverted index: first 5 postings + df for tokens in >= 20 docs
+      TextOps.invertedIndex(table(s, dir, "documents"), "doc_id", "text",
+          minDf = 20L, perToken = 5)
+        .orderBy("token", "rank")),
+
     "t_dsir" -> ((s, dir) => {
       // DSIR importance weights: raw docs scored by a target-domain
       // (benchmark split) unigram LM against the raw-corpus LM
@@ -4534,6 +4540,22 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
         |       coalesce(round(ln((SELECT n FROM tot)) - mlf, 4), 0.0) AS avg_nll
         |FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "t_postings" ->
+      """WITH post AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id,
+        |           unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+        |    FROM documents) q),
+        |df AS (SELECT token, count(*) AS df FROM post GROUP BY 1),
+        |r AS (
+        |  SELECT token, doc_id,
+        |         row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rank
+        |  FROM post)
+        |SELECT token, df, rank::BIGINT AS rank, doc_id
+        |FROM r JOIN df USING (token)
+        |WHERE rank <= 5 AND df >= 20
+        |ORDER BY token, rank""".stripMargin,
 
     "t_dsir" ->
       """WITH ri AS (

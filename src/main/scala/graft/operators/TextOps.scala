@@ -724,6 +724,32 @@ object TextOps {
   }
 
   /**
+   * Inverted-index posting surface: for each token with document
+   * frequency ≥ `minDf`, the first `perToken` posting entries
+   * (doc ids ascending) plus the full df — the IR primitive behind
+   * boolean/phrase search and the df tables the dedup family prices
+   * against. Exploded relational form rather than array postings so
+   * any engine can sort/hash the result. The `rank <= perToken`
+   * filter compiles to a WindowGroupLimit: each partition keeps at
+   * most `perToken` candidates per token before the shuffle, so hot
+   * tokens never materialize their full posting list into one task —
+   * only the df aggregate (one long per token) sees it whole.
+   */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    minDf: Long, perToken: Int): DataFrame = {
+    val post = docs.select(col(idCol).as("doc_id"),
+        explode(words(lower(col(textCol)))).as("token"))
+      .distinct()
+    val df = post.groupBy("token").agg(count(lit(1)).as("df"))
+    val win = Window.partitionBy("token").orderBy(col("doc_id").asc)
+    post.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= perToken)
+      .join(df.filter(col("df") >= minDf), "token")
+      .select(col("token"), col("df"), col("rank").cast("long").as("rank"),
+        col("doc_id"))
+  }
+
+  /**
    * DSIR-style importance weights (Xie et al., "Data Selection for
    * Language Models via Importance Resampling", NeurIPS 2023 —
    * unigram form): per raw-corpus document, the log importance weight

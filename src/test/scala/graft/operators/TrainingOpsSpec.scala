@@ -632,6 +632,18 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 1L, 4L, 0.0), (1L, 2L, 5L, 0.0)))
   }
 
+  test("invertedIndex: df over distinct docs, postings capped and id-ordered, minDf gate") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq((3L, "a a b"), (1L, "a c"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextOps.invertedIndex(docs, "doc_id", "text", minDf = 2L, perToken = 2)
+      .orderBy("token", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // a: df 3 (duplicate in doc 3 counted once), postings capped at 2;
+    // b: df 2; c: df 1 gated out
+    assert(got == Seq(("a", 3L, 1L, 1L), ("a", 3L, 2L, 2L),
+      ("b", 2L, 1L, 2L), ("b", 2L, 2L, 3L)))
+  }
+
   test("rrfFuse: both-lists candidate outranks single-list; floored micro contributions") {
     val ss = spark; import ss.implicits._
     val a = Seq((1L, 1L, 100L), (1L, 2L, 200L)).toDF("query_id", "rank", "neighbor_id")
