@@ -326,6 +326,23 @@ object SparkEntry {
       SketchOps.kmvOverlap(table(s, dir, "orders"), "o_custkey",
         table(s, dir, "customer"), "c_custkey", k = 256)),
 
+    "q33_no_orders" -> ((s, dir) =>
+      // LEFT ANTI coverage: churn — customers with no order since
+      // 2000; the anti side is pre-filtered so the NOT EXISTS probe
+      // carries only recent keys
+      table(s, dir, "customer")
+        .join(table(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .orderBy("c_custkey")),
+
+    "g_gaps" -> ((s, dir) =>
+      // per-series gap detection: sampling holes longer than 1h —
+      // the missing-data monitor every metrics pipeline needs
+      SeriesOps.gaps(metricStream(s, dir), minGapSec = 3600L)
+        .orderBy("path", "gap_start")),
+
     "q31_shipping_priority" -> ((s, dir) => {
       // the TPC-H Q3 shape: selective filters on both join sides,
       // three-way join, revenue agg, global top-10 — the classic
@@ -2498,6 +2515,25 @@ object SparkEntry {
          |${round("it2", "it3")}
          |SELECT node, label FROM it3 ORDER BY node""".stripMargin
     },
+
+    "q33_no_orders" ->
+      """SELECT c_custkey, c_nationkey
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "g_gaps" ->
+      s"""$OracleM,
+         |x AS (
+         |  SELECT path, "time",
+         |         lag("time") OVER (PARTITION BY path
+         |                           ORDER BY "time", version) AS prev_t
+         |  FROM m)
+         |SELECT path, prev_t AS gap_start, "time" AS gap_end,
+         |       "time" - prev_t AS gap_sec
+         |FROM x WHERE prev_t IS NOT NULL AND "time" - prev_t > 3600
+         |ORDER BY path, gap_start""".stripMargin,
 
     "q31_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,

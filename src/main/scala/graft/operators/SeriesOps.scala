@@ -364,6 +364,24 @@ object SeriesOps {
   }
 
   /**
+   * Gap detection: per series, every sampling hole longer than
+   * `minGapSec` — (gap_start, gap_end) spans between consecutive
+   * points in (time, version) order, with the hole length. The
+   * missing-data monitor a metrics pipeline alerts on (a scrape that
+   * stopped, a partition that never uploaded). One lag window per
+   * series, output sized by the number of HOLES, not points.
+   */
+  def gaps(points: DataFrame, minGapSec: Long): DataFrame = {
+    require(minGapSec >= 1, s"minGapSec >= 1, got $minGapSec")
+    points
+      .withColumn("prev_t", lag(col("time"), 1).over(seriesWindow))
+      .filter(col("prev_t").isNotNull && col("time") - col("prev_t") > minGapSec)
+      .select(col("path"), col("prev_t").as("gap_start"),
+        col("time").as("gap_end"),
+        (col("time") - col("prev_t")).as("gap_sec"))
+  }
+
+  /**
    * CUSUM change-point locator: for each series, the point where the
    * cumulative deviation from the series mean peaks — the classic
    * level-shift estimate (a series that jumps from baseline a to b

@@ -278,6 +278,15 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(2) == ("c", 2L, 1.5, 0.5, 0L))
   }
 
+  test("gaps: holes over the threshold only, per-series isolation") {
+    val p = pts(("a", 1.0, 0L, 1L), ("a", 1.0, 50L, 2L), ("a", 1.0, 500L, 3L),
+      ("b", 1.0, 0L, 1L), ("b", 1.0, 90L, 2L))
+    val got = SeriesOps.gaps(p, minGapSec = 100L).orderBy("path", "gap_start")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // a: 50 -> 500 is a 450s hole; 0 -> 50 is under; b's 90s is under
+    assert(got == Seq(("a", 50L, 500L, 450L)))
+  }
+
   test("cusumChangePoint: level shift located at the step; exact integer numerator") {
     // 1,1,1 then 5,5: |C| peaks at i=3 (the last pre-shift point)
     val p = pts(("a", 1.0, 1L, 1L), ("a", 1.0, 2L, 2L), ("a", 1.0, 3L, 3L),
