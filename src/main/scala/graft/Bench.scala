@@ -59,12 +59,19 @@ object Bench {
       .map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { materialize(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] QUERY FAILED $name: $e")
-            None
-        }
+        val r =
+          try { materialize(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] QUERY FAILED $name: $e")
+              None
+          }
+        // release operator-pinned checkpoint blocks between queries
+        // (graft.core.Blocks ownership convention) — without this a
+        // long multi-query session accumulates block-manager state and
+        // late queries time up to ~3x slower than isolated runs
+        graft.core.Blocks.releaseAll(spark)
+        r
       }
       // a query that failed ANY run is reported failed — retries may not
       // hide flakiness
