@@ -557,7 +557,8 @@ object SparkEntry {
       val totals = pairs.groupBy("from_type").agg(sum(col("cnt")).as("row_total"))
       pairs.join(totals, "from_type")
         .select(col("from_type"), col("to_type"), col("cnt"),
-          floor(col("cnt") * lit(1000000L) / col("row_total")).cast("long").as("p_micro"))
+          graft.operators.IntDiv(col("cnt") * lit(1000000L), col("row_total"))
+            .cast("long").as("p_micro"))
         .orderBy("from_type", "to_type")
     }),
 
@@ -3071,21 +3072,18 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin,
 
     "d_dedup_editdist" ->
-      """WITH w AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS wd
-        |  FROM documents),
-        |sh AS (
+      """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct(
-        |    CASE WHEN len(wd) < 3 THEN [array_to_string(wd, ' ')]
-        |         ELSE list_transform(generate_series(1, len(wd) - 2),
-        |                             i -> array_to_string(wd[i:i+2], ' ')) END)) AS sh
-        |  FROM w),
+        |    CASE WHEN length(text) < 5 THEN [text]
+        |         ELSE list_transform(generate_series(1, length(text) - 4),
+        |                             i -> substr(text, i, 5)) END)) AS sh
+        |  FROM documents),
         |mh AS (
         |  SELECT doc_id, seed, min(md5(seed || ':' || sh)) AS mh
         |  FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed) seeds
         |  GROUP BY 1, 2),
         |band AS (
-        |  SELECT doc_id, seed // 4 AS band,
+        |  SELECT doc_id, seed // 2 AS band,
         |         string_agg(seed || '~' || mh, '|' ORDER BY seed || '~' || mh) AS bandval
         |  FROM mh GROUP BY 1, 2),
         |cand AS (

@@ -157,11 +157,12 @@ object DedupOps {
     * of [[minhashCandidates]] (self-pairs) and [[crossContamination]]
     * (two-table pairs). */
   private def minhashBanded(docs: DataFrame, idCol: String, textCol: String,
-                            k: Int, bands: Int, w: Int): DataFrame = {
+                            k: Int, bands: Int, w: Int,
+                            charGrams: Boolean = false): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
     val sig = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), MinhashSig(col(textCol), k, w).as("mh"))
+      .select(col(idCol).as("id"), MinhashSig(col(textCol), k, w, charGrams).as("mh"))
     // band value: seed-tagged minhashes of the band, sorted and joined --
     // byte-identical to the (id, seed) matrix formulation
     val bandStructs = array((0 until bands).map { b =>
@@ -174,7 +175,8 @@ object DedupOps {
   }
 
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int = 16, bands: Int = 4, w: Int = 3): DataFrame = {
+                        k: Int = 16, bands: Int = 4, w: Int = 3,
+                        charGrams: Boolean = false): DataFrame = {
     // signature as a PROJECTION (MinhashSig.scala): a minhash signature
     // is a pure per-document function, so no exploded-shingle shuffle
     // and no k min-agg trees — value-identical to the aggregation
@@ -187,7 +189,7 @@ object DedupOps {
     // signature: MinhashSig is null iff its input is, and a filter on
     // the projected signature would be pushed below the projection and
     // re-evaluate the kernel per row (measured +70% on this query).
-    val banded = minhashBanded(docs, idCol, textCol, k, bands, w)
+    val banded = minhashBanded(docs, idCol, textCol, k, bands, w, charGrams)
     // grouped-pairs plan (the jaccardPairs shape) instead of a band
     // self-join: a self-join reads the corpus and runs the signature
     // kernel TWICE (once per side — exchange reuse can't help when the
@@ -720,13 +722,29 @@ object DedupOps {
   }
 
   /**
-   * Edit-distance near-duplicates: MinHash/LSH blocking (the same band
-   * join every shingle-family detector here shares), then a
-   * CHARACTER-level Levenshtein verify over candidate pairs only.
-   * Jaccard on word shingles is blind to dense small edits (typo
-   * storms, OCR noise: every shingle changes, the set overlap
-   * collapses even though the strings are one keystroke apart per
-   * word); edit distance prices exactly that case.
+   * Edit-distance near-duplicates: MinHash/LSH blocking on CHARACTER
+   * n-grams, then a character-level Levenshtein verify over candidate
+   * pairs only. Jaccard on word shingles is blind to dense small edits
+   * (typo storms, OCR noise: every word shingle changes, the set
+   * overlap collapses even though the strings are one keystroke apart
+   * per word) — so the BLOCKING key here must not be word shingles
+   * either, or exactly those pairs would share no band and never reach
+   * the verify. Character `gram`-grams degrade per EDIT, not per word:
+   * one edit perturbs only ~gram of the ~len grams, so a pair within d
+   * edits keeps gram-Jaccard ≈ (len − gram·d)/(len + gram·d) no matter
+   * how the edits are spread across words.
+   *
+   * Recall envelope (be honest — LSH recall is probabilistic, not 1):
+   * with k=16 minhashes in `bands` bands of k/bands rows, a pair
+   * collides in some band with probability 1 − (1 − J^(k/b))^b; the
+   * default b=8 (2-row bands) puts the ~50% threshold at J ≈ 0.35,
+   * i.e. edit density up to roughly one edit per 2·gram characters is
+   * blocked reliably, and recall decays smoothly past that. A pair
+   * with an edit in EVERY gram-length window (e.g. one typo per word
+   * at gram≈word length) has J ≈ 0.1 and WILL often be missed — at
+   * that density the strings share almost no substring of length
+   * `gram` and no subquadratic blocking key exists; lower `gram` (down
+   * to 2) trades candidate volume for recall if that regime matters.
    *
    * The verify uses Spark's bounded `levenshtein(l, r, threshold)` —
    * the banded O(len·maxDist) form that abandons a pair the moment it
@@ -740,9 +758,10 @@ object DedupOps {
    * `maxDist` cost O(len·maxDist) and emit nothing.
    */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
-                        maxDist: Int, k: Int = 16, bands: Int = 4,
-                        w: Int = 3): DataFrame = {
-    val cand = minhashCandidates(docs, idCol, textCol, k, bands, w).localCheckpoint()
+                        maxDist: Int, k: Int = 16, bands: Int = 8,
+                        gram: Int = 5): DataFrame = {
+    val cand = minhashCandidates(docs, idCol, textCol, k, bands, gram,
+      charGrams = true).localCheckpoint()
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val texts = docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .join(candIds, "id")

@@ -261,8 +261,8 @@ object GraphOps {
       .select(col("node"), col("deg"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
         when(col("deg") >= 2,
-            floor(lit(2000000L) * coalesce(col("n_triangles"), lit(0L)) /
-              (col("deg") * (col("deg") - 1L))).cast("long"))
+            IntDiv(lit(2000000L) * coalesce(col("n_triangles"), lit(0L)),
+              col("deg") * (col("deg") - 1L)).cast("long"))
           .otherwise(0L).as("coef_micro"))
   }
 }

@@ -31,6 +31,13 @@ object JoinOps {
   def saltedJoin(facts: DataFrame, dims: DataFrame, key: String,
                  spread: Column, salt: Int): DataFrame = {
     require(salt >= 1 && salt <= 4096, s"salt in [1,4096], got $salt")
+    // the salt column is internal scaffolding: withColumn would
+    // silently REPLACE a caller's same-named column and the final drop
+    // would then delete user data — fail loudly instead
+    for ((side, df) <- Seq("facts" -> facts, "dims" -> dims))
+      require(!df.columns.contains("_salt"),
+        s"saltedJoin: $side input already has a `_salt` column — rename it; " +
+          "the name is reserved as the internal salting key")
     val sf = facts.withColumn("_salt",
       pmod(xxhash64(spread), lit(salt.toLong)).cast("int"))
     val sd = dims.withColumn("_salt",

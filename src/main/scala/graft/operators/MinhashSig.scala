@@ -36,21 +36,47 @@ object MinhashSig {
   private val tlMd = ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
   private val hexDigits = "0123456789abcdef".getBytes
 
-  def signature(s: UTF8String, k: Int, w: Int): ArrayData = {
+  def signature(s: UTF8String, k: Int, w: Int): ArrayData =
+    signature(s, k, w, false)
+
+  /**
+   * `charGrams=true` switches the shingle unit from w-word windows to
+   * w-CODEPOINT windows over the raw text (no tokenization). Character
+   * n-grams are the edit-distance-compatible blocking key: a single
+   * character edit perturbs only w of the ~len grams, so strings within
+   * a small edit distance keep high gram-Jaccard even when EVERY word
+   * is touched (typo storms, OCR noise) — exactly the case where
+   * word-shingle Jaccard collapses to ~0 and word-blocked LSH would
+   * never emit the candidate. Windows advance by codepoint so the md5
+   * input bytes equal DuckDB's substr(text, i, w) slices on any UTF-8.
+   */
+  def signature(s: UTF8String, k: Int, w: Int, charGrams: Boolean): ArrayData = {
     val bytes = s.getBytes
     val n = bytes.length
-    // word spans (same byte-level \s semantics as Shingles.shingleHashes)
+    // span starts/ends: word spans (byte-level \s semantics, as in
+    // Shingles.shingleHashes) or single-codepoint spans for char grams
     val starts = new java.util.ArrayList[Int]()
     val ends = new java.util.ArrayList[Int]()
     var i = 0
-    while (i < n) {
-      while (i < n && isSpace(bytes(i))) i += 1
-      if (i < n) {
-        starts.add(i)
-        while (i < n && !isSpace(bytes(i))) i += 1
+    if (charGrams) {
+      while (i < n) {
+        val st = i
+        i += 1
+        while (i < n && (bytes(i) & 0xc0) == 0x80) i += 1 // UTF-8 continuation
+        starts.add(st)
         ends.add(i)
       }
+    } else {
+      while (i < n) {
+        while (i < n && isSpace(bytes(i))) i += 1
+        if (i < n) {
+          starts.add(i)
+          while (i < n && !isSpace(bytes(i))) i += 1
+          ends.add(i)
+        }
+      }
     }
+    val sep: Int = if (charGrams) 0 else 1 // char grams join with no separator
     val nWords = starts.size()
     val nShingles = if (nWords < w) 1 else nWords - w + 1
     val width = if (nWords < w) nWords else w
@@ -77,7 +103,7 @@ object MinhashSig {
           System.arraycopy(scratch, 0, bigger, 0, len)
           scratch = bigger
         }
-        if (kk > 0) { scratch(len) = ' '; len += 1 }
+        if (kk > 0 && sep == 1) { scratch(len) = ' '; len += 1 }
         System.arraycopy(bytes, ws, scratch, len, wl)
         len += wl
         kk += 1
@@ -126,18 +152,19 @@ object MinhashSig {
   @inline private def isSpace(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
 
-  def apply(text: Column, k: Int, w: Int): Column = {
+  def apply(text: Column, k: Int, w: Int, charGrams: Boolean = false): Column = {
     import org.apache.spark.sql.GraftColumnBridge
-    GraftColumnBridge.column(MinhashSigExpr(GraftColumnBridge.expression(text), k, w))
+    GraftColumnBridge.column(MinhashSigExpr(GraftColumnBridge.expression(text), k, w, charGrams))
   }
 }
 
 /** See [[MinhashSig.signature]]. */
-case class MinhashSigExpr(child: Expression, k: Int, w: Int) extends UnaryExpression {
+case class MinhashSigExpr(child: Expression, k: Int, w: Int, charGrams: Boolean = false)
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
-    MinhashSig.signature(input.asInstanceOf[UTF8String], k, w)
+    MinhashSig.signature(input.asInstanceOf[UTF8String], k, w, charGrams)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.operators.MinhashSig.signature($c, $k, $w)")
+    defineCodeGen(ctx, ev, c => s"graft.operators.MinhashSig.signature($c, $k, $w, $charGrams)")
   override protected def withNewChildInternal(c: Expression): MinhashSigExpr = copy(child = c)
 }

@@ -287,7 +287,7 @@ object SampleOps {
         Window.partitionBy("grp").orderBy(col("score").desc, col("id").asc)))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
       .select(col("grp"), col("id"), col("score"),
-        floor((col("rank") - 1) * lit(k.toLong) / col("n")).cast("long").as("bucket"))
+        IntDiv((col("rank") - 1) * lit(k.toLong), col("n")).cast("long").as("bucket"))
   }
 
   /**

@@ -23,6 +23,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * explicit-fold-order contract StreamTopK pins — so replays and
  * repartitionings emit the same anomalies.
  *
+ * State-growth envelope (the price of exact integer moments on an
+ * unbounded stream): `s2` accumulates round(|x|·1e3)² per point, so it
+ * stays inside a signed 64-bit long for n ≤ 2^63 / (max|x|·1e3)² points
+ * per series — ~9.2e6 points at |x| ≤ 1000, ~9.2e12 points at |x| ≤ 1.
+ * Series that outlive the envelope need a windowed or decayed variant
+ * (the cusum/linearTrend operators document the same bound); overflow
+ * past it wraps silently, which is why the bound is stated here rather
+ * than checked per point in the hot fold.
+ *
  * `minPoints` gates scoring until the baseline has substance
  * (graphite's confidence-band warm-up); variance <= 0 (constant
  * series) emits nothing. Works unchanged on a batch frame (one
@@ -64,8 +73,13 @@ object StreamAnomaly {
               val variance = st.s2.toDouble / 1.0e6 / st.n.toDouble - mean * mean
               if (variance > 0) {
                 val zs = (x - mean) / math.sqrt(variance)
+                // HALF_UP via BigDecimal — exactly Spark's round(zs, 4),
+                // so a value at the 1e-4 midpoint rounds the same here
+                // and in the batch sibling SeriesOps.outliers (rint's
+                // half-even would differ there)
                 if (math.abs(zs) > z)
-                  out += AnomalyRow(path, t, v, x, math.rint(zs * 1.0e4) / 1.0e4)
+                  out += AnomalyRow(path, t, v, x,
+                    BigDecimal(zs).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
               }
             }
             val q6 = math.floor(x * 1.0e6 + 0.5).toLong

@@ -44,4 +44,18 @@ class JoinOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(plan.contains("_salt"), s"salt key missing from plan:\n$plan")
   }
+
+  test("saltedJoin rejects inputs that already carry a _salt column") {
+    val ss = spark; import ss.implicits._
+    val facts = Seq((1L, 10L, 7)).toDF("k", "fid", "_salt")
+    val dims = Seq((1L, "a")).toDF("k", "name")
+    val e = intercept[IllegalArgumentException] {
+      JoinOps.saltedJoin(facts, dims, "k", col("fid"), salt = 4)
+    }
+    assert(e.getMessage.contains("_salt"))
+    val e2 = intercept[IllegalArgumentException] {
+      JoinOps.saltedJoin(dims, facts, "k", col("name"), salt = 4)
+    }
+    assert(e2.getMessage.contains("dims"))
+  }
 }

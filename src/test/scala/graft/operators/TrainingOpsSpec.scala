@@ -759,6 +759,31 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(DedupOps.editDistancePairs(docs, "doc_id", "text", maxDist = 0).isEmpty)
   }
 
+  test("editDistancePairs: dense edits (every word shingle broken) still block and verify") {
+    val ss = spark; import ss.implicits._
+    // one keystroke in every THIRD word: every 3-word window contains
+    // an edited word, so word-shingle Jaccard is exactly 0.0 and
+    // word-blocked LSH would never emit the pair — the stated purpose
+    // of this operator. Char-gram blocking must still pair them
+    // (char-gram Jaccard ≈ 0.51 here, above the b=8/r=2 threshold).
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nubia xi omicron pi " +
+      "rho sigma tau upsilon phi chi psi omega kilo metre second ampere kelvin mole candela hertz"
+    val t2 = t1.split(' ').zipWithIndex
+      .map { case (w, i) => if (i % 3 == 0) w.dropRight(1) + "Z" else w }
+      .mkString(" ")
+    val docs = Seq(
+      (1L, t1), (2L, t2),
+      (3L, "completely unrelated third document body with other words entirely")
+    ).toDF("doc_id", "text")
+    // sanity: the adversarial premise holds — zero word-shingle overlap
+    val wordJ = DedupOps.jaccardPairs(docs, "doc_id", "text", minJaccard = 0.0)
+      .filter(col("id_a") === 1 && col("id_b") === 2).collect()
+    assert(wordJ.isEmpty || wordJ.head.getDouble(2) == 0.0)
+    val got = DedupOps.editDistancePairs(docs, "doc_id", "text", maxDist = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 11L)), s"dense-edit pair must survive char-gram blocking: $got")
+  }
+
   test("qualityTopFraction: integer retention per group, quality-then-id order") {
     val ss = spark; import ss.implicits._
     // 10 en docs of increasing length (higher quality), 5 short de docs
