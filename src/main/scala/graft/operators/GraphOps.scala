@@ -226,14 +226,21 @@ object GraphOps {
   private def triangleCore(und: DataFrame): DataFrame = {
     val deg = degrees(und)
     val fwd = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    // carry the far endpoint's degree: the wedge join below orients
+    // each wedge by the same (deg, id) order the edges use, so only
+    // the orientation whose closing edge can EXIST is generated —
+    // `=!=` would emit both orientations and let the e3 probe kill
+    // the wrong half, doubling the biggest shuffle in this plan
     val oriented = und
       .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
       .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
       .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
-        when(fwd, col("b")).otherwise(col("a")).as("v"))
+        when(fwd, col("b")).otherwise(col("a")).as("v"),
+        when(fwd, col("db")).otherwise(col("da")).as("dv"))
     val tri = oriented.as("e1")
       .join(oriented.as("e2"),
-        col("e1.u") === col("e2.u") && col("e1.v") =!= col("e2.v"))
+        col("e1.u") === col("e2.u") &&
+          struct(col("e1.dv"), col("e1.v")) < struct(col("e2.dv"), col("e2.v")))
       .join(oriented.as("e3"),
         col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
       .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
