@@ -966,6 +966,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "d_dedup_semantic_sharded" -> ((s, dir) => {
+      // two-level: trained cells at a deliberately TINY cap (8) so the
+      // cap binds at verify scale, then per-cell hyperplane subcells
+      // sized from actual cell counts (target 32) — the composition
+      // that holds pair volume flat past the one-level cap; the oracle
+      // replays training, the count-priced split widths, and the
+      // subplane sign bits
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      KMeansOps.semanticNearDuplicatesSharded(e, "id", "embedding", minCosine = 0.25,
+          targetCellSize = 32L, maxCells = 8)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- training-data pipeline: similarity search ----
 
     "s_ann_cosine" -> ((s, dir) => {
@@ -1740,7 +1753,11 @@ object SparkEntry {
     (head +: stepCtes).mkString(",\n") + tail
   }
 
-  private val SemanticOracleBody =
+  /** The 2-round Lloyd training replay (init c0 comes from the head),
+    * ending at the final assignment CTE `a2` — shared by the one-level
+    * semantic oracles and the two-level sharded one, which differ only
+    * in how pairs are generated from `a2`. */
+  private val SemanticTrainCtes =
     """|dims AS (SELECT unnest(generate_series(1, 64)) AS i),
         |s0 AS (
         |  SELECT vec_id, c,
@@ -1786,11 +1803,12 @@ object SparkEntry {
         |  FROM embeddings, c2),
         |a2 AS (SELECT vec_id, c AS cell FROM (
         |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
-        |         FROM s2) z WHERE rn = 1),
-        |p AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell
-        |  FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id),
-        |scored AS (
+        |         FROM s2) z WHERE rn = 1)"""
+
+  /** Pair generation + exact-cosine verify from a `p(id_a, id_b, cell)`
+    * candidate CTE — the shared tail of the semantic oracles. */
+  private val SemanticScoreTail =
+    """|scored AS (
         |  SELECT id_a, id_b, cell,
         |         round(
         |           list_sum(list_transform(range(1, 65), i -> ae.embedding[i]::DOUBLE * be.embedding[i]::DOUBLE)) /
@@ -1800,6 +1818,42 @@ object SparkEntry {
         |         JOIN embeddings be ON id_b = be.vec_id)
         |SELECT id_a, id_b, cell::BIGINT AS cell, sim
         |FROM scored WHERE sim >= 0.25 ORDER BY id_a, id_b"""
+
+  private val SemanticOracleBody =
+    SemanticTrainCtes + ",\n" + """|p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell
+        |  FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+""" + SemanticScoreTail
+
+  /** Two-level pair generation: per-cell split width from the ACTUAL
+    * cell count (smallest sb with cn <= target·2^sb, the
+    * [[graft.operators.KMeansOps.semanticNearDuplicatesSharded]]
+    * when-chain), 16 md5 "subplane" sign bits masked to each cell's
+    * width, pairs joined on (cell, subcell). */
+  private def semanticShardedTail(target: Long, maxSubBits: Int): String = {
+    val bitsCase = (0 until maxSubBits)
+      .map(b => s"WHEN cn <= ${target * (1L << b)} THEN $b")
+      .mkString("CASE ", " ", s" ELSE $maxSubBits END")
+    s"""|cs AS (SELECT cell, count(*) AS cn FROM a2 GROUP BY 1),
+        |bits AS (SELECT cell, $bitsCase AS sb FROM cs),
+        |splanes AS (
+        |  SELECT pb, list_transform(generate_series(0, 63),
+        |           d -> (('0x' || substr(md5('subplane:' || pb || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS pl
+        |  FROM (SELECT unnest(generate_series(0, ${maxSubBits - 1})) AS pb)),
+        |ssig AS (
+        |  SELECT vec_id,
+        |         sum(CASE WHEN list_sum(list_transform(range(1, 65), i -> pl[i] * embedding[i]::DOUBLE)) > 0
+        |             THEN (1::BIGINT << pb) ELSE 0 END)::BIGINT AS sig
+        |  FROM embeddings, splanes GROUP BY 1),
+        |sub AS (
+        |  SELECT a2.vec_id, a2.cell, ssig.sig & ((1::BIGINT << bits.sb) - 1) AS subcell
+        |  FROM a2 JOIN ssig USING (vec_id) JOIN bits USING (cell)),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell
+        |  FROM sub a JOIN sub b ON a.cell = b.cell AND a.subcell = b.subcell
+        |                        AND a.vec_id < b.vec_id),
+""" + SemanticScoreTail
+  }
 
   // ======================= oracles =======================
 
@@ -4367,6 +4421,17 @@ object SparkEntry {
         |  SELECT c, list_transform(generate_series(0, 63),
         |           d -> (('0x' || substr(md5('kmeans:' || c || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS cv
         |  FROM pick, (SELECT unnest(generate_series(0, 65535)) AS c) cc WHERE c < k)""".stripMargin),
+
+    // two-level replay: same 2-round training at the query's tiny cap
+    // (k = min(8, max(8, n // 32)) = 8 — the cap binds by design), then
+    // count-priced per-cell subcell widths + md5 subplane sign bits
+    "d_dedup_semantic_sharded" ->
+      ("WITH " +
+        """c0 AS (
+          |  SELECT c, list_transform(generate_series(0, 63),
+          |           d -> (('0x' || substr(md5('kmeans:' || c || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS cv
+          |  FROM (SELECT unnest(generate_series(0, 7)) AS c))""".stripMargin +
+        ",\n" + (SemanticTrainCtes + ",\n" + semanticShardedTail(32L, 16)).stripMargin),
 
     // the s_ann_ivf oracle with the codebook REPLACED by the same 2-round
     // trained centroids as d_dedup_semantic (k=16, salt 'kmeans')

@@ -216,6 +216,86 @@ object KMeansOps {
   }
 
   /**
+   * Two-level semantic near-duplicates — the composition that holds
+   * pair volume flat PAST [[autoCells]]'s cap. One level of trained
+   * cells stops adapting at `maxCells` (centroids are driver-side
+   * model state, k×dim doubles), so beyond n = maxCells ·
+   * targetCellSize (~17M vectors at the defaults) cell sizes — and
+   * with them per-cell pair volume — grow with the corpus again. This
+   * operator keeps level 1 at the cap and splits each OVERFULL cell
+   * with data-independent hyperplane sign bits (md5-derived planes, no
+   * training, no driver state), sized per cell from its ACTUAL count:
+   * a cell of cn vectors gets the smallest b with cn ≤ targetCellSize
+   * · 2^b subcells, so expected subcell size stays ≤ targetCellSize at
+   * ANY corpus size while driver state stays maxCells×dim forever.
+   * Cells under the target get b=0 — below the cap this operator
+   * degenerates to [[semanticNearDuplicates]] exactly.
+   *
+   * The trade is recall inside overfull cells only: a within-cell pair
+   * at angle θ lands in one subcell with prob (1−θ/π)^b (the
+   * [[SimilarityOps.cosineNearDuplicates]] analysis; at cos 0.95 and
+   * b=3 that is ~0.83) — the same probabilistic blocking every LSH
+   * family here prices, where one-level SemDeDup past its cap silently
+   * pays QUADRATIC cost instead. Sub-planes are salted "subplane" so
+   * the split is independent of the cosine-LSH operator's bands.
+   *
+   * Plan shape: training + assignment as the parent; one
+   * cell-count aggregate (k rows) joins bits back onto assignments;
+   * the 16-bit sub-signature is one plane-UDF projection over the
+   * corpus; pair generation self-joins on (cell, subcell). Everything
+   * per-cell is distributed — no driver loop over shards.
+   */
+  def semanticNearDuplicatesSharded(corpus: DataFrame, idCol: String, vecCol: String,
+                                    minCosine: Double, targetCellSize: Long = 256L,
+                                    maxCells: Int = 65536, iters: Int = 2,
+                                    dim: Int = 64, maxSubBits: Int = 16): DataFrame = {
+    require(maxSubBits >= 1 && maxSubBits <= 32, s"maxSubBits in [1,32], got $maxSubBits")
+    val k = autoCells(corpus.count(), targetCellSize, maxCells)
+    val centroids = train(corpus, vecCol, k, iters, dim)
+    val cells = assignCells(corpus, idCol, vecCol, centroids).localCheckpoint()
+    // per-cell split width from the ACTUAL cell count: smallest b with
+    // cn <= target * 2^b, capped — an integer when-chain, not float
+    // log2, so both engines pick identically at the boundaries
+    val bitsCol = (0 until maxSubBits).foldRight(lit(maxSubBits): Column) {
+      (b, rest) => when(col("cn") <= lit(targetCellSize) * lit(1L << b), lit(b)).otherwise(rest)
+    }
+    val bits = cells.groupBy("cell").agg(count(lit(1)).as("cn"))
+      .select(col("cell"), bitsCol.as("bits"))
+    // 16-bit sub-signature: sign bits against md5 "subplane" planes —
+    // computed once per vector at full width, masked per cell's bits
+    val planes = SimilarityOps.lshPlanes(maxSubBits, dim, salt = "subplane")
+    val sigUdf = udf { (v: Seq[Float]) =>
+      val p = planes
+      var sig = 0L
+      var b = 0
+      while (b < p.length) {
+        var s = 0.0
+        var d = 0
+        val pb = p(b)
+        val n = math.min(pb.length, v.length)
+        while (d < n) { s += pb(d) * v(d); d += 1 }
+        if (s > 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+    val sigs = corpus.select(col(idCol).as("id"), sigUdf(col(vecCol)).as("sig"))
+    val sub = cells.join(bits, "cell").join(sigs, "id")
+      .withColumn("subcell", expr("sig & (shiftleft(1L, cast(bits as int)) - 1L)"))
+      .select(col("cell"), col("subcell"), col("id"))
+    val a = sub.select(col("cell"), col("subcell"), col("id").as("id_a"))
+    val b = sub.select(col("cell"), col("subcell"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("cell", "subcell")).filter(col("id_a") < col("id_b"))
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .withColumn("sim", round(SimilarityOps.cosineFloat(col("va"), col("vb")), 6))
+      .filter(col("sim") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cell").cast("long").as("cell"), col("sim"))
+  }
+
+  /**
    * IVF ANN with a codebook TRAINED on the corpus (`iters` Lloyd
    * rounds) instead of [[SimilarityOps.ivfTopK]]'s fixed md5 cells.
    * Identical probe/re-rank plan: corpus vectors live in their argmax

@@ -355,9 +355,9 @@ object SimilarityOps {
    * engine with an md5 function (the DuckDB oracle included) can
    * reproduce the exact signatures: (uint32(md5[0:4]) / 2^31) - 1.
    */
-  def lshPlanes(nbits: Int, dim: Int): Array[Array[Double]] =
+  def lshPlanes(nbits: Int, dim: Int, salt: String = "plane"): Array[Array[Double]] =
     Array.tabulate(nbits, dim) { (b, d) =>
-      md5Head32(s"plane:$b:$d").toDouble / (1L << 31) - 1.0
+      md5Head32(s"$salt:$b:$d").toDouble / (1L << 31) - 1.0
     }
 
   /**

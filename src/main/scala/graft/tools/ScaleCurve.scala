@@ -57,6 +57,13 @@ object ScaleCurve {
     run("cosine_auto", d => SimilarityOps.cosineNearDuplicatesAuto(embs(d), 0.25))
     run("semantic", d => KMeansOps.semanticNearDuplicates(embs(d), "id", "embedding", 0.25, 8, 2))
     run("semantic_auto", d => KMeansOps.semanticNearDuplicatesAuto(embs(d), "id", "embedding", 0.25))
+    // two-level sharded semantic dedup at a deliberately tiny cap
+    // (maxCells=8, target 32): one-level `semantic` at the same k=8
+    // grows pair volume quadratically once cells overflow, while the
+    // sharded rows should stay ~flat per corpus decade — the
+    // past-the-cap composition made measurable
+    run("semantic_sharded", d => KMeansOps.semanticNearDuplicatesSharded(
+      embs(d), "id", "embedding", 0.25, targetCellSize = 32L, maxCells = 8))
     run("ivf_trained", d => KMeansOps.ivfTopKTrained(
       embs(d).filter(col("id") < 5), embs(d), 5, 16, 6, 2))
     run("pq_topk", d => graft.operators.PqOps.pqTopK(

@@ -278,6 +278,26 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       cells(r.getLong(1)) == r.getLong(2)))
   }
 
+  test("semanticNearDuplicatesSharded: degenerates to one-level below the cap, bounds pairs past it") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // below the cap: target large enough that no cell overflows -> every
+    // split width is 0 and the result is EXACTLY the one-level operator
+    val oneLevel = pairSet(KMeansOps.semanticNearDuplicates(e, "id", "embedding", 0.25, k = 8))
+    val shardedWide = pairSet(KMeansOps.semanticNearDuplicatesSharded(
+      e, "id", "embedding", 0.25, targetCellSize = 1024L, maxCells = 8))
+    assert(shardedWide == oneLevel)
+    // past the cap (tiny target, cap binds): pairs are a strict subset —
+    // subcells only ever DROP candidates, never admit unverified ones —
+    // and each surviving pair keeps the one-level cell and sim
+    val shardedTight = pairSet(KMeansOps.semanticNearDuplicatesSharded(
+      e, "id", "embedding", 0.25, targetCellSize = 32L, maxCells = 8))
+    assert(shardedTight.subsetOf(oneLevel))
+    assert(shardedTight.size < oneLevel.size && shardedTight.nonEmpty)
+  }
+
   test("ivfTopKTrained recall@5 vs bruteForceTopK on sf0.01 embeddings") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding"))
