@@ -1294,6 +1294,28 @@ object SparkEntry {
       MultimodalOps.pixelFeatures(media).orderBy("media_id")
     }),
 
+    "m_media_pixels_prog" -> ((s, dir) => {
+      // REAL progressive-JPEG pixel decode: the m_media_pixels_jpeg
+      // planting through the six-scan Annex G path — DC first at Al=1,
+      // AC-first bands riding EOB runs, then DC/AC refinement down to
+      // Al=0. Same flat blocks, so the stats match the SAME arithmetic
+      // as the baseline row — but only if scan accumulation, the DC
+      // point transform + refinement OR, the EOB-run bookkeeping and
+      // the final dequant+IDCT are all exact. %4==3 docs get junk.
+      val buildProg = udf { (docId: Long) =>
+        val blocks = Array.tabulate(4) { b =>
+          val zz = new Array[Int](64)
+          zz(0) = (((docId * 13 + b * 29) % 256) - 128).toInt
+          zz
+        }
+        JpegBaseline.encodeGrayProgressive(blocks, 2, 2, Array.fill(64)(8))
+      }
+      val docs = table(s, dir, "documents").withColumn("blob",
+        when(col("doc_id") % 4 === 3, unhex(unknownHex)).otherwise(buildProg(col("doc_id"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+      MultimodalOps.pixelFeatures(media).orderBy("media_id")
+    }),
+
     "m_media_video" -> ((s, dir) => {
       // REAL video -> frames -> pixels: each %4!=3 doc becomes a
       // genuine AVI container (RIFF hdrl/movi) holding three MJPEG
@@ -4186,6 +4208,36 @@ object SparkEntry {
         |       list_max(b)::BIGINT AS max_val
         |FROM junk
         |ORDER BY media_id""".stripMargin,
+
+    // the progressive planting uses the SAME flat-block arithmetic:
+    // the stream differs (six Annex G scans), the decoded pixels and
+    // therefore the oracle must not
+    "m_media_pixels_prog" ->
+      """WITH jb AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 3), b -> (doc_id * 13 + b * 29) % 256) AS bv
+        |  FROM documents WHERE doc_id % 4 <> 3),
+        |junk AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 16),
+        |           i -> CASE WHEN i = 0 THEN 0
+        |                     ELSE ('0x' || substr(upper(md5(text)), (i - 1) * 2 + 1, 2))::BIGINT END) AS b
+        |  FROM documents WHERE doc_id % 4 = 3)
+        |SELECT doc_id AS media_id, 'jpeg' AS format, true AS decoded,
+        |       256::BIGINT AS n_vals,
+        |       ((list_sum(bv) * 64 * 1000) // 256)::BIGINT AS mean_milli,
+        |       len(list_distinct(bv))::BIGINT AS distinct_vals,
+        |       list_max(bv)::BIGINT AS max_val
+        |FROM jb
+        |UNION ALL
+        |SELECT doc_id AS media_id, 'unknown' AS format, false AS decoded,
+        |       17::BIGINT AS n_vals,
+        |       ((list_sum(b) * 1000) // 17)::BIGINT AS mean_milli,
+        |       len(list_distinct(b))::BIGINT AS distinct_vals,
+        |       list_max(b)::BIGINT AS max_val
+        |FROM junk
+        |ORDER BY media_id""".stripMargin,
+
 
     // index-stream stats predicted from the planted arithmetic — LZW
     // is lossless, so the full 256-pixel pattern (not just flat

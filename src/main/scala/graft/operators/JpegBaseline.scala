@@ -14,9 +14,16 @@ package graft.operators
  *    1 or 3 components, any Hi/Vi sampling (4:4:4, 4:2:2, 4:2:0, ...),
  *    DRI/RSTn restart intervals, 0xFF00 byte stuffing, multi-table
  *    DQT/DHT segments, fill bytes before markers (T.81 B.1.1.2).
- *  - Progressive (SOF2), arithmetic coding, 12-bit precision,
- *    hierarchical, and anything truncated or desynced returns None —
- *    callers fall back to compressed-blob features exactly as before.
+ *  - Progressive (SOF2, T.81 Annex G): full spectral selection AND
+ *    successive approximation — DC first/refine scans (interleaved or
+ *    single-component), AC first scans with EOB runs, AC refinement
+ *    with correction bits (G.1.2.3), restart intervals inside any
+ *    scan. Coefficients accumulate across scans and dequantize+IDCT
+ *    once at EOI; a progressive stream truncated before EOI returns
+ *    None (the honest-refusal contract — no partial renders).
+ *  - Arithmetic coding, 12-bit precision, hierarchical, and anything
+ *    truncated or desynced returns None — callers fall back to
+ *    compressed-blob features exactly as before.
  *
  * The IDCT is the separable double-precision form of the T.81 A.3.3
  * formula; Java FP is strict (IEEE 754) since JDK 17, so results are
@@ -125,6 +132,10 @@ object JpegBaseline {
       throw Bail // no code of length <= 16 matched — desynced stream
     }
 
+    /** Next unread byte offset — scan end for the marker loop (any
+      * partially-consumed byte was already advanced past on load). */
+    def alignedPos: Int = pos
+
     /** Byte-align and consume an expected RSTn marker (T.81 E.2.4). */
     def restart(expected: Int): Unit = {
       cnt = 0
@@ -143,6 +154,11 @@ object JpegBaseline {
     var plane: Array[Int] = null
     var planeW = 0; var planeH = 0
     var pred = 0
+    // progressive state: the frame-wide coefficient accumulator, one
+    // 64-int block (ZIGZAG order) per block of the padded MCU grid
+    var coefs: Array[Int] = null
+    var fullBw = 0; var fullBh = 0 // padded (interleaved) block grid
+    var bw = 0; var bh = 0         // ceil(comp dims / 8): the non-interleaved grid
   }
 
   def decodePixels(jpeg: Array[Byte], maxPixels: Int = 1 << 26): Option[Decoded] =
@@ -162,6 +178,8 @@ object JpegBaseline {
     var comps: Array[Component] = null
     var width = 0; var height = 0
     var dri = 0
+    var progressive = false
+    var sawScan = false
     var pos = 2
     while (pos + 1 < b.length) {
       if ((b(pos) & 0xff) != 0xff) return None // desynced marker stream
@@ -171,7 +189,10 @@ object JpegBaseline {
         pos += 2
         marker match {
           case 0xd8 | 0x01 => // SOI / TEM: no payload
-          case 0xd9 => return None // EOI before any SOS
+          case 0xd9 => // EOI: progressive frames finish here
+            return if (progressive && sawScan)
+              finishProgressive(comps, width, height, quant, quantSeen)
+            else None // EOI before any SOS
           case 0xdb => // DQT: one or more tables
             val end = pos + u16(pos)
             if (end > b.length) throw Bail
@@ -214,7 +235,8 @@ object JpegBaseline {
             if (u16(pos) != 4) throw Bail
             dri = u16(pos + 2)
             pos += 4
-          case 0xc0 | 0xc1 => // SOF0 / SOF1: the supported frames
+          case 0xc0 | 0xc1 | 0xc2 => // SOF0 / SOF1 / SOF2 (progressive)
+            progressive = marker == 0xc2
             val len = u16(pos)
             if (pos + len > b.length) throw Bail
             if ((b(pos + 2) & 0xff) != 8) return None // 12-bit: unsupported
@@ -223,6 +245,10 @@ object JpegBaseline {
             val nc = b(pos + 7) & 0xff
             if (width <= 0 || height <= 0 || (nc != 1 && nc != 3)) return None
             if (width.toLong * height * nc > maxPixels) return None
+            // progressive pins a 64-int coefficient grid per component
+            // (~4 bytes per SAMPLE of padded plane) for the whole frame
+            // — hold it to the same budget as the output samples
+            if (progressive && width.toLong * height * nc * 4 > maxPixels) return None
             comps = Array.tabulate(nc) { i =>
               val o = pos + 8 + 3 * i
               if (o + 2 >= pos + len) throw Bail
@@ -232,14 +258,17 @@ object JpegBaseline {
               c
             }
             pos += len
-          case m if m >= 0xc2 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
-            return None // progressive / arithmetic / lossless frames
+          case m if m >= 0xc3 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
+            return None // arithmetic / lossless / hierarchical frames
           case 0xda => // SOS: scan header then entropy data
             if (comps == null) throw Bail
             val len = u16(pos)
             if (pos + 2 >= b.length) throw Bail
             val ns = b(pos + 2) & 0xff
-            if (ns != comps.length) return None // partial scans: out of scope
+            if (!progressive && ns != comps.length)
+              return None // baseline partial scans: out of scope
+            if (ns < 1 || ns > comps.length) throw Bail
+            val scanComps = new Array[Component](ns)
             var p = pos + 3
             var i = 0
             while (i < ns) {
@@ -251,11 +280,25 @@ object JpegBaseline {
               // table ids are 4-bit nibbles but only 0-3 exist (T.81
               // B.2.3) — unvalidated they index past the 4-slot arrays
               if (c.td > 3 || c.ta > 3) throw Bail
+              scanComps(i) = c
               p += 2
               i += 1
             }
-            return decodeScan(b, pos + len, comps, width, height, quant, quantSeen,
-              dcTab, acTab, dri)
+            if (!progressive)
+              return decodeScan(b, pos + len, comps, width, height, quant, quantSeen,
+                dcTab, acTab, dri)
+            // progressive: Ss/Se/AhAl select the band and bit plane
+            if (p + 2 >= b.length) throw Bail
+            val ss = b(p) & 0xff
+            val se = b(p + 1) & 0xff
+            val ah = (b(p + 2) & 0xff) >> 4
+            val al = b(p + 2) & 0x0f
+            if (ss > 63 || se > 63 || se < ss || ah > 13 || al > 13) throw Bail
+            if (ss == 0 && se != 0) throw Bail          // DC scans are DC-only
+            if (ss > 0 && ns != 1) throw Bail           // AC scans: one component
+            sawScan = true
+            pos = decodeProgressiveScan(b, pos + len, comps, scanComps,
+              width, height, ss, se, ah, al, dcTab, acTab, dri)
           case m if m >= 0xd0 && m <= 0xd7 => // stray RST outside a scan
             throw Bail
           case _ => // APPn, COM, everything else: skip by length
@@ -352,7 +395,13 @@ object JpegBaseline {
       }
       my += 1
     }
-    // assemble output: gray passthrough, or upsample + JFIF YCbCr->RGB
+    assemble(comps, width, height, hmax, vmax)
+  }
+
+  /** Gray passthrough, or nearest-neighbor upsample + JFIF YCbCr->RGB —
+    * shared by the baseline and progressive finish paths. */
+  private def assemble(comps: Array[Component], width: Int, height: Int,
+                       hmax: Int, vmax: Int): Option[Decoded] = {
     if (comps.length == 1) {
       val c = comps(0)
       val out = new Array[Byte](width * height)
@@ -386,6 +435,224 @@ object JpegBaseline {
       }
       Some(Decoded(out, width, height, 3))
     }
+  }
+
+  /**
+   * One progressive scan (T.81 G.1.2): entropy-decode into the
+   * per-component zigzag coefficient accumulators and return the
+   * position just past the scan's entropy data. Four scan kinds by
+   * (Ss, Ah): DC first / DC refine (interleaved over the scan's
+   * components or single-component), AC first with EOB runs / AC
+   * refine with correction bits. Restart markers reset DC predictors
+   * AND the EOB run.
+   */
+  private def decodeProgressiveScan(b: Array[Byte], scanStart: Int,
+                                    comps: Array[Component], scanComps: Array[Component],
+                                    width: Int, height: Int, ss: Int, se: Int,
+                                    ah: Int, al: Int, dcTab: Array[Huff],
+                                    acTab: Array[Huff], dri: Int): Int = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    comps.foreach { c =>
+      if (c.coefs == null) {
+        c.fullBw = mcusX * c.h
+        c.fullBh = mcusY * c.v
+        val cw = (width * c.h + hmax - 1) / hmax
+        val ch = (height * c.v + vmax - 1) / vmax
+        c.bw = (cw + 7) / 8
+        c.bh = (ch + 7) / 8
+        c.coefs = new Array[Int](c.fullBw * c.fullBh * 64)
+      }
+      c.pred = 0
+    }
+    scanComps.foreach { c =>
+      if (ss == 0 && ah == 0 && dcTab(c.td) == null) throw Bail
+      if (ss > 0 && acTab(c.ta) == null) throw Bail
+    }
+    val r = new BitReader(b, scanStart)
+    var eobrun = 0
+    var rstN = 0
+
+    // ---- per-block decoders over the zigzag accumulator ----
+    def dcFirst(c: Component, base: Int): Unit = {
+      val t = r.decodeHuff(dcTab(c.td))
+      if (t > 11) throw Bail
+      c.pred += extend(r.receive(t), t)
+      c.coefs(base) = c.pred << al
+    }
+    def dcRefine(c: Component, base: Int): Unit =
+      c.coefs(base) |= r.nextBit() << al
+
+    def acFirst(c: Component, base: Int): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      var k = ss
+      while (k <= se) {
+        val rs = r.decodeHuff(acTab(c.ta))
+        val run = rs >> 4
+        val size = rs & 0x0f
+        if (size == 0) {
+          if (run == 15) k += 16 // ZRL
+          else { eobrun = (1 << run) - 1 + r.receive(run); return } // EOBn
+        } else {
+          k += run
+          if (k > se) throw Bail
+          c.coefs(base + k) = extend(r.receive(size), size) << al
+          k += 1
+        }
+      }
+    }
+
+    // G.1.2.3: correction bit for an already-nonzero coefficient —
+    // move |coef| up one step at bit `al` if the bit says so
+    def correct(c: Component, idx: Int): Unit = {
+      val bit = 1 << al
+      if (r.nextBit() == 1 && (c.coefs(idx) & bit) == 0)
+        c.coefs(idx) += (if (c.coefs(idx) >= 0) bit else -bit)
+    }
+    def acRefine(c: Component, base: Int): Unit = {
+      val bit = 1 << al
+      var k = ss
+      if (eobrun > 0) {
+        // EOB-covered block: only correction bits for nonzero history
+        eobrun -= 1
+        while (k <= se) { if (c.coefs(base + k) != 0) correct(c, base + k); k += 1 }
+        return
+      }
+      while (k <= se) {
+        val rs = r.decodeHuff(acTab(c.ta))
+        val run = rs >> 4
+        val size = rs & 0x0f
+        var newVal = 0
+        var zerosToPass = run
+        if (size == 0) {
+          if (run < 15) { // EOBn: refine the rest, run covers more blocks
+            eobrun = (1 << run) - 1 + r.receive(run)
+            while (k <= se) { if (c.coefs(base + k) != 0) correct(c, base + k); k += 1 }
+            return
+          }
+          // ZRL: pass 16 zero-history positions, refining en route
+        } else {
+          if (size != 1) throw Bail // refinement can only create ±1<<al
+          newVal = if (r.nextBit() == 1) bit else -bit
+        }
+        // advance: refine nonzero-history coefs, count down zero-history
+        // ones; place the new value at the (run+1)-th zero position
+        var placed = false
+        while (k <= se && !placed) {
+          val idx = base + k
+          if (c.coefs(idx) != 0) correct(c, idx)
+          else {
+            if (zerosToPass == 0) {
+              if (newVal != 0) c.coefs(idx) = newVal
+              placed = true
+            } else zerosToPass -= 1
+          }
+          k += 1
+        }
+        if (!placed && newVal != 0) throw Bail // ran past Se with a pending value
+      }
+    }
+
+    def decodeBlock(c: Component, base: Int): Unit =
+      if (ss == 0) { if (ah == 0) dcFirst(c, base) else dcRefine(c, base) }
+      else { if (ah == 0) acFirst(c, base) else acRefine(c, base) }
+
+    def atRestart(unit: Int): Unit =
+      if (dri > 0 && unit > 0 && unit % dri == 0) {
+        r.restart(0xd0 + rstN)
+        rstN = (rstN + 1) % 8
+        scanComps.foreach(_.pred = 0)
+        eobrun = 0
+      }
+
+    if (ss == 0 && scanComps.length > 1) {
+      // interleaved DC scan: frame MCU order, h x v blocks per comp
+      var mcu = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          atRestart(mcu)
+          var ci = 0
+          while (ci < scanComps.length) {
+            val c = scanComps(ci)
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                decodeBlock(c, ((my * c.v + by) * c.fullBw + mx * c.h + bx) * 64)
+                bx += 1
+              }
+              by += 1
+            }
+            ci += 1
+          }
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      // single-component scan: the component's own (bw x bh) block grid
+      val c = scanComps(0)
+      var unit = 0
+      var by = 0
+      while (by < c.bh) {
+        var bx = 0
+        while (bx < c.bw) {
+          atRestart(unit)
+          decodeBlock(c, (by * c.fullBw + bx) * 64)
+          unit += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    r.alignedPos
+  }
+
+  /** Dequantize + IDCT every accumulated block, then assemble planes —
+    * the progressive finish at EOI. */
+  private def finishProgressive(comps: Array[Component], width: Int, height: Int,
+                                quant: Array[Array[Int]],
+                                quantSeen: Array[Boolean]): Option[Decoded] = {
+    if (comps == null || comps.exists(_.coefs == null)) return None
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    val block = new Array[Int](64)
+    comps.foreach { c =>
+      if (!quantSeen(c.tq)) throw Bail
+      val q = quant(c.tq)
+      c.planeW = c.fullBw * 8
+      c.planeH = c.fullBh * 8
+      c.plane = new Array[Int](c.planeW * c.planeH)
+      var by = 0
+      while (by < c.fullBh) {
+        var bx = 0
+        while (bx < c.fullBw) {
+          val base = (by * c.fullBw + bx) * 64
+          var k = 0
+          while (k < 64) { coef(Zigzag(k)) = c.coefs(base + k) * q(k); k += 1 }
+          idct(coef, tmp, block)
+          val px0 = bx * 8
+          val py0 = by * 8
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            val rowOff = (py0 + yy) * c.planeW + px0
+            while (xx < 8) { c.plane(rowOff + xx) = block(yy * 8 + xx); xx += 1 }
+            yy += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    assemble(comps, width, height, hmax, vmax)
   }
 
   private def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
@@ -449,6 +716,15 @@ object JpegBaseline {
   }
   private val EncDcCodes = canonicalCodes(EncDcBits, EncDcVals)
   private val EncAcCodes = canonicalCodes(EncAcBits, EncAcVals)
+
+  // progressive AC table: the baseline symbols PLUS the EOBn run-length
+  // symbols 0x10..0xE0 (r<<4, size 0) Annex G scans use — 176 codes,
+  // still all at 8 bits (canonical, all-ones unused)
+  private val ProgAcBits = Array(0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val ProgAcVals: Array[Int] =
+    Array(0x00, 0xf0) ++ (1 to 14).map(_ << 4) ++
+      (for (run <- 0 to 15; size <- 1 to 10) yield (run << 4) | size)
+  private val ProgAcCodes = canonicalCodes(ProgAcBits, ProgAcVals)
 
   private final class BitWriter(bos: java.io.ByteArrayOutputStream) {
     private var acc = 0
@@ -553,6 +829,182 @@ object JpegBaseline {
       i += 1
     }
     w.flush()
+    bos.write(0xff); bos.write(0xd9) // EOI
+    bos.toByteArray
+  }
+
+  /**
+   * Grayscale PROGRESSIVE encoder over the same quantized zigzag
+   * blocks as [[encodeGrayBlocks]] — six scans exercising every
+   * progressive decode path: DC first at Al=`al`, two AC-first bands
+   * split at `split` (with packed EOB runs), then DC refinement and
+   * two AC refinement bands down to Al=0 (correction bits, newly
+   * significant ±1 symbols, refinement ZRL). `al` must be 1 (one
+   * refinement level) — enough to cover G.1.2.3 while keeping the
+   * stream round-trip EXACT: after all scans every coefficient equals
+   * its input, so decoded pixels match the baseline encoding of the
+   * same blocks bit-for-bit (the spec pins that equivalence).
+   */
+  private[graft] def encodeGrayProgressive(blocks: Array[Array[Int]], blocksW: Int,
+                                           blocksH: Int, quantZz: Array[Int],
+                                           split: Int = 5): Array[Byte] = {
+    require(blocks.length == blocksW * blocksH && blocks.forall(_.length == 64))
+    require(quantZz.length == 64 && quantZz.forall(q => q >= 1 && q <= 255))
+    require(split >= 1 && split <= 62)
+    val al = 1
+    val bos = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, payload: Array[Int]): Unit = {
+      bos.write(0xff); bos.write(marker)
+      val len = payload.length + 2
+      bos.write((len >> 8) & 0xff); bos.write(len & 0xff)
+      payload.foreach(bos.write)
+    }
+    bos.write(0xff); bos.write(0xd8) // SOI
+    seg(0xdb, Array(0x00) ++ quantZz)
+    seg(0xc2, Array(8, ((blocksH * 8) >> 8) & 0xff, (blocksH * 8) & 0xff,
+      ((blocksW * 8) >> 8) & 0xff, (blocksW * 8) & 0xff, 1, 1, 0x11, 0))
+    seg(0xc4, Array(0x00) ++ EncDcBits ++ EncDcVals ++
+      Array(0x10) ++ ProgAcBits ++ ProgAcVals)
+    def sos(ss: Int, se: Int, ah: Int, a: Int): Unit =
+      seg(0xda, Array(1, 1, 0x00, ss, se, (ah << 4) | a))
+
+    // scan 1: DC first at Al=al — diffs of the point-transformed DC
+    sos(0, 0, 0, al)
+    locally {
+      val w = new BitWriter(bos)
+      var pred = 0
+      blocks.foreach { zz =>
+        val v = zz(0) >> al // arithmetic shift: the DC point transform
+        val diff = v - pred
+        pred = v
+        val t = category(diff)
+        putCoded(w, EncDcCodes, t, diff, t)
+      }
+      w.flush()
+    }
+
+    // AC first scans: sign-magnitude point transform, packed EOB runs
+    def acFirstScan(ss: Int, se: Int): Unit = {
+      sos(ss, se, 0, al)
+      val w = new BitWriter(bos)
+      var eobrun = 0
+      def flushEob(): Unit = if (eobrun > 0) {
+        var rbits = 0
+        while ((2 << rbits) <= eobrun) rbits += 1 // largest r with 2^r <= eobrun
+        putCoded(w, ProgAcCodes, rbits << 4, 0, 0)
+        if (rbits > 0) w.put(eobrun - (1 << rbits), rbits)
+        eobrun = 0
+      }
+      blocks.foreach { zz =>
+        val vals = (ss to se).map(k => {
+          val m = math.abs(zz(k)) >> al
+          if (zz(k) < 0) -m else m
+        })
+        if (vals.forall(_ == 0)) {
+          eobrun += 1
+          if (eobrun == 0x7fff) flushEob()
+        } else {
+          flushEob()
+          var run = 0
+          var lastNonzero = ss - 1
+          (ss to se).foreach(k => if (vals(k - ss) != 0) lastNonzero = k)
+          var k = ss
+          while (k <= lastNonzero) {
+            val v = vals(k - ss)
+            if (v == 0) run += 1
+            else {
+              while (run > 15) { putCoded(w, ProgAcCodes, 0xf0, 0, 0); run -= 16 }
+              val size = category(v)
+              require(size <= 10)
+              putCoded(w, ProgAcCodes, (run << 4) | size, v, size)
+              run = 0
+            }
+            k += 1
+          }
+          if (lastNonzero < se) eobrun = 1 // tail of zeros: starts an EOB run
+        }
+      }
+      flushEob()
+      w.flush()
+    }
+    acFirstScan(1, split)
+    acFirstScan(split + 1, 63)
+
+    // scan 4: DC refinement — bit `al-1` of every DC, frame block order
+    sos(0, 0, al, al - 1)
+    locally {
+      val w = new BitWriter(bos)
+      blocks.foreach(zz => w.put((zz(0) >> (al - 1)) & 1, 1))
+      w.flush()
+    }
+
+    // AC refinement scans (G.1.2.3 inverse): correction bits for
+    // history coefficients, (run,1)+sign for newly significant ones
+    def acRefineScan(ss: Int, se: Int): Unit = {
+      sos(ss, se, al, al - 1)
+      val w = new BitWriter(bos)
+      val albit = al - 1
+      var eobrun = 0
+      val eobPending = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def flushEob(): Unit = if (eobrun > 0) {
+        var rbits = 0
+        while ((2 << rbits) <= eobrun) rbits += 1
+        putCoded(w, ProgAcCodes, rbits << 4, 0, 0)
+        if (rbits > 0) w.put(eobrun - (1 << rbits), rbits)
+        eobPending.foreach(bit => w.put(bit, 1))
+        eobPending.clear()
+        eobrun = 0
+      }
+      blocks.foreach { zz =>
+        def history(k: Int) = (math.abs(zz(k)) >> al) != 0
+        def newlySig(k: Int) = !history(k) && ((math.abs(zz(k)) >> albit) & 1) == 1
+        val anyNew = (ss to se).exists(newlySig)
+        def corrBit(k: Int): Int = (math.abs(zz(k)) >> albit) & 1
+        if (!anyNew) {
+          // whole block rides the EOB run; its history correction bits
+          // queue up behind the (single) EOBn symbol that ends the run
+          eobrun += 1
+          (ss to se).foreach(k => if (history(k)) eobPending += corrBit(k))
+          if (eobrun == 0x7fff) flushEob()
+        } else {
+          flushEob()
+          // mirror the decoder's advance EXACTLY: after each symbol it
+          // walks positions in order, reading a correction bit at every
+          // nonzero-history coefficient it passes and counting down
+          // zero-history ones — so bits must interleave by POSITION,
+          // bounded by each symbol's reach, not batch per gap
+          var k = ss
+          val newPositions = (ss to se).filter(newlySig)
+          newPositions.foreach { p =>
+            var zeros = (k until p).count(j => !history(j))
+            while (zeros > 15) {
+              putCoded(w, ProgAcCodes, 0xf0, 0, 0) // refinement ZRL
+              var z = 0
+              while (z < 16) { // decoder passes exactly 16 zero-history slots
+                if (history(k)) w.put(corrBit(k), 1) else z += 1
+                k += 1
+              }
+              zeros -= 16
+            }
+            putCoded(w, ProgAcCodes, (zeros << 4) | 1, 0, 0)
+            w.put(if (zz(p) > 0) 1 else 0, 1)
+            while (k < p) { if (history(k)) w.put(corrBit(k), 1); k += 1 }
+            k = p + 1 // the new value lands at p; decoder advances past it
+          }
+          // tail after the last new value: remaining history bits ride
+          // the next EOBn symbol (read in THIS block's loop)
+          if (k <= se) {
+            eobrun = 1
+            (k to se).foreach(j => if (history(j)) eobPending += corrBit(j))
+          }
+        }
+      }
+      flushEob()
+      w.flush()
+    }
+    acRefineScan(1, split)
+    acRefineScan(split + 1, 63)
+
     bos.write(0xff); bos.write(0xd9) // EOI
     bos.toByteArray
   }

@@ -589,11 +589,12 @@ object MultimodalOps {
   /**
    * Pixel-level features where the pixel stage is genuinely decodable
    * — PNGs via [[decodePngPixels]] (inflate + filter reversal) and
-   * baseline JPEGs via [[JpegBaseline.decodePixels]] (pure-JVM Huffman
-   * + IDCT) get their stats over DECODED pixel samples (decoded=true);
-   * everything else (progressive JPEG, unknown formats, corrupt
-   * streams) falls back to the compressed-blob byte distribution with
-   * decoded=false, format still honestly sniffed from the header. Same mapPartitions shape as
+   * baseline OR progressive JPEGs via [[JpegBaseline.decodePixels]]
+   * (pure-JVM Huffman + IDCT, Annex G scan accumulation) get their
+   * stats over DECODED pixel samples (decoded=true); everything else
+   * (arithmetic-coded JPEG, unknown formats, corrupt streams) falls
+   * back to the compressed-blob byte distribution with decoded=false,
+   * format still honestly sniffed from the header. Same mapPartitions shape as
    * [[decodeImageBatched]]: iterator-to-iterator, bounded batches, the
    * per-partition init slot where a heavy codec would load once.
    * Output: (media_id, format, decoded, n_vals, mean_milli,

@@ -135,13 +135,67 @@ class JpegBaselineSpec extends AnyFunSuite {
     }
   }
 
+  test("progressive: six-scan successive approximation equals the baseline decode") {
+    // the T.81 equivalence: a progressive stream carrying the same
+    // quantized coefficients must decode to the same pixels as the
+    // baseline stream — covers DC first/refine, AC first bands with
+    // EOB runs, AC refinement correction bits and refinement ZRL
+    val quant = Array.tabulate(64)(k => 1 + (k * 7) % 23)
+    val blocks = Array.tabulate(6) { b =>
+      val zz = new Array[Int](64)
+      zz(0) = (b * 97 % 255) - 127
+      for (k <- 1 until 64 if (k * 31 + b * 17) % 5 == 0)
+        zz(k) = ((k * 13 + b * 41) % 15) - 7
+      zz
+    }
+    val base = JpegBaseline.decodePixels(
+      JpegBaseline.encodeGrayBlocks(blocks, 3, 2, quant)).get
+    val prog = JpegBaseline.decodePixels(
+      JpegBaseline.encodeGrayProgressive(blocks, 3, 2, quant)).get
+    assert((prog.width, prog.height, prog.channels) === ((24, 16, 1)))
+    assert(prog.samples.toSeq === base.samples.toSeq)
+  }
+
+  test("progressive: EOB runs across blocks, refinement ZRL, odd values round-trip") {
+    // block 0: empty bands (rides EOB runs in every scan); blocks 1-2:
+    // sparse high-index coefficients forcing ZRL in first AND refine
+    // scans; odd values exercise the refinement bit both ways
+    val zzEmpty = { val z = new Array[Int](64); z(0) = 4; z }
+    val zzSparse = { val z = new Array[Int](64); z(0) = -3; z(40) = 5; z(63) = -1; z }
+    val zzOdd = { val z = new Array[Int](64); z(0) = 7; z(1) = 1; z(30) = -9; z }
+    val blocks = Array(zzEmpty, zzSparse, zzOdd, zzEmpty)
+    val base = JpegBaseline.decodePixels(
+      JpegBaseline.encodeGrayBlocks(blocks, 4, 1, flatQuant)).get
+    val prog = JpegBaseline.decodePixels(
+      JpegBaseline.encodeGrayProgressive(blocks, 4, 1, flatQuant)).get
+    assert(prog.samples.toSeq === base.samples.toSeq)
+    // and against the reference IDCT directly
+    for (b <- blocks.indices) {
+      val want = expectedPixels(blocks(b), flatQuant)
+      for (y <- 0 until 8; x <- 0 until 8)
+        assert(math.abs((prog.samples(y * 32 + b * 8 + x) & 0xff) - want(y * 8 + x)) <= 1)
+    }
+  }
+
+  test("progressive: truncation before EOI and mid-scan refuse cleanly") {
+    val blocks = Array.tabulate(4) { b =>
+      val zz = new Array[Int](64); zz(0) = b * 30 - 60; zz(5) = b; zz
+    }
+    val prog = JpegBaseline.encodeGrayProgressive(blocks, 2, 2, flatQuant)
+    assert(JpegBaseline.decodePixels(prog).isDefined)
+    // no partial renders: cutting the EOI (or any tail) returns None
+    assert(JpegBaseline.decodePixels(prog.take(prog.length - 2)) === None)
+    assert(JpegBaseline.decodePixels(prog.take(prog.length / 2)) === None)
+  }
+
   test("hostile and out-of-scope streams refuse, never crash or hang") {
     val good = JpegBaseline.encodeGrayBlocks(Array(flatBlock(77)), 1, 1, flatQuant)
     assert(JpegBaseline.decodePixels(good).isDefined)
     // truncated entropy stream: cut before EOI — the bit reader must
     // starve cleanly
     assert(JpegBaseline.decodePixels(good.take(good.length - 4)) === None)
-    // progressive: patch SOF0 -> SOF2
+    // SOF0 patched to SOF2: the baseline scan header (Ss=0, Se=63) is
+    // ILLEGAL for a progressive DC scan — refuse, don't misdecode
     val prog = good.clone()
     val sofAt = good.indices.find(i => (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0).get
     prog(sofAt + 1) = 0xc2.toByte
