@@ -59,29 +59,53 @@ class IngestScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       dedupLinesMaxDf = Some(2), bloomExpectedItems = Some(2000000L),
       bloomRebuildEvery = 16)
     val boiler = "subscribe to our newsletter for daily updates"
+    // a second boilerplate line PER 50-BATCH EPOCH: it goes hot during
+    // its epoch (streaming scrub admits the first maxDf copies), so the
+    // retroactive scrub at every epoch end has real dirty dirs to
+    // rewrite — scrub-every-N is part of the soak, not a one-off
     def batchDf(b: Long) = {
+      // one carrier doc per batch: the epoch line stays under the
+      // streaming maxDf for the epoch's first two batches (those
+      // copies are ADMITTED with the line) and goes hot later — the
+      // head copies are exactly what the retroactive scrub must find
+      val epochLine = s"promo epoch${b / 50} limited offer code line"
       val fresh = (0 until 5).map { i =>
-        (b * 100 + i, s"unique content words $b $i alpha beta gamma delta\n$boiler")
+        val tail = if (i == 0) s"\n$epochLine" else ""
+        (b * 100 + i, s"unique content words $b $i alpha beta gamma delta\n$boiler$tail")
       }
       // every later batch re-sends one earlier doc's raw content — the
       // bloom-hit path must keep rejecting it across all 300 batches
+      // (including right after a scrub reset the routing filter)
       val replay = if (b > 0)
-        Seq((b * 100 + 99, s"unique content words ${b - 1} 0 alpha beta gamma delta\n$boiler"))
+        Seq((b * 100 + 99,
+          s"unique content words ${b - 1} 1 alpha beta gamma delta\n$boiler"))
       else Nil
       spark.createDataFrame(fresh ++ replay).toDF("doc_id", "text")
     }
     val times = new Array[Double](300)
+    var scrubbedDocs = 0L
     for (b <- 0 until 300) {
       val t0 = System.nanoTime()
       ds.processBatch(batchDf(b), b)
       times(b) = (System.nanoTime() - t0) / 1e9
+      if (b % 50 == 49) {
+        // end of epoch: retroactive scrub + (internal) bloom reset; the
+        // epoch's admitted promo copies must be found and rewritten
+        val (docs, cut) = ds.retroScrubLines(maxDf = 2)
+        assert(docs >= 1 && cut >= 1,
+          s"epoch ${b / 50} scrub found nothing: ($docs, $cut)")
+        scrubbedDocs += docs
+      }
     }
+    assert(scrubbedDocs >= 6, s"six epoch scrubs must all rewrite: $scrubbedDocs")
     // correctness across the whole run: every fresh doc admitted once,
     // every replay rejected, boilerplate scrubbed everywhere
     val acc = ds.accepted()
     assert(acc.count() == 1500L, "5 fresh docs per batch, replays rejected")
     assert(acc.filter(col("text").contains("newsletter")).count() == 0L,
       "hot boilerplate line scrubbed from every admitted doc")
+    assert(acc.filter(col("text").contains("promo epoch")).count() == 0L,
+      "every epoch's promo line scrubbed (streaming for the tail, retro for the head)")
     val (_, admitted, _, dupExisting, _, _) = ds.lastBatchStats
     assert((admitted, dupExisting) == ((5L, 1L)), s"final batch stats: ${ds.lastBatchStats}")
     // bounded file counts: compaction folds every table, so dir counts
