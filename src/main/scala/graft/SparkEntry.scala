@@ -817,6 +817,25 @@ object SparkEntry {
       DedupOps.nearDuplicates(table(s, dir, "documents"), "doc_id", "text", minJaccard = 0.8)
         .orderBy("id_a", "id_b")),
 
+    "d_dedup_prefix" -> ((s, dir) =>
+      // EXACT similarity join (prefix filtering, recall 1): must equal
+      // the brute-force oracle row-for-row — the subquadratic plan that
+      // pays no LSH recall trade
+      DedupOps.prefixJaccardPairs(table(s, dir, "documents"), "doc_id", "text",
+          minJaccard = 0.8)
+        .orderBy("id_a", "id_b")),
+
+    "d_decontaminate_substr" -> ((s, dir) => {
+      // literal-inclusion decontamination: 60-char slices of the first
+      // 50 docs as the benchmark side; every slice must at least find
+      // its own source doc, plus any verbatim duplicates of it
+      val docs = table(s, dir, "documents")
+      val ref = docs.filter(col("doc_id") < 50)
+        .select(col("doc_id"), substring(col("text"), 20, 60).as("rt"))
+      DedupOps.substringContamination(docs, "doc_id", "text", ref, "doc_id", "rt")
+        .orderBy("corpus_id", "ref_id")
+    }),
+
     "d_dedup_editdist" -> ((s, dir) =>
       // LSH blocking + bounded-Levenshtein verify: the dense-small-edit
       // near-dup case word-shingle Jaccard is blind to
@@ -3287,6 +3306,41 @@ object SparkEntry {
         |       round(inter::DOUBLE / (x.n + y.n - inter), 4) AS jaccard
         |FROM inter JOIN n x ON id_a = x.doc_id JOIN n y ON id_b = y.doc_id
         |WHERE round(inter::DOUBLE / (x.n + y.n - inter), 4) >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
+
+    // the EXACT prefix-filtered join must equal the brute-force
+    // co-shingle join bit-for-bit — same oracle as d_dedup_jaccard
+    // (recall 1 is the contract; the prefix filter may only prune
+    // candidates that cannot reach the threshold)
+    "d_dedup_prefix" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS wd
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(wd) < 3 THEN [array_to_string(wd, ' ')]
+        |         ELSE list_transform(generate_series(1, len(wd) - 2),
+        |                             i -> array_to_string(wd[i:i+2], ' ')) END)) AS sh
+        |  FROM w),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       round(inter::DOUBLE / (x.n + y.n - inter), 4) AS jaccard
+        |FROM inter JOIN n x ON id_a = x.doc_id JOIN n y ON id_b = y.doc_id
+        |WHERE round(inter::DOUBLE / (x.n + y.n - inter), 4) >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
+
+    "d_decontaminate_substr" ->
+      """WITH ref AS (
+        |  SELECT doc_id AS ref_id, substr(text, 20, 60) AS rt
+        |  FROM documents WHERE doc_id < 50),
+        |r2 AS (SELECT ref_id, rt FROM ref WHERE length(rt) >= 20)
+        |SELECT c.doc_id AS corpus_id, ref_id
+        |FROM documents c, r2
+        |WHERE position(rt IN c.text) > 0
         |ORDER BY 1, 2""".stripMargin,
 
     "d_dedup_clusters" ->

@@ -722,6 +722,94 @@ object DedupOps {
   }
 
   /**
+   * EXACT set-similarity join via prefix filtering (the AllPairs /
+   * PPJoin family) — recall 1 where every LSH detector here is
+   * probabilistic. For Jaccard threshold t, two shingle sets can only
+   * reach t if they share a token among each one's PREFIX: the first
+   * p = s − ⌈t·s⌉ + 1 tokens under a GLOBAL rarest-first order
+   * (df asc, token asc). So candidates come from an equi join over
+   * prefix tokens only — and because the order puts the rarest tokens
+   * in the prefix, those join groups are the corpus's SMALLEST: the
+   * frequent-token explosion that forces [[jaccardPairs]]'s df cap
+   * never enters the candidate join at all. The length filter
+   * (t·sa ≤ sb ∧ t·sb ≤ sa) prunes inside the join condition.
+   *
+   * Scale shape: one df aggregate (token-count rows), per-doc sort of
+   * its own tokens (projection-local, no global rank window), prefix
+   * explode of ~s(1−t)+1 tokens per doc, candidate equi join carrying
+   * only 8-byte ids, then the [[nearDuplicates]] verify restricted to
+   * candidates. At t=0.8 the prefix is a fifth of each doc's tokens
+   * and group sizes are bounded by rare-token df — subquadratic on
+   * real corpora WITHOUT the recall trade. Results are exactly the
+   * threshold-t Jaccard pairs (the oracle is the brute-force join).
+   */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                         minJaccard: Double, w: Int = 3): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard in (0,1], got $minJaccard")
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), explode(ShingleHashes(col(textCol), w)).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // per-doc tokens in global rarest-first order; the sort is LOCAL to
+    // each doc's own array — no global ranking shuffle
+    val sorted = toks.join(dfreq, "tok")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ts"))
+      .select(col("id"), col("ts"),
+        size(col("ts")).cast("long").as("s"))
+    val pref = sorted
+      .select(col("id"), col("s"),
+        explode(slice(col("ts"), lit(1),
+          (col("s") - ceil(lit(minJaccard) * col("s")) + 1).cast("int"))).as("t"))
+      .select(col("id"), col("s"), col("t.tok").as("tok"))
+    val cand = pref.select(col("tok"), col("id").as("id_a"), col("s").as("sa"))
+      .join(pref.select(col("tok"), col("id").as("id_b"), col("s").as("sb")), "tok")
+      .filter(col("id_a") < col("id_b") &&
+        col("sb") * minJaccard <= col("sa") && col("sa") * minJaccard <= col("sb"))
+      .select("id_a", "id_b").distinct()
+      .localCheckpoint()
+    // exact verify on candidates only — the nearDuplicates tail
+    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val candDocs = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(candIds, "id")
+    val sh = candDocs.select(col("id"), explode(ShingleHashes(col("text"), w)).as("sh"))
+    val sizes = candDocs.select(col("id"), size(ShingleHashes(col("text"), w)).cast("long").as("n"))
+    cand
+      .join(sh.as("x"), col("id_a") === col("x.id"))
+      .join(sh.as("y"), col("id_b") === col("y.id") && col("x.sh") === col("y.sh"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .withColumn("jaccard", round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /**
+   * Verbatim-substring decontamination: corpus documents that contain
+   * a benchmark string as an exact substring — the strictest
+   * contamination predicate (n-gram collision admits reformatted
+   * hits; this one catches only literal inclusion, e.g. a benchmark
+   * answer pasted into a crawl page). The reference side is tiny by
+   * contract (benchmarks don't grow with training data), so it
+   * BROADCASTS and the corpus is one scan with a per-row `contains`
+   * — no shuffle of corpus text, no index. Refs shorter than
+   * `minRefLen` characters are dropped first: single words would
+   * match everything and mean nothing.
+   * Output: (corpus_id, ref_id) pairs.
+   */
+  def substringContamination(corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
+                             ref: DataFrame, refIdCol: String, refTextCol: String,
+                             minRefLen: Int = 20): DataFrame = {
+    val refs = ref.select(col(refIdCol).as("ref_id"), col(refTextCol).as("rt"))
+      .filter(length(col("rt")) >= minRefLen)
+    corpus.select(col(corpusIdCol).as("corpus_id"), col(corpusTextCol).as("ct"))
+      .join(broadcast(refs), expr("contains(ct, rt)"))
+      .select("corpus_id", "ref_id")
+  }
+
+  /**
    * Edit-distance near-duplicates: MinHash/LSH blocking on CHARACTER
    * n-grams, then a character-level Levenshtein verify over candidate
    * pairs only. Jaccard on word shingles is blind to dense small edits

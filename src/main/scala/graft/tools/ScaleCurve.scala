@@ -52,6 +52,9 @@ object ScaleCurve {
     run("simhash_pairs", d => DedupOps.simhashPairs(docs(d), "doc_id", "text", maxDist = 9))
     run("simhash_auto", d => DedupOps.simhashPairsAuto(docs(d), "doc_id", "text"))
     run("jaccard_pairs", d => DedupOps.jaccardPairs(docs(d), "doc_id", "text", 0.8))
+    // exact prefix-filtered join: same OUTPUT as jaccard_pairs by
+    // contract, different growth (rare-token candidate groups)
+    run("prefix_jaccard", d => DedupOps.prefixJaccardPairs(docs(d), "doc_id", "text", 0.8))
     run("clusters", d => DedupOps.duplicateClusters(docs(d), "doc_id", "text", 0.8))
     run("cosine_neardup", d => SimilarityOps.cosineNearDuplicates(embs(d), 0.25, nbits = 24))
     run("cosine_auto", d => SimilarityOps.cosineNearDuplicatesAuto(embs(d), 0.25))

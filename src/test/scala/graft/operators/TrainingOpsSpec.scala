@@ -804,6 +804,50 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((1L, 2L, 11L)), s"dense-edit pair must survive char-gram blocking: $got")
   }
 
+  test("prefixJaccardPairs: exact — equals brute-force jaccardPairs, recall 1") {
+    val ss = spark; import ss.implicits._
+    // sf0.01 corpus: the prefix-filtered plan must reproduce the
+    // brute-force result bit-for-bit (that's the whole contract)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = set(DedupOps.jaccardPairs(docs, "doc_id", "text", minJaccard = 0.8))
+    val prefix = set(DedupOps.prefixJaccardPairs(docs, "doc_id", "text", minJaccard = 0.8))
+    assert(prefix == brute && brute.nonEmpty)
+    // borderline pair at exactly the threshold: 4 of 5 shingles shared
+    // (J = 4/6 ≈ 0.667) must appear at 0.6 and not at 0.7
+    val pair = Seq(
+      (1L, "a b c d e f g"),   // shingles: abc bcd cde def efg
+      (2L, "a b c d e f h")    // abc bcd cde def efh -> inter 4, union 6
+    ).toDF("doc_id", "text")
+    val at = DedupOps.prefixJaccardPairs(pair, "doc_id", "text", 0.6).collect()
+    assert(at.length == 1 && at.head.getDouble(2) == 0.6667)
+    assert(DedupOps.prefixJaccardPairs(pair, "doc_id", "text", 0.7).isEmpty)
+  }
+
+  test("substringContamination: literal inclusion only, minRefLen gate, broadcast plan") {
+    val ss = spark; import ss.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog in the field"),
+      (2L, "a reformatted quick brown fox JUMPED over nothing here today"),
+      (3L, "completely unrelated text body with other words entirely")
+    ).toDF("doc_id", "text")
+    val ref = Seq(
+      (10L, "quick brown fox jumps over"), // verbatim in doc 1 only
+      (11L, "short ref"),                  // < 20 chars: gated out
+      (12L, "totally absent benchmark string value")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.substringContamination(corpus, "doc_id", "text", ref, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 10L)))
+    // plan: the ref side broadcasts — the corpus never shuffles
+    val plan = DedupOps.substringContamination(corpus, "doc_id", "text", ref, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"ref side must broadcast:\n$plan")
+  }
+
   test("qualityTopFraction: integer retention per group, quality-then-id order") {
     val ss = spark; import ss.implicits._
     // 10 en docs of increasing length (higher quality), 5 short de docs
