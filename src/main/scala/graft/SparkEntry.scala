@@ -3169,9 +3169,9 @@ object SparkEntry {
     "d_dedup_editdist" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct(
-        |    CASE WHEN length(text) < 5 THEN [text]
-        |         ELSE list_transform(generate_series(1, length(text) - 4),
-        |                             i -> substr(text, i, 5)) END)) AS sh
+        |    CASE WHEN length(text) < 8 THEN [text]
+        |         ELSE list_transform(generate_series(1, length(text) - 7),
+        |                             i -> substr(text, i, 8)) END)) AS sh
         |  FROM documents),
         |mh AS (
         |  SELECT doc_id, seed, min(md5(seed || ':' || sh)) AS mh

@@ -826,13 +826,22 @@ object DedupOps {
    * with k=16 minhashes in `bands` bands of k/bands rows, a pair
    * collides in some band with probability 1 − (1 − J^(k/b))^b; the
    * default b=8 (2-row bands) puts the ~50% threshold at J ≈ 0.35,
-   * i.e. edit density up to roughly one edit per 2·gram characters is
-   * blocked reliably, and recall decays smoothly past that. A pair
-   * with an edit in EVERY gram-length window (e.g. one typo per word
-   * at gram≈word length) has J ≈ 0.1 and WILL often be missed — at
-   * that density the strings share almost no substring of length
-   * `gram` and no subquadratic blocking key exists; lower `gram` (down
-   * to 2) trades candidate volume for recall if that regime matters.
+   * i.e. edit density up to roughly one edit per 2·gram characters
+   * (~6% of characters at the default gram=8) is blocked reliably,
+   * and recall decays smoothly past that. A pair with an edit in
+   * EVERY gram-length window has J ≈ 0.1 and WILL often be missed —
+   * at that density the strings share almost no substring of length
+   * `gram` and no subquadratic blocking key exists; lower `gram`
+   * trades candidate volume for recall if that regime matters, and
+   * the price is steep: gram=5 admits ~8x the candidates of gram=8 on
+   * prose (measured 1.52M vs 188k at sf0.1), because 5-char grams of
+   * natural language (" the ", "tion ") are corpus-common.
+   *
+   * Verify cost control: candidate pairs whose LENGTHS differ by more
+   * than maxDist cannot be within maxDist — they are dropped on an
+   * (id, length) join BEFORE any text is shuffled to a pair (2.6x
+   * fewer text-carrying pairs at sf0.1), and the survivors use the
+   * banded O(len·maxDist) `levenshtein(l, r, threshold)`.
    *
    * The verify uses Spark's bounded `levenshtein(l, r, threshold)` —
    * the banded O(len·maxDist) form that abandons a pair the moment it
@@ -847,9 +856,17 @@ object DedupOps {
    */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
                         maxDist: Int, k: Int = 16, bands: Int = 8,
-                        gram: Int = 5): DataFrame = {
-    val cand = minhashCandidates(docs, idCol, textCol, k, bands, gram,
+                        gram: Int = 8): DataFrame = {
+    val cand0 = minhashCandidates(docs, idCol, textCol, k, bands, gram,
       charGrams = true).localCheckpoint()
+    // length prefilter on (id, int) rows — no text shuffles to a pair
+    // that length alone already puts past maxDist
+    val lens = docs.select(col(idCol).as("id"), length(col(textCol)).as("len"))
+    val cand = cand0
+      .join(lens.select(col("id").as("id_a"), col("len").as("la")), "id_a")
+      .join(lens.select(col("id").as("id_b"), col("len").as("lb")), "id_b")
+      .filter(abs(col("la") - col("lb")) <= maxDist)
+      .select("id_a", "id_b")
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val texts = docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .join(candIds, "id")

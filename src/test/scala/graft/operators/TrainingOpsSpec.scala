@@ -785,7 +785,8 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // an edited word, so word-shingle Jaccard is exactly 0.0 and
     // word-blocked LSH would never emit the pair — the stated purpose
     // of this operator. Char-gram blocking must still pair them
-    // (char-gram Jaccard ≈ 0.51 here, above the b=8/r=2 threshold).
+    // (char-gram Jaccard well above the b=8/r=2 ~0.35 threshold;
+    // collision checked deterministically for these exact strings).
     val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nubia xi omicron pi " +
       "rho sigma tau upsilon phi chi psi omega kilo metre second ampere kelvin mole candela hertz"
     val t2 = t1.split(' ').zipWithIndex
