@@ -817,6 +817,33 @@ object SparkEntry {
       DedupOps.nearDuplicates(table(s, dir, "documents"), "doc_id", "text", minJaccard = 0.8)
         .orderBy("id_a", "id_b")),
 
+    "d_split_leakage" -> ((s, dir) => {
+      // leakage audit: near-dup pairs straddling the 900/50/50 hash
+      // split — the check that dedup ran BEFORE splitting; the oracle
+      // composes the near-dup replay with the split bucket arithmetic
+      val docs = table(s, dir, "documents")
+      DedupOps.splitLeakage(docs, "doc_id", "text",
+          SampleOps.splitAssign(docs, "doc_id",
+            Seq("train" -> 900, "val" -> 50, "test" -> 50)),
+          "doc_id", "split", minJaccard = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "p_dedup_savings" -> ((s, dir) => {
+      // capacity report over a replayed-ingest corpus: every 5th doc
+      // re-sent whitespace-mangled under a new id, every 11th re-sent
+      // verbatim — per dup group, copies and characters reclaimed by
+      // keeping the min-id canonical
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val mangled = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(lit("  "), col("text"), lit("\n")).as("text"))
+      val verbatim = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text"))
+      DedupOps.dedupSavings(docs.union(mangled).union(verbatim), "doc_id", "text")
+        .orderBy("fp")
+    }),
+
     "d_dedup_prefix" -> ((s, dir) =>
       // EXACT similarity join (prefix filtering, recall 1): must equal
       // the brute-force oracle row-for-row — the subquadratic plan that
@@ -3181,9 +3208,11 @@ object SparkEntry {
         |  SELECT doc_id, seed // 2 AS band,
         |         string_agg(seed || '~' || mh, '|' ORDER BY seed || '~' || mh) AS bandval
         |  FROM mh GROUP BY 1, 2),
+        |bc AS (SELECT band, bandval, count(*) AS c FROM band GROUP BY 1, 2),
+        |keep AS (SELECT band.* FROM band JOIN bc USING (band, bandval) WHERE c <= 64),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM band a JOIN band b ON a.band = b.band AND a.bandval = b.bandval
+        |  FROM keep a JOIN keep b ON a.band = b.band AND a.bandval = b.bandval
         |                          AND a.doc_id < b.doc_id),
         |v AS (
         |  SELECT id_a, id_b, levenshtein(ta.text, tb.text)::BIGINT AS dist,
@@ -3332,6 +3361,62 @@ object SparkEntry {
         |FROM inter JOIN n x ON id_a = x.doc_id JOIN n y ON id_b = y.doc_id
         |WHERE round(inter::DOUBLE / (x.n + y.n - inter), 4) >= 0.8
         |ORDER BY 1, 2""".stripMargin,
+
+    "d_split_leakage" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS wd
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(wd) < 3 THEN [array_to_string(wd, ' ')]
+        |         ELSE list_transform(generate_series(1, len(wd) - 2),
+        |                             i -> array_to_string(wd[i:i+2], ' ')) END)) AS sh
+        |  FROM w),
+        |mh AS (
+        |  SELECT doc_id, seed, min(md5(seed || ':' || sh)) AS mh
+        |  FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+        |  GROUP BY 1, 2),
+        |band AS (
+        |  SELECT doc_id, seed // 4 AS band,
+        |         string_agg(seed || '~' || mh, '|' ORDER BY seed || '~' || mh) AS bandval
+        |  FROM mh GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM band a JOIN band b ON a.band = b.band AND a.bandval = b.bandval
+        |                          AND a.doc_id < b.doc_id),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT id_a, id_b, count(*) AS inter
+        |  FROM cand JOIN sh a ON id_a = a.doc_id JOIN sh b ON id_b = b.doc_id AND a.sh = b.sh
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b, round(inter::DOUBLE / (x.n + y.n - inter), 4) AS jaccard
+        |  FROM inter JOIN n x ON id_a = x.doc_id JOIN n y ON id_b = y.doc_id
+        |  WHERE round(inter::DOUBLE / (x.n + y.n - inter), 4) >= 0.8),
+        |sp AS (
+        |  SELECT doc_id, CASE WHEN b < 900 THEN 'train'
+        |                      WHEN b < 950 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |               ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT % 1000 AS b
+        |        FROM documents))
+        |SELECT id_a, id_b, jaccard, a.split AS split_a, b.split AS split_b
+        |FROM pairs JOIN sp a ON id_a = a.doc_id JOIN sp b ON id_b = b.doc_id
+        |WHERE a.split <> b.split
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "p_dedup_savings" ->
+      """WITH c AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, '  ' || text || chr(10) FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 11 = 0)
+        |SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |       count(*) AS n_copies, min(doc_id) AS kept_id,
+        |       sum(length(text))::BIGINT AS total_chars,
+        |       (sum(length(text)) - arg_min(length(text), doc_id))::BIGINT AS saved_chars
+        |FROM c GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY fp""".stripMargin,
 
     "d_decontaminate_substr" ->
       """WITH ref AS (

@@ -174,9 +174,17 @@ object DedupOps {
       .select(col("id"), col("bb.band").as("band"), col("bb.bandval").as("bandval"))
   }
 
+  /** `maxBucket` caps band-bucket size (stop-bucket removal): a band
+    * value shared by thousands of docs is non-discriminative — its
+    * bucket² pair contribution is almost entirely false positives,
+    * while true near-dup pairs agree on MANY bands and survive via a
+    * small bucket elsewhere. Default unbounded: the word-shingle
+    * detectors' buckets stay small on prose; the char-gram edit path
+    * overrides it (measured below). */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 16, bands: Int = 4, w: Int = 3,
-                        charGrams: Boolean = false): DataFrame = {
+                        charGrams: Boolean = false,
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
     // signature as a PROJECTION (MinhashSig.scala): a minhash signature
     // is a pure per-document function, so no exploded-shingle shuffle
     // and no k min-agg trees — value-identical to the aggregation
@@ -197,7 +205,7 @@ object DedupOps {
     // runs the kernel once and generates pairs with codegen'd array ops
     // bounded by bucket-size² — the same quadratic the join had.
     banded.groupBy("band", "bandval").agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) >= 2)
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
       .select(explode(expr(
         "filter(flatten(transform(ids, x -> transform(ids, y -> struct(x as id_a, y as id_b)))), p -> p.id_a < p.id_b)"))
         .as("p"))
@@ -787,6 +795,58 @@ object DedupOps {
   }
 
   /**
+   * Train/test LEAKAGE audit: near-duplicate pairs that straddle a
+   * split boundary. Deduplicating before splitting is the rule; this
+   * operator is the check that it actually happened — an eval set
+   * whose members have near-twins in train overstates every metric,
+   * and the failure is invisible to per-split statistics. Pairs come
+   * from the LSH near-dup detector at `minJaccard`; split membership
+   * joins on from `splitCol` of `splits` (any per-id assignment — the
+   * hash-bucket [[SampleOps.splitAssign]] output, or a custom one).
+   * Output: one row per CROSS-split near-dup pair
+   * (id_a, id_b, jaccard, split_a, split_b) — empty means clean.
+   *
+   * Scale: the pair side is the LSH-bounded candidate set; the split
+   * side is two id-keyed joins of (id, split) rows — nothing new
+   * shuffles beyond what [[nearDuplicates]] already priced.
+   */
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
+                   splits: DataFrame, splitIdCol: String, splitCol: String,
+                   minJaccard: Double, k: Int = 16, bands: Int = 4,
+                   w: Int = 3): DataFrame = {
+    val pairs = nearDuplicates(docs, idCol, textCol, minJaccard, k, bands, w)
+    val s = splits.select(col(splitIdCol).as("id"), col(splitCol).as("split"))
+    pairs
+      .join(s.select(col("id").as("id_a"), col("split").as("split_a")), "id_a")
+      .join(s.select(col("id").as("id_b"), col("split").as("split_b")), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+  }
+
+  /**
+   * Dedup savings report: per EXACT-duplicate group (normalized
+   * fingerprint), how many copies exist and how many bytes
+   * deduplication reclaims — the capacity-planning number an ops
+   * review asks for before running the dedup itself. Keeping one
+   * canonical copy (the min id, [[exactDuplicates]]' convention)
+   * saves sum(chars) − chars(kept). One fingerprint groupBy with
+   * integer aggregates; groups of one never reach the output. Sizes
+   * are CHARACTER counts (honest for any encoding; multiply by an
+   * average byte width for capacity math).
+   * Output: (fp, n_copies, kept_id, total_chars, saved_chars).
+   */
+  def dedupSavings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp"),
+        length(col(textCol)).cast("long").as("chars"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("id")).as("kept_id"),
+        sum(col("chars")).as("total_chars"),
+        (sum(col("chars")) - min_by(col("chars"), col("id"))).as("saved_chars"))
+      .filter(col("n_copies") >= 2)
+
+  /**
    * Verbatim-substring decontamination: corpus documents that contain
    * a benchmark string as an exact substring — the strictest
    * contamination predicate (n-gram collision admits reformatted
@@ -843,6 +903,16 @@ object DedupOps {
    * fewer text-carrying pairs at sf0.1), and the survivors use the
    * banded O(len·maxDist) `levenshtein(l, r, threshold)`.
    *
+   * Candidate-volume control: `maxBucket` (default 64) drops band
+   * buckets larger than the cap — stop-bucket removal. On a corpus
+   * dense in cross-document char-gram overlap, 2-row bands otherwise
+   * go quadratic (measured on the derived 10x corpus: 41.7M candidate
+   * pairs uncapped vs 1.6M at cap 64), while the final RESULT is
+   * unchanged on normal corpora (sf0.01: identical 31 rows capped or
+   * not) because true near-dup pairs also collide in small buckets.
+   * Recall loss is confined to pairs whose EVERY shared band is
+   * corpus-hot — pairs that look like boilerplate, not edits.
+   *
    * The verify uses Spark's bounded `levenshtein(l, r, threshold)` —
    * the banded O(len·maxDist) form that abandons a pair the moment it
    * exceeds the cap, not the O(len²) full matrix; at corpus scale the
@@ -856,9 +926,9 @@ object DedupOps {
    */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
                         maxDist: Int, k: Int = 16, bands: Int = 8,
-                        gram: Int = 8): DataFrame = {
+                        gram: Int = 8, maxBucket: Int = 64): DataFrame = {
     val cand0 = minhashCandidates(docs, idCol, textCol, k, bands, gram,
-      charGrams = true).localCheckpoint()
+      charGrams = true, maxBucket = maxBucket).localCheckpoint()
     // length prefilter on (id, int) rows — no text shuffles to a pair
     // that length alone already puts past maxDist
     val lens = docs.select(col(idCol).as("id"), length(col(textCol)).as("len"))

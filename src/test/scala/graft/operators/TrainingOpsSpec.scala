@@ -849,6 +849,41 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"ref side must broadcast:\n$plan")
   }
 
+  test("splitLeakage: only cross-split near-dup pairs survive; clean corpus reports empty") {
+    val ss = spark; import ss.implicits._
+    val twin = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, twin), (2L, twin + " extra"),           // near-dups
+      (3L, "completely different text body one"),
+      (4L, "another unrelated document entirely")
+    ).toDF("doc_id", "text")
+    // forced assignment: the twins straddle train/test
+    val splits = Seq((1L, "train"), (2L, "test"), (3L, "train"), (4L, "train"))
+      .toDF("doc_id", "split")
+    val got = DedupOps.splitLeakage(docs, "doc_id", "text", splits, "doc_id", "split",
+        minJaccard = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getString(4))).toSeq
+    assert(got == Seq((1L, 2L, "train", "test")))
+    // same-split twins: no leakage row
+    val clean = Seq((1L, "train"), (2L, "train"), (3L, "val"), (4L, "test"))
+      .toDF("doc_id", "split")
+    assert(DedupOps.splitLeakage(docs, "doc_id", "text", clean, "doc_id", "split", 0.7).isEmpty)
+  }
+
+  test("dedupSavings: per-group copies and reclaimed characters, groups of one dropped") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq(
+      (1L, "same content here"),          // 17 chars, kept (min id)
+      (2L, "  same   content here \n"),   // normalized-equal, 23 chars
+      (3L, "same content here"),          // verbatim copy, 17 chars
+      (4L, "unique survivor")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.dedupSavings(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // one group: 3 copies, kept id 1 (17 chars), total 57, saved 40
+    assert(got == Seq((3L, 1L, 57L, 40L)))
+  }
+
   test("qualityTopFraction: integer retention per group, quality-then-id order") {
     val ss = spark; import ss.implicits._
     // 10 en docs of increasing length (higher quality), 5 short de docs
