@@ -829,6 +829,25 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "s_split_leakage" -> ((s, dir) => {
+      // semantic leakage: cosine near-dup pairs (fixed 24-bit banding,
+      // exact verify at 0.4) crossing the 900/50/50 hash split —
+      // catches the paraphrase/translation twins text dedup misses
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      SimilarityOps.splitLeakage(e,
+          SampleOps.splitAssign(e, "id", Seq("train" -> 900, "val" -> 50, "test" -> 50)),
+          "id", "split", minCosine = 0.4, nbits = 24)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "p_mixture_reweight" -> ((s, dir) =>
+      // DoReMi-style mixture optimizer: 4 multiplicative-weight steps
+      // over per-lang mean quality (the loss proxy), all in scaled
+      // integers — the oracle replays every step as an unrolled CTE
+      SampleOps.mixtureReweight(table(s, dir, "documents"), "lang",
+          TextOps.qualityScore(col("text")), steps = 4, etaPpm = 2000L)
+        .orderBy("domain")),
+
     "p_dedup_savings" -> ((s, dir) => {
       // capacity report over a replayed-ingest corpus: every 5th doc
       // re-sent whitespace-mangled under a new id, every 11th re-sent
@@ -3403,6 +3422,86 @@ object SparkEntry {
         |FROM pairs JOIN sp a ON id_a = a.doc_id JOIN sp b ON id_b = b.doc_id
         |WHERE a.split <> b.split
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "s_split_leakage" ->
+      """WITH planes AS (
+        |  SELECT b, list_transform(generate_series(0, 63),
+        |           d -> (('0x' || substr(md5('plane:' || b || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS pl
+        |  FROM (SELECT unnest(generate_series(0, 23)) AS b)),
+        |sig AS (
+        |  SELECT vec_id,
+        |         sum(CASE WHEN list_sum(list_transform(range(1, 65),
+        |               i -> pl[i] * embedding[i]::DOUBLE)) > 0
+        |             THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sig
+        |  FROM embeddings, planes GROUP BY 1),
+        |banded AS (
+        |  SELECT vec_id, band, (sig >> (band * 6)) & 63 AS bandval
+        |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) bb),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.bandval = b.bandval
+        |                              AND a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT id_a, id_b,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> ae.embedding[i]::DOUBLE * be.embedding[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> ae.embedding[i]::DOUBLE * ae.embedding[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> be.embedding[i]::DOUBLE * be.embedding[i]::DOUBLE)))), 6) AS sim
+        |  FROM cand JOIN embeddings ae ON id_a = ae.vec_id
+        |            JOIN embeddings be ON id_b = be.vec_id),
+        |sp AS (
+        |  SELECT vec_id, CASE WHEN b < 900 THEN 'train'
+        |                      WHEN b < 950 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT vec_id,
+        |               ('0x' || substr(md5('split:' || vec_id), 1, 8))::BIGINT % 1000 AS b
+        |        FROM embeddings))
+        |SELECT id_a, id_b, sim, a.split AS split_a, b.split AS split_b
+        |FROM scored JOIN sp a ON id_a = a.vec_id JOIN sp b ON id_b = b.vec_id
+        |WHERE sim >= 0.4 AND a.split <> b.split
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "p_mixture_reweight" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, text,
+        |         length(text)::BIGINT AS len,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS lw,
+        |         (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))::BIGINT AS np
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, lang, len, np,
+        |    len(lw)::BIGINT AS nw,
+        |    len(list_filter(lw, x -> x IN ('the','a','an','of','to','and','in','is','on','for')))::BIGINT AS ns
+        |  FROM w),
+        |q AS (
+        |  SELECT doc_id, lang,
+        |       (400 * least(len, 500)) // 500
+        |     + CASE WHEN nw = 0 THEN 0 ELSE (300 * least(ns * 5, nw)) // nw END
+        |     + CASE WHEN len = 0 THEN 0 ELSE (300 * greatest(len - np * 5, 0)) // len END AS quality
+        |  FROM f),
+        |dm AS (
+        |  SELECT lang AS domain, count(*)::BIGINT AS n_docs,
+        |         (sum(quality) * 1000000) // count(*) AS m
+        |  FROM q GROUP BY 1),
+        |w0 AS (SELECT domain, n_docs, m, 1000000::BIGINT AS wt FROM dm),
+        |b1 AS (SELECT sum(wt * m) // sum(wt) AS base FROM w0),
+        |w1 AS (SELECT domain, n_docs, m,
+        |              (wt * greatest(1, 1000000 + 2000 * (m - base) // 1000000)) // 1000000 AS wt
+        |       FROM w0, b1),
+        |b2 AS (SELECT sum(wt * m) // sum(wt) AS base FROM w1),
+        |w2 AS (SELECT domain, n_docs, m,
+        |              (wt * greatest(1, 1000000 + 2000 * (m - base) // 1000000)) // 1000000 AS wt
+        |       FROM w1, b2),
+        |b3 AS (SELECT sum(wt * m) // sum(wt) AS base FROM w2),
+        |w3 AS (SELECT domain, n_docs, m,
+        |              (wt * greatest(1, 1000000 + 2000 * (m - base) // 1000000)) // 1000000 AS wt
+        |       FROM w2, b3),
+        |b4 AS (SELECT sum(wt * m) // sum(wt) AS base FROM w3),
+        |w4 AS (SELECT domain, n_docs, m,
+        |              (wt * greatest(1, 1000000 + 2000 * (m - base) // 1000000)) // 1000000 AS wt
+        |       FROM w3, b4)
+        |SELECT domain, n_docs, m AS mean_loss_micro,
+        |       (wt * 1000000) // (SELECT sum(wt) FROM w4) AS weight_ppm
+        |FROM w4 ORDER BY domain""".stripMargin,
 
     "p_dedup_savings" ->
       """WITH c AS (

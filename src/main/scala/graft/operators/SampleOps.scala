@@ -59,6 +59,63 @@ object SampleOps {
   }
 
   /**
+   * Multiplicative-weights mixture reweighting — the data-mixing
+   * OPTIMIZER next to [[tokenBudgetMixture]]'s executor (DoReMi-style
+   * domain reweighting, linear-update variant). Per domain d with
+   * reference loss L(d) (any per-doc score: LM loss, negated quality),
+   * iterate: base_t = Σ w_t·L / Σ w_t, then w_{t+1}(d) = w_t(d) · (1 +
+   * η·(L(d) − base_t)) — domains whose loss exceeds the CURRENT
+   * mixture's weighted mean gain weight, and the moving baseline makes
+   * the update genuinely iterative (a fixed baseline would collapse to
+   * one closed-form step).
+   *
+   * Every quantity is SCALED-INTEGER arithmetic (losses in micro units
+   * from exact quantized sums, weights in ppm, updates via integral
+   * division), so the trajectory is bit-reproducible on any engine and
+   * partitioning — the DuckDB oracle replays all `steps` as unrolled
+   * CTEs, the same contract as the BPE and k-means oracles. Factors
+   * clamp at 1 so a weight can shrink but never hit zero or flip sign.
+   *
+   * Scale: one groupBy(domain) with map-side partial integer sums; the
+   * iteration runs on the driver over DOMAIN-count rows (a model
+   * artifact, like centroids). `steps` ≤ 8 and |η·excess| ≤ ~10 keep
+   * the ppm weights far inside LONG range (each step multiplies by at
+   * most ~1e7/1e6; documented envelope, not checked per row).
+   * Output: (domain, n_docs, mean_loss_micro, weight_ppm), weights
+   * normalized to ~1e6 by integral division.
+   */
+  def mixtureReweight(docs: DataFrame, domainCol: String, loss: Column,
+                      steps: Int, etaPpm: Long): DataFrame = {
+    require(steps >= 1 && steps <= 8, s"steps in [1,8], got $steps")
+    require(etaPpm > 0, s"etaPpm must be positive, got $etaPpm")
+    val spark = docs.sparkSession
+    val stats = docs
+      .groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(floor(loss.cast("double") * lit(1.0e6) + lit(0.5)).cast("long")).as("lsum"))
+      .select(col("domain").cast("string").as("domain"), col("n_docs"),
+        IntDiv(col("lsum"), col("n_docs")).cast("long").as("mean_loss_micro"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1) // deterministic fold order
+    val mean = stats.map(_._3)
+    var w = Array.fill(stats.length)(1000000L)
+    for (_ <- 1 to steps) {
+      val wSum = w.sum
+      val base = w.indices.map(i => w(i) * mean(i)).sum / wSum // weighted mean, micro
+      w = w.indices.map { i =>
+        val factor = math.max(1L, 1000000L + etaPpm * (mean(i) - base) / 1000000L)
+        w(i) * factor / 1000000L
+      }.toArray
+    }
+    val wSum = w.sum
+    import spark.implicits._
+    stats.indices.map { i =>
+      (stats(i)._1, stats(i)._2, stats(i)._3, w(i) * 1000000L / wSum)
+    }.toDF("domain", "n_docs", "mean_loss_micro", "weight_ppm")
+  }
+
+  /**
    * Token-budget mixture ("data mixing"): per domain, take docs in hash
    * order until the domain's token budget is exhausted. The first doc
    * CROSSING the budget is kept (the filter admits a doc that STARTS

@@ -475,6 +475,29 @@ object SimilarityOps {
    * union + one grouped sum + a WindowGroupLimit rank, never touching
    * the corpus.
    */
+  /**
+   * SEMANTIC train/test leakage audit — the embedding-space sibling of
+   * [[graft.operators.DedupOps.splitLeakage]]: cosine near-duplicate
+   * pairs (hyperplane-LSH candidates + exact verify) that straddle a
+   * split boundary. Text dedup before splitting misses paraphrases and
+   * translations; an eval item whose EMBEDDING has a near-twin in
+   * train still leaks the answer, and this is the check for exactly
+   * that. Output: (id_a, id_b, sim, split_a, split_b) — empty = clean.
+   * Scale: the pair side is band-bounded ([[cosineNearDuplicates]]);
+   * splits are two id-keyed (id, split) joins.
+   */
+  def splitLeakage(corpus: DataFrame, splits: DataFrame, splitIdCol: String,
+                   splitCol: String, minCosine: Double, nbits: Int = -1,
+                   bands: Int = 4, dim: Int = 64): DataFrame = {
+    val pairs = cosineNearDuplicates(corpus, minCosine, nbits, bands, dim)
+    val s = splits.select(col(splitIdCol).as("id"), col(splitCol).as("split"))
+    pairs
+      .join(s.select(col("id").as("id_a"), col("split").as("split_a")), "id_a")
+      .join(s.select(col("id").as("id_b"), col("split").as("split_b")), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select("id_a", "id_b", "sim", "split_a", "split_b")
+  }
+
   def rrfFuse(a: DataFrame, b: DataFrame, k: Int, topN: Int): DataFrame = {
     require(k >= 1 && topN >= 1, s"rrfFuse k=$k topN=$topN")
     val contrib = floor(lit(1.0e6) / (lit(k.toDouble) + col("rank").cast("double"))).cast("long")

@@ -137,6 +137,34 @@ class SketchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("distinctSketch runs under Structured Streaming; state stays k-bounded, equals batch") {
+    // the KMV aggregate's streaming contract: the TypedImperativeAggregate
+    // buffer IS the state-store row, so an unbounded distinct stream per
+    // key costs k longs forever and streamed results equal the batch run
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val q = SketchOps.distinctSketch(mem.toDF.toDF("grp", "v"), Seq("grp"), "v", k = 16)
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData((1 to 10).map(i => ("g", s"v$i")) ++ Seq(("h", "w1")): _*)
+      q.processAllAvailable()
+      mem.addData((5 to 40).map(i => ("g", s"v$i")): _*) // overlap + growth past k
+      q.processAllAvailable()
+      val streamed = ss.table("kmv_stream").orderBy("grp").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      val batch = SketchOps.distinctSketch(
+          ((1 to 10).map(i => ("g", s"v$i")) ++ Seq(("h", "w1")) ++
+            (5 to 40).map(i => ("g", s"v$i"))).toDF("grp", "v"),
+          Seq("grp"), "v", k = 16)
+        .orderBy("grp").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(streamed == batch)
+      assert(streamed.head._2 == 16L) // 40 distinct > k: buffer pinned at k
+    } finally q.stop()
+  }
+
   test("kmvOverlap: exact below k — inclusion-exclusion recovers the true intersection") {
     val ss = spark; import ss.implicits._
     // |A|=60, |B|=50, |A∩B|=30: all sets below k=256, so every

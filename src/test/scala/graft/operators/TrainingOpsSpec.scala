@@ -849,6 +849,29 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"ref side must broadcast:\n$plan")
   }
 
+  test("mixtureReweight: high-loss domains gain weight, uniform losses stay uniform, baseline moves") {
+    val ss = spark; import ss.implicits._
+    // domain a: loss 2.0, b: 1.0, c: 1.0 — a must gain, b and c stay equal
+    val docs = (Seq.fill(10)(("a", 2.0)) ++ Seq.fill(10)(("b", 1.0)) ++ Seq.fill(10)(("c", 1.0)))
+      .zipWithIndex.map { case ((d, l), i) => (i.toLong, d, l) }
+      .toDF("doc_id", "domain", "loss")
+    val out = SampleOps.mixtureReweight(docs, "domain", col("loss"), steps = 4, etaPpm = 200000L)
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(out("a") > out("b") && out("b") == out("c"))
+    assert(math.abs(out.values.sum - 1000000L) <= 3, s"weights ~normalize: $out")
+    // 4 steps must differ from 1 step — the baseline moves, so the
+    // update is genuinely iterative, not a closed form
+    val one = SampleOps.mixtureReweight(docs, "domain", col("loss"), steps = 1, etaPpm = 200000L)
+      .orderBy("domain").collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(one("a") < out("a"))
+    // uniform losses: weights stay exactly uniform at any step count
+    val flat = (1L to 9L).map(i => (i, s"d${i % 3}", 1.5)).toDF("doc_id", "domain", "loss")
+    val fw = SampleOps.mixtureReweight(flat, "domain", col("loss"), 4, 200000L)
+      .collect().map(_.getLong(3)).toSet
+    assert(fw == Set(333333L))
+  }
+
   test("splitLeakage: only cross-split near-dup pairs survive; clean corpus reports empty") {
     val ss = spark; import ss.implicits._
     val twin = "the quick brown fox jumps over the lazy dog again and again today"
