@@ -361,6 +361,34 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "q34_local_supplier" -> ((s, dir) => {
+      // the TPC-H Q5 shape: six-table star with REGION->NATION pruning
+      // the dims before they broadcast, the customer=supplier
+      // same-nation constraint as a post-join filter, one-year window,
+      // integer-cents revenue — the join-order stress next to Q3's
+      val asia = table(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = table(s, dir, "nation")
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val c = table(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val sup = table(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val li = table(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+          .cast("long")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("n_name").asc)
+    }),
+
     "q2_join_agg" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
       val o = table(s, dir, "orders")
@@ -1405,6 +1433,22 @@ object SparkEntry {
         when(col("doc_id") % 4 === 3, unhex(unknownHex)).otherwise(buildAvi(col("doc_id"))))
       val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
       MultimodalOps.videoFrameFeatures(media).orderBy("media_id", "frame_no")
+    }),
+
+    "m_media_resample" -> ((s, dir) => {
+      // REAL nearest-neighbor resample over decoded pixels: the same
+      // lossless planted GIFs as m_media_pixels_gif, fit into an 8-box
+      // (16x16 -> 8x8, src index (dst*16) div 8 = 2*dst per axis), so
+      // every RESAMPLED pixel — and its stats — replays in SQL; junk
+      // rows fall back to byte stats with zero dims
+      val buildGif = udf { (docId: Long) =>
+        val px = Array.tabulate(256)(i => (((docId * 11 + i.toLong * i * 13) % 256)).toByte)
+        GifPixels.encodeGifGray(px, 16, 16)
+      }
+      val docs = table(s, dir, "documents").withColumn("blob",
+        when(col("doc_id") % 4 === 3, unhex(unknownHex)).otherwise(buildGif(col("doc_id"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+      MultimodalOps.resampledStats(media, box = 8).orderBy("media_id")
     }),
 
     "m_media_pixels_gif" -> ((s, dir) => {
@@ -2676,6 +2720,21 @@ object SparkEntry {
          |       "time" - prev_t AS gap_sec
          |FROM x WHERE prev_t IS NOT NULL AND "time" - prev_t > 3600
          |ORDER BY path, gap_start""".stripMargin,
+
+    "q34_local_supplier" ->
+      """SELECT n_name,
+        |       CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)::BIGINT) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue_cents DESC, n_name""".stripMargin,
 
     "q31_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
@@ -4476,6 +4535,41 @@ object SparkEntry {
         |FROM junk
         |ORDER BY media_id""".stripMargin,
 
+
+    // the 8x8 nearest-neighbor resample of the planted 16x16 pattern:
+    // out pixel j reads source ((j//8)*2)*16 + (j%8)*2 — the fit-box
+    // dims and the resampled stats must all match
+    "m_media_resample" ->
+      """WITH gp AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 255),
+        |           i -> (doc_id * 11 + i * i * 13) % 256) AS p
+        |  FROM documents WHERE doc_id % 4 <> 3),
+        |rp AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 63),
+        |           j -> p[((j // 8) * 2) * 16 + (j % 8) * 2 + 1]) AS q
+        |  FROM gp),
+        |junk AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 16),
+        |           i -> CASE WHEN i = 0 THEN 0
+        |                     ELSE ('0x' || substr(upper(md5(text)), (i - 1) * 2 + 1, 2))::BIGINT END) AS b
+        |  FROM documents WHERE doc_id % 4 = 3)
+        |SELECT doc_id AS media_id, 'gif' AS format, true AS decoded,
+        |       8::BIGINT AS out_w, 8::BIGINT AS out_h,
+        |       64::BIGINT AS n_vals,
+        |       ((list_sum(q) * 1000) // 64)::BIGINT AS mean_milli,
+        |       len(list_distinct(q))::BIGINT AS distinct_vals,
+        |       list_max(q)::BIGINT AS max_val
+        |FROM rp
+        |UNION ALL
+        |SELECT doc_id AS media_id, 'unknown' AS format, false AS decoded,
+        |       0::BIGINT, 0::BIGINT, 17::BIGINT,
+        |       ((list_sum(b) * 1000) // 17)::BIGINT,
+        |       len(list_distinct(b))::BIGINT, list_max(b)::BIGINT
+        |FROM junk
+        |ORDER BY media_id""".stripMargin,
 
     // index-stream stats predicted from the planted arithmetic — LZW
     // is lossless, so the full 256-pixel pattern (not just flat

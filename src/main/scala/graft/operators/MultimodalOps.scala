@@ -83,6 +83,105 @@ object MultimodalOps {
   }
 
   /**
+   * REAL pixel resampling — [[resizePlan]]'s dimension math applied to
+   * actually-decoded pixels: each decodable blob (PNG / baseline or
+   * progressive JPEG / GIF) is nearest-neighbor resampled into the
+   * `box` fit (same integer aspect formula as resizePlan, src index =
+   * `(dst · srcDim) div outDim` per axis, per channel), and the output
+   * row carries the resized dims plus the stats of the RESAMPLED
+   * samples — the thumbnail/feature-extraction stage of a multimodal
+   * pipeline, with the stats making it oracle-checkable. Undecodable
+   * blobs fall back to compressed-byte stats with decoded=false and
+   * zero dims, the [[pixelFeatures]] contract. Same batched
+   * mapPartitions shape; the resample is O(out pixels), so a box-fit
+   * thumbnail costs box² work per blob no matter the source size.
+   */
+  def resampledStats(media: DataFrame, box: Int, batchSize: Int = 64): DataFrame = {
+    require(box >= 1 && box <= 4096, s"box in [1,4096], got $box")
+    import org.apache.spark.sql.Row
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("format", StringType),
+      StructField("decoded", BooleanType),
+      StructField("out_w", LongType),
+      StructField("out_h", LongType),
+      StructField("n_vals", LongType),
+      StructField("mean_milli", LongType),
+      StructField("distinct_vals", LongType),
+      StructField("max_val", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        def stats(bytes: Array[Byte]): (Long, Long, Long, Long) = {
+          if (bytes.isEmpty) return (0L, 0L, 0L, 0L)
+          var sum = 0L; var max = 0L; var distinct = 0L
+          val seen = new Array[Boolean](256)
+          var i = 0
+          while (i < bytes.length) {
+            val v = bytes(i) & 0xff
+            sum += v
+            if (v > max) max = v
+            if (!seen(v)) { seen(v) = true; distinct += 1 }
+            i += 1
+          }
+          (bytes.length.toLong, sum * 1000L / bytes.length, distinct, max)
+        }
+        def fit(w: Int, h: Int): (Int, Int) = {
+          val ww = math.max(w, 1); val hh = math.max(h, 1)
+          if (ww >= hh) (box, math.max(1, hh * box / ww))
+          else (math.max(1, ww * box / hh), box)
+        }
+        def resample(px: Array[Byte], w: Int, h: Int, ch: Int): (Array[Byte], Int, Int) = {
+          val (ow, oh) = fit(w, h)
+          val out = new Array[Byte](ow * oh * ch)
+          var y = 0
+          while (y < oh) {
+            val sy = y * h / oh
+            var x = 0
+            while (x < ow) {
+              val sx = x * w / ow
+              var c = 0
+              while (c < ch) {
+                out((y * ow + x) * ch + c) = px((sy * w + sx) * ch + c)
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          (out, ow, oh)
+        }
+        rows.grouped(batchSize).flatMap(_.map { r =>
+          val content = r.getAs[Array[Byte]]("content")
+          val hdr = parseHeader(content)
+          val fmt = hdr.map(_.format).getOrElse("unknown")
+          // dims from the real header; samples from the real decoders;
+          // a dims/samples mismatch is corruption -> honest fallback
+          val decoded: Option[(String, Array[Byte], Int, Int, Int)] =
+            decodePngPixels(content).flatMap(px => hdr.collect {
+              case m if m.format == "png" && px.length == m.width * m.height * math.max(m.channels, 1) =>
+                ("png", px, m.width.toInt, m.height.toInt, math.max(m.channels, 1).toInt)
+            })
+            .orElse(JpegBaseline.decodePixels(content)
+              .map(d => ("jpeg", d.samples, d.width, d.height, d.channels)))
+            .orElse(GifPixels.decodeGifPixels(content).flatMap(px => hdr.collect {
+              case m if m.format == "gif" && px.length == m.width * m.height =>
+                ("gif", px, m.width.toInt, m.height.toInt, 1)
+            }))
+          decoded match {
+            case Some((f, px, w, h, ch)) =>
+              val (out, ow, oh) = resample(px, w, h, ch)
+              val (n, mean, d, mx) = stats(out)
+              Row(r.getAs[Long]("media_id"), f, true, ow.toLong, oh.toLong, n, mean, d, mx)
+            case None =>
+              val (n, mean, d, mx) = stats(if (content == null) Array.emptyByteArray else content)
+              Row(r.getAs[Long]("media_id"), fmt, false, 0L, 0L, n, mean, d, mx)
+          }
+        })
+      }(enc)
+  }
+
+  /**
    * REAL feature extraction over the binary content (not a stub): the
    * byte-value distribution of the blob — mean (milli), distinct count,
    * max — as codegen'd column expressions over the hex expansion. The

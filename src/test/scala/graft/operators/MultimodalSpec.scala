@@ -265,6 +265,31 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MultimodalOps.decodeWavSamples(null) === None)
   }
 
+  test("resampledStats: non-square fit, exact nearest-neighbor mapping, fallback dims 0") {
+    val ss = spark; import ss.implicits._
+    // 12x4 gray PNG, pixel(y,x) = y*16 + x: fit into box 6 -> 6x2
+    // (w>=h: out_w=box, out_h=max(1, 4*6/12)=2); out(y,x) =
+    // src(y*4/2, x*12/6) = src(2y, 2x) = (2y)*16 + 2x
+    val px = Array.tabulate(48)(i => ((i / 12) * 16 + (i % 12)).toByte)
+    val png = MultimodalOps.encodePngGray(px, 12, 4, _ => 0)
+    val docs = Seq((1L, png), (2L, "junkbytes".getBytes("US-ASCII"))).toDF("doc_id", "blob")
+    val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+    val out = MultimodalOps.resampledStats(media, box = 6).orderBy("media_id").collect()
+    val r1 = out(0)
+    assert((r1.getString(1), r1.getBoolean(2), r1.getLong(3), r1.getLong(4), r1.getLong(5)) ==
+      (("png", true, 6L, 2L, 12L)))
+    val want = for (y <- 0 until 2; x <- 0 until 6) yield (2 * y) * 16 + 2 * x
+    assert(r1.getLong(8) == want.max, "max over the exact resampled set")
+    assert(r1.getLong(6) == want.sum * 1000L / 12, "floor-milli mean over the resampled set")
+    val r2 = out(1)
+    assert((r2.getBoolean(2), r2.getLong(3), r2.getLong(4)) == ((false, 0L, 0L)))
+    // 3-channel: flat-color JPEG resamples to the same flat color
+    val flat = JpegBaseline.encodeFlatColor(120, 128, 128, 2, 1, 1, 1) // 16x8 RGB
+    val m2 = MultimodalOps.toMediaFrame(Seq((3L, flat)).toDF("doc_id", "blob"), "doc_id", "blob", "mixed")
+    val r3 = MultimodalOps.resampledStats(m2, box = 4).collect().head
+    assert((r3.getLong(3), r3.getLong(4), r3.getLong(5), r3.getLong(8)) == ((4L, 2L, 24L, 120L)))
+  }
+
   test("sampleFeatures: signed stats over decoded PCM, byte fallback otherwise") {
     val ss = spark; import ss.implicits._
     // hand-computed: sum=-7 over 5 samples -> floor(-1400.0) = -1400
