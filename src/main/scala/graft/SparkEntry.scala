@@ -1435,6 +1435,43 @@ object SparkEntry {
       MultimodalOps.videoFrameFeatures(media).orderBy("media_id", "frame_no")
     }),
 
+    "m_media_phash" -> ((s, dir) => {
+      // perceptual hash over decoded pixels: 50 base image classes
+      // (base = doc_id % 50) planted as lossless GIFs — docs of one
+      // class are IDENTICAL images in different rows, so their aHash
+      // must agree bit-for-bit; the oracle replays resample + mean +
+      // threshold bits. Junk rows report decoded=false, zero halves.
+      val buildGif = udf { (docId: Long) =>
+        val base = docId % 50
+        val px = Array.tabulate(256)(i => (((base * 11 + i.toLong * i * 13) % 256)).toByte)
+        GifPixels.encodeGifGray(px, 16, 16)
+      }
+      val docs = table(s, dir, "documents").withColumn("blob",
+        when(col("doc_id") % 4 === 3, unhex(unknownHex)).otherwise(buildGif(col("doc_id"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+      MultimodalOps.perceptualHash(media).orderBy("media_id")
+    }),
+
+    "m_media_phash_dups" -> ((s, dir) => {
+      // image dedup on the hash: per phash group of DECODED images,
+      // canonical min id + copy count — exactDuplicates semantics in
+      // pixel space (byte-identical containers not required)
+      val buildGif = udf { (docId: Long) =>
+        val base = docId % 50
+        val px = Array.tabulate(256)(i => (((base * 11 + i.toLong * i * 13) % 256)).toByte)
+        GifPixels.encodeGifGray(px, 16, 16)
+      }
+      val docs = table(s, dir, "documents").withColumn("blob",
+        when(col("doc_id") % 4 === 3, unhex(unknownHex)).otherwise(buildGif(col("doc_id"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+      MultimodalOps.perceptualHash(media)
+        .filter(col("decoded"))
+        .groupBy("phash_hi", "phash_lo")
+        .agg(min(col("media_id")).as("canonical_id"), count(lit(1)).as("dup_count"))
+        .filter(col("dup_count") >= 2)
+        .orderBy("canonical_id")
+    }),
+
     "m_media_resample" -> ((s, dir) => {
       // REAL nearest-neighbor resample over decoded pixels: the same
       // lossless planted GIFs as m_media_pixels_gif, fit into an 8-box
@@ -4535,6 +4572,55 @@ object SparkEntry {
         |FROM junk
         |ORDER BY media_id""".stripMargin,
 
+
+    // aHash replay: 8x8 resample of the base-class pattern, integer
+    // mean, strict > threshold, bits as two unsigned 32-bit halves
+    "m_media_phash" ->
+      """WITH gp AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 255),
+        |           i -> ((doc_id % 50) * 11 + i * i * 13) % 256) AS p
+        |  FROM documents WHERE doc_id % 4 <> 3),
+        |rp AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 63),
+        |           j -> p[((j // 8) * 2) * 16 + (j % 8) * 2 + 1]) AS q
+        |  FROM gp),
+        |m AS (SELECT doc_id, q, list_sum(q) // 64 AS mean FROM rp)
+        |SELECT doc_id AS media_id, 'gif' AS format, true AS decoded,
+        |       list_sum(list_transform(generate_series(32, 63),
+        |         j -> CASE WHEN q[j + 1] > mean THEN 1::BIGINT << (j - 32) ELSE 0 END))::BIGINT AS phash_hi,
+        |       list_sum(list_transform(generate_series(0, 31),
+        |         j -> CASE WHEN q[j + 1] > mean THEN 1::BIGINT << j ELSE 0 END))::BIGINT AS phash_lo
+        |FROM m
+        |UNION ALL
+        |SELECT doc_id AS media_id, 'unknown' AS format, false AS decoded,
+        |       0::BIGINT, 0::BIGINT
+        |FROM documents WHERE doc_id % 4 = 3
+        |ORDER BY media_id""".stripMargin,
+
+    "m_media_phash_dups" ->
+      """WITH gp AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 255),
+        |           i -> ((doc_id % 50) * 11 + i * i * 13) % 256) AS p
+        |  FROM documents WHERE doc_id % 4 <> 3),
+        |rp AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 63),
+        |           j -> p[((j // 8) * 2) * 16 + (j % 8) * 2 + 1]) AS q
+        |  FROM gp),
+        |m AS (SELECT doc_id, q, list_sum(q) // 64 AS mean FROM rp),
+        |ph AS (
+        |  SELECT doc_id,
+        |         list_sum(list_transform(generate_series(32, 63),
+        |           j -> CASE WHEN q[j + 1] > mean THEN 1::BIGINT << (j - 32) ELSE 0 END))::BIGINT AS phash_hi,
+        |         list_sum(list_transform(generate_series(0, 31),
+        |           j -> CASE WHEN q[j + 1] > mean THEN 1::BIGINT << j ELSE 0 END))::BIGINT AS phash_lo
+        |  FROM m)
+        |SELECT phash_hi, phash_lo, min(doc_id) AS canonical_id, count(*) AS dup_count
+        |FROM ph GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY canonical_id""".stripMargin,
 
     // the 8x8 nearest-neighbor resample of the planted 16x16 pattern:
     // out pixel j reads source ((j//8)*2)*16 + (j%8)*2 — the fit-box

@@ -182,6 +182,79 @@ object MultimodalOps {
   }
 
   /**
+   * Perceptual hash (aHash) over DECODED pixels — the image-dedup key:
+   * nearest-neighbor resample to 8x8 (the [[resampledStats]] kernel at
+   * box 8, channel 0 of multi-channel sources), integer mean
+   * (sum div 64), bit j set iff pixel j > mean; visually identical
+   * images hash equal regardless of container/encoding, and
+   * near-identical ones land within a small Hamming distance — feed
+   * the hash to the simhash pigeonhole machinery for banded near-dup
+   * joins at corpus scale. Every step is integer arithmetic over
+   * decoded bytes, so the hash replays exactly in SQL (unlike DCT
+   * pHash, whose float basis would drift across engines — aHash
+   * trades a little robustness for a checkable contract). The 64 bits
+   * ship as two unsigned 32-bit halves (hi = bits 32..63) so no engine
+   * has to represent bit 63 in a signed LONG. Undecodable blobs report
+   * decoded=false, zero halves.
+   * Output: (media_id, format, decoded, phash_hi, phash_lo).
+   */
+  def perceptualHash(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("format", StringType),
+      StructField("decoded", BooleanType),
+      StructField("phash_hi", LongType),
+      StructField("phash_lo", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap(_.map { r =>
+          val content = r.getAs[Array[Byte]]("content")
+          val hdr = parseHeader(content)
+          val fmt = hdr.map(_.format).getOrElse("unknown")
+          val decoded: Option[(String, Array[Byte], Int, Int, Int)] =
+            decodePngPixels(content).flatMap(px => hdr.collect {
+              case m if m.format == "png" && px.length == m.width * m.height * math.max(m.channels, 1) =>
+                ("png", px, m.width.toInt, m.height.toInt, math.max(m.channels, 1).toInt)
+            })
+            .orElse(JpegBaseline.decodePixels(content)
+              .map(d => ("jpeg", d.samples, d.width, d.height, d.channels)))
+            .orElse(GifPixels.decodeGifPixels(content).flatMap(px => hdr.collect {
+              case m if m.format == "gif" && px.length == m.width * m.height =>
+                ("gif", px, m.width.toInt, m.height.toInt, 1)
+            }))
+          decoded match {
+            case Some((f, px, w, h, ch)) =>
+              // 8x8 grid, channel 0, src = (dst * srcDim) div 8
+              val g = new Array[Int](64)
+              var sum = 0L
+              var j = 0
+              while (j < 64) {
+                val sy = (j / 8) * h / 8
+                val sx = (j % 8) * w / 8
+                g(j) = px((sy * w + sx) * ch) & 0xff
+                sum += g(j)
+                j += 1
+              }
+              val mean = sum / 64L
+              var hi = 0L; var lo = 0L
+              j = 0
+              while (j < 64) {
+                if (g(j) > mean) {
+                  if (j < 32) lo |= (1L << j) else hi |= (1L << (j - 32))
+                }
+                j += 1
+              }
+              Row(r.getAs[Long]("media_id"), f, true, hi, lo)
+            case None =>
+              Row(r.getAs[Long]("media_id"), fmt, false, 0L, 0L)
+          }
+        })
+      }(enc)
+  }
+
+  /**
    * REAL feature extraction over the binary content (not a stub): the
    * byte-value distribution of the blob — mean (milli), distinct count,
    * max — as codegen'd column expressions over the hex expansion. The

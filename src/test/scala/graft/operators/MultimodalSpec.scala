@@ -290,6 +290,28 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((r3.getLong(3), r3.getLong(4), r3.getLong(5), r3.getLong(8)) == ((4L, 2L, 24L, 120L)))
   }
 
+  test("perceptualHash: container-invariant — same pixels as GIF and PNG hash equal") {
+    val ss = spark; import ss.implicits._
+    // the defining property of a PERCEPTUAL hash: identical images in
+    // different containers (different bytes, different formats) agree
+    val px = Array.tabulate(256)(i => ((i * i * 7 + 31) % 256).toByte)
+    val gif = GifPixels.encodeGifGray(px, 16, 16)
+    val png = MultimodalOps.encodePngGray(px, 16, 16, _ => 0)
+    val docs = Seq((1L, gif), (2L, png), (3L, "junk".getBytes("US-ASCII"))).toDF("doc_id", "blob")
+    val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+    val out = MultimodalOps.perceptualHash(media).orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getLong(3), r.getLong(4)))
+    assert(out(0)._2 == "gif" && out(1)._2 == "png")
+    assert((out(0)._4, out(0)._5) == ((out(1)._4, out(1)._5)), s"container-dependent hash: $out")
+    assert(out(0)._4 != 0L || out(0)._5 != 0L, "a textured image must set some bits")
+    assert(out(2) == ((3L, "unknown", false, 0L, 0L)))
+    // a visually DIFFERENT image must (here) hash differently
+    val other = GifPixels.encodeGifGray(Array.tabulate(256)(i => (255 - i % 256).toByte), 16, 16)
+    val m2 = MultimodalOps.toMediaFrame(Seq((9L, other)).toDF("doc_id", "blob"), "doc_id", "blob", "mixed")
+    val o2 = MultimodalOps.perceptualHash(m2).collect().head
+    assert((o2.getLong(3), o2.getLong(4)) != ((out(0)._4, out(0)._5)))
+  }
+
   test("sampleFeatures: signed stats over decoded PCM, byte fallback otherwise") {
     val ss = spark; import ss.implicits._
     // hand-computed: sum=-7 over 5 samples -> floor(-1400.0) = -1400
