@@ -233,6 +233,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange rangepartitioning"), plan)
   }
 
+  test("prefix join: the candidate exchange carries no text; Q5 star broadcasts every dim") {
+    // prefixJaccardPairs: text may only travel to the verify side —
+    // the candidate-generation exchanges move (id, token, size) rows.
+    // The executed plan's Exchange nodes must not reference the text
+    // column (it appears only below the shingle kernels feeding the
+    // per-doc sort and the candidate-restricted verify).
+    val plan = planOf("d_dedup_prefix")
+    val exchanges = plan.split("\\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text#")),
+      s"candidate shuffle drags text:\n${exchanges.mkString("\n")}")
+    // q34: six-table star — all five non-fact sides broadcast, and the
+    // one shuffle left is the final aggregation, not a join
+    val q5 = planOf("q34_local_supplier")
+    assert(q5.split("BroadcastHashJoin").length - 1 >= 4, s"Q5 dims must broadcast:\n${q5.take(800)}")
+    assert(!q5.contains("SortMergeJoin"), "no shuffled join in the star")
+  }
+
   test("runtime bloom filter: a selective dim filter prunes the fact scan pre-shuffle") {
     // the 100 TB shape: a selective dimension predicate should reach
     // the fact side as an injected bloom semi-filter BEFORE the
