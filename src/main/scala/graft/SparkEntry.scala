@@ -3449,13 +3449,15 @@ object SparkEntry {
         |SELECT id_a, id_b,
         |       round(inter::DOUBLE / (x.n + y.n - inter), 4) AS jaccard
         |FROM inter JOIN n x ON id_a = x.doc_id JOIN n y ON id_b = y.doc_id
-        |WHERE round(inter::DOUBLE / (x.n + y.n - inter), 4) >= 0.8
+        |WHERE inter::DOUBLE / (x.n + y.n - inter) >= 0.8
         |ORDER BY 1, 2""".stripMargin,
 
     // the EXACT prefix-filtered join must equal the brute-force
     // co-shingle join bit-for-bit — same oracle as d_dedup_jaccard
     // (recall 1 is the contract; the prefix filter may only prune
-    // candidates that cannot reach the threshold)
+    // candidates that cannot reach the threshold). Both filter on the
+    // UNROUNDED similarity — round-then-filter would admit true J down
+    // to t-5e-5, which exact-threshold pruning legitimately drops.
     "d_dedup_prefix" ->
       """WITH w AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS wd
@@ -3474,7 +3476,7 @@ object SparkEntry {
         |SELECT id_a, id_b,
         |       round(inter::DOUBLE / (x.n + y.n - inter), 4) AS jaccard
         |FROM inter JOIN n x ON id_a = x.doc_id JOIN n y ON id_b = y.doc_id
-        |WHERE round(inter::DOUBLE / (x.n + y.n - inter), 4) >= 0.8
+        |WHERE inter::DOUBLE / (x.n + y.n - inter) >= 0.8
         |ORDER BY 1, 2""".stripMargin,
 
     "d_split_leakage" ->
@@ -3576,7 +3578,7 @@ object SparkEntry {
         |  FROM f),
         |dm AS (
         |  SELECT lang AS domain, count(*)::BIGINT AS n_docs,
-        |         (sum(quality) * 1000000) // count(*) AS m
+        |         CAST((sum(quality) * 1000000) // count(*) AS BIGINT) AS m
         |  FROM q GROUP BY 1),
         |w0 AS (SELECT domain, n_docs, m, 1000000::BIGINT AS wt FROM dm),
         |b1 AS (SELECT sum(wt * m) // sum(wt) AS base FROM w0),
@@ -3596,7 +3598,7 @@ object SparkEntry {
         |              (wt * greatest(1, 1000000 + 2000 * (m - base) // 1000000)) // 1000000 AS wt
         |       FROM w3, b4)
         |SELECT domain, n_docs, m AS mean_loss_micro,
-        |       (wt * 1000000) // (SELECT sum(wt) FROM w4) AS weight_ppm
+        |       CAST((wt * 1000000) // (SELECT sum(wt) FROM w4) AS BIGINT) AS weight_ppm
         |FROM w4 ORDER BY domain""".stripMargin,
 
     "p_dedup_savings" ->

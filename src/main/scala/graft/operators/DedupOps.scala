@@ -21,6 +21,20 @@ import org.apache.spark.sql.functions._
  * proven value-identical to its column/aggregation formulation in
  * OperatorSpec.
  */
+/**
+ * LSH blocking knobs for [[DedupOps.editDistancePairs]]. A dedicated
+ * type (not flat defaulted Ints) so that changing the blocking scheme
+ * can never silently re-interpret a positional call site — see the
+ * round-7 word-shingle → char-gram change documented on the method.
+ */
+final case class EditBlocking(k: Int = 16, bands: Int = 8,
+                              gram: Int = 8, maxBucket: Int = 64) {
+  require(k >= 1 && bands >= 1 && k % bands == 0,
+    s"k must be a positive multiple of bands, got k=$k bands=$bands")
+  require(gram >= 1, s"gram >= 1, got $gram")
+  require(maxBucket >= 2, s"maxBucket >= 2, got $maxBucket")
+}
+
 object DedupOps {
 
   /** Word w-shingles (default w=3) as a distinct array. */
@@ -259,9 +273,14 @@ object DedupOps {
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
-      .withColumn("jaccard", round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"), 4))
-      .filter(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
+      // threshold on the UNROUNDED similarity (round only for display):
+      // rounding before the filter would admit true J down to t-5e-5,
+      // which prefixJaccardPairs' exact-threshold pruning legitimately
+      // drops — the two must share one threshold semantics for the
+      // recall-1 equivalence to hold bit-for-bit on boundary data
+      .withColumn("j", col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("j") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("j"), 4).as("jaccard"))
   }
 
   /**
@@ -789,9 +808,12 @@ object DedupOps {
       .agg(count(lit(1)).as("inter"))
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
-      .withColumn("jaccard", round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"), 4))
-      .filter(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
+      // unrounded acceptance, matching the prefix/length pruning's exact
+      // threshold (and jaccardPairs, the recall-1 oracle) — see the note
+      // there: round-then-filter would break recall 1 on J ∈ [t-5e-5, t)
+      .withColumn("j", col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("j") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("j"), 4).as("jaccard"))
   }
 
   /**
@@ -919,16 +941,25 @@ object DedupOps {
    * cap is what makes verifying long near-miss candidates affordable.
    * Similarity is 1 − dist/max(len), on the pair's longer side.
    *
+   * The blocking knobs live in [[EditBlocking]] rather than flat
+   * defaulted parameters: round 7 changed the blocking from word
+   * shingles (bands=4, w=3) to char grams (bands=8, gram=8,
+   * maxBucket=64), and a flat parameter list would let a legacy
+   * positional caller compile silently onto the NEW semantics with
+   * the OLD argument values. The case class makes any pre-change
+   * positional call a compile error, forcing call-site review.
+   *
    * Scale: candidate pairs are LSH-bounded (never n²); text travels
    * only to pairs that survived blocking, via the same semi-join-down
    * shape as [[nearDuplicates]]. Pairs whose distance exceeds
    * `maxDist` cost O(len·maxDist) and emit nothing.
    */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
-                        maxDist: Int, k: Int = 16, bands: Int = 8,
-                        gram: Int = 8, maxBucket: Int = 64): DataFrame = {
-    val cand0 = minhashCandidates(docs, idCol, textCol, k, bands, gram,
-      charGrams = true, maxBucket = maxBucket).localCheckpoint()
+                        maxDist: Int,
+                        blocking: EditBlocking = EditBlocking()): DataFrame = {
+    val cand0 = minhashCandidates(docs, idCol, textCol, blocking.k,
+      blocking.bands, blocking.gram, charGrams = true,
+      maxBucket = blocking.maxBucket).localCheckpoint()
     // length prefilter on (id, int) rows — no text shuffles to a pair
     // that length alone already puts past maxDist
     val lens = docs.select(col(idCol).as("id"), length(col(textCol)).as("len"))

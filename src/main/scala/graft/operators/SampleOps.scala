@@ -78,9 +78,11 @@ object SampleOps {
    *
    * Scale: one groupBy(domain) with map-side partial integer sums; the
    * iteration runs on the driver over DOMAIN-count rows (a model
-   * artifact, like centroids). `steps` ≤ 8 and |η·excess| ≤ ~10 keep
-   * the ppm weights far inside LONG range (each step multiplies by at
-   * most ~1e7/1e6; documented envelope, not checked per row).
+   * artifact, like centroids). Every multiply/add in the driver loop
+   * goes through Math.multiplyExact/addExact, so an input outside the
+   * envelope (losses ≳1e12 micro × extreme η over 8 steps) throws
+   * ArithmeticException loudly instead of wrapping and silently
+   * diverging from the oracle's HUGEINT trajectory.
    * Output: (domain, n_docs, mean_loss_micro, weight_ppm), weights
    * normalized to ~1e6 by integral division.
    */
@@ -102,16 +104,23 @@ object SampleOps {
     var w = Array.fill(stats.length)(1000000L)
     for (_ <- 1 to steps) {
       val wSum = w.sum
-      val base = w.indices.map(i => w(i) * mean(i)).sum / wSum // weighted mean, micro
+      // exact ops: overflow throws instead of wrapping (DuckDB's HUGEINT
+      // never wraps, so a wrapped Long here would silently diverge)
+      val base = w.indices
+        .map(i => Math.multiplyExact(w(i), mean(i)))
+        .reduce(Math.addExact(_, _)) / wSum // weighted mean, micro
       w = w.indices.map { i =>
-        val factor = math.max(1L, 1000000L + etaPpm * (mean(i) - base) / 1000000L)
-        w(i) * factor / 1000000L
+        val factor = math.max(1L,
+          Math.addExact(1000000L,
+            Math.multiplyExact(etaPpm, Math.subtractExact(mean(i), base)) / 1000000L))
+        Math.multiplyExact(w(i), factor) / 1000000L
       }.toArray
     }
     val wSum = w.sum
     import spark.implicits._
     stats.indices.map { i =>
-      (stats(i)._1, stats(i)._2, stats(i)._3, w(i) * 1000000L / wSum)
+      (stats(i)._1, stats(i)._2, stats(i)._3,
+        Math.multiplyExact(w(i), 1000000L) / wSum)
     }.toDF("domain", "n_docs", "mean_loss_micro", "weight_ppm")
   }
 
