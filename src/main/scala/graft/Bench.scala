@@ -18,6 +18,15 @@ import org.apache.spark.sql.SparkSession
  * I/O or scheduler noise on shared hosts (a single noisy run was
  * observed to inflate an untouched 1 s scan query to 17 s).
  *
+ * ADAPTIVE re-runs: when the observed runs for a query still disagree by
+ * more than 1.5x (max/min), the measurement is noise-dominated and extra
+ * runs are taken until they agree or SPARK_GRAFT_BENCH_MAX_RUNS (default
+ * 4) is reached. Identical code has measured 2.06/5.08/2.05 s across
+ * three sessions on sub-5 s rows — without the adaptive pass the
+ * round-over-round comparison carries ±50% noise on exactly the rows a
+ * regression would first show up in. Min-of-agreeing-runs keeps the
+ * reported number isolated-run-equivalent.
+ *
  * A failing query is NOT silently timed as ~0 s: it is reported in a
  * "failed" list, its time excluded from the total, and the process exits
  * non-zero so a broken query can never inflate the round's apparent speed.
@@ -54,10 +63,11 @@ object Bench {
     // queries — an iteration aid; the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val maxRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RUNS", "4").toInt.max(runs)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (1 to runs).flatMap { _ =>
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
         val r =
           try { materialize(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
@@ -73,9 +83,21 @@ object Bench {
         graft.core.Blocks.releaseAll(spark)
         r
       }
+      var attempts = 0
+      var times = Vector.empty[Double]
+      var anyFailed = false
+      while (attempts < runs ||
+             (!anyFailed && attempts < maxRuns && times.nonEmpty &&
+              times.max / times.min > 1.5)) {
+        attempts += 1
+        once() match {
+          case Some(t) => times :+= t
+          case None    => anyFailed = true
+        }
+      }
       // a query that failed ANY run is reported failed — retries may not
       // hide flakiness
-      (name, if (times.isEmpty) 0.0 else times.min, times.length == runs)
+      (name, if (times.isEmpty) 0.0 else times.min, !anyFailed && times.nonEmpty)
     }
     val passed = results.filter(_._3)
     val failed = results.filterNot(_._3).map(_._1)

@@ -231,12 +231,18 @@ object GraphOps {
     // the orientation whose closing edge can EXIST is generated —
     // `=!=` would emit both orientations and let the e3 probe kill
     // the wrong half, doubling the biggest shuffle in this plan
+    // localCheckpoint: e1/e2/e3 all read this frame — without the pin
+    // the distinct + two degree joins execute three times (measured as
+    // the round-7 sf0.1 regression vs the plain a<b orientation, which
+    // was cheap enough to triple-build). Edge-sized, 3 narrow columns;
+    // released by the caller per the graft.core.Blocks convention.
     val oriented = und
       .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
       .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
       .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
         when(fwd, col("b")).otherwise(col("a")).as("v"),
         when(fwd, col("db")).otherwise(col("da")).as("dv"))
+      .localCheckpoint()
     val tri = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.u") === col("e2.u") &&

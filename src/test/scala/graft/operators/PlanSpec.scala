@@ -277,4 +277,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         conf.set("spark.sql.autoBroadcastJoinThreshold", _))
     }
   }
+
+  test("triangles: oriented edges build once; wedge plan joins only the pinned frame") {
+    // Spark does NOT reuse the oriented-edge exchange across the three
+    // self-join consumers (measured: 0 ReusedExchange, 25 Exchanges
+    // without the pin — self-join aliasing defeats canonicalization),
+    // so triangleCore localCheckpoints the oriented frame. The final
+    // plan must read the pinned RDD for e1/e2/e3 and never re-scan the
+    // source table inside the triangle core: at 100 TB re-deriving the
+    // distinct + two degree joins three times IS the bottleneck.
+    val plan = planOf("q22_triangles")
+    val rddScans = plan.split("\\n").count(_.contains("Scan ExistingRDD"))
+    assert(rddScans >= 3, s"expected e1/e2/e3 to read the checkpointed oriented frame:\n${plan.take(1200)}")
+    assert(!plan.contains("FileScan parquet"),
+      s"triangle core must not rebuild from the source scan:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "wedge joins must stay equi joins")
+  }
 }
