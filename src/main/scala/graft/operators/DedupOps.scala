@@ -764,11 +764,20 @@ object DedupOps {
    * Scale shape: one df aggregate (token-count rows), per-doc sort of
    * its own tokens (projection-local, no global rank window), prefix
    * explode of ~s(1−t)+1 tokens per doc, candidate equi join carrying
-   * only 8-byte ids, then the [[nearDuplicates]] verify restricted to
-   * candidates. At t=0.8 the prefix is a fifth of each doc's tokens
-   * and group sizes are bounded by rare-token df — subquadratic on
-   * real corpora WITHOUT the recall trade. Results are exactly the
-   * threshold-t Jaccard pairs (the oracle is the brute-force join).
+   * only 8-byte ids + positions (PPJoin positional filter — see the
+   * inline note), then a per-pair `array_intersect` verify over the
+   * SAME checkpointed token arrays the prefix came from (one build,
+   * two readers; no per-pair shingle fan-out join). At t=0.8 the
+   * prefix is a fifth of each doc's tokens and group sizes are
+   * bounded by rare-token df — subquadratic on real corpora WITHOUT
+   * the recall trade. Results are exactly the threshold-t Jaccard
+   * pairs (the oracle is the brute-force join). Growth shape and the
+   * corpus-size routing guidance live in SCALING.md: exactness makes
+   * candidate count grow with TRUE near-dup density, so past the
+   * point where near-dups themselves are super-linear, route to
+   * [[nearDuplicates]] (LSH, probabilistic) and accept its recall
+   * envelope — no knob on this operator can bound an exact answer
+   * that is itself quadratic.
    */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                          minJaccard: Double, w: Int = 3): DataFrame = {
@@ -778,36 +787,64 @@ object DedupOps {
       .select(col(idCol).as("id"), explode(ShingleHashes(col(textCol), w)).as("tok"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     // per-doc tokens in global rarest-first order; the sort is LOCAL to
-    // each doc's own array — no global ranking shuffle
+    // each doc's own array — no global ranking shuffle. Checkpointed:
+    // both the prefix explode AND the verify read it, and it is the
+    // single most expensive relation here (the token df join + per-doc
+    // regroup over the full corpus) — rebuilding it for the verify was
+    // ~40% of the operator's sf1 wall time.
     val sorted = toks.join(dfreq, "tok")
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ts"))
       .select(col("id"), col("ts"),
         size(col("ts")).cast("long").as("s"))
+      .localCheckpoint()
     val pref = sorted
       .select(col("id"), col("s"),
-        explode(slice(col("ts"), lit(1),
-          (col("s") - ceil(lit(minJaccard) * col("s")) + 1).cast("int"))).as("t"))
-      .select(col("id"), col("s"), col("t.tok").as("tok"))
-    val cand = pref.select(col("tok"), col("id").as("id_a"), col("s").as("sa"))
-      .join(pref.select(col("tok"), col("id").as("id_b"), col("s").as("sb")), "tok")
+        posexplode(slice(col("ts"), lit(1),
+          (col("s") - ceil(lit(minJaccard) * col("s")) + 1).cast("int"))))
+      .select(col("id"), col("s"), col("pos"), col("col.tok").as("tok"))
+    // PPJoin POSITIONAL filter on top of AllPairs prefix+length: a row
+    // matching token at 0-based positions (i, j) of the two sorted
+    // arrays bounds the pair's total overlap by
+    //   min(i, j)          common tokens can precede it (global order
+    //                      is shared, so earlier commons sit earlier
+    //                      on BOTH sides), plus
+    //   1 + min(sa-i-1, sb-j-1)  from this token onward.
+    // J >= t needs overlap >= t*(sa+sb)/(1+t); a pair survives if ANY
+    // of its prefix-match rows can still reach that (recall 1 — the
+    // filter only discards rows whose bound proves failure). The 1e-9
+    // slack keeps float rounding from pruning an exact-boundary pair:
+    // admitting a doomed candidate costs one verify row, pruning a
+    // true pair breaks the contract. On the replica-heavy derived-sf1
+    // corpus it trims 435k -> 395k candidates (most candidates there
+    // are TRUE near-dups, so little to prune); on a corpus whose
+    // prefix collisions are mostly accidental it is the classic
+    // PPJoin-over-AllPairs candidate reduction.
+    val ubound = least(col("i"), col("j")) + lit(1) +
+      least(col("sa") - col("i") - 1, col("sb") - col("j") - 1)
+    val cand = pref.select(col("tok"), col("id").as("id_a"), col("s").as("sa"), col("pos").as("i"))
+      .join(pref.select(col("tok"), col("id").as("id_b"), col("s").as("sb"), col("pos").as("j")), "tok")
       .filter(col("id_a") < col("id_b") &&
-        col("sb") * minJaccard <= col("sa") && col("sa") * minJaccard <= col("sb"))
+        col("sb") * minJaccard <= col("sa") && col("sa") * minJaccard <= col("sb") &&
+        ubound.cast("double") * (1.0 + minJaccard) >=
+          (col("sa") + col("sb")).cast("double") * minJaccard - 1e-9)
       .select("id_a", "id_b").distinct()
       .localCheckpoint()
-    // exact verify on candidates only — the nearDuplicates tail
-    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-    val candDocs = docs.select(col(idCol).as("id"), col(textCol).as("text"))
-      .join(candIds, "id")
-    val sh = candDocs.select(col("id"), explode(ShingleHashes(col("text"), w)).as("sh"))
-    val sizes = candDocs.select(col("id"), size(ShingleHashes(col("text"), w)).cast("long").as("n"))
+    // exact verify on candidates only, from the ALREADY-BUILT per-doc
+    // token arrays: two id-keyed joins hand each pair both (distinct)
+    // token-set arrays and inter = |array_intersect| evaluates inside
+    // codegen — no second shingle build and, unlike the exploded
+    // pair⋈shingle⋈shingle join, no pairs×|tokens| row fan-out shuffle
+    // (which was ~half the operator's sf1 wall time). Per-pair cost is
+    // linear in the two array sizes; shuffle volume is one token array
+    // per (pair, side) — the same bytes the exploded form moved, in
+    // candidate-count rows.
+    val arrs = sorted.select(col("id"),
+      expr("transform(ts, x -> x.tok)").as("tk"), col("s"))
     cand
-      .join(sh.as("x"), col("id_a") === col("x.id"))
-      .join(sh.as("y"), col("id_b") === col("y.id") && col("x.sh") === col("y.sh"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .join(arrs.select(col("id").as("id_a"), col("tk").as("ta"), col("s").as("na")), "id_a")
+      .join(arrs.select(col("id").as("id_b"), col("tk").as("tb"), col("s").as("nb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
       // unrounded acceptance, matching the prefix/length pruning's exact
       // threshold (and jaccardPairs, the recall-1 oracle) — see the note
       // there: round-then-filter would break recall 1 on J ∈ [t-5e-5, t)

@@ -239,11 +239,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // The executed plan's Exchange nodes must not reference the text
     // column (it appears only below the shingle kernels feeding the
     // per-doc sort and the candidate-restricted verify).
+    // r8 shape: the candidate set and the per-doc token arrays are
+    // built eagerly (localCheckpoint) during query construction, so
+    // the returned frame is pure verify — it must read ONLY the
+    // pinned RDDs (never re-scan the corpus: text would re-enter) and
+    // any exchange it does plan must be text-free
     val plan = planOf("d_dedup_prefix")
-    val exchanges = plan.split("\\n").filter(_.contains("Exchange hashpartitioning"))
-    assert(exchanges.nonEmpty)
+    assert(plan.contains("Scan ExistingRDD"),
+      s"verify must read the checkpointed arrays:\n${plan.take(800)}")
+    assert(!plan.contains("FileScan parquet"),
+      s"verify must not re-scan the corpus:\n${plan.take(800)}")
+    val exchanges = plan.split("\\n").filter(_.contains("Exchange"))
     assert(!exchanges.exists(_.contains("text#")),
-      s"candidate shuffle drags text:\n${exchanges.mkString("\n")}")
+      s"verify shuffle drags text:\n${exchanges.mkString("\n")}")
     // q34: six-table star — all five non-fact sides broadcast, and the
     // one shuffle left is the final aggregation, not a join
     val q5 = planOf("q34_local_supplier")
