@@ -858,13 +858,15 @@ object SparkEntry {
     }),
 
     "s_split_leakage" -> ((s, dir) => {
-      // semantic leakage: cosine near-dup pairs (fixed 24-bit banding,
-      // exact verify at 0.4) crossing the 900/50/50 hash split —
+      // semantic leakage: cosine near-dup pairs (corpus-priced AUTO
+      // band width — the same autoBandBits default the cosine dedup
+      // family uses; the oracle replays the pick from count(*)),
+      // exact verify at 0.4, crossing the 900/50/50 hash split —
       // catches the paraphrase/translation twins text dedup misses
       val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
       SimilarityOps.splitLeakage(e,
           SampleOps.splitAssign(e, "id", Seq("train" -> 900, "val" -> 50, "test" -> 50)),
-          "id", "split", minCosine = 0.4, nbits = 24)
+          "id", "split", minCosine = 0.4)
         .orderBy("id_a", "id_b")
     }),
 
@@ -3522,10 +3524,21 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "s_split_leakage" ->
-      """WITH planes AS (
+      """WITH pick AS (
+        |  SELECT CASE WHEN n <= 128 * (1::BIGINT << 6)  THEN 6
+        |              WHEN n <= 128 * (1::BIGINT << 7)  THEN 7
+        |              WHEN n <= 128 * (1::BIGINT << 8)  THEN 8
+        |              WHEN n <= 128 * (1::BIGINT << 9)  THEN 9
+        |              WHEN n <= 128 * (1::BIGINT << 10) THEN 10
+        |              WHEN n <= 128 * (1::BIGINT << 11) THEN 11
+        |              WHEN n <= 128 * (1::BIGINT << 12) THEN 12
+        |              WHEN n <= 128 * (1::BIGINT << 13) THEN 13
+        |              ELSE 14 END AS bits
+        |  FROM (SELECT count(*) AS n FROM embeddings)),
+        |planes AS (
         |  SELECT b, list_transform(generate_series(0, 63),
         |           d -> (('0x' || substr(md5('plane:' || b || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS pl
-        |  FROM (SELECT unnest(generate_series(0, 23)) AS b)),
+        |  FROM pick, (SELECT unnest(generate_series(0, 55)) AS b) bb WHERE b < 4 * bits),
         |sig AS (
         |  SELECT vec_id,
         |         sum(CASE WHEN list_sum(list_transform(range(1, 65),
@@ -3533,8 +3546,8 @@ object SparkEntry {
         |             THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sig
         |  FROM embeddings, planes GROUP BY 1),
         |banded AS (
-        |  SELECT vec_id, band, (sig >> (band * 6)) & 63 AS bandval
-        |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) bb),
+        |  SELECT vec_id, band, (sig >> (band * bits)) & ((1::BIGINT << bits) - 1) AS bandval
+        |  FROM sig, pick, (SELECT unnest(generate_series(0, 3)) AS band) bb),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bandval = b.bandval
