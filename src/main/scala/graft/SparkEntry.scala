@@ -1508,6 +1508,25 @@ object SparkEntry {
       MultimodalOps.pixelFeatures(media).orderBy("media_id")
     }),
 
+    "m_media_gif_interlaced" -> ((s, dir) => {
+      // INTERLACED GIF decode (Appendix E four-pass row interleave),
+      // pinned by an ORDER-SENSITIVE stage: resampledStats samples
+      // source pixel (2y, 2x) of the de-interlaced image, so a decoder
+      // that returned rows in stream order would produce wrong stats
+      // for every odd doc (odd docs plant interlaced, even docs plant
+      // sequential — SAME pixel formula, so one oracle covers both and
+      // the query IS the container-invariance property at scale).
+      val buildGif = udf { (docId: Long) =>
+        val px = Array.tabulate(256)(i => (((docId * 11 + i.toLong * i * 13) % 256)).toByte)
+        if (docId % 2 == 1) GifPixels.encodeGifGrayInterlaced(px, 16, 16)
+        else GifPixels.encodeGifGray(px, 16, 16)
+      }
+      val docs = table(s, dir, "documents").withColumn("blob",
+        when(col("doc_id") % 4 === 3, unhex(unknownHex)).otherwise(buildGif(col("doc_id"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+      MultimodalOps.resampledStats(media, box = 8).orderBy("media_id")
+    }),
+
     "m_media_video_gif" -> ((s, dir) => {
       // the OTHER multi-frame container: each %4!=3 doc becomes an
       // animated GIF of three full-screen 16x16 frames, every frame an
@@ -4641,6 +4660,42 @@ object SparkEntry {
     // out pixel j reads source ((j//8)*2)*16 + (j%8)*2 — the fit-box
     // dims and the resampled stats must all match
     "m_media_resample" ->
+      """WITH gp AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 255),
+        |           i -> (doc_id * 11 + i * i * 13) % 256) AS p
+        |  FROM documents WHERE doc_id % 4 <> 3),
+        |rp AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 63),
+        |           j -> p[((j // 8) * 2) * 16 + (j % 8) * 2 + 1]) AS q
+        |  FROM gp),
+        |junk AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 16),
+        |           i -> CASE WHEN i = 0 THEN 0
+        |                     ELSE ('0x' || substr(upper(md5(text)), (i - 1) * 2 + 1, 2))::BIGINT END) AS b
+        |  FROM documents WHERE doc_id % 4 = 3)
+        |SELECT doc_id AS media_id, 'gif' AS format, true AS decoded,
+        |       8::BIGINT AS out_w, 8::BIGINT AS out_h,
+        |       64::BIGINT AS n_vals,
+        |       ((list_sum(q) * 1000) // 64)::BIGINT AS mean_milli,
+        |       len(list_distinct(q))::BIGINT AS distinct_vals,
+        |       list_max(q)::BIGINT AS max_val
+        |FROM rp
+        |UNION ALL
+        |SELECT doc_id AS media_id, 'unknown' AS format, false AS decoded,
+        |       0::BIGINT, 0::BIGINT, 17::BIGINT,
+        |       ((list_sum(b) * 1000) // 17)::BIGINT,
+        |       len(list_distinct(b))::BIGINT, list_max(b)::BIGINT
+        |FROM junk
+        |ORDER BY media_id""".stripMargin,
+
+    // interlaced fixtures carry the SAME pixel formula as sequential
+    // ones (Appendix E only permutes the container's row order), so
+    // the de-interlaced resample replays with the identical oracle —
+    // a decoder skipping the de-interleave fails every odd doc's row
+    "m_media_gif_interlaced" ->
       """WITH gp AS (
         |  SELECT doc_id,
         |         list_transform(generate_series(0, 255),

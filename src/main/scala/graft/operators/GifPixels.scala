@@ -9,14 +9,18 @@ package graft.operators
  * SQL-predictable for the driver oracle.
  *
  * Scope mirrors the sibling decoders' honest-fallback contract:
- * non-interlaced first frame of a GIF87a/GIF89a stream, any palette
+ * first frame (or all frames) of a GIF87a/GIF89a stream, any palette
  * size, local or global color table, extension blocks skipped by
- * sub-block walking. Returns the frame's PALETTE INDEX bytes — the
- * same treatment [[MultimodalOps.decodePngPixels]] gives color-type-3
- * PNGs ("palette images return their index bytes; the per-byte
- * featurizer treats them as the sample stream"). Interlaced frames,
- * truncated sub-blocks, LZW desync (a code beyond the next free slot),
- * or frame dims past `maxPixels` refuse with None.
+ * sub-block walking, and — since round 8 — INTERLACED frames
+ * (Appendix E four-pass row interleave: rows 0,8,16…; 4,12…; 2,6…;
+ * 1,3…), de-interleaved after LZW by one row-permutation copy, the
+ * same structure as PNG's Adam7 support in the sibling decoder.
+ * Returns the frame's PALETTE INDEX bytes — the same treatment
+ * [[MultimodalOps.decodePngPixels]] gives color-type-3 PNGs ("palette
+ * images return their index bytes; the per-byte featurizer treats
+ * them as the sample stream"). Truncated sub-blocks, LZW desync (a
+ * code beyond the next free slot), or frame dims past `maxPixels`
+ * refuse with None.
  *
  * The LZW decoder implements the deferred-code-size rule (grow AFTER
  * the slot that fills the current width, cap at 12 bits, stop growing
@@ -71,7 +75,7 @@ object GifPixels {
           val w = u16le(b, pos + 5)
           val h = u16le(b, pos + 7)
           val packed = b(pos + 9) & 0xff
-          if ((packed & 0x40) != 0) return None // interlaced: out of scope
+          val interlaced = (packed & 0x40) != 0
           total += w.toLong * h
           if (w <= 0 || h <= 0 || total > maxPixels) return None
           pos += 10
@@ -95,7 +99,8 @@ object GifPixels {
             }
           }
           lzwDecode(data.toByteArray, minCode, w * h) match {
-            case Some(px) =>
+            case Some(px0) =>
+              val px = if (interlaced) deinterlace(px0, w, h) else px0
               if (frames.length >= maxFrames) return None // refuse, never truncate silently
               frames += px
               // single-frame callers (decodeGifPixels) stop at the
@@ -107,6 +112,29 @@ object GifPixels {
       }
     }
     None // ran off the end without a trailer
+  }
+
+  /** Appendix-E interlace order: the row at stream position k belongs
+    * to target row rowsInPassOrder(k). Pure permutation copy. */
+  private[graft] def interlaceRows(h: Int): Array[Int] = {
+    val rows = new Array[Int](h)
+    var k = 0
+    for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+      var r = start
+      while (r < h) { rows(k) = r; k += 1; r += step }
+    }
+    rows
+  }
+
+  private def deinterlace(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val order = interlaceRows(h)
+    val out = new Array[Byte](px.length)
+    var k = 0
+    while (k < h) {
+      System.arraycopy(px, k * w, out, order(k) * w, w)
+      k += 1
+    }
+    out
   }
 
   private def skipSubBlocks(b: Array[Byte], start: Int): Int = {
@@ -286,10 +314,18 @@ object GifPixels {
   private[graft] def encodeGifGray(indices: Array[Byte], width: Int, height: Int): Array[Byte] =
     encodeGifGrayFrames(Array(indices), width, height)
 
+  /** Interlaced single-frame variant: rows permuted into Appendix-E
+    * stream order BEFORE LZW and the interlace bit set — the decoder
+    * must undo exactly this permutation for the round-trip to hold. */
+  private[graft] def encodeGifGrayInterlaced(indices: Array[Byte],
+                                             width: Int, height: Int): Array[Byte] =
+    encodeGifGrayFrames(Array(indices), width, height, interlaced = true)
+
   /** Multi-frame (animated) variant: one image descriptor + LZW stream
     * per frame, all full-screen, shared gray GCT. */
   private[graft] def encodeGifGrayFrames(frames: Array[Array[Byte]],
-                                         width: Int, height: Int): Array[Byte] = {
+                                         width: Int, height: Int,
+                                         interlaced: Boolean = false): Array[Byte] = {
     require(frames.nonEmpty && frames.forall(_.length == width * height),
       "each frame must be width*height indices")
     val bos = new java.io.ByteArrayOutputStream()
@@ -300,10 +336,22 @@ object GifPixels {
     bos.write(0); bos.write(0) // background, aspect
     var i = 0
     while (i < 256) { bos.write(i); bos.write(i); bos.write(i); i += 1 } // gray GCT
-    frames.foreach { indices =>
+    frames.foreach { indices0 =>
+      val indices =
+        if (!interlaced) indices0
+        else {
+          val order = interlaceRows(height)
+          val permuted = new Array[Byte](indices0.length)
+          var k = 0
+          while (k < height) {
+            System.arraycopy(indices0, order(k) * width, permuted, k * width, width)
+            k += 1
+          }
+          permuted
+        }
       bos.write(0x2c) // image descriptor
       le16(0); le16(0); le16(width); le16(height)
-      bos.write(0x00) // no LCT, not interlaced
+      bos.write(if (interlaced) 0x40 else 0x00) // no LCT; interlace bit
       bos.write(8)    // LZW min code size
       val lzw = lzwEncode(indices, 8)
       var off = 0

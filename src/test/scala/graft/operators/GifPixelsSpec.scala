@@ -68,16 +68,51 @@ class GifPixelsSpec extends AnyFunSuite {
     assert(GifPixels.decodeGifFrames(gif.take(gif.length - 1)) === None)
   }
 
+  test("interlaced frames round-trip to the SEQUENTIAL pixel order") {
+    // Appendix-E four passes at h=16: stream rows 0,8 | 4,12 |
+    // 2,6,10,14 | 1,3,...,15 — an asymmetric pattern (row r = const r)
+    // catches any wrong permutation
+    val px = Array.tabulate(256)(i => (i / 16).toByte) // row index as value
+    val gif = GifPixels.encodeGifGrayInterlaced(px, 16, 16)
+    // the container really is interlaced (bit set on the descriptor)
+    val descAt = gif.indexOf(0x2c.toByte, 13 + 768)
+    assert((gif(descAt + 9) & 0x40) != 0)
+    // and the LZW payload is NOT in sequential order (pass 1 starts
+    // with row 0 then row 8), yet the decode returns sequential pixels
+    assert(GifPixels.decodeGifPixels(gif).exists(_.sameElements(px)))
+    // arbitrary content, odd height (passes of uneven length)
+    val px2 = Array.tabulate(16 * 11)(i => ((i * 37 + 5) % 256).toByte)
+    val gif2 = GifPixels.encodeGifGrayInterlaced(px2, 16, 11)
+    assert(GifPixels.decodeGifPixels(gif2).exists(_.sameElements(px2)))
+    // container invariance: interlaced and sequential encodings of the
+    // same pixels decode identically (the m_media_gif_interlaced pin)
+    val seq = GifPixels.decodeGifPixels(GifPixels.encodeGifGray(px2, 16, 11))
+    assert(seq.isDefined &&
+      GifPixels.decodeGifPixels(gif2).exists(_.sameElements(seq.get)))
+    // the permutation itself: every row appears exactly once
+    for (h <- Seq(1, 2, 3, 8, 11, 16, 33))
+      assert(GifPixels.interlaceRows(h).sorted.sameElements(0 until h), s"h=$h")
+  }
+
   test("hostile and corrupt streams refuse") {
     val px = Array.tabulate(64)(i => (i * 3).toByte)
     val good = GifPixels.encodeGifGray(px, 8, 8)
     assert(GifPixels.decodeGifPixels(good).isDefined)
     // truncated mid-data
     assert(GifPixels.decodeGifPixels(good.take(good.length - 6)) === None)
-    // interlace flag on the image descriptor
+    // flipping the interlace flag on a SEQUENTIAL stream is well-formed
+    // GIF — the decoder must de-interleave it (producing the row
+    // permutation of the original), not refuse and not return the
+    // stream order unchanged
     val descAt = good.indexOf(0x2c.toByte, 13 + 768)
     val inter = good.clone(); inter(descAt + 9) = 0x40.toByte
-    assert(GifPixels.decodeGifPixels(inter) === None)
+    val permuted = {
+      val order = GifPixels.interlaceRows(8)
+      val out = new Array[Byte](64)
+      for (k <- 0 until 8) System.arraycopy(px, k * 8, out, order(k) * 8, 8)
+      out
+    }
+    assert(GifPixels.decodeGifPixels(inter).exists(_.sameElements(permuted)))
     // dimension bomb: 65535x65535 logical frame must refuse on the cap
     val bomb = good.clone()
     bomb(descAt + 5) = 0xff.toByte; bomb(descAt + 6) = 0xff.toByte

@@ -27,10 +27,12 @@ class MediaFuzzSpec extends AnyFunSuite {
     val jpeg = JpegBaseline.encodeGrayBlocks(zz, 3, 2, Array.tabulate(64)(k => 1 + k % 17), dri = 2)
     val jpegProg = JpegBaseline.encodeGrayProgressive(zz, 3, 2, Array.tabulate(64)(k => 1 + k % 17))
     val gif = GifPixels.encodeGifGray(Array.tabulate(100)(i => ((i * i * 7) % 256).toByte), 10, 10)
+    val gifInterlaced = GifPixels.encodeGifGrayInterlaced(
+      Array.tabulate(176)(i => ((i * i * 7 + 3) % 256).toByte), 16, 11)
     val wav = MultimodalOps.encodeWavPcm(Array.tabulate(40)(i => i * 1337 % 30000 - 15000), 16, 2, 16000)
     val avi = MultimodalOps.encodeAviMjpeg(Array(jpeg, "not a jpeg".getBytes("US-ASCII")), 24, 16)
     Seq(("png", png), ("png-adam7", pngAdam7), ("jpeg", jpeg), ("jpeg-prog", jpegProg),
-      ("gif", gif), ("wav", wav), ("avi", avi))
+      ("gif", gif), ("gif-interlaced", gifInterlaced), ("wav", wav), ("avi", avi))
   }
 
   private def decodeAll(b: Array[Byte]): Unit = {
