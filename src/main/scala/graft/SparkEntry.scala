@@ -893,6 +893,44 @@ object SparkEntry {
         .orderBy("fp")
     }),
 
+    "t_pii_audit" -> ((s, dir) => {
+      // PII counting over a corpus with PLANTED pii (emails on %3,
+      // dotted-quad hosts on %5, phone runs on %7 — plus whatever the
+      // raw text accidentally matches, which both engines see
+      // identically). Counts replay redact()'s sequential semantics.
+      val planted = table(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" host 10.0."), col("doc_id") % 256, lit(".7"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" call +1 (555) 123-45"), col("doc_id") % 10, col("doc_id") % 10)).otherwise(lit("")))
+          .as("text"))
+      TextOps.piiAudit(planted, "doc_id", "text").orderBy("id")
+    }),
+
+    "t_zipf" -> ((s, dir) =>
+      // corpus Zipf-shape audit: decade count ratios in exact ppm
+      // (integer-division replayable, unlike a log-log slope)
+      TextOps.zipfDecades(table(s, dir, "documents"), "text")),
+
+    "p_padding_waste" -> ((s, dir) =>
+      // length-bucketed batching audit: padding + truncation cost per
+      // power-of-two bucket over whitespace token counts
+      SampleOps.paddingWaste(table(s, dir, "documents"),
+          TextOps.tokenCount(col("text")), Seq(64L, 128L, 256L, 512L))
+        .orderBy("bucket")),
+
+    "p_mixture_drift" -> ((s, dir) => {
+      // release-gate drift report: snapshot B drops a third of English
+      // (the failure a refreshed crawl actually produces) — per-domain
+      // ppm shares of both snapshots and the signed delta
+      val a = table(s, dir, "documents")
+      val b = a.filter(!(col("lang") === "en" && col("doc_id") % 3 === 0))
+      SampleOps.mixtureDrift(a, b, "lang").orderBy("domain")
+    }),
+
     "d_dedup_prefix" -> ((s, dir) =>
       // EXACT similarity join (prefix filtering, recall 1): must equal
       // the brute-force oracle row-for-row — the subquadratic plan that
@@ -3646,6 +3684,84 @@ object SparkEntry {
         |       (sum(length(text)) - arg_min(length(text), doc_id))::BIGINT AS saved_chars
         |FROM c GROUP BY 1 HAVING count(*) >= 2
         |ORDER BY fp""".stripMargin,
+
+    // replays redact()'s SEQUENTIAL counting semantics (emails on raw
+    // text, IPs after email masking, phones after both); DuckDB
+    // regexp_replace needs the explicit 'g' flag to match Spark's
+    // replace-all default
+    "t_pii_audit" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         text ||
+        |         CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+        |         CASE WHEN doc_id % 5 = 0 THEN ' host 10.0.' || (doc_id % 256) || '.7' ELSE '' END ||
+        |         CASE WHEN doc_id % 7 = 0 THEN ' call +1 (555) 123-45' || (doc_id % 10) || (doc_id % 10) ELSE '' END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM p),
+        |d AS (
+        |  SELECT doc_id, n_emails,
+        |    len(regexp_extract_all(t1, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}'))::BIGINT AS n_ips,
+        |    regexp_replace(t1, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS t2
+        |  FROM c),
+        |e AS (
+        |  SELECT doc_id, n_emails, n_ips,
+        |    len(regexp_extract_all(t2, '\+?\d[\d\s().-]{7,}\d'))::BIGINT AS n_phones
+        |  FROM d)
+        |SELECT doc_id AS id, n_emails, n_ips, n_phones,
+        |       (n_emails + n_ips + n_phones)::BIGINT AS n_pii
+        |FROM e ORDER BY id""".stripMargin,
+
+    "t_zipf" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word
+        |  FROM documents),
+        |c AS (SELECT word, count(*)::BIGINT AS c FROM w GROUP BY 1),
+        |t AS (SELECT sum(c)::BIGINT AS n_words, count(*)::BIGINT AS n_distinct FROM c),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, word ASC) AS rank FROM c),
+        |k AS (SELECT
+        |  coalesce(max(CASE WHEN rank = 1 THEN c END), 0)::BIGINT AS c1,
+        |  coalesce(max(CASE WHEN rank = 10 THEN c END), 0)::BIGINT AS c10,
+        |  coalesce(max(CASE WHEN rank = 100 THEN c END), 0)::BIGINT AS c100
+        |  FROM r WHERE rank <= 100)
+        |SELECT n_words, n_distinct, c1, c10, c100,
+        |  CASE WHEN c10 > 0 THEN CAST((c1 * 1000000) // c10 AS BIGINT) ELSE 0 END AS r1_10_ppm,
+        |  CASE WHEN c100 > 0 THEN CAST((c10 * 1000000) // c100 AS BIGINT) ELSE 0 END AS r10_100_ppm
+        |FROM t, k""".stripMargin,
+
+    "p_padding_waste" ->
+      """WITH f AS (
+        |  SELECT len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS t
+        |  FROM documents),
+        |b AS (
+        |  SELECT t, (CASE WHEN t <= 64 THEN 64 WHEN t <= 128 THEN 128
+        |                  WHEN t <= 256 THEN 256 ELSE 512 END)::BIGINT AS bucket
+        |  FROM f WHERE t > 0)
+        |SELECT bucket, count(*)::BIGINT AS n_docs,
+        |  sum(least(t, bucket))::BIGINT AS sum_tokens,
+        |  sum(greatest(bucket - t, 0))::BIGINT AS padding,
+        |  sum(greatest(t - bucket, 0))::BIGINT AS trunc_tokens,
+        |  CAST((sum(greatest(bucket - t, 0)) * 1000000) // (count(*) * bucket) AS BIGINT) AS waste_ppm
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "p_mixture_drift" ->
+      """WITH a AS (SELECT lang, count(*)::BIGINT AS n_a FROM documents GROUP BY 1),
+        |at AS (SELECT sum(n_a)::BIGINT AS ta FROM a),
+        |b AS (SELECT lang, count(*)::BIGINT AS n_b FROM documents
+        |      WHERE NOT (lang = 'en' AND doc_id % 3 = 0) GROUP BY 1),
+        |bt AS (SELECT sum(n_b)::BIGINT AS tb FROM b),
+        |sa AS (SELECT lang, n_a, CAST((n_a * 1000000) // ta AS BIGINT) AS share_a_ppm FROM a, at),
+        |sb AS (SELECT lang, n_b, CAST((n_b * 1000000) // tb AS BIGINT) AS share_b_ppm FROM b, bt)
+        |SELECT coalesce(sa.lang, sb.lang) AS domain,
+        |  coalesce(n_a, 0)::BIGINT AS n_a, coalesce(n_b, 0)::BIGINT AS n_b,
+        |  coalesce(share_a_ppm, 0)::BIGINT AS share_a_ppm,
+        |  coalesce(share_b_ppm, 0)::BIGINT AS share_b_ppm,
+        |  (coalesce(share_b_ppm, 0) - coalesce(share_a_ppm, 0))::BIGINT AS delta_ppm
+        |FROM sa FULL OUTER JOIN sb ON sa.lang = sb.lang
+        |ORDER BY domain""".stripMargin,
 
     "d_decontaminate_substr" ->
       """WITH ref AS (

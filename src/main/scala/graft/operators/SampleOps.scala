@@ -367,6 +367,79 @@ object SampleOps {
    * projection — no shuffle, no state, usable as a write-partition
    * key at any scale.
    */
+  /**
+   * Padding-waste audit for length-bucketed batching: every doc lands
+   * in the SMALLEST bucket bound ≥ its token count (docs longer than
+   * the largest bound are TRUNCATED to it — `trunc_tokens` reports the
+   * loss; padding for them is 0 by construction). A training run that
+   * pads each sequence to its bucket bound wastes `padding` tokens of
+   * compute per bucket; `waste_ppm` = padding / (n_docs·bound) is the
+   * fraction of the bucket's batch FLOPs spent on pad tokens — the
+   * number that decides whether the bucket boundaries need re-tuning
+   * (the audit BEFORE re-packing, where [[packSequences]] is the fix).
+   *
+   * One integer projection + one bucket-count aggregate; buckets must
+   * be strictly increasing and positive. Docs with tokens ≤ 0 are
+   * ignored (nothing to batch).
+   * Output: (bucket, n_docs, sum_tokens, padding, trunc_tokens,
+   * waste_ppm), one row per NON-EMPTY bucket.
+   */
+  def paddingWaste(docs: DataFrame, tokens: Column,
+                   buckets: Seq[Long]): DataFrame = {
+    require(buckets.nonEmpty && buckets.head > 0 &&
+      buckets.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+      s"buckets must be strictly increasing positive, got $buckets")
+    val t = tokens.cast("long")
+    // smallest bound >= t, else the largest (truncation bucket)
+    val bucket = buckets.init.foldRight(lit(buckets.last): Column) {
+      (b, rest) => when(t <= b, lit(b)).otherwise(rest)
+    }
+    docs.filter(t > 0)
+      .select(bucket.as("bucket"), t.as("t"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("t"), col("bucket"))).as("sum_tokens"),
+        sum(greatest(col("bucket") - col("t"), lit(0L))).as("padding"),
+        sum(greatest(col("t") - col("bucket"), lit(0L))).as("trunc_tokens"))
+      .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+        col("padding"), col("trunc_tokens"),
+        IntDiv(col("padding") * 1000000L, col("n_docs") * col("bucket"))
+          .cast("long").as("waste_ppm"))
+  }
+
+  /**
+   * Mixture drift between two corpus snapshots: per domain, the ppm
+   * share of each snapshot and the signed delta — the release gate on
+   * a refreshed crawl ("did the language/domain mix silently move?")
+   * and the input to rebalancing ([[upsampleEpochs]] fixes what this
+   * measures). All integral division: shares replay exactly on any
+   * engine. Domains absent from one side report 0 there — appearing
+   * and disappearing domains are exactly what the audit must surface.
+   *
+   * Scale: two domain-count aggregates (map-side partial) + one
+   * domain-sized full-outer join; the corpus shuffles nothing but its
+   * domain column. Output: (domain, n_a, n_b, share_a_ppm,
+   * share_b_ppm, delta_ppm).
+   */
+  def mixtureDrift(a: DataFrame, b: DataFrame, domainCol: String): DataFrame = {
+    def shares(df: DataFrame, n: String, share: String): DataFrame = {
+      val counts = df.groupBy(col(domainCol).cast("string").as("domain"))
+        .agg(count(lit(1)).as(n))
+      counts.crossJoin(broadcast(counts.agg(sum(col(n)).as("total"))))
+        .select(col("domain"), col(n),
+          IntDiv(col(n) * 1000000L, col("total")).cast("long").as(share))
+    }
+    shares(a, "n_a", "share_a_ppm")
+      .join(shares(b, "n_b", "share_b_ppm"), Seq("domain"), "full_outer")
+      .select(col("domain"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("share_a_ppm"), lit(0L)).as("share_a_ppm"),
+        coalesce(col("share_b_ppm"), lit(0L)).as("share_b_ppm"),
+        (coalesce(col("share_b_ppm"), lit(0L)) -
+          coalesce(col("share_a_ppm"), lit(0L))).as("delta_ppm"))
+  }
+
   def rendezvousShard(docs: DataFrame, idCol: String, shards: Int): DataFrame = {
     require(shards >= 1 && shards <= 4096, s"shards in [1,4096], got $shards")
     val candidates = array((0 until shards).map { s =>

@@ -182,6 +182,78 @@ object TextOps {
   }
 
   /**
+   * PII audit — the COUNTING sibling of [[redact]]: how much PII does
+   * each document carry, per category, BEFORE deciding to scrub or
+   * drop. Policy pipelines need the audit separately from the scrub
+   * (drop docs past a threshold, scrub the rest, report totals).
+   *
+   * Counts use the SAME patterns and the same sequential semantics as
+   * [[redact]] (emails counted on the raw text; IPs counted after
+   * emails are masked, so a dotted quad inside an email is an email,
+   * not an IP; phones counted after both) — the audit numbers are
+   * exactly the replacement counts a redact pass would perform, and a
+   * DuckDB oracle replays them with the same nested
+   * regexp_replace/extract_all chain. Pure codegen projection (one
+   * pass, no shuffle, no UDF).
+   * Output: (id, n_emails, n_ips, n_phones, n_pii).
+   */
+  def piiAudit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipPat = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+    val phonePat = "\\+?\\d[\\d\\s().-]{7,}\\d"
+    val afterEmail = regexp_replace(text, emailPat, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, ipPat, "<IP>")
+    docs.select(col(idCol).as("id"),
+        size(regexp_extract_all(text, lit(emailPat), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(afterEmail, lit(ipPat), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all(afterIp, lit(phonePat), lit(0))).cast("long").as("n_phones"))
+      .withColumn("n_pii", col("n_emails") + col("n_ips") + col("n_phones"))
+  }
+
+  /**
+   * Zipf-shape audit in EXACT integers: the decade ratios of the
+   * corpus unigram distribution — count(rank 1)/count(rank 10) and
+   * count(rank 10)/count(rank 100) in ppm. A healthy natural-language
+   * corpus follows Zipf's law (count ∝ 1/rank, so each decade ratio ≈
+   * 10·10⁶ ppm); machine-generated or template-heavy corpora flatten
+   * (ratios → 10⁶) and boilerplate-dominated ones steepen. The usual
+   * log-log regression slope needs floating logs whose last-ulp
+   * behavior differs across engines; the decade ratios carry the same
+   * diagnostic and are integral-division exact, so the oracle replays
+   * them bit-for-bit. Ranks tie-break by word ascending (count desc,
+   * word asc — deterministic on any engine).
+   *
+   * Scale: one word-count aggregate, one global top-100 (tiny
+   * TakeOrdered), ratios on the driver-sized result. Output: one row
+   * (n_words, n_distinct, c1, c10, c100, r1_10_ppm, r10_100_ppm);
+   * corpora with <100 distinct words report 0 for the missing ranks
+   * and their ratios.
+   */
+  def zipfDecades(docs: DataFrame, textCol: String): DataFrame = {
+    val counts = docs
+      .select(explode(words(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("n_words"),
+      count(lit(1)).as("n_distinct"))
+    // global top-100 (TakeOrderedAndProject); the rank window then
+    // runs over 100 rows — the single-partition window is model-sized
+    val top = counts.orderBy(col("c").desc, col("word").asc).limit(100)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("c").desc, col("word").asc)))
+    def at(r: Int): Column =
+      coalesce(max(when(col("rank") === r, col("c"))), lit(0L))
+    val ranks = top.agg(at(1).as("c1"), at(10).as("c10"), at(100).as("c100"))
+    totals.crossJoin(broadcast(ranks))
+      .select(col("n_words"), col("n_distinct"), col("c1"), col("c10"), col("c100"),
+        when(col("c10") > 0, IntDiv(col("c1") * 1000000L, col("c10")).cast("long"))
+          .otherwise(0L).as("r1_10_ppm"),
+        when(col("c100") > 0, IntDiv(col("c10") * 1000000L, col("c100")).cast("long"))
+          .otherwise(0L).as("r10_100_ppm"))
+  }
+
+  /**
    * Line-level deduplication across the corpus (the CCNet scrub step):
    * a line whose normalized key (lowercased, trimmed) appears in more
    * than `maxDocFreq` distinct documents is removed from EVERY document

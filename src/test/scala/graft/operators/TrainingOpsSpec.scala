@@ -933,4 +933,72 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, 1L, r4(math.log(3.0))),
       (4L, 0L, 0.0)))
   }
+
+  test("piiAudit: sequential counting — an IP inside an email is an email, not an IP") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq(
+      (1L, "write to alice@example.com or bob@test.org today"),
+      (2L, "server 192.168.1.1 and backup 10.0.0.7 are down"),
+      (3L, "call +1 (555) 123-4567 now"),
+      // the adversarial row: user@10.0.0.7.example.com matches the
+      // email pattern FIRST; counting IPs on the raw text would also
+      // count its dotted quad
+      (4L, "mail user@10.0.0.7.example.com please"),
+      (5L, "no personal data in this row at all")
+    ).toDF("doc_id", "text")
+    val got = TextOps.piiAudit(docs, "doc_id", "text").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 0L, 0L, 2L),
+      (2L, 0L, 2L, 0L, 2L),
+      (3L, 0L, 0L, 1L, 1L),
+      (4L, 1L, 0L, 0L, 1L),
+      (5L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("zipfDecades: exact decade ratios; short vocabularies report 0 for missing ranks") {
+    val ss = spark; import ss.implicits._
+    // counts: a=100, b=10 (rank 10 needs 10 distinct words)... build
+    // 12 words with known counts: w01 x 200, w02..w09 x 50, w10 x 20,
+    // w11 w12 x 1 -> c1=200, c10=20, no rank 100
+    val text = (Seq.fill(200)("w01") ++ (2 to 9).flatMap(i => Seq.fill(50)(f"w$i%02d")) ++
+      Seq.fill(20)("w10") ++ Seq("w11", "w12")).mkString(" ")
+    val got = TextOps.zipfDecades(Seq((1L, text)).toDF("doc_id", "text"), "text").collect().head
+    assert((got.getLong(0), got.getLong(1)) == (622L, 12L)) // 200+8*50+20+2
+    assert((got.getLong(2), got.getLong(3), got.getLong(4)) == (200L, 20L, 0L))
+    assert(got.getLong(5) == 200L * 1000000L / 20L) // r1_10
+    assert(got.getLong(6) == 0L)                    // no rank 100
+  }
+
+  test("paddingWaste: bucket assignment, padding, truncation, waste_ppm") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq((1L, 10L), (2L, 64L), (3L, 65L), (4L, 600L), (5L, 0L))
+      .toDF("doc_id", "toks")
+    val got = SampleOps.paddingWaste(docs, col("toks"), Seq(64L, 128L, 512L))
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      // bucket 64: toks 10 and 64 -> padding 54, no truncation
+      (64L, 2L, 74L, 54L, 0L, 54L * 1000000L / (2L * 64L)),
+      // bucket 128: toks 65 -> padding 63
+      (128L, 1L, 65L, 63L, 0L, 63L * 1000000L / 128L),
+      // bucket 512 (largest): toks 600 truncated to 512, padding 0
+      (512L, 1L, 512L, 0L, 88L, 0L)))
+    intercept[IllegalArgumentException] {
+      SampleOps.paddingWaste(docs, col("toks"), Seq(128L, 64L))
+    }
+  }
+
+  test("mixtureDrift: appearing/disappearing domains surface; shares are exact ppm") {
+    val ss = spark; import ss.implicits._
+    val a = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "fr")).toDF("id", "lang")
+    val b = Seq((1L, "en"), (2L, "de"), (3L, "de"), (4L, "zh")).toDF("id", "lang")
+    val got = SampleOps.mixtureDrift(a, b, "lang").orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("de", 1L, 2L, 250000L, 500000L, 250000L),
+      ("en", 2L, 1L, 500000L, 250000L, -250000L),
+      ("fr", 1L, 0L, 250000L, 0L, -250000L),   // disappeared
+      ("zh", 0L, 1L, 0L, 250000L, 250000L)))   // appeared
+  }
 }
