@@ -1662,6 +1662,25 @@ object SparkEntry {
       KMeansOps.labelCentroidComponents(table(s, dir, "embeddings"), "label", "embedding")
         .orderBy("label", "pos")),
 
+    "s_silhouette" -> ((s, dir) =>
+      // cluster-quality score per label: simplified silhouette against
+      // the exact label centroids, micro-quantized per vector so the
+      // per-label mean is integral division (no float-sum ordering)
+      KMeansOps.labelSilhouette(table(s, dir, "embeddings"), "vec_id", "label", "embedding")
+        .orderBy("label")),
+
+    "s_bitext_margin" -> ((s, dir) => {
+      // ratio-margin pair mining between two embedding sets (labels 0
+      // and 1 as the two sides): each source aligns to its best-margin
+      // target when the margin clears 1.0 — hubs are suppressed by the
+      // neighborhood-mean denominator
+      val e = table(s, dir, "embeddings")
+      def side(l: Int) = e.filter(col("label") === l)
+        .select(col("vec_id").as("id"), col("embedding"))
+      SimilarityOps.marginAlign(side(0), side(1), k = 4, minMarginPpm = 1000000L)
+        .orderBy("src_id")
+    }),
+
     "d_dedup_semantic" -> ((s, dir) => {
       // SemDeDup: deterministic k-means (k=8, 2 Lloyd rounds), exact
       // cosine verify within each cell — the oracle replays the full
@@ -4240,6 +4259,80 @@ object SparkEntry {
         |  FROM d)
         |SELECT label::BIGINT AS label, rank::BIGINT AS rank, vec_id, dist
         |FROM r WHERE rank <= 5 ORDER BY label, rank""".stripMargin,
+
+    // simplified silhouette: same centroid + rounded-distance replay
+    // as s_label_outliers, then micro-quantized per vector so the
+    // per-label mean is pure integral division
+    "s_silhouette" ->
+      """WITH comp AS (
+        |  SELECT label, i,
+        |         sum(floor(embedding[i]::DOUBLE * 10000000.0 + 0.5))::BIGINT::DOUBLE
+        |           / (count(*)::DOUBLE * 10000000.0) AS mean
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) dims
+        |  GROUP BY label, i),
+        |cen AS (SELECT label AS clabel, list(mean ORDER BY i) AS centroid FROM comp GROUP BY 1),
+        |d AS (
+        |  SELECT e.label, e.vec_id, cen.clabel,
+        |         round(sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> (e.embedding[i]::DOUBLE - centroid[i]) * (e.embedding[i]::DOUBLE - centroid[i])))), 6) AS dist
+        |  FROM embeddings e, cen),
+        |ab AS (
+        |  SELECT label, vec_id,
+        |         min(CASE WHEN clabel = label THEN dist END) AS a,
+        |         min(CASE WHEN clabel <> label THEN dist END) AS b
+        |  FROM d GROUP BY 1, 2),
+        |sm AS (
+        |  SELECT label,
+        |         CASE WHEN b IS NULL OR greatest(a, b) <= 0 THEN 0
+        |              ELSE CAST(floor((b - a) / greatest(a, b) * 1000000.0 + 0.5) AS BIGINT) END AS s_micro
+        |  FROM ab)
+        |SELECT label::BIGINT AS label, count(*)::BIGINT AS n,
+        |       CAST(sum(s_micro) // count(*) AS BIGINT) AS mean_sil_micro,
+        |       min(s_micro)::BIGINT AS min_sil_micro,
+        |       max(s_micro)::BIGINT AS max_sil_micro
+        |FROM sm GROUP BY 1 ORDER BY label""".stripMargin,
+
+    // ratio-margin mining: rounded-6dp pair cosines, then integer
+    // micro sums / ppm margins — the denominator is the mean of both
+    // directions' top-4 neighborhoods
+    "s_bitext_margin" ->
+      """WITH x AS (SELECT vec_id AS id, embedding AS v FROM embeddings WHERE label = 0),
+        |y AS (SELECT vec_id AS id, embedding AS v FROM embeddings WHERE label = 1),
+        |sc AS (
+        |  SELECT x.id AS src_id, y.id AS tgt_id,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> x.v[i]::DOUBLE * y.v[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> x.v[i]::DOUBLE * x.v[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> y.v[i]::DOUBLE * y.v[i]::DOUBLE)))), 6) AS sim
+        |  FROM x, y),
+        |fk AS (
+        |  SELECT src_id, tgt_id, sim FROM (
+        |    SELECT src_id, tgt_id, sim,
+        |           row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, tgt_id ASC) AS r
+        |    FROM sc) WHERE r <= 4),
+        |bk AS (
+        |  SELECT tgt_id, sim FROM (
+        |    SELECT tgt_id, sim,
+        |           row_number() OVER (PARTITION BY tgt_id ORDER BY sim DESC, src_id ASC) AS r
+        |    FROM sc) WHERE r <= 4),
+        |fs AS (SELECT src_id, sum(CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT)) AS fsum FROM fk GROUP BY 1),
+        |bs AS (SELECT tgt_id, sum(CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT)) AS bsum FROM bk GROUP BY 1),
+        |m AS (
+        |  SELECT fk.src_id, fk.tgt_id, fk.sim,
+        |         CAST(floor(fk.sim * 1000000.0 + 0.5) AS BIGINT) AS sim_micro,
+        |         CAST((fsum + bsum) // 8 AS BIGINT) AS denom
+        |  FROM fk JOIN fs USING (src_id) JOIN bs USING (tgt_id)),
+        |mm AS (
+        |  SELECT src_id, tgt_id, sim,
+        |         CAST((sim_micro * 1000000) // denom AS BIGINT) AS margin_ppm
+        |  FROM m WHERE denom > 0),
+        |rk AS (
+        |  SELECT src_id, tgt_id, sim, margin_ppm,
+        |         row_number() OVER (PARTITION BY src_id ORDER BY margin_ppm DESC, tgt_id ASC) AS r
+        |  FROM mm)
+        |SELECT src_id, tgt_id, sim, margin_ppm
+        |FROM rk WHERE r = 1 AND margin_ppm >= 1000000
+        |ORDER BY src_id""".stripMargin,
 
     "s_ann_lsh" ->
       """WITH planes AS (

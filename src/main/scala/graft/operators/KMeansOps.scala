@@ -385,6 +385,59 @@ object KMeansOps {
    * No vector ever shuffles: only (label, id, dist) rows reach the
    * rank exchange.
    */
+  /**
+   * Simplified silhouette per label (the centroid form: Kaufman &
+   * Rousseeuw's silhouette with cluster-mean distances replaced by
+   * distances to the EXACT label centroids) — the cluster-quality
+   * score for a labeled embedding set: s = (b − a) / max(a, b) with
+   * a = distance to the OWN label's centroid and b = the smallest
+   * distance to any OTHER label's centroid. Mean s near 1: compact,
+   * well-separated classes (safe to train a classifier / use
+   * nearest-centroid routing); near 0: overlapping classes; negative:
+   * vectors sit closer to a foreign class center than their own —
+   * the label-noise smell [[labelOutliers]] then localizes.
+   *
+   * Per-vector s quantizes to micro units (floor(s·10⁶ + 0.5), exact
+   * on both engines since a and b are the same rounded doubles the
+   * outlier op uses), so the per-label MEAN is integral division —
+   * no float-sum ordering dependence. A corpus with a single label
+   * has no b; its rows report s = 0 (flagged by n_other = 0).
+   *
+   * Scale: the centroid table is label-count-sized and broadcast; the
+   * corpus is ONE scan producing label-count distances per vector in
+   * codegen, then one label-sized aggregate. No vector shuffles.
+   * Output: (label, n, mean_sil_micro, min_sil_micro, max_sil_micro).
+   */
+  def labelSilhouette(vecs: DataFrame, idCol: String, labelCol: String,
+                      vecCol: String): DataFrame = {
+    val cents = labelCentroids(vecs, labelCol, vecCol)
+      .select(col("label").as("clabel"), col("centroid"))
+    val dist = round(sqrt(aggregate(
+      zip_with(col("v"), col("centroid"), (x, c) => {
+        val d = x.cast("double") - c
+        d * d
+      }),
+      lit(0.0), (acc, e) => acc + e)), 6)
+    val scored = vecs
+      .select(col(labelCol).as("label"), col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", dist)
+      .groupBy("label", "id")
+      .agg(min(when(col("clabel") === col("label"), col("dist"))).as("a"),
+        min(when(col("clabel") =!= col("label"), col("dist"))).as("b"))
+      .select(col("label"),
+        when(col("b").isNull || greatest(col("a"), col("b")) <= 0.0, lit(0L))
+          .otherwise(floor((col("b") - col("a")) / greatest(col("a"), col("b"))
+            * lit(1.0e6) + lit(0.5)).cast("long")).as("s_micro"))
+    scored.groupBy("label")
+      .agg(count(lit(1)).as("n"), sum(col("s_micro")).as("ssum"),
+        min(col("s_micro")).as("min_sil_micro"),
+        max(col("s_micro")).as("max_sil_micro"))
+      .select(col("label").cast("long").as("label"), col("n"),
+        IntDiv(col("ssum"), col("n")).cast("long").as("mean_sil_micro"),
+        col("min_sil_micro"), col("max_sil_micro"))
+  }
+
   def labelOutliers(vecs: DataFrame, idCol: String, labelCol: String,
                     vecCol: String, topPerLabel: Int): DataFrame = {
     val cents = labelCentroids(vecs, labelCol, vecCol)

@@ -128,6 +128,61 @@ object SimilarityOps {
   }
 
   /**
+   * Margin-based bitext/pair alignment (the ratio-margin criterion of
+   * Artetxe & Schwenk, "Margin-based parallel corpus mining with
+   * multilingual sentence embeddings", ACL 2019): for source set X and
+   * target set Y, score every (x, y) with y among x's top-k cosine
+   * neighbors by
+   *   margin = cos(x, y) / ((meanₖ cos(x, NN_Y(x)) + meanₖ cos(y, NN_X(y))) / 2)
+   * and keep each x's argmax when it clears `minMarginPpm`. The ratio
+   * denominator is what makes this work where a raw cosine threshold
+   * fails: hub vectors (high similarity to EVERYTHING) get a high
+   * denominator and stop winning every pairing — the standard mining
+   * step for parallel-corpus construction and cross-lingual dedup.
+   *
+   * Determinism: pair sims are the usual rounded-6dp doubles, then
+   * EVERYTHING downstream is integer micro/ppm arithmetic (sums of
+   * floor(sim·10⁶+0.5), integral division), so the oracle replays the
+   * margins exactly. Pairs whose denominator is ≤ 0 (possible with
+   * negative-similarity neighborhoods) are dropped — a margin against
+   * an anti-correlated neighborhood is meaningless. Ties break to the
+   * smaller target id.
+   *
+   * Scale: both directions ride [[bruteForceTopK]] (X and Y broadcast
+   * as the probe side of their direction) — right when one side is a
+   * mining batch. For corpus×corpus mining, generate candidates with
+   * the ANN paths first (lshTopK/ivfTopK) and feed the SAME windowed
+   * shape — the knnClassify routing note applies verbatim.
+   * Output: (src_id, tgt_id, sim, margin_ppm), one row per aligned x.
+   */
+  def marginAlign(src: DataFrame, tgt: DataFrame, k: Int,
+                  minMarginPpm: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"marginAlign k=$k")
+    val micro = (c: Column) => floor(c * lit(1.0e6) + lit(0.5)).cast("long")
+    val fwd = bruteForceTopK(src, tgt, k, excludeSelf = false)
+      .select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"),
+        col("sim"), micro(col("sim")).as("sim_micro"))
+    val bwd = bruteForceTopK(tgt, src, k, excludeSelf = false)
+      .select(col("query_id").as("tgt_id"), micro(col("sim")).as("sim_micro"))
+    val fwdMean = fwd.groupBy("src_id").agg(sum(col("sim_micro")).as("fsum"))
+    val bwdMean = bwd.groupBy("tgt_id").agg(sum(col("sim_micro")).as("bsum"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_id"))
+      .orderBy(col("margin_ppm").desc, col("tgt_id").asc)
+    fwd
+      .join(broadcast(fwdMean), "src_id")
+      .join(broadcast(bwdMean), "tgt_id")
+      // denom_micro = (Σfwd + Σbwd) / 2k; margin_ppm = sim·10⁶ / denom
+      .withColumn("denom", IntDiv(col("fsum") + col("bsum"), lit(2L * k)).cast("long"))
+      .filter(col("denom") > 0)
+      .withColumn("margin_ppm",
+        IntDiv(col("sim_micro") * 1000000L, col("denom")).cast("long"))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") === 1 && col("margin_ppm") >= minMarginPpm)
+      .select(col("src_id"), col("tgt_id"), col("sim"), col("margin_ppm"))
+  }
+
+  /**
    * k-NN label classification — the auto-labeling step of a training
    * pipeline: each query vector takes the majority label of its k
    * nearest corpus neighbors (exact cosine; ties break to the smaller

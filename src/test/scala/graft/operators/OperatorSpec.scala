@@ -594,4 +594,64 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(uncapped >= 40L * 39 / 2)
     assert(cappedAll == 1L)
   }
+
+  test("labelSilhouette: tight separated clusters score ~1e6, mixed labels go negative") {
+    val ss = spark; import ss.implicits._
+    // two tight clusters on orthogonal axes: silhouette ≈ 1
+    def v(axis: Int, mag: Float) =
+      Array.tabulate(4)(i => if (i == axis) mag else 0.0f)
+    val good = Seq(
+      (1L, 0L, v(0, 1.0f)), (2L, 0L, v(0, 1.1f)),
+      (3L, 1L, v(1, 1.0f)), (4L, 1L, v(1, 1.1f))
+    ).toDF("vec_id", "label", "embedding")
+    val gs = KMeansOps.labelSilhouette(good, "vec_id", "label", "embedding")
+      .orderBy("label").collect()
+    assert(gs.length == 2 && gs.forall(_.getLong(2) > 900000L),
+      gs.map(_.getLong(2)).mkString(","))
+    // a vector labeled 0 sitting AT cluster 1's center: negative s
+    val noisy = good.union(Seq((5L, 0L, v(1, 1.05f))).toDF("vec_id", "label", "embedding"))
+    val ns = KMeansOps.labelSilhouette(noisy, "vec_id", "label", "embedding")
+      .orderBy("label").collect()
+    assert(ns.head.getLong(3) < 0L, s"mislabeled vector must drag min_sil negative: ${ns.head}")
+    // single label: no b exists -> s = 0 rows, not a crash
+    val solo = KMeansOps.labelSilhouette(
+      good.filter(col("label") === 0), "vec_id", "label", "embedding").collect()
+    assert(solo.length == 1 && solo.head.getLong(2) == 0L)
+  }
+
+  test("marginAlign: hub suppression — raw cosine picks the hub, the margin does not") {
+    val ss = spark; import ss.implicits._
+    // target hub at cos 0.55 to EVERY source (the degenerate center);
+    // each true pair tᵢ sits at cos 0.53 with ONLY its source — raw
+    // cosine picks the hub for every source, but the hub's backward
+    // neighborhood mean (0.55) inflates its denominator while tᵢ's
+    // (mean of 0.53 and 0) stays low, so the margin routes around it:
+    //   margin(s,hub) = 0.55/((0.54+0.55)/2) ≈ 1.009
+    //   margin(s,tᵢ)  = 0.53/((0.54+0.265)/2) ≈ 1.317
+    def unit(parts: (Int, Double)*) = {
+      val v = new Array[Double](6)
+      parts.foreach { case (i, x) => v(i) = x }
+      val m = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / m).toFloat)
+    }
+    val src = Seq(
+      (1L, unit(0 -> 1.0)), (2L, unit(1 -> 1.0)), (3L, unit(2 -> 1.0))
+    ).toDF("id", "embedding")
+    val a = math.sqrt(1 - 3 * 0.55 * 0.55) // hub unit-norm remainder
+    val b = math.sqrt(1 - 0.53 * 0.53)     // true-pair remainder
+    val tgt = Seq(
+      (11L, unit(0 -> 0.53, 4 -> b)),
+      (12L, unit(1 -> 0.53, 4 -> b)),
+      (13L, unit(2 -> 0.53, 4 -> b)),
+      (14L, unit(0 -> 0.55, 1 -> 0.55, 2 -> 0.55, 3 -> a)) // the hub
+    ).toDF("id", "embedding")
+    val raw = SimilarityOps.bruteForceTopK(src, tgt, k = 1, excludeSelf = false)
+      .filter(col("query_id") === 1).collect()
+    assert(raw.head.getLong(2) == 14L, s"premise: raw cosine must pick the hub: ${raw.head}")
+    val aligned = SimilarityOps.marginAlign(src, tgt, k = 2, minMarginPpm = 0L)
+      .orderBy("src_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(aligned == Seq((1L, 11L), (2L, 12L), (3L, 13L)),
+      s"margin must route around the hub: $aligned")
+  }
 }
