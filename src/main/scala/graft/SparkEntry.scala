@@ -931,6 +931,17 @@ object SparkEntry {
       SampleOps.mixtureDrift(a, b, "lang").orderBy("domain")
     }),
 
+    "p_distinct_hll" -> ((s, dir) => {
+      // HLL distinct users per event type, registers and harmonic sum
+      // fully replayed by the oracle (md5 hash, bin()-length ranks,
+      // integer S); exact distinct joined on for the error audit
+      val ev = events(s, dir).select(col("event_type"), col("user_id"))
+      SketchOps.hllDistinct(ev, Seq("event_type"), "user_id")
+        .join(ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_exact")), "event_type")
+        .orderBy("event_type")
+    }),
+
     "d_dedup_prefix" -> ((s, dir) =>
       // EXACT similarity join (prefix filtering, recall 1): must equal
       // the brute-force oracle row-for-row — the subquadratic plan that
@@ -3765,6 +3776,47 @@ object SparkEntry {
         |  sum(greatest(t - bucket, 0))::BIGINT AS trunc_tokens,
         |  CAST((sum(greatest(bucket - t, 0)) * 1000000) // (count(*) * bucket) AS BIGINT) AS waste_ppm
         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // full register replay: md5-derived 60-bit hash, top-8-bit index,
+    // rank via minimal-width bin() length (identical on both engines),
+    // exact integer harmonic sum, float only in the final milli
+    // estimate (identical literal arithmetic both sides)
+    "p_distinct_hll" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type,
+        |         h // (1::BIGINT << 52) AS idx,
+        |         h % (1::BIGINT << 52) AS tail
+        |  FROM h),
+        |rk AS (
+        |  SELECT event_type, idx,
+        |         max(CASE WHEN tail = 0 THEN 53 ELSE 53 - length(bin(tail)) END) AS r
+        |  FROM r GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, count(*)::BIGINT AS present,
+        |         sum(1::BIGINT << (53 - r))::BIGINT AS sp
+        |  FROM rk GROUP BY 1),
+        |e AS (
+        |  SELECT event_type, 256::BIGINT AS m,
+        |         (256 - present)::BIGINT AS v_empty,
+        |         (sp + (256 - present) * (1::BIGINT << 53))::BIGINT AS s_inv
+        |  FROM g),
+        |est AS (
+        |  SELECT event_type, m, v_empty, s_inv,
+        |         CAST(floor((0.7213 / (1 + 1.079 / 256.0)) * 256 * 256 * ((1::BIGINT << 53)::DOUBLE) * 1000.0
+        |                    / s_inv::DOUBLE + 0.5) AS BIGINT) AS raw_milli
+        |  FROM e)
+        |SELECT est.event_type, m, v_empty, s_inv,
+        |       CASE WHEN v_empty > 0 AND raw_milli <= 2500 * 256
+        |            THEN CAST(floor(256000.0 * ln(256.0 / v_empty::DOUBLE) + 0.5) AS BIGINT)
+        |            ELSE raw_milli END AS est_milli,
+        |       x.n_exact
+        |FROM est JOIN (SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+        |               FROM events GROUP BY 1) x USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
     "p_mixture_drift" ->
       """WITH a AS (SELECT lang, count(*)::BIGINT AS n_a FROM documents GROUP BY 1),

@@ -195,4 +195,37 @@ class SketchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // one exchange for the final group-by; no expand/distinct pre-shuffle
     assert(!plan.contains("Expand"), plan)
   }
+
+  test("hllDistinct: within 3σ of truth at p=8; small sets take the linear-counting branch") {
+    val ss = spark; import ss.implicits._
+    // 10k distinct values, one group: HLL σ = 1.04/√256 ≈ 6.5%
+    val big = (1 to 10000).map(i => ("g", s"item$i")).toDF("grp", "v")
+    val bigRow = SketchOps.hllDistinct(big, Seq("grp"), "v").collect().head
+    val est = bigRow.getAs[Long]("est_milli") / 1000.0
+    assert(math.abs(est - 10000) / 10000.0 < 0.20, s"est $est vs 10000")
+    // 30 distinct (dupes collapse): most registers empty -> linear
+    // counting, which is near-exact in this regime
+    val small = ((1 to 30).map(i => ("s", s"x$i")) ++ Seq.fill(50)(("s", "x1")))
+      .toDF("grp", "v")
+    val smallRow = SketchOps.hllDistinct(small, Seq("grp"), "v").collect().head
+    assert(smallRow.getAs[Long]("v_empty") > 200)
+    val smallEst = smallRow.getAs[Long]("est_milli") / 1000.0
+    assert(math.abs(smallEst - 30) < 3, s"linear counting should be near-exact: $smallEst")
+  }
+
+  test("hllDistinct is partition-layout invariant and merge-consistent") {
+    val ss = spark; import ss.implicits._
+    val df = (1 to 5000).map(i => ("g", s"val$i")).toDF("grp", "v")
+    val a = SketchOps.hllDistinct(df.repartition(1), Seq("grp"), "v").collect().head
+    val b = SketchOps.hllDistinct(df.repartition(17), Seq("grp"), "v").collect().head
+    assert(a.getAs[Long]("s_inv") == b.getAs[Long]("s_inv") &&
+      a.getAs[Long]("est_milli") == b.getAs[Long]("est_milli"))
+    // register-max merge: union of two halves = whole
+    val whole = SketchOps.hllDistinct(df, Seq("grp"), "v").collect().head
+    val union = SketchOps.hllDistinct(
+      df.filter(expr("substring(v, 4) % 2 = 0"))
+        .union(df.filter(expr("substring(v, 4) % 2 <> 0"))),
+      Seq("grp"), "v").collect().head
+    assert(whole.getAs[Long]("s_inv") == union.getAs[Long]("s_inv"))
+  }
 }
