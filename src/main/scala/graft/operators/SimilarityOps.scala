@@ -148,21 +148,35 @@ object SimilarityOps {
    * an anti-correlated neighborhood is meaningless. Ties break to the
    * smaller target id.
    *
-   * Scale: both directions ride [[bruteForceTopK]] (X and Y broadcast
-   * as the probe side of their direction) — right when one side is a
-   * mining batch. For corpus×corpus mining, generate candidates with
-   * the ANN paths first (lshTopK/ivfTopK) and feed the SAME windowed
-   * shape — the knnClassify routing note applies verbatim.
-   * Output: (src_id, tgt_id, sim, margin_ppm), one row per aligned x.
+   * Scale: `strategy` routes both directions' neighbor search exactly
+   * like [[knnClassify]] — "exact" ([[bruteForceTopK]], right when one
+   * side is a mining batch) or the corpus-scale ANN paths "lsh" /
+   * "ivf" / "ivf-trained" / "ivf-pq", where a full scan per probe is
+   * no longer acceptable; the margin arithmetic downstream is
+   * identical, only neighbor RECALL differs (pinned by the
+   * approximate-vs-exact agreement spec). The ANN paths exclude
+   * self-id matches — immaterial for the disjoint src/tgt sets mining
+   * uses. Output: (src_id, tgt_id, sim, margin_ppm), one aligned row
+   * per x that clears the margin.
    */
   def marginAlign(src: DataFrame, tgt: DataFrame, k: Int,
-                  minMarginPpm: Long = 1000000L): DataFrame = {
+                  minMarginPpm: Long = 1000000L,
+                  strategy: String = "exact"): DataFrame = {
     require(k >= 1, s"marginAlign k=$k")
+    def topk(q: DataFrame, c: DataFrame): DataFrame = strategy match {
+      case "exact"       => bruteForceTopK(q, c, k, excludeSelf = false)
+      case "lsh"         => lshTopK(q, c, k)
+      case "ivf"         => ivfTopK(q, c, k)
+      case "ivf-trained" => KMeansOps.ivfTopKTrained(q, c, k)
+      case "ivf-pq"      => PqOps.ivfPqTopK(q, c, k)
+      case other => throw new IllegalArgumentException(
+        s"marginAlign strategy must be exact|lsh|ivf|ivf-trained|ivf-pq, got: $other")
+    }
     val micro = (c: Column) => floor(c * lit(1.0e6) + lit(0.5)).cast("long")
-    val fwd = bruteForceTopK(src, tgt, k, excludeSelf = false)
+    val fwd = topk(src, tgt)
       .select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"),
         col("sim"), micro(col("sim")).as("sim_micro"))
-    val bwd = bruteForceTopK(tgt, src, k, excludeSelf = false)
+    val bwd = topk(tgt, src)
       .select(col("query_id").as("tgt_id"), micro(col("sim")).as("sim_micro"))
     val fwdMean = fwd.groupBy("src_id").agg(sum(col("sim_micro")).as("fsum"))
     val bwdMean = bwd.groupBy("tgt_id").agg(sum(col("sim_micro")).as("bsum"))

@@ -96,15 +96,24 @@ object SketchOps {
    * register). Output: group cols + (m, v_empty, s_inv, est_milli).
    */
   def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                  p: Int = 8): DataFrame = {
+                  p: Int = 8): DataFrame =
+    hllFromRegisters(hllRegisters(df, groupCols, valueCol, p), groupCols, p)
+
+  /**
+   * The REGISTER stage of [[hllDistinct]] as a standalone single
+   * aggregate — the streaming-safe half (max per (group, register) is
+   * an ordinary streaming agg with at most m rows of state per group),
+   * with [[hllFromRegisters]] as the batch finisher over the bounded
+   * register table. Same split as [[gridCells]]/[[quantilesFromCells]].
+   * Output: group cols + (_idx, _r).
+   */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   p: Int = 8): DataFrame = {
     require(p >= 7 && p <= 16, s"hllDistinct p in [7,16], got $p") // single-alpha regime
     val b = 60 - p
-    val m = 1 << p
     val rmax = b + 1
-    val alpha = 0.7213 / (1 + 1.079 / m)
     val h = FastHash.md5Head60(col(valueCol).cast("string"))
-    val regs = df
-      .select(groupCols.map(col) ++ Seq(
+    df.select(groupCols.map(col) ++ Seq(
         IntDiv(h, lit(1L << b)).cast("long").as("_idx"),
         (h % lit(1L << b)).as("_tail")): _*)
       .withColumn("_rank",
@@ -112,6 +121,17 @@ object SketchOps {
           .otherwise(lit((b + 1).toLong) - length(bin(col("_tail")))))
       .groupBy((groupCols :+ "_idx").map(col): _*)
       .agg(max(col("_rank")).as("_r"))
+  }
+
+  /** Estimate finisher over a [[hllRegisters]] table (see
+    * [[hllDistinct]] for the arithmetic contract). */
+  def hllFromRegisters(regs: DataFrame, groupCols: Seq[String],
+                       p: Int = 8): DataFrame = {
+    require(p >= 7 && p <= 16, s"hllDistinct p in [7,16], got $p")
+    val b = 60 - p
+    val m = 1 << p
+    val rmax = b + 1
+    val alpha = 0.7213 / (1 + 1.079 / m)
     regs.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("_present"),
         sum(expr(s"shiftleft(cast(1 as bigint), $rmax - _r)")).as("_sp"))

@@ -654,4 +654,23 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(aligned == Seq((1L, 11L), (2L, 12L), (3L, 13L)),
       s"margin must route around the hub: $aligned")
   }
+
+  test("marginAlign ANN strategy agrees with exact on most sources (sf0.01 embeddings)") {
+    val ss = spark
+    val e = ss.read.parquet(s"$sfDir/embeddings.parquet")
+    def side(l: Int) = e.filter(col("label") === l)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val exact = SimilarityOps.marginAlign(side(0), side(1), k = 4, minMarginPpm = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = SimilarityOps.marginAlign(side(0), side(1), k = 4, minMarginPpm = 0L,
+        strategy = "lsh")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty)
+    // candidate recall, not rank agreement: the LSH path may align a
+    // source differently (or not at all) when banding misses its true
+    // pair — most sources must still agree with exact
+    val agree = exact.count { case (s, t) => lsh.get(s).contains(t) }
+    assert(agree >= (exact.size * 0.6).toInt,
+      s"lsh aligned $agree/${exact.size} sources like exact")
+  }
 }

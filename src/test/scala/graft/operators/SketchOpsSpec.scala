@@ -213,6 +213,32 @@ class SketchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(smallEst - 30) < 3, s"linear counting should be near-exact: $smallEst")
   }
 
+  test("hllRegisters runs under Structured Streaming; finisher over streamed registers equals batch") {
+    // the gridCells split applied to HLL: register max is an ordinary
+    // streaming aggregate (≤ m state rows per group), the estimate is
+    // a batch finisher over the bounded register table
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val q = SketchOps.hllRegisters(mem.toDF.toDF("grp", "v"), Seq("grp"), "v")
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData((1 to 800).map(i => ("g", s"v$i")): _*)
+      q.processAllAvailable()
+      mem.addData((500 to 2000).map(i => ("g", s"v$i")): _*) // overlap + growth
+      q.processAllAvailable()
+      val streamed = SketchOps.hllFromRegisters(
+        ss.table("hll_stream"), Seq("grp")).collect().head
+      val batch = SketchOps.hllDistinct(
+        ((1 to 800) ++ (500 to 2000)).map(i => ("g", s"v$i")).toDF("grp", "v"),
+        Seq("grp"), "v").collect().head
+      assert(streamed.getAs[Long]("s_inv") == batch.getAs[Long]("s_inv"))
+      assert(streamed.getAs[Long]("est_milli") == batch.getAs[Long]("est_milli"))
+      assert(ss.table("hll_stream").count() <= 256) // state bounded by m
+    } finally q.stop()
+  }
+
   test("hllDistinct is partition-layout invariant and merge-consistent") {
     val ss = spark; import ss.implicits._
     val df = (1 to 5000).map(i => ("g", s"val$i")).toDF("grp", "v")
