@@ -175,7 +175,9 @@ object DedupOps {
                             charGrams: Boolean = false): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
-    val sig = docs.filter(col(textCol).isNotNull)
+    // Spread: the k·shingles md5 pass is the cost center — don't let a
+    // single-row-group file serialize it (no-op at real corpus scale)
+    val sig = Spread(docs.filter(col(textCol).isNotNull))
       .select(col(idCol).as("id"), MinhashSig(col(textCol), k, w, charGrams).as("mh"))
     // band value: seed-tagged minhashes of the band, sorted and joined --
     // byte-identical to the (id, seed) matrix formulation
@@ -257,7 +259,7 @@ object DedupOps {
     // fused shingle+hash kernel (Shingles.scala): value-identical to
     // explode(shingles(...)) |> xxhash64, measured 3.9 s -> sub-second
     // on the pre-join stage at sf0.1
-    val sh = docs.select(col(idCol).as("id"),
+    val sh = Spread(docs).select(col(idCol).as("id"),
       explode(ShingleHashes(col(textCol), w)).as("sh"))
     val grouped = sh.groupBy("sh").agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) <= maxShingleDf)
@@ -305,7 +307,7 @@ object DedupOps {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        minContainment: Double, w: Int = 3,
                        maxShingleDf: Long = 10000L): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
+    val sh = Spread(docs).select(col(idCol).as("id"),
       explode(ShingleHashes(col(textCol), w)).as("sh"))
     val grouped = sh.groupBy("sh").agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) <= maxShingleDf)
@@ -382,7 +384,7 @@ object DedupOps {
     // filter on the projected signature would be pushed below the
     // projection and re-evaluate the whole md5-per-word kernel per row
     // (the same +70% trap measured on the minhash query).
-    docs.filter(col(textCol).isNotNull && col(textCol).rlike("\\S"))
+    Spread(docs.filter(col(textCol).isNotNull && col(textCol).rlike("\\S")))
       .select(col(idCol).as("id"), Simhash60(col(textCol)).as("simhash"))
 
   /**
@@ -783,6 +785,9 @@ object DedupOps {
                          minJaccard: Double, w: Int = 3): DataFrame = {
     require(minJaccard > 0.0 && minJaccard <= 1.0,
       s"minJaccard in (0,1], got $minJaccard")
+    // no Spread here: the shingle kernel is cheap xxhash (not md5) and
+    // every consumer shuffles anyway — measured 1.8 -> 2.5 s WITH the
+    // extra repartition, so the undersubscription guard stays off
     val toks = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), explode(ShingleHashes(col(textCol), w)).as("tok"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))

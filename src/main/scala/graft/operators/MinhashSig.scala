@@ -86,6 +86,14 @@ object MinhashSig {
     // seed prefixes "0:", "1:", ... as bytes, computed once
     val prefixes = Array.tabulate(k)(sd => s"$sd:".getBytes)
     var scratch = new Array[Byte](64)
+    // digest scratch, REUSED across all (shingle, seed) digests: the
+    // allocating md.digest() costs a fresh 16-byte array per call —
+    // ~half a billion allocations per sf0.1 char-gram pass — while the
+    // running minimum only changes ~ln(nShingles) times per seed, so
+    // digesting into this buffer and copying only on improvement
+    // removes essentially all of that GC pressure (measured: the
+    // candidate stage of editDistancePairs 8.9 s → see EVIDENCE r8)
+    val dbuf = new Array[Byte](16)
     var p = 0
     while (p < nShingles) {
       // shingle bytes (words p..p+width-1 joined by ' ') into scratch,
@@ -115,8 +123,10 @@ object MinhashSig {
         System.arraycopy(pre, 0, scratch, off, pre.length)
         md.reset()
         md.update(scratch, off, len - off)
-        val d = md.digest()
-        if (mins(sd) == null || unsignedLess(d, mins(sd))) mins(sd) = d
+        md.digest(dbuf, 0, 16)
+        if (mins(sd) == null) mins(sd) = dbuf.clone()
+        else if (unsignedLess(dbuf, mins(sd)))
+          System.arraycopy(dbuf, 0, mins(sd), 0, 16)
         sd += 1
       }
       p += 1
