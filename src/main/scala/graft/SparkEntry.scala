@@ -389,6 +389,44 @@ object SparkEntry {
         .orderBy(col("revenue_cents").desc, col("n_name").asc)
     }),
 
+    "q35_market_share" -> ((s, dir) => {
+      // the TPC-H Q8 shape: per-year national market share inside a
+      // region for one part type — a selective dim (PROMO parts)
+      // pruning the fact scan, every dim broadcast, then a year-window
+      // share over the year-count aggregate (integer ppm)
+      val europe = table(s, dir, "region").filter(col("r_name") === "EUROPE")
+      val n = table(s, dir, "nation")
+        .join(broadcast(europe), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val p = table(s, dir, "part").filter(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val sup = table(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val o = table(s, dir, "orders").select("o_orderkey", "o_orderdate")
+      val li = table(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val byNation = li
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
+          col("n_name").as("nation"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+          .cast("long")).as("revenue_cents"))
+      val win = org.apache.spark.sql.expressions.Window.partitionBy("o_year")
+      byNation
+        .withColumn("share_ppm",
+          IntDiv(col("revenue_cents") * 1000000L,
+            sum(col("revenue_cents")).over(win)).cast("long"))
+        .orderBy("o_year", "nation")
+    }),
+
+    "t_fertility" -> ((s, dir) =>
+      // tokenizer-fairness audit: chars and BPE-ish subwords per
+      // whitespace word, by language, in exact ppm
+      TextOps.fertilityAudit(table(s, dir, "documents"), "lang", "text")
+        .orderBy("group")),
+
     "q2_join_agg" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
       val o = table(s, dir, "orders")
@@ -2862,6 +2900,22 @@ object SparkEntry {
         |GROUP BY n_name
         |ORDER BY revenue_cents DESC, n_name""".stripMargin,
 
+    "q35_market_share" ->
+      """WITH byn AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, n_name AS nation,
+        |         CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)::BIGINT) AS BIGINT) AS revenue_cents
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+        |  GROUP BY 1, 2)
+        |SELECT o_year, nation, revenue_cents,
+        |       CAST((revenue_cents * 1000000) // sum(revenue_cents) OVER (PARTITION BY o_year) AS BIGINT) AS share_ppm
+        |FROM byn ORDER BY o_year, nation""".stripMargin,
+
     "q31_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |       CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)::BIGINT) AS BIGINT) AS revenue_cents
@@ -4428,6 +4482,24 @@ object SparkEntry {
         |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS subword_tokens,
         |       len(list_distinct(wd))::BIGINT AS distinct_tokens
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "t_fertility" ->
+      """WITH w AS (
+        |  SELECT lang::VARCHAR AS grp,
+        |         length(text)::BIGINT AS chars,
+        |         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS words,
+        |         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS subwords
+        |  FROM documents),
+        |a AS (
+        |  SELECT grp, count(*) AS n_docs,
+        |         CAST(sum(chars) AS BIGINT) AS chars,
+        |         CAST(sum(words) AS BIGINT) AS words,
+        |         CAST(sum(subwords) AS BIGINT) AS subwords
+        |  FROM w GROUP BY 1)
+        |SELECT grp AS "group", n_docs, chars, words, subwords,
+        |       CASE WHEN words > 0 THEN CAST((chars * 1000000) // words AS BIGINT) ELSE 0 END AS chars_per_word_ppm,
+        |       CASE WHEN words > 0 THEN CAST((subwords * 1000000) // words AS BIGINT) ELSE 0 END AS subwords_per_word_ppm
+        |FROM a ORDER BY "group"""".stripMargin,
 
     "t_quality" ->
       """WITH w AS (

@@ -212,6 +212,32 @@ object TextOps {
   }
 
   /**
+   * Tokenizer fertility audit per group (typically language): how many
+   * characters and BPE-ish subwords each whitespace word costs — the
+   * number that decides whether a tokenizer (or its vocab budget) is
+   * fair across languages: high subwords-per-word means the group pays
+   * more sequence length (and compute) per unit of text. Integer ppm
+   * ratios via integral division, one groupBy with map-side partial
+   * sums — the whole audit is one scan.
+   * Output: (group, n_docs, chars, words, subwords, chars_per_word_ppm,
+   * subwords_per_word_ppm); a group with zero words reports 0 ratios.
+   */
+  def fertilityAudit(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(col(groupCol).cast("string").as("group"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col(textCol)).cast("long")).as("chars"),
+        sum(tokenCount(col(textCol))).as("words"),
+        sum(subwordCount(col(textCol))).as("subwords"))
+      .select(col("group"), col("n_docs"), col("chars"), col("words"), col("subwords"),
+        when(col("words") > 0,
+          IntDiv(col("chars") * 1000000L, col("words")).cast("long")).otherwise(0L)
+          .as("chars_per_word_ppm"),
+        when(col("words") > 0,
+          IntDiv(col("subwords") * 1000000L, col("words")).cast("long")).otherwise(0L)
+          .as("subwords_per_word_ppm"))
+
+  /**
    * Zipf-shape audit in EXACT integers: the decade ratios of the
    * corpus unigram distribution — count(rank 1)/count(rank 10) and
    * count(rank 10)/count(rank 100) in ppm. A healthy natural-language

@@ -956,6 +956,21 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (5L, 0L, 0L, 0L, 0L)))
   }
 
+  test("fertilityAudit: per-group ppm ratios; zero-word groups report 0") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq(
+      ("en", "hello world"), // 11 chars, 2 words, 2 subwords
+      ("en", "a b3!"),       // 5 chars, 2 words, subwords a|b|3|! = 4
+      ("zz", "   ")          // whitespace only: 3 chars, 0 words
+    ).toDF("lang", "text")
+    val got = TextOps.fertilityAudit(docs, "lang", "text").orderBy("group").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq(
+      ("en", 2L, 16L, 4L, 6L, 16L * 1000000L / 4L, 6L * 1000000L / 4L),
+      ("zz", 1L, 3L, 0L, 0L, 0L, 0L)))
+  }
+
   test("zipfDecades: exact decade ratios; short vocabularies report 0 for missing ranks") {
     val ss = spark; import ss.implicits._
     // counts: a=100, b=10 (rank 10 needs 10 distinct words)... build
