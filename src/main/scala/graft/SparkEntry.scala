@@ -4421,12 +4421,12 @@ object SparkEntry {
         |    SELECT tgt_id, sim,
         |           row_number() OVER (PARTITION BY tgt_id ORDER BY sim DESC, src_id ASC) AS r
         |    FROM sc) WHERE r <= 4),
-        |fs AS (SELECT src_id, sum(CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT)) AS fsum FROM fk GROUP BY 1),
-        |bs AS (SELECT tgt_id, sum(CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT)) AS bsum FROM bk GROUP BY 1),
+        |fs AS (SELECT src_id, sum(CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT)) AS fsum, count(*) AS fcnt FROM fk GROUP BY 1),
+        |bs AS (SELECT tgt_id, sum(CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT)) AS bsum, count(*) AS bcnt FROM bk GROUP BY 1),
         |m AS (
         |  SELECT fk.src_id, fk.tgt_id, fk.sim,
         |         CAST(floor(fk.sim * 1000000.0 + 0.5) AS BIGINT) AS sim_micro,
-        |         CAST((fsum + bsum) // 8 AS BIGINT) AS denom
+        |         CAST((fsum + bsum) // (fcnt + bcnt) AS BIGINT) AS denom
         |  FROM fk JOIN fs USING (src_id) JOIN bs USING (tgt_id)),
         |mm AS (
         |  SELECT src_id, tgt_id, sim,

@@ -133,8 +133,12 @@ object SimilarityOps {
    * multilingual sentence embeddings", ACL 2019): for source set X and
    * target set Y, score every (x, y) with y among x's top-k cosine
    * neighbors by
-   *   margin = cos(x, y) / ((meanₖ cos(x, NN_Y(x)) + meanₖ cos(y, NN_X(y))) / 2)
-   * and keep each x's argmax when it clears `minMarginPpm`. The ratio
+   *   margin = cos(x, y) / mean(cos(x, NN_Y(x)) ∪ cos(y, NN_X(y)))
+   * (the pooled mean over both directions' ACTUAL neighbor sets — each
+   * has exactly k members on the exact path, possibly fewer on the ANN
+   * paths when banding misses, so the denominator divides by the real
+   * neighbor count, never a fixed 2k) and keep each x's argmax when it
+   * clears `minMarginPpm`. The ratio
    * denominator is what makes this work where a raw cosine threshold
    * fails: hub vectors (high similarity to EVERYTHING) get a high
    * denominator and stop winning every pairing — the standard mining
@@ -178,16 +182,28 @@ object SimilarityOps {
         col("sim"), micro(col("sim")).as("sim_micro"))
     val bwd = topk(tgt, src)
       .select(col("query_id").as("tgt_id"), micro(col("sim")).as("sim_micro"))
-    val fwdMean = fwd.groupBy("src_id").agg(sum(col("sim_micro")).as("fsum"))
-    val bwdMean = bwd.groupBy("tgt_id").agg(sum(col("sim_micro")).as("bsum"))
+    val fwdMean = fwd.groupBy("src_id")
+      .agg(sum(col("sim_micro")).as("fsum"), count(lit(1)).as("fcnt"))
+    val bwdMean = bwd.groupBy("tgt_id")
+      .agg(sum(col("sim_micro")).as("bsum"), count(lit(1)).as("bcnt"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src_id"))
       .orderBy(col("margin_ppm").desc, col("tgt_id").asc)
+    // NO broadcast hints here: fwdMean/bwdMean are PER-VECTOR aggregates
+    // (one row per source / target id — corpus-sized, not model-sized), so
+    // forcing a broadcast would ship the whole corpus's neighborhood means
+    // to every executor and OOM at mining scale. The ids are already the
+    // join keys; a shuffle join is the right plan, and Catalyst still
+    // broadcasts on its own when stats prove a side is genuinely small.
     fwd
-      .join(broadcast(fwdMean), "src_id")
-      .join(broadcast(bwdMean), "tgt_id")
-      // denom_micro = (Σfwd + Σbwd) / 2k; margin_ppm = sim·10⁶ / denom
-      .withColumn("denom", IntDiv(col("fsum") + col("bsum"), lit(2L * k)).cast("long"))
+      .join(fwdMean, "src_id")
+      .join(bwdMean, "tgt_id")
+      // denom_micro = (Σfwd + Σbwd) / (|fwd| + |bwd|) — ACTUAL neighbor
+      // counts, not fixed 2k: the ANN paths can return fewer than k
+      // neighbors (banding misses), and dividing by 2k there would deflate
+      // the denominator and silently inflate every margin
+      .withColumn("denom",
+        IntDiv(col("fsum") + col("bsum"), col("fcnt") + col("bcnt")).cast("long"))
       .filter(col("denom") > 0)
       .withColumn("margin_ppm",
         IntDiv(col("sim_micro") * 1000000L, col("denom")).cast("long"))

@@ -655,6 +655,29 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"margin must route around the hub: $aligned")
   }
 
+  test("marginAlign divides by ACTUAL neighbor counts when a direction returns <k") {
+    val ss = spark; import ss.implicits._
+    // one source, two targets, k=4: the forward direction finds only 2
+    // neighbors and each backward direction only 1, so the pooled
+    // denominator divides by 3 actual neighbors — a fixed 2k=8 divisor
+    // would deflate it and inflate every margin ~2.7x. Cosines are exact
+    // at 6dp by construction: s1=e0, t1=(0.8,0.6,0,0), t2=(0.4,0,√0.84,0).
+    //   pair (s1,t1): fsum=1200000 (0.8+0.4), bsum(t1)=800000
+    //     denom = (1200000+800000)//3 = 666666
+    //     margin = 800000·10⁶ // 666666 = 1200001 ppm
+    //   pair (s1,t2): denom = (1200000+400000)//3 = 533333
+    //     margin = 400000·10⁶ // 533333 = 750000 ppm
+    val src = Seq((1L, Array(1.0f, 0f, 0f, 0f))).toDF("id", "embedding")
+    val tgt = Seq(
+      (11L, Array(0.8f, 0.6f, 0f, 0f)),
+      (12L, Array(0.4f, 0f, math.sqrt(0.84).toFloat, 0f))
+    ).toDF("id", "embedding")
+    val rows = SimilarityOps.marginAlign(src, tgt, k = 4, minMarginPpm = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(rows.toSeq == Seq((1L, 11L, 1200001L)),
+      s"expected the 3-neighbor pooled denominator (666666): ${rows.toSeq}")
+  }
+
   test("marginAlign ANN strategy agrees with exact on most sources (sf0.01 embeddings)") {
     val ss = spark
     val e = ss.read.parquet(s"$sfDir/embeddings.parquet")

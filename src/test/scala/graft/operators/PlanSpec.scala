@@ -286,6 +286,49 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("marginAlign never force-broadcasts the per-id neighborhood aggregates") {
+    // fwdMean/bwdMean carry ONE ROW PER SOURCE/TARGET VECTOR — corpus-
+    // sized, not model-sized — so a broadcast() hint on them would ship
+    // the whole corpus's neighborhood means to every executor and OOM at
+    // mining scale. With the auto-broadcast threshold disabled, the ONLY
+    // way those joins can plan as broadcast is a hint; assert none does,
+    // on both the exact path and a corpus-scale ANN path.
+    val conf = spark.conf
+    val oldB = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      def side(l: Int) = e.filter(col("label") === l)
+        .select(col("vec_id").as("id"), col("embedding"))
+      for (strategy <- Seq("exact", "lsh")) {
+        // sparkPlan (pre-AQE) so join nodes are directly collectable
+        val plan = SimilarityOps
+          .marginAlign(side(0), side(1), k = 4, minMarginPpm = 0L, strategy = strategy)
+          .queryExecution.sparkPlan
+        // non-vacuity: the exact path's INTENDED hint (bruteForceTopK
+        // broadcasts the query-side projection into the non-equi cosine
+        // join) must be visible to the same collect the assertion uses
+        if (strategy == "exact")
+          assert(plan.collect {
+            case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+          }.nonEmpty, "expected the hinted query-side broadcast in the exact plan")
+        // the per-id aggregate joins are equi-joins on src_id/tgt_id, so
+        // a (wrong) broadcast hint on them would plan as BroadcastHashJoin
+        val offending = plan.collect {
+          case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if (j.left.output ++ j.right.output)
+              .exists(a => a.name == "fsum" || a.name == "bsum") => j
+        }
+        assert(offending.isEmpty,
+          s"$strategy: per-id aggregate join must shuffle, not broadcast:\n" +
+            offending.map(_.toString.take(300)).mkString("\n"))
+      }
+    } finally {
+      oldB.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+    }
+  }
+
   test("triangles: oriented edges build once; wedge plan joins only the pinned frame") {
     // Spark does NOT reuse the oriented-edge exchange across the three
     // self-join consumers (measured: 0 ReusedExchange, 25 Exchanges
