@@ -13,19 +13,26 @@ import org.apache.spark.sql.SparkSession
  * session init would otherwise land on the first query), then each query
  * is fully materialized through the noop sink — count() would let column
  * pruning skip most of the scan work for non-aggregating queries.
- * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 2) and reports
- * the per-query MINIMUM — steady-state throughput, robust to transient
- * I/O or scheduler noise on shared hosts (a single noisy run was
- * observed to inflate an untouched 1 s scan query to 17 s).
  *
- * ADAPTIVE re-runs: when the observed runs for a query still disagree by
- * more than 1.5x (max/min), the measurement is noise-dominated and extra
- * runs are taken until they agree or SPARK_GRAFT_BENCH_MAX_RUNS (default
- * 4) is reached. Identical code has measured 2.06/5.08/2.05 s across
- * three sessions on sub-5 s rows — without the adaptive pass the
- * round-over-round comparison carries ±50% noise on exactly the rows a
- * regression would first show up in. Min-of-agreeing-runs keeps the
- * reported number isolated-run-equivalent.
+ * INTERLEAVED passes: the whole suite runs SPARK_GRAFT_BENCH_RUNS times
+ * (default 2) as full passes — every query once, then every query again —
+ * and each query reports its MINIMUM across passes. Interleaving matters:
+ * back-to-back per-query repeats sample the SAME transient (one GC storm
+ * or page-cache eviction hits both runs), so repeats agreed while
+ * round-over-round numbers on byte-identical code still swung 0.39x-1.61x
+ * (measured, rounds 8 vs 9). Spreading a query's runs across the session
+ * makes the two samples independent draws, and min-across-passes then
+ * converges on the steady-state time.
+ *
+ * ADAPTIVE re-runs: after the base passes, queries whose two SMALLEST
+ * times still disagree by more than 1.5x are noise-dominated and take
+ * extra runs — again interleaved across the noisy set — until the two
+ * smallest agree or SPARK_GRAFT_BENCH_MAX_RUNS (default 4) per query is
+ * reached. Comparing the two smallest (not max/min) is what lets an
+ * agreeing extra run RELEASE the query: the old max/min gate kept the
+ * original outlier in the window, so once runs disagreed no number of
+ * agreeing runs could ever satisfy it and every noisy query burned to
+ * maxRuns.
  *
  * A failing query is NOT silently timed as ~0 s: it is reported in a
  * "failed" list, its time excluded from the total, and the process exits
@@ -64,40 +71,62 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val maxRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RUNS", "4").toInt.max(runs)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val suite = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      def once(): Option[Double] = {
-        val t0 = System.nanoTime()
-        val r =
-          try { materialize(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
-          catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] QUERY FAILED $name: $e")
-              None
-          }
-        // release operator-pinned checkpoint blocks between queries
-        // (graft.core.Blocks ownership convention) — without this a
-        // long multi-query session accumulates block-manager state and
-        // late queries time up to ~3x slower than isolated runs
-        graft.core.Blocks.releaseAll(spark)
-        r
-      }
-      var attempts = 0
-      var times = Vector.empty[Double]
-      var anyFailed = false
-      while (attempts < runs ||
-             (!anyFailed && attempts < maxRuns && times.nonEmpty &&
-              times.max / times.min > 1.5)) {
-        attempts += 1
-        once() match {
-          case Some(t) => times :+= t
-          case None    => anyFailed = true
+
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Option[Double] = {
+      val t0 = System.nanoTime()
+      val r =
+        try { materialize(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] QUERY FAILED $name: $e")
+            None
         }
+      // release operator-pinned checkpoint blocks between queries
+      // (graft.core.Blocks ownership convention) — without this a
+      // long multi-query session accumulates block-manager state and
+      // late queries time up to ~3x slower than isolated runs
+      graft.core.Blocks.releaseAll(spark)
+      r
+    }
+
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    val failedSet = scala.collection.mutable.Set.empty[String]
+    // noise-dominated = the two smallest observed times disagree >1.5x
+    // (max/min would pin the original outlier in the window forever)
+    def noisy(name: String): Boolean = {
+      val sorted = times(name).sorted
+      sorted.length >= 2 && sorted(1) / sorted(0) > 1.5
+    }
+    // base passes: whole suite per pass, so a query's samples are spread
+    // across the session instead of sharing one transient
+    for (_ <- 1 to runs; (name, fn) <- suite if !failedSet(name))
+      once(name, fn) match {
+        case Some(t) => times(name) :+= t
+        case None    => failedSet += name
       }
-      // a query that failed ANY run is reported failed — retries may not
-      // hide flakiness
-      (name, if (times.isEmpty) 0.0 else times.min, !anyFailed && times.nonEmpty)
+    // adaptive passes: still interleaved — one extra run per noisy query
+    // per sweep, until its two smallest agree or maxRuns is spent
+    var sweeping = true
+    while (sweeping) {
+      val due = suite.filter { case (name, _) =>
+        !failedSet(name) && times(name).length < maxRuns && noisy(name)
+      }
+      sweeping = due.nonEmpty
+      for ((name, fn) <- due)
+        once(name, fn) match {
+          case Some(t) => times(name) :+= t
+          case None    => failedSet += name
+        }
+    }
+    // a query that failed ANY run is reported failed — retries may not
+    // hide flakiness
+    val results = suite.map { case (name, _) =>
+      val t = times(name)
+      (name, if (t.isEmpty) 0.0 else t.min, !failedSet(name) && t.nonEmpty)
     }
     val passed = results.filter(_._3)
     val failed = results.filterNot(_._3).map(_._1)
