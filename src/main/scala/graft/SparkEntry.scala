@@ -3833,10 +3833,11 @@ object SparkEntry {
 
     // full register replay: md5-derived 60-bit hash, top-8-bit index,
     // rank via minimal-width bin() length (identical on both engines),
-    // exact integer harmonic sum, float only in the final milli
-    // estimate (identical literal arithmetic both sides)
+    // exact integer harmonic sum; the linear-counting branch reads the
+    // SAME StrictMath-generated integer table as the Spark side
+    // (SketchOps.linearCountMilli) so no engine ever takes a float ln
     "p_distinct_hll" ->
-      """WITH h AS (
+      s"""WITH h AS (
         |  SELECT event_type,
         |         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
         |  FROM events),
@@ -3865,7 +3866,7 @@ object SparkEntry {
         |  FROM e)
         |SELECT est.event_type, m, v_empty, s_inv,
         |       CASE WHEN v_empty > 0 AND raw_milli <= 2500 * 256
-        |            THEN CAST(floor(256000.0 * ln(256.0 / v_empty::DOUBLE) + 0.5) AS BIGINT)
+        |            THEN list_extract(${operators.SketchOps.linearCountMilli(8).mkString("[", ",", "]")}, v_empty)
         |            ELSE raw_milli END AS est_milli,
         |       x.n_exact
         |FROM est JOIN (SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact

@@ -123,6 +123,23 @@ object SketchOps {
       .agg(max(col("_rank")).as("_r"))
   }
 
+  /**
+   * The small-range (linear-counting) estimate table: floor(m·10³·ln(m/v)
+   * + 0.5) for v = 1..m, computed ONCE with `StrictMath.log` (fdlibm —
+   * bit-identical on every JVM) and embedded as integer LITERALS in both
+   * engines' plans. The branch used to evaluate `m·ln(m/v)` in floating
+   * point on each engine independently; a last-ulp libm difference
+   * (Spark's intrinsic `Math.log` vs DuckDB's libm `ln`) could flip the
+   * `floor(x+0.5)` milli estimate at a half-integer boundary and break
+   * the bit-for-bit replay the sketch promises. With the table, the only
+   * `ln` ever taken lives here, and both engines compare integers.
+   */
+  private[graft] def linearCountMilli(p: Int): Array[Long] = {
+    val m = 1 << p
+    Array.tabulate(m)(i =>
+      math.floor(m * 1000.0 * StrictMath.log(m.toDouble / (i + 1)) + 0.5).toLong)
+  }
+
   /** Estimate finisher over a [[hllRegisters]] table (see
     * [[hllDistinct]] for the arithmetic contract). */
   def hllFromRegisters(regs: DataFrame, groupCols: Seq[String],
@@ -144,9 +161,11 @@ object SketchOps {
           / col("s_inv").cast("double") + lit(0.5)).cast("long"))
       .withColumn("est_milli",
         when(col("v_empty") > 0 && col("_raw_milli") <= lit(2500L * m),
-          // small-range correction: linear counting over empty registers
-          floor(lit(m * 1000.0) * log(lit(m.toDouble) / col("v_empty").cast("double"))
-            + lit(0.5)).cast("long"))
+          // small-range correction: linear counting over empty registers,
+          // via the shared integer table (see linearCountMilli) — v_empty
+          // is in [1, m] inside this branch, a valid 1-based index
+          element_at(typedLit(linearCountMilli(p).toSeq),
+            col("v_empty").cast("int")))
           .otherwise(col("_raw_milli")))
       .drop("_raw_milli")
   }

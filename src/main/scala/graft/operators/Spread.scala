@@ -17,6 +17,15 @@ import org.apache.spark.sql.DataFrame
  * where the scan is already parallel. Streaming frames pass through
  * untouched (`.rdd` is illegal on them; micro-batch inputs get their
  * parallelism from the source).
+ *
+ * CONSTRAINT — the partition probe plans the frame twice: `df.rdd`
+ * below triggers a full physical planning of the upstream frame (the
+ * RDD is materialized lazily, but the PLAN is built eagerly), and the
+ * caller's later action plans it again. That is acceptable here
+ * because every call site hands Spread a RAW SCAN (planning cost ~ms,
+ * no shuffle re-derivation); do NOT call it on a frame downstream of
+ * joins/aggregates — probe `df.inputFiles.length` there instead, or
+ * pre-spread the scan before composing.
  */
 private[graft] object Spread {
   def apply(df: DataFrame): DataFrame = {

@@ -213,6 +213,28 @@ class SketchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(smallEst - 30) < 3, s"linear counting should be near-exact: $smallEst")
   }
 
+  test("linear-counting branch is integer-exact via the shared StrictMath table") {
+    val ss = spark; import ss.implicits._
+    // the table IS the contract: both engines embed these literals, so
+    // no runtime ln is ever taken and a last-ulp libm difference can't
+    // flip a floor(x+0.5) boundary. Pin the endpoints and the midpoint
+    // against independently-computed values (ln 256 = 8·ln 2).
+    val t = SketchOps.linearCountMilli(8)
+    assert(t.length == 256)
+    assert(t(0) == 1419565L, s"v=1: 256000·ln(256) milli = ${t(0)}")   // 1419565.4257…
+    assert(t(127) == 177446L, s"v=128: 256000·ln(2) milli = ${t(127)}") // 177445.6781…
+    assert(t(255) == 0L, "v=m: ln(1) = 0")
+    assert(t.sliding(2).forall(w => w(0) > w(1)), "strictly decreasing in v")
+    // and the operator must READ the table: a 30-distinct group lands in
+    // the branch, so est_milli equals the v_empty'th entry exactly
+    val small = (1 to 30).map(i => ("s", s"x$i")).toDF("grp", "v")
+    val row = SketchOps.hllDistinct(small, Seq("grp"), "v").collect().head
+    val vEmpty = row.getAs[Long]("v_empty").toInt
+    assert(vEmpty > 200, s"premise: linear regime, v_empty=$vEmpty")
+    assert(row.getAs[Long]("est_milli") == t(vEmpty - 1),
+      s"est_milli must be the table entry for v_empty=$vEmpty")
+  }
+
   test("hllRegisters runs under Structured Streaming; finisher over streamed registers equals batch") {
     // the gridCells split applied to HLL: register max is an ordinary
     // streaming aggregate (≤ m state rows per group), the estimate is
