@@ -29,7 +29,13 @@ object ScaleCurve {
     val dirs = Seq("sf0.001", "sf0.01", "sf0.1").map(sf => sf -> s"/root/testdata/$sf") ++
       (if (new java.io.File("/tmp/sf1graft").isDirectory) Seq("sf1*" -> "/tmp/sf1graft") else Nil)
 
+    // SCALECURVE_ONLY=hll,margin_lsh limits the run to named operators —
+    // an iteration aid for adding new rows without re-measuring all ~70
+    val only = sys.env.get("SCALECURVE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
     def run(name: String, f: String => DataFrame): Unit = {
+      if (!only.forall(_.contains(name))) return
       val cells = dirs.map { case (sf, dir) =>
         val t0 = System.nanoTime()
         val n = f(dir).count()
@@ -217,6 +223,41 @@ object ScaleCurve {
         SimilarityOps.bruteForceTopK(e.filter(col("id") < 5), e, 10),
         SimilarityOps.bruteForceTopK(t.filter(col("id") < 5), t, 10), 60, 5)
     })
+
+    // round-8 operators (r8 verdict task: commit their growth shapes)
+    run("hll", d => graft.operators.SketchOps.hllDistinct(
+      evs(d).select(col("event_type"), col("user_id")), Seq("event_type"), "user_id"))
+    run("silhouette", d => {
+      val e = spark.read.parquet(s"$d/embeddings.parquet")
+      graft.operators.KMeansOps.labelSilhouette(e, "vec_id", "label", "embedding")
+    })
+    def marginSide(d: String, l: Int) =
+      spark.read.parquet(s"$d/embeddings.parquet").filter(col("label") === l)
+        .select(col("vec_id").as("id"), col("embedding"))
+    run("margin_exact", d =>
+      SimilarityOps.marginAlign(marginSide(d, 0), marginSide(d, 1), 4, 0L))
+    run("margin_lsh", d =>
+      SimilarityOps.marginAlign(marginSide(d, 0), marginSide(d, 1), 4, 0L, "lsh"))
+    run("margin_ivf", d =>
+      SimilarityOps.marginAlign(marginSide(d, 0), marginSide(d, 1), 4, 0L, "ivf"))
+    run("zipf", d => graft.operators.TextOps.zipfDecades(docs(d), "text"))
+    run("fertility", d => graft.operators.TextOps.fertilityAudit(docs(d), "lang", "text"))
+    run("pii_audit", d => graft.operators.TextOps.piiAudit(docs(d), "doc_id", "text"))
+    run("padding_waste", d => graft.operators.SampleOps.paddingWaste(docs(d),
+      graft.operators.TextOps.tokenCount(col("text")), Seq(64L, 128L, 256L, 512L)))
+    run("mixture_drift", d => {
+      val a = docs(d)
+      graft.operators.SampleOps.mixtureDrift(
+        a, a.filter(!(col("lang") === "en" && col("doc_id") % 3 === 0)), "lang")
+    })
+    // the fixed→AUTO price pair: fixed 24-bit bands vs corpus-priced
+    // autoBandBits (the r8 s_split_leakage change)
+    def leakSplits(d: String) = graft.operators.SampleOps.splitAssign(
+      embs(d), "id", Seq("train" -> 900, "val" -> 50, "test" -> 50))
+    run("split_leak_fixed", d =>
+      SimilarityOps.splitLeakage(embs(d), leakSplits(d), "id", "split", 0.4, nbits = 24))
+    run("split_leak_auto", d =>
+      SimilarityOps.splitLeakage(embs(d), leakSplits(d), "id", "split", 0.4))
 
     spark.stop()
   }
