@@ -21,9 +21,28 @@ package graft.operators
  *    scan. Coefficients accumulate across scans and dequantize+IDCT
  *    once at EOI; a progressive stream truncated before EOI returns
  *    None (the honest-refusal contract — no partial renders).
- *  - Arithmetic coding, 12-bit precision, hierarchical, and anything
+ *  - 12-bit precision (P=12 on SOF1/SOF2, T.81 Table B.2): full
+ *    decode at the wider range — level shift 2048, clamp 4095, DC
+ *    categories to 15 / AC sizes to 14 (Tables F.1/F.2), 16-bit DQT —
+ *    emitting the top 8 bits (>> 4, the standard display mapping) so
+ *    the byte-sample output schema is precision-independent.
+ *  - Hierarchical (T.81 Annex J): DHP sequence header, a
+ *    non-differential first frame (SOF0/SOF1, possibly reduced
+ *    resolution), EXP 1:2 reference expansion with the J.1.1.2
+ *    (a+b+1)>>1 interpolation (edge-replicated), and differential
+ *    sequential frames (SOF5 — DC coded without prediction per
+ *    F.1.1.5.2, difference IDCT without level shift, clamped add
+ *    onto the reference). Every frame must carry the DHP's component
+ *    set; the sequence must end at the DHP dims. Differential
+ *    PROGRESSIVE frames (SOF6) and lossless (SOF3/7/11/15) refuse.
+ *  - Arithmetic coding (SOF9/SOF10/SOF13/SOF14) and anything
  *    truncated or desynced returns None — callers fall back to
- *    compressed-blob features exactly as before.
+ *    compressed-blob features exactly as before. Arithmetic stays a
+ *    refusal DELIBERATELY: the QM-coder needs the 113-row Qe state
+ *    table of T.81 Table D.3 verbatim, no copy exists in this
+ *    container, and a from-memory reconstruction validated only
+ *    against this file's own encoder would be self-consistent yet
+ *    non-conformant — the honest-refusal contract beats that.
  *
  * The IDCT is the separable double-precision form of the T.81 A.3.3
  * formula; Java FP is strict (IEEE 754) since JDK 17, so results are
@@ -180,6 +199,19 @@ object JpegBaseline {
     var dri = 0
     var progressive = false
     var sawScan = false
+    var precision = 8
+    // hierarchical (T.81 Annex J) sequence state: DHP pins the full
+    // dims + component set; per-component reference planes at TRUE
+    // component resolution accumulate across frames
+    var hier = false
+    var hierW = 0; var hierH = 0
+    var hierIds: Array[Int] = null
+    var hierHv: Array[Int] = null
+    var refs: Array[Array[Int]] = null
+    var refCw: Array[Int] = null
+    var refCh: Array[Int] = null
+    var pendingExp = -1 // (Eh<<4)|Ev from an EXP marker, -1 = none
+    var differential = false
     var pos = 2
     while (pos + 1 < b.length) {
       if ((b(pos) & 0xff) != 0xff) return None // desynced marker stream
@@ -189,9 +221,24 @@ object JpegBaseline {
         pos += 2
         marker match {
           case 0xd8 | 0x01 => // SOI / TEM: no payload
-          case 0xd9 => // EOI: progressive frames finish here
+          case 0xd9 => // EOI: progressive and hierarchical frames finish here
+            if (hier) {
+              // the sequence must have reached the DHP's full dims
+              if (!sawScan || refs == null || refs.exists(_ == null)) return None
+              if (width != hierW || height != hierH) return None
+              val hmax = comps.map(_.h).max
+              val vmax = comps.map(_.v).max
+              var i = 0
+              while (i < comps.length) {
+                comps(i).plane = refs(i)
+                comps(i).planeW = refCw(i)
+                comps(i).planeH = refCh(i)
+                i += 1
+              }
+              return assemble(comps, hierW, hierH, hmax, vmax, precision)
+            }
             return if (progressive && sawScan)
-              finishProgressive(comps, width, height, quant, quantSeen)
+              finishProgressive(comps, width, height, quant, quantSeen, precision)
             else None // EOI before any SOS
           case 0xdb => // DQT: one or more tables
             val end = pos + u16(pos)
@@ -235,11 +282,53 @@ object JpegBaseline {
             if (u16(pos) != 4) throw Bail
             dri = u16(pos + 2)
             pos += 4
-          case 0xc0 | 0xc1 | 0xc2 => // SOF0 / SOF1 / SOF2 (progressive)
-            progressive = marker == 0xc2
+          case 0xde => // DHP: hierarchical sequence header (Annex J)
+            if (comps != null || hier) throw Bail // one DHP, before any frame
             val len = u16(pos)
-            if (pos + len > b.length) throw Bail
-            if ((b(pos + 2) & 0xff) != 8) return None // 12-bit: unsupported
+            if (pos + len > b.length || len < 8 || pos + 8 > b.length) throw Bail
+            precision = b(pos + 2) & 0xff
+            if (precision != 8 && precision != 12) return None
+            hierH = u16(pos + 3)
+            hierW = u16(pos + 5)
+            val nc = b(pos + 7) & 0xff
+            if (hierW <= 0 || hierH <= 0 || (nc != 1 && nc != 3)) return None
+            if (hierW.toLong * hierH * nc > maxPixels) return None
+            hierIds = new Array[Int](nc)
+            hierHv = new Array[Int](nc)
+            var i = 0
+            while (i < nc) {
+              val o = pos + 8 + 3 * i
+              if (o + 2 >= pos + len) throw Bail
+              hierIds(i) = b(o) & 0xff
+              hierHv(i) = b(o + 1) & 0xff // Tq byte is unspecified in DHP
+              i += 1
+            }
+            hier = true
+            refs = new Array[Array[Int]](nc)
+            refCw = new Array[Int](nc)
+            refCh = new Array[Int](nc)
+            pos += len
+          case 0xdf => // EXP: expand reference 1:2 before the next frame
+            if (!hier || refs == null || refs(0) == null) throw Bail
+            if (u16(pos) != 3 || pos + 2 >= b.length) throw Bail
+            val ehv = b(pos + 2) & 0xff
+            val eh = ehv >> 4; val ev = ehv & 0x0f
+            if (eh > 1 || ev > 1 || (eh == 0 && ev == 0)) throw Bail
+            pendingExp = ehv
+            pos += 3
+          case 0xc0 | 0xc1 | 0xc2 | 0xc5 => // SOF0/1, SOF2 (progressive), SOF5 (diff seq)
+            progressive = marker == 0xc2
+            differential = marker == 0xc5
+            if (differential && !hier) return None // diff frame needs a DHP sequence
+            if (hier && progressive) return None   // prog-in-hier: out of scope
+            val len = u16(pos)
+            if (pos + len > b.length || len < 8 || pos + 8 > b.length) throw Bail
+            val framePrec = b(pos + 2) & 0xff
+            // T.81 Table B.2: SOF0 is 8-bit only; extended sequential
+            // (SOF1) and progressive (SOF2) also allow 12-bit
+            if (framePrec != 8 && !(framePrec == 12 && marker != 0xc0)) return None
+            if (hier && framePrec != precision) throw Bail // J: frames match DHP precision
+            precision = framePrec
             height = u16(pos + 3)
             width = u16(pos + 5)
             val nc = b(pos + 7) & 0xff
@@ -257,9 +346,20 @@ object JpegBaseline {
               if (c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4 || c.tq > 3) throw Bail
               c
             }
+            if (hier) {
+              // every frame carries the DHP's component set, same order
+              if (nc != hierIds.length) throw Bail
+              var i = 0
+              while (i < nc) {
+                if (comps(i).id != hierIds(i) ||
+                    ((comps(i).h << 4) | comps(i).v) != hierHv(i)) throw Bail
+                i += 1
+              }
+              if (width > hierW || height > hierH) throw Bail
+            }
             pos += len
           case m if m >= 0xc3 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
-            return None // arithmetic / lossless / hierarchical frames
+            return None // arithmetic / lossless / differential-progressive frames
           case 0xda => // SOS: scan header then entropy data
             if (comps == null) throw Bail
             val len = u16(pos)
@@ -284,21 +384,69 @@ object JpegBaseline {
               p += 2
               i += 1
             }
-            if (!progressive)
+            if (hier) {
+              // decode this frame's planes, then fold into the
+              // per-component references (expand first if EXP pended)
+              pos = decodeScanPlanes(b, pos + len, comps, width, height, quant,
+                quantSeen, dcTab, acTab, dri, precision, differential)
+              val hmax = comps.map(_.h).max
+              val vmax = comps.map(_.v).max
+              val maxVal = (1 << precision) - 1
+              var i = 0
+              while (i < comps.length) {
+                val c = comps(i)
+                val cw = (width * c.h + hmax - 1) / hmax
+                val ch = (height * c.v + vmax - 1) / vmax
+                if (pendingExp >= 0) {
+                  val (ep, ew, eh2) = expandPlane(refs(i), refCw(i), refCh(i),
+                    pendingExp >> 4, pendingExp & 0x0f)
+                  // the expanded reference may overshoot an odd frame
+                  // dim by one; crop to the frame's component size
+                  if (ew < cw || eh2 < ch || ew > cw + 1 || eh2 > ch + 1) throw Bail
+                  refs(i) = cropPlane(ep, ew, cw, ch)
+                  refCw(i) = cw; refCh(i) = ch
+                }
+                if (differential) {
+                  if (refs(i) == null || refCw(i) != cw || refCh(i) != ch) throw Bail
+                  val r = refs(i)
+                  var y = 0
+                  while (y < ch) {
+                    var x = 0
+                    val ro = y * cw
+                    val po = y * c.planeW
+                    while (x < cw) {
+                      val s = r(ro + x) + c.plane(po + x)
+                      r(ro + x) = if (s < 0) 0 else if (s > maxVal) maxVal else s
+                      x += 1
+                    }
+                    y += 1
+                  }
+                } else {
+                  if (refs(i) != null) throw Bail // second full frame: corrupt
+                  refs(i) = cropPlane(c.plane, c.planeW, cw, ch)
+                  refCw(i) = cw; refCh(i) = ch
+                }
+                i += 1
+              }
+              pendingExp = -1
+              sawScan = true
+            } else if (!progressive) {
               return decodeScan(b, pos + len, comps, width, height, quant, quantSeen,
-                dcTab, acTab, dri)
-            // progressive: Ss/Se/AhAl select the band and bit plane
-            if (p + 2 >= b.length) throw Bail
-            val ss = b(p) & 0xff
-            val se = b(p + 1) & 0xff
-            val ah = (b(p + 2) & 0xff) >> 4
-            val al = b(p + 2) & 0x0f
-            if (ss > 63 || se > 63 || se < ss || ah > 13 || al > 13) throw Bail
-            if (ss == 0 && se != 0) throw Bail          // DC scans are DC-only
-            if (ss > 0 && ns != 1) throw Bail           // AC scans: one component
-            sawScan = true
-            pos = decodeProgressiveScan(b, pos + len, comps, scanComps,
-              width, height, ss, se, ah, al, dcTab, acTab, dri)
+                dcTab, acTab, dri, precision)
+            } else {
+              // progressive: Ss/Se/AhAl select the band and bit plane
+              if (p + 2 >= b.length) throw Bail
+              val ss = b(p) & 0xff
+              val se = b(p + 1) & 0xff
+              val ah = (b(p + 2) & 0xff) >> 4
+              val al = b(p + 2) & 0x0f
+              if (ss > 63 || se > 63 || se < ss || ah > 13 || al > 13) throw Bail
+              if (ss == 0 && se != 0) throw Bail          // DC scans are DC-only
+              if (ss > 0 && ns != 1) throw Bail           // AC scans: one component
+              sawScan = true
+              pos = decodeProgressiveScan(b, pos + len, comps, scanComps,
+                width, height, ss, se, ah, al, dcTab, acTab, dri)
+            }
           case m if m >= 0xd0 && m <= 0xd7 => // stray RST outside a scan
             throw Bail
           case _ => // APPn, COM, everything else: skip by length
@@ -312,7 +460,24 @@ object JpegBaseline {
   private def decodeScan(b: Array[Byte], scanStart: Int, comps: Array[Component],
                          width: Int, height: Int, quant: Array[Array[Int]],
                          quantSeen: Array[Boolean], dcTab: Array[Huff],
-                         acTab: Array[Huff], dri: Int): Option[Decoded] = {
+                         acTab: Array[Huff], dri: Int,
+                         precision: Int = 8): Option[Decoded] = {
+    decodeScanPlanes(b, scanStart, comps, width, height, quant, quantSeen,
+      dcTab, acTab, dri, precision, differential = false)
+    assemble(comps, width, height, comps.map(_.h).max, comps.map(_.v).max, precision)
+  }
+
+  /** The sequential-scan entropy core: fills every component's plane
+    * (samples for non-differential frames, signed sample DIFFERENCES
+    * for a hierarchical differential frame — T.81 J.1, coded without
+    * DC prediction and without level shift) and returns the byte
+    * position just past the scan's entropy data, so a hierarchical
+    * marker loop can keep parsing the next frame. */
+  private def decodeScanPlanes(b: Array[Byte], scanStart: Int, comps: Array[Component],
+                               width: Int, height: Int, quant: Array[Array[Int]],
+                               quantSeen: Array[Boolean], dcTab: Array[Huff],
+                               acTab: Array[Huff], dri: Int,
+                               precision: Int, differential: Boolean): Int = {
     val hmax = comps.map(_.h).max
     val vmax = comps.map(_.v).max
     val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
@@ -349,8 +514,14 @@ object JpegBaseline {
               // entropy-decode one block (T.81 F.2.2)
               java.util.Arrays.fill(coef, 0)
               val t = r.decodeHuff(dcTab(c.td))
-              if (t > 11) throw Bail
-              c.pred += extend(r.receive(t), t)
+              // DC diff categories: 0..11 at 8-bit, 0..15 at 12-bit
+              // (T.81 Table F.1 extends with the wider sample range);
+              // differential frames span 2x the sample range, one more
+              if (t > (if (precision == 12) 15 else if (differential) 12 else 11)) throw Bail
+              val dcv = extend(r.receive(t), t)
+              // differential frames code each block's DC directly,
+              // without prediction (F.1.1.5.2: PRED is zero)
+              if (differential) c.pred = dcv else c.pred += dcv
               coef(0) = c.pred * q(0)
               var k = 1
               var eob = false
@@ -370,7 +541,7 @@ object JpegBaseline {
                   k += 1
                 }
               }
-              idct(coef, tmp, block)
+              idct(coef, tmp, block, precision, differential)
               // place into the component plane
               val px0 = (mx * c.h + bx) * 8
               val py0 = (my * c.v + by) * 8
@@ -395,13 +566,21 @@ object JpegBaseline {
       }
       my += 1
     }
-    assemble(comps, width, height, hmax, vmax)
+    r.alignedPos
   }
 
   /** Gray passthrough, or nearest-neighbor upsample + JFIF YCbCr->RGB —
-    * shared by the baseline and progressive finish paths. */
+    * shared by the baseline and progressive finish paths. 12-bit
+    * frames transform at full precision (chroma offset 2048, clamp to
+    * 4095) and emit the TOP 8 BITS (>> 4) — the standard display
+    * mapping — so `Decoded`'s byte-sample schema is precision-
+    * independent and downstream feature stages see one contract. */
   private def assemble(comps: Array[Component], width: Int, height: Int,
-                       hmax: Int, vmax: Int): Option[Decoded] = {
+                       hmax: Int, vmax: Int, precision: Int = 8): Option[Decoded] = {
+    val shift = precision - 8
+    val half = 1 << (precision - 1)
+    val maxVal = (1 << precision) - 1
+    def clampP(v: Int): Int = if (v < 0) 0 else if (v > maxVal) maxVal else v
     if (comps.length == 1) {
       val c = comps(0)
       val out = new Array[Byte](width * height)
@@ -409,7 +588,7 @@ object JpegBaseline {
       while (y < height) {
         var x = 0
         while (x < width) {
-          out(y * width + x) = c.plane(y * c.planeW + x).toByte
+          out(y * width + x) = (c.plane(y * c.planeW + x) >> shift).toByte
           x += 1
         }
         y += 1
@@ -423,12 +602,12 @@ object JpegBaseline {
         var x = 0
         while (x < width) {
           val yv = cy.plane((y * cy.v / vmax) * cy.planeW + (x * cy.h / hmax))
-          val bv = cb.plane((y * cb.v / vmax) * cb.planeW + (x * cb.h / hmax)) - 128
-          val rv = cr.plane((y * cr.v / vmax) * cr.planeW + (x * cr.h / hmax)) - 128
+          val bv = cb.plane((y * cb.v / vmax) * cb.planeW + (x * cb.h / hmax)) - half
+          val rv = cr.plane((y * cr.v / vmax) * cr.planeW + (x * cr.h / hmax)) - half
           val o = (y * width + x) * 3
-          out(o) = clamp(math.round(yv + 1.402 * rv).toInt).toByte
-          out(o + 1) = clamp(math.round(yv - 0.344136 * bv - 0.714136 * rv).toInt).toByte
-          out(o + 2) = clamp(math.round(yv + 1.772 * bv).toInt).toByte
+          out(o) = (clampP(math.round(yv + 1.402 * rv).toInt) >> shift).toByte
+          out(o + 1) = (clampP(math.round(yv - 0.344136 * bv - 0.714136 * rv).toInt) >> shift).toByte
+          out(o + 2) = (clampP(math.round(yv + 1.772 * bv).toInt) >> shift).toByte
           x += 1
         }
         y += 1
@@ -617,7 +796,8 @@ object JpegBaseline {
     * the progressive finish at EOI. */
   private def finishProgressive(comps: Array[Component], width: Int, height: Int,
                                 quant: Array[Array[Int]],
-                                quantSeen: Array[Boolean]): Option[Decoded] = {
+                                quantSeen: Array[Boolean],
+                                precision: Int = 8): Option[Decoded] = {
     if (comps == null || comps.exists(_.coefs == null)) return None
     val hmax = comps.map(_.h).max
     val vmax = comps.map(_.v).max
@@ -637,7 +817,7 @@ object JpegBaseline {
           val base = (by * c.fullBw + bx) * 64
           var k = 0
           while (k < 64) { coef(Zigzag(k)) = c.coefs(base + k) * q(k); k += 1 }
-          idct(coef, tmp, block)
+          idct(coef, tmp, block, precision)
           val px0 = bx * 8
           val py0 = by * 8
           var yy = 0
@@ -652,14 +832,76 @@ object JpegBaseline {
         by += 1
       }
     }
-    assemble(comps, width, height, hmax, vmax)
+    assemble(comps, width, height, hmax, vmax, precision)
   }
 
   private def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
 
+  /** Crop a padded (MCU-grid) plane to the component's true size. */
+  private def cropPlane(plane: Array[Int], planeW: Int, cw: Int, ch: Int): Array[Int] = {
+    val out = new Array[Int](cw * ch)
+    var y = 0
+    while (y < ch) {
+      System.arraycopy(plane, y * planeW, out, y * cw, cw)
+      y += 1
+    }
+    out
+  }
+
+  /** 1:2 reference expansion, T.81 J.1.1.2: even outputs copy the
+    * input, odd outputs interpolate (a + b + 1) >> 1 with the trailing
+    * edge replicated — horizontal then vertical when both are set. */
+  private def expandPlane(p: Array[Int], w: Int, h: Int,
+                          eh: Int, ev: Int): (Array[Int], Int, Int) = {
+    var cur = p; var cw = w; var ch = h
+    if (eh == 1) {
+      val out = new Array[Int](2 * cw * ch)
+      var y = 0
+      while (y < ch) {
+        var x = 0
+        val in0 = y * cw
+        val o0 = y * 2 * cw
+        while (x < cw) {
+          val a = cur(in0 + x)
+          val b = if (x + 1 < cw) cur(in0 + x + 1) else a
+          out(o0 + 2 * x) = a
+          out(o0 + 2 * x + 1) = (a + b + 1) >> 1
+          x += 1
+        }
+        y += 1
+      }
+      cur = out; cw *= 2
+    }
+    if (ev == 1) {
+      val out = new Array[Int](cw * 2 * ch)
+      var y = 0
+      while (y < ch) {
+        var x = 0
+        val in0 = y * cw
+        val in1 = if (y + 1 < ch) (y + 1) * cw else y * cw
+        val o0 = 2 * y * cw
+        val o1 = (2 * y + 1) * cw
+        while (x < cw) {
+          val a = cur(in0 + x)
+          out(o0 + x) = a
+          out(o1 + x) = (a + cur(in1 + x) + 1) >> 1
+          x += 1
+        }
+        y += 1
+      }
+      cur = out; ch *= 2
+    }
+    (cur, cw, ch)
+  }
+
   /** Separable IDCT + level shift + clamp: rows then columns through
-    * the cosine basis, matching the direct T.81 A.3.3 double sum. */
-  private def idct(coef: Array[Int], tmp: Array[Double], out: Array[Int]): Unit = {
+    * the cosine basis, matching the direct T.81 A.3.3 double sum.
+    * The level shift and clamp range follow the frame's sample
+    * precision (A.3.1: 2^(P−1) and [0, 2^P − 1]). Differential
+    * (hierarchical) blocks code DIFFERENCES: no level shift, clamped
+    * symmetric to ±(2^P − 1) before adding to the reference. */
+  private def idct(coef: Array[Int], tmp: Array[Double], out: Array[Int],
+                   precision: Int = 8, differential: Boolean = false): Unit = {
     // rows: G(x, v) = sum_u ct(x)(u) F(u, v)
     var v = 0
     while (v < 8) {
@@ -673,7 +915,10 @@ object JpegBaseline {
       }
       v += 1
     }
-    // cols: P(x, y) = sum_v ct(y)(v) G(x, v), then +128 and clamp
+    // cols: P(x, y) = sum_v ct(y)(v) G(x, v), then +2^(P-1) and clamp
+    val half = if (differential) 0.0 else (1 << (precision - 1)).toDouble
+    val maxVal = (1 << precision) - 1
+    val minVal = if (differential) -maxVal else 0
     var x = 0
     while (x < 8) {
       var y = 0
@@ -681,7 +926,8 @@ object JpegBaseline {
         var s = 0.0
         var vv = 0
         while (vv < 8) { s += Cos(y)(vv) * tmp(x * 8 + vv); vv += 1 }
-        out(x * 8 + y) = clamp(math.round(s + 128.0).toInt)
+        val p = math.round(s + half).toInt
+        out(x * 8 + y) = if (p < minVal) minVal else if (p > maxVal) maxVal else p
         y += 1
       }
       x += 1
@@ -716,6 +962,17 @@ object JpegBaseline {
   }
   private val EncDcCodes = canonicalCodes(EncDcBits, EncDcVals)
   private val EncAcCodes = canonicalCodes(EncAcBits, EncAcVals)
+
+  // 12-bit variants (T.81 Table F.1/F.2 extended ranges): DC categories
+  // 0..15 as 16 codes at 5 bits, AC (run,size) for sizes 1..14 plus
+  // EOB/ZRL as 226 codes at 8 bits — canonical, all-ones unused in both
+  private val EncDc12Bits = Array(0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val EncDc12Vals = Array.tabulate(16)(identity)
+  private val EncAc12Bits = Array(0, 0, 0, 0, 0, 0, 0, 226, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val EncAc12Vals: Array[Int] =
+    Array(0x00, 0xf0) ++ (for (run <- 0 to 15; size <- 1 to 14) yield (run << 4) | size)
+  private val EncDc12Codes = canonicalCodes(EncDc12Bits, EncDc12Vals)
+  private val EncAc12Codes = canonicalCodes(EncAc12Bits, EncAc12Vals)
 
   // progressive AC table: the baseline symbols PLUS the EOBn run-length
   // symbols 0x10..0xE0 (r<<4, size 0) Annex G scans use — 176 codes,
@@ -758,30 +1015,34 @@ object JpegBaseline {
     if (size > 0) w.put(if (v < 0) v + (1 << size) - 1 else v, size)
   }
 
-  private def writeBlock(w: BitWriter, zz: Array[Int], pred: Int): Int = {
+  private def writeBlock(w: BitWriter, zz: Array[Int], pred: Int,
+                         dcCodes: Map[Int, (Int, Int)] = EncDcCodes,
+                         acCodes: Map[Int, (Int, Int)] = EncAcCodes,
+                         maxAcSize: Int = 10): Int = {
     val diff = zz(0) - pred
     val t = category(diff)
-    putCoded(w, EncDcCodes, t, diff, t)
+    putCoded(w, dcCodes, t, diff, t)
     var run = 0
     var k = 1
     while (k < 64) {
       if (zz(k) == 0) run += 1
       else {
-        while (run > 15) { putCoded(w, EncAcCodes, 0xf0, 0, 0); run -= 16 }
+        while (run > 15) { putCoded(w, acCodes, 0xf0, 0, 0); run -= 16 }
         val size = category(zz(k))
-        require(size <= 10, "encoder AC table covers sizes 1..10")
-        putCoded(w, EncAcCodes, (run << 4) | size, zz(k), size)
+        require(size <= maxAcSize, s"encoder AC table covers sizes 1..$maxAcSize")
+        putCoded(w, acCodes, (run << 4) | size, zz(k), size)
         run = 0
       }
       k += 1
     }
-    if (run > 0) putCoded(w, EncAcCodes, 0x00, 0, 0) // EOB
+    if (run > 0) putCoded(w, acCodes, 0x00, 0, 0) // EOB
     zz(0)
   }
 
   private def writeSegments(bos: java.io.ByteArrayOutputStream, quantZz: Array[Int],
                             width: Int, height: Int,
-                            comps: Seq[(Int, Int, Int)], dri: Int = 0): Unit = {
+                            comps: Seq[(Int, Int, Int)], dri: Int = 0,
+                            sofMarker: Int = 0xc0, precision: Int = 8): Unit = {
     def seg(marker: Int, payload: Array[Int]): Unit = {
       bos.write(0xff); bos.write(marker)
       val len = payload.length + 2
@@ -790,11 +1051,15 @@ object JpegBaseline {
     }
     bos.write(0xff); bos.write(0xd8) // SOI
     seg(0xdb, Array(0x00) ++ quantZz) // DQT table 0, 8-bit
-    seg(0xc0, Array(8, (height >> 8) & 0xff, height & 0xff,
+    seg(sofMarker, Array(precision, (height >> 8) & 0xff, height & 0xff,
       (width >> 8) & 0xff, width & 0xff, comps.length) ++
       comps.flatMap { case (id, h, v) => Seq(id, (h << 4) | v, 0) })
-    seg(0xc4, Array(0x00) ++ EncDcBits ++ EncDcVals ++
-      Array(0x10) ++ EncAcBits ++ EncAcVals)
+    if (precision == 12)
+      seg(0xc4, Array(0x00) ++ EncDc12Bits ++ EncDc12Vals ++
+        Array(0x10) ++ EncAc12Bits ++ EncAc12Vals)
+    else
+      seg(0xc4, Array(0x00) ++ EncDcBits ++ EncDcVals ++
+        Array(0x10) ++ EncAcBits ++ EncAcVals)
     if (dri > 0) seg(0xdd, Array((dri >> 8) & 0xff, dri & 0xff))
     seg(0xda, Array(comps.length) ++ comps.flatMap { case (id, _, _) => Seq(id, 0x00) } ++
       Array(0, 63, 0))
@@ -829,6 +1094,92 @@ object JpegBaseline {
       i += 1
     }
     w.flush()
+    bos.write(0xff); bos.write(0xd9) // EOI
+    bos.toByteArray
+  }
+
+  /**
+   * 12-bit grayscale EXTENDED SEQUENTIAL encoder (SOF1, P=12) over
+   * quantized zigzag blocks — the [[encodeGrayBlocks]] counterpart for
+   * the 12-bit decode path. Same flat-block exactness contract at the
+   * wider range: a flat block of sample v has DC coefficient
+   * 8·(v−2048), so DC quant 8 round-trips v exactly and the decoder
+   * emits v >> 4 (the top-8-bits display mapping `assemble` documents).
+   */
+  private[graft] def encodeGray12Blocks(blocks: Array[Array[Int]], blocksW: Int,
+                                        blocksH: Int, quantZz: Array[Int],
+                                        dri: Int = 0): Array[Byte] = {
+    require(blocks.length == blocksW * blocksH && blocks.forall(_.length == 64))
+    require(quantZz.length == 64 && quantZz.forall(q => q >= 1 && q <= 255))
+    val bos = new java.io.ByteArrayOutputStream()
+    writeSegments(bos, quantZz, blocksW * 8, blocksH * 8, Seq((1, 1, 1)), dri,
+      sofMarker = 0xc1, precision = 12)
+    val w = new BitWriter(bos)
+    var pred = 0
+    var rstN = 0
+    var i = 0
+    while (i < blocks.length) {
+      if (dri > 0 && i > 0 && i % dri == 0) {
+        w.flush()
+        bos.write(0xff); bos.write(0xd0 + rstN)
+        rstN = (rstN + 1) % 8
+        pred = 0
+      }
+      pred = writeBlock(w, blocks(i), pred, EncDc12Codes, EncAc12Codes, maxAcSize = 14)
+      i += 1
+    }
+    w.flush()
+    bos.write(0xff); bos.write(0xd9) // EOI
+    bos.toByteArray
+  }
+
+  /**
+   * Grayscale HIERARCHICAL encoder (Annex J) for fixture synthesis:
+   * DHP at full resolution, a half-resolution non-differential SOF0
+   * frame over `loBlocks` (loBw x loBh quantized zigzag blocks), EXP
+   * (1:2 both axes), then a full-resolution SOF5 DIFFERENTIAL frame
+   * over `diffBlocks` (2loBw x 2loBh blocks coding the quantized DCT
+   * of target − upsampled reference; DC without prediction, no level
+   * shift). Flat-block exactness carries over: with DC quant 8, a flat
+   * lo block v1 and flat diff block d decode to exactly v1 + d.
+   */
+  private[graft] def encodeGrayHier(loBlocks: Array[Array[Int]], loBw: Int, loBh: Int,
+                                    diffBlocks: Array[Array[Int]],
+                                    quantZz: Array[Int]): Array[Byte] = {
+    require(loBlocks.length == loBw * loBh && loBlocks.forall(_.length == 64))
+    require(diffBlocks.length == 4 * loBw * loBh && diffBlocks.forall(_.length == 64))
+    require(quantZz.length == 64 && quantZz.forall(q => q >= 1 && q <= 255))
+    val bos = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, payload: Array[Int]): Unit = {
+      bos.write(0xff); bos.write(marker)
+      val len = payload.length + 2
+      bos.write((len >> 8) & 0xff); bos.write(len & 0xff)
+      payload.foreach(bos.write)
+    }
+    val loW = loBw * 8; val loH = loBh * 8
+    val fullW = 2 * loW; val fullH = 2 * loH
+    bos.write(0xff); bos.write(0xd8) // SOI
+    seg(0xde, Array(8, (fullH >> 8) & 0xff, fullH & 0xff, // DHP: full dims
+      (fullW >> 8) & 0xff, fullW & 0xff, 1, 1, 0x11, 0))
+    seg(0xdb, Array(0x00) ++ quantZz)
+    seg(0xc4, Array(0x00) ++ EncDcBits ++ EncDcVals ++
+      Array(0x10) ++ EncAcBits ++ EncAcVals)
+    // frame 1: non-differential half-resolution SOF0
+    seg(0xc0, Array(8, (loH >> 8) & 0xff, loH & 0xff,
+      (loW >> 8) & 0xff, loW & 0xff, 1, 1, 0x11, 0))
+    seg(0xda, Array(1, 1, 0x00, 0, 63, 0))
+    val w1 = new BitWriter(bos)
+    var pred = 0
+    loBlocks.foreach { zz => pred = writeBlock(w1, zz, pred) }
+    w1.flush()
+    // EXP 1:2 both axes, then frame 2: differential full-resolution SOF5
+    seg(0xdf, Array(0x11))
+    seg(0xc5, Array(8, (fullH >> 8) & 0xff, fullH & 0xff,
+      (fullW >> 8) & 0xff, fullW & 0xff, 1, 1, 0x11, 0))
+    seg(0xda, Array(1, 1, 0x00, 0, 63, 0))
+    val w2 = new BitWriter(bos)
+    diffBlocks.foreach { zz => writeBlock(w2, zz, 0) } // DC coded without prediction
+    w2.flush()
     bos.write(0xff); bos.write(0xd9) // EOI
     bos.toByteArray
   }

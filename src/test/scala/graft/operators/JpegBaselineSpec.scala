@@ -100,6 +100,136 @@ class JpegBaselineSpec extends AnyFunSuite {
       assert(math.abs((d.samples(i) & 0xff) - want(i)) <= 1, s"pixel $i")
   }
 
+  test("12-bit extended sequential: flat blocks round-trip to the top-8-bit mapping") {
+    // flat 12-bit block v: DC coefficient 8*(v-2048), DC quant 8 makes
+    // the round-trip exact at full precision; output is v >> 4
+    def flat12(v: Int): Array[Int] = { val zz = new Array[Int](64); zz(0) = v - 2048; zz }
+    val vals = Array(0, 4095, 2048, 40 << 4, 3000)
+    // 5 blocks of a 40x8 frame; DRI exercises the restart path at P=12
+    val jpeg = JpegBaseline.encodeGray12Blocks(vals.map(flat12), 5, 1, flatQuant, dri = 2)
+    // the stream declares SOF1 P=12 (byte after the SOF length)
+    assert(jpeg.sliding(2).indexWhere(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc1) > 0)
+    val d = JpegBaseline.decodePixels(jpeg).get
+    assert((d.width, d.height, d.channels) === ((40, 8, 1)))
+    for (b <- vals.indices; y <- 0 until 8; x <- 0 until 8)
+      assert((d.samples(y * 40 + b * 8 + x) & 0xff) === (vals(b) >> 4),
+        s"block $b pixel ($x,$y)")
+  }
+
+  test("12-bit: wide DC categories (to 15) and AC sizes above 10 decode") {
+    // DC quant 1 keeps the full 8*(v-2048) coefficient: block-to-block
+    // diffs reach +-32760 = category 15, and AC values up to +-8191
+    // need sizes 11..14 — none of which exist in the 8-bit tables
+    val quant1 = Array.fill(64)(1)
+    val b0 = new Array[Int](64); b0(0) = 8 * (0 - 2048)     // -16384
+    val b1 = new Array[Int](64); b1(0) = 8 * (4095 - 2048)  // +16376: diff 32760, cat 15
+    b1(5) = 8191; b1(9) = -4096                             // AC sizes 13-14
+    val jpeg = JpegBaseline.encodeGray12Blocks(Array(b0, b1), 2, 1, quant1)
+    val d = JpegBaseline.decodePixels(jpeg).get
+    // block 0 is flat 0, block 1 has the reference-IDCT pixels >> 4
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert((d.samples(y * 16 + x) & 0xff) === 0, s"b0 ($x,$y)")
+    val natural = new Array[Int](64)
+    for (k <- 0 until 64) natural(JpegBaseline.Zigzag(k)) = b1(k) * 1
+    // reference 12-bit IDCT: textbook sum, +2048 shift, 4095 clamp
+    for (row <- 0 until 8; col <- 0 until 8) {
+      var s = 0.0
+      for (u <- 0 until 8; v <- 0 until 8) {
+        val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+        val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+        s += cu * cv / 4.0 * natural(u * 8 + v) *
+          math.cos((2 * row + 1) * u * math.Pi / 16.0) *
+          math.cos((2 * col + 1) * v * math.Pi / 16.0)
+      }
+      val want12 = math.max(0, math.min(4095, math.round(s + 2048.0).toInt))
+      val got = d.samples(row * 16 + 8 + col) & 0xff
+      assert(math.abs(got - (want12 >> 4)) <= 1,
+        s"b1 ($col,$row): got $got want ${want12 >> 4}")
+    }
+  }
+
+  test("hierarchical: flat lo frame + EXP + flat differential corrections round-trip") {
+    // one 8x8 lo block at 100, four full-res diff quadrant blocks: the
+    // decoded 16x16 image is exactly 100 + d per quadrant (flat blocks
+    // survive DC-quant-8 exactly in BOTH frames; a flat reference
+    // upsamples to itself, so the correction applies to a flat base)
+    val lo = { val zz = new Array[Int](64); zz(0) = 100 - 128; zz }
+    def diff(d: Int): Array[Int] = { val zz = new Array[Int](64); zz(0) = d; zz }
+    val ds = Array(30, -20, 0, 100) // block raster order: TL TR BL BR
+    val jpeg = JpegBaseline.encodeGrayHier(Array(lo), 1, 1, ds.map(diff), flatQuant)
+    // the stream really is hierarchical: DHP, EXP, SOF5 all present
+    def has(m: Int): Boolean =
+      jpeg.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == m)
+    assert(has(0xde) && has(0xdf) && has(0xc5))
+    val d = JpegBaseline.decodePixels(jpeg).get
+    assert((d.width, d.height, d.channels) === ((16, 16, 1)))
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val want = 100 + ds((y / 8) * 2 + (x / 8))
+      assert((d.samples(y * 16 + x) & 0xff) === want, s"pixel ($x,$y)")
+    }
+  }
+
+  test("hierarchical: non-flat reference goes through the J.1.1.2 interpolation") {
+    // lo block with AC structure, zero diff frame: the output must be
+    // the lo frame's pixels expanded by the (a+b+1)>>1 filter — checked
+    // against an upsample computed here from the reference-IDCT pixels
+    val lo = new Array[Int](64)
+    lo(0) = 10; lo(1) = -40; lo(8) = 25; lo(5) = 7
+    val zeroDiff = Array.fill(4)(new Array[Int](64))
+    val jpeg = JpegBaseline.encodeGrayHier(Array(lo), 1, 1, zeroDiff, flatQuant)
+    val d = JpegBaseline.decodePixels(jpeg).get
+    val base = expectedPixels(lo, flatQuant) // 8x8 reference pixels
+    // independent 1:2 expand: horizontal then vertical, edge replicated
+    val hw = new Array[Int](16 * 8)
+    for (y <- 0 until 8; x <- 0 until 16) {
+      val a = base(y * 8 + x / 2)
+      hw(y * 16 + x) =
+        if (x % 2 == 0) a
+        else { val b = if (x / 2 + 1 < 8) base(y * 8 + x / 2 + 1) else a; (a + b + 1) >> 1 }
+    }
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val a = hw((y / 2) * 16 + x)
+      val want =
+        if (y % 2 == 0) a
+        else { val b = if (y / 2 + 1 < 8) hw((y / 2 + 1) * 16 + x) else a; (a + b + 1) >> 1 }
+      val got = d.samples(y * 16 + x) & 0xff
+      // base pixels carry the usual +-1 separable-vs-naive IDCT slack,
+      // halved-then-rounded by the filter: allow the same +-1
+      assert(math.abs(got - want) <= 1, s"pixel ($x,$y): got $got want $want")
+    }
+  }
+
+  test("hierarchical: malformed sequences refuse cleanly") {
+    val lo = { val zz = new Array[Int](64); zz(0) = 0; zz }
+    def diff(d: Int): Array[Int] = { val zz = new Array[Int](64); zz(0) = d; zz }
+    val good = JpegBaseline.encodeGrayHier(Array(lo), 1, 1, Array.fill(4)(diff(0)), flatQuant)
+    assert(JpegBaseline.decodePixels(good).isDefined)
+    // (a) differential SOF5 with no DHP: strip the DHP segment AND
+    // demote frame 1 to SOF5 (without the demotion the leading SOF0
+    // frame is a perfectly valid standalone baseline stream)
+    val dhpIdx = good.sliding(2).indexWhere(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xde)
+    val dhpLen = ((good(dhpIdx + 2) & 0xff) << 8) | (good(dhpIdx + 3) & 0xff)
+    val noDhp = good.take(dhpIdx) ++ good.drop(dhpIdx + 2 + dhpLen)
+    val c0 = noDhp.sliding(2).indexWhere(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc0)
+    noDhp(c0 + 1) = 0xc5.toByte
+    assert(JpegBaseline.decodePixels(noDhp).isEmpty)
+    // (b) frame dims exceeding the DHP dims refuse
+    val c5 = good.sliding(2).indexWhere(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc5)
+    val bad = good.clone()
+    bad(c5 + 7) = 64.toByte // SOF5 width low byte: 16 -> 64 > DHP's 16
+    assert(JpegBaseline.decodePixels(bad).isEmpty)
+    // (c) truncation inside the differential frame's entropy data
+    assert(JpegBaseline.decodePixels(good.dropRight(6)).isEmpty)
+  }
+
+  test("12-bit on SOF0 refuses (T.81: baseline is 8-bit only)") {
+    def flat12(v: Int): Array[Int] = { val zz = new Array[Int](64); zz(0) = v - 2048; zz }
+    val jpeg = JpegBaseline.encodeGray12Blocks(Array(flat12(3000)), 1, 1, flatQuant)
+    val i = jpeg.sliding(2).indexWhere(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc1)
+    jpeg(i + 1) = 0xc0.toByte // demote the frame marker to SOF0, keep P=12
+    assert(JpegBaseline.decodePixels(jpeg).isEmpty)
+  }
+
   test("restart markers: DRI resets predictors and realigns") {
     // 8 MCUs with dri=3 -> RST0 after 3, RST1 after 6; DC predictors
     // reset at each boundary, so values after a marker re-encode from 0

@@ -26,13 +26,19 @@ class MediaFuzzSpec extends AnyFunSuite {
     }
     val jpeg = JpegBaseline.encodeGrayBlocks(zz, 3, 2, Array.tabulate(64)(k => 1 + k % 17), dri = 2)
     val jpegProg = JpegBaseline.encodeGrayProgressive(zz, 3, 2, Array.tabulate(64)(k => 1 + k % 17))
+    val zz12 = zz.map { a => val b = a.clone(); b(0) = b(0) * 16 - 2048; b(5) = 6000; b }
+    val jpeg12 = JpegBaseline.encodeGray12Blocks(zz12, 3, 2, Array.tabulate(64)(k => 1 + k % 17), dri = 2)
+    val jpegHier = JpegBaseline.encodeGrayHier(Array(zz(0)), 1, 1,
+      Array.tabulate(4) { i => val a = new Array[Int](64); a(0) = i * 9 - 13; a(7) = 3; a },
+      Array.tabulate(64)(k => 1 + k % 17))
     val gif = GifPixels.encodeGifGray(Array.tabulate(100)(i => ((i * i * 7) % 256).toByte), 10, 10)
     val gifInterlaced = GifPixels.encodeGifGrayInterlaced(
       Array.tabulate(176)(i => ((i * i * 7 + 3) % 256).toByte), 16, 11)
     val wav = MultimodalOps.encodeWavPcm(Array.tabulate(40)(i => i * 1337 % 30000 - 15000), 16, 2, 16000)
     val avi = MultimodalOps.encodeAviMjpeg(Array(jpeg, "not a jpeg".getBytes("US-ASCII")), 24, 16)
     Seq(("png", png), ("png-adam7", pngAdam7), ("jpeg", jpeg), ("jpeg-prog", jpegProg),
-      ("gif", gif), ("gif-interlaced", gifInterlaced), ("wav", wav), ("avi", avi))
+      ("jpeg-12bit", jpeg12), ("jpeg-hier", jpegHier), ("gif", gif),
+      ("gif-interlaced", gifInterlaced), ("wav", wav), ("avi", avi))
   }
 
   private def decodeAll(b: Array[Byte]): Unit = {
