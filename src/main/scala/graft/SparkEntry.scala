@@ -953,6 +953,33 @@ object SparkEntry {
       // (integer-division replayable, unlike a log-log slope)
       TextOps.zipfDecades(table(s, dir, "documents"), "text")),
 
+    "t_scripts" -> ((s, dir) => {
+      // Unicode script-mix audit over a corpus with PLANTED non-Latin
+      // segments (the synthetic corpus is ASCII; planting exercises
+      // every script class on both engines identically)
+      val planted = table(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 1, lit(" Привет мир")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 2, lit(" λόγος 你好 こんにちは")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 3, lit(" مرحبا שלום")).otherwise(lit("")))
+          .as("text"))
+      TextOps.scriptMix(planted, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    "t_distinct_n" -> ((s, dir) =>
+      // corpus distinct-1/2/3 diversity: the template/replica detector
+      // that fires long before whole-document dedup sees a duplicate
+      TextOps.distinctNgrams(table(s, dir, "documents"), "text").orderBy("n")),
+
+    "p_ks_drift" -> ((s, dir) => {
+      // exact two-sample KS gate on document lengths between snapshot
+      // A and a filtered snapshot B — the distribution-shape release
+      // check per-domain shares can't see
+      val a = table(s, dir, "documents")
+      val b = a.filter(!(col("lang") === "en" && col("doc_id") % 3 === 0))
+      SampleOps.ksDrift(a, b, "n_chars")
+    }),
+
     "p_padding_waste" -> ((s, dir) =>
       // length-bucketed batching audit: padding + truncation cost per
       // power-of-two bucket over whitespace token counts
@@ -3872,6 +3899,65 @@ object SparkEntry {
         |FROM est JOIN (SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
         |               FROM events GROUP BY 1) x USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    // script classes identical to TextOps.ScriptClasses (RE2 \x{} vs
+    // Java \u escapes, same BMP ranges); counts are codepoint-exact on
+    // both engines, dominance CASE chain mirrors the foldRight order
+    "t_scripts" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 1 THEN ' Привет мир' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 2 THEN ' λόγος 你好 こんにちは' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 3 THEN ' مرحبا שלום' ELSE '' END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    (length(text) - length(regexp_replace(text, '[A-Za-z\x{00C0}-\x{024F}]', '', 'g')))::BIGINT AS latin,
+        |    (length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')))::BIGINT AS cyrillic,
+        |    (length(text) - length(regexp_replace(text, '[\x{0370}-\x{03FF}]', '', 'g')))::BIGINT AS greek,
+        |    (length(text) - length(regexp_replace(text, '[\x{0600}-\x{06FF}]', '', 'g')))::BIGINT AS arabic,
+        |    (length(text) - length(regexp_replace(text, '[\x{0590}-\x{05FF}]', '', 'g')))::BIGINT AS hebrew,
+        |    (length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]', '', 'g')))::BIGINT AS cjk,
+        |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT AS digit
+        |  FROM planted)
+        |SELECT doc_id, latin, cyrillic, greek, arabic, hebrew, cjk, digit,
+        |  CASE WHEN latin > 0 AND latin = greatest(latin, cyrillic, greek, arabic, hebrew, cjk, digit) THEN 'latin'
+        |       WHEN cyrillic > 0 AND cyrillic = greatest(latin, cyrillic, greek, arabic, hebrew, cjk, digit) THEN 'cyrillic'
+        |       WHEN greek > 0 AND greek = greatest(latin, cyrillic, greek, arabic, hebrew, cjk, digit) THEN 'greek'
+        |       WHEN arabic > 0 AND arabic = greatest(latin, cyrillic, greek, arabic, hebrew, cjk, digit) THEN 'arabic'
+        |       WHEN hebrew > 0 AND hebrew = greatest(latin, cyrillic, greek, arabic, hebrew, cjk, digit) THEN 'hebrew'
+        |       WHEN cjk > 0 AND cjk = greatest(latin, cyrillic, greek, arabic, hebrew, cjk, digit) THEN 'cjk'
+        |       WHEN digit > 0 AND digit = greatest(latin, cyrillic, greek, arabic, hebrew, cjk, digit) THEN 'digit'
+        |       ELSE 'none' END AS dominant
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "t_distinct_n" ->
+      """WITH a AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT t.n, array_to_string(a.ws[r.i : r.i + t.n - 1], ' ') AS gram
+        |  FROM a, (VALUES (1),(2),(3)) t(n), UNNEST(range(1, greatest(len(a.ws) - t.n + 2, 1))) AS r(i)),
+        |c AS (SELECT n, gram, count(*) AS f FROM g GROUP BY 1, 2)
+        |SELECT n::BIGINT AS n, sum(f)::BIGINT AS total_grams, count(*)::BIGINT AS distinct_grams,
+        |       CAST(count(*) * 1000000 // sum(f) AS BIGINT) AS distinct_ppm
+        |FROM c GROUP BY 1 ORDER BY n""".stripMargin,
+
+    // ppm-quantized CDFs BEFORE the difference (bounded longs at any
+    // corpus size — no na*nb cross product), mirroring SampleOps.ksDrift
+    "p_ks_drift" ->
+      """WITH a AS (SELECT n_chars AS v, count(*) AS ca FROM documents GROUP BY 1),
+        |b AS (SELECT n_chars AS v, count(*) AS cb FROM documents
+        |      WHERE NOT (lang = 'en' AND doc_id % 3 = 0) GROUP BY 1),
+        |u AS (SELECT coalesce(a.v, b.v) AS v, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |      FROM a FULL OUTER JOIN b ON a.v = b.v),
+        |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM u),
+        |c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cuma, sum(cb) OVER (ORDER BY v) AS cumb FROM u),
+        |d AS (SELECT v, abs(CAST(cuma * 1000000 // na AS BIGINT) - CAST(cumb * 1000000 // nb AS BIGINT)) AS dppm FROM c, t)
+        |SELECT (SELECT na FROM t)::BIGINT AS n_a, (SELECT nb FROM t)::BIGINT AS n_b,
+        |       max(dppm)::BIGINT AS ks_ppm,
+        |       min(v) FILTER (WHERE dppm = (SELECT max(dppm) FROM d))::BIGINT AS at_value
+        |FROM d""".stripMargin,
 
     "p_mixture_drift" ->
       """WITH a AS (SELECT lang, count(*)::BIGINT AS n_a FROM documents GROUP BY 1),

@@ -440,6 +440,52 @@ object SampleOps {
           coalesce(col("share_a_ppm"), lit(0L))).as("delta_ppm"))
   }
 
+  /**
+   * Exact two-sample Kolmogorov–Smirnov DRIFT GATE over an integer
+   * column — the distribution-shape release check [[mixtureDrift]]'s
+   * per-domain shares can't see: a refreshed crawl whose language MIX
+   * is unchanged but whose DOCUMENT LENGTHS collapsed (truncation bug,
+   * boilerplate change) moves the KS statistic and nothing else.
+   * Reports D = max |cdf_A − cdf_B| in ppm, with the value where the
+   * max is attained (smallest such value on ties).
+   *
+   * Arithmetic contract: both CDFs are ppm-quantized BEFORE the
+   * difference (cum·10⁶ div n, integral division), so every
+   * intermediate is a bounded long — no n_A·n_B cross product that
+   * would overflow at corpus scale — and the statistic replays exactly
+   * on any engine. Quantization changes D by < 2 ppm, stated here as
+   * part of the contract rather than hidden in float rounding.
+   *
+   * Scale: one groupBy(value) count per side (map-side partial — the
+   * shuffle carries one row per DISTINCT value), a value-sized
+   * full-outer join, and ONE unpartitioned running-sum window over the
+   * distinct values — aggregate-output-sized by construction (lengths,
+   * scores, and other audit columns have bounded distinct ranges), the
+   * same deliberate shape as the grid-quantile finisher. Output: one
+   * row (n_a, n_b, ks_ppm, at_value).
+   */
+  def ksDrift(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def counts(df: DataFrame, n: String) =
+      df.groupBy(col(valueCol).cast("long").as("v")).agg(count(lit(1)).as(n))
+    val u = counts(a, "ca").join(counts(b, "cb"), Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val win = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+    val cdf = u
+      .withColumn("cuma", sum(col("ca")).over(win))
+      .withColumn("cumb", sum(col("cb")).over(win))
+      .crossJoin(broadcast(u.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))))
+      .withColumn("dppm",
+        abs(IntDiv(col("cuma") * 1000000L, col("na")) -
+            IntDiv(col("cumb") * 1000000L, col("nb"))).cast("long"))
+    val winAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cdf.withColumn("maxd", max(col("dppm")).over(winAll))
+      // na/nb/maxd are frame-constant, so first() is deterministic here
+      .agg(first(col("na")).as("n_a"), first(col("nb")).as("n_b"),
+        first(col("maxd")).as("ks_ppm"),
+        min(when(col("dppm") === col("maxd"), col("v"))).as("at_value"))
+  }
+
   def rendezvousShard(docs: DataFrame, idCol: String, shards: Int): DataFrame = {
     require(shards >= 1 && shards <= 4096, s"shards in [1,4096], got $shards")
     val candidates = array((0 until shards).map { s =>

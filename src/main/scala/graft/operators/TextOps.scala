@@ -997,4 +997,85 @@ object TextOps {
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
   }
+
+  /** The script classes of [[scriptMix]]: (name, character class) in
+    * DOMINANCE ORDER — `dominant` resolves count ties to the first
+    * listed. BMP ranges only, so codepoint counts agree between
+    * UTF8String and any engine counting characters. */
+  private[graft] val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\\u00C0-\\u024F]",
+    "cyrillic" -> "[\\u0400-\\u04FF]",
+    "greek" -> "[\\u0370-\\u03FF]",
+    "arabic" -> "[\\u0600-\\u06FF]",
+    "hebrew" -> "[\\u0590-\\u05FF]",
+    "cjk" -> "[\\u4E00-\\u9FFF\\u3040-\\u30FF\\uAC00-\\uD7AF]",
+    "digit" -> "[0-9]")
+
+  /**
+   * Unicode SCRIPT-MIX audit — the mixed-script / wrong-language-tag
+   * detector a multilingual crawl pipeline runs before language-keyed
+   * processing: per document, the character count in each major script
+   * block (Latin incl. Latin-1/Extended, Cyrillic, Greek, Arabic,
+   * Hebrew, CJK incl. kana+hangul, ASCII digits) and the dominant
+   * script (count argmax, ties to the [[ScriptClasses]] order; "none"
+   * when every class is empty). A `lang='en'` doc dominated by
+   * Cyrillic is mislabeled; a heavy latin+cyrillic mix flags
+   * homoglyph spoofing — both invisible to the n-gram [[languageId]],
+   * which assumes the doc is in SOME coherent script.
+   *
+   * Counting is `length(text) − length(regexp_replace(text, class,
+   * ""))` — one codegen'd regex pass per class, no explode, no UDF;
+   * integer counts replay exactly on any engine whose length() counts
+   * codepoints (the classes are BMP-only, so UTF-16 vs codepoint
+   * length never diverges). Scale: a per-row projection; nothing
+   * shuffles, nothing pins.
+   */
+  def scriptMix(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val counts = ScriptClasses.map { case (name, cls) =>
+      (length(t) - length(regexp_replace(t, cls, ""))).cast("long").as(name)
+    }
+    val withCounts = docs.select((col(idCol).as("doc_id") +: counts): _*)
+    val maxCount = greatest(ScriptClasses.map(c => col(c._1)): _*)
+    // foldRight keeps the FIRST listed class as the outermost when():
+    // ties resolve to dominance order, zero-everything docs say "none"
+    val dominant = ScriptClasses.foldRight(lit("none")) { case ((name, _), acc) =>
+      when(col(name) > 0 && col(name) === maxCount, lit(name)).otherwise(acc)
+    }
+    withCounts.withColumn("dominant", dominant)
+  }
+
+  /**
+   * Corpus distinct-n DIVERSITY (the distinct-1/2/3 metric of
+   * generation-diversity reporting, applied corpus-wide): for word
+   * n-grams of n = 1..`maxN`, the total and distinct gram counts and
+   * their ratio in ppm. A replica-heavy or template-heavy corpus shows
+   * a LOW distinct ratio at n=2,3 long before exact dedup finds whole
+   * duplicate documents — the cheap first look at "how much of this
+   * corpus is the same text over and over".
+   *
+   * Shape: one explode of each doc's n-gram positions via
+   * transform(sequence(...)) over the split word array (built-ins
+   * only), then groupBy(n, gram) with map-side partial aggregation —
+   * the shuffle carries one row per DISTINCT (n, gram), the same
+   * corpus-priced exchange every dedup-family operator pays — and a
+   * 3-row final aggregate. Output: (n, total_grams, distinct_grams,
+   * distinct_ppm), integral-division exact.
+   */
+  def distinctNgrams(docs: DataFrame, textCol: String, maxN: Int = 3): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"distinctNgrams maxN in [1,8], got $maxN")
+    val ws = filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)
+    val grams = (1 to maxN).map { n =>
+      docs.select(explode(
+        transform(sequence(lit(1), greatest(size(ws) - (n - 1), lit(0))),
+          i => concat_ws(" ", slice(ws, i, lit(n))))).as("gram"))
+        .select(lit(n.toLong).as("n"), col("gram"))
+    }.reduce(_ unionByName _)
+    grams.groupBy("n", "gram").agg(count(lit(1)).as("f"))
+      .groupBy("n")
+      .agg(sum(col("f")).as("total_grams"), count(lit(1)).as("distinct_grams"))
+      .select(col("n"), col("total_grams"), col("distinct_grams"),
+        IntDiv(col("distinct_grams") * 1000000L, col("total_grams"))
+          .cast("long").as("distinct_ppm"))
+  }
 }

@@ -1016,4 +1016,58 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("fr", 1L, 0L, 250000L, 0L, -250000L),   // disappeared
       ("zh", 0L, 1L, 0L, 250000L, 250000L)))   // appeared
   }
+
+  test("scriptMix: per-class codepoint counts, dominance order on ties, 'none' on empty") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq(
+      (1L, "Hello Привет λόγος 你好 مرحبا שלום 123"), // every class hit
+      (2L, "Привет мир"),                              // cyrillic dominant
+      (3L, "ab яб"),                                   // 2-2 tie -> latin (dominance order)
+      (4L, "!!! ...."),                                // no class chars -> none
+      (5L, "")                                         // empty -> none
+    ).toDF("doc_id", "text")
+    val r = TextOps.scriptMix(docs, "doc_id", "text").orderBy("doc_id").collect()
+    def row(i: Int) = r(i)
+    // doc 1: Hello=5 latin, Привет=6 cyr, λόγος=5 greek, 你好=2 cjk,
+    // مرحبا=5 arabic, שלום=4 hebrew, 123=3 digit
+    assert((1 to 7).map(row(0).getLong) == Seq(5L, 6L, 5L, 5L, 4L, 2L, 3L), row(0).toString)
+    assert(row(0).getString(8) == "cyrillic")
+    assert(row(1).getString(8) == "cyrillic" && row(1).getLong(2) == 9L)
+    assert(row(2).getString(8) == "latin", "count tie must resolve to dominance order")
+    assert(row(3).getString(8) == "none" && row(4).getString(8) == "none")
+  }
+
+  test("distinctNgrams: exact totals and distincts; repetition drops the ratio") {
+    val ss = spark; import ss.implicits._
+    // 2 docs x 4 words: unigrams 8 total / 4 distinct ({a,b,c,d});
+    // bigrams "a b","b a","a b" | "a b","b c","c d" -> 6 total /
+    // 4 distinct; trigrams "a b a","b a b" | "a b c","b c d" -> 4 / 4
+    val docs = Seq((1L, "a b a b"), (2L, "a b c d")).toDF("doc_id", "text")
+    val r = TextOps.distinctNgrams(docs, "text").orderBy("n").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      (1L, 8L, 4L, 500000L),
+      (2L, 6L, 4L, 666666L),
+      (3L, 4L, 4L, 1000000L)))
+    // a template-heavy corpus scores strictly lower at n=3 than a
+    // diverse one of the same size
+    val temp = Seq((1L, "x y z w"), (2L, "x y z w")).toDF("doc_id", "text")
+    val t3 = TextOps.distinctNgrams(temp, "text").filter(col("n") === 3)
+      .collect().head.getLong(3)
+    assert(t3 == 500000L, s"duplicated trigrams must halve the ratio: $t3")
+  }
+
+  test("ksDrift: hand-computed D in ppm, at_value ties to the smallest value") {
+    val ss = spark; import ss.implicits._
+    // A = {1,1,2,3}, B = {2,3,3,3}: cdfA = 1:.5 2:.75 3:1; cdfB = 1:0
+    // 2:.25 3:1 -> D = .5 at v=1 (also where cdfs first diverge)
+    val a = Seq(1L, 1L, 2L, 3L).toDF("v")
+    val b = Seq(2L, 3L, 3L, 3L).toDF("v")
+    val r = SampleOps.ksDrift(a, b, "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 4L, 500000L, 1L)), r.toString)
+    // identical frames: D = 0
+    val z = SampleOps.ksDrift(a, a, "v").collect().head
+    assert(z.getLong(2) == 0L)
+  }
 }
