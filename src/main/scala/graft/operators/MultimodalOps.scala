@@ -662,11 +662,15 @@ object MultimodalOps {
    * (deflate) the sample stage can be genuinely real here. Walks the
    * RIFF chunks (same hostile-size guards as [[parseWav]]), accepts
    * integer PCM (format 1, or WAVE_FORMAT_EXTENSIBLE 0xFFFE whose
-   * subformat code is 1) at 8 or 16 bits, and returns the interleaved
-   * sample stream as signed ints: 8-bit WAV stores unsigned bytes
-   * (centered by convention at 128 → sample = byte − 128), 16-bit
-   * stores signed little-endian. Returns None — the honest-fallback
-   * contract — for float/compressed formats, other bit depths, a data
+   * subformat code is 1) at 8, 16 or 24 bits, plus IEEE-float (format
+   * 3) at 32 bits, and returns the interleaved sample stream as signed
+   * ints: 8-bit WAV stores unsigned bytes (centered by convention at
+   * 128 → sample = byte − 128), 16-bit signed little-endian, 24-bit
+   * three-byte signed little-endian; float samples return quantized to
+   * the 16-bit convention (round(f·32767), clamped ±32767 —
+   * intBitsToFloat + round is bit-deterministic) so downstream stats
+   * see one scale. Returns None — the honest-fallback contract — for
+   * compressed formats, other bit depths, NaN float samples, a data
    * chunk whose declared size runs past the blob or isn't a whole
    * number of samples, or a missing fmt/data chunk. `maxSamples` caps
    * the allocation so a crafted RIFF size cannot allocate the executor
@@ -701,7 +705,29 @@ object MultimodalOps {
       }
       pos += 8 + size.toInt + (size.toInt & 1) // RIFF chunks are word-aligned
     }
-    if (fmtCode != 1 || dataOff < 0) return None
+    if (dataOff < 0) return None
+    // WAVE_FORMAT_IEEE_FLOAT (3) at 32 bits: samples are [-1,1] floats;
+    // they return quantized to the 16-bit signed convention the integer
+    // paths use (round(f*32767), clamped) so downstream stats see ONE
+    // scale. Float.intBitsToFloat + round is bit-deterministic.
+    if (fmtCode == 3) {
+      if (bits != 32 || (dataLen & 3) != 0) return None
+      val n = dataLen / 4
+      if (n > maxSamples) return None
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val o = dataOff + 4 * i
+        val f = java.lang.Float.intBitsToFloat(
+          (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | (b(o + 3) << 24))
+        if (java.lang.Float.isNaN(f)) return None // NaN samples: corruption
+        val v = math.round(f * 32767.0f)
+        out(i) = if (v < -32767) -32767 else if (v > 32767) 32767 else v
+        i += 1
+      }
+      return Some(out)
+    }
+    if (fmtCode != 1) return None
     bits match {
       case 8 =>
         if (dataLen > maxSamples) return None
@@ -720,6 +746,19 @@ object MultimodalOps {
           i += 1
         }
         Some(out)
+      case 24 =>
+        // studio-masters PCM: 3-byte signed little-endian
+        if (dataLen % 3 != 0) return None
+        val n = dataLen / 3
+        if (n > maxSamples) return None
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val o = dataOff + 3 * i
+          out(i) = ((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | (b(o + 2) << 16))
+          i += 1
+        }
+        Some(out)
       case _ => None
     }
   }
@@ -734,7 +773,7 @@ object MultimodalOps {
    */
   private[graft] def encodeWavPcm(samples: Array[Int], bits: Int,
                                   channels: Int, sampleRate: Int): Array[Byte] = {
-    require(bits == 8 || bits == 16, "integer PCM at 8 or 16 bits only")
+    require(bits == 8 || bits == 16 || bits == 24, "integer PCM at 8/16/24 bits only")
     require(samples.length % channels == 0, "samples must be whole interleaved frames")
     val bytesPer = bits / 8
     val dataLen = samples.length * bytesPer
@@ -751,10 +790,34 @@ object MultimodalOps {
     var i = 0
     while (i < samples.length) {
       if (bits == 8) buf.put((samples(i) + 128).toByte)
-      else buf.putShort(samples(i).toShort)
+      else if (bits == 16) buf.putShort(samples(i).toShort)
+      else { // 24-bit: 3 bytes little-endian
+        val v = samples(i)
+        buf.put((v & 0xff).toByte).put(((v >> 8) & 0xff).toByte).put(((v >> 16) & 0xff).toByte)
+      }
       i += 1
     }
     if ((dataLen & 1) != 0) buf.put(0.toByte) // RIFF word-alignment pad
+    buf.array()
+  }
+
+  /** IEEE-float WAV encoder (format code 3, 32-bit) — the fixture
+    * counterpart of [[decodeWavSamples]]' float path. */
+  private[graft] def encodeWavFloat(samples: Array[Float],
+                                    channels: Int, sampleRate: Int): Array[Byte] = {
+    require(samples.length % channels == 0, "samples must be whole interleaved frames")
+    val dataLen = samples.length * 4
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(3).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 4)
+      .putShort((channels * 4).toShort)
+      .putShort(32)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putFloat)
     buf.array()
   }
 

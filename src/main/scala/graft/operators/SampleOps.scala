@@ -471,14 +471,18 @@ object SampleOps {
       .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
     val win = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+    val winAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // totals come from the cumulative sums' maxima over the SAME frame
+    // (a cross join against a separate u.agg() would re-derive the
+    // whole per-side aggregate — one extra corpus scan per side)
     val cdf = u
       .withColumn("cuma", sum(col("ca")).over(win))
       .withColumn("cumb", sum(col("cb")).over(win))
-      .crossJoin(broadcast(u.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))))
+      .withColumn("na", max(col("cuma")).over(winAll))
+      .withColumn("nb", max(col("cumb")).over(winAll))
       .withColumn("dppm",
         abs(IntDiv(col("cuma") * 1000000L, col("na")) -
             IntDiv(col("cumb") * 1000000L, col("nb"))).cast("long"))
-    val winAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     cdf.withColumn("maxd", max(col("dppm")).over(winAll))
       // na/nb/maxd are frame-constant, so first() is deterministic here
       .agg(first(col("na")).as("n_a"), first(col("nb")).as("n_b"),

@@ -1065,13 +1065,17 @@ object TextOps {
   def distinctNgrams(docs: DataFrame, textCol: String, maxN: Int = 3): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"distinctNgrams maxN in [1,8], got $maxN")
     val ws = filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)
-    val grams = (1 to maxN).map { n =>
-      docs.select(explode(
-        transform(sequence(lit(1), greatest(size(ws) - (n - 1), lit(0))),
-          i => concat_ws(" ", slice(ws, i, lit(n))))).as("gram"))
-        .select(lit(n.toLong).as("n"), col("gram"))
-    }.reduce(_ unionByName _)
-    grams.groupBy("n", "gram").agg(count(lit(1)).as("f"))
+    // ONE scan and ONE explode for every n: the per-n gram arrays
+    // concatenate inside a single projection (the word split is shared
+    // by subexpression elimination), instead of a per-n union that
+    // would re-read the corpus maxN times
+    val gramArr = concat((1 to maxN).map { n =>
+      transform(sequence(lit(1), greatest(size(ws) - (n - 1), lit(0))),
+        i => struct(lit(n.toLong).as("n"), concat_ws(" ", slice(ws, i, lit(n))).as("gram")))
+    }: _*)
+    docs.select(explode(gramArr).as("g"))
+      .select(col("g.n").as("n"), col("g.gram").as("gram"))
+      .groupBy("n", "gram").agg(count(lit(1)).as("f"))
       .groupBy("n")
       .agg(sum(col("f")).as("total_grams"), count(lit(1)).as("distinct_grams"))
       .select(col("n"), col("total_grams"), col("distinct_grams"),

@@ -35,10 +35,13 @@ class MediaFuzzSpec extends AnyFunSuite {
     val gifInterlaced = GifPixels.encodeGifGrayInterlaced(
       Array.tabulate(176)(i => ((i * i * 7 + 3) % 256).toByte), 16, 11)
     val wav = MultimodalOps.encodeWavPcm(Array.tabulate(40)(i => i * 1337 % 30000 - 15000), 16, 2, 16000)
+    val wav24 = MultimodalOps.encodeWavPcm(Array.tabulate(30)(i => i * 524287 % 8000000 - 4000000), 24, 2, 48000)
+    val wavF = MultimodalOps.encodeWavFloat(Array.tabulate(32)(i => (i * 7 % 19 - 9) / 10.0f), 2, 16000)
     val avi = MultimodalOps.encodeAviMjpeg(Array(jpeg, "not a jpeg".getBytes("US-ASCII")), 24, 16)
     Seq(("png", png), ("png-adam7", pngAdam7), ("jpeg", jpeg), ("jpeg-prog", jpegProg),
       ("jpeg-12bit", jpeg12), ("jpeg-hier", jpegHier), ("gif", gif),
-      ("gif-interlaced", gifInterlaced), ("wav", wav), ("avi", avi))
+      ("gif-interlaced", gifInterlaced), ("wav", wav), ("wav-24", wav24),
+      ("wav-float", wavF), ("avi", avi))
   }
 
   private def decodeAll(b: Array[Byte]): Unit = {

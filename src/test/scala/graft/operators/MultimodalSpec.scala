@@ -233,12 +233,32 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       buf.array()
     }
     assert(MultimodalOps.decodeWavSamples(extensible(1)).exists(_.sameElements(s16)))
-    assert(MultimodalOps.decodeWavSamples(extensible(3)) === None) // IEEE float
-    // plain float (format 3) and 24-bit PCM refuse too
+    // float (format 3) MUST be 32-bit: a float header over 16-bit data
+    // is malformed, whichever way it's declared
+    assert(MultimodalOps.decodeWavSamples(extensible(3)) === None)
     val float3 = base.clone(); float3(20) = 3
     assert(MultimodalOps.decodeWavSamples(float3) === None)
+    // a 24-bit header over a 32-byte payload isn't whole samples
     val deep = base.clone(); deep(34) = 24
     assert(MultimodalOps.decodeWavSamples(deep) === None)
+  }
+
+  test("decodeWavSamples: 24-bit PCM and IEEE-float paths round-trip") {
+    // 24-bit: full-range signed values survive the 3-byte round-trip
+    val s24 = Array(0, 1, -1, 8388607, -8388608, 123456, -654321)
+    val w24 = MultimodalOps.encodeWavPcm(s24 ++ s24.take(1), bits = 24, channels = 2,
+      sampleRate = 48000)
+    assert(MultimodalOps.decodeWavSamples(w24).exists(_.sameElements(s24 ++ s24.take(1))))
+    // float: samples return quantized to round(f*32767), clamped
+    val fs = Array(0.0f, 1.0f, -1.0f, 0.5f, -0.25f, 2.0f, -3.0f)
+    val wf = MultimodalOps.encodeWavFloat(fs, channels = 1, sampleRate = 16000)
+    val got = MultimodalOps.decodeWavSamples(wf).get
+    assert(got.toSeq == Seq(0, 32767, -32767, 16384, -8192, 32767, -32767), got.toSeq)
+    // NaN samples are corruption, not data
+    val nan = MultimodalOps.encodeWavFloat(Array(0.1f, Float.NaN), 1, 16000)
+    assert(MultimodalOps.decodeWavSamples(nan) === None)
+    // truncated float data (not a whole sample) refuses
+    assert(MultimodalOps.decodeWavSamples(wf.dropRight(2)) === None)
   }
 
   test("decodeWavSamples refuses hostile and corrupt streams") {
