@@ -1455,6 +1455,31 @@ object SparkEntry {
       MultimodalOps.sampleFeatures(media).orderBy("media_id")
     }),
 
+    "m_media_samples_deep" -> ((s, dir) => {
+      // the deep-audio sample paths: %3==0 docs carry 24-bit PCM
+      // (full-range 3-byte signed LE), %3==1 carry IEEE-float WAVs
+      // whose samples are k/256 floats (exactly representable, no
+      // .5-rounding boundaries) so the decoder's round(f*32767)
+      // quantization replays as exact double arithmetic in the
+      // oracle; %3==2 docs are magic-less junk -> compressed-byte
+      // fallback, decoded=false
+      val buildWav = udf { (docId: Long) =>
+        if (docId % 3 == 0L) {
+          val s24 = Array.tabulate(48)(i =>
+            (((docId * 31 + i * 1717) % 16000000) - 8000000).toInt)
+          MultimodalOps.encodeWavPcm(s24, bits = 24, channels = 1, sampleRate = 48000)
+        } else {
+          val fs = Array.tabulate(48)(i =>
+            (((docId * 31 + i * 17) % 200) - 100).toFloat / 256.0f)
+          MultimodalOps.encodeWavFloat(fs, channels = 1, sampleRate = 16000)
+        }
+      }
+      val docs = table(s, dir, "documents").withColumn("blob",
+        when(col("doc_id") % 3 === 2, unhex(unknownHex)).otherwise(buildWav(col("doc_id"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+      MultimodalOps.sampleFeatures(media).orderBy("media_id")
+    }),
+
     "m_media_audio_frames" -> ((s, dir) => {
       // windowed audio features over the same planted WAVs: 3 frames
       // of 16 samples each — integer energy, floor'd milli RMS,
@@ -3931,6 +3956,9 @@ object SparkEntry {
         |       ELSE 'none' END AS dominant
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    // the Spark side groups by the fused kernel's XXH64 gram hash; the
+    // oracle groups by the gram STRINGS — identical while collision-
+    // free (guaranteed at this scale; priced in the operator scaladoc)
     "t_distinct_n" ->
       """WITH a AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
@@ -4921,6 +4949,43 @@ object SparkEntry {
         |       len(list_filter(generate_series(2, 48),
         |             j -> (sl[j - 1] < 0) <> (sl[j] < 0)))::BIGINT AS zero_crossings
         |FROM wav
+        |UNION ALL
+        |SELECT doc_id AS media_id, 'unknown' AS format, false AS decoded,
+        |       17::BIGINT AS n_samples,
+        |       floor(list_sum(b) * 1000 / 17.0)::BIGINT AS mean_milli,
+        |       list_max(b)::BIGINT AS peak,
+        |       0::BIGINT AS zero_crossings
+        |FROM junk
+        |ORDER BY media_id""".stripMargin,
+
+    // 24-bit samples replay as exact integer arithmetic; float samples
+    // as round(k*32767/256.0) in doubles — k/256 is exactly
+    // representable and |k| <= 100 never lands on a .5 boundary
+    // (that needs k ≡ 128 mod 256), so float-vs-double rounding and
+    // both engines' round conventions agree by construction
+    "m_media_samples_deep" ->
+      """WITH deep AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0
+        |              THEN list_transform(generate_series(0, 47),
+        |                     i -> ((doc_id * 31 + i * 1717) % 16000000) - 8000000)
+        |              ELSE list_transform(generate_series(0, 47),
+        |                     i -> CAST(round((((doc_id * 31 + i * 17) % 200) - 100) * 32767.0 / 256.0) AS BIGINT))
+        |         END AS sl
+        |  FROM documents WHERE doc_id % 3 <> 2),
+        |junk AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 16),
+        |           i -> CASE WHEN i = 0 THEN 0
+        |                     ELSE ('0x' || substr(upper(md5(text)), (i - 1) * 2 + 1, 2))::BIGINT END) AS b
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id AS media_id, 'wav' AS format, true AS decoded,
+        |       48::BIGINT AS n_samples,
+        |       floor(list_sum(sl) * 1000 / 48.0)::BIGINT AS mean_milli,
+        |       list_max(list_transform(sl, x -> abs(x)))::BIGINT AS peak,
+        |       len(list_filter(generate_series(2, 48),
+        |             j -> (sl[j - 1] < 0) <> (sl[j] < 0)))::BIGINT AS zero_crossings
+        |FROM deep
         |UNION ALL
         |SELECT doc_id AS media_id, 'unknown' AS format, false AS decoded,
         |       17::BIGINT AS n_samples,

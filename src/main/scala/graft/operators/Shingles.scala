@@ -84,6 +84,61 @@ object Shingles {
     new GenericArrayData(if (outLen == out.length) out else java.util.Arrays.copyOf(out, outLen))
   }
 
+  /**
+   * The ALL-OCCURRENCES n-gram sibling of [[shingleHashes]] for
+   * counting kernels ([[TextOps.distinctNgrams]]): same word walk,
+   * same space-joined gram bytes, same XXH64 seed 42 — but duplicates
+   * are KEPT (totals need every occurrence) and a doc with fewer than
+   * `n` words emits NO grams (a counting metric must not invent a
+   * short-doc pseudo-gram the way the dedup blocking deliberately
+   * does). Equivalence contract: value-identical to
+   * `transform(sequence(1, size(ws)-n+1), i -> xxhash64(concat_ws(" ",
+   * slice(ws, i, n))))` over the split word array (pinned in
+   * KernelSpec).
+   */
+  def ngramHashes(s: UTF8String, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    var i = 0
+    val n = bytes.length
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    while (i < n) {
+      while (i < n && isSpace(bytes(i))) i += 1
+      if (i < n) {
+        starts.add(i)
+        while (i < n && !isSpace(bytes(i))) i += 1
+        ends.add(i)
+      }
+    }
+    val nWords = starts.size()
+    if (nWords < w) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](nWords - w + 1)
+    var scratch = new Array[Byte](64)
+    var p = 0
+    while (p < out.length) {
+      var len = 0
+      var k = 0
+      while (k < w) {
+        val ws = starts.get(p + k)
+        val we = ends.get(p + k)
+        val wl = we - ws
+        val need = len + wl + 1
+        if (need > scratch.length) {
+          val bigger = new Array[Byte](math.max(scratch.length * 2, need))
+          System.arraycopy(scratch, 0, bigger, 0, len)
+          scratch = bigger
+        }
+        if (k > 0) { scratch(len) = ' '; len += 1 }
+        System.arraycopy(bytes, ws, scratch, len, wl)
+        len += wl
+        k += 1
+      }
+      out(p) = XXH64.hashUnsafeBytes(scratch, Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   @inline private def isSpace(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
 }
@@ -102,5 +157,22 @@ object ShingleHashes {
   def apply(text: Column, w: Int = 3): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(ShingleHashesExpr(GraftColumnBridge.expression(text), w))
+  }
+}
+
+/** See [[Shingles.ngramHashes]]. */
+case class NgramHashesExpr(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Shingles.ngramHashes(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.operators.Shingles.ngramHashes($c, $w)")
+  override protected def withNewChildInternal(c: Expression): NgramHashesExpr = copy(child = c)
+}
+
+object NgramHashes {
+  def apply(text: Column, w: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(NgramHashesExpr(GraftColumnBridge.expression(text), w))
   }
 }

@@ -1054,28 +1054,28 @@ object TextOps {
    * duplicate documents — the cheap first look at "how much of this
    * corpus is the same text over and over".
    *
-   * Shape: one explode of each doc's n-gram positions via
-   * transform(sequence(...)) over the split word array (built-ins
-   * only), then groupBy(n, gram) with map-side partial aggregation —
-   * the shuffle carries one row per DISTINCT (n, gram), the same
-   * corpus-priced exchange every dedup-family operator pays — and a
-   * 3-row final aggregate. Output: (n, total_grams, distinct_grams,
-   * distinct_ppm), integral-division exact.
+   * Shape: one scan, one explode — each n's gram hashes come from the
+   * fused [[Shingles.ngramHashes]] kernel (one pass over the lowered
+   * text bytes per n, zero per-gram string allocations, XXH64 keys —
+   * the same fusion that cut d_dedup_jaccard's signature stage 3.9 s
+   * → sub-second), then groupBy(n, hash) with map-side partials: the
+   * exchange carries one 16-byte row per DISTINCT (n, hash), and a
+   * 3-row final aggregate. Distinctness is hash-distinct over 64-bit
+   * XXH64 (the oracle groups by the gram STRINGS — identical while
+   * collision-free, which the birthday bound prices at ~n²/2⁶⁵ pairs:
+   * zero at test scale, ~0.03 ppm of distinct at 10¹² grams — noise
+   * against a ppm-scale diversity ratio). Output: (n, total_grams,
+   * distinct_grams, distinct_ppm), integral-division exact.
    */
   def distinctNgrams(docs: DataFrame, textCol: String, maxN: Int = 3): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"distinctNgrams maxN in [1,8], got $maxN")
-    val ws = filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)
-    // ONE scan and ONE explode for every n: the per-n gram arrays
-    // concatenate inside a single projection (the word split is shared
-    // by subexpression elimination), instead of a per-n union that
-    // would re-read the corpus maxN times
+    val lowered = lower(col(textCol))
     val gramArr = concat((1 to maxN).map { n =>
-      transform(sequence(lit(1), greatest(size(ws) - (n - 1), lit(0))),
-        i => struct(lit(n.toLong).as("n"), concat_ws(" ", slice(ws, i, lit(n))).as("gram")))
+      transform(NgramHashes(lowered, n), h => struct(lit(n.toLong).as("n"), h.as("h")))
     }: _*)
     docs.select(explode(gramArr).as("g"))
-      .select(col("g.n").as("n"), col("g.gram").as("gram"))
-      .groupBy("n", "gram").agg(count(lit(1)).as("f"))
+      .select(col("g.n").as("n"), col("g.h").as("h"))
+      .groupBy("n", "h").agg(count(lit(1)).as("f"))
       .groupBy("n")
       .agg(sum(col("f")).as("total_grams"), count(lit(1)).as("distinct_grams"))
       .select(col("n"), col("total_grams"), col("distinct_grams"),

@@ -101,6 +101,30 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "fused kernel must produce exactly the xxhash64-of-shingle-string multiset")
   }
 
+  test("fused n-gram-hash kernel is value-identical to the column formulation") {
+    val ss = spark; import ss.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+      .union(Seq(
+        (900001L, ""),                          // no words -> NO grams
+        (900002L, "one two"),                   // < n words -> NO grams (not one)
+        (900003L, "a b a b a b"),               // duplicates KEPT
+        (900004L, "  tabs\tand\nnewlines \r\n spaced  ")
+      ).toDF("id", "text"))
+    for (n <- Seq(1, 3)) {
+      val ws = filter(split(lower(col("text")), "\\s+"), w => length(w) > 0)
+      val columnar = docs.select(col("id"), explode(
+          when(size(ws) >= n,
+            transform(sequence(lit(1), size(ws) - (n - 1)),
+              i => xxhash64(concat_ws(" ", slice(ws, i, lit(n))))))
+            .otherwise(array().cast("array<bigint>"))).as("h"))
+      val fused = docs.select(col("id"), explode(NgramHashes(lower(col("text")), n)).as("h"))
+      assert(fused.count() == columnar.count(), s"n=$n count")
+      assert(fused.exceptAll(columnar).isEmpty && columnar.exceptAll(fused).isEmpty,
+        s"n=$n: kernel must produce exactly the xxhash64-of-gram multiset, duplicates kept")
+    }
+  }
+
   test("minhash projection kernel matches the aggregation formulation") {
     val ss = spark; import ss.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
