@@ -337,6 +337,24 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_nationkey"))
         .orderBy("c_custkey")),
 
+    "q36_late_ship" -> ((s, dir) =>
+      // LEFT SEMI with a correlated residual (the TPC-H Q4 shape):
+      // orders in the 1995 window having ANY lineitem shipped more
+      // than 90 days after the order date, counted by priority. The
+      // date window pushes to the orders scan; the semi join carries
+      // only (orderkey, two dates) and keeps each order once however
+      // many lineitems are late
+      table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .join(table(s, dir, "lineitem").select("l_orderkey", "l_shipdate"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")),
+
     "g_gaps" -> ((s, dir) =>
       // per-series gap detection: sampling holes longer than 1h —
       // the missing-data monitor every metrics pipeline needs
@@ -996,6 +1014,12 @@ object SparkEntry {
       SampleOps.mixtureDrift(a, b, "lang").orderBy("domain")
     }),
 
+    "p_temperature" -> ((s, dir) =>
+      // alpha=1/2 temperature sampling weights per language — raw vs
+      // flattened ppm shares and the upsampling boost, integer-exact
+      SampleOps.temperatureShares(table(s, dir, "documents"), "lang")
+        .orderBy("domain")),
+
     "p_distinct_hll" -> ((s, dir) => {
       // HLL distinct users per event type, registers and harmonic sum
       // fully replayed by the oracle (md5 hash, bin()-length ranks,
@@ -1196,6 +1220,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s_range_cosine" -> ((s, dir) => {
+      // radius retrieval: ALL neighbors at sim >= 0.25 — a filter at
+      // the probe, no window/sort anywhere in the plan
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      SimilarityOps.rangeSearch(e.filter(col("id") < 5), e, minSim = 0.25)
+        .orderBy("query_id", "neighbor_id")
+    }),
+
     "s_rrf" -> ((s, dir) => {
       // hybrid retrieval: fuse the full-precision top-10 with the
       // 32-dim truncated-index top-10 by reciprocal rank (k=60)
@@ -1269,6 +1301,31 @@ object SparkEntry {
       // 0/1 flag per rule + the conjunction, pure codegen projection
       TextOps.gopherRules(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+
+    "t_c4_rules" -> ((s, dir) =>
+      // the published C4 line-level cleaning rules — kept-line count,
+      // surviving-sentence count, lorem/brace tells, page decision
+      TextOps.c4Rules(table(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
+
+    "t_ccnet_buckets" -> ((s, dir) =>
+      // CCNet head/middle/tail perplexity terciles per language over
+      // the corpus-trained unigram NLL (same signal as t_perplexity)
+      TextOps.ccnetBuckets(table(s, dir, "documents"), "doc_id", "text", "lang")
+        .orderBy("doc_id")),
+
+    "t_oov" -> ((s, dir) =>
+      // closed-vocab coverage: instances outside the corpus top-100
+      // vocabulary, per doc — the embedding-table commitment audit
+      TextOps.oovStats(table(s, dir, "documents"), "doc_id", "text", topV = 100)
+        .orderBy("doc_id")),
+
+    "p_funnel" -> ((s, dir) =>
+      // the composed selection funnel: gopher x c4 x exact-dedup
+      // canonical, counted per (lang, source) with kept token volume
+      TextOps.selectionFunnel(table(s, dir, "documents"), "doc_id", "text",
+          "lang", "source")
+        .orderBy("lang", "source")),
 
     "t_fingerprint" -> ((s, dir) =>
       table(s, dir, "documents")
@@ -2925,6 +2982,16 @@ object SparkEntry {
         |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
         |ORDER BY c_custkey""".stripMargin,
 
+    "q36_late_ship" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "g_gaps" ->
       s"""$OracleM,
          |x AS (
@@ -4003,6 +4070,22 @@ object SparkEntry {
         |FROM sa FULL OUTER JOIN sb ON sa.lang = sb.lang
         |ORDER BY domain""".stripMargin,
 
+    // floor(sqrt(n)) is IEEE-exact on both engines (sqrt correctly
+    // rounded, n < 2^53); everything downstream is integral division
+    "p_temperature" ->
+      """WITH c AS (
+        |  SELECT lang AS domain, count(*)::BIGINT AS n_docs,
+        |         floor(sqrt(count(*)::DOUBLE))::BIGINT AS isq
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_docs)::BIGINT AS total, sum(isq)::BIGINT AS isq_total FROM c)
+        |SELECT domain, n_docs,
+        |       CAST((n_docs * 1000000) // total AS BIGINT) AS share_ppm,
+        |       CAST((isq * 1000000) // isq_total AS BIGINT) AS temp_ppm,
+        |       CASE WHEN (n_docs * 1000000) // total = 0 THEN 0
+        |            ELSE (((isq * 1000000) // isq_total) * 1000)
+        |                   // ((n_docs * 1000000) // total) END::BIGINT AS boost_milli
+        |FROM c, t ORDER BY domain""".stripMargin,
+
     "d_decontaminate_substr" ->
       """WITH ref AS (
         |  SELECT doc_id AS ref_id, substr(text, 20, 60) AS rt
@@ -4404,6 +4487,21 @@ object SparkEntry {
         |SELECT query_id, rank::BIGINT AS rank, neighbor_id, sim
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // threshold compares the 6-dp ROUNDED sim on both engines, so the
+    // radius boundary cannot flip on a last-ulp libm difference
+    "s_range_cosine" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))), 6) AS sim
+        |  FROM q, c WHERE query_id <> neighbor_id)
+        |SELECT query_id, neighbor_id, sim FROM scored
+        |WHERE sim >= 0.25 ORDER BY query_id, neighbor_id""".stripMargin,
+
     "s_rrf" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
@@ -4695,6 +4793,153 @@ object SparkEntry {
         |       (r_words * r_wordlen * r_symbol * r_bullet * r_ellipsis
         |        * r_alpha * r_stop)::BIGINT AS pass
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // lines via chr(10) split on both engines; terminal check is
+    // right(rtrim,1) — rtrim strips SPACES only in both engines, so a
+    // trailing \t or \r fails the check identically on both sides
+    "t_c4_rules" ->
+      """WITH b AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ln,
+        |         (position('lorem ipsum' IN lower(text)) > 0)::BIGINT AS has_lorem,
+        |         (position('{' IN text) > 0)::BIGINT AS has_brace
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, has_lorem, has_brace, len(ln)::BIGINT AS n_lines,
+        |         list_filter(ln, l ->
+        |             rtrim(l) <> '' AND right(rtrim(l), 1) IN ('.', '!', '?', '"')
+        |             AND len(list_filter(regexp_split_to_array(l, '\s+'), x -> x <> '')) >= 3
+        |             AND position('javascript' IN lower(l)) = 0) AS keptl
+        |  FROM b),
+        |d AS (
+        |  SELECT doc_id, n_lines, len(keptl)::BIGINT AS kept_lines,
+        |         coalesce(list_sum(list_transform(keptl,
+        |           l -> length(l) - length(regexp_replace(l, '[.!?]', '', 'g')))), 0)::BIGINT AS n_sentences,
+        |         has_lorem, has_brace
+        |  FROM c)
+        |SELECT doc_id, n_lines, kept_lines, n_sentences, has_lorem, has_brace,
+        |       (kept_lines > 0 AND n_sentences >= 5
+        |        AND has_lorem = 0 AND has_brace = 0)::BIGINT AS pass
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // avg_nll is the t_perplexity formulation verbatim (rounded to 4
+    // decimals BEFORE the window sort, so the ntile order key is the
+    // cross-engine-stable value; doc_id breaks ties uniquely)
+    "t_ccnet_buckets" ->
+      """WITH inst AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |freq AS (SELECT token, count(*) AS freq FROM inst GROUP BY 1),
+        |tot AS (SELECT count(*)::DOUBLE AS n FROM inst),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS n_tokens, avg(ln(freq::DOUBLE)) AS mlf
+        |  FROM inst JOIN freq USING (token) GROUP BY 1),
+        |scored AS (
+        |  SELECT d.doc_id, d.lang, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+        |         coalesce(round(ln((SELECT n FROM tot)) - mlf, 4), 0.0) AS avg_nll
+        |  FROM documents d LEFT JOIN perdoc USING (doc_id)),
+        |t AS (
+        |  SELECT doc_id, lang, n_tokens, avg_nll,
+        |         ntile(3) OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS trc
+        |  FROM scored)
+        |SELECT doc_id, lang, n_tokens, avg_nll,
+        |       CASE trc WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // vocab cutoff ties: ORDER BY freq DESC, token ASC LIMIT 100 —
+    // the p_vocab order, total and identical on both engines
+    "t_oov" ->
+      """WITH inst AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |freq AS (SELECT token, count(*) AS freq FROM inst GROUP BY 1),
+        |v AS (SELECT token FROM freq ORDER BY freq DESC, token ASC LIMIT 100),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |         sum((token NOT IN (SELECT token FROM v))::INT) AS oov_tokens
+        |  FROM inst GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+        |       coalesce(oov_tokens, 0)::BIGINT AS oov_tokens,
+        |       CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0
+        |            ELSE (oov_tokens * 1000000) // n_tokens END::BIGINT AS oov_ppm
+        |FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // the gopher and c4 CTE chains are the t_gopher_rules /
+    // t_c4_rules formulations verbatim, reduced to their pass flags
+    "p_funnel" ->
+      """WITH gb AS (
+        |  SELECT doc_id, text,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS wd,
+        |         string_split(text, chr(10)) AS ln
+        |  FROM documents),
+        |gc AS (
+        |  SELECT doc_id,
+        |         len(wd)::BIGINT AS n_words,
+        |         coalesce(list_sum(list_transform(wd, w -> length(w))), 0)::BIGINT AS nch,
+        |         len(list_filter(wd, w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS alpha_w,
+        |         len(ln)::BIGINT AS n_lines,
+        |         len(list_filter(ln, l -> regexp_matches(l, '^[ \t]*[-*•]')))::BIGINT AS bullets,
+        |         len(list_filter(ln, l -> regexp_matches(l, '(\.\.\.|…)$')))::BIGINT AS ell_lines,
+        |         (length(text) - length(replace(text, '#', '')))::BIGINT AS hashes,
+        |         (length(text) - length(replace(text, '...', ''))) / 3
+        |           + (length(text) - length(replace(text, '…', '')))::BIGINT AS ells,
+        |         (list_contains(list_transform(wd, w -> lower(w)), 'the')::INT
+        |          + list_contains(list_transform(wd, w -> lower(w)), 'be')::INT
+        |          + list_contains(list_transform(wd, w -> lower(w)), 'to')::INT
+        |          + list_contains(list_transform(wd, w -> lower(w)), 'of')::INT
+        |          + list_contains(list_transform(wd, w -> lower(w)), 'and')::INT
+        |          + list_contains(list_transform(wd, w -> lower(w)), 'that')::INT
+        |          + list_contains(list_transform(wd, w -> lower(w)), 'have')::INT
+        |          + list_contains(list_transform(wd, w -> lower(w)), 'with')::INT) AS stop_cnt
+        |  FROM gb),
+        |g AS (
+        |  SELECT doc_id,
+        |    ((n_words BETWEEN 50 AND 100000)::BIGINT
+        |     * (n_words > 0 AND nch::DOUBLE / n_words >= 3.0
+        |                    AND nch::DOUBLE / n_words <= 10.0)::BIGINT
+        |     * (n_words > 0 AND hashes::DOUBLE / n_words <= 0.1
+        |                    AND ells / n_words <= 0.1)::BIGINT
+        |     * (bullets::DOUBLE / n_lines <= 0.9)::BIGINT
+        |     * (ell_lines::DOUBLE / n_lines <= 0.3)::BIGINT
+        |     * (n_words > 0 AND alpha_w::DOUBLE / n_words >= 0.8)::BIGINT
+        |     * (stop_cnt >= 2)::BIGINT) AS gpass
+        |  FROM gc),
+        |cb AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ln,
+        |         (position('lorem ipsum' IN lower(text)) > 0)::BIGINT AS has_lorem,
+        |         (position('{' IN text) > 0)::BIGINT AS has_brace
+        |  FROM documents),
+        |cc AS (
+        |  SELECT doc_id, has_lorem, has_brace,
+        |         list_filter(ln, l ->
+        |             rtrim(l) <> '' AND right(rtrim(l), 1) IN ('.', '!', '?', '"')
+        |             AND len(list_filter(regexp_split_to_array(l, '\s+'), x -> x <> '')) >= 3
+        |             AND position('javascript' IN lower(l)) = 0) AS keptl
+        |  FROM cb),
+        |c4 AS (
+        |  SELECT doc_id,
+        |         (len(keptl) > 0
+        |          AND coalesce(list_sum(list_transform(keptl,
+        |                l -> length(l) - length(regexp_replace(l, '[.!?]', '', 'g')))), 0) >= 5
+        |          AND has_lorem = 0 AND has_brace = 0)::BIGINT AS cpass
+        |  FROM cc),
+        |sig AS (
+        |  SELECT doc_id, lang, source,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS nw
+        |  FROM documents),
+        |canon AS (SELECT fp, min(doc_id) AS canon_id FROM sig GROUP BY 1),
+        |j AS (
+        |  SELECT s.lang, s.source, g.gpass, c4.cpass,
+        |         (s.doc_id = canon.canon_id)::BIGINT AS is_canon, s.nw
+        |  FROM sig s JOIN g USING (doc_id) JOIN c4 USING (doc_id) JOIN canon USING (fp))
+        |SELECT lang, source, count(*)::BIGINT AS n_docs,
+        |       sum(gpass)::BIGINT AS n_gopher, sum(cpass)::BIGINT AS n_c4,
+        |       sum(is_canon)::BIGINT AS n_canonical,
+        |       sum(gpass * cpass * is_canon)::BIGINT AS n_selected,
+        |       sum(gpass * cpass * is_canon * nw)::BIGINT AS words_selected
+        |FROM j GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
 
     "t_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

@@ -441,6 +441,38 @@ object SampleOps {
   }
 
   /**
+   * Temperature-scaled sampling weights at α = 1/2 — the standard
+   * multilingual rebalancing rule (mT5 / XLM-R style: sample group i
+   * with probability ∝ p_i^α, flattening the head so low-resource
+   * groups are seen more than their raw share). The α=1/2 point is
+   * computed INTEGER-EXACTLY: the scaled mass is floor(sqrt(n_i)) —
+   * IEEE sqrt is correctly rounded and n_i < 2^53 is exact in a
+   * double, so floor(sqrt) replays bit-identically on any engine —
+   * and every share/boost is integral ppm/milli division from those
+   * integers (no cross-engine float sums of powered terms, which is
+   * why α is fixed rather than a knob: non-half α would reintroduce
+   * libm pow into the contract). boost_milli = temp share / raw share
+   * is the upsampling factor feeding [[upsampleEpochs]].
+   *
+   * Scale: one group-count aggregate (map-side partial) + a broadcast
+   * 1-row total — the corpus shuffles only its group column. Output:
+   * (domain, n_docs, share_ppm, temp_ppm, boost_milli).
+   */
+  def temperatureShares(docs: DataFrame, domainCol: String): DataFrame = {
+    val counts = docs.groupBy(col(domainCol).cast("string").as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("isq", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    counts.crossJoin(broadcast(
+        counts.agg(sum(col("n_docs")).as("total"), sum(col("isq")).as("isq_total"))))
+      .select(col("domain"), col("n_docs"),
+        IntDiv(col("n_docs") * 1000000L, col("total")).cast("long").as("share_ppm"),
+        IntDiv(col("isq") * 1000000L, col("isq_total")).cast("long").as("temp_ppm"))
+      .withColumn("boost_milli",
+        when(col("share_ppm") === 0L, 0L)
+          .otherwise(IntDiv(col("temp_ppm") * 1000L, col("share_ppm")).cast("long")))
+  }
+
+  /**
    * Exact two-sample Kolmogorov–Smirnov DRIFT GATE over an integer
    * column — the distribution-shape release check [[mixtureDrift]]'s
    * per-domain shares can't see: a refreshed crawl whose language MIX

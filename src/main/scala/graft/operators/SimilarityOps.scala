@@ -97,6 +97,32 @@ object SimilarityOps {
   }
 
   /**
+   * Cosine RANGE search: every corpus neighbor whose similarity meets
+   * the threshold, per query — the radius-retrieval mode next to
+   * [[bruteForceTopK]]'s top-k (dedup and recall audits ask "everything
+   * closer than θ", not "the k closest"). The threshold compares the
+   * ROUNDED similarity (6 dp, same as every cosine emitter here) so
+   * the boundary is cross-engine exact.
+   *
+   * Scale shape: NO window and no per-query sort — the predicate
+   * filters at the broadcast probe, so the whole plan is one corpus
+   * scan inside whole-stage codegen, and output is bounded by match
+   * density instead of k·|queries|. For corpus-sized query sets route
+   * through the LSH/IVF banding first (the [[knnClassify]] pattern)
+   * and apply the same threshold at re-rank.
+   */
+  def rangeSearch(queries: DataFrame, corpus: DataFrame, minSim: Double,
+                  excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), asDouble(col("embedding")).as("qv"))
+    val c = corpus.select(col("id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+    broadcast(q).join(c,
+        if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .filter(col("sim") >= minSim)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+  }
+
+  /**
    * Hard-negative mining for contrastive training: for each query
    * vector, the `k` corpus vectors MOST similar to it that carry a
    * DIFFERENT label — the near-misses a contrastive loss learns the

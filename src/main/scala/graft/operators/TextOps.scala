@@ -651,7 +651,8 @@ object TextOps {
    * comparisons perform the identical single int->double division on
    * both engines. Flags are 0/1 LONGs.
    */
-  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  keep: Seq[Column] = Nil): DataFrame = {
     val t = col(textCol)
     val nWords = regexp_count(t, lit("\\S+")).cast("long")
     val nChars = length(regexp_replace(t, "\\s", "")).cast("long")
@@ -667,7 +668,7 @@ object TextOps {
       .map(w => array_contains(toks, w).cast("long")).reduce(_ + _)
 
     def flag(c: Column): Column = c.cast("long")
-    docs.select(
+    docs.select(Seq(
         col(idCol),
         nWords.as("n_words"),
         flag(nWords.between(50L, 100000L)).as("r_words"),
@@ -681,7 +682,7 @@ object TextOps {
         flag((ellLines.cast("double") / nLines) <= 0.3).as("r_ellipsis"),
         flag(nWords > 0 &&
           (alphaWords.cast("double") / nWords) >= 0.8).as("r_alpha"),
-        flag(stopCnt >= 2L).as("r_stop"))
+        flag(stopCnt >= 2L).as("r_stop")) ++ keep: _*)
       .withColumn("pass",
         (col("r_words") * col("r_wordlen") * col("r_symbol") * col("r_bullet") *
           col("r_ellipsis") * col("r_alpha") * col("r_stop")).cast("long"))
@@ -1081,5 +1082,167 @@ object TextOps {
       .select(col("n"), col("total_grams"), col("distinct_grams"),
         IntDiv(col("distinct_grams") * 1000000L, col("total_grams"))
           .cast("long").as("distinct_ppm"))
+  }
+
+  /**
+   * The published C4 cleaning rule set (Raffel et al. 2020, §2.2) as a
+   * per-document audit — the OTHER de-facto standard web-corpus filter
+   * next to [[gopherRules]], kept separate because C4 filters at LINE
+   * granularity (Gopher judges whole documents): a line is RETAINED iff
+   * it ends in a terminal punctuation mark (`.` `!` `?` `"` after
+   * right-trim), carries >= 3 whitespace words, and does not contain
+   * "javascript" (case-insensitive); the PAGE is dropped when fewer
+   * than 5 sentences survive (sentences ~ `[.!?]` occurrences in
+   * retained lines), or when the raw text contains "lorem ipsum"
+   * (case-insensitive) or a `{` (the code/boilerplate tell).
+   *
+   * Shape: ONE scan — the doc-level flags project before a line
+   * explode, per-line flags are codegen'd regex/char tests (no
+   * higher-order lambda on the corpus path — the [[pmiBigrams]] note
+   * measured 37x for interpreted HOFs), and the groupBy(doc) partial-
+   * aggregates map-side so the exchange carries only (id, 5 longs),
+   * never text. Output: (id, n_lines, kept_lines, n_sentences,
+   * has_lorem, has_brace, pass) — all flags 0/1 LONGs, `pass` the C4
+   * page decision (>=1 kept line, >=5 sentences, no lorem/brace).
+   */
+  def c4Rules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val le = rtrim(col("l"))
+    val terminal = length(le) > 0 &&
+      substring(le, -1, 1).isin(".", "!", "?", "\"")
+    val kept = (terminal &&
+      regexp_count(col("l"), lit("\\S+")) >= 3 &&
+      !lower(col("l")).contains("javascript")).cast("long")
+    docs.select(
+        col(idCol).as("id"),
+        lower(t).contains("lorem ipsum").cast("long").as("lorem"),
+        t.contains("{").cast("long").as("brace"),
+        explode(split(t, "\n")).as("l"))
+      .select(col("id"), col("lorem"), col("brace"), kept.as("k"),
+        (kept * regexp_count(col("l"), lit("[.!?]"))).cast("long").as("sent"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_lines"), sum(col("k")).as("kept_lines"),
+        sum(col("sent")).as("n_sentences"),
+        max(col("lorem")).as("has_lorem"), max(col("brace")).as("has_brace"))
+      .select(col("id"), col("n_lines"), col("kept_lines"), col("n_sentences"),
+        col("has_lorem"), col("has_brace"),
+        (col("kept_lines") > 0L && col("n_sentences") >= 5L &&
+          col("has_lorem") === 0L && col("has_brace") === 0L)
+          .cast("long").as("pass"))
+  }
+
+  /**
+   * CCNet-style perplexity bucketing (Wenzek et al. 2020, §3.3): score
+   * every document with the corpus-trained unigram-LM mean NLL
+   * ([[unigramNll]] — same signal, same rounding) and split EACH
+   * LANGUAGE into head / middle / tail terciles by ascending NLL —
+   * the standard "train on head, maybe middle, drop tail" quality
+   * partition for multilingual web corpora. Ties order by (avg_nll,
+   * id): NLL is pre-rounded to 4 decimals, so the sort key is the
+   * cross-engine-stable value, and id makes the total order unique.
+   *
+   * Shape: the [[unigramNll]] plan (token-frequency aggregate +
+   * instances⋈freq join — text never shuffles) plus ONE per-language
+   * window for `ntile(3)` — exact while a language's docs fit a
+   * partition (the family bound shared with SampleOps' per-group
+   * windows; at a scale where one language IS the corpus, the scale
+   * path is CCNet's own: sample tercile thresholds, then a threshold
+   * join — the window stays the exact reference). ntile's uneven-split
+   * rule (first n mod 3 buckets take the extra row) is standard SQL,
+   * identical on both engines. Output: (doc_id, lang, n_tokens,
+   * avg_nll, bucket).
+   */
+  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
+                   langCol: String): DataFrame = {
+    val nll = unigramNll(docs, idCol, textCol)
+    val w = Window.partitionBy("lang").orderBy(col("avg_nll"), col("doc_id"))
+    docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"))
+      .join(nll, "doc_id")
+      .withColumn("tercile", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("avg_nll"),
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /**
+   * Closed-vocabulary coverage: per document, how many token instances
+   * fall OUTSIDE the corpus's own top-`topV` vocabulary — the
+   * out-of-vocabulary (OOV) audit run before committing to a fixed
+   * tokenizer/embedding table ([[rarityStats]] thresholds on a
+   * frequency FLOOR; this thresholds on a vocabulary SIZE, which is
+   * what a real embedding table fixes). The vocabulary cutoff is the
+   * [[vocabulary]] order (freq desc, token asc — deterministic under
+   * ties on both engines). oov_ppm is exact integral ppm.
+   *
+   * Shape: one token-frequency aggregate ranks the vocab (top-V is
+   * model-sized: V rows survive the WindowGroupLimit-style
+   * sort+limit), then the instance table joins it BROADCAST (V rows)
+   * — the corpus-sized side never shuffles for the membership test —
+   * and one map-side-combined groupBy(doc) folds to (id, 2 longs).
+   * Wordless docs survive with zeros via the left join.
+   */
+  def oovStats(docs: DataFrame, idCol: String, textCol: String,
+               topV: Int): DataFrame = {
+    val inst = docs.select(col(idCol).as("doc_id"),
+      explode(words(lower(col(textCol)))).as("token"))
+    val vocab = vocabulary(docs, textCol, topV)
+      .select(col("token"), lit(1L).as("in_vocab"))
+    val perDoc = inst.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("oov_tokens"), lit(0L)).as("oov_tokens"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0L, 0L)
+          .otherwise(IntDiv(col("oov_tokens") * 1000000L, col("n_tokens"))
+            .cast("long")).as("oov_ppm"))
+  }
+
+  /**
+   * The end-to-end selection funnel a pretraining pipeline actually
+   * runs, composed from this library's own gates and grouped by
+   * (lang, source): document counts passing [[gopherRules]], passing
+   * [[c4Rules]], surviving exact dedup as their fingerprint group's
+   * canonical copy (min id per [[fingerprint]] — the d_dedup_exact
+   * convention), and passing ALL THREE, plus the whitespace-token
+   * volume the selection keeps. This is the "how much data do I
+   * actually get, and from where" audit that individually-green
+   * filters can't answer — the gates interact (a spam source can pass
+   * Gopher yet lose everything to dedup).
+   *
+   * Shape: TWO corpus scans, not four — the gopher flags and the
+   * gate-independent doc signals (fingerprint, token count, group
+   * keys) fuse into ONE projection via [[gopherRules]]'s `keep`
+   * columns; [[c4Rules]]'s line explode is the second scan. The
+   * fingerprint-canonical aggregate and the two doc-keyed joins
+   * exchange (id, flag/hash) rows only — text never shuffles — and
+   * the final groupBy is output-sized (one row per (lang, source)).
+   */
+  def selectionFunnel(docs: DataFrame, idCol: String, textCol: String,
+                      langCol: String, sourceCol: String): DataFrame = {
+    val base = gopherRules(docs, idCol, textCol, keep = Seq(
+        col(langCol).as("lang"), col(sourceCol).as("source"),
+        fingerprint(col(textCol)).as("fp"),
+        tokenCount(col(textCol)).as("nw")))
+      .select(col(idCol).as("doc_id"), col("pass").as("gpass"),
+        col("lang"), col("source"), col("fp"), col("nw"))
+    val c4 = c4Rules(docs, idCol, textCol)
+      .select(col("id").as("doc_id"), col("pass").as("cpass"))
+    val canon = base.groupBy("fp").agg(min(col("doc_id")).as("canon_id"))
+    base.join(c4, "doc_id")
+      .join(canon, "fp")
+      .withColumn("is_canon", (col("doc_id") === col("canon_id")).cast("long"))
+      .withColumn("sel", col("gpass") * col("cpass") * col("is_canon"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("gpass")).as("n_gopher"),
+        sum(col("cpass")).as("n_c4"),
+        sum(col("is_canon")).as("n_canonical"),
+        sum(col("sel")).as("n_selected"),
+        sum(col("sel") * col("nw")).as("words_selected"))
   }
 }

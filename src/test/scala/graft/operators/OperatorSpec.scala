@@ -284,6 +284,99 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f(8, "r_stop") == 0L && f(8, "pass") == 0L)
   }
 
+  test("c4Rules: line retention, sentence floor, and page tells match hand counts") {
+    val ss = spark; import ss.implicits._
+    val goodLine = "This is a sentence with enough words."       // kept, 1 sentence
+    val docs = Seq(
+      (1L, Seq.fill(5)(goodLine).mkString("\n")),       // 5 kept lines, 5 sentences -> pass
+      (2L, "No terminal punctuation here\n" + goodLine), // line 1 dropped (no terminal)
+      (3L, "Ok.\n" + goodLine),                          // "Ok." dropped (< 3 words)
+      (4L, s"Uses JavaScript everywhere here.\n$goodLine"), // js line dropped
+      (5L, Seq.fill(4)(goodLine).mkString("\n")),        // only 4 sentences -> fail
+      (6L, Seq.fill(5)(goodLine).mkString("\n") + "\nlorem ipsum dolor."), // lorem tell
+      (7L, Seq.fill(5)(goodLine).mkString("\n") + "\nif (x) { return; }"), // brace tell
+      (8L, "Is this multi? Yes! Three in one line, really.\n" +
+        Seq.fill(2)(goodLine).mkString("\n")),           // 3+1+1 = 5 sentences -> pass
+      (9L, ""))                                          // empty: 1 line, 0 kept
+      .toDF("doc_id", "text")
+    val r = TextOps.c4Rules(docs, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    def f(id: Long, c: String): Long = r(id).getAs[Long](c)
+    assert(f(1, "kept_lines") == 5L && f(1, "n_sentences") == 5L && f(1, "pass") == 1L)
+    assert(f(2, "n_lines") == 2L && f(2, "kept_lines") == 1L && f(2, "pass") == 0L)
+    assert(f(3, "kept_lines") == 1L, "two-word terminal line must not count")
+    assert(f(4, "kept_lines") == 1L, "javascript line must be dropped case-insensitively")
+    assert(f(5, "kept_lines") == 4L && f(5, "n_sentences") == 4L && f(5, "pass") == 0L)
+    assert(f(6, "has_lorem") == 1L && f(6, "pass") == 0L)
+    assert(f(7, "has_brace") == 1L && f(7, "pass") == 0L)
+    assert(f(8, "n_sentences") == 5L && f(8, "pass") == 1L)
+    assert(f(9, "n_lines") == 1L && f(9, "kept_lines") == 0L && f(9, "pass") == 0L)
+  }
+
+  test("ccnetBuckets: per-language terciles ascend by NLL with ntile splits") {
+    val ss = spark; import ss.implicits._
+    // en: 6 docs -> terciles of 2; rare-token docs must land in tail.
+    // fr: 2 docs -> ntile(3) gives buckets 1 and 2 (head, middle), no tail.
+    val docs = Seq(
+      (1L, "the the the the", "en"), (2L, "the the the cat", "en"),
+      (3L, "the the cat cat", "en"), (4L, "the cat dog dog", "en"),
+      (5L, "rare1 rare2 the the", "en"), (6L, "rare3 rare4 rare5 rare6", "en"),
+      (7L, "bon bon bon bon", "fr"), (8L, "bon bon tres rare7", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextOps.ccnetBuckets(docs, "doc_id", "text", "lang").collect()
+      .map(x => (x.getLong(0), x.getString(4))).toMap
+    assert(r(1L) == "head" && r(6L) == "tail", s"got $r")
+    assert(r(7L) == "head" && r(8L) == "middle", "2-doc language: ntile fills head+middle")
+    val buckets = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(r)
+    assert(buckets.count(_ == "head") == 2 && buckets.count(_ == "middle") == 2 &&
+      buckets.count(_ == "tail") == 2, s"even terciles over 6 en docs: $buckets")
+    // per-doc NLL must be non-decreasing across head -> middle -> tail
+    val nll = TextOps.ccnetBuckets(docs, "doc_id", "text", "lang").collect()
+      .filter(_.getString(1) == "en")
+      .map(x => (x.getString(4), x.getDouble(3)))
+    val order = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    assert(nll.sortBy(x => (order(x._1), x._2)).map(_._2).toSeq ==
+      nll.map(_._2).sorted.toSeq, "bucket order must follow ascending NLL")
+  }
+
+  test("oovStats: instances outside top-V counted per doc, cutoff ties to token asc") {
+    val ss = spark; import ss.implicits._
+    // corpus frequencies: a=6, b=5, c=4, d=1 -> topV=2 keeps {a, b}
+    val docs = Seq((1L, "a a a b b"), (2L, "a a a b b b c c"),
+      (3L, "c c d"), (4L, "")).toDF("doc_id", "text")
+    val r = TextOps.oovStats(docs, "doc_id", "text", topV = 2).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == ((5L, 0L, 0L)))
+    assert(r(2L) == ((8L, 2L, 250000L)))
+    assert(r(3L) == ((3L, 3L, 1000000L)))
+    assert(r(4L) == ((0L, 0L, 0L)), "wordless doc survives with zeros")
+    // freq tie at the cutoff: a=2, b=2, topV=1 -> 'a' wins (token asc)
+    val tie = Seq((1L, "a b"), (2L, "b a")).toDF("doc_id", "text")
+    val rt = TextOps.oovStats(tie, "doc_id", "text", topV = 1).collect()
+      .map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(rt(1L) == 500000L && rt(2L) == 500000L, "tie must resolve to 'a' on both docs")
+  }
+
+  test("selectionFunnel: gates compose per group, dedup is corpus-global") {
+    val ss = spark; import ss.implicits._
+    val line = "alpha bravo charlie delta echo the be of and have one two."
+    val good = Seq.fill(5)(line).mkString("\n")             // gopher + c4 pass, 60 words
+    val noTerm = good.replace(".", "")                      // gopher pass, c4 fail
+    val short = Seq.fill(5)("This is a valid sentence here.").mkString("\n") // c4 pass, gopher fail
+    val docs = Seq(
+      (1L, good, "en", "web"), (2L, good, "en", "web"),     // 2 = exact dup of 1
+      (3L, noTerm, "en", "web"), (4L, short, "en", "web"),
+      (5L, good, "en", "books"))                            // cross-source dup of 1
+      .toDF("doc_id", "text", "lang", "source")
+    val r = TextOps.selectionFunnel(docs, "doc_id", "text", "lang", "source")
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6), x.getLong(7)))).toMap
+    // web: 4 docs; gopher passes 1,2,3; c4 passes 1,2,4; canonical 1,3,4; selected = doc 1
+    assert(r(("en", "web")) == ((4L, 3L, 3L, 3L, 1L, 60L)), s"web row: ${r(("en", "web"))}")
+    // books: its only doc passes both gates but doc 1 owns the fingerprint
+    assert(r(("en", "books")) == ((1L, 1L, 1L, 0L, 0L, 0L)), s"books row: ${r(("en", "books"))}")
+  }
+
   test("noveltyStats: unique docs at 1.0, clones at 0.0, partial overlap exact") {
     val ss = spark; import ss.implicits._
     val docs = Seq(

@@ -298,6 +298,52 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shardedTight.size < oneLevel.size && shardedTight.nonEmpty)
   }
 
+  test("rangeSearch: threshold boundary on rounded sim, consistent with topK") {
+    val ss = spark; import ss.implicits._
+    // hand-built 2-d vectors: q=(1,0); neighbors at cos 1.0, ~0.7071, 0.0, -1.0
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(2.0f, 0.0f)),
+      (2L, Array(1.0f, 1.0f)), (3L, Array(0.0f, 1.0f)),
+      (4L, Array(-1.0f, 0.0f))).toDF("id", "embedding")
+    val q = vecs.filter(col("id") === 0L)
+    val got = SimilarityOps.rangeSearch(q, vecs, minSim = 0.707107)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    // 0.7071068 rounds to 0.707107 -> the boundary neighbor is INCLUDED
+    assert(got.keySet == Set(1L, 2L), s"got $got")
+    assert(got(1L) == 1.0 && got(2L) == 0.707107)
+    // excluded at the next representable threshold step
+    val tight = SimilarityOps.rangeSearch(q, vecs, minSim = 0.707108)
+      .collect().map(_.getLong(1)).toSet
+    assert(tight == Set(1L))
+    // consistency with topK on real sf0.01 embeddings: every range hit at
+    // theta must appear in a top-k list large enough to contain them all
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val probes = e.filter(col("id") < 5)
+    val range = SimilarityOps.rangeSearch(probes, e, minSim = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val topk = SimilarityOps.bruteForceTopK(probes, e, k = 50)
+      .filter(col("sim") >= 0.25)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(range == topk, "range hits must equal threshold-filtered top-50")
+  }
+
+  test("temperatureShares: alpha=1/2 flattens the head, integer-exact") {
+    val ss = spark; import ss.implicits._
+    // groups: a=100, b=25, c=4 -> isqrt 10, 5, 2 (sum 17); total 129
+    val docs = (Seq.fill(100)("a") ++ Seq.fill(25)("b") ++ Seq.fill(4)("c"))
+      .zipWithIndex.map { case (g, i) => (i.toLong, g) }.toDF("id", "lang")
+    val r = SampleOps.temperatureShares(docs, "lang").collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r("a") == ((100L, 775193L, 588235L, 758L)), s"a: ${r("a")}")
+    assert(r("b") == ((25L, 193798L, 294117L, 1517L)), s"b: ${r("b")}")
+    assert(r("c") == ((4L, 31007L, 117647L, 3794L)), s"c: ${r("c")}")
+    // the defining property: temperature boosts the tail, shrinks the head
+    assert(r("a")._4 < 1000L && r("c")._4 > 1000L)
+  }
+
   test("ivfTopKTrained recall@5 vs bruteForceTopK on sf0.01 embeddings") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding"))
