@@ -1723,6 +1723,25 @@ object SparkEntry {
       MultimodalOps.resampledStats(media, box = 8).orderBy("media_id")
     }),
 
+    "m_media_pixels_bmp" -> ((s, dir) => {
+      // 24-bit BMP decode pinned by the ORDER-SENSITIVE resample
+      // stage: resampledStats samples source pixel (2y, 2x) of the
+      // LOGICAL top-down image; odd docs store the same pixels
+      // TOP-DOWN (negative biHeight), even docs BOTTOM-UP — same
+      // pixel formula, one oracle, so a decoder that forgot the row
+      // flip fails every even doc. %4==3 docs get magic-less junk ->
+      // compressed-byte fallback, decoded=false.
+      val buildBmp = udf { (docId: Long) =>
+        val w = 16; val h = 16
+        val px = Array.tabulate(w * h * 3)(i => ((docId * 7 + i * 13) % 256).toByte)
+        MultimodalOps.encodeBmp24(px, w, h, topDown = docId % 2 == 1)
+      }
+      val docs = table(s, dir, "documents").withColumn("blob",
+        when(col("doc_id") % 4 === 3, unhex(unknownHex)).otherwise(buildBmp(col("doc_id"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+      MultimodalOps.resampledStats(media, box = 8).orderBy("media_id")
+    }),
+
     "m_media_video_gif" -> ((s, dir) => {
       // the OTHER multi-frame container: each %4!=3 doc becomes an
       // animated GIF of three full-screen 16x16 frames, every frame an
@@ -5449,6 +5468,37 @@ object SparkEntry {
         |       len(list_distinct(q))::BIGINT AS distinct_vals,
         |       list_max(q)::BIGINT AS max_val
         |FROM rp
+        |UNION ALL
+        |SELECT doc_id AS media_id, 'unknown' AS format, false AS decoded,
+        |       0::BIGINT, 0::BIGINT, 17::BIGINT,
+        |       ((list_sum(b) * 1000) // 17)::BIGINT,
+        |       len(list_distinct(b))::BIGINT, list_max(b)::BIGINT
+        |FROM junk
+        |ORDER BY media_id""".stripMargin,
+
+    // the resample samples logical pixel (2y, 2x, c): output index j
+    // maps to source index ((j//24)*2*16 + (j%24)//3*2)*3 + j%3 of the
+    // planted top-down BGR stream — row-order exact for BOTH stored
+    // orientations (even docs bottom-up, odd top-down)
+    "m_media_pixels_bmp" ->
+      """WITH bp AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 191),
+        |           j -> (doc_id * 7 + ((((j // 24) * 2) * 16 + ((j % 24) // 3) * 2) * 3 + j % 3) * 13) % 256) AS q
+        |  FROM documents WHERE doc_id % 4 <> 3),
+        |junk AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 16),
+        |           i -> CASE WHEN i = 0 THEN 0
+        |                     ELSE ('0x' || substr(upper(md5(text)), (i - 1) * 2 + 1, 2))::BIGINT END) AS b
+        |  FROM documents WHERE doc_id % 4 = 3)
+        |SELECT doc_id AS media_id, 'bmp' AS format, true AS decoded,
+        |       8::BIGINT AS out_w, 8::BIGINT AS out_h,
+        |       192::BIGINT AS n_vals,
+        |       ((list_sum(q) * 1000) // 192)::BIGINT AS mean_milli,
+        |       len(list_distinct(q))::BIGINT AS distinct_vals,
+        |       list_max(q)::BIGINT AS max_val
+        |FROM bp
         |UNION ALL
         |SELECT doc_id AS media_id, 'unknown' AS format, false AS decoded,
         |       0::BIGINT, 0::BIGINT, 17::BIGINT,

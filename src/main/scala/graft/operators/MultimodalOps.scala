@@ -168,6 +168,10 @@ object MultimodalOps {
               case m if m.format == "gif" && px.length == m.width * m.height =>
                 ("gif", px, m.width.toInt, m.height.toInt, 1)
             }))
+            .orElse(decodeBmpPixels(content).flatMap(px => hdr.collect {
+              case m if m.format == "bmp" && px.length == m.width * m.height * 3 =>
+                ("bmp", px, m.width.toInt, m.height.toInt, 3)
+            }))
           decoded match {
             case Some((f, px, w, h, ch)) =>
               val (out, ow, oh) = resample(px, w, h, ch)
@@ -223,6 +227,10 @@ object MultimodalOps {
             .orElse(GifPixels.decodeGifPixels(content).flatMap(px => hdr.collect {
               case m if m.format == "gif" && px.length == m.width * m.height =>
                 ("gif", px, m.width.toInt, m.height.toInt, 1)
+            }))
+            .orElse(decodeBmpPixels(content).flatMap(px => hdr.collect {
+              case m if m.format == "bmp" && px.length == m.width * m.height * 3 =>
+                ("bmp", px, m.width.toInt, m.height.toInt, 3)
             }))
           decoded match {
             case Some((f, px, w, h, ch)) =>
@@ -394,6 +402,15 @@ object MultimodalOps {
     if (b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
         (b(4) == '7' || b(4) == '9') && b(5) == 'a')
       return Some(MediaHeader("gif", u16le(b, 6), u16le(b, 8), 1L, 0L))
+    // BMP: "BM" + a 40-byte BITMAPINFOHEADER; biHeight's SIGN encodes
+    // row order (negative = top-down), dims report the magnitude
+    if (b.length >= 54 && b(0) == 'B' && b(1) == 'M' && u32le(b, 14) == 40L) {
+      val w = u32le(b, 18).toInt
+      val hRaw = u32le(b, 22).toInt
+      if (w > 0 && hRaw != 0 && hRaw != Int.MinValue)
+        return Some(MediaHeader("bmp", w.toLong, math.abs(hRaw).toLong,
+          if (u16le(b, 28) == 24L) 3L else 1L, 0L))
+    }
     // WAV: RIFF/WAVE then chunk walk to "fmt "
     parseWav(b)
   }
@@ -822,6 +839,73 @@ object MultimodalOps {
   }
 
   /**
+   * REAL BMP decode — 24-bit uncompressed DIB (40-byte
+   * BITMAPINFOHEADER, BI_RGB), the Windows bitmap still common in
+   * scraped corpora precisely because no codec is involved. Handles
+   * BOTH row orders the public format allows: biHeight > 0 stores
+   * rows BOTTOM-UP (the common case), biHeight < 0 TOP-DOWN; output
+   * is always the LOGICAL top-down row-major BGR stream (per-pixel
+   * byte order as stored), so the two orientations of the same image
+   * decode identically — the planted-query oracle pins this through
+   * an order-sensitive resample stage. File rows are 4-byte aligned;
+   * padding is skipped, never emitted. Honest-refusal scope (None →
+   * compressed-blob fallback): bit depths other than 24, any
+   * compression (RLE/bitfields), core/V4/V5 header sizes. All size
+   * arithmetic in Long against crafted headers ([[decodePngPixels]]'
+   * allocation-bomb lesson); `maxPixelBytes` caps the output buffer.
+   */
+  private[graft] def decodeBmpPixels(b: Array[Byte],
+                                     maxPixelBytes: Int = 1 << 26): Option[Array[Byte]] = {
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    if (u32le(b, 14) != 40L) return None
+    val off = u32le(b, 10)
+    val w = u32le(b, 18).toInt
+    val hRaw = u32le(b, 22).toInt
+    if (w <= 0 || hRaw == 0 || hRaw == Int.MinValue) return None
+    if (u16le(b, 26) != 1L || u16le(b, 28) != 24L || u32le(b, 30) != 0L) return None
+    val h = math.abs(hRaw)
+    val topDown = hRaw < 0
+    val rowBytes = w.toLong * 3
+    val stride = (rowBytes + 3) & ~3L
+    if (rowBytes * h > maxPixelBytes) return None
+    if (off < 54L || off + stride * h > b.length) return None
+    val out = new Array[Byte]((rowBytes * h).toInt)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      System.arraycopy(b, (off + srcRow * stride).toInt, out, (y * rowBytes).toInt, rowBytes.toInt)
+      y += 1
+    }
+    Some(out)
+  }
+
+  /** 24-bit BI_RGB BMP encoder — the fixture counterpart of
+    * [[decodeBmpPixels]]: `px` is the logical top-down row-major BGR
+    * stream; `topDown` picks the stored row order (negative biHeight). */
+  private[graft] def encodeBmp24(px: Array[Byte], w: Int, h: Int,
+                                 topDown: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && px.length == w * h * 3, "px must be w*h*3 BGR bytes")
+    val rowBytes = w * 3
+    val stride = (rowBytes + 3) & ~3
+    val dataSize = stride * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(if (topDown) -h else h)
+      .putShort(1).putShort(24).putInt(0).putInt(dataSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val arr = buf.array()
+    var y = 0
+    while (y < h) {
+      val dstRow = if (topDown) y else h - 1 - y
+      System.arraycopy(px, y * rowBytes, arr, 54 + dstRow * stride, rowBytes)
+      y += 1
+    }
+    arr
+  }
+
+  /**
    * Pixel-level features where the pixel stage is genuinely decodable
    * — PNGs via [[decodePngPixels]] (inflate + filter reversal) and
    * baseline OR progressive JPEGs via [[JpegBaseline.decodePixels]]
@@ -875,6 +959,7 @@ object MultimodalOps {
             decodePngPixels(content).map(("png", _))
               .orElse(JpegBaseline.decodePixels(content).map(d => ("jpeg", d.samples)))
               .orElse(GifPixels.decodeGifPixels(content).map(("gif", _)))
+              .orElse(decodeBmpPixels(content).map(("bmp", _)))
           decoded match {
             case Some((f, px)) =>
               val (n, mean, d, mx) = stats(px)

@@ -653,7 +653,21 @@ object TextOps {
    */
   def gopherRules(docs: DataFrame, idCol: String, textCol: String,
                   keep: Seq[Column] = Nil): DataFrame = {
-    val t = col(textCol)
+    val flags = gopherFlags(col(textCol))
+    docs.select(Seq(
+        col(idCol),
+        regexp_count(col(textCol), lit("\\S+")).cast("long").as("n_words")) ++
+        gopherFlagNames.zip(flags).map { case (n, c) => c.as(n) } ++ keep: _*)
+      .withColumn("pass", gopherFlagNames.map(col).reduce(_ * _).cast("long"))
+  }
+
+  private[graft] val gopherFlagNames = Seq("r_words", "r_wordlen", "r_symbol",
+    "r_bullet", "r_ellipsis", "r_alpha", "r_stop")
+
+  /** The 7 Gopher rule flags (0/1 longs, [[gopherFlagNames]] order)
+    * as pure column expressions — [[gopherRules]] names them into its
+    * projection; [[gopherPass]] folds them for single-column gates. */
+  private[graft] def gopherFlags(t: Column): Seq[Column] = {
     val nWords = regexp_count(t, lit("\\S+")).cast("long")
     val nChars = length(regexp_replace(t, "\\s", "")).cast("long")
     val alphaWords = regexp_count(t, lit("\\S*[A-Za-z]\\S*")).cast("long")
@@ -666,26 +680,49 @@ object TextOps {
     val toks = split(lower(t), "\\s+")
     val stopCnt = Seq("the", "be", "to", "of", "and", "that", "have", "with")
       .map(w => array_contains(toks, w).cast("long")).reduce(_ + _)
-
     def flag(c: Column): Column = c.cast("long")
-    docs.select(Seq(
-        col(idCol),
-        nWords.as("n_words"),
-        flag(nWords.between(50L, 100000L)).as("r_words"),
-        flag(nWords > 0 &&
-          (nChars.cast("double") / nWords) >= 3.0 &&
-          (nChars.cast("double") / nWords) <= 10.0).as("r_wordlen"),
-        flag(nWords > 0 &&
-          (hashes.cast("double") / nWords) <= 0.1 &&
-          (ells / nWords) <= 0.1).as("r_symbol"),
-        flag((bullets.cast("double") / nLines) <= 0.9).as("r_bullet"),
-        flag((ellLines.cast("double") / nLines) <= 0.3).as("r_ellipsis"),
-        flag(nWords > 0 &&
-          (alphaWords.cast("double") / nWords) >= 0.8).as("r_alpha"),
-        flag(stopCnt >= 2L).as("r_stop")) ++ keep: _*)
-      .withColumn("pass",
-        (col("r_words") * col("r_wordlen") * col("r_symbol") * col("r_bullet") *
-          col("r_ellipsis") * col("r_alpha") * col("r_stop")).cast("long"))
+    Seq(
+      flag(nWords.between(50L, 100000L)),
+      flag(nWords > 0 &&
+        (nChars.cast("double") / nWords) >= 3.0 &&
+        (nChars.cast("double") / nWords) <= 10.0),
+      flag(nWords > 0 &&
+        (hashes.cast("double") / nWords) <= 0.1 &&
+        (ells / nWords) <= 0.1),
+      flag((bullets.cast("double") / nLines) <= 0.9),
+      flag((ellLines.cast("double") / nLines) <= 0.3),
+      flag(nWords > 0 &&
+        (alphaWords.cast("double") / nWords) >= 0.8),
+      flag(stopCnt >= 2L))
+  }
+
+  /** [[gopherRules]]'s `pass` as ONE boolean column — the per-row gate
+    * form a streaming admission filter composes (same expressions, so
+    * batch and stream admit identically; equality is spec-pinned). */
+  def gopherPass(text: Column): Column =
+    gopherFlags(text).reduce(_ * _) === 1L
+
+  /**
+   * [[c4Rules]]'s page decision as ONE boolean column. The batch
+   * operator explodes lines because a corpus-wide audit wants the
+   * per-rule counts; a per-row GATE only needs the verdict, so this
+   * form runs the line walk inside `filter`/`aggregate` higher-order
+   * lambdas. HOFs evaluate interpreted (the [[pmiBigrams]] 37x note)
+   * — acceptable here because the gate's domain is a streaming
+   * micro-batch or an already-thinned candidate set, not the corpus
+   * scan path; batch audits should keep using [[c4Rules]]. Rule-for-
+   * rule equality with c4Rules.pass is spec-pinned.
+   */
+  def c4Pass(text: Column): Column = {
+    val kept = filter(split(text, "\n"), l => {
+      val le = rtrim(l)
+      length(le) > 0 && substring(le, -1, 1).isin(".", "!", "?", "\"") &&
+        regexp_count(l, lit("\\S+")) >= 3 && !lower(l).contains("javascript")
+    })
+    val sentences = aggregate(kept, lit(0L),
+      (acc, l) => acc + regexp_count(l, lit("[.!?]")).cast("long"))
+    size(kept) > 0 && sentences >= 5L &&
+      !lower(text).contains("lorem ipsum") && !text.contains("{")
   }
 
   /**
@@ -1214,13 +1251,18 @@ object TextOps {
    * filters can't answer — the gates interact (a spam source can pass
    * Gopher yet lose everything to dedup).
    *
-   * Shape: TWO corpus scans, not four — the gopher flags and the
-   * gate-independent doc signals (fingerprint, token count, group
-   * keys) fuse into ONE projection via [[gopherRules]]'s `keep`
-   * columns; [[c4Rules]]'s line explode is the second scan. The
-   * fingerprint-canonical aggregate and the two doc-keyed joins
-   * exchange (id, flag/hash) rows only — text never shuffles — and
-   * the final groupBy is output-sized (one row per (lang, source)).
+   * Shape: THREE column-pruned corpus scans, not four — the gopher
+   * flags and the gate-independent doc signals (fingerprint, token
+   * count, group keys) fuse into ONE projection via [[gopherRules]]'s
+   * `keep` columns; [[c4Rules]]'s line explode is the second; the
+   * fingerprint-canonical aggregate re-derives fp on its own 2-column
+   * scan (Catalyst does not share subplans across a self-aggregate,
+   * and one extra hash-only scan beats pinning the 7-signal
+   * projection in memory at corpus scale — PLANS.md §p_funnel shows
+   * all three scans pruned). The canonical aggregate and the two
+   * doc-keyed joins exchange (id, flag/hash) rows only — text never
+   * shuffles — and the final groupBy is output-sized (one row per
+   * (lang, source)).
    */
   def selectionFunnel(docs: DataFrame, idCol: String, textCol: String,
                       langCol: String, sourceCol: String): DataFrame = {

@@ -40,10 +40,14 @@ import graft.operators.{DedupOps, TextOps}
  *     rebuilds on cadence and with every compaction fold, and the
  *     admitted set is identical with or without it,
  *  3. gated on quality ([[TextOps.qualityScore]] >= minQuality), on
- *     language when `langs` is non-empty ([[TextOps.langGuess]]), and
- *     on repetition when `maxTopWordFrac` is set
+ *     language when `langs` is non-empty ([[TextOps.langGuess]]), on
+ *     repetition when `maxTopWordFrac` is set
  *     ([[TextOps.topWordFrac]] — the Gopher-style "one word dominates
- *     the doc" reject),
+ *     the doc" reject), and on the full published rule sets when
+ *     `requireGopher`/`requireC4` are on ([[TextOps.gopherPass]] /
+ *     [[TextOps.c4Pass]] — the SAME expressions as the batch audits,
+ *     so a doc admitted by the stream is exactly a doc the batch
+ *     pipeline would keep),
  *  4. appended to the corpus as an idempotent `batch=b<id>` dir —
  *     a replayed batch overwrites its own dir, never duplicates.
  *     As with [[StreamingIngest]]'s tables, the corpus dir belongs to
@@ -79,13 +83,20 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
                 bloomExpectedItems: Option[Long] = None,
                 // rebuild cadence in batches (also rebuilds with every
                 // compaction — folds move history out of the b-dir tail)
-                bloomRebuildEvery: Int = 16) {
+                bloomRebuildEvery: Int = 16,
+                // admit only docs passing the Gopher rule conjunction
+                // (TextOps.gopherPass — identical to the batch audit)
+                requireGopher: Boolean = false,
+                // admit only docs passing the C4 page decision
+                // (TextOps.c4Pass — identical to the batch audit)
+                requireC4: Boolean = false) {
 
   private val inputSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType)))
 
-  /** (batchId, accepted, dupInBatch, dupExisting, lowQuality, wrongLangOrRepetitious) */
+  /** (batchId, accepted, dupInBatch, dupExisting, lowQuality,
+    * otherRejected — wrong lang, repetition, or gopher/c4 rule gate) */
   @volatile var lastBatchStats: (Long, Long, Long, Long, Long, Long) = (-1L, 0L, 0L, 0L, 0L, 0L)
 
   /** (batchId, linesTotal, linesScrubbed) of the last batch (line scrub on). */
@@ -320,7 +331,10 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
       val langOk = if (langs.isEmpty) lit(true) else col("lang_guess").isin(langs: _*)
       val repOk = maxTopWordFrac.map(m => TextOps.topWordFrac(col("text")) <= m)
         .getOrElse(lit(true))
-      val admitted = fresh.filter(col("quality") >= minQuality && langOk && repOk)
+      val gopherOk = if (requireGopher) TextOps.gopherPass(col("text")) else lit(true)
+      val c4Ok = if (requireC4) TextOps.c4Pass(col("text")) else lit(true)
+      val admitted = fresh.filter(col("quality") >= minQuality && langOk && repOk &&
+        gopherOk && c4Ok)
       // stats ride the cached `fresh` (no re-read of the written dir —
       // an all-rejected batch writes an empty dir that can't be read)
       val nAdmitted = admitted.count()

@@ -38,10 +38,14 @@ class MediaFuzzSpec extends AnyFunSuite {
     val wav24 = MultimodalOps.encodeWavPcm(Array.tabulate(30)(i => i * 524287 % 8000000 - 4000000), 24, 2, 48000)
     val wavF = MultimodalOps.encodeWavFloat(Array.tabulate(32)(i => (i * 7 % 19 - 9) / 10.0f), 2, 16000)
     val avi = MultimodalOps.encodeAviMjpeg(Array(jpeg, "not a jpeg".getBytes("US-ASCII")), 24, 16)
+    val bmp = MultimodalOps.encodeBmp24(
+      Array.tabulate(10 * 7 * 3)(i => (i * 11).toByte), 10, 7)
+    val bmpTd = MultimodalOps.encodeBmp24(
+      Array.tabulate(5 * 6 * 3)(i => (i * 29 + 3).toByte), 5, 6, topDown = true)
     Seq(("png", png), ("png-adam7", pngAdam7), ("jpeg", jpeg), ("jpeg-prog", jpegProg),
       ("jpeg-12bit", jpeg12), ("jpeg-hier", jpegHier), ("gif", gif),
       ("gif-interlaced", gifInterlaced), ("wav", wav), ("wav-24", wav24),
-      ("wav-float", wavF), ("avi", avi))
+      ("wav-float", wavF), ("avi", avi), ("bmp", bmp), ("bmp-topdown", bmpTd))
   }
 
   private def decodeAll(b: Array[Byte]): Unit = {
@@ -51,6 +55,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     GifPixels.decodeGifFrames(b)
     MultimodalOps.decodeWavSamples(b)
     MultimodalOps.parseAviFrames(b)
+    MultimodalOps.decodeBmpPixels(b)
     MultimodalOps.parseHeader(b)
     ()
   }

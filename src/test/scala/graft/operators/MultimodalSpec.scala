@@ -191,6 +191,44 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("decodeBmpPixels: both row orders round-trip to the same logical stream") {
+    val w = 11; val h = 7 // rowBytes 33 -> stride 36: padding exercised
+    val px = Array.tabulate(w * h * 3)(i => ((i * 13 + 5) % 256).toByte)
+    val up = MultimodalOps.encodeBmp24(px, w, h)
+    val td = MultimodalOps.encodeBmp24(px, w, h, topDown = true)
+    assert(!up.sameElements(td), "the two stored row orders differ on disk")
+    assert(MultimodalOps.decodeBmpPixels(up).exists(_.sameElements(px)),
+      "bottom-up did not round-trip")
+    assert(MultimodalOps.decodeBmpPixels(td).exists(_.sameElements(px)),
+      "top-down did not round-trip")
+    assert(MultimodalOps.parseHeader(up)
+      .contains(MultimodalOps.MediaHeader("bmp", w, h, 3, 0)))
+    assert(MultimodalOps.parseHeader(td)
+      .contains(MultimodalOps.MediaHeader("bmp", w, h, 3, 0)))
+  }
+
+  test("decodeBmpPixels refuses out-of-scope and hostile streams") {
+    val px = Array.tabulate(4 * 4 * 3)(i => (i * 3).toByte)
+    val good = MultimodalOps.encodeBmp24(px, 4, 4)
+    assert(MultimodalOps.decodeBmpPixels(good).isDefined)
+    // truncated pixel data
+    assert(MultimodalOps.decodeBmpPixels(good.take(good.length - 1)).isEmpty)
+    // 8-bit depth out of scope
+    val bpp8 = good.clone(); bpp8(28) = 8
+    assert(MultimodalOps.decodeBmpPixels(bpp8).isEmpty)
+    // RLE compression out of scope
+    val rle = good.clone(); rle(30) = 1
+    assert(MultimodalOps.decodeBmpPixels(rle).isEmpty)
+    // crafted dimension bomb: width 2^24 -> capped, no allocation
+    val bomb = good.clone()
+    bomb(18) = 0; bomb(19) = 0; bomb(20) = 0; bomb(21) = 1
+    assert(MultimodalOps.decodeBmpPixels(bomb).isEmpty)
+    // biHeight = Int.MinValue (abs() overflow trap)
+    val hmin = good.clone()
+    hmin(22) = 0; hmin(23) = 0; hmin(24) = 0; hmin(25) = 0x80.toByte
+    assert(MultimodalOps.decodeBmpPixels(hmin).isEmpty)
+  }
+
   test("decodeWavSamples round-trips the PCM encoder at both widths") {
     // full signed range at 16 bits, including the asymmetric extremes
     val s16 = Array.tabulate(50)(i => (i * 2641 % 65536) - 32768)

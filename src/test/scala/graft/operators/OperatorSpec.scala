@@ -357,6 +357,28 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rt(1L) == 500000L && rt(2L) == 500000L, "tie must resolve to 'a' on both docs")
   }
 
+  test("gopherPass/c4Pass single-column gates equal the batch audits row-for-row") {
+    val ss = spark; import ss.implicits._
+    val goodLine = "alpha bravo charlie delta echo the be of and have one two."
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .union(Seq(
+        (910001L, Seq.fill(5)(goodLine).mkString("\n")),
+        (910002L, Seq.fill(5)(goodLine).mkString("\n").replace(".", "")),
+        (910003L, "short. but{ with lorem ipsum tells."),
+        (910004L, "")).toDF("doc_id", "text"))
+    val colG = docs.select(col("doc_id"), TextOps.gopherPass(col("text")).as("p"))
+    val batchG = TextOps.gopherRules(docs, "doc_id", "text")
+      .select(col("doc_id"), (col("pass") === 1L).as("p"))
+    assert(colG.exceptAll(batchG).isEmpty && batchG.exceptAll(colG).isEmpty,
+      "gopherPass must equal gopherRules.pass on every row")
+    val colC = docs.select(col("doc_id"), TextOps.c4Pass(col("text")).as("p"))
+    val batchC = TextOps.c4Rules(docs, "doc_id", "text")
+      .select(col("id").as("doc_id"), (col("pass") === 1L).as("p"))
+    assert(colC.exceptAll(batchC).isEmpty && batchC.exceptAll(colC).isEmpty,
+      "c4Pass must equal c4Rules.pass on every row")
+  }
+
   test("selectionFunnel: gates compose per group, dedup is corpus-global") {
     val ss = spark; import ss.implicits._
     val line = "alpha bravo charlie delta echo the be of and have one two."

@@ -113,6 +113,27 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((admitted, rejected) == ((1L, 1L)), s"stats: ${s.lastBatchStats}")
   }
 
+  test("doc stream: gopher/c4 rule gates admit exactly the batch-audit pass set") {
+    val work = Files.createTempDirectory("graft-docstream-rules").toString
+    val s = new DocStream(spark, s"$work/drop", s"$work/corpus", s"$work/ckpt",
+      minQuality = 0L, requireGopher = true, requireC4 = true)
+    // doc 1 passes both rule sets: 5 terminal 12-word lines, 60 words,
+    // stop words present; doc 2 fails ONLY c4 (no terminal
+    // punctuation); doc 3 fails ONLY gopher (30 words, under the
+    // 50-word floor, but 5 clean terminal sentences)
+    val line = "alpha bravo charlie delta echo the be of and have one two."
+    val both = Seq.fill(5)(line).mkString("\n")
+    jsonl(s"$work/drop", "a.jsonl", Seq(
+      1L -> both,
+      2L -> both.replace(".", ""),
+      3L -> Seq.fill(5)("This is the valid sentence here.").mkString("\n")))
+    s.runAvailableNow()
+    assert(s.accepted().select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "only the doc passing BOTH rule sets may be admitted")
+    val (_, admitted, _, _, _, rejected) = s.lastBatchStats
+    assert((admitted, rejected) == ((1L, 2L)), s"stats: ${s.lastBatchStats}")
+  }
+
   test("doc stream: streaming line scrub removes boilerplate across batches") {
     val work = Files.createTempDirectory("graft-docstream-lines").toString
     def stream() = new DocStream(spark, s"$work/drop", s"$work/corpus", s"$work/ckpt",
