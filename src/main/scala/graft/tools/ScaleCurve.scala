@@ -259,6 +259,24 @@ object ScaleCurve {
     run("split_leak_auto", d =>
       SimilarityOps.splitLeakage(embs(d), leakSplits(d), "id", "split", 0.4))
 
+    // round-10 operators
+    run("scripts", d => graft.operators.TextOps.scriptMix(docs(d), "doc_id", "text"))
+    run("distinct_n", d => graft.operators.TextOps.distinctNgrams(docs(d), "text"))
+    run("ks_drift", d => {
+      val a = docs(d)
+      graft.operators.SampleOps.ksDrift(
+        a, a.filter(!(col("lang") === "en" && col("doc_id") % 3 === 0)), "n_chars")
+    })
+    run("c4_rules", d => graft.operators.TextOps.c4Rules(docs(d), "doc_id", "text"))
+    run("ccnet_buckets", d =>
+      graft.operators.TextOps.ccnetBuckets(docs(d), "doc_id", "text", "lang"))
+    run("oov", d => graft.operators.TextOps.oovStats(docs(d), "doc_id", "text", 100))
+    run("funnel", d =>
+      graft.operators.TextOps.selectionFunnel(docs(d), "doc_id", "text", "lang", "source"))
+    run("range_cosine", d =>
+      SimilarityOps.rangeSearch(embs(d).filter(col("id") < 5), embs(d), 0.25))
+    run("temperature", d => graft.operators.SampleOps.temperatureShares(docs(d), "lang"))
+
     spark.stop()
   }
 }
