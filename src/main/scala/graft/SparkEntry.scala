@@ -1274,6 +1274,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s_recall_lsh" -> ((s, dir) => {
+      // the ANN evaluation surface: per-query recall@5 of the LSH
+      // strategy against exact brute force, in integral ppm — both
+      // sides are this library's own emitters, join is result-sized
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") < 5)
+      SimilarityOps.recallAudit(
+          SimilarityOps.lshTopK(q, e, k = 5),
+          SimilarityOps.bruteForceTopK(q, e, k = 5))
+        .orderBy("query_id")
+    }),
+
     // ---- training-data pipeline: text analysis ----
 
     "t_tokens" -> ((s, dir) => {
@@ -4704,6 +4716,61 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank::BIGINT AS rank, neighbor_id, sim
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // both sides are the s_ann_lsh / s_ann_cosine formulations
+    // verbatim, reduced to (query_id, neighbor_id) id sets
+    "s_recall_lsh" ->
+      """WITH planes AS (
+        |  SELECT b, list_transform(generate_series(0, 63),
+        |           d -> (('0x' || substr(md5('plane:' || b || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS pl
+        |  FROM (SELECT unnest(generate_series(0, 23)) AS b)),
+        |sig AS (
+        |  SELECT vec_id,
+        |         sum(CASE WHEN list_sum(list_transform(range(1, 65),
+        |               i -> pl[i] * embedding[i]::DOUBLE)) > 0
+        |             THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sig
+        |  FROM embeddings, planes GROUP BY 1),
+        |banded AS (
+        |  SELECT vec_id, band, (sig >> (band * 3)) & 7 AS bandval
+        |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) bb),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM banded q JOIN banded c ON q.band = c.band AND q.bandval = c.bandval
+        |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |scored_l AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * qe.embedding[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)))), 6) AS sim
+        |  FROM cand JOIN embeddings qe ON query_id = qe.vec_id
+        |            JOIN embeddings ce ON neighbor_id = ce.vec_id),
+        |lsh AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |    FROM scored_l) WHERE rank <= 5),
+        |qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |scored_b AS (
+        |  SELECT query_id, ce.vec_id AS neighbor_id,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * ce.embedding[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * qe[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)))), 6) AS sim
+        |  FROM qv, embeddings ce WHERE query_id <> ce.vec_id),
+        |ex AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |    FROM scored_b) WHERE rank <= 5),
+        |j AS (
+        |  SELECT ex.query_id,
+        |         (lsh.neighbor_id IS NOT NULL)::INT AS hit
+        |  FROM ex LEFT JOIN lsh ON ex.query_id = lsh.query_id
+        |                        AND ex.neighbor_id = lsh.neighbor_id)
+        |SELECT query_id, count(*)::BIGINT AS k_exact, sum(hit)::BIGINT AS hits,
+        |       ((sum(hit) * 1000000) // count(*))::BIGINT AS recall_ppm
+        |FROM j GROUP BY 1 ORDER BY query_id""".stripMargin,
 
     "t_tokens" ->
       """WITH w AS (

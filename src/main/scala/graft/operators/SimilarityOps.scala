@@ -123,6 +123,33 @@ object SimilarityOps {
   }
 
   /**
+   * ANN recall audit: per query, how much of the EXACT top-k an
+   * approximate strategy recovered — the go/no-go evaluation every
+   * ANN rollout runs before trusting banding parameters at scale
+   * (sbt specs assert recall floors; this makes the same measurement
+   * a first-class, oracle-checkable operator over any pair of this
+   * library's ranked emitters). Inputs are two (query_id, …,
+   * neighbor_id) result frames; output is (query_id, k_exact, hits,
+   * recall_ppm) with integral-division ppm.
+   *
+   * Scale shape: one equi join on (query_id, neighbor_id) between two
+   * k·|queries|-sized frames (result-sized, not corpus-sized — the
+   * expensive part already happened producing them) + one
+   * query-keyed fold. No corpus data enters.
+   */
+  def recallAudit(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("query_id"), col("k_exact"), col("hits"),
+        IntDiv(col("hits") * 1000000L, col("k_exact")).cast("long").as("recall_ppm"))
+  }
+
+  /**
    * Hard-negative mining for contrastive training: for each query
    * vector, the `k` corpus vectors MOST similar to it that carry a
    * DIFFERENT label — the near-misses a contrastive loss learns the

@@ -240,4 +240,30 @@ class KernelSpec extends AnyFunSuite {
         "<retention><age>0</age><precision>1</precision></retention></default></graphite_rollup>")
     }
   }
+
+  test("ngramHashes property: byte-walk kernel equals the split/sliding reference") {
+    import org.apache.spark.unsafe.Platform
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import java.nio.charset.StandardCharsets.UTF_8
+    def ref(s: String, n: Int): Seq[Long] = {
+      val words = s.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+      if (words.length < n) Nil
+      else words.sliding(n).map { g =>
+        val b = g.mkString(" ").getBytes(UTF_8)
+        XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+      }.toSeq
+    }
+    // alphabet mixes multibyte UTF-8, every space byte the kernel
+    // recognizes, and long words (scratch-buffer regrowth path)
+    val token = Gen.oneOf(Gen.const("a"), Gen.const("ф"), Gen.const("日"),
+      Gen.const("longword" * 12), Gen.alphaNumStr)
+    val sep = Gen.oneOf(" ", "\t", "\n", "", "\f", "\r", "  ", " \t ")
+    val doc = Gen.listOf(Gen.zip(token, sep)).map(_.map { case (t, s) => t + s }.mkString)
+    val gen = Gen.zip(doc, Gen.choose(1, 4))
+    forAll(gen) { case (s, n) =>
+      val got = graft.operators.Shingles.ngramHashes(UTF8String.fromString(s), n)
+      got.toLongArray().toSeq == ref(s, n)
+    }
+  }
 }

@@ -298,6 +298,26 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shardedTight.size < oneLevel.size && shardedTight.nonEmpty)
   }
 
+  test("recallAudit: hand-built overlaps, identity at 1e6, missing-query rows absent") {
+    val ss = spark; import ss.implicits._
+    val exact = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L), (1L, 4L, 13L),
+      (1L, 5L, 14L), (2L, 1L, 20L), (2L, 2L, 21L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val approx = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L), (1L, 4L, 99L),
+      (1L, 5L, 98L), (2L, 1L, 21L), (2L, 2L, 97L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val r = SimilarityOps.recallAudit(approx, exact).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == ((5L, 3L, 600000L)), s"q1: ${r(1L)}")
+    assert(r(2L) == ((2L, 1L, 500000L)), s"q2: ${r(2L)}")
+    // identity: any strategy audited against itself recalls 100%
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val brute = SimilarityOps.bruteForceTopK(e.filter(col("id") < 5), e, k = 5)
+    val self = SimilarityOps.recallAudit(brute, brute).collect()
+    assert(self.length == 5 && self.forall(_.getLong(3) == 1000000L))
+  }
+
   test("rangeSearch: threshold boundary on rounded sim, consistent with topK") {
     val ss = spark; import ss.implicits._
     // hand-built 2-d vectors: q=(1,0); neighbors at cos 1.0, ~0.7071, 0.0, -1.0
