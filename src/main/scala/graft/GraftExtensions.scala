@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.operators.{FastMd5Expr, Md5Head60Expr, MinhashSigExpr, RepetitionStatsExpr, ShingleHashesExpr, Simhash60Expr, TextStatsExpr}
+import graft.operators.{FastMd5Expr, Md5Head60Expr, MinhashSigExpr, NgramHashesExpr, RepetitionStatsExpr, ScriptMixStatsExpr, ShingleHashesExpr, Simhash60Expr, TextStatsExpr}
 
 /**
  * SparkSessionExtensions entry point: registers the engine's custom
@@ -57,5 +57,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("text_stats",
         "text_stats(text) - [len, n_words, n_stops, n_punct, en_hits, de_hits, es_hits, n_subwords]"),
       (args: Seq[Expression]) => TextStatsExpr(args.head)))
+    ext.injectFunction((FunctionIdentifier("ngram_hashes"),
+      info("ngram_hashes",
+        "ngram_hashes(text, n) - xxhash64 of ALL word n-gram occurrences (duplicates kept)"),
+      (args: Seq[Expression]) =>
+        NgramHashesExpr(args.head, if (args.length > 1) intLit(args(1), "n") else 1)))
+    ext.injectFunction((FunctionIdentifier("script_mix"),
+      info("script_mix",
+        "script_mix(text) - [latin, cyrillic, greek, arabic, hebrew, cjk, digit] codepoint counts"),
+      (args: Seq[Expression]) => ScriptMixStatsExpr(args.head)))
   }
 }

@@ -1061,19 +1061,36 @@ object TextOps {
    * homoglyph spoofing — both invisible to the n-gram [[languageId]],
    * which assumes the doc is in SOME coherent script.
    *
-   * Counting is `length(text) − length(regexp_replace(text, class,
-   * ""))` — one codegen'd regex pass per class, no explode, no UDF;
-   * integer counts replay exactly on any engine whose length() counts
-   * codepoints (the classes are BMP-only, so UTF-16 vs codepoint
-   * length never diverges). Scale: a per-row projection; nothing
-   * shuffles, nothing pins.
+   * Counting is the fused [[ScriptMixStats]] kernel — ONE UTF-8
+   * decode walk classifies every code point (subexpression
+   * elimination collapses the 7 field reads to a single eval),
+   * replacing the prior seven regexp_replace passes that each
+   * re-scanned and copied the text. The regex formulation survives as
+   * [[scriptMixReference]] and the equivalence is spec-pinned; the
+   * DuckDB oracle still replays the regex form (integer counts agree
+   * exactly — the classes are BMP-only, so UTF-16 vs codepoint length
+   * never diverges). Scale: a per-row projection; nothing shuffles,
+   * nothing pins.
    */
   def scriptMix(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val st = ScriptMixStats(col(textCol))
+    val counts = ScriptClasses.zipWithIndex.map { case ((name, _), ix) =>
+      element_at(st, ix + 1).as(name)
+    }
+    withDominant(docs.select((col(idCol).as("doc_id") +: counts): _*))
+  }
+
+  /** Pre-kernel regex formulation (equivalence-test reference). */
+  private[graft] def scriptMixReference(docs: DataFrame, idCol: String,
+                                        textCol: String): DataFrame = {
     val t = col(textCol)
     val counts = ScriptClasses.map { case (name, cls) =>
       (length(t) - length(regexp_replace(t, cls, ""))).cast("long").as(name)
     }
-    val withCounts = docs.select((col(idCol).as("doc_id") +: counts): _*)
+    withDominant(docs.select((col(idCol).as("doc_id") +: counts): _*))
+  }
+
+  private def withDominant(withCounts: DataFrame): DataFrame = {
     val maxCount = greatest(ScriptClasses.map(c => col(c._1)): _*)
     // foldRight keeps the FIRST listed class as the outermost when():
     // ties resolve to dominance order, zero-everything docs say "none"

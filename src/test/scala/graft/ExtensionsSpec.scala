@@ -48,6 +48,18 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception](spark.sql("SELECT minhash_sig('x', 'not-an-int')").collect())
   }
 
+  test("ngram_hashes / script_mix from SQL") {
+    val r = spark.sql("""
+      SELECT ngram_hashes('a b a b', 2) AS ng,
+             transform(sequence(1, 3), i ->
+               xxhash64(concat_ws(' ', slice(split('a b a b', ' '), i, 2)))) AS ngref,
+             script_mix('ab Яб 日 9!') AS sm
+    """).head()
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1), "ngram_hashes must equal the columnar form")
+    // 'ab Яб 日 9!': latin a,b = 2; cyrillic Я,б = 2; cjk 日 = 1; digit 9 = 1
+    assert(r.getSeq[Long](2) == Seq(2L, 2L, 0L, 0L, 0L, 1L, 1L), s"sm: ${r.getSeq[Long](2)}")
+  }
+
   test("repetition_stats / text_stats from SQL") {
     val r = spark.sql("""
       SELECT repetition_stats('a b a\na b a') AS rep,

@@ -241,6 +241,34 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("scriptMix kernel property: one UTF-8 walk equals per-codepoint classification") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def cls(cp: Int): Int =
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+        (cp >= 0xC0 && cp <= 0x24F)) 0
+      else if (cp >= 0x400 && cp <= 0x4FF) 1
+      else if (cp >= 0x370 && cp <= 0x3FF) 2
+      else if (cp >= 0x600 && cp <= 0x6FF) 3
+      else if (cp >= 0x590 && cp <= 0x5FF) 4
+      else if ((cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3040 && cp <= 0x30FF) ||
+        (cp >= 0xAC00 && cp <= 0xD7AF)) 5
+      else if (cp >= '0' && cp <= '9') 6
+      else -1
+    // boundary code points of every class edge + fillers + supplementary
+    val cps = Seq('a'.toInt, 'Z'.toInt, '5'.toInt, '!'.toInt, ' '.toInt,
+      0xBF, 0xC0, 0x24F, 0x250, 0x36F, 0x370, 0x3FF, 0x400, 0x4FF, 0x500,
+      0x58F, 0x590, 0x5FF, 0x600, 0x6FF, 0x700, 0x303F, 0x3040, 0x30FF,
+      0x3100, 0x4DFF, 0x4E00, 0x9FFF, 0xA000, 0xABFF, 0xAC00, 0xD7AF, 0xD7B0,
+      0x1F600, 0x10000)
+    val doc = Gen.listOf(Gen.oneOf(cps)).map(_.flatMap(Character.toChars(_)).mkString)
+    forAll(doc) { s =>
+      val got = graft.operators.ScriptMixStats.counts(UTF8String.fromString(s)).toLongArray()
+      val want = new Array[Long](7)
+      s.codePoints().forEach { cp => val c = cls(cp); if (c >= 0) want(c) += 1 }
+      got.toSeq == want.toSeq
+    }
+  }
+
   test("ngramHashes property: byte-walk kernel equals the split/sliding reference") {
     import org.apache.spark.unsafe.Platform
     import org.apache.spark.unsafe.types.UTF8String

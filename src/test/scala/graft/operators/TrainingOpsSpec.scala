@@ -1083,6 +1083,22 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("zh", 0L, 1L, 0L, 250000L, 250000L)))   // appeared
   }
 
+  test("scriptMix fused kernel equals the regex reference row-for-row") {
+    val ss = spark; import ss.implicits._
+    val planted = Seq(
+      (900001L, "Привет мир Ελληνικά مرحبا שלום 日本語 한국어 ひらがな 123 abc Ångström"),
+      (900002L, ""),
+      (900003L, "😀 emoji only 😀"), // supplementary: no class
+      (900004L, "ÿĀſƀɏɏɐ")) // Latin-Extended boundary chars
+      .toDF("doc_id", "text")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).union(planted)
+    val a = TextOps.scriptMix(docs, "doc_id", "text")
+    val b = TextOps.scriptMixReference(docs, "doc_id", "text")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "one-walk kernel must equal the 7-regex formulation on every row")
+  }
+
   test("scriptMix: per-class codepoint counts, dominance order on ties, 'none' on empty") {
     val ss = spark; import ss.implicits._
     val docs = Seq(
