@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.operators.{FastMd5Expr, Md5Head60Expr, MinhashSigExpr, NgramHashesExpr, RepetitionStatsExpr, ScriptMixStatsExpr, ShingleHashesExpr, Simhash60Expr, TextStatsExpr}
+import graft.operators.{FastMd5Expr, GopherStatsExpr, Md5Head60Expr, MinhashSigExpr, NgramHashesExpr, RepetitionStatsExpr, ScriptMixStatsExpr, ShingleHashesExpr, Simhash60Expr, TextStatsExpr}
 
 /**
  * SparkSessionExtensions entry point: registers the engine's custom
@@ -66,5 +66,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("script_mix",
         "script_mix(text) - [latin, cyrillic, greek, arabic, hebrew, cjk, digit] codepoint counts"),
       (args: Seq[Expression]) => ScriptMixStatsExpr(args.head)))
+    ext.injectFunction((FunctionIdentifier("gopher_stats"),
+      info("gopher_stats",
+        "gopher_stats(text) - [n_words, n_chars, alpha_words, n_lines, bullets, ell_lines, hashes, ells, stop_cnt]"),
+      (args: Seq[Expression]) => GopherStatsExpr(args.head)))
   }
 }

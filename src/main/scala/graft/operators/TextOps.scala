@@ -641,22 +641,27 @@ object TextOps {
    * containing an alphabetic character; >= 2 of the 8 stop words
    * (the, be, to, of, and, that, have, with) present.
    *
-   * Every signal is a built-in expression over the text column (regex
-   * counts + length arithmetic — whole-stage codegen, no HOF lambda on
-   * the corpus-row path, no shuffle): a pure projection that scales to
-   * any corpus size. Counting formulations are engine-portable by
-   * SEMANTICS (number of \S+ runs, lines as \n-splits, non-overlapping
-   * literal occurrences), so the DuckDB oracle replays them with list
-   * operations rather than trusting regex-engine parity; ratio
-   * comparisons perform the identical single int->double division on
-   * both engines. Flags are 0/1 LONGs.
+   * Every signal comes from the fused [[GopherStats]] kernel — ONE
+   * walk over the raw bytes + one over the lowered bytes replaces the
+   * ~8 regex scans of the original expression formulation (retained
+   * as [[gopherFlagsReference]], equivalence spec-pinned;
+   * subexpression elimination collapses the 9 field reads to a single
+   * kernel eval per row). Counting semantics are engine-portable
+   * (number of \S+ runs, lines as \n-splits, non-overlapping literal
+   * occurrences), so the DuckDB oracle replays them with list
+   * operations; ratio comparisons perform the identical single
+   * int->double division on both engines. The kernel fixes a latent
+   * regex inconsistency: Java's (?m) anchors also at \r/U+2028-class
+   * terminators, which contradicted n_lines' own \n-split and the
+   * oracle — all line counts now agree on \n-splits (spec-pinned with
+   * a crafted \r case). Flags are 0/1 LONGs.
    */
   def gopherRules(docs: DataFrame, idCol: String, textCol: String,
                   keep: Seq[Column] = Nil): DataFrame = {
     val flags = gopherFlags(col(textCol))
     docs.select(Seq(
         col(idCol),
-        regexp_count(col(textCol), lit("\\S+")).cast("long").as("n_words")) ++
+        element_at(GopherStats(col(textCol)), 1).as("n_words")) ++
         gopherFlagNames.zip(flags).map { case (n, c) => c.as(n) } ++ keep: _*)
       .withColumn("pass", gopherFlagNames.map(col).reduce(_ * _).cast("long"))
   }
@@ -665,21 +670,39 @@ object TextOps {
     "r_bullet", "r_ellipsis", "r_alpha", "r_stop")
 
   /** The 7 Gopher rule flags (0/1 longs, [[gopherFlagNames]] order)
-    * as pure column expressions — [[gopherRules]] names them into its
-    * projection; [[gopherPass]] folds them for single-column gates. */
+    * from the fused [[GopherStats]] kernel — [[gopherRules]] names
+    * them into its projection; [[gopherPass]] folds them for
+    * single-column gates. */
   private[graft] def gopherFlags(t: Column): Seq[Column] = {
-    val nWords = regexp_count(t, lit("\\S+")).cast("long")
-    val nChars = length(regexp_replace(t, "\\s", "")).cast("long")
-    val alphaWords = regexp_count(t, lit("\\S*[A-Za-z]\\S*")).cast("long")
-    val nLines = size(split(t, "\n")).cast("long")
-    val bullets = regexp_count(t, lit("(?m)^[ \\t]*[-*\u2022]")).cast("long")
-    val ellLines = regexp_count(t, lit("(?m)(\\.\\.\\.|\u2026)$")).cast("long")
-    val hashes = (length(t) - length(replace(t, lit("#"), lit("")))).cast("long")
-    val ells = (length(t) - length(replace(t, lit("..."), lit("")))) / lit(3) +
-      (length(t) - length(replace(t, lit("\u2026"), lit("")))).cast("long")
+    val g = GopherStats(t)
+    gopherFlagsFrom(
+      element_at(g, 1), element_at(g, 2), element_at(g, 3),
+      element_at(g, 4), element_at(g, 5), element_at(g, 6),
+      element_at(g, 7), element_at(g, 8).cast("double"), element_at(g, 9))
+  }
+
+  /** Pre-kernel regex formulation (equivalence-test reference; Java
+    * (?m) semantics — diverges from the kernel only on \r/U+2028-class
+    * line terminators, where the kernel matches the oracle). */
+  private[graft] def gopherFlagsReference(t: Column): Seq[Column] = {
     val toks = split(lower(t), "\\s+")
-    val stopCnt = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-      .map(w => array_contains(toks, w).cast("long")).reduce(_ + _)
+    gopherFlagsFrom(
+      regexp_count(t, lit("\\S+")).cast("long"),
+      length(regexp_replace(t, "\\s", "")).cast("long"),
+      regexp_count(t, lit("\\S*[A-Za-z]\\S*")).cast("long"),
+      size(split(t, "\n")).cast("long"),
+      regexp_count(t, lit("(?m)^[ \\t]*[-*\u2022]")).cast("long"),
+      regexp_count(t, lit("(?m)(\\.\\.\\.|\u2026)$")).cast("long"),
+      (length(t) - length(replace(t, lit("#"), lit("")))).cast("long"),
+      (length(t) - length(replace(t, lit("..."), lit("")))) / lit(3) +
+        (length(t) - length(replace(t, lit("\u2026"), lit("")))).cast("long"),
+      Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        .map(w => array_contains(toks, w).cast("long")).reduce(_ + _))
+  }
+
+  private def gopherFlagsFrom(nWords: Column, nChars: Column, alphaWords: Column,
+                              nLines: Column, bullets: Column, ellLines: Column,
+                              hashes: Column, ells: Column, stopCnt: Column): Seq[Column] = {
     def flag(c: Column): Column = c.cast("long")
     Seq(
       flag(nWords.between(50L, 100000L)),

@@ -58,6 +58,10 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getSeq[Long](0) == r.getSeq[Long](1), "ngram_hashes must equal the columnar form")
     // 'ab Яб 日 9!': latin a,b = 2; cyrillic Я,б = 2; cjk 日 = 1; digit 9 = 1
     assert(r.getSeq[Long](2) == Seq(2L, 2L, 0L, 0L, 0L, 1L, 1L), s"sm: ${r.getSeq[Long](2)}")
+    val g = spark.sql("SELECT gopher_stats('the cat...\n- be #')").head().getSeq[Long](0)
+    // 5 words, 13 non-space chars, 3 alpha words, 2 lines, 1 bullet,
+    // 1 ...-terminated line, 1 hash, 1 ells, 2 distinct stops (the, be)
+    assert(g == Seq(5L, 13L, 3L, 2L, 1L, 1L, 1L, 1L, 2L), s"gopher: $g")
   }
 
   test("repetition_stats / text_stats from SQL") {

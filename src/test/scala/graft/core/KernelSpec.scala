@@ -269,6 +269,40 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("gopherStats property: one-walk kernel equals the documented-semantics reference") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val stops = Set("the", "be", "to", "of", "and", "that", "have", "with")
+    val spaceChars = " \t\n\f\r".toSet
+    def ref(s: String): Seq[Long] = {
+      val words = s.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+      val lowerWords = s.toLowerCase.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSet
+      val lines = s.split("\n", -1)
+      var nChars = 0L
+      s.codePoints().forEach(cp => if (cp > 0xff || !spaceChars.contains(cp.toChar)) nChars += 1)
+      Seq(
+        words.length.toLong,
+        nChars,
+        words.count(_.exists(ch => (ch >= 'A' && ch <= 'Z') || (ch >= 'a' && ch <= 'z'))).toLong,
+        lines.length.toLong,
+        lines.count { l =>
+          val t = l.dropWhile(c => c == ' ' || c == '\t')
+          t.nonEmpty && (t(0) == '-' || t(0) == '*' || t(0) == '•')
+        }.toLong,
+        lines.count(l => l.endsWith("...") || l.endsWith("…")).toLong,
+        s.count(_ == '#').toLong,
+        ((s.length - s.replace("...", "").length) / 3 + s.count(_ == '…')).toLong,
+        stops.count(lowerWords.contains).toLong)
+    }
+    val tokens = Seq("the", "be", "with", "That", "word", "ф", "日", "#", "...",
+      "..", "....", ".....", "…", "….", "•x", "- y", "* z", "\t•",
+      "\n", "\r", " ", "\t", "a#b", "ends...", "ends…", "A")
+    val doc = Gen.listOf(Gen.oneOf(tokens)).map(_.mkString)
+    forAll(doc) { s =>
+      graft.operators.GopherStats.stats(UTF8String.fromString(s))
+        .toLongArray().toSeq == ref(s)
+    }
+  }
+
   test("ngramHashes property: byte-walk kernel equals the split/sliding reference") {
     import org.apache.spark.unsafe.Platform
     import org.apache.spark.unsafe.types.UTF8String

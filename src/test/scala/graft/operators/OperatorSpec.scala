@@ -257,6 +257,32 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq((10L, 1L, 2L)), s"got ${got.toSeq}")
   }
 
+  test("gopherRules fused kernel equals the regex reference row-for-row") {
+    val ss = spark; import ss.implicits._
+    val crafted = Seq(
+      (910001L, "word ##tag ...more... ..... …okay\n- bullet\n * starred\n\t•dotted\nplain line...\nends…"),
+      (910002L, ""), (910003L, "   \t  "),
+      (910004L, "the be to of and that have with THE That"),
+      (910005L, "ф фф 12.5 a.b ... …"),
+      (910006L, Seq.fill(60)("mix3d-w0rd the be").mkString(" ")))
+      .toDF("doc_id", "text")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).union(crafted)
+    def named(fs: Seq[org.apache.spark.sql.Column]) =
+      fs.zipWithIndex.map { case (c, i) => c.as(s"f$i") }
+    val a = docs.select(col("doc_id") +: named(TextOps.gopherFlags(col("text"))): _*)
+    val b = docs.select(col("doc_id") +: named(TextOps.gopherFlagsReference(col("text"))): _*)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "one-walk kernel flags must equal the regex formulation on every row")
+    // the DELIBERATE divergence: \r is line CONTENT on the kernel path
+    // (the oracle's \n-split semantic), not a (?m) anchor
+    import org.apache.spark.unsafe.types.UTF8String
+    val g = GopherStats.stats(UTF8String.fromString("- a\r- b...")).toLongArray()
+    assert(g(3) == 1L, "one \\n-line despite the \\r")
+    assert(g(4) == 1L, "one bullet: the \\r does not open a new line")
+    assert(g(5) == 1L, "the single line ends in ...")
+  }
+
   test("gopherRules: each rule trips on its crafted document") {
     val ss = spark; import ss.implicits._
     val good = ((1 to 60).map(i => s"word$i") ++
