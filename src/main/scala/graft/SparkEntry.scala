@@ -1332,6 +1332,13 @@ object SparkEntry {
       TextOps.oovStats(table(s, dir, "documents"), "doc_id", "text", topV = 100)
         .orderBy("doc_id")),
 
+    "t_distinct_n_kmv" -> ((s, dir) =>
+      // the bounded-exchange scale path for gram diversity: KMV min-set
+      // per n (k*8 bytes cross the shuffle forever) instead of the
+      // exact one-row-per-distinct-gram exchange
+      TextOps.distinctNgramsSketch(table(s, dir, "documents"), "text", maxN = 3, k = 128)
+        .orderBy("n")),
+
     "p_funnel" -> ((s, dir) =>
       // the composed selection funnel: gopher x c4 x exact-dedup
       // canonical, counted per (lang, source) with kept token volume
@@ -4068,6 +4075,28 @@ object SparkEntry {
         |SELECT n::BIGINT AS n, sum(f)::BIGINT AS total_grams, count(*)::BIGINT AS distinct_grams,
         |       CAST(count(*) * 1000000 // sum(f) AS BIGINT) AS distinct_ppm
         |FROM c GROUP BY 1 ORDER BY n""".stripMargin,
+
+    // same gram construction as t_distinct_n; min-set/estimate replay
+    // the p_distinct_kmv formulation per gram order n
+    "t_distinct_n_kmv" ->
+      """WITH a AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT t.n, array_to_string(a.ws[r.i : r.i + t.n - 1], ' ') AS gram
+        |  FROM a, (VALUES (1),(2),(3)) t(n), UNNEST(range(1, greatest(len(a.ws) - t.n + 2, 1))) AS r(i)),
+        |tot AS (SELECT n, count(*) AS total_grams FROM g GROUP BY 1),
+        |dh AS (SELECT DISTINCT n, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h FROM g),
+        |r AS (SELECT n, h, row_number() OVER (PARTITION BY n ORDER BY h) AS rn FROM dh),
+        |s AS (
+        |  SELECT n, count(*) AS n_seen, max(h) AS kth_hash,
+        |         round(CASE WHEN count(*) < 128 THEN count(*)::DOUBLE
+        |                    ELSE 127.0 / (max(h) / 1152921504606846976.0) END,
+        |               4) AS est_distinct
+        |  FROM r WHERE rn <= 128 GROUP BY n)
+        |SELECT s.n::BIGINT AS n, tot.total_grams::BIGINT AS total_grams,
+        |       s.n_seen::BIGINT AS n_seen, s.kth_hash, s.est_distinct
+        |FROM s JOIN tot USING (n) ORDER BY n""".stripMargin,
 
     // ppm-quantized CDFs BEFORE the difference (bounded longs at any
     // corpus size — no na*nb cross product), mirroring SampleOps.ksDrift

@@ -1162,6 +1162,49 @@ object TextOps {
   }
 
   /**
+   * KMV-sketched sibling of [[distinctNgrams]] — the BOUNDED-EXCHANGE
+   * scale path. The exact operator's shuffle carries one 16-byte row
+   * per DISTINCT (n, gram hash): corpus-priced and fine at any
+   * realistic scale, but still an exchange that grows with gram
+   * diversity. This variant's exchange is k·8 bytes per n FOREVER —
+   * [[SketchOps.kmvSketch]] partials combine map-side and only
+   * k-entry buffers cross the wire — at the cost of an estimate
+   * (exact below k; ±O(1/√k) above, Bar-Yossef 2002). Gram hashing
+   * here is md5Head60 of the gram STRING (not the XXH64 kernel)
+   * because the min-set and estimate must replay in the DuckDB
+   * oracle, which has md5 but no xxhash64 — the sketch pays per-gram
+   * string building for engine-portable determinism; use
+   * [[distinctNgrams]] when the distinct exchange is affordable.
+   * Output per n: (n, total_grams, n_seen, kth_hash, est_distinct) —
+   * the [[SketchOps.distinctSketch]] column contract.
+   */
+  def distinctNgramsSketch(docs: DataFrame, textCol: String, maxN: Int = 3,
+                           k: Int = 128): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"distinctNgramsSketch maxN in [1,8], got $maxN")
+    val ws = filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)
+    val gramArr = concat((1 to maxN).map { n =>
+      when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => struct(lit(n.toLong).as("n"),
+            concat_ws(" ", slice(ws, i, lit(n))).as("gram"))))
+        .otherwise(array().cast("array<struct<n:bigint,gram:string>>"))
+    }: _*)
+    docs.select(explode(gramArr).as("g"))
+      .select(col("g.n").as("n"), FastHash.md5Head60(col("g.gram")).as("_h"))
+      .groupBy("n")
+      .agg(count(lit(1)).as("total_grams"),
+        SketchOps.kmvSketch(col("_h"), k).as("_mins"))
+      .select(col("n"), col("total_grams"),
+        size(col("_mins")).cast("long").as("n_seen"),
+        element_at(col("_mins"), -1).as("kth_hash"),
+        round(
+          when(size(col("_mins")) < k, size(col("_mins")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              (element_at(col("_mins"), -1).cast("double") / lit(1152921504606846976.0))),
+          4).as("est_distinct"))
+  }
+
+  /**
    * The published C4 cleaning rule set (Raffel et al. 2020, §2.2) as a
    * per-document audit — the OTHER de-facto standard web-corpus filter
    * next to [[gopherRules]], kept separate because C4 filters at LINE

@@ -1119,6 +1119,46 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row(3).getString(8) == "none" && row(4).getString(8) == "none")
   }
 
+  test("distinctNgramsSketch: exact below k, estimate tracks the exact operator above") {
+    val ss = spark; import ss.implicits._
+    // small corpus: every n stays under k -> n_seen == est == exact distinct
+    val small = Seq((1L, "a b c a b"), (2L, "c d e")).toDF("doc_id", "text")
+    val sk = TextOps.distinctNgramsSketch(small, "text", maxN = 2, k = 64)
+      .orderBy("n").collect()
+    val ex = TextOps.distinctNgrams(small, "text", maxN = 2)
+      .orderBy("n").collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (row <- sk) {
+      val n = row.getLong(0)
+      assert(row.getLong(1) == ex(n)._1, s"n=$n total must equal the exact operator")
+      assert(row.getLong(2) == ex(n)._2 && row.getDouble(4) == ex(n)._2.toDouble,
+        s"n=$n below k the sketch IS exact")
+    }
+    // real corpus: n=1 stays under k (the sf0.01 vocab is tiny) so the
+    // EXACT branch is driver-checked; n=2,3 take the estimate path —
+    // within 30% of exact (3x the ~8.8% k=128 standard error); totals
+    // identical on every n
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val est = TextOps.distinctNgramsSketch(docs, "text", maxN = 3, k = 128)
+      .orderBy("n").collect()
+    val exact = TextOps.distinctNgrams(docs, "text", maxN = 3)
+      .orderBy("n").collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    var sawExact = false
+    var sawEstimate = false
+    for (row <- est) {
+      val n = row.getLong(0)
+      assert(row.getLong(1) == exact(n)._1, s"n=$n totals must agree")
+      if (row.getLong(2) < 128L) {
+        sawExact = true
+        assert(row.getDouble(4) == exact(n)._2.toDouble, s"n=$n below k must be exact")
+      } else {
+        sawEstimate = true
+        val rel = math.abs(row.getDouble(4) - exact(n)._2) / exact(n)._2.toDouble
+        assert(rel < 0.30, s"n=$n estimate off by ${rel * 100}% (est ${row.getDouble(4)}, exact ${exact(n)._2})")
+      }
+    }
+    assert(sawExact && sawEstimate, "sf0.01 must exercise BOTH sketch branches")
+  }
+
   test("distinctNgrams: exact totals and distincts; repetition drops the ratio") {
     val ss = spark; import ss.implicits._
     // 2 docs x 4 words: unigrams 8 total / 4 distinct ({a,b,c,d});
