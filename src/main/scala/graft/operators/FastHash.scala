@@ -48,6 +48,19 @@ object FastMd5 {
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
     (v << 4) | ((d(7) >> 4) & 0xfL)
   }
+
+  /** [[md5Head60]] over a byte range — the allocation-free entry the
+    * fused gram kernels feed from their scratch buffers. */
+  def md5Head60Bytes(b: Array[Byte], off: Int, len: Int): Long = {
+    val md = tl.get()
+    md.reset()
+    md.update(b, off, len)
+    val d = md.digest()
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xfL)
+  }
 }
 
 /** `md5()` drop-in with the thread-local digest (see [[FastMd5]]). */

@@ -96,7 +96,23 @@ object Shingles {
    * slice(ws, i, n))))` over the split word array (pinned in
    * KernelSpec).
    */
-  def ngramHashes(s: UTF8String, w: Int): ArrayData = {
+  def ngramHashes(s: UTF8String, w: Int): ArrayData =
+    ngramWalk(s, w, md5 = false)
+
+  /**
+   * The md5Head60 sibling of [[ngramHashes]] for ORACLE-REPLAYABLE
+   * sketch keys ([[TextOps.distinctNgramsSketch]]): same walk, same
+   * space-joined gram bytes, but hashed with
+   * [[FastMd5.md5Head60Bytes]] — bit-identical to
+   * `conv(substring(md5(gram), 1, 15), 16, 10)` over the gram string,
+   * which DuckDB replays (it has no xxhash64). Measured: replacing
+   * the interpreted transform/slice/concat_ws gram builder with this
+   * kernel took t_distinct_n_kmv 66.3 s → 2.2 s at sf1 (EVIDENCE.md).
+   */
+  def ngramMd5Heads(s: UTF8String, w: Int): ArrayData =
+    ngramWalk(s, w, md5 = true)
+
+  private def ngramWalk(s: UTF8String, w: Int, md5: Boolean): ArrayData = {
     val bytes = s.getBytes
     var i = 0
     val n = bytes.length
@@ -133,7 +149,9 @@ object Shingles {
         len += wl
         k += 1
       }
-      out(p) = XXH64.hashUnsafeBytes(scratch, Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      out(p) =
+        if (md5) FastMd5.md5Head60Bytes(scratch, 0, len)
+        else XXH64.hashUnsafeBytes(scratch, Platform.BYTE_ARRAY_OFFSET, len, 42L)
       p += 1
     }
     new GenericArrayData(out)
@@ -174,5 +192,22 @@ object NgramHashes {
   def apply(text: Column, w: Int): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(NgramHashesExpr(GraftColumnBridge.expression(text), w))
+  }
+}
+
+/** See [[Shingles.ngramMd5Heads]]. */
+case class NgramMd5HeadsExpr(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Shingles.ngramMd5Heads(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.operators.Shingles.ngramMd5Heads($c, $w)")
+  override protected def withNewChildInternal(c: Expression): NgramMd5HeadsExpr = copy(child = c)
+}
+
+object NgramMd5Heads {
+  def apply(text: Column, w: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(NgramMd5HeadsExpr(GraftColumnBridge.expression(text), w))
   }
 }

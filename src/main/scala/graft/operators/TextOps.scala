@@ -1170,27 +1170,26 @@ object TextOps {
    * [[SketchOps.kmvSketch]] partials combine map-side and only
    * k-entry buffers cross the wire — at the cost of an estimate
    * (exact below k; ±O(1/√k) above, Bar-Yossef 2002). Gram hashing
-   * here is md5Head60 of the gram STRING (not the XXH64 kernel)
-   * because the min-set and estimate must replay in the DuckDB
-   * oracle, which has md5 but no xxhash64 — the sketch pays per-gram
-   * string building for engine-portable determinism; use
-   * [[distinctNgrams]] when the distinct exchange is affordable.
+   * here is md5Head60 of the gram bytes via the fused
+   * [[Shingles.ngramMd5Heads]] kernel (NOT the XXH64 kernel) because
+   * the min-set and estimate must replay in the DuckDB oracle, which
+   * has md5 but no xxhash64 — the md5 costs more per gram than XXH64,
+   * which is the price of engine-portable determinism (the first cut
+   * built gram STRINGS through interpreted transform/slice HOFs and
+   * measured 66.3 s at sf1; the kernel removed the string building);
+   * use [[distinctNgrams]] when the distinct exchange is affordable.
    * Output per n: (n, total_grams, n_seen, kth_hash, est_distinct) —
    * the [[SketchOps.distinctSketch]] column contract.
    */
   def distinctNgramsSketch(docs: DataFrame, textCol: String, maxN: Int = 3,
                            k: Int = 128): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"distinctNgramsSketch maxN in [1,8], got $maxN")
-    val ws = filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)
+    val lowered = lower(col(textCol))
     val gramArr = concat((1 to maxN).map { n =>
-      when(size(ws) >= n,
-        transform(sequence(lit(1), size(ws) - (n - 1)),
-          i => struct(lit(n.toLong).as("n"),
-            concat_ws(" ", slice(ws, i, lit(n))).as("gram"))))
-        .otherwise(array().cast("array<struct<n:bigint,gram:string>>"))
+      transform(NgramMd5Heads(lowered, n), h => struct(lit(n.toLong).as("n"), h.as("h")))
     }: _*)
     docs.select(explode(gramArr).as("g"))
-      .select(col("g.n").as("n"), FastHash.md5Head60(col("g.gram")).as("_h"))
+      .select(col("g.n").as("n"), col("g.h").as("_h"))
       .groupBy("n")
       .agg(count(lit(1)).as("total_grams"),
         SketchOps.kmvSketch(col("_h"), k).as("_mins"))

@@ -122,6 +122,15 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(fused.count() == columnar.count(), s"n=$n count")
       assert(fused.exceptAll(columnar).isEmpty && columnar.exceptAll(fused).isEmpty,
         s"n=$n: kernel must produce exactly the xxhash64-of-gram multiset, duplicates kept")
+      // the md5Head60 sibling: same walk, oracle-portable hash
+      val columnarMd5 = docs.select(col("id"), explode(
+          when(size(ws) >= n,
+            transform(sequence(lit(1), size(ws) - (n - 1)),
+              i => FastHash.md5Head60(concat_ws(" ", slice(ws, i, lit(n))))))
+            .otherwise(array().cast("array<bigint>"))).as("h"))
+      val fusedMd5 = docs.select(col("id"), explode(NgramMd5Heads(lower(col("text")), n)).as("h"))
+      assert(fusedMd5.exceptAll(columnarMd5).isEmpty && columnarMd5.exceptAll(fusedMd5).isEmpty,
+        s"n=$n: md5 kernel must equal md5Head60 over the gram strings")
     }
   }
 
@@ -381,6 +390,29 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rt = TextOps.oovStats(tie, "doc_id", "text", topV = 1).collect()
       .map(x => x.getLong(0) -> x.getLong(3)).toMap
     assert(rt(1L) == 500000L && rt(2L) == 500000L, "tie must resolve to 'a' on both docs")
+  }
+
+  test("c4 gate vs audit equality holds over 200 randomized line structures") {
+    val ss = spark; import ss.implicits._
+    // seeded generator: random line counts, word counts, terminal chars,
+    // javascript/lorem/brace injections, tabs/trailing spaces/empties
+    val rnd = new scala.util.Random(42)
+    val terminals = Seq(".", "!", "?", "\"", "", ",", ";")
+    val words = Seq("alpha", "two", "JavaScript", "javascripted", "lorem",
+      "ipsum", "lorem ipsum", "x{y", "ok", "a")
+    val docs = (1 to 200).map { id =>
+      val lines = (0 to rnd.nextInt(6)).map { _ =>
+        val ws = (0 to rnd.nextInt(5)).map(_ => words(rnd.nextInt(words.length)))
+        val pad = if (rnd.nextBoolean()) "  " else ""
+        ws.mkString(" ") + pad + terminals(rnd.nextInt(terminals.length))
+      }
+      (id.toLong, lines.mkString("\n"))
+    }.toDF("doc_id", "text")
+    val gate = docs.select(col("doc_id"), TextOps.c4Pass(col("text")).as("p"))
+    val audit = TextOps.c4Rules(docs, "doc_id", "text")
+      .select(col("id").as("doc_id"), (col("pass") === 1L).as("p"))
+    assert(gate.exceptAll(audit).isEmpty && audit.exceptAll(gate).isEmpty,
+      "HOF gate and explode audit must agree on every randomized doc")
   }
 
   test("gopherPass/c4Pass single-column gates equal the batch audits row-for-row") {
