@@ -99,7 +99,7 @@ object Bench {
     // (max/min would pin the original outlier in the window forever)
     def noisy(name: String): Boolean = {
       val sorted = times(name).sorted
-      sorted.length >= 2 && sorted(1) / sorted(0) > 1.5
+      sorted.length >= 2 && sorted(0) > 0 && sorted(1) / sorted(0) > 1.5
     }
     // base passes: whole suite per pass, so a query's samples are spread
     // across the session instead of sharing one transient

@@ -514,11 +514,18 @@ object JpegBaseline {
               // entropy-decode one block (T.81 F.2.2)
               java.util.Arrays.fill(coef, 0)
               val t = r.decodeHuff(dcTab(c.td))
-              // DC diff categories: 0..11 at 8-bit, 0..15 at 12-bit
-              // (T.81 Table F.1 extends with the wider sample range);
-              // differential frames span 2x the sample range, one more
-              if (t > (if (precision == 12) 15 else if (differential) 12 else 11)) throw Bail
-              val dcv = extend(r.receive(t), t)
+              // DC diff categories (T.81 Table F.1): 0..11 at 8-bit,
+              // 0..15 at 12-bit; differential frames span 2x the
+              // sample range so each precision allows one more (12 /
+              // 16 — the 12-bit differential row goes to SSSS=16).
+              // SSSS=16 codes the single value 32768 with NO appended
+              // bits (F.1.2.1.1, same convention as the lossless H.2
+              // DECODE special case) — it is not a receive/extend pair
+              val dcCap =
+                if (precision == 12) { if (differential) 16 else 15 }
+                else { if (differential) 12 else 11 }
+              if (t > dcCap) throw Bail
+              val dcv = if (t == 16) 32768 else extend(r.receive(t), t)
               // differential frames code each block's DC directly,
               // without prediction (F.1.1.5.2: PRED is zero)
               if (differential) c.pred = dcv else c.pred += dcv
@@ -974,6 +981,13 @@ object JpegBaseline {
   private val EncDc12Codes = canonicalCodes(EncDc12Bits, EncDc12Vals)
   private val EncAc12Codes = canonicalCodes(EncAc12Bits, EncAc12Vals)
 
+  // 12-bit DIFFERENTIAL DC table: categories 0..16 (Table F.1's
+  // doubled differential range — SSSS=16 is the no-appended-bits
+  // DIFF=32768 special case) as 17 codes at 5 bits
+  private val EncDcHierBits = Array(0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val EncDcHierVals = Array.tabulate(17)(identity)
+  private val EncDcHierCodes = canonicalCodes(EncDcHierBits, EncDcHierVals)
+
   // progressive AC table: the baseline symbols PLUS the EOBn run-length
   // symbols 0x10..0xE0 (r<<4, size 0) Annex G scans use — 176 codes,
   // still all at 8 bits (canonical, all-ones unused)
@@ -1020,8 +1034,11 @@ object JpegBaseline {
                          acCodes: Map[Int, (Int, Int)] = EncAcCodes,
                          maxAcSize: Int = 10): Int = {
     val diff = zz(0) - pred
+    // DIFF=32768 (12-bit differential only) is SSSS=16 with no
+    // appended bits (F.1.2.1.1); category() maps it to 16 naturally
     val t = category(diff)
-    putCoded(w, dcCodes, t, diff, t)
+    if (t == 16) putCoded(w, dcCodes, 16, 0, 0)
+    else putCoded(w, dcCodes, t, diff, t)
     var run = 0
     var k = 1
     while (k < 64) {
@@ -1145,10 +1162,12 @@ object JpegBaseline {
    */
   private[graft] def encodeGrayHier(loBlocks: Array[Array[Int]], loBw: Int, loBh: Int,
                                     diffBlocks: Array[Array[Int]],
-                                    quantZz: Array[Int]): Array[Byte] = {
+                                    quantZz: Array[Int],
+                                    precision: Int = 8): Array[Byte] = {
     require(loBlocks.length == loBw * loBh && loBlocks.forall(_.length == 64))
     require(diffBlocks.length == 4 * loBw * loBh && diffBlocks.forall(_.length == 64))
     require(quantZz.length == 64 && quantZz.forall(q => q >= 1 && q <= 255))
+    require(precision == 8 || precision == 12)
     val bos = new java.io.ByteArrayOutputStream()
     def seg(marker: Int, payload: Array[Int]): Unit = {
       bos.write(0xff); bos.write(marker)
@@ -1158,27 +1177,39 @@ object JpegBaseline {
     }
     val loW = loBw * 8; val loH = loBh * 8
     val fullW = 2 * loW; val fullH = 2 * loH
+    // at 12-bit the non-differential frame must be SOF1 (Table B.2:
+    // SOF0 is 8-bit only) and the DC table spans categories 0..16
+    // (the differential frame's doubled range, incl. the SSSS=16
+    // DIFF=32768 no-appended-bits code)
+    val p12 = precision == 12
+    val dcT = if (p12) EncDcHierCodes else EncDcCodes
+    val acT = if (p12) EncAc12Codes else EncAcCodes
+    val maxAc = if (p12) 14 else 10
     bos.write(0xff); bos.write(0xd8) // SOI
-    seg(0xde, Array(8, (fullH >> 8) & 0xff, fullH & 0xff, // DHP: full dims
+    seg(0xde, Array(precision, (fullH >> 8) & 0xff, fullH & 0xff, // DHP: full dims
       (fullW >> 8) & 0xff, fullW & 0xff, 1, 1, 0x11, 0))
     seg(0xdb, Array(0x00) ++ quantZz)
-    seg(0xc4, Array(0x00) ++ EncDcBits ++ EncDcVals ++
-      Array(0x10) ++ EncAcBits ++ EncAcVals)
-    // frame 1: non-differential half-resolution SOF0
-    seg(0xc0, Array(8, (loH >> 8) & 0xff, loH & 0xff,
+    if (p12)
+      seg(0xc4, Array(0x00) ++ EncDcHierBits ++ EncDcHierVals ++
+        Array(0x10) ++ EncAc12Bits ++ EncAc12Vals)
+    else
+      seg(0xc4, Array(0x00) ++ EncDcBits ++ EncDcVals ++
+        Array(0x10) ++ EncAcBits ++ EncAcVals)
+    // frame 1: non-differential half-resolution SOF0 (SOF1 at 12-bit)
+    seg(if (p12) 0xc1 else 0xc0, Array(precision, (loH >> 8) & 0xff, loH & 0xff,
       (loW >> 8) & 0xff, loW & 0xff, 1, 1, 0x11, 0))
     seg(0xda, Array(1, 1, 0x00, 0, 63, 0))
     val w1 = new BitWriter(bos)
     var pred = 0
-    loBlocks.foreach { zz => pred = writeBlock(w1, zz, pred) }
+    loBlocks.foreach { zz => pred = writeBlock(w1, zz, pred, dcT, acT, maxAc) }
     w1.flush()
     // EXP 1:2 both axes, then frame 2: differential full-resolution SOF5
     seg(0xdf, Array(0x11))
-    seg(0xc5, Array(8, (fullH >> 8) & 0xff, fullH & 0xff,
+    seg(0xc5, Array(precision, (fullH >> 8) & 0xff, fullH & 0xff,
       (fullW >> 8) & 0xff, fullW & 0xff, 1, 1, 0x11, 0))
     seg(0xda, Array(1, 1, 0x00, 0, 63, 0))
     val w2 = new BitWriter(bos)
-    diffBlocks.foreach { zz => writeBlock(w2, zz, 0) } // DC coded without prediction
+    diffBlocks.foreach { zz => writeBlock(w2, zz, 0, dcT, acT, maxAc) } // DC coded without prediction
     w2.flush()
     bos.write(0xff); bos.write(0xd9) // EOI
     bos.toByteArray

@@ -138,9 +138,15 @@ object SimilarityOps {
    * query-keyed fold. No corpus data enters.
    */
   def recallAudit(approx: DataFrame, exact: DataFrame): DataFrame = {
+    // dedup both sides first: a repeated (query_id, neighbor_id) row in
+    // either input would fan the left join out and double-count both
+    // k_exact and hits. Both frames are result-sized, so this is cheap
+    // insurance rather than a precondition the caller must remember.
     val a = approx.select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("hit", lit(1L))
     exact.select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
       .join(a, Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
       .agg(count(lit(1)).as("k_exact"),

@@ -169,6 +169,30 @@ class JpegBaselineSpec extends AnyFunSuite {
     }
   }
 
+  test("hierarchical 12-bit: differential DC categories reach SSSS=16 (DIFF=32768, no appended bits)") {
+    // 12-bit hier stream (DHP P=12, SOF1 lo frame, SOF5 diff frame):
+    // flat lo at 2048 (zz(0)=0 after level shift, DC quant 8); one diff
+    // quadrant coded with DC=32768 — category 16, which T.81 F.1.2.1.1
+    // codes as SSSS=16 with NO appended bits. Decoded quadrant is
+    // clamp(2048+32768)=4095 -> byte 255; the other quadrants pin the
+    // ordinary 12-bit differential path around it.
+    val lo = new Array[Int](64) // flat 2048: zz(0) = 2048 - 2048 = 0
+    def diff(d: Int): Array[Int] = { val zz = new Array[Int](64); zz(0) = d; zz }
+    val ds = Array(32768, 100, -50, 0) // TL TR BL BR
+    val jpeg = JpegBaseline.encodeGrayHier(Array(lo), 1, 1, ds.map(diff), flatQuant,
+      precision = 12)
+    def has(m: Int): Boolean =
+      jpeg.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == m)
+    assert(has(0xde) && has(0xdf) && has(0xc1) && has(0xc5) && !has(0xc0))
+    val d = JpegBaseline.decodePixels(jpeg).get
+    assert((d.width, d.height, d.channels) === ((16, 16, 1)))
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val v12 = math.max(0, math.min(4095, 2048 + ds((y / 8) * 2 + (x / 8))))
+      val want = v12 >> 4 // the precision-independent top-8-bits mapping
+      assert((d.samples(y * 16 + x) & 0xff) === want, s"pixel ($x,$y)")
+    }
+  }
+
   test("hierarchical: non-flat reference goes through the J.1.1.2 interpolation") {
     // lo block with AC structure, zero diff frame: the output must be
     // the lo frame's pixels expanded by the (a+b+1)>>1 filter — checked

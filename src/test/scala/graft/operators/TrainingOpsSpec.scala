@@ -316,6 +316,14 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val brute = SimilarityOps.bruteForceTopK(e.filter(col("id") < 5), e, k = 5)
     val self = SimilarityOps.recallAudit(brute, brute).collect()
     assert(self.length == 5 && self.forall(_.getLong(3) == 1000000L))
+    // duplicate (query_id, neighbor_id) rows on EITHER side must not
+    // fan the join out: k_exact/hits/recall identical to the clean run
+    val dupExact = exact.union(exact.limit(3))
+    val dupApprox = approx.union(approx.limit(2))
+    val rd = SimilarityOps.recallAudit(dupApprox, dupExact).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(rd(1L) == ((5L, 3L, 600000L)), s"dup q1: ${rd(1L)}")
+    assert(rd(2L) == ((2L, 1L, 500000L)), s"dup q2: ${rd(2L)}")
   }
 
   test("rangeSearch: threshold boundary on rounded sim, consistent with topK") {
