@@ -743,6 +743,20 @@ object SparkEntry {
       SeriesOps.movingAverage(metricStream(s, dir), 5)
         .orderBy("path", "time", "version")),
 
+    "g_moving_median" -> ((s, dir) =>
+      // graphite movingMedian(5): exact percentile over quantized
+      // longs in the frame — the spike-robust smoother
+      SeriesOps.movingMedian(metricStream(s, dir), 5)
+        .orderBy("path", "time", "version")),
+
+    "g_weighted_avg" -> ((s, dir) =>
+      // graphite weightedAverage(value-series, min-series, node 1):
+      // hourly "last" consolidation, pair on path-minus-leaf, roll up
+      // per event type
+      SeriesOps.weightedAverage(metricStream(s, dir), "value", "min",
+          groupNode = 1, stepSec = 3600L)
+        .orderBy("grp", "bucket")),
+
     "g_outliers" -> ((s, dir) =>
       // per-series z-score anomalies (|z| > 3), exact integer moments
       SeriesOps.outliers(metricStream(s, dir), z = 3.0)
@@ -989,6 +1003,78 @@ object SparkEntry {
       // that fires long before whole-document dedup sees a duplicate
       TextOps.distinctNgrams(table(s, dir, "documents"), "text").orderBy("n")),
 
+    "t_readability" -> ((s, dir) =>
+      // Flesch reading-ease in exact millis: the curriculum signal
+      // and the OCR-garbage detector (mangled text goes deeply negative)
+      TextOps.readability(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "t_code_detect" -> ((s, dir) => {
+      // code-likeness routing audit, with code PLANTED on doc_id%7==2
+      // (the synthetic corpus is pure prose; planting exercises every
+      // signal — braces, operators, keywords, indents — on both engines)
+      val planted = table(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 2,
+            lit("\ndef check(x):\n    if x == 2 && x != 0:\n        return x + 1\nclass Foo {\n    int y = 0;\n}\n"))
+            .otherwise(lit(""))).as("text"))
+      TextOps.codeSignals(planted, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    "t_urls" -> ((s, dir) => {
+      // URL/domain audit with URLs PLANTED on doc_id%4 in {1,2} (the
+      // corpus carries none): counts, distinct hosts, URL char ppm
+      val planted = table(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 1,
+            lit(" see https://example.com/a/b and http://docs.example.org/x?q=1 plus https://example.com/c"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 2,
+            concat(lit(" asset at https://cdn"), col("doc_id") % 3,
+              lit(".example-media.net/img.png"))).otherwise(lit("")))
+          .as("text"))
+      TextOps.urlAudit(planted, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    "t_skipgram" -> ((s, dir) =>
+      // corpus-wide skip-gram collocations: unordered word pairs
+      // within a 3-word span, top 30 — the word2vec/phrase-mining table
+      TextOps.skipgramPairs(table(s, dir, "documents"), "text", window = 3, topN = 30)),
+
+    "t_html_strip" -> ((s, dir) => {
+      // markup-strip audit with an HTML page fragment PLANTED on
+      // doc_id%6==3 — tag counts, stripped length, markup ppm,
+      // nav/footer boilerplate flag
+      val planted = table(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 6 === 3,
+            lit(" <html><body><nav>menu</nav><p class=\"x\">hello</p><footer>(c) 2024</footer></body></html>"))
+            .otherwise(lit(""))).as("text"))
+      TextOps.htmlStrip(planted, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    "d_minhash_estimate" -> ((s, dir) =>
+      // sketch-accuracy calibration: signature-agreement estimate vs
+      // exact Jaccard per LSH candidate pair, signed error in ppm
+      DedupOps.minhashEstimateAudit(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+
+    "s_centroid_drift" -> ((s, dir) => {
+      // embedding-drift release gate: per-label centroid cosine
+      // between the full snapshot and a refresh that dropped
+      // vec_id%5==0 — counts on both sides, null drift = class gone
+      val e = table(s, dir, "embeddings")
+      KMeansOps.centroidDrift(e, e.filter(col("vec_id") % 5 =!= 0),
+          "label", "embedding")
+        .orderBy("label")
+    }),
+
+    "p_signal_corr" -> ((s, dir) =>
+      // signal-redundancy audit: Spearman between the quality score
+      // and n_chars over ordinal ranks (id tie-break) — one exact row
+      SampleOps.rankCorrelation(table(s, dir, "documents"),
+        TextOps.qualityScore(col("text")), col("n_chars"), col("doc_id"))),
+
     "p_ks_drift" -> ((s, dir) => {
       // exact two-sample KS gate on document lengths between snapshot
       // A and a filtered snapshot B — the distribution-shape release
@@ -1067,6 +1153,15 @@ object SparkEntry {
       // the retention policy on top: per cluster keep the HIGHEST-
       // QUALITY member (tie -> smaller id), one row per cluster
       DedupOps.canonicalPerCluster(table(s, dir, "documents"), "doc_id", "text",
+          minJaccard = 0.8)
+        .orderBy("cluster_id")),
+
+    "d_dedup_priority" -> ((s, dir) =>
+      // cross-corpus merge rule: within a near-dup cluster the member
+      // from the best source TIER survives (src suffix % 3 plays the
+      // curated/web/crawl tiers), quality/id break remaining ties
+      DedupOps.priorityCanonical(table(s, dir, "documents"), "doc_id", "text",
+          priority = substring(col("source"), 4, 10).cast("long") % 3,
           minJaccard = 0.8)
         .orderBy("cluster_id")),
 
@@ -1282,6 +1377,16 @@ object SparkEntry {
       val q = e.filter(col("id") < 5)
       SimilarityOps.recallAudit(
           SimilarityOps.lshTopK(q, e, k = 5),
+          SimilarityOps.bruteForceTopK(q, e, k = 5))
+        .orderBy("query_id")
+    }),
+
+    "s_recall_ivf" -> ((s, dir) => {
+      // same audit for the IVF strategy — the nprobe go/no-go check
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") < 5)
+      SimilarityOps.recallAudit(
+          SimilarityOps.ivfTopK(q, e, k = 5),
           SimilarityOps.bruteForceTopK(q, e, k = 5))
         .orderBy("query_id")
     }),
@@ -1503,6 +1608,7 @@ object SparkEntry {
       val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
       MultimodalOps.pixelFeatures(media).orderBy("media_id")
     }),
+
 
     "m_media_samples" -> ((s, dir) => {
       // REAL sample-stage decode over planted WAVs — the m_media_pixels
@@ -1849,6 +1955,11 @@ object SparkEntry {
       // corpus composition per (source, lang) — the mixture-design input
       SampleOps.corpusStats(table(s, dir, "documents"), Seq("source", "lang"), "text")
         .orderBy("source", "lang")),
+
+    "p_label_balance" -> ((s, dir) =>
+      // class-balance go/no-go: one integer-exact row (shares + Gini
+      // in ppm) over the labeled embedding set
+      SampleOps.labelBalance(table(s, dir, "embeddings"), "label")),
 
     "s_centroids" -> ((s, dir) =>
       // per-label exact mean embedding (class centroids) in the
@@ -3242,6 +3353,49 @@ object SparkEntry {
          |       round(CAST(sq AS DOUBLE) / CAST(n_window AS DOUBLE) / 1000000.0, 6) AS mavg
          |FROM x ORDER BY path, "time", version""".stripMargin,
 
+    // exact frame median over the SAME 1e-6-quantized longs the Spark
+    // side feeds percentile(0.5): both engines sort identical integers
+    // and interpolate the two middle values exactly in doubles
+    "g_moving_median" ->
+      s"""$OracleM,
+         |x AS (
+         |  SELECT path, "time", version,
+         |         count(*) OVER w AS n_window,
+         |         median(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) OVER w AS mq
+         |  FROM m WINDOW w AS (PARTITION BY path ORDER BY "time", version
+         |                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+         |SELECT path, "time", version, n_window,
+         |       round(mq / 1000000.0, 6) AS mmedian
+         |FROM x ORDER BY path, "time", version""".stripMargin,
+
+    // pair value/min series on path-minus-leaf after hourly "last"
+    // consolidation (LWW first, then max-by-time per bucket);
+    // Σ(vq·wq)/Σ(wq) divides exact LONG sums (vq 1e-6, wq 1e-3)
+    "g_weighted_avg" ->
+      s"""$OracleM,
+         |lww AS (
+         |  SELECT path, "time", max_by(value, version) AS value
+         |  FROM m GROUP BY 1, 2),
+         |cons AS (
+         |  SELECT regexp_replace(path, '\\.[^.]*$$', '') AS pair_key,
+         |         string_split(path, '.')[-1] AS leaf,
+         |         "time" - "time" % 3600 AS bucket,
+         |         max_by(value, "time") AS value
+         |  FROM lww GROUP BY 1, 2, 3),
+         |v AS (SELECT pair_key, bucket,
+         |             CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vq
+         |      FROM cons WHERE leaf = 'value'),
+         |w AS (SELECT pair_key, bucket,
+         |             CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS wq
+         |      FROM cons WHERE leaf = 'min'),
+         |j AS (SELECT v.pair_key, v.bucket, vq, wq
+         |      FROM v JOIN w ON v.pair_key = w.pair_key AND v.bucket = w.bucket)
+         |SELECT split_part(pair_key, '.', 2) AS grp, bucket,
+         |       count(*)::BIGINT AS n_pairs,
+         |       round(CASE WHEN sum(wq) > 0
+         |                  THEN sum(vq * wq)::DOUBLE / sum(wq)::DOUBLE / 1000000.0 END, 6) AS wavg
+         |FROM j GROUP BY 1, 2 ORDER BY grp, bucket""".stripMargin,
+
     "g_outliers" ->
       s"""$OracleM,
          |st AS (
@@ -4098,6 +4252,216 @@ object SparkEntry {
         |       s.n_seen::BIGINT AS n_seen, s.kth_hash, s.est_distinct
         |FROM s JOIN tot USING (n) ORDER BY n""".stripMargin,
 
+    // integer counts from single regexp passes; the Flesch double
+    // chain runs on those integers in the same operation order, then
+    // quantizes to millis — the grade CASE compares the milli INTEGER
+    "t_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS n_sentences,
+        |    len(regexp_extract_all(text, '[A-Za-z]+'))::BIGINT AS n_words,
+        |    greatest(len(regexp_extract_all(text, '[A-Za-z]+'))::BIGINT,
+        |             len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))::BIGINT) AS n_syllables
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, n_sentences, n_words, n_syllables,
+        |    CASE WHEN n_words > 0 THEN
+        |      CAST(floor((206.835
+        |        - 1.015 * (n_words::DOUBLE / greatest(n_sentences, 1)::DOUBLE)
+        |        - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE)) * 1000.0 + 0.5) AS BIGINT)
+        |    END AS flesch_milli
+        |  FROM c)
+        |SELECT doc_id, n_sentences, n_words, n_syllables, flesch_milli,
+        |  CASE WHEN flesch_milli IS NULL THEN 'empty'
+        |       WHEN flesch_milli >= 90000 THEN 'very_easy'
+        |       WHEN flesch_milli >= 70000 THEN 'easy'
+        |       WHEN flesch_milli >= 50000 THEN 'medium'
+        |       WHEN flesch_milli >= 30000 THEN 'hard'
+        |       ELSE 'very_hard' END AS grade
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // same planted code block (chr(10) = the Scala "\n"); every count
+    // is a single RE2/JVM-identical regexp pass over ASCII
+    "t_code_detect" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 2 THEN
+        |      chr(10) || 'def check(x):' ||
+        |      chr(10) || '    if x == 2 && x != 0:' ||
+        |      chr(10) || '        return x + 1' ||
+        |      chr(10) || 'class Foo {' ||
+        |      chr(10) || '    int y = 0;' ||
+        |      chr(10) || '}' || chr(10)
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[{}\[\]();]'))::BIGINT AS n_braces,
+        |    len(regexp_extract_all(text, '(==|!=|->|=>|&&|\|\||\+=|::)'))::BIGINT AS n_operators,
+        |    len(regexp_extract_all(text, '\b(def|class|return|import|function|const|var|void|if|else|for|while|lambda|public|static)\b'))::BIGINT AS n_keywords,
+        |    len(regexp_extract_all(text, '(?m)^(    |\t)'))::BIGINT AS n_indent_lines,
+        |    CASE WHEN length(text) > 0
+        |         THEN (length(text) - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))) * 1000000 // length(text)
+        |         ELSE 0 END::BIGINT AS symbol_ppm
+        |  FROM planted)
+        |SELECT doc_id, n_braces, n_operators, n_keywords, n_indent_lines, symbol_ppm,
+        |  (CASE WHEN (n_braces + n_operators >= 5 AND n_keywords >= 2)
+        |             OR n_indent_lines >= 3 THEN 1 ELSE 0 END)::BIGINT AS is_code
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // same planted URLs; URL chars measured by the strip-delta, hosts
+    // by a per-match extract — list ops over the same RE2 matches
+    "t_urls" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 1 THEN ' see https://example.com/a/b and http://docs.example.org/x?q=1 plus https://example.com/c' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 2 THEN ' asset at https://cdn' || (doc_id % 3) || '.example-media.net/img.png' ELSE '' END AS text
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, text,
+        |         list_distinct(list_transform(regexp_extract_all(text, 'https?://[^\s]+'),
+        |                                      x -> regexp_extract(x, '^https?://([^/\s:?#]+)', 1))) AS hosts,
+        |         len(regexp_extract_all(text, 'https?://[^\s]+'))::BIGINT AS n_urls
+        |  FROM planted)
+        |SELECT doc_id, n_urls,
+        |       len(hosts)::BIGINT AS n_hosts,
+        |       list_sort(hosts)[1] AS first_host,
+        |       CASE WHEN length(text) > 0
+        |            THEN (length(text) - length(regexp_replace(text, 'https?://[^\s]+', '', 'g'))) * 1000000 // length(text)
+        |            ELSE 0 END::BIGINT AS url_ppm
+        |FROM u ORDER BY doc_id""".stripMargin,
+
+    // unordered pairs within a 3-word span; the lateral index unnests
+    // mirror the Spark transform(sequence) nesting exactly
+    "t_skipgram" ->
+      """WITH a AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT least(a.ws[i.i], a.ws[j.j]) AS w1,
+        |         greatest(a.ws[i.i], a.ws[j.j]) AS w2
+        |  FROM a,
+        |       UNNEST(range(1, len(a.ws))) AS i(i),
+        |       UNNEST(range(i.i + 1, least(i.i + 3, len(a.ws)) + 1)) AS j(j)),
+        |c AS (SELECT w1, w2, count(*)::BIGINT AS n FROM g GROUP BY 1, 2)
+        |SELECT w1, w2, n FROM c ORDER BY n DESC, w1, w2 LIMIT 30""".stripMargin,
+
+    // same planted fragment; the strip is the standard <[^>]+> pass on
+    // both engines, the boilerplate flag an (?i) RE2/JVM-identical scan
+    "t_html_strip" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 6 = 3 THEN ' <html><body><nav>menu</nav><p class="x">hello</p><footer>(c) 2024</footer></body></html>' ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '<[^>]+>'))::BIGINT AS n_tags,
+        |  length(regexp_replace(text, '<[^>]+>', '', 'g'))::BIGINT AS stripped_chars,
+        |  (CASE WHEN length(text) > 0
+        |        THEN (length(text) - length(regexp_replace(text, '<[^>]+>', '', 'g'))) * 1000000 // length(text)
+        |        ELSE 0 END)::BIGINT AS markup_ppm,
+        |  (len(regexp_extract_all(text, '(?i)<(nav|footer|aside)\b')) > 0)::BIGINT AS has_boilerplate
+        |FROM planted ORDER BY doc_id""".stripMargin,
+
+    // the d_dedup_clusters candidate/intersection replays + per-pair
+    // signature agreement over the same (doc, seed) minhash matrix
+    "d_minhash_estimate" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS wd
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(wd) < 3 THEN [array_to_string(wd, ' ')]
+        |         ELSE list_transform(generate_series(1, len(wd) - 2),
+        |                             i -> array_to_string(wd[i:i+2], ' ')) END)) AS sh
+        |  FROM w),
+        |mh AS (
+        |  SELECT doc_id, seed, min(md5(seed || ':' || sh)) AS mh
+        |  FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+        |  GROUP BY 1, 2),
+        |band AS (
+        |  SELECT doc_id, seed // 4 AS band,
+        |         string_agg(seed || '~' || mh, '|' ORDER BY seed || '~' || mh) AS bandval
+        |  FROM mh GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM band a JOIN band b ON a.band = b.band AND a.bandval = b.bandval
+        |                          AND a.doc_id < b.doc_id),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT id_a, id_b, count(*) AS inter
+        |  FROM cand JOIN sh a ON id_a = a.doc_id JOIN sh b ON id_b = b.doc_id AND a.sh = b.sh
+        |  GROUP BY 1, 2),
+        |agree AS (
+        |  SELECT c.id_a, c.id_b,
+        |         sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END)::BIGINT AS agree
+        |  FROM cand c JOIN mh ma ON ma.doc_id = c.id_a
+        |              JOIN mh mb ON mb.doc_id = c.id_b AND mb.seed = ma.seed
+        |  GROUP BY 1, 2)
+        |SELECT c.id_a, c.id_b, g.agree,
+        |       g.agree * 1000000 // 16 AS est_ppm,
+        |       coalesce(i.inter, 0) * 1000000 // (x.n + y.n - coalesce(i.inter, 0)) AS jacc_ppm,
+        |       g.agree * 1000000 // 16
+        |         - coalesce(i.inter, 0) * 1000000 // (x.n + y.n - coalesce(i.inter, 0)) AS err_ppm
+        |FROM cand c
+        |JOIN agree g ON c.id_a = g.id_a AND c.id_b = g.id_b
+        |LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+        |JOIN n x ON c.id_a = x.doc_id
+        |JOIN n y ON c.id_b = y.doc_id
+        |ORDER BY c.id_a, c.id_b""".stripMargin,
+
+    // the s_centroids exact-quantized means on both snapshots,
+    // assembled pos-ordered; cosine over the same 64-term chain
+    "s_centroid_drift" ->
+      """WITH ca AS (
+        |  SELECT label, i - 1 AS pos,
+        |         sum(floor(embedding[i]::DOUBLE * 10000000.0 + 0.5))::BIGINT::DOUBLE
+        |           / (count(*)::DOUBLE * 10000000.0) AS mean,
+        |         count(*) AS n
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) dims
+        |  GROUP BY 1, 2),
+        |cb AS (
+        |  SELECT label, i - 1 AS pos,
+        |         sum(floor(embedding[i]::DOUBLE * 10000000.0 + 0.5))::BIGINT::DOUBLE
+        |           / (count(*)::DOUBLE * 10000000.0) AS mean,
+        |         count(*) AS n
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) dims
+        |  WHERE vec_id % 5 <> 0
+        |  GROUP BY 1, 2),
+        |la AS (SELECT label, min(n)::BIGINT AS n_a, list(mean ORDER BY pos) AS va FROM ca GROUP BY 1),
+        |lb AS (SELECT label, min(n)::BIGINT AS n_b, list(mean ORDER BY pos) AS vb FROM cb GROUP BY 1)
+        |SELECT coalesce(la.label, lb.label) AS label, n_a, n_b,
+        |       round(list_sum(list_transform(range(1, 65), i -> va[i] * vb[i])) /
+        |             (sqrt(list_sum(list_transform(range(1, 65), i -> va[i] * va[i]))) *
+        |              sqrt(list_sum(list_transform(range(1, 65), i -> vb[i] * vb[i])))), 6) AS drift_cos
+        |FROM la FULL OUTER JOIN lb ON la.label = lb.label
+        |ORDER BY label""".stripMargin,
+
+    // the p_stats quality replay feeds ordinal ranks (id tie-break);
+    // Σd² is exact, the ρ double chain runs on exact integers
+    "p_signal_corr" ->
+      """WITH qw AS (
+        |  SELECT doc_id, n_chars, length(text)::BIGINT AS len,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS lw,
+        |         (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))::BIGINT AS np
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, n_chars,
+        |       (400 * least(len, 500)) // 500
+        |     + CASE WHEN len(lw) = 0 THEN 0
+        |            ELSE (300 * least(len(list_filter(lw, x -> x IN ('the','a','an','of','to','and','in','is','on','for'))) * 5, len(lw))) // len(lw) END
+        |     + CASE WHEN len = 0 THEN 0 ELSE (300 * greatest(len - np * 5, 0)) // len END AS quality
+        |  FROM qw),
+        |rk AS (
+        |  SELECT row_number() OVER (ORDER BY quality ASC, doc_id ASC) AS r1,
+        |         row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS r2
+        |  FROM q)
+        |SELECT count(*)::BIGINT AS n,
+        |       sum((r1 - r2) * (r1 - r2))::BIGINT AS sum_d2,
+        |       round(CASE WHEN count(*) >= 2 THEN
+        |         1.0 - 6.0 * sum((r1 - r2) * (r1 - r2))::DOUBLE
+        |           / (count(*)::DOUBLE * (count(*)::DOUBLE * count(*)::DOUBLE - 1.0)) END, 6) AS spearman
+        |FROM rk""".stripMargin,
+
     // ppm-quantized CDFs BEFORE the difference (bounded longs at any
     // corpus size — no na*nb cross product), mirroring SampleOps.ksDrift
     "p_ks_drift" ->
@@ -4254,6 +4618,73 @@ object SparkEntry {
         |         count(*) OVER (PARTITION BY c.cluster_id) AS n_members
         |  FROM clusters c JOIN q ON c.id = q.doc_id)
         |SELECT cluster_id, id AS canonical_id, quality, n_members
+        |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    // the clusters + quality replays of d_canonical, with the source
+    // TIER (src suffix % 3) leading the survivor sort and n_tiers
+    // marking the clusters where the priority rule could bind
+    "d_dedup_priority" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS wd
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(wd) < 3 THEN [array_to_string(wd, ' ')]
+        |         ELSE list_transform(generate_series(1, len(wd) - 2),
+        |                             i -> array_to_string(wd[i:i+2], ' ')) END)) AS sh
+        |  FROM w),
+        |mh AS (
+        |  SELECT doc_id, seed, min(md5(seed || ':' || sh)) AS mh
+        |  FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+        |  GROUP BY 1, 2),
+        |band AS (
+        |  SELECT doc_id, seed // 4 AS band,
+        |         string_agg(seed || '~' || mh, '|' ORDER BY seed || '~' || mh) AS bandval
+        |  FROM mh GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM band a JOIN band b ON a.band = b.band AND a.bandval = b.bandval
+        |                          AND a.doc_id < b.doc_id),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT id_a, id_b, count(*) AS inter
+        |  FROM cand JOIN sh a ON id_a = a.doc_id JOIN sh b ON id_b = b.doc_id AND a.sh = b.sh
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN n x ON id_a = x.doc_id JOIN n y ON id_b = y.doc_id
+        |  WHERE round(inter::DOUBLE / (x.n + y.n - inter), 4) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT rr.id, e.b FROM reach rr JOIN edges e ON e.a = rr.r),
+        |clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |qw AS (
+        |  SELECT doc_id, length(text)::BIGINT AS len,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS lw,
+        |         (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))::BIGINT AS np
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |       (400 * least(len, 500)) // 500
+        |     + CASE WHEN len(lw) = 0 THEN 0
+        |            ELSE (300 * least(len(list_filter(lw, x -> x IN ('the','a','an','of','to','and','in','is','on','for'))) * 5, len(lw))) // len(lw) END
+        |     + CASE WHEN len = 0 THEN 0 ELSE (300 * greatest(len - np * 5, 0)) // len END AS quality
+        |  FROM qw),
+        |tiers AS (
+        |  SELECT doc_id, CAST(substr(source, 4) AS BIGINT) % 3 AS tier
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT c.cluster_id, c.id, t.tier,
+        |         row_number() OVER (PARTITION BY c.cluster_id
+        |                            ORDER BY t.tier ASC, q.quality DESC, c.id ASC) AS rn,
+        |         count(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+        |         count(DISTINCT t.tier) OVER (PARTITION BY c.cluster_id) AS n_tiers
+        |  FROM clusters c JOIN q ON c.id = q.doc_id JOIN tiers t ON c.id = t.doc_id)
+        |SELECT cluster_id, id AS canonical_id, tier,
+        |       n_members, n_tiers::BIGINT AS n_tiers
         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
     "d_dedup_incremental" ->
@@ -4801,6 +5232,64 @@ object SparkEntry {
         |       ((sum(hit) * 1000000) // count(*))::BIGINT AS recall_ppm
         |FROM j GROUP BY 1 ORDER BY query_id""".stripMargin,
 
+    // the s_ann_ivf formulation (fixed md5 codebook, nprobe 6) on one
+    // side, the s_ann_cosine brute force on the other, same audit fold
+    "s_recall_ivf" ->
+      """WITH cent AS (
+        |  SELECT c, list_transform(generate_series(0, 63),
+        |           d -> (('0x' || substr(md5('centroid:' || c || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS cv
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS c)),
+        |cellsim AS (
+        |  SELECT vec_id, c,
+        |         list_sum(list_transform(range(1, 65), i -> cv[i] * embedding[i]::DOUBLE)) /
+        |         (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) *
+        |          sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS csim
+        |  FROM embeddings, cent),
+        |ranked_cells AS (
+        |  SELECT vec_id, c,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c ASC) AS crank
+        |  FROM cellsim),
+        |assign AS (SELECT vec_id, c AS cell FROM ranked_cells WHERE crank = 1),
+        |probes AS (SELECT vec_id, c AS cell FROM ranked_cells WHERE crank <= 6 AND vec_id < 5),
+        |cand AS (
+        |  SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+        |  FROM probes p JOIN assign a ON p.cell = a.cell
+        |  WHERE p.vec_id <> a.vec_id),
+        |scored_i AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * qe.embedding[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)))), 6) AS sim
+        |  FROM cand JOIN embeddings qe ON query_id = qe.vec_id
+        |            JOIN embeddings ce ON neighbor_id = ce.vec_id),
+        |ivf AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |    FROM scored_i) WHERE rank <= 5),
+        |qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |scored_b AS (
+        |  SELECT query_id, ce.vec_id AS neighbor_id,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * ce.embedding[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * qe[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)))), 6) AS sim
+        |  FROM qv, embeddings ce WHERE query_id <> ce.vec_id),
+        |ex AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |    FROM scored_b) WHERE rank <= 5),
+        |j AS (
+        |  SELECT ex.query_id,
+        |         (ivf.neighbor_id IS NOT NULL)::INT AS hit
+        |  FROM ex LEFT JOIN ivf ON ex.query_id = ivf.query_id
+        |                        AND ex.neighbor_id = ivf.neighbor_id)
+        |SELECT query_id, count(*)::BIGINT AS k_exact, sum(hit)::BIGINT AS hits,
+        |       ((sum(hit) * 1000000) // count(*))::BIGINT AS recall_ppm
+        |FROM j GROUP BY 1 ORDER BY query_id""".stripMargin,
+
     "t_tokens" ->
       """WITH w AS (
         |  SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS wd
@@ -5271,7 +5760,7 @@ object SparkEntry {
         |       len(list_distinct(p))::BIGINT AS distinct_vals,
         |       list_max(p)::BIGINT AS max_val
         |FROM png
-        |UNION ALL
+        |UNION ALL -- m_media_pixels junk branch
         |SELECT doc_id AS media_id, 'unknown' AS format, false AS decoded,
         |       17::BIGINT AS n_vals,
         |       ((list_sum(b) * 1000) // 17)::BIGINT AS mean_milli,
@@ -5279,6 +5768,7 @@ object SparkEntry {
         |       list_max(b)::BIGINT AS max_val
         |FROM junk
         |ORDER BY media_id""".stripMargin,
+
 
     // signed-sample stats predicted from the SAME arithmetic that
     // generated the planted PCM — the zero-crossing count and |peak|
@@ -5803,6 +6293,19 @@ object SparkEntry {
         |       sum(len)::BIGINT AS total_chars,
         |       round(sum(quality)::DOUBLE / count(*)::DOUBLE, 4) AS avg_quality
         |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // entirely LONG arithmetic: ppm shares by integer division, Gini
+    // from Σ(share²) — no float, no aggregation-order sensitivity
+    "p_label_balance" ->
+      """WITH c AS (SELECT label, count(*)::BIGINT AS cnt FROM embeddings GROUP BY 1),
+        |s AS (SELECT label, cnt,
+        |             cnt * 1000000 // (SELECT sum(cnt) FROM c) AS share_ppm
+        |      FROM c)
+        |SELECT count(*)::BIGINT AS n_labels, sum(cnt)::BIGINT AS total,
+        |       min(share_ppm)::BIGINT AS min_share_ppm,
+        |       max(share_ppm)::BIGINT AS max_share_ppm,
+        |       (1000000 - sum(share_ppm * share_ppm) // 1000000)::BIGINT AS gini_ppm
+        |FROM s""".stripMargin,
 
     // exact quantized means (floor(x*1e7 + 0.5) summed as BIGINT), so the
     // mean doubles are bit-identical to Spark's regardless of row order;

@@ -369,6 +369,54 @@ object DedupOps {
   }
 
   /**
+   * MinHash sketch-accuracy audit: for every LSH candidate pair, the
+   * signature-agreement Jaccard ESTIMATE (matching minhashes / k, in
+   * ppm) next to the EXACT shingle Jaccard and the signed error — the
+   * calibration table a pipeline reads before trusting banding
+   * parameters at a new k (the estimate's standard error is
+   * √(J(1−J)/k); with k=16 that is ±12 points at J=0.5, and this
+   * operator is how you SEE that before it bites a threshold).
+   *
+   * Plan: candidates checkpoint once (16 bytes/pair); the exact side
+   * is [[nearDuplicates]]' semi-joined shingle intersection; the
+   * estimate side joins the k-string signature projection to the
+   * pairs by id — signatures are k·32 hex chars, the candidate frame
+   * is pair-sized, text never moves after the kernels.
+   */
+  def minhashEstimateAudit(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 16, bands: Int = 4, w: Int = 3): DataFrame = {
+    val cand = minhashCandidates(docs, idCol, textCol, k, bands, w).localCheckpoint()
+    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val candDocs = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(candIds, "id")
+    val sh = candDocs.select(col("id"), explode(ShingleHashes(col("text"), w)).as("sh"))
+    val sizes = candDocs.select(col("id"), size(ShingleHashes(col("text"), w)).cast("long").as("n"))
+    val sig = candDocs.select(col("id"), MinhashSig(col("text"), k, w, false).as("mh"))
+    val inter = cand
+      .join(sh.as("x"), col("id_a") === col("x.id"))
+      .join(sh.as("y"), col("id_b") === col("y.id") && col("x.sh") === col("y.sh"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    // LEFT join: a candidate pair with an EMPTY intersection (banding
+    // can collide docs that share no retained shingle) still audits,
+    // with inter = 0
+    cand
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .join(sig.select(col("id").as("id_a"), col("mh").as("mh_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("mh").as("mh_b")), "id_b")
+      .withColumn("agree",
+        size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) => x === y),
+          b => b)).cast("long"))
+      .select(col("id_a"), col("id_b"), col("agree"),
+        IntDiv(col("agree") * 1000000L, lit(k.toLong)).as("est_ppm"),
+        IntDiv(col("inter") * 1000000L, col("na") + col("nb") - col("inter")).as("jacc_ppm"))
+      .withColumn("err_ppm", col("est_ppm") - col("jacc_ppm"))
+  }
+
+  /**
    * 60-bit SimHash per document from word hashes: bit b of the hash is 1
    * iff the sum over words of ±1 (by bit b of the word hash) is positive.
    * Word hash = first 15 hex chars of md5 (60 bits, engine-portable).
@@ -588,6 +636,39 @@ object DedupOps {
       .filter(col("rn") === 1)
       .select(col("cluster_id"), col("id").as("canonical_id"), col("quality"),
         col("n_members"))
+  }
+
+  /**
+   * Source-priority survivor selection: like [[canonicalPerCluster]],
+   * but when a near-dup cluster spans SOURCES of different trust
+   * tiers, the member from the best (lowest) `priority` wins before
+   * quality is consulted (quality DESC, then id ASC break remaining
+   * ties). This is the standard cross-corpus merge rule — a curated
+   * source's copy of a document beats the web crawl's copy even if
+   * the crawl's rendering scores a point higher — and `n_tiers` > 1
+   * marks exactly the clusters where the rule changed the outcome
+   * class.
+   *
+   * Plan shape is [[canonicalPerCluster]]'s: the cluster build does
+   * all the heavy lifting; this adds one id-keyed join of a (id,
+   * priority, quality) frame — text never re-shuffles — and a
+   * cluster-keyed window argmax.
+   */
+  def priorityCanonical(docs: DataFrame, idCol: String, textCol: String,
+                        priority: org.apache.spark.sql.Column, minJaccard: Double,
+                        k: Int = 16, bands: Int = 4, w: Int = 3): DataFrame = {
+    val clusters = duplicateClusters(docs, idCol, textCol, minJaccard, k, bands, w)
+    val meta = docs.select(col(idCol).as("id"), priority.as("tier"),
+      TextOps.qualityScore(col(textCol)).as("quality"))
+    val byCluster = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    val win = byCluster.orderBy(col("tier").asc, col("quality").desc, col("id").asc)
+    clusters.join(meta, "id")
+      .withColumn("rn", row_number().over(win))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .withColumn("n_tiers", size(collect_set(col("tier")).over(byCluster)).cast("long"))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("id").as("canonical_id"), col("tier"),
+        col("n_members"), col("n_tiers"))
   }
 
   /**

@@ -370,6 +370,35 @@ object KMeansOps {
   }
 
   /**
+   * Embedding-drift gate between two corpus snapshots: per label, the
+   * cosine between snapshot A's and snapshot B's EXACT class centroid
+   * (the [[labelCentroids]] quantized means), plus both member
+   * counts — the release check that catches a re-embedding run or a
+   * sampling change silently rotating the space before anything
+   * downstream (ANN indexes, classifiers trained on A) breaks.
+   * Labels present on one side only survive the full join with a
+   * null drift — appearing/disappearing classes ARE drift.
+   *
+   * Determinism: centroids assemble pos-sorted, and the cosine is
+   * [[SimilarityOps.cosine]]'s left-to-right fold — both engines walk
+   * the identical double chain over identically-derived means.
+   *
+   * Scale: two corpus scans (one per snapshot) each collapsing to a
+   * label×dim aggregate; the join is label-count-sized. Nothing about
+   * corpus size reaches the join.
+   */
+  def centroidDrift(a: DataFrame, b: DataFrame, labelCol: String,
+                    vecCol: String): DataFrame = {
+    val ca = labelCentroids(a, labelCol, vecCol)
+      .select(col("label"), col("n").as("n_a"), col("centroid").as("cva"))
+    val cb = labelCentroids(b, labelCol, vecCol)
+      .select(col("label"), col("n").as("n_b"), col("centroid").as("cvb"))
+    ca.join(cb, Seq("label"), "full")
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(SimilarityOps.cosine(col("cva"), col("cvb")), 6).as("drift_cos"))
+  }
+
+  /**
    * Mislabel candidates: for each label, the `topPerLabel` vectors
    * FARTHEST from their own label's exact centroid — the standard
    * label-noise audit (a point sitting far from its class center in

@@ -531,4 +531,66 @@ object SampleOps {
     docs.select(col(idCol).as("doc_id"),
       array_max(candidates).getField("s").as("shard"))
   }
+
+  /**
+   * Spearman rank correlation between two per-row signals — the
+   * signal-redundancy check a selection pipeline runs before paying
+   * for two quality scores that rank the corpus the same way. Ranks
+   * are ORDINAL with the id as tie-break (not average-of-ties): both
+   * engines then assign identical integer ranks, Σd² is an exact
+   * LONG, and ρ = 1 − 6Σd²/(n(n²−1)) is one double chain over exact
+   * integers (n(n²−1) is exact in a double to n ≈ 2×10⁵ and
+   * 1-ulp-accurate far beyond; Σd² stays inside a LONG to n ≈ 3×10⁶).
+   *
+   * Scale: the two rank windows are GLOBAL sorts — this is an
+   * audit-frame operator by design. At corpus scale, feed it a
+   * deterministic hash sample ([[bernoulliSample]]) or per-group
+   * frames; the correlation is a statistical summary, and a bounded
+   * sample is the honest 100 TB path (documented over silently
+   * sorting a corpus twice).
+   */
+  def rankCorrelation(rows: DataFrame, x: Column, y: Column, id: Column): DataFrame = {
+    val base = rows.select(x.as("x"), y.as("y"), id.as("id"))
+    val rx = Window.orderBy(col("x").asc, col("id").asc)
+    val ry = Window.orderBy(col("y").asc, col("id").asc)
+    base
+      .withColumn("r1", row_number().over(rx).cast("long"))
+      .withColumn("r2", row_number().over(ry).cast("long"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("r1") - col("r2")) * (col("r1") - col("r2"))).as("sum_d2"))
+      .select(col("n"), col("sum_d2"),
+        round(when(col("n") >= 2L,
+          lit(1.0) - lit(6.0) * col("sum_d2").cast("double")
+            / (col("n").cast("double") * (col("n").cast("double") * col("n").cast("double") - lit(1.0)))), 6)
+          .as("spearman"))
+  }
+
+  /**
+   * Label-balance audit: one row summarizing how evenly a labeled set
+   * (classifier training data, eval splits) covers its classes —
+   * label count, total rows, min/max class share in ppm, and the Gini
+   * impurity in ppm. The go/no-go a fine-tuning pipeline runs before
+   * training on a sampled subset: a Gini far below the uniform bound
+   * means some class collapsed in sampling.
+   *
+   * Integer-exact by construction: shares are ppm integer divisions
+   * of exact counts, and Gini = 1e6 − Σ(share²)/1e6 runs entirely in
+   * LONG arithmetic (Σ share² ≤ labels·1e12 — no float, no
+   * aggregation-order sensitivity). One map-side-combined groupBy on
+   * the label (aggregate-sized exchange), then a single-row fold.
+   */
+  def labelBalance(rows: DataFrame, labelCol: String): DataFrame = {
+    val perLabel = rows.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = Window.partitionBy()
+    perLabel
+      .withColumn("share_ppm",
+        IntDiv(col("cnt") * 1000000L, sum(col("cnt")).over(total)))
+      .agg(count(lit(1)).as("n_labels"),
+        sum(col("cnt")).as("total"),
+        min(col("share_ppm")).as("min_share_ppm"),
+        max(col("share_ppm")).as("max_share_ppm"),
+        (lit(1000000L) - IntDiv(sum(col("share_ppm") * col("share_ppm")), lit(1000000L)))
+          .as("gini_ppm"))
+  }
 }

