@@ -1608,7 +1608,30 @@ object SparkEntry {
       val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
       MultimodalOps.pixelFeatures(media).orderBy("media_id")
     }),
-
+    "m_media_pixels_depth" -> ((s, dir) => {
+      // the NON-8-bit PNG depths end-to-end: each doc_id%4 class
+      // plants a genuine 16x16 grayscale PNG at depth 1/2/4/16 with
+      // pixels arithmetic in doc_id, filters cycling (r+doc_id)%5 and
+      // odd ids Adam7-interlaced — the oracle's stats only match if
+      // the byte-granular filter reversal, the MSB-first sub-byte
+      // unpack (with visual-range scaling) and the 16-bit high-byte
+      // mapping are all exact
+      val buildPng = udf { (docId: Long) =>
+        val w = 16; val h = 16
+        val m = (docId % 4).toInt
+        val depth = m match { case 0 => 1; case 1 => 2; case 2 => 4; case _ => 16 }
+        val mod = if (depth == 16) 65536 else 1 << depth
+        val mult = m match { case 0 => 1L; case 1 => 3L; case 2 => 7L; case _ => 2654L }
+        val add = m match { case 0 => 1L; case 1 => 5L; case 2 => 3L; case _ => 997L }
+        val vals = Array.tabulate(w * h)(i => ((docId * mult + i * add) % mod).toInt)
+        MultimodalOps.encodePngGrayDepth(vals, w, h, depth,
+          r => ((r + docId) % 5).toInt, interlace = docId % 2 == 1)
+      }
+      val docs = table(s, dir, "documents")
+        .withColumn("blob", buildPng(col("doc_id")))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+      MultimodalOps.pixelFeatures(media).orderBy("media_id")
+    }),
 
     "m_media_samples" -> ((s, dir) => {
       // REAL sample-stage decode over planted WAVs — the m_media_pixels
@@ -5768,6 +5791,25 @@ object SparkEntry {
         |       list_max(b)::BIGINT AS max_val
         |FROM junk
         |ORDER BY media_id""".stripMargin,
+
+    // decoded-byte predictions per depth class: sub-byte values scale
+    // by 255/(2^d−1) (255/85/17), 16-bit emits the high byte (// 256)
+    "m_media_pixels_depth" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN list_transform(generate_series(0, 255), i -> ((doc_id * 1 + i * 1) % 2) * 255)
+        |      WHEN 1 THEN list_transform(generate_series(0, 255), i -> ((doc_id * 3 + i * 5) % 4) * 85)
+        |      WHEN 2 THEN list_transform(generate_series(0, 255), i -> ((doc_id * 7 + i * 3) % 16) * 17)
+        |      ELSE list_transform(generate_series(0, 255), i -> ((doc_id * 2654 + i * 997) % 65536) // 256)
+        |    END AS p
+        |  FROM documents)
+        |SELECT doc_id AS media_id, 'png' AS format, true AS decoded,
+        |       256::BIGINT AS n_vals,
+        |       ((list_sum(p) * 1000) // 256)::BIGINT AS mean_milli,
+        |       len(list_distinct(p))::BIGINT AS distinct_vals,
+        |       list_max(p)::BIGINT AS max_val
+        |FROM px ORDER BY media_id""".stripMargin,
 
 
     // signed-sample stats predicted from the SAME arithmetic that

@@ -450,12 +450,19 @@ object MultimodalOps {
    * JPEG (entropy decode genuinely needs a codec library) the pixel
    * stage can be real. Concatenates IDAT chunks in order, inflates to
    * the IHDR-derived size, and reverses the five per-scanline filters
-   * (None/Sub/Up/Average/Paeth, RFC 2083 §6). Supports bit depth 8,
-   * color types 0/2/3/4/6 (palette images return their index bytes —
-   * the per-byte featurizer treats them as the sample stream), and
-   * both interlace methods — Adam7 sub-images are defiltered against
-   * their own neighbors and scattered to frame positions. Returns
-   * None for anything else, for a truncated or
+   * (None/Sub/Up/Average/Paeth, RFC 2083 §6). Supports ALL legal
+   * depth/color combinations (PNG 11.2.2): depths 1/2/4 for grayscale
+   * and palette (MSB-first unpack; gray samples scale by 255/(2^d−1),
+   * the standard visual mapping; palette images return their raw
+   * index bytes — the per-byte featurizer treats them as the sample
+   * stream), depth 8 everywhere, and depth 16 for everything but
+   * palette (big-endian; the emitted byte is the high byte — the same
+   * top-bits display mapping the 12-bit JPEG path uses, so the output
+   * schema stays one byte per sample regardless of depth). Filtering
+   * is byte-granular with the spec's bpp = max(1, bits/8) left
+   * neighbor. Both interlace methods — Adam7 sub-images are
+   * defiltered against their own neighbors and scattered to frame
+   * positions. Returns None for anything else, for a truncated or
    * corrupt deflate stream, an undefined filter byte, or hostile chunk
    * lengths — callers fall back to compressed-blob features, the same
    * honest-fallback contract as unknown formats. `maxPixelBytes` caps
@@ -472,13 +479,33 @@ object MultimodalOps {
     val depth = b(24) & 0xff
     val color = b(25) & 0xff
     val interlace = b(28) & 0xff
-    if (depth != 8 || interlace > 1) return None
-    val bpp = color match {
+    if (interlace > 1) return None
+    val samples = color match {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
       case _ => return None
     }
+    // legal depth/color combos (PNG 11.2.2): sub-byte only for
+    // grayscale and palette, 16-bit for everything but palette
+    val okDepth = depth match {
+      case 8 => true
+      case 16 => color != 3
+      case 1 | 2 | 4 => color == 0 || color == 3
+      case _ => false
+    }
+    if (!okDepth) return None
+    val bitsPerPixel = samples * depth
+    // filtering is byte-granular: the "left" neighbor is bpp BYTES
+    // back, bpp = max(1, bits/8) (RFC 2083 §6.2)
+    val bpp = math.max(1, bitsPerPixel / 8)
+    def rowBytes(wp: Int): Int = ((wp.toLong * bitsPerPixel + 7) / 8).toInt
+    // gray sub-byte samples scale to the visual range; palette
+    // indices pass through raw; 16-bit emits the high byte
+    val subByteScale = depth match {
+      case 1 => 255; case 2 => 85; case 4 => 17; case _ => 1
+    }
+    val scaleSubByte = color == 0
     if (width <= 0 || height <= 0) return None
-    val stride = width * bpp
+    val stride = width * samples
     // pass geometry: Adam7's seven sub-images (RFC 2083 §2.6 —
     // entirely-empty passes contribute no bytes, not even filter
     // bytes), or one full-frame pass when not interlaced
@@ -492,7 +519,7 @@ object MultimodalOps {
       (wp, hp)
     }
     val rawLen = dims.map { case (wp, hp) =>
-      if (wp == 0 || hp == 0) 0L else hp.toLong * (1 + wp.toLong * bpp) }.sum
+      if (wp == 0 || hp == 0) 0L else hp.toLong * (1 + rowBytes(wp).toLong) }.sum
     if (rawLen <= 0 || rawLen > maxPixelBytes) return None
     // chunk walk: gather IDAT payloads (lengths guarded like the WAV walk)
     val idat = new java.io.ByteArrayOutputStream()
@@ -532,7 +559,7 @@ object MultimodalOps {
       val (x0, y0, dx, dy) = passes(p)
       val (wp, hp) = dims(p)
       if (wp > 0 && hp > 0) {
-        val pst = wp * bpp
+        val pst = rowBytes(wp)
         val pass = new Array[Byte](hp * pst)
         var r = 0
         while (r < hp) {
@@ -558,16 +585,46 @@ object MultimodalOps {
           inOff += 1 + pst
           r += 1
         }
+        // defiltered bytes -> ONE BYTE PER SAMPLE for this pass:
+        // depth 8 passes through, 16 keeps the big-endian high byte,
+        // sub-byte depths unpack MSB-first (left pixel in high bits)
+        // and scale gray to the visual range (indices stay raw)
+        val sst = wp * samples
+        val ps = if (depth == 8) pass else {
+          val out = new Array[Byte](hp * sst)
+          var rr = 0
+          while (rr < hp) {
+            val rowOff = rr * pst
+            var s = 0
+            while (s < sst) {
+              val v =
+                if (depth == 16) pass(rowOff + s * 2) & 0xff
+                else {
+                  val bitPos = s * depth
+                  val byteV = pass(rowOff + (bitPos >> 3)) & 0xff
+                  val shift = 8 - depth - (bitPos & 7)
+                  val rawV = (byteV >> shift) & ((1 << depth) - 1)
+                  if (scaleSubByte) rawV * subByteScale else rawV
+                }
+              out(rr * sst + s) = (v & 0xff).toByte
+              s += 1
+            }
+            rr += 1
+          }
+          out
+        }
+        val pSst = if (depth == 8) pst else sst
         if (dx == 1 && dy == 1 && x0 == 0 && y0 == 0) {
-          System.arraycopy(pass, 0, px, 0, pass.length)
+          System.arraycopy(ps, 0, px, 0, ps.length)
         } else {
           r = 0
           while (r < hp) {
             var cc = 0
             while (cc < wp) {
               var ch = 0
-              while (ch < bpp) {
-                px(((y0 + r * dy) * w + (x0 + cc * dx)) * bpp + ch) = pass(r * pst + cc * bpp + ch)
+              while (ch < samples) {
+                px(((y0 + r * dy) * w + (x0 + cc * dx)) * samples + ch) =
+                  ps(r * pSst + cc * samples + ch)
                 ch += 1
               }
               cc += 1
@@ -651,6 +708,112 @@ object MultimodalOps {
               case 4 => x - paeth(a, up, ul)
             }
             raw(r * (wp + 1) + 1 + c) = (v & 0xff).toByte
+            c += 1
+          }
+          r += 1
+        }
+        rawOut.write(raw, 0, raw.length)
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    val zout = new java.io.ByteArrayOutputStream()
+    try {
+      defl.setInput(rawOut.toByteArray); defl.finish()
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) {
+        val n = defl.deflate(buf)
+        zout.write(buf, 0, n)
+      }
+    } finally defl.end()
+    chunk("IDAT", zout.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    bos.toByteArray
+  }
+
+  /**
+   * Depth-generalized grayscale PNG fixture encoder: values in
+   * [0, 2^depth − 1] pack MSB-first at depths 1/2/4, straight at 8,
+   * big-endian at 16; filtering runs over the PACKED row bytes with
+   * the spec's byte-granular bpp = max(1, depth/8) left neighbor —
+   * exactly what [[decodePngPixels]] must invert, including under
+   * Adam7 (each sub-image packs and filters its own rows, so pass
+   * widths that don't fill a final byte exercise the padding path).
+   */
+  private[graft] def encodePngGrayDepth(values: Array[Int], width: Int, height: Int,
+                                        depth: Int, filterOfRow: Int => Int,
+                                        interlace: Boolean = false): Array[Byte] = {
+    require(depth == 1 || depth == 2 || depth == 4 || depth == 8 || depth == 16)
+    require(values.length == width * height, "values must be width*height")
+    val maxV = if (depth == 16) 65535 else (1 << depth) - 1
+    require(values.forall(v => v >= 0 && v <= maxV), s"values must fit $depth bits")
+    val bos = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val crc = new java.util.zip.CRC32()
+    def chunk(tpe: String, data: Array[Byte]): Unit = {
+      val tb = tpe.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      bos.write(be32(data.length.toLong), 0, 4)
+      crc.reset(); crc.update(tb); crc.update(data)
+      bos.write(tb, 0, 4); bos.write(data, 0, data.length)
+      bos.write(be32(crc.getValue), 0, 4)
+    }
+    bos.write(PngSig, 0, PngSig.length)
+    chunk("IHDR", be32(width.toLong) ++ be32(height.toLong) ++
+      Array[Byte](depth.toByte, 0, 0, 0, if (interlace) 1 else 0))
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (!interlace) Array((0, 0, 1, 1))
+      else Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val bpp = math.max(1, depth / 8)
+    val rawOut = new java.io.ByteArrayOutputStream()
+    for ((x0, y0, dx, dy) <- passes) {
+      val wp = if (width > x0) (width - x0 + dx - 1) / dx else 0
+      val hp = if (height > y0) (height - y0 + dy - 1) / dy else 0
+      if (wp > 0 && hp > 0) {
+        val pst = ((wp.toLong * depth + 7) / 8).toInt
+        // pack the pass's values into unfiltered row bytes
+        val pp = new Array[Byte](hp * pst)
+        var r = 0
+        while (r < hp) {
+          var c = 0
+          while (c < wp) {
+            val v = values((y0 + r * dy) * width + (x0 + c * dx))
+            if (depth == 16) {
+              pp(r * pst + c * 2) = ((v >> 8) & 0xff).toByte
+              pp(r * pst + c * 2 + 1) = (v & 0xff).toByte
+            } else if (depth == 8) {
+              pp(r * pst + c) = (v & 0xff).toByte
+            } else {
+              val bitPos = c * depth
+              val shift = 8 - depth - (bitPos & 7)
+              val idx = r * pst + (bitPos >> 3)
+              pp(idx) = ((pp(idx) & 0xff) | (v << shift)).toByte
+            }
+            c += 1
+          }
+          r += 1
+        }
+        val raw = new Array[Byte](hp * (pst + 1))
+        r = 0
+        while (r < hp) {
+          val f = filterOfRow(r) & 0xff
+          require(f <= 4, s"filter $f undefined")
+          raw(r * (pst + 1)) = f.toByte
+          var c = 0
+          while (c < pst) {
+            val x = pp(r * pst + c) & 0xff
+            val a = if (c >= bpp) pp(r * pst + c - bpp) & 0xff else 0
+            val up = if (r > 0) pp((r - 1) * pst + c) & 0xff else 0
+            val ul = if (r > 0 && c >= bpp) pp((r - 1) * pst + c - bpp) & 0xff else 0
+            val v = f match {
+              case 0 => x
+              case 1 => x - a
+              case 2 => x - up
+              case 3 => x - (a + up) / 2
+              case 4 => x - paeth(a, up, ul)
+            }
+            raw(r * (pst + 1) + 1 + c) = (v & 0xff).toByte
             c += 1
           }
           r += 1

@@ -42,7 +42,15 @@ class MediaFuzzSpec extends AnyFunSuite {
       Array.tabulate(10 * 7 * 3)(i => (i * 11).toByte), 10, 7)
     val bmpTd = MultimodalOps.encodeBmp24(
       Array.tabulate(5 * 6 * 3)(i => (i * 29 + 3).toByte), 5, 6, topDown = true)
-    Seq(("png", png), ("png-adam7", pngAdam7), ("jpeg", jpeg), ("jpeg-prog", jpegProg),
+    val png4 = MultimodalOps.encodePngGrayDepth(
+      Array.tabulate(77)(i => (i * 3) % 16), 11, 7, 4, r => r % 5)
+    val png1Adam = MultimodalOps.encodePngGrayDepth(
+      Array.tabulate(77)(i => i % 2), 11, 7, 1, r => r % 5, interlace = true)
+    val png16 = MultimodalOps.encodePngGrayDepth(
+      Array.tabulate(64)(i => (i * 997) % 65536), 8, 8, 16, r => (r + 2) % 5)
+    Seq(("png", png), ("png-adam7", pngAdam7), ("png-4bit", png4),
+      ("png-1bit-adam7", png1Adam), ("png-16bit", png16),
+      ("jpeg", jpeg), ("jpeg-prog", jpegProg),
       ("jpeg-12bit", jpeg12), ("jpeg-hier", jpegHier), ("gif", gif),
       ("gif-interlaced", gifInterlaced), ("wav", wav), ("wav-24", wav24),
       ("wav-float", wavF), ("avi", avi), ("bmp", bmp), ("bmp-topdown", bmpTd))

@@ -116,6 +116,47 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains(MultimodalOps.MediaHeader("png", w, h, 1, 0)))
   }
 
+  test("decodePngPixels: sub-byte and 16-bit depths round-trip, scaled and interlaced") {
+    val w = 13; val h = 9 // w deliberately not filling the last byte at any sub-byte depth
+    for (depth <- Seq(1, 2, 4)) {
+      val maxV = (1 << depth) - 1
+      val scale = 255 / maxV
+      val vals = Array.tabulate(w * h)(i => (i * 7 + depth) % (maxV + 1))
+      val want = vals.map(v => (v * scale).toByte)
+      for (f <- 0 to 4) {
+        val png = MultimodalOps.encodePngGrayDepth(vals, w, h, depth, _ => f)
+        val got = MultimodalOps.decodePngPixels(png)
+        assert(got.exists(_.sameElements(want)), s"depth $depth filter $f")
+      }
+      // Adam7: narrow passes exercise per-pass byte padding
+      val adam = MultimodalOps.encodePngGrayDepth(vals, w, h, depth, r => r % 5,
+        interlace = true)
+      assert(MultimodalOps.decodePngPixels(adam).exists(_.sameElements(want)),
+        s"depth $depth adam7")
+    }
+    // 16-bit: emitted byte is the big-endian HIGH byte
+    val v16 = Array.tabulate(w * h)(i => (i * 2654 + 99) % 65536)
+    val want16 = v16.map(v => ((v >> 8) & 0xff).toByte)
+    val png16 = MultimodalOps.encodePngGrayDepth(v16, w, h, 16, r => (r + 1) % 5)
+    assert(MultimodalOps.decodePngPixels(png16).exists(_.sameElements(want16)))
+    val adam16 = MultimodalOps.encodePngGrayDepth(v16, w, h, 16, r => r % 5,
+      interlace = true)
+    assert(MultimodalOps.decodePngPixels(adam16).exists(_.sameElements(want16)))
+    // depth 8 via the generalized encoder = the original encoder's bytes
+    val v8 = Array.tabulate(w * h)(i => (i * 31) % 256)
+    val a8 = MultimodalOps.encodePngGrayDepth(v8, w, h, 8, r => r % 5)
+    val b8 = MultimodalOps.encodePngGray(v8.map(_.toByte), w, h, r => r % 5)
+    assert(a8.sameElements(b8))
+    // illegal combos refuse: depth 2 truecolor, depth 16 palette
+    val base = MultimodalOps.encodePngGrayDepth(v16, w, h, 16, _ => 0)
+    val d16pal = base.clone(); d16pal(25) = 3 // color type byte in IHDR
+    assert(MultimodalOps.decodePngPixels(d16pal) === None)
+    val d2rgb = MultimodalOps.encodePngGrayDepth(
+      Array.fill(w * h)(1), w, h, 2, _ => 0).clone()
+    d2rgb(25) = 2
+    assert(MultimodalOps.decodePngPixels(d2rgb) === None)
+  }
+
   test("decodePngPixels refuses hostile and corrupt streams") {
     val w = 8; val h = 8
     val px = Array.tabulate(w * h)(_.toByte)
