@@ -1165,6 +1165,15 @@ object SparkEntry {
           minJaccard = 0.8)
         .orderBy("cluster_id")),
 
+    "d_dedup_winnow" -> ((s, dir) =>
+      // MOSS winnowing detector: pairs sharing >= 5 winnow
+      // fingerprints (k=12 char grams, window 8 — any shared
+      // normalized substring of >= 19 chars GUARANTEES a shared
+      // fingerprint, unlike minhash's probabilistic coverage)
+      TextOps.winnowPairs(table(s, dir, "documents"), "doc_id", "text",
+          k = 12, window = 8, minShared = 5)
+        .orderBy("id_a", "id_b")),
+
     "d_dedup_incremental" -> ((s, dir) => {
       // new-batch dedup against the already-accepted corpus: docs
       // 0..249 are "accepted", 250+ arrive as the new batch; survivors
@@ -1983,6 +1992,17 @@ object SparkEntry {
       // class-balance go/no-go: one integer-exact row (shares + Gini
       // in ppm) over the labeled embedding set
       SampleOps.labelBalance(table(s, dir, "embeddings"), "label")),
+
+    "p_neg_sampling" -> ((s, dir) =>
+      // word2vec negative-sampling table: top-50 vocab, freq^(3/4)
+      // weights via the fixed floor-sqrt chain, table shares in ppm
+      TextOps.negativeSamplingTable(table(s, dir, "documents"), "text", topK = 50)),
+
+    "p_shard_skew" -> ((s, dir) =>
+      // layout skew audit over the 16-way rendezvous sharding: docs,
+      // chars and load-vs-fair-mean ppm per shard
+      SampleOps.shardSkew(table(s, dir, "documents"), "doc_id", "text", shards = 16)
+        .orderBy("shard")),
 
     "s_centroids" -> ((s, dir) =>
       // per-label exact mean embedding (class centroids) in the
@@ -4710,6 +4730,25 @@ object SparkEntry {
         |       n_members, n_tiers::BIGINT AS n_tiers
         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
+    // winnow replay: same normalization, same 15-hex-char md5 gram
+    // hashes, list-aggregate window minima, distinct, shared counts
+    "d_dedup_winnow" ->
+      """WITH n AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_transform(generate_series(1, length(t) - 12 + 1),
+        |           i -> ('0x' || substr(md5(substr(t, i, 12)), 1, 15))::BIGINT) AS grams
+        |  FROM n WHERE length(t) >= 12),
+        |f AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           generate_series(1, len(grams) - 8 + 1),
+        |           j -> list_aggregate(grams[j:j+7], 'min')))) AS fp
+        |  FROM g WHERE len(grams) >= 8)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared_fps
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY id_a, id_b""".stripMargin,
+
     "d_dedup_incremental" ->
       """WITH fp AS (
         |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
@@ -6348,6 +6387,41 @@ object SparkEntry {
         |       max(share_ppm)::BIGINT AS max_share_ppm,
         |       (1000000 - sum(share_ppm * share_ppm) // 1000000)::BIGINT AS gini_ppm
         |FROM s""".stripMargin,
+
+    // the ¾ power replays as the SAME floor(sqrt(floor(sqrt(f·1e12))·f))
+    // chain — sqrt is IEEE-exact on both engines, floors pin the rest
+    "p_neg_sampling" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*)::BIGINT AS freq FROM t GROUP BY 1),
+        |k AS (SELECT token, freq FROM c ORDER BY freq DESC, token LIMIT 50),
+        |w AS (SELECT row_number() OVER (ORDER BY freq DESC, token ASC) AS rank,
+        |             token, freq,
+        |             CAST(floor(sqrt(floor(sqrt(freq::DOUBLE * 1000000000000.0)) * freq::DOUBLE)) AS BIGINT) AS w_milli
+        |      FROM k)
+        |SELECT rank::BIGINT AS rank, token, freq, w_milli,
+        |       w_milli * 1000000 // (SELECT sum(w_milli) FROM w) AS sample_ppm
+        |FROM w ORDER BY rank""".stripMargin,
+
+    // the p_shard rendezvous replay feeding a per-shard rollup; load
+    // ppm = n·shards·1e6 // total on exact counts
+    "p_shard_skew" ->
+      """WITH h AS (
+        |  SELECT doc_id, s, md5('shard:' || s || ':' || doc_id) AS h
+        |  FROM documents, (SELECT unnest(generate_series(0, 15)) AS s) sh),
+        |r AS (
+        |  SELECT doc_id, s,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s) AS rn
+        |  FROM h),
+        |a AS (
+        |  SELECT r.s::BIGINT AS shard, count(*)::BIGINT AS n_docs,
+        |         sum(length(d.text))::BIGINT AS n_chars
+        |  FROM r JOIN documents d USING (doc_id) WHERE rn = 1 GROUP BY 1)
+        |SELECT shard, n_docs, n_chars,
+        |       n_docs * 16 * 1000000 // (SELECT sum(n_docs) FROM a) AS doc_load_ppm,
+        |       n_chars * 16 * 1000000 // (SELECT sum(n_chars) FROM a) AS char_load_ppm
+        |FROM a ORDER BY shard""".stripMargin,
 
     // exact quantized means (floor(x*1e7 + 0.5) summed as BIGINT), so the
     // mean doubles are bit-identical to Spark's regardless of row order;

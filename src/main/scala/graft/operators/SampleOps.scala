@@ -522,14 +522,41 @@ object SampleOps {
         min(when(col("dppm") === col("maxd"), col("v"))).as("at_value"))
   }
 
-  def rendezvousShard(docs: DataFrame, idCol: String, shards: Int): DataFrame = {
+  /** The highest-random-weight winner for one id — the expression
+    * [[rendezvousShard]] projects, reusable inside other scans. */
+  def rendezvousKey(id: Column, shards: Int): Column = {
     require(shards >= 1 && shards <= 4096, s"shards in [1,4096], got $shards")
     val candidates = array((0 until shards).map { s =>
-      struct(md5(concat(lit(s"shard:$s:"), col(idCol).cast("string"))).as("h"),
+      struct(md5(concat(lit(s"shard:$s:"), id.cast("string"))).as("h"),
         lit(s.toLong).as("s"))
     }: _*)
+    array_max(candidates).getField("s")
+  }
+
+  def rendezvousShard(docs: DataFrame, idCol: String, shards: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      array_max(candidates).getField("s").as("shard"))
+      rendezvousKey(col(idCol), shards).as("shard"))
+
+  /**
+   * Shard-layout skew audit: docs + characters per rendezvous shard
+   * and each shard's load relative to the perfectly-balanced mean in
+   * ppm (1e6 = exactly fair, integer division on exact counts) — the
+   * check a layout change runs before a skewed shard becomes the
+   * straggler that sets every job's wall clock. One groupBy on the
+   * shard key (shard-count-sized output); the mean comes from a
+   * window over that aggregate frame, not a second scan.
+   */
+  def shardSkew(docs: DataFrame, idCol: String, textCol: String,
+                shards: Int): DataFrame = {
+    val total = Window.partitionBy()
+    docs.select(rendezvousKey(col(idCol), shards).as("shard"),
+        length(col(textCol)).cast("long").as("nc"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"))
+      .withColumn("doc_load_ppm",
+        IntDiv(col("n_docs") * lit(shards.toLong) * 1000000L, sum(col("n_docs")).over(total)))
+      .withColumn("char_load_ppm",
+        IntDiv(col("n_chars") * lit(shards.toLong) * 1000000L, sum(col("n_chars")).over(total)))
   }
 
   /**

@@ -433,6 +433,96 @@ object TextOps {
   }
 
   /**
+   * word2vec-style negative-sampling table: the top-K vocabulary with
+   * sampling weights ∝ freq^(3/4) (Mikolov 2013's smoothing — raw
+   * unigram over-samples stopwords, uniform over-samples typos) and
+   * each token's share of the table in ppm. The ¾ power runs as a
+   * fixed floor(sqrt(floor(sqrt(freq·1e12))·freq)) chain: sqrt is
+   * IEEE-correctly-rounded on both engines and the floors pin every
+   * intermediate, so identical inputs give identical milli weights —
+   * no libm pow in the contract (the α=1/2 temperatureShares
+   * precedent, one power higher).
+   *
+   * Scale: one wordcount aggregate (map-side combined), a top-K
+   * TakeOrdered, then weights/shares over the K-row frame. The table
+   * is model-sized by construction — it exists to be broadcast into
+   * a sampler.
+   */
+  def negativeSamplingTable(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK >= 1)
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token").asc)
+    val total = org.apache.spark.sql.expressions.Window.partitionBy()
+    docs.select(explode(words(lower(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(topK)
+      .withColumn("rank", row_number().over(win).cast("long"))
+      .withColumn("w_milli",
+        floor(sqrt(floor(sqrt(col("freq").cast("double") * lit(1.0e12)))
+          * col("freq").cast("double"))).cast("long"))
+      .withColumn("sample_ppm",
+        IntDiv(col("w_milli") * 1000000L, sum(col("w_milli")).over(total)))
+      .select(col("rank"), col("token"), col("freq"), col("w_milli"), col("sample_ppm"))
+  }
+
+  /**
+   * Winnowing document fingerprints (Schleimer–Wilkerson–Aiken 2003,
+   * the MOSS algorithm): char k-gram hashes over the
+   * whitespace-normalized lowered text, then the minimum hash of every
+   * `window`-gram sliding window, distinct — a GUARANTEED-density
+   * local fingerprint (any shared substring of length ≥ k+window−1
+   * yields a shared fingerprint) where minhash gives only probabilistic
+   * coverage. Returns the exploded (id, fp) frame for downstream
+   * joins; ties inside a window resolve by VALUE (the set-of-distinct
+   * form makes the paper's rightmost-position rule immaterial).
+   *
+   * Scale: pure per-doc array work inside one projection (grams,
+   * window minima, distinct) — no shuffle until a consumer aggregates
+   * fingerprints; expected density is 2/(window+1) grams, so the
+   * exploded frame is a fraction of token volume.
+   */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int, window: Int): DataFrame = {
+    require(k >= 2 && window >= 1)
+    val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    val grams = transform(
+      sequence(lit(0), length(norm) - k),
+      i => conv(substring(md5(substring(norm, i + 1, lit(k))), lit(1), lit(15)), 16, 10).cast("long"))
+    val fps = array_distinct(transform(
+      sequence(lit(0), size(col("grams")) - window),
+      j => array_min(slice(col("grams"), j + 1, lit(window)))))
+    docs.filter(length(norm) >= k)
+      .select(col(idCol).as("id"), grams.as("grams"))
+      .filter(size(col("grams")) >= window)
+      .select(col("id"), explode(fps).as("fp"))
+  }
+
+  /**
+   * Winnowing-based near-dup candidate pairs: documents sharing at
+   * least `minShared` winnow fingerprints, with the shared count —
+   * the MOSS similarity detector as a corpus operator. Same
+   * grouped-pairs plan as the minhash/jaccard family: one shuffle
+   * groups doc ids per fingerprint (df-capped — a boilerplate
+   * fingerprint shared by the whole corpus is non-discriminative and
+   * would fan out quadratically), pair generation is codegen'd array
+   * ops bounded by cap² per group.
+   */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int, window: Int, minShared: Long,
+                  maxFpDf: Long = 10000L): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, window)
+    fps.groupBy("fp").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxFpDf)
+      .select(explode(expr(
+        "filter(flatten(transform(ids, x -> transform(ids, y -> struct(x as id_a, y as id_b)))), p -> p.id_a < p.id_b)"))
+        .as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
+  /**
    * Corpus-frequency rarity signals — the cheap stand-in for language-
    * model perplexity filtering: documents dominated by corpus-rare
    * tokens are OOV-heavy (misspellings, boilerplate IDs, binary junk)

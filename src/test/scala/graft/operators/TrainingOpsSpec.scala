@@ -1365,6 +1365,62 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((r(2).getLong(1), r(2).getLong(2), r(2).getLong(3)) == ((0L, 0L, 0L)))
   }
 
+  test("negativeSamplingTable: 3/4-power weights, stopword demotion, shares sum to ~1e6") {
+    val ss = spark; import ss.implicits._
+    // freqs: the=16, cat=1 -> weights 8000, 1000 milli (16^.75=8, 1^.75=1):
+    // raw unigram would give 'the' 16/17 = 94% of the table; ^(3/4) gives 8/9
+    val docs = Seq((1L, ("the " * 16) + "cat")).toDF("doc_id", "text")
+    val r = TextOps.negativeSamplingTable(docs, "text", topK = 10)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(r.toSeq == Seq(
+      (1L, "the", 16L, 8000L, 888888L),
+      (2L, "cat", 1L, 1000L, 111111L)))
+    // perfect fourth powers are exact through the floor-sqrt chain:
+    // 81^(3/4) = 27, 256^(3/4) = 64
+    val d2 = Seq((1L, ("aa " * 81) + ("bb " * 256))).toDF("doc_id", "text")
+    val w2 = TextOps.negativeSamplingTable(d2, "text", topK = 5)
+      .collect().map(x => x.getString(1) -> x.getLong(3)).toMap
+    assert(w2("aa") == 27000L && w2("bb") == 64000L)
+  }
+
+  test("winnowing: guaranteed shared fingerprint on long shared substrings; short docs drop") {
+    val ss = spark; import ss.implicits._
+    val shared = "this exact sentence appears in both documents verbatim"
+    val docs = Seq(
+      (1L, "prefix one " + shared + " suffix alpha"),
+      (2L, "completely different opening " + shared + " other tail"),
+      (3L, "tiny"), // shorter than k=12 after normalization -> no fingerprints
+      (4L, "nothing in common with anything else here at all today"))
+      .toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(docs, "doc_id", "text", k = 12, window = 8)
+    assert(fps.filter(col("id") === 3L).count() == 0)
+    // the winnowing guarantee: a shared substring of length >= k+window-1
+    // (19) forces at least one common fingerprint — docs 1,2 share 55 chars
+    val pairs = TextOps.winnowPairs(docs, "doc_id", "text", k = 12, window = 8,
+        minShared = 1).collect()
+    assert(pairs.exists(p => p.getLong(0) == 1L && p.getLong(1) == 2L))
+    assert(!pairs.exists(p => p.getLong(0) == 4L || p.getLong(1) == 4L))
+    // density: distinct fingerprints are a small fraction of grams
+    val nf = fps.filter(col("id") === 1L).count()
+    val doc1len = ("prefix one " + shared + " suffix alpha").length
+    assert(nf > 0 && nf < doc1len - 12 + 1)
+  }
+
+  test("shardSkew: loads sum to ~shards*1e6 and match a direct regroup") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val r = SampleOps.shardSkew(d, "doc_id", "text", shards = 16).collect()
+    assert(r.length == 16)
+    assert(r.map(_.getLong(1)).sum == 500L)
+    // each load ppm is n*16*1e6/total, so the mean load is ~1e6
+    val meanDoc = r.map(_.getLong(3)).sum / 16
+    assert(math.abs(meanDoc - 1000000L) < 16L)
+    // cross-check docs-per-shard against rendezvousShard directly
+    val direct = SampleOps.rendezvousShard(d, "doc_id", 16)
+      .groupBy("shard").count().collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.forall(x => direct(x.getLong(0)) == x.getLong(1)))
+  }
+
   test("priorityCanonical: lower tier beats higher quality; n_tiers marks mixed clusters") {
     val ss = spark; import ss.implicits._
     // two near-identical docs (one shared shingle universe), tiers 1 and 0:
