@@ -1169,9 +1169,14 @@ object SparkEntry {
       // MOSS winnowing detector: pairs sharing >= 5 winnow
       // fingerprints (k=12 char grams, window 8 — any shared
       // normalized substring of >= 19 chars GUARANTEES a shared
-      // fingerprint, unlike minhash's probabilistic coverage)
+      // fingerprint, unlike minhash's probabilistic coverage).
+      // maxFpDf=100 drops stop-fingerprints: a boilerplate/template
+      // fingerprint shared by hundreds of docs is non-discriminative
+      // (MOSS's own high-df drop rule) and its group would fan out
+      // df² pair rows — at the 10× corpus hot template fps reached
+      // df≈730, Σdf² ≈ 2e9 pair rows, an un-runnable plan
       TextOps.winnowPairs(table(s, dir, "documents"), "doc_id", "text",
-          k = 12, window = 8, minShared = 5)
+          k = 12, window = 8, minShared = 5, maxFpDf = 100L)
         .orderBy("id_a", "id_b")),
 
     "d_dedup_incremental" -> ((s, dir) => {
@@ -4731,7 +4736,8 @@ object SparkEntry {
         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
     // winnow replay: same normalization, same 15-hex-char md5 gram
-    // hashes, list-aggregate window minima, distinct, shared counts
+    // hashes, list-aggregate window minima, distinct, shared counts;
+    // same df<=100 stop-fingerprint drop as the Spark plan (maxFpDf)
     "d_dedup_winnow" ->
       """WITH n AS (
         |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
@@ -4744,9 +4750,10 @@ object SparkEntry {
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |           generate_series(1, len(grams) - 8 + 1),
         |           j -> list_aggregate(grams[j:j+7], 'min')))) AS fp
-        |  FROM g WHERE len(grams) >= 8)
+        |  FROM g WHERE len(grams) >= 8),
+        |keep AS (SELECT fp FROM f GROUP BY fp HAVING count(*) BETWEEN 2 AND 100)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared_fps
-        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |FROM f a JOIN keep k ON a.fp = k.fp JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY id_a, id_b""".stripMargin,
 
     "d_dedup_incremental" ->
