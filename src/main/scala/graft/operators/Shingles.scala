@@ -157,6 +157,67 @@ object Shingles {
     new GenericArrayData(out)
   }
 
+  /**
+   * Fused winnowing-fingerprint kernel for
+   * [[TextOps.winnowFingerprints]]: char k-gram md5Head60s over the
+   * (already whitespace-normalized) text, sliding `window` minima,
+   * first-occurrence distinct — one pass over the UTF-8 bytes with
+   * zero per-gram allocations. The column formulation (transform/
+   * sequence/substring/md5/conv + slice/array_min + array_distinct)
+   * allocates a char-substring STRING and a 32-hex STRING per text
+   * position — measured 38.5 s of d_dedup_winnow at sf0.1 before any
+   * shuffle starts.
+   *
+   * Exact-equivalence contract (pinned in OperatorSpec):
+   *  - grams are CHARACTER substrings: UTF-8 char starts are walked
+   *    explicitly, so a k-gram's digest covers the same bytes DuckDB's
+   *    char-indexed `substr` feeds `md5`;
+   *  - each gram hashes to `conv(substring(md5(g),1,15),16,10)` via
+   *    [[FastMd5.md5Head60Bytes]] on the raw byte range;
+   *  - fewer than k chars, or fewer than `window` grams → empty array
+   *    (`explode` then drops the doc, like the callers' length guards);
+   *  - window minima tie-resolve by VALUE (plain `min`, like
+   *    `array_min`) and dedup preserves first occurrence, exactly
+   *    `array_distinct`.
+   */
+  def winnowFps(s: UTF8String, k: Int, window: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    // char start byte-offsets: UTF-8 continuation bytes are 10xxxxxx
+    val charOff = new Array[Int](n + 1)
+    var nChars = 0
+    var i = 0
+    while (i < n) {
+      if ((bytes(i) & 0xc0) != 0x80) { charOff(nChars) = i; nChars += 1 }
+      i += 1
+    }
+    charOff(nChars) = n
+    if (nChars < k) return new GenericArrayData(Array.emptyLongArray)
+    val nGrams = nChars - k + 1
+    if (nGrams < window) return new GenericArrayData(Array.emptyLongArray)
+    val grams = new Array[Long](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      val from = charOff(g)
+      grams(g) = FastMd5.md5Head60Bytes(bytes, from, charOff(g + k) - from)
+      g += 1
+    }
+    val nWin = nGrams - window + 1
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new Array[Long](nWin)
+    var outLen = 0
+    var j = 0
+    while (j < nWin) {
+      var m = grams(j)
+      var t = j + 1
+      val end = j + window
+      while (t < end) { if (grams(t) < m) m = grams(t); t += 1 }
+      if (seen.add(m)) { out(outLen) = m; outLen += 1 }
+      j += 1
+    }
+    new GenericArrayData(if (outLen == out.length) out else java.util.Arrays.copyOf(out, outLen))
+  }
+
   @inline private def isSpace(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
 }
@@ -209,5 +270,22 @@ object NgramMd5Heads {
   def apply(text: Column, w: Int): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(NgramMd5HeadsExpr(GraftColumnBridge.expression(text), w))
+  }
+}
+
+/** See [[Shingles.winnowFps]]. */
+case class WinnowFpsExpr(child: Expression, k: Int, window: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Shingles.winnowFps(input.asInstanceOf[UTF8String], k, window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.operators.Shingles.winnowFps($c, $k, $window)")
+  override protected def withNewChildInternal(c: Expression): WinnowFpsExpr = copy(child = c)
+}
+
+object WinnowFps {
+  def apply(text: Column, k: Int, window: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(WinnowFpsExpr(GraftColumnBridge.expression(text), k, window))
   }
 }

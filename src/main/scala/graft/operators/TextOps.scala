@@ -477,25 +477,22 @@ object TextOps {
    * joins; ties inside a window resolve by VALUE (the set-of-distinct
    * form makes the paper's rightmost-position rule immaterial).
    *
-   * Scale: pure per-doc array work inside one projection (grams,
-   * window minima, distinct) — no shuffle until a consumer aggregates
-   * fingerprints; expected density is 2/(window+1) grams, so the
-   * exploded frame is a fraction of token volume.
+   * Scale: one pass over the text bytes inside one projection — the
+   * fused [[Shingles.winnowFps]] kernel (char-walked k-gram
+   * md5Head60s, sliding minima, distinct; zero per-gram allocations —
+   * the column formulation it replaced allocated two strings per text
+   * POSITION and cost 38.5 s at sf0.1 before any shuffle started,
+   * OperatorSpec pins the value equivalence) — no shuffle until a
+   * consumer aggregates fingerprints; expected density is
+   * 2/(window+1) grams, so the exploded frame is a fraction of token
+   * volume.
    */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
                          k: Int, window: Int): DataFrame = {
     require(k >= 2 && window >= 1)
     val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
-    val grams = transform(
-      sequence(lit(0), length(norm) - k),
-      i => conv(substring(md5(substring(norm, i + 1, lit(k))), lit(1), lit(15)), 16, 10).cast("long"))
-    val fps = array_distinct(transform(
-      sequence(lit(0), size(col("grams")) - window),
-      j => array_min(slice(col("grams"), j + 1, lit(window)))))
     docs.filter(length(norm) >= k)
-      .select(col(idCol).as("id"), grams.as("grams"))
-      .filter(size(col("grams")) >= window)
-      .select(col("id"), explode(fps).as("fp"))
+      .select(col(idCol).as("id"), explode(WinnowFps(norm, k, window)).as("fp"))
   }
 
   /**

@@ -134,6 +134,37 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fused winnow kernel is value-identical to the column formulation") {
+    val ss = spark; import ss.implicits._
+    val k = 12; val w = 8
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+      .union(Seq(
+        (900001L, ""),                                 // < k chars -> no fps
+        (900002L, "exactly12chs"),                     // k chars, 1 gram < window -> no fps
+        (900003L, "exactly nineteen ch"),              // k+w-1 chars -> exactly one window
+        (900004L, "многоязычный текст с юникодом и ещё немного"), // multi-byte chars
+        (900005L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"), // all-equal grams -> 1 distinct fp
+        (900006L, "  spaced\t\tout\n\nwhitespace   runs collapse here  ")
+      ).toDF("id", "text"))
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    // the column formulation the kernel replaced (shipped through r11)
+    val grams = transform(
+      sequence(lit(0), length(norm) - k),
+      i => conv(substring(md5(substring(norm, i + 1, lit(k))), lit(1), lit(15)), 16, 10).cast("long"))
+    val fps = array_distinct(transform(
+      sequence(lit(0), size(col("grams")) - w),
+      j => array_min(slice(col("grams"), j + 1, lit(w)))))
+    val columnar = docs.filter(length(norm) >= k)
+      .select(col("id"), grams.as("grams"))
+      .filter(size(col("grams")) >= w)
+      .select(col("id"), explode(fps).as("fp"))
+    val fused = TextOps.winnowFingerprints(docs, "id", "text", k, w)
+    assert(fused.count() == columnar.count())
+    assert(fused.exceptAll(columnar).isEmpty && columnar.exceptAll(fused).isEmpty,
+      "fused winnow kernel must produce exactly the md5-head window-min distinct set")
+  }
+
   test("minhash projection kernel matches the aggregation formulation") {
     val ss = spark; import ss.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
