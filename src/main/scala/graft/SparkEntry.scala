@@ -599,6 +599,32 @@ object SparkEntry {
             .as("dst")))
         .orderBy("node")),
 
+    "q37_link_pred" -> ((s, dir) => {
+      // structural link prediction on the sparse banded co-occurrence
+      // graph: every NON-edge sharing >= 10 neighbors scored with the
+      // exact common-neighbor / Jaccard-ppm / preferential-attachment
+      // triple; hub cap 500 is the scale guard (no wedge center opens
+      // more than 500² pairs — the stop-hub rule)
+      val e = events(s, dir).select(
+          (col("user_id") % 9973).as("src"),
+          ((col("user_id") + get_json_object(col("props"), "$.k").cast("long")) % 9973)
+            .as("dst"))
+      GraphOps.linkPrediction(e, minCommon = 10L, maxHubDeg = 500L)
+        .orderBy("node_a", "node_b")
+    }),
+
+    "q38_kcore" -> ((s, dir) => {
+      // 4 fixed rounds of 50-core peeling on the banded graph: the
+      // dense-interaction backbone (at sf0.01 the peel cascades every
+      // round — deleting a node lowers its neighbors' degrees — which
+      // is exactly what the fixed-round contract pins on both engines)
+      val e = events(s, dir).select(
+          (col("user_id") % 997).as("src"),
+          ((col("user_id") + get_json_object(col("props"), "$.k").cast("long")) % 997)
+            .as("dst"))
+      GraphOps.kCore(e, k = 50L, rounds = 4).orderBy("node")
+    }),
+
     "q27_zorder" -> ((s, dir) =>
       // Morton layout key over (user bucket, time bucket): the
       // two-dimensional data-skipping sort key
@@ -1904,6 +1930,51 @@ object SparkEntry {
       MultimodalOps.resampledStats(media, box = 8).orderBy("media_id")
     }),
 
+    "m_media_samples_adpcm" -> ((s, dir) => {
+      // REAL IMA-ADPCM sample decode: each %4!=3 doc carries two
+      // 8-nibble-byte blocks whose headers and nibbles are doc_id
+      // arithmetic — the decoded stream is the nonlinear integer
+      // recurrence (step table, ±diff, clamps), so the oracle replays
+      // it with a recursive CTE over the SAME 89-entry table; only a
+      // bit-exact decoder (low nibble first, header sample emitted,
+      // clamped predictor walk) matches. %4==3 docs -> junk fallback.
+      val buildAdpcm = udf { (docId: Long) =>
+        val blocks = Array.tabulate(2) { blk =>
+          val pred = ((docId * 97 + blk * 1013) % 4096 - 2048).toInt
+          val idx = ((docId + blk * 7) % 89).toInt
+          val nib = Array.tabulate(8)(i => ((docId * 3 + (blk * 8 + i) * 11) % 256).toByte)
+          (pred, idx, nib)
+        }
+        MultimodalOps.encodeWavAdpcm(blocks, 8000)
+      }
+      val docs = table(s, dir, "documents").withColumn("blob",
+        when(col("doc_id") % 4 === 3, unhex(unknownHex)).otherwise(buildAdpcm(col("doc_id"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+      MultimodalOps.sampleFeatures(media).orderBy("media_id")
+    }),
+
+    "m_media_pixels_tiff" -> ((s, dir) => {
+      // baseline TIFF decode pinned by the ORDER-SENSITIVE resample
+      // stage: one pixel formula, but the STORED bytes differ per doc
+      // across every container axis the decoder must normalize away —
+      // endian (odd docs MM), PackBits ((id/2)%2), WhiteIsZero
+      // inversion ((id/4)%2), and a 4-row strip layout everywhere.
+      // Only exact strip reassembly + decompression + photometric
+      // normalization can match the single oracle. %4==3 docs get
+      // magic-less junk -> compressed-byte fallback, decoded=false.
+      val buildTiff = udf { (docId: Long) =>
+        val w = 16; val h = 16
+        val px = Array.tabulate(w * h)(i => ((docId * 5 + i * 17) % 256).toByte)
+        MultimodalOps.encodeTiff(px, w, h, 1,
+          bigEndian = docId % 2 == 1, packBits = (docId / 2) % 2 == 1,
+          rowsPerStrip = 4, whiteIsZero = (docId / 4) % 2 == 1)
+      }
+      val docs = table(s, dir, "documents").withColumn("blob",
+        when(col("doc_id") % 4 === 3, unhex(unknownHex)).otherwise(buildTiff(col("doc_id"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+      MultimodalOps.resampledStats(media, box = 8).orderBy("media_id")
+    }),
+
     "m_media_video_gif" -> ((s, dir) => {
       // the OTHER multi-frame container: each %4!=3 doc becomes an
       // animated GIF of three full-screen 16x16 frames, every frame an
@@ -3148,6 +3219,55 @@ object SparkEntry {
         |            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
         |corners AS (SELECT unnest([x, y, z]) AS node FROM t)
         |SELECT node, count(*) AS n_triangles FROM corners GROUP BY 1 ORDER BY node""".stripMargin,
+
+    // wedge-counted common neighbors, hub-capped centers, anti-joined
+    // against the edge set — the scores are exact LONGs by the same
+    // // arithmetic the Spark plan uses
+    "q37_link_pred" ->
+      """WITH raw AS (
+        |  SELECT user_id % 9973 AS u,
+        |         (user_id + json_extract_string(props, '$.k')::BIGINT) % 9973 AS v
+        |  FROM events),
+        |e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw WHERE u <> v),
+        |d AS (SELECT node, count(*) AS deg
+        |      FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) GROUP BY 1),
+        |adj AS (SELECT a AS node, b AS nbr FROM e UNION ALL SELECT b AS node, a AS nbr FROM e),
+        |cap AS (SELECT adj.node, adj.nbr FROM adj JOIN d ON adj.node = d.node AND d.deg <= 500),
+        |cn AS (SELECT x.nbr AS node_a, y.nbr AS node_b, count(*) AS common
+        |       FROM cap x JOIN cap y ON x.node = y.node AND x.nbr < y.nbr
+        |       GROUP BY 1, 2 HAVING count(*) >= 10),
+        |ne AS (SELECT cn.* FROM cn
+        |       WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = cn.node_a AND e.b = cn.node_b))
+        |SELECT node_a, node_b, common,
+        |       CAST((common * 1000000) // (da.deg + db.deg - common) AS BIGINT) AS jaccard_ppm,
+        |       CAST(da.deg * db.deg AS BIGINT) AS pref_attach
+        |FROM ne JOIN d da ON ne.node_a = da.node JOIN d db ON ne.node_b = db.node
+        |ORDER BY node_a, node_b""".stripMargin,
+
+    // four unrolled peel rounds — keep nodes with current degree >= 50,
+    // keep edges whose both endpoints survive — then the surviving
+    // subgraph's degrees
+    "q38_kcore" -> {
+      def round(prev: String, cur: String, curK: String) =
+        s"""$curK AS (
+           |  SELECT node FROM (SELECT a AS node FROM $prev UNION ALL SELECT b AS node FROM $prev)
+           |  GROUP BY node HAVING count(*) >= 50),
+           |$cur AS (
+           |  SELECT a, b FROM $prev
+           |  WHERE a IN (SELECT node FROM $curK) AND b IN (SELECT node FROM $curK))""".stripMargin
+      s"""WITH raw AS (
+         |  SELECT user_id % 997 AS u,
+         |         (user_id + json_extract_string(props, '$$.k')::BIGINT) % 997 AS v
+         |  FROM events),
+         |e0 AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw WHERE u <> v),
+         |${round("e0", "e1", "k1")},
+         |${round("e1", "e2", "k2")},
+         |${round("e2", "e3", "k3")},
+         |${round("e3", "e4", "k4")}
+         |SELECT node, count(*) AS deg
+         |FROM (SELECT a AS node FROM e4 UNION ALL SELECT b AS node FROM e4)
+         |GROUP BY node ORDER BY node""".stripMargin
+    },
 
     "q21_lpa" -> {
       def round(prev: String, cur: String) =
@@ -6173,6 +6293,111 @@ object SparkEntry {
         |       len(list_distinct(q))::BIGINT AS distinct_vals,
         |       list_max(q)::BIGINT AS max_val
         |FROM bp
+        |UNION ALL
+        |SELECT doc_id AS media_id, 'unknown' AS format, false AS decoded,
+        |       0::BIGINT, 0::BIGINT, 17::BIGINT,
+        |       ((list_sum(b) * 1000) // 17)::BIGINT,
+        |       len(list_distinct(b))::BIGINT, list_max(b)::BIGINT
+        |FROM junk
+        |ORDER BY media_id""".stripMargin,
+
+    // the IMA recurrence replayed sample-by-sample: a recursive CTE
+    // walks each (doc, block)'s 16 nibbles through the shared 89-entry
+    // step table — per-sample clamp, per-sample index adjust — then
+    // the stats fold over the block-concatenated stream (crossings
+    // COUNT across the block boundary, like the decoder's flat array)
+    "m_media_samples_adpcm" ->
+      """WITH RECURSIVE
+        |tabs AS (SELECT
+        |  [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,
+        |   41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,
+        |   190,209,230,253,279,307,337,371,408,449,494,544,598,658,
+        |   724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,
+        |   2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,
+        |   6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,
+        |   16818,18500,20350,22385,24623,27086,29794,32767] AS steps,
+        |  [-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8] AS idxadj),
+        |blocks AS (
+        |  SELECT doc_id, b.blk
+        |  FROM documents, (SELECT unnest([0, 1]) AS blk) b
+        |  WHERE doc_id % 4 <> 3),
+        |walk AS (
+        |  SELECT doc_id, blk, 0 AS n,
+        |         (doc_id * 97 + blk * 1013) % 4096 - 2048 AS pred,
+        |         (doc_id + blk * 7) % 89 AS idx
+        |  FROM blocks
+        |  UNION ALL
+        |  SELECT doc_id, blk, n + 1,
+        |         greatest(-32768, least(32767,
+        |           CASE WHEN nib >= 8 THEN pred - diff ELSE pred + diff END)) AS pred,
+        |         greatest(0, least(88, idx + adj)) AS idx
+        |  FROM (
+        |    SELECT doc_id, blk, n, pred, idx, nib,
+        |           step // 8 + CASE WHEN nib % 2 = 1 THEN step // 4 ELSE 0 END
+        |                     + CASE WHEN (nib // 2) % 2 = 1 THEN step // 2 ELSE 0 END
+        |                     + CASE WHEN (nib // 4) % 2 = 1 THEN step ELSE 0 END AS diff,
+        |           adj
+        |    FROM (
+        |      SELECT doc_id, blk, n, pred, idx,
+        |             CASE WHEN n % 2 = 0 THEN byte % 16 ELSE byte // 16 END AS nib,
+        |             steps[idx + 1] AS step,
+        |             idxadj[(CASE WHEN n % 2 = 0 THEN byte % 16 ELSE byte // 16 END) + 1] AS adj
+        |      FROM (
+        |        SELECT w.doc_id, w.blk, w.n, w.pred, w.idx, t.steps, t.idxadj,
+        |               (w.doc_id * 3 + (w.blk * 8 + w.n // 2) * 11) % 256 AS byte
+        |        FROM walk w, tabs t WHERE w.n < 16)))),
+        |ordered AS (
+        |  SELECT doc_id, pred,
+        |         lag(pred) OVER (PARTITION BY doc_id ORDER BY blk, n) AS prev
+        |  FROM walk),
+        |wavstats AS (
+        |  SELECT doc_id, count(*) AS n, sum(pred) AS s,
+        |         max(abs(pred)) AS peak,
+        |         sum(CASE WHEN prev IS NOT NULL AND ((prev < 0) <> (pred < 0))
+        |                  THEN 1 ELSE 0 END) AS zc
+        |  FROM ordered GROUP BY doc_id),
+        |junk AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 16),
+        |           i -> CASE WHEN i = 0 THEN 0
+        |                     ELSE ('0x' || substr(upper(md5(text)), (i - 1) * 2 + 1, 2))::BIGINT END) AS b
+        |  FROM documents WHERE doc_id % 4 = 3)
+        |SELECT doc_id AS media_id, 'wav' AS format, true AS decoded,
+        |       n::BIGINT AS n_samples,
+        |       floor(s * 1000 / (n * 1.0))::BIGINT AS mean_milli,
+        |       peak::BIGINT AS peak, zc::BIGINT AS zero_crossings
+        |FROM wavstats
+        |UNION ALL
+        |SELECT doc_id AS media_id, 'unknown' AS format, false AS decoded,
+        |       17::BIGINT AS n_samples,
+        |       floor(list_sum(b) * 1000 / 17.0)::BIGINT AS mean_milli,
+        |       list_max(b)::BIGINT AS peak,
+        |       0::BIGINT AS zero_crossings
+        |FROM junk
+        |ORDER BY media_id""".stripMargin,
+
+    // gray resample: output index j samples logical pixel (2(j//8),
+    // 2(j%8)) -> source index (j//8)*32 + (j%8)*2 of the planted
+    // stream; endian/PackBits/WhiteIsZero/strips all normalize away
+    "m_media_pixels_tiff" ->
+      """WITH tp AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 63),
+        |           j -> (doc_id * 5 + ((j // 8) * 32 + (j % 8) * 2) * 17) % 256) AS q
+        |  FROM documents WHERE doc_id % 4 <> 3),
+        |junk AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 16),
+        |           i -> CASE WHEN i = 0 THEN 0
+        |                     ELSE ('0x' || substr(upper(md5(text)), (i - 1) * 2 + 1, 2))::BIGINT END) AS b
+        |  FROM documents WHERE doc_id % 4 = 3)
+        |SELECT doc_id AS media_id, 'tiff' AS format, true AS decoded,
+        |       8::BIGINT AS out_w, 8::BIGINT AS out_h,
+        |       64::BIGINT AS n_vals,
+        |       ((list_sum(q) * 1000) // 64)::BIGINT AS mean_milli,
+        |       len(list_distinct(q))::BIGINT AS distinct_vals,
+        |       list_max(q)::BIGINT AS max_val
+        |FROM tp
         |UNION ALL
         |SELECT doc_id AS media_id, 'unknown' AS format, false AS decoded,
         |       0::BIGINT, 0::BIGINT, 17::BIGINT,

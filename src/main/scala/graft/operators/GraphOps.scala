@@ -278,4 +278,97 @@ object GraphOps {
               col("deg") * (col("deg") - 1L)).cast("long"))
           .otherwise(0L).as("coef_micro"))
   }
+
+  /**
+   * Link prediction scores for NON-edges sharing at least `minCommon`
+   * neighbors: the three classical structural scores — common-neighbor
+   * count, neighborhood Jaccard (exact ppm: `cn·10⁶ div (da+db−cn)`),
+   * and preferential attachment (`da·db`) — every one an exact LONG,
+   * no float similarity to drift between engines. This is the
+   * "suggest missing edges" primitive: entity-resolution candidate
+   * pairs from a co-occurrence graph, or related-domain discovery
+   * before corpus sampling.
+   *
+   * Plan: candidate pairs come from WEDGES — both oriented adjacency
+   * rows meet at their shared center z, emitting (u < v) once per
+   * common neighbor; one groupBy folds the wedge multiset into the
+   * cn count, an anti join removes pairs that are ALREADY edges, and
+   * two node-keyed degree joins price the Jaccard/PA columns. No
+   * all-pairs anywhere: the exchange is Σ_z deg(z)² wedge rows.
+   *
+   * `maxHubDeg` is the stop-hub rule that makes that sum linear: a
+   * center with 10⁶ neighbors would open 10¹² wedges while asserting
+   * almost nothing (everyone co-occurs with a celebrity — the same
+   * non-discrimination argument as the winnowing/jaccard df caps),
+   * so wedges only open at centers with deg ≤ `maxHubDeg`. Degrees
+   * and the anti-join edge set still use the FULL graph — only wedge
+   * centering is capped, exactly MOSS-style.
+   *
+   * Output: (node_a, node_b, common, jaccard_ppm, pref_attach),
+   * node_a < node_b.
+   */
+  def linkPrediction(edges: DataFrame, minCommon: Long = 2L,
+                     maxHubDeg: Long = 1000L): DataFrame = {
+    val und = undirect(edges).localCheckpoint()
+    val deg = degrees(und)
+    // oriented adjacency (node -> nbr) in both directions; wedge
+    // centers join their degree once so the hub cap is a scan filter
+    val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+      .union(und.select(col("b").as("node"), col("a").as("nbr")))
+    val capped = adj.join(deg.filter(col("deg") <= maxHubDeg), "node")
+      .select(col("node"), col("nbr"))
+    val cn = capped.as("x")
+      .join(capped.as("y"),
+        col("x.node") === col("y.node") && col("x.nbr") < col("y.nbr"))
+      .select(col("x.nbr").as("node_a"), col("y.nbr").as("node_b"))
+      .groupBy("node_a", "node_b").agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    cn.join(und, cn("node_a") === und("a") && cn("node_b") === und("b"),
+        "left_anti")
+      .join(deg.select(col("node").as("node_a"), col("deg").as("da")), "node_a")
+      .join(deg.select(col("node").as("node_b"), col("deg").as("db")), "node_b")
+      .select(col("node_a"), col("node_b"), col("common"),
+        IntDiv(col("common") * 1000000L,
+          col("da") + col("db") - col("common")).as("jaccard_ppm"),
+        (col("da") * col("db")).as("pref_attach"))
+  }
+
+  /**
+   * `rounds` rounds of k-core peeling: repeatedly delete every node
+   * whose CURRENT degree is < k (deleting a node lowers its
+   * neighbors' degrees, which is why this iterates), then report the
+   * surviving nodes with their degree inside the surviving subgraph.
+   * The fixed-round form is the engine-portable contract — both this
+   * plan and the unrolled-CTE oracle run exactly `rounds` peels, so
+   * the result replays bit-for-bit whether or not the peel has
+   * converged (it converges once no round deletes a node; each
+   * non-converged round deletes ≥ 1, so `rounds` ≥ |V| is always
+   * exact — in practice peeling stabilizes in a handful of rounds).
+   *
+   * The k-core is the standard "dense-interaction backbone"
+   * extractor: bot rings and tight communities survive high k while
+   * drive-by interactions peel away — the densification complement
+   * to [[clusteringCoefficient]]'s per-node view.
+   *
+   * Scale shape per round: one node-sized degree aggregate + one
+   * semi join keeping edges whose BOTH endpoints survive; the edge
+   * frame is localCheckpoint'd each round (the loop would otherwise
+   * stack `rounds` joins of lineage onto every successor — same
+   * policy as the dedup cluster build). Blocks are released by the
+   * caller per the graft.core.Blocks convention.
+   */
+  def kCore(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    require(rounds >= 1 && k >= 1, s"kCore k=$k rounds=$rounds")
+    var und = undirect(edges).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = degrees(und).filter(col("deg") >= k)
+        .select(col("node"))
+      und = und
+        .join(keep.withColumnRenamed("node", "a"), "a")
+        .join(keep.withColumnRenamed("node", "b"), "b")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+    }
+    degrees(und).select(col("node"), col("deg"))
+  }
 }

@@ -172,6 +172,10 @@ object MultimodalOps {
               case m if m.format == "bmp" && px.length == m.width * m.height * 3 =>
                 ("bmp", px, m.width.toInt, m.height.toInt, 3)
             }))
+            .orElse(decodeTiffPixels(content).flatMap(px => hdr.collect {
+              case m if m.format == "tiff" && px.length == m.width * m.height * m.channels =>
+                ("tiff", px, m.width.toInt, m.height.toInt, m.channels.toInt)
+            }))
           decoded match {
             case Some((f, px, w, h, ch)) =>
               val (out, ow, oh) = resample(px, w, h, ch)
@@ -231,6 +235,10 @@ object MultimodalOps {
             .orElse(decodeBmpPixels(content).flatMap(px => hdr.collect {
               case m if m.format == "bmp" && px.length == m.width * m.height * 3 =>
                 ("bmp", px, m.width.toInt, m.height.toInt, 3)
+            }))
+            .orElse(decodeTiffPixels(content).flatMap(px => hdr.collect {
+              case m if m.format == "tiff" && px.length == m.width * m.height * m.channels =>
+                ("tiff", px, m.width.toInt, m.height.toInt, m.channels.toInt)
             }))
           decoded match {
             case Some((f, px, w, h, ch)) =>
@@ -410,6 +418,16 @@ object MultimodalOps {
       if (w > 0 && hRaw != 0 && hRaw != Int.MinValue)
         return Some(MediaHeader("bmp", w.toLong, math.abs(hRaw).toLong,
           if (u16le(b, 28) == 24L) 3L else 1L, 0L))
+    }
+    // TIFF: II*\0 / MM\0* then the IFD walk — dims/channels from the
+    // required tags; outside the baseline gray/RGB strip scope the
+    // walk refuses and the blob stays "unknown"
+    if (b.length >= 8 && ((b(0) == 'I' && b(1) == 'I') || (b(0) == 'M' && b(1) == 'M'))) {
+      tiffInfo(b) match {
+        case Some((w, h, ch, _, _, _, _, _)) =>
+          return Some(MediaHeader("tiff", w, h, ch, 0L))
+        case None => return None
+      }
     }
     // WAV: RIFF/WAVE then chunk walk to "fmt "
     parseWav(b)
@@ -863,6 +881,9 @@ object MultimodalOps {
           b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
     var fmtCode = -1
     var bits = -1
+    var channels = -1
+    var blockAlign = -1
+    var samplesPerBlock = -1
     var dataOff = -1
     var dataLen = -1
     var pos = 12
@@ -872,7 +893,13 @@ object MultimodalOps {
       if (b(pos) == 'f' && b(pos + 1) == 'm' && b(pos + 2) == 't' && b(pos + 3) == ' ') {
         if (size < 16) return None
         fmtCode = u16le(b, pos + 8).toInt
+        channels = u16le(b, pos + 10).toInt
+        blockAlign = u16le(b, pos + 20).toInt
         bits = u16le(b, pos + 22).toInt
+        // IMA ADPCM (format 0x11): wSamplesPerBlock is the u16 right
+        // after cbSize (fmt+18 within the chunk body)
+        if (fmtCode == 0x11 && size >= 20)
+          samplesPerBlock = u16le(b, pos + 8 + 18).toInt
         // WAVE_FORMAT_EXTENSIBLE: the real format code is the first two
         // bytes of the 16-byte SubFormat GUID at fmt+24 (cbSize 22)
         if (fmtCode == 0xfffe) {
@@ -904,6 +931,55 @@ object MultimodalOps {
         val v = math.round(f * 32767.0f)
         out(i) = if (v < -32767) -32767 else if (v > 32767) 32767 else v
         i += 1
+      }
+      return Some(out)
+    }
+    // IMA/DVI ADPCM (format 0x11), mono: block-aligned nibble streams.
+    // Each block = 4-byte header (signed 16-bit initial predictor,
+    // step-table index 0..88, reserved) + (blockAlign−4) nibble bytes,
+    // LOW nibble first; the header predictor IS the block's first
+    // sample, so samplesPerBlock must be (blockAlign−4)·2 + 1. The
+    // recurrence is pure integer (step>>3 base delta + optional
+    // step, step>>1, step>>2 terms; clamp; table-stepped index), so
+    // decoded samples replay bit-for-bit in SQL — the oracle runs the
+    // same 89-entry step table through a recursive CTE.
+    if (fmtCode == 0x11) {
+      if (channels != 1 || bits != 4 || blockAlign < 5) return None
+      if (samplesPerBlock != (blockAlign - 4) * 2 + 1) return None
+      if (dataLen % blockAlign != 0) return None
+      val nBlocks = dataLen / blockAlign
+      val total = nBlocks.toLong * samplesPerBlock
+      if (total > maxSamples) return None
+      val out = new Array[Int](total.toInt)
+      var o = 0
+      var blk = 0
+      while (blk < nBlocks) {
+        val base = dataOff + blk * blockAlign
+        var pred = ((b(base) & 0xff) | (b(base + 1) << 8)).toShort.toInt
+        var idx = b(base + 2) & 0xff
+        if (idx > 88 || b(base + 3) != 0) return None
+        out(o) = pred; o += 1
+        var i = 0
+        while (i < blockAlign - 4) {
+          val byte = b(base + 4 + i) & 0xff
+          var half = 0
+          while (half < 2) {
+            val nib = if (half == 0) byte & 0xf else byte >> 4
+            val step = AdpcmStep(idx)
+            var diff = step >> 3
+            if ((nib & 1) != 0) diff += step >> 2
+            if ((nib & 2) != 0) diff += step >> 1
+            if ((nib & 4) != 0) diff += step
+            pred = if ((nib & 8) != 0) pred - diff else pred + diff
+            if (pred > 32767) pred = 32767 else if (pred < -32768) pred = -32768
+            idx += AdpcmIndex(nib)
+            if (idx < 0) idx = 0 else if (idx > 88) idx = 88
+            out(o) = pred; o += 1
+            half += 1
+          }
+          i += 1
+        }
+        blk += 1
       }
       return Some(out)
     }
@@ -978,6 +1054,55 @@ object MultimodalOps {
       i += 1
     }
     if ((dataLen & 1) != 0) buf.put(0.toByte) // RIFF word-alignment pad
+    buf.array()
+  }
+
+  /** IMA ADPCM quantizer step table (IMA ADPCM specification, 89
+    * entries) and index-adjust table — shared by the decoder and the
+    * oracle's recursive-CTE replay. */
+  private[graft] val AdpcmStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  private[graft] val AdpcmIndex: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** IMA ADPCM WAV writer from RAW blocks — the fixture counterpart of
+    * the format-0x11 decode path: each block is (initial predictor,
+    * step index, nibble bytes); all blocks must share one length so
+    * blockAlign/samplesPerBlock describe them all. Planting nibbles
+    * directly (instead of encoding PCM) keeps the fixture exact — the
+    * codec is lossy in the PCM→nibble direction but deterministic in
+    * the direction under test. */
+  private[graft] def encodeWavAdpcm(blocks: Array[(Int, Int, Array[Byte])],
+                                    sampleRate: Int): Array[Byte] = {
+    require(blocks.nonEmpty, "at least one block")
+    val nData = blocks(0)._3.length
+    require(blocks.forall(_._3.length == nData) && nData >= 1,
+      "all blocks must carry the same nibble-byte count")
+    val blockAlign = 4 + nData
+    val samplesPerBlock = nData * 2 + 1
+    val dataLen = blocks.length * blockAlign
+    val buf = java.nio.ByteBuffer.allocate(48 + dataLen + (dataLen & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(40 + dataLen + (dataLen & 1))
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(0x11).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign / samplesPerBlock) // nominal byte rate
+      .putShort(blockAlign.toShort).putShort(4)
+      .putShort(2).putShort(samplesPerBlock.toShort)     // cbSize, wSamplesPerBlock
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    for ((pred, idx, nibbles) <- blocks) {
+      require(pred >= -32768 && pred <= 32767 && idx >= 0 && idx <= 88, "block header range")
+      buf.putShort(pred.toShort).put(idx.toByte).put(0.toByte).put(nibbles)
+    }
+    if ((dataLen & 1) != 0) buf.put(0.toByte)
     buf.array()
   }
 
@@ -1069,6 +1194,253 @@ object MultimodalOps {
   }
 
   /**
+   * REAL TIFF decode — baseline TIFF 6.0, the strip-organized raster
+   * both scanned-document corpora and satellite tiles still arrive in.
+   * Pure JVM IFD walk honoring BOTH byte orders (`II` little-endian,
+   * `MM` big-endian — the same raster must decode identically from
+   * either container, like BMP's two row orders), multiple strips
+   * (`RowsPerStrip` < height exercises the strip reassembly), and the
+   * two baseline compressions: 1 = none and 32773 = PackBits (TIFF
+   * §9: n∈[0,127] copy n+1 literals, n∈[−127,−1] repeat next byte
+   * 1−n times, −128 no-op). Grayscale honors BOTH photometric
+   * interpretations — 1 = BlackIsZero raw, 0 = WhiteIsZero inverted
+   * to the logical black-is-zero stream (real decode semantics, not a
+   * pass-through; the spec pins 0 ↔ 255 inversion). RGB (photometric
+   * 2) emits interleaved row-major RGB.
+   *
+   * Honest-refusal scope (None → compressed-blob fallback): bits per
+   * sample other than 8, palette/planar/tiled organizations, LZW /
+   * CCITT / JPEG-in-TIFF compressions, missing required tags. All
+   * offset arithmetic in Long against crafted headers
+   * ([[decodePngPixels]]' allocation-bomb lesson); `maxPixelBytes`
+   * caps the output buffer.
+   */
+  private[graft] def decodeTiffPixels(b: Array[Byte],
+                                      maxPixelBytes: Int = 1 << 26): Option[Array[Byte]] = {
+    val info = tiffInfo(b).getOrElse(return None)
+    val (w, h, ch, comp, photometric, stripOffs, stripCounts, rowsPerStrip) = info
+    val rowBytes = w * ch
+    val total = rowBytes * h
+    if (total > maxPixelBytes) return None
+    val out = new Array[Byte](total.toInt)
+    var produced = 0
+    var s = 0
+    while (s < stripOffs.length) {
+      val off = stripOffs(s)
+      val len = stripCounts(s)
+      if (off < 0 || len < 0 || off + len > b.length) return None
+      // rows in this strip: RowsPerStrip except a short final strip
+      val stripRows = math.min(rowsPerStrip, h - s.toLong * rowsPerStrip)
+      if (stripRows <= 0) return None
+      val want = (stripRows * rowBytes).toInt
+      if (comp == 1L) {
+        if (len != want) return None
+        System.arraycopy(b, off.toInt, out, produced, want)
+      } else { // PackBits
+        var i = off.toInt
+        val end = (off + len).toInt
+        var o = produced
+        val stop = produced + want
+        while (i < end && o < stop) {
+          val n = b(i); i += 1
+          if (n >= 0) {
+            val cnt = n + 1
+            if (i + cnt > end || o + cnt > stop) return None
+            System.arraycopy(b, i, out, o, cnt)
+            i += cnt; o += cnt
+          } else if (n != -128) {
+            val cnt = 1 - n
+            if (i >= end || o + cnt > stop) return None
+            java.util.Arrays.fill(out, o, o + cnt, b(i))
+            i += 1; o += cnt
+          }
+        }
+        if (o != stop) return None
+      }
+      produced += want
+      s += 1
+    }
+    if (produced != total) return None
+    if (photometric == 0L) { // WhiteIsZero -> logical black-is-zero
+      var i = 0
+      while (i < out.length) { out(i) = (255 - (out(i) & 0xff)).toByte; i += 1 }
+    }
+    Some(out)
+  }
+
+  /** IFD walk shared by [[decodeTiffPixels]] and the header sniffer:
+    * (w, h, channels, compression, photometric, stripOffsets,
+    * stripByteCounts, rowsPerStrip), or None outside the baseline
+    * gray/RGB 8-bit strip scope. */
+  private def tiffInfo(b: Array[Byte]): Option[(Long, Long, Long, Long, Long,
+      Array[Long], Array[Long], Long)] = {
+    if (b == null || b.length < 8) return None
+    val le = b(0) == 'I' && b(1) == 'I'
+    val be = b(0) == 'M' && b(1) == 'M'
+    if (!le && !be) return None
+    def u16(o: Int): Long =
+      if (o + 2 > b.length) -1L else if (le) u16le(b, o) else u16be(b, o)
+    def u32(o: Int): Long =
+      if (o + 4 > b.length) -1L else if (le) u32le(b, o) else u32be(b, o)
+    if (u16(2) != 42L) return None
+    val ifd = u32(4)
+    if (ifd < 8L || ifd + 2 > b.length) return None
+    val n = u16(ifd.toInt)
+    if (n <= 0L || ifd + 2 + n * 12 > b.length) return None
+    var w = -1L; var h = -1L; var ch = 1L; var comp = 1L; var photo = 1L
+    var rps = -1L; var bits: Array[Long] = Array(8L)
+    var offs: Array[Long] = null; var cnts: Array[Long] = null
+    var planar = 1L
+    // one entry's value array: SHORT(3) or LONG(4), inline when it fits
+    def values(entryOff: Int): Array[Long] = {
+      val typ = u16(entryOff + 2)
+      val cnt = u32(entryOff + 4)
+      val width = typ match { case 3L => 2L; case 4L => 4L; case _ => return null }
+      if (cnt <= 0L || cnt > 65536L) return null
+      val at = if (width * cnt <= 4L) entryOff + 8L else u32(entryOff + 8)
+      if (at < 0L || at + width * cnt > b.length) return null
+      Array.tabulate(cnt.toInt)(i =>
+        if (width == 2L) u16((at + i * 2).toInt) else u32((at + i * 4).toInt))
+    }
+    var e = 0
+    while (e < n) {
+      val eo = (ifd + 2 + e * 12).toInt
+      val tag = u16(eo)
+      tag match {
+        case 256L => val v = values(eo); if (v == null) return None; w = v(0)
+        case 257L => val v = values(eo); if (v == null) return None; h = v(0)
+        case 258L => val v = values(eo); if (v == null) return None; bits = v
+        case 259L => val v = values(eo); if (v == null) return None; comp = v(0)
+        case 262L => val v = values(eo); if (v == null) return None; photo = v(0)
+        case 273L => val v = values(eo); if (v == null) return None; offs = v
+        case 277L => val v = values(eo); if (v == null) return None; ch = v(0)
+        case 278L => val v = values(eo); if (v == null) return None; rps = v(0)
+        case 279L => val v = values(eo); if (v == null) return None; cnts = v
+        case 284L => val v = values(eo); if (v == null) return None; planar = v(0)
+        case _ => // unknown tags are legal; skip
+      }
+      e += 1
+    }
+    if (w <= 0L || h <= 0L || offs == null || cnts == null) return None
+    if (offs.length != cnts.length) return None
+    if (comp != 1L && comp != 32773L) return None
+    if (planar != 1L) return None
+    if (!(ch == 1L || ch == 3L)) return None
+    if (bits.length != ch || bits.exists(_ != 8L)) return None
+    if (ch == 1L && photo != 0L && photo != 1L) return None
+    if (ch == 3L && photo != 2L) return None
+    val rowsPerStrip = if (rps <= 0L) h else rps
+    val strips = (h + rowsPerStrip - 1) / rowsPerStrip
+    if (strips != offs.length) return None
+    Some((w, h, ch, comp, photo, offs, cnts, rowsPerStrip))
+  }
+
+  /** Baseline TIFF encoder — the fixture counterpart of
+    * [[decodeTiffPixels]]: `px` is the logical top-down row-major
+    * sample stream (gray `ch`=1 or RGB `ch`=3, black-is-zero);
+    * `bigEndian` picks the container byte order, `packBits` the
+    * compression, `rowsPerStrip` the strip layout, and `whiteIsZero`
+    * (gray only) stores the INVERTED samples under photometric 0 —
+    * every axis the decoder must normalize away. */
+  private[graft] def encodeTiff(px: Array[Byte], w: Int, h: Int, ch: Int,
+                                bigEndian: Boolean = false, packBits: Boolean = false,
+                                rowsPerStrip: Int = 0, whiteIsZero: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && (ch == 1 || ch == 3) && px.length == w * h * ch,
+      "px must be w*h*ch samples")
+    require(!(whiteIsZero && ch == 3), "whiteIsZero is a grayscale photometric")
+    val rps = if (rowsPerStrip <= 0) h else rowsPerStrip
+    val nStrips = (h + rps - 1) / rps
+    val rowBytes = w * ch
+    val stored =
+      if (!whiteIsZero) px
+      else px.map(v => (255 - (v & 0xff)).toByte)
+    // per-strip payloads
+    val strips = Array.tabulate(nStrips) { s =>
+      val rows = math.min(rps, h - s * rps)
+      val raw = java.util.Arrays.copyOfRange(stored, s * rps * rowBytes,
+        s * rps * rowBytes + rows * rowBytes)
+      if (packBits) packBitsEncode(raw) else raw
+    }
+    val photometric = if (ch == 3) 2 else if (whiteIsZero) 0 else 1
+    val nTags = 9
+    // layout: 8 header | ifd (2 + 12n + 4) | bits array (ch=3 only) |
+    // strip offset/count arrays (if nStrips > 1) | strip data
+    val ifdOff = 8
+    val ifdSize = 2 + nTags * 12 + 4
+    var extra = ifdOff + ifdSize
+    val bitsOff = extra
+    if (ch == 3) extra += 6
+    val offsOff = extra
+    val cntsOff = if (nStrips > 1) offsOff + 4 * nStrips else offsOff
+    if (nStrips > 1) extra = cntsOff + 4 * nStrips
+    val dataOff = extra
+    val total = dataOff + strips.map(_.length).sum
+    val buf = java.nio.ByteBuffer.allocate(total).order(
+      if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put((if (bigEndian) 'M' else 'I').toByte).put((if (bigEndian) 'M' else 'I').toByte)
+    buf.putShort(42).putInt(ifdOff)
+    val stripDataOffs = new Array[Int](nStrips)
+    var acc = dataOff
+    for (s <- 0 until nStrips) { stripDataOffs(s) = acc; acc += strips(s).length }
+    def entry(tag: Int, typ: Int, cnt: Int, value: Int): Unit = {
+      buf.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt)
+      if (typ == 3 && cnt == 1) { buf.putShort(value.toShort).putShort(0) }
+      else buf.putInt(value)
+    }
+    buf.putShort(nTags.toShort)
+    entry(256, 3, 1, w)
+    entry(257, 3, 1, h)
+    if (ch == 3) entry(258, 3, 3, bitsOff) else entry(258, 3, 1, 8)
+    entry(259, 3, 1, if (packBits) 32773 else 1)
+    entry(262, 3, 1, photometric)
+    if (nStrips > 1) entry(273, 4, nStrips, offsOff)
+    else entry(273, 4, 1, stripDataOffs(0))
+    entry(277, 3, 1, ch)
+    entry(278, 3, 1, rps)
+    if (nStrips > 1) entry(279, 4, nStrips, cntsOff)
+    else entry(279, 4, 1, strips(0).length)
+    buf.putInt(0) // no next IFD
+    if (ch == 3) { buf.putShort(8).putShort(8).putShort(8) }
+    if (nStrips > 1) {
+      for (s <- 0 until nStrips) buf.putInt(stripDataOffs(s))
+      for (s <- 0 until nStrips) buf.putInt(strips(s).length)
+    }
+    strips.foreach(buf.put)
+    buf.array()
+  }
+
+  /** TIFF §9 PackBits — literal runs and ≥3-byte replicate runs (the
+    * break-even choice the spec itself recommends), 128-byte bounded. */
+  private def packBitsEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    val n = raw.length
+    while (i < n) {
+      // measure the replicate run at i
+      var run = 1
+      while (i + run < n && raw(i + run) == raw(i) && run < 128) run += 1
+      if (run >= 3) {
+        out.write(1 - run); out.write(raw(i)); i += run
+      } else {
+        // literal run: until a ≥3 replicate starts or 128 bytes
+        var j = i
+        var lit = 0
+        var break = false
+        while (j < n && lit < 128 && !break) {
+          var r = 1
+          while (j + r < n && raw(j + r) == raw(j) && r < 3) r += 1
+          if (r >= 3) break = true
+          else { j += 1; lit += 1 }
+        }
+        out.write(lit - 1)
+        out.write(raw, i, lit)
+        i += lit
+      }
+    }
+    out.toByteArray
+  }
+
+  /**
    * Pixel-level features where the pixel stage is genuinely decodable
    * — PNGs via [[decodePngPixels]] (inflate + filter reversal) and
    * baseline OR progressive JPEGs via [[JpegBaseline.decodePixels]]
@@ -1123,6 +1495,7 @@ object MultimodalOps {
               .orElse(JpegBaseline.decodePixels(content).map(d => ("jpeg", d.samples)))
               .orElse(GifPixels.decodeGifPixels(content).map(("gif", _)))
               .orElse(decodeBmpPixels(content).map(("bmp", _)))
+              .orElse(decodeTiffPixels(content).map(("tiff", _)))
           decoded match {
             case Some((f, px)) =>
               val (n, mean, d, mx) = stats(px)

@@ -199,4 +199,58 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == (1L to 4L).map(n => (n, 3L)))
   }
+
+  test("linkPrediction: 4-cycle diagonals score exactly; existing edges never appear") {
+    val ss = spark; import ss.implicits._
+    // square 1-2-3-4-1: the two diagonals (1,3) and (2,4) are the only
+    // non-edges, each sharing BOTH its endpoints' full neighborhoods —
+    // common=2, jaccard = 2/(2+2-2) = 1.0 exactly, pa = 2*2
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val got = GraphOps.linkPrediction(e, minCommon = 2L, maxHubDeg = 10L)
+      .orderBy("node_a", "node_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq((1L, 3L, 2L, 1000000L, 4L), (2L, 4L, 2L, 1000000L, 4L)))
+  }
+
+  test("linkPrediction: the hub cap closes wedges at celebrity centers") {
+    val ss = spark; import ss.implicits._
+    // star: hub 0 with leaves 1..5 — every leaf pair co-occurs only
+    // through the hub; capping below the hub degree must predict
+    // NOTHING (the stop-hub rule), uncapped predicts all C(5,2) pairs
+    val e = (1L to 5L).map(l => (0L, l)).toDF("src", "dst")
+    assert(GraphOps.linkPrediction(e, minCommon = 1L, maxHubDeg = 4L).isEmpty)
+    assert(GraphOps.linkPrediction(e, minCommon = 1L, maxHubDeg = 5L).count() == 10L)
+  }
+
+  test("linkPrediction: duplicate and reversed raw edges do not inflate the counts") {
+    val ss = spark; import ss.implicits._
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    // path 1-2-3: one candidate (1,3) through center 2, common=1,
+    // jaccard = 1/(1+1-1), pa = 1*1
+    val got = GraphOps.linkPrediction(e, minCommon = 1L, maxHubDeg = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq((1L, 3L, 1L, 1000000L, 1L)))
+  }
+
+  test("kCore: pendant peels, triangle survives as the 2-core") {
+    val ss = spark; import ss.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = GraphOps.kCore(e, k = 2L, rounds = 3).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("kCore: the peel cascades — fixed rounds pin the intermediate state") {
+    val ss = spark; import ss.implicits._
+    // path 1-2-3-4 under k=2: round 1 deletes the endpoints (deg 1),
+    // which DROPS 2 and 3 to degree 1; round 2 deletes them too.
+    // rounds=1 must report the non-converged intermediate exactly,
+    // rounds=2 the empty fixpoint — the fixed-round contract both
+    // engines replay
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r1 = GraphOps.kCore(e, k = 2L, rounds = 1).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(r1 == Seq((2L, 1L), (3L, 1L)))
+    assert(GraphOps.kCore(e, k = 2L, rounds = 2).isEmpty)
+  }
 }

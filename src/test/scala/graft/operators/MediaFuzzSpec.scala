@@ -48,12 +48,21 @@ class MediaFuzzSpec extends AnyFunSuite {
       Array.tabulate(77)(i => i % 2), 11, 7, 1, r => r % 5, interlace = true)
     val png16 = MultimodalOps.encodePngGrayDepth(
       Array.tabulate(64)(i => (i * 997) % 65536), 8, 8, 16, r => (r + 2) % 5)
+    val tiff = MultimodalOps.encodeTiff(
+      Array.tabulate(10 * 7)(i => (i * 11).toByte), 10, 7, 1, rowsPerStrip = 3)
+    val tiffPbBe = MultimodalOps.encodeTiff(
+      Array.tabulate(6 * 5 * 3)(i => (i * 29 + 3).toByte), 6, 5, 3,
+      bigEndian = true, packBits = true, rowsPerStrip = 2)
     Seq(("png", png), ("png-adam7", pngAdam7), ("png-4bit", png4),
       ("png-1bit-adam7", png1Adam), ("png-16bit", png16),
       ("jpeg", jpeg), ("jpeg-prog", jpegProg),
       ("jpeg-12bit", jpeg12), ("jpeg-hier", jpegHier), ("gif", gif),
       ("gif-interlaced", gifInterlaced), ("wav", wav), ("wav-24", wav24),
-      ("wav-float", wavF), ("avi", avi), ("bmp", bmp), ("bmp-topdown", bmpTd))
+      ("wav-float", wavF), ("avi", avi), ("bmp", bmp), ("bmp-topdown", bmpTd),
+      ("tiff-strips", tiff), ("tiff-packbits-be-rgb", tiffPbBe),
+      ("wav-adpcm", MultimodalOps.encodeWavAdpcm(
+        Array((1200, 33, Array.tabulate(6)(i => (i * 41 + 7).toByte)),
+          (-900, 70, Array.tabulate(6)(i => (i * 13).toByte))), 8000)))
   }
 
   private def decodeAll(b: Array[Byte]): Unit = {
@@ -64,6 +73,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     MultimodalOps.decodeWavSamples(b)
     MultimodalOps.parseAviFrames(b)
     MultimodalOps.decodeBmpPixels(b)
+    MultimodalOps.decodeTiffPixels(b)
     MultimodalOps.parseHeader(b)
     ()
   }

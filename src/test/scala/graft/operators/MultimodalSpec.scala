@@ -270,6 +270,67 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MultimodalOps.decodeBmpPixels(hmin).isEmpty)
   }
 
+  test("decodeTiffPixels: every axis round-trips to the same logical stream") {
+    val w = 11; val h = 7
+    val gray = Array.tabulate(w * h)(i => ((i * 13 + 5) % 256).toByte)
+    // endian x compression x strip layout x photometric: all store
+    // DIFFERENT bytes, all decode to the identical black-is-zero stream
+    for (be <- Seq(false, true); pb <- Seq(false, true);
+         rps <- Seq(0, 3); wiz <- Seq(false, true)) {
+      val t = MultimodalOps.encodeTiff(gray, w, h, 1,
+        bigEndian = be, packBits = pb, rowsPerStrip = rps, whiteIsZero = wiz)
+      assert(MultimodalOps.decodeTiffPixels(t).exists(_.sameElements(gray)),
+        s"be=$be pb=$pb rps=$rps wiz=$wiz did not round-trip")
+      assert(MultimodalOps.parseHeader(t)
+        .contains(MultimodalOps.MediaHeader("tiff", w, h, 1, 0)), s"header be=$be")
+    }
+    // RGB: interleaved samples, strip split mid-image, both endians
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 7 + 3) % 256).toByte)
+    for (be <- Seq(false, true); pb <- Seq(false, true)) {
+      val t = MultimodalOps.encodeTiff(rgb, w, h, 3, bigEndian = be,
+        packBits = pb, rowsPerStrip = 2)
+      assert(MultimodalOps.decodeTiffPixels(t).exists(_.sameElements(rgb)),
+        s"rgb be=$be pb=$pb")
+      assert(MultimodalOps.parseHeader(t)
+        .contains(MultimodalOps.MediaHeader("tiff", w, h, 3, 0)))
+    }
+    // PackBits actually compresses a constant image (replicate runs)
+    val flat = Array.fill(w * h)(77.toByte)
+    val packed = MultimodalOps.encodeTiff(flat, w, h, 1, packBits = true)
+    val plain = MultimodalOps.encodeTiff(flat, w, h, 1)
+    assert(packed.length < plain.length, "PackBits must shrink a flat image")
+    assert(MultimodalOps.decodeTiffPixels(packed).exists(_.sameElements(flat)))
+  }
+
+  test("decodeTiffPixels refuses out-of-scope and hostile streams") {
+    val px = Array.tabulate(4 * 4)(i => (i * 3).toByte)
+    val good = MultimodalOps.encodeTiff(px, 4, 4, 1)
+    assert(MultimodalOps.decodeTiffPixels(good).isDefined)
+    // truncated strip data
+    assert(MultimodalOps.decodeTiffPixels(good.take(good.length - 1)).isEmpty)
+    // bad magic number (43)
+    val badMagic = good.clone(); badMagic(2) = 43
+    assert(MultimodalOps.decodeTiffPixels(badMagic).isEmpty)
+    // LZW compression (5) out of scope: compression tag is entry 3
+    // (tag 259) — patch its inline SHORT value
+    val ifd = 8 + 2
+    val compEntry = ifd + 3 * 12
+    val lzw = good.clone(); lzw(compEntry + 8) = 5
+    assert(MultimodalOps.decodeTiffPixels(lzw).isEmpty)
+    // dimension bomb: width 2^24 via a LONG-typed patch would need a
+    // type rewrite; a 65535 SHORT width mismatching the strip bytes
+    // must refuse on the byte-count check, not allocate-and-crash
+    val wide = good.clone(); wide(ifd + 8) = 0xff.toByte; wide(ifd + 9) = 0xff.toByte
+    assert(MultimodalOps.decodeTiffPixels(wide).isEmpty)
+    // IFD offset past the blob
+    val badIfd = good.clone(); badIfd(4) = 0xf0.toByte
+    assert(MultimodalOps.decodeTiffPixels(badIfd).isEmpty)
+    // PackBits stream that under-produces (declared literal run cut off)
+    val pb = MultimodalOps.encodeTiff(px, 4, 4, 1, packBits = true)
+    val cut = pb.take(pb.length - 2)
+    assert(MultimodalOps.decodeTiffPixels(cut).isEmpty)
+  }
+
   test("decodeWavSamples round-trips the PCM encoder at both widths") {
     // full signed range at 16 bits, including the asymmetric extremes
     val s16 = Array.tabulate(50)(i => (i * 2641 % 65536) - 32768)
@@ -338,6 +399,63 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MultimodalOps.decodeWavSamples(nan) === None)
     // truncated float data (not a whole sample) refuses
     assert(MultimodalOps.decodeWavSamples(wf.dropRight(2)) === None)
+  }
+
+  test("decodeWavSamples: IMA ADPCM blocks replay the integer recurrence exactly") {
+    // independent scalar replay of the published IMA recurrence
+    def ref(blocks: Seq[(Int, Int, Array[Byte])]): Seq[Int] = blocks.flatMap {
+      case (p0, i0, nb) =>
+        var pred = p0; var idx = i0
+        val out = scala.collection.mutable.ArrayBuffer(p0)
+        for (byte <- nb; nib <- Seq(byte & 0xf, (byte & 0xff) >> 4)) {
+          val step = MultimodalOps.AdpcmStep(idx)
+          var diff = step >> 3
+          if ((nib & 1) != 0) diff += step >> 2
+          if ((nib & 2) != 0) diff += step >> 1
+          if ((nib & 4) != 0) diff += step
+          pred = if ((nib & 8) != 0) pred - diff else pred + diff
+          pred = math.max(-32768, math.min(32767, pred))
+          idx = math.max(0, math.min(88, idx + MultimodalOps.AdpcmIndex(nib)))
+          out += pred
+        }
+        out
+    }
+    // mixed nibbles + both clamp extremes (idx 88 step 32767: nibble 7
+    // adds 28669 — predictor 32700 must clamp to 32767; nibble 15
+    // subtracts it — −32700 must clamp to −32768)
+    val blocks = Array(
+      (12, 40, Array.tabulate(8)(i => ((i * 37 + 5) % 256).toByte)),
+      (32700, 88, Array[Byte](0x07, 0xf7.toByte, 0x70, 0x00)),
+      (-32700, 88, Array[Byte](0x0f, 0x7f, 0xf0.toByte, 0x08)))
+    // all blocks one length: pad the short ones
+    val padded = blocks.map { case (p, i, nb) =>
+      (p, i, nb ++ Array.fill(8 - nb.length)(0x39.toByte)) }
+    val wav = MultimodalOps.encodeWavAdpcm(padded, 8000)
+    val got = MultimodalOps.decodeWavSamples(wav)
+    assert(got.isDefined, "ADPCM stream must decode")
+    assert(got.get.toSeq == ref(padded.toSeq), "recurrence must replay exactly")
+    assert(got.get.length == 3 * 17, "3 blocks x (1 header + 16 nibble samples)")
+    assert(got.get.contains(32767) && got.get.contains(-32768), "both clamps exercised")
+    assert(MultimodalOps.parseHeader(wav)
+      .contains(MultimodalOps.MediaHeader("wav", 0, 0, 1, 8000)))
+  }
+
+  test("decodeWavSamples: ADPCM refusals — stereo, bad index, reserved, ragged data") {
+    val good = MultimodalOps.encodeWavAdpcm(
+      Array((100, 10, Array.tabulate(4)(i => (i * 3).toByte))), 8000)
+    assert(MultimodalOps.decodeWavSamples(good).isDefined)
+    // stereo ADPCM out of scope (channels u16 at fmt body +2 = offset 22)
+    val stereo = good.clone(); stereo(22) = 2
+    assert(MultimodalOps.decodeWavSamples(stereo).isEmpty)
+    // step index 89 out of range (block header byte 2; data starts at 48)
+    val badIdx = good.clone(); badIdx(48 + 2) = 89.toByte
+    assert(MultimodalOps.decodeWavSamples(badIdx).isEmpty)
+    // nonzero reserved header byte is corruption
+    val badRes = good.clone(); badRes(48 + 3) = 1
+    assert(MultimodalOps.decodeWavSamples(badRes).isEmpty)
+    // samplesPerBlock inconsistent with blockAlign (fmt body +18 = offset 38)
+    val badSpb = good.clone(); badSpb(38) = 5
+    assert(MultimodalOps.decodeWavSamples(badSpb).isEmpty)
   }
 
   test("decodeWavSamples refuses hostile and corrupt streams") {
