@@ -1067,6 +1067,38 @@ object SparkEntry {
       // within a 3-word span, top 30 — the word2vec/phrase-mining table
       TextOps.skipgramPairs(table(s, dir, "documents"), "text", window = 3, topN = 30)),
 
+    "t_bm25" -> ((s, dir) =>
+      // BM25 top-25 retrieval for a fixed 4-term query over the
+      // corpus — per-term floor(1e6·idf·tfpart) micro scores from
+      // exact (tf, df, dl, N, Σdl) integers, LONG-summed per doc
+      TextOps.bm25Top(table(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("spark", "vector", "customer", "stream"), n = 25)),
+
+    "t_hash_embed" -> ((s, dir) =>
+      // hashing-trick featurizer (Weinberger 2009): 64-dim signed
+      // word-hash counts, exploded relational surface — all LONGs
+      TextOps.hashedFeatures(table(s, dir, "documents"), "doc_id", "text", dims = 64)
+        .orderBy("doc_id", "dim")),
+
+    "q39_host_rank" -> ((s, dir) => {
+      // domain authority end-to-end: plant two URLs per doc (hosts
+      // h(doc%23) / h(doc div 3 %23)), extract the doc->host edges
+      // with the one-pass URL kernel, then 3 rounds of integer
+      // PageRank on the undirected bipartite graph; report the host
+      // side — the CommonCrawl-style "rank domains before sampling"
+      // composition as one oracle-checked query
+      val planted = table(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" https://h"), col("doc_id") % 23,
+          lit(".example.net/p http://h"), expr("doc_id div 3") % 23,
+          lit(".example.net/q")).as("text"))
+      val he = TextOps.hostEdges(planted, "doc_id", "text")
+      val fwd = he.select(concat(lit("d"), col("doc_id")).as("src"),
+          concat(lit("h"), col("host")).as("dst")).distinct()
+      val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      GraphOps.pageRank(edges, iterations = 3)
+        .filter(col("node").startsWith("hh")).orderBy("node")
+    }),
+
     "t_html_strip" -> ((s, dir) => {
       // markup-strip audit with an HTML page fragment PLANTED on
       // doc_id%6==3 — tag counts, stripped length, markup ppm,
@@ -7095,6 +7127,89 @@ object SparkEntry {
         |      FROM s)
         |SELECT doc_id, rank::BIGINT AS rank, token, tf, df, score_micro
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // the SAME fixed-association float chain as the Spark plan —
+    // ln((N−df+0.5)/(df+0.5)) · (tf·2.2)/(tf + 1.2·(0.25 +
+    // 0.75·(dl·N)/Σdl)) · 1e6, floored per term — then exact LONG
+    // sums; identical integer tuples quantize identically
+    "t_bm25" ->
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |lens AS (SELECT doc_id, len(ws)::BIGINT AS dl FROM ws),
+        |corpus AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM lens),
+        |inst AS (
+        |  SELECT w.doc_id, l.dl, unnest(w.ws) AS token
+        |  FROM ws w JOIN lens l USING (doc_id)),
+        |tf AS (
+        |  SELECT doc_id, token, count(*)::BIGINT AS tf, any_value(dl) AS dl
+        |  FROM inst WHERE token IN ('spark', 'vector', 'customer', 'stream')
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |s AS (
+        |  SELECT tf.doc_id,
+        |         CAST(floor(
+        |           ln((c.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |             ((tf.tf * 2.2) /
+        |               (tf.tf + 1.2 * (0.25 + 0.75 * (tf.dl * c.n_docs) / c.sum_dl))) *
+        |             1000000.0) AS BIGINT) AS score_micro
+        |  FROM tf JOIN dfq USING (token), corpus c),
+        |byd AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_terms, sum(score_micro)::BIGINT AS score_micro
+        |  FROM s GROUP BY 1),
+        |top AS (SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rank
+        |        FROM byd)
+        |SELECT rank::BIGINT AS rank, doc_id, n_terms, score_micro
+        |FROM top WHERE rank <= 25 ORDER BY rank""".stripMargin,
+
+    // md5-head hash replay: dim = h mod 64, sign from the next hash
+    // bit via exact integer division — all-LONG output
+    "t_hash_embed" ->
+      """WITH inst AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS hv FROM inst)
+        |SELECT doc_id, (hv % 64)::BIGINT AS dim,
+        |       sum(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS val
+        |FROM h GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin,
+
+    // q17's unrolled integer-PageRank rounds over the planted
+    // doc<->host bipartite graph; only host nodes report
+    "q39_host_rank" -> {
+      def round(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT n.node,
+           |         (3 * (SELECT base FROM params)) // 20
+           |         + (17 * coalesce(c.s, 0)) // 20 AS pr
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(sum(p.pr // d.deg) AS BIGINT) AS s
+           |    FROM edges e JOIN $prev p ON p.node = e.src
+           |                 JOIN deg d ON d.node = e.src
+           |    GROUP BY 1) c ON c.node = n.node)""".stripMargin
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |         text || ' https://h' || (doc_id % 23) || '.example.net/p http://h'
+         |              || ((doc_id // 3) % 23) || '.example.net/q' AS text
+         |  FROM documents),
+         |hosts AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |           regexp_extract_all(text, 'https?://[^\\s]+'),
+         |           u -> regexp_extract(u, '^https?://([^/\\s:?#]+)', 1)))) AS host
+         |  FROM planted),
+         |fwd AS (SELECT DISTINCT 'd' || doc_id AS src, 'h' || host AS dst
+         |        FROM hosts WHERE host <> ''),
+         |edges AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |params AS (SELECT 1000000000 // count(*) AS base FROM nodes),
+         |it0 AS (SELECT node, (SELECT base FROM params) AS pr FROM nodes),
+         |${round("it0", "it1")},
+         |${round("it1", "it2")},
+         |${round("it2", "it3")}
+         |SELECT node, pr FROM it3 WHERE node LIKE 'hh%' ORDER BY node""".stripMargin
+    },
 
     // PMI as the SAME left-associated ln chain Spark evaluates, on
     // exact integer counts, quantized to 1e-6 LONGS before ranking

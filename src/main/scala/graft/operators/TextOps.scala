@@ -1568,6 +1568,123 @@ object TextOps {
   }
 
   /**
+   * Per-document host edges — the link-graph extraction stage:
+   * one row per (document, distinct registrable host) from the same
+   * one-pass URL regexp [[urlAudit]] audits with. This is the input
+   * to domain-authority scoring (feed the bipartite doc↔host frame to
+   * [[GraphOps.pageRank]]), domain-level frequency caps, and
+   * host-weighted sampling. No shuffle — the explode happens inside
+   * the projection; downstream consumers aggregate.
+   */
+  def hostEdges(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val urls = regexp_extract_all(col(textCol), lit("https?://[^\\s]+"), lit(0))
+    val hosts = array_distinct(transform(urls,
+      u => regexp_extract(u, "^https?://([^/\\s:?#]+)", 1)))
+    docs.select(col(idCol).as("doc_id"), explode(hosts).as("host"))
+      .filter(col("host") =!= "")
+  }
+
+  /**
+   * The hashing-trick featurizer (Weinberger et al., "Feature Hashing
+   * for Large Scale Multitask Learning", ICML 2009): every word
+   * instance lands in dimension `md5head(w) mod dims` with sign
+   * `±1` from the next hash bit, summed per (doc, dim) — a
+   * dimensionality-fixed, vocabulary-free document vector whose
+   * collisions are unbiased BECAUSE of the sign bit (E[collision
+   * contribution] = 0, the paper's core lemma). The cheap dense
+   * featurizer for linear probes and fast near-dup prefilters when
+   * no trained embedding exists.
+   *
+   * Exact-integer contract: the hash is [[FastMd5.md5Head60]]
+   * (replayed in SQL as `conv(substring(md5(w),1,15),16,10)`), dim =
+   * h mod dims, sign = +1 iff (h div dims) is even — every output is
+   * a LONG count sum, no float anywhere. Output is the exploded
+   * relational surface (doc_id, dim, val) for every dim a doc's
+   * words touched (val can be 0 by cancellation — retained: "touched
+   * and cancelled" is information the dense form keeps too).
+   * Shape: one projection + one (doc_id, dim)-keyed aggregate;
+   * map-side combine bounds the exchange by docs × min(words, dims).
+   */
+  def hashedFeatures(docs: DataFrame, idCol: String, textCol: String,
+                     dims: Int): DataFrame = {
+    require(dims >= 2, s"dims >= 2, got $dims")
+    val h = FastHash.md5Head60(col("token"))
+    docs.select(col(idCol).as("doc_id"),
+        explode(words(lower(col(textCol)))).as("token"))
+      // IntDiv, not `/`: the hash is 60 bits and double division would
+      // lose the low bits past 2^53 — the sign bit must be exact
+      .select(col("doc_id"), (h % dims).as("dim"),
+        when(IntDiv(h, lit(dims.toLong)) % 2 === 0, lit(1L)).otherwise(lit(-1L)).as("sgn"))
+      .groupBy("doc_id", "dim").agg(sum(col("sgn")).as("val"))
+  }
+
+  /**
+   * BM25 top-`n` retrieval for a fixed term set (Robertson–Spärck
+   * Jones probabilistic weighting, the BM25 form of Robertson et al.
+   * TREC-3): per matched (doc, term),
+   * `idf·tf(k1+1)/(tf + k1(1−b + b·dl/avgdl))` with
+   * `idf = ln((N−df+0.5)/(df+0.5))`, summed over the doc's matched
+   * terms, global top-n. The ranking function behind every classic
+   * search stack — here the benchmark-retrieval primitive next to
+   * [[tfidfTop]]'s keyword extraction.
+   *
+   * Quantization policy ([[tfidfTop]]'s, extended): each per-term
+   * score is `floor(1e6·idf·tfpart)` where every input (tf, df, dl,
+   * N, ΣdL) is an exact integer and the float chain is written in
+   * ONE fixed association mirrored by the oracle —
+   * `(N−df+0.5)/(df+0.5)` through `ln`, `tf·(k1+1)` over
+   * `tf + k1·(1−b + b·(dl·N)/ΣdL)` — so identical integer tuples
+   * quantize identically on both engines; the per-doc score is then
+   * a LONG sum (exact, order-free). k1/b arrive in milli units to
+   * keep the contract's constants integer-specified.
+   *
+   * Shape: one corpus scan builds (doc, dl); the term filter prunes
+   * the instance explode to query terms ONLY before any shuffle
+   * (a `terms`-sized isin — the scan's pushed predicate); df and the
+   * corpus length aggregate are broadcast-sized; the final top-n is
+   * a TakeOrdered, no global sort materializes.
+   */
+  def bm25Top(docs: DataFrame, idCol: String, textCol: String,
+              terms: Seq[String], n: Int,
+              k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms, "terms must be distinct")
+    // every float constant is milli-integer / 1000.0 — the correctly
+    // rounded quotient equals the decimal literal the oracle parses
+    // (computing k1 + 1.0 in Scala instead would hit a round-to-even
+    // tie and could differ from the SQL literal 2.2 by one ulp)
+    val k1 = k1Milli / 1000.0
+    val b = bMilli / 1000.0
+    val k1p1 = (k1Milli + 1000L) / 1000.0
+    val oneMinusB = (1000L - bMilli) / 1000.0
+    val base = docs.select(col(idCol).as("doc_id"),
+      words(lower(col(textCol))).as("ws"))
+    val lens = base.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+    val corpus = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = base.select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        explode(col("ws")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df_, "token").crossJoin(broadcast(corpus))
+      .withColumn("score_micro",
+        floor(
+          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            ((col("tf") * lit(k1p1)) /
+              (col("tf") + lit(k1) * (lit(oneMinusB) +
+                lit(b) * (col("dl") * col("n_docs")) / col("sum_dl")))) *
+            lit(1.0e6)).cast("long"))
+    val byDoc = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("score_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(n)
+    byDoc.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_micro").desc, col("doc_id").asc)).cast("long"))
+      .select(col("rank"), col("doc_id"), col("n_terms"), col("score_micro"))
+  }
+
+  /**
    * Markup-strip audit: per document, HTML tag count, the character
    * count after stripping tags, the markup overhead in ppm, and a
    * boilerplate-structure flag (nav/footer/aside elements) — the

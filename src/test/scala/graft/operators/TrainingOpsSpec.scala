@@ -1441,4 +1441,71 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("cluster_id").collect().map(_.getLong(1))
     assert(q.head == 1L)
   }
+
+  test("bm25Top: tf saturation, length normalization, rare-term dominance, absent docs") {
+    val ss = spark; import ss.implicits._
+    // 'rare' appears in 1 of 10 docs, 'common' in 4 (df < N/2, so both
+    // idfs are positive — df ≥ N/2 flips BM25's idf sign, the classic
+    // stopword behavior, and would invert every inequality below;
+    // df = N/2 exactly zeroes it — both hit while sizing this corpus)
+    val docs = Seq(
+      (1L, "rare filler filler filler"),
+      (2L, "common filler filler filler"),
+      (3L, "common common filler filler"),
+      (4L, "common filler filler filler filler filler filler filler filler filler filler filler"),
+      (5L, "filler filler filler filler"),
+      (6L, "common words only here"),
+      (7L, "filler words without queries"),
+      (8L, "more filler text here"),
+      (9L, "yet more padding words"),
+      (10L, "final filler document text")).toDF("doc_id", "text")
+    val r = TextOps.bm25Top(docs, "doc_id", "text",
+        terms = Seq("rare", "common"), n = 10).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    val byDoc = r.map(x => x._2 -> x._4).toMap
+    // rare term (df 1) outranks any common-term doc (df 4)
+    assert(r.head._2 == 1L, "the rare-term doc must rank first")
+    // tf saturation: doc 3 (tf 2) beats doc 2 (tf 1) at equal length
+    assert(byDoc(3L) > byDoc(2L))
+    // length normalization: doc 4 (tf 1, 12 words) scores below doc 2
+    // (tf 1, 4 words)
+    assert(byDoc(4L) < byDoc(2L))
+    // doc 5 carries no query term -> absent entirely
+    assert(!byDoc.contains(5L))
+    // ranks are dense from 1 and ordered by (score desc, id asc)
+    assert(r.map(_._1).toSeq == (1L to r.length).toSeq)
+    assert(r.sliding(2).forall { case Array(a, b) =>
+      a._4 > b._4 || (a._4 == b._4 && a._2 < b._2); case _ => true })
+  }
+
+  test("hashedFeatures: md5-head dims replay, signs cancel, duplicates accumulate") {
+    val ss = spark; import ss.implicits._
+    def dimOf(w: String) = {
+      val h = FastMd5.md5Head60(org.apache.spark.unsafe.types.UTF8String.fromString(w))
+      (h % 64, if ((h / 64) % 2 == 0) 1L else -1L)
+    }
+    val docs = Seq((1L, "alpha alpha beta"), (2L, ""), (3L, "Alpha")).toDF("doc_id", "text")
+    val got = TextOps.hashedFeatures(docs, "doc_id", "text", dims = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val (da, sa) = dimOf("alpha"); val (db, sb) = dimOf("beta")
+    val expected1 =
+      if (da == db) Set((1L, da, 2 * sa + sb))
+      else Set((1L, da, 2 * sa), (1L, db, sb))
+    assert(got.filter(_._1 == 1L) == expected1, "doc 1: duplicate word doubles its sign")
+    assert(!got.exists(_._1 == 2L), "empty text has no word instances")
+    // lowercasing applies before hashing: 'Alpha' lands where 'alpha' does
+    assert(got.filter(_._1 == 3L) == Set((3L, da, sa)))
+  }
+
+  test("hostEdges: per-doc distinct hosts, scheme variants, empty-host filter") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq(
+      (1L, "see https://a.example.com/x and http://a.example.com/y plus https://b.example.org/z"),
+      (2L, "no urls at all"),
+      (3L, "https://c.example.net")).toDF("doc_id", "text")
+    val got = TextOps.hostEdges(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a.example.com"), (1L, "b.example.org"), (3L, "c.example.net")),
+      "same host twice in one doc is ONE edge; schemes both match")
+  }
 }
