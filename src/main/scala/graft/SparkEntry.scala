@@ -625,6 +625,27 @@ object SparkEntry {
       GraphOps.kCore(e, k = 50L, rounds = 4).orderBy("node")
     }),
 
+    "q40_assortativity" -> ((s, dir) => {
+      // degree assortativity of the banded graph: exact rational
+      // Pearson over both edge orientations (the symmetric convention
+      // collapses the square root), one LONG row + floored r_milli
+      val e = events(s, dir).select(
+          (col("user_id") % 997).as("src"),
+          ((col("user_id") + get_json_object(col("props"), "$.k").cast("long")) % 997)
+            .as("dst"))
+      GraphOps.assortativity(e)
+    }),
+
+    "s_jl_project" -> ((s, dir) =>
+      // Johnson-Lindenstrauss sign projection composed on the SQ8
+      // codes: 64 -> 16 dims, every output an exact LONG; the sign
+      // matrix is md5-parity of the coordinates — seedless, shared
+      // with the oracle
+      SimilarityOps.jlProject(table(s, dir, "embeddings"), "vec_id", "embedding",
+          outDims = 16)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id", "j")),
+
     "q27_zorder" -> ((s, dir) =>
       // Morton layout key over (user bucket, time bucket): the
       // two-dimensional data-skipping sort key
@@ -3275,6 +3296,52 @@ object SparkEntry {
         |       CAST(da.deg * db.deg AS BIGINT) AS pref_attach
         |FROM ne JOIN d da ON ne.node_a = da.node JOIN d db ON ne.node_b = db.node
         |ORDER BY node_a, node_b""".stripMargin,
+
+    // both orientations' degree sums as exact (HUGEINT-safe) integers,
+    // the rational r through one floored double chain
+    "q40_assortativity" ->
+      """WITH raw AS (
+        |  SELECT user_id % 997 AS u,
+        |         (user_id + json_extract_string(props, '$.k')::BIGINT) % 997 AS v
+        |  FROM events),
+        |e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw WHERE u <> v),
+        |d AS (SELECT node, count(*) AS deg
+        |      FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) GROUP BY 1),
+        |p AS (SELECT da.deg AS da, db.deg AS db
+        |      FROM e JOIN d da ON e.a = da.node JOIN d db ON e.b = db.node),
+        |s AS (SELECT 2 * count(*) AS m2, 2 * sum(da * db) AS sum_xy,
+        |             sum(da + db) AS sum_x, sum(da * da + db * db) AS sum_x2
+        |      FROM p)
+        |SELECT m2::BIGINT AS m2, sum_xy::BIGINT AS sum_xy,
+        |       sum_x::BIGINT AS sum_x, sum_x2::BIGINT AS sum_x2,
+        |       CASE WHEN (m2 * sum_x2 - sum_x * sum_x) <> 0
+        |            THEN CAST(floor((m2 * sum_xy - sum_x * sum_x) * 1000.0
+        |                   / (m2 * sum_x2 - sum_x * sum_x)) AS BIGINT)
+        |            ELSE 0 END AS r_milli
+        |FROM s""".stripMargin,
+
+    // the SQ8 code build verbatim, then the md5-parity sign table and
+    // the (id, j) sums — all integers end to end
+    "s_jl_project" ->
+      """WITH e AS (
+        |  SELECT vec_id, i AS pos, embedding[i + 1]::DOUBLE AS x
+        |  FROM embeddings, unnest(generate_series(0, 63)) AS t(i)),
+        |st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM e GROUP BY 1),
+        |codes AS (
+        |  SELECT vec_id, pos,
+        |         CASE WHEN mx > mn
+        |              THEN CAST(least(255.0, floor((x - mn) * 255.0 / (mx - mn) + 0.5)) AS BIGINT)
+        |              ELSE 0 END AS code
+        |  FROM e JOIN st USING (pos)),
+        |signs AS (
+        |  SELECT pos, j,
+        |         CASE WHEN ('0x' || substr(md5(pos::VARCHAR || '_' || j::VARCHAR), 1, 15))::BIGINT % 2 = 0
+        |              THEN 1 ELSE -1 END AS sgn
+        |  FROM (SELECT DISTINCT pos FROM codes),
+        |       (SELECT unnest(generate_series(0, 15)) AS j))
+        |SELECT vec_id, j::BIGINT AS j, sum(code * sgn)::BIGINT AS val
+        |FROM codes JOIN signs USING (pos)
+        |GROUP BY 1, 2 ORDER BY vec_id, j""".stripMargin,
 
     // four unrolled peel rounds — keep nodes with current degree >= 50,
     // keep edges whose both endpoints survive — then the surviving

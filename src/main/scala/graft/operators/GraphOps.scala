@@ -334,6 +334,49 @@ object GraphOps {
   }
 
   /**
+   * Degree assortativity (Newman 2002): the Pearson correlation of
+   * endpoint degrees over all DIRECTED edge occurrences (each
+   * undirected edge contributes both orientations — the standard
+   * convention that makes Σx = Σy and the two variance factors equal,
+   * collapsing Pearson's square root away: r = (M·Σxy − Σx²) /
+   * (M·Σx² − (Σx)²), an exact RATIONAL). Positive r = hubs attach to
+   * hubs (social cores), negative = hubs attach to leaves
+   * (star/broadcast topologies, most link farms) — the one-number
+   * topology fingerprint next to [[clusteringCoefficient]]'s
+   * per-node view.
+   *
+   * Output is ONE row of exact LONGs (m2 = 2|E|, sum_xy, sum_x,
+   * sum_x2) plus `r_milli = floor(1000·num/den)` through the same
+   * double chain on both engines (num, den exact LONGs first — the
+   * [[MultimodalOps.sampleFeatures]] floor-over-double precedent;
+   * LONG envelope: M·maxdeg² < 2⁶³, stated because num·den products
+   * never form). Degenerate regular graphs (den = 0) report
+   * r_milli = 0.
+   *
+   * Shape: one distinct + one degree aggregate + two node-keyed
+   * joins, folded to a single row — nothing is corpus-sized after
+   * the edge scan.
+   */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val und = undirect(edges).localCheckpoint()
+    val deg = degrees(und)
+    val paired = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    paired.agg(
+        (count(lit(1)) * 2L).as("m2"),
+        (sum(col("da") * col("db")) * 2L).as("sum_xy"),
+        sum(col("da") + col("db")).as("sum_x"),
+        sum(col("da") * col("da") + col("db") * col("db")).as("sum_x2"))
+      .withColumn("num", col("m2") * col("sum_xy") - col("sum_x") * col("sum_x"))
+      .withColumn("den", col("m2") * col("sum_x2") - col("sum_x") * col("sum_x"))
+      .select(col("m2"), col("sum_xy"), col("sum_x"), col("sum_x2"),
+        when(col("den") =!= 0L,
+            floor(col("num") * lit(1000.0) / col("den")).cast("long"))
+          .otherwise(lit(0L)).as("r_milli"))
+  }
+
+  /**
    * `rounds` rounds of k-core peeling: repeatedly delete every node
    * whose CURRENT degree is < k (deleting a node lowers its
    * neighbors' degrees, which is why this iterates), then report the

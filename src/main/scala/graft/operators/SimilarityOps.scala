@@ -604,6 +604,39 @@ object SimilarityOps {
   }
 
   /**
+   * Johnson–Lindenstrauss SIGN random projection over the SQ8 codes
+   * (Achlioptas 2003's ±1 database-friendly variant, composed on
+   * [[quantizeInt8]]): out[j] = Σ_pos code(pos)·sign(pos, j), where
+   * sign is ±1 from the md5-head parity of "pos_j" — a deterministic,
+   * seedless projection matrix both engines derive from nothing but
+   * the coordinates. Composing on the int8 CODES instead of the raw
+   * floats makes every output an exact LONG (the JL distance-
+   * preservation guarantee applies to the quantized vectors, which
+   * are the ones a 100 TB store actually serves) — the
+   * dimensionality-shrink primitive next to [[truncationAudit]]'s
+   * MRL prefix story and PQ's codebook story.
+   *
+   * Shape: the sign table is (dim × outDims) rows — a model,
+   * broadcast; the projection is one join + one (id, j)-keyed
+   * map-side-combined sum, exchange bounded by n·outDims rows.
+   * Output: (id, j, val) exploded relational surface.
+   */
+  def jlProject(emb: DataFrame, idCol: String, vecCol: String,
+                outDims: Int): DataFrame = {
+    require(outDims >= 2, s"outDims >= 2, got $outDims")
+    val codes = quantizeInt8(emb, idCol, vecCol)
+    val signs = codes.select(col("pos")).distinct()
+      .select(col("pos"), explode(sequence(lit(0), lit(outDims - 1))).as("j"))
+      .withColumn("sgn",
+        when(FastHash.md5Head60(concat(col("pos"), lit("_"), col("j"))) % 2 === 0,
+          lit(1L)).otherwise(lit(-1L)))
+    codes.join(broadcast(signs), "pos")
+      .groupBy("id", "j")
+      .agg(sum(col("code") * col("sgn")).as("val"))
+      .select(col("id"), col("j").cast("long").as("j"), col("val"))
+  }
+
+  /**
    * Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
    * merge two rankings of the same query set by summing
    * `1/(k + rank)` per (query, candidate) — the standard hybrid-

@@ -232,6 +232,22 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((1L, 3L, 1L, 1000000L, 1L)))
   }
 
+  test("assortativity: star is exactly -1000 milli, regular graphs degenerate to 0") {
+    val ss = spark; import ss.implicits._
+    // star K_{1,3}: hubs never meet hubs -> r = -1 exactly
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val s = GraphOps.assortativity(star).collect().head
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3), s.getLong(4)) ==
+      (6L, 18L, 12L, 30L, -1000L))
+    // triangle: every degree equal -> den = 0 -> reported 0
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(GraphOps.assortativity(tri).collect().head.getLong(4) == 0L)
+    // K4 minus one edge: r = -2/3, floored to -667 (negative floor
+    // direction pinned)
+    val k4m = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    assert(GraphOps.assortativity(k4m).collect().head.getLong(4) == -667L)
+  }
+
   test("kCore: pendant peels, triangle survives as the 2-core") {
     val ss = spark; import ss.implicits._
     val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")

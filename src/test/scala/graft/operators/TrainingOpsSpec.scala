@@ -1497,6 +1497,33 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter(_._1 == 3L) == Set((3L, da, sa)))
   }
 
+  test("jlProject: exact replay of SQ8 codes through the md5-parity sign matrix") {
+    val ss = spark; import ss.implicits._
+    val emb = Seq(
+      (1L, Array(0.0f, 1.0f, -2.0f, 3.5f)),
+      (2L, Array(1.0f, -1.0f, 2.0f, 0.0f)),
+      (3L, Array(0.5f, 0.0f, 0.0f, 7.0f))).toDF("vec_id", "embedding")
+    val out = 4
+    val got = SimilarityOps.jlProject(emb, "vec_id", "embedding", out)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // independent replay: collect the SQ8 codes, apply the same
+    // md5-parity signs scalar-side
+    val codes = SimilarityOps.quantizeInt8(emb, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def sgn(pos: Long, j: Int): Long = {
+      val h = FastMd5.md5Head60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"${pos}_$j"))
+      if (h % 2 == 0) 1L else -1L
+    }
+    val expected = (for {
+      (id, pos, code) <- codes
+      j <- 0 until out
+    } yield ((id, j.toLong), code * sgn(pos, j)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(got == expected, "projection must equal the scalar sign-sum replay")
+    assert(got.size == 3 * out, "every (vec, j) cell present")
+  }
+
   test("hostEdges: per-doc distinct hosts, scheme variants, empty-host filter") {
     val ss = spark; import ss.implicits._
     val docs = Seq(
