@@ -1983,6 +1983,28 @@ object SparkEntry {
       MultimodalOps.resampledStats(media, box = 8).orderBy("media_id")
     }),
 
+    "m_media_goertzel" -> ((s, dir) => {
+      // integer Goertzel over planted square waves: period-8 wave
+      // (fundamental at fs/8) + small jitter, probed at coef 1414
+      // (= round(2cos(2pi/8)*1000), the on-bin), 0 (fs/4 — even
+      // harmonic, near-null for a square) and -1414 (3fs/8). The
+      // oracle walks the same quantized recurrence per (doc, bin)
+      // with a recursive CTE. %4==3 docs -> junk fallback row.
+      val buildWav = udf { (docId: Long) =>
+        val amp = 100 + (docId % 50).toInt
+        val smp = Array.tabulate(48) { i =>
+          val base = if ((i / 4) % 2 == 0) amp else -amp
+          base + ((docId * 7 + i * 3) % 5).toInt - 2
+        }
+        MultimodalOps.encodeWavPcm(smp, bits = 16, channels = 1, sampleRate = 8000)
+      }
+      val docs = table(s, dir, "documents").withColumn("blob",
+        when(col("doc_id") % 4 === 3, unhex(unknownHex)).otherwise(buildWav(col("doc_id"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+      MultimodalOps.goertzelTones(media, coefsMilli = Seq(1414L, 0L, -1414L))
+        .orderBy("media_id", "bin")
+    }),
+
     "m_media_samples_adpcm" -> ((s, dir) => {
       // REAL IMA-ADPCM sample decode: each %4!=3 doc carries two
       // 8-nibble-byte blocks whose headers and nibbles are doc_id
@@ -6399,6 +6421,37 @@ object SparkEntry {
         |       len(list_distinct(b))::BIGINT, list_max(b)::BIGINT
         |FROM junk
         |ORDER BY media_id""".stripMargin,
+
+    // the quantized Goertzel recurrence replayed per (doc, bin): a
+    // recursive CTE carries (s1, s2) through all 48 planted samples —
+    // // truncates toward zero on both engines, so every state is the
+    // same LONG
+    "m_media_goertzel" ->
+      """WITH RECURSIVE
+        |bins AS (SELECT * FROM (VALUES (0, 1414), (1, 0), (2, -1414)) b(bin, coef)),
+        |d AS (SELECT doc_id, 100 + doc_id % 50 AS amp FROM documents WHERE doc_id % 4 <> 3),
+        |walk AS (
+        |  SELECT doc_id, amp, bin, coef, 0 AS n,
+        |         CAST(0 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2
+        |  FROM d, bins
+        |  UNION ALL
+        |  SELECT doc_id, amp, bin, coef, n + 1,
+        |         (CASE WHEN ((n // 4) % 2) = 0 THEN amp ELSE -amp END
+        |           + (doc_id * 7 + n * 3) % 5 - 2)
+        |           + (coef * s1) // 1000 - s2 AS s1,
+        |         s1 AS s2
+        |  FROM walk WHERE n < 48),
+        |fin AS (SELECT doc_id, bin, coef, s1, s2 FROM walk WHERE n = 48),
+        |junk AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 3)
+        |SELECT doc_id AS media_id, 'wav' AS format, true AS decoded,
+        |       bin::BIGINT AS bin, coef::BIGINT AS coef_milli,
+        |       (s1 * s1 + s2 * s2 - (coef * s1 * s2) // 1000)::BIGINT AS energy
+        |FROM fin
+        |UNION ALL
+        |SELECT doc_id AS media_id, 'unknown' AS format, false AS decoded,
+        |       -1::BIGINT, 0::BIGINT, 0::BIGINT
+        |FROM junk
+        |ORDER BY media_id, bin""".stripMargin,
 
     // the IMA recurrence replayed sample-by-sample: a recursive CTE
     // walks each (doc, block)'s 16 nibbles through the shared 89-entry

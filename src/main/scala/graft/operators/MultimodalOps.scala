@@ -1572,6 +1572,65 @@ object MultimodalOps {
   }
 
   /**
+   * Integer Goertzel tone detector over decoded PCM — the classic
+   * single-bin DFT (Goertzel 1958; the DTMF-detection workhorse) with
+   * the filter coefficient QUANTIZED to milli units, making the whole
+   * recurrence exact LONG arithmetic: per bin with coefficient c =
+   * ⌊2·cos(2πk/N)·1000⌉ (callers pass the integer; nothing here
+   * computes a cosine),
+   * `s0 = x + (c·s1) div 1000 − s2`, energy = `s1² + s2² −
+   * (c·s1·s2) div 1000`. The CONTRACT is the quantized filter — both
+   * engines replay it bit-for-bit (`div` truncates toward zero on
+   * Spark, Scala and DuckDB alike; the oracle walks the same
+   * recurrence through a recursive CTE), while the response still
+   * peaks at the bin frequency like the float filter (the milli
+   * quantization detunes the resonator by < 0.1% — spec-pinned
+   * physically: an on-bin square wave dominates off bins).
+   *
+   * LONG envelope: |s| grows ≤ N·max|x|·O(N) on resonance, so keep
+   * N·max|x| under ~3·10⁹ and every product stays in 2⁶³ (stated, not
+   * checked — the planted queries use 48-sample windows).
+   * Output: (media_id, format, decoded, bin, coef_milli, energy) per
+   * bin; undecodable blobs emit ONE (bin −1, energy 0) fallback row.
+   */
+  def goertzelTones(media: DataFrame, coefsMilli: Seq[Long],
+                    batchSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    require(coefsMilli.nonEmpty, "at least one bin coefficient")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("format", StringType),
+      StructField("decoded", BooleanType),
+      StructField("bin", LongType),
+      StructField("coef_milli", LongType),
+      StructField("energy", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val coefs = coefsMilli.toArray
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap(_.flatMap { r =>
+          val content = r.getAs[Array[Byte]]("content")
+          val fmt = parseHeader(content).map(_.format).getOrElse("unknown")
+          decodeWavSamples(content) match {
+            case Some(s) =>
+              coefs.zipWithIndex.map { case (c, b) =>
+                var s1 = 0L; var s2 = 0L
+                var i = 0
+                while (i < s.length) {
+                  val s0 = s(i) + (c * s1) / 1000L - s2
+                  s2 = s1; s1 = s0; i += 1
+                }
+                Row(r.getAs[Long]("media_id"), "wav", true, b.toLong, c,
+                  s1 * s1 + s2 * s2 - (c * s1 * s2) / 1000L)
+              }.toSeq
+            case None =>
+              Seq(Row(r.getAs[Long]("media_id"), fmt, false, -1L, 0L, 0L))
+          }
+        })
+      }(enc)
+  }
+
+  /**
    * Windowed audio features over decoded PCM — the frame dimension a
    * wav2vec-style pipeline consumes: per `frameSize`-sample window,
    * exact integer energy (Σs², a LONG — 16-bit samples square to

@@ -458,6 +458,37 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MultimodalOps.decodeWavSamples(badSpb).isEmpty)
   }
 
+  test("goertzelTones: on-bin square wave dominates; junk falls back; recurrence replays") {
+    val ss = spark; import ss.implicits._
+    // pure period-8 square at amplitude 100: fundamental at fs/8
+    // (coef 1414); fs/4 (coef 0) is an even harmonic — near-null;
+    // 3fs/8 (coef -1414) carries the 3rd harmonic, well below the
+    // fundamental
+    val square = MultimodalOps.encodeWavPcm(
+      Array.tabulate(48)(i => if ((i / 4) % 2 == 0) 100 else -100), 16, 1, 8000)
+    val media = Seq((1L, square), (2L, "junk!".getBytes("US-ASCII")))
+      .toDF("media_id", "content")
+    val got = MultimodalOps.goertzelTones(media, Seq(1414L, 0L, -1414L))
+      .collect().map(r => (r.getLong(0), r.getBoolean(2), r.getLong(3), r.getLong(5)))
+    val byBin = got.filter(_._1 == 1L).map(x => x._3 -> x._4).toMap
+    // the even harmonic is an exact null (energy 0); the 3rd carries
+    // 1/3 the amplitude -> ~1/9 the energy (measured ~1/5.8 with
+    // 48-sample leakage), so a 4x dominance margin is the physics
+    assert(byBin(1L) == 0L, s"even harmonic of a square must null: $byBin")
+    assert(byBin(0L) > 4L * byBin(2L), s"fundamental must dominate the 3rd: $byBin")
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, false, -1L, 0L)),
+      "undecodable blob emits the single fallback row")
+    // scalar replay of the exact quantized recurrence
+    def ref(xs: Array[Int], c: Long): Long = {
+      var s1 = 0L; var s2 = 0L
+      for (x <- xs) { val s0 = x + (c * s1) / 1000L - s2; s2 = s1; s1 = s0 }
+      s1 * s1 + s2 * s2 - (c * s1 * s2) / 1000L
+    }
+    val xs = Array.tabulate(48)(i => if ((i / 4) % 2 == 0) 100 else -100)
+    assert(byBin(0L) == ref(xs, 1414L) && byBin(1L) == ref(xs, 0L) &&
+      byBin(2L) == ref(xs, -1414L))
+  }
+
   test("decodeWavSamples refuses hostile and corrupt streams") {
     val s16 = Array.tabulate(20)(i => i - 10)
     val good = MultimodalOps.encodeWavPcm(s16, bits = 16, channels = 1, sampleRate = 8000)
