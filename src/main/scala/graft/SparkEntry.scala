@@ -625,6 +625,25 @@ object SparkEntry {
       GraphOps.kCore(e, k = 50L, rounds = 4).orderBy("node")
     }),
 
+    "q41_cocitation_rank" -> ((s, dir) => {
+      // the full link-graph pipeline in one query: planted URLs ->
+      // host edges -> bipartite projection (host co-citation with
+      // shared-doc WEIGHTS, stop-hub capped) -> weighted integer
+      // PageRank. Authority now follows citation VOLUME: a host
+      // co-cited by many docs outranks a once-cited one even at
+      // equal degree — the step q39's unweighted walk cannot see
+      val planted = table(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" https://h"), col("doc_id") % 23,
+          lit(".example.net/p http://h"), expr("doc_id div 3") % 23,
+          lit(".example.net/q")).as("text"))
+      val he = TextOps.hostEdges(planted, "doc_id", "text")
+        .select(col("doc_id").as("left"), col("host").as("right"))
+      val co = GraphOps.bipartiteProject(he, maxLeftDeg = 100L)
+      val edges = co.select(col("node_a").as("src"), col("node_b").as("dst"), col("w"))
+        .union(co.select(col("node_b").as("src"), col("node_a").as("dst"), col("w")))
+      GraphOps.weightedPageRank(edges, iterations = 3).orderBy("node")
+    }),
+
     "q40_assortativity" -> ((s, dir) => {
       // degree assortativity of the banded graph: exact rational
       // Pearson over both edge orientations (the symmetric convention
@@ -3318,6 +3337,46 @@ object SparkEntry {
         |       CAST(da.deg * db.deg AS BIGINT) AS pref_attach
         |FROM ne JOIN d da ON ne.node_a = da.node JOIN d db ON ne.node_b = db.node
         |ORDER BY node_a, node_b""".stripMargin,
+
+    // projection pairs from the capped incidence self-join, then the
+    // weighted unrolled PR rounds — contribution (pr·w) // Σw(src)
+    "q41_cocitation_rank" -> {
+      def round(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT n.node,
+           |         (3 * (SELECT base FROM params)) // 20
+           |         + (17 * coalesce(c.s, 0)) // 20 AS pr
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(sum((p.pr * e.w) // d.wdeg) AS BIGINT) AS s
+           |    FROM edges e JOIN $prev p ON p.node = e.src
+           |                 JOIN wdeg d ON d.src = e.src
+           |    GROUP BY 1) c ON c.node = n.node)""".stripMargin
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |         text || ' https://h' || (doc_id % 23) || '.example.net/p http://h'
+         |              || ((doc_id // 3) % 23) || '.example.net/q' AS text
+         |  FROM documents),
+         |hosts AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |           regexp_extract_all(text, 'https?://[^\\s]+'),
+         |           u -> regexp_extract(u, '^https?://([^/\\s:?#]+)', 1)))) AS host
+         |  FROM planted),
+         |inc AS (SELECT DISTINCT doc_id AS l, host AS r FROM hosts WHERE host <> ''),
+         |ld AS (SELECT l, count(*) AS ld FROM inc GROUP BY 1),
+         |cap AS (SELECT inc.l, inc.r FROM inc JOIN ld USING (l) WHERE ld.ld <= 100),
+         |co AS (SELECT x.r AS a, y.r AS b, count(*) AS w
+         |       FROM cap x JOIN cap y ON x.l = y.l AND x.r < y.r GROUP BY 1, 2),
+         |edges AS (SELECT a AS src, b AS dst, w FROM co
+         |          UNION ALL SELECT b AS src, a AS dst, w FROM co),
+         |wdeg AS (SELECT src, sum(w) AS wdeg FROM edges GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |params AS (SELECT 1000000000 // count(*) AS base FROM nodes),
+         |it0 AS (SELECT node, (SELECT base FROM params) AS pr FROM nodes),
+         |${round("it0", "it1")},
+         |${round("it1", "it2")},
+         |${round("it2", "it3")}
+         |SELECT node, pr FROM it3 ORDER BY node""".stripMargin
+    },
 
     // both orientations' degree sums as exact (HUGEINT-safe) integers,
     // the rational r through one floored double chain

@@ -334,6 +334,72 @@ object GraphOps {
   }
 
   /**
+   * Weighted PageRank: [[pageRank]]'s integer recurrence with each
+   * edge carrying a LONG weight — contribution = `(pr·w) div Σw(src)`
+   * instead of `pr div deg`; damping and teleport unchanged (17/20
+   * rational). The walk follows traffic, not topology: a host cited
+   * by 1000 documents pulls 1000× the mass of a once-cited one
+   * through the same single co-citation edge. Same bit-identical
+   * replay contract as the unweighted form (unrolled-CTE oracle).
+   *
+   * LONG envelope: `pr·w < 2⁶³` — pr ≤ scale (1e9 default), so
+   * weights up to ~9·10⁹ are safe; co-occurrence counts qualify at
+   * any corpus size that fits a LONG count. Same per-round shape as
+   * [[pageRank]]: one edge-sized shuffle join + a node-sized
+   * aggregate per iteration.
+   */
+  def weightedPageRank(edges: DataFrame, iterations: Int,
+                       scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1, s"weightedPageRank iterations=$iterations")
+    val wdeg = edges.groupBy("src").agg(sum(col("w")).as("wdeg"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val n = nodes.count()
+    val base = scale / n
+    val teleport = (3L * base) / 20L
+    var ranks = nodes.withColumn("pr", lit(base))
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .join(ranks, edges("src") === ranks("node"))
+        .join(wdeg, "src")
+        .select(col("dst").as("node"), expr("(pr * w) div wdeg").as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"$teleport + (17 * coalesce(s, CAST(0 AS BIGINT))) div 20").as("pr"))
+    }
+    ranks
+  }
+
+  /**
+   * Bipartite projection: from (left, right) incidence rows, the
+   * co-occurrence graph on the RIGHT side — one `(node_a < node_b,
+   * w)` edge per right-pair sharing ≥ 1 left neighbor, `w` = the
+   * shared-neighbor count. THE graph-construction step between raw
+   * incidence data and every graph operator here: doc↔host becomes
+   * host co-citation, user↔item becomes item co-consumption,
+   * doc↔entity becomes an entity graph.
+   *
+   * `maxLeftDeg` is the stop-hub rule ([[linkPrediction]]'s): a left
+   * node incident to d rights opens d² projected pairs while
+   * asserting near-nothing (everything co-occurs inside a mega-doc),
+   * so projection only walks left nodes with degree ≤ the cap —
+   * Σd² stays linear, and the dropped hubs are exactly the
+   * non-discriminative ones. Dedup of (left, right) rows is built in
+   * (incidence is a SET, so a repeated link cannot inflate w).
+   */
+  def bipartiteProject(edges: DataFrame, maxLeftDeg: Long = 1000L): DataFrame = {
+    val inc = edges.select(col("left"), col("right")).distinct()
+    val ldeg = inc.groupBy("left").agg(count(lit(1)).as("ld"))
+    val capped = inc.join(ldeg.filter(col("ld") <= maxLeftDeg), "left")
+      .select(col("left"), col("right"))
+    capped.as("x")
+      .join(capped.as("y"),
+        col("x.left") === col("y.left") && col("x.right") < col("y.right"))
+      .select(col("x.right").as("node_a"), col("y.right").as("node_b"))
+      .groupBy("node_a", "node_b").agg(count(lit(1)).as("w"))
+  }
+
+  /**
    * Degree assortativity (Newman 2002): the Pearson correlation of
    * endpoint degrees over all DIRECTED edge occurrences (each
    * undirected edge contributes both orientations — the standard

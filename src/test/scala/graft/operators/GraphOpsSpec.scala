@@ -232,6 +232,46 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((1L, 3L, 1L, 1000000L, 1L)))
   }
 
+  test("bipartiteProject: shared-left counts, duplicate links collapse, hub cap drops") {
+    val ss = spark; import ss.implicits._
+    // docs 1,2 both cite {x,y}; doc 3 cites {y,z}; doc 1's (x) link
+    // repeats — the SET semantics keep w(x,y) at 2
+    val inc = Seq((1L, "x"), (1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (3L, "y"), (3L, "z")).toDF("left", "right")
+    val got = GraphOps.bipartiteProject(inc)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("x", "y", 2L), ("y", "z", 1L)))
+    // a mega-doc citing 5 hosts opens no pairs under a cap of 4
+    val mega = (1 to 5).map(i => (9L, s"h$i")).toDF("left", "right")
+    assert(GraphOps.bipartiteProject(mega, maxLeftDeg = 4L).isEmpty)
+    assert(GraphOps.bipartiteProject(mega, maxLeftDeg = 5L).count() == 10L)
+  }
+
+  test("weightedPageRank: matches a scalar replay; heavy edges pull rank") {
+    val ss = spark; import ss.implicits._
+    // triangle with one heavy edge a<->b (w 10) vs light spokes (w 1)
+    val und = Seq(("a", "b", 10L), ("b", "c", 1L), ("a", "c", 1L))
+    val edges = und.flatMap { case (x, y, w) => Seq((x, y, w), (y, x, w)) }
+      .toDF("src", "dst", "w")
+    val got = GraphOps.weightedPageRank(edges, iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // scalar replay of the identical integer recurrence
+    val dir = und.flatMap { case (x, y, w) => Seq((x, y, w), (y, x, w)) }
+    val wdeg = dir.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nodes = dir.map(_._1).distinct
+    val base = 1000000000L / nodes.size
+    val tele = (3L * base) / 20L
+    var pr = nodes.map(_ -> base).toMap
+    for (_ <- 1 to 3) {
+      val s = dir.groupBy(_._2).view.mapValues(
+        _.map { case (src, _, w) => (pr(src) * w) / wdeg(src) }.sum).toMap
+      pr = nodes.map(n => n -> (tele + (17L * s.getOrElse(n, 0L)) / 20L)).toMap
+    }
+    assert(got == pr, "weighted recurrence must replay exactly")
+    // a and b split the heavy edge's mass; c starves
+    assert(got("a") > got("c") && got("b") > got("c"))
+  }
+
   test("assortativity: star is exactly -1000 milli, regular graphs degenerate to 0") {
     val ss = spark; import ss.implicits._
     // star K_{1,3}: hubs never meet hubs -> r = -1 exactly
