@@ -878,6 +878,13 @@ object SparkEntry {
       SeriesOps.linearTrend(metricStream(s, dir))
         .orderBy("path")),
 
+    "g_theil_sen" -> ((s, dir) =>
+      // windowed Theil-Sen robust trend: exact median of lag<=5
+      // pairwise slopes, shipped as the doubled-micro LONG itself
+      // (no float rounding) — the spike-proof sibling of g_linreg
+      SeriesOps.theilSenTrend(metricStream(s, dir), maxLag = 5)
+        .orderBy("path")),
+
     "g_mad" -> ((s, dir) =>
       // robust per-series outlier summary: exact dyadic median / MAD
       // on doubled 1e-3-quantized integers, k = 3.5
@@ -3885,6 +3892,40 @@ object SparkEntry {
          |                        - slope_num::DOUBLE / slope_den::DOUBLE
          |                          * (sx::DOUBLE / n::DOUBLE)) / 1000.0, 6)
          |       END AS intercept
+         |FROM r ORDER BY path""".stripMargin,
+
+    // five lead pairs per point, truncation-division slopes on the
+    // same doubled-micro LONGs, dyadic median via quantile_cont
+    "g_theil_sen" ->
+      s"""$OracleM,
+         |x AS (
+         |  SELECT path,
+         |         ("time" - min("time") OVER (PARTITION BY path)) // 60 AS x,
+         |         CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS q,
+         |         "time", version
+         |  FROM m),
+         |l AS (
+         |  SELECT path, x, q,
+         |         lead(x, 1) OVER w AS x1, lead(q, 1) OVER w AS q1,
+         |         lead(x, 2) OVER w AS x2, lead(q, 2) OVER w AS q2,
+         |         lead(x, 3) OVER w AS x3, lead(q, 3) OVER w AS q3,
+         |         lead(x, 4) OVER w AS x4, lead(q, 4) OVER w AS q4,
+         |         lead(x, 5) OVER w AS x5, lead(q, 5) OVER w AS q5
+         |  FROM x WINDOW w AS (PARTITION BY path ORDER BY "time" ASC, version ASC)),
+         |p AS (
+         |  SELECT path, x, q, x1 AS xk, q1 AS qk FROM l UNION ALL
+         |  SELECT path, x, q, x2, q2 FROM l UNION ALL
+         |  SELECT path, x, q, x3, q3 FROM l UNION ALL
+         |  SELECT path, x, q, x4, q4 FROM l UNION ALL
+         |  SELECT path, x, q, x5, q5 FROM l),
+         |s AS (
+         |  SELECT path, (((qk - q) * 1000) // (xk - x)) * 2 AS slope2
+         |  FROM p WHERE xk IS NOT NULL AND xk > x),
+         |r AS (
+         |  SELECT path, count(*)::BIGINT AS n_slopes,
+         |         CAST(quantile_cont(slope2::DOUBLE, 0.5) AS BIGINT) AS slope2_micro
+         |  FROM s GROUP BY 1)
+         |SELECT path, n_slopes, slope2_micro
          |FROM r ORDER BY path""".stripMargin,
 
     "g_mad" ->

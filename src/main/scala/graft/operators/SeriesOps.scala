@@ -645,6 +645,57 @@ object SeriesOps {
   }
 
   /**
+   * Windowed Theil–Sen robust trend per series: the exact median of
+   * pairwise slopes between each point and its next `maxLag` ROW
+   * successors — the estimator whose breakdown point [[linearTrend]]
+   * lacks (one spike drags an OLS slope arbitrarily; here it can
+   * corrupt at most `maxLag` of the ~n·maxLag slopes, and the median
+   * shrugs). The lag bound is what makes the classic O(n²) pair set
+   * linear: full Theil–Sen over a million-point series would build
+   * 5·10¹¹ pairs, the windowed form builds n·maxLag.
+   *
+   * Exactness: x in integer minutes, q = round(value·1e3) — each
+   * slope is `((qk − q)·1000) div (xk − x)` micro-units per minute
+   * (truncation division, identical on every engine), DOUBLED
+   * **after** the division so every median input is even and the
+   * even-count interpolation `(a+b)/2` is an exact INTEGER double
+   * (the [[madOutliers]] idiom — doubling before the division leaves
+   * arbitrary parity and the interpolated `…5` halfway then rounds
+   * differently on decimal-vs-binary engines; this op hit exactly
+   * that at sf0.001 before the reorder). The median ships as the
+   * doubled-micro LONG itself — no float rounding anywhere in the
+   * output. Same-minute pairs (Δx = 0) are dropped; series with no
+   * surviving pair emit no row (degenerate, like linearTrend's NULL
+   * slope).
+   *
+   * Shape: one per-series window builds the `maxLag` leads, the
+   * explode is n·maxLag bounded, one hash aggregate folds the
+   * median — no self-join anywhere.
+   */
+  def theilSenTrend(points: DataFrame, maxLag: Int = 5): DataFrame = {
+    require(maxLag >= 1, s"theilSenTrend needs maxLag >= 1, got $maxLag")
+    val tmin = Window.partitionBy("path")
+    val base = points
+      .withColumn("x", ((col("time") - min(col("time")).over(tmin)) / lit(60L)).cast("long"))
+      .withColumn("q", floor(col("value") * lit(1.0e3) + lit(0.5)).cast("long"))
+    val leads = (1 to maxLag).map(k =>
+      struct(lead(col("x"), k).over(seriesWindow).as("xk"),
+        lead(col("q"), k).over(seriesWindow).as("qk")))
+    base
+      // window expressions first, the generator in a SEPARATE
+      // projection (a generator over window results in one operator
+      // is UNSUPPORTED_EXPR_FOR_OPERATOR)
+      .withColumn("nbrs", array(leads: _*))
+      .withColumn("nbr", explode(col("nbrs")))
+      .filter(col("nbr.xk").isNotNull && col("nbr.xk") > col("x"))
+      .withColumn("slope2",
+        IntDiv((col("nbr.qk") - col("q")) * 1000L, col("nbr.xk") - col("x")) * 2L)
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_slopes"),
+        percentile(col("slope2"), lit(0.5)).cast("long").as("slope2_micro"))
+  }
+
+  /**
    * graphite `weightedAverage(seriesListAvg, seriesListWeight, node)`:
    * pair each value series with its weight series by the path MINUS
    * the leaf node (the graphite node-matching convention), then roll

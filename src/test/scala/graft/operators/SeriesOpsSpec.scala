@@ -396,4 +396,26 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(x => (x.getString(0), x.getDouble(3)))
     assert(r.toSeq == Seq(("b", 7.0)))
   }
+
+  test("theilSenTrend: spike-proof median slope; dyadic even-count interpolation") {
+    // minute grid, unit slope (1.0 value/min = 1e6 micro), one 1000.0
+    // spike at the end: 6 of the 10 pairwise slopes are exactly
+    // 1,000,000 micro/min, so the median ignores the spike entirely —
+    // the breakdown OLS lacks (linearTrend on the same series tilts)
+    val p = pts(
+      ("s", 1.0, 0L, 1L), ("s", 2.0, 60L, 2L), ("s", 3.0, 120L, 3L),
+      ("s", 4.0, 180L, 4L), ("s", 1000.0, 240L, 5L))
+    val got = SeriesOps.theilSenTrend(p, maxLag = 5).collect().head
+    assert((got.getLong(1), got.getLong(2)) == (10L, 2000000L))
+    val ols = SeriesOps.linearTrend(p).collect().head
+    assert(ols.getLong(2) * 1000L > ols.getLong(3) * 2000000L,
+      "OLS slope must be spike-inflated well past the robust one")
+    // even slope count with an ODD doubled-median sum would round
+    // ambiguously if doubling preceded the division — pin the exact
+    // interpolated value: slopes 1,003,000 and 1,001,000 micro/min,
+    // median = (2,006,000 + 2,002,000)/2 = 2,004,000 exactly
+    val q = pts(("t", 1.0, 0L, 1L), ("t", 2.003, 60L, 2L), ("t", 3.004, 120L, 3L))
+    val g2 = SeriesOps.theilSenTrend(q, maxLag = 1).collect().head
+    assert((g2.getLong(1), g2.getLong(2)) == (2L, 2004000L))
+  }
 }
