@@ -2009,6 +2009,30 @@ object SparkEntry {
       MultimodalOps.resampledStats(media, box = 8).orderBy("media_id")
     }),
 
+    "m_media_exif" -> ((s, dir) => {
+      // EXIF orientation audit: each %4!=3 doc is a real baseline
+      // JPEG with an APP1 EXIF segment planted right after SOI —
+      // orientation (doc%8)+1 through BOTH TIFF byte orders
+      // ((doc/8)%2 picks MM) — the rotation metadata an
+      // orientation-blind pixel pipeline silently bakes into crops.
+      // %4==3 docs get magic-less junk: has_exif=false, orientation 0.
+      val buildJpeg = udf { (docId: Long) =>
+        val blocks = Array.tabulate(4) { b =>
+          val zz = new Array[Int](64)
+          zz(0) = (((docId * 13 + b * 29) % 256) - 128).toInt
+          zz
+        }
+        MultimodalOps.withExifOrientation(
+          JpegBaseline.encodeGrayBlocks(blocks, 2, 2, Array.fill(64)(8)),
+          orientation = (docId % 8).toInt + 1,
+          bigEndian = (docId / 8) % 2 == 1)
+      }
+      val docs = table(s, dir, "documents").withColumn("blob",
+        when(col("doc_id") % 4 === 3, unhex(unknownHex)).otherwise(buildJpeg(col("doc_id"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+      MultimodalOps.exifAudit(media).orderBy("media_id")
+    }),
+
     "m_media_goertzel" -> ((s, dir) => {
       // integer Goertzel over planted square waves: period-8 wave
       // (fundamental at fs/8) + small jitter, probed at coef 1414
@@ -6520,6 +6544,18 @@ object SparkEntry {
         |       ((list_sum(b) * 1000) // 17)::BIGINT,
         |       len(list_distinct(b))::BIGINT, list_max(b)::BIGINT
         |FROM junk
+        |ORDER BY media_id""".stripMargin,
+
+    // orientation is planted doc_id arithmetic; junk rows sniff as
+    // unknown with orientation 0
+    "m_media_exif" ->
+      """SELECT doc_id AS media_id, 'jpeg' AS format, true AS has_exif,
+        |       (doc_id % 8 + 1)::BIGINT AS orientation
+        |FROM documents WHERE doc_id % 4 <> 3
+        |UNION ALL
+        |SELECT doc_id AS media_id, 'unknown' AS format, false AS has_exif,
+        |       0::BIGINT AS orientation
+        |FROM documents WHERE doc_id % 4 = 3
         |ORDER BY media_id""".stripMargin,
 
     // the quantized Goertzel recurrence replayed per (doc, bin): a

@@ -1335,6 +1335,119 @@ object MultimodalOps {
     Some((w, h, ch, comp, photo, offs, cnts, rowsPerStrip))
   }
 
+  /**
+   * EXIF orientation from a JPEG's APP1 segment — the metadata the
+   * image pipeline MUST read before any pixel stage (a phone photo
+   * stored rotated decodes "sideways" to every orientation-blind
+   * consumer; training on it bakes the rotation in). Pure-JVM: SOI,
+   * marker walk to APP1 with the `Exif\0\0` prefix, then a TIFF IFD0
+   * walk (both byte orders — EXIF embeds a real TIFF header) for tag
+   * 274 (Orientation, SHORT 1..8). None when there is no APP1/EXIF,
+   * the TIFF walk desyncs, or the value is out of the spec's range —
+   * callers treat that as "unknown, assume 1" like real pipelines.
+   */
+  private[graft] def exifOrientation(b: Array[Byte]): Option[Long] = {
+    if (b == null || b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var pos = 2
+    while (pos + 4 <= b.length) {
+      if ((b(pos) & 0xff) != 0xff) return None
+      if ((b(pos + 1) & 0xff) == 0xff) { pos += 1 }
+      else {
+        val marker = b(pos + 1) & 0xff
+        if (marker == 0xd9 || marker == 0xda) return None // EOI / entropy data: no APP1 found
+        val len = u16be(b, pos + 2).toInt
+        if (len < 2 || pos + 2 + len > b.length) return None
+        if (marker == 0xe1 && len >= 10 &&
+            b(pos + 4) == 'E' && b(pos + 5) == 'x' && b(pos + 6) == 'i' &&
+            b(pos + 7) == 'f' && b(pos + 8) == 0 && b(pos + 9) == 0) {
+          // TIFF header at APP1 payload + 6
+          val t = pos + 10
+          val end = pos + 2 + len
+          if (t + 8 > end) return None
+          val le = b(t) == 'I' && b(t + 1) == 'I'
+          val be = b(t) == 'M' && b(t + 1) == 'M'
+          if (!le && !be) return None
+          def u16(o: Int): Long =
+            if (o + 2 > end) -1L else if (le) u16le(b, o) else u16be(b, o)
+          def u32(o: Int): Long =
+            if (o + 4 > end) -1L else if (le) u32le(b, o) else u32be(b, o)
+          if (u16(t + 2) != 42L) return None
+          val ifd = u32(t + 4)
+          if (ifd < 8L || t + ifd + 2 > end) return None
+          val n = u16((t + ifd).toInt)
+          if (n <= 0L || t + ifd + 2 + n * 12 > end) return None
+          var e = 0
+          while (e < n) {
+            val eo = (t + ifd + 2 + e * 12).toInt
+            if (u16(eo) == 274L && u16(eo + 2) == 3L && u32(eo + 4) == 1L) {
+              val v = u16(eo + 8)
+              return if (v >= 1L && v <= 8L) Some(v) else None
+            }
+            e += 1
+          }
+          return None // APP1 present, no orientation tag
+        }
+        pos += 2 + len
+      }
+    }
+    None
+  }
+
+  /** Insert a minimal EXIF APP1 (TIFF header + one-entry IFD0 with
+    * Orientation) right after an existing JPEG's SOI — the fixture
+    * counterpart of [[exifOrientation]]. */
+  private[graft] def withExifOrientation(jpeg: Array[Byte], orientation: Int,
+                                         bigEndian: Boolean = false): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8, "EXIF orientation is 1..8")
+    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8,
+      "need a JPEG starting with SOI")
+    // TIFF: 8-byte header + count(2) + 12 + next(4) = 26 bytes
+    val tiff = java.nio.ByteBuffer.allocate(26).order(
+      if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN)
+    tiff.put((if (bigEndian) 'M' else 'I').toByte).put((if (bigEndian) 'M' else 'I').toByte)
+      .putShort(42).putInt(8)
+      .putShort(1)
+      .putShort(274).putShort(3).putInt(1).putShort(orientation.toShort).putShort(0)
+      .putInt(0)
+    val payload = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff.array()
+    val segLen = payload.length + 2
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(jpeg, 0, 2)
+    out.write(0xff); out.write(0xe1)
+    out.write((segLen >> 8) & 0xff); out.write(segLen & 0xff)
+    out.write(payload)
+    out.write(jpeg, 2, jpeg.length - 2)
+    out.toByteArray
+  }
+
+  /**
+   * Per-blob EXIF audit — [[exifOrientation]] as a table stage next
+   * to the header sniff: (media_id, format, has_exif, orientation)
+   * with orientation 0 when absent/unreadable (the "assume upright,
+   * but KNOW you assumed" signal a dedup-by-phash or training-crop
+   * pipeline reads before trusting pixel geometry).
+   */
+  def exifAudit(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("format", StringType),
+      StructField("has_exif", BooleanType),
+      StructField("orientation", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap(_.map { r =>
+          val content = r.getAs[Array[Byte]]("content")
+          val fmt = parseHeader(content).map(_.format).getOrElse("unknown")
+          exifOrientation(content) match {
+            case Some(o) => Row(r.getAs[Long]("media_id"), fmt, true, o)
+            case None    => Row(r.getAs[Long]("media_id"), fmt, false, 0L)
+          }
+        })
+      }(enc)
+  }
+
   /** Baseline TIFF encoder — the fixture counterpart of
     * [[decodeTiffPixels]]: `px` is the logical top-down row-major
     * sample stream (gray `ch`=1 or RGB `ch`=3, black-is-zero);

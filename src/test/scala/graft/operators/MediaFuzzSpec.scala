@@ -62,7 +62,8 @@ class MediaFuzzSpec extends AnyFunSuite {
       ("tiff-strips", tiff), ("tiff-packbits-be-rgb", tiffPbBe),
       ("wav-adpcm", MultimodalOps.encodeWavAdpcm(
         Array((1200, 33, Array.tabulate(6)(i => (i * 41 + 7).toByte)),
-          (-900, 70, Array.tabulate(6)(i => (i * 13).toByte))), 8000)))
+          (-900, 70, Array.tabulate(6)(i => (i * 13).toByte))), 8000)),
+      ("jpeg-exif", MultimodalOps.withExifOrientation(jpeg, 6, bigEndian = true)))
   }
 
   private def decodeAll(b: Array[Byte]): Unit = {
@@ -74,6 +75,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     MultimodalOps.parseAviFrames(b)
     MultimodalOps.decodeBmpPixels(b)
     MultimodalOps.decodeTiffPixels(b)
+    MultimodalOps.exifOrientation(b)
     MultimodalOps.parseHeader(b)
     ()
   }

@@ -458,6 +458,31 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MultimodalOps.decodeWavSamples(badSpb).isEmpty)
   }
 
+  test("exifOrientation: both endians round-trip; absent/invalid refuse; dims still parse") {
+    val zz = Array.tabulate(4) { b => val a = new Array[Int](64); a(0) = b * 20 - 40; a }
+    val jpeg = JpegBaseline.encodeGrayBlocks(zz, 2, 2, Array.fill(64)(8))
+    for (o <- 1 to 8; be <- Seq(false, true)) {
+      val tagged = MultimodalOps.withExifOrientation(jpeg, o, bigEndian = be)
+      assert(MultimodalOps.exifOrientation(tagged).contains(o.toLong), s"o=$o be=$be")
+      // the APP1 insertion must not break the SOFn header walk or the
+      // pixel decode
+      assert(MultimodalOps.parseHeader(tagged).exists(_.format == "jpeg"))
+      assert(JpegBaseline.decodePixels(tagged).isDefined, "pixels survive the APP1")
+    }
+    // no APP1 at all
+    assert(MultimodalOps.exifOrientation(jpeg).isEmpty)
+    // out-of-range orientation value refuses (patch the SHORT at the
+    // little-endian value offset: SOI(2) + marker/len(4) + Exif00(6) +
+    // tiff header(8) + count(2) + tag/type/cnt(8) = 30)
+    val bad = MultimodalOps.withExifOrientation(jpeg, 1, bigEndian = false).clone()
+    bad(30) = 9
+    assert(MultimodalOps.exifOrientation(bad).isEmpty)
+    // truncated mid-APP1 refuses instead of reading past the segment
+    val t = MultimodalOps.withExifOrientation(jpeg, 3)
+    assert(MultimodalOps.exifOrientation(t.take(20)).isEmpty)
+    assert(MultimodalOps.exifOrientation("nope".getBytes("US-ASCII")).isEmpty)
+  }
+
   test("goertzelTones: on-bin square wave dominates; junk falls back; recurrence replays") {
     val ss = spark; import ss.implicits._
     // pure period-8 square at amplitude 100: fundamental at fs/8
