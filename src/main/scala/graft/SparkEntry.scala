@@ -625,6 +625,20 @@ object SparkEntry {
       GraphOps.kCore(e, k = 50L, rounds = 4).orderBy("node")
     }),
 
+    "q42_modularity" -> ((s, dir) => {
+      // the community-quality gauge composed on q21's partition: run
+      // the same 3-round deterministic LPA on the bipartite graph,
+      // then score it — exact rational Q over 4m², floored q_milli.
+      // Reading Q is how you decide the labels are worth trusting
+      val fwd = events(s, dir).select(
+          concat(lit("u"), col("user_id")).as("src"),
+          concat(lit("e"), col("event_type")).as("dst"))
+        .distinct()
+      val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val labels = GraphOps.labelPropagation(edges, iterations = 3)
+      GraphOps.modularity(edges, labels)
+    }),
+
     "q41_cocitation_rank" -> ((s, dir) => {
       // the full link-graph pipeline in one query: planted URLs ->
       // host edges -> bipartite projection (host co-citation with
@@ -883,6 +897,14 @@ object SparkEntry {
       // pairwise slopes, shipped as the doubled-micro LONG itself
       // (no float rounding) — the spike-proof sibling of g_linreg
       SeriesOps.theilSenTrend(metricStream(s, dir), maxLag = 5)
+        .orderBy("path")),
+
+    "g_holt" -> ((s, dir) =>
+      // Holt double smoothing, alpha=0.3 beta=0.1 in milli gains:
+      // per-series level/trend fold + 3-step-out forecasts, all
+      // LONGs — graphite's holtWintersForecast for trends
+      SeriesOps.holtForecast(metricStream(s, dir),
+          alphaMilli = 300L, betaMilli = 100L, horizon = 3)
         .orderBy("path")),
 
     "g_mad" -> ((s, dir) =>
@@ -3369,6 +3391,54 @@ object SparkEntry {
         |FROM ne JOIN d da ON ne.node_a = da.node JOIN d db ON ne.node_b = db.node
         |ORDER BY node_a, node_b""".stripMargin,
 
+    // q21's unrolled LPA rounds feed the exact rational Q: intra
+    // edges + degree sums per community over the canonical edge set
+    "q42_modularity" -> {
+      def round(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT dst AS node, label FROM (
+           |    SELECT e.dst, p.label, count(*) AS c,
+           |           row_number() OVER (
+           |             PARTITION BY e.dst
+           |             ORDER BY count(*) DESC, p.label) AS rn
+           |    FROM edges e JOIN $prev p ON p.node = e.src
+           |    GROUP BY e.dst, p.label)
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH fwd AS (
+         |  SELECT DISTINCT 'u' || user_id AS src, 'e' || event_type AS dst
+         |  FROM events),
+         |edges AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |it0 AS (SELECT node, node AS label FROM nodes),
+         |${round("it0", "it1")},
+         |${round("it1", "it2")},
+         |${round("it2", "it3")},
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM edges WHERE src <> dst),
+         |m AS (SELECT count(*)::BIGINT AS m FROM und),
+         |deg AS (SELECT node, count(*) AS deg
+         |        FROM (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+         |        GROUP BY 1),
+         |intra AS (
+         |  SELECT la.label, count(*)::BIGINT AS ec
+         |  FROM und JOIN it3 la ON und.a = la.node
+         |           JOIN it3 lb ON und.b = lb.node
+         |  WHERE la.label = lb.label GROUP BY 1),
+         |dsum AS (
+         |  SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS dc
+         |  FROM deg d JOIN it3 l ON d.node = l.node GROUP BY 1),
+         |perc AS (
+         |  SELECT dsum.label, coalesce(intra.ec, 0) AS ec, dsum.dc
+         |  FROM dsum LEFT JOIN intra USING (label))
+         |SELECT (SELECT m FROM m) AS m,
+         |       count(*)::BIGINT AS n_communities,
+         |       CAST(sum(4 * (SELECT m FROM m) * ec - dc * dc) AS BIGINT) AS q_num,
+         |       CAST(4 * (SELECT m FROM m) * (SELECT m FROM m) AS BIGINT) AS q_den,
+         |       CAST(floor(sum(4 * (SELECT m FROM m) * ec - dc * dc) * 1000.0
+         |              / (4.0 * (SELECT m FROM m) * (SELECT m FROM m))) AS BIGINT) AS q_milli
+         |FROM perc""".stripMargin
+    },
+
     // projection pairs from the capped incidence self-join, then the
     // weighted unrolled PR rounds — contribution (pr·w) // Σw(src)
     "q41_cocitation_rank" -> {
@@ -3917,6 +3987,40 @@ object SparkEntry {
          |                          * (sx::DOUBLE / n::DOUBLE)) / 1000.0, 6)
          |       END AS intercept
          |FROM r ORDER BY path""".stripMargin,
+
+    // the Holt fold replayed per series: recursive CTE carries (l, b)
+    // through the (time, version)-ordered values, k counts processed
+    // points — init after q0 (k=1), each step consumes rn = k+1
+    "g_holt" ->
+      s"""WITH RECURSIVE m AS (
+         |  SELECT 'evt.' || event_type || '.u' || (user_id % 10) || '.' ||
+         |         CASE user_id % 4 WHEN 0 THEN 'sum' WHEN 1 THEN 'min'
+         |                          WHEN 2 THEN 'max' ELSE 'value' END AS path,
+         |         value,
+         |         CAST(floor(epoch(ts)) AS BIGINT) AS "time",
+         |         event_id AS version
+         |  FROM events),
+         |x AS (
+         |  SELECT path, CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS q,
+         |         row_number() OVER (PARTITION BY path ORDER BY "time" ASC, version ASC) AS rn
+         |  FROM m),
+         |cnt AS (SELECT path, count(*)::BIGINT AS n FROM x GROUP BY 1),
+         |walk AS (
+         |  SELECT x0.path, 1 AS k, x0.q AS l, x1.q - x0.q AS b
+         |  FROM x x0 JOIN x x1 ON x0.path = x1.path AND x0.rn = 1 AND x1.rn = 2
+         |  UNION ALL
+         |  SELECT path, k, (300 * q + 700 * (l + b)) // 1000 AS l,
+         |         (100 * (((300 * q + 700 * (l + b)) // 1000) - l) + 900 * b) // 1000 AS b
+         |  FROM (
+         |    SELECT w.path, w.k + 1 AS k, w.l, w.b, x.q
+         |    FROM walk w JOIN x ON x.path = w.path AND x.rn = w.k + 1)),
+         |fin AS (
+         |  SELECT w.path, c.n, w.l, w.b
+         |  FROM walk w JOIN cnt c ON w.path = c.path AND w.k = c.n)
+         |SELECT path, n, l AS level_milli, b AS trend_milli,
+         |       (l + b)::BIGINT AS fc1_milli, (l + 2 * b)::BIGINT AS fc2_milli,
+         |       (l + 3 * b)::BIGINT AS fc3_milli
+         |FROM fin ORDER BY path""".stripMargin,
 
     // five lead pairs per point, truncation-division slopes on the
     // same doubled-micro LONGs, dyadic median via quantile_cont

@@ -645,6 +645,55 @@ object SeriesOps {
   }
 
   /**
+   * Holt double exponential smoothing with milli-quantized gains —
+   * graphite's `holtWintersForecast` family member for trending
+   * series, in the engine-exact form: level and trend evolve as
+   *   l' = (α·q + (1000−α)·(l + b)) div 1000
+   *   b' = (β·(l' − l) + (1000−β)·b) div 1000
+   * (α, β in milli units; truncation division identical on every
+   * engine), initialized l = q₀, b = q₁ − q₀ — under which
+   * processing q₁ is an EXACT no-op (the classic init property,
+   * preserved by the quantization and spec-pinned). Forecast h steps
+   * out is `l + h·b`. Everything is a LONG; the oracle replays the
+   * per-series fold with a recursive CTE (the Goertzel/ADPCM
+   * pattern).
+   *
+   * Series shorter than 2 points drop (no trend to initialize —
+   * the linearTrend NULL-slope convention). Shape: one collect_list
+   * per series folded by the `aggregate` HOF — the series-fits-a-
+   * partition assumption every per-series window here already makes;
+   * the fold is O(n) with constant state, the output one row per
+   * series.
+   */
+  def holtForecast(points: DataFrame, alphaMilli: Long, betaMilli: Long,
+                   horizon: Int = 3): DataFrame = {
+    require(alphaMilli >= 0 && alphaMilli <= 1000, s"alphaMilli in [0,1000]: $alphaMilli")
+    require(betaMilli >= 0 && betaMilli <= 1000, s"betaMilli in [0,1000]: $betaMilli")
+    require(horizon >= 1, s"horizon >= 1: $horizon")
+    val a = alphaMilli; val na = 1000L - alphaMilli
+    val bb = betaMilli; val nb = 1000L - betaMilli
+    val q = floor(col("value") * lit(1.0e3) + lit(0.5)).cast("long")
+    val lExpr = s"($a * e.q + $na * (acc.l + acc.b)) div 1000"
+    val st = expr(
+      s"""aggregate(
+         |  slice(arr, 2, size(arr) - 1),
+         |  named_struct('l', arr[0].q, 'b', arr[1].q - arr[0].q),
+         |  (acc, e) -> named_struct(
+         |    'l', $lExpr,
+         |    'b', ($bb * (($lExpr) - acc.l) + $nb * acc.b) div 1000))""".stripMargin)
+    val fcs = (1 to horizon).map(h =>
+      (col("st.l") + lit(h.toLong) * col("st.b")).as(s"fc${h}_milli"))
+    points
+      .groupBy("path")
+      .agg(sort_array(collect_list(struct(col("time"), col("version"), q.as("q"))))
+        .as("arr"))
+      .filter(size(col("arr")) >= 2)
+      .withColumn("st", st)
+      .select(Seq(col("path"), size(col("arr")).cast("long").as("n"),
+        col("st.l").as("level_milli"), col("st.b").as("trend_milli")) ++ fcs: _*)
+  }
+
+  /**
    * Windowed Theil–Sen robust trend per series: the exact median of
    * pairwise slopes between each point and its next `maxLag` ROW
    * successors — the estimator whose breakdown point [[linearTrend]]

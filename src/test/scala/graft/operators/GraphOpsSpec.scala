@@ -232,6 +232,26 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((1L, 3L, 1L, 1000000L, 1L)))
   }
 
+  test("modularity: disjoint triangles score exactly 1/2; one community is exactly 0") {
+    val ss = spark; import ss.implicits._
+    val tri2 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+      .toDF("src", "dst")
+    // the natural partition: Q = 2·(3/6 − (6/12)²) = 1/2 exactly
+    val good = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L), (6L, 20L))
+      .toDF("node", "label")
+    val g = GraphOps.modularity(tri2, good).collect().head
+    assert((g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3), g.getLong(4)) ==
+      (6L, 2L, 72L, 144L, 500L))
+    // everything in one community: Q = e/m − (2m/2m)² = 0 exactly
+    val one = (1L to 6L).map(n => (n, 7L)).toDF("node", "label")
+    assert(GraphOps.modularity(tri2, one).collect().head.getLong(2) == 0L)
+    // a partial labeling scores the covered subgraph: only triangle 1
+    // labeled → its edges count intra, triangle 2's degrees drop
+    val part = Seq((1L, 10L), (2L, 10L), (3L, 10L)).toDF("node", "label")
+    val p = GraphOps.modularity(tri2, part).collect().head
+    assert(p.getLong(1) == 1L && p.getLong(2) == 4L * 6L * 3L - 36L)
+  }
+
   test("bipartiteProject: shared-left counts, duplicate links collapse, hub cap drops") {
     val ss = spark; import ss.implicits._
     // docs 1,2 both cite {x,y}; doc 3 cites {y,z}; doc 1's (x) link

@@ -397,6 +397,32 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.toSeq == Seq(("b", 7.0)))
   }
 
+  test("holtForecast: linear series forecast exactly; scalar replay; short series drop") {
+    // a perfectly linear series is a FIXED POINT of the quantized
+    // recurrence (the q1 no-op property generalized): level tracks the
+    // line, trend stays the slope, forecasts continue it exactly
+    val lin = pts(("s", 1.0, 0L, 1L), ("s", 2.0, 60L, 2L),
+      ("s", 3.0, 120L, 3L), ("s", 4.0, 180L, 4L))
+    val g = SeriesOps.holtForecast(lin, 300L, 100L, horizon = 3).collect().head
+    assert((g.getLong(1), g.getLong(2), g.getLong(3), g.getLong(4), g.getLong(5), g.getLong(6)) ==
+      (4L, 4000L, 1000L, 5000L, 6000L, 7000L))
+    // noisy series: exact scalar replay of the same integer fold
+    val vals = Seq(1.5, 3.25, 2.0, 5.125, 4.0)
+    val noisy = pts(vals.zipWithIndex.map { case (v, i) =>
+      ("t", v, i * 60L, i + 1L) }: _*)
+    val qs = vals.map(v => math.floor(v * 1000.0 + 0.5).toLong)
+    var l = qs(0); var b = qs(1) - qs(0)
+    for (x <- qs.drop(1)) {
+      val l2 = (300L * x + 700L * (l + b)) / 1000L
+      b = (100L * (l2 - l) + 900L * b) / 1000L
+      l = l2
+    }
+    val n = SeriesOps.holtForecast(noisy, 300L, 100L).collect().head
+    assert((n.getLong(2), n.getLong(3), n.getLong(4)) == (l, b, l + b))
+    // a single-point series has no trend to initialize -> no row
+    assert(SeriesOps.holtForecast(pts(("u", 9.0, 0L, 1L)), 300L, 100L).isEmpty)
+  }
+
   test("theilSenTrend: spike-proof median slope; dyadic even-count interpolation") {
     // minute grid, unit slope (1.0 value/min = 1e6 micro), one 1000.0
     // spike at the end: 6 of the 10 pairwise slopes are exactly
