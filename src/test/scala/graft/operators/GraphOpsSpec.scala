@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
@@ -230,6 +231,31 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = GraphOps.linkPrediction(e, minCommon = 1L, maxHubDeg = 10L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
     assert(got == Seq((1L, 3L, 1L, 1000000L, 1L)))
+  }
+
+  test("round-11 graph ops are partition-layout invariant (pure integer arithmetic)") {
+    val ss = spark; import ss.implicits._
+    // one graph with hubs, wedges, a pendant and a dense core —
+    // every operator must produce byte-identical rows at 1 and 7
+    // partitions (the repo-wide determinism contract)
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 1L),
+      (2L, 5L), (5L, 6L)).toDF("src", "dst")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val a = e.repartition(1); val b = e.repartition(7)
+    assert(rows(GraphOps.linkPrediction(a, 1L, 10L)) == rows(GraphOps.linkPrediction(b, 1L, 10L)))
+    assert(rows(GraphOps.kCore(a, 2L, 3)) == rows(GraphOps.kCore(b, 2L, 3)))
+    assert(rows(GraphOps.assortativity(a)) == rows(GraphOps.assortativity(b)))
+    assert(rows(GraphOps.bipartiteProject(
+        a.withColumnRenamed("src", "left").withColumnRenamed("dst", "right"))) ==
+      rows(GraphOps.bipartiteProject(
+        b.withColumnRenamed("src", "left").withColumnRenamed("dst", "right"))))
+    val wa = a.withColumn("w", col("src") + col("dst"))
+    val wb = b.withColumn("w", col("src") + col("dst"))
+    assert(rows(GraphOps.weightedPageRank(wa, 3)) == rows(GraphOps.weightedPageRank(wb, 3)))
+    val lbl = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L), (6L, 2L))
+      .toDF("node", "label")
+    assert(rows(GraphOps.modularity(a, lbl)) == rows(GraphOps.modularity(b, lbl)))
   }
 
   test("modularity: disjoint triangles score exactly 1/2; one community is exactly 0") {
