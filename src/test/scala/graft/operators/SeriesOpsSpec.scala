@@ -397,6 +397,17 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.toSeq == Seq(("b", 7.0)))
   }
 
+  test("theilSenTrend and holtForecast are partition-layout invariant") {
+    val p = pts((1 to 60).map(i =>
+      (s"s${i % 4}", (i * 37 % 23) / 3.0, i * 60L, i.toLong)): _*)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(SeriesOps.theilSenTrend(p.repartition(1), 5)) ==
+      rows(SeriesOps.theilSenTrend(p.repartition(7), 5)))
+    assert(rows(SeriesOps.holtForecast(p.repartition(1), 300L, 100L)) ==
+      rows(SeriesOps.holtForecast(p.repartition(7), 300L, 100L)))
+  }
+
   test("holtForecast: linear series forecast exactly; scalar replay; short series drop") {
     // a perfectly linear series is a FIXED POINT of the quantized
     // recurrence (the q1 no-op property generalized): level tracks the

@@ -1524,6 +1524,22 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 3 * out, "every (vec, j) cell present")
   }
 
+  test("round-11 text ops are partition-layout invariant") {
+    val ss = spark; import ss.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, s"spark vector word$i stream data fast ${"x " * (i % 7).toInt} customer"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val a = docs.repartition(1); val b = docs.repartition(7)
+    assert(rows(TextOps.bm25Top(a, "doc_id", "text", Seq("spark", "customer"), 10)) ==
+      rows(TextOps.bm25Top(b, "doc_id", "text", Seq("spark", "customer"), 10)))
+    assert(rows(TextOps.hashedFeatures(a, "doc_id", "text", 32)) ==
+      rows(TextOps.hashedFeatures(b, "doc_id", "text", 32)))
+    assert(rows(TextOps.winnowPairs(a, "doc_id", "text", 12, 8, 1L)) ==
+      rows(TextOps.winnowPairs(b, "doc_id", "text", 12, 8, 1L)))
+  }
+
   test("hostEdges: per-doc distinct hosts, scheme variants, empty-host filter") {
     val ss = spark; import ss.implicits._
     val docs = Seq(
