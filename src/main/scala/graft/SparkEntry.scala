@@ -1306,6 +1306,22 @@ object SparkEntry {
           k = 12, window = 8, minShared = 5, maxFpDf = 100L)
         .orderBy("id_a", "id_b")),
 
+    "d_dedup_homoglyph" -> ((s, dir) => {
+      // homoglyph spoof detection: docs %10==3 carry a Cyrillic-
+      // confusable copy of their predecessor's text (renders
+      // identically, fresh md5 — invisible to exact dedup); the
+      // normalized fingerprint folds TR39 confusables back and
+      // reports every group with >= 2 raw variants
+      val docs0 = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val nbr = docs0.select((col("doc_id") + 1).as("doc_id"),
+        translate(col("text"), "aeopcyx", "аеорсух").as("spoof"))
+      val planted = docs0.join(nbr, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 3 && col("spoof").isNotNull, col("spoof"))
+            .otherwise(col("text")).as("text"))
+      TextOps.homoglyphGroups(planted, "doc_id", "text").orderBy("min_id")
+    }),
+
     "d_dedup_incremental" -> ((s, dir) => {
       // new-batch dedup against the already-accepted corpus: docs
       // 0..249 are "accepted", 250+ arrive as the new batch; survivors
@@ -5224,6 +5240,30 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared_fps
         |FROM f a JOIN keep k ON a.fp = k.fp JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY id_a, id_b""".stripMargin,
+
+    // the same spoof planting, both fingerprints, TR39 fold via one
+    // translate — groups with >= 2 raw variants are the spoof sets
+    "d_dedup_homoglyph" ->
+      """WITH spoof AS (
+        |  SELECT doc_id + 1 AS doc_id,
+        |         translate(text, 'aeopcyx', 'аеорсух') AS spoof
+        |  FROM documents),
+        |planted AS (
+        |  SELECT d.doc_id,
+        |         CASE WHEN d.doc_id % 10 = 3 AND s.spoof IS NOT NULL
+        |              THEN s.spoof ELSE d.text END AS text
+        |  FROM documents d LEFT JOIN spoof s USING (doc_id)),
+        |f AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS raw_fp,
+        |         md5(translate(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+        |             'аеорсухіѕјһԁԛԝον', 'aeopcyxisjhdqwov')) AS norm_fp
+        |  FROM planted)
+        |SELECT norm_fp, count(*)::BIGINT AS n_docs,
+        |       count(DISTINCT raw_fp)::BIGINT AS n_raw_variants,
+        |       min(doc_id) AS min_id
+        |FROM f GROUP BY 1 HAVING count(DISTINCT raw_fp) >= 2
+        |ORDER BY min_id""".stripMargin,
 
     "d_dedup_incremental" ->
       """WITH fp AS (

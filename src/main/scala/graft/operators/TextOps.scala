@@ -1567,6 +1567,43 @@ object TextOps {
         .otherwise(lit(0L)).as("url_ppm"))
   }
 
+  /** The Unicode TR39 confusable pairs the normalizer folds: the
+    * Cyrillic and Greek lowercase letters whose glyphs are visually
+    * identical to Latin in common fonts (the subset spammers actually
+    * use — per-character, so `translate` applies it in one pass; both
+    * strings are shared verbatim with the DuckDB oracle). */
+  private[graft] val ConfusablesFrom = "аеорсухіѕјһԁԛԝον"
+  private[graft] val ConfusablesTo   = "aeopcyxisjhdqwov"
+
+  /**
+   * Homoglyph-normalized duplicate groups — the dedup exact
+   * fingerprinting is BLIND to: a spammer swaps Latin letters for
+   * their Cyrillic/Greek lookalikes (Unicode TR39 confusables) and
+   * every copy gets a fresh md5 while rendering identically. This
+   * operator fingerprints the text twice — raw (the [[fingerprint]]
+   * kernel) and after folding the confusable pairs back with one
+   * `translate` pass — and reports each normalized group that
+   * contains MORE THAN ONE raw variant: exactly the spoof sets, with
+   * ordinary exact-dup groups (1 raw variant) excluded by
+   * construction. The [[scriptMix]] audit FLAGS suspicious docs;
+   * this one pairs them with what they're impersonating.
+   *
+   * Scale shape: two per-doc hash projections and one
+   * (norm_fp)-keyed aggregate — exact-dedup cost, nothing pairwise.
+   * Output: (norm_fp, n_docs, n_raw_variants, min_id), n_raw ≥ 2.
+   */
+  def homoglyphGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    docs.select(col(idCol).as("id"),
+        fingerprint(col(textCol)).as("raw_fp"),
+        FastHash.fastMd5(translate(norm, ConfusablesFrom, ConfusablesTo)).as("norm_fp"))
+      .groupBy("norm_fp")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_fp")).as("n_raw_variants"),
+        min(col("id")).as("min_id"))
+      .filter(col("n_raw_variants") >= 2)
+  }
+
   /**
    * Per-document host edges — the link-graph extraction stage:
    * one row per (document, distinct registrable host) from the same

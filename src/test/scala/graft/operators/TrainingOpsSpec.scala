@@ -1524,6 +1524,26 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 3 * out, "every (vec, j) cell present")
   }
 
+  test("homoglyphGroups: spoofed copies group, plain exact dups do not") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq(
+      (1L, "secure payment portal"),
+      (2L, "sеcurе pаymеnt pоrtаl"),   // Cyrillic е/а/о — renders identical
+      (3L, "secure payment portal"),   // plain exact dup of 1 (1 raw variant
+                                       // alone would NOT surface the group —
+                                       // doc 2 is what makes it a spoof set)
+      (4L, "совершенно другой текст"), // genuinely Cyrillic, no twin
+      (5L, "unrelated clean text")).toDF("doc_id", "text")
+    val got = TextOps.homoglyphGroups(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((3L, 2L, 1L)),
+      "one group: docs 1,2,3 — three docs, TWO raw variants, min id 1")
+    // without the spoofed doc, the same corpus yields nothing: exact
+    // dups alone are the plain dedup family's business
+    val noSpoof = docs.filter(col("doc_id") =!= 2L)
+    assert(TextOps.homoglyphGroups(noSpoof, "doc_id", "text").isEmpty)
+  }
+
   test("round-11 text ops are partition-layout invariant") {
     val ss = spark; import ss.implicits._
     val docs = (1L to 40L).map(i =>
