@@ -1149,6 +1149,21 @@ object SparkEntry {
       TextOps.hashedFeatures(table(s, dir, "documents"), "doc_id", "text", dims = 64)
         .orderBy("doc_id", "dim")),
 
+    "t_anchors" -> ((s, dir) => {
+      // anchor-text term table over planted links: every %3!=0 doc
+      // links host h(doc%7) with a 3-word anchor drawn from its own
+      // text — what the web SAYS about each host, host-keyed counts
+      val docs0 = table(s, dir, "documents")
+      val planted = docs0.select(col("doc_id"),
+        when(col("doc_id") % 3 =!= 0,
+          concat(col("text"), lit(" <a href=\"https://h"), col("doc_id") % 7,
+            lit(".example.net/p\">"),
+            substring(col("text"), 1, 20), lit("</a>")))
+          .otherwise(col("text")).as("text"))
+      TextOps.anchorTerms(planted, "doc_id", "text")
+        .orderBy("host", "term")
+    }),
+
     "q39_host_rank" -> ((s, dir) => {
       // domain authority end-to-end: plant two URLs per doc (hosts
       // h(doc%23) / h(doc div 3 %23)), extract the doc->host edges
@@ -7574,6 +7589,30 @@ object SparkEntry {
         |SELECT doc_id, (hv % 64)::BIGINT AS dim,
         |       sum(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS val
         |FROM h GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin,
+
+    // aligned dual-group regexp extraction (DuckDB zips same-select
+    // unnests positionally, like arrays_zip), then the host/term fold
+    "t_anchors" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 <> 0
+        |              THEN text || ' <a href="https://h' || (doc_id % 7)
+        |                   || '.example.net/p">' || substr(text, 1, 20) || '</a>'
+        |              ELSE text END AS text
+        |  FROM documents),
+        |a AS (
+        |  SELECT unnest(regexp_extract_all(text,
+        |           '<a href="(https?://[^"/]+)[^"]*"[^>]*>([^<]*)</a>', 1)) AS href,
+        |         unnest(regexp_extract_all(text,
+        |           '<a href="(https?://[^"/]+)[^"]*"[^>]*>([^<]*)</a>', 2)) AS body
+        |  FROM planted),
+        |t AS (
+        |  SELECT regexp_extract(href, '^https?://([^/\s:?#]+)', 1) AS host,
+        |         unnest(list_filter(regexp_split_to_array(lower(body), '\s+'), x -> x <> '')) AS term
+        |  FROM a)
+        |SELECT host, term, count(*)::BIGINT AS cnt
+        |FROM t WHERE host <> ''
+        |GROUP BY 1, 2 ORDER BY host, term""".stripMargin,
 
     // q17's unrolled integer-PageRank rounds over the planted
     // doc<->host bipartite graph; only host nodes report

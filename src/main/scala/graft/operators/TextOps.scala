@@ -1622,6 +1622,35 @@ object TextOps {
   }
 
   /**
+   * Anchor-text term table — the classic off-page retrieval signal
+   * (what OTHER documents call a page outranks what the page calls
+   * itself; every early web ranker fed on this): from each doc's
+   * `<a href="...">text</a>` links, the (target host, anchor term)
+   * occurrence counts. Hosts come through the same scheme-and-host
+   * regex as [[hostEdges]]; anchor bodies are lowered and
+   * whitespace-tokenized like every counting kernel here. The two
+   * `regexp_extract_all` passes over the SAME pattern (group 1 =
+   * href, group 2 = body) stay index-aligned by construction, so
+   * `arrays_zip` pairs them without a join.
+   *
+   * Scale: per-doc regex + explode inside the projection, one
+   * (host, term)-keyed map-side-combined count — the exchange is
+   * vocabulary-sized per host, never corpus-sized.
+   * Output: (host, term, cnt).
+   */
+  def anchorTerms(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pat = "<a href=\"(https?://[^\"/]+)[^\"]*\"[^>]*>([^<]*)</a>"
+    val hrefs = regexp_extract_all(col(textCol), lit(pat), lit(1))
+    val bodies = regexp_extract_all(col(textCol), lit(pat), lit(2))
+    docs
+      .select(explode(arrays_zip(hrefs.as("href"), bodies.as("body"))).as("a"))
+      .select(regexp_extract(col("a.href"), "^https?://([^/\\s:?#]+)", 1).as("host"),
+        explode(words(lower(col("a.body")))).as("term"))
+      .filter(col("host") =!= "")
+      .groupBy("host", "term").agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
    * The hashing-trick featurizer (Weinberger et al., "Feature Hashing
    * for Large Scale Multitask Learning", ICML 2009): every word
    * instance lands in dimension `md5head(w) mod dims` with sign

@@ -1524,6 +1524,21 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 3 * out, "every (vec, j) cell present")
   }
 
+  test("anchorTerms: multi-link docs, cross-doc counts, markup outside <a> ignored") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq(
+      (1L, """intro <a href="https://x.com/a">Good Stuff</a> middle <a href="https://y.org/b?q=1">more stuff</a>"""),
+      (2L, """see <a href="http://x.com/c">good</a> and <b>bold text no link</b>"""),
+      (3L, """no links at all""")).toDF("doc_id", "text")
+    val got = TextOps.anchorTerms(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("x.com", "good", 2L),   // lowered; counted across docs 1 and 2
+      ("x.com", "stuff", 1L),
+      ("y.org", "more", 1L), ("y.org", "stuff", 1L)),
+      s"got $got")
+  }
+
   test("homoglyphGroups: spoofed copies group, plain exact dups do not") {
     val ss = spark; import ss.implicits._
     val docs = Seq(
