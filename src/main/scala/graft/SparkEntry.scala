@@ -2062,6 +2062,23 @@ object SparkEntry {
       MultimodalOps.resampledStats(media, box = 8).orderBy("media_id")
     }),
 
+    "m_media_pixels_ico" -> ((s, dir) => {
+      // ICO favicon decode pinned by the ORDER-SENSITIVE resample
+      // stage: the XOR image is stored bottom-up behind a doubled
+      // biHeight and an AND mask — only exact ICONDIR + DIB walking,
+      // the row flip and the mask skip reproduce the planted
+      // top-down stream. %4==3 docs -> junk fallback.
+      val buildIco = udf { (docId: Long) =>
+        val w = 16; val h = 16
+        val px = Array.tabulate(w * h * 3)(i => ((docId * 9 + i * 19) % 256).toByte)
+        MultimodalOps.encodeIco24(px, w, h)
+      }
+      val docs = table(s, dir, "documents").withColumn("blob",
+        when(col("doc_id") % 4 === 3, unhex(unknownHex)).otherwise(buildIco(col("doc_id"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+      MultimodalOps.resampledStats(media, box = 8).orderBy("media_id")
+    }),
+
     "m_media_exif" -> ((s, dir) => {
       // EXIF orientation audit: each %4!=3 doc is a real baseline
       // JPEG with an APP1 EXIF segment planted right after SOI —
@@ -6697,6 +6714,35 @@ object SparkEntry {
         |       len(list_distinct(q))::BIGINT AS distinct_vals,
         |       list_max(q)::BIGINT AS max_val
         |FROM bp
+        |UNION ALL
+        |SELECT doc_id AS media_id, 'unknown' AS format, false AS decoded,
+        |       0::BIGINT, 0::BIGINT, 17::BIGINT,
+        |       ((list_sum(b) * 1000) // 17)::BIGINT,
+        |       len(list_distinct(b))::BIGINT, list_max(b)::BIGINT
+        |FROM junk
+        |ORDER BY media_id""".stripMargin,
+
+    // BGR resample like the BMP oracle: output index j maps to source
+    // index ((j//24)*2*16 + (j%24)//3*2)*3 + j%3 of the planted stream
+    "m_media_pixels_ico" ->
+      """WITH ip AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 191),
+        |           j -> (doc_id * 9 + ((((j // 24) * 2) * 16 + ((j % 24) // 3) * 2) * 3 + j % 3) * 19) % 256) AS q
+        |  FROM documents WHERE doc_id % 4 <> 3),
+        |junk AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 16),
+        |           i -> CASE WHEN i = 0 THEN 0
+        |                     ELSE ('0x' || substr(upper(md5(text)), (i - 1) * 2 + 1, 2))::BIGINT END) AS b
+        |  FROM documents WHERE doc_id % 4 = 3)
+        |SELECT doc_id AS media_id, 'ico' AS format, true AS decoded,
+        |       8::BIGINT AS out_w, 8::BIGINT AS out_h,
+        |       192::BIGINT AS n_vals,
+        |       ((list_sum(q) * 1000) // 192)::BIGINT AS mean_milli,
+        |       len(list_distinct(q))::BIGINT AS distinct_vals,
+        |       list_max(q)::BIGINT AS max_val
+        |FROM ip
         |UNION ALL
         |SELECT doc_id AS media_id, 'unknown' AS format, false AS decoded,
         |       0::BIGINT, 0::BIGINT, 17::BIGINT,

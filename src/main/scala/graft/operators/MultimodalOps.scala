@@ -176,6 +176,10 @@ object MultimodalOps {
               case m if m.format == "tiff" && px.length == m.width * m.height * m.channels =>
                 ("tiff", px, m.width.toInt, m.height.toInt, m.channels.toInt)
             }))
+            .orElse(decodeIcoPixels(content).flatMap(px => hdr.collect {
+              case m if m.format == "ico" && px.length == m.width * m.height * 3 =>
+                ("ico", px, m.width.toInt, m.height.toInt, 3)
+            }))
           decoded match {
             case Some((f, px, w, h, ch)) =>
               val (out, ow, oh) = resample(px, w, h, ch)
@@ -239,6 +243,10 @@ object MultimodalOps {
             .orElse(decodeTiffPixels(content).flatMap(px => hdr.collect {
               case m if m.format == "tiff" && px.length == m.width * m.height * m.channels =>
                 ("tiff", px, m.width.toInt, m.height.toInt, m.channels.toInt)
+            }))
+            .orElse(decodeIcoPixels(content).flatMap(px => hdr.collect {
+              case m if m.format == "ico" && px.length == m.width * m.height * 3 =>
+                ("ico", px, m.width.toInt, m.height.toInt, 3)
             }))
           decoded match {
             case Some((f, px, w, h, ch)) =>
@@ -418,6 +426,18 @@ object MultimodalOps {
       if (w > 0 && hRaw != 0 && hRaw != Int.MinValue)
         return Some(MediaHeader("bmp", w.toLong, math.abs(hRaw).toLong,
           if (u16le(b, 28) == 24L) 3L else 1L, 0L))
+    }
+    // ICO: 00 00 01 00 + count, dims from the first entry's DIB
+    // (biHeight is DOUBLED — XOR + AND share one header)
+    if (b.length >= 22 && u16le(b, 0) == 0L && u16le(b, 2) == 1L && u16le(b, 4) >= 1L) {
+      val off = u32le(b, 18)
+      if (off >= 6L && off + 40 <= b.length && u32le(b, off.toInt) == 40L) {
+        val w = u32le(b, off.toInt + 4).toInt
+        val h2 = u32le(b, off.toInt + 8).toInt
+        if (w > 0 && h2 > 0 && (h2 & 1) == 0)
+          return Some(MediaHeader("ico", w.toLong, (h2 / 2).toLong, 3L, 0L))
+      }
+      return None
     }
     // TIFF: II*\0 / MM\0* then the IFD walk — dims/channels from the
     // required tags; outside the baseline gray/RGB strip scope the
@@ -1167,6 +1187,83 @@ object MultimodalOps {
     Some(out)
   }
 
+  /**
+   * REAL ICO decode — the Windows icon container favicons still ship
+   * in: ICONDIR (reserved 0, type 1, count ≥ 1), the FIRST
+   * ICONDIRENTRY's payload, which for the classic uncompressed form
+   * is a BITMAPINFOHEADER whose biHeight is DOUBLED (XOR color rows +
+   * AND monochrome mask rows share one header). Decodes the 24-bit
+   * XOR image to the logical top-down BGR stream — [[decodeBmpPixels]]'
+   * output convention, so the downstream stages treat icons exactly
+   * like bitmaps; the AND mask is validated in-bounds and skipped
+   * (callers of a pixel STATS stage have no alpha channel to carry).
+   * Honest-refusal scope: PNG-compressed entries (favicon .ico with
+   * embedded PNG — route those through [[decodePngPixels]] by
+   * re-sniffing the payload), depths other than 24, multi-entry
+   * selection beyond the first. Long-guarded header math throughout.
+   */
+  private[graft] def decodeIcoPixels(b: Array[Byte],
+                                     maxPixelBytes: Int = 1 << 26): Option[Array[Byte]] = {
+    if (b == null || b.length < 22) return None
+    if (u16le(b, 0) != 0L || u16le(b, 2) != 1L) return None
+    val count = u16le(b, 4)
+    if (count < 1L || 6 + count * 16 > b.length) return None
+    val off = u32le(b, 18)
+    val size = u32le(b, 14)
+    if (off < 6L || size < 40L || off + size > b.length) return None
+    val h0 = off.toInt
+    if (u32le(b, h0) != 40L) return None
+    val w = u32le(b, h0 + 4).toInt
+    val h2 = u32le(b, h0 + 8).toInt // DOUBLED height (XOR + AND)
+    if (w <= 0 || h2 <= 0 || (h2 & 1) != 0) return None
+    val h = h2 / 2
+    if (u16le(b, h0 + 12) != 1L || u16le(b, h0 + 14) != 24L || u32le(b, h0 + 16) != 0L) return None
+    val rowBytes = w.toLong * 3
+    val stride = (rowBytes + 3) & ~3L
+    val maskStride = ((w.toLong + 31) / 32) * 4
+    if (rowBytes * h > maxPixelBytes) return None
+    val pixOff = h0 + 40L
+    // XOR rows (bottom-up) then AND rows must BOTH fit the entry
+    if (pixOff + stride * h + maskStride * h > off + size) return None
+    val out = new Array[Byte]((rowBytes * h).toInt)
+    var y = 0
+    while (y < h) {
+      val srcRow = h - 1 - y // ICO XOR images are always bottom-up
+      System.arraycopy(b, (pixOff + srcRow * stride).toInt, out, (y * rowBytes).toInt, rowBytes.toInt)
+      y += 1
+    }
+    Some(out)
+  }
+
+  /** Single-image 24-bit ICO writer — the fixture counterpart of
+    * [[decodeIcoPixels]]: `px` is the logical top-down BGR stream;
+    * the stored XOR rows are bottom-up with an all-zero AND mask. */
+  private[graft] def encodeIco24(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && px.length == w * h * 3, "px must be w*h*3 BGR bytes")
+    require(w <= 256 && h <= 256, "ICONDIRENTRY dims are bytes (256 encodes as 0)")
+    val rowBytes = w * 3
+    val stride = (rowBytes + 3) & ~3
+    val maskStride = ((w + 31) / 32) * 4
+    val imgSize = 40 + stride * h + maskStride * h
+    val buf = java.nio.ByteBuffer.allocate(6 + 16 + imgSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putShort(0).putShort(1).putShort(1)
+    buf.put((w % 256).toByte).put((h % 256).toByte).put(0.toByte).put(0.toByte)
+      .putShort(1).putShort(24).putInt(imgSize).putInt(22)
+    buf.putInt(40).putInt(w).putInt(h * 2)
+      .putShort(1).putShort(24).putInt(0).putInt(stride * h + maskStride * h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    val arr = buf.array()
+    val pixOff = 6 + 16 + 40
+    var y = 0
+    while (y < h) {
+      val dstRow = h - 1 - y
+      System.arraycopy(px, y * rowBytes, arr, pixOff + dstRow * stride, rowBytes)
+      y += 1
+    }
+    arr // AND mask rows stay zero-filled
+  }
+
   /** 24-bit BI_RGB BMP encoder — the fixture counterpart of
     * [[decodeBmpPixels]]: `px` is the logical top-down row-major BGR
     * stream; `topDown` picks the stored row order (negative biHeight). */
@@ -1609,6 +1706,7 @@ object MultimodalOps {
               .orElse(GifPixels.decodeGifPixels(content).map(("gif", _)))
               .orElse(decodeBmpPixels(content).map(("bmp", _)))
               .orElse(decodeTiffPixels(content).map(("tiff", _)))
+              .orElse(decodeIcoPixels(content).map(("ico", _)))
           decoded match {
             case Some((f, px)) =>
               val (n, mean, d, mx) = stats(px)

@@ -63,7 +63,9 @@ class MediaFuzzSpec extends AnyFunSuite {
       ("wav-adpcm", MultimodalOps.encodeWavAdpcm(
         Array((1200, 33, Array.tabulate(6)(i => (i * 41 + 7).toByte)),
           (-900, 70, Array.tabulate(6)(i => (i * 13).toByte))), 8000)),
-      ("jpeg-exif", MultimodalOps.withExifOrientation(jpeg, 6, bigEndian = true)))
+      ("jpeg-exif", MultimodalOps.withExifOrientation(jpeg, 6, bigEndian = true)),
+      ("ico", MultimodalOps.encodeIco24(
+        Array.tabulate(9 * 5 * 3)(i => (i * 23 + 1).toByte), 9, 5)))
   }
 
   private def decodeAll(b: Array[Byte]): Unit = {
@@ -75,6 +77,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     MultimodalOps.parseAviFrames(b)
     MultimodalOps.decodeBmpPixels(b)
     MultimodalOps.decodeTiffPixels(b)
+    MultimodalOps.decodeIcoPixels(b)
     MultimodalOps.exifOrientation(b)
     MultimodalOps.parseHeader(b)
     ()

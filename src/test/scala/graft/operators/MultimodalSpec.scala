@@ -302,6 +302,30 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MultimodalOps.decodeTiffPixels(packed).exists(_.sameElements(flat)))
   }
 
+  test("decodeIcoPixels: round-trips the XOR image; refuses hostile/out-of-scope") {
+    val w = 11; val h = 6
+    val px = Array.tabulate(w * h * 3)(i => ((i * 17 + 3) % 256).toByte)
+    val ico = MultimodalOps.encodeIco24(px, w, h)
+    assert(MultimodalOps.decodeIcoPixels(ico).exists(_.sameElements(px)),
+      "bottom-up XOR rows + AND-mask skip must round-trip")
+    assert(MultimodalOps.parseHeader(ico)
+      .contains(MultimodalOps.MediaHeader("ico", w, h, 3, 0)))
+    // truncated mid-mask
+    assert(MultimodalOps.decodeIcoPixels(ico.take(ico.length - 2)).isEmpty)
+    // type 2 (CUR cursor) out of scope
+    val cur = ico.clone(); cur(2) = 2
+    assert(MultimodalOps.decodeIcoPixels(cur).isEmpty)
+    // 32-bit depth out of scope (DIB biBitCount at 22 + 16 + 14)
+    val d32 = ico.clone(); d32(22 + 16 + 14) = 32
+    assert(MultimodalOps.decodeIcoPixels(d32).isEmpty)
+    // ODD doubled height is corruption
+    val oddH = ico.clone(); oddH(22 + 16 + 8) = (h * 2 + 1).toByte
+    assert(MultimodalOps.decodeIcoPixels(oddH).isEmpty)
+    // entry offset past the blob
+    val badOff = ico.clone(); badOff(18) = 0xf0.toByte; badOff(19) = 0xff.toByte
+    assert(MultimodalOps.decodeIcoPixels(badOff).isEmpty)
+  }
+
   test("decodeTiffPixels refuses out-of-scope and hostile streams") {
     val px = Array.tabulate(4 * 4)(i => (i * 3).toByte)
     val good = MultimodalOps.encodeTiff(px, 4, 4, 1)
