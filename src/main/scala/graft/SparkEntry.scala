@@ -7126,7 +7126,7 @@ object SparkEntry {
         |             CAST(floor(sqrt(floor(sqrt(freq::DOUBLE * 1000000000000.0)) * freq::DOUBLE)) AS BIGINT) AS w_milli
         |      FROM k)
         |SELECT rank::BIGINT AS rank, token, freq, w_milli,
-        |       w_milli * 1000000 // (SELECT sum(w_milli) FROM w) AS sample_ppm
+        |       (w_milli * 1000000 // (SELECT sum(w_milli) FROM w))::BIGINT AS sample_ppm
         |FROM w ORDER BY rank""".stripMargin,
 
     // the p_shard rendezvous replay feeding a per-shard rollup; load
@@ -7144,8 +7144,8 @@ object SparkEntry {
         |         sum(length(d.text))::BIGINT AS n_chars
         |  FROM r JOIN documents d USING (doc_id) WHERE rn = 1 GROUP BY 1)
         |SELECT shard, n_docs, n_chars,
-        |       n_docs * 16 * 1000000 // (SELECT sum(n_docs) FROM a) AS doc_load_ppm,
-        |       n_chars * 16 * 1000000 // (SELECT sum(n_chars) FROM a) AS char_load_ppm
+        |       (n_docs * 16 * 1000000 // (SELECT sum(n_docs) FROM a))::BIGINT AS doc_load_ppm,
+        |       (n_chars * 16 * 1000000 // (SELECT sum(n_chars) FROM a))::BIGINT AS char_load_ppm
         |FROM a ORDER BY shard""".stripMargin,
 
     // exact quantized means (floor(x*1e7 + 0.5) summed as BIGINT), so the

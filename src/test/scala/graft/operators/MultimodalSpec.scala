@@ -315,11 +315,12 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // type 2 (CUR cursor) out of scope
     val cur = ico.clone(); cur(2) = 2
     assert(MultimodalOps.decodeIcoPixels(cur).isEmpty)
-    // 32-bit depth out of scope (DIB biBitCount at 22 + 16 + 14)
-    val d32 = ico.clone(); d32(22 + 16 + 14) = 32
+    // 32-bit depth out of scope — the DIB starts right after the
+    // 22-byte ICONDIR(6)+ICONDIRENTRY(16), so biBitCount is at 22 + 14
+    val d32 = ico.clone(); d32(22 + 14) = 32
     assert(MultimodalOps.decodeIcoPixels(d32).isEmpty)
-    // ODD doubled height is corruption
-    val oddH = ico.clone(); oddH(22 + 16 + 8) = (h * 2 + 1).toByte
+    // ODD doubled height is corruption (biHeight at 22 + 8)
+    val oddH = ico.clone(); oddH(22 + 8) = (h * 2 + 1).toByte
     assert(MultimodalOps.decodeIcoPixels(oddH).isEmpty)
     // entry offset past the blob
     val badOff = ico.clone(); badOff(18) = 0xf0.toByte; badOff(19) = 0xff.toByte

@@ -11,7 +11,14 @@ canonicalized only across aliases of the same physical family
 (int32/int64 both map to "int"); int-vs-decimal or int-vs-double is a
 FAIL here like it is in the driver's typed hash.
 
+Types MUST come from the relation API (`con.sql(q).types`), NOT the
+DB-API cursor: DuckDB's `con.description` collapses every numeric type
+to the string 'NUMBER' (BIGINT and HUGEINT are indistinguishable
+there), which made the round-11 gate dead code and let two HUGEINT
+oracles ship. `--selftest` proves the gate is alive.
+
 Usage: check_oracle.py <verify_out_dir> <sf_dir>
+       check_oracle.py --selftest
 """
 import json
 import math
@@ -55,7 +62,39 @@ def canon(rows, cols, types):
             [canon_type(types[i]) for i in order])
 
 
+def sql_with_types(con, query):
+    """fetchall + REAL column types via the relation API.
+
+    The DB-API cursor (`con.description`) reports 'NUMBER' for every
+    numeric type, so BIGINT vs HUGEINT — the exact driver-side typed-hash
+    mismatch this tool exists to catch — is invisible there. The relation
+    API (`con.sql(q).types`) reports the true logical types.
+    """
+    rel = con.sql(query)
+    return rel.fetchall(), list(rel.columns), [str(t) for t in rel.types]
+
+
+def selftest(con):
+    """The gate must distinguish HUGEINT from BIGINT — fail loudly if not."""
+    _, _, types = sql_with_types(con, "SELECT 1::BIGINT AS a, 1::HUGEINT AS b")
+    ct = [canon_type(t) for t in types]
+    assert ct == ["int", "decimal"], (
+        f"type gate is DEAD: BIGINT/HUGEINT canonicalized to {ct}; "
+        "a HUGEINT oracle column would pass silently")
+    # integer division on a subquery-sum reproduces the round-11 bug shape
+    _, _, t2 = sql_with_types(
+        con,
+        "WITH w AS (SELECT unnest([1,2,3])::BIGINT AS x) "
+        "SELECT x * 1000000 // (SELECT sum(x) FROM w) AS ppm FROM w")
+    assert canon_type(t2[0]) == "decimal", (
+        f"expected the uncast ppm column to flag as decimal, got {t2[0]}")
+    print("selftest ok: HUGEINT is distinguishable from BIGINT and would FAIL")
+
+
 def main():
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        selftest(duckdb.connect())
+        return
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     tables = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -75,10 +114,8 @@ def main():
     for name in names:
         res_path = os.path.join(out_dir, name)
         try:
-            got = con.execute(
-                f"SELECT * FROM '{res_path}/*.parquet'").fetchall()
-            got_cols = [d[0] for d in con.description]
-            got_types = [d[1] for d in con.description]
+            got, got_cols, got_types = sql_with_types(
+                con, f"SELECT * FROM '{res_path}/*.parquet'")
         except Exception as e:
             print(f"FAIL  {name}: cannot read result: {e}")
             failures += 1
@@ -91,9 +128,7 @@ def main():
                 failures += 1
             continue
         try:
-            exp = con.execute(oracles[name]).fetchall()
-            exp_cols = [d[0] for d in con.description]
-            exp_types = [d[1] for d in con.description]
+            exp, exp_cols, exp_types = sql_with_types(con, oracles[name])
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
             failures += 1
