@@ -639,6 +639,31 @@ object SparkEntry {
       GraphOps.modularity(edges, labels)
     }),
 
+    "q44_rfm" -> ((s, dir) =>
+      // RFM quintile segmentation: exact integer ntile arithmetic
+      // with explicit user-id tie-breaks on all three axes
+      EventOps.rfmSegments(events(s, dir), "user_id", "tsec", "value")
+        .orderBy("user_id")),
+
+    "q45_markov" -> ((s, dir) =>
+      // first-order event-type transition matrix with ppm shares —
+      // per-user sequences ordered by (tsec, event_id)
+      EventOps.markovTransitions(events(s, dir), "user_id", "tsec",
+          "event_type", "event_id")
+        .orderBy("from_type", "to_type")),
+
+    "q43_components" -> ((s, dir) => {
+      // hash-min connected components on a 7-sharded bipartite graph
+      // (event-type nodes split by user_id % 7, so the graph genuinely
+      // decomposes); 4 propagation rounds, oracle replays the same
+      // unrolled rounds
+      val fwd = events(s, dir).select(
+          concat(lit("u"), col("user_id")).as("src"),
+          concat(lit("e"), col("event_type"), lit("_"), col("user_id") % 7).as("dst"))
+        .distinct()
+      GraphOps.connectedComponents(fwd, rounds = 4).orderBy("node")
+    }),
+
     "q41_cocitation_rank" -> ((s, dir) => {
       // the full link-graph pipeline in one query: planted URLs ->
       // host edges -> bipartite projection (host co-citation with
@@ -913,6 +938,41 @@ object SparkEntry {
       SeriesOps.madOutliers(metricStream(s, dir), k = 3.5)
         .orderBy("path")),
 
+    "g_hitcount" -> ((s, dir) =>
+      // graphite hitcount(1h): rate x forward-gap integrated per
+      // bucket, integer-quantized area sums
+      SeriesOps.hitcount(metricStream(s, dir), 3600L)
+        .orderBy("path", "bucket_start")),
+
+    "g_bands" -> ((s, dir) =>
+      // Bollinger bands over a 5-point frame, k=2: breach test is
+      // pure integer arithmetic ((nq-S1)^2 > k^2(nS2-S1^2))
+      SeriesOps.stddevBands(metricStream(s, dir), n = 5, k = 2)
+        .orderBy("path", "time", "version")),
+
+    "g_most_deviant" -> ((s, dir) =>
+      // graphite mostDeviant(10): top series by integer variance key
+      SeriesOps.mostDeviant(metricStream(s, dir), 10)
+        .orderBy(col("var_key").desc, col("path"))),
+
+    "g_offset_to_zero" -> ((s, dir) =>
+      // graphite offsetToZero: re-base each series at its min —
+      // one exact IEEE subtraction, no quantization needed
+      SeriesOps.offsetToZero(metricStream(s, dir))
+        .orderBy("path", "time", "version")),
+
+    "g_changed" -> ((s, dir) =>
+      // graphite changed(): 1 where the value moved vs the previous
+      // point of the series
+      SeriesOps.changed(metricStream(s, dir))
+        .orderBy("path", "time", "version")),
+
+    "g_divide_series" -> ((s, dir) =>
+      // graphite divideSeries(.value, .min) on 1h-bucket means of
+      // sibling leaves — exact LONG bucket sums, one IEEE division
+      SeriesOps.divideSeries(metricStream(s, dir), "value", "min", 3600L)
+        .orderBy("prefix", "bucket")),
+
     "g_derivative" -> ((s, dir) =>
       // graphite derivative: per-series point-to-point delta
       SeriesOps.derivative(metricStream(s, dir))
@@ -981,6 +1041,12 @@ object SparkEntry {
         .orderBy("event_type", "bin")),
 
     // ---- training-data pipeline: dedup ----
+
+    "d_dedup_soft" -> ((s, dir) =>
+      // keep every copy, weight 1e6//cluster ppm — the soft-dedup
+      // mixture alternative to hard removal; canonical flag preserved
+      DedupOps.softDedup(table(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
 
     "d_dedup_exact" -> ((s, dir) =>
       DedupOps.exactDuplicates(table(s, dir, "documents"), "doc_id", "text").orderBy("fp")),
@@ -1136,6 +1202,30 @@ object SparkEntry {
       // within a 3-word span, top 30 — the word2vec/phrase-mining table
       TextOps.skipgramPairs(table(s, dir, "documents"), "text", window = 3, topN = 30)),
 
+    "t_ttr" -> ((s, dir) =>
+      // per-doc lexical diversity: type-token + hapax ratios in ppm —
+      // the template-spam detector
+      TextOps.typeTokenRatio(table(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
+
+    "t_rake" -> ((s, dir) =>
+      // RAKE keyphrases: stopword-delimited candidate runs scored by
+      // integer deg/freq milli-sums, corpus top 20
+      TextOps.rakeKeywords(table(s, dir, "documents"), "doc_id", "text",
+        stopwords = Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "for"),
+        topN = 20)),
+
+    "t_kn_continuation" -> ((s, dir) =>
+      // Kneser-Ney continuation counts: distinct-left-context top 50
+      // — the smoothing statistic raw frequency can't substitute
+      TextOps.knContinuation(table(s, dir, "documents"), "text", topN = 50)),
+
+    "t_nb_langid" -> ((s, dir) =>
+      // naive-Bayes langid trained on the id%5!=0 split, scored on
+      // the rest: integer micro-log weights, argmax by (score, lang)
+      TextOps.nbLangid(table(s, dir, "documents"), "doc_id", "text", "lang")
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
+
     "t_bm25" -> ((s, dir) =>
       // BM25 top-25 retrieval for a fixed 4-term query over the
       // corpus — per-term floor(1e6·idf·tfpart) micro scores from
@@ -1216,6 +1306,37 @@ object SparkEntry {
       // and n_chars over ordinal ranks (id tie-break) — one exact row
       SampleOps.rankCorrelation(table(s, dir, "documents"),
         TextOps.qualityScore(col("text")), col("n_chars"), col("doc_id"))),
+
+    "p_signal_corr_sampled" -> ((s, dir) =>
+      // the 100 TB form of the same audit: a deterministic Bernoulli
+      // sample (hash rate 0.25) bounds the frame BEFORE the global
+      // rank sort — executable scale path, not an advisory caveat
+      SampleOps.rankCorrelation(
+        SampleOps.bernoulliSample(table(s, dir, "documents"), "doc_id", 0.25, "corr"),
+        TextOps.qualityScore(col("text")), col("n_chars"), col("doc_id"))),
+
+    "p_quality_frontier" -> ((s, dir) =>
+      // Pareto skyline of (quality up, length down): two running-max
+      // windows over the cost order decide dominance, no pairwise join
+      SampleOps.paretoFrontier(table(s, dir, "documents"), col("doc_id"),
+          TextOps.qualityScore(col("text")), col("n_chars"))
+        .withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("score", "quality")
+        .withColumnRenamed("cost", "n_chars")
+        .orderBy("n_chars", "doc_id")),
+
+    "p_class_weights" -> ((s, dir) =>
+      // class-rebalancing weights from exact label counts: inverse-
+      // frequency ppm + inverse-sqrt milli, all integer
+      SampleOps.classWeights(table(s, dir, "embeddings"), "label")
+        .orderBy("label")),
+
+    "p_kfold" -> ((s, dir) =>
+      // deterministic md5 k-fold assignment + per-(fold, lang)
+      // stratification census with exact ppm shares
+      SampleOps.kfoldAudit(table(s, dir, "documents"), "doc_id", "lang",
+          k = 5, salt = "fold")
+        .orderBy("fold", "stratum")),
 
     "p_ks_drift" -> ((s, dir) => {
       // exact two-sample KS gate on document lengths between snapshot
@@ -1493,6 +1614,32 @@ object SparkEntry {
       val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
       SimilarityOps.rangeSearch(e.filter(col("id") < 5), e, minSim = 0.25)
         .orderBy("query_id", "neighbor_id")
+    }),
+
+    "s_mips" -> ((s, dir) => {
+      // max-INNER-PRODUCT top-5: raw dot score, norms kept (the
+      // recommender retrieval mode cosine normalizes away)
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      SimilarityOps.mipsTopK(e.filter(col("id") < 5), e, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "s_knn_mutual" -> ((s, dir) => {
+      // mutual-kNN graph edges over the first 200 vectors: both
+      // endpoints in each other's exact top-5, emitted once (src<dst)
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      SimilarityOps.mutualKnnEdges(e.filter(col("id") < 200), k = 5)
+        .orderBy("src", "dst")
+    }),
+
+    "s_triplets" -> ((s, dir) => {
+      // triplet mining over the first 200 vectors: hardest positive
+      // (same label, min sim) + hardest negative (other label, max
+      // sim) per anchor, margin in integer micros
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"), col("label"))
+      SimilarityOps.tripletMining(e.filter(col("id") < 200))
+        .orderBy("anchor_id")
     }),
 
     "s_rrf" -> ((s, dir) => {
@@ -1832,6 +1979,22 @@ object SparkEntry {
       MultimodalOps.sampleFeatures(media).orderBy("media_id")
     }),
 
+    "m_audio_g711" -> ((s, dir) => {
+      // G.711 telephony WAVs: even docs mu-law (format 7), odd docs
+      // A-law (format 6) — planted companded bytes expanded by the
+      // segment arithmetic, so the sample stats only match if the
+      // expansion formulas are bit-right. %4==3 docs -> junk fallback.
+      val buildWav = udf { (docId: Long) =>
+        val bytes = Array.tabulate(48)(i => ((docId * 13 + i * 7) % 256).toByte)
+        MultimodalOps.encodeWavG711(bytes,
+          fmtCode = if (docId % 2 == 0) 7 else 6, sampleRate = 8000)
+      }
+      val docs = table(s, dir, "documents").withColumn("blob",
+        when(col("doc_id") % 4 === 3, unhex(unknownHex)).otherwise(buildWav(col("doc_id"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+      MultimodalOps.sampleFeatures(media).orderBy("media_id")
+    }),
+
     "m_media_samples_deep" -> ((s, dir) => {
       // the deep-audio sample paths: %3==0 docs carry 24-bit PCM
       // (full-range 3-byte signed LE), %3==1 carry IEEE-float WAVs
@@ -2075,6 +2238,44 @@ object SparkEntry {
       }
       val docs = table(s, dir, "documents").withColumn("blob",
         when(col("doc_id") % 4 === 3, unhex(unknownHex)).otherwise(buildIco(col("doc_id"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+      MultimodalOps.resampledStats(media, box = 8).orderBy("media_id")
+    }),
+
+    "m_media_pixels_tga" -> ((s, dir) => {
+      // TGA decode pinned by the ORDER-SENSITIVE resample stage: the
+      // pixel formula repeats each value for a PIXEL PAIR, so %3==0
+      // docs (RLE type 10) store genuine run packets the decoder must
+      // expand, while odd docs flip row order via descriptor bit 5 —
+      // one oracle covers raw/RLE x top-down/bottom-up. %4==3 docs ->
+      // magic-less junk fallback (TGA's no-magic sniff must REFUSE
+      // them on header inconsistency alone).
+      val buildTga = udf { (docId: Long) =>
+        val w = 16; val h = 16
+        val px = Array.tabulate(w * h * 3)(i =>
+          ((docId * 21 + ((i / 6) * 3 + i % 3) * 29) % 256).toByte)
+        MultimodalOps.encodeTga24(px, w, h,
+          rle = docId % 3 == 0, topDown = docId % 2 == 1)
+      }
+      val docs = table(s, dir, "documents").withColumn("blob",
+        when(col("doc_id") % 4 === 3, unhex(unknownHex)).otherwise(buildTga(col("doc_id"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+      MultimodalOps.resampledStats(media, box = 8).orderBy("media_id")
+    }),
+
+    "m_media_pixels_pnm" -> ((s, dir) => {
+      // binary netpbm decode: %2==0 docs are P6 RGB, %2==1 docs P5
+      // grayscale (different n_vals per parity pins the channel
+      // count), headers carry a comment line the ASCII walk must
+      // skip. %4==3 docs -> junk fallback.
+      val buildPnm = udf { (docId: Long) =>
+        val w = 16; val h = 16
+        val ch = if (docId % 2 == 0) 3 else 1
+        val px = Array.tabulate(w * h * ch)(i => ((docId * 5 + i * 31) % 256).toByte)
+        MultimodalOps.encodePnm(px, w, h, ch)
+      }
+      val docs = table(s, dir, "documents").withColumn("blob",
+        when(col("doc_id") % 4 === 3, unhex(unknownHex)).otherwise(buildPnm(col("doc_id"))))
       val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
       MultimodalOps.resampledStats(media, box = 8).orderBy("media_id")
     }),
@@ -3134,6 +3335,51 @@ object SparkEntry {
         |FROM cell JOIN sz USING (cohort)
         |ORDER BY cohort, "offset"""".stripMargin,
 
+    // quintile = ((rank-1)*5) // n + 1 over an explicit (metric, user)
+    // total order — ntile's arithmetic without trusting any engine's
+    // boundary convention; scores flip so 5 = best
+    "q44_rfm" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS last_day,
+        |         count(*)::BIGINT AS frequency,
+        |         sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))::BIGINT AS monetary_milli
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT *, max(last_day) OVER () - last_day AS recency_days FROM u),
+        |q AS (
+        |  SELECT *,
+        |    6 - (((row_number() OVER (ORDER BY recency_days ASC, user_id ASC) - 1) * 5)
+        |         // (count(*) OVER ()) + 1) AS r_score,
+        |    6 - (((row_number() OVER (ORDER BY frequency DESC, user_id ASC) - 1) * 5)
+        |         // (count(*) OVER ()) + 1) AS f_score,
+        |    6 - (((row_number() OVER (ORDER BY monetary_milli DESC, user_id ASC) - 1) * 5)
+        |         // (count(*) OVER ()) + 1) AS m_score
+        |  FROM r)
+        |SELECT user_id, recency_days, frequency, monetary_milli,
+        |       r_score::BIGINT AS r_score, f_score::BIGINT AS f_score,
+        |       m_score::BIGINT AS m_score,
+        |       (r_score * 100 + f_score * 10 + m_score)::BIGINT AS rfm
+        |FROM q ORDER BY user_id""".stripMargin,
+
+    "q45_markov" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY tsec ASC, event_id ASC) AS next_type
+        |  FROM e),
+        |t AS (
+        |  SELECT event_type AS from_type, next_type AS to_type, count(*)::BIGINT AS n
+        |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, sum(n)::BIGINT AS n_from FROM t GROUP BY 1)
+        |SELECT from_type, to_type, n, n_from,
+        |       (n * 1000000 // n_from)::BIGINT AS share_ppm
+        |FROM t JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
     // unrolled integer-PageRank: every op is bigint (pr//deg, (17s)//20),
     // so three CTE rounds replay Spark's three joins bit-for-bit
     "q17_pagerank" -> {
@@ -3485,6 +3731,31 @@ object SparkEntry {
          |       CAST(floor(sum(4 * (SELECT m FROM m) * ec - dc * dc) * 1000.0
          |              / (4.0 * (SELECT m FROM m) * (SELECT m FROM m))) AS BIGINT) AS q_milli
          |FROM perc""".stripMargin
+    },
+
+    // hash-min rounds unrolled: each round = edge-join + node-min,
+    // exactly the Spark loop body
+    "q43_components" -> {
+      def round(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT node, min(comp) AS comp FROM (
+           |    SELECT adj.b AS node, p.comp FROM adj JOIN $prev p ON adj.a = p.node
+           |    UNION ALL SELECT node, comp FROM $prev) q
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH fwd AS (
+         |  SELECT DISTINCT 'u' || user_id AS src,
+         |         'e' || event_type || '_' || (user_id % 7) AS dst
+         |  FROM events),
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM fwd WHERE src <> dst),
+         |adj AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+         |c0 AS (SELECT DISTINCT a AS node, a AS comp FROM adj),
+         |${round("c0", "c1")},
+         |${round("c1", "c2")},
+         |${round("c2", "c3")},
+         |${round("c3", "c4")}
+         |SELECT node, comp FROM c4 ORDER BY node""".stripMargin
     },
 
     // projection pairs from the capped incidence self-join, then the
@@ -4125,6 +4396,94 @@ object SparkEntry {
          |FROM dev d JOIN mad USING (path)
          |GROUP BY 1 ORDER BY d.path""".stripMargin,
 
+    // rate x forward-gap areas as 1e-6-quantized LONG sums: the
+    // bucket total is an integer sum, association-order-free
+    "g_hitcount" ->
+      s"""$OracleM,
+         |x AS (
+         |  SELECT path, "time",
+         |         lead("time") OVER (PARTITION BY path ORDER BY "time", version)
+         |           - "time" AS gap,
+         |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vq
+         |  FROM m)
+         |SELECT path, "time" - ("time" % 3600) AS bucket_start,
+         |       count(*) AS n_points,
+         |       round(CAST(sum(vq * gap) AS DOUBLE) / 1000000.0, 4) AS hits
+         |FROM x WHERE gap IS NOT NULL AND gap > 0
+         |GROUP BY 1, 2 ORDER BY path, bucket_start""".stripMargin,
+
+    // the breach inequality is integer: (n*q - S1)^2 > k^2*(n*S2 - S1^2)
+    "g_bands" ->
+      s"""$OracleM,
+         |x AS (
+         |  SELECT path, "time", version,
+         |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS q
+         |  FROM m),
+         |f AS (
+         |  SELECT path, "time", version, q,
+         |         count(*) OVER w AS nw, sum(q) OVER w AS s1,
+         |         sum(q * q) OVER w AS s2
+         |  FROM x WINDOW w AS (PARTITION BY path ORDER BY "time", version
+         |                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+         |SELECT path, "time", version, nw AS n_window,
+         |       round(CAST(s1 AS DOUBLE) / CAST(nw AS DOUBLE) / 1000000.0, 6) AS mid,
+         |       round(sqrt(CAST(nw * s2 - s1 * s1 AS DOUBLE)) / CAST(nw AS DOUBLE)
+         |             / 1000000.0, 6) AS band_sigma,
+         |       CASE WHEN (nw * q - s1) * (nw * q - s1) > 4 * (nw * s2 - s1 * s1)
+         |            THEN 1 ELSE 0 END::BIGINT AS breach
+         |FROM f ORDER BY path, "time", version""".stripMargin,
+
+    // per-series variance ranks by the pure-integer key n*S2 - S1^2
+    // over milli-quantized values; path tie-break totalizes the order
+    "g_most_deviant" ->
+      s"""$OracleM,
+         |x AS (
+         |  SELECT path, CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS q
+         |  FROM m),
+         |a AS (
+         |  SELECT path, count(*)::BIGINT AS n_points,
+         |         sum(q)::BIGINT AS s1, sum(q * q)::BIGINT AS s2
+         |  FROM x GROUP BY 1)
+         |SELECT path, n_points, n_points * s2 - s1 * s1 AS var_key,
+         |       round(CAST(n_points * s2 - s1 * s1 AS DOUBLE)
+         |             / CAST(n_points * n_points AS DOUBLE) / 1000000.0, 6) AS variance
+         |FROM a ORDER BY var_key DESC, path LIMIT 10""".stripMargin,
+
+    "g_offset_to_zero" ->
+      s"""$OracleM
+         |SELECT path, "time", version,
+         |       value - min(value) OVER (PARTITION BY path) AS value
+         |FROM m ORDER BY path, "time", version""".stripMargin,
+
+    "g_changed" ->
+      s"""$OracleM
+         |SELECT path, "time", version,
+         |       coalesce(CASE WHEN value <> lag(value) OVER
+         |           (PARTITION BY path ORDER BY "time", version)
+         |         THEN 1 END, 0)::BIGINT AS changed
+         |FROM m ORDER BY path, "time", version""".stripMargin,
+
+    // sibling-leaf ratio on 1h buckets: exact LONG bucket sums reduce
+    // to means, then ONE IEEE division — same op order as Spark
+    "g_divide_series" ->
+      s"""$OracleM,
+         |b AS (
+         |  SELECT regexp_replace(path, '\\.[^.]*$$', '') AS prefix,
+         |         regexp_extract(path, '([^.]*)$$', 1) AS leaf,
+         |         "time" - ("time" % 3600) AS bucket,
+         |         count(*) AS n,
+         |         sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS sq
+         |  FROM m WHERE regexp_extract(path, '([^.]*)$$', 1) IN ('value', 'min')
+         |  GROUP BY 1, 2, 3),
+         |num AS (SELECT prefix, bucket, n AS n_num, sq AS sq_num FROM b WHERE leaf = 'value'),
+         |den AS (SELECT prefix, bucket, n AS n_den, sq AS sq_den FROM b WHERE leaf = 'min')
+         |SELECT prefix, bucket, n_num, n_den,
+         |       round(CASE WHEN sq_den <> 0 THEN
+         |           (CAST(sq_num AS DOUBLE) / CAST(n_num AS DOUBLE)) /
+         |           (CAST(sq_den AS DOUBLE) / CAST(n_den AS DOUBLE)) END, 6) AS ratio
+         |FROM num JOIN den USING (prefix, bucket)
+         |ORDER BY prefix, bucket""".stripMargin,
+
     "g_highest" ->
       s"""$OracleM,
          |st AS (
@@ -4303,6 +4662,18 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |       min(doc_id) AS canonical_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d_dedup_soft" ->
+      """WITH f AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |c AS (SELECT fp, count(*)::BIGINT AS dup_count, min(doc_id) AS canon
+        |      FROM f GROUP BY 1)
+        |SELECT doc_id, dup_count,
+        |       (1000000 // dup_count)::BIGINT AS weight_ppm,
+        |       (1000000 - dup_count * (1000000 // dup_count))::BIGINT AS cluster_residue_ppm,
+        |       CASE WHEN doc_id = canon THEN 1 ELSE 0 END::BIGINT AS is_canonical
+        |FROM f JOIN c USING (fp) ORDER BY doc_id""".stripMargin,
 
     "d_dedup_minhash" ->
       """WITH w AS (
@@ -4911,6 +5282,120 @@ object SparkEntry {
         |c AS (SELECT w1, w2, count(*)::BIGINT AS n FROM g GROUP BY 1, 2)
         |SELECT w1, w2, n FROM c ORDER BY n DESC, w1, w2 LIMIT 30""".stripMargin,
 
+    "t_ttr" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |tc AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+        |d AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+        |         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+        |  FROM tc GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_types, n_hapax,
+        |       (n_types * 1000000 // n_tokens)::BIGINT AS ttr_ppm,
+        |       (n_hapax * 1000000 // n_tokens)::BIGINT AS hapax_ppm
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // gaps-and-islands phrase split at the stopword list; word scores
+    // are deg*1000 // freq milli LONGs, phrase scores LONG sums
+    "t_rake" ->
+      """WITH ts AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, ts[i.i] AS w, i.i AS pos
+        |  FROM ts, UNNEST(range(1, len(ts) + 1)) AS i(i)),
+        |ns AS (
+        |  SELECT doc_id, pos, w,
+        |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM tok
+        |  WHERE w NOT IN ('the','a','an','of','to','and','in','is','on','for')),
+        |ph AS (
+        |  SELECT doc_id, isl, string_agg(w, ' ' ORDER BY pos) AS phrase,
+        |         count(*)::BIGINT AS plen
+        |  FROM ns GROUP BY 1, 2),
+        |wl AS (
+        |  SELECT ns.doc_id, ns.isl, ns.w, ph.phrase, ph.plen
+        |  FROM ns JOIN ph USING (doc_id, isl)),
+        |ws AS (
+        |  SELECT w, (sum(plen)::BIGINT * 1000 // count(*)::BIGINT)::BIGINT AS score_milli
+        |  FROM wl GROUP BY 1),
+        |psc AS (
+        |  SELECT wl.doc_id, wl.isl, wl.phrase, wl.plen,
+        |         sum(ws.score_milli)::BIGINT AS score_milli
+        |  FROM wl JOIN ws USING (w) GROUP BY 1, 2, 3, 4),
+        |agg AS (
+        |  SELECT phrase, max(plen)::BIGINT AS n_words,
+        |         count(*)::BIGINT AS n_occurrences,
+        |         max(score_milli)::BIGINT AS score_milli
+        |  FROM psc GROUP BY 1)
+        |SELECT phrase, n_words, n_occurrences, score_milli
+        |FROM agg ORDER BY score_milli DESC, phrase LIMIT 20""".stripMargin,
+
+    "t_kn_continuation" ->
+      """WITH ts AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |bg AS (
+        |  SELECT DISTINCT ts[i.i] AS w1, ts[i.i + 1] AS w2
+        |  FROM ts, UNNEST(range(1, len(ts))) AS i(i)),
+        |n AS (SELECT count(*)::BIGINT AS n_bi_distinct FROM bg),
+        |c AS (SELECT w2 AS token, count(*)::BIGINT AS cont_count FROM bg GROUP BY 1)
+        |SELECT token, cont_count, n_bi_distinct,
+        |       (cont_count * 1000000 // n_bi_distinct)::BIGINT AS cont_ppm
+        |FROM c, n ORDER BY cont_count DESC, token LIMIT 50""".stripMargin,
+
+    // micro-log weights from ln of exact integer counts only (the
+    // t_pmi precedent); OOV tokens take the lang's add-one floor;
+    // argmax by (score, lang)
+    "t_nb_langid" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |traintok AS (
+        |  SELECT lang, unnest(ts) AS w FROM base WHERE doc_id % 5 <> 0),
+        |counts AS (SELECT lang, w, count(*)::BIGINT AS c FROM traintok GROUP BY 1, 2),
+        |langtot AS (SELECT lang, count(*)::BIGINT AS n_tok FROM traintok GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT w)::BIGINT AS v FROM traintok),
+        |priors AS (
+        |  SELECT lang,
+        |         CAST(floor(ln(count(*)::DOUBLE) * 1000000.0) AS BIGINT)
+        |         - CAST(floor(ln((SELECT count(*) FROM base WHERE doc_id % 5 <> 0)::DOUBLE) * 1000000.0) AS BIGINT) AS prior_micro
+        |  FROM base WHERE doc_id % 5 <> 0 GROUP BY 1),
+        |langden AS (
+        |  SELECT lang,
+        |         CAST(floor(ln((n_tok + (SELECT v FROM vocab))::DOUBLE) * 1000000.0) AS BIGINT) AS den_micro
+        |  FROM langtot),
+        |weights AS (
+        |  SELECT counts.lang, counts.w,
+        |         CAST(floor(ln((c + 1)::DOUBLE) * 1000000.0) AS BIGINT) - den_micro AS w_micro
+        |  FROM counts JOIN langden USING (lang)),
+        |testtok AS (
+        |  SELECT doc_id, lang AS true_lang, unnest(ts) AS w
+        |  FROM base WHERE doc_id % 5 = 0),
+        |cand AS (
+        |  SELECT t.doc_id, t.true_lang, d.lang AS cand_lang,
+        |         coalesce(wt.w_micro, -d.den_micro) AS tok_micro
+        |  FROM testtok t
+        |  CROSS JOIN langden d
+        |  LEFT JOIN weights wt ON wt.lang = d.lang AND wt.w = t.w),
+        |scored AS (
+        |  SELECT doc_id, true_lang, cand_lang,
+        |         sum(tok_micro)::BIGINT + max(p.prior_micro)::BIGINT AS score_micro
+        |  FROM cand JOIN priors p ON p.lang = cand.cand_lang
+        |  GROUP BY 1, 2, 3),
+        |best AS (
+        |  SELECT doc_id, true_lang, cand_lang AS pred_lang, score_micro,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY score_micro DESC, cand_lang ASC) AS rn
+        |  FROM scored)
+        |SELECT doc_id, true_lang, pred_lang, score_micro,
+        |       CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END::BIGINT AS correct
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     // same planted fragment; the strip is the standard <[^>]+> pass on
     // both engines, the boilerplate flag an (?i) RE2/JVM-identical scan
     "t_html_strip" ->
@@ -5026,6 +5511,83 @@ object SparkEntry {
         |         1.0 - 6.0 * sum((r1 - r2) * (r1 - r2))::DOUBLE
         |           / (count(*)::DOUBLE * (count(*)::DOUBLE * count(*)::DOUBLE - 1.0)) END, 6) AS spearman
         |FROM rk""".stripMargin,
+
+    // the p_signal_corr pipeline behind the deterministic md5
+    // Bernoulli gate — the sampled audit frame
+    "p_signal_corr_sampled" ->
+      """WITH qw AS (
+        |  SELECT doc_id, n_chars, length(text)::BIGINT AS len,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS lw,
+        |         (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))::BIGINT AS np
+        |  FROM documents
+        |  WHERE ('0x' || substr(md5('corr:' || doc_id), 1, 15))::BIGINT
+        |        / 1152921504606846976.0 < 0.25),
+        |q AS (
+        |  SELECT doc_id, n_chars,
+        |       (400 * least(len, 500)) // 500
+        |     + CASE WHEN len(lw) = 0 THEN 0
+        |            ELSE (300 * least(len(list_filter(lw, x -> x IN ('the','a','an','of','to','and','in','is','on','for'))) * 5, len(lw))) // len(lw) END
+        |     + CASE WHEN len = 0 THEN 0 ELSE (300 * greatest(len - np * 5, 0)) // len END AS quality
+        |  FROM qw),
+        |rk AS (
+        |  SELECT row_number() OVER (ORDER BY quality ASC, doc_id ASC) AS r1,
+        |         row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS r2
+        |  FROM q)
+        |SELECT count(*)::BIGINT AS n,
+        |       sum((r1 - r2) * (r1 - r2))::BIGINT AS sum_d2,
+        |       round(CASE WHEN count(*) >= 2 THEN
+        |         1.0 - 6.0 * sum((r1 - r2) * (r1 - r2))::DOUBLE
+        |           / (count(*)::DOUBLE * (count(*)::DOUBLE * count(*)::DOUBLE - 1.0)) END, 6) AS spearman
+        |FROM rk""".stripMargin,
+
+    // skyline dominance via the two running-max windows over the
+    // n_chars order — strictly-cheaper max >= mine OR tied-cost max >
+    // mine means dominated
+    "p_quality_frontier" ->
+      """WITH qw AS (
+        |  SELECT doc_id, n_chars, length(text)::BIGINT AS len,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS lw,
+        |         (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))::BIGINT AS np
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, n_chars,
+        |       (400 * least(len, 500)) // 500
+        |     + CASE WHEN len(lw) = 0 THEN 0
+        |            ELSE (300 * least(len(list_filter(lw, x -> x IN ('the','a','an','of','to','and','in','is','on','for'))) * 5, len(lw))) // len(lw) END
+        |     + CASE WHEN len = 0 THEN 0 ELSE (300 * greatest(len - np * 5, 0)) // len END AS quality
+        |  FROM qw),
+        |f AS (
+        |  SELECT doc_id, quality, n_chars,
+        |         max(quality) OVER (ORDER BY n_chars RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_lt,
+        |         max(quality) OVER (ORDER BY n_chars RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_le
+        |  FROM q)
+        |SELECT doc_id, quality, n_chars FROM f
+        |WHERE (max_lt IS NULL OR max_lt < quality) AND max_le <= quality
+        |ORDER BY n_chars, doc_id""".stripMargin,
+
+    // md5 fold assignment replayed byte-identically; shares are exact
+    // integer ppm of fold totals
+    "p_kfold" ->
+      """WITH a AS (
+        |  SELECT ('0x' || substr(md5('fold:' || doc_id), 1, 15))::BIGINT % 5 AS fold,
+        |         lang AS stratum
+        |  FROM documents),
+        |cell AS (SELECT fold, stratum, count(*)::BIGINT AS n_docs FROM a GROUP BY 1, 2),
+        |ft AS (SELECT fold, sum(n_docs)::BIGINT AS fold_total FROM cell GROUP BY 1)
+        |SELECT fold, stratum, n_docs, fold_total,
+        |       (n_docs * 1000000 // fold_total)::BIGINT AS share_ppm
+        |FROM cell JOIN ft USING (fold)
+        |ORDER BY fold, stratum""".stripMargin,
+
+    // all-integer rebalancing weights; sqrt is IEEE-exact on the
+    // integer-division input so the milli floor cannot straddle
+    "p_class_weights" ->
+      """WITH c AS (SELECT label, count(*)::BIGINT AS cnt FROM embeddings GROUP BY 1),
+        |t AS (SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS k FROM c)
+        |SELECT label, cnt, total, k,
+        |       (total * 1000000 // (cnt * k))::BIGINT AS inv_weight_ppm,
+        |       CAST(floor(sqrt((total * 1000000 // cnt)::DOUBLE)) AS BIGINT) AS sqrt_weight_milli
+        |FROM c, t ORDER BY label""".stripMargin,
 
     // ppm-quantized CDFs BEFORE the difference (bounded longs at any
     // corpus size — no na*nb cross product), mirroring SampleOps.ksDrift
@@ -5602,6 +6164,69 @@ object SparkEntry {
         |  FROM q, c WHERE query_id <> neighbor_id)
         |SELECT query_id, neighbor_id, sim FROM scored
         |WHERE sim >= 0.25 ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // raw inner product, no normalization — the MIPS retrieval mode
+    "s_mips" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(list_sum(list_transform(range(1, 65),
+        |               i -> qv[i]::DOUBLE * cv[i]::DOUBLE)), 6) AS score
+        |  FROM q, c WHERE query_id <> neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, score,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank::BIGINT AS rank, neighbor_id, score
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // mutual top-5 edges: the ranked frame self-joined on the reversed
+    // id pair, each undirected edge emitted once
+    "s_knn_mutual" ->
+      """WITH e AS (SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id < 200),
+        |scored AS (
+        |  SELECT a.id AS qid, b.id AS nid,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) AS sim
+        |  FROM e a, e b WHERE a.id <> b.id),
+        |ranked AS (
+        |  SELECT qid, nid, sim,
+        |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+        |  FROM scored),
+        |top AS (SELECT qid, nid, sim FROM ranked WHERE rank <= 5)
+        |SELECT t.qid AS src, t.nid AS dst, t.sim
+        |FROM top t JOIN top r ON t.qid = r.nid AND t.nid = r.qid
+        |WHERE t.qid < t.nid ORDER BY src, dst""".stripMargin,
+
+    // hardest positive = (simq asc, id asc) first of the same-label
+    // pairs; hardest negative = (simq desc, id asc) first of the rest;
+    // margin stays in integer micros end to end
+    "s_triplets" ->
+      """WITH e AS (SELECT vec_id AS id, embedding, label FROM embeddings WHERE vec_id < 200),
+        |scored AS (
+        |  SELECT a.id AS anchor_id, a.label AS a_label, b.id AS other_id, b.label AS o_label,
+        |         CAST(floor(
+        |           list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))
+        |           * 1000000.0 + 0.5) AS BIGINT) AS simq
+        |  FROM e a, e b WHERE a.id <> b.id),
+        |pos AS (
+        |  SELECT anchor_id, a_label AS label, other_id AS pos_id, simq AS pos_simq
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY simq ASC, other_id ASC) AS rn
+        |        FROM scored WHERE o_label = a_label) q WHERE rn = 1),
+        |neg AS (
+        |  SELECT anchor_id, other_id AS neg_id, simq AS neg_simq
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY simq DESC, other_id ASC) AS rn
+        |        FROM scored WHERE o_label <> a_label) q WHERE rn = 1)
+        |SELECT anchor_id, label, pos_id,
+        |       pos_simq::DOUBLE / 1000000.0 AS pos_sim,
+        |       neg_id, neg_simq::DOUBLE / 1000000.0 AS neg_sim,
+        |       pos_simq - neg_simq AS margin_micro
+        |FROM pos JOIN neg USING (anchor_id) ORDER BY anchor_id""".stripMargin,
 
     "s_rrf" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
@@ -6437,6 +7062,53 @@ object SparkEntry {
         |FROM junk
         |ORDER BY media_id""".stripMargin,
 
+    // the G.711 expansions replay as pure integer segment arithmetic:
+    // mu-law complements then biases by 132, A-law XORs 0x55 with the
+    // zero-segment special case; sign conventions differ by design
+    "m_audio_g711" ->
+      """WITH mu AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 47), i ->
+        |           CASE WHEN (255 - (doc_id * 13 + i * 7) % 256) >= 128
+        |                THEN 132 - (((255 - (doc_id * 13 + i * 7) % 256) % 16) * 8 + 132)
+        |                     * (1 << (((255 - (doc_id * 13 + i * 7) % 256) // 16) % 8))
+        |                ELSE (((255 - (doc_id * 13 + i * 7) % 256) % 16) * 8 + 132)
+        |                     * (1 << (((255 - (doc_id * 13 + i * 7) % 256) // 16) % 8)) - 132
+        |           END) AS sl
+        |  FROM documents WHERE doc_id % 4 <> 3 AND doc_id % 2 = 0),
+        |al AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 47), i ->
+        |           CASE WHEN xor((doc_id * 13 + i * 7) % 256, 85) >= 128 THEN 1 ELSE -1 END *
+        |           CASE WHEN (xor((doc_id * 13 + i * 7) % 256, 85) // 16) % 8 = 0
+        |                THEN (xor((doc_id * 13 + i * 7) % 256, 85) % 16) * 16 + 8
+        |                ELSE ((xor((doc_id * 13 + i * 7) % 256, 85) % 16) * 16 + 264)
+        |                     * (1 << ((xor((doc_id * 13 + i * 7) % 256, 85) // 16) % 8 - 1))
+        |           END) AS sl
+        |  FROM documents WHERE doc_id % 4 = 1),
+        |wav AS (SELECT doc_id, sl FROM mu UNION ALL SELECT doc_id, sl FROM al),
+        |junk AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 16),
+        |           i -> CASE WHEN i = 0 THEN 0
+        |                     ELSE ('0x' || substr(upper(md5(text)), (i - 1) * 2 + 1, 2))::BIGINT END) AS b
+        |  FROM documents WHERE doc_id % 4 = 3)
+        |SELECT doc_id AS media_id, 'wav' AS format, true AS decoded,
+        |       48::BIGINT AS n_samples,
+        |       floor(list_sum(sl) * 1000 / 48.0)::BIGINT AS mean_milli,
+        |       list_max(list_transform(sl, x -> abs(x)))::BIGINT AS peak,
+        |       len(list_filter(generate_series(2, 48),
+        |             j -> (sl[j - 1] < 0) <> (sl[j] < 0)))::BIGINT AS zero_crossings
+        |FROM wav
+        |UNION ALL
+        |SELECT doc_id AS media_id, 'unknown' AS format, false AS decoded,
+        |       17::BIGINT AS n_samples,
+        |       floor(list_sum(b) * 1000 / 17.0)::BIGINT AS mean_milli,
+        |       list_max(b)::BIGINT AS peak,
+        |       0::BIGINT AS zero_crossings
+        |FROM junk
+        |ORDER BY media_id""".stripMargin,
+
     // 24-bit samples replay as exact integer arithmetic; float samples
     // as round(k*32767/256.0) in doubles — k/256 is exactly
     // representable and |k| <= 100 never lands on a .5 boundary
@@ -6743,6 +7415,77 @@ object SparkEntry {
         |       len(list_distinct(q))::BIGINT AS distinct_vals,
         |       list_max(q)::BIGINT AS max_val
         |FROM ip
+        |UNION ALL
+        |SELECT doc_id AS media_id, 'unknown' AS format, false AS decoded,
+        |       0::BIGINT, 0::BIGINT, 17::BIGINT,
+        |       ((list_sum(b) * 1000) // 17)::BIGINT,
+        |       len(list_distinct(b))::BIGINT, list_max(b)::BIGINT
+        |FROM junk
+        |ORDER BY media_id""".stripMargin,
+
+    // the planted stream repeats each value for a pixel pair
+    // (k//6 collapses the pair), so the oracle is one formula across
+    // raw/RLE and both row orders
+    "m_media_pixels_tga" ->
+      """WITH tp AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 191),
+        |           j -> (doc_id * 21 +
+        |                 (((((((j // 24) * 2) * 16 + ((j % 24) // 3) * 2) * 3 + j % 3) // 6) * 3
+        |                   + ((((j // 24) * 2) * 16 + ((j % 24) // 3) * 2) * 3 + j % 3) % 3) * 29)) % 256) AS q
+        |  FROM documents WHERE doc_id % 4 <> 3),
+        |junk AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 16),
+        |           i -> CASE WHEN i = 0 THEN 0
+        |                     ELSE ('0x' || substr(upper(md5(text)), (i - 1) * 2 + 1, 2))::BIGINT END) AS b
+        |  FROM documents WHERE doc_id % 4 = 3)
+        |SELECT doc_id AS media_id, 'tga' AS format, true AS decoded,
+        |       8::BIGINT AS out_w, 8::BIGINT AS out_h,
+        |       192::BIGINT AS n_vals,
+        |       ((list_sum(q) * 1000) // 192)::BIGINT AS mean_milli,
+        |       len(list_distinct(q))::BIGINT AS distinct_vals,
+        |       list_max(q)::BIGINT AS max_val
+        |FROM tp
+        |UNION ALL
+        |SELECT doc_id AS media_id, 'unknown' AS format, false AS decoded,
+        |       0::BIGINT, 0::BIGINT, 17::BIGINT,
+        |       ((list_sum(b) * 1000) // 17)::BIGINT,
+        |       len(list_distinct(b))::BIGINT, list_max(b)::BIGINT
+        |FROM junk
+        |ORDER BY media_id""".stripMargin,
+
+    // P6 rows resample 192 interleaved bytes, P5 rows 64 gray bytes —
+    // n_vals pins the channel count per parity
+    "m_media_pixels_pnm" ->
+      """WITH p6 AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 191),
+        |           j -> (doc_id * 5 + ((((j // 24) * 2) * 16 + ((j % 24) // 3) * 2) * 3 + j % 3) * 31) % 256) AS q
+        |  FROM documents WHERE doc_id % 4 <> 3 AND doc_id % 2 = 0),
+        |p5 AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 63),
+        |           j -> (doc_id * 5 + (((j // 8) * 2) * 16 + (j % 8) * 2) * 31) % 256) AS q
+        |  FROM documents WHERE doc_id % 4 <> 3 AND doc_id % 2 = 1),
+        |junk AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 16),
+        |           i -> CASE WHEN i = 0 THEN 0
+        |                     ELSE ('0x' || substr(upper(md5(text)), (i - 1) * 2 + 1, 2))::BIGINT END) AS b
+        |  FROM documents WHERE doc_id % 4 = 3)
+        |SELECT doc_id AS media_id, 'pnm' AS format, true AS decoded,
+        |       8::BIGINT AS out_w, 8::BIGINT AS out_h, 192::BIGINT AS n_vals,
+        |       ((list_sum(q) * 1000) // 192)::BIGINT AS mean_milli,
+        |       len(list_distinct(q))::BIGINT AS distinct_vals,
+        |       list_max(q)::BIGINT AS max_val
+        |FROM p6
+        |UNION ALL
+        |SELECT doc_id AS media_id, 'pnm' AS format, true AS decoded,
+        |       8::BIGINT, 8::BIGINT, 64::BIGINT,
+        |       ((list_sum(q) * 1000) // 64)::BIGINT,
+        |       len(list_distinct(q))::BIGINT, list_max(q)::BIGINT
+        |FROM p5
         |UNION ALL
         |SELECT doc_id AS media_id, 'unknown' AS format, false AS decoded,
         |       0::BIGINT, 0::BIGINT, 17::BIGINT,

@@ -74,6 +74,37 @@ object DedupOps {
   }
 
   /**
+   * SOFT dedup: keep EVERY copy but down-weight each to
+   * `1e6 // cluster_size` ppm so a duplicated document contributes
+   * (about) one document's worth of gradient — the training-mixture
+   * alternative to hard removal when near-boundary duplicates carry
+   * distinct metadata (different sources, licenses, timestamps) you
+   * don't want to pick a single winner among. The per-cluster
+   * residue `1e6 − size·weight` is emitted too: at million-copy
+   * scale truncation loses up to `size−1` ppm per cluster, and the
+   * residue column is what a weight-budget audit sums.
+   *
+   * One window by content fingerprint (same shuffle as
+   * [[dropExactDuplicates]] — this is its keep-everything sibling);
+   * no join, no second scan. Canonical flag = smallest id, so a hard
+   * dedup downstream can still filter `is_canonical = 1` and get
+   * exactly [[dropExactDuplicates]]' survivors.
+   */
+  def softDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val byFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextOps.fingerprint(col(textCol)))
+    val rank = byFp.orderBy(col(idCol))
+    docs
+      .withColumn("dup_count", count(lit(1)).over(byFp))
+      .withColumn("rn", row_number().over(rank))
+      .select(col(idCol).as("id"), col("dup_count"),
+        IntDiv(lit(1000000L), col("dup_count")).cast("long").as("weight_ppm"),
+        (lit(1000000L) - col("dup_count") * IntDiv(lit(1000000L), col("dup_count")))
+          .cast("long").as("cluster_residue_ppm"),
+        when(col("rn") === 1, 1L).otherwise(0L).as("is_canonical"))
+  }
+
+  /**
    * Incremental exact dedup: which docs of a NEW batch survive against
    * an already-accepted corpus — the document-side analogue of the
    * metrics exists-cache (dedup against everything crawled so far

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -350,5 +350,82 @@ object EventOps {
       .join(matched, Seq("win_id"), "left")
       .select(col("win_id"), col("key"),
         coalesce(col("n"), lit(0L)).as("n_in_window"))
+  }
+
+  /**
+   * RFM segmentation — the classic user-value triage (recency /
+   * frequency / monetary) as exact integer quintiles: per user,
+   * days since last activity (against the corpus max, so the score
+   * is reproducible from the data alone), event count, and the
+   * 1e-3-quantized value sum; each axis ranks into quintiles by
+   * `((rank−1)·5) div n + 1` over a (metric, user_id) total order —
+   * ntile's arithmetic with an explicit tie-break, so no engine's
+   * ntile boundary convention is trusted. Recency ranks ASC on
+   * days-since (most recent = rank 1 = score 5 after the flip);
+   * frequency/monetary rank DESC. `rfm = 100r + 10f + m`.
+   *
+   * Scale: one user-keyed aggregate, then three global rank windows
+   * over the USER table (aggregate-sized, not event-sized) — the
+   * audit-frame caveat; at billions of users swap each rank for the
+   * fixed-grid quantile sketch thresholds like qualityTopFraction's
+   * scale form.
+   */
+  def rfmSegments(events: DataFrame, userCol: String, tsecCol: String,
+                  valueCol: String): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol).as("user_id"))
+      .agg(max(expr(s"$tsecCol div 86400")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(floor(col(valueCol) * lit(1.0e3) + lit(0.5)).cast("long"))
+          .as("monetary_milli"))
+      .withColumn("recency_days",
+        max("last_day").over(Window.partitionBy()) - col("last_day"))
+    def quintile(ord: Column*): Column = {
+      val w = Window.orderBy(ord: _*)
+      // LONG integral division — Spark's `/` would go through a double
+      (graft.operators.IntDiv(
+        (row_number().over(w).cast("long") - 1L) * 5L,
+        count(lit(1)).over(Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing))) + 1L)
+        .cast("long")
+    }
+    perUser
+      .withColumn("r_score",
+        lit(6L) - quintile(col("recency_days").asc, col("user_id").asc))
+      .withColumn("f_score",
+        lit(6L) - quintile(col("frequency").desc, col("user_id").asc))
+      .withColumn("m_score",
+        lit(6L) - quintile(col("monetary_milli").desc, col("user_id").asc))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_milli"), col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100L + col("f_score") * 10L + col("m_score")).as("rfm"))
+  }
+
+  /**
+   * First-order Markov transition matrix over per-user event
+   * sequences: counts of consecutive (from → to) event types (ordered
+   * by time with the event id as the LWW-style tie-break) and the
+   * per-source transition share in ppm — the behavioral fingerprint
+   * session-based recommenders and bot detectors read. Integer
+   * division keeps the shares engine-exact.
+   *
+   * Scale: one window shuffle on the user key for the lag, one
+   * (from, to)-keyed aggregate (type²-bounded output), one from-keyed
+   * total — all map-side combined. No cross join, no driver state.
+   */
+  def markovTransitions(events: DataFrame, userCol: String, tsecCol: String,
+                        typeCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsecCol).asc, col(idCol).asc)
+    val trans = events
+      .withColumn("next_type", lead(col(typeCol), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy("from_type").agg(sum("n").as("n_from"))
+    trans.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        graft.operators.IntDiv(col("n") * 1000000L, col("n_from")).cast("long")
+          .as("share_ppm"))
   }
 }

@@ -520,4 +520,44 @@ object GraphOps {
     }
     degrees(und).select(col("node"), col("deg"))
   }
+
+  /**
+   * Connected components by HASH-MIN propagation: every node starts
+   * as its own component id, and each round adopts the minimum id
+   * among itself and its neighbors — after `rounds` rounds a node
+   * carries the smallest id within graph distance `rounds`, so any
+   * component of diameter ≤ `rounds` is exactly labeled by its
+   * minimum node id. Fixed rounds keep the result deterministic and
+   * oracle-replayable (the same unrolled propagation runs in SQL);
+   * convergence is observable in the output — rerunning with
+   * rounds+1 and diffing is the standard check, and the per-round
+   * message volume is edge-sized either way.
+   *
+   * Scale: each round is ONE shuffle join (edges ⋈ labels on the
+   * src key) + a node-keyed min aggregate with map-side partials,
+   * localCheckpoint'd so the unrolled lineage never recomputes. This
+   * is the large-star/small-star family's simple member
+   * (Kiveris et al., "Connected Components in MapReduce", SOCC'14);
+   * the alternating-star variant trades more rounds-logic for
+   * o(diameter) rounds — at 100 TB swap the round body, keep the
+   * loop. Input rows are (src, dst) in either orientation; self-loops
+   * and duplicates tolerated.
+   */
+  def connectedComponents(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"connectedComponents rounds=$rounds")
+    val und = undirect(edges).localCheckpoint()
+    val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var comp = adj.select(col("a").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val msgs = adj.join(comp, adj("a") === comp("node"))
+        .select(col("b").as("node"), col("comp"))
+      comp = msgs.union(comp.select(col("node"), col("comp")))
+        .groupBy("node").agg(min("comp").as("comp"))
+        .localCheckpoint()
+    }
+    comp
+  }
 }

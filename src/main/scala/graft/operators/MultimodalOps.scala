@@ -180,6 +180,14 @@ object MultimodalOps {
               case m if m.format == "ico" && px.length == m.width * m.height * 3 =>
                 ("ico", px, m.width.toInt, m.height.toInt, 3)
             }))
+            .orElse(decodeTgaPixels(content).flatMap(px => hdr.collect {
+              case m if m.format == "tga" && px.length == m.width * m.height * 3 =>
+                ("tga", px, m.width.toInt, m.height.toInt, 3)
+            }))
+            .orElse(decodePnmPixels(content).flatMap(px => hdr.collect {
+              case m if m.format == "pnm" && px.length == m.width * m.height * m.channels =>
+                ("pnm", px, m.width.toInt, m.height.toInt, m.channels.toInt)
+            }))
           decoded match {
             case Some((f, px, w, h, ch)) =>
               val (out, ow, oh) = resample(px, w, h, ch)
@@ -247,6 +255,14 @@ object MultimodalOps {
             .orElse(decodeIcoPixels(content).flatMap(px => hdr.collect {
               case m if m.format == "ico" && px.length == m.width * m.height * 3 =>
                 ("ico", px, m.width.toInt, m.height.toInt, 3)
+            }))
+            .orElse(decodeTgaPixels(content).flatMap(px => hdr.collect {
+              case m if m.format == "tga" && px.length == m.width * m.height * 3 =>
+                ("tga", px, m.width.toInt, m.height.toInt, 3)
+            }))
+            .orElse(decodePnmPixels(content).flatMap(px => hdr.collect {
+              case m if m.format == "pnm" && px.length == m.width * m.height * m.channels =>
+                ("pnm", px, m.width.toInt, m.height.toInt, m.channels.toInt)
             }))
           decoded match {
             case Some((f, px, w, h, ch)) =>
@@ -449,8 +465,30 @@ object MultimodalOps {
         case None => return None
       }
     }
+    // PNM: binary netpbm magic (P5 gray / P6 RGB), dims from the
+    // ASCII header walk (comments honored)
+    if (b.length >= 2 && b(0) == 'P' && (b(1) == '5' || b(1) == '6')) {
+      pnmInfo(b) match {
+        case Some((w, h, ch, _)) =>
+          return Some(MediaHeader("pnm", w.toLong, h.toLong, ch.toLong, 0L))
+        case None => return None
+      }
+    }
     // WAV: RIFF/WAVE then chunk walk to "fmt "
-    parseWav(b)
+    val wav = parseWav(b)
+    if (wav.isDefined) return wav
+    // TGA last — the format has NO magic, so admission is pure header
+    // consistency: no color map, type 2/10, depth 24, descriptor
+    // limited to the top-down bit, positive dims
+    if (b.length >= 18 && (b(1) & 0xff) == 0 &&
+        ((b(2) & 0xff) == 2 || (b(2) & 0xff) == 10) &&
+        u16le(b, 3) == 0L && u16le(b, 5) == 0L && (b(7) & 0xff) == 0 &&
+        (b(16) & 0xff) == 24 && ((b(17) & 0xdf) == 0)) {
+      val w = u16le(b, 12); val h = u16le(b, 14)
+      if (w > 0L && h > 0L)
+        return Some(MediaHeader("tga", w, h, 3L, 0L))
+    }
+    None
   }
 
   private def parseWav(b: Array[Byte]): Option[MediaHeader] = {
@@ -1003,6 +1041,23 @@ object MultimodalOps {
       }
       return Some(out)
     }
+    // G.711 companded telephony (format 6 = A-law, 7 = mu-law): one
+    // byte per sample, ALGORITHMIC expansion to the shared 16-bit
+    // convention (segment + mantissa arithmetic straight from the
+    // ITU-T G.711 tables' generating formulas — no lookup table to
+    // transcribe, so the oracle replays the same integer expression)
+    if (fmtCode == 6 || fmtCode == 7) {
+      if (bits != 8) return None
+      if (dataLen > maxSamples) return None
+      val out = new Array[Int](dataLen)
+      var i = 0
+      while (i < dataLen) {
+        val v = b(dataOff + i) & 0xff
+        out(i) = if (fmtCode == 7) mulawExpand(v) else alawExpand(v)
+        i += 1
+      }
+      return Some(out)
+    }
     if (fmtCode != 1) return None
     bits match {
       case 8 =>
@@ -1074,6 +1129,47 @@ object MultimodalOps {
       i += 1
     }
     if ((dataLen & 1) != 0) buf.put(0.toByte) // RIFF word-alignment pad
+    buf.array()
+  }
+
+  /**
+   * G.711 mu-law byte -> linear 16-bit sample (ITU-T G.711 segment
+   * arithmetic: complement, 3-bit segment exponent, 4-bit mantissa,
+   * bias 0x84; peak ±32124). Pure integers — the oracle replays the
+   * identical expression in SQL.
+   */
+  private[graft] def mulawExpand(v: Int): Int = {
+    val u = ~v & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 0x07)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 A-law byte -> linear 16-bit sample (XOR 0x55 toggle,
+    * segment 0 special-cased, sign bit SET = positive; peak ±32256). */
+  private[graft] def alawExpand(v: Int): Int = {
+    val a = v ^ 0x55
+    val exp = (a >> 4) & 0x07
+    val mant = (a & 0x0f) << 4
+    val t = if (exp == 0) mant + 8 else (mant + 0x108) << (exp - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** Single-channel G.711 WAV writer — the fixture counterpart of the
+    * decoder's format-6/7 branch: `companded` is the raw byte stream. */
+  private[graft] def encodeWavG711(companded: Array[Byte], fmtCode: Int,
+                                   sampleRate: Int): Array[Byte] = {
+    require(fmtCode == 6 || fmtCode == 7, "G.711 is format 6 (A-law) or 7 (mu-law)")
+    val dataLen = companded.length
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen + (dataLen & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen + (dataLen & 1))
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(fmtCode.toShort).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate).putShort(1).putShort(8)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    buf.put(companded)
+    if ((dataLen & 1) != 0) buf.put(0.toByte)
     buf.array()
   }
 
@@ -1262,6 +1358,190 @@ object MultimodalOps {
       y += 1
     }
     arr // AND mask rows stay zero-filled
+  }
+
+  /**
+   * REAL TGA decode — the Truevision format game-asset and
+   * texture corpora still ship because, like BMP, no codec is
+   * involved. 24-bit truecolor only, image types 2 (uncompressed)
+   * and 10 (run-length encoded): RLE packets are a header byte —
+   * high bit set = run of `(n&0x7f)+1` copies of ONE following
+   * pixel, clear = `n+1` literal pixels — filling the raster
+   * sequentially (packets may cross row boundaries; the count is
+   * what matters). TGA has NO magic number, so admission is the
+   * header-consistency sniff [[parseHeader]] uses: no color map,
+   * depth 24, descriptor bits limited to top-down (0x20). The
+   * identification field (`idLength`) is skipped per spec. Output is
+   * the logical top-down row-major BGR stream ([[decodeBmpPixels]]'
+   * convention): descriptor bit 5 set = rows stored top-down, clear
+   * = bottom-up (the TGA default), both orientations decode to the
+   * same logical stream. Honest-refusal scope: color-mapped images,
+   * depths other than 24, right-to-left pixel order (descriptor bit
+   * 4), types 1/3/9/11. Long-guarded math; `maxPixelBytes` caps the
+   * output against dimension bombs.
+   */
+  private[graft] def decodeTgaPixels(b: Array[Byte],
+                                     maxPixelBytes: Int = 1 << 26): Option[Array[Byte]] = {
+    if (b == null || b.length < 18) return None
+    val idLen = b(0) & 0xff
+    if ((b(1) & 0xff) != 0) return None // color-mapped: out of scope
+    val imgType = b(2) & 0xff
+    if (imgType != 2 && imgType != 10) return None
+    // color-map spec must be all-zero when colorMapType is 0
+    if (u16le(b, 3) != 0L || u16le(b, 5) != 0L || (b(7) & 0xff) != 0) return None
+    val w = u16le(b, 12).toInt
+    val h = u16le(b, 14).toInt
+    if (w <= 0 || h <= 0) return None
+    if ((b(16) & 0xff) != 24) return None
+    val desc = b(17) & 0xff
+    if ((desc & 0xdf) != 0) return None // only bit 5 (top-down) in scope
+    val topDown = (desc & 0x20) != 0
+    val rowBytes = w.toLong * 3
+    if (rowBytes * h > maxPixelBytes) return None
+    val total = (rowBytes * h).toInt
+    val raster = new Array[Byte](total)
+    var src = 18 + idLen
+    if (imgType == 2) {
+      if (src.toLong + total > b.length) return None
+      System.arraycopy(b, src, raster, 0, total)
+    } else {
+      var out = 0
+      while (out < total) {
+        if (src >= b.length) return None
+        val hdr = b(src) & 0xff; src += 1
+        val n = (hdr & 0x7f) + 1
+        if (n.toLong * 3 > total - out) return None // packet overruns raster
+        if ((hdr & 0x80) != 0) {
+          if (src + 3 > b.length) return None
+          var i = 0
+          while (i < n) {
+            raster(out) = b(src); raster(out + 1) = b(src + 1); raster(out + 2) = b(src + 2)
+            out += 3; i += 1
+          }
+          src += 3
+        } else {
+          if (src + n * 3 > b.length) return None
+          System.arraycopy(b, src, raster, out, n * 3)
+          out += n * 3; src += n * 3
+        }
+      }
+    }
+    if (topDown) return Some(raster)
+    val outPx = new Array[Byte](total)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(raster, ((h - 1 - y) * rowBytes).toInt, outPx,
+        (y * rowBytes).toInt, rowBytes.toInt)
+      y += 1
+    }
+    Some(outPx)
+  }
+
+  /** 24-bit TGA encoder — the fixture counterpart of
+    * [[decodeTgaPixels]]: `px` is the logical top-down BGR stream;
+    * `rle` picks image type 10 with per-row run/literal packets
+    * (runs capped at 128 per spec), `topDown` sets descriptor bit 5. */
+  private[graft] def encodeTga24(px: Array[Byte], w: Int, h: Int,
+                                 rle: Boolean = false,
+                                 topDown: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && px.length == w * h * 3, "px must be w*h*3 BGR bytes")
+    require(w <= 0xffff && h <= 0xffff, "TGA dims are u16")
+    val rowBytes = w * 3
+    val header = new Array[Byte](18)
+    header(2) = (if (rle) 10 else 2).toByte
+    header(12) = (w & 0xff).toByte; header(13) = ((w >> 8) & 0xff).toByte
+    header(14) = (h & 0xff).toByte; header(15) = ((h >> 8) & 0xff).toByte
+    header(16) = 24.toByte
+    header(17) = (if (topDown) 0x20 else 0x00).toByte
+    val rows = (0 until h).map { y =>
+      val sy = if (topDown) y else h - 1 - y
+      px.slice(sy * rowBytes, sy * rowBytes + rowBytes)
+    }
+    if (!rle) return header ++ rows.flatten
+    val outBuf = scala.collection.mutable.ArrayBuffer[Byte]()
+    outBuf ++= header
+    for (row <- rows) {
+      var p = 0
+      val nPix = w
+      while (p < nPix) {
+        def pixEq(i: Int, j: Int): Boolean =
+          row(i * 3) == row(j * 3) && row(i * 3 + 1) == row(j * 3 + 1) &&
+            row(i * 3 + 2) == row(j * 3 + 2)
+        var run = 1
+        while (p + run < nPix && run < 128 && pixEq(p + run, p)) run += 1
+        if (run >= 2) {
+          outBuf += (0x80 | (run - 1)).toByte
+          outBuf += row(p * 3); outBuf += row(p * 3 + 1); outBuf += row(p * 3 + 2)
+          p += run
+        } else {
+          var lit = 1
+          while (p + lit < nPix && lit < 128 &&
+            !(p + lit + 1 < nPix && pixEq(p + lit, p + lit + 1))) lit += 1
+          outBuf += (lit - 1).toByte
+          outBuf ++= row.slice(p * 3, (p + lit) * 3)
+          p += lit
+        }
+      }
+    }
+    outBuf.toArray
+  }
+
+  /**
+   * REAL PNM decode — binary netpbm (P5 grayscale / P6 RGB), the
+   * zero-dependency interchange raster of CV tooling. Header is
+   * ASCII: magic, then width, height, maxval as whitespace-separated
+   * tokens with `#`-to-newline comments allowed between them, then
+   * EXACTLY ONE whitespace byte before the raster (the spec's single
+   * delimiter — consuming a run would mis-shift rasters whose first
+   * sample is itself a whitespace byte value). Maxval must be 255
+   * (8-bit); rasters are already top-down row-major, emitted as-is.
+   * Honest-refusal scope: the ASCII formats P1–P3, bitmap P4, PAM
+   * (P7), maxval ≠ 255, truncated or oversized payloads.
+   */
+  private[graft] def decodePnmPixels(b: Array[Byte],
+                                     maxPixelBytes: Int = 1 << 26): Option[Array[Byte]] = {
+    pnmInfo(b) match {
+      case Some((w, h, ch, dataOff)) =>
+        val total = w.toLong * h * ch
+        if (total > maxPixelBytes) return None
+        if (dataOff.toLong + total != b.length) return None // exact payload
+        Some(java.util.Arrays.copyOfRange(b, dataOff, dataOff + total.toInt))
+      case None => None
+    }
+  }
+
+  /** Shared P5/P6 header walk: (width, height, channels, dataOffset). */
+  private def pnmInfo(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (b == null || b.length < 9 || b(0) != 'P' || (b(1) != '5' && b(1) != '6'))
+      return None
+    val ch = if (b(1) == '6') 3 else 1
+    var pos = 2
+    def isWs(c: Byte) = c == ' ' || c == '\t' || c == '\n' || c == '\r'
+    def nextInt(): Long = {
+      while (pos < b.length && (isWs(b(pos)) || b(pos) == '#')) {
+        if (b(pos) == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+        else pos += 1
+      }
+      var v = -1L
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9' && v < Int.MaxValue) {
+        v = (if (v < 0) 0L else v) * 10 + (b(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+    if (w <= 0 || h <= 0 || maxval != 255L) return None
+    if (pos >= b.length || !isWs(b(pos))) return None
+    Some((w.toInt, h.toInt, ch, pos + 1))
+  }
+
+  /** P5/P6 encoder — the fixture counterpart of [[decodePnmPixels]]:
+    * `px` is the top-down raster (gray or interleaved RGB). */
+  private[graft] def encodePnm(px: Array[Byte], w: Int, h: Int,
+                               channels: Int): Array[Byte] = {
+    require(channels == 1 || channels == 3, "PNM is P5 (1ch) or P6 (3ch)")
+    require(w > 0 && h > 0 && px.length == w * h * channels, "px must be w*h*ch")
+    val magic = if (channels == 3) "P6" else "P5"
+    s"$magic\n# graft fixture\n$w $h\n255\n".getBytes("US-ASCII") ++ px
   }
 
   /** 24-bit BI_RGB BMP encoder — the fixture counterpart of
@@ -1707,6 +1987,8 @@ object MultimodalOps {
               .orElse(decodeBmpPixels(content).map(("bmp", _)))
               .orElse(decodeTiffPixels(content).map(("tiff", _)))
               .orElse(decodeIcoPixels(content).map(("ico", _)))
+              .orElse(decodeTgaPixels(content).map(("tga", _)))
+              .orElse(decodePnmPixels(content).map(("pnm", _)))
           decoded match {
             case Some((f, px)) =>
               val (n, mean, d, mx) = stats(px)

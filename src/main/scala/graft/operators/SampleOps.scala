@@ -620,4 +620,88 @@ object SampleOps {
         (lit(1000000L) - IntDiv(sum(col("share_ppm") * col("share_ppm")), lit(1000000L)))
           .as("gini_ppm"))
   }
+
+  /**
+   * Pareto frontier of (maximize `scoreCol`, minimize `costCol`) —
+   * the skyline of quality-vs-length trade-offs a budgeted selection
+   * reads instead of a single weighted threshold: a row survives iff
+   * no other row is at least as good on BOTH axes and strictly
+   * better on one. Two running-max windows over the cost order
+   * decide dominance in one pass — `max(score)` over strictly
+   * cheaper rows (dominates if ≥ mine: they're strictly cheaper) and
+   * over cheaper-or-equal rows (dominates if > mine) — no pairwise
+   * join anywhere.
+   *
+   * Scale: ONE global sort by cost (the skyline's inherent order).
+   * That is the documented audit-frame shape ([[rankCorrelation]]'s
+   * caveat); at corpus scale, grid-partition by cost decade and run
+   * the same windows per decade with the per-decade frontier merged
+   * — or feed a [[bernoulliSample]] like the sampled Spearman.
+   */
+  def paretoFrontier(rows: DataFrame, id: Column, scoreCol: Column,
+                     costCol: Column): DataFrame = {
+    val base = rows.select(id.as("id"), scoreCol.as("score"), costCol.as("cost"))
+    val ltWin = Window.orderBy(col("cost").asc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val leWin = Window.orderBy(col("cost").asc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("max_lt", max("score").over(ltWin))
+      .withColumn("max_le", max("score").over(leWin))
+      .filter((col("max_lt").isNull || col("max_lt") < col("score")) &&
+        col("max_le") <= col("score"))
+      .select(col("id"), col("score"), col("cost"))
+  }
+
+  /**
+   * Class-rebalancing weights from exact label counts — the loss
+   * weights / sampling multipliers a skewed-label fine-tune applies.
+   * Two integer schemes per label: inverse-frequency ppm
+   * (`total·1e6 // (cnt·k)` — exactly 1e6 for a perfectly balanced
+   * set, >1e6 for rare classes) and the gentler inverse-sqrt in
+   * milli (`floor(sqrt(total·1e6 // cnt))` — IEEE-exact sqrt of an
+   * exact integer, the corpus pattern), which keeps rare-class
+   * upweighting sublinear the way sampling-temperature mixing does.
+   *
+   * Scale: one label-keyed count with map-side combine + a one-row
+   * broadcast. Output is label-table-sized.
+   */
+  /**
+   * Deterministic k-fold assignment + stratification audit: every doc
+   * lands in fold `md5(salt:id) mod k` — stable under reruns, corpus
+   * appends and repartitioning (a doc's fold depends only on its own
+   * id, the [[bernoulliSample]] contract extended to k buckets) — and
+   * the output is the per-(fold, stratum) census a cross-validation
+   * harness checks BEFORE training: fold sizes and within-fold
+   * stratum shares in exact ppm. A fold whose stratum share drifts
+   * from the corpus share is the leakage/imbalance smell.
+   *
+   * Scale: one codegen'd hash projection + one (fold, stratum)
+   * aggregate with map-side combine; nothing user-visible sorts the
+   * corpus. Output is k·strata-sized.
+   */
+  def kfoldAudit(docs: DataFrame, idCol: String, stratumCol: String,
+                 k: Int, salt: String = "fold"): DataFrame = {
+    require(k >= 2, s"kfoldAudit needs k >= 2, got $k")
+    val fold = (conv(hashKey(col(idCol), salt), 16, 10).cast("long") % k).as("fold")
+    val perCell = docs.select(fold, col(stratumCol).as("stratum"))
+      .groupBy("fold", "stratum").agg(count(lit(1)).as("n_docs"))
+    val perFold = perCell.groupBy("fold").agg(sum("n_docs").as("fold_total"))
+    perCell.join(perFold, "fold")
+      .select(col("fold"), col("stratum"), col("n_docs"), col("fold_total"),
+        IntDiv(col("n_docs") * 1000000L, col("fold_total")).cast("long")
+          .as("share_ppm"))
+  }
+
+  def classWeights(rows: DataFrame, labelCol: String): DataFrame = {
+    val perLabel = rows.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = perLabel.agg(sum("cnt").as("total"), count(lit(1)).as("k"))
+    perLabel.crossJoin(broadcast(tot))
+      .select(col("label"), col("cnt"), col("total"), col("k"),
+        IntDiv(col("total") * 1000000L, col("cnt") * col("k")).cast("long")
+          .as("inv_weight_ppm"),
+        floor(sqrt(IntDiv(col("total") * 1000000L, col("cnt")).cast("double")))
+          .cast("long").as("sqrt_weight_milli"))
+  }
 }

@@ -792,4 +792,167 @@ object SeriesOps {
           col("vw").cast("double") / col("wsum").cast("double") / lit(1.0e6)), 6)
           .as("wavg"))
   }
+
+  /**
+   * graphite `hitcount(series, interval)`: treat each value as a
+   * per-second rate and integrate it over the gap to the NEXT point
+   * of the same series, bucketing the area by the point's own time
+   * (graphite's estimate of "total hits per bucket" for counters
+   * rendered as rates). A series' last point has no forward gap and
+   * contributes nothing — graphite pads with the retention step; a
+   * raw stream has no step to pad with, so the honest answer is 0.
+   *
+   * Determinism: value quantizes to 1e-6 LONGs before the
+   * `vq * gap` product, so the bucket sum is an integer sum —
+   * association-order-free — and divides back once at the end.
+   *
+   * Scale: one window shuffle on `path` for the lead(), then a
+   * `(path, bucket)` hash aggregate with map-side partials. No
+   * self-join; the bucket count bounds output.
+   */
+  def hitcount(points: DataFrame, intervalSec: Long): DataFrame = {
+    require(intervalSec >= 1, s"hitcount needs intervalSec >= 1, got $intervalSec")
+    points
+      .withColumn("gap", lead("time", 1).over(seriesWindow) - col("time"))
+      .filter(col("gap").isNotNull && col("gap") > 0L)
+      .withColumn("vq", floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long"))
+      .groupBy(col("path"),
+        (col("time") - (col("time") % intervalSec)).as("bucket_start"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("vq") * col("gap")).as("hq"))
+      .select(col("path"), col("bucket_start"), col("n_points"),
+        round(col("hq").cast("double") / lit(1.0e6), 4).as("hits"))
+  }
+
+  /**
+   * Bollinger-style stddev bands: per point, the trailing-`n` frame's
+   * mean ± `k`·stddev (population, over the frame), plus a breach
+   * flag when the value leaves the band. The alerting primitive
+   * graphite spells `stdev()` + `offset()` by hand.
+   *
+   * Determinism: the ENTIRE breach test is integer arithmetic on
+   * 1e-6-quantized longs — `(n·q − S1)² > k²·(n·S2 − S1²)` is the
+   * band inequality cleared of divisions and square roots, so no
+   * float comparison can disagree across engines. The reported band
+   * edges divide back to rounded doubles for display only.
+   *
+   * Scale: one window shuffle on `path`, two framed integer sums —
+   * the movingAverage plan with one extra sum. Long headroom: q ≤
+   * ~1e8 for |value| ≤ 100, so n·S2 ≤ n²·q² ≈ 25·1e16 « 2⁶³.
+   */
+  def stddevBands(points: DataFrame, n: Int, k: Int): DataFrame = {
+    require(n >= 2 && k >= 1, s"stddevBands needs n >= 2, k >= 1, got n=$n k=$k")
+    val frame = seriesWindow.rowsBetween(-(n - 1), Window.currentRow)
+    points
+      .withColumn("q", floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long"))
+      .withColumn("nw", count(lit(1)).over(frame))
+      .withColumn("s1", sum("q").over(frame))
+      .withColumn("s2", sum(col("q") * col("q")).over(frame))
+      .withColumn("dev2", (col("nw") * col("q") - col("s1")) *
+        (col("nw") * col("q") - col("s1")))
+      .withColumn("var_n2", col("nw") * col("s2") - col("s1") * col("s1"))
+      .select(col("path"), col("time"), col("version"), col("nw").as("n_window"),
+        round(col("s1").cast("double") / col("nw").cast("double") / lit(1.0e6), 6)
+          .as("mid"),
+        round(sqrt(col("var_n2").cast("double")) / col("nw").cast("double") / lit(1.0e6), 6)
+          .as("band_sigma"),
+        when(col("dev2") > lit(k.toLong * k) * col("var_n2"), 1L).otherwise(0L)
+          .as("breach"))
+  }
+
+  /**
+   * graphite `mostDeviant(series, n)`: the `n` series with the
+   * largest value variance — the triage view that surfaces which
+   * metrics are actually moving. Population variance compares as the
+   * pure-integer key `cnt·Σq² − (Σq)²` over 1e-3-quantized longs
+   * (milli, not micro: Σq² must clear 2⁶³ at per-series point counts
+   * in the millions), tie-broken by path for a total order.
+   *
+   * Scale: one hash aggregate on `path` (map-side partials), then a
+   * single top-n — rank the per-series rollup, never the points.
+   */
+  def mostDeviant(points: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"mostDeviant needs n >= 1, got $n")
+    points
+      .withColumn("q", floor(col("value") * lit(1.0e3) + lit(0.5)).cast("long"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_points"), sum("q").as("s1"),
+        sum(col("q") * col("q")).as("s2"))
+      .withColumn("var_key", col("n_points") * col("s2") - col("s1") * col("s1"))
+      .orderBy(col("var_key").desc, col("path").asc)
+      .limit(n)
+      .select(col("path"), col("n_points"),
+        col("var_key"),
+        round(col("var_key").cast("double") /
+          (col("n_points") * col("n_points")).cast("double") / lit(1.0e6), 6)
+          .as("variance"))
+  }
+
+  /**
+   * graphite `offsetToZero(series)`: subtract each series' minimum
+   * from every point, re-basing the series at zero (the "show me the
+   * shape, not the level" transform). A single IEEE subtraction of
+   * two exact inputs — bit-deterministic with no quantization.
+   *
+   * Scale: one window shuffle on `path` with an unbounded min frame —
+   * Spark computes it as a running aggregate after the partition
+   * sort, no second pass.
+   */
+  def offsetToZero(points: DataFrame): DataFrame = {
+    val whole = Window.partitionBy("path")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    points.select(col("path"), col("time"), col("version"),
+      (col("value") - min("value").over(whole)).as("value"))
+  }
+
+  /**
+   * graphite `changed(series)`: 1 where the value differs from the
+   * previous point of the same series, else 0 (the first point is 0,
+   * matching graphite). Doubles compare for EQUALITY only — both
+   * engines read the same parquet bits, so `x <> lag(x)` cannot
+   * disagree.
+   *
+   * Scale: one window shuffle on `path`, one lag.
+   */
+  def changed(points: DataFrame): DataFrame =
+    points.select(col("path"), col("time"), col("version"),
+      when(col("value") =!= lag("value", 1).over(seriesWindow), 1L)
+        .otherwise(0L).as("changed"))
+
+  /**
+   * graphite `divideSeries(dividend, divisor)`: the ratio of two
+   * sibling leaves of the same path prefix, aligned on tumbling
+   * `stepSec` buckets (raw points rarely share exact timestamps
+   * across series; graphite gets alignment for free from fixed-step
+   * storage, a raw stream has to bucket). Per (prefix, bucket): each
+   * leaf reduces to an integer-quantized bucket MEAN (exact LONG sum
+   * ÷ count), then one IEEE division — deterministic end to end. A
+   * zero divisor emits null (graphite draws a gap).
+   *
+   * Scale: leaf split is a filter of one `(prefix, leaf, bucket)`
+   * aggregate — dividend and divisor co-partition by construction,
+   * so the final join is a same-key zip, never a broadcast of points.
+   */
+  def divideSeries(points: DataFrame, dividendLeaf: String, divisorLeaf: String,
+                   stepSec: Long): DataFrame = {
+    require(stepSec >= 1, s"divideSeries needs stepSec >= 1, got $stepSec")
+    val buckets = points
+      .withColumn("leaf", element_at(split(col("path"), "\\."), -1))
+      .filter(col("leaf").isin(dividendLeaf, divisorLeaf))
+      .withColumn("prefix", regexp_replace(col("path"), "\\.[^.]*$", ""))
+      .withColumn("bucket", col("time") - col("time") % stepSec)
+      .groupBy("prefix", "leaf", "bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long")).as("sq"))
+    val num = buckets.filter(col("leaf") === dividendLeaf)
+      .select(col("prefix"), col("bucket"), col("n").as("n_num"), col("sq").as("sq_num"))
+    val den = buckets.filter(col("leaf") === divisorLeaf)
+      .select(col("prefix"), col("bucket"), col("n").as("n_den"), col("sq").as("sq_den"))
+    num.join(den, Seq("prefix", "bucket"))
+      .select(col("prefix"), col("bucket"), col("n_num"), col("n_den"),
+        round(when(col("sq_den") =!= 0L,
+          (col("sq_num").cast("double") / col("n_num").cast("double")) /
+            (col("sq_den").cast("double") / col("n_den").cast("double"))), 6)
+          .as("ratio"))
+  }
 }

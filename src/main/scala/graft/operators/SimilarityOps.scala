@@ -723,4 +723,109 @@ object SimilarityOps {
       .select(col("label").cast("long").as("label"), col("n"),
         col("avg_cos"), col("min_cos"))
   }
+
+  /**
+   * MIPS top-k — maximum INNER PRODUCT, not cosine: the retrieval
+   * mode of recommender/reranker embeddings whose norms carry
+   * popularity/confidence signal that cosine normalizes away. Scores
+   * are the raw dot product rounded to 6 dp (the corpus float
+   * policy), ranked per query with id tie-break.
+   *
+   * Scale shape: broadcast the query side, scan the corpus once
+   * inside whole-stage codegen, per-query window top-k — exactly
+   * [[bruteForceTopK]]'s plan. For corpus-sized query sets, MIPS
+   * reduces to cosine by norm augmentation (append
+   * `sqrt(M² − ‖x‖²)` to corpus rows and 0 to queries, M = max norm
+   * — Bachrach et al., RecSys 2014), after which every cosine ANN
+   * path here (LSH bands, IVF cells) prunes it; the reduction is one
+   * extra column, the serve plan is unchanged.
+   */
+  def mipsTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+               excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), asDouble(col("embedding")).as("qv"))
+    val c = corpus.select(col("id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    broadcast(q).join(c,
+        if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("score", round(dot(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("score"))
+  }
+
+  /**
+   * Mutual-kNN graph: the undirected edges (a, b) where EACH vector
+   * is in the other's exact cosine top-k — the noise-robust
+   * neighborhood graph that seeds agglomerative/semantic-dedup
+   * clustering (one-directional kNN edges hub badly; mutuality is
+   * the standard prune). Emits each edge once (`src < dst`) with the
+   * shared 6-dp similarity.
+   *
+   * Scale shape: the all-pairs scorer is the quadratic part — here
+   * it is one broadcast probe + per-node window because the operator
+   * contract is EXACT top-k (audit scale); at corpus scale swap the
+   * scorer for the banded LSH/IVF candidate join ([[lshTopK]] /
+   * [[ivfTopK]]) and keep everything from the rank window down —
+   * mutuality is a self-join of the k·n ranked frame on the REVERSED
+   * id pair, result-sized, never corpus-sized.
+   */
+  def mutualKnnEdges(emb: DataFrame, k: Int): DataFrame = {
+    val ranked = bruteForceTopK(emb, emb, k)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"), col("sim"))
+    val rev = ranked.select(col("dst").as("src"), col("src").as("dst"))
+    ranked.join(rev, Seq("src", "dst"))
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"), col("sim"))
+  }
+
+  /**
+   * Triplet mining for metric-learning data prep: per anchor, the
+   * HARDEST positive (same label, LOWEST cosine — the pair the
+   * current embedding separates worst) and the hardest negative
+   * (different label, HIGHEST cosine — the imposter it confuses
+   * most), plus the 6-dp margin `pos_sim − neg_sim` whose negative
+   * values mark active triplets (FaceNet's semi-hard criterion reads
+   * off this column). Ties break by neighbor id.
+   *
+   * Scale shape: one broadcast probe scores all pairs, then TWO
+   * min/max-by aggregates per anchor — no window sort, no top-k
+   * materialization. At corpus scale the positive side groups by
+   * label (co-partitioned, label-sized), and the negative side is
+   * the ANN candidate join — both sides keep the same max_by/min_by
+   * reduction.
+   */
+  def tripletMining(emb: DataFrame): DataFrame = {
+    val a = emb.select(col("id").as("anchor_id"), col("label").as("a_label"),
+      asDouble(col("embedding")).as("qv"))
+    val c = emb.select(col("id").as("other_id"), col("label").as("o_label"),
+      asDouble(col("embedding")).as("cv"))
+    // hardest positive: LOWEST sim (tie -> lowest id); hardest negative:
+    // HIGHEST sim (tie -> lowest id). Both are min_by over a lexicographic
+    // (key, id) struct of the 1e-6-quantized LONG similarity (floor+0.5,
+    // the corpus quantizer — never round()*1e6-cast, whose truncation
+    // direction differs across engines), negated for the max side.
+    val scored = broadcast(a).join(c, col("anchor_id") =!= col("other_id"))
+      .withColumn("simq",
+        floor(cosine(col("qv"), col("cv")) * lit(1.0e6) + lit(0.5)).cast("long"))
+    val posAgg = scored.filter(col("o_label") === col("a_label"))
+      .groupBy(col("anchor_id"), col("a_label").as("label"))
+      .agg(min_by(struct(col("simq").as("sq"), col("other_id").as("oid")),
+        struct(col("simq"), col("other_id"))).as("p"))
+      .select(col("anchor_id"), col("label"),
+        col("p.oid").as("pos_id"), col("p.sq").as("pos_simq"))
+    val negAgg = scored.filter(col("o_label") =!= col("a_label"))
+      .groupBy(col("anchor_id"))
+      .agg(min_by(struct(col("simq").as("sq"), col("other_id").as("oid")),
+        struct(-col("simq"), col("other_id"))).as("n"))
+      .select(col("anchor_id"),
+        col("n.oid").as("neg_id"), col("n.sq").as("neg_simq"))
+    posAgg.join(negAgg, Seq("anchor_id"))
+      .select(col("anchor_id"), col("label"),
+        col("pos_id"), (col("pos_simq").cast("double") / lit(1.0e6)).as("pos_sim"),
+        col("neg_id"), (col("neg_simq").cast("double") / lit(1.0e6)).as("neg_sim"),
+        (col("pos_simq") - col("neg_simq")).as("margin_micro"))
+  }
 }

@@ -1810,4 +1810,176 @@ object TextOps {
       .orderBy(col("n").desc, col("w1").asc, col("w2").asc)
       .limit(topN)
   }
+
+  /**
+   * Per-document lexical diversity: token count, type count, hapax
+   * count, and the type–token / hapax–token ratios in ppm — the
+   * cheapest word-salad and template-spam detector (TTR collapses on
+   * repetitive generations, hapax share collapses on boilerplate).
+   * Pure integer output (ppm by [[IntDiv]] on exact counts).
+   *
+   * Plan: one explode, a (doc, token) aggregate, a doc aggregate —
+   * both shuffles keyed by doc id, map-side combined; text itself
+   * never shuffles. Zero-token docs have no rows to aggregate and
+   * drop out, matching the SQL oracle's semantics.
+   */
+  def typeTokenRatio(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    docs.select(col(idCol).as("id"), explode(words(lower(col(textCol)))).as("w"))
+      .groupBy("id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        IntDiv(col("n_types") * 1000000L, col("n_tokens")).cast("long").as("ttr_ppm"),
+        IntDiv(col("n_hapax") * 1000000L, col("n_tokens")).cast("long").as("hapax_ppm"))
+  }
+
+  /**
+   * RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+   * Extraction from Individual Documents"): candidate phrases are the
+   * maximal runs of non-stopword tokens; each word scores
+   * `deg(w)/freq(w)` where freq counts its phrase occurrences and deg
+   * sums the lengths of the phrases it appears in; a phrase scores
+   * the sum of its words' scores. Integerized: word scores are
+   * `deg·1000 // freq` milli-units and phrase scores sum those LONGs,
+   * so the ranking is engine-exact. Emits the corpus top-`topN`
+   * distinct phrases by (score, phrase).
+   *
+   * Plan: one posexplode; the phrase islands come from the classic
+   * gaps-and-islands window (`pos − row_number` per doc over
+   * non-stop tokens) — a doc-keyed shuffle; word stats and phrase
+   * scores are token-keyed aggregates with map-side combine. The
+   * final top-N sorts an already phrase-distinct aggregate. Nothing
+   * quadratic; the stopword list is a literal `isin`.
+   */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String], topN: Int): DataFrame = {
+    require(topN >= 1 && stopwords.nonEmpty)
+    val tok = docs
+      .select(col(idCol).as("id"), posexplode(words(lower(col(textCol)))).as(Seq("pos", "w")))
+    val byDoc = Window.partitionBy("id").orderBy(col("pos").asc)
+    val ns = tok.filter(!col("w").isin(stopwords: _*))
+      .withColumn("isl", col("pos") - row_number().over(byDoc))
+    val phrases = ns.groupBy("id", "isl")
+      .agg(
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          p => p.getField("w"))).as("phrase"),
+        count(lit(1)).as("plen"))
+    val withLen = ns.join(phrases, Seq("id", "isl"))
+    val wordScore = withLen.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .select(col("w"), IntDiv(col("deg") * 1000L, col("freq")).cast("long").as("score_milli"))
+    withLen.join(wordScore, "w")
+      .groupBy("id", "isl", "phrase", "plen")
+      .agg(sum("score_milli").as("score_milli"))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"), max(col("plen")).as("n_words"),
+        max(col("score_milli")).as("score_milli"))
+      .orderBy(col("score_milli").desc, col("phrase").asc)
+      .limit(topN)
+      .select(col("phrase"), col("n_words"), col("n_occurrences"), col("score_milli"))
+  }
+
+  /**
+   * Kneser–Ney continuation counts: for each token, how many DISTINCT
+   * left contexts it follows — the "versatility" signal KN smoothing
+   * substitutes for raw frequency (a word that appears 1000 times
+   * after only one context, like "Francisco", should NOT look
+   * probable in new contexts). Emits the top-`topN` tokens by
+   * continuation count with `cont·1e6 // |distinct bigrams|` ppm —
+   * the unigram continuation probability numerator/denominator of
+   * the KN recursion, integer-exact.
+   *
+   * Plan: the bigram explode is the pmiBigrams zip (per-doc linear),
+   * one DISTINCT on (w1, w2) — the only full-width shuffle — then a
+   * token-keyed count and a single-row denominator broadcast. The
+   * distinct-bigram frame is vocabulary²-bounded in theory but
+   * corpus-linear in practice (Heaps' law); at 100 TB the exact
+   * distinct swaps for the KMV sketch like t_distinct_n_kmv.
+   */
+  def knContinuation(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    require(topN >= 1)
+    val toks = docs.select(words(lower(col(textCol))).as("t"))
+    val bg = toks
+      .select(explode(arrays_zip(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))))).as("bg"))
+      .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
+      .distinct()
+    val total = bg.agg(count(lit(1)).as("n_bi_distinct"))
+    bg.groupBy(col("w2").as("token"))
+      .agg(count(lit(1)).as("cont_count"))
+      .crossJoin(broadcast(total))
+      .orderBy(col("cont_count").desc, col("token").asc)
+      .limit(topN)
+      .select(col("token"), col("cont_count"), col("n_bi_distinct"),
+        IntDiv(col("cont_count") * 1000000L, col("n_bi_distinct")).cast("long")
+          .as("cont_ppm"))
+  }
+
+  /**
+   * Multinomial naive-Bayes language identifier, trained and scored
+   * INSIDE the engine — the fastText-style classifier stage every
+   * curation pipeline runs, as a pure DataFrame plan. Train split =
+   * `id % 5 != 0`; per-(lang, token) add-one log-likelihoods and
+   * per-lang log-priors are micro-quantized LONGs
+   * (`floor(ln(c+1)·1e6) − floor(ln(N_lang+V)·1e6)` — ln of exact
+   * integer counts only, the t_pmi precedent), test docs score by
+   * integer SUM of token weights (unseen tokens take the lang's
+   * add-one floor), argmax by (score, lang). Output: one row per
+   * test doc with the true label, prediction and correctness flag.
+   *
+   * Plan: the weight table is (langs × vocab)-sized — aggregate-
+   * shuffled once, then the test-token probe joins on token (the
+   * big side never re-shuffles; langs fan out by an explode of the
+   * 5-row lang list). At 100 TB the weight table is the thing you'd
+   * persist/bucket by token; the probe stays a co-partitioned join.
+   * No floats cross an aggregation boundary anywhere.
+   */
+  def nbLangid(docs: DataFrame, idCol: String, textCol: String,
+               langCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), col(langCol).as("lang"),
+      words(lower(col(textCol))).as("t"))
+    val train = base.filter(col("id") % 5 =!= 0)
+    val test = base.filter(col("id") % 5 === 0)
+    val trainTok = train.select(col("lang"), explode(col("t")).as("w"))
+    val counts = trainTok.groupBy("lang", "w").agg(count(lit(1)).as("c"))
+    val langTotals = trainTok.groupBy("lang").agg(count(lit(1)).as("n_tok"))
+    val vocabSize = trainTok.select("w").distinct().agg(count(lit(1)).as("v"))
+    val priors = train.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("n_train"))))
+      .select(col("lang"),
+        (floor(log(col("n_docs").cast("double")) * lit(1.0e6)) -
+          floor(log(col("n_train").cast("double")) * lit(1.0e6))).cast("long")
+          .as("prior_micro"))
+    // per-lang add-one denominator and OOV floor
+    val langDen = langTotals.crossJoin(broadcast(vocabSize))
+      .select(col("lang"),
+        floor(log((col("n_tok") + col("v")).cast("double")) * lit(1.0e6)).cast("long")
+          .as("den_micro"))
+    val weights = counts.join(langDen, "lang")
+      .select(col("lang"), col("w"),
+        (floor(log((col("c") + 1L).cast("double")) * lit(1.0e6)).cast("long")
+          - col("den_micro")).as("w_micro"))
+    val testTok = test.select(col("id"), col("lang").as("true_lang"),
+      explode(col("t")).as("w"))
+    // fan each test token out to every candidate lang, then take the
+    // trained weight where the (lang, token) pair was seen and the
+    // add-one floor where it was not
+    val cand = testTok
+      .join(broadcast(langDen.withColumnRenamed("lang", "cand_lang")), lit(true))
+      .join(weights.withColumnRenamed("lang", "cand_lang"), Seq("cand_lang", "w"), "left")
+      .withColumn("tok_micro", coalesce(col("w_micro"), -col("den_micro")))
+    val scored = cand.groupBy(col("id"), col("true_lang"), col("cand_lang"))
+      .agg(sum("tok_micro").as("tok_sum"))
+      .join(broadcast(priors.withColumnRenamed("lang", "cand_lang")), "cand_lang")
+      .withColumn("score_micro", col("tok_sum") + col("prior_micro"))
+    val best = Window.partitionBy("id")
+      .orderBy(col("score_micro").desc, col("cand_lang").asc)
+    scored.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("true_lang"), col("cand_lang").as("pred_lang"),
+        col("score_micro"),
+        when(col("cand_lang") === col("true_lang"), 1L).otherwise(0L).as("correct"))
+  }
 }

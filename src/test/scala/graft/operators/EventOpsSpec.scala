@@ -297,4 +297,35 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val byId = got.map(t => t._1 -> t._4).toMap
     assert(byId(1L) == 3.25 && byId(5L) == 5.0 && byId(10L) == 7.75)
   }
+
+  test("rfmSegments: exact quintile arithmetic, recency flips, rfm composes") {
+    val ss = spark; import ss.implicits._
+    // 5 users, one event each on days 0..4, values 1..5
+    val ev = (0 until 5).map(i =>
+      (i.toLong, i.toLong * 86400L, (i + 1).toDouble)).toDF("user_id", "tsec", "value")
+    val out = EventOps.rfmSegments(ev, "user_id", "tsec", "value")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(6), r.getLong(7)))
+    // user 4: most recent (recency 0) and highest value -> r=5, m=5;
+    // frequency all tie at 1 -> ranks by user_id: user 0 gets f=5
+    assert(out(4) == ((4L, 0L, 5L, 5L, 515L)))
+    assert(out(0) == ((0L, 4L, 1L, 1L, 151L)))
+    // every quintile 1..5 appears exactly once on the recency axis
+    assert(out.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("markovTransitions: lag-ordered pairs, ppm shares, last event emits nothing") {
+    val ss = spark; import ss.implicits._
+    val ev = Seq(
+      (1L, 10L, "view", 1L), (1L, 20L, "click", 2L), (1L, 30L, "view", 3L),
+      (2L, 10L, "view", 4L), (2L, 20L, "click", 5L),
+      (3L, 5L, "buy", 6L)) // single event -> no transition
+      .toDF("user_id", "tsec", "event_type", "event_id")
+    val out = EventOps.markovTransitions(ev, "user_id", "tsec", "event_type", "event_id")
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("click", "view", 1L, 1000000L),
+      ("view", "click", 2L, 1000000L)))
+  }
 }

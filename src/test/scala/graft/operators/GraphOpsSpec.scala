@@ -355,4 +355,21 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1 == Seq((2L, 1L), (3L, 1L)))
     assert(GraphOps.kCore(e, k = 2L, rounds = 2).isEmpty)
   }
+
+  test("connectedComponents: hash-min labels disjoint chains by their min node") {
+    val ss = spark; import ss.implicits._
+    // two components: a chain a-b-c-d (diameter 3) and a pair x-y;
+    // edge orientation and duplicates must not matter
+    val e = Seq(("b", "a"), ("b", "c"), ("c", "d"), ("c", "d"), ("y", "x"))
+      .toDF("src", "dst")
+    val out = GraphOps.connectedComponents(e, rounds = 3).orderBy("node")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq == Seq(("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+      ("x", "x"), ("y", "x")))
+    // under-provisioned rounds are DETERMINISTIC, just unconverged:
+    // with 1 round, d only sees distance-1 ids (c < d)
+    val r1 = GraphOps.connectedComponents(e, rounds = 1)
+      .filter(col("node") === "d").collect().head.getString(1)
+    assert(r1 == "c")
+  }
 }

@@ -65,7 +65,20 @@ class MediaFuzzSpec extends AnyFunSuite {
           (-900, 70, Array.tabulate(6)(i => (i * 13).toByte))), 8000)),
       ("jpeg-exif", MultimodalOps.withExifOrientation(jpeg, 6, bigEndian = true)),
       ("ico", MultimodalOps.encodeIco24(
-        Array.tabulate(9 * 5 * 3)(i => (i * 23 + 1).toByte), 9, 5)))
+        Array.tabulate(9 * 5 * 3)(i => (i * 23 + 1).toByte), 9, 5)),
+      ("tga", MultimodalOps.encodeTga24(
+        Array.tabulate(9 * 5 * 3)(i => (i * 17 + 2).toByte), 9, 5)),
+      ("tga-rle-topdown", MultimodalOps.encodeTga24(
+        Array.tabulate(8 * 6 * 3)(i => ((i / 9) * 31).toByte), 8, 6,
+        rle = true, topDown = true)),
+      ("pnm-p6", MultimodalOps.encodePnm(
+        Array.tabulate(7 * 4 * 3)(i => (i * 19 + 5).toByte), 7, 4, 3)),
+      ("pnm-p5", MultimodalOps.encodePnm(
+        Array.tabulate(9 * 6)(i => (i * 37).toByte), 9, 6, 1)),
+      ("wav-mulaw", MultimodalOps.encodeWavG711(
+        Array.tabulate(31)(i => (i * 29 + 3).toByte), 7, 8000)),
+      ("wav-alaw", MultimodalOps.encodeWavG711(
+        Array.tabulate(30)(i => (i * 53).toByte), 6, 8000)))
   }
 
   private def decodeAll(b: Array[Byte]): Unit = {
@@ -78,6 +91,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     MultimodalOps.decodeBmpPixels(b)
     MultimodalOps.decodeTiffPixels(b)
     MultimodalOps.decodeIcoPixels(b)
+    MultimodalOps.decodeTgaPixels(b)
+    MultimodalOps.decodePnmPixels(b)
     MultimodalOps.exifOrientation(b)
     MultimodalOps.parseHeader(b)
     ()

@@ -327,6 +327,103 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MultimodalOps.decodeIcoPixels(badOff).isEmpty)
   }
 
+  test("decodeTgaPixels: raw/RLE x top-down/bottom-up round-trip; refuses hostile") {
+    val w = 9; val h = 6
+    // pair-run stream: each value repeats for two pixels, so the RLE
+    // encoder emits genuine run packets the decoder must expand
+    val px = Array.tabulate(w * h * 3)(i => (((i / 6) * 3 + i % 3) * 23 + 7).toByte)
+    for (rle <- Seq(false, true); td <- Seq(false, true)) {
+      val t = MultimodalOps.encodeTga24(px, w, h, rle = rle, topDown = td)
+      assert(MultimodalOps.decodeTgaPixels(t).exists(_.sameElements(px)),
+        s"rle=$rle topDown=$td")
+      assert(MultimodalOps.parseHeader(t)
+        .contains(MultimodalOps.MediaHeader("tga", w, h, 3, 0)))
+    }
+    // RLE must actually compress the pair-run stream
+    val rawLen = MultimodalOps.encodeTga24(px, w, h).length
+    assert(MultimodalOps.encodeTga24(px, w, h, rle = true).length < rawLen)
+    // a mixed run/literal row round-trips (literal packet path)
+    val mixed = Array.tabulate(8 * 1 * 3)(i =>
+      (if (i < 12) 5 else i * 7).toByte) // 4-pixel run then 4 literals
+    val tm = MultimodalOps.encodeTga24(mixed, 8, 1, rle = true)
+    assert(MultimodalOps.decodeTgaPixels(tm).exists(_.sameElements(mixed)))
+    val good = MultimodalOps.encodeTga24(px, w, h, rle = true)
+    // truncated mid-packet
+    assert(MultimodalOps.decodeTgaPixels(good.take(good.length - 2)).isEmpty)
+    // color-mapped (type 1) and mono (type 3) out of scope
+    val t1 = good.clone(); t1(2) = 1
+    assert(MultimodalOps.decodeTgaPixels(t1).isEmpty)
+    val t3 = good.clone(); t3(2) = 3
+    assert(MultimodalOps.decodeTgaPixels(t3).isEmpty)
+    // 32-bit depth out of scope
+    val d32 = good.clone(); d32(16) = 32
+    assert(MultimodalOps.decodeTgaPixels(d32).isEmpty)
+    // right-to-left descriptor bit out of scope
+    val r2l = good.clone(); r2l(17) = (r2l(17) | 0x10).toByte
+    assert(MultimodalOps.decodeTgaPixels(r2l).isEmpty)
+    // an RLE packet count overrunning the raster is corruption: a run
+    // header claiming 128 pixels right before the end must refuse
+    val overrun = MultimodalOps.encodeTga24(px, w, h, rle = true).clone()
+    overrun(18) = 0xff.toByte // first packet: run of 128 > 54-pixel raster
+    assert(MultimodalOps.decodeTgaPixels(overrun).isEmpty)
+  }
+
+  test("decodePnmPixels: P5/P6 round-trip with comments; refuses out-of-scope") {
+    val w = 9; val h = 6
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 19 + 5) % 256).toByte)
+    val gray = Array.tabulate(w * h)(i => ((i * 37) % 256).toByte)
+    val p6 = MultimodalOps.encodePnm(rgb, w, h, 3)
+    val p5 = MultimodalOps.encodePnm(gray, w, h, 1)
+    assert(MultimodalOps.decodePnmPixels(p6).exists(_.sameElements(rgb)))
+    assert(MultimodalOps.decodePnmPixels(p5).exists(_.sameElements(gray)))
+    assert(MultimodalOps.parseHeader(p6)
+      .contains(MultimodalOps.MediaHeader("pnm", w, h, 3, 0)))
+    assert(MultimodalOps.parseHeader(p5)
+      .contains(MultimodalOps.MediaHeader("pnm", w, h, 1, 0)))
+    // hand-built header with interleaved comments and CRLF whitespace
+    val weird = ("P5 # inline\n#full line comment\n  " + w + "\t" + h +
+      " # dims\n255\n").getBytes("US-ASCII") ++ gray
+    assert(MultimodalOps.decodePnmPixels(weird).exists(_.sameElements(gray)))
+    // ASCII P2 out of scope
+    val p2 = p5.clone(); p2(1) = '2'.toByte
+    assert(MultimodalOps.decodePnmPixels(p2).isEmpty)
+    // 16-bit maxval out of scope: rebuild the header with 65535
+    val deep = ("P5\n" + w + " " + h + "\n65535\n").getBytes("US-ASCII") ++ gray
+    assert(MultimodalOps.decodePnmPixels(deep).isEmpty)
+    // truncated and padded payloads are both corruption (exact-size contract)
+    assert(MultimodalOps.decodePnmPixels(p5.take(p5.length - 1)).isEmpty)
+    assert(MultimodalOps.decodePnmPixels(p5 :+ 0.toByte).isEmpty)
+  }
+
+  test("G.711 expansion matches the ITU anchor values; WAV formats 6/7 decode") {
+    // mu-law: both zero codes decode to 0, code 0x00 is the negative peak
+    assert(MultimodalOps.mulawExpand(0xff) == 0)
+    assert(MultimodalOps.mulawExpand(0x7f) == 0)
+    assert(MultimodalOps.mulawExpand(0x00) == -32124)
+    assert(MultimodalOps.mulawExpand(0x80) == 32124)
+    // A-law: no zero code — 0x55 is -8, 0xd5 is +8; 0x2a the negative peak
+    assert(MultimodalOps.alawExpand(0x55) == -8)
+    assert(MultimodalOps.alawExpand(0xd5) == 8)
+    assert(MultimodalOps.alawExpand(0x2a) == -32256)
+    assert(MultimodalOps.alawExpand(0xaa) == 32256)
+    // sign symmetry over the full byte range
+    for (v <- 0 until 128) {
+      assert(MultimodalOps.mulawExpand(v) == -MultimodalOps.mulawExpand(v | 0x80))
+      assert(MultimodalOps.alawExpand(v) == -MultimodalOps.alawExpand(v | 0x80))
+    }
+    // container round-trip through the WAV sample path
+    val bytes = Array.tabulate(48)(i => ((i * 13 + 7) % 256).toByte)
+    val mu = MultimodalOps.encodeWavG711(bytes, 7, 8000)
+    val al = MultimodalOps.encodeWavG711(bytes, 6, 8000)
+    val muS = MultimodalOps.decodeWavSamples(mu).get
+    val alS = MultimodalOps.decodeWavSamples(al).get
+    assert(muS.sameElements(bytes.map(b => MultimodalOps.mulawExpand(b & 0xff))))
+    assert(alS.sameElements(bytes.map(b => MultimodalOps.alawExpand(b & 0xff))))
+    // 16-bit G.711 is malformed (one byte per sample by definition)
+    val bad = mu.clone(); bad(34) = 16 // fmt bits field
+    assert(MultimodalOps.decodeWavSamples(bad).isEmpty)
+  }
+
   test("decodeTiffPixels refuses out-of-scope and hostile streams") {
     val px = Array.tabulate(4 * 4)(i => (i * 3).toByte)
     val good = MultimodalOps.encodeTiff(px, 4, 4, 1)

@@ -455,4 +455,74 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val g2 = SeriesOps.theilSenTrend(q, maxLag = 1).collect().head
     assert((g2.getLong(1), g2.getLong(2)) == (2L, 2004000L))
   }
+
+  test("hitcount: rate x forward-gap areas, bucketed by point time; last point emits nothing") {
+    val p = pts(
+      ("a", 2.0, 0L, 1L),    // gap 50 -> area 100, bucket 0
+      ("a", 4.0, 50L, 2L),   // gap 20 -> area 80, bucket 0
+      ("a", 6.0, 70L, 3L),   // gap 50 -> area 300, but bucket 60
+      ("a", 1.0, 120L, 4L),  // last -> dropped
+      ("b", 9.0, 10L, 1L))   // single point -> series emits nothing
+    val out = SeriesOps.hitcount(p, 60L).orderBy("path", "bucket_start")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("a", 0L, 2L, 180.0), ("a", 60L, 1L, 300.0)))
+  }
+
+  test("stddevBands: integer breach inequality flags exactly the out-of-band point") {
+    // constant frames never breach (dev 0, var 0 -> 0 > 0 false); the
+    // spike point's OWN trailing frame is (5,5,50): mean 20, sigma
+    // ~21.2, |50-20| = 30 -> breaches k=1 but NOT k=2 (a lone spike
+    // inflates its own frame's sigma — the known trailing-band trait)
+    val p = pts(("a", 5.0, 1L, 1L), ("a", 5.0, 2L, 2L), ("a", 5.0, 3L, 3L),
+      ("a", 50.0, 4L, 4L))
+    val k1 = SeriesOps.stddevBands(p, n = 3, k = 1).orderBy("time")
+      .collect().map(r => (r.getLong(3), r.getDouble(4), r.getLong(6)))
+    assert(k1.map(_._3).toSeq == Seq(0L, 0L, 0L, 1L))
+    assert(k1(3)._2 == 20.0) // mid of frame (5, 5, 50)
+    val k2 = SeriesOps.stddevBands(p, n = 3, k = 2).orderBy("time")
+      .collect().map(_.getLong(6))
+    assert(k2.toSeq == Seq(0L, 0L, 0L, 0L))
+  }
+
+  test("mostDeviant: integer variance key ranks series, path tie-break, top-n cut") {
+    val p = pts(("flat", 5.0, 1L, 1L), ("flat", 5.0, 2L, 2L),
+      ("wild", 0.0, 1L, 1L), ("wild", 10.0, 2L, 2L),
+      ("mild", 4.0, 1L, 1L), ("mild", 6.0, 2L, 2L))
+    val out = SeriesOps.mostDeviant(p, 2).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    // var_key = n*S2 - S1^2 on milli longs: wild = 2*(0+1e8)-1e8... use ranks
+    assert(out.map(_._1).toSeq == Seq("wild", "mild"))
+    // variance display: wild mean 5, var 25 -> 25.0
+    val wild = SeriesOps.mostDeviant(p, 1).collect().head
+    assert(wild.getDouble(3) == 25.0)
+  }
+
+  test("offsetToZero: exact re-base at the series min, independent per series") {
+    val p = pts(("a", 3.5, 1L, 1L), ("a", 7.25, 2L, 2L),
+      ("b", -2.0, 1L, 1L), ("b", 0.0, 2L, 2L))
+    val out = SeriesOps.offsetToZero(p).orderBy("path", "time")
+      .collect().map(r => (r.getString(0), r.getDouble(3)))
+    assert(out.toSeq == Seq(("a", 0.0), ("a", 3.75), ("b", 0.0), ("b", 2.0)))
+  }
+
+  test("changed: first point 0, equal-to-previous 0, moved 1") {
+    val p = pts(("a", 1.0, 1L, 1L), ("a", 1.0, 2L, 2L), ("a", 2.0, 3L, 3L),
+      ("a", 2.0, 4L, 4L), ("b", 9.0, 1L, 1L))
+    val out = SeriesOps.changed(p).orderBy("path", "time")
+      .collect().map(r => (r.getString(0), r.getLong(3)))
+    assert(out.toSeq == Seq(("a", 0L), ("a", 0L), ("a", 1L), ("a", 0L), ("b", 0L)))
+  }
+
+  test("divideSeries: sibling-leaf bucket means, zero divisor -> null, no-pair buckets drop") {
+    val p = pts(
+      ("x.y.value", 10.0, 5L, 1L), ("x.y.value", 20.0, 50L, 2L), // bucket 0 mean 15
+      ("x.y.min", 3.0, 30L, 1L),                                  // bucket 0 mean 3
+      ("x.y.value", 8.0, 70L, 3L),                                // bucket 60, no min -> drops
+      ("z.z.value", 4.0, 0L, 1L), ("z.z.min", 0.0, 1L, 1L))       // zero divisor -> null
+    val out = SeriesOps.divideSeries(p, "value", "min", 60L)
+      .orderBy("prefix", "bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(out.toSeq == Seq(("x.y", 0L, Some(5.0)), ("z.z", 0L, None)))
+  }
 }

@@ -1586,4 +1586,169 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set((1L, "a.example.com"), (1L, "b.example.org"), (3L, "c.example.net")),
       "same host twice in one doc is ONE edge; schemes both match")
   }
+
+  // ---- round-12 similarity additions ----
+
+  test("mipsTopK ranks by raw dot product, not cosine") {
+    val ss = spark; import ss.implicits._
+    // b is a scaled-up copy of a's direction: cosine ties them, MIPS
+    // must put the big-norm vector first
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(10.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f))).toDF("id", "embedding")
+    val q = Seq((0L, Array(1.0f, 0.1f))).toDF("id", "embedding")
+    val out = SimilarityOps.mipsTopK(q, corpus, k = 3).orderBy("rank")
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((2L, 10.0), (1L, 1.0), (3L, 0.1)))
+  }
+
+  test("mutualKnnEdges keeps only bidirectional top-k pairs, emitted once") {
+    val ss = spark; import ss.implicits._
+    // y's nearest is x (and vice versa); z's k=1 nearest is x, but x
+    // prefers y — so x-z must NOT survive the mutuality filter
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f)),          // x
+      (2L, Array(0.9f, 0.1f)),          // y: closest to x
+      (3L, Array(0.5f, 0.6f))           // z: nearer x than y? both rank x first
+    ).toDF("id", "embedding")
+    val out = SimilarityOps.mutualKnnEdges(e, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
+  test("tripletMining picks hardest positive (min sim) and hardest negative (max sim)") {
+    val ss = spark; import ss.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 1),   // anchor
+      (1L, Array(0.9f, 0.44f), 1),  // easy positive (high sim)
+      (2L, Array(0.0f, 1.0f), 1),   // HARD positive (orthogonal)
+      (3L, Array(0.95f, 0.31f), 2), // HARD negative (close imposter)
+      (4L, Array(-1.0f, 0.0f), 2)   // easy negative
+    ).toDF("id", "embedding", "label")
+    val r = SimilarityOps.tripletMining(e)
+      .filter(col("anchor_id") === 0L).collect().head
+    assert(r.getAs[Long]("pos_id") == 2L)
+    assert(r.getAs[Long]("neg_id") == 3L)
+    // active triplet: margin = pos_simq - neg_simq < 0
+    assert(r.getAs[Long]("margin_micro") < 0L)
+  }
+
+  // ---- round-12 selection additions ----
+
+  test("paretoFrontier keeps exactly the non-dominated rows, ties co-survive") {
+    val ss = spark; import ss.implicits._
+    val rows = Seq(
+      (1L, 10L, 100L), // frontier
+      (2L, 10L, 200L), // dominated by 1 (same score, costlier)
+      (3L, 20L, 200L), // frontier
+      (4L, 15L, 150L), // frontier (between 1 and 3)
+      (5L, 9L, 100L),  // dominated by 1 (same cost, lower score)
+      (6L, 10L, 100L)  // exact tie with 1 -> both survive
+    ).toDF("id", "score", "cost")
+    val out = SampleOps.paretoFrontier(rows, col("id"), col("score"), col("cost"))
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L, 4L, 6L))
+  }
+
+  test("classWeights: balanced set weighs 1e6 ppm; rare class upweights") {
+    val ss = spark; import ss.implicits._
+    val rows = (Seq.fill(30)(0) ++ Seq.fill(10)(1)).zipWithIndex
+      .map { case (l, i) => (i.toLong, l) }.toDF("id", "label")
+    val out = SampleOps.classWeights(rows, "label").orderBy("label")
+      .collect().map(r => (r.getInt(0), r.getLong(4), r.getLong(5)))
+    // inv ppm: 40e6 // (30*2) = 666666; 40e6 // (10*2) = 2000000
+    assert(out.toSeq == Seq((0, 666666L, 1154L), (1, 2000000L, 2000L)))
+    // sqrt milli: floor(sqrt(40e6 // 30)) = floor(sqrt(1333333)) = 1154;
+    // floor(sqrt(4000000)) = 2000 — exact IEEE sqrt of exact ints
+  }
+
+  test("softDedup: every copy kept, ppm weights, canonical = smallest id") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq(
+      (5L, "same   TEXT"), (2L, "same text"), (9L, "Same Text"), // one cluster of 3
+      (7L, "unique")).toDF("doc_id", "text")
+    val out = DedupOps.softDedup(docs, "doc_id", "text").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (2L, 3L, 333333L, 1L, 1L),   // canonical, residue 1e6-3*333333=1
+      (5L, 3L, 333333L, 1L, 0L),
+      (7L, 1L, 1000000L, 0L, 1L),
+      (9L, 3L, 333333L, 1L, 0L)))
+    // weight-budget identity: canonical filter reproduces hard dedup
+    val hard = DedupOps.softDedup(docs, "doc_id", "text")
+      .filter(col("is_canonical") === 1L).count()
+    assert(hard == DedupOps.exactDuplicates(docs, "doc_id", "text").count())
+  }
+
+  test("kfoldAudit: folds are stable hash buckets; shares sum to ~1e6 per fold") {
+    val ss = spark; import ss.implicits._
+    val docs = (0L until 200L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val out = SampleOps.kfoldAudit(docs, "doc_id", "lang", k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(out.map(_._3).sum == 200L)
+    // per fold, stratum counts sum to the fold total and shares to <= 1e6
+    for (f <- 0L to 4L) {
+      val cells = out.filter(_._1 == f)
+      assert(cells.map(_._3).sum == cells.head._4)
+      val s = cells.map(_._5).sum
+      assert(s <= 1000000L && s > 999900L)
+    }
+    // determinism: a rerun is byte-identical
+    val again = SampleOps.kfoldAudit(docs, "doc_id", "lang", k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.sortBy(t => (t._1, t._2)).toSeq ==
+      out.map(t => (t._1, t._2, t._3)).sortBy(t => (t._1, t._2)).toSeq)
+  }
+
+  // ---- round-12 text additions ----
+
+  test("typeTokenRatio: exact type/token/hapax counts per doc") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq((1L, "a b a c"), (2L, "x x x x")).toDF("doc_id", "text")
+    val out = TextOps.typeTokenRatio(docs, "doc_id", "text").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out(0) == ((1L, 4L, 3L, 2L, 750000L, 500000L)))
+    assert(out(1) == ((2L, 4L, 1L, 0L, 250000L, 0L)))
+  }
+
+  test("rakeKeywords: stopword-delimited phrases, deg/freq milli scores") {
+    val ss = spark; import ss.implicits._
+    // "deep learning" phrase: deep/learning each freq 2, deg 2+2=4
+    // -> word score 2000 each -> phrase 4000; "models" freq 1 deg 1
+    val docs = Seq(
+      (1L, "deep learning is the deep learning of models")).toDF("doc_id", "text")
+    val out = TextOps.rakeKeywords(docs, "doc_id", "text",
+        Seq("the", "is", "of"), topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("deep learning", 2L, 2L, 4000L), ("models", 1L, 1L, 1000L)))
+  }
+
+  test("knContinuation counts DISTINCT left contexts, not raw frequency") {
+    val ss = spark; import ss.implicits._
+    // "francisco" appears 3x but always after "san" -> cont 1;
+    // "york" appears 2x after 2 different words -> cont 2 ranks higher
+    val docs = Seq(
+      (1L, "san francisco san francisco san francisco new york old york")
+    ).toDF("doc_id", "text")
+    val out = TextOps.knContinuation(docs, "text", topN = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.head == (("york", 2L)))
+    assert(out.map(t => t._1 -> t._2).toMap.get("francisco").contains(1L))
+  }
+
+  test("nbLangid separates disjoint vocabularies and flags correctness") {
+    val ss = spark; import ss.implicits._
+    // ids 1-4 train (id%5!=0), ids 5,10 test; vocabularies disjoint
+    val docs = Seq(
+      (1L, "aa bb aa", "en"), (2L, "aa bb", "en"),
+      (3L, "zz yy zz", "de"), (4L, "zz yy", "de"),
+      (5L, "aa aa bb", "en"), (10L, "zz yy yy", "de")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextOps.nbLangid(docs, "doc_id", "text", "lang").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(out.toSeq == Seq((5L, "en", "en", 1L), (10L, "de", "de", 1L)))
+  }
 }
