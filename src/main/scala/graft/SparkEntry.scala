@@ -944,6 +944,14 @@ object SparkEntry {
       SeriesOps.hitcount(metricStream(s, dir), 3600L)
         .orderBy("path", "bucket_start")),
 
+    "g_holt_winters" -> ((s, dir) =>
+      // triple smoothing (alpha=.3 beta=.1 gamma=.2, 4-slot season):
+      // per-series LONG fold; div == DuckDB's integer // (both
+      // truncate toward zero — verified on negative seasonals)
+      SeriesOps.holtWinters(metricStream(s, dir),
+          alphaMilli = 300L, betaMilli = 100L, gammaMilli = 200L)
+        .orderBy("path")),
+
     "g_bands" -> ((s, dir) =>
       // Bollinger bands over a 5-point frame, k=2: breach test is
       // pure integer arithmetic ((nq-S1)^2 > k^2(nS2-S1^2))
@@ -1041,6 +1049,24 @@ object SparkEntry {
         .orderBy("event_type", "bin")),
 
     // ---- training-data pipeline: dedup ----
+
+    "d_dedup_url" -> ((s, dir) => {
+      // URL-identity dedup: four planted variants of each resource
+      // (scheme case, www, trailing slash, utm params, fragment)
+      // must collapse to ONE canonical key per doc_id%40 resource
+      val k = col("doc_id") % 40
+      val planted = table(s, dir, "documents").withColumn("text",
+        concat(col("text"), lit(" "),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("https://h"), k, lit(".example.com/p"), k))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("http://h"), k, lit(".example.com/p"), k, lit("/")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("https://www.h"), k, lit(".example.com/p"), k, lit("?utm_source=feed")))
+          .otherwise(
+            concat(lit("HTTPS://WWW.H"), k, lit(".EXAMPLE.COM/p"), k, lit("#frag")))))
+      DedupOps.urlDuplicates(planted, "doc_id", "text").orderBy("canonical_url")
+    }),
 
     "d_dedup_soft" -> ((s, dir) =>
       // keep every copy, weight 1e6//cluster ppm — the soft-dedup
@@ -1706,6 +1732,18 @@ object SparkEntry {
       val q = e.filter(col("id") < 5)
       SimilarityOps.recallAudit(
           SimilarityOps.ivfTopK(q, e, k = 5),
+          SimilarityOps.bruteForceTopK(q, e, k = 5))
+        .orderBy("query_id")
+    }),
+
+    "s_recall_pq" -> ((s, dir) => {
+      // recall audit for the PQ/ADC path — closes the audit family
+      // (brute = truth, lsh/ivf/pq each audited): how much exact
+      // top-5 the 8x32 codes + 50-candidate re-rank recover
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") < 5)
+      SimilarityOps.recallAudit(
+          PqOps.pqTopK(q, e, topk = 5, m = 8, k = 32, iters = 1, cand = 50),
           SimilarityOps.bruteForceTopK(q, e, k = 5))
         .orderBy("query_id")
     }),
@@ -4396,6 +4434,61 @@ object SparkEntry {
          |FROM dev d JOIN mad USING (path)
          |GROUP BY 1 ORDER BY d.path""".stripMargin,
 
+    // the triple-smoothing fold replayed point-by-point through a
+    // recursive CTE; integer // truncates toward zero, matching
+    // Spark's div on the negative seasonal deviations
+    "g_holt_winters" ->
+      s"""WITH RECURSIVE m AS (
+         |  SELECT 'evt.' || event_type || '.u' || (user_id % 10) || '.' ||
+         |         CASE user_id % 4 WHEN 0 THEN 'sum' WHEN 1 THEN 'min'
+         |                          WHEN 2 THEN 'max' ELSE 'value' END AS path,
+         |         value,
+         |         CAST(floor(epoch(ts)) AS BIGINT) AS "time",
+         |         event_id AS version
+         |  FROM events),
+         |x AS (
+         |  SELECT path, CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS q,
+         |         row_number() OVER (PARTITION BY path ORDER BY "time" ASC, version ASC) AS rn
+         |  FROM m),
+         |cnt AS (SELECT path, count(*)::BIGINT AS n FROM x GROUP BY 1 HAVING count(*) >= 5),
+         |init AS (
+         |  SELECT x1.path, (x1.q + x2.q + x3.q + x4.q) // 4 AS l0,
+         |         x1.q AS q1, x2.q AS q2, x3.q AS q3, x4.q AS q4
+         |  FROM x x1
+         |  JOIN x x2 ON x1.path = x2.path AND x2.rn = 2
+         |  JOIN x x3 ON x1.path = x3.path AND x3.rn = 3
+         |  JOIN x x4 ON x1.path = x4.path AND x4.rn = 4
+         |  WHERE x1.rn = 1),
+         |walk AS (
+         |  SELECT i.path, 4::BIGINT AS k, l0 AS l, 0::BIGINT AS b,
+         |         q1 - l0 AS s0, q2 - l0 AS s1, q3 - l0 AS s2, q4 - l0 AS s3
+         |  FROM init i JOIN cnt c ON i.path = c.path
+         |  UNION ALL
+         |  SELECT path, k + 1 AS k, lv AS l,
+         |         (100 * (lv - l) + 900 * b) // 1000 AS b,
+         |         CASE WHEN k % 4 = 0 THEN (200 * (q - lv) + 800 * cs) // 1000 ELSE s0 END AS s0,
+         |         CASE WHEN k % 4 = 1 THEN (200 * (q - lv) + 800 * cs) // 1000 ELSE s1 END AS s1,
+         |         CASE WHEN k % 4 = 2 THEN (200 * (q - lv) + 800 * cs) // 1000 ELSE s2 END AS s2,
+         |         CASE WHEN k % 4 = 3 THEN (200 * (q - lv) + 800 * cs) // 1000 ELSE s3 END AS s3
+         |  FROM (
+         |    SELECT w.path, w.k, w.l, w.b, w.s0, w.s1, w.s2, w.s3, x.q,
+         |           CASE CAST(w.k % 4 AS INT) WHEN 0 THEN w.s0 WHEN 1 THEN w.s1
+         |                                     WHEN 2 THEN w.s2 ELSE w.s3 END AS cs,
+         |           (300 * (x.q - CASE CAST(w.k % 4 AS INT) WHEN 0 THEN w.s0 WHEN 1 THEN w.s1
+         |                                                   WHEN 2 THEN w.s2 ELSE w.s3 END)
+         |            + 700 * (w.l + w.b)) // 1000 AS lv
+         |    FROM walk w JOIN x ON x.path = w.path AND x.rn = w.k + 1) step),
+         |fin AS (
+         |  SELECT w.path, c.n, w.k, w.l, w.b, w.s0, w.s1, w.s2, w.s3
+         |  FROM walk w JOIN cnt c ON w.path = c.path AND w.k = c.n)
+         |SELECT path, n, l AS level_milli, b AS trend_milli,
+         |       s0 AS s0_milli, s1 AS s1_milli, s2 AS s2_milli, s3 AS s3_milli,
+         |       (l + 1 * b + CASE CAST((k + 0) % 4 AS INT) WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END)::BIGINT AS fc1_milli,
+         |       (l + 2 * b + CASE CAST((k + 1) % 4 AS INT) WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END)::BIGINT AS fc2_milli,
+         |       (l + 3 * b + CASE CAST((k + 2) % 4 AS INT) WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END)::BIGINT AS fc3_milli,
+         |       (l + 4 * b + CASE CAST((k + 3) % 4 AS INT) WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END)::BIGINT AS fc4_milli
+         |FROM fin ORDER BY path""".stripMargin,
+
     // rate x forward-gap areas as 1e-6-quantized LONG sums: the
     // bucket total is an integer sum, association-order-free
     "g_hitcount" ->
@@ -4662,6 +4755,36 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |       min(doc_id) AS canonical_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the canonicalizer replays as the same anchored regexp chain;
+    // char-class scheme match avoids (?i) dialect differences
+    "d_dedup_url" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text || ' ' || CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'https://h' || (doc_id % 40) || '.example.com/p' || (doc_id % 40)
+        |    WHEN 1 THEN 'http://h' || (doc_id % 40) || '.example.com/p' || (doc_id % 40) || '/'
+        |    WHEN 2 THEN 'https://www.h' || (doc_id % 40) || '.example.com/p' || (doc_id % 40) || '?utm_source=feed'
+        |    ELSE 'HTTPS://WWW.H' || (doc_id % 40) || '.EXAMPLE.COM/p' || (doc_id % 40) || '#frag' END AS text
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id,
+        |         regexp_extract(text, '[hH][tT][tT][pP][sS]?://[^\s]+', 0) AS url
+        |  FROM planted),
+        |q AS (
+        |  SELECT doc_id, url,
+        |         regexp_replace(regexp_replace(
+        |           regexp_extract(url, '\?([^#]*)', 1),
+        |           '(^|&)utm_[^&]*', '', 'g'), '^&', '') AS q2
+        |  FROM u WHERE url <> ''),
+        |c AS (
+        |  SELECT doc_id,
+        |         regexp_replace(lower(regexp_extract(url, '^[hH][tT][tT][pP][sS]?://([^/?#]+)', 1)), '^www\.', '')
+        |         || regexp_replace(regexp_extract(url, '^[hH][tT][tT][pP][sS]?://[^/?#]+([^?#]*)', 1), '/$', '')
+        |         || CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS canonical_url
+        |  FROM q)
+        |SELECT canonical_url, min(doc_id) AS canonical_id, count(*) AS dup_count
+        |FROM c WHERE canonical_url <> ''
+        |GROUP BY 1 ORDER BY canonical_url""".stripMargin,
 
     "d_dedup_soft" ->
       """WITH f AS (
@@ -8086,6 +8209,97 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank::BIGINT AS rank, neighbor_id, sim
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // the s_ann_pq replay reduced to its id set, joined against the
+    // exact top-5 — identical audit tail to s_recall_ivf/lsh
+    "s_recall_pq" ->
+      """WITH subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+        |dims AS (SELECT unnest(generate_series(1, 8)) AS d),
+        |seed AS (SELECT vec_id, embedding,
+        |                row_number() OVER (ORDER BY vec_id) - 1 AS c
+        |         FROM embeddings QUALIFY c < 32),
+        |c0 AS (
+        |  SELECT sub, seed.c,
+        |         list(seed.embedding[sub*8 + d]::DOUBLE ORDER BY d) AS cv
+        |  FROM subs, seed, dims GROUP BY 1, 2),
+        |s0 AS (
+        |  SELECT vec_id, sub, c,
+        |         list_sum(list_transform(range(1, 9),
+        |           i -> (embedding[sub*8 + i]::DOUBLE - cv[i]) * (embedding[sub*8 + i]::DOUBLE - cv[i]))) AS dist
+        |  FROM embeddings, c0),
+        |a0 AS (SELECT vec_id, sub, c AS cell FROM (
+        |         SELECT vec_id, sub, c,
+        |                row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, c ASC) AS rn
+        |         FROM s0) z WHERE rn = 1),
+        |m1 AS (
+        |  SELECT a0.sub, a0.cell, dims.d,
+        |         sum(floor(e.embedding[a0.sub*8 + dims.d]::DOUBLE * 10000000.0 + 0.5))::BIGINT AS sq,
+        |         count(*) AS n
+        |  FROM a0, embeddings e, dims WHERE a0.vec_id = e.vec_id
+        |  GROUP BY 1, 2, 3),
+        |c1m AS (SELECT sub, cell AS c, list(sq::DOUBLE / (n::DOUBLE * 10000000.0) ORDER BY d) AS cv
+        |        FROM m1 GROUP BY 1, 2),
+        |c1 AS (SELECT c0.sub, c0.c, coalesce(c1m.cv, c0.cv) AS cv
+        |       FROM c0 LEFT JOIN c1m ON c0.sub = c1m.sub AND c0.c = c1m.c),
+        |s1 AS (
+        |  SELECT vec_id, sub, c,
+        |         list_sum(list_transform(range(1, 9),
+        |           i -> (embedding[sub*8 + i]::DOUBLE - cv[i]) * (embedding[sub*8 + i]::DOUBLE - cv[i]))) AS dist
+        |  FROM embeddings, c1),
+        |codes AS (SELECT vec_id, sub, c AS cell FROM (
+        |            SELECT vec_id, sub, c,
+        |                   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, c ASC) AS rn
+        |            FROM s1) z WHERE rn = 1),
+        |qd AS (
+        |  SELECT vec_id AS query_id, sub, c,
+        |         floor(list_sum(list_transform(range(1, 9),
+        |           i -> (embedding[sub*8 + i]::DOUBLE - cv[i]) * (embedding[sub*8 + i]::DOUBLE - cv[i])))
+        |           * 1000000000.0 + 0.5)::BIGINT AS dq
+        |  FROM embeddings, c1 WHERE vec_id < 5),
+        |adc AS (
+        |  SELECT qd.query_id, x.vec_id AS neighbor_id, sum(qd.dq)::BIGINT AS adist_q
+        |  FROM codes x JOIN qd ON qd.sub = x.sub AND qd.c = x.cell
+        |  WHERE x.vec_id <> qd.query_id
+        |  GROUP BY 1, 2),
+        |shortlist AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY adist_q ASC, neighbor_id ASC) AS arn
+        |    FROM adc) z WHERE arn <= 50),
+        |rescored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * qe.embedding[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)))), 6) AS sim
+        |  FROM shortlist JOIN embeddings qe ON query_id = qe.vec_id
+        |                 JOIN embeddings ce ON neighbor_id = ce.vec_id),
+        |pq AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |    FROM rescored) z WHERE rank <= 5),
+        |qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |scored_b AS (
+        |  SELECT query_id, ce.vec_id AS neighbor_id,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * ce.embedding[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * qe[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)))), 6) AS sim
+        |  FROM qv, embeddings ce WHERE query_id <> ce.vec_id),
+        |ex AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |    FROM scored_b) WHERE rank <= 5),
+        |j AS (
+        |  SELECT ex.query_id,
+        |         (pq.neighbor_id IS NOT NULL)::INT AS hit
+        |  FROM ex LEFT JOIN pq ON ex.query_id = pq.query_id
+        |                       AND ex.neighbor_id = pq.neighbor_id)
+        |SELECT query_id, count(*)::BIGINT AS k_exact, sum(hit)::BIGINT AS hits,
+        |       ((sum(hit) * 1000000) // count(*))::BIGINT AS recall_ppm
+        |FROM j GROUP BY 1 ORDER BY query_id""".stripMargin,
 
     // IVF+PQ: the s_ann_ivf_trained coarse-quantizer replay composed
     // with the s_ann_pq sub-codebook replay — candidates are the IVF

@@ -74,6 +74,29 @@ object DedupOps {
   }
 
   /**
+   * URL-identity dedup — the crawl-frontier pass that runs BEFORE any
+   * content fetch: documents whose source URLs canonicalize to the
+   * same resource ([[TextOps.canonicalUrl]]: scheme/www/fragment/
+   * utm-param/trailing-slash invariant) collapse to one cluster. The
+   * first URL in the text is the doc's source locator. Emits one row
+   * per canonical resource with the duplicate count and smallest-id
+   * canonical doc; docs with no URL are ignored (nothing to key on).
+   *
+   * One extract projection + one hash aggregate on the canonical
+   * string — the exactDuplicates shape keyed on identity instead of
+   * content, so it dedups pages whose FETCHED bytes differ (ads,
+   * timestamps) but whose resource is one.
+   */
+  def urlDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val url = regexp_extract(col(textCol), "[hH][tT][tT][pP][sS]?://[^\\s]+", 0)
+    docs
+      .select(col(idCol).as("id"), TextOps.canonicalUrl(url).as("canonical_url"))
+      .filter(col("canonical_url") =!= "")
+      .groupBy("canonical_url")
+      .agg(min("id").as("canonical_id"), count(lit(1)).as("dup_count"))
+  }
+
+  /**
    * SOFT dedup: keep EVERY copy but down-weight each to
    * `1e6 // cluster_size` ppm so a duplicated document contributes
    * (about) one document's worth of gradient — the training-mixture

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -791,6 +791,77 @@ object SeriesOps {
         round(when(col("wsum") > 0L,
           col("vw").cast("double") / col("wsum").cast("double") / lit(1.0e6)), 6)
           .as("wavg"))
+  }
+
+  /**
+   * Additive Holt–Winters TRIPLE smoothing (level + trend + a
+   * 4-slot seasonal cycle) — graphite's `holtWintersForecast`
+   * proper, where [[holtForecast]] is the trend-only double form.
+   * All state is 1e-3-quantized LONGs folded per series with
+   * milli-gains α/β/γ; every division is `div` — TRUNCATION toward
+   * zero, which is exactly DuckDB's integer `//` (verified:
+   * `(-7)//2 = -3` there; a floor-division formulation drifted one
+   * unit on every negative seasonal deviation during bring-up and
+   * was red-flagged by the oracle on first contact — truncation is
+   * the shared semantic, same as g_holt). Init: level = trunc-mean
+   * of the first 4 points, trend = 0, seasonals = first-cycle
+   * deviations. Forecast h steps out re-uses the slot the h-th
+   * future index lands on.
+   *
+   * Scale: [[holtForecast]]'s exact shape — one collect_list + one
+   * O(n) HOF fold per series (series-fits-a-partition), output one
+   * row per series. The 4-slot cycle keeps the fold state fixed-size
+   * (struct of 7 LONGs), so nothing grows with history.
+   */
+  def holtWinters(points: DataFrame, alphaMilli: Long, betaMilli: Long,
+                  gammaMilli: Long): DataFrame = {
+    require(alphaMilli >= 0 && alphaMilli <= 1000, s"alphaMilli in [0,1000]: $alphaMilli")
+    require(betaMilli >= 0 && betaMilli <= 1000, s"betaMilli in [0,1000]: $betaMilli")
+    require(gammaMilli >= 0 && gammaMilli <= 1000, s"gammaMilli in [0,1000]: $gammaMilli")
+    val a = alphaMilli; val na = 1000L - alphaMilli
+    val bb = betaMilli; val nb = 1000L - betaMilli
+    val g = gammaMilli; val ng = 1000L - gammaMilli
+    def fdiv(x: String) = s"(($x) div 1000)"
+    val q = floor(col("value") * lit(1.0e3) + lit(0.5)).cast("long")
+    val curS = "(CASE CAST(acc.i % 4 AS INT) WHEN 0 THEN acc.s0 WHEN 1 THEN acc.s1 " +
+      "WHEN 2 THEN acc.s2 ELSE acc.s3 END)"
+    val lNew = fdiv(s"$a * (e.q - $curS) + $na * (acc.l + acc.b)")
+    val bNew = fdiv(s"$bb * ($lNew - acc.l) + $nb * acc.b")
+    val sNew = fdiv(s"$g * (e.q - $lNew) + $ng * $curS")
+    val st = expr(
+      s"""aggregate(
+         |  slice(arr, 5, size(arr) - 4),
+         |  named_struct(
+         |    'i', CAST(4 AS BIGINT), 'l', l0, 'b', CAST(0 AS BIGINT),
+         |    's0', arr[0].q - l0, 's1', arr[1].q - l0,
+         |    's2', arr[2].q - l0, 's3', arr[3].q - l0),
+         |  (acc, e) -> named_struct(
+         |    'i', acc.i + 1,
+         |    'l', $lNew,
+         |    'b', $bNew,
+         |    's0', IF(acc.i % 4 = 0, $sNew, acc.s0),
+         |    's1', IF(acc.i % 4 = 1, $sNew, acc.s1),
+         |    's2', IF(acc.i % 4 = 2, $sNew, acc.s2),
+         |    's3', IF(acc.i % 4 = 3, $sNew, acc.s3)))""".stripMargin)
+    def slot(h: Int): Column = {
+      val idx = (col("st.i") + lit(h.toLong - 1)) % 4
+      when(idx === 0, col("st.s0")).when(idx === 1, col("st.s1"))
+        .when(idx === 2, col("st.s2")).otherwise(col("st.s3"))
+    }
+    val fcs = (1 to 4).map(h =>
+      (col("st.l") + lit(h.toLong) * col("st.b") + slot(h)).as(s"fc${h}_milli"))
+    points
+      .groupBy("path")
+      .agg(sort_array(collect_list(struct(col("time"), col("version"), q.as("q"))))
+        .as("arr"))
+      .filter(size(col("arr")) >= 5)
+      .withColumn("l0",
+        expr("(arr[0].q + arr[1].q + arr[2].q + arr[3].q) div 4"))
+      .withColumn("st", st)
+      .select(Seq(col("path"), size(col("arr")).cast("long").as("n"),
+        col("st.l").as("level_milli"), col("st.b").as("trend_milli"),
+        col("st.s0").as("s0_milli"), col("st.s1").as("s1_milli"),
+        col("st.s2").as("s2_milli"), col("st.s3").as("s3_milli")) ++ fcs: _*)
   }
 
   /**

@@ -1812,6 +1812,30 @@ object TextOps {
   }
 
   /**
+   * Crawl-grade URL canonicalization: scheme/host case-folded and
+   * stripped (scheme discarded — http/https variants of one resource
+   * are one resource to a dedup pass), leading `www.` dropped,
+   * fragment dropped, `utm_*` tracking query dropped, trailing slash
+   * trimmed; path CASE IS PRESERVED (paths are case-sensitive by
+   * RFC 3986, hosts are not). Scheme matching uses explicit char
+   * classes, not an inline `(?i)` flag, so the same pattern string
+   * runs identically on the JVM and RE2-family engines.
+   */
+  def canonicalUrl(url: Column): Column = {
+    val host = regexp_replace(
+      lower(regexp_extract(url, "^[hH][tT][tT][pP][sS]?://([^/?#]+)", 1)),
+      "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(url, "^[hH][tT][tT][pP][sS]?://[^/?#]+([^?#]*)", 1),
+      "/$", "")
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // keep a non-tracking query string; drop utm_* params entirely
+    val cleanQ = regexp_replace(query, "(^|&)utm_[^&]*", "")
+    val q2 = regexp_replace(cleanQ, "^&", "")
+    concat(host, path, when(q2 === "", lit("")).otherwise(concat(lit("?"), q2)))
+  }
+
+  /**
    * Per-document lexical diversity: token count, type count, hapax
    * count, and the type–token / hapax–token ratios in ppm — the
    * cheapest word-salad and template-spam detector (TTR collapses on

@@ -456,6 +456,28 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((g2.getLong(1), g2.getLong(2)) == (2L, 2004000L))
   }
 
+  test("holtWinters: periodic series converges to exact level/seasonals; forecasts replay the cycle") {
+    // alpha=1 gamma=1 beta=0 on a perfectly 4-periodic series: level
+    // locks to the cycle mean, seasonals to the (negative-going)
+    // deviations — the floor-division path is exercised by s0 < 0
+    val vals = Seq(10.0, 20.0, 30.0, 40.0)
+    val p = pts((0 until 12).map(i =>
+      ("a", vals(i % 4), (i + 1).toLong, (i + 1).toLong)): _*)
+    val r = SeriesOps.holtWinters(p, alphaMilli = 1000L, betaMilli = 0L,
+      gammaMilli = 1000L).collect().head
+    assert(r.getAs[Long]("n") == 12L)
+    assert(r.getAs[Long]("level_milli") == 25000L)
+    assert(r.getAs[Long]("trend_milli") == 0L)
+    assert(r.getAs[Long]("s0_milli") == -15000L)
+    assert(r.getAs[Long]("s3_milli") == 15000L)
+    // forecasts walk the next cycle: slots (12+h-1) % 4
+    assert((1 to 4).map(h => r.getAs[Long](s"fc${h}_milli")) ==
+      Seq(10000L, 20000L, 30000L, 40000L))
+    // fewer than 5 points -> no row (nothing to smooth)
+    assert(SeriesOps.holtWinters(pts(("b", 1.0, 1L, 1L), ("b", 2.0, 2L, 2L),
+      ("b", 3.0, 3L, 3L), ("b", 4.0, 4L, 4L)), 300L, 100L, 200L).isEmpty)
+  }
+
   test("hitcount: rate x forward-gap areas, bucketed by point time; last point emits nothing") {
     val p = pts(
       ("a", 2.0, 0L, 1L),    // gap 50 -> area 100, bucket 0

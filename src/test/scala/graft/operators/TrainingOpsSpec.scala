@@ -1680,6 +1680,24 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hard == DedupOps.exactDuplicates(docs, "doc_id", "text").count())
   }
 
+  test("canonicalUrl + urlDuplicates: scheme/www/utm/slash/fragment variants collapse") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq(
+      (1L, "x https://h1.example.com/Path"),
+      (2L, "y http://h1.example.com/Path/"),
+      (3L, "z HTTPS://WWW.H1.EXAMPLE.COM/Path#frag"),
+      (4L, "w https://h1.example.com/Path?utm_source=a&utm_medium=b"),
+      (5L, "keep https://h1.example.com/Path?page=2&utm_source=a"), // real param kept
+      (6L, "case https://h1.example.com/path"), // path case DIFFERS -> distinct
+      (7L, "no url here")).toDF("doc_id", "text")
+    val out = DedupOps.urlDuplicates(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(
+      ("h1.example.com/Path", 1L, 4L),
+      ("h1.example.com/Path?page=2", 5L, 1L),
+      ("h1.example.com/path", 6L, 1L)))
+  }
+
   test("kfoldAudit: folds are stable hash buckets; shares sum to ~1e6 per fold") {
     val ss = spark; import ss.implicits._
     val docs = (0L until 200L).map(i => (i, if (i % 3 == 0) "en" else "de"))
