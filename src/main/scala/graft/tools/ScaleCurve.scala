@@ -277,6 +277,45 @@ object ScaleCurve {
       SimilarityOps.rangeSearch(embs(d).filter(col("id") < 5), embs(d), 0.25))
     run("temperature", d => graft.operators.SampleOps.temperatureShares(docs(d), "lang"))
 
+    // round-12 rows — the growth-shape-interesting additions:
+    // kn_continuation's DISTINCT bigram frame (Heaps-law read),
+    // rake's phrase space, the Pareto skyline's output size, the
+    // nb_langid weight table, hash-min components, markov's type²
+    run("kn_continuation", d =>
+      graft.operators.TextOps.knContinuation(docs(d), "text", topN = 50))
+    run("rake", d => graft.operators.TextOps.rakeKeywords(docs(d), "doc_id", "text",
+      Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "for"), topN = 20))
+    run("pareto_frontier", d => graft.operators.SampleOps.paretoFrontier(docs(d),
+      col("doc_id"), graft.operators.TextOps.qualityScore(col("text")), col("n_chars")))
+    run("nb_langid", d =>
+      graft.operators.TextOps.nbLangid(docs(d), "doc_id", "text", "lang"))
+    run("components", d => {
+      val ev = spark.read.parquet(s"$d/events.parquet")
+      val fwd = ev.select(concat(lit("u"), col("user_id")).as("src"),
+        concat(lit("e"), col("event_type"), lit("_"), col("user_id") % 7).as("dst"))
+        .distinct()
+      graft.operators.GraphOps.connectedComponents(fwd, rounds = 4)
+    })
+    run("markov", d => {
+      // testdata dirs read ts as LONG nanos (nanosAsLong); the derived
+      // sf1 rewrites it TIMESTAMP_NTZ — both routes land on a sortable
+      // long, which is all the lag ordering needs
+      val ev0 = spark.read.parquet(s"$d/events.parquet")
+      val ev = ev0.withColumn("tsec",
+        ev0.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => col("ts")
+          case _ => col("ts").cast("timestamp").cast("long")
+        })
+      graft.operators.EventOps.markovTransitions(ev, "user_id", "tsec",
+        "event_type", "event_id")
+    })
+    run("mutual_knn", d =>
+      SimilarityOps.mutualKnnEdges(embs(d).filter(col("id") < 200), k = 5))
+    run("url_dedup", d => DedupOps.urlDuplicates(
+      docs(d).withColumn("text", concat(col("text"), lit(" https://h"),
+        col("doc_id") % 40, lit(".example.com/p"), col("doc_id") % 40)),
+      "doc_id", "text"))
+
     spark.stop()
   }
 }
