@@ -366,6 +366,19 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val overrun = MultimodalOps.encodeTga24(px, w, h, rle = true).clone()
     overrun(18) = 0xff.toByte // first packet: run of 128 > 54-pixel raster
     assert(MultimodalOps.decodeTgaPixels(overrun).isEmpty)
+    // the identification field is SKIPPED per spec: splice a 5-byte id
+    // after the 18-byte header and set idLength = 5 — same pixels out
+    val raw = MultimodalOps.encodeTga24(px, w, h)
+    val withId = new Array[Byte](raw.length + 5)
+    System.arraycopy(raw, 0, withId, 0, 18)
+    withId(0) = 5 // idLength
+    "hello".getBytes("US-ASCII").copyToArray(withId, 18)
+    System.arraycopy(raw, 18, withId, 23, raw.length - 18)
+    assert(MultimodalOps.decodeTgaPixels(withId).exists(_.sameElements(px)),
+      "idLength field must be skipped, not decoded as pixels")
+    // but an idLength pointing past the blob refuses
+    val idOver = raw.clone(); idOver(0) = 0xff.toByte
+    assert(MultimodalOps.decodeTgaPixels(idOver).isEmpty)
   }
 
   test("decodePnmPixels: P5/P6 round-trip with comments; refuses out-of-scope") {
