@@ -345,4 +345,56 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "wedge joins must stay equi joins")
   }
+
+  // ---- round-12 plan shapes ----
+
+  test("s_triplets: the positive side joins as a broadcast EQUI join on the label") {
+    // the anchor set is small (broadcast); the same-label filter is an
+    // equi key, so the positive probe must be a BroadcastHashJoin —
+    // only the label-free negative side may be the nested-loop probe
+    val plan = planOf("s_triplets")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"positive probe must hash-join on the label key:\n${plan.take(800)}")
+    assert(!plan.contains("CartesianProduct"), "no unhinted cartesian")
+  }
+
+  test("g_holt_winters folds in ONE aggregate pair — no per-point shuffle") {
+    // collect_list partial+final plus the projection fold: exactly one
+    // exchange before the ordering; a window- or join-based rewrite
+    // would multiply event-sized shuffles
+    val plan = planOf("g_holt_winters")
+    val exchanges = plan.split("\\n").count(_.contains("Exchange"))
+    assert(exchanges <= 3, s"expected agg + order exchanges only, got $exchanges:\n${plan.take(900)}")
+    assert(plan.contains("ObjectHashAggregate"), "collect_list must object-hash aggregate")
+  }
+
+  test("m_media_pixels_tga decodes in a single scan + mapPartitions (no shuffle before the sort)") {
+    val plan = planOf("m_media_pixels_tga")
+    assert(plan.contains("MapPartitions"), "batched decode stage missing")
+    val preSort = plan.split("Sort").head
+    assert(!preSort.contains("Exchange"),
+      s"decode must not shuffle blobs:\n${plan.take(700)}")
+  }
+
+  test("q43_components serves from the checkpointed labels, never re-deriving rounds") {
+    // each round localCheckpoints, so the SERVED plan is just
+    // sort-over-pinned-RDD — re-running the query must not rebuild the
+    // unrolled join lineage from the parquet source
+    val plan = planOf("q43_components")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"must read the pinned comp frame:\n${plan.take(600)}")
+    assert(!plan.contains("FileScan parquet") && !plan.contains("Scan parquet"),
+      s"served plan must not re-derive from the source:\n${plan.take(600)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "hash-min propagation must stay an equi join")
+  }
+
+  test("d_dedup_url: extraction+canonicalization stay in one scan before the aggregate") {
+    val plan = planOf("d_dedup_url")
+    // one parquet scan, one (partial, final) aggregate exchange, one sort
+    assert(plan.split("\\n").count(_.contains("FileScan parquet")) +
+      plan.split("\\n").count(_.contains("Scan parquet")) <= 2,
+      s"must not rescan documents:\n${plan.take(600)}")
+    assert(plan.contains("HashAggregate"), "canonical grouping must hash-aggregate")
+  }
 }
