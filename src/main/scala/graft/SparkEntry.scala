@@ -664,6 +664,36 @@ object SparkEntry {
       GraphOps.connectedComponents(fwd, rounds = 4).orderBy("node")
     }),
 
+    "q47_harmonic" -> ((s, dir) => {
+      // radius-3 harmonic centrality over a bounded-degree skip-chain
+      // graph (u->u+1 within 64-blocks, u->u+16 skips): exact integer
+      // milli sum of 1000/d at true min distance; the small-radius
+      // auditable form of HyperBall-style neighborhood centrality
+      val users = events(s, dir).select(col("user_id")).distinct()
+      val uDst = users.select(col("user_id").as("dst"))
+      val e1 = users.filter(col("user_id") % 64 =!= 63)
+        .select(col("user_id").as("src"), (col("user_id") + 1).as("dst"))
+        .join(uDst, Seq("dst"))
+      val e2 = users.filter(col("user_id") % 64 < 48)
+        .select(col("user_id").as("src"), (col("user_id") + 16).as("dst"))
+        .join(uDst, Seq("dst"))
+      GraphOps.harmonicCentrality(e1.union(e2), radius = 3).orderBy("node")
+    }),
+
+    "q46_components_stars" -> ((s, dir) => {
+      // components by ALTERNATING star contraction on a long-chain
+      // graph (consecutive user ids within 32-blocks): diameter 31,
+      // where q43's hash-min would need 31 rounds — stars converge in
+      // ~log₂ rounds to the EXACT fixpoint, so the oracle is true
+      // min-label components (recursive CTE), not a round replay
+      val users = events(s, dir).select(col("user_id")).distinct()
+      val edges = users
+        .filter(col("user_id") % 32 =!= 31)
+        .select(col("user_id").as("src"), (col("user_id") + 1).as("dst"))
+        .join(users.select(col("user_id").as("dst")), Seq("dst"))
+      GraphOps.componentsStars(edges).orderBy("node")
+    }),
+
     "q41_cocitation_rank" -> ((s, dir) => {
       // the full link-graph pipeline in one query: planted URLs ->
       // host edges -> bipartite projection (host co-citation with
@@ -899,6 +929,12 @@ object SparkEntry {
       // graphite removeAbovePercentile(95): boundary value kept
       SeriesOps.removeAbovePercentile(metricStream(s, dir), p = 95)
         .orderBy("path", "time", "version")),
+
+    "g_percentile_series" -> ((s, dir) =>
+      // graphite percentileOfSeries(90): per-TIMESTAMP p90 across all
+      // series (LWW-collapsed) — the fleet band, not the series one
+      SeriesOps.percentileOfSeries(metricStream(s, dir), p = 90)
+        .orderBy("time")),
 
     "g_filter_avg_above" -> ((s, dir) =>
       // graphite averageAbove(49.5): whole-series retention by exact
@@ -1245,6 +1281,13 @@ object SparkEntry {
       // Kneser-Ney continuation counts: distinct-left-context top 50
       // — the smoothing statistic raw frequency can't substitute
       TextOps.knContinuation(table(s, dir, "documents"), "text", topN = 50)),
+
+    "t_kn_score" -> ((s, dir) =>
+      // interpolated Kneser-Ney bigram NLL (D=0.75): discounted MLE
+      // plus continuation back-off — the proper-smoothing quality
+      // scorer t_perplexity2's raw MLE approximates
+      TextOps.knBigramNll(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
 
     "t_nb_langid" -> ((s, dir) =>
       // naive-Bayes langid trained on the id%5!=0 split, scored on
@@ -1648,6 +1691,28 @@ object SparkEntry {
       val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
       SimilarityOps.mipsTopK(e.filter(col("id") < 5), e, k = 5)
         .orderBy("query_id", "rank")
+    }),
+
+    "s_mips_ivf" -> ((s, dir) => {
+      // MIPS through the IVF pruner: norm-augmented 65-dim vectors
+      // (corpus gains sqrt(M^2-|x|^2), queries gain 0) make augmented
+      // cosine order by raw inner product, so the md5-codebook cell
+      // probe prunes MIPS exactly like s_ann_ivf prunes cosine
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      SimilarityOps.mipsIvfTopK(e.filter(col("id") < 5), e, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "s_recall_mips" -> ((s, dir) => {
+      // recall audit for the norm-augmented path: how much exact
+      // inner-product top-5 the 6-of-16 cell probe recovers — the
+      // go/no-go check before shipping the reduction at corpus scale
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") < 5)
+      SimilarityOps.recallAudit(
+          SimilarityOps.mipsIvfTopK(q, e, k = 5),
+          SimilarityOps.mipsTopK(q, e, k = 5))
+        .orderBy("query_id")
     }),
 
     "s_knn_mutual" -> ((s, dir) => {
@@ -2280,6 +2345,44 @@ object SparkEntry {
       MultimodalOps.resampledStats(media, box = 8).orderBy("media_id")
     }),
 
+    "m_media_pixels_pcx" -> ((s, dir) => {
+      // PCX decode pinned through the resample stage: pixel PAIRS are
+      // constant per channel, so each plane-separated scan line holds
+      // genuine RLE runs; values >= 0xC0 occur and must round-trip the
+      // forced-1-run rule; odd width would pad bytesPerLine even
+      // (width 16 keeps the oracle's index math clean). %4==3 docs ->
+      // junk fallback on the one-byte-magic consistency sniff.
+      val buildPcx = udf { (docId: Long) =>
+        val w = 16; val h = 16
+        val px = Array.tabulate(w * h * 3)(i =>
+          ((docId * 17 + (i / 6) * 11 + (i % 3) * 3) % 256).toByte)
+        MultimodalOps.encodePcx(px, w, h)
+      }
+      val docs = table(s, dir, "documents").withColumn("blob",
+        when(col("doc_id") % 4 === 3, unhex(unknownHex)).otherwise(buildPcx(col("doc_id"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+      MultimodalOps.resampledStats(media, box = 8).orderBy("media_id")
+    }),
+
+    "m_media_pixels_qoi" -> ((s, dir) => {
+      // QOI decode pinned through the resample stage: 3-pixel constant
+      // groups make the encoder emit genuine RUN packets, the +5 group
+      // steps emit LUMA deltas, per-channel +7 offsets keep channels
+      // distinct — the decoder must replay the op state machine
+      // (previous pixel + 64-slot seen array) exactly. %4==3 docs ->
+      // magic-less junk fallback.
+      val buildQoi = udf { (docId: Long) =>
+        val w = 16; val h = 16
+        val px = Array.tabulate(w * h * 3)(i =>
+          ((docId * 13 + (i / 9) * 5 + (i % 3) * 7) % 256).toByte)
+        MultimodalOps.encodeQoi(px, w, h)
+      }
+      val docs = table(s, dir, "documents").withColumn("blob",
+        when(col("doc_id") % 4 === 3, unhex(unknownHex)).otherwise(buildQoi(col("doc_id"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+      MultimodalOps.resampledStats(media, box = 8).orderBy("media_id")
+    }),
+
     "m_media_pixels_tga" -> ((s, dir) => {
       // TGA decode pinned by the ORDER-SENSITIVE resample stage: the
       // pixel formula repeats each value for a PIXEL PAIR, so %3==0
@@ -2468,6 +2571,22 @@ object SparkEntry {
       // counts via one join to the vocab-sized token-count map
       TextOps.bpeEncodeCounts(table(s, dir, "documents"), "doc_id", "text",
           steps = 4)
+        .orderBy("doc_id")),
+
+    "p_subword_vocab" -> ((s, dir) =>
+      // SentencePiece-style SEED vocabulary: all 2..4-char substrings
+      // of corpus words weighted by word frequency, scored freq x len,
+      // top 64 — the candidate set a unigram-LM trainer prunes
+      TextOps.subwordVocab(table(s, dir, "documents"), "text",
+          vocabSize = 64, maxLen = 4)
+        .orderBy("rank")),
+
+    "p_maxmatch_encode" -> ((s, dir) =>
+      // WordPiece-style greedy longest-match encoding against the
+      // seed vocab: per-doc word + subword counts (single-char
+      // fallback), segmentation priced once per DISTINCT word
+      TextOps.maxMatchCounts(table(s, dir, "documents"), "doc_id", "text",
+          vocabSize = 64, maxLen = 4)
         .orderBy("doc_id")),
 
     "p_curriculum" -> ((s, dir) =>
@@ -2815,6 +2934,28 @@ object SparkEntry {
     * per step, pair counts from the ||-delimited sequences, argmax
     * with the same (freq DESC, t1, t2) tie-break, and the same
     * `|t1||t2|` → `|t1t2|` replace-merge. */
+  /** Seed-subword-vocab trainer replay through the `vocab` CTE (top 64
+    * substrings of length 2..4 by freq×len, ties by piece) — shared by
+    * the p_subword_vocab oracle and the p_maxmatch_encode encoder
+    * oracle that segments against it. */
+  private val SubwordVocabCtes =
+    """|w AS (
+       |  SELECT word, count(*) AS cnt FROM (
+       |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS word
+       |    FROM documents) q GROUP BY 1),
+       |pc AS (
+       |  SELECT substr(word, s, l) AS piece, sum(cnt)::BIGINT AS freq
+       |  FROM w,
+       |       LATERAL unnest(generate_series(1, len(word))) u(s),
+       |       LATERAL unnest(generate_series(2, 4)) v(l)
+       |  WHERE s + l - 1 <= len(word)
+       |  GROUP BY 1),
+       |rk AS (
+       |  SELECT piece, freq, (freq * len(piece))::BIGINT AS score,
+       |         row_number() OVER (ORDER BY freq * len(piece) DESC, piece ASC) AS rn
+       |  FROM pc),
+       |vocab AS (SELECT rn::BIGINT AS rank, piece, freq, score FROM rk WHERE rn <= 64)"""
+
   private def bpeOracleSql(steps: Int, encode: Boolean = false): String = {
     val head =
       """WITH v AS (
@@ -2858,6 +2999,51 @@ object SparkEntry {
         .mkString("\n", "\nUNION ALL ", "\nORDER BY step")
     (head +: stepCtes).mkString(",\n") + tail
   }
+
+  /** Norm-augmented IVF-MIPS replay, through the candidate CTE `cand`:
+    * M² = max corpus squared norm, corpus vectors gain a 65th coord
+    * sqrt(M² − ‖x‖²) (queries gain 0), cells come from the 65-dim
+    * md5 'mcentroid' codebook — shared by the s_mips_ivf serving
+    * oracle and the s_recall_mips audit, which differ only in the
+    * tail they hang off `cand`. */
+  private val MipsIvfCtes =
+    """|m AS (
+       |  SELECT max(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS m2
+       |  FROM embeddings),
+       |aug AS (
+       |  SELECT vec_id,
+       |         list_append(list_transform(range(1, 65), i -> embedding[i]::DOUBLE),
+       |           sqrt(greatest(m2 - list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)), 0.0))) AS av
+       |  FROM embeddings, m),
+       |qaug AS (
+       |  SELECT vec_id, list_append(list_transform(range(1, 65), i -> embedding[i]::DOUBLE), 0.0) AS av
+       |  FROM embeddings WHERE vec_id < 5),
+       |cent AS (
+       |  SELECT c, list_transform(generate_series(0, 64),
+       |           d -> (('0x' || substr(md5('mcentroid:' || c || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS cv
+       |  FROM (SELECT unnest(generate_series(0, 15)) AS c)),
+       |csim AS (
+       |  SELECT vec_id, c,
+       |         list_sum(list_transform(range(1, 66), i -> cv[i] * av[i])) /
+       |         (sqrt(list_sum(list_transform(range(1, 66), i -> cv[i] * cv[i]))) *
+       |          sqrt(list_sum(list_transform(range(1, 66), i -> av[i] * av[i])))) AS s
+       |  FROM aug, cent),
+       |assign AS (SELECT vec_id, c AS cell FROM (
+       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+       |    FROM csim) z WHERE rn = 1),
+       |qsim AS (
+       |  SELECT vec_id, c,
+       |         list_sum(list_transform(range(1, 66), i -> cv[i] * av[i])) /
+       |         (sqrt(list_sum(list_transform(range(1, 66), i -> cv[i] * cv[i]))) *
+       |          sqrt(list_sum(list_transform(range(1, 66), i -> av[i] * av[i])))) AS s
+       |  FROM qaug, cent),
+       |probes AS (SELECT vec_id, c AS cell FROM (
+       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+       |    FROM qsim) z WHERE rn <= 6),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assign a ON p.cell = a.cell
+       |  WHERE p.vec_id <> a.vec_id)"""
 
   /** The 2-round Lloyd training replay (init c0 comes from the head),
     * ending at the final assignment CTE `a2` — shared by the one-level
@@ -3796,6 +3982,43 @@ object SparkEntry {
          |SELECT node, comp FROM c4 ORDER BY node""".stripMargin
     },
 
+    // exact min-distance pairs within radius 3 via a depth-capped
+    // recursive CTE (UNION dedupes states), then the integer milli sum
+    "q47_harmonic" ->
+      """WITH RECURSIVE u AS (SELECT DISTINCT user_id AS id FROM events),
+        |e AS (
+        |  SELECT a.id AS src, a.id + 1 AS dst
+        |  FROM u a JOIN u b ON b.id = a.id + 1 WHERE a.id % 64 <> 63
+        |  UNION ALL
+        |  SELECT a.id AS src, a.id + 16 AS dst
+        |  FROM u a JOIN u b ON b.id = a.id + 16 WHERE a.id % 64 < 48),
+        |adj AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst AS a, src AS b FROM e),
+        |r AS (
+        |  SELECT a AS src, b AS node, 1 AS d FROM adj
+        |  UNION
+        |  SELECT r.src, adj.b AS node, r.d + 1
+        |  FROM r JOIN adj ON adj.a = r.node
+        |  WHERE r.d < 3 AND r.src <> adj.b),
+        |md AS (SELECT src, node, min(d) AS d FROM r WHERE src <> node GROUP BY 1, 2)
+        |SELECT src AS node, sum(1000 // d)::BIGINT AS h_milli, count(*)::BIGINT AS n_reach
+        |FROM md GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // star contraction converges to the TRUE fixpoint, so the oracle
+    // is exact min-label reachability (recursive CTE) — no round
+    // unrolling, unlike q43's bounded hash-min replay
+    "q46_components_stars" ->
+      """WITH RECURSIVE u AS (SELECT DISTINCT user_id AS id FROM events),
+        |e AS (
+        |  SELECT a.id AS src, a.id + 1 AS dst
+        |  FROM u a JOIN u b ON b.id = a.id + 1
+        |  WHERE a.id % 32 <> 31),
+        |und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst AS a, src AS b FROM e),
+        |r AS (
+        |  SELECT a AS node, a AS lbl FROM und
+        |  UNION
+        |  SELECT und.b AS node, r.lbl FROM r JOIN und ON und.a = r.node)
+        |SELECT node, min(lbl)::BIGINT AS comp FROM r GROUP BY node ORDER BY node""".stripMargin,
+
     // projection pairs from the capped incidence self-join, then the
     // weighted unrolled PR rounds — contribution (pr·w) // Σw(src)
     "q41_cocitation_rank" -> {
@@ -4668,6 +4891,14 @@ object SparkEntry {
          |SELECT node_group, "time", count(*) AS n_series,
          |       round(sum(q)::DOUBLE / 1000000.0, 6) AS value
          |FROM k GROUP BY 1, 2 ORDER BY node_group, "time"""".stripMargin,
+
+    "g_percentile_series" ->
+      s"""$OracleM,
+         |lww AS (SELECT path, "time", max_by(value, version) AS value
+         |        FROM m GROUP BY 1, 2)
+         |SELECT "time", count(*)::BIGINT AS n_series,
+         |       round(quantile_cont(value, 0.9), 4) AS pval
+         |FROM lww GROUP BY 1 ORDER BY "time"""".stripMargin,
 
     "g_as_percent" ->
       s"""$OracleM,
@@ -6304,6 +6535,58 @@ object SparkEntry {
         |SELECT query_id, rank::BIGINT AS rank, neighbor_id, score
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // norm-augmented IVF serving of MIPS: shared CTEs end at the
+    // candidate set, the tail re-ranks by the ORIGINAL 64-dim inner
+    // product (equal to the augmented dot — query's 65th coord is 0)
+    "s_mips_ivf" ->
+      ("WITH " + MipsIvfCtes.stripMargin + ",\n" +
+        """|scored AS (
+           |  SELECT query_id, neighbor_id,
+           |         round(list_sum(list_transform(range(1, 65),
+           |               i -> qe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)), 6) AS score
+           |  FROM cand JOIN embeddings qe ON query_id = qe.vec_id
+           |            JOIN embeddings ce ON neighbor_id = ce.vec_id),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, score,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank::BIGINT AS rank, neighbor_id, score
+           |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // recall of the augmented-cell probe vs exact inner-product top-5
+    "s_recall_mips" ->
+      ("WITH " + MipsIvfCtes.stripMargin + ",\n" +
+        """|scored_i AS (
+           |  SELECT query_id, neighbor_id,
+           |         round(list_sum(list_transform(range(1, 65),
+           |               i -> qe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)), 6) AS score
+           |  FROM cand JOIN embeddings qe ON query_id = qe.vec_id
+           |            JOIN embeddings ce ON neighbor_id = ce.vec_id),
+           |ivf AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+           |    FROM scored_i) WHERE rank <= 5),
+           |qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+           |scored_b AS (
+           |  SELECT query_id, ce.vec_id AS neighbor_id,
+           |         round(list_sum(list_transform(range(1, 65),
+           |               i -> qe[i]::DOUBLE * ce.embedding[i]::DOUBLE)), 6) AS score
+           |  FROM qv, embeddings ce WHERE query_id <> ce.vec_id),
+           |ex AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+           |    FROM scored_b) WHERE rank <= 5),
+           |j AS (
+           |  SELECT ex.query_id,
+           |         (ivf.neighbor_id IS NOT NULL)::INT AS hit
+           |  FROM ex LEFT JOIN ivf ON ex.query_id = ivf.query_id
+           |                        AND ex.neighbor_id = ivf.neighbor_id)
+           |SELECT query_id, count(*)::BIGINT AS k_exact, sum(hit)::BIGINT AS hits,
+           |       ((sum(hit) * 1000000) // count(*))::BIGINT AS recall_ppm
+           |FROM j GROUP BY 1 ORDER BY query_id""".stripMargin),
+
     // mutual top-5 edges: the ranked frame self-joined on the reversed
     // id pair, each undirected edge emitted once
     "s_knn_mutual" ->
@@ -7519,6 +7802,69 @@ object SparkEntry {
 
     // BGR resample like the BMP oracle: output index j maps to source
     // index ((j//24)*2*16 + (j%24)//3*2)*3 + j%3 of the planted stream
+    // PCX replay: closed-form fixture pixels through the same 2x box
+    // walk; srcbyte = (((j//24)*2)*16 + ((j%24)//3)*2)*3 + j%3
+    "m_media_pixels_pcx" ->
+      """WITH ip AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 191),
+        |           j -> (doc_id * 17
+        |                 + (((((j // 24) * 2) * 16 + ((j % 24) // 3) * 2) * 3 + (j % 3)) // 6) * 11
+        |                 + (j % 3) * 3) % 256) AS q
+        |  FROM documents WHERE doc_id % 4 <> 3),
+        |junk AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 16),
+        |           i -> CASE WHEN i = 0 THEN 0
+        |                     ELSE ('0x' || substr(upper(md5(text)), (i - 1) * 2 + 1, 2))::BIGINT END) AS b
+        |  FROM documents WHERE doc_id % 4 = 3)
+        |SELECT doc_id AS media_id, 'pcx' AS format, true AS decoded,
+        |       8::BIGINT AS out_w, 8::BIGINT AS out_h,
+        |       192::BIGINT AS n_vals,
+        |       ((list_sum(q) * 1000) // 192)::BIGINT AS mean_milli,
+        |       len(list_distinct(q))::BIGINT AS distinct_vals,
+        |       list_max(q)::BIGINT AS max_val
+        |FROM ip
+        |UNION ALL
+        |SELECT doc_id AS media_id, 'unknown' AS format, false AS decoded,
+        |       0::BIGINT, 0::BIGINT, 17::BIGINT,
+        |       ((list_sum(b) * 1000) // 17)::BIGINT,
+        |       len(list_distinct(b))::BIGINT, list_max(b)::BIGINT
+        |FROM junk
+        |ORDER BY media_id""".stripMargin,
+
+    // QOI replay: the fixture's logical pixels are closed-form, so the
+    // oracle computes the resampled stream directly — srcbyte for out
+    // byte j is (((j//24)*2)*16 + ((j%24)//3)*2)*3 + j%3 (2x box walk)
+    "m_media_pixels_qoi" ->
+      """WITH ip AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 191),
+        |           j -> (doc_id * 13
+        |                 + (((((j // 24) * 2) * 16 + ((j % 24) // 3) * 2) * 3 + (j % 3)) // 9) * 5
+        |                 + (j % 3) * 7) % 256) AS q
+        |  FROM documents WHERE doc_id % 4 <> 3),
+        |junk AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 16),
+        |           i -> CASE WHEN i = 0 THEN 0
+        |                     ELSE ('0x' || substr(upper(md5(text)), (i - 1) * 2 + 1, 2))::BIGINT END) AS b
+        |  FROM documents WHERE doc_id % 4 = 3)
+        |SELECT doc_id AS media_id, 'qoi' AS format, true AS decoded,
+        |       8::BIGINT AS out_w, 8::BIGINT AS out_h,
+        |       192::BIGINT AS n_vals,
+        |       ((list_sum(q) * 1000) // 192)::BIGINT AS mean_milli,
+        |       len(list_distinct(q))::BIGINT AS distinct_vals,
+        |       list_max(q)::BIGINT AS max_val
+        |FROM ip
+        |UNION ALL
+        |SELECT doc_id AS media_id, 'unknown' AS format, false AS decoded,
+        |       0::BIGINT, 0::BIGINT, 17::BIGINT,
+        |       ((list_sum(b) * 1000) // 17)::BIGINT,
+        |       len(list_distinct(b))::BIGINT, list_max(b)::BIGINT
+        |FROM junk
+        |ORDER BY media_id""".stripMargin,
+
     "m_media_pixels_ico" ->
       """WITH ip AS (
         |  SELECT doc_id,
@@ -7940,6 +8286,47 @@ object SparkEntry {
 
     "p_bpe" -> bpeOracleSql(4),
     "p_bpe_encode" -> bpeOracleSql(4, encode = true),
+
+    // seed-vocab trainer: all 2..4-char substrings of corpus words,
+    // freq-weighted, scored freq x len, top 64 — pure aggregates
+    "p_subword_vocab" ->
+      ("WITH " + SubwordVocabCtes.stripMargin + "\n" +
+        "SELECT rank, piece, freq, score FROM vocab ORDER BY rank"),
+
+    // greedy longest-match replay: the recursive CTE walks each
+    // DISTINCT word left to right, taking the longest (4->3->2) vocab
+    // piece at the cursor via length-specific LEFT JOINs, single-char
+    // fallback; per-doc counts fan back through one word join
+    "p_maxmatch_encode" ->
+      ("WITH RECURSIVE " + SubwordVocabCtes.stripMargin + ",\n" +
+        """|v2 AS (SELECT piece FROM vocab WHERE len(piece) = 2),
+           |v3 AS (SELECT piece FROM vocab WHERE len(piece) = 3),
+           |v4 AS (SELECT piece FROM vocab WHERE len(piece) = 4),
+           |wd AS (SELECT DISTINCT word FROM w),
+           |seg AS (
+           |  SELECT word, 1 AS pos, 0 AS n FROM wd
+           |  UNION ALL
+           |  SELECT s.word,
+           |         s.pos + (CASE WHEN v4.piece IS NOT NULL THEN 4
+           |                       WHEN v3.piece IS NOT NULL THEN 3
+           |                       WHEN v2.piece IS NOT NULL THEN 2
+           |                       ELSE 1 END),
+           |         s.n + 1
+           |  FROM seg s
+           |  LEFT JOIN v4 ON v4.piece = substr(s.word, s.pos, 4)
+           |  LEFT JOIN v3 ON v3.piece = substr(s.word, s.pos, 3)
+           |  LEFT JOIN v2 ON v2.piece = substr(s.word, s.pos, 2)
+           |  WHERE s.pos <= len(s.word)),
+           |tok AS (SELECT word, n::BIGINT AS n_tok FROM seg WHERE pos > len(word)),
+           |inst AS (
+           |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS word
+           |  FROM documents),
+           |perdoc AS (
+           |  SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_tok)::BIGINT AS n_subwords
+           |  FROM inst JOIN tok USING (word) GROUP BY 1)
+           |SELECT d.doc_id, coalesce(n_words, 0)::BIGINT AS n_words,
+           |       coalesce(n_subwords, 0)::BIGINT AS n_subwords
+           |FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id""".stripMargin),
 
     // per-doc quality identical to the t_quality oracle; all sums exact ints
     "p_stats" ->
@@ -8440,6 +8827,33 @@ object SparkEntry {
         |  SELECT doc_id, count(*) AS n_bigrams,
         |         avg(ln(c1::DOUBLE) - ln(c12::DOUBLE)) AS nll
         |  FROM inst JOIN big USING (w1, w2) JOIN pre USING (w1) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+        |       coalesce(round(nll, 4), 0.0) AS avg_nll
+        |FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // Kneser-Ney replay: one bigram-count CTE feeds the discounted MLE
+    // term and both continuation statistics; the P expression is the
+    // same double chain as the Spark column, term for term
+    "t_kn_score" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |inst AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM w, LATERAL unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM inst GROUP BY 1, 2),
+        |lft AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*) AS n1f FROM big GROUP BY 1),
+        |cont AS (SELECT w2, count(*) AS n1p FROM big GROUP BY 1),
+        |tt AS (SELECT count(*) AS tt FROM big),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |         avg(-ln(
+        |           greatest(c12::DOUBLE - 0.75, 0.0) / c1::DOUBLE +
+        |           0.75 * n1f::DOUBLE / c1::DOUBLE * (n1p::DOUBLE / tt::DOUBLE))) AS nll
+        |  FROM inst JOIN big USING (w1, w2) JOIN lft USING (w1)
+        |            JOIN cont USING (w2), tt
+        |  GROUP BY 1)
         |SELECT d.doc_id, coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
         |       coalesce(round(nll, 4), 0.0) AS avg_nll
         |FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id""".stripMargin,

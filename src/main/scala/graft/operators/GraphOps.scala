@@ -543,6 +543,127 @@ object GraphOps {
    * loop. Input rows are (src, dst) in either orientation; self-loops
    * and duplicates tolerated.
    */
+  /**
+   * Bounded-radius HARMONIC centrality: H(v) = Σ 1/d(u,v) over nodes
+   * within `radius` hops, as the exact integer Σ floor(scale/d)
+   * (1000/1, 1000/2, 1000/3 … — milli units, engine-portable). The
+   * radius cap is the standard production form (Boldi–Vigna's
+   * centrality surveys use r-truncated harmonic when full BFS is
+   * unaffordable); distances come from `radius` rounds of frontier
+   * expansion with a left-anti "seen" filter, so each pair is priced
+   * at its TRUE minimum distance.
+   *
+   * Scale shape: round r is one (pairs ⋈ adjacency) shuffle join plus
+   * a left-anti dedup against the seen set — all id-only rows;
+   * `localCheckpoint` pins each round like [[kCore]]. Memory is the
+   * r-hop pair set, so the operator contract requires BOUNDED-degree
+   * graphs at scale (on hub-heavy graphs, cap degree upstream the way
+   * [[bipartiteProject]] does, or move to HyperBall-style HLL
+   * neighborhood sketches — this exact form is the auditable
+   * small-radius variant).
+   */
+  def harmonicCentrality(edges: DataFrame, radius: Int,
+                         scale: Long = 1000L): DataFrame = {
+    require(radius >= 1 && radius <= 6, s"harmonicCentrality radius=$radius")
+    val und = undirect(edges).localCheckpoint()
+    val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var frontier = adj.select(col("a").as("src"), col("b").as("node"))
+      .distinct()
+      .withColumn("d", lit(1L))
+      .localCheckpoint()
+    var all = frontier
+    for (r <- 2 to radius) {
+      val expanded = frontier.join(adj, frontier("node") === adj("a"))
+        .select(col("src"), col("b").as("node"))
+        .filter(col("src") =!= col("node"))
+        .distinct()
+      val fresh = expanded
+        .join(all.select("src", "node"), Seq("src", "node"), "left_anti")
+        .withColumn("d", lit(r.toLong))
+        .localCheckpoint()
+      all = all.union(fresh).localCheckpoint()
+      frontier = fresh
+    }
+    all.groupBy(col("src").as("node"))
+      .agg(sum(IntDiv(lit(scale), col("d"))).as("h_milli"),
+        count(lit(1)).as("n_reach"))
+      .select(col("node"), col("h_milli").cast("long").as("h_milli"), col("n_reach"))
+  }
+
+  /**
+   * Connected components by ALTERNATING star contraction (the
+   * two-phase small-star/large-star algorithm of Kiveris et al.,
+   * "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+   * o(diameter)-round answer to [[connectedComponents]]'s hash-min,
+   * whose round count is the graph diameter. Each round:
+   *
+   *  - large-star: every node u links its LARGER neighbors directly
+   *    to m = min(Γ(u) ∪ u) — long chains halve;
+   *  - small-star: with edges oriented high→low, every node u links
+   *    its smaller neighbors (and itself) to the minimum — stars
+   *    flatten.
+   *
+   * Both emit canonical (u > v) edges, so each phase is one
+   * edge-sized groupBy + join; `localCheckpoint` per round pins
+   * lineage exactly like [[kCore]]. Convergence is detected by the
+   * (count, xxhash64-xor) signature of the edge set being a
+   * fixpoint — one extra no-op round instead of a frame diff. At the
+   * fixpoint every node carries an edge to its component minimum, so
+   * the output is the star read off directly: (node, comp) with
+   * comp = the component's least node id, centers included.
+   *
+   * Scale shape: O(log² n) rounds w.h.p. (chains of length L need
+   * ~log L, vs L for hash-min); every step is linear in |E| with
+   * id-only shuffles — no adjacency lists, no node-state explosion.
+   */
+  def componentsStars(edges: DataFrame, maxRounds: Int = 16): DataFrame = {
+    require(maxRounds >= 1, s"componentsStars maxRounds=$maxRounds")
+    // canonical high→low orientation (u > v), deduped
+    var e = undirect(edges)
+      .select(col("b").as("u"), col("a").as("v"))
+      .localCheckpoint()
+    def signature(df: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: order-independent AND overflow-free under ANSI
+      val r = df.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(e)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // large-star: m(u) = min over Γ⁺(u); larger neighbors re-point to m
+      val nb = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nb.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = nb.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: already high→low; everything including u re-points
+      // to the group minimum
+      val mins2 = ls.groupBy("u").agg(min("v").as("m"))
+      val ss = ls.join(mins2, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins2.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint()
+      val nsig = signature(ss)
+      converged = nsig == sig
+      sig = nsig
+      e = ss
+      round += 1
+    }
+    // fixpoint stars: every non-center points at its component min
+    e.groupBy("u").agg(min("v").as("comp"))
+      .select(col("u").as("node"), col("comp"))
+      .union(
+        e.select(col("v")).distinct()
+          .join(e.select(col("u")).distinct(), col("v") === col("u"), "left_anti")
+          .select(col("v").as("node"), col("v").as("comp")))
+  }
+
   def connectedComponents(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"connectedComponents rounds=$rounds")
     val und = undirect(edges).localCheckpoint()

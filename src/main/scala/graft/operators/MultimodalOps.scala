@@ -188,6 +188,14 @@ object MultimodalOps {
               case m if m.format == "pnm" && px.length == m.width * m.height * m.channels =>
                 ("pnm", px, m.width.toInt, m.height.toInt, m.channels.toInt)
             }))
+            .orElse(decodeQoiPixels(content).flatMap(px => hdr.collect {
+              case m if m.format == "qoi" && px.length == m.width * m.height * m.channels =>
+                ("qoi", px, m.width.toInt, m.height.toInt, m.channels.toInt)
+            }))
+            .orElse(decodePcxPixels(content).flatMap(px => hdr.collect {
+              case m if m.format == "pcx" && px.length == m.width * m.height * m.channels =>
+                ("pcx", px, m.width.toInt, m.height.toInt, m.channels.toInt)
+            }))
           decoded match {
             case Some((f, px, w, h, ch)) =>
               val (out, ow, oh) = resample(px, w, h, ch)
@@ -263,6 +271,14 @@ object MultimodalOps {
             .orElse(decodePnmPixels(content).flatMap(px => hdr.collect {
               case m if m.format == "pnm" && px.length == m.width * m.height * m.channels =>
                 ("pnm", px, m.width.toInt, m.height.toInt, m.channels.toInt)
+            }))
+            .orElse(decodeQoiPixels(content).flatMap(px => hdr.collect {
+              case m if m.format == "qoi" && px.length == m.width * m.height * m.channels =>
+                ("qoi", px, m.width.toInt, m.height.toInt, m.channels.toInt)
+            }))
+            .orElse(decodePcxPixels(content).flatMap(px => hdr.collect {
+              case m if m.format == "pcx" && px.length == m.width * m.height * m.channels =>
+                ("pcx", px, m.width.toInt, m.height.toInt, m.channels.toInt)
             }))
           decoded match {
             case Some((f, px, w, h, ch)) =>
@@ -443,6 +459,15 @@ object MultimodalOps {
         return Some(MediaHeader("bmp", w.toLong, math.abs(hRaw).toLong,
           if (u16le(b, 28) == 24L) 3L else 1L, 0L))
     }
+    // QOI: "qoif" magic, big-endian dims, 3/4 channels, srgb/linear
+    if (b.length >= 14 && b(0) == 'q' && b(1) == 'o' && b(2) == 'i' && b(3) == 'f') {
+      val ch = b(12) & 0xff
+      if ((ch == 3 || ch == 4) && (b(13) & 0xff) <= 1) {
+        val w = u32be(b, 4); val h = u32be(b, 8)
+        if (w > 0L && h > 0L) return Some(MediaHeader("qoi", w, h, ch.toLong, 0L))
+      }
+      return None
+    }
     // ICO: 00 00 01 00 + count, dims from the first entry's DIB
     // (biHeight is DOUBLED — XOR + AND share one header)
     if (b.length >= 22 && u16le(b, 0) == 0L && u16le(b, 2) == 1L && u16le(b, 4) >= 1L) {
@@ -477,6 +502,19 @@ object MultimodalOps {
     // WAV: RIFF/WAVE then chunk walk to "fmt "
     val wav = parseWav(b)
     if (wav.isDefined) return wav
+    // PCX: one magic byte (0x0A) + header consistency — RLE encoding,
+    // 8 bits/plane, 1 or 3 planes, even bytesPerLine covering width
+    if (b.length >= 128 && (b(0) & 0xff) == 0x0a &&
+        (b(2) & 0xff) == 1 && (b(3) & 0xff) == 8) {
+      val w = (u16le(b, 8) - u16le(b, 4) + 1).toInt
+      val h = (u16le(b, 10) - u16le(b, 6) + 1).toInt
+      val planes = b(65) & 0xff
+      val bpl = u16le(b, 66).toInt
+      if (w > 0 && h > 0 && (planes == 1 || planes == 3) &&
+          bpl >= w && (bpl & 1) == 0)
+        return Some(MediaHeader("pcx", w.toLong, h.toLong, planes.toLong, 0L))
+      return None
+    }
     // TGA last — the format has NO magic, so admission is pure header
     // consistency: no color map, type 2/10, depth 24, descriptor
     // limited to the top-down bit, positive dims
@@ -1542,6 +1580,276 @@ object MultimodalOps {
     require(w > 0 && h > 0 && px.length == w * h * channels, "px must be w*h*ch")
     val magic = if (channels == 3) "P6" else "P5"
     s"$magic\n# graft fixture\n$w $h\n255\n".getBytes("US-ASCII") ++ px
+  }
+
+  /**
+   * REAL QOI decode — the "Quite OK Image" format (qoiformat.org,
+   * public single-page spec, 2022), the no-dependency lossless
+   * format screenshot/texture corpora increasingly ship because it
+   * en/decodes at memcpy-class speed. 14-byte header (magic "qoif",
+   * big-endian dims, 3/4 channels, srgb/linear flag), then a byte
+   * stream of six ops against DECODER STATE — a previous pixel and a
+   * 64-slot recently-seen array keyed `(3r+5g+7b+11a) mod 64`:
+   *
+   *   0xFE r g b       QOI_OP_RGB    (alpha carried over)
+   *   0xFF r g b a     QOI_OP_RGBA
+   *   00iiiiii         QOI_OP_INDEX  (recently-seen slot i)
+   *   01rrggbb         QOI_OP_DIFF   (per-channel −2..1, wrapping)
+   *   10gggggg rrrrbbbb QOI_OP_LUMA  (dg −32..31; dr−dg, db−dg −8..7)
+   *   11cccccc         QOI_OP_RUN    (1..62 repeats of previous pixel)
+   *
+   * and the 8-byte end marker 00×7 01. Every emitted pixel is written
+   * into its index slot (runs too — idempotent). The stream must
+   * produce EXACTLY w·h pixels and stop inside the marker — over- or
+   * under-runs refuse (None → honest compressed-blob fallback), as do
+   * bad magic/channels/colorspace and dimension bombs past
+   * `maxPixelBytes`. Output is the natural row-major RGB(A) stream.
+   */
+  private[graft] def decodeQoiPixels(b: Array[Byte],
+                                     maxPixelBytes: Int = 1 << 26): Option[Array[Byte]] = {
+    if (b == null || b.length < 14 + 8) return None
+    if (!(b(0) == 'q' && b(1) == 'o' && b(2) == 'i' && b(3) == 'f')) return None
+    val w = u32be(b, 4)
+    val h = u32be(b, 8)
+    val ch = b(12) & 0xff
+    val cs = b(13) & 0xff
+    if (w <= 0L || h <= 0L || (ch != 3 && ch != 4) || cs > 1) return None
+    val total = w * h * ch
+    if (total > maxPixelBytes) return None
+    // end marker is spec-mandatory: seven 0x00 then 0x01
+    val end = b.length - 8
+    var i = 0
+    while (i < 7) { if (b(end + i) != 0) return None; i += 1 }
+    if (b(end + 7) != 1) return None
+    val out = new Array[Byte](total.toInt)
+    val idx = new Array[Int](64) // packed rgba
+    var r = 0; var g = 0; var bl = 0; var a = 255
+    var p = 14
+    var o = 0
+    val n = total.toInt
+    while (o < n) {
+      if (p >= end) return None
+      val b0 = b(p) & 0xff; p += 1
+      var run = 1
+      if (b0 == 0xfe) {
+        if (p + 3 > end) return None
+        r = b(p) & 0xff; g = b(p + 1) & 0xff; bl = b(p + 2) & 0xff; p += 3
+      } else if (b0 == 0xff) {
+        if (p + 4 > end) return None
+        r = b(p) & 0xff; g = b(p + 1) & 0xff; bl = b(p + 2) & 0xff; a = b(p + 3) & 0xff; p += 4
+      } else (b0 >> 6) match {
+        case 0 =>
+          val v = idx(b0 & 0x3f)
+          r = (v >>> 24) & 0xff; g = (v >>> 16) & 0xff; bl = (v >>> 8) & 0xff; a = v & 0xff
+        case 1 =>
+          r = (r + ((b0 >> 4) & 3) - 2) & 0xff
+          g = (g + ((b0 >> 2) & 3) - 2) & 0xff
+          bl = (bl + (b0 & 3) - 2) & 0xff
+        case 2 =>
+          if (p + 1 > end) return None
+          val b1 = b(p) & 0xff; p += 1
+          val dg = (b0 & 0x3f) - 32
+          r = (r + dg - 8 + ((b1 >> 4) & 0xf)) & 0xff
+          g = (g + dg) & 0xff
+          bl = (bl + dg - 8 + (b1 & 0xf)) & 0xff
+        case _ =>
+          run = (b0 & 0x3f) + 1 // 1..62 (63/62 tags are RGB/RGBA above)
+      }
+      if (o + run * ch > n) return None
+      var k = 0
+      while (k < run) {
+        out(o) = r.toByte; out(o + 1) = g.toByte; out(o + 2) = bl.toByte
+        if (ch == 4) out(o + 3) = a.toByte
+        o += ch
+        k += 1
+      }
+      idx((r * 3 + g * 5 + bl * 7 + a * 11) % 64) =
+        (r << 24) | (g << 16) | (bl << 8) | a
+    }
+    if (p != end) return None // trailing garbage before the marker
+    Some(out)
+  }
+
+  /** Real QOI encoder — the fixture counterpart of
+    * [[decodeQoiPixels]], implementing the reference encode policy:
+    * RUN for repeats (flushed at 62), INDEX on a seen-array hit, then
+    * DIFF / LUMA on wrapping deltas, RGB(A) as the fallback. `px` is
+    * the row-major RGB(A) stream. */
+  private[graft] def encodeQoi(px: Array[Byte], w: Int, h: Int,
+                               channels: Int = 3): Array[Byte] = {
+    require(channels == 3 || channels == 4, "QOI is 3 or 4 channels")
+    require(w > 0 && h > 0 && px.length == w * h * channels, "px must be w*h*ch")
+    val out = new java.io.ByteArrayOutputStream(14 + px.length + 8)
+    out.write('q'); out.write('o'); out.write('i'); out.write('f')
+    def be32(v: Int): Unit = {
+      out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    be32(w); be32(h); out.write(channels); out.write(0)
+    val idx = new Array[Int](64)
+    var pr = 0; var pg = 0; var pb = 0; var pa = 255
+    var run = 0
+    var o = 0
+    while (o < px.length) {
+      val r = px(o) & 0xff; val g = px(o + 1) & 0xff; val bl = px(o + 2) & 0xff
+      val a = if (channels == 4) px(o + 3) & 0xff else pa
+      if (r == pr && g == pg && bl == pb && a == pa) {
+        run += 1
+        if (run == 62) { out.write(0xc0 | (run - 1)); run = 0 }
+      } else {
+        if (run > 0) { out.write(0xc0 | (run - 1)); run = 0 }
+        val hash = (r * 3 + g * 5 + bl * 7 + a * 11) % 64
+        val packed = (r << 24) | (g << 16) | (bl << 8) | a
+        if (idx(hash) == packed) out.write(hash)
+        else {
+          idx(hash) = packed
+          if (a == pa) {
+            val dr = ((r - pr).toByte).toInt
+            val dg = ((g - pg).toByte).toInt
+            val db = ((bl - pb).toByte).toInt
+            if (dr >= -2 && dr <= 1 && dg >= -2 && dg <= 1 && db >= -2 && db <= 1)
+              out.write(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            else if (dg >= -32 && dg <= 31 &&
+                     dr - dg >= -8 && dr - dg <= 7 && db - dg >= -8 && db - dg <= 7) {
+              out.write(0x80 | (dg + 32))
+              out.write(((dr - dg + 8) << 4) | (db - dg + 8))
+            } else {
+              out.write(0xfe); out.write(r); out.write(g); out.write(bl)
+            }
+          } else {
+            out.write(0xff); out.write(r); out.write(g); out.write(bl); out.write(a)
+          }
+        }
+        pr = r; pg = g; pb = bl; pa = a
+      }
+      o += channels
+    }
+    if (run > 0) out.write(0xc0 | (run - 1))
+    var z = 0
+    while (z < 7) { out.write(0); z += 1 }
+    out.write(1)
+    out.toByteArray
+  }
+
+  /**
+   * REAL PCX decode — ZSoft Paintbrush (the format retro-game and
+   * scanned-archive corpora carry), 8-bit-per-plane RLE. 128-byte
+   * header (manufacturer 0x0A, encoding 1, bpp 8, inclusive dims,
+   * plane count, EVEN bytes-per-line); pixel data is run-length
+   * encoded PER SCAN LINE with the two-high-bits scheme: a byte
+   * ≥ 0xC0 is a run header (count = low 6 bits, next byte is the
+   * value — which is why literal values ≥ 0xC0 MUST be written as
+   * 1-runs), anything else is a literal. Within one row the planes
+   * are stored SEPARATED (all R bytes, then G, then B), each padded
+   * to bytesPerLine; runs may cross plane boundaries inside a row
+   * (the spec's "scan line" is the full plane group) but never cross
+   * rows — a run that would is corruption and refuses. Output is
+   * interleaved row-major RGB (3 planes) or gray (1 plane), the
+   * padding columns dropped.
+   *
+   * Honest-refusal scope: bpp ≠ 8, planes ∉ {1, 3}, encoding ≠ 1,
+   * bytesPerLine < width or odd, VGA-palette images (1-plane files
+   * here are grayscale); `maxPixelBytes` caps dimension bombs.
+   */
+  private[graft] def decodePcxPixels(b: Array[Byte],
+                                     maxPixelBytes: Int = 1 << 26): Option[Array[Byte]] = {
+    if (b == null || b.length < 129) return None
+    if ((b(0) & 0xff) != 0x0a) return None
+    if ((b(2) & 0xff) != 1) return None // encoding: RLE only
+    if ((b(3) & 0xff) != 8) return None // 8 bits per plane
+    val xmin = u16le(b, 4); val ymin = u16le(b, 6)
+    val xmax = u16le(b, 8); val ymax = u16le(b, 10)
+    val w = (xmax - xmin + 1).toInt
+    val h = (ymax - ymin + 1).toInt
+    if (w <= 0 || h <= 0) return None
+    val planes = b(65) & 0xff
+    if (planes != 1 && planes != 3) return None
+    val bpl = u16le(b, 66).toInt
+    if (bpl < w || (bpl & 1) != 0) return None
+    val total = w.toLong * h * planes
+    if (total > maxPixelBytes) return None
+    val rowLen = bpl * planes
+    val out = new Array[Byte](total.toInt)
+    val row = new Array[Byte](rowLen)
+    var p = 128
+    var y = 0
+    while (y < h) {
+      var filled = 0
+      while (filled < rowLen) {
+        if (p >= b.length) return None
+        val v = b(p) & 0xff; p += 1
+        if (v >= 0xc0) {
+          val run = v & 0x3f
+          if (p >= b.length) return None
+          val value = b(p); p += 1
+          if (run == 0 || filled + run > rowLen) return None // cross-row run
+          var k = 0
+          while (k < run) { row(filled) = value; filled += 1; k += 1 }
+        } else {
+          row(filled) = v.toByte; filled += 1
+        }
+      }
+      // de-plane: row holds [R0..R_bpl | G.. | B..]; keep w columns
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < planes) {
+          out((y.toLong * w + x).toInt * planes + c) = row(c * bpl + x)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
+  /** PCX encoder — the fixture counterpart of [[decodePcxPixels]]:
+    * row-by-row RLE over plane-separated scan lines (literals ≥ 0xC0
+    * forced into 1-runs, runs capped at 63 and never crossing rows),
+    * even bytes-per-line padding. `px` is interleaved RGB or gray. */
+  private[graft] def encodePcx(px: Array[Byte], w: Int, h: Int,
+                               planes: Int = 3): Array[Byte] = {
+    require(planes == 1 || planes == 3, "PCX here is gray (1) or RGB (3)")
+    require(w > 0 && h > 0 && px.length == w * h * planes, "px must be w*h*planes")
+    val bpl = (w + 1) & ~1 // even padding
+    val hdr = new Array[Byte](128)
+    hdr(0) = 0x0a.toByte; hdr(1) = 5; hdr(2) = 1; hdr(3) = 8
+    def p16(off: Int, v: Int): Unit = {
+      hdr(off) = (v & 0xff).toByte; hdr(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    p16(4, 0); p16(6, 0); p16(8, w - 1); p16(10, h - 1)
+    p16(12, 72); p16(14, 72) // dpi, cosmetic
+    hdr(65) = planes.toByte
+    p16(66, bpl)
+    p16(68, 1) // palette info: color
+    val out = new java.io.ByteArrayOutputStream(128 + px.length)
+    out.write(hdr)
+    val row = new Array[Byte](bpl * planes)
+    var y = 0
+    while (y < h) {
+      var c = 0
+      while (c < planes) {
+        var x = 0
+        while (x < bpl) {
+          row(c * bpl + x) =
+            if (x < w) px((y * w + x) * planes + c) else 0
+          x += 1
+        }
+        c += 1
+      }
+      var i = 0
+      while (i < row.length) {
+        val v = row(i) & 0xff
+        var run = 1
+        while (i + run < row.length && (row(i + run) & 0xff) == v && run < 63) run += 1
+        if (run > 1 || v >= 0xc0) { out.write(0xc0 | run); out.write(v) }
+        else out.write(v)
+        i += run
+      }
+      y += 1
+    }
+    out.toByteArray
   }
 
   /** 24-bit BI_RGB BMP encoder — the fixture counterpart of

@@ -470,6 +470,29 @@ object SeriesOps {
   }
 
   /**
+   * graphite `percentileOfSeries(seriesList, p)`: the p-th percentile
+   * of the values ACROSS series at each timestamp — the cross-series
+   * band [[seriesPercentile]]'s per-series order statistic can't see
+   * (capacity planning reads p90-of-hosts per minute, not p90 of one
+   * host over time). LWW-collapsed per (path, time) first — the same
+   * winning points the read view serves, so a re-sent point can't
+   * count twice in the band — then one time-keyed exact continuous
+   * (type-7) percentile, 4-dp, with the contributing series count.
+   *
+   * Plan: one (path, time) aggregate then one time-keyed aggregate —
+   * both map-side combinable, no window over the stream; cardinality
+   * is bounded by distinct timestamps.
+   */
+  def percentileOfSeries(points: DataFrame, p: Double): DataFrame = {
+    require(p > 0 && p < 100, s"percentile in (0,100), got $p")
+    points.groupBy("path", "time")
+      .agg(max_by(col("value"), col("version")).as("value"))
+      .groupBy("time")
+      .agg(count(lit(1)).as("n_series"),
+        round(percentile(col("value"), lit(p / 100.0)), 4).as("pval"))
+  }
+
+  /**
    * graphite `removeAbovePercentile(series, p)`: drop every point
    * strictly above its OWN series' p-th percentile (graphite keeps
    * the boundary value). The aggregate band table joins back on the

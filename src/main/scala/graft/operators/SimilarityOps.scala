@@ -757,6 +757,78 @@ object SimilarityOps {
   }
 
   /**
+   * Executable MIPS at scale: the norm-augmentation reduction
+   * (Bachrach et al., RecSys 2014) turned into a serving plan rather
+   * than a scaladoc note. Corpus vectors gain a 65th coordinate
+   * `sqrt(M² − ‖x‖²)` (M² = the corpus max squared norm — ONE scalar
+   * aggregate, broadcast back as a one-row frame), queries gain 0;
+   * every augmented corpus vector then has the CONSTANT norm M, so
+   * augmented cosine orders exactly by raw inner product and the
+   * whole cosine-IVF machinery ([[ivfTopK]]'s md5-derived coarse
+   * cells, nprobe probing, id-only candidate join) prunes MIPS with
+   * no new physics. The re-rank scores the ORIGINAL 64-dim inner
+   * product (equal to the augmented dot — the query's extra
+   * coordinate is 0), so the output contract matches [[mipsTopK]]
+   * and [[recallAudit]] prices the cell-pruning recall directly.
+   *
+   * Scale shape: identical to [[ivfTopK]] — per-query candidate work
+   * is nprobe/ncells of the corpus, candidates carry only 8-byte ids
+   * until after the distinct, vectors join back per-id. The extra
+   * cost of the reduction is one corpus-wide scalar max and one
+   * appended double per row.
+   */
+  def mipsIvfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                  ncells: Int = 16, nprobe: Int = 6, dim: Int = 64): DataFrame = {
+    val q0 = queries.localCheckpoint()
+    val norm2 = aggregate(asDouble(col("embedding")), lit(0.0), (acc, x) => acc + x * x)
+    val m2 = corpus.agg(max(norm2).as("m2"))
+    // clamp at 0: the max-norm row lands on exactly m2 − ‖x‖² = 0, and
+    // any float-order drift below zero would NaN the sqrt
+    val caug = corpus.crossJoin(broadcast(m2))
+      .select(col("id"), concat(asDouble(col("embedding")),
+        array(sqrt(greatest(col("m2") - norm2, lit(0.0))))).as("av"))
+    val qaug = q0.select(col("id"),
+      concat(asDouble(col("embedding")), array(lit(0.0))).as("av"))
+    // distinct salt from ivfTopK's: the augmented space needs its own
+    // 65-dim codebook, still engine-reproducible from md5 alone
+    val centroids: Array[Array[Double]] = Array.tabulate(ncells, dim + 1) { (c, d) =>
+      md5Head32(s"mcentroid:$c:$d").toDouble / (1L << 31) - 1.0
+    }
+    def cellsUdf(n: Int) = udf { (v: Seq[Double]) =>
+      val cs = centroids
+      val sims = cs.indices.map { ci =>
+        val c = cs(ci)
+        var dot = 0.0; var nc = 0.0; var nv = 0.0
+        var d = 0
+        val len = math.min(c.length, v.length)
+        while (d < len) { dot += c(d) * v(d); nc += c(d) * c(d); nv += v(d) * v(d); d += 1 }
+        val den = math.sqrt(nc) * math.sqrt(nv)
+        (ci, if (den == 0.0) -Double.MaxValue else dot / den)
+      }
+      sims.sortBy { case (ci, s) => (-s, ci) }.take(n).map(_._1)
+    }
+    val c = caug.select(col("id").as("neighbor_id"), explode(cellsUdf(1)(col("av"))).as("cell"))
+    val q = qaug.select(col("id").as("query_id"), explode(cellsUdf(nprobe)(col("av"))).as("cell"))
+    val cand = q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val qv = q0.select(col("id").as("query_id"), asDouble(col("embedding")).as("qv"))
+    val cv = corpus.select(col("id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    cand
+      .join(qv, "query_id")
+      .join(cv, "neighbor_id")
+      .withColumn("score", round(dot(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("score"))
+  }
+
+  /**
    * Mutual-kNN graph: the undirected edges (a, b) where EACH vector
    * is in the other's exact cosine top-k — the noise-robust
    * neighborhood graph that seeds agglomerative/semantic-dedup

@@ -970,6 +970,57 @@ object TextOps {
   }
 
   /**
+   * Interpolated Kneser-Ney bigram NLL (fixed discount D = 0.75 —
+   * Chen & Goodman's benchmark setting): the proper-smoothing upgrade
+   * of [[bigramNll]], whose raw MLE assigns zero mass to unseen pairs
+   * and over-trusts one-off contexts. Per bigram instance,
+   *
+   *   P_KN(w₂|w₁) = max(c₁₂ − D, 0)/c₁
+   *               + (D · N₁₊(w₁·)/c₁) · N₁₊(·w₂)/N₁₊(··)
+   *
+   * — the discounted MLE plus the backed-off CONTINUATION
+   * probability ("how many contexts does w₂ complete", the statistic
+   * [[knContinuation]] surfaces raw). Per doc: bigram count and mean
+   * −ln P, 4-dp — low = fluent under corpus statistics, high = word
+   * salad that raw counts can't separate from rare-but-real text.
+   *
+   * Plan: one bigram aggregate feeds all three statistics (c₁ and
+   * N₁₊(w₁·) from a w₁ re-aggregate, N₁₊(·w₂) from a w₂
+   * re-aggregate, N₁₊(··) one scalar broadcast) — map-side
+   * combinable, instance join fans them back; empty docs keep (0, 0).
+   */
+  def knBigramNll(docs: DataFrame, idCol: String, textCol: String,
+                  discount: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), words(lower(col(textCol))).as("t"))
+    val inst = toks
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))))).as("bg"))
+      .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+    val big = inst.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val left = big.groupBy("w1").agg(sum(col("c12")).as("c1"),
+      count(lit(1)).as("n1f"))
+    val cont = big.groupBy("w2").agg(count(lit(1)).as("n1p"))
+    val types = big.agg(count(lit(1)).as("tt"))
+    val p = greatest(col("c12").cast("double") - lit(discount), lit(0.0)) /
+        col("c1").cast("double") +
+      lit(discount) * col("n1f").cast("double") / col("c1").cast("double") *
+        (col("n1p").cast("double") / col("tt").cast("double"))
+    val perDoc = inst
+      .join(big, Seq("w1", "w2"))
+      .join(left, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), avg(-log(p)).as("nll"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(round(col("nll"), 4), lit(0.0)).as("avg_nll"))
+  }
+
+  /**
    * Inverted-index posting surface: for each token with document
    * frequency ≥ `minDf`, the first `perToken` posting entries
    * (doc ids ascending) plus the full df — the IR primitive behind
@@ -1144,6 +1195,87 @@ object TextOps {
       .select(col("doc_id"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+
+  /**
+   * Seed-vocabulary builder for a unigram/WordPiece-style subword
+   * tokenizer: every substring of length 2..`maxLen` of every corpus
+   * word, weighted by word frequency, scored `freq × len` (the
+   * "frequent AND long pieces first" seeding SentencePiece uses for
+   * its initial candidate set before EM pruning), top `vocabSize` by
+   * (score DESC, piece ASC). Single characters are deliberately not
+   * candidates — the encoder falls back to them implicitly, so vocab
+   * slots go to pieces that actually compress.
+   *
+   * Scale shape: one corpus scan → word-frequency table (vocab-sized)
+   * → substring explode is per-DISTINCT-word work (≤ maxLen·|word|
+   * pieces each) → one hash aggregate + a global top-V (V bounded,
+   * the single-reducer sort is V-sized under the window's
+   * WindowGroupLimit pushdown).
+   */
+  def subwordVocab(docs: DataFrame, textCol: String, vocabSize: Int = 64,
+                   maxLen: Int = 4): DataFrame = {
+    require(vocabSize >= 1 && maxLen >= 2, s"vocabSize=$vocabSize maxLen=$maxLen")
+    val wordCnt = docs.select(explode(words(lower(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val pieces = wordCnt.select(col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), s ->
+           |  filter(transform(sequence(2, $maxLen), l ->
+           |    case when s + l - 1 <= length(word) then substring(word, s, l) end),
+           |  x -> x is not null)))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum(col("cnt")).as("freq"))
+      .withColumn("score", col("freq") * length(col("piece")))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("piece").asc)
+    pieces.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= vocabSize)
+      .select(col("rank").cast("long").as("rank"), col("piece"),
+        col("freq"), col("score"))
+  }
+
+  /**
+   * Greedy longest-match (MaxMatch — WordPiece inference) encoding
+   * against the [[subwordVocab]] pieces: per document, whitespace
+   * word count and the subword count after segmenting every word
+   * left-to-right, always taking the LONGEST vocab piece (maxLen
+   * down to 2) at the cursor and falling back to a single character
+   * when nothing matches. Bounded piece length makes the per-word
+   * walk O(len·maxLen) and keeps the whole vocab broadcastable.
+   *
+   * Scale shape: the vocab collect is MODEL-sized (`vocabSize` rows
+   * — the codebook convention); segmentation runs once per DISTINCT
+   * word, then one join fans counts back to word instances, exactly
+   * [[bpeEncodeCounts]]' shape. Empty docs survive with (0, 0).
+   */
+  def maxMatchCounts(docs: DataFrame, idCol: String, textCol: String,
+                     vocabSize: Int = 64, maxLen: Int = 4): DataFrame = {
+    val vocab: Set[String] = subwordVocab(docs, textCol, vocabSize, maxLen)
+      .select("piece").collect().map(_.getString(0)).toSet
+    val mLen = maxLen
+    val segUdf = udf { (word: String) =>
+      // code-point walk, not UTF-16 units — matches SQL length/substring
+      val cps = word.codePoints.toArray
+      var pos = 0; var n = 0L
+      while (pos < cps.length) {
+        var l = math.min(mLen, cps.length - pos)
+        while (l >= 2 && !vocab.contains(new String(cps, pos, l))) l -= 1
+        pos += math.max(l, 1); n += 1
+      }
+      n
+    }
+    val tokCounts = docs.select(explode(words(lower(col(textCol)))).as("word"))
+      .distinct()
+      .select(col("word"), segUdf(col("word")).as("n_tok"))
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), explode(words(lower(col(textCol)))).as("word"))
+      .join(tokCounts, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_subwords"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"))
   }
 
   /** The script classes of [[scriptMix]]: (name, character class) in

@@ -89,11 +89,25 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
                 requireGopher: Boolean = false,
                 // admit only docs passing the C4 page decision
                 // (TextOps.c4Pass — identical to the batch audit)
-                requireC4: Boolean = false) {
+                requireC4: Boolean = false,
+                // crawl-frontier URL-identity gate: docs whose
+                // CANONICAL url (TextOps.canonicalUrl — scheme/www/
+                // fragment/utm/trailing-slash invariant) was already
+                // seen are dropped BEFORE content fingerprinting — the
+                // "same resource re-fetched" reject that content
+                // hashing misses when the page body changed. Seen
+                // urls persist as xxhash64 fps in `_urlfps/batch=b<id>`
+                // (idempotent, compacted with the corpus); a url is
+                // "seen" once it survives the within-batch gate, even
+                // if its doc is later rejected on quality — frontier
+                // semantics: the fetch decision, not the admit
+                // decision. Docs with a null/empty url bypass.
+                dedupUrls: Boolean = false) {
 
   private val inputSchema = StructType(Seq(
     StructField("doc_id", LongType),
-    StructField("text", StringType)))
+    StructField("text", StringType),
+    StructField("url", StringType)))
 
   /** (batchId, accepted, dupInBatch, dupExisting, lowQuality,
     * otherRejected — wrong lang, repetition, or gopher/c4 rule gate) */
@@ -101,6 +115,9 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
 
   /** (batchId, linesTotal, linesScrubbed) of the last batch (line scrub on). */
   @volatile var lastScrubStats: (Long, Long, Long) = (-1L, 0L, 0L)
+
+  /** (batchId, urlDupInBatch, urlDupExisting) of the last batch (url gate on). */
+  @volatile var lastUrlStats: (Long, Long, Long) = (-1L, 0L, 0L)
 
   private def source(): DataFrame = {
     val r = spark.readStream
@@ -312,11 +329,62 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
     scrubbed.select(col("id").as("doc_id"), col("clean_text").as("text"))
   }
 
+  private def emptyUrlFps: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("ufp", LongType))))
+
+  /** Seen canonical-url fingerprints, excluding a replayed batch's own dir. */
+  private def urlFpHistory(excludeBatch: Long): DataFrame =
+    if (!tableExists(s"$corpusDir/_urlfps")) emptyUrlFps
+    else
+      try spark.read.parquet(s"$corpusDir/_urlfps")
+        .filter(col("batch") =!= lit(s"b$excludeBatch"))
+        .select("ufp")
+      catch { case _: org.apache.spark.sql.AnalysisException => emptyUrlFps }
+
+  /** The crawl-frontier gate: within-batch min-doc_id per canonical
+    * url, anti-join against the seen-url history, fresh urls recorded
+    * idempotently. Null/empty urls bypass untouched. */
+  private def urlGate(batch: DataFrame, batchId: Long): DataFrame = {
+    // canonicalUrl maps non-URL strings (no scheme/host) to "" — those
+    // bypass like null urls rather than colliding into one group
+    val withUfp = batch.withColumn("curl", TextOps.canonicalUrl(col("url")))
+      .withColumn("ufp", xxhash64(col("curl")))
+    val hasUrl = col("url").isNotNull && col("curl").isNotNull && col("curl") =!= ""
+    val noUrl = withUfp.filter(!coalesce(hasUrl, lit(false))).drop("curl", "ufp")
+    val withUrl = withUfp.filter(hasUrl).drop("curl")
+    val uwin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ufp")).orderBy(col("doc_id"))
+    val firstPerUrl = withUrl.withColumn("urn", row_number().over(uwin))
+      .filter(col("urn") === 1).drop("urn")
+    val freshUrl = firstPerUrl
+      .join(urlFpHistory(batchId), Seq("ufp"), "left_anti")
+      .cache()
+    try {
+      // record BEFORE the downstream quality gates: the frontier marks
+      // a url seen at fetch time, not at admit time
+      freshUrl.select("ufp").distinct()
+        .write.mode("overwrite").parquet(s"$corpusDir/_urlfps/batch=b$batchId")
+      val nWithUrl = withUrl.count()
+      val nFirst = firstPerUrl.count()
+      val nFresh = freshUrl.count()
+      lastUrlStats = (batchId, nWithUrl - nFirst, nFirst - nFresh)
+      freshUrl.drop("ufp").unionByName(noUrl).localCheckpoint()
+    } finally freshUrl.unpersist()
+  }
+
   private[streaming] def processBatch(batch0: DataFrame, batchId: Long): Unit = {
-    val n = batch0.count()
+    val n0 = batch0.count()
+    if (n0 == 0) return
+    val urlGated = if (dedupUrls) urlGate(batch0, batchId) else batch0
+    // downstream rejection counters key off the post-url-gate count, so
+    // the stats identity (accepted + rejects = n) still holds per stage
+    val n = if (dedupUrls) urlGated.count() else n0
     if (n == 0) return
-    val batch = dedupLinesMaxDf.map(scrubBatch(batch0, batchId, _)).getOrElse(batch0)
-    val withFp = batch.withColumn("fp", TextOps.fingerprint(col("text")))
+    val batch = dedupLinesMaxDf.map(scrubBatch(urlGated, batchId, _)).getOrElse(urlGated)
+    // the corpus schema stays (doc_id, text, fp, …) — the url column is
+    // gate input only (drop is a no-op for direct-call frames without it)
+    val withFp = batch.drop("url").withColumn("fp", TextOps.fingerprint(col("text")))
     // within-batch dedup: min doc_id per fingerprint (one window shuffle)
     val win = org.apache.spark.sql.expressions.Window.partitionBy(col("fp")).orderBy(col("doc_id"))
     val firstPerFp = withFp.withColumn("rn", row_number().over(win))
@@ -363,6 +431,10 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
           if (dedupLinesMaxDf.isDefined && tableExists(s"$corpusDir/_rawfps"))
             TableCompactor.onlineCompactAppend(spark, s"$corpusDir/_rawfps",
               fence = batchId, sortCols = Seq("fp_raw"))
+          // seen-url fps read via anti-join too — same fold
+          if (dedupUrls && tableExists(s"$corpusDir/_urlfps"))
+            TableCompactor.onlineCompactAppend(spark, s"$corpusDir/_urlfps",
+              fence = batchId, sortCols = Seq("ufp"))
         } catch {
           case scala.util.control.NonFatal(e) =>
             org.slf4j.LoggerFactory.getLogger(getClass)

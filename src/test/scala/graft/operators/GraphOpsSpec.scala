@@ -372,4 +372,49 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("node") === "d").collect().head.getString(1)
     assert(r1 == "c")
   }
+
+  test("componentsStars: star contraction reaches the exact fixpoint on a long chain") {
+    val ss = spark; import ss.implicits._
+    // one chain 0-1-...-19 (diameter 19 — hash-min would need 19
+    // rounds) plus a disjoint pair; stars must converge inside the
+    // default 16-round budget and label every node by the component min
+    val chain = (0L until 19L).map(i => (i, i + 1))
+    val e = (chain :+ (100L, 101L)).toDF("src", "dst")
+    val out = GraphOps.componentsStars(e).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (0L to 19L).map(i => (i, 0L)) ++ Seq((100L, 100L), (101L, 100L))
+    assert(out.toSeq == expected)
+  }
+
+  test("harmonicCentrality: chain distances priced at true minimum, radius-capped") {
+    val ss = spark; import ss.implicits._
+    // path 0-1-2-3-4, radius 3: H(0) = 1000/1 + 1000/2 + 1000/3 = 1833
+    // over {1,2,3}; node 4 is unreachable within the cap from 0
+    val e = (0L until 4L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = GraphOps.harmonicCentrality(e, radius = 3).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (0L, 1833L, 3L), (1L, 2833L, 4L), (2L, 3000L, 4L),
+      (3L, 2833L, 4L), (4L, 1833L, 3L)))
+  }
+
+  test("harmonicCentrality: a shortcut edge re-prices the pair at the SHORTER distance") {
+    val ss = spark; import ss.implicits._
+    // square 0-1-2-3-0: everyone has two d=1 neighbors and one d=2
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
+    val got = GraphOps.harmonicCentrality(e, radius = 3).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == (0L to 3L).map(n => (n, 2500L, 3L)))
+  }
+
+  test("componentsStars agrees with converged hash-min and is orientation/dup-proof") {
+    val ss = spark; import ss.implicits._
+    val e = Seq(("b", "a"), ("b", "c"), ("c", "d"), ("c", "d"), ("y", "x"), ("x", "y"))
+      .toDF("src", "dst")
+    val stars = GraphOps.componentsStars(e).orderBy("node")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val hashmin = GraphOps.connectedComponents(e, rounds = 4).orderBy("node")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(stars == hashmin)
+  }
 }

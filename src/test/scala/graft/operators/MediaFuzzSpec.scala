@@ -78,7 +78,15 @@ class MediaFuzzSpec extends AnyFunSuite {
       ("wav-mulaw", MultimodalOps.encodeWavG711(
         Array.tabulate(31)(i => (i * 29 + 3).toByte), 7, 8000)),
       ("wav-alaw", MultimodalOps.encodeWavG711(
-        Array.tabulate(30)(i => (i * 53).toByte), 6, 8000)))
+        Array.tabulate(30)(i => (i * 53).toByte), 6, 8000)),
+      ("qoi", MultimodalOps.encodeQoi(
+        Array.tabulate(8 * 5 * 3)(i => (((i / 9) * 5 + (i % 3) * 7) % 256).toByte), 8, 5)),
+      ("qoi-rgba", MultimodalOps.encodeQoi(
+        Array.tabulate(6 * 4 * 4)(i => (i * 31 % 256).toByte), 6, 4, channels = 4)),
+      ("pcx", MultimodalOps.encodePcx(
+        Array.tabulate(9 * 5 * 3)(i => (((i / 6) * 11 + 180) % 256).toByte), 9, 5)),
+      ("pcx-gray", MultimodalOps.encodePcx(
+        Array.tabulate(7 * 4)(i => ((i / 3) * 13).toByte), 7, 4, planes = 1)))
   }
 
   private def decodeAll(b: Array[Byte]): Unit = {
@@ -93,6 +101,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     MultimodalOps.decodeIcoPixels(b)
     MultimodalOps.decodeTgaPixels(b)
     MultimodalOps.decodePnmPixels(b)
+    MultimodalOps.decodeQoiPixels(b)
+    MultimodalOps.decodePcxPixels(b)
     MultimodalOps.exifOrientation(b)
     MultimodalOps.parseHeader(b)
     ()

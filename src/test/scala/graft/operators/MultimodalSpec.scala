@@ -327,6 +327,129 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MultimodalOps.decodeIcoPixels(badOff).isEmpty)
   }
 
+  test("decodePcxPixels: RLE round-trip (gray + RGB), odd-width padding, >=0xC0 literals") {
+    // values >= 0xC0 appear and MUST be stored as 1-runs; pixel pairs
+    // give genuine multi-byte runs per plane
+    val w = 9; val h = 5 // odd width -> bytesPerLine pads to 10
+    val rgb = Array.tabulate(w * h * 3)(i => (((i / 6) * 11 + (i % 3) * 3 + 180) % 256).toByte)
+    val pcx = MultimodalOps.encodePcx(rgb, w, h)
+    assert(MultimodalOps.decodePcxPixels(pcx).exists(_.sameElements(rgb)),
+      "plane-separated RLE rows + even padding must round-trip")
+    assert(MultimodalOps.parseHeader(pcx)
+      .contains(MultimodalOps.MediaHeader("pcx", w, h, 3, 0)))
+    val gray = Array.tabulate(w * h)(i => ((i / 3) * 7 + 190).toByte)
+    val g = MultimodalOps.encodePcx(gray, w, h, planes = 1)
+    assert(MultimodalOps.decodePcxPixels(g).exists(_.sameElements(gray)))
+    assert(MultimodalOps.parseHeader(g)
+      .contains(MultimodalOps.MediaHeader("pcx", w, h, 1, 0)))
+    // RLE actually compresses a flat image
+    val flat = Array.fill(w * h * 3)(200.toByte)
+    assert(MultimodalOps.encodePcx(flat, w, h).length <
+      MultimodalOps.encodePcx(rgb, w, h).length + rgb.length)
+  }
+
+  test("decodePcxPixels refuses hostile/out-of-scope streams") {
+    val px = Array.tabulate(8 * 4 * 3)(i => (i * 7).toByte)
+    val ok = MultimodalOps.encodePcx(px, 8, 4)
+    assert(MultimodalOps.decodePcxPixels(ok).exists(_.sameElements(px)))
+    // uncompressed encoding (0) out of scope
+    val enc0 = ok.clone(); enc0(2) = 0
+    assert(MultimodalOps.decodePcxPixels(enc0).isEmpty)
+    // 4 bits per plane out of scope
+    val bpp4 = ok.clone(); bpp4(3) = 4
+    assert(MultimodalOps.decodePcxPixels(bpp4).isEmpty)
+    // 2 planes out of scope
+    val pl2 = ok.clone(); pl2(65) = 2
+    assert(MultimodalOps.decodePcxPixels(pl2).isEmpty)
+    // odd bytesPerLine is spec corruption
+    val oddBpl = ok.clone(); oddBpl(66) = 9
+    assert(MultimodalOps.decodePcxPixels(oddBpl).isEmpty)
+    // truncated pixel stream
+    assert(MultimodalOps.decodePcxPixels(ok.take(ok.length - 1)).isEmpty)
+    // a run crossing the scan-line boundary is corruption: image 2x1
+    // gray, row needs 2 bytes but the run claims 3
+    val crossRun = Array.fill(132)(0.toByte)
+    crossRun(0) = 0x0a; crossRun(1) = 5; crossRun(2) = 1; crossRun(3) = 8
+    crossRun(8) = 1; crossRun(10) = 0 // xmax=1, ymax=0 -> 2x1
+    crossRun(65) = 1; crossRun(66) = 2 // 1 plane, bpl 2
+    crossRun(128) = 0xc3.toByte; crossRun(129) = 50 // run of 3 into a 2-byte row
+    assert(MultimodalOps.decodePcxPixels(crossRun).isEmpty)
+  }
+
+  test("decodeQoiPixels: hand-built op stream decodes exactly (all six ops)") {
+    // 2x3 RGB image built op by op against the spec state machine
+    // (pixels chosen so their 64-slot hashes DON'T collide: p0 -> 9,
+    // p1 -> 24, p2 -> 7, so INDEX 9 still holds p0 at the end):
+    //   RGB(10,20,30) · DIFF(+1,+1,+1) · LUMA(dg=+10, dr-dg=-8, db-dg=+7)
+    //   · RUN(2) · INDEX(slot of the first pixel)
+    val bytes = Array[Int](
+      'q', 'o', 'i', 'f', 0, 0, 0, 2, 0, 0, 0, 3, 3, 0, // 2x3, 3ch, srgb
+      0xfe, 10, 20, 30,                // p0 = (10,20,30)
+      0x40 | (3 << 4) | (3 << 2) | 3,  // p1 = (11,21,31)
+      0x80 | (10 + 32), ((-8 + 8) << 4) | (7 + 8), // p2 = (13,31,48)
+      0xc0 | 1,                        // p3,p4 = run of 2 copies of p2
+      (10 * 3 + 20 * 5 + 30 * 7 + 255 * 11) % 64,  // p5 = INDEX -> (10,20,30)
+      0, 0, 0, 0, 0, 0, 0, 1).map(_.toByte)
+    val got = MultimodalOps.decodeQoiPixels(bytes)
+    val want = Array[Int](10, 20, 30, 11, 21, 31, 13, 31, 48,
+      13, 31, 48, 13, 31, 48, 10, 20, 30).map(_.toByte)
+    assert(got.exists(_.sameElements(want)), s"got ${got.map(_.toSeq)}")
+    assert(MultimodalOps.parseHeader(bytes)
+      .contains(MultimodalOps.MediaHeader("qoi", 2, 3, 3, 0)))
+  }
+
+  test("encodeQoi round-trips 3ch and 4ch streams and actually compresses runs") {
+    val w = 13; val h = 7
+    // pair-repeat + step pattern: RUN, LUMA and RGB ops all appear
+    val rgb = Array.tabulate(w * h * 3)(i =>
+      (((i / 9) * 5 + (i % 3) * 7) % 256).toByte)
+    val enc = MultimodalOps.encodeQoi(rgb, w, h)
+    assert(MultimodalOps.decodeQoiPixels(enc).exists(_.sameElements(rgb)))
+    assert(enc.length < rgb.length, "constant 3-pixel groups must compress")
+    // alpha path: varying alpha forces RGBA ops + alpha carry-over
+    val rgba = Array.tabulate(w * h * 4)(i =>
+      (if (i % 4 == 3) (i / 16) * 11 % 256 else (i * 3) % 256).toByte)
+    val enc4 = MultimodalOps.encodeQoi(rgba, w, h, channels = 4)
+    assert(MultimodalOps.decodeQoiPixels(enc4).exists(_.sameElements(rgba)))
+    // zero-pixel INDEX quirk: a true (0,0,0,0) RGBA pixel may hit the
+    // zero-initialized slot 0 — both sides must agree it decodes to zeros
+    val zeros = new Array[Byte](w * h * 4)
+    val encZ = MultimodalOps.encodeQoi(zeros, w, h, channels = 4)
+    assert(MultimodalOps.decodeQoiPixels(encZ).exists(_.sameElements(zeros)))
+  }
+
+  test("decodeQoiPixels refuses hostile/out-of-scope streams") {
+    val px = Array.tabulate(48)(i => (i * 5).toByte) // 4x4 RGB
+    val ok = MultimodalOps.encodeQoi(px, 4, 4)
+    assert(MultimodalOps.decodeQoiPixels(ok).exists(_.sameElements(px)))
+    // bad magic
+    val badMagic = ok.clone(); badMagic(3) = 'x'
+    assert(MultimodalOps.decodeQoiPixels(badMagic).isEmpty)
+    // channels = 2 out of spec
+    val badCh = ok.clone(); badCh(12) = 2
+    assert(MultimodalOps.decodeQoiPixels(badCh).isEmpty)
+    // colorspace = 2 out of spec
+    val badCs = ok.clone(); badCs(13) = 2
+    assert(MultimodalOps.decodeQoiPixels(badCs).isEmpty)
+    // truncated end marker
+    assert(MultimodalOps.decodeQoiPixels(ok.take(ok.length - 1)).isEmpty)
+    // oversized run: a RUN op where only one pixel remains
+    val overRun = Array[Int]('q', 'o', 'i', 'f', 0, 0, 0, 1, 0, 0, 0, 1, 3, 0,
+      0xc0 | 1, // run of 2 into a 1-pixel image
+      0, 0, 0, 0, 0, 0, 0, 1).map(_.toByte)
+    assert(MultimodalOps.decodeQoiPixels(overRun).isEmpty)
+    // under-run: stream ends before w*h pixels are produced
+    val under = Array[Int]('q', 'o', 'i', 'f', 0, 0, 0, 2, 0, 0, 0, 1, 3, 0,
+      0xfe, 1, 2, 3,
+      0, 0, 0, 0, 0, 0, 0, 1).map(_.toByte)
+    assert(MultimodalOps.decodeQoiPixels(under).isEmpty)
+    // trailing garbage between the last op and the marker
+    val trail = Array[Int]('q', 'o', 'i', 'f', 0, 0, 0, 1, 0, 0, 0, 1, 3, 0,
+      0xfe, 1, 2, 3, 99,
+      0, 0, 0, 0, 0, 0, 0, 1).map(_.toByte)
+    assert(MultimodalOps.decodeQoiPixels(trail).isEmpty)
+  }
+
   test("decodeTgaPixels: raw/RLE x top-down/bottom-up round-trip; refuses hostile") {
     val w = 9; val h = 6
     // pair-run stream: each value repeats for two pixels, so the RLE

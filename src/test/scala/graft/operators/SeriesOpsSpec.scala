@@ -312,6 +312,24 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (60L, 1L, 60L, 1.0, 60L, 1.0, 60L, 1.0, 60L, 1.0)))
   }
 
+  test("percentileOfSeries: per-instant cross-series percentile, LWW collapse first") {
+    // at t=10 three series contribute (9, 5, 1) — path a's stale v=1
+    // must lose to its version-2 re-send before the band is computed;
+    // type-7 median of {1,5,9} is 5. t=20 has one series.
+    val p = pts(
+      ("a", 1.0, 10L, 1L), ("a", 9.0, 10L, 2L),
+      ("b", 5.0, 10L, 1L), ("c", 1.0, 10L, 1L),
+      ("b", 7.0, 20L, 1L))
+    val got = SeriesOps.percentileOfSeries(p, p = 50).orderBy("time")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((10L, 3L, 5.0), (20L, 1L, 7.0)))
+    // interpolating case: p90 of {1,5,9} = type-7 1 + 0.8*(9-5)... rank
+    // r = 1 + 0.9*(3-1) = 2.8 -> 5 + 0.8*(9-5) = 8.2
+    val p90 = SeriesOps.percentileOfSeries(p, p = 90).orderBy("time")
+      .collect().head.getDouble(2)
+    assert(p90 == 8.2, s"type-7 interpolation expected 8.2, got $p90")
+  }
+
   test("seriesPercentile / removeAbovePercentile: type-7 value, boundary point kept") {
     val p = pts((1 to 10).map(i => ("a", i.toDouble, i.toLong, i.toLong)): _*)
     val pct = SeriesOps.seriesPercentile(p, 90).collect()(0)

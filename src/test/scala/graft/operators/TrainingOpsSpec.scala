@@ -697,6 +697,60 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((1L, 10L, 3 * 2 + 2 * 3 + 4 * 3 + 1 * 5L), (2L, 0L, 0L)))
   }
 
+  test("knBigramNll: hand-computed interpolated Kneser-Ney, D=0.75; empty doc -> (0,0)") {
+    val ss = spark; import ss.implicits._
+    // "a b a b a c": bigrams ab×2, ba×2, ac×1.
+    // P(b|a) = 1.25/3 + 0.75·(2/3)·(1/3) = 0.583…, P(a|b) = 0.625 +
+    // 0.125 = 0.75, P(c|a) = 0.25; mean −ln = 0.6079 (4-dp)
+    val docs = Seq((1L, "a b a b a c"), (2L, "")).toDF("doc_id", "text")
+    val got = TextOps.knBigramNll(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 5L, 0.6079), (2L, 0L, 0.0)))
+  }
+
+  test("knBigramNll: unseen-context mass flows to frequent continuations (vs raw MLE)") {
+    val ss = spark; import ss.implicits._
+    // both docs have every bigram exactly once, so RAW MLE (t_perplexity2)
+    // scores them identically; KN separates them because 'common' completes
+    // many contexts (high continuation prob) while 'rare' completes one
+    val docs = Seq(
+      (1L, "x common y common z common"),
+      (2L, "x rarea y rareb z rarec")).toDF("doc_id", "text")
+    val got = TextOps.knBigramNll(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => r.getDouble(2))
+    assert(got(0) < got(1),
+      s"doc of high-continuation words must score lower NLL: ${got.toSeq}")
+  }
+
+  test("subwordVocab: hand-computed substring scores, freq x len, tie by piece") {
+    val ss = spark; import ss.implicits._
+    // "aaab" x3: pieces aa(6),ab(3),aaa(3),aab(3),aaab(3); scores
+    // aa=12, aaab=12 (tie -> 'aa' first lexicographically), aaa=9,
+    // aab=9, ab=6
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaab")).toDF("doc_id", "text")
+    val got = TextOps.subwordVocab(docs, "text", vocabSize = 5, maxLen = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, "aa", 6L, 12L), (2L, "aaab", 3L, 12L),
+      (3L, "aaa", 3L, 9L), (4L, "aab", 3L, 9L), (5L, "ab", 3L, 6L)))
+  }
+
+  test("maxMatchCounts: greedy longest piece wins; single-char fallback; empty doc -> (0,0)") {
+    val ss = spark; import ss.implicits._
+    // vocabSize=2 trains {aa, aaab}; "aaab" encodes as ONE piece
+    // (longest match at the cursor), "cd" is out-of-vocab -> 2
+    // single-char fallbacks
+    val docs = Seq(
+      (1L, "aaab aaab aaab cd"),
+      (2L, "")).toDF("doc_id", "text")
+    val got = TextOps.maxMatchCounts(docs, "doc_id", "text", vocabSize = 2, maxLen = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 4L, 3L * 1 + 2), (2L, 0L, 0L)))
+  }
+
   test("hardNegatives: nearest other-label neighbors only, own label excluded") {
     val ss = spark; import ss.implicits._
     val vecs = Seq(
@@ -1600,6 +1654,35 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = SimilarityOps.mipsTopK(q, corpus, k = 3).orderBy("rank")
       .collect().map(r => (r.getLong(2), r.getDouble(3)))
     assert(out.toSeq == Seq((2L, 10.0), (1L, 1.0), (3L, 0.1)))
+  }
+
+  test("mipsIvfTopK with full probe (nprobe = ncells) is exactly mipsTopK") {
+    // probing every cell makes the candidate set the whole corpus, so
+    // the norm-augmented route must reproduce brute MIPS bit-for-bit —
+    // the reduction changes the PRUNER, never the scores
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+      .filter(col("id") < 120)
+    val q = e.filter(col("id") < 8)
+    val full = SimilarityOps.mipsIvfTopK(q, e, k = 5, ncells = 16, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val brute = SimilarityOps.mipsTopK(q, e, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(full == brute, s"full-probe IVF-MIPS diverged from brute: ${full.diff(brute)}")
+  }
+
+  test("mipsIvfTopK recall@5 vs mipsTopK at nprobe=6 on sf0.01 embeddings") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.filter(col("id") < 20)
+    val brute = SimilarityOps.mipsTopK(q, e, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityOps.mipsIvfTopK(q, e, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF-MIPS recall@5 $recall < 0.5 (|brute|=${brute.size}, hit=${(brute & ivf).size})")
   }
 
   test("mutualKnnEdges keeps only bidirectional top-k pairs, emitted once") {

@@ -311,4 +311,62 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.accepted().select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
     assert(s.lastBatchStats._2 == 1, "one admitted")
   }
+
+  /** JSONL writer with an optional url field (None omits the key —
+    * the source schema reads it as null). */
+  private def jsonlU(dir: String, name: String,
+                     docs: Seq[(Long, String, Option[String])]): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val lines = docs.map { case (id, text, url) =>
+      val esc = text.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+      val u = url.map(v => s""","url":"$v"""").getOrElse("")
+      s"""{"doc_id":$id,"text":"$esc"$u}"""
+    }
+    Files.write(Paths.get(dir, name), lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  test("url-dedup gate: canonical identity within batch, across batches and restarts; null urls bypass") {
+    val work = Files.createTempDirectory("graft-docstream-url").toString
+    def stream() = new DocStream(spark, s"$work/drop", s"$work/corpus", s"$work/ckpt",
+      minQuality = 500L, maxFilesPerTrigger = Some(1), dedupUrls = true)
+    // phase 1: docs 1 and 2 are the SAME canonical resource
+    // (scheme/www/utm differences) with DIFFERENT content — content
+    // fingerprints can't catch this, the url gate must; doc 4 has no
+    // url and bypasses. (Phases run separately: two files written
+    // back-to-back can tie on mtime and flip batch order.)
+    jsonlU(s"$work/drop", "a.jsonl", Seq(
+      (1L, goodText("alpha"), Some("https://www.example.com/page?utm_source=x")),
+      (2L, goodText("beta"), Some("http://example.com/page")),
+      (3L, goodText("gamma"), Some("https://other.com/p")),
+      (4L, goodText("delta"), None)))
+    val s0 = stream()
+    s0.runAvailableNow()
+    val got0 = s0.accepted().select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got0.toSeq == Seq(1L, 3L, 4L), s"got ${got0.toSeq}")
+    assert(s0.lastUrlStats == ((0L, 1L, 0L)),
+      s"batch 0: one within-batch url dup, got ${s0.lastUrlStats}")
+    // phase 2: doc 5 is doc 1's resource with a trailing slash
+    // (cross-batch seen-url hit), doc 6 is fresh
+    jsonlU(s"$work/drop", "b.jsonl", Seq(
+      (5L, goodText("epsilon"), Some("https://example.com/page/")),
+      (6L, goodText("zeta"), Some("https://new.com/q"))))
+    val s1 = stream()
+    s1.runAvailableNow()
+    val got1 = s1.accepted().select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got1.toSeq == Seq(1L, 3L, 4L, 6L), s"got ${got1.toSeq}")
+    assert(s1.lastUrlStats == ((1L, 0L, 1L)),
+      s"batch 1: one cross-batch url dup, got ${s1.lastUrlStats}")
+    // restart on the same checkpoint: a fragment variant of doc 3's url
+    // must be rejected from the persisted _urlfps history
+    jsonlU(s"$work/drop", "c.jsonl", Seq(
+      (7L, goodText("eta"), Some("http://www.other.com/p#frag")),
+      (8L, goodText("theta"), Some("https://fresh.com/r"))))
+    val s2 = stream()
+    s2.runAvailableNow()
+    val got2 = s2.accepted().select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got2.toSeq == Seq(1L, 3L, 4L, 6L, 8L), s"got ${got2.toSeq}")
+    assert(s2.lastUrlStats._3 == 1L, s"doc 7 is a seen-url hit, got ${s2.lastUrlStats}")
+    // the corpus schema is unchanged by the gate (url never lands)
+    assert(!s2.accepted().columns.contains("url"))
+  }
 }
