@@ -664,6 +664,40 @@ object SparkEntry {
       GraphOps.connectedComponents(fwd, rounds = 4).orderBy("node")
     }),
 
+    "q49_dwell" -> ((s, dir) => {
+      // dwell-time analytics: the gap to each user's NEXT event is the
+      // time spent in the CURRENT event's state; per event type, gap
+      // count, integer milli mean, and a 10s/60s/600s histogram — the
+      // engagement profile funnels and retention read from
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        col("tsec"), col("event_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("tsec").asc, col("event_id").asc)
+      val gaps = e.withColumn("nxt", lead(col("tsec"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .withColumn("gap", col("nxt") - col("tsec"))
+      gaps.groupBy("event_type").agg(
+          count(lit(1)).as("n_gaps"),
+          IntDiv(sum(col("gap")) * 1000L, count(lit(1))).cast("long").as("mean_gap_milli"),
+          sum(when(col("gap") < 10, 1L).otherwise(0L)).as("lt_10s"),
+          sum(when(col("gap") >= 10 && col("gap") < 60, 1L).otherwise(0L)).as("s10_60"),
+          sum(when(col("gap") >= 60 && col("gap") < 600, 1L).otherwise(0L)).as("s60_600"),
+          sum(when(col("gap") >= 600, 1L).otherwise(0L)).as("ge_600s"))
+        .orderBy("event_type")
+    }),
+
+    "q48_powerlaw" -> ((s, dir) => {
+      // Clauset-style power-law MLE over the banded graph's degree
+      // distribution: one row, alpha in milli from micro-quantized
+      // logs (integer sum — partitioning-order-free); the topology
+      // fingerprint read before trusting hub caps
+      val e = events(s, dir).select(
+          (col("user_id") % 997).as("src"),
+          ((col("user_id") + get_json_object(col("props"), "$.k").cast("long")) % 997)
+            .as("dst"))
+      GraphOps.powerLawFit(e, dMin = 2L)
+    }),
+
     "q47_harmonic" -> ((s, dir) => {
       // radius-3 harmonic centrality over a bounded-degree skip-chain
       // graph (u->u+1 within 64-blocks, u->u+16 skips): exact integer
@@ -936,6 +970,12 @@ object SparkEntry {
       SeriesOps.percentileOfSeries(metricStream(s, dir), p = 90)
         .orderBy("time")),
 
+    "g_integral_by_interval" -> ((s, dir) =>
+      // graphite integralByInterval(1h): running total resetting at
+      // each hour boundary — the "how much so far this hour" view
+      SeriesOps.integralByInterval(metricStream(s, dir), intervalSec = 3600L)
+        .orderBy("path", "time", "version")),
+
     "g_filter_avg_above" -> ((s, dir) =>
       // graphite averageAbove(49.5): whole-series retention by exact
       // integer mean, strict comparison
@@ -986,6 +1026,15 @@ object SparkEntry {
       // truncate toward zero — verified on negative seasonals)
       SeriesOps.holtWinters(metricStream(s, dir),
           alphaMilli = 300L, betaMilli = 100L, gammaMilli = 200L)
+        .orderBy("path")),
+
+    "g_hw_bands" -> ((s, dir) =>
+      // holtWintersConfidenceBands + Aberration: gamma-smoothed |y -
+      // pred| deviation in the same LONG fold, +-3d band around the
+      // h=1 forecast, aberrant points judged against the deviation
+      // BEFORE them (warm-up 2 cycles)
+      SeriesOps.holtWintersBands(metricStream(s, dir),
+          alphaMilli = 300L, betaMilli = 100L, gammaMilli = 200L, kBand = 3L)
         .orderBy("path")),
 
     "g_bands" -> ((s, dir) =>
@@ -1282,6 +1331,12 @@ object SparkEntry {
       // — the smoothing statistic raw frequency can't substitute
       TextOps.knContinuation(table(s, dir, "documents"), "text", topN = 50)),
 
+    "t_yule_k" -> ((s, dir) =>
+      // Yule's K repetitiveness: length-invariant where TTR decays,
+      // exact integer spectrum sums, K in milli units
+      TextOps.yuleK(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "t_kn_score" -> ((s, dir) =>
       // interpolated Kneser-Ney bigram NLL (D=0.75): discounted MLE
       // plus continuation back-off — the proper-smoothing quality
@@ -1437,6 +1492,26 @@ object SparkEntry {
       // flattened ppm shares and the upsampling boost, integer-exact
       SampleOps.temperatureShares(table(s, dir, "documents"), "lang")
         .orderBy("domain")),
+
+    "p_hll_shard_merge" -> ((s, dir) => {
+      // HLL MERGEABILITY executed: per-shard register tables max-merge
+      // into the direct single-pass registers (max is associative), so
+      // the estimate is reduction-topology-invariant — the property
+      // that makes the sketch shippable as 1000 per-executor summaries
+      // folded on the driver instead of one corpus-wide shuffle
+      val e = events(s, dir).select((col("event_id") % 8).as("shard"), col("user_id"))
+      val merged = SketchOps.hllFromRegisters(
+          SketchOps.hllRegisters(e, Seq("shard"), "user_id")
+            .groupBy("_idx").agg(max(col("_r")).as("_r")), Nil)
+        .select(col("est_milli").as("merged_est_milli"))
+      val direct = SketchOps.hllDistinct(e, Nil, "user_id")
+        .select(col("est_milli").as("direct_est_milli"))
+      val exact = e.agg(countDistinct(col("user_id")).as("exact_distinct"))
+      merged.crossJoin(direct).crossJoin(exact)
+        .select(col("merged_est_milli"), col("direct_est_milli"),
+          (col("merged_est_milli") === col("direct_est_milli")).as("merge_exact"),
+          col("exact_distinct"))
+    }),
 
     "p_distinct_hll" -> ((s, dir) => {
       // HLL distinct users per event type, registers and harmonic sum
@@ -3982,6 +4057,46 @@ object SparkEntry {
          |SELECT node, comp FROM c4 ORDER BY node""".stripMargin
     },
 
+    // lead-window gap replay: the (tsec, event_id) order is total, so
+    // every gap is engine-identical; milli mean by integer division
+    "q49_dwell" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_id
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |         lead(tsec) OVER (PARTITION BY user_id ORDER BY tsec ASC, event_id ASC) - tsec AS gap
+        |  FROM e),
+        |f AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL)
+        |SELECT event_type, count(*)::BIGINT AS n_gaps,
+        |       ((sum(gap) * 1000) // count(*))::BIGINT AS mean_gap_milli,
+        |       sum(CASE WHEN gap < 10 THEN 1 ELSE 0 END)::BIGINT AS lt_10s,
+        |       sum(CASE WHEN gap >= 10 AND gap < 60 THEN 1 ELSE 0 END)::BIGINT AS s10_60,
+        |       sum(CASE WHEN gap >= 60 AND gap < 600 THEN 1 ELSE 0 END)::BIGINT AS s60_600,
+        |       sum(CASE WHEN gap >= 600 THEN 1 ELSE 0 END)::BIGINT AS ge_600s
+        |FROM f GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // micro-quantized log sum replay: floor(1e6 ln 2d) − floor(1e6 ln 3)
+    // per tail node, integer-summed — identical term set on both engines
+    "q48_powerlaw" ->
+      """WITH raw AS (
+        |  SELECT user_id % 997 AS u,
+        |         (user_id + json_extract_string(props, '$.k')::BIGINT) % 997 AS v
+        |  FROM events),
+        |e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw WHERE u <> v),
+        |d AS (SELECT node, count(*) AS deg
+        |      FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) GROUP BY 1),
+        |s AS (SELECT count(*) AS n_nodes, max(deg) AS d_max,
+        |             sum(CASE WHEN deg >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_tail,
+        |             sum(CASE WHEN deg >= 2
+        |                 THEN CAST(floor(ln(2 * deg) * 1000000.0) AS BIGINT)
+        |                      - CAST(floor(ln(3) * 1000000.0) AS BIGINT)
+        |                 ELSE 0 END)::BIGINT AS s_micro
+        |      FROM d)
+        |SELECT n_nodes::BIGINT AS n_nodes, 2::BIGINT AS d_min, d_max::BIGINT AS d_max,
+        |       n_tail, (1000 + (n_tail * 1000000000) // s_micro)::BIGINT AS alpha_milli
+        |FROM s""".stripMargin,
+
     // exact min-distance pairs within radius 3 via a depth-capped
     // recursive CTE (UNION dedupes states), then the integer milli sum
     "q47_harmonic" ->
@@ -4712,6 +4827,69 @@ object SparkEntry {
          |       (l + 4 * b + CASE CAST((k + 3) % 4 AS INT) WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END)::BIGINT AS fc4_milli
          |FROM fin ORDER BY path""".stripMargin,
 
+    // the g_holt_winters walk with two more recurrence columns:
+    // d (gamma-smoothed |q - pred|, pred = l + b + cs BEFORE update)
+    // and c (aberrations beyond 3d after the k >= 8 warm-up)
+    "g_hw_bands" ->
+      s"""WITH RECURSIVE m AS (
+         |  SELECT 'evt.' || event_type || '.u' || (user_id % 10) || '.' ||
+         |         CASE user_id % 4 WHEN 0 THEN 'sum' WHEN 1 THEN 'min'
+         |                          WHEN 2 THEN 'max' ELSE 'value' END AS path,
+         |         value,
+         |         CAST(floor(epoch(ts)) AS BIGINT) AS "time",
+         |         event_id AS version
+         |  FROM events),
+         |x AS (
+         |  SELECT path, CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS q,
+         |         row_number() OVER (PARTITION BY path ORDER BY "time" ASC, version ASC) AS rn
+         |  FROM m),
+         |cnt AS (SELECT path, count(*)::BIGINT AS n FROM x GROUP BY 1 HAVING count(*) >= 5),
+         |init AS (
+         |  SELECT x1.path, (x1.q + x2.q + x3.q + x4.q) // 4 AS l0,
+         |         x1.q AS q1, x2.q AS q2, x3.q AS q3, x4.q AS q4
+         |  FROM x x1
+         |  JOIN x x2 ON x1.path = x2.path AND x2.rn = 2
+         |  JOIN x x3 ON x1.path = x3.path AND x3.rn = 3
+         |  JOIN x x4 ON x1.path = x4.path AND x4.rn = 4
+         |  WHERE x1.rn = 1),
+         |walk AS (
+         |  SELECT i.path, 4::BIGINT AS k, l0 AS l, 0::BIGINT AS b,
+         |         q1 - l0 AS s0, q2 - l0 AS s1, q3 - l0 AS s2, q4 - l0 AS s3,
+         |         0::BIGINT AS d, 0::BIGINT AS c
+         |  FROM init i JOIN cnt cn ON i.path = cn.path
+         |  UNION ALL
+         |  SELECT path, k + 1 AS k, lv AS l,
+         |         (100 * (lv - l) + 900 * b) // 1000 AS b,
+         |         CASE WHEN k % 4 = 0 THEN (200 * (q - lv) + 800 * cs) // 1000 ELSE s0 END AS s0,
+         |         CASE WHEN k % 4 = 1 THEN (200 * (q - lv) + 800 * cs) // 1000 ELSE s1 END AS s1,
+         |         CASE WHEN k % 4 = 2 THEN (200 * (q - lv) + 800 * cs) // 1000 ELSE s2 END AS s2,
+         |         CASE WHEN k % 4 = 3 THEN (200 * (q - lv) + 800 * cs) // 1000 ELSE s3 END AS s3,
+         |         (200 * abs(q - pred) + 800 * d) // 1000 AS d,
+         |         c + CASE WHEN k >= 8 AND abs(q - pred) > 3 * d THEN 1 ELSE 0 END AS c
+         |  FROM (
+         |    SELECT w.path, w.k, w.l, w.b, w.s0, w.s1, w.s2, w.s3, w.d, w.c, x.q,
+         |           CASE CAST(w.k % 4 AS INT) WHEN 0 THEN w.s0 WHEN 1 THEN w.s1
+         |                                     WHEN 2 THEN w.s2 ELSE w.s3 END AS cs,
+         |           w.l + w.b + CASE CAST(w.k % 4 AS INT) WHEN 0 THEN w.s0 WHEN 1 THEN w.s1
+         |                                                 WHEN 2 THEN w.s2 ELSE w.s3 END AS pred,
+         |           (300 * (x.q - CASE CAST(w.k % 4 AS INT) WHEN 0 THEN w.s0 WHEN 1 THEN w.s1
+         |                                                   WHEN 2 THEN w.s2 ELSE w.s3 END)
+         |            + 700 * (w.l + w.b)) // 1000 AS lv
+         |    FROM walk w JOIN x ON x.path = w.path AND x.rn = w.k + 1) step),
+         |fin AS (
+         |  SELECT w.path, cn.n, w.k, w.l, w.b, w.s0, w.s1, w.s2, w.s3, w.d, w.c
+         |  FROM walk w JOIN cnt cn ON w.path = cn.path AND w.k = cn.n),
+         |fc AS (
+         |  SELECT path, n, d, c,
+         |         (l + b + CASE CAST(k % 4 AS INT) WHEN 0 THEN s0 WHEN 1 THEN s1
+         |                                          WHEN 2 THEN s2 ELSE s3 END)::BIGINT AS fc1_milli
+         |  FROM fin)
+         |SELECT path, n, fc1_milli, d::BIGINT AS dev_milli,
+         |       (fc1_milli - 3 * d)::BIGINT AS band_lo_milli,
+         |       (fc1_milli + 3 * d)::BIGINT AS band_hi_milli,
+         |       c::BIGINT AS n_aberrant
+         |FROM fc ORDER BY path""".stripMargin,
+
     // rate x forward-gap areas as 1e-6-quantized LONG sums: the
     // bucket total is an integer sum, association-order-free
     "g_hitcount" ->
@@ -4891,6 +5069,21 @@ object SparkEntry {
          |SELECT node_group, "time", count(*) AS n_series,
          |       round(sum(q)::DOUBLE / 1000000.0, 6) AS value
          |FROM k GROUP BY 1, 2 ORDER BY node_group, "time"""".stripMargin,
+
+    // g_integral with the window re-keyed on (path, hour bucket):
+    // the reset IS the partition boundary
+    "g_integral_by_interval" ->
+      s"""$OracleM,
+         |x AS (
+         |  SELECT path, "time" - ("time" % 3600) AS bucket_start, "time", version,
+         |         sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+         |           OVER (PARTITION BY path, "time" - ("time" % 3600)
+         |                 ORDER BY "time", version
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rq
+         |  FROM m)
+         |SELECT path, bucket_start::BIGINT AS bucket_start, "time", version,
+         |       round(rq::DOUBLE / 1000000.0, 6) AS running_total
+         |FROM x ORDER BY path, "time", version""".stripMargin,
 
     "g_percentile_series" ->
       s"""$OracleM,
@@ -5437,6 +5630,55 @@ object SparkEntry {
     // exact integer harmonic sum; the linear-counting branch reads the
     // SAME StrictMath-generated integer table as the Spark side
     // (SketchOps.linearCountMilli) so no engine ever takes a float ln
+    // full register replay BOTH ways: per-shard max then cross-shard
+    // max (merged) vs one global max (direct); max associativity makes
+    // them equal registers, and the oracle proves it by computing both
+    "p_hll_shard_merge" ->
+      s"""WITH h AS (
+        |  SELECT event_id % 8 AS shard,
+        |         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT shard,
+        |         h // (1::BIGINT << 52) AS idx,
+        |         h % (1::BIGINT << 52) AS tail
+        |  FROM h),
+        |srk AS (
+        |  SELECT shard, idx,
+        |         max(CASE WHEN tail = 0 THEN 53 ELSE 53 - length(bin(tail)) END) AS r
+        |  FROM r GROUP BY 1, 2),
+        |mrk AS (SELECT idx, max(r) AS r FROM srk GROUP BY 1),
+        |drk AS (
+        |  SELECT idx,
+        |         max(CASE WHEN tail = 0 THEN 53 ELSE 53 - length(bin(tail)) END) AS r
+        |  FROM r GROUP BY 1),
+        |gm AS (SELECT count(*)::BIGINT AS present, sum(1::BIGINT << (53 - r))::BIGINT AS sp FROM mrk),
+        |gd AS (SELECT count(*)::BIGINT AS present, sum(1::BIGINT << (53 - r))::BIGINT AS sp FROM drk),
+        |em AS (
+        |  SELECT (256 - present)::BIGINT AS v_empty,
+        |         CAST(floor((0.7213 / (1 + 1.079 / 256.0)) * 256 * 256 * ((1::BIGINT << 53)::DOUBLE) * 1000.0
+        |                    / (sp + (256 - present) * (1::BIGINT << 53))::DOUBLE + 0.5) AS BIGINT) AS raw_milli
+        |  FROM gm),
+        |ed AS (
+        |  SELECT (256 - present)::BIGINT AS v_empty,
+        |         CAST(floor((0.7213 / (1 + 1.079 / 256.0)) * 256 * 256 * ((1::BIGINT << 53)::DOUBLE) * 1000.0
+        |                    / (sp + (256 - present) * (1::BIGINT << 53))::DOUBLE + 0.5) AS BIGINT) AS raw_milli
+        |  FROM gd),
+        |fm AS (
+        |  SELECT CASE WHEN v_empty > 0 AND raw_milli <= 2500 * 256
+        |              THEN list_extract(${operators.SketchOps.linearCountMilli(8).mkString("[", ",", "]")}, v_empty)
+        |              ELSE raw_milli END AS merged_est_milli
+        |  FROM em),
+        |fd AS (
+        |  SELECT CASE WHEN v_empty > 0 AND raw_milli <= 2500 * 256
+        |              THEN list_extract(${operators.SketchOps.linearCountMilli(8).mkString("[", ",", "]")}, v_empty)
+        |              ELSE raw_milli END AS direct_est_milli
+        |  FROM ed)
+        |SELECT merged_est_milli, direct_est_milli,
+        |       (merged_est_milli = direct_est_milli) AS merge_exact,
+        |       (SELECT count(DISTINCT user_id) FROM events)::BIGINT AS exact_distinct
+        |FROM fm, fd""".stripMargin,
+
     "p_distinct_hll" ->
       s"""WITH h AS (
         |  SELECT event_type,
@@ -8829,6 +9071,25 @@ object SparkEntry {
         |  FROM inst JOIN big USING (w1, w2) JOIN pre USING (w1) GROUP BY 1)
         |SELECT d.doc_id, coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
         |       coalesce(round(nll, 4), 0.0) AS avg_nll
+        |FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // exact spectrum sums: S2 = Σ c² per doc; K undefined below 2 tokens
+    "t_yule_k" ->
+      """WITH inst AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |tc AS (SELECT doc_id, w, count(*) AS c FROM inst GROUP BY 1, 2),
+        |perdoc AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+        |         sum(c * c)::BIGINT AS s2
+        |  FROM tc GROUP BY 1)
+        |SELECT d.doc_id,
+        |       coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+        |       coalesce(n_types, 0)::BIGINT AS n_types,
+        |       coalesce(CASE WHEN n_tokens >= 2
+        |                     THEN (10000000 * (s2 - n_tokens)) // (n_tokens * n_tokens) END,
+        |                0)::BIGINT AS yule_k_milli
         |FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     // Kneser-Ney replay: one bigram-count CTE feeds the discounted MLE

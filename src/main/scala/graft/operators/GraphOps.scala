@@ -544,6 +544,35 @@ object GraphOps {
    * and duplicates tolerated.
    */
   /**
+   * Power-law degree-distribution fit: the continuous-approximation
+   * MLE α = 1 + n / Σ ln(d_i/(d_min − ½)) (Clauset–Shalizi–Newman,
+   * SIAM Review 2009, eq. 3.1) over tail nodes (degree ≥ d_min) —
+   * the one-row topology fingerprint read before trusting any
+   * hub-capped plan: α near 2 means hubs own the edge mass and every
+   * Σdeg² bound is live, α near 3+ means degrees are tame. Each
+   * logarithm is quantized to exact MICRO units BEFORE the corpus
+   * sum (floor(10⁶·ln 2d) − floor(10⁶·ln(2d_min−1)) — both `ln`s of
+   * exact integers, the t_pmi micro-log rule), so the reduction is
+   * an integer sum: partitioning-order-free and oracle-replayable,
+   * where a double Σln would drift with shuffle order. Output
+   * α in milli units: 1000 + (n_tail·10⁹) div Σ_micro.
+   */
+  def powerLawFit(edges: DataFrame, dMin: Long = 2L): DataFrame = {
+    require(dMin >= 1L, s"powerLawFit dMin=$dMin")
+    val deg = degrees(undirect(edges))
+    val micro = (floor(log(col("deg").cast("double") * 2.0) * 1e6) -
+      floor(log(lit((2 * dMin - 1).toDouble)) * 1e6)).cast("long")
+    deg.agg(
+        count(lit(1)).as("n_nodes"),
+        max(col("deg")).as("d_max"),
+        sum(when(col("deg") >= dMin, 1L).otherwise(0L)).as("n_tail"),
+        sum(when(col("deg") >= dMin, micro).otherwise(0L)).as("s_micro"))
+      .select(col("n_nodes"), lit(dMin).as("d_min"), col("d_max"), col("n_tail"),
+        (lit(1000L) + IntDiv(col("n_tail") * 1000000000L, col("s_micro")))
+          .cast("long").as("alpha_milli"))
+  }
+
+  /**
    * Bounded-radius HARMONIC centrality: H(v) = Σ 1/d(u,v) over nodes
    * within `radius` hops, as the exact integer Σ floor(scale/d)
    * (1000/1, 1000/2, 1000/3 … — milli units, engine-portable). The

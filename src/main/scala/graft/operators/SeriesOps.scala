@@ -93,6 +93,28 @@ object SeriesOps {
   }
 
   /**
+   * graphite `integralByInterval(series, interval)`: [[integral]]'s
+   * running sum, RESET at each epoch-aligned interval boundary — the
+   * daily-cumulative-counter view of a rate series ("how much so far
+   * today", restarting at midnight). Same exact 1e-6-quantized LONG
+   * frame sums as [[integral]], windowed per (path, bucket) instead
+   * of per path, so the reset is the partition boundary itself — no
+   * conditional, no extra pass; the bucket column is kept for
+   * inspection.
+   */
+  def integralByInterval(points: DataFrame, intervalSec: Long): DataFrame = {
+    require(intervalSec >= 1, s"intervalSec >= 1, got $intervalSec")
+    val bucketed = points.withColumn("bucket_start",
+      (col("time") - (col("time") % intervalSec)).cast("long"))
+    val frame = Window.partitionBy("path", "bucket_start")
+      .orderBy(col("time").asc, col("version").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runQ = sum(floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long")).over(frame)
+    bucketed.select(col("path"), col("bucket_start"), col("time"), col("version"),
+      round(runQ.cast("double") / lit(1.0e6), 6).as("running_total"))
+  }
+
+  /**
    * graphite `timeShift(series, shift)` composed with its one real
    * use: comparing a series against itself `shiftSec` earlier (the
    * day-over-day render). Raw points are first consolidated onto a
@@ -885,6 +907,79 @@ object SeriesOps {
         col("st.l").as("level_milli"), col("st.b").as("trend_milli"),
         col("st.s0").as("s0_milli"), col("st.s1").as("s1_milli"),
         col("st.s2").as("s2_milli"), col("st.s3").as("s3_milli")) ++ fcs: _*)
+  }
+
+  /**
+   * graphite `holtWintersConfidenceBands` + `holtWintersAberration`
+   * folded into [[holtWinters]]'s integer recurrence: alongside
+   * level/trend/seasonals, the state carries a γ-smoothed absolute
+   * one-step-ahead deviation d (graphite smooths the deviation series
+   * with the same seasonal gain) and an aberration counter — points
+   * whose |y − pred| exceeded k·d at THEIR step, judged against the
+   * deviation BEFORE that point (a point never vouches for itself —
+   * the StreamAnomaly rule) and only after a warm-up of two full
+   * cycles (i ≥ 8; the init state's d = 0 would flag everything).
+   * Output per series: the h=1 forecast, final deviation, the
+   * ±k·d band around the forecast, and the aberrant-point count.
+   * Same truncation-division milli arithmetic as [[holtWinters]], so
+   * the recursive-CTE oracle replays it term for term.
+   */
+  def holtWintersBands(points: DataFrame, alphaMilli: Long, betaMilli: Long,
+                       gammaMilli: Long, kBand: Long = 3L): DataFrame = {
+    require(alphaMilli >= 0 && alphaMilli <= 1000, s"alphaMilli in [0,1000]: $alphaMilli")
+    require(betaMilli >= 0 && betaMilli <= 1000, s"betaMilli in [0,1000]: $betaMilli")
+    require(gammaMilli >= 0 && gammaMilli <= 1000, s"gammaMilli in [0,1000]: $gammaMilli")
+    require(kBand >= 1, s"kBand >= 1: $kBand")
+    val a = alphaMilli; val na = 1000L - alphaMilli
+    val bb = betaMilli; val nb = 1000L - betaMilli
+    val g = gammaMilli; val ng = 1000L - gammaMilli
+    def fdiv(x: String) = s"(($x) div 1000)"
+    val q = floor(col("value") * lit(1.0e3) + lit(0.5)).cast("long")
+    val curS = "(CASE CAST(acc.i % 4 AS INT) WHEN 0 THEN acc.s0 WHEN 1 THEN acc.s1 " +
+      "WHEN 2 THEN acc.s2 ELSE acc.s3 END)"
+    val pred = s"(acc.l + acc.b + $curS)"
+    val lNew = fdiv(s"$a * (e.q - $curS) + $na * (acc.l + acc.b)")
+    val bNew = fdiv(s"$bb * ($lNew - acc.l) + $nb * acc.b")
+    val sNew = fdiv(s"$g * (e.q - $lNew) + $ng * $curS")
+    val dNew = fdiv(s"$g * abs(e.q - $pred) + $ng * acc.d")
+    val cNew = s"acc.c + IF(acc.i >= 8 AND abs(e.q - $pred) > $kBand * acc.d, 1, 0)"
+    val st = expr(
+      s"""aggregate(
+         |  slice(arr, 5, size(arr) - 4),
+         |  named_struct(
+         |    'i', CAST(4 AS BIGINT), 'l', l0, 'b', CAST(0 AS BIGINT),
+         |    's0', arr[0].q - l0, 's1', arr[1].q - l0,
+         |    's2', arr[2].q - l0, 's3', arr[3].q - l0,
+         |    'd', CAST(0 AS BIGINT), 'c', CAST(0 AS BIGINT)),
+         |  (acc, e) -> named_struct(
+         |    'i', acc.i + 1,
+         |    'l', $lNew,
+         |    'b', $bNew,
+         |    's0', IF(acc.i % 4 = 0, $sNew, acc.s0),
+         |    's1', IF(acc.i % 4 = 1, $sNew, acc.s1),
+         |    's2', IF(acc.i % 4 = 2, $sNew, acc.s2),
+         |    's3', IF(acc.i % 4 = 3, $sNew, acc.s3),
+         |    'd', $dNew,
+         |    'c', $cNew))""".stripMargin)
+    val slot1 = {
+      val idx = col("st.i") % 4
+      when(idx === 0, col("st.s0")).when(idx === 1, col("st.s1"))
+        .when(idx === 2, col("st.s2")).otherwise(col("st.s3"))
+    }
+    points
+      .groupBy("path")
+      .agg(sort_array(collect_list(struct(col("time"), col("version"), q.as("q"))))
+        .as("arr"))
+      .filter(size(col("arr")) >= 5)
+      .withColumn("l0",
+        expr("(arr[0].q + arr[1].q + arr[2].q + arr[3].q) div 4"))
+      .withColumn("st", st)
+      .withColumn("fc1_milli", col("st.l") + col("st.b") + slot1)
+      .select(col("path"), size(col("arr")).cast("long").as("n"),
+        col("fc1_milli"), col("st.d").as("dev_milli"),
+        (col("fc1_milli") - lit(kBand) * col("st.d")).as("band_lo_milli"),
+        (col("fc1_milli") + lit(kBand) * col("st.d")).as("band_hi_milli"),
+        col("st.c").as("n_aberrant"))
   }
 
   /**

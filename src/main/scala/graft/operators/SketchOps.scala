@@ -269,21 +269,42 @@ object SketchOps {
    * join probe buckets against those `depth`·`width` rows — AQE
    * broadcasts the sketch side. No occurrence-sized shuffle anywhere.
    */
-  def cmsEstimates(items: DataFrame, keyCol: String, probes: DataFrame,
-                   depth: Int, width: Int): DataFrame = {
-    require(depth >= 1 && width >= 1, s"cms depth=$depth width=$width")
-    def buckets(key: Column): Column = array((0 until depth).map { i =>
+  private def cmsBuckets(key: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map { i =>
       pmod(FastHash.md5Head60(concat(lit(s"cms$i:"), key)), lit(width.toLong))
     }: _*)
-    val sketch = items
-      .select(posexplode(buckets(col(keyCol).cast("string"))).as(Seq("row_i", "bucket")))
+
+  /** The COUNTER stage of [[cmsEstimates]] as a standalone aggregate —
+    * the streaming-safe half (a count per (row, bucket) is an ordinary
+    * streaming agg with at most depth×width rows of state EVER, and
+    * cell tables merge by addition), with [[cmsFromCells]] as the
+    * probe finisher. Same split as [[gridCells]]/[[quantilesFromCells]]
+    * and [[hllRegisters]]/[[hllFromRegisters]]. */
+  def cmsCells(items: DataFrame, keyCol: String,
+               depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, s"cms depth=$depth width=$width")
+    items
+      .select(posexplode(cmsBuckets(col(keyCol).cast("string"), depth, width))
+        .as(Seq("row_i", "bucket")))
       .groupBy("row_i", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate finisher over a [[cmsCells]] table: each probe key
+    * reads its depth cells and takes the min (the CMS upper bound). */
+  def cmsFromCells(cells: DataFrame, probes: DataFrame, keyCol: String,
+                   depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, s"cms depth=$depth width=$width")
     probes.select(col(keyCol)).distinct()
-      .select(col(keyCol), posexplode(buckets(col(keyCol).cast("string"))).as(Seq("row_i", "bucket")))
-      .join(sketch, Seq("row_i", "bucket"), "left")
+      .select(col(keyCol), posexplode(cmsBuckets(col(keyCol).cast("string"), depth, width))
+        .as(Seq("row_i", "bucket")))
+      .join(cells, Seq("row_i", "bucket"), "left")
       .groupBy(keyCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
   }
+
+  def cmsEstimates(items: DataFrame, keyCol: String, probes: DataFrame,
+                   depth: Int, width: Int): DataFrame =
+    cmsFromCells(cmsCells(items, keyCol, depth, width), probes, keyCol, depth, width)
 
   /**
    * GLOBAL quantiles from a fixed-grid histogram — the 100 TB

@@ -1991,6 +1991,40 @@ object TextOps {
   }
 
   /**
+   * Yule's K lexical-repetitiveness characteristic (Yule, "The
+   * Statistical Study of Literary Vocabulary", 1944):
+   * K = 10⁴ · (Σ_m m²·V(m) − N) / N² over the word-frequency spectrum
+   * (V(m) = types occurring m times, N = tokens; Σ m²·V(m) is just
+   * Σ c² over per-type counts). Unlike [[typeTokenRatio]], K is
+   * approximately LENGTH-INVARIANT — TTR decays with doc length, so a
+   * TTR gate mis-ranks long documents; K compares repetitiveness
+   * across lengths, which is what a template/degenerate-generation
+   * filter actually needs. Exact integers end to end:
+   * k_milli = (10⁷·(S2 − N)) div N² (S2 ≤ N², so the numerator is
+   * bounded by 10⁷·N² — inside LONG for N up to ~10⁵·3).
+   *
+   * Plan: same two doc-keyed aggregates as [[typeTokenRatio]]; docs
+   * with fewer than 2 tokens report 0 (K is undefined at N ≤ 1).
+   */
+  def yuleK(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), explode(words(lower(col(textCol)))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("s2"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(when(col("n_tokens") >= 2L,
+            IntDiv(lit(10000000L) * (col("s2") - col("n_tokens")),
+              col("n_tokens") * col("n_tokens")).cast("long")),
+          lit(0L)).as("yule_k_milli"))
+  }
+
+  /**
    * RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
    * Extraction from Individual Documents"): candidate phrases are the
    * maximal runs of non-stopword tokens; each word scores

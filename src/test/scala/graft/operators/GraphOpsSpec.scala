@@ -386,6 +386,26 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == expected)
   }
 
+  test("powerLawFit: micro-log MLE on a regular graph, tail filter, n-invariance") {
+    val ss = spark; import ss.implicits._
+    // cycle: every degree is exactly 2, so Σ_micro = n·(⌊1e6·ln4⌋ −
+    // ⌊1e6·ln3⌋) = n·287682 and α_milli = 1000 + 1e9 div 287682 = 4476
+    // for ANY n — the size-invariance a correct per-node quantization
+    // must show
+    def cycle(n: Int) = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+    for (n <- Seq(6, 60)) {
+      val got = GraphOps.powerLawFit(cycle(n).toDF("src", "dst"), dMin = 2L)
+        .collect().head
+      assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3), got.getLong(4)) ==
+        ((n.toLong, 2L, 2L, n.toLong, 4476L)), s"n=$n got $got")
+    }
+    // star: leaves have degree 1 and fall OUT of the dMin=2 tail —
+    // only the hub contributes
+    val star = (1L to 9L).map(i => (0L, i)).toDF("src", "dst")
+    val s = GraphOps.powerLawFit(star, dMin = 2L).collect().head
+    assert(s.getLong(3) == 1L && s.getLong(2) == 9L, s"star tail: $s")
+  }
+
   test("harmonicCentrality: chain distances priced at true minimum, radius-capped") {
     val ss = spark; import ss.implicits._
     // path 0-1-2-3-4, radius 3: H(0) = 1000/1 + 1000/2 + 1000/3 = 1833

@@ -312,6 +312,18 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (60L, 1L, 60L, 1.0, 60L, 1.0, 60L, 1.0, 60L, 1.0)))
   }
 
+  test("integralByInterval: running total resets at each epoch-aligned boundary") {
+    // hour bucket: t=10,20 accumulate; t=3605 starts a fresh total
+    val p = pts(("a", 1.5, 10L, 1L), ("a", 2.5, 20L, 1L), ("a", 4.0, 3605L, 1L),
+      ("b", 7.0, 15L, 1L))
+    val got = SeriesOps.integralByInterval(p, intervalSec = 3600L)
+      .orderBy("path", "time")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("a", 0L, 10L, 1.5), ("a", 0L, 20L, 4.0), ("a", 3600L, 3605L, 4.0),
+      ("b", 0L, 15L, 7.0)))
+  }
+
   test("percentileOfSeries: per-instant cross-series percentile, LWW collapse first") {
     // at t=10 three series contribute (9, 5, 1) — path a's stale v=1
     // must lose to its version-2 re-send before the band is computed;
@@ -494,6 +506,26 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // fewer than 5 points -> no row (nothing to smooth)
     assert(SeriesOps.holtWinters(pts(("b", 1.0, 1L, 1L), ("b", 2.0, 2L, 2L),
       ("b", 3.0, 3L, 3L), ("b", 4.0, 4L, 4L)), 300L, 100L, 200L).isEmpty)
+  }
+
+  test("holtWintersBands: periodic series has zero deviation; a spike after warm-up aberrates") {
+    // same alpha=1 gamma=1 fixture as the holtWinters fixed-point spec:
+    // every one-step prediction is exact, so d stays 0 and nothing
+    // aberrates (strict > comparison — 0 is never > 3*0)
+    val vals = Seq(10.0, 20.0, 30.0, 40.0)
+    val clean = pts((0 until 16).map(i =>
+      ("a", vals(i % 4), (i + 1).toLong, (i + 1).toLong)): _*)
+    val r = SeriesOps.holtWintersBands(clean, 1000L, 0L, 1000L).collect().head
+    assert(r.getAs[Long]("dev_milli") == 0L, s"periodic dev: $r")
+    assert(r.getAs[Long]("n_aberrant") == 0L, s"periodic aberrations: $r")
+    assert(r.getAs[Long]("band_lo_milli") == r.getAs[Long]("fc1_milli"))
+    // one 10x spike well past the i>=8 warm-up must count
+    val spiked = pts(((0 until 16).map(i =>
+      ("s", if (i == 13) 400.0 else vals(i % 4), (i + 1).toLong, (i + 1).toLong))): _*)
+    val rs = SeriesOps.holtWintersBands(spiked, 1000L, 0L, 1000L).collect().head
+    assert(rs.getAs[Long]("n_aberrant") >= 1L, s"spike must aberrate: $rs")
+    assert(rs.getAs[Long]("dev_milli") >= 0L)
+    assert(rs.getAs[Long]("band_hi_milli") >= rs.getAs[Long]("band_lo_milli"))
   }
 
   test("hitcount: rate x forward-gap areas, bucketed by point time; last point emits nothing") {

@@ -261,6 +261,40 @@ class SketchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("cmsCells runs under Structured Streaming; probe finisher equals batch estimates") {
+    // the same register/finisher split applied to count-min: the cell
+    // count is an ordinary streaming aggregate whose state can never
+    // exceed depth x width rows, and the probe min is a batch finisher
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = SketchOps.cmsCells(mem.toDF.toDF("k"), "k", depth = 4, width = 64)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData((1 to 600).map(i => s"k${i % 37}"): _*)
+      q.processAllAvailable()
+      mem.addData((1 to 900).map(i => s"k${i % 53}"): _*)
+      q.processAllAvailable()
+      val all = ((1 to 600).map(i => s"k${i % 37}") ++
+        (1 to 900).map(i => s"k${i % 53}")).toDF("k")
+      val probes = (0 until 60).map(i => s"k$i").toDF("k")
+      val streamed = SketchOps.cmsFromCells(ss.table("cms_stream"), probes, "k",
+          depth = 4, width = 64)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val batch = SketchOps.cmsEstimates(all, "k", probes, depth = 4, width = 64)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(streamed == batch, "streamed cells must finish to the batch estimates")
+      assert(ss.table("cms_stream").count() <= 4L * 64, "state bounded by depth x width")
+      // CMS bound sanity: estimates never under-count the true frequency
+      val truth = all.groupBy("k").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      truth.foreach { case (k, n) =>
+        assert(batch(k) >= n, s"$k: est ${batch(k)} < truth $n")
+      }
+    } finally q.stop()
+  }
+
   test("hllDistinct is partition-layout invariant and merge-consistent") {
     val ss = spark; import ss.implicits._
     val df = (1 to 5000).map(i => ("g", s"val$i")).toDF("grp", "v")
@@ -275,5 +309,22 @@ class SketchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .union(df.filter(expr("substring(v, 4) % 2 <> 0"))),
       Seq("grp"), "v").collect().head
     assert(whole.getAs[Long]("s_inv") == union.getAs[Long]("s_inv"))
+  }
+
+  test("sharded register tables max-merge into the direct registers (p_hll_shard_merge shape)") {
+    val ss = spark; import ss.implicits._
+    // the executor-summary reduction: per-shard hllRegisters, folded by
+    // max per register slot, must be ROW-IDENTICAL to one direct pass —
+    // with overlapping values across shards (the case where a naive
+    // sum-merge would double count)
+    val df = (1 to 3000).map(i => (i % 7, s"val${i % 1100}")).toDF("shard", "v")
+    val merged = SketchOps.hllRegisters(df, Seq("shard"), "v")
+      .groupBy("_idx").agg(max(col("_r")).as("_r"))
+    val direct = SketchOps.hllRegisters(df, Nil, "v")
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty,
+      "merged register table must equal the direct one")
+    val em = SketchOps.hllFromRegisters(merged, Nil).collect().head.getAs[Long]("est_milli")
+    val ed = SketchOps.hllFromRegisters(direct, Nil).collect().head.getAs[Long]("est_milli")
+    assert(em == ed)
   }
 }

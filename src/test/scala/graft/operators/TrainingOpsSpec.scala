@@ -697,6 +697,28 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((1L, 10L, 3 * 2 + 2 * 3 + 4 * 3 + 1 * 5L), (2L, 0L, 0L)))
   }
 
+  test("yuleK: exact spectrum arithmetic, length invariance vs TTR, N<2 guard") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq(
+      (1L, "a a b"),      // S2 = 5, N = 3 -> K = 1e7·2 div 9 = 2222222
+      (2L, "a a a a"),    // fully repetitive: 1e7·12 div 16 = 7500000
+      (3L, "a b c d"),    // all-distinct: K = 0
+      (4L, "solo"),       // N = 1: undefined -> 0
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextOps.yuleK(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 2L, 2222222L), (2L, 4L, 1L, 7500000L),
+      (3L, 4L, 4L, 0L), (4L, 1L, 1L, 0L), (5L, 0L, 0L, 0L)))
+    // the length-invariance TTR lacks: doubling an all-distinct doc
+    // keeps K at 0 while its TTR would halve... doubling the REPETITIVE
+    // doc keeps K exactly (c scales 2x, N scales 2x: (4·S2−2N)/4N² —
+    // K(2x) = (1e7·(4·16−8)) div 64 = 8750000 ≈ K within the m=1 term)
+    val double = Seq((9L, "a a a a a a a a")).toDF("doc_id", "text")
+    val k2 = TextOps.yuleK(double, "doc_id", "text").collect().head.getLong(3)
+    assert(math.abs(k2 - 7500000L) < 1500000L, s"K roughly length-stable, got $k2")
+  }
+
   test("knBigramNll: hand-computed interpolated Kneser-Ney, D=0.75; empty doc -> (0,0)") {
     val ss = spark; import ss.implicits._
     // "a b a b a c": bigrams ab×2, ba×2, ac×1.
