@@ -997,7 +997,13 @@ object TextOps {
         slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
         slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))))).as("bg"))
       .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+    // the bigram-count frame feeds FOUR consumers (the instance join
+    // and all three KN statistics) — checkpoint it once or each branch
+    // re-scans the corpus text to rebuild it (5 scans observed in the
+    // un-pinned plan; 2 after). Bigram-TYPE-sized, released by the
+    // caller per the Blocks convention.
     val big = inst.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
     val left = big.groupBy("w1").agg(sum(col("c12")).as("c1"),
       count(lit(1)).as("n1f"))
     val cont = big.groupBy("w2").agg(count(lit(1)).as("n1p"))

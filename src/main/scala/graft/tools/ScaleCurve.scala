@@ -316,6 +316,51 @@ object ScaleCurve {
         col("doc_id") % 40, lit(".example.com/p"), col("doc_id") % 40)),
       "doc_id", "text"))
 
+    // batch-5/6 rows: IVF-MIPS probe volume (cells prune, queries
+    // fixed), star contraction's convergent round count (node-sized
+    // output at every decade), bounded-radius harmonic pair volume
+    // (degree-bounded, so pairs ~ nodes), KN's bigram-type frame,
+    // the greedy-encoder's DISTINCT-word work, HW-bands' series-count
+    // output, dwell's event-type-sized rollup, power-law's one row
+    run("mips_ivf", d =>
+      SimilarityOps.mipsIvfTopK(embs(d).filter(col("id") < 5), embs(d), 5))
+    run("components_stars", d => {
+      val u = evs(d).select(col("user_id")).distinct()
+      val uDst = u.select(col("user_id").as("dst"))
+      graft.operators.GraphOps.componentsStars(
+        u.filter(col("user_id") % 32 =!= 31)
+          .select(col("user_id").as("src"), (col("user_id") + 1).as("dst"))
+          .join(uDst, Seq("dst")))
+    })
+    run("harmonic3", d => {
+      val u = evs(d).select(col("user_id")).distinct()
+      val uDst = u.select(col("user_id").as("dst"))
+      val e1 = u.filter(col("user_id") % 64 =!= 63)
+        .select(col("user_id").as("src"), (col("user_id") + 1).as("dst"))
+        .join(uDst, Seq("dst"))
+      val e2 = u.filter(col("user_id") % 64 < 48)
+        .select(col("user_id").as("src"), (col("user_id") + 16).as("dst"))
+        .join(uDst, Seq("dst"))
+      graft.operators.GraphOps.harmonicCentrality(e1.union(e2), radius = 3)
+    })
+    run("kn_score", d => graft.operators.TextOps.knBigramNll(docs(d), "doc_id", "text"))
+    run("maxmatch", d => graft.operators.TextOps.maxMatchCounts(docs(d), "doc_id", "text"))
+    run("yule_k", d => graft.operators.TextOps.yuleK(docs(d), "doc_id", "text"))
+    run("hw_bands", d => graft.operators.SeriesOps.holtWintersBands(
+      mstream(d), 300L, 100L, 200L))
+    run("dwell", d => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("tsec").asc, col("event_id").asc)
+      evs(d).select(col("user_id"), col("event_type"), col("tsec"), col("event_id"))
+        .withColumn("nxt", lead(col("tsec"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy("event_type").agg(count(lit(1)).as("n_gaps"))
+    })
+    run("powerlaw", d => graft.operators.GraphOps.powerLawFit(
+      evs(d).select((col("user_id") % 997).as("src"),
+        ((col("user_id") + get_json_object(col("props"), "$.k").cast("long")) % 997)
+          .as("dst"))))
+
     spark.stop()
   }
 }

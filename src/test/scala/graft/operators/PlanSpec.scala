@@ -397,4 +397,44 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"must not rescan documents:\n${plan.take(600)}")
     assert(plan.contains("HashAggregate"), "canonical grouping must hash-aggregate")
   }
+
+  test("s_mips_ivf: the only nested-loop is the ONE-ROW norm broadcast; candidates equi-join") {
+    val plan = planOf("s_mips_ivf")
+    // the m2 scalar rides a BroadcastNestedLoopJoin by design (one row);
+    // the cell candidate join and both vector fan-backs must be equi
+    val bnlj = plan.split("\\n").count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"only the one-row norm cross is allowed, got $bnlj:\n${plan.take(800)}")
+    assert(!plan.contains("CartesianProduct"), "no unhinted cartesian")
+    assert(plan.contains("WindowGroupLimit"),
+      "per-query top-k must push the group limit below the final sort")
+  }
+
+  test("q46_components_stars serves from the converged pinned frame, no source re-derivation") {
+    val plan = planOf("q46_components_stars")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"must read the checkpointed fixpoint edges:\n${plan.take(600)}")
+    assert(!plan.contains("FileScan parquet") && !plan.contains("Scan parquet"),
+      s"served plan must not re-derive contraction rounds:\n${plan.take(600)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "star contraction is equi joins only")
+  }
+
+  test("t_kn_score: the pinned bigram frame stops the per-statistic corpus re-scan") {
+    // all three KN statistics re-aggregate ONE checkpointed bigram
+    // frame; only the instance side and the doc_id spine still read
+    // parquet (the un-pinned plan scanned documents 5x)
+    val plan = planOf("t_kn_score")
+    val scans = plan.split("\\n").count(l =>
+      l.contains("FileScan parquet") || l.contains("Scan parquet"))
+    assert(scans <= 3, s"documents re-scanned $scans times:\n${plan.take(800)}")
+    assert(plan.contains("Scan ExistingRDD"), "bigram frame must be pinned")
+  }
+
+  test("m_media_pixels_qoi decodes in a single scan + mapPartitions (no shuffle before the sort)") {
+    val plan = planOf("m_media_pixels_qoi")
+    assert(plan.contains("MapPartitions"), "batched decode stage missing")
+    val preSort = plan.split("Sort").head
+    assert(!preSort.contains("Exchange"),
+      s"decode must not shuffle blobs:\n${plan.take(700)}")
+  }
 }
