@@ -686,6 +686,17 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "q50_richclub" -> ((s, dir) => {
+      // rich-club curve phi(k) over the banded graph: do the hubs
+      // interconnect (phi rises with k) or stay spokes — read next to
+      // q48's exponent before trusting any hub-cap plan
+      val e = events(s, dir).select(
+          (col("user_id") % 997).as("src"),
+          ((col("user_id") + get_json_object(col("props"), "$.k").cast("long")) % 997)
+            .as("dst"))
+      GraphOps.richClub(e, Seq(2L, 4L, 8L, 16L)).orderBy("k")
+    }),
+
     "q48_powerlaw" -> ((s, dir) => {
       // Clauset-style power-law MLE over the banded graph's degree
       // distribution: one row, alpha in milli from micro-quantized
@@ -1331,6 +1342,13 @@ object SparkEntry {
       // — the smoothing statistic raw frequency can't substitute
       TextOps.knContinuation(table(s, dir, "documents"), "text", topN = 50)),
 
+    "t_burstiness" -> ((s, dir) =>
+      // Church-Gale term burstiness: Fano factor of per-doc counts
+      // (zeros included) for the top-50 corpus terms — Poisson glue
+      // vs bursting content words, exact rational milli
+      TextOps.burstiness(table(s, dir, "documents"), "doc_id", "text", topN = 50)
+        .orderBy("rank")),
+
     "t_yule_k" -> ((s, dir) =>
       // Yule's K repetitiveness: length-invariant where TTR decays,
       // exact integer spectrum sums, K in milli units
@@ -1766,6 +1784,26 @@ object SparkEntry {
       val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
       SimilarityOps.mipsTopK(e.filter(col("id") < 5), e, k = 5)
         .orderBy("query_id", "rank")
+    }),
+
+    "s_ann_lsh_mp" -> ((s, dir) => {
+      // multi-probe LSH: each band also probes its Hamming-1 buckets
+      // (query side only — corpus stays single-placed), recovering
+      // one-flipped-bit near-misses without more signature bits
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      SimilarityOps.lshTopKMultiProbe(e.filter(col("id") < 5), e, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "s_recall_lsh_mp" -> ((s, dir) => {
+      // the audit row for the probes-for-memory trade: multi-probe
+      // recall@5 vs brute truth (>= single-probe by superset)
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") < 5)
+      SimilarityOps.recallAudit(
+          SimilarityOps.lshTopKMultiProbe(q, e, k = 5),
+          SimilarityOps.bruteForceTopK(q, e, k = 5))
+        .orderBy("query_id")
     }),
 
     "s_mips_ivf" -> ((s, dir) => {
@@ -4056,6 +4094,30 @@ object SparkEntry {
          |${round("c3", "c4")}
          |SELECT node, comp FROM c4 ORDER BY node""".stripMargin
     },
+
+    // edge annotation by both endpoint degrees, then a |ks|-way
+    // conditional count — E_k over EXISTING edges only
+    "q50_richclub" ->
+      """WITH raw AS (
+        |  SELECT user_id % 997 AS u,
+        |         (user_id + json_extract_string(props, '$.k')::BIGINT) % 997 AS v
+        |  FROM events),
+        |e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw WHERE u <> v),
+        |d AS (SELECT node, count(*) AS deg
+        |      FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) GROUP BY 1),
+        |ks AS (SELECT unnest([2, 4, 8, 16]) AS k),
+        |ann AS (SELECT da.deg AS da, db.deg AS db
+        |        FROM e JOIN d da ON e.a = da.node JOIN d db ON e.b = db.node),
+        |er AS (SELECT k, count(*)::BIGINT AS e_rich FROM ann, ks
+        |       WHERE da > k AND db > k GROUP BY 1),
+        |nr AS (SELECT k, count(*)::BIGINT AS n_rich FROM d, ks WHERE deg > k GROUP BY 1)
+        |SELECT ks.k::BIGINT AS k,
+        |       coalesce(n_rich, 0)::BIGINT AS n_rich,
+        |       coalesce(e_rich, 0)::BIGINT AS e_rich,
+        |       CASE WHEN coalesce(n_rich, 0) >= 2
+        |            THEN (coalesce(e_rich, 0) * 2000000) // (n_rich * (n_rich - 1))
+        |            ELSE 0 END::BIGINT AS phi_ppm
+        |FROM ks LEFT JOIN nr USING (k) LEFT JOIN er USING (k) ORDER BY k""".stripMargin,
 
     // lead-window gap replay: the (tsec, event_id) order is total, so
     // every gap is engine-identical; milli mean by integer division
@@ -7060,6 +7122,104 @@ object SparkEntry {
         |SELECT query_id, rank::BIGINT AS rank, neighbor_id, sim
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // the s_ann_lsh oracle with the query side fanned out to its
+    // Hamming-1 probe set (bandval XOR each of the 3 band bits)
+    "s_ann_lsh_mp" ->
+      """WITH planes AS (
+        |  SELECT b, list_transform(generate_series(0, 63),
+        |           d -> (('0x' || substr(md5('plane:' || b || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS pl
+        |  FROM (SELECT unnest(generate_series(0, 23)) AS b)),
+        |sig AS (
+        |  SELECT vec_id,
+        |         sum(CASE WHEN list_sum(list_transform(range(1, 65),
+        |               i -> pl[i] * embedding[i]::DOUBLE)) > 0
+        |             THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sig
+        |  FROM embeddings, planes GROUP BY 1),
+        |banded AS (
+        |  SELECT vec_id, band, (sig >> (band * 3)) & 7 AS bandval
+        |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) bb),
+        |qprobe AS (
+        |  SELECT vec_id, band,
+        |         unnest(list_prepend(bandval,
+        |           list_transform(range(0, 3), i -> xor(bandval, 1::BIGINT << i)))) AS bandval
+        |  FROM banded WHERE vec_id < 5),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM qprobe q JOIN banded c ON q.band = c.band AND q.bandval = c.bandval
+        |  WHERE q.vec_id <> c.vec_id),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * qe.embedding[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)))), 6) AS sim
+        |  FROM cand JOIN embeddings qe ON query_id = qe.vec_id
+        |            JOIN embeddings ce ON neighbor_id = ce.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank::BIGINT AS rank, neighbor_id, sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "s_recall_lsh_mp" ->
+      """WITH planes AS (
+        |  SELECT b, list_transform(generate_series(0, 63),
+        |           d -> (('0x' || substr(md5('plane:' || b || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS pl
+        |  FROM (SELECT unnest(generate_series(0, 23)) AS b)),
+        |sig AS (
+        |  SELECT vec_id,
+        |         sum(CASE WHEN list_sum(list_transform(range(1, 65),
+        |               i -> pl[i] * embedding[i]::DOUBLE)) > 0
+        |             THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sig
+        |  FROM embeddings, planes GROUP BY 1),
+        |banded AS (
+        |  SELECT vec_id, band, (sig >> (band * 3)) & 7 AS bandval
+        |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) bb),
+        |qprobe AS (
+        |  SELECT vec_id, band,
+        |         unnest(list_prepend(bandval,
+        |           list_transform(range(0, 3), i -> xor(bandval, 1::BIGINT << i)))) AS bandval
+        |  FROM banded WHERE vec_id < 5),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM qprobe q JOIN banded c ON q.band = c.band AND q.bandval = c.bandval
+        |  WHERE q.vec_id <> c.vec_id),
+        |scored_i AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * qe.embedding[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)))), 6) AS sim
+        |  FROM cand JOIN embeddings qe ON query_id = qe.vec_id
+        |            JOIN embeddings ce ON neighbor_id = ce.vec_id),
+        |mp AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |    FROM scored_i) WHERE rank <= 5),
+        |qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |scored_b AS (
+        |  SELECT query_id, ce.vec_id AS neighbor_id,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * ce.embedding[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * qe[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)))), 6) AS sim
+        |  FROM qv, embeddings ce WHERE query_id <> ce.vec_id),
+        |ex AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |    FROM scored_b) WHERE rank <= 5),
+        |j AS (
+        |  SELECT ex.query_id,
+        |         (mp.neighbor_id IS NOT NULL)::INT AS hit
+        |  FROM ex LEFT JOIN mp ON ex.query_id = mp.query_id
+        |                       AND ex.neighbor_id = mp.neighbor_id)
+        |SELECT query_id, count(*)::BIGINT AS k_exact, sum(hit)::BIGINT AS hits,
+        |       ((sum(hit) * 1000000) // count(*))::BIGINT AS recall_ppm
+        |FROM j GROUP BY 1 ORDER BY query_id""".stripMargin,
+
     // both sides are the s_ann_lsh / s_ann_cosine formulations
     // verbatim, reduced to (query_id, neighbor_id) id sets
     "s_recall_lsh" ->
@@ -9072,6 +9232,25 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
         |       coalesce(round(nll, 4), 0.0) AS avg_nll
         |FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // exact rational Fano: (N·S2 − tf²)·1000 // (N·tf) over per-doc
+    // counts with zeros implicit in the N term
+    "t_burstiness" ->
+      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        |inst AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |tc AS (SELECT doc_id, w, count(*) AS c FROM inst GROUP BY 1, 2),
+        |t AS (SELECT w, sum(c)::BIGINT AS tf, count(*)::BIGINT AS df,
+        |             sum(c * c)::BIGINT AS s2
+        |      FROM tc GROUP BY 1),
+        |r AS (SELECT w, tf, df, s2,
+        |             row_number() OVER (ORDER BY tf DESC, w ASC) AS rank
+        |      FROM t)
+        |SELECT rank::BIGINT AS rank, w AS term, tf, df,
+        |       ((n_docs * s2 - tf * tf) * 1000 // (n_docs * tf))::BIGINT AS fano_milli
+        |FROM r, n WHERE rank <= 50 ORDER BY rank""".stripMargin,
 
     // exact spectrum sums: S2 = Σ c² per doc; K undefined below 2 tokens
     "t_yule_k" ->

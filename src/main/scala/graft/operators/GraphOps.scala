@@ -544,6 +544,50 @@ object GraphOps {
    * and duplicates tolerated.
    */
   /**
+   * Rich-club coefficient (Colizza et al., Nature Physics 2006):
+   * φ(k) = 2·E_k / (N_k·(N_k−1)) — among the nodes of degree > k, the
+   * fraction of possible edges actually present. Read WITH
+   * [[powerLawFit]]: a heavy tail says hubs exist, the rich-club
+   * curve says whether they INTERCONNECT (φ rising with k = a core
+   * the hub-cap rules must break up) or stay spokes. Exact ppm by
+   * integer division; φ = 0 when fewer than two nodes qualify.
+   *
+   * Plan: one degree aggregate, two id-keyed joins to annotate each
+   * edge with both endpoint degrees, then one |ks|-way conditional
+   * explode + aggregate — edge-linear with a small constant; no pair
+   * enumeration anywhere (E_k counts EXISTING edges only).
+   */
+  def richClub(edges: DataFrame, ks: Seq[Long]): DataFrame = {
+    require(ks.nonEmpty, "richClub needs at least one k")
+    val und = undirect(edges).localCheckpoint()
+    val deg = degrees(und)
+    val annotated = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val eRich = annotated
+      .select(explode(typedLit(ks)).as("k"), col("da"), col("db"))
+      .filter(col("da") > col("k") && col("db") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("e_rich"))
+    val nRich = deg
+      .select(explode(typedLit(ks)).as("k"), col("deg"))
+      .filter(col("deg") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_rich"))
+    // the k spine keeps EMPTY levels in the output (an all-spoke graph
+    // at high k is a finding, not a missing row)
+    edges.sparkSession.range(1)
+      .select(explode(typedLit(ks)).as("k"))
+      .join(nRich, Seq("k"), "left")
+      .join(eRich, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("n_rich"), lit(0L)).as("n_rich"),
+        coalesce(col("e_rich"), lit(0L)).as("e_rich"),
+        when(coalesce(col("n_rich"), lit(0L)) >= 2L,
+          IntDiv(coalesce(col("e_rich"), lit(0L)) * 2000000L,
+            col("n_rich") * (col("n_rich") - 1L)).cast("long"))
+          .otherwise(lit(0L)).as("phi_ppm"))
+  }
+
+  /**
    * Power-law degree-distribution fit: the continuous-approximation
    * MLE α = 1 + n / Σ ln(d_i/(d_min − ½)) (Clauset–Shalizi–Newman,
    * SIAM Review 2009, eq. 3.1) over tail nodes (degree ≥ d_min) —

@@ -511,7 +511,29 @@ object SimilarityOps {
    * candidates; exact cosine re-ranks within candidates.
    */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nbits: Int = 24, bands: Int = 8, dim: Int = 64): DataFrame = {
+              nbits: Int = 24, bands: Int = 8, dim: Int = 64): DataFrame =
+    lshRerank(queries, corpus, k, nbits, bands, dim, multiProbe = false)
+
+  /**
+   * MULTI-PROBE LSH top-k (Lv et al., "Multi-Probe LSH", VLDB 2007):
+   * each query probes its own bucket PLUS every Hamming-distance-1
+   * bucket within each band (`bandBits` extra probes per band) —
+   * near-misses that flipped exactly one sign bit become candidates
+   * without adding signature bits or re-bucketing the corpus, the
+   * standard probes-for-memory trade when re-hashing 100 TB is the
+   * expensive side. The corpus keeps its SINGLE bucket placement;
+   * only the (small) query side fans out ×(1+bandBits), so the
+   * candidate join stays id-only with [[lshTopK]]'s exact shape.
+   * The candidate set is a strict SUPERSET of the single-probe set,
+   * so recall@k is monotonically ≥ (spec-pinned).
+   */
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, k: Int,
+                        nbits: Int = 24, bands: Int = 8, dim: Int = 64): DataFrame =
+    lshRerank(queries, corpus, k, nbits, bands, dim, multiProbe = true)
+
+  private def lshRerank(queries: DataFrame, corpus: DataFrame, k: Int,
+                        nbits: Int, bands: Int, dim: Int,
+                        multiProbe: Boolean): DataFrame = {
     require(nbits % bands == 0)
     // the query side MATERIALIZES once: it feeds two plan branches
     // (band signatures + the qv re-rank join), and — the important
@@ -553,7 +575,13 @@ object SimilarityOps {
         .withColumn("bandval", expr(s"shiftright(sig, cast(band * $bandBits as int)) & $mask"))
         .drop("sig")
 
-    val cand = banded(q0, "query_id").join(banded(corpus, "neighbor_id"), Seq("band", "bandval"))
+    val qb0 = banded(q0, "query_id")
+    val qb = if (!multiProbe) qb0 else qb0.select(col("query_id"), col("band"),
+      explode(concat(array(col("bandval")),
+        expr(s"transform(sequence(0, ${bandBits - 1}), " +
+          "i -> bandval ^ shiftleft(cast(1 as bigint), cast(i as int)))")))
+        .as("bandval"))
+    val cand = qb.join(banded(corpus, "neighbor_id"), Seq("band", "bandval"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()

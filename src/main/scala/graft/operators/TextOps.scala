@@ -1997,6 +1997,42 @@ object TextOps {
   }
 
   /**
+   * Term BURSTINESS (Church–Gale): for the corpus's top-`topN` terms
+   * by total frequency, the Fano factor of the per-document count
+   * distribution — variance/mean over ALL docs (zeros included).
+   * Function words arrive ~Poisson (Fano ≈ 1); content/topical terms
+   * BURST (a doc that mentions one tends to repeat it, Fano ≫ 1) —
+   * the signal that separates keyword candidates from glue even at
+   * equal frequency, and a stopword-list generator that needs no
+   * hand-curated list. Exact rational form: with N docs, tf = Σc and
+   * S2 = Σc², Fano = (N·S2 − tf²)/(N·tf) — emitted as milli via
+   * integer division, no float moments anywhere.
+   *
+   * Plan: one (doc, term) count aggregate → one term aggregate; the
+   * doc count is a one-row broadcast. Top-N is a bounded window.
+   */
+  def burstiness(docs: DataFrame, idCol: String, textCol: String,
+                 topN: Int = 50): DataFrame = {
+    require(topN >= 1, s"topN >= 1: $topN")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tc = docs
+      .select(col(idCol).as("doc_id"), explode(words(lower(col(textCol)))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val terms = tc.groupBy("w")
+      .agg(sum("c").as("tf"), count(lit(1)).as("df"),
+        sum(col("c") * col("c")).as("s2"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("w").asc)
+    terms.crossJoin(broadcast(nDocs))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= topN)
+      .select(col("rank").cast("long").as("rank"), col("w").as("term"),
+        col("tf"), col("df"),
+        IntDiv((col("n_docs") * col("s2") - col("tf") * col("tf")) * 1000L,
+          col("n_docs") * col("tf")).cast("long").as("fano_milli"))
+  }
+
+  /**
    * Yule's K lexical-repetitiveness characteristic (Yule, "The
    * Statistical Study of Literary Vocabulary", 1944):
    * K = 10⁴ · (Σ_m m²·V(m) − N) / N² over the word-frequency spectrum

@@ -386,6 +386,41 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == expected)
   }
 
+  test("componentsStars / harmonicCentrality / powerLawFit are partition-layout invariant") {
+    val ss = spark; import ss.implicits._
+    // mixed topology: two chains, a K4 clique, a pendant
+    val e = ((0L until 9L).map(i => (i, i + 1)) ++
+      (20L until 26L).map(i => (i, i + 2)) ++
+      (for (i <- 40L to 43L; j <- (i + 1) to 43L) yield (i, j)) :+ (43L, 50L))
+      .toDF("src", "dst")
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    for (op <- Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+      d => GraphOps.componentsStars(d),
+      d => GraphOps.harmonicCentrality(d, radius = 3),
+      d => GraphOps.powerLawFit(d, dMin = 2L),
+      d => GraphOps.richClub(d, Seq(1L, 3L)))) {
+      assert(sig(op(e.repartition(1))) == sig(op(e.repartition(13))),
+        "result must not depend on the input layout")
+    }
+  }
+
+  test("richClub: K4 core scores phi = 1, pendant spokes fall out as k rises") {
+    val ss = spark; import ss.implicits._
+    // K4 on 0..3 plus pendants 4-0 and 5-1: degrees (4,4,3,3,1,1).
+    // k=2 keeps the K4 (6/6 edges -> phi 1); k=3 keeps {0,1} whose one
+    // edge is present (phi 1); k=4 keeps nobody
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val e = (k4 ++ Seq((4L, 0L), (5L, 1L))).toDF("src", "dst")
+    val got = GraphOps.richClub(e, Seq(0L, 2L, 3L, 4L)).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, 6L, 8L, 533333L),  // whole graph: 2*8/(6*5)
+      (2L, 4L, 6L, 1000000L),
+      (3L, 2L, 1L, 1000000L),
+      (4L, 0L, 0L, 0L)))
+  }
+
   test("powerLawFit: micro-log MLE on a regular graph, tail filter, n-invariance") {
     val ss = spark; import ss.implicits._
     // cycle: every degree is exactly 2, so Σ_micro = n·(⌊1e6·ln4⌋ −

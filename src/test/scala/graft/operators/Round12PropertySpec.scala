@@ -44,6 +44,59 @@ class Round12PropertySpec extends AnyFunSuite {
       assert(MultimodalOps.decodeTgaPixels(enc.take(n)).isEmpty, s"prefix $n")
   }
 
+  test("QOI: arbitrary pixel streams round-trip (3ch and 4ch, every op mix)") {
+    val gen = for {
+      w <- Gen.choose(1, 20)
+      h <- Gen.choose(1, 14)
+      ch <- Gen.oneOf(3, 4)
+      // biased mixture: long runs (RUN), near-previous values
+      // (DIFF/LUMA via small palette), arbitrary bytes (RGB/RGBA),
+      // zeros (the INDEX slot-0 quirk)
+      bytes <- Gen.listOfN(w * h * ch, Gen.frequency(
+        4 -> Gen.const(100.toByte), 2 -> Gen.const(101.toByte),
+        2 -> Gen.const(0.toByte),
+        2 -> Gen.choose(Byte.MinValue, Byte.MaxValue)))
+    } yield (w, h, ch, bytes.toArray)
+    checkProp(Prop.forAll(gen) { case (w, h, ch, px) =>
+      val enc = MultimodalOps.encodeQoi(px, w, h, ch)
+      MultimodalOps.decodeQoiPixels(enc).exists(_.sameElements(px)) &&
+        MultimodalOps.parseHeader(enc)
+          .contains(MultimodalOps.MediaHeader("qoi", w, h, ch, 0))
+    })
+  }
+
+  test("QOI: truncation at any prefix refuses, never throws") {
+    val px = Array.tabulate(9 * 7 * 3)(i => (((i / 9) * 5 + (i % 3) * 7) % 256).toByte)
+    val enc = MultimodalOps.encodeQoi(px, 9, 7)
+    for (n <- 0 until enc.length)
+      assert(MultimodalOps.decodeQoiPixels(enc.take(n)).isEmpty, s"prefix $n")
+  }
+
+  test("PCX: arbitrary rasters round-trip (gray and RGB, >=0xC0 literals)") {
+    val gen = for {
+      w <- Gen.choose(1, 24)
+      h <- Gen.choose(1, 14)
+      planes <- Gen.oneOf(1, 3)
+      // high-byte bias exercises the forced-1-run rule for >=0xC0
+      bytes <- Gen.listOfN(w * h * planes, Gen.frequency(
+        3 -> Gen.const(0xC8.toByte), 3 -> Gen.const(55.toByte),
+        2 -> Gen.choose(Byte.MinValue, Byte.MaxValue)))
+    } yield (w, h, planes, bytes.toArray)
+    checkProp(Prop.forAll(gen) { case (w, h, planes, px) =>
+      val enc = MultimodalOps.encodePcx(px, w, h, planes)
+      MultimodalOps.decodePcxPixels(enc).exists(_.sameElements(px)) &&
+        MultimodalOps.parseHeader(enc)
+          .contains(MultimodalOps.MediaHeader("pcx", w, h, planes, 0))
+    })
+  }
+
+  test("PCX: truncation at any prefix refuses, never throws") {
+    val px = Array.tabulate(7 * 5 * 3)(i => (((i / 6) * 11 + 180) % 256).toByte)
+    val enc = MultimodalOps.encodePcx(px, 7, 5)
+    for (n <- 0 until enc.length)
+      assert(MultimodalOps.decodePcxPixels(enc.take(n)).isEmpty, s"prefix $n")
+  }
+
   test("PNM: arbitrary rasters round-trip through P5 and P6") {
     val gen = for {
       w <- Gen.choose(1, 32)

@@ -697,6 +697,38 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((1L, 10L, 3 * 2 + 2 * 3 + 4 * 3 + 1 * 5L), (2L, 0L, 0L)))
   }
 
+  test("burstiness: bursty content word beats Poisson glue; every-doc word scores 0") {
+    val ss = spark; import ss.implicits._
+    // y appears once in EVERY doc -> zero variance -> Fano 0;
+    // x is concentrated in one doc -> Fano (4·9−9)·1000/(4·3) = 2250;
+    // z is a singleton -> (4−1)·1000/4 = 750
+    val docs = Seq(
+      (1L, "x x x y"), (2L, "y"), (3L, "y"), (4L, "y z")).toDF("doc_id", "text")
+    val got = TextOps.burstiness(docs, "doc_id", "text", topN = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "y", 4L, 4L, 0L),
+      (2L, "x", 3L, 1L, 2250L),
+      (3L, "z", 1L, 1L, 750L)))
+  }
+
+  test("lshTopKMultiProbe candidates are a superset; recall@5 >= single-probe") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.filter(col("id") < 20)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = ids(SimilarityOps.bruteForceTopK(q, e, k = 5))
+    val single = ids(SimilarityOps.lshTopK(q, e, k = 5))
+    val multi = ids(SimilarityOps.lshTopKMultiProbe(q, e, k = 5))
+    val rs = (brute & single).size
+    val rm = (brute & multi).size
+    assert(rm >= rs, s"multi-probe recall $rm < single-probe $rs")
+    assert(rm.toDouble / brute.size >= 0.6, s"multi-probe recall ${rm.toDouble / brute.size}")
+  }
+
   test("yuleK: exact spectrum arithmetic, length invariance vs TTR, N<2 guard") {
     val ss = spark; import ss.implicits._
     val docs = Seq(
