@@ -686,6 +686,17 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "q51_degree_hist" -> ((s, dir) => {
+      // the CCDF curve under q48's exponent: one row per occurring
+      // degree with exact ppm P(D >= deg) — never trust an alpha
+      // without the curve it summarizes (CSN's own rule)
+      val e = events(s, dir).select(
+          (col("user_id") % 997).as("src"),
+          ((col("user_id") + get_json_object(col("props"), "$.k").cast("long")) % 997)
+            .as("dst"))
+      GraphOps.degreeHistogram(e).orderBy("deg")
+    }),
+
     "q50_richclub" -> ((s, dir) => {
       // rich-club curve phi(k) over the banded graph: do the hubs
       // interconnect (phi rises with k) or stay spokes — read next to
@@ -1038,6 +1049,12 @@ object SparkEntry {
       SeriesOps.holtWinters(metricStream(s, dir),
           alphaMilli = 300L, betaMilli = 100L, gammaMilli = 200L)
         .orderBy("path")),
+
+    "g_moving_minmax" -> ((s, dir) =>
+      // graphite movingMin+movingMax: the trailing-8 envelope pair in
+      // one window frame — pure order statistics, no quantization
+      SeriesOps.movingMinMax(metricStream(s, dir), n = 8)
+        .orderBy("path", "time", "version")),
 
     "g_hw_bands" -> ((s, dir) =>
       // holtWintersConfidenceBands + Aberration: gamma-smoothed |y -
@@ -4095,6 +4112,27 @@ object SparkEntry {
          |SELECT node, comp FROM c4 ORDER BY node""".stripMargin
     },
 
+    // suffix-sum CCDF over the degree HISTOGRAM rows (distinct-degree
+    // sized), exact ppm
+    "q51_degree_hist" ->
+      """WITH raw AS (
+        |  SELECT user_id % 997 AS u,
+        |         (user_id + json_extract_string(props, '$.k')::BIGINT) % 997 AS v
+        |  FROM events),
+        |e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw WHERE u <> v),
+        |d AS (SELECT node, count(*) AS deg
+        |      FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) GROUP BY 1),
+        |h AS (SELECT deg, count(*)::BIGINT AS n_nodes FROM d GROUP BY 1),
+        |t AS (SELECT count(*)::BIGINT AS n_total FROM d),
+        |x AS (
+        |  SELECT deg, n_nodes,
+        |         sum(n_nodes) OVER (ORDER BY deg DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_ge
+        |  FROM h)
+        |SELECT deg::BIGINT AS deg, n_nodes,
+        |       ((n_ge * 1000000) // n_total)::BIGINT AS ccdf_ppm
+        |FROM x, t ORDER BY deg""".stripMargin,
+
     // edge annotation by both endpoint degrees, then a |ks|-way
     // conditional count — E_k over EXISTING edges only
     "q50_richclub" ->
@@ -4888,6 +4926,21 @@ object SparkEntry {
          |       (l + 3 * b + CASE CAST((k + 2) % 4 AS INT) WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END)::BIGINT AS fc3_milli,
          |       (l + 4 * b + CASE CAST((k + 3) % 4 AS INT) WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END)::BIGINT AS fc4_milli
          |FROM fin ORDER BY path""".stripMargin,
+
+    // shared trailing frame, order statistics only — no arithmetic
+    "g_moving_minmax" ->
+      s"""$OracleM,
+         |x AS (
+         |  SELECT path, "time", version, value,
+         |         min(value) OVER w AS mov_min,
+         |         max(value) OVER w AS mov_max,
+         |         count(*) OVER w AS n_window
+         |  FROM m
+         |  WINDOW w AS (PARTITION BY path ORDER BY "time", version
+         |               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+         |SELECT path, "time", version, value, mov_min, mov_max,
+         |       n_window::BIGINT AS n_window
+         |FROM x ORDER BY path, "time", version""".stripMargin,
 
     // the g_holt_winters walk with two more recurrence columns:
     // d (gamma-smoothed |q - pred|, pred = l + b + cs BEFORE update)

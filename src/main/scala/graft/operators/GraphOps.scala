@@ -544,6 +544,33 @@ object GraphOps {
    * and duplicates tolerated.
    */
   /**
+   * Degree-distribution histogram with the complementary CDF: one row
+   * per occurring degree — (deg, n_nodes, ccdf_ppm), where ccdf_ppm =
+   * 10⁶·P(D ≥ deg) by exact integer division over a running suffix
+   * sum. The log-log CCDF is the plot [[powerLawFit]]'s α summarizes;
+   * this emits the underlying curve so a fit can be eyeballed against
+   * its data (CSN's own methodological point: never trust α without
+   * the curve). All integers.
+   *
+   * Plan: degree aggregate → degree-histogram aggregate (both
+   * map-side combinable) → one window over the HISTOGRAM rows
+   * (distinct-degree-sized, hundreds at worst — not a node-sized
+   * sort).
+   */
+  def degreeHistogram(edges: DataFrame): DataFrame = {
+    val deg = degrees(undirect(edges))
+    val hist = deg.groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+    val n = deg.agg(count(lit(1)).as("n_total"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("deg").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    hist.crossJoin(broadcast(n))
+      .withColumn("n_ge", sum(col("n_nodes")).over(win))
+      .select(col("deg"), col("n_nodes"),
+        IntDiv(col("n_ge") * 1000000L, col("n_total")).cast("long").as("ccdf_ppm"))
+  }
+
+  /**
    * Rich-club coefficient (Colizza et al., Nature Physics 2006):
    * φ(k) = 2·E_k / (N_k·(N_k−1)) — among the nodes of degree > k, the
    * fraction of possible edges actually present. Read WITH

@@ -319,6 +319,25 @@ object SeriesOps {
   }
 
   /**
+   * graphite `movingMin(series, n)` + `movingMax(series, n)` in one
+   * pass: trailing n-point envelope per series (head frames cover
+   * what exists, graphite's behavior). Min/max are ORDER STATISTICS —
+   * no arithmetic at all, so cross-engine identity needs no
+   * quantization; both bounds share one window frame. The envelope
+   * pair is the band alerting reads ("did the floor drop / ceiling
+   * spike inside the last n points") and the cheap precursor to the
+   * Bollinger/HW bands when a σ model is overkill.
+   */
+  def movingMinMax(points: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"movingMinMax needs n >= 1, got $n")
+    val frame = seriesWindow.rowsBetween(-(n - 1L), Window.currentRow)
+    points.select(col("path"), col("time"), col("version"), col("value"),
+      min(col("value")).over(frame).as("mov_min"),
+      max(col("value")).over(frame).as("mov_max"),
+      count(lit(1)).over(frame).as("n_window"))
+  }
+
+  /**
    * graphite `movingAverage(series, n)`: trailing n-point mean per
    * series (the first points average over what exists — graphite's
    * behavior at the window head). The frame sums 1e-6-quantized LONGS,

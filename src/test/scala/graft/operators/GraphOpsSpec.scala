@@ -405,6 +405,17 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("degreeHistogram: exact suffix-sum CCDF over the K4+pendants degrees") {
+    val ss = spark; import ss.implicits._
+    // degrees (4,4,3,3,1,1): P(D>=1)=1, P(D>=3)=4/6, P(D>=4)=2/6
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val e = (k4 ++ Seq((4L, 0L), (5L, 1L))).toDF("src", "dst")
+    val got = GraphOps.degreeHistogram(e).orderBy("deg")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1000000L), (3L, 2L, 666666L), (4L, 2L, 333333L)))
+  }
+
   test("richClub: K4 core scores phi = 1, pendant spokes fall out as k rises") {
     val ss = spark; import ss.implicits._
     // K4 on 0..3 plus pendants 4-0 and 5-1: degrees (4,4,3,3,1,1).

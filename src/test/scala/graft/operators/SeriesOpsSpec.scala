@@ -312,6 +312,14 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (60L, 1L, 60L, 1.0, 60L, 1.0, 60L, 1.0, 60L, 1.0)))
   }
 
+  test("movingMinMax: trailing envelope pair, head frames cover what exists") {
+    val p = pts(("a", 5.0, 10L, 1L), ("a", 1.0, 20L, 1L), ("a", 7.0, 30L, 1L))
+    val got = SeriesOps.movingMinMax(p, n = 2).orderBy("time")
+      .collect().map(r => (r.getLong(1), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      (10L, 5.0, 5.0, 1L), (20L, 1.0, 5.0, 2L), (30L, 1.0, 7.0, 2L)))
+  }
+
   test("integralByInterval: running total resets at each epoch-aligned boundary") {
     // hour bucket: t=10,20 accumulate; t=3605 starts a fresh total
     val p = pts(("a", 1.5, 10L, 1L), ("a", 2.5, 20L, 1L), ("a", 4.0, 3605L, 1L),
