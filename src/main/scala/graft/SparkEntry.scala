@@ -4194,7 +4194,10 @@ object SparkEntry {
         |                 ELSE 0 END)::BIGINT AS s_micro
         |      FROM d)
         |SELECT n_nodes::BIGINT AS n_nodes, 2::BIGINT AS d_min, d_max::BIGINT AS d_max,
-        |       n_tail, (1000 + (n_tail * 1000000000) // s_micro)::BIGINT AS alpha_milli
+        |       n_tail,
+        |       CASE WHEN n_tail > 0
+        |            THEN (1000 + (n_tail * 1000000000) // s_micro)::BIGINT
+        |            ELSE NULL END AS alpha_milli
         |FROM s""".stripMargin,
 
     // exact min-distance pairs within radius 3 via a depth-capped

@@ -639,8 +639,14 @@ object GraphOps {
         sum(when(col("deg") >= dMin, 1L).otherwise(0L)).as("n_tail"),
         sum(when(col("deg") >= dMin, micro).otherwise(0L)).as("s_micro"))
       .select(col("n_nodes"), lit(dMin).as("d_min"), col("d_max"), col("n_tail"),
-        (lit(1000L) + IntDiv(col("n_tail") * 1000000000L, col("s_micro")))
-          .cast("long").as("alpha_milli"))
+        // n_tail == 0 ⇒ s_micro == 0 (deg==dMin contributes > 0 micro):
+        // guard the integer division — NULL is the defined degenerate
+        // output (engines disagree on x // 0, Spark yields NULL anyway
+        // only under non-ANSI; make it explicit and oracle-mirrored)
+        when(col("n_tail") > 0L,
+          (lit(1000L) + IntDiv(col("n_tail") * 1000000000L, col("s_micro")))
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("alpha_milli"))
   }
 
   /**
@@ -755,6 +761,12 @@ object GraphOps {
       e = ss
       round += 1
     }
+    // mid-contraction edges are NOT component labels — a path-like
+    // graph past ~2^maxRounds diameter would otherwise emit silently
+    // wrong (node, comp) rows while the scaladoc promises the fixpoint
+    require(converged,
+      s"componentsStars did not converge in $maxRounds rounds; raise maxRounds " +
+        "(O(log^2 n) suffice w.h.p., but adversarial chains can need more)")
     // fixpoint stars: every non-center points at its component min
     e.groupBy("u").agg(min("v").as("comp"))
       .select(col("u").as("node"), col("comp"))

@@ -1614,7 +1614,12 @@ object MultimodalOps {
     val ch = b(12) & 0xff
     val cs = b(13) & 0xff
     if (w <= 0L || h <= 0L || (ch != 3 && ch != 4) || cs > 1) return None
-    val total = w * h * ch
+    // bound each dimension BEFORE multiplying: w/h are raw u32be (up to
+    // 2^32−1), so w·h·ch would wrap Long for hostile headers and a
+    // wrapped total==0 would bypass the bomb cap AND the caller's
+    // w·h·ch length check via the same wraparound
+    if (w > maxPixelBytes || h > maxPixelBytes) return None
+    val total = w * h * ch // overflow-free: both factors ≤ 2^26
     if (total > maxPixelBytes) return None
     // end marker is spec-mandatory: seven 0x00 then 0x01
     val end = b.length - 8

@@ -448,6 +448,17 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       0xfe, 1, 2, 3, 99,
       0, 0, 0, 0, 0, 0, 0, 1).map(_.toByte)
     assert(MultimodalOps.decodeQoiPixels(trail).isEmpty)
+    // hostile dims: w = h = 0x80000000 wraps w*h*4 to 0 in Long if the
+    // guard multiplies before bounding — must refuse, not return empty
+    val bomb = Array[Int]('q', 'o', 'i', 'f',
+      0x80, 0, 0, 0, 0x80, 0, 0, 0, 4, 0,
+      0, 0, 0, 0, 0, 0, 0, 1).map(_.toByte)
+    assert(MultimodalOps.decodeQoiPixels(bomb).isEmpty)
+    // 65535x65535x4 (no Long wrap, just past the cap) must also refuse
+    val big = Array[Int]('q', 'o', 'i', 'f',
+      0, 0, 0xff, 0xff, 0, 0, 0xff, 0xff, 4, 0,
+      0, 0, 0, 0, 0, 0, 0, 1).map(_.toByte)
+    assert(MultimodalOps.decodeQoiPixels(big).isEmpty)
   }
 
   test("decodeTgaPixels: raw/RLE x top-down/bottom-up round-trip; refuses hostile") {
