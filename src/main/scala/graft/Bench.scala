@@ -28,7 +28,11 @@ import org.apache.spark.sql.SparkSession
  * times still disagree by more than 1.5x are noise-dominated and take
  * extra runs — again interleaved across the noisy set — until the two
  * smallest agree or SPARK_GRAFT_BENCH_MAX_RUNS (default 4) per query is
- * reached. Comparing the two smallest (not max/min) is what lets an
+ * reached. Heavy rows (best observed time > 2 s) additionally get at
+ * least THREE interleaved samples regardless of agreement: same-code
+ * round-12 artifacts disagreed by up to 1.5x on exactly these rows with
+ * only two samples, which made the 2x regression gate mushy — min-of-3
+ * bounds that wobble where it costs the most absolute seconds. Comparing the two smallest (not max/min) is what lets an
  * agreeing extra run RELEASE the query: the old max/min gate kept the
  * original outlier in the window, so once runs disagreed no number of
  * agreeing runs could ever satisfy it and every noisy query burned to
@@ -108,12 +112,20 @@ object Bench {
         case Some(t) => times(name) :+= t
         case None    => failedSet += name
       }
-    // adaptive passes: still interleaved — one extra run per noisy query
-    // per sweep, until its two smallest agree or maxRuns is spent
+    // heavy = best time above 2 s with fewer than 3 samples: absolute
+    // seconds dominate the suite total there, so buy the third sample
+    def heavy(name: String): Boolean = {
+      val t = times(name)
+      t.nonEmpty && t.min > 2.0 && t.length < 3
+    }
+    // adaptive passes: still interleaved — one extra run per due query
+    // per sweep, until its two smallest agree (and heavy rows hold 3+
+    // samples) or maxRuns is spent
     var sweeping = true
     while (sweeping) {
       val due = suite.filter { case (name, _) =>
-        !failedSet(name) && times(name).length < maxRuns && noisy(name)
+        !failedSet(name) && times(name).length < maxRuns &&
+          (noisy(name) || heavy(name))
       }
       sweeping = due.nonEmpty
       for ((name, fn) <- due)

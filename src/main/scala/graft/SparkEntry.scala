@@ -720,6 +720,23 @@ object SparkEntry {
       GraphOps.powerLawFit(e, dMin = 2L)
     }),
 
+    "q52_hyperball" -> ((s, dir) => {
+      // HyperBall harmonic centrality over the SAME skip-chain graph
+      // as q47 — the unbounded-radius HLL-neighborhood form: per-node
+      // state is <= 2^p registers regardless of degree, each round is
+      // one edge x register shuffle; ball estimates and the harmonic
+      // delta fold replay register-for-register in the oracle
+      val users = events(s, dir).select(col("user_id")).distinct()
+      val uDst = users.select(col("user_id").as("dst"))
+      val e1 = users.filter(col("user_id") % 64 =!= 63)
+        .select(col("user_id").as("src"), (col("user_id") + 1).as("dst"))
+        .join(uDst, Seq("dst"))
+      val e2 = users.filter(col("user_id") % 64 < 48)
+        .select(col("user_id").as("src"), (col("user_id") + 16).as("dst"))
+        .join(uDst, Seq("dst"))
+      GraphOps.hyperBallHarmonic(e1.union(e2), rounds = 3).orderBy("node")
+    }),
+
     "q47_harmonic" -> ((s, dir) => {
       // radius-3 harmonic centrality over a bounded-degree skip-chain
       // graph (u->u+1 within 64-blocks, u->u+16 skips): exact integer
@@ -1819,6 +1836,28 @@ object SparkEntry {
       val q = e.filter(col("id") < 5)
       SimilarityOps.recallAudit(
           SimilarityOps.lshTopKMultiProbe(q, e, k = 5),
+          SimilarityOps.bruteForceTopK(q, e, k = 5))
+        .orderBy("query_id")
+    }),
+
+    "s_ann_lsh_qd" -> ((s, dir) => {
+      // QUERY-DIRECTED multi-probe (Lv VLDB-2007 §4.2): same probe
+      // budget as s_ann_lsh_mp, but each band spends it on the
+      // perturbation masks with the smallest Σ margin² instead of the
+      // Hamming-1 blanket — the probes go where the query's hyperplane
+      // margins say the neighbors are
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      SimilarityOps.lshTopKQueryDirected(e.filter(col("id") < 5), e, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "s_recall_lsh_qd" -> ((s, dir) => {
+      // the audit row: query-directed recall@5 vs brute truth — the
+      // go/no-go comparison against s_recall_lsh_mp at the same budget
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") < 5)
+      SimilarityOps.recallAudit(
+          SimilarityOps.lshTopKQueryDirected(q, e, k = 5),
           SimilarityOps.bruteForceTopK(q, e, k = 5))
         .orderBy("query_id")
     }),
@@ -3410,7 +3449,69 @@ object SparkEntry {
         |  FROM scored)
         |$tail""".stripMargin
 
+  /**
+   * Unrolled HyperBall register-recurrence replay for q52 (p = 8: idx
+   * = top 8 bits of the md5Head60 hash, 52-bit tail, rmax = 53): each
+   * round is one UNION ALL + max per (node, idx) — exactly
+   * GraphOps.hyperBallHarmonic's merge — then the hllFromRegisters
+   * arithmetic verbatim per round; harmonic_micro folds the clamped
+   * ball-size deltas with integer division.
+   */
+  private def hyperballOracleSql(rounds: Int): String = {
+    val lcTable = operators.SketchOps.linearCountMilli(8).mkString("[", ",", "]")
+    def estCte(t: Int): String =
+      s"""g$t AS (
+         |  SELECT node, count(*)::BIGINT AS present,
+         |         sum(1::BIGINT << (53 - r))::BIGINT AS sp
+         |  FROM r$t GROUP BY 1),
+         |f$t AS (
+         |  SELECT node,
+         |         CASE WHEN (256 - present) > 0 AND raw <= 640000
+         |              THEN list_extract($lcTable, (256 - present)::INT)
+         |              ELSE raw END AS est
+         |  FROM (SELECT node, present,
+         |               CAST(floor((0.7213 / (1 + 1.079 / 256.0)) * 256 * 256 * ((1::BIGINT << 53)::DOUBLE) * 1000.0
+         |                          / (sp + (256 - present) * (1::BIGINT << 53))::DOUBLE + 0.5) AS BIGINT) AS raw
+         |        FROM g$t) z$t)"""
+    val props = (1 to rounds).map { t =>
+      s"""r$t AS (
+         |  SELECT node, idx, max(r) AS r FROM (
+         |    SELECT node, idx, r FROM r${t - 1}
+         |    UNION ALL
+         |    SELECT adj.a AS node, p$t.idx, p$t.r
+         |    FROM adj JOIN r${t - 1} p$t ON adj.b = p$t.node) u$t
+         |  GROUP BY 1, 2),
+         |${estCte(t)}"""
+    }
+    val deltas = (1 to rounds).map(t =>
+      s"(greatest(f$t.est - f${t - 1}.est, 0) * 1000) // $t").mkString(" + ")
+    val joins = (0 until rounds).map(t => s"JOIN f$t USING (node)").mkString(" ")
+    s"""WITH u AS (SELECT DISTINCT user_id AS id FROM events),
+       |e AS (
+       |  SELECT a.id AS src, a.id + 1 AS dst
+       |  FROM u a JOIN u b ON b.id = a.id + 1 WHERE a.id % 64 <> 63
+       |  UNION ALL
+       |  SELECT a.id AS src, a.id + 16 AS dst
+       |  FROM u a JOIN u b ON b.id = a.id + 16 WHERE a.id % 64 < 48),
+       |adj AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst AS a, src AS b FROM e),
+       |n AS (SELECT DISTINCT a AS node FROM adj),
+       |h0 AS (SELECT node, ('0x' || substr(md5(node::VARCHAR), 1, 15))::BIGINT AS h FROM n),
+       |r0 AS (
+       |  SELECT node, h // (1::BIGINT << 52) AS idx,
+       |         max(CASE WHEN h % (1::BIGINT << 52) = 0 THEN 53
+       |                  ELSE 53 - length(bin(h % (1::BIGINT << 52))) END) AS r
+       |  FROM h0 GROUP BY 1, 2),
+       |${estCte(0)},
+       |${props.mkString(",\n")}
+       |SELECT f$rounds.node, f$rounds.est::BIGINT AS ball_milli,
+       |       ($deltas)::BIGINT AS harmonic_micro
+       |FROM f$rounds $joins
+       |ORDER BY node""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    "q52_hyperball" -> hyperballOracleSql(3),
 
     "g_points" ->
       s"""$OracleM
@@ -7272,6 +7373,135 @@ object SparkEntry {
         |         (mp.neighbor_id IS NOT NULL)::INT AS hit
         |  FROM ex LEFT JOIN mp ON ex.query_id = mp.query_id
         |                       AND ex.neighbor_id = mp.neighbor_id)
+        |SELECT query_id, count(*)::BIGINT AS k_exact, sum(hit)::BIGINT AS hits,
+        |       ((sum(hit) * 1000000) // count(*))::BIGINT AS recall_ppm
+        |FROM j GROUP BY 1 ORDER BY query_id""".stripMargin,
+
+    // query-directed probing replay: per-band bit margins come from the
+    // same dots the signature uses; perturbation cost is the list_sum
+    // over masked squared margins (zero identities keep the double sum
+    // bit-identical to the Scala ascending-bit fold); ties break on the
+    // mask, rn <= 3 takes the bandBits cheapest masks
+    "s_ann_lsh_qd" ->
+      """WITH planes AS (
+        |  SELECT b, list_transform(generate_series(0, 63),
+        |           d -> (('0x' || substr(md5('plane:' || b || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS pl
+        |  FROM (SELECT unnest(generate_series(0, 23)) AS b)),
+        |dots AS (
+        |  SELECT vec_id, b,
+        |         list_sum(list_transform(range(1, 65), i -> pl[i] * embedding[i]::DOUBLE)) AS dt
+        |  FROM embeddings, planes),
+        |sig AS (
+        |  SELECT vec_id, sum(CASE WHEN dt > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sig
+        |  FROM dots GROUP BY 1),
+        |banded AS (
+        |  SELECT vec_id, band, (sig >> (band * 3)) & 7 AS bandval
+        |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) bb),
+        |qband AS (
+        |  SELECT vec_id, b // 3 AS band,
+        |         sum(CASE WHEN dt > 0 THEN (1::BIGINT << (b % 3)) ELSE 0 END)::BIGINT AS bandval,
+        |         list(dt * dt ORDER BY b) AS costs
+        |  FROM dots WHERE vec_id < 5 GROUP BY 1, 2),
+        |pert AS (
+        |  SELECT vec_id, band, bandval, m,
+        |         list_sum(list_transform(range(0, 3),
+        |           j -> CASE WHEN ((m >> j) & 1) = 1 THEN costs[j + 1] ELSE 0.0 END)) AS cost
+        |  FROM qband, (SELECT unnest(generate_series(1, 7)) AS m) mm),
+        |chosen AS (
+        |  SELECT vec_id, band, xor(bandval, m) AS bandval FROM (
+        |    SELECT vec_id, band, bandval, m,
+        |           row_number() OVER (PARTITION BY vec_id, band ORDER BY cost ASC, m ASC) AS rn
+        |    FROM pert) WHERE rn <= 3),
+        |qprobe AS (
+        |  SELECT vec_id, band, bandval FROM qband
+        |  UNION ALL SELECT vec_id, band, bandval FROM chosen),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM qprobe q JOIN banded c ON q.band = c.band AND q.bandval = c.bandval
+        |  WHERE q.vec_id <> c.vec_id),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * qe.embedding[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)))), 6) AS sim
+        |  FROM cand JOIN embeddings qe ON query_id = qe.vec_id
+        |            JOIN embeddings ce ON neighbor_id = ce.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank::BIGINT AS rank, neighbor_id, sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "s_recall_lsh_qd" ->
+      """WITH planes AS (
+        |  SELECT b, list_transform(generate_series(0, 63),
+        |           d -> (('0x' || substr(md5('plane:' || b || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS pl
+        |  FROM (SELECT unnest(generate_series(0, 23)) AS b)),
+        |dots AS (
+        |  SELECT vec_id, b,
+        |         list_sum(list_transform(range(1, 65), i -> pl[i] * embedding[i]::DOUBLE)) AS dt
+        |  FROM embeddings, planes),
+        |sig AS (
+        |  SELECT vec_id, sum(CASE WHEN dt > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sig
+        |  FROM dots GROUP BY 1),
+        |banded AS (
+        |  SELECT vec_id, band, (sig >> (band * 3)) & 7 AS bandval
+        |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) bb),
+        |qband AS (
+        |  SELECT vec_id, b // 3 AS band,
+        |         sum(CASE WHEN dt > 0 THEN (1::BIGINT << (b % 3)) ELSE 0 END)::BIGINT AS bandval,
+        |         list(dt * dt ORDER BY b) AS costs
+        |  FROM dots WHERE vec_id < 5 GROUP BY 1, 2),
+        |pert AS (
+        |  SELECT vec_id, band, bandval, m,
+        |         list_sum(list_transform(range(0, 3),
+        |           j -> CASE WHEN ((m >> j) & 1) = 1 THEN costs[j + 1] ELSE 0.0 END)) AS cost
+        |  FROM qband, (SELECT unnest(generate_series(1, 7)) AS m) mm),
+        |chosen AS (
+        |  SELECT vec_id, band, xor(bandval, m) AS bandval FROM (
+        |    SELECT vec_id, band, bandval, m,
+        |           row_number() OVER (PARTITION BY vec_id, band ORDER BY cost ASC, m ASC) AS rn
+        |    FROM pert) WHERE rn <= 3),
+        |qprobe AS (
+        |  SELECT vec_id, band, bandval FROM qband
+        |  UNION ALL SELECT vec_id, band, bandval FROM chosen),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM qprobe q JOIN banded c ON q.band = c.band AND q.bandval = c.bandval
+        |  WHERE q.vec_id <> c.vec_id),
+        |scored_i AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * qe.embedding[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)))), 6) AS sim
+        |  FROM cand JOIN embeddings qe ON query_id = qe.vec_id
+        |            JOIN embeddings ce ON neighbor_id = ce.vec_id),
+        |qd AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |    FROM scored_i) WHERE rank <= 5),
+        |qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |scored_b AS (
+        |  SELECT query_id, ce.vec_id AS neighbor_id,
+        |         round(
+        |           list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * ce.embedding[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * qe[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(range(1, 65), i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)))), 6) AS sim
+        |  FROM qv, embeddings ce WHERE query_id <> ce.vec_id),
+        |ex AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |    FROM scored_b) WHERE rank <= 5),
+        |j AS (
+        |  SELECT ex.query_id,
+        |         (qd.neighbor_id IS NOT NULL)::INT AS hit
+        |  FROM ex LEFT JOIN qd ON ex.query_id = qd.query_id
+        |                       AND ex.neighbor_id = qd.neighbor_id)
         |SELECT query_id, count(*)::BIGINT AS k_exact, sum(hit)::BIGINT AS hits,
         |       ((sum(hit) * 1000000) // count(*))::BIGINT AS recall_ppm
         |FROM j GROUP BY 1 ORDER BY query_id""".stripMargin,

@@ -664,9 +664,10 @@ object GraphOps {
    * `localCheckpoint` pins each round like [[kCore]]. Memory is the
    * r-hop pair set, so the operator contract requires BOUNDED-degree
    * graphs at scale (on hub-heavy graphs, cap degree upstream the way
-   * [[bipartiteProject]] does, or move to HyperBall-style HLL
-   * neighborhood sketches — this exact form is the auditable
-   * small-radius variant).
+   * [[bipartiteProject]] does, or move to [[hyperBallHarmonic]] —
+   * the HLL-neighborhood form whose per-node state is bounded by 2^p
+   * registers regardless of degree; this exact form remains the
+   * auditable small-radius variant: exact distances, no sketch error).
    */
   def harmonicCentrality(edges: DataFrame, radius: Int,
                          scale: Long = 1000L): DataFrame = {
@@ -695,6 +696,71 @@ object GraphOps {
       .agg(sum(IntDiv(lit(scale), col("d"))).as("h_milli"),
         count(lit(1)).as("n_reach"))
       .select(col("node"), col("h_milli").cast("long").as("h_milli"), col("n_reach"))
+  }
+
+  /**
+   * HyperBall harmonic centrality (Boldi & Vigna, "In-Core Computation
+   * of Geometric Centralities with HyperBall", ICDMW 2013) — the
+   * UNBOUNDED-radius upgrade [[harmonicCentrality]]'s scaladoc names:
+   * each node carries a deterministic HLL counter of its ball
+   * B(v, t) = {u : d(u,v) ≤ t}; round t max-merges every neighbor's
+   * registers into the node's own, so |B(v,t)| needs no pair set —
+   * the r-hop pair frontier (Θ(n·deg^r) on hubs) becomes n × ≤2^p
+   * register rows, and each round is ONE edge ⋈ register shuffle plus
+   * a (node, register) max-aggregate, hub-degree-proof by construction.
+   * Harmonic centrality falls out of the ball-size deltas:
+   * H(v) = Σ_t (|B(v,t)| − |B(v,t−1)|)/t.
+   *
+   * Determinism: the registers are [[SketchOps.hllRegisters]]' md5
+   * convention, so every round's table — and therefore the estimate
+   * sequence — replays bit-for-bit in the DuckDB oracle as unrolled
+   * register recurrences. Deltas are clamped at 0 (the raw↔linear-
+   * counting branch switch can step the integer estimate down even
+   * though registers only grow) and accumulate as exact integers:
+   * harmonic_micro = Σ_t (Δ_milli · 1000) div t.
+   *
+   * Scale shape: per-round state is at most n·2^p register rows
+   * (p = 8 → 256·8 B/node ceiling, reached only by nodes whose ball
+   * saturates the sketch); the merge shuffle is |E| × (registers per
+   * node) — linear in edges with a fixed constant, NO dependence on
+   * ball size beyond 2^p. `localCheckpoint` pins each round's
+   * registers and fold state exactly like [[kCore]]. Accuracy is the
+   * standard HLL ±1.04/√2^p (6.5% at p = 8); raise p for tighter
+   * balls, the cost is linear in 2^p.
+   *
+   * Output: (node, ball_milli — |B(v, rounds)| in HLL millis,
+   * harmonic_micro).
+   */
+  def hyperBallHarmonic(edges: DataFrame, rounds: Int, p: Int = 8): DataFrame = {
+    require(rounds >= 1 && rounds <= 32, s"hyperBallHarmonic rounds=$rounds")
+    val und = undirect(edges).localCheckpoint()
+    val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val nodes = adj.select(col("a").as("node")).distinct()
+    var regs = SketchOps.hllRegisters(
+        nodes.select(col("node"), col("node").as("_v")), Seq("node"), "_v", p)
+      .localCheckpoint()
+    // fold state: (node, prev ball estimate, harmonic accumulator)
+    var state = SketchOps.hllFromRegisters(regs, Seq("node"), p)
+      .select(col("node"), col("est_milli").as("_prev"), lit(0L).as("_h"))
+      .localCheckpoint()
+    for (t <- 1 to rounds) {
+      val msgs = adj.join(regs, adj("b") === regs("node"))
+        .select(adj("a").as("node"), regs("_idx"), regs("_r"))
+      regs = regs.union(msgs)
+        .groupBy("node", "_idx").agg(max(col("_r")).as("_r"))
+        .localCheckpoint()
+      val cur = SketchOps.hllFromRegisters(regs, Seq("node"), p)
+        .select(col("node"), col("est_milli").as("_cur"))
+      state = state.join(cur, Seq("node"))
+        .select(col("node"), col("_cur").as("_prev"),
+          (col("_h") + IntDiv(
+            greatest(col("_cur") - col("_prev"), lit(0L)) * lit(1000L),
+            lit(t.toLong))).cast("long").as("_h"))
+        .localCheckpoint()
+    }
+    state.select(col("node"), col("_prev").as("ball_milli"),
+      col("_h").as("harmonic_micro"))
   }
 
   /**

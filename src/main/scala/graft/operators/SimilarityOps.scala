@@ -512,7 +512,7 @@ object SimilarityOps {
    */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nbits: Int = 24, bands: Int = 8, dim: Int = 64): DataFrame =
-    lshRerank(queries, corpus, k, nbits, bands, dim, multiProbe = false)
+    lshRerank(queries, corpus, k, nbits, bands, dim, probeMode = ProbeNone)
 
   /**
    * MULTI-PROBE LSH top-k (Lv et al., "Multi-Probe LSH", VLDB 2007):
@@ -529,11 +529,84 @@ object SimilarityOps {
    */
   def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, k: Int,
                         nbits: Int = 24, bands: Int = 8, dim: Int = 64): DataFrame =
-    lshRerank(queries, corpus, k, nbits, bands, dim, multiProbe = true)
+    lshRerank(queries, corpus, k, nbits, bands, dim, probeMode = ProbeHamming1)
+
+  /**
+   * QUERY-DIRECTED multi-probe LSH (Lv et al., "Multi-Probe LSH",
+   * VLDB 2007 §4.2 — the paper's actual probing sequence, vs the
+   * Hamming-1 blanket of [[lshTopKMultiProbe]]): each band probes its
+   * home bucket plus the `bandBits` CHEAPEST perturbation subsets of
+   * its sign bits, where a subset's cost is Σ margin² over the bits it
+   * flips (margin = the hyperplane dot product — small |dot| means the
+   * vector sits near that plane, so the flipped bucket holds mass).
+   * Same probe budget per band as the blanket (1 + bandBits), but the
+   * budget goes where the query says the neighbors are: a two-bit flip
+   * across two razor-thin margins outranks a one-bit flip across a
+   * fat one. Costs quantize to nothing — both engines compute the
+   * identical left-associated double sums (the sig-bit convention),
+   * and ties break on the perturbation mask, so the probe sequence is
+   * oracle-replayable bit-for-bit.
+   *
+   * Scale shape identical to the blanket: the corpus keeps its single
+   * bucket placement, only the (small) query side fans out
+   * ×(1+bandBits), and candidates stay 8-byte id pairs through the
+   * join+distinct. Subset enumeration is 2^bandBits−1 = 7 masks per
+   * band at the default geometry — driver-free, per-row constant work.
+   */
+  def lshTopKQueryDirected(queries: DataFrame, corpus: DataFrame, k: Int,
+                           nbits: Int = 24, bands: Int = 8, dim: Int = 64): DataFrame =
+    lshRerank(queries, corpus, k, nbits, bands, dim, probeMode = ProbeQueryDirected)
+
+  private val ProbeNone = 0
+  private val ProbeHamming1 = 1
+  private val ProbeQueryDirected = 2
+
+  /**
+   * The query-directed probe sequence (Lv §4.2) as a pure function so
+   * the spec can pin the selection maths on hand-built planes: per
+   * band, the home bucket followed by `bandBits` perturbed buckets —
+   * the non-empty flip masks with the smallest Σ margin², ties broken
+   * on the mask value. Cost sums run in ascending bit order adding
+   * exact 0.0 identities for unset bits, matching the DuckDB
+   * `list_sum(list_transform(...))` replay bit-for-bit.
+   */
+  private[graft] def queryDirectedProbes(planes: Array[Array[Double]],
+                                         bands: Int)(v: Seq[Float]): Seq[Seq[Long]] = {
+    val bandBits = planes.length / bands
+    val dots = new Array[Double](planes.length)
+    var b = 0
+    while (b < planes.length) {
+      var s = 0.0
+      var d = 0
+      val pb = planes(b)
+      val n = math.min(pb.length, v.length)
+      while (d < n) { s += pb(d) * v(d); d += 1 }
+      dots(b) = s
+      b += 1
+    }
+    Seq.tabulate(bands) { band =>
+      var bandval = 0L
+      val cost = new Array[Double](bandBits)
+      var i = 0
+      while (i < bandBits) {
+        val dt = dots(band * bandBits + i)
+        if (dt > 0) bandval |= (1L << i)
+        cost(i) = dt * dt
+        i += 1
+      }
+      val ranked = (1 until (1 << bandBits)).map { m =>
+        var c = 0.0
+        var j = 0
+        while (j < bandBits) { c += (if ((m & (1 << j)) != 0) cost(j) else 0.0); j += 1 }
+        (c, m)
+      }.sortBy { case (c, m) => (c, m) }.take(bandBits).map(_._2)
+      bandval +: ranked.map(m => bandval ^ m.toLong)
+    }
+  }
 
   private def lshRerank(queries: DataFrame, corpus: DataFrame, k: Int,
                         nbits: Int, bands: Int, dim: Int,
-                        multiProbe: Boolean): DataFrame = {
+                        probeMode: Int): DataFrame = {
     require(nbits % bands == 0)
     // the query side MATERIALIZES once: it feeds two plan branches
     // (band signatures + the qv re-rank join), and — the important
@@ -575,12 +648,20 @@ object SimilarityOps {
         .withColumn("bandval", expr(s"shiftright(sig, cast(band * $bandBits as int)) & $mask"))
         .drop("sig")
 
-    val qb0 = banded(q0, "query_id")
-    val qb = if (!multiProbe) qb0 else qb0.select(col("query_id"), col("band"),
-      explode(concat(array(col("bandval")),
-        expr(s"transform(sequence(0, ${bandBits - 1}), " +
-          "i -> bandval ^ shiftleft(cast(1 as bigint), cast(i as int)))")))
-        .as("bandval"))
+    val qb = probeMode match {
+      case ProbeQueryDirected =>
+        val qdProbesUdf = udf(queryDirectedProbes(planes, bands) _)
+        q0.select(col("id").as("query_id"),
+            posexplode(qdProbesUdf(col("embedding"))).as(Seq("band", "pvals")))
+          .select(col("query_id"), col("band"), explode(col("pvals")).as("bandval"))
+      case ProbeHamming1 =>
+        banded(q0, "query_id").select(col("query_id"), col("band"),
+          explode(concat(array(col("bandval")),
+            expr(s"transform(sequence(0, ${bandBits - 1}), " +
+              "i -> bandval ^ shiftleft(cast(1 as bigint), cast(i as int)))")))
+            .as("bandval"))
+      case _ => banded(q0, "query_id")
+    }
     val cand = qb.join(banded(corpus, "neighbor_id"), Seq("band", "bandval"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")

@@ -473,6 +473,62 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == (0L to 3L).map(n => (n, 2500L, 3L)))
   }
 
+  test("hyperBallHarmonic: ball estimates track exact BFS balls; fixpoint past diameter; order matches exact harmonic") {
+    val ss = spark; import ss.implicits._
+    // path 0-1-2-3-4-5 with a chord 1-4: diameter 3 (0..5 = 0-1-4-5)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+    val e = edges.toDF("src", "dst")
+    // exact BFS balls
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def ball(v: Long, r: Int): Set[Long] = {
+      var seen = Set(v); var frontier = Set(v)
+      for (_ <- 1 to r) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= frontier
+      }
+      seen
+    }
+    val got3 = GraphOps.hyperBallHarmonic(e, rounds = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (v <- 0L to 5L) {
+      val exact = ball(v, 3).size
+      val est = got3(v)._1 / 1000.0
+      // tiny balls sit in the linear-counting regime: est ~ present
+      // registers, so ±12% covers both register collisions and the
+      // ln(m/(m-v)) curvature
+      assert(math.abs(est - exact) <= exact * 0.12,
+        s"node $v ball est $est vs exact $exact")
+    }
+    // fixpoint: past the diameter the registers stop changing, so extra
+    // rounds add zero deltas — output identical
+    val got4 = GraphOps.hyperBallHarmonic(e, rounds = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got6 = GraphOps.hyperBallHarmonic(e, rounds = 6).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got4 == got6, "ball/harmonic changed past the diameter fixpoint")
+    // harmonic ORDER matches the exact full-radius harmonic ranking
+    // (ties allowed): 1 and 4 are the two centers
+    def exactHarmonicMicro(v: Long): Double = {
+      var seen = Set(v); var frontier = Set(v); var h = 0.0; var d = 1
+      while (frontier.nonEmpty && d <= 6) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= frontier
+        h += frontier.size * 1e6 / d
+        d += 1
+      }
+      h
+    }
+    val hbTop = got6.toSeq.sortBy { case (n, (_, h)) => (-h, n) }.map(_._1).take(2).toSet
+    val exTop = (0L to 5L).sortBy(v => (-exactHarmonicMicro(v), v)).take(2).toSet
+    assert(hbTop == exTop, s"HyperBall top-2 $hbTop vs exact $exTop")
+    // estimates within 12% of exact harmonic too (same regime argument)
+    for (v <- 0L to 5L) {
+      val ex = exactHarmonicMicro(v)
+      assert(math.abs(got6(v)._2 - ex) <= ex * 0.12,
+        s"node $v harmonic ${got6(v)._2} vs exact $ex")
+    }
+  }
+
   test("componentsStars agrees with converged hash-min and is orientation/dup-proof") {
     val ss = spark; import ss.implicits._
     val e = Seq(("b", "a"), ("b", "c"), ("c", "d"), ("c", "d"), ("y", "x"), ("x", "y"))

@@ -729,6 +729,48 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rm.toDouble / brute.size >= 0.6, s"multi-probe recall ${rm.toDouble / brute.size}")
   }
 
+  test("lshTopKQueryDirected: home bucket kept; recall >= single-probe and >= blanket at same budget") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.filter(col("id") < 20)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = ids(SimilarityOps.bruteForceTopK(q, e, k = 5))
+    val single = ids(SimilarityOps.lshTopK(q, e, k = 5))
+    val blanket = ids(SimilarityOps.lshTopKMultiProbe(q, e, k = 5))
+    val qd = ids(SimilarityOps.lshTopKQueryDirected(q, e, k = 5))
+    val rs = (brute & single).size
+    val rb = (brute & blanket).size
+    val rq = (brute & qd).size
+    // superset of single-probe is structural (home bucket always probed)
+    assert(rq >= rs, s"query-directed recall $rq < single-probe $rs")
+    // vs the Hamming-1 blanket the guarantee is probabilistic (Lv §4.2:
+    // same budget spent on higher-mass buckets) — pinned empirically on
+    // the fixed corpus, so a regression here means the probe order broke
+    assert(rq >= rb, s"query-directed recall $rq < Hamming-1 blanket $rb at the same budget")
+  }
+
+  test("queryDirectedProbes: cheap two-bit flip outranks an expensive one-bit flip; home first; tie -> mask order") {
+    // hand-built geometry: 6 axis-aligned planes (2 bands x 3 bits), so
+    // each bit's margin IS the vector coordinate — selection maths is
+    // fully controlled
+    val planes = Array.tabulate(6, 8)((b, d) => if (d == b) 1.0 else 0.0)
+    // band 0 margins: +0.1, -0.2, +5.0 -> bandval = 0b101 = 5
+    //   costs 0.01, 0.04, 25: cheapest masks are 1 (.01), 2 (.04),
+    //   3 (.05) — the expensive single-bit mask 4 (25.0) loses to the
+    //   TWO-bit flip, the exact Lv improvement over the Hamming-1 blanket
+    // band 1 margins: +1, +1, +1 -> bandval = 7, all costs 1: masks tie
+    //   pairwise -> ascending mask order picks 1 (1.0), 2 (1.0), 4 (1.0)
+    //   (mask 3 costs 2.0) — deterministic tie-break on the mask value
+    val v: Seq[Float] = Seq(0.1f, -0.2f, 5.0f, 1f, 1f, 1f, 0f, 0f)
+    val probes = SimilarityOps.queryDirectedProbes(planes, bands = 2)(v)
+    assert(probes(0) == Seq(5L, 5L ^ 1, 5L ^ 2, 5L ^ 3),
+      s"band 0 probes ${probes(0)}")
+    assert(probes(1) == Seq(7L, 7L ^ 1, 7L ^ 2, 7L ^ 4),
+      s"band 1 probes ${probes(1)}")
+  }
+
   test("yuleK: exact spectrum arithmetic, length invariance vs TTR, N<2 guard") {
     val ss = spark; import ss.implicits._
     val docs = Seq(
