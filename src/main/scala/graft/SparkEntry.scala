@@ -2750,6 +2750,16 @@ object SparkEntry {
           vocabSize = 64, maxLen = 4)
         .orderBy("rank")),
 
+    "p_unigram_lm" -> ((s, dir) =>
+      // the full unigram-LM EM trainer over that seed (Kudo ACL-2018):
+      // 2 rounds of deterministic Viterbi E-step (integer micro-nat
+      // costs, min cost -> fewest tokens -> longest piece) + recount/
+      // prune M-step; per round one pass over DISTINCT words, vocab
+      // and costs stay model-sized
+      TextOps.unigramLmVocab(table(s, dir, "documents"), "text",
+          vocabSize = 64, maxLen = 4, emRounds = 2)
+        .orderBy("rank")),
+
     "p_maxmatch_encode" -> ((s, dir) =>
       // WordPiece-style greedy longest-match encoding against the
       // seed vocab: per-doc word + subword counts (single-char
@@ -3509,9 +3519,83 @@ object SparkEntry {
        |ORDER BY node""".stripMargin
   }
 
+  /**
+   * Unigram-LM EM replay for p_unigram_lm: per round, the Viterbi
+   * suffix DP unrolls as maxWordLen distance-from-end CTEs (key =
+   * cost·1024 + tokens, min per word), the per-position choice table
+   * tie-breaks (key ASC, piece length DESC), a recursive CTE walks
+   * each word's single optimal path forward (the p_maxmatch_encode
+   * seg pattern generalized to min-cost), and the recount prunes —
+   * exactly TextOps.unigramLmVocab's fold, micro-nat costs included.
+   */
+  private def unigramLmOracleSql(emRounds: Int, maxWordLen: Int = 24): String = {
+    def costCtes(r: Int, src: String): String =
+      s"""t$r AS MATERIALIZED (SELECT sum(freq)::BIGINT AS total FROM $src),
+         |vc$r AS MATERIALIZED (
+         |  SELECT piece,
+         |         (CAST(floor(ln(total::DOUBLE) * 1000000.0) AS BIGINT)
+         |          - CAST(floor(ln(freq::DOUBLE) * 1000000.0) AS BIGINT)) AS cost
+         |  FROM $src, t$r),
+         |cc$r AS MATERIALIZED (SELECT CAST(floor(ln(total::DOUBLE) * 1000000.0) AS BIGINT) AS cc FROM t$r)"""
+    def dpCtes(r: Int): String = {
+      val ds = (1 to maxWordLen).map { d =>
+        val branches = Seq(
+          s"""    SELECT w.word, 1 AS l, d1.k + (SELECT cc FROM cc$r) * 1024 + 1 AS k
+             |    FROM wl w JOIN r${r}_dp${d - 1} d1 USING (word) WHERE w.len >= $d""") ++
+          (2 to math.min(4, d)).map { l =>
+            s"""    SELECT w.word, $l AS l, dl.k + vc.cost * 1024 + 1 AS k
+               |    FROM wl w JOIN r${r}_dp${d - l} dl USING (word)
+               |    JOIN vc$r vc ON vc.piece = substr(w.word, w.len + 1 - $d, $l)
+               |    WHERE w.len >= $d"""
+          }
+        s"""r${r}_cd$d AS MATERIALIZED (
+           |${branches.mkString("\n    UNION ALL\n")}),
+           |r${r}_dp$d AS MATERIALIZED (SELECT word, min(k) AS k FROM r${r}_cd$d GROUP BY 1)"""
+      }
+      val cdUnion = (1 to maxWordLen)
+        .map(d => s"SELECT word, $d AS d, l, k FROM r${r}_cd$d")
+        .mkString("\n          UNION ALL ")
+      s"""r${r}_dp0 AS MATERIALIZED (SELECT word, 0::BIGINT AS k FROM wl),
+         |${ds.mkString(",\n")},
+         |r${r}_ch AS MATERIALIZED (
+         |  SELECT word, pos, l FROM (
+         |    SELECT c.word, wl.len + 1 - c.d AS pos, c.l, c.k,
+         |           row_number() OVER (PARTITION BY c.word, c.d ORDER BY c.k ASC, c.l DESC) AS rn
+         |    FROM ($cdUnion) c JOIN wl USING (word)) z WHERE rn = 1),
+         |r${r}_walk AS (
+         |  SELECT word, 1 AS pos FROM wl
+         |  UNION ALL
+         |  SELECT s.word, s.pos + ch.l FROM r${r}_walk s
+         |  JOIN r${r}_ch ch ON ch.word = s.word AND ch.pos = s.pos
+         |  JOIN wl ON wl.word = s.word
+         |  WHERE s.pos <= wl.len),
+         |v$r AS MATERIALIZED (
+         |  SELECT substr(wl.word, s.pos, ch.l) AS piece, sum(wl.cnt)::BIGINT AS freq
+         |  FROM r${r}_walk s
+         |  JOIN r${r}_ch ch ON ch.word = s.word AND ch.pos = s.pos
+         |  JOIN wl ON wl.word = s.word
+         |  WHERE s.pos <= wl.len AND ch.l >= 2
+         |  GROUP BY 1)"""
+    }
+    val rounds = (1 to emRounds).map { r =>
+      costCtes(r, if (r == 1) "vocab" else s"v${r - 1}") + ",\n" + dpCtes(r)
+    }
+    ("WITH RECURSIVE " + SubwordVocabCtes.stripMargin + ",\n" +
+      s"""|wl AS MATERIALIZED (SELECT word, cnt, len(word) AS len FROM w WHERE len(word) <= $maxWordLen),
+          |${rounds.mkString(",\n")},
+          |tf AS (SELECT sum(freq)::BIGINT AS total FROM v$emRounds)
+          |SELECT row_number() OVER (ORDER BY freq DESC, piece ASC)::BIGINT AS rank,
+          |       piece, freq,
+          |       (CAST(floor(ln(tf.total::DOUBLE) * 1000000.0) AS BIGINT)
+          |        - CAST(floor(ln(freq::DOUBLE) * 1000000.0) AS BIGINT))::BIGINT AS cost_micro
+          |FROM v$emRounds, tf ORDER BY rank""").stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "q52_hyperball" -> hyperballOracleSql(3),
+
+    "p_unigram_lm" -> unigramLmOracleSql(2),
 
     "g_points" ->
       s"""$OracleM

@@ -1284,6 +1284,132 @@ object TextOps {
         coalesce(col("n_subwords"), lit(0L)).as("n_subwords"))
   }
 
+  /**
+   * Unigram-LM subword trainer (Kudo, "Subword Regularization", ACL
+   * 2018 — the SentencePiece unigram algorithm) atop the
+   * [[subwordVocab]] seed: `emRounds` rounds of
+   *
+   *   E-step: Viterbi-segment every distinct corpus word against the
+   *   current piece costs (suffix DP, min total cost, then fewest
+   *   tokens, then longest piece — fully deterministic);
+   *   M-step: re-count each piece's frequency as Σ word_freq over the
+   *   Viterbi paths it appears on, PRUNE pieces whose count drops to
+   *   zero, and refresh costs from the new counts.
+   *
+   * Costs live in exact micro-nats via the t_pmi micro-log rule:
+   * cost(piece) = lg(total) − lg(freq) with lg(n) = floor(10⁶·ln n)
+   * (both `ln`s of exact integers), and the single-character fallback
+   * prices at lg(total) (probability 1/total) — so every DP compare
+   * is integer and the whole EM fold replays bit-for-bit in the
+   * DuckDB oracle as `emRounds` unrolled DP/walk/recount blocks.
+   * The DP key packs (cost, tokens) as cost·1024 + tokens (words are
+   * capped at `maxWordLen` < 1024 code points; longer words are
+   * excluded from training, SentencePiece's overlong-sentence skip).
+   *
+   * Scale shape: the vocab and its costs are MODEL-sized (≤ vocabSize
+   * rows — the codebook convention: collected per round, shipped back
+   * by closure); each EM round is one pass over DISTINCT words (the
+   * bpeEncodeCounts shape — segmentation cost is per word TYPE,
+   * O(len·maxLen) each) ending in one vocab-sized hash aggregate.
+   * Nothing corpus-sized ever reaches the driver, and rounds compose
+   * as R independent scans — no iterative lineage growth.
+   *
+   * Output: (rank, piece, freq, cost_micro) for the surviving vocab
+   * after the final round, ranked by (freq DESC, piece ASC).
+   */
+  def unigramLmVocab(docs: DataFrame, textCol: String, vocabSize: Int = 64,
+                     maxLen: Int = 4, emRounds: Int = 2,
+                     maxWordLen: Int = 24): DataFrame = {
+    require(emRounds >= 1 && emRounds <= 8, s"unigramLmVocab emRounds=$emRounds")
+    require(maxWordLen >= maxLen && maxWordLen < 1024,
+      s"unigramLmVocab maxWordLen=$maxWordLen")
+    val spark = docs.sparkSession
+    // distinct-word frequency table, reused every round (words longer
+    // than maxWordLen CODE POINTS are excluded from training)
+    val wordCnt = docs
+      .select(explode(words(lower(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .filter(length(col("word")) <= maxWordLen)
+      .localCheckpoint()
+    def lg(n: Long): Long =
+      math.floor(math.log(n.toDouble) * 1e6).toLong
+    // seed: the subwordVocab pieces with their substring-weighted freqs
+    var freqs: Map[String, Long] = subwordVocab(docs, textCol, vocabSize, maxLen)
+      .select("piece", "freq").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    var costs: Map[String, Long] = Map.empty
+    var charCost = 0L
+    def refreshCosts(): Unit = {
+      val total = freqs.valuesIterator.sum
+      if (total > 0L) {
+        val lgT = lg(total)
+        costs = freqs.map { case (p, f) => p -> (lgT - lg(f)) }
+        charCost = lgT
+      } else { costs = Map.empty; charCost = 0L }
+    }
+    refreshCosts()
+    val mLen = maxLen
+    for (_ <- 1 to emRounds) {
+      val cb = costs
+      val ccb = charCost
+      // Viterbi path pieces (len >= 2 only) per word — the E-step
+      val pathUdf = udf { (word: String) =>
+        val cps = word.codePoints.toArray
+        val n = cps.length
+        if (n == 0 || cb.isEmpty) Seq.empty[String]
+        else {
+          val dp = new Array[Long](n + 1) // packed (cost, tokens) key
+          val choice = new Array[Int](n)
+          dp(n) = 0L
+          var i = n - 1
+          while (i >= 0) {
+            var bestK = dp(i + 1) + ccb * 1024L + 1L // l = 1 char fallback
+            var bestL = 1
+            var l = 2
+            while (l <= mLen && i + l <= n) {
+              cb.get(new String(cps, i, l)) match {
+                case Some(c) =>
+                  val k = dp(i + l) + c * 1024L + 1L
+                  // min key; equal key -> LONGEST piece (the walk's
+                  // deterministic tie-break, mirrored in the oracle)
+                  if (k < bestK || (k == bestK && l > bestL)) {
+                    bestK = k; bestL = l
+                  }
+                case None =>
+              }
+              l += 1
+            }
+            dp(i) = bestK
+            choice(i) = bestL
+            i -= 1
+          }
+          val buf = Seq.newBuilder[String]
+          var p = 0
+          while (p < n) {
+            val l = choice(p)
+            if (l >= 2) buf += new String(cps, p, l)
+            p += l
+          }
+          buf.result()
+        }
+      }
+      // M-step: vocab-sized recount (collect is model-sized)
+      freqs = wordCnt
+        .select(col("cnt"), explode(pathUdf(col("word"))).as("piece"))
+        .groupBy("piece").agg(sum(col("cnt")).as("freq"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      refreshCosts()
+    }
+    val lgT = if (freqs.nonEmpty) lg(freqs.valuesIterator.sum) else 0L
+    val rows = freqs.toSeq
+      .map { case (p, f) => (p, f, lgT - lg(f)) }
+      .sortBy { case (p, f, _) => (-f, p) }
+      .zipWithIndex
+      .map { case ((p, f, c), ix) => (ix + 1L, p, f, c) }
+    import spark.implicits._
+    rows.toDF("rank", "piece", "freq", "cost_micro")
+  }
+
   /** The script classes of [[scriptMix]]: (name, character class) in
     * DOMINANCE ORDER — `dominant` resolves count ties to the first
     * listed. BMP ranges only, so codepoint counts agree between

@@ -102,7 +102,20 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
                 // if its doc is later rejected on quality — frontier
                 // semantics: the fetch decision, not the admit
                 // decision. Docs with a null/empty url bypass.
-                dedupUrls: Boolean = false) {
+                dedupUrls: Boolean = false,
+                // quality-drift monitor: per batch, the ADMITTED docs'
+                // per-language quality stats — three LONGs per language,
+                // (n, Σq, Σq²), the mergeable moment state — append to
+                // `_qstats/batch=b<id>`, and the batch's per-language
+                // mean is compared against the accumulated corpus mean;
+                // languages whose |Δmean| ≥ this many millis flag into
+                // [[lastDriftStats]] — the operational-alarm form of the
+                // p_mixture_drift / p_ks_drift release audits (a
+                // refreshed crawl whose English quality sagged shows up
+                // on the FIRST bad batch, not at release review). State
+                // is languages × 3 LONGs; the report collect is
+                // language-cardinality (model-sized by contract).
+                driftTolMilli: Option[Long] = None) {
 
   private val inputSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -118,6 +131,12 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
 
   /** (batchId, urlDupInBatch, urlDupExisting) of the last batch (url gate on). */
   @volatile var lastUrlStats: (Long, Long, Long) = (-1L, 0L, 0L)
+
+  /** (batchId, admitted ppm of the post-gate batch, max |Δmean_milli|
+    * across languages vs the accumulated corpus, languages flagged at
+    * driftTolMilli) of the last batch (drift monitor on). First batch
+    * has no history: deltas are undefined, nothing flags. */
+  @volatile var lastDriftStats: (Long, Long, Long, Long) = (-1L, 0L, 0L, 0L)
 
   private def source(): DataFrame = {
     val r = spark.readStream
@@ -373,6 +392,58 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
     } finally freshUrl.unpersist()
   }
 
+  private def emptyQStats: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("lang", StringType), StructField("n", LongType),
+        StructField("sum_q", LongType), StructField("sum_q2", LongType))))
+
+  /** Accumulated (n, Σq, Σq²) per language, excluding a replayed
+    * batch's own dir — plain sums, so dir concatenation (compaction)
+    * and any batch split produce the identical state. */
+  private def qStatsHistory(excludeBatch: Long): DataFrame = {
+    val raw =
+      if (!tableExists(s"$corpusDir/_qstats")) emptyQStats
+      else
+        try spark.read.parquet(s"$corpusDir/_qstats")
+          .filter(col("batch") =!= lit(s"b$excludeBatch"))
+          .select("lang", "n", "sum_q", "sum_q2")
+        catch { case _: org.apache.spark.sql.AnalysisException => emptyQStats }
+    raw.groupBy("lang").agg(sum(col("n")).as("n"),
+      sum(col("sum_q")).as("sum_q"), sum(col("sum_q2")).as("sum_q2"))
+  }
+
+  /** The accumulated corpus quality state (per language, three LONGs)
+    * — what the monitor compares each batch against; exposed so the
+    * stream ≡ batch identity is testable. */
+  def qualityStats(): DataFrame = qStatsHistory(excludeBatch = -1L)
+
+  /** The drift monitor: persist the batch's admitted per-language
+    * moment rows idempotently, then flag languages whose batch mean
+    * departs from the PRIOR corpus mean by ≥ tol millis. */
+  private def qualityDriftMonitor(admitted: DataFrame, batchId: Long,
+                                  nPostGate: Long, nAdmitted: Long,
+                                  tol: Long): Unit = {
+    val stats = admitted.groupBy(col("lang_guess").as("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("quality")).as("sum_q"),
+        sum(col("quality") * col("quality")).as("sum_q2"))
+    stats.write.mode("overwrite").parquet(s"$corpusDir/_qstats/batch=b$batchId")
+    // language-cardinality rows: the collect is model-sized by contract
+    val hist = qStatsHistory(excludeBatch = batchId)
+      .select(col("lang"), col("n").as("n_h"), col("sum_q").as("sq_h"))
+    val deltas = stats.join(hist, Seq("lang"), "left")
+      .filter(col("n_h").isNotNull && col("n_h") > 0L && col("n") > 0L)
+      .select(
+        // integer milli means: mean = Σq·1000 div n (quality is 0..1000)
+        (graft.operators.IntDiv(col("sum_q") * lit(1000L), col("n")) -
+          graft.operators.IntDiv(col("sq_h") * lit(1000L), col("n_h")))
+          .cast("long").as("delta_milli"))
+      .collect().map(_.getLong(0))
+    val maxAbs = if (deltas.isEmpty) 0L else deltas.map(math.abs).max
+    val flagged = deltas.count(d => math.abs(d) >= tol).toLong
+    val ppm = if (nPostGate == 0) 0L else nAdmitted * 1000000L / nPostGate
+    lastDriftStats = (batchId, ppm, maxAbs, flagged)
+  }
+
   private[streaming] def processBatch(batch0: DataFrame, batchId: Long): Unit = {
     val n0 = batch0.count()
     if (n0 == 0) return
@@ -414,6 +485,10 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
       lastBatchStats = (batchId, nAdmitted, n - nFirst, nFirst - nFresh,
         nLowQ, nFresh - nLowQ - nAdmitted)
 
+      // drift monitor BEFORE compaction: the history it reads excludes
+      // this batch's dir, so replays compare against the same baseline
+      driftTolMilli.foreach(qualityDriftMonitor(admitted, batchId, n, nAdmitted, _))
+
       // dirs below the current batch id are checkpoint-committed and
       // immutable — quiesce-free fold, failure tolerated (retried next
       // cycle; every fold is crash-safe at any interruption point)
@@ -435,6 +510,10 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
           if (dedupUrls && tableExists(s"$corpusDir/_urlfps"))
             TableCompactor.onlineCompactAppend(spark, s"$corpusDir/_urlfps",
               fence = batchId, sortCols = Seq("ufp"))
+          // quality moments read via per-lang sums — concatenation merges
+          if (driftTolMilli.isDefined && tableExists(s"$corpusDir/_qstats"))
+            TableCompactor.onlineCompactAppend(spark, s"$corpusDir/_qstats",
+              fence = batchId, sortCols = Seq("lang"))
         } catch {
           case scala.util.control.NonFatal(e) =>
             org.slf4j.LoggerFactory.getLogger(getClass)

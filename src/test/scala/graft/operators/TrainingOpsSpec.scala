@@ -751,6 +751,42 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rq >= rb, s"query-directed recall $rq < Hamming-1 blanket $rb at the same budget")
   }
 
+  test("unigramLmVocab: hand-computed 2-round EM — Viterbi picks whole pieces, unused pieces pruned, costs refresh") {
+    val ss = spark; import ss.implicits._
+    // wordCnt: abcd x2, ab x2, cd x1. Seed pieces (substrings 2..4,
+    // freq-weighted): ab 4, cd 3, bc/abc/bcd/abcd 2 — total 15.
+    // Round-1 costs (lg = floor(1e6 ln)): ab 1321756, cd 1609438,
+    // others 2014903, char 2708050. Viterbi: "abcd" -> [abcd] (one
+    // 2014903 piece beats ab+cd = 2931194), "ab" -> [ab], "cd" -> [cd]
+    // => recount abcd 2, ab 2, cd 1; bc/abc/bcd PRUNED.
+    // Round 2 (total 5): same segmentations, same counts. Final costs:
+    // lg(5)-lg(2) = 1609437-693147 = 916290 for ab/abcd, 1609437 for cd.
+    val docs = Seq((1L, "abcd abcd"), (2L, "ab ab cd")).toDF("doc_id", "text")
+    val got = TextOps.unigramLmVocab(docs, "text", vocabSize = 64, maxLen = 4,
+        emRounds = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "ab", 2L, 916290L),
+      (2L, "abcd", 2L, 916290L),
+      (3L, "cd", 1L, 1609437L)))
+  }
+
+  test("unigramLmVocab: overlong words excluded from training; empty corpus -> empty vocab") {
+    val ss = spark; import ss.implicits._
+    // the 30-char word exceeds maxWordLen=24: its substrings still
+    // SEED the vocab, but no Viterbi path covers them, so round 1
+    // prunes every piece that only that word could have used
+    val long = "z" * 30
+    val docs = Seq((1L, s"$long xy xy")).toDF("doc_id", "text")
+    val got = TextOps.unigramLmVocab(docs, "text", emRounds = 1)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("xy", 2L)), s"got $got")
+    val empty = TextOps.unigramLmVocab(
+      Seq((1L, "")).toDF("doc_id", "text"), "text", emRounds = 2)
+    assert(empty.count() == 0L)
+  }
+
   test("queryDirectedProbes: cheap two-bit flip outranks an expensive one-bit flip; home first; tie -> mask order") {
     // hand-built geometry: 6 axis-aligned planes (2 bands x 3 bits), so
     // each bit's margin IS the vector coordinate — selection maths is

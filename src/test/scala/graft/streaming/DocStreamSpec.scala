@@ -369,4 +369,49 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the corpus schema is unchanged by the gate (url never lands)
     assert(!s2.accepted().columns.contains("url"))
   }
+
+  test("doc stream: quality-drift monitor — stream ≡ batch moments on a split feed; sagging batch flags") {
+    val work = Files.createTempDirectory("graft-docstream-drift").toString
+    def stream(sub: String) = new DocStream(spark, s"$work/$sub/drop",
+      s"$work/$sub/corpus", s"$work/$sub/ckpt",
+      minQuality = 0L, maxFilesPerTrigger = Some(1), driftTolMilli = Some(50L))
+    val docs1 = Seq(1L -> goodText("alpha"), 2L -> goodText("beta"))
+    val docs2 = Seq(3L -> goodText("gamma"), 4L -> goodText("delta"))
+    // split feed: two files -> two batches
+    jsonl(s"$work/split/drop", "a.jsonl", docs1)
+    jsonl(s"$work/split/drop", "b.jsonl", docs2)
+    val ss = stream("split")
+    ss.runAvailableNow()
+    // single feed: the same docs in one batch
+    jsonl(s"$work/one/drop", "a.jsonl", docs1 ++ docs2)
+    val so = stream("one")
+    so.runAvailableNow()
+    // stream ≡ batch: the accumulated three-LONG moment state per
+    // language is identical however the feed was split...
+    def st(s: DocStream) = s.qualityStats().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(st(ss) == st(so), s"split ${st(ss)} vs one-shot ${st(so)}")
+    // ...and equals the direct batch aggregation over the corpus
+    val direct = so.accepted()
+      .groupBy(org.apache.spark.sql.functions.col("lang_guess"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("quality")).as("sq"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("quality") *
+            org.apache.spark.sql.functions.col("quality")).as("sq2"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(st(so) == direct, s"monitor ${st(so)} vs direct $direct")
+    // a sagging batch (short stopword-only docs, still admitted at
+    // minQuality 0) must flag: its mean is far below the corpus mean
+    jsonl(s"$work/split/drop", "c.jsonl", Seq(
+      5L -> "the of and to", 6L -> "a in is it"))
+    val s3 = stream("split")
+    s3.runAvailableNow()
+    val (_, ppm, maxAbs, flagged) = s3.lastDriftStats
+    assert(ppm == 1000000L, s"all sag docs admitted at minQuality=0, got ppm $ppm")
+    assert(maxAbs >= 50L && flagged >= 1L,
+      s"quality sag must flag: maxAbs=$maxAbs flagged=$flagged")
+  }
 }
