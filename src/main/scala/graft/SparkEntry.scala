@@ -737,6 +737,23 @@ object SparkEntry {
       GraphOps.hyperBallHarmonic(e1.union(e2), rounds = 3).orderBy("node")
     }),
 
+    "q53_neighborhood" -> ((s, dir) => {
+      // the neighborhood function N(t) over the q47 skip-chain graph
+      // via the HyperBall registers: rounds+1 rows of reachable-pair
+      // mass, cumulative ppm, and the >=90% flag whose first true row
+      // is the effective diameter — the sizing read before unrolling
+      // any fixed-round graph plan
+      val users = events(s, dir).select(col("user_id")).distinct()
+      val uDst = users.select(col("user_id").as("dst"))
+      val e1 = users.filter(col("user_id") % 64 =!= 63)
+        .select(col("user_id").as("src"), (col("user_id") + 1).as("dst"))
+        .join(uDst, Seq("dst"))
+      val e2 = users.filter(col("user_id") % 64 < 48)
+        .select(col("user_id").as("src"), (col("user_id") + 16).as("dst"))
+        .join(uDst, Seq("dst"))
+      GraphOps.hyperBallNeighborhood(e1.union(e2), rounds = 4).orderBy("t")
+    }),
+
     "q47_harmonic" -> ((s, dir) => {
       // radius-3 harmonic centrality over a bounded-degree skip-chain
       // graph (u->u+1 within 64-blocks, u->u+16 skips): exact integer
@@ -2750,6 +2767,15 @@ object SparkEntry {
           vocabSize = 64, maxLen = 4)
         .orderBy("rank")),
 
+    "d_dedup_cdc" -> ((s, dir) =>
+      // content-defined-chunking duplication audit (LBFS/FastCDC,
+      // deterministic md5 form): boundaries where the trailing 8-gram
+      // hashes 0 mod 64, chunk fps counted corpus-wide — per-doc
+      // boilerplate-share numbers, chunking rides the scan, one fp
+      // aggregate, no pair join anywhere
+      DedupOps.cdcChunkStats(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "p_unigram_lm" -> ((s, dir) =>
       // the full unigram-LM EM trainer over that seed (Kudo ACL-2018):
       // 2 rounds of deterministic Viterbi E-step (integer micro-nat
@@ -3468,6 +3494,32 @@ object SparkEntry {
    * ball-size deltas with integer division.
    */
   private def hyperballOracleSql(rounds: Int): String = {
+    val deltas = (1 to rounds).map(t =>
+      s"(greatest(f$t.est - f${t - 1}.est, 0) * 1000) // $t").mkString(" + ")
+    val joins = (0 until rounds).map(t => s"JOIN f$t USING (node)").mkString(" ")
+    hyperballBodyCtes(rounds) + "\n" +
+      s"""|SELECT f$rounds.node, f$rounds.est::BIGINT AS ball_milli,
+          |       ($deltas)::BIGINT AS harmonic_micro
+          |FROM f$rounds $joins
+          |ORDER BY node""".stripMargin
+  }
+
+  /** The q53 finisher over the same body: per-round Σ est (the
+    * neighborhood function), cumulative ppm share, ≥90% flag. */
+  private def neighborhoodOracleSql(rounds: Int): String = {
+    val sums = (0 to rounds).map(t =>
+      s"s$t AS (SELECT sum(est)::BIGINT AS np FROM f$t)").mkString(",\n")
+    val unions = (0 to rounds).map(t =>
+      s"SELECT $t::BIGINT AS t, np FROM s$t").mkString("\n  UNION ALL ")
+    hyperballBodyCtes(rounds) + ",\n" +
+      s"""|$sums
+          |SELECT t, np::BIGINT AS npairs_milli,
+          |       (np * 1000000 // (SELECT np FROM s$rounds))::BIGINT AS frac_ppm,
+          |       ((np * 1000000 // (SELECT np FROM s$rounds)) >= 900000) AS ge90
+          |FROM ($unions) z ORDER BY t""".stripMargin
+  }
+
+  private def hyperballBodyCtes(rounds: Int): String = {
     val lcTable = operators.SketchOps.linearCountMilli(8).mkString("[", ",", "]")
     def estCte(t: Int): String =
       s"""g$t AS (
@@ -3493,9 +3545,6 @@ object SparkEntry {
          |  GROUP BY 1, 2),
          |${estCte(t)}"""
     }
-    val deltas = (1 to rounds).map(t =>
-      s"(greatest(f$t.est - f${t - 1}.est, 0) * 1000) // $t").mkString(" + ")
-    val joins = (0 until rounds).map(t => s"JOIN f$t USING (node)").mkString(" ")
     s"""WITH u AS (SELECT DISTINCT user_id AS id FROM events),
        |e AS (
        |  SELECT a.id AS src, a.id + 1 AS dst
@@ -3512,11 +3561,7 @@ object SparkEntry {
        |                  ELSE 53 - length(bin(h % (1::BIGINT << 52))) END) AS r
        |  FROM h0 GROUP BY 1, 2),
        |${estCte(0)},
-       |${props.mkString(",\n")}
-       |SELECT f$rounds.node, f$rounds.est::BIGINT AS ball_milli,
-       |       ($deltas)::BIGINT AS harmonic_micro
-       |FROM f$rounds $joins
-       |ORDER BY node""".stripMargin
+       |${props.mkString(",\n")}""".stripMargin
   }
 
   /**
@@ -3595,7 +3640,47 @@ object SparkEntry {
 
     "q52_hyperball" -> hyperballOracleSql(3),
 
+    "q53_neighborhood" -> neighborhoodOracleSql(4),
+
     "p_unigram_lm" -> unigramLmOracleSql(2),
+
+    // CDC replay: per-position trailing-gram md5 boundary test (the
+    // d_dedup_winnow per-gram convention), list-built bounds, spans
+    // between consecutive bounds, md5 chunk fps counted corpus-wide
+    "d_dedup_cdc" ->
+      """WITH n AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, t,
+        |         list_concat(list_concat([0],
+        |           CASE WHEN length(t) >= 8 THEN
+        |             list_filter(list_transform(generate_series(8, length(t)),
+        |               i -> CASE WHEN ('0x' || substr(md5(substr(t, i - 7, 8)), 1, 15))::BIGINT % 64 = 0
+        |                         THEN i END),
+        |               x -> x IS NOT NULL)
+        |           ELSE [] END), [length(t)]) AS bounds
+        |  FROM n),
+        |c AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |           list_transform(generate_series(1, len(bounds) - 1),
+        |             j -> substr(t, bounds[j] + 1, bounds[j + 1] - bounds[j])),
+        |           s -> length(s) > 0)) AS chunk
+        |  FROM b),
+        |i AS (
+        |  SELECT doc_id, ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS fp,
+        |         length(chunk)::BIGINT AS clen
+        |  FROM c),
+        |f AS (SELECT fp, count(*) AS n_fp FROM i GROUP BY 1),
+        |p AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_chunks,
+        |         sum(CASE WHEN n_fp >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+        |         sum(CASE WHEN n_fp >= 2 THEN clen ELSE 0 END)::BIGINT AS dup_chars
+        |  FROM i JOIN f USING (fp) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_chunks, 0)::BIGINT AS n_chunks,
+        |       coalesce(n_dup_chunks, 0)::BIGINT AS n_dup_chunks,
+        |       coalesce(dup_chars, 0)::BIGINT AS dup_chars
+        |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     "g_points" ->
       s"""$OracleM

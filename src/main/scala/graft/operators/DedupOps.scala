@@ -1214,4 +1214,74 @@ object DedupOps {
       .filter(col("jaccard") >= minJaccard)
       .select(col("corpus_id"), col("ref_id"), col("jaccard"))
   }
+
+  /**
+   * Content-defined-chunking duplication audit — the LBFS/FastCDC
+   * idea (Muthitacharoen et al. SOSP 2001; Xia et al. ATC 2016)
+   * re-expressed deterministically: chunk boundaries fall AFTER any
+   * position whose trailing `window`-gram hashes to 0 mod `maskMod`
+   * (expected chunk length ≈ maskMod characters, content-aligned, so
+   * an insertion early in a page shifts NO downstream chunk — the
+   * property fixed-stride blocking lacks and the reason storage
+   * dedup ships CDC). Chunks fingerprint by md5; a chunk instance is
+   * duplicated when its fingerprint appears ≥ 2 times corpus-wide.
+   * Per-doc output: (doc_id, n_chunks, n_dup_chunks, dup_chars) —
+   * the "how much of this doc is boilerplate shared elsewhere"
+   * number, finer than whole-doc dedup and cheaper than winnowing's
+   * all-pairs scoring (no pair join at all).
+   *
+   * Determinism: normalization, the gram hash (md5Head60 — the
+   * winnow convention: DuckDB recomputes it per position), boundary
+   * rule, and chunk fingerprints all replay engine-exact; no rolling
+   * state, so partitioning can't reorder anything.
+   *
+   * Scale shape: chunking is a per-row projection (codegen'd
+   * transform/filter over positions — the md5-per-gram cost rides
+   * the scan, no shuffle); the corpus-wide frequency table is ONE
+   * map-side-combined groupBy on the 8-byte fp, joined back fp-keyed.
+   * Nothing quadratic, no driver state; hot boilerplate fps skew the
+   * count join at most (AQE skew-split handles it).
+   */
+  def cdcChunkStats(docs: DataFrame, idCol: String, textCol: String,
+                    window: Int = 8, maskMod: Int = 64): DataFrame = {
+    require(window >= 2 && maskMod >= 2, s"cdc window=$window maskMod=$maskMod")
+    val t = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    // boundary AFTER position i when the i-ending window-gram ≡ 0 (mod
+    // maskMod); bounds = 0 ++ boundaries ++ len, chunks between — the
+    // final empty span (boundary at len) filters out
+    // guard the position range: Spark's sequence(a, b) DESCENDS when
+    // b < a, so short texts would fabricate positions — emit no
+    // boundary candidates instead (the whole text is one chunk)
+    val bounds = concat(
+      array(lit(0)),
+      when(length(t) >= window,
+        filter(
+          transform(sequence(lit(window), length(t)),
+            i => when(FastHash.md5Head60(substr(t, i - lit(window - 1), lit(window)))
+                % maskMod === 0, i)),
+          x => x.isNotNull))
+        .otherwise(array().cast("array<int>")),
+      array(length(t)))
+    val chunks = filter(
+      transform(sequence(lit(1), size(bounds) - 1),
+        j => substr(t, element_at(bounds, j) + 1,
+          element_at(bounds, j + 1) - element_at(bounds, j))),
+      c => length(c) > 0)
+    val inst = docs
+      .select(col(idCol).as("doc_id"), explode(chunks).as("chunk"))
+      .select(col("doc_id"), FastHash.md5Head60(col("chunk")).as("fp"),
+        length(col("chunk")).cast("long").as("clen"))
+    val freq = inst.groupBy("fp").agg(count(lit(1)).as("n_fp"))
+    val perDoc = inst.join(freq, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_fp") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("n_fp") >= 2, col("clen")).otherwise(0L)).as("dup_chars"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+  }
 }

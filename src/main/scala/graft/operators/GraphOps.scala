@@ -764,6 +764,54 @@ object GraphOps {
   }
 
   /**
+   * The NEIGHBORHOOD FUNCTION N(t) = Σ_v |B(v,t)| via the same
+   * HyperBall register recurrence as [[hyperBallHarmonic]] — the
+   * graph-scale distance-distribution summary (Palmer et al.'s ANF,
+   * KDD 2002; Boldi–Vigna's HyperBall is its HLL form): one row per
+   * round with the estimated reachable-pair count, its cumulative
+   * share of the final round's mass (ppm), and the ≥90% flag whose
+   * first true row IS the effective diameter — the number a 100 TB
+   * graph job reads to size any fixed-round unrolling (PageRank
+   * depth, component rounds) before paying for it.
+   *
+   * Scale shape: identical to [[hyperBallHarmonic]] per round, plus
+   * ONE register-table-sized aggregate per round folding to a single
+   * row — output is `rounds+1` rows total, driver-safe at any graph
+   * size. Deterministic-HLL discipline throughout; the DuckDB oracle
+   * replays every round's register table and the final ppm fold.
+   */
+  def hyperBallNeighborhood(edges: DataFrame, rounds: Int, p: Int = 8): DataFrame = {
+    require(rounds >= 1 && rounds <= 32, s"hyperBallNeighborhood rounds=$rounds")
+    val und = undirect(edges).localCheckpoint()
+    val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val nodes = adj.select(col("a").as("node")).distinct()
+    var regs = SketchOps.hllRegisters(
+        nodes.select(col("node"), col("node").as("_v")), Seq("node"), "_v", p)
+      .localCheckpoint()
+    def roundSum(t: Int): DataFrame =
+      SketchOps.hllFromRegisters(regs, Seq("node"), p)
+        .agg(sum(col("est_milli")).as("npairs_milli"))
+        .select(lit(t.toLong).as("t"), col("npairs_milli"))
+    var out = roundSum(0)
+    for (t <- 1 to rounds) {
+      val msgs = adj.join(regs, adj("b") === regs("node"))
+        .select(adj("a").as("node"), regs("_idx"), regs("_r"))
+      regs = regs.union(msgs)
+        .groupBy("node", "_idx").agg(max(col("_r")).as("_r"))
+        .localCheckpoint()
+      out = out.union(roundSum(t))
+    }
+    val fin = out.filter(col("t") === rounds)
+      .select(col("npairs_milli").as("_final"))
+    out.crossJoin(fin) // one-row broadcast
+      .select(col("t"), col("npairs_milli"),
+        IntDiv(col("npairs_milli") * 1000000L, col("_final"))
+          .cast("long").as("frac_ppm"))
+      .withColumn("ge90", col("frac_ppm") >= 900000L)
+  }
+
+  /**
    * Connected components by ALTERNATING star contraction (the
    * two-phase small-star/large-star algorithm of Kiveris et al.,
    * "Connected Components in MapReduce and Beyond", SoCC 2014) — the

@@ -529,6 +529,31 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hyperBallNeighborhood: N(t) monotone, saturates at the diameter, ge90 marks effective diameter") {
+    val ss = spark; import ss.implicits._
+    // path 0-1-2-3-4-5 + chord 1-4 (diameter 3, same graph as the
+    // harmonic spec): N(t) grows until t=3 then freezes
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("src", "dst")
+    val got = GraphOps.hyperBallNeighborhood(e, rounds = 5).orderBy("t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.length == 6)
+    // monotone nondecreasing mass; rounds past the diameter identical
+    for (i <- 1 until got.length)
+      assert(got(i)._2 >= got(i - 1)._2, s"N(t) not monotone at $i: $got")
+    assert(got(3)._2 == got(4)._2 && got(4)._2 == got(5)._2,
+      s"N(t) must freeze at the diameter: $got")
+    // final frac is exactly 1e6; t=0 (6 singleton balls of 36 pairs
+    // total possible) is well under 90%
+    assert(got.last._3 == 1000000L && got.last._4)
+    assert(!got(0)._4, s"t=0 cannot carry 90% of the mass: $got")
+    // effective diameter on this graph: the first ge90 row is t=2 or 3
+    // (exact balls: N(2)=26 of N(3)=30 pairs = 86.7% -> first ge90 is 3
+    // modulo HLL wobble; pin it is <= 3 and >= 2)
+    val firstGe90 = got.find(_._4).get._1
+    assert(firstGe90 >= 2L && firstGe90 <= 3L, s"effective diameter $firstGe90: $got")
+  }
+
   test("componentsStars agrees with converged hash-min and is orientation/dup-proof") {
     val ss = spark; import ss.implicits._
     val e = Seq(("b", "a"), ("b", "c"), ("c", "d"), ("c", "d"), ("y", "x"), ("x", "y"))

@@ -751,6 +751,36 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rq >= rb, s"query-directed recall $rq < Hamming-1 blanket $rb at the same budget")
   }
 
+  test("cdcChunkStats: identical docs fully duplicated; splice shifts no downstream chunk; distinct docs clean") {
+    val ss = spark; import ss.implicits._
+    // ~600 varied chars so several content-defined boundaries land
+    val a = (1 to 120).map(i => s"w${i * 7 % 97}").mkString(" ")
+    val docs = Seq(
+      (1L, a),
+      (2L, a),                   // exact copy: every chunk duplicated
+      (3L, "zzz qq " + a),       // splice: chunks after the first post-
+                                 // splice boundary realign with doc 1
+      (4L, "totally different content with no overlap whatsoever here"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = DedupOps.cdcChunkStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val byId = got.map(r => r._1 -> r).toMap
+    val norm = a.length.toLong // already lower/space-normalized
+    // docs 1 and 2 are identical: every chunk of each is duplicated
+    assert(byId(1L)._2 >= 2, s"expected several chunks, got ${byId(1L)}")
+    assert(byId(1L)._2 == byId(1L)._3 && byId(1L)._4 == norm, s"doc1 ${byId(1L)}")
+    assert(byId(2L) == (2L, byId(1L)._2, byId(1L)._3, byId(1L)._4))
+    // the CDC property: the junk prefix shifts every character 7 right,
+    // yet most of doc 3's mass still matches doc 1's chunks (a fixed-
+    // stride blocker would misalign ALL of it)
+    assert(byId(3L)._4 >= norm / 2,
+      s"content-defined chunks must survive a prefix splice: ${byId(3L)} vs $norm")
+    // unrelated and empty docs are clean
+    assert(byId(4L)._3 == 0L && byId(4L)._4 == 0L)
+    assert(byId(5L) == (5L, 0L, 0L, 0L))
+  }
+
   test("unigramLmVocab: hand-computed 2-round EM — Viterbi picks whole pieces, unused pieces pruned, costs refresh") {
     val ss = spark; import ss.implicits._
     // wordCnt: abcd x2, ab x2, cd x1. Seed pieces (substrings 2..4,
