@@ -737,6 +737,19 @@ object SparkEntry {
       GraphOps.hyperBallHarmonic(e1.union(e2), rounds = 3).orderBy("node")
     }),
 
+    "q54_ktruss" -> ((s, dir) => {
+      // 4-truss peeling over the banded graph: drop edges in < 2
+      // triangles of the current subgraph, 3 rounds — the community
+      // core that survives where k-core still keeps link-farm stars;
+      // support recomputed on the final subgraph (0 rows are visible
+      // non-convergence, never silent)
+      val e = events(s, dir).select(
+          (col("user_id") % 997).as("src"),
+          ((col("user_id") + get_json_object(col("props"), "$.k").cast("long")) % 997)
+            .as("dst"))
+      GraphOps.kTruss(e, k = 4, rounds = 3).orderBy("a", "b")
+    }),
+
     "q53_neighborhood" -> ((s, dir) => {
       // the neighborhood function N(t) over the q47 skip-chain graph
       // via the HyperBall registers: rounds+1 rows of reachable-pair
@@ -2550,6 +2563,24 @@ object SparkEntry {
       MultimodalOps.resampledStats(media, box = 8).orderBy("media_id")
     }),
 
+    "m_media_pixels_ff" -> ((s, dir) => {
+      // farbfeld decode through the resample stage: the first 16-bit
+      // source — fixtures expand 8-bit RGBA as v*257, the decoder's
+      // high-byte downscale must invert it exactly; the exact-length
+      // contract and the per-dim bomb bound are spec-pinned. %4==3
+      // docs -> magic-less junk fallback.
+      val buildFf = udf { (docId: Long) =>
+        val w = 16; val h = 16
+        val px = Array.tabulate(w * h * 4)(i =>
+          ((docId * 11 + (i / 7) * 3 + (i % 4) * 5) % 256).toByte)
+        MultimodalOps.encodeFarbfeld(px, w, h)
+      }
+      val docs = table(s, dir, "documents").withColumn("blob",
+        when(col("doc_id") % 4 === 3, unhex(unknownHex)).otherwise(buildFf(col("doc_id"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+      MultimodalOps.resampledStats(media, box = 8).orderBy("media_id")
+    }),
+
     "m_media_pixels_qoi" -> ((s, dir) => {
       // QOI decode pinned through the resample stage: 3-pixel constant
       // groups make the encoder emit genuine RUN packets, the +5 group
@@ -3565,6 +3596,51 @@ object SparkEntry {
   }
 
   /**
+   * k-truss replay for q54: per peel round, the degree-oriented
+   * triangle enumeration (the triangleCore convention — (deg, id) row
+   * comparisons mirror Spark's struct compares), support as the
+   * 3-edges-per-triangle union aggregate, then the threshold join.
+   * Every CTE is MATERIALIZED — each is referenced 2-3× downstream
+   * and DuckDB's default inlining would re-expand the whole chain
+   * multiplicatively per round (the p_unigram_lm lesson).
+   */
+  private def ktrussOracleSql(k: Int, rounds: Int): String = {
+    val thr = k - 2
+    def roundCtes(r: Int): String =
+      s"""d$r AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+         |  SELECT a AS node FROM e$r UNION ALL SELECT b FROM e$r) z$r GROUP BY 1),
+         |o$r AS MATERIALIZED (
+         |  SELECT CASE WHEN (dx.deg, e.a) < (dy.deg, e.b) THEN e.a ELSE e.b END AS u,
+         |         CASE WHEN (dx.deg, e.a) < (dy.deg, e.b) THEN e.b ELSE e.a END AS v,
+         |         CASE WHEN (dx.deg, e.a) < (dy.deg, e.b) THEN dy.deg ELSE dx.deg END AS dv
+         |  FROM e$r e JOIN d$r dx ON dx.node = e.a JOIN d$r dy ON dy.node = e.b),
+         |t$r AS MATERIALIZED (
+         |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         |  FROM o$r e1 JOIN o$r e2 ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)
+         |  JOIN o$r e3 ON e3.u = e1.v AND e3.v = e2.v),
+         |s$r AS MATERIALIZED (
+         |  SELECT a, b, count(*)::BIGINT AS sup FROM (
+         |    SELECT least(x, y) AS a, greatest(x, y) AS b FROM t$r
+         |    UNION ALL SELECT least(x, z), greatest(x, z) FROM t$r
+         |    UNION ALL SELECT least(y, z), greatest(y, z) FROM t$r) u$r
+         |  GROUP BY 1, 2)"""
+    val peels = (0 until rounds).map { r =>
+      roundCtes(r) + ",\n" +
+        s"e${r + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e$r e JOIN s$r s USING (a, b) WHERE s.sup >= $thr)"
+    }
+    s"""WITH raw AS (
+       |  SELECT user_id % 997 AS u,
+       |         (user_id + json_extract_string(props, '$$.k')::BIGINT) % 997 AS v
+       |  FROM events),
+       |e0 AS MATERIALIZED (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw WHERE u <> v),
+       |${peels.mkString(",\n")},
+       |${roundCtes(rounds)}
+       |SELECT e.a, e.b, coalesce(s.sup, 0)::BIGINT AS support
+       |FROM e$rounds e LEFT JOIN s$rounds s USING (a, b)
+       |ORDER BY a, b""".stripMargin
+  }
+
+  /**
    * Unigram-LM EM replay for p_unigram_lm: per round, the Viterbi
    * suffix DP unrolls as maxWordLen distance-from-end CTEs (key =
    * cost·1024 + tokens, min per word), the per-position choice table
@@ -3641,6 +3717,8 @@ object SparkEntry {
     "q52_hyperball" -> hyperballOracleSql(3),
 
     "q53_neighborhood" -> neighborhoodOracleSql(4),
+
+    "q54_ktruss" -> ktrussOracleSql(4, 3),
 
     "p_unigram_lm" -> unigramLmOracleSql(2),
 
@@ -8693,6 +8771,39 @@ object SparkEntry {
     // QOI replay: the fixture's logical pixels are closed-form, so the
     // oracle computes the resampled stream directly — srcbyte for out
     // byte j is (((j//24)*2)*16 + ((j%24)//3)*2)*3 + j%3 (2x box walk)
+    // resampled-formula replay (the m_media convention: the decode
+    // round-trip is spec-pinned in sbt; the oracle recomputes the
+    // fixture pixel value at each resampled position): out j over
+    // 8x8x4 maps to src i = ((2*(j//32))*16 + 2*((j%32)//4))*4 + j%4
+    "m_media_pixels_ff" ->
+      """WITH ip AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 255),
+        |           j -> (doc_id * 11
+        |                 + (((((j // 32) * 2) * 16 + ((j % 32) // 4) * 2) * 4 + (j % 4)) // 7) * 3
+        |                 + (j % 4) * 5) % 256) AS q
+        |  FROM documents WHERE doc_id % 4 <> 3),
+        |junk AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 16),
+        |           i -> CASE WHEN i = 0 THEN 0
+        |                     ELSE ('0x' || substr(upper(md5(text)), (i - 1) * 2 + 1, 2))::BIGINT END) AS b
+        |  FROM documents WHERE doc_id % 4 = 3)
+        |SELECT doc_id AS media_id, 'farbfeld' AS format, true AS decoded,
+        |       8::BIGINT AS out_w, 8::BIGINT AS out_h,
+        |       256::BIGINT AS n_vals,
+        |       ((list_sum(q) * 1000) // 256)::BIGINT AS mean_milli,
+        |       len(list_distinct(q))::BIGINT AS distinct_vals,
+        |       list_max(q)::BIGINT AS max_val
+        |FROM ip
+        |UNION ALL
+        |SELECT doc_id AS media_id, 'unknown' AS format, false AS decoded,
+        |       0::BIGINT, 0::BIGINT, 17::BIGINT,
+        |       ((list_sum(b) * 1000) // 17)::BIGINT,
+        |       len(list_distinct(b))::BIGINT, list_max(b)::BIGINT
+        |FROM junk
+        |ORDER BY media_id""".stripMargin,
+
     "m_media_pixels_qoi" ->
       """WITH ip AS (
         |  SELECT doc_id,

@@ -255,6 +255,75 @@ object GraphOps {
   }
 
   /**
+   * Per-EDGE triangle support in canonical (a, b) form — the
+   * [[triangleCore]] enumeration (degree orientation, each triangle
+   * once) re-keyed to its three edges. Support is the k-truss
+   * peeling currency.
+   */
+  private def trussSupport(und: DataFrame): DataFrame = {
+    val deg = degrees(und)
+    val fwd = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val oriented = und
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+      .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
+        when(fwd, col("b")).otherwise(col("a")).as("v"),
+        when(fwd, col("db")).otherwise(col("da")).as("dv"))
+      .localCheckpoint()
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") &&
+          struct(col("e1.dv"), col("e1.v")) < struct(col("e2.dv"), col("e2.v")))
+      .join(oriented.as("e3"),
+        col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+    tri.select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .union(tri.select(least(col("x"), col("z")).as("a"), greatest(col("x"), col("z")).as("b")))
+      .union(tri.select(least(col("y"), col("z")).as("a"), greatest(col("y"), col("z")).as("b")))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+  }
+
+  /**
+   * k-TRUSS peeling (Cohen, "Trusses: cohesive subgraphs for social
+   * network analysis", NSA TR 2008): `rounds` iterations of "drop
+   * every edge in fewer than k−2 triangles of the CURRENT subgraph,
+   * recompute". The truss is the community-core detector a crawl
+   * graph pipeline runs above k-core — k-core keeps hubs with many
+   * weak ties, k-truss demands the ties triangulate, so link farms
+   * (stars with no closure) peel away while genuine communities
+   * survive. With `rounds` ≥ the peel depth the output IS the
+   * k-truss; fixed rounds keep the fold engine-replayable (the
+   * connectedComponents convention — the oracle unrolls the same
+   * count).
+   *
+   * Scale shape per round: support is the [[triangleCore]] plan —
+   * degree-oriented wedges (out-degree O(√m), hub-proof), two equi
+   * joins, one edge-keyed aggregate; the peel is one edge-keyed
+   * join. `localCheckpoint` pins each round's edge set (caller
+   * releases via graft.core.Blocks). Rounds compose as independent
+   * scans of a shrinking frame — the classic monotone-peeling shape.
+   *
+   * Output: surviving (a, b, support) with support measured on the
+   * FINAL subgraph (0 for edges whose last triangles died in the
+   * final peel — visible non-convergence, never silent).
+   */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3 && k <= 64, s"kTruss k=$k")
+    require(rounds >= 1 && rounds <= 8, s"kTruss rounds=$rounds")
+    val thr = (k - 2).toLong
+    var e = undirect(edges).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      e = e.join(trussSupport(e), Seq("a", "b"))
+        .filter(col("support") >= thr)
+        .select("a", "b")
+        .localCheckpoint()
+    }
+    e.join(trussSupport(e), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /**
    * Local clustering coefficient per node: `2·T / (deg·(deg−1))` in
    * integer MICRO units (`floor`-divided, so both engines derive the
    * same LONG from the same exact T and deg — no float ratio to

@@ -196,6 +196,10 @@ object MultimodalOps {
               case m if m.format == "pcx" && px.length == m.width * m.height * m.channels =>
                 ("pcx", px, m.width.toInt, m.height.toInt, m.channels.toInt)
             }))
+            .orElse(decodeFarbfeldPixels(content).flatMap(px => hdr.collect {
+              case m if m.format == "farbfeld" && px.length == m.width * m.height * 4 =>
+                ("farbfeld", px, m.width.toInt, m.height.toInt, 4)
+            }))
           decoded match {
             case Some((f, px, w, h, ch)) =>
               val (out, ow, oh) = resample(px, w, h, ch)
@@ -279,6 +283,10 @@ object MultimodalOps {
             .orElse(decodePcxPixels(content).flatMap(px => hdr.collect {
               case m if m.format == "pcx" && px.length == m.width * m.height * m.channels =>
                 ("pcx", px, m.width.toInt, m.height.toInt, m.channels.toInt)
+            }))
+            .orElse(decodeFarbfeldPixels(content).flatMap(px => hdr.collect {
+              case m if m.format == "farbfeld" && px.length == m.width * m.height * 4 =>
+                ("farbfeld", px, m.width.toInt, m.height.toInt, 4)
             }))
           decoded match {
             case Some((f, px, w, h, ch)) =>
@@ -466,6 +474,13 @@ object MultimodalOps {
         val w = u32be(b, 4); val h = u32be(b, 8)
         if (w > 0L && h > 0L) return Some(MediaHeader("qoi", w, h, ch.toLong, 0L))
       }
+      return None
+    }
+    // farbfeld: 8-byte ASCII magic, u32be dims, 16-bit RGBA (suckless)
+    if (b.length >= 16 && b(0) == 'f' && b(1) == 'a' && b(2) == 'r' && b(3) == 'b' &&
+        b(4) == 'f' && b(5) == 'e' && b(6) == 'l' && b(7) == 'd') {
+      val w = u32be(b, 8); val h = u32be(b, 12)
+      if (w > 0L && h > 0L) return Some(MediaHeader("farbfeld", w, h, 4L, 0L))
       return None
     }
     // ICO: 00 00 01 00 + count, dims from the first entry's DIB
@@ -1680,6 +1695,61 @@ object MultimodalOps {
     * RUN for repeats (flushed at 62), INDEX on a seen-array hit, then
     * DIFF / LUMA on wrapping deltas, RGB(A) as the fallback. `px` is
     * the row-major RGB(A) stream. */
+  /**
+   * farbfeld decode — suckless.org's deliberately trivial lossless
+   * format (tools.suckless.org/farbfeld): 8-byte magic "farbfeld",
+   * u32be width/height, then w·h RGBA pixels of four u16be components
+   * each. The repo's first 16-bit-depth source: components downscale
+   * to 8 bits by taking the HIGH byte (the exact inverse of the
+   * standard v·257 8→16 expansion, so 8-bit-origin images round-trip
+   * bit-exactly). The stream length must be EXACTLY 16 + w·h·8 bytes
+   * — trailing garbage or truncation refuses (None → honest
+   * compressed-blob fallback), as do dimension bombs (each dim bounds
+   * BEFORE the w·h multiply — the QOI overflow lesson).
+   */
+  private[graft] def decodeFarbfeldPixels(b: Array[Byte],
+                                          maxPixelBytes: Int = 1 << 26): Option[Array[Byte]] = {
+    if (b == null || b.length < 16) return None
+    if (!(b(0) == 'f' && b(1) == 'a' && b(2) == 'r' && b(3) == 'b' &&
+        b(4) == 'f' && b(5) == 'e' && b(6) == 'l' && b(7) == 'd')) return None
+    val w = u32be(b, 8)
+    val h = u32be(b, 12)
+    if (w <= 0L || h <= 0L) return None
+    if (w > maxPixelBytes || h > maxPixelBytes) return None
+    val total = w * h * 4L // overflow-free: both factors bounded above
+    if (total > maxPixelBytes) return None
+    if (b.length.toLong != 16L + total * 2L) return None
+    val n = total.toInt
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      out(i) = b(16 + i * 2) // high byte of the u16be component
+      i += 1
+    }
+    Some(out)
+  }
+
+  /** Fixture encoder for [[decodeFarbfeldPixels]]: 8-bit RGBA expands
+    * to 16 bits as v·257 (hi = lo = v, the reference expansion). */
+  private[graft] def encodeFarbfeld(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && px.length == w * h * 4, "px must be w*h*4 RGBA")
+    val out = new Array[Byte](16 + px.length * 2)
+    val magic = "farbfeld".getBytes("US-ASCII")
+    System.arraycopy(magic, 0, out, 0, 8)
+    def be32(o: Int, v: Int): Unit = {
+      out(o) = ((v >>> 24) & 0xff).toByte; out(o + 1) = ((v >>> 16) & 0xff).toByte
+      out(o + 2) = ((v >>> 8) & 0xff).toByte; out(o + 3) = (v & 0xff).toByte
+    }
+    be32(8, w); be32(12, h)
+    var i = 0
+    while (i < px.length) {
+      out(16 + i * 2) = px(i)
+      out(16 + i * 2 + 1) = px(i)
+      i += 1
+    }
+    out
+  }
+
   private[graft] def encodeQoi(px: Array[Byte], w: Int, h: Int,
                                channels: Int = 3): Array[Byte] = {
     require(channels == 3 || channels == 4, "QOI is 3 or 4 channels")

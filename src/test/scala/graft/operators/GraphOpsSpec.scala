@@ -554,6 +554,31 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(firstGe90 >= 2L && firstGe90 <= 3L, s"effective diameter $firstGe90: $got")
   }
 
+  test("kTruss: K4 survives k=4, weak triangle survives only k=3, shared-edge pair cascades to empty") {
+    val ss = spark; import ss.implicits._
+    // K4 on 1-4, pendant 4-5, lone triangle 5-6-7
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (5L, 7L), (6L, 7L)).toDF("src", "dst")
+    val t4 = GraphOps.kTruss(g, k = 4, rounds = 2).orderBy("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // only K4 remains; every K4 edge sits in 2 triangles of K4
+    assert(t4 == Seq((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)), s"got $t4")
+    // k=3 keeps both triangle communities, drops only the pendant
+    val t3 = GraphOps.kTruss(g, k = 3, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t3 == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (5L, 7L), (6L, 7L)), s"got $t3")
+    // peeling CASCADE: two triangles sharing edge (2,3) — at k=4 the
+    // shared edge alone survives round 1 (support 2) but its triangles
+    // died with the others, so round 2 clears it
+    val pair = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val r1 = GraphOps.kTruss(pair, k = 4, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(r1 == Seq((2L, 3L, 0L)), s"round 1 must keep only the shared edge at support 0: $r1")
+    assert(GraphOps.kTruss(pair, k = 4, rounds = 2).count() == 0L)
+  }
+
   test("componentsStars agrees with converged hash-min and is orientation/dup-proof") {
     val ss = spark; import ss.implicits._
     val e = Seq(("b", "a"), ("b", "c"), ("c", "d"), ("c", "d"), ("y", "x"), ("x", "y"))

@@ -461,6 +461,33 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MultimodalOps.decodeQoiPixels(big).isEmpty)
   }
 
+  test("decodeFarbfeldPixels: 16-bit round-trip, exact-length contract, hostile dims refuse") {
+    val w = 5; val h = 4
+    val px = Array.tabulate(w * h * 4)(i => (i * 11 + 3).toByte)
+    val ff = MultimodalOps.encodeFarbfeld(px, w, h)
+    assert(MultimodalOps.decodeFarbfeldPixels(ff).exists(_.sameElements(px)))
+    assert(MultimodalOps.parseHeader(ff)
+      .contains(MultimodalOps.MediaHeader("farbfeld", w, h, 4, 0L)))
+    // high-byte downscale: a true 16-bit component (hi=0x12, lo=0x99)
+    // reads back 0x12 — patch one component's low byte and re-decode
+    val hi16 = ff.clone(); hi16(16 + 1) = 0x99.toByte
+    assert(MultimodalOps.decodeFarbfeldPixels(hi16).exists(p => p(0) == px(0)))
+    // length is exact: trailing garbage and truncation both refuse
+    assert(MultimodalOps.decodeFarbfeldPixels(ff :+ 0.toByte).isEmpty)
+    assert(MultimodalOps.decodeFarbfeldPixels(ff.dropRight(1)).isEmpty)
+    // wrong magic
+    val bad = ff.clone(); bad(7) = 'x'
+    assert(MultimodalOps.decodeFarbfeldPixels(bad).isEmpty)
+    // dims bomb: w = h = 0x80000000 wraps w*h*4 without the per-dim
+    // bound; must refuse (the QOI overflow lesson)
+    val bomb = "farbfeld".getBytes("US-ASCII") ++
+      Array[Int](0x80, 0, 0, 0, 0x80, 0, 0, 0).map(_.toByte)
+    assert(MultimodalOps.decodeFarbfeldPixels(bomb).isEmpty)
+    // zero dims refuse
+    val z = ff.clone(); z(8) = 0; z(9) = 0; z(10) = 0; z(11) = 0
+    assert(MultimodalOps.decodeFarbfeldPixels(z).isEmpty)
+  }
+
   test("decodeTgaPixels: raw/RLE x top-down/bottom-up round-trip; refuses hostile") {
     val w = 9; val h = 6
     // pair-run stream: each value repeats for two pixels, so the RLE
