@@ -2807,6 +2807,16 @@ object SparkEntry {
       DedupOps.cdcChunkStats(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "p_fps_diverse" -> ((s, dir) => {
+      // farthest-point (k-center greedy) diversity sample over the
+      // embedding corpus: 6 rounds of "take the point farthest from
+      // everything chosen", running min-dist folded against the
+      // latest centroid only — one scan per round, k vectors to the
+      // driver, the coreset selector near-dup-heavy corpora need
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      SimilarityOps.farthestPointSample(e, k = 6).orderBy("rank")
+    }),
+
     "p_unigram_lm" -> ((s, dir) =>
       // the full unigram-LM EM trainer over that seed (Kudo ACL-2018):
       // 2 rounds of deterministic Viterbi E-step (integer micro-nat
@@ -3596,6 +3606,39 @@ object SparkEntry {
   }
 
   /**
+   * Farthest-point-sampling replay for p_fps_diverse: the greedy
+   * unrolls — per round one argmax (dist DESC, id ASC, LIMIT 1) and
+   * one least-fold of the running min-dist against the new centroid.
+   * Distances round to 6 dp at every step exactly like the Spark
+   * fold; CTEs MATERIALIZED (each d/s is read twice downstream).
+   */
+  private def fpsOracleSql(k: Int): String = {
+    def cos(a: String, b: String): String =
+      s"""list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE)) /
+         |               (sqrt(list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $a.embedding[i]::DOUBLE))) *
+         |                sqrt(list_sum(list_transform(range(1, 65), i -> $b.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE))))"""
+        .stripMargin
+    val rounds = (2 to k).map { r =>
+      s"""s$r AS MATERIALIZED (SELECT id, embedding, dist FROM d${r - 1} ORDER BY dist DESC, id ASC LIMIT 1),
+         |d$r AS MATERIALIZED (
+         |  SELECT d.id, d.embedding,
+         |         least(d.dist, round(1.0 - ${cos("d", "s")}, 6)) AS dist
+         |  FROM d${r - 1} d, s$r s WHERE d.id <> s.id)"""
+    }
+    val finals = (s"SELECT 1::BIGINT AS rank, id AS vec_id, 0.0 AS dist FROM s1" +:
+      (2 to k).map(r => s"SELECT $r::BIGINT, id, dist FROM s$r")).mkString("\nUNION ALL ")
+    s"""WITH c AS MATERIALIZED (SELECT vec_id AS id, embedding FROM embeddings),
+       |s1 AS MATERIALIZED (SELECT id, embedding FROM c ORDER BY id LIMIT 1),
+       |d1 AS MATERIALIZED (
+       |  SELECT c.id, c.embedding,
+       |         round(1.0 - ${cos("c", "s")}, 6) AS dist
+       |  FROM c, s1 s WHERE c.id <> s.id),
+       |${rounds.mkString(",\n")}
+       |$finals
+       |ORDER BY rank""".stripMargin
+  }
+
+  /**
    * k-truss replay for q54: per peel round, the degree-oriented
    * triangle enumeration (the triangleCore convention — (deg, id) row
    * comparisons mirror Spark's struct compares), support as the
@@ -3719,6 +3762,8 @@ object SparkEntry {
     "q53_neighborhood" -> neighborhoodOracleSql(4),
 
     "q54_ktruss" -> ktrussOracleSql(4, 3),
+
+    "p_fps_diverse" -> fpsOracleSql(6),
 
     "p_unigram_lm" -> unigramLmOracleSql(2),
 

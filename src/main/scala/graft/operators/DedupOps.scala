@@ -1245,32 +1245,16 @@ object DedupOps {
   def cdcChunkStats(docs: DataFrame, idCol: String, textCol: String,
                     window: Int = 8, maskMod: Int = 64): DataFrame = {
     require(window >= 2 && maskMod >= 2, s"cdc window=$window maskMod=$maskMod")
+    // chunking is the fused one-pass kernel ([[Shingles.cdcChunks]]):
+    // the column formulation re-evaluated the normalization subtree
+    // per POSITION once CollapseProject inlined it into the per-
+    // element lambda — 582 s at sf0.1 vs seconds fused (the winnow
+    // lesson; equivalence pinned against [[cdcChunksReference]])
     val t = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
-    // boundary AFTER position i when the i-ending window-gram ≡ 0 (mod
-    // maskMod); bounds = 0 ++ boundaries ++ len, chunks between — the
-    // final empty span (boundary at len) filters out
-    // guard the position range: Spark's sequence(a, b) DESCENDS when
-    // b < a, so short texts would fabricate positions — emit no
-    // boundary candidates instead (the whole text is one chunk)
-    val bounds = concat(
-      array(lit(0)),
-      when(length(t) >= window,
-        filter(
-          transform(sequence(lit(window), length(t)),
-            i => when(FastHash.md5Head60(substr(t, i - lit(window - 1), lit(window)))
-                % maskMod === 0, i)),
-          x => x.isNotNull))
-        .otherwise(array().cast("array<int>")),
-      array(length(t)))
-    val chunks = filter(
-      transform(sequence(lit(1), size(bounds) - 1),
-        j => substr(t, element_at(bounds, j) + 1,
-          element_at(bounds, j + 1) - element_at(bounds, j))),
-      c => length(c) > 0)
     val inst = docs
-      .select(col(idCol).as("doc_id"), explode(chunks).as("chunk"))
-      .select(col("doc_id"), FastHash.md5Head60(col("chunk")).as("fp"),
-        length(col("chunk")).cast("long").as("clen"))
+      .select(col(idCol).as("doc_id"),
+        explode(CdcChunks(t, window, maskMod)).as("c"))
+      .select(col("doc_id"), col("c.fp").as("fp"), col("c.len").as("clen"))
     val freq = inst.groupBy("fp").agg(count(lit(1)).as("n_fp"))
     val perDoc = inst.join(freq, "fp")
       .groupBy("doc_id")
@@ -1283,5 +1267,32 @@ object DedupOps {
         coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
         coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+  }
+
+  /** The pre-kernel column formulation of [[cdcChunkStats]]' chunker
+    * (equivalence-test reference; takes PRE-NORMALIZED text and
+    * returns the chunk strings): boundary positions by per-position
+    * trailing-gram hash, spans between consecutive bounds, empty
+    * final span filtered. Kept so the fused kernel's contract stays
+    * independently checkable — do NOT use on the hot path (the
+    * per-element lambda re-evaluates its inputs per position). */
+  private[graft] def cdcChunksReference(text: Column, window: Int, maskMod: Int): Column = {
+    // guard the position range: Spark's sequence(a, b) DESCENDS when
+    // b < a, so short texts would fabricate positions
+    val bounds = concat(
+      array(lit(0)),
+      when(length(text) >= window,
+        filter(
+          transform(sequence(lit(window), length(text)),
+            i => when(FastHash.md5Head60(substr(text, i - lit(window - 1), lit(window)))
+                % maskMod === 0, i)),
+          x => x.isNotNull))
+        .otherwise(array().cast("array<int>")),
+      array(length(text)))
+    filter(
+      transform(sequence(lit(1), size(bounds) - 1),
+        j => substr(text, element_at(bounds, j) + 1,
+          element_at(bounds, j + 1) - element_at(bounds, j))),
+      c => length(c) > 0)
   }
 }

@@ -218,6 +218,63 @@ object Shingles {
     new GenericArrayData(if (outLen == out.length) out else java.util.Arrays.copyOf(out, outLen))
   }
 
+  /**
+   * Fused content-defined-chunking kernel for
+   * [[DedupOps.cdcChunkStats]]: one pass over the (already
+   * whitespace-normalized) text emitting (chunk md5Head60, chunk
+   * char length) structs. The column formulation (transform/filter
+   * over positions with a per-element substr+md5) re-evaluated the
+   * whole normalization subtree PER POSITION once CollapseProject
+   * inlined it into the lambda — measured 582 s of d_dedup_cdc at
+   * sf0.1 before this kernel (the winnowFps lesson, round 13's
+   * instance of it).
+   *
+   * Exact-equivalence contract (pinned in OperatorSpec against
+   * [[DedupOps.cdcChunksReference]]):
+   *  - boundary AFTER char position p (1-based, p ≥ window) iff the
+   *    trailing window-gram's md5Head60 ≡ 0 (mod maskMod) — grams are
+   *    CHARACTER substrings via the UTF-8 char-offset walk, byte-
+   *    identical to DuckDB's char-indexed substr feeding md5;
+   *  - chunks are the spans between consecutive bounds (0 and len
+   *    implicit); the empty final span (boundary AT len) drops;
+   *  - fp = md5Head60 of the chunk's bytes, len = chunk CHAR count.
+   */
+  def cdcChunks(s: UTF8String, window: Int, maskMod: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val charOff = new Array[Int](n + 1)
+    var nChars = 0
+    var i = 0
+    while (i < n) {
+      if ((bytes(i) & 0xc0) != 0x80) { charOff(nChars) = i; nChars += 1 }
+      i += 1
+    }
+    charOff(nChars) = n
+    if (nChars == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[Any]()
+    var start = 0
+    var cpos = window
+    while (cpos <= nChars) {
+      val from = charOff(cpos - window)
+      val h = FastMd5.md5Head60Bytes(bytes, from, charOff(cpos) - from)
+      if (h % maskMod == 0) {
+        val cf = charOff(start)
+        out.add(org.apache.spark.sql.catalyst.InternalRow(
+          FastMd5.md5Head60Bytes(bytes, cf, charOff(cpos) - cf),
+          (cpos - start).toLong))
+        start = cpos
+      }
+      cpos += 1
+    }
+    if (nChars > start) {
+      val cf = charOff(start)
+      out.add(org.apache.spark.sql.catalyst.InternalRow(
+        FastMd5.md5Head60Bytes(bytes, cf, charOff(nChars) - cf),
+        (nChars - start).toLong))
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   @inline private def isSpace(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
 }
@@ -270,6 +327,27 @@ object NgramMd5Heads {
   def apply(text: Column, w: Int): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(NgramMd5HeadsExpr(GraftColumnBridge.expression(text), w))
+  }
+}
+
+/** See [[Shingles.cdcChunks]]. */
+case class CdcChunksExpr(child: Expression, window: Int, maskMod: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("fp", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("len", LongType, nullable = false))),
+    containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Shingles.cdcChunks(input.asInstanceOf[UTF8String], window, maskMod)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.operators.Shingles.cdcChunks($c, $window, $maskMod)")
+  override protected def withNewChildInternal(c: Expression): CdcChunksExpr = copy(child = c)
+}
+
+object CdcChunks {
+  def apply(text: Column, window: Int, maskMod: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(CdcChunksExpr(GraftColumnBridge.expression(text), window, maskMod))
   }
 }
 

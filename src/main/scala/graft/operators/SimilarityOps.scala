@@ -97,6 +97,68 @@ object SimilarityOps {
   }
 
   /**
+   * Farthest-point sampling (Gonzalez's 2-approximate k-center greedy,
+   * TCS 1985) — the DIVERSITY selector a training-data pipeline runs
+   * where top-k similarity would pick near-duplicates: seed with the
+   * smallest id, then `k−1` rounds of "take the point whose min
+   * cosine-distance to everything chosen so far is LARGEST" (ties to
+   * the smaller id). The classic coreset/dedup-complement primitive:
+   * prompts for eval sets, centroids for curriculum buckets, probe
+   * sets for embedding audits.
+   *
+   * Determinism: distances round to 6 dp at every step (the repo
+   * cosine convention) BEFORE min/argmax, ties break on id, and the
+   * chosen vectors enter the plan as literals — the DuckDB oracle
+   * replays the full greedy unrolled.
+   *
+   * Scale shape: each round is ONE corpus scan (the running min-dist
+   * column folds `least(dist, newDist)` against the latest centroid
+   * only — no re-scan of earlier centroids), and only the k chosen
+   * vectors ever reach the driver (model-sized, the codebook
+   * convention). k scans of the corpus is the honest FPS cost; at
+   * 100 TB run it over a pre-sampled pool (the standard two-stage
+   * coreset recipe) — the operator itself stays scan-shaped either
+   * way. `localCheckpoint` pins each round's dist frame (caller
+   * releases via graft.core.Blocks).
+   *
+   * Output: (rank, vec_id, dist) — dist is the selection-time min
+   * distance to the previously chosen set (0 for the seed).
+   */
+  def farthestPointSample(corpus: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"farthestPointSample k=$k")
+    val spark = corpus.sparkSession
+    val c = corpus.select(col("id"), asDouble(col("embedding")).as("cv"))
+      .localCheckpoint()
+    val seed = c.orderBy(col("id").asc).limit(1).collect()
+    require(seed.nonEmpty, "farthestPointSample: empty corpus")
+    val seedId = seed(0).getLong(0)
+    val seedVec = seed(0).getSeq[Double](1).toArray
+    var chosen = Vector[(Long, Long, Double)]((1L, seedId, 0.0))
+    var d = c.filter(col("id") =!= seedId)
+      .withColumn("dist",
+        round(lit(1.0) - cosine(col("cv"), typedLit(seedVec)), 6))
+      .localCheckpoint()
+    var r = 2
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val top = d.orderBy(col("dist").desc, col("id").asc).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val tid = top(0).getLong(0)
+        val tvec = top(0).getSeq[Double](1).toArray
+        chosen :+= ((r.toLong, tid, top(0).getDouble(2)))
+        d = d.filter(col("id") =!= tid)
+          .withColumn("dist", least(col("dist"),
+            round(lit(1.0) - cosine(col("cv"), typedLit(tvec)), 6)))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    import spark.implicits._
+    chosen.toDF("rank", "vec_id", "dist")
+  }
+
+  /**
    * Cosine RANGE search: every corpus neighbor whose similarity meets
    * the threshold, per query — the radius-retrieval mode next to
    * [[bruteForceTopK]]'s top-k (dedup and recall audits ask "everything

@@ -165,6 +165,29 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "fused winnow kernel must produce exactly the md5-head window-min distinct set")
   }
 
+  test("fused CDC chunk kernel is value-identical to the column formulation") {
+    val ss = spark; import ss.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+      .union(Seq(
+        (910001L, ""),                                  // empty -> no chunks
+        (910002L, "short"),                             // < window -> one whole-text chunk
+        (910003L, "многоязычный текст с юникодом и ещё немного про chunking"),
+        (910004L, "  spaced\t\tout\n\nwhitespace   runs collapse here  "),
+        (910005L, ("w" * 7 + " ") * 40)                 // periodic text -> repeated chunks
+      ).toDF("id", "text"))
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val fused = docs.select(col("id"), explode(CdcChunks(norm, 8, 64)).as("c"))
+      .select(col("id"), col("c.fp").as("fp"), col("c.len").as("len"))
+    val columnar = docs
+      .select(col("id"), explode(DedupOps.cdcChunksReference(norm, 8, 64)).as("chunk"))
+      .select(col("id"), FastHash.md5Head60(col("chunk")).as("fp"),
+        length(col("chunk")).cast("long").as("len"))
+    assert(fused.count() == columnar.count())
+    assert(fused.exceptAll(columnar).isEmpty && columnar.exceptAll(fused).isEmpty,
+      "fused CDC kernel must produce exactly the reference chunk (fp, len) multiset")
+  }
+
   test("minhash projection kernel matches the aggregation formulation") {
     val ss = spark; import ss.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -751,6 +751,26 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rq >= rb, s"query-directed recall $rq < Hamming-1 blanket $rb at the same budget")
   }
 
+  test("farthestPointSample: greedy picks geometric extremes in order; duplicate lands last at dist 0") {
+    val ss = spark; import ss.implicits._
+    val e0 = Array.fill(64)(0f); e0(0) = 1f
+    val e0n = Array.fill(64)(0f); e0n(0) = -1f
+    val e1 = Array.fill(64)(0f); e1(1) = 1f
+    val diag = Array.fill(64)(0f); diag(0) = 1f; diag(1) = 1f
+    // 1: e0 (seed, smallest id), 2: exact dup of e0, 3: orthogonal e1,
+    // 4: antipodal -e0, 5: the e0/e1 diagonal
+    val df = Seq((1L, e0.toSeq), (2L, e0.toSeq), (3L, e1.toSeq),
+        (4L, e0n.toSeq), (5L, diag.toSeq))
+      .toDF("id", "embedding")
+      .select(col("id"), col("embedding").cast("array<float>").as("embedding"))
+    val got = SimilarityOps.farthestPointSample(df, k = 6).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // greedy order: seed 1, antipode 4 (dist 2), orthogonal 3 (dist 1),
+    // diagonal 5 (1 - 1/sqrt2), dup 2 (dist 0); k=6 exhausts at 5 rows
+    assert(got == Seq((1L, 1L, 0.0), (2L, 4L, 2.0), (3L, 3L, 1.0),
+      (4L, 5L, 0.292893), (5L, 2L, 0.0)), s"got $got")
+  }
+
   test("cdcChunkStats: identical docs fully duplicated; splice shifts no downstream chunk; distinct docs clean") {
     val ss = spark; import ss.implicits._
     // ~600 varied chars so several content-defined boundaries land
