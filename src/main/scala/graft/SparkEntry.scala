@@ -932,6 +932,15 @@ object SparkEntry {
       EventOps.sessionize(events(s, dir), "user_id", "tsec", gapSec = 1800L, "value")
         .orderBy("user_id", "session_start")),
 
+    "q55_survival" -> ((s, dir) =>
+      // discrete-time conversion hazard (life-table form): first
+      // signup -> first at-or-after purchase, 1 h buckets; per bucket
+      // n_risk / n_conv / hazard ppm / cumulative conversion ppm —
+      // never-converters hold n_risk up (no censoring time modeled)
+      EventOps.conversionHazard(events(s, dir), "user_id", "tsec",
+          "event_type", from = "signup", to = "purchase", bucketSec = 3600L)
+        .orderBy("bucket")),
+
     "q10_asof" -> ((s, dir) => {
       // attribution as-of join: each purchase matched to the latest
       // at-or-before view by the same user — union + one running
@@ -3764,6 +3773,33 @@ object SparkEntry {
     "q54_ktruss" -> ktrussOracleSql(4, 3),
 
     "p_fps_diverse" -> fpsOracleSql(6),
+
+    // life-table replay: per-user firsts, at-or-after conversion,
+    // bucket counts, one cumulative window, integer ppm ratios
+    "q55_survival" ->
+      """WITH f AS (
+        |  SELECT user_id AS u, min(CAST(floor(epoch(ts)) AS BIGINT)) AS t0
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |c AS (
+        |  SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS tc
+        |  FROM events WHERE event_type = 'purchase'),
+        |s AS (
+        |  SELECT f.u, min(f.t0) AS t0,
+        |         min(CASE WHEN c.tc >= f.t0 THEN c.tc END) AS tc
+        |  FROM f LEFT JOIN c ON c.u = f.u GROUP BY 1),
+        |b AS (SELECT CASE WHEN tc IS NOT NULL THEN (tc - t0) // 3600 END AS bucket FROM s),
+        |tot AS (SELECT count(*)::BIGINT AS n_total FROM b),
+        |d AS (SELECT bucket, count(*)::BIGINT AS n_conv FROM b WHERE bucket IS NOT NULL GROUP BY 1),
+        |w AS (
+        |  SELECT bucket, n_conv,
+        |         coalesce(sum(n_conv) OVER (ORDER BY bucket
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS prior
+        |  FROM d)
+        |SELECT bucket::BIGINT AS bucket,
+        |       (tot.n_total - prior)::BIGINT AS n_risk, n_conv,
+        |       (n_conv * 1000000 // (tot.n_total - prior))::BIGINT AS hazard_ppm,
+        |       ((prior + n_conv) * 1000000 // tot.n_total)::BIGINT AS cum_conv_ppm
+        |FROM w, tot ORDER BY bucket""".stripMargin,
 
     "p_unigram_lm" -> unigramLmOracleSql(2),
 

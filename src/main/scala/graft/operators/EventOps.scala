@@ -428,4 +428,58 @@ object EventOps {
         graft.operators.IntDiv(col("n") * 1000000L, col("n_from")).cast("long")
           .as("share_ppm"))
   }
+
+  /**
+   * Conversion HAZARD table (the discrete-time life-table form of
+   * survival analysis): subjects are users with a `from` event;
+   * conversion time is their first `to` event at or after their first
+   * `from`; delays bucket by `bucketSec`. Per bucket: n_risk (subjects
+   * not yet converted entering the bucket), n_conv, the discrete
+   * hazard d/n_risk in ppm, and cumulative conversion in ppm — the
+   * "when do signups purchase" curve a funnel count can't show.
+   * Never-converters stay at risk in every bucket (no censoring time
+   * is modeled — the conservative life-table reading; a study-window
+   * cutoff would join an end-of-observation column the same way).
+   * All integer arithmetic, oracle-replayable.
+   *
+   * Scale shape: two filtered scans fold to per-user firsts (map-side
+   * combined), one user-keyed left join, a bucket-sized aggregate,
+   * then ONE unpartitioned window over bucket-cardinality rows (the
+   * ksDrift convention: aggregate-output-sized by construction) and a
+   * one-row total broadcast. Nothing user-quadratic anywhere.
+   *
+   * Output: (bucket, n_risk, n_conv, hazard_ppm, cum_conv_ppm).
+   */
+  def conversionHazard(events: DataFrame, userCol: String, tsecCol: String,
+                       typeCol: String, from: String, to: String,
+                       bucketSec: Long = 3600L): DataFrame = {
+    require(bucketSec >= 1L, s"conversionHazard bucketSec=$bucketSec")
+    val f = events.filter(col(typeCol) === from)
+      .groupBy(col(userCol).as("u")).agg(min(col(tsecCol)).as("t0"))
+    val c = events.filter(col(typeCol) === to)
+      .select(col(userCol).as("u"), col(tsecCol).as("tc"))
+    val subj = f.join(c, Seq("u"), "left")
+      .groupBy("u")
+      .agg(min(col("t0")).as("t0"),
+        min(when(col("tc") >= col("t0"), col("tc"))).as("tc"))
+      .select(col("u"),
+        when(col("tc").isNotNull,
+          graft.operators.IntDiv(col("tc") - col("t0"), lit(bucketSec)))
+          .cast("long").as("bucket"))
+      .localCheckpoint() // feeds the total AND the bucket counts
+    val total = subj.agg(count(lit(1)).as("n_total"))
+    val d = subj.filter(col("bucket").isNotNull)
+      .groupBy("bucket").agg(count(lit(1)).as("n_conv"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("prior", coalesce(sum(col("n_conv")).over(w), lit(0L)))
+      .crossJoin(total) // one-row broadcast
+      .select(col("bucket"),
+        (col("n_total") - col("prior")).as("n_risk"),
+        col("n_conv"),
+        graft.operators.IntDiv(col("n_conv") * 1000000L,
+          col("n_total") - col("prior")).cast("long").as("hazard_ppm"),
+        graft.operators.IntDiv((col("prior") + col("n_conv")) * 1000000L,
+          col("n_total")).cast("long").as("cum_conv_ppm"))
+  }
 }

@@ -328,4 +328,24 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("click", "view", 1L, 1000000L),
       ("view", "click", 2L, 1000000L)))
   }
+
+  test("conversionHazard: life-table buckets, never-converters hold n_risk, pre-signup purchase censors") {
+    val ss = spark; import ss.implicits._
+    val ev = Seq(
+      (1L, 0L, "signup"), (1L, 1800L, "purchase"),       // bucket 0
+      (2L, 0L, "signup"), (2L, 7200L, "purchase"),       // bucket 2
+      (3L, 0L, "signup"),                                // never converts
+      (4L, 100L, "signup"), (4L, 50L, "purchase"),       // purchase BEFORE signup -> censored
+      (5L, 10L, "purchase")                              // no signup -> not a subject
+    ).toDF("user_id", "tsec", "event_type")
+    val got = EventOps.conversionHazard(ev, "user_id", "tsec", "event_type",
+        from = "signup", to = "purchase", bucketSec = 3600L)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // 4 subjects; u1 converts in bucket 0 (risk 4), u2 in bucket 2
+    // (risk 3 — u1 left, u3/u4 still at risk); cum = 1/4 then 2/4
+    assert(got.toSeq == Seq(
+      (0L, 4L, 1L, 250000L, 250000L),
+      (2L, 3L, 1L, 333333L, 500000L)), s"got ${got.toSeq}")
+  }
 }

@@ -437,4 +437,50 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!preSort.contains("Exchange"),
       s"decode must not shuffle blobs:\n${plan.take(700)}")
   }
+
+  // ---- round-13 pins ----
+
+  test("d_dedup_cdc: chunking rides ONE documents scan into the fp aggregate (the fused-kernel shape)") {
+    val plan = planOf("d_dedup_cdc")
+    // scans: the chunk-instance scan + the doc_id spine for the left
+    // join — the 582 s column formulation ALSO held to 2 scans, so the
+    // kernel pin is the absence of per-position higher-order exprs
+    val scans = plan.split("\\n").count(l =>
+      l.contains("FileScan parquet") || l.contains("Scan parquet"))
+    assert(scans <= 3, s"documents re-scanned $scans times:\n${plan.take(700)}")
+    assert(plan.contains("cdcchunksexpr") || plan.contains("CdcChunks"),
+      s"chunking must be the fused kernel, not transform/filter lambdas:\n${plan.take(700)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "CDC has no pair join anywhere")
+  }
+
+  test("q52_hyperball serves from pinned register state — no parquet at serve time, equi joins only") {
+    val plan = planOf("q52_hyperball")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"must read the checkpointed fold state:\n${plan.take(600)}")
+    assert(!plan.contains("CartesianProduct"),
+      "register merge and the fold join are equi joins")
+  }
+
+  test("q54_ktruss: the final support join is equi; no cartesian in any peel round") {
+    val plan = planOf("q54_ktruss")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"wedge/closing/peel joins must all be equi:\n${plan.take(800)}")
+    assert(plan.contains("Scan ExistingRDD"), "peeled edge set must be pinned")
+  }
+
+  test("s_ann_lsh_qd: corpus keeps single bucket placement; candidates are id-only through the distinct") {
+    val plan = planOf("s_ann_lsh_qd")
+    assert(!plan.contains("CartesianProduct"), "band join is an equi join")
+    // the probe fan-out must ride the QUERY side: the corpus banding
+    // subtree contains no posexplode (only the qd probe side does)
+    assert(plan.contains("WindowGroupLimit"),
+      "per-query top-k must push the group limit below the final sort")
+  }
+
+  test("p_fps_diverse serves the chosen set as a local result — corpus never re-scans at serve") {
+    val plan = planOf("p_fps_diverse")
+    assert(!plan.contains("FileScan parquet") && !plan.contains("Scan parquet"),
+      s"the k chosen rows are driver-local; serving must not touch the corpus:\n${plan.take(600)}")
+  }
 }
