@@ -750,6 +750,22 @@ object SparkEntry {
       GraphOps.kTruss(e, k = 4, rounds = 3).orderBy("a", "b")
     }),
 
+    "q56_ball_profile" -> ((s, dir) => {
+      // per-node distance profile from the HyperBall state: final
+      // ball, median distance (smallest t holding half the final
+      // mass), and the closeness denominator sum t*delta — one extra
+      // window finisher over the q52 register recurrence
+      val users = events(s, dir).select(col("user_id")).distinct()
+      val uDst = users.select(col("user_id").as("dst"))
+      val e1 = users.filter(col("user_id") % 64 =!= 63)
+        .select(col("user_id").as("src"), (col("user_id") + 1).as("dst"))
+        .join(uDst, Seq("dst"))
+      val e2 = users.filter(col("user_id") % 64 < 48)
+        .select(col("user_id").as("src"), (col("user_id") + 16).as("dst"))
+        .join(uDst, Seq("dst"))
+      GraphOps.hyperBallProfile(e1.union(e2), rounds = 3).orderBy("node")
+    }),
+
     "q53_neighborhood" -> ((s, dir) => {
       // the neighborhood function N(t) over the q47 skip-chain graph
       // via the HyperBall registers: rounds+1 rows of reachable-pair
@@ -2826,6 +2842,14 @@ object SparkEntry {
       SimilarityOps.farthestPointSample(e, k = 6).orderBy("rank")
     }),
 
+    "d_dedup_cdc_pairs" -> ((s, dir) =>
+      // chunk-level containment candidates: doc pairs sharing >= 2
+      // content-defined chunks (df cap 100 drops boilerplate fps
+      // before the pair join) — catches verbatim paragraph reuse that
+      // whole-doc fps miss and winnow prices differently
+      DedupOps.cdcContainmentPairs(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+
     "p_unigram_lm" -> ((s, dir) =>
       // the full unigram-LM EM trainer over that seed (Kudo ACL-2018):
       // 2 rounds of deterministic Viterbi E-step (integer micro-nat
@@ -3569,6 +3593,28 @@ object SparkEntry {
           |FROM ($unions) z ORDER BY t""".stripMargin
   }
 
+  /** q56 finisher over the hyperball body: per-node union of the
+    * round estimates, one lag window per node, the median-t and
+    * Σ t·Δ aggregates. */
+  private def ballProfileOracleSql(rounds: Int): String = {
+    val unions = (0 to rounds).map(t =>
+      s"SELECT node, $t::BIGINT AS t, est FROM f$t").mkString("\n  UNION ALL ")
+    hyperballBodyCtes(rounds) + ",\n" +
+      s"""|ub AS ($unions),
+          |fin AS (SELECT node, est AS fin FROM f$rounds),
+          |dd AS (
+          |  SELECT ub.node, ub.t, ub.est, fin.fin,
+          |         CASE WHEN ub.t > 0
+          |              THEN greatest(ub.est - lag(ub.est) OVER (PARTITION BY ub.node ORDER BY ub.t), 0)
+          |              ELSE 0 END AS delta
+          |  FROM ub JOIN fin USING (node))
+          |SELECT node,
+          |       max(CASE WHEN t = $rounds THEN est END)::BIGINT AS ball_milli,
+          |       min(CASE WHEN est * 2 >= fin THEN t END)::BIGINT AS t_median,
+          |       sum(delta * t)::BIGINT AS sum_dist_milli
+          |FROM dd GROUP BY 1 ORDER BY node""".stripMargin
+  }
+
   private def hyperballBodyCtes(rounds: Int): String = {
     val lcTable = operators.SketchOps.linearCountMilli(8).mkString("[", ",", "]")
     def estCte(t: Int): String =
@@ -3769,6 +3815,42 @@ object SparkEntry {
     "q52_hyperball" -> hyperballOracleSql(3),
 
     "q53_neighborhood" -> neighborhoodOracleSql(4),
+
+    "q56_ball_profile" -> ballProfileOracleSql(3),
+
+    // chunk-level containment replay: the d_dedup_cdc instance CTEs,
+    // per-doc distinct fps, the [2, 100] df keep rule, the fp-keyed
+    // pair join + HAVING (the winnow oracle shape)
+    "d_dedup_cdc_pairs" ->
+      """WITH n AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, t,
+        |         list_concat(list_concat([0],
+        |           CASE WHEN length(t) >= 8 THEN
+        |             list_filter(list_transform(generate_series(8, length(t)),
+        |               i -> CASE WHEN ('0x' || substr(md5(substr(t, i - 7, 8)), 1, 15))::BIGINT % 64 = 0
+        |                         THEN i END),
+        |               x -> x IS NOT NULL)
+        |           ELSE [] END), [length(t)]) AS bounds
+        |  FROM n),
+        |c AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |           list_transform(generate_series(1, len(bounds) - 1),
+        |             j -> substr(t, bounds[j] + 1, bounds[j + 1] - bounds[j])),
+        |           s -> length(s) > 0)) AS chunk
+        |  FROM b),
+        |di AS (
+        |  SELECT DISTINCT doc_id, ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS fp,
+        |         length(chunk)::BIGINT AS clen
+        |  FROM c),
+        |keep AS (SELECT fp FROM di GROUP BY fp HAVING count(*) BETWEEN 2 AND 100)
+        |SELECT a.doc_id AS id_a, bb.doc_id AS id_b,
+        |       count(*)::BIGINT AS shared_chunks, sum(a.clen)::BIGINT AS shared_chars
+        |FROM di a JOIN keep k ON a.fp = k.fp
+        |          JOIN di bb ON a.fp = bb.fp AND a.doc_id < bb.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""".stripMargin,
 
     "q54_ktruss" -> ktrussOracleSql(4, 3),
 

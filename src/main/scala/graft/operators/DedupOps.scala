@@ -1269,6 +1269,53 @@ object DedupOps {
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
   }
 
+  /**
+   * CDC-chunk CONTAINMENT pairs — the chunk-level near-dup candidate
+   * generator on top of [[cdcChunkStats]]' chunking: doc pairs sharing
+   * ≥ `minShared` content-defined chunks, with the shared character
+   * mass. Complements winnow: winnow's gram windows score LOCAL
+   * overlap density, CDC chunks align on CONTENT boundaries, so a
+   * page that embeds another page's paragraphs verbatim (quotation,
+   * template reuse, syndication) pairs up even when the surrounding
+   * text differs completely.
+   *
+   * Scale shape: per-doc DISTINCT chunk fps (a doc repeating its own
+   * boilerplate counts once per pair, the winnow convention); hot
+   * chunks with document frequency outside [2, maxDf] leave the
+   * universe BEFORE the pair join (the MOSS/winnow stop rule — a
+   * chunk in 10⁵ docs is boilerplate, not evidence, and would open
+   * df² pairs); the join is fp-keyed equality with 8-byte ids + the
+   * chunk length, then one pair-keyed aggregate. No all-pairs
+   * anywhere; candidate volume is Σ df² over kept fps, bounded by
+   * maxDf · Σ df.
+   *
+   * Output: (id_a, id_b, shared_chunks, shared_chars) for pairs at
+   * minShared or above.
+   */
+  def cdcContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                          window: Int = 8, maskMod: Int = 64,
+                          minShared: Int = 2, maxDf: Long = 100L): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2, s"cdc pairs minShared=$minShared maxDf=$maxDf")
+    val t = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    val inst = docs
+      .select(col(idCol).as("doc_id"),
+        explode(CdcChunks(t, window, maskMod)).as("c"))
+      .select(col("doc_id"), col("c.fp").as("fp"), col("c.len").as("clen"))
+      .distinct()
+    val keep = inst.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2L && col("df") <= maxDf)
+      .select("fp")
+    val a = inst.join(keep, "fp")
+      .select(col("fp"), col("doc_id").as("id_a"), col("clen"))
+    val b = inst.join(keep, "fp")
+      .select(col("fp"), col("doc_id").as("id_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_chunks"), sum(col("clen")).as("shared_chars"))
+      .filter(col("shared_chunks") >= minShared.toLong)
+  }
+
   /** The pre-kernel column formulation of [[cdcChunkStats]]' chunker
     * (equivalence-test reference; takes PRE-NORMALIZED text and
     * returns the chunk strings): boundary positions by per-position

@@ -833,6 +833,58 @@ object GraphOps {
   }
 
   /**
+   * Per-node BALL PROFILE from the HyperBall register recurrence —
+   * the distance-distribution summary Boldi–Vigna derive alongside
+   * harmonic centrality: for every node, the final ball estimate, the
+   * MEDIAN distance t_median (smallest t whose ball holds ≥ half the
+   * final mass — the per-node "how far is my world" number), and the
+   * total-distance mass Σ_t t·Δ_t (the closeness denominator: divide
+   * ball² by it for closeness, read it raw for reach cost). One more
+   * finisher over the exact state [[hyperBallHarmonic]] already
+   * builds — same determinism, same per-round shuffles, plus one
+   * (rounds+1)-rows-per-node window at the end (bounded by the round
+   * count, never by the graph).
+   *
+   * Output: (node, ball_milli, t_median, sum_dist_milli).
+   */
+  def hyperBallProfile(edges: DataFrame, rounds: Int, p: Int = 8): DataFrame = {
+    require(rounds >= 1 && rounds <= 32, s"hyperBallProfile rounds=$rounds")
+    val und = undirect(edges).localCheckpoint()
+    val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val nodes = adj.select(col("a").as("node")).distinct()
+    var regs = SketchOps.hllRegisters(
+        nodes.select(col("node"), col("node").as("_v")), Seq("node"), "_v", p)
+      .localCheckpoint()
+    def estAt(t: Int): DataFrame =
+      SketchOps.hllFromRegisters(regs, Seq("node"), p)
+        .select(col("node"), lit(t.toLong).as("t"), col("est_milli"))
+    var all = estAt(0)
+    for (t <- 1 to rounds) {
+      val msgs = adj.join(regs, adj("b") === regs("node"))
+        .select(adj("a").as("node"), regs("_idx"), regs("_r"))
+      regs = regs.union(msgs)
+        .groupBy("node", "_idx").agg(max(col("_r")).as("_r"))
+        .localCheckpoint()
+      all = all.union(estAt(t))
+    }
+    val fin = all.filter(col("t") === rounds)
+      .select(col("node"), col("est_milli").as("_fin"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("t"))
+    all.join(fin, "node")
+      .withColumn("_delta",
+        when(col("t") > 0L,
+          greatest(col("est_milli") - lag(col("est_milli"), 1).over(w), lit(0L)))
+          .otherwise(lit(0L)))
+      .groupBy("node")
+      .agg(
+        max(when(col("t") === rounds, col("est_milli"))).as("ball_milli"),
+        min(when(col("est_milli") * 2L >= col("_fin"), col("t"))).as("t_median"),
+        sum(col("_delta") * col("t")).cast("long").as("sum_dist_milli"))
+  }
+
+  /**
    * The NEIGHBORHOOD FUNCTION N(t) = Σ_v |B(v,t)| via the same
    * HyperBall register recurrence as [[hyperBallHarmonic]] — the
    * graph-scale distance-distribution summary (Palmer et al.'s ANF,

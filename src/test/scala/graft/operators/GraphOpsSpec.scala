@@ -579,6 +579,41 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraphOps.kTruss(pair, k = 4, rounds = 2).count() == 0L)
   }
 
+  test("hyperBallProfile: ball matches hyperBallHarmonic exactly; median t ordered center-out; sum-dist tracks exact") {
+    val ss = spark; import ss.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+    val e = edges.toDF("src", "dst")
+    val prof = GraphOps.hyperBallProfile(e, rounds = 6).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // the ball estimate is the SAME state hyperBallHarmonic reads
+    val harm = GraphOps.hyperBallHarmonic(e, rounds = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (v <- 0L to 5L)
+      assert(prof(v)._1 == harm(v), s"ball mismatch at $v: ${prof(v)._1} vs ${harm(v)}")
+    // median distance: centers (1, 4) reach half their world no later
+    // than the endpoints (0, 5); all medians within [1, diameter]
+    for (v <- 0L to 5L) assert(prof(v)._2 >= 1L && prof(v)._2 <= 3L, s"t_median($v)=${prof(v)._2}")
+    assert(prof(1L)._2 <= prof(0L)._2 && prof(4L)._2 <= prof(5L)._2,
+      s"centers must not be farther than endpoints: $prof")
+    // sum of distances within the HLL band of the exact value
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def sumDist(v: Long): Long = {
+      var seen = Set(v); var frontier = Set(v); var s = 0L; var d = 1
+      while (frontier.nonEmpty && d <= 6) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= frontier
+        s += frontier.size.toLong * d
+        d += 1
+      }
+      s
+    }
+    for (v <- 0L to 5L) {
+      val ex = sumDist(v) * 1000.0
+      assert(math.abs(prof(v)._3 - ex) <= ex * 0.12,
+        s"sum_dist($v)=${prof(v)._3} vs exact $ex")
+    }
+  }
+
   test("componentsStars agrees with converged hash-min and is orientation/dup-proof") {
     val ss = spark; import ss.implicits._
     val e = Seq(("b", "a"), ("b", "c"), ("c", "d"), ("c", "d"), ("y", "x"), ("x", "y"))

@@ -801,6 +801,29 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byId(5L) == (5L, 0L, 0L, 0L))
   }
 
+  test("cdcContainmentPairs: copy pairs fully, splice pairs partially, unrelated/empty docs pair with nothing") {
+    val ss = spark; import ss.implicits._
+    val a = (1 to 120).map(i => s"w${i * 7 % 97}").mkString(" ")
+    val docs = Seq(
+      (1L, a), (2L, a), (3L, "zzz qq " + a),
+      (4L, "totally different content with no overlap whatsoever here"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = DedupOps.cdcContainmentPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // the full-copy pair shares EVERY distinct chunk of doc 1
+    val nDistinct = DedupOps.cdcChunkStats(docs.filter(col("doc_id") === 1L), "doc_id", "text")
+      .collect().head.getLong(1) // n_chunks of doc 1 (chunks are distinct here)
+    assert(got.contains((1L, 2L)) && got((1L, 2L))._1 == nDistinct,
+      s"copy pair must share all ${nDistinct} chunks: ${got.get((1L, 2L))}")
+    // the splice pair shares the realigned suffix chunks — at least half
+    // the character mass (the cdcChunkStats spec's bound)
+    assert(got.contains((1L, 3L)) && got((1L, 3L))._2 >= a.length / 2,
+      s"splice pair: ${got.get((1L, 3L))}")
+    assert(got((1L, 3L)) == got((2L, 3L)), "identical docs pair identically")
+    // nothing pairs with the unrelated or empty docs
+    assert(!got.keys.exists { case (x, y) => x == 4L || y == 4L || x == 5L || y == 5L })
+  }
+
   test("unigramLmVocab: hand-computed 2-round EM — Viterbi picks whole pieces, unused pieces pruned, costs refresh") {
     val ss = spark; import ss.implicits._
     // wordCnt: abcd x2, ab x2, cd x1. Seed pieces (substrings 2..4,
