@@ -957,6 +957,14 @@ object SparkEntry {
           "event_type", from = "signup", to = "purchase", bucketSec = 3600L)
         .orderBy("bucket")),
 
+    "q57_survival_censored" -> ((s, dir) =>
+      // Kaplan-Meier risk sets: never-converters censor at the corpus
+      // max timestamp and LEAVE n_risk after their bucket — q55's
+      // life table with honest study-window semantics
+      EventOps.conversionHazardCensored(events(s, dir), "user_id", "tsec",
+          "event_type", from = "signup", to = "purchase", bucketSec = 3600L)
+        .orderBy("bucket")),
+
     "q10_asof" -> ((s, dir) => {
       // attribution as-of join: each purchase matched to the latest
       // at-or-before view by the same user — union + one running
@@ -3881,6 +3889,43 @@ object SparkEntry {
         |       (tot.n_total - prior)::BIGINT AS n_risk, n_conv,
         |       (n_conv * 1000000 // (tot.n_total - prior))::BIGINT AS hazard_ppm,
         |       ((prior + n_conv) * 1000000 // tot.n_total)::BIGINT AS cum_conv_ppm
+        |FROM w, tot ORDER BY bucket""".stripMargin,
+
+    // censored replay: censor bucket from the corpus max timestamp,
+    // risk set drops BOTH prior conversions and prior censors
+    "q57_survival_censored" ->
+      """WITH f AS (
+        |  SELECT user_id AS u, min(CAST(floor(epoch(ts)) AS BIGINT)) AS t0
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |c AS (
+        |  SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS tc
+        |  FROM events WHERE event_type = 'purchase'),
+        |te AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS t_end FROM events),
+        |s AS (
+        |  SELECT f.u, min(f.t0) AS t0,
+        |         min(CASE WHEN c.tc >= f.t0 THEN c.tc END) AS tc
+        |  FROM f LEFT JOIN c ON c.u = f.u GROUP BY 1),
+        |b AS (
+        |  SELECT coalesce((tc - t0) // 3600, (te.t_end - t0) // 3600) AS bucket,
+        |         (tc IS NOT NULL) AS is_conv
+        |  FROM s, te),
+        |tot AS (SELECT count(*)::BIGINT AS n_total FROM b),
+        |d AS (
+        |  SELECT bucket,
+        |         sum(CASE WHEN is_conv THEN 1 ELSE 0 END)::BIGINT AS n_conv,
+        |         sum(CASE WHEN is_conv THEN 0 ELSE 1 END)::BIGINT AS n_cens
+        |  FROM b GROUP BY 1),
+        |w AS (
+        |  SELECT bucket, n_conv, n_cens,
+        |         coalesce(sum(n_conv + n_cens) OVER (ORDER BY bucket
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS prior_out,
+        |         coalesce(sum(n_conv) OVER (ORDER BY bucket
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS prior_conv
+        |  FROM d)
+        |SELECT bucket::BIGINT AS bucket,
+        |       (tot.n_total - prior_out)::BIGINT AS n_risk, n_conv, n_cens,
+        |       (n_conv * 1000000 // (tot.n_total - prior_out))::BIGINT AS hazard_ppm,
+        |       ((prior_conv + n_conv) * 1000000 // tot.n_total)::BIGINT AS cum_conv_ppm
         |FROM w, tot ORDER BY bucket""".stripMargin,
 
     "p_unigram_lm" -> unigramLmOracleSql(2),

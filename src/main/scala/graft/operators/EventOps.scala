@@ -482,4 +482,63 @@ object EventOps {
         graft.operators.IntDiv((col("prior") + col("n_conv")) * 1000000L,
           col("n_total")).cast("long").as("cum_conv_ppm"))
   }
+
+  /**
+   * RIGHT-CENSORED life table — [[conversionHazard]] with the
+   * Kaplan–Meier risk-set semantics: never-converters are censored at
+   * the study end (the corpus's max timestamp — the snapshot horizon),
+   * so they leave the risk set after their censor bucket instead of
+   * holding n_risk up forever. Convention: a subject censored in
+   * bucket b counts at risk THROUGH b and leaves after it (the
+   * whole-bucket actuarial reading; the n − c/2 variant is a constant
+   * substitution). Per bucket: n_risk, conversions, censors, the
+   * discrete hazard d/n_risk in ppm, and cumulative conversion over
+   * all subjects. Integer arithmetic throughout; replayable.
+   *
+   * Scale shape: [[conversionHazard]]'s plan plus one corpus max (a
+   * one-row broadcast) — per-user firsts, one left join, a
+   * bucket-sized aggregate, one bucket-cardinality window.
+   *
+   * Output: (bucket, n_risk, n_conv, n_cens, hazard_ppm,
+   * cum_conv_ppm).
+   */
+  def conversionHazardCensored(events: DataFrame, userCol: String, tsecCol: String,
+                               typeCol: String, from: String, to: String,
+                               bucketSec: Long = 3600L): DataFrame = {
+    require(bucketSec >= 1L, s"conversionHazardCensored bucketSec=$bucketSec")
+    val f = events.filter(col(typeCol) === from)
+      .groupBy(col(userCol).as("u")).agg(min(col(tsecCol)).as("t0"))
+    val c = events.filter(col(typeCol) === to)
+      .select(col(userCol).as("u"), col(tsecCol).as("tc"))
+    val tEnd = events.agg(max(col(tsecCol)).as("t_end"))
+    val subj = f.join(c, Seq("u"), "left")
+      .groupBy("u")
+      .agg(min(col("t0")).as("t0"),
+        min(when(col("tc") >= col("t0"), col("tc"))).as("tc"))
+      .crossJoin(tEnd) // one-row broadcast
+      .select(
+        coalesce(
+          graft.operators.IntDiv(col("tc") - col("t0"), lit(bucketSec)),
+          graft.operators.IntDiv(col("t_end") - col("t0"), lit(bucketSec)))
+          .cast("long").as("bucket"),
+        col("tc").isNotNull.as("is_conv"))
+      .localCheckpoint()
+    val total = subj.agg(count(lit(1)).as("n_total"))
+    val d = subj.groupBy("bucket")
+      .agg(sum(when(col("is_conv"), 1L).otherwise(0L)).as("n_conv"),
+        sum(when(!col("is_conv"), 1L).otherwise(0L)).as("n_cens"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("prior_out",
+        coalesce(sum(col("n_conv") + col("n_cens")).over(w), lit(0L)))
+      .withColumn("prior_conv", coalesce(sum(col("n_conv")).over(w), lit(0L)))
+      .crossJoin(total)
+      .select(col("bucket"),
+        (col("n_total") - col("prior_out")).as("n_risk"),
+        col("n_conv"), col("n_cens"),
+        graft.operators.IntDiv(col("n_conv") * 1000000L,
+          col("n_total") - col("prior_out")).cast("long").as("hazard_ppm"),
+        graft.operators.IntDiv((col("prior_conv") + col("n_conv")) * 1000000L,
+          col("n_total")).cast("long").as("cum_conv_ppm"))
+  }
 }

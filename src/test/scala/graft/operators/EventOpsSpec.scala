@@ -348,4 +348,27 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0L, 4L, 1L, 250000L, 250000L),
       (2L, 3L, 1L, 333333L, 500000L)), s"got ${got.toSeq}")
   }
+
+  test("conversionHazardCensored: censors leave the risk set after their bucket; hand life table") {
+    val ss = spark; import ss.implicits._
+    // study end = max ts over ALL events = 7200 (u2's purchase)
+    val ev = Seq(
+      (1L, 0L, "signup"), (1L, 1800L, "purchase"),       // conv bucket 0
+      (2L, 0L, "signup"), (2L, 7200L, "purchase"),       // conv bucket 2
+      (3L, 0L, "signup"),                                // censored at 7200 -> bucket 2
+      (4L, 100L, "signup"), (4L, 50L, "purchase"),       // pre-signup purchase -> censored at (7200-100)//3600 = 1
+      (5L, 10L, "purchase")                              // not a subject
+    ).toDF("user_id", "tsec", "event_type")
+    val got = EventOps.conversionHazardCensored(ev, "user_id", "tsec", "event_type",
+        from = "signup", to = "purchase", bucketSec = 3600L)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // b0: risk 4, 1 conv; b1: risk 3, u4 censors (hazard 0);
+    // b2: risk 2 (u1 converted, u4 left), 1 conv + 1 censor
+    assert(got.toSeq == Seq(
+      (0L, 4L, 1L, 0L, 250000L, 250000L),
+      (1L, 3L, 0L, 1L, 0L, 250000L),
+      (2L, 2L, 1L, 1L, 500000L, 500000L)), s"got ${got.toSeq}")
+  }
 }
