@@ -1925,6 +1925,27 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    "s_ann_lsh_qa" -> ((s, dir) => {
+      // GLOBALLY budgeted query-directed probing (Lv §4.4): the same
+      // 24-probe budget as s_ann_lsh_qd, ranked across ALL bands —
+      // a band with three razor-thin margins takes probes a confident
+      // band would waste
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      SimilarityOps.lshTopKQueryAdaptive(e.filter(col("id") < 5), e, k = 5, budget = 24)
+        .orderBy("query_id", "rank")
+    }),
+
+    "s_recall_lsh_qa" -> ((s, dir) => {
+      // the audit row: globally-budgeted recall@5 vs brute truth at
+      // the same total budget as the per-band qd variant
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") < 5)
+      SimilarityOps.recallAudit(
+          SimilarityOps.lshTopKQueryAdaptive(q, e, k = 5, budget = 24),
+          SimilarityOps.bruteForceTopK(q, e, k = 5))
+        .orderBy("query_id")
+    }),
+
     "s_mips_ivf" -> ((s, dir) => {
       // MIPS through the IVF pruner: norm-augmented 65-dim vectors
       // (corpus gains sqrt(M^2-|x|^2), queries gain 0) make augmented
@@ -3599,6 +3620,115 @@ object SparkEntry {
           |       (np * 1000000 // (SELECT np FROM s$rounds))::BIGINT AS frac_ppm,
           |       ((np * 1000000 // (SELECT np FROM s$rounds)) >= 900000) AS ge90
           |FROM ($unions) z ORDER BY t""".stripMargin
+  }
+
+  /**
+   * Query-directed / globally-budgeted multi-probe LSH replay: the
+   * shared margin machinery (dots → signatures → per-band costs →
+   * perturbation pricing), with the CHOSEN probes ranked per band
+   * (qd: 3 cheapest masks within each band) or globally (qa: the 24
+   * cheapest (cost, band, mask) triples across all bands). `recall`
+   * appends the brute-truth audit instead of the ranked top-k.
+   */
+  private def lshQdOracleSql(recall: Boolean, global: Boolean): String = {
+    val chosen =
+      if (global)
+        """|chosen AS (
+           |  SELECT vec_id, band, xor(bandval, m) AS bandval FROM (
+           |    SELECT vec_id, band, bandval, m,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY cost ASC, band ASC, m ASC) AS rn
+           |    FROM pert) WHERE rn <= 24),"""
+      else
+        """|chosen AS (
+           |  SELECT vec_id, band, xor(bandval, m) AS bandval FROM (
+           |    SELECT vec_id, band, bandval, m,
+           |           row_number() OVER (PARTITION BY vec_id, band ORDER BY cost ASC, m ASC) AS rn
+           |    FROM pert) WHERE rn <= 3),"""
+    val prefix =
+      """WITH planes AS (
+        |  SELECT b, list_transform(generate_series(0, 63),
+        |           d -> (('0x' || substr(md5('plane:' || b || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS pl
+        |  FROM (SELECT unnest(generate_series(0, 23)) AS b)),
+        |dots AS (
+        |  SELECT vec_id, b,
+        |         list_sum(list_transform(range(1, 65), i -> pl[i] * embedding[i]::DOUBLE)) AS dt
+        |  FROM embeddings, planes),
+        |sig AS (
+        |  SELECT vec_id, sum(CASE WHEN dt > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sig
+        |  FROM dots GROUP BY 1),
+        |banded AS (
+        |  SELECT vec_id, band, (sig >> (band * 3)) & 7 AS bandval
+        |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) bb),
+        |qband AS (
+        |  SELECT vec_id, b // 3 AS band,
+        |         sum(CASE WHEN dt > 0 THEN (1::BIGINT << (b % 3)) ELSE 0 END)::BIGINT AS bandval,
+        |         list(dt * dt ORDER BY b) AS costs
+        |  FROM dots WHERE vec_id < 5 GROUP BY 1, 2),
+        |pert AS (
+        |  SELECT vec_id, band, bandval, m,
+        |         list_sum(list_transform(range(0, 3),
+        |           j -> CASE WHEN ((m >> j) & 1) = 1 THEN costs[j + 1] ELSE 0.0 END)) AS cost
+        |  FROM qband, (SELECT unnest(generate_series(1, 7)) AS m) mm),"""
+    val cand =
+      """|qprobe AS (
+         |  SELECT vec_id, band, bandval FROM qband
+         |  UNION ALL SELECT vec_id, band, bandval FROM chosen),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM qprobe q JOIN banded c ON q.band = c.band AND q.bandval = c.bandval
+         |  WHERE q.vec_id <> c.vec_id),"""
+    val topk =
+      """|scored AS (
+         |  SELECT query_id, neighbor_id,
+         |         round(
+         |           list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)) /
+         |           (sqrt(list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * qe.embedding[i]::DOUBLE))) *
+         |            sqrt(list_sum(list_transform(range(1, 65), i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)))), 6) AS sim
+         |  FROM cand JOIN embeddings qe ON query_id = qe.vec_id
+         |            JOIN embeddings ce ON neighbor_id = ce.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank::BIGINT AS rank, neighbor_id, sim
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+    val audit =
+      """|scored_i AS (
+         |  SELECT query_id, neighbor_id,
+         |         round(
+         |           list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)) /
+         |           (sqrt(list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * qe.embedding[i]::DOUBLE))) *
+         |            sqrt(list_sum(list_transform(range(1, 65), i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)))), 6) AS sim
+         |  FROM cand JOIN embeddings qe ON query_id = qe.vec_id
+         |            JOIN embeddings ce ON neighbor_id = ce.vec_id),
+         |ap AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM scored_i) WHERE rank <= 5),
+         |qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |scored_b AS (
+         |  SELECT query_id, ce.vec_id AS neighbor_id,
+         |         round(
+         |           list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * ce.embedding[i]::DOUBLE)) /
+         |           (sqrt(list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * qe[i]::DOUBLE))) *
+         |            sqrt(list_sum(list_transform(range(1, 65), i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)))), 6) AS sim
+         |  FROM qv, embeddings ce WHERE query_id <> ce.vec_id),
+         |ex AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM scored_b) WHERE rank <= 5),
+         |j AS (
+         |  SELECT ex.query_id,
+         |         (ap.neighbor_id IS NOT NULL)::INT AS hit
+         |  FROM ex LEFT JOIN ap ON ex.query_id = ap.query_id
+         |                       AND ex.neighbor_id = ap.neighbor_id)
+         |SELECT query_id, count(*)::BIGINT AS k_exact, sum(hit)::BIGINT AS hits,
+         |       ((sum(hit) * 1000000) // count(*))::BIGINT AS recall_ppm
+         |FROM j GROUP BY 1 ORDER BY query_id"""
+    (prefix + "\n" + chosen + "\n" + cand + "\n" +
+      (if (recall) audit else topk)).stripMargin
   }
 
   /** q56 finisher over the hyperball body: per-node union of the
@@ -7837,129 +7967,13 @@ object SparkEntry {
     // over masked squared margins (zero identities keep the double sum
     // bit-identical to the Scala ascending-bit fold); ties break on the
     // mask, rn <= 3 takes the bandBits cheapest masks
-    "s_ann_lsh_qd" ->
-      """WITH planes AS (
-        |  SELECT b, list_transform(generate_series(0, 63),
-        |           d -> (('0x' || substr(md5('plane:' || b || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS pl
-        |  FROM (SELECT unnest(generate_series(0, 23)) AS b)),
-        |dots AS (
-        |  SELECT vec_id, b,
-        |         list_sum(list_transform(range(1, 65), i -> pl[i] * embedding[i]::DOUBLE)) AS dt
-        |  FROM embeddings, planes),
-        |sig AS (
-        |  SELECT vec_id, sum(CASE WHEN dt > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sig
-        |  FROM dots GROUP BY 1),
-        |banded AS (
-        |  SELECT vec_id, band, (sig >> (band * 3)) & 7 AS bandval
-        |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) bb),
-        |qband AS (
-        |  SELECT vec_id, b // 3 AS band,
-        |         sum(CASE WHEN dt > 0 THEN (1::BIGINT << (b % 3)) ELSE 0 END)::BIGINT AS bandval,
-        |         list(dt * dt ORDER BY b) AS costs
-        |  FROM dots WHERE vec_id < 5 GROUP BY 1, 2),
-        |pert AS (
-        |  SELECT vec_id, band, bandval, m,
-        |         list_sum(list_transform(range(0, 3),
-        |           j -> CASE WHEN ((m >> j) & 1) = 1 THEN costs[j + 1] ELSE 0.0 END)) AS cost
-        |  FROM qband, (SELECT unnest(generate_series(1, 7)) AS m) mm),
-        |chosen AS (
-        |  SELECT vec_id, band, xor(bandval, m) AS bandval FROM (
-        |    SELECT vec_id, band, bandval, m,
-        |           row_number() OVER (PARTITION BY vec_id, band ORDER BY cost ASC, m ASC) AS rn
-        |    FROM pert) WHERE rn <= 3),
-        |qprobe AS (
-        |  SELECT vec_id, band, bandval FROM qband
-        |  UNION ALL SELECT vec_id, band, bandval FROM chosen),
-        |cand AS (
-        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-        |  FROM qprobe q JOIN banded c ON q.band = c.band AND q.bandval = c.bandval
-        |  WHERE q.vec_id <> c.vec_id),
-        |scored AS (
-        |  SELECT query_id, neighbor_id,
-        |         round(
-        |           list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)) /
-        |           (sqrt(list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * qe.embedding[i]::DOUBLE))) *
-        |            sqrt(list_sum(list_transform(range(1, 65), i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)))), 6) AS sim
-        |  FROM cand JOIN embeddings qe ON query_id = qe.vec_id
-        |            JOIN embeddings ce ON neighbor_id = ce.vec_id),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id, sim,
-        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-        |  FROM scored)
-        |SELECT query_id, rank::BIGINT AS rank, neighbor_id, sim
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "s_ann_lsh_qd" -> lshQdOracleSql(recall = false, global = false),
 
-    "s_recall_lsh_qd" ->
-      """WITH planes AS (
-        |  SELECT b, list_transform(generate_series(0, 63),
-        |           d -> (('0x' || substr(md5('plane:' || b || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS pl
-        |  FROM (SELECT unnest(generate_series(0, 23)) AS b)),
-        |dots AS (
-        |  SELECT vec_id, b,
-        |         list_sum(list_transform(range(1, 65), i -> pl[i] * embedding[i]::DOUBLE)) AS dt
-        |  FROM embeddings, planes),
-        |sig AS (
-        |  SELECT vec_id, sum(CASE WHEN dt > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sig
-        |  FROM dots GROUP BY 1),
-        |banded AS (
-        |  SELECT vec_id, band, (sig >> (band * 3)) & 7 AS bandval
-        |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) bb),
-        |qband AS (
-        |  SELECT vec_id, b // 3 AS band,
-        |         sum(CASE WHEN dt > 0 THEN (1::BIGINT << (b % 3)) ELSE 0 END)::BIGINT AS bandval,
-        |         list(dt * dt ORDER BY b) AS costs
-        |  FROM dots WHERE vec_id < 5 GROUP BY 1, 2),
-        |pert AS (
-        |  SELECT vec_id, band, bandval, m,
-        |         list_sum(list_transform(range(0, 3),
-        |           j -> CASE WHEN ((m >> j) & 1) = 1 THEN costs[j + 1] ELSE 0.0 END)) AS cost
-        |  FROM qband, (SELECT unnest(generate_series(1, 7)) AS m) mm),
-        |chosen AS (
-        |  SELECT vec_id, band, xor(bandval, m) AS bandval FROM (
-        |    SELECT vec_id, band, bandval, m,
-        |           row_number() OVER (PARTITION BY vec_id, band ORDER BY cost ASC, m ASC) AS rn
-        |    FROM pert) WHERE rn <= 3),
-        |qprobe AS (
-        |  SELECT vec_id, band, bandval FROM qband
-        |  UNION ALL SELECT vec_id, band, bandval FROM chosen),
-        |cand AS (
-        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-        |  FROM qprobe q JOIN banded c ON q.band = c.band AND q.bandval = c.bandval
-        |  WHERE q.vec_id <> c.vec_id),
-        |scored_i AS (
-        |  SELECT query_id, neighbor_id,
-        |         round(
-        |           list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)) /
-        |           (sqrt(list_sum(list_transform(range(1, 65), i -> qe.embedding[i]::DOUBLE * qe.embedding[i]::DOUBLE))) *
-        |            sqrt(list_sum(list_transform(range(1, 65), i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)))), 6) AS sim
-        |  FROM cand JOIN embeddings qe ON query_id = qe.vec_id
-        |            JOIN embeddings ce ON neighbor_id = ce.vec_id),
-        |qd AS (
-        |  SELECT query_id, neighbor_id FROM (
-        |    SELECT query_id, neighbor_id,
-        |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-        |    FROM scored_i) WHERE rank <= 5),
-        |qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
-        |scored_b AS (
-        |  SELECT query_id, ce.vec_id AS neighbor_id,
-        |         round(
-        |           list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * ce.embedding[i]::DOUBLE)) /
-        |           (sqrt(list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * qe[i]::DOUBLE))) *
-        |            sqrt(list_sum(list_transform(range(1, 65), i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)))), 6) AS sim
-        |  FROM qv, embeddings ce WHERE query_id <> ce.vec_id),
-        |ex AS (
-        |  SELECT query_id, neighbor_id FROM (
-        |    SELECT query_id, neighbor_id,
-        |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-        |    FROM scored_b) WHERE rank <= 5),
-        |j AS (
-        |  SELECT ex.query_id,
-        |         (qd.neighbor_id IS NOT NULL)::INT AS hit
-        |  FROM ex LEFT JOIN qd ON ex.query_id = qd.query_id
-        |                       AND ex.neighbor_id = qd.neighbor_id)
-        |SELECT query_id, count(*)::BIGINT AS k_exact, sum(hit)::BIGINT AS hits,
-        |       ((sum(hit) * 1000000) // count(*))::BIGINT AS recall_ppm
-        |FROM j GROUP BY 1 ORDER BY query_id""".stripMargin,
+    "s_recall_lsh_qd" -> lshQdOracleSql(recall = true, global = false),
+
+    "s_ann_lsh_qa" -> lshQdOracleSql(recall = false, global = true),
+
+    "s_recall_lsh_qa" -> lshQdOracleSql(recall = true, global = true),
 
     // both sides are the s_ann_lsh / s_ann_cosine formulations
     // verbatim, reduced to (query_id, neighbor_id) id sets

@@ -619,9 +619,75 @@ object SimilarityOps {
                            nbits: Int = 24, bands: Int = 8, dim: Int = 64): DataFrame =
     lshRerank(queries, corpus, k, nbits, bands, dim, probeMode = ProbeQueryDirected)
 
+  /**
+   * GLOBALLY budgeted query-directed probing (Lv §4.4's probing-
+   * sequence view): instead of [[lshTopKQueryDirected]]'s fixed
+   * bandBits probes per band, rank EVERY (band, mask) perturbation by
+   * Σ margin² across all bands and spend one global `budget` on the
+   * cheapest — a query sitting razor-close to three hyperplanes of
+   * one band gets all its probes THERE, instead of wasting thirds of
+   * the budget on bands where the signature is confident. Home
+   * buckets are always probed (candidates ⊇ single-probe,
+   * structurally). Ties break (cost, band, mask) so both engines
+   * replay the identical sequence. Same plan shape as every LSH
+   * variant here: query-side fan-out only, id-only candidates.
+   */
+  def lshTopKQueryAdaptive(queries: DataFrame, corpus: DataFrame, k: Int,
+                           nbits: Int = 24, bands: Int = 8, dim: Int = 64,
+                           budget: Int = 24): DataFrame =
+    lshRerank(queries, corpus, k, nbits, bands, dim,
+      probeMode = ProbeQueryAdaptive, probeBudget = budget)
+
+  /** The global probe selection as a pure function (spec-pinned):
+    * per band the home bucket, plus each band's selected flips from
+    * the global (cost, band, mask) ranking truncated at `budget`. */
+  private[graft] def queryDirectedProbesGlobal(planes: Array[Array[Double]],
+                                               bands: Int, budget: Int)
+                                              (v: Seq[Float]): Seq[Seq[Long]] = {
+    val bandBits = planes.length / bands
+    val dots = new Array[Double](planes.length)
+    var b = 0
+    while (b < planes.length) {
+      var s = 0.0
+      var d = 0
+      val pb = planes(b)
+      val n = math.min(pb.length, v.length)
+      while (d < n) { s += pb(d) * v(d); d += 1 }
+      dots(b) = s
+      b += 1
+    }
+    val bandvals = new Array[Long](bands)
+    val costs = Array.ofDim[Double](bands, bandBits)
+    var band = 0
+    while (band < bands) {
+      var i = 0
+      while (i < bandBits) {
+        val dt = dots(band * bandBits + i)
+        if (dt > 0) bandvals(band) |= (1L << i)
+        costs(band)(i) = dt * dt
+        i += 1
+      }
+      band += 1
+    }
+    val cands = for {
+      bd <- 0 until bands
+      m <- 1 until (1 << bandBits)
+    } yield {
+      var c = 0.0
+      var j = 0
+      while (j < bandBits) { c += (if ((m & (1 << j)) != 0) costs(bd)(j) else 0.0); j += 1 }
+      (c, bd, m)
+    }
+    val chosen = cands.sortBy { case (c, bd, m) => (c, bd, m) }.take(budget)
+    Seq.tabulate(bands) { bd =>
+      bandvals(bd) +: chosen.collect { case (_, `bd`, m) => bandvals(bd) ^ m.toLong }
+    }
+  }
+
   private val ProbeNone = 0
   private val ProbeHamming1 = 1
   private val ProbeQueryDirected = 2
+  private val ProbeQueryAdaptive = 3
 
   /**
    * The query-directed probe sequence (Lv §4.2) as a pure function so
@@ -668,7 +734,7 @@ object SimilarityOps {
 
   private def lshRerank(queries: DataFrame, corpus: DataFrame, k: Int,
                         nbits: Int, bands: Int, dim: Int,
-                        probeMode: Int): DataFrame = {
+                        probeMode: Int, probeBudget: Int = 0): DataFrame = {
     require(nbits % bands == 0)
     // the query side MATERIALIZES once: it feeds two plan branches
     // (band signatures + the qv re-rank join), and — the important
@@ -715,6 +781,11 @@ object SimilarityOps {
         val qdProbesUdf = udf(queryDirectedProbes(planes, bands) _)
         q0.select(col("id").as("query_id"),
             posexplode(qdProbesUdf(col("embedding"))).as(Seq("band", "pvals")))
+          .select(col("query_id"), col("band"), explode(col("pvals")).as("bandval"))
+      case ProbeQueryAdaptive =>
+        val qaProbesUdf = udf(queryDirectedProbesGlobal(planes, bands, probeBudget) _)
+        q0.select(col("id").as("query_id"),
+            posexplode(qaProbesUdf(col("embedding"))).as(Seq("band", "pvals")))
           .select(col("query_id"), col("band"), explode(col("pvals")).as("bandval"))
       case ProbeHamming1 =>
         banded(q0, "query_id").select(col("query_id"), col("band"),

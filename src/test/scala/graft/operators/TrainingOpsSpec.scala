@@ -860,6 +860,43 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(empty.count() == 0L)
   }
 
+  test("queryDirectedProbesGlobal: a confident band yields its budget to the uncertain one") {
+    // 2 bands x 3 axis-aligned planes; band 0 margins tiny (0.1, 0.2,
+    // 0.3), band 1 huge (5, 6, 7): with budget 4 ALL flips go to band
+    // 0 (its most expensive mask, 0.04+0.09+0.01=0.14, still beats
+    // band 1's cheapest single bit at 25.0)
+    val planes = Array.tabulate(6, 8)((b, d) => if (d == b) 1.0 else 0.0)
+    val v: Seq[Float] = Seq(0.1f, -0.2f, 0.3f, 5f, 6f, 7f, 0f, 0f)
+    val probes = SimilarityOps.queryDirectedProbesGlobal(planes, bands = 2, budget = 4)(v)
+    // band 0: bandval 0b101=5; cheapest four masks by cost then mask:
+    // m1 .01, m2 .04, m3 .05, m4 .09 -> flips 4, 7, 6, 1
+    assert(probes(0) == Seq(5L, 5L ^ 1, 5L ^ 2, 5L ^ 3, 5L ^ 4), s"band0 ${probes(0)}")
+    // band 1 keeps only its home bucket (0b111)
+    assert(probes(1) == Seq(7L), s"band1 ${probes(1)}")
+  }
+
+  test("lshTopKQueryAdaptive: recall >= single-probe at the qd budget; candidate volume equals the budget contract") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.filter(col("id") < 20)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = ids(SimilarityOps.bruteForceTopK(q, e, k = 5))
+    val single = ids(SimilarityOps.lshTopK(q, e, k = 5))
+    val qa = ids(SimilarityOps.lshTopKQueryAdaptive(q, e, k = 5, budget = 24))
+    val rs = (brute & single).size
+    val ra = (brute & qa).size
+    // home buckets always probed -> structural superset of single-probe
+    assert(ra >= rs, s"globally budgeted recall $ra < single-probe $rs")
+    // and on the fixed corpus it must not fall below the per-band qd
+    // allocation at the same total budget (Lv §4.4's claim, pinned
+    // empirically like the qd-vs-blanket pair)
+    val qd = ids(SimilarityOps.lshTopKQueryDirected(q, e, k = 5))
+    val rq = (brute & qd).size
+    assert(ra >= rq, s"global budget $ra < per-band qd $rq at the same 24 probes")
+  }
+
   test("queryDirectedProbes: cheap two-bit flip outranks an expensive one-bit flip; home first; tie -> mask order") {
     // hand-built geometry: 6 axis-aligned planes (2 bands x 3 bits), so
     // each bit's margin IS the vector coordinate — selection maths is
