@@ -3617,8 +3617,10 @@ object SparkEntry {
     hyperballBodyCtes(rounds) + ",\n" +
       s"""|$sums
           |SELECT t, np::BIGINT AS npairs_milli,
-          |       (np * 1000000 // (SELECT np FROM s$rounds))::BIGINT AS frac_ppm,
-          |       ((np * 1000000 // (SELECT np FROM s$rounds)) >= 900000) AS ge90
+          |       (CASE WHEN (SELECT np FROM s$rounds) > 0
+          |             THEN np * 1000000 // (SELECT np FROM s$rounds) END)::BIGINT AS frac_ppm,
+          |       ((CASE WHEN (SELECT np FROM s$rounds) > 0
+          |              THEN np * 1000000 // (SELECT np FROM s$rounds) END) >= 900000) AS ge90
           |FROM ($unions) z ORDER BY t""".stripMargin
   }
 

@@ -926,9 +926,13 @@ object GraphOps {
     val fin = out.filter(col("t") === rounds)
       .select(col("npairs_milli").as("_final"))
     out.crossJoin(fin) // one-row broadcast
+      // degenerate-input guard (the powerLawFit n_tail==0 convention):
+      // an empty edge set leaves _final null/zero — NULL is the defined
+      // output there, never an engine-dependent division result
       .select(col("t"), col("npairs_milli"),
-        IntDiv(col("npairs_milli") * 1000000L, col("_final"))
-          .cast("long").as("frac_ppm"))
+        when(col("_final") > 0L,
+          IntDiv(col("npairs_milli") * 1000000L, col("_final")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("frac_ppm"))
       .withColumn("ge90", col("frac_ppm") >= 900000L)
   }
 

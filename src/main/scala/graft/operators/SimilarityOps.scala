@@ -736,6 +736,14 @@ object SimilarityOps {
                         nbits: Int, bands: Int, dim: Int,
                         probeMode: Int, probeBudget: Int = 0): DataFrame = {
     require(nbits % bands == 0)
+    // the query-directed modes enumerate all 2^bandBits−1 perturbation
+    // masks per query row; past ~12 bits that is thousands of masks per
+    // band per row — refuse a geometry that would blow per-row CPU
+    // (the Hamming-1 mode stays linear in bandBits and needs no cap)
+    require(probeMode != ProbeQueryDirected && probeMode != ProbeQueryAdaptive ||
+      nbits / bands <= 12,
+      s"query-directed probing caps band width at 12 bits (2^bits masks " +
+        s"per band per query row); got ${nbits / bands}")
     // the query side MATERIALIZES once: it feeds two plan branches
     // (band signatures + the qv re-rank join), and — the important
     // part — the checkpoint carries its REAL size as the stats the

@@ -1331,8 +1331,12 @@ object TextOps {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .filter(length(col("word")) <= maxWordLen)
       .localCheckpoint()
+    // StrictMath.log (fdlibm) — JVM-stable across platforms/JITs, unlike
+    // the math.log intrinsic whose last-ulp drift vs libm can flip the
+    // floor() and break the bit-for-bit oracle replay (the
+    // SketchOps.linearCountMilli lesson)
     def lg(n: Long): Long =
-      math.floor(math.log(n.toDouble) * 1e6).toLong
+      math.floor(StrictMath.log(n.toDouble) * 1e6).toLong
     // seed: the subwordVocab pieces with their substring-weighted freqs
     var freqs: Map[String, Long] = subwordVocab(docs, textCol, vocabSize, maxLen)
       .select("piece", "freq").collect()

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -430,16 +430,23 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
     // language-cardinality rows: the collect is model-sized by contract
     val hist = qStatsHistory(excludeBatch = batchId)
       .select(col("lang"), col("n").as("n_h"), col("sum_q").as("sq_h"))
+    // exact |Δmean| in millis as ONE cross-multiplied comparison —
+    // subtracting two independently floored means can mis-state |Δ| by
+    // up to ~2 milli right at the tolerance boundary, making flags at
+    // exactly driftTolMilli order-dependent across compactions. Decimal
+    // cross products keep the arithmetic exact at corpus scale (Σq·10³·n_h
+    // overflows LONG once n·n_h passes ~9·10¹²); |x| ≥ tol ⟺ ⌊|x|⌋ ≥ tol
+    // for integral tol, so the floored report and the flag agree exactly.
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cross = abs(dec(col("sum_q")) * lit(1000L) * dec(col("n_h")) -
+      dec(col("sq_h")) * lit(1000L) * dec(col("n")))
     val deltas = stats.join(hist, Seq("lang"), "left")
       .filter(col("n_h").isNotNull && col("n_h") > 0L && col("n") > 0L)
-      .select(
-        // integer milli means: mean = Σq·1000 div n (quality is 0..1000)
-        (graft.operators.IntDiv(col("sum_q") * lit(1000L), col("n")) -
-          graft.operators.IntDiv(col("sq_h") * lit(1000L), col("n_h")))
-          .cast("long").as("delta_milli"))
+      .select(graft.operators.IntDiv(cross, dec(col("n")) * dec(col("n_h")))
+        .cast("long").as("abs_delta_milli"))
       .collect().map(_.getLong(0))
-    val maxAbs = if (deltas.isEmpty) 0L else deltas.map(math.abs).max
-    val flagged = deltas.count(d => math.abs(d) >= tol).toLong
+    val maxAbs = if (deltas.isEmpty) 0L else deltas.max
+    val flagged = deltas.count(_ >= tol).toLong
     val ppm = if (nPostGate == 0) 0L else nAdmitted * 1000000L / nPostGate
     lastDriftStats = (batchId, ppm, maxAbs, flagged)
   }
