@@ -1946,6 +1946,29 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    "s_ann_lsh_auto" -> ((s, dir) => {
+      // corpus-priced AUTO banding for the probing family: band width
+      // from autoBandBits(count) holds bucket density — and therefore
+      // candidates per probe — constant as the corpus grows, the fix
+      // for the fixed-band qd row's 3.9x/decade candidate growth
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      SimilarityOps.lshTopKQueryDirectedAuto(e.filter(col("id") < 5), e, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "s_recall_lsh_auto" -> ((s, dir) => {
+      // the audit row pricing what the density pick trades: auto-banded
+      // qd recall@5 vs brute truth (the fixed-band geometry reads ~the
+      // whole corpus per query, so its recall is exhaustive-scan recall
+      // at exhaustive-scan cost — this row is the honest number)
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") < 5)
+      SimilarityOps.recallAudit(
+          SimilarityOps.lshTopKQueryDirectedAuto(q, e, k = 5),
+          SimilarityOps.bruteForceTopK(q, e, k = 5))
+        .orderBy("query_id")
+    }),
+
     "s_mips_ivf" -> ((s, dir) => {
       // MIPS through the IVF pruner: norm-augmented 65-dim vectors
       // (corpus gains sqrt(M^2-|x|^2), queries gain 0) make augmented
@@ -3671,6 +3694,13 @@ object SparkEntry {
         |         list_sum(list_transform(range(0, 3),
         |           j -> CASE WHEN ((m >> j) & 1) = 1 THEN costs[j + 1] ELSE 0.0 END)) AS cost
         |  FROM qband, (SELECT unnest(generate_series(1, 7)) AS m) mm),"""
+    (prefix + "\n" + chosen + "\n" + lshProbeTailSql(recall)).stripMargin
+  }
+
+  /** The shared probe→candidate→re-rank (or recall-audit) tail of the
+    * multi-probe LSH oracles: consumes `qband` (home buckets), `chosen`
+    * (selected perturbations) and `banded` (corpus placements). */
+  private def lshProbeTailSql(recall: Boolean): String = {
     val cand =
       """|qprobe AS (
          |  SELECT vec_id, band, bandval FROM qband
@@ -3729,8 +3759,59 @@ object SparkEntry {
          |SELECT query_id, count(*)::BIGINT AS k_exact, sum(hit)::BIGINT AS hits,
          |       ((sum(hit) * 1000000) // count(*))::BIGINT AS recall_ppm
          |FROM j GROUP BY 1 ORDER BY query_id"""
-    (prefix + "\n" + chosen + "\n" + cand + "\n" +
-      (if (recall) audit else topk)).stripMargin
+    cand + "\n" + (if (recall) audit else topk)
+  }
+
+  /**
+   * Auto-banded query-directed probing replay (s_ann_lsh_auto /
+   * s_recall_lsh_auto): the `geo` CTE re-derives the geometry the
+   * Spark side prices from the corpus count — the smallest band width
+   * in [6, 12] with n ≤ 128·2^bits, bands = min(8, 64/bits) — then
+   * the same dots → signatures → per-band costs → per-band cheapest
+   * `bits` perturbations machinery as [[lshQdOracleSql]], all bounds
+   * read from `geo` instead of hardcoded.
+   */
+  private def lshQdAutoOracleSql(recall: Boolean): String = {
+    val prefix =
+      """WITH geo AS (
+        |  SELECT bits, least(8, 64 // bits) AS bands,
+        |         least(8, 64 // bits) * bits AS nbits,
+        |         (1::BIGINT << bits) - 1 AS mask
+        |  FROM (SELECT unnest(generate_series(6, 12)) AS bits) bb,
+        |       (SELECT count(*) AS n FROM embeddings) cc
+        |  WHERE n <= 128 * (1::BIGINT << bits) OR bits = 12
+        |  ORDER BY bits LIMIT 1),
+        |planes AS (
+        |  SELECT b, list_transform(generate_series(0, 63),
+        |           d -> (('0x' || substr(md5('plane:' || b || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS pl
+        |  FROM (SELECT unnest(generate_series(0, (SELECT nbits FROM geo) - 1)) AS b)),
+        |dots AS (
+        |  SELECT vec_id, b,
+        |         list_sum(list_transform(range(1, 65), i -> pl[i] * embedding[i]::DOUBLE)) AS dt
+        |  FROM embeddings, planes),
+        |sig AS (
+        |  SELECT vec_id, sum(CASE WHEN dt > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sig
+        |  FROM dots GROUP BY 1),
+        |banded AS (
+        |  SELECT vec_id, band, (sig >> (band * geo.bits)) & geo.mask AS bandval
+        |  FROM sig, geo, (SELECT unnest(generate_series(0, (SELECT bands FROM geo) - 1)) AS band) bb),
+        |qband AS (
+        |  SELECT vec_id, b // bits AS band,
+        |         sum(CASE WHEN dt > 0 THEN (1::BIGINT << (b % bits)) ELSE 0 END)::BIGINT AS bandval,
+        |         list(dt * dt ORDER BY b) AS costs,
+        |         any_value(bits) AS bits
+        |  FROM dots, geo WHERE vec_id < 5 GROUP BY 1, 2),
+        |pert AS (
+        |  SELECT vec_id, band, bandval, m, bits,
+        |         list_sum(list_transform(range(0, bits),
+        |           j -> CASE WHEN ((m >> j) & 1) = 1 THEN costs[j + 1] ELSE 0.0 END)) AS cost
+        |  FROM qband, (SELECT unnest(generate_series(1, (SELECT mask FROM geo))) AS m) mm),
+        |chosen AS (
+        |  SELECT vec_id, band, xor(bandval, m) AS bandval FROM (
+        |    SELECT vec_id, band, bandval, m, bits,
+        |           row_number() OVER (PARTITION BY vec_id, band ORDER BY cost ASC, m ASC) AS rn
+        |    FROM pert) p WHERE rn <= bits),"""
+    (prefix + "\n" + lshProbeTailSql(recall)).stripMargin
   }
 
   /** q56 finisher over the hyperball body: per-node union of the
@@ -7974,6 +8055,11 @@ object SparkEntry {
     "s_recall_lsh_qd" -> lshQdOracleSql(recall = true, global = false),
 
     "s_ann_lsh_qa" -> lshQdOracleSql(recall = false, global = true),
+
+    // auto-banded probing: geometry re-derived from count(embeddings)
+    "s_ann_lsh_auto" -> lshQdAutoOracleSql(recall = false),
+
+    "s_recall_lsh_auto" -> lshQdAutoOracleSql(recall = true),
 
     "s_recall_lsh_qa" -> lshQdOracleSql(recall = true, global = true),
 

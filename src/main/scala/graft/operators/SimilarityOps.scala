@@ -638,6 +638,48 @@ object SimilarityOps {
     lshRerank(queries, corpus, k, nbits, bands, dim,
       probeMode = ProbeQueryAdaptive, probeBudget = budget)
 
+  /**
+   * [[lshTopKQueryDirected]] with the band width priced from the
+   * CORPUS COUNT via [[autoBandBits]] — the same composition
+   * [[cosineNearDuplicatesAuto]] runs for dedup banding, applied to
+   * the probing ANN family. The fixed 24-bit/8-band geometry keeps
+   * only 2^3 = 8 bucket values per band, so every corpus decade
+   * multiplies candidates PER PROBE by ~10 (the measured
+   * 3.9×/decade of the fixed-band qd row, SCALING.md); pricing the
+   * width as the smallest b with n ≤ targetDensity·2^b holds expected
+   * bucket density — and therefore candidates per probe — constant,
+   * so the probe budget buys recall instead of bucket spillage.
+   *
+   * Geometry: bits ∈ [6, 12] (the 12-bit cap is [[lshRerank]]'s
+   * probing guard — mask enumeration is 2^bits per band per query
+   * row), and bands = min(8, 64/bits) — as many independent chances
+   * per true neighbor as the 64-bit signature affords, the recall
+   * lever that costs no density. Probes per band stay the qd
+   * contract (1 home + bits flips), so the TOTAL probe budget
+   * bands·(1+bits) grows only with log n — probe count is query-side
+   * fan-out (cheap); candidates PER PROBE is what 100 TB pays for,
+   * and that is what the density pick pins. The pick is ONE count()
+   * of the corpus and is deterministic in n, so the DuckDB oracle
+   * replays the full geometry (planes, bands, probe sequence) from
+   * its own count.
+   *
+   * Honest trade vs the fixed geometry: fixed 3-bit bands at any
+   * realistic corpus are SATURATED — 32 probes × n/8 per bucket reads
+   * nearly the whole corpus, so its recall is exhaustive-scan recall
+   * at exhaustive-scan cost. The auto geometry reads
+   * probes × n/2^bits ≈ bands·(1+bits)·targetDensity candidates
+   * (scale-flat), and prices the recall it buys in its own
+   * [[recallAudit]] row instead of hiding a full scan.
+   */
+  def lshTopKQueryDirectedAuto(queries: DataFrame, corpus: DataFrame, k: Int,
+                               dim: Int = 64,
+                               targetDensity: Long = 128L): DataFrame = {
+    val bits = math.min(autoBandBits(corpus.count(), targetDensity), 12)
+    val bands = math.min(8, 64 / bits)
+    lshRerank(queries, corpus, k, nbits = bands * bits, bands = bands,
+      dim = dim, probeMode = ProbeQueryDirected)
+  }
+
   /** The global probe selection as a pure function (spec-pinned):
     * per band the home bucket, plus each band's selected flips from
     * the global (cost, band, mask) ranking truncated at `budget`. */
