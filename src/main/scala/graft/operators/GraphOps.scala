@@ -260,7 +260,7 @@ object GraphOps {
    * once) re-keyed to its three edges. Support is the k-truss
    * peeling currency.
    */
-  private def trussSupport(und: DataFrame): DataFrame = {
+  private[graft] def trussSupport(und: DataFrame): DataFrame = {
     val deg = degrees(und)
     val fwd = struct(col("da"), col("a")) < struct(col("db"), col("b"))
     val oriented = und
@@ -296,31 +296,82 @@ object GraphOps {
    * connectedComponents convention — the oracle unrolls the same
    * count).
    *
-   * Scale shape per round: support is the [[triangleCore]] plan —
-   * degree-oriented wedges (out-degree O(√m), hub-proof), two equi
-   * joins, one edge-keyed aggregate; the peel is one edge-keyed
-   * join. `localCheckpoint` pins each round's edge set (caller
-   * releases via graft.core.Blocks). Rounds compose as independent
-   * scans of a shrinking frame — the classic monotone-peeling shape.
+   * Scale shape: support is enumerated ONCE (the [[triangleCore]]
+   * plan — degree-oriented wedges, out-degree O(√m), hub-proof); each
+   * peel round then DECREMENTS support along the triangles its
+   * deleted edges killed instead of re-counting the survivors (the
+   * standard truss-decomposition refinement). A round's work is sized
+   * by the DELETED edges: dying triangles come from a min-degree-
+   * oriented wedge probe (Σ min-deg over deleted edges — a hub-star's
+   * own degree never multiplies), deduped by canonical (x<y<z) key so
+   * a triangle losing two edges at once decrements its survivor
+   * exactly once. Rounds stop at the FIXPOINT (a round that deletes
+   * nothing — detected exactly, the componentsStars convention), so
+   * excess `rounds` on a converged graph cost one empty-delete check
+   * instead of a full re-enumeration each. `localCheckpoint` pins
+   * each round's support frame (caller releases via
+   * graft.core.Blocks).
    *
    * Output: surviving (a, b, support) with support measured on the
    * FINAL subgraph (0 for edges whose last triangles died in the
-   * final peel — visible non-convergence, never silent).
+   * final peel — visible non-convergence, never silent). The
+   * maintained count IS that support: after each round,
+   * support(e) = #triangles of the peeled graph containing e — the
+   * invariant the recompute-equivalence spec pins.
    */
   def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 3 && k <= 64, s"kTruss k=$k")
     require(rounds >= 1 && rounds <= 8, s"kTruss rounds=$rounds")
     val thr = (k - 2).toLong
-    var e = undirect(edges).localCheckpoint()
-    for (_ <- 1 to rounds) {
-      e = e.join(trussSupport(e), Seq("a", "b"))
-        .filter(col("support") >= thr)
-        .select("a", "b")
-        .localCheckpoint()
+    val e0 = undirect(edges).localCheckpoint()
+    var sup = e0.join(trussSupport(e0), Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
+      .localCheckpoint()
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val deleted = sup.filter(col("support") < thr)
+        .select("a", "b").localCheckpoint()
+      if (deleted.isEmpty) converged = true
+      else {
+        val und = sup.select("a", "b")
+        val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
+        // the triangles dying this round lived in the CURRENT graph
+        // (deleted edges included); probe common neighbors from the
+        // lower-degree endpoint so a deleted hub edge costs min-deg,
+        // not hub-deg
+        val deg = degrees(und)
+        val fwd = struct(col("da"), col("a")) <= struct(col("db"), col("b"))
+        val ordered = deleted
+          .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+          .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+          .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
+            when(fwd, col("b")).otherwise(col("a")).as("v"))
+        val dying = ordered
+          .join(adj.select(col("a").as("u"), col("b").as("w")), Seq("u"))
+          .filter(col("w") =!= col("v"))
+          .join(adj.select(col("a").as("v"), col("b").as("w")), Seq("v", "w"))
+          // canonical key: a triangle reached from two deleted edges
+          // (or from both endpoints) must decrement its survivors once
+          .select(array_sort(array(col("u"), col("v"), col("w"))).as("t"))
+          .select(element_at(col("t"), 1).as("x"), element_at(col("t"), 2).as("y"),
+            element_at(col("t"), 3).as("z"))
+          .distinct()
+        val dec = dying.select(col("x").as("a"), col("y").as("b"))
+          .union(dying.select(col("x").as("a"), col("z").as("b")))
+          .union(dying.select(col("y").as("a"), col("z").as("b")))
+          .groupBy("a", "b").agg(count(lit(1)).as("d"))
+        // deleted edges leave by the >= thr filter; their dying-triangle
+        // decrements land only on edges still present
+        sup = sup.filter(col("support") >= thr)
+          .join(dec, Seq("a", "b"), "left")
+          .select(col("a"), col("b"),
+            (col("support") - coalesce(col("d"), lit(0L))).as("support"))
+          .localCheckpoint()
+      }
+      r += 1
     }
-    e.join(trussSupport(e), Seq("a", "b"), "left")
-      .select(col("a"), col("b"),
-        coalesce(col("support"), lit(0L)).as("support"))
+    sup
   }
 
   /**

@@ -579,6 +579,38 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraphOps.kTruss(pair, k = 4, rounds = 2).count() == 0L)
   }
 
+  test("kTruss: decremented support equals a fresh enumeration on the final subgraph; early stop ≡ excess rounds") {
+    val ss = spark; import ss.implicits._
+    // deterministic hash graph: ~50 nodes, dense enough for real
+    // multi-round peeling cascades
+    val hash = (0 until 300)
+      .map(i => (((i * i + 1) % 50).toLong, ((i * i * i + 2) % 50).toLong))
+      .filter(p => p._1 != p._2)
+    // K6 anchor on 100-105 (edge support 4 inside it) so a non-empty
+    // truss survives next to the hash graph's peeling cascades
+    val k6 = for (a <- 100 to 105; b <- (a + 1) to 105) yield (a.toLong, b.toLong)
+    val raw = (hash ++ k6).toDF("src", "dst")
+    def set(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = set(GraphOps.kTruss(raw, k = 4, rounds = 8))
+    assert(got.nonEmpty, "fixture must leave a non-empty 4-truss")
+    // THE invariant the decrement refinement must hold: the maintained
+    // count equals a fresh degree-oriented enumeration on the final
+    // edge set, edge for edge
+    val fin = got.toSeq.map(e => (e._1, e._2)).toDF("a", "b")
+    val recount = set(fin.join(GraphOps.trussSupport(fin), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        org.apache.spark.sql.functions.coalesce(col("support"),
+          org.apache.spark.sql.functions.lit(0L)).as("support")))
+    assert(got == recount, s"maintained supports diverge from recompute: " +
+      s"only-maintained ${got -- recount}, only-recount ${recount -- got}")
+    // convergence: every survivor at k=4 holds >= 2 triangles, so the
+    // fixpoint was reached and excess rounds are exact no-ops
+    assert(got.forall(_._3 >= 2L), s"unconverged rows in $got")
+    assert(set(GraphOps.kTruss(raw, k = 4, rounds = 6)) == got,
+      "early stop must make excess rounds free AND identical")
+  }
+
   test("hyperBallProfile: ball matches hyperBallHarmonic exactly; median t ordered center-out; sum-dist tracks exact") {
     val ss = spark; import ss.implicits._
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
