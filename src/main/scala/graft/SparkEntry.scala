@@ -750,6 +750,44 @@ object SparkEntry {
       GraphOps.kTruss(e, k = 4, rounds = 3).orderBy("a", "b")
     }),
 
+    "q58_reach_out" -> ((s, dir) => {
+      // DIRECTED HyperBall on the skip-chain graph, out-balls: per
+      // node, how much of the graph it REACHES within 3 hops and the
+      // harmonic fold over directed distances — the same register
+      // machinery as q52 with the symmetrizing union dropped. Chain
+      // heads reach far (big ball), chain tails reach nothing but
+      // themselves — the asymmetry the undirected rows can't see.
+      val users = events(s, dir).select(col("user_id")).distinct()
+      val uDst = users.select(col("user_id").as("dst"))
+      val e1 = users.filter(col("user_id") % 64 =!= 63)
+        .select(col("user_id").as("src"), (col("user_id") + 1).as("dst"))
+        .join(uDst, Seq("dst"))
+      val e2 = users.filter(col("user_id") % 64 < 48)
+        .select(col("user_id").as("src"), (col("user_id") + 16).as("dst"))
+        .join(uDst, Seq("dst"))
+      GraphOps.hyperBallHarmonicDirected(e1.union(e2), rounds = 3,
+          direction = "out")
+        .orderBy("node")
+    }),
+
+    "q59_reach_in" -> ((s, dir) => {
+      // the transpose: per node, how much of the graph REACHES it in
+      // <= 3 hops — the centrality orientation (Boldi-Vigna run
+      // harmonic on incoming paths); same recurrence on the reversed
+      // edge set, so out/in together price both sides of every chain
+      val users = events(s, dir).select(col("user_id")).distinct()
+      val uDst = users.select(col("user_id").as("dst"))
+      val e1 = users.filter(col("user_id") % 64 =!= 63)
+        .select(col("user_id").as("src"), (col("user_id") + 1).as("dst"))
+        .join(uDst, Seq("dst"))
+      val e2 = users.filter(col("user_id") % 64 < 48)
+        .select(col("user_id").as("src"), (col("user_id") + 16).as("dst"))
+        .join(uDst, Seq("dst"))
+      GraphOps.hyperBallHarmonicDirected(e1.union(e2), rounds = 3,
+          direction = "in")
+        .orderBy("node")
+    }),
+
     "q56_ball_profile" -> ((s, dir) => {
       // per-node distance profile from the HyperBall state: final
       // ball, median distance (smallest t holding half the final
@@ -3619,11 +3657,11 @@ object SparkEntry {
    * arithmetic verbatim per round; harmonic_micro folds the clamped
    * ball-size deltas with integer division.
    */
-  private def hyperballOracleSql(rounds: Int): String = {
+  private def hyperballOracleSql(rounds: Int, mode: String = "und"): String = {
     val deltas = (1 to rounds).map(t =>
       s"(greatest(f$t.est - f${t - 1}.est, 0) * 1000) // $t").mkString(" + ")
     val joins = (0 until rounds).map(t => s"JOIN f$t USING (node)").mkString(" ")
-    hyperballBodyCtes(rounds) + "\n" +
+    hyperballBodyCtes(rounds, mode) + "\n" +
       s"""|SELECT f$rounds.node, f$rounds.est::BIGINT AS ball_milli,
           |       ($deltas)::BIGINT AS harmonic_micro
           |FROM f$rounds $joins
@@ -3836,7 +3874,20 @@ object SparkEntry {
           |FROM dd GROUP BY 1 ORDER BY node""".stripMargin
   }
 
-  private def hyperballBodyCtes(rounds: Int): String = {
+  private def hyperballBodyCtes(rounds: Int, mode: String = "und"): String = {
+    // the directed modes drop the symmetrizing UNION (out: registers
+    // flow dst→src so reachability flows along the edge; in: the
+    // transpose) and seed nodes from BOTH endpoints so a pure
+    // sink/source still carries its singleton ball
+    val adjSql = mode match {
+      case "out" => "adj AS (SELECT src AS a, dst AS b FROM e)"
+      case "in"  => "adj AS (SELECT dst AS a, src AS b FROM e)"
+      case _ =>
+        "adj AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst AS a, src AS b FROM e)"
+    }
+    val nSql =
+      if (mode == "und") "n AS (SELECT DISTINCT a AS node FROM adj)"
+      else "n AS (SELECT a AS node FROM adj UNION SELECT b AS node FROM adj)"
     val lcTable = operators.SketchOps.linearCountMilli(8).mkString("[", ",", "]")
     def estCte(t: Int): String =
       s"""g$t AS (
@@ -3869,8 +3920,8 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT a.id AS src, a.id + 16 AS dst
        |  FROM u a JOIN u b ON b.id = a.id + 16 WHERE a.id % 64 < 48),
-       |adj AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst AS a, src AS b FROM e),
-       |n AS (SELECT DISTINCT a AS node FROM adj),
+       |$adjSql,
+       |$nSql,
        |h0 AS (SELECT node, ('0x' || substr(md5(node::VARCHAR), 1, 15))::BIGINT AS h FROM n),
        |r0 AS (
        |  SELECT node, h // (1::BIGINT << 52) AS idx,
@@ -4036,6 +4087,12 @@ object SparkEntry {
     "q52_hyperball" -> hyperballOracleSql(3),
 
     "q53_neighborhood" -> neighborhoodOracleSql(4),
+
+    // directed register recurrences: same body, symmetrizing union
+    // dropped (out) / edge set transposed (in)
+    "q58_reach_out" -> hyperballOracleSql(3, mode = "out"),
+
+    "q59_reach_in" -> hyperballOracleSql(3, mode = "in"),
 
     "q56_ball_profile" -> ballProfileOracleSql(3),
 

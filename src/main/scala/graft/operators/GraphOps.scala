@@ -856,7 +856,50 @@ object GraphOps {
     val und = undirect(edges).localCheckpoint()
     val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
-    val nodes = adj.select(col("a").as("node")).distinct()
+    harmonicFromAdj(adj, rounds, p)
+  }
+
+  /**
+   * DIRECTED HyperBall harmonic centrality — the orientation
+   * Boldi–Vigna actually run on webgraphs: `direction` "out" grows
+   * B_out(v, t) = {u : v reaches u in ≤ t hops} (round t max-merges
+   * each node's OUT-neighbors' registers — the propagation runs
+   * AGAINST edge direction, so reachability flows along it), "in"
+   * runs the same recurrence on the transposed edge set and grows
+   * "who reaches me" — the centrality reading (a page is central when
+   * many pages reach it in few hops). Identical register machinery,
+   * determinism, and scale shape as [[hyperBallHarmonic]]; the
+   * symmetrizing union is simply dropped, which is the whole
+   * difference. Self-loops are excluded and parallel edges deduped,
+   * matching the undirected canonicalization; isolated-direction
+   * nodes (a pure sink in "out" mode) still carry their singleton
+   * ball — node registers seed from BOTH endpoints of the edge set.
+   *
+   * Output: (node, ball_milli, harmonic_micro) — harmonic over
+   * directed distances, Σ_t Δ|B(v,t)|/t.
+   */
+  def hyperBallHarmonicDirected(edges: DataFrame, rounds: Int, p: Int = 8,
+                                direction: String = "out"): DataFrame = {
+    require(rounds >= 1 && rounds <= 32, s"hyperBallHarmonicDirected rounds=$rounds")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val adj = (direction match {
+      case "out" => e.select(col("src").as("a"), col("dst").as("b"))
+      case "in"  => e.select(col("dst").as("a"), col("src").as("b"))
+      case other => throw new IllegalArgumentException(
+        s"hyperBallHarmonicDirected direction must be out|in, got: $other")
+    }).localCheckpoint()
+    harmonicFromAdj(adj, rounds, p)
+  }
+
+  /** The HyperBall register recurrence + harmonic fold over an
+    * already-oriented adjacency (a receives b's registers): shared by
+    * the undirected and directed entry points. Nodes seed from BOTH
+    * endpoint columns so direction-isolated nodes keep their
+    * singleton ball. */
+  private def harmonicFromAdj(adj: DataFrame, rounds: Int, p: Int): DataFrame = {
+    val nodes = adj.select(col("a").as("node"))
+      .union(adj.select(col("b").as("node"))).distinct()
     var regs = SketchOps.hllRegisters(
         nodes.select(col("node"), col("node").as("_v")), Seq("node"), "_v", p)
       .localCheckpoint()

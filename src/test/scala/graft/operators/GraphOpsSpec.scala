@@ -579,6 +579,50 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraphOps.kTruss(pair, k = 4, rounds = 2).count() == 0L)
   }
 
+  test("hyperBallHarmonicDirected: estimates equal HLL over exact directed BFS balls; harmonic folds them; out/in asymmetric") {
+    val ss = spark; import ss.implicits._
+    // branched chain 0→1→2→3 with 1→4 and 5→1: real sinks (3, 4), a
+    // real source (5), asymmetric reach everywhere
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (1L, 4L), (5L, 1L))
+    val e = edges.toDF("src", "dst")
+    val rounds = 3
+    val nodes = edges.flatMap(p => Seq(p._1, p._2)).distinct
+    val fwd = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def ballAt(n: Long, r: Int): Set[Long] = {
+      var b = Set(n)
+      for (_ <- 1 to r) b = b ++ b.flatMap(fwd.getOrElse(_, Set.empty[Long]))
+      b
+    }
+    // the register-level identity: the HLL state of B_out(v, t) IS the
+    // max-merge of its members' seed registers, so the recurrence's
+    // estimate must equal the estimate over the EXACT BFS ball — not
+    // approximately, bit for bit
+    def estAt(r: Int): Map[Long, Long] = {
+      val pairs = nodes.flatMap(n => ballAt(n, r).map(m => (n, m))).toDF("node", "_v")
+      SketchOps.hllFromRegisters(
+          SketchOps.hllRegisters(pairs, Seq("node"), "_v", 8), Seq("node"), 8)
+        .select("node", "est_milli")
+        .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    }
+    val got = GraphOps.hyperBallHarmonicDirected(e, rounds, direction = "out")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ests = (0 to rounds).map(estAt)
+    nodes.foreach { n =>
+      assert(got(n)._1 == ests(rounds)(n),
+        s"node $n ball ${got(n)._1} != exact-BFS register estimate ${ests(rounds)(n)}")
+      // harmonic = the clamped delta fold over the same exact estimates
+      val h = (1 to rounds).map(t =>
+        math.max(ests(t)(n) - ests(t - 1)(n), 0L) * 1000L / t).sum
+      assert(got(n)._2 == h, s"node $n harmonic ${got(n)._2} != exact fold $h")
+    }
+    // asymmetry: the chain head reaches 5 nodes but only itself reaches
+    // it; sink 3 is reached by 4 nodes but reaches only itself
+    val gin = GraphOps.hyperBallHarmonicDirected(e, rounds, direction = "in")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L)._1 > gin(0L), s"source 0: out ${got(0L)._1} !> in ${gin(0L)}")
+    assert(gin(3L) > got(3L)._1, s"sink 3: in ${gin(3L)} !> out ${got(3L)._1}")
+  }
+
   test("kTruss: decremented support equals a fresh enumeration on the final subgraph; early stop ≡ excess rounds") {
     val ss = spark; import ss.implicits._
     // deterministic hash graph: ~50 nodes, dense enough for real
