@@ -115,7 +115,24 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
                 // on the FIRST bad batch, not at release review). State
                 // is languages × 3 LONGs; the report collect is
                 // language-cardinality (model-sized by contract).
-                driftTolMilli: Option[Long] = None) {
+                driftTolMilli: Option[Long] = None,
+                // chunk-level exists-cache: reject docs whose
+                // content-defined chunks (the Shingles.cdcChunks
+                // kernel, window 8 / maskMod 64 — the cdcChunkStats
+                // geometry, on the same lower/space-normalized text)
+                // share at least this many DISTINCT fps with the
+                // ADMITTED corpus — the re-crawled page whose
+                // BOILERPLATE changed, which the whole-doc fingerprint
+                // misses because the bytes differ. Admitted docs'
+                // distinct chunk fps persist to `_chunkfps/batch=b<id>`
+                // (idempotent, compacted with the corpus); the check is
+                // one fp-keyed semi join + a per-doc count, scale shape
+                // identical to the document exists-cache. Within-batch
+                // docs do NOT chunk-gate each other (exact dedup
+                // already catches identical docs; near-dups inside one
+                // batch admit together — the forward-only contract the
+                // line scrub also makes).
+                dedupChunksMinShared: Option[Int] = None) {
 
   private val inputSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -131,6 +148,11 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
 
   /** (batchId, urlDupInBatch, urlDupExisting) of the last batch (url gate on). */
   @volatile var lastUrlStats: (Long, Long, Long) = (-1L, 0L, 0L)
+
+  /** (batchId, docs rejected as chunk-level duplicates of the admitted
+    * corpus) of the last batch (chunk gate on). These docs also count
+    * in [[lastBatchStats]]' dupExisting — this is the breakdown. */
+  @volatile var lastChunkStats: (Long, Long) = (-1L, 0L)
 
   /** (batchId, admitted ppm of the post-gate batch, max |Δmean_milli|
     * across languages vs the accumulated corpus, languages flagged at
@@ -392,6 +414,49 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
     } finally freshUrl.unpersist()
   }
 
+  private def emptyChunkFps: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("cfp", LongType))))
+
+  /** Distinct content-defined chunk fps per doc — the cdcChunkStats
+    * chunking (fused kernel, window 8 / maskMod 64) on the same
+    * normalized text, distinct per doc so a page repeating its own
+    * boilerplate counts each chunk once. */
+  private def chunkFps(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.operators.CdcChunks(
+          trim(regexp_replace(lower(col("text")), "\\s+", " ")), 8, 64)).as("c"))
+      .select(col("doc_id"), col("c.fp").as("cfp"))
+      .distinct()
+
+  /** Chunk fps of the admitted corpus, excluding a replayed batch's own
+    * dir. May repeat across dirs; consumers semi-join, so repeats are
+    * harmless. */
+  private def chunkFpHistory(excludeBatch: Long): DataFrame =
+    if (!tableExists(s"$corpusDir/_chunkfps")) emptyChunkFps
+    else
+      try spark.read.parquet(s"$corpusDir/_chunkfps")
+        .filter(col("batch") =!= lit(s"b$excludeBatch"))
+        .select("cfp")
+      catch { case _: org.apache.spark.sql.AnalysisException => emptyChunkFps }
+
+  /** The chunk-level exists-check: docs whose distinct chunk fps hit
+    * the admitted history at least `minShared` times leave the batch.
+    * The semi join dedups the history side per (doc, fp), so the count
+    * is "distinct chunks of THIS doc seen anywhere before" — exactly
+    * cdcContainmentPairs' containment currency against the corpus. */
+  private def chunkGate(candidates: DataFrame, batchId: Long,
+                        minShared: Int): DataFrame = {
+    val dupIds = chunkFps(candidates)
+      .join(chunkFpHistory(batchId), Seq("cfp"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("_shared"))
+      .filter(col("_shared") >= minShared.toLong)
+      .select("doc_id")
+      .localCheckpoint()
+    lastChunkStats = (batchId, dupIds.count())
+    candidates.join(dupIds, Seq("doc_id"), "left_anti")
+  }
+
   private def emptyQStats: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(StructField("lang", StringType), StructField("n", LongType),
@@ -468,8 +533,16 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
     val firstPerFp = withFp.withColumn("rn", row_number().over(win))
       .filter(col("rn") === 1).drop("rn")
     // document exists-cache: anti-join accepted fingerprints (Bloom-
-    // routed around the history scan when enabled)
-    val fresh = freshAgainstCorpus(firstPerFp, batchId)
+    // routed around the history scan when enabled), then the optional
+    // chunk-level exists-check (the batch materializes once so the
+    // chunking pass and the kept side don't re-run the history join)
+    val freshBase = dedupChunksMinShared match {
+      case Some(minShared) =>
+        chunkGate(freshAgainstCorpus(firstPerFp, batchId).localCheckpoint(),
+          batchId, minShared)
+      case None => freshAgainstCorpus(firstPerFp, batchId)
+    }
+    val fresh = freshBase
       .withColumn("quality", TextOps.qualityScore(col("text")))
       .withColumn("lang_guess", TextOps.langGuess(col("text")))
       .cache()
@@ -489,8 +562,17 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
       val nFresh = fresh.count()
       val nLowQ = fresh.filter(col("quality") < minQuality).count()
       val nFirst = firstPerFp.count()
+      // chunk-level rejects count in dupExisting (they ARE existing-
+      // content duplicates); lastChunkStats carries the breakdown
       lastBatchStats = (batchId, nAdmitted, n - nFirst, nFirst - nFresh,
         nLowQ, nFresh - nLowQ - nAdmitted)
+
+      // the admitted docs' chunk fps become tomorrow's chunk history —
+      // written BEFORE compaction so the fold sees this batch's dir
+      dedupChunksMinShared.foreach { _ =>
+        chunkFps(admitted).select("cfp").distinct().write.mode("overwrite")
+          .parquet(s"$corpusDir/_chunkfps/batch=b$batchId")
+      }
 
       // drift monitor BEFORE compaction: the history it reads excludes
       // this batch's dir, so replays compare against the same baseline
@@ -521,6 +603,10 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
           if (driftTolMilli.isDefined && tableExists(s"$corpusDir/_qstats"))
             TableCompactor.onlineCompactAppend(spark, s"$corpusDir/_qstats",
               fence = batchId, sortCols = Seq("lang"))
+          // chunk fps read via semi-join — concatenation merges
+          if (dedupChunksMinShared.isDefined && tableExists(s"$corpusDir/_chunkfps"))
+            TableCompactor.onlineCompactAppend(spark, s"$corpusDir/_chunkfps",
+              fence = batchId, sortCols = Seq("cfp"))
         } catch {
           case scala.util.control.NonFatal(e) =>
             org.slf4j.LoggerFactory.getLogger(getClass)

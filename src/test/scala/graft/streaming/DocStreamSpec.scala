@@ -370,6 +370,60 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s2.accepted().columns.contains("url"))
   }
 
+  test("doc stream: CDC chunk gate — re-crawl with changed boilerplate rejected; stream ≡ batch containment; fold included") {
+    val work = Files.createTempDirectory("graft-docstream-cdc").toString
+    def stream() = new DocStream(spark, s"$work/drop", s"$work/corpus", s"$work/ckpt",
+      minQuality = 0L, maxFilesPerTrigger = Some(1),
+      compactEveryBatches = Some(1), // fold after EVERY batch — the gate
+      // must read folded history identically to live b-dirs
+      dedupChunksMinShared = Some(2))
+    // a shared body long enough for several content-defined chunks
+    // (expected chunk ~64 chars at maskMod 64)
+    val body = (1 to 120).map(i => s"w${i * 7 % 97}").mkString(" ")
+    // doc 2 and doc 4 must be chunk-disjoint — goodText's repeated
+    // sentence would legitimately pair them, so each gets its own
+    // word sequence
+    val other = (1 to 90).map(i => s"q${i * 13 % 89}").mkString(" ")
+    val freshW = (1 to 90).map(i => s"z${i * 11 % 83}").mkString(" ")
+    val docs1 = Seq(1L -> s"original header $body", 2L -> other)
+    val docs2 = Seq(
+      3L -> s"totally new banner and nav $body", // re-crawl: fp differs, chunks match
+      4L -> freshW)                              // genuinely new
+    jsonl(s"$work/drop", "a.jsonl", docs1)
+    val s1 = stream()
+    s1.runAvailableNow()
+    assert(s1.accepted().count() == 2L)
+    jsonl(s"$work/drop", "b.jsonl", docs2)
+    val s2 = stream()
+    s2.runAvailableNow()
+    val got = s2.accepted().select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L, 4L),
+      s"the re-crawled page must be chunk-rejected, the fresh one admitted: ${got.toSeq}")
+    assert(s2.lastChunkStats._2 == 1L, s"chunk stats: ${s2.lastChunkStats}")
+    // chunk rejects count in dupExisting (lastChunkStats is the breakdown)
+    assert(s2.lastBatchStats._4 == 1L, s"batch stats: ${s2.lastBatchStats}")
+    // stream ≡ batch: the gate's decision replays as cdcContainmentPairs
+    // between the batch-2 docs and the batch-1 admitted corpus — same
+    // kernel, same geometry, same minShared
+    val ss = spark; import ss.implicits._
+    val all = (docs1 ++ docs2).toDF("doc_id", "text")
+    val pairs = graft.operators.DedupOps
+      .cdcContainmentPairs(all, "doc_id", "text", minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectedRejects = docs2.map(_._1).filter(id =>
+      docs1.map(_._1).exists(a => pairs.contains((math.min(a, id), math.max(a, id)))))
+    assert(expectedRejects == Seq(3L),
+      s"fixture must pair exactly the re-crawl cross-batch: $pairs")
+    // and a replayed-content THIRD batch still gates against the now-
+    // compacted chunk history (the fold moved b-dirs into c-dirs)
+    jsonl(s"$work/drop", "c.jsonl", Seq(5L -> s"yet another skin $body"))
+    val s3 = stream()
+    s3.runAvailableNow()
+    assert(!s3.accepted().select("doc_id").collect().map(_.getLong(0)).contains(5L),
+      "post-fold history must still chunk-reject")
+    assert(s3.lastChunkStats._2 == 1L, s"post-fold chunk stats: ${s3.lastChunkStats}")
+  }
+
   test("doc stream: quality-drift monitor — stream ≡ batch moments on a split feed; sagging batch flags") {
     val work = Files.createTempDirectory("graft-docstream-drift").toString
     def stream(sub: String) = new DocStream(spark, s"$work/$sub/drop",
