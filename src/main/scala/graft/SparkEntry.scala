@@ -2932,6 +2932,17 @@ object SparkEntry {
       SimilarityOps.farthestPointSample(e, k = 6).orderBy("rank")
     }),
 
+    "p_fps_coreset" -> ((s, dir) => {
+      // the 100 TB execution of p_fps_diverse: a deterministic
+      // md5-ranked pool of 64 vectors (one distributed top-k — the
+      // only corpus-scale work), then the exact Gonzalez greedy on
+      // the pool, so the k driver round-trips touch a pool-sized
+      // frame regardless of corpus size
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      SimilarityOps.farthestPointSampleCoreset(e, k = 6, poolSize = 64)
+        .orderBy("rank")
+    }),
+
     "d_dedup_cdc_pairs" -> ((s, dir) =>
       // chunk-level containment candidates: doc pairs sharing >= 2
       // content-defined chunks (df cap 100 drops boilerplate fps
@@ -3939,7 +3950,7 @@ object SparkEntry {
    * Distances round to 6 dp at every step exactly like the Spark
    * fold; CTEs MATERIALIZED (each d/s is read twice downstream).
    */
-  private def fpsOracleSql(k: Int): String = {
+  private def fpsOracleSql(k: Int, poolSize: Int = 0): String = {
     def cos(a: String, b: String): String =
       s"""list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE)) /
          |               (sqrt(list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $a.embedding[i]::DOUBLE))) *
@@ -3954,7 +3965,18 @@ object SparkEntry {
     }
     val finals = (s"SELECT 1::BIGINT AS rank, id AS vec_id, 0.0 AS dist FROM s1" +:
       (2 to k).map(r => s"SELECT $r::BIGINT, id, dist FROM s$r")).mkString("\nUNION ALL ")
-    s"""WITH c AS MATERIALIZED (SELECT vec_id AS id, embedding FROM embeddings),
+    // poolSize > 0 = the two-stage coreset form: the greedy runs on a
+    // deterministic md5-ranked pool instead of the whole corpus
+    val cSql =
+      if (poolSize > 0)
+        s"""c AS MATERIALIZED (
+           |  SELECT id, embedding FROM (
+           |    SELECT vec_id AS id, embedding,
+           |           ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
+           |    FROM embeddings) z
+           |  ORDER BY h, id LIMIT $poolSize),"""
+      else "c AS MATERIALIZED (SELECT vec_id AS id, embedding FROM embeddings),"
+    s"""WITH $cSql
        |s1 AS MATERIALIZED (SELECT id, embedding FROM c ORDER BY id LIMIT 1),
        |d1 AS MATERIALIZED (
        |  SELECT c.id, c.embedding,
@@ -4133,6 +4155,9 @@ object SparkEntry {
     "q54_ktruss" -> ktrussOracleSql(4, 3),
 
     "p_fps_diverse" -> fpsOracleSql(6),
+
+    // the same greedy unroll over the md5-ranked 64-vector pool
+    "p_fps_coreset" -> fpsOracleSql(6, poolSize = 64),
 
     // life-table replay: per-user firsts, at-or-after conversion,
     // bucket counts, one cumulative window, integer ppm ratios

@@ -159,6 +159,38 @@ object SimilarityOps {
   }
 
   /**
+   * Two-stage CORESET farthest-point sampling — the documented 100 TB
+   * path for [[farthestPointSample]] executed as a composed operator:
+   * stage 1 takes a DETERMINISTIC pool of `poolSize` vectors (the
+   * smallest (md5Head60(id), id) ranks — a seedless uniform sample
+   * both engines derive from the ids alone, planned as a distributed
+   * top-k, never a global sort); stage 2 runs the exact Gonzalez
+   * greedy on the pool. The greedy's k corpus scans and k driver
+   * round-trips now touch a pool-sized frame, so the driver
+   * interaction is O(k·poolSize) REGARDLESS of corpus size — the only
+   * corpus-scale work left is the one top-k pool selection.
+   *
+   * The standard coreset argument prices the trade: greedy on the
+   * pool 2-approximates the k-center optimum OF THE POOL, and a
+   * uniform pool's coverage radius adds the sampling slack — at
+   * 100 TB you size poolSize (10⁴–10⁶) for the slack you can afford;
+   * the operator's cost model is unchanged by the corpus behind it.
+   * Output contract identical to [[farthestPointSample]]:
+   * (rank, vec_id, dist), dist = selection-time min distance within
+   * the pool.
+   */
+  def farthestPointSampleCoreset(corpus: DataFrame, k: Int,
+                                 poolSize: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"farthestPointSampleCoreset k=$k")
+    require(poolSize >= k && poolSize <= (1 << 20),
+      s"farthestPointSampleCoreset poolSize=$poolSize")
+    val pool = corpus.select(col("id"), col("embedding"))
+      .orderBy(FastHash.md5Head60(col("id").cast("string")).asc, col("id").asc)
+      .limit(poolSize)
+    farthestPointSample(pool, k)
+  }
+
+  /**
    * Cosine RANGE search: every corpus neighbor whose similarity meets
    * the threshold, per query — the radius-retrieval mode next to
    * [[bruteForceTopK]]'s top-k (dedup and recall audits ask "everything

@@ -771,6 +771,37 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, 5L, 0.292893), (5L, 2L, 0.0)), s"got $got")
   }
 
+  test("farthestPointSampleCoreset: composition identity, chosen ⊆ pool, greedy dists non-increasing, bounded slack vs full") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val got = SimilarityOps.farthestPointSampleCoreset(e, k = 6, poolSize = 64)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // composition identity: pool selection + greedy IS the operator —
+    // running the exact greedy on the explicitly-built pool must match
+    val pool = e
+      .orderBy(FastHash.md5Head60(col("id").cast("string")).asc, col("id").asc)
+      .limit(64).localCheckpoint()
+    val direct = SimilarityOps.farthestPointSample(pool, k = 6)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == direct, s"coreset $got != pool-greedy $direct")
+    // every choice is a pool member
+    val poolIds = pool.select("id").collect().map(_.getLong(0)).toSet
+    assert(got.forall(c => poolIds.contains(c._2)), s"non-pool choice in $got")
+    // the greedy invariant: selection distances never increase after
+    // the seed (each round takes the current farthest)
+    val dists = got.drop(1).map(_._3)
+    assert(dists.zip(dists.drop(1)).forall { case (a, b) => a >= b }, s"dists $dists")
+    // coverage slack vs the full-corpus greedy, pinned on the fixture:
+    // the pool greedy's final selection radius must stay within the
+    // sampling slack of the full run (documented two-stage trade)
+    val full = SimilarityOps.farthestPointSample(e, k = 6)
+      .orderBy("rank").collect().map(_.getDouble(2))
+    assert(got.last._3 >= full.last / 4,
+      s"pool radius ${got.last._3} collapsed vs full ${full.last}")
+  }
+
   test("cdcChunkStats: identical docs fully duplicated; splice shifts no downstream chunk; distinct docs clean") {
     val ss = spark; import ss.implicits._
     // ~600 varied chars so several content-defined boundaries land
