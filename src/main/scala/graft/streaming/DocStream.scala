@@ -160,6 +160,76 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
     * has no history: deltas are undefined, nothing flags. */
   @volatile var lastDriftStats: (Long, Long, Long, Long) = (-1L, 0L, 0L, 0L)
 
+  /**
+   * Per-stage batch-latency histograms — the ops-side twin of the
+   * quality-drift monitor: every batch records one wall-clock sample
+   * per ACTIVE pipeline stage ("ingest" the source count, "url" the
+   * frontier gate, "scrub" the line scrub, "chunk" the exists +
+   * chunk-level dedup when that gate is on, "admit" the dedup/quality
+   * pipeline through the corpus write, "monitor" the drift stats,
+   * "maintain" compaction + bloom rebuild) into FIXED log₂ buckets —
+   * upper bounds 1, 2, 4 … 2¹⁴ ms plus one overflow bucket. State is
+   * stages × 16 LONGs however long the stream runs (the bounded-state
+   * contract every monitor here makes); a stage's span covers the
+   * ACTIONS it triggers, so lazy frames bill to the stage that
+   * executes them.
+   */
+  private val latencyBuckets = 16
+  private val latency =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
+  private def recordLatency(stage: String, ms: Long): Unit = {
+    val h = latency.computeIfAbsent(stage, _ => new Array[Long](latencyBuckets))
+    // smallest i with ms <= 2^i (0 for ms <= 1), capped at the overflow
+    val b =
+      if (ms <= 1L) 0
+      else math.min(latencyBuckets - 1, 64 - java.lang.Long.numberOfLeadingZeros(ms - 1))
+    h.synchronized { h(b) += 1L }
+  }
+
+  private def timed[T](stage: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    try f
+    finally recordLatency(stage, (System.nanoTime() - t0) / 1000000L)
+  }
+
+  /** The histogram as a frame: (stage, le_ms, count) with le_ms the
+    * bucket's inclusive upper bound in ms (-1 = the overflow bucket).
+    * Only non-empty buckets emit; the frame is stages × ≤16 rows. */
+  def latencyHistogram(): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val ss = spark
+    import ss.implicits._
+    latency.asScala.toSeq.flatMap { case (stage, arr) =>
+      arr.toSeq.zipWithIndex.collect { case (c, i) if c > 0 =>
+        (stage, if (i == latencyBuckets - 1) -1L else 1L << i, c)
+      }
+    }.toDF("stage", "le_ms", "count")
+  }
+
+  /** Conservative percentile read: the upper bound (ms) of the bucket
+    * where the cumulative count reaches pct% of the stage's samples;
+    * -1 when the stage has no samples or the percentile lands in the
+    * overflow bucket. */
+  def latencyPercentile(stage: String, pct: Int): Long = {
+    require(pct >= 1 && pct <= 100, s"latencyPercentile pct=$pct")
+    val arr = latency.get(stage)
+    if (arr == null) return -1L
+    val snap = arr.synchronized(arr.clone())
+    val total = snap.sum
+    if (total == 0L) return -1L
+    val target = (total * pct + 99L) / 100L
+    var cum = 0L
+    var i = 0
+    while (i < latencyBuckets) {
+      cum += snap(i)
+      if (cum >= target)
+        return if (i == latencyBuckets - 1) -1L else 1L << i
+      i += 1
+    }
+    -1L
+  }
+
   private def source(): DataFrame = {
     val r = spark.readStream
       .schema(inputSchema)
@@ -517,14 +587,20 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
   }
 
   private[streaming] def processBatch(batch0: DataFrame, batchId: Long): Unit = {
-    val n0 = batch0.count()
+    val n0 = timed("ingest")(batch0.count())
     if (n0 == 0) return
-    val urlGated = if (dedupUrls) urlGate(batch0, batchId) else batch0
     // downstream rejection counters key off the post-url-gate count, so
     // the stats identity (accepted + rejects = n) still holds per stage
-    val n = if (dedupUrls) urlGated.count() else n0
+    val (urlGated, n) =
+      if (dedupUrls) timed("url") {
+        val g = urlGate(batch0, batchId)
+        (g, g.count())
+      }
+      else (batch0, n0)
     if (n == 0) return
-    val batch = dedupLinesMaxDf.map(scrubBatch(urlGated, batchId, _)).getOrElse(urlGated)
+    val batch = dedupLinesMaxDf
+      .map(m => timed("scrub")(scrubBatch(urlGated, batchId, m)))
+      .getOrElse(urlGated)
     // the corpus schema stays (doc_id, text, fp, …) — the url column is
     // gate input only (drop is a no-op for direct-call frames without it)
     val withFp = batch.drop("url").withColumn("fp", TextOps.fingerprint(col("text")))
@@ -537,9 +613,10 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
     // chunk-level exists-check (the batch materializes once so the
     // chunking pass and the kept side don't re-run the history join)
     val freshBase = dedupChunksMinShared match {
-      case Some(minShared) =>
+      case Some(minShared) => timed("chunk") {
         chunkGate(freshAgainstCorpus(firstPerFp, batchId).localCheckpoint(),
           batchId, minShared)
+      }
       case None => freshAgainstCorpus(firstPerFp, batchId)
     }
     val fresh = freshBase
@@ -556,65 +633,71 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
         gopherOk && c4Ok)
       // stats ride the cached `fresh` (no re-read of the written dir —
       // an all-rejected batch writes an empty dir that can't be read)
-      val nAdmitted = admitted.count()
-      admitted.write.mode("overwrite").parquet(s"$corpusDir/batch=b$batchId")
+      val nAdmitted = timed("admit") {
+        val na = admitted.count()
+        admitted.write.mode("overwrite").parquet(s"$corpusDir/batch=b$batchId")
 
-      val nFresh = fresh.count()
-      val nLowQ = fresh.filter(col("quality") < minQuality).count()
-      val nFirst = firstPerFp.count()
-      // chunk-level rejects count in dupExisting (they ARE existing-
-      // content duplicates); lastChunkStats carries the breakdown
-      lastBatchStats = (batchId, nAdmitted, n - nFirst, nFirst - nFresh,
-        nLowQ, nFresh - nLowQ - nAdmitted)
+        val nFresh = fresh.count()
+        val nLowQ = fresh.filter(col("quality") < minQuality).count()
+        val nFirst = firstPerFp.count()
+        // chunk-level rejects count in dupExisting (they ARE existing-
+        // content duplicates); lastChunkStats carries the breakdown
+        lastBatchStats = (batchId, na, n - nFirst, nFirst - nFresh,
+          nLowQ, nFresh - nLowQ - na)
 
-      // the admitted docs' chunk fps become tomorrow's chunk history —
-      // written BEFORE compaction so the fold sees this batch's dir
-      dedupChunksMinShared.foreach { _ =>
-        chunkFps(admitted).select("cfp").distinct().write.mode("overwrite")
-          .parquet(s"$corpusDir/_chunkfps/batch=b$batchId")
+        // the admitted docs' chunk fps become tomorrow's chunk history —
+        // written BEFORE compaction so the fold sees this batch's dir
+        dedupChunksMinShared.foreach { _ =>
+          chunkFps(admitted).select("cfp").distinct().write.mode("overwrite")
+            .parquet(s"$corpusDir/_chunkfps/batch=b$batchId")
+        }
+        na
       }
 
       // drift monitor BEFORE compaction: the history it reads excludes
       // this batch's dir, so replays compare against the same baseline
-      driftTolMilli.foreach(qualityDriftMonitor(admitted, batchId, n, nAdmitted, _))
+      driftTolMilli.foreach(t =>
+        timed("monitor")(qualityDriftMonitor(admitted, batchId, n, nAdmitted, t)))
 
       // dirs below the current batch id are checkpoint-committed and
       // immutable — quiesce-free fold, failure tolerated (retried next
       // cycle; every fold is crash-safe at any interruption point)
       val compacting = compactEveryBatches.exists(m => m > 0 && batchId > 0 && batchId % m == 0)
-      if (compacting)
-        try {
-          TableCompactor.onlineCompactAppend(spark, corpusDir, fence = batchId,
-            sortCols = Seq("fp"))
-          // the line-df table folds on the same fence; its read path
-          // sums rows per key, so concatenation is the correct merge
-          if (dedupLinesMaxDf.isDefined && tableExists(s"$corpusDir/_linedf"))
-            TableCompactor.onlineCompactAppend(spark, s"$corpusDir/_linedf",
-              fence = batchId, sortCols = Seq("kh"))
-          // _rawfps reads via anti-join, so concatenation merges it too
-          if (dedupLinesMaxDf.isDefined && tableExists(s"$corpusDir/_rawfps"))
-            TableCompactor.onlineCompactAppend(spark, s"$corpusDir/_rawfps",
-              fence = batchId, sortCols = Seq("fp_raw"))
-          // seen-url fps read via anti-join too — same fold
-          if (dedupUrls && tableExists(s"$corpusDir/_urlfps"))
-            TableCompactor.onlineCompactAppend(spark, s"$corpusDir/_urlfps",
-              fence = batchId, sortCols = Seq("ufp"))
-          // quality moments read via per-lang sums — concatenation merges
-          if (driftTolMilli.isDefined && tableExists(s"$corpusDir/_qstats"))
-            TableCompactor.onlineCompactAppend(spark, s"$corpusDir/_qstats",
-              fence = batchId, sortCols = Seq("lang"))
-          // chunk fps read via semi-join — concatenation merges
-          if (dedupChunksMinShared.isDefined && tableExists(s"$corpusDir/_chunkfps"))
-            TableCompactor.onlineCompactAppend(spark, s"$corpusDir/_chunkfps",
-              fence = batchId, sortCols = Seq("cfp"))
-        } catch {
-          case scala.util.control.NonFatal(e) =>
-            org.slf4j.LoggerFactory.getLogger(getClass)
-              .warn(s"corpus compaction failed at batch $batchId (will retry)", e)
-        }
-      // rebuild AFTER any fold attempt: the new filter reads whatever
-      // layout exists now, so the tail invariant holds either way
-      maybeRebuildBloom(batchId, compacting)
+      timed("maintain") {
+        if (compacting)
+          try {
+            TableCompactor.onlineCompactAppend(spark, corpusDir, fence = batchId,
+              sortCols = Seq("fp"))
+            // the line-df table folds on the same fence; its read path
+            // sums rows per key, so concatenation is the correct merge
+            if (dedupLinesMaxDf.isDefined && tableExists(s"$corpusDir/_linedf"))
+              TableCompactor.onlineCompactAppend(spark, s"$corpusDir/_linedf",
+                fence = batchId, sortCols = Seq("kh"))
+            // _rawfps reads via anti-join, so concatenation merges it too
+            if (dedupLinesMaxDf.isDefined && tableExists(s"$corpusDir/_rawfps"))
+              TableCompactor.onlineCompactAppend(spark, s"$corpusDir/_rawfps",
+                fence = batchId, sortCols = Seq("fp_raw"))
+            // seen-url fps read via anti-join too — same fold
+            if (dedupUrls && tableExists(s"$corpusDir/_urlfps"))
+              TableCompactor.onlineCompactAppend(spark, s"$corpusDir/_urlfps",
+                fence = batchId, sortCols = Seq("ufp"))
+            // quality moments read via per-lang sums — concatenation merges
+            if (driftTolMilli.isDefined && tableExists(s"$corpusDir/_qstats"))
+              TableCompactor.onlineCompactAppend(spark, s"$corpusDir/_qstats",
+                fence = batchId, sortCols = Seq("lang"))
+            // chunk fps read via semi-join — concatenation merges
+            if (dedupChunksMinShared.isDefined && tableExists(s"$corpusDir/_chunkfps"))
+              TableCompactor.onlineCompactAppend(spark, s"$corpusDir/_chunkfps",
+                fence = batchId, sortCols = Seq("cfp"))
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              org.slf4j.LoggerFactory.getLogger(getClass)
+                .warn(s"corpus compaction failed at batch $batchId (will retry)", e)
+          }
+        // rebuild AFTER any fold attempt: the new filter reads whatever
+        // layout exists now, so the tail invariant holds either way
+        maybeRebuildBloom(batchId, compacting)
+      }
     } finally fresh.unpersist()
   }
 

@@ -424,6 +424,35 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s3.lastChunkStats._2 == 1L, s"post-fold chunk stats: ${s3.lastChunkStats}")
   }
 
+  test("doc stream: latency histogram — one sample per active stage per batch, bounded state, ordered percentiles") {
+    val work = Files.createTempDirectory("graft-docstream-lat").toString
+    val s = new DocStream(spark, s"$work/drop", s"$work/corpus", s"$work/ckpt",
+      minQuality = 0L, maxFilesPerTrigger = Some(1), dedupUrls = true)
+    jsonlU(s"$work/drop", "a.jsonl", Seq(
+      (1L, goodText("alpha"), Some("http://a.com/1"))))
+    jsonlU(s"$work/drop", "b.jsonl", Seq(
+      (2L, goodText("beta"), Some("http://a.com/2"))))
+    s.runAvailableNow()
+    val hist = s.latencyHistogram().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val perStage = hist.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    // two batches -> exactly two samples per ACTIVE stage; disabled
+    // stages (scrub, chunk, monitor) record nothing
+    for (stage <- Seq("ingest", "url", "admit", "maintain"))
+      assert(perStage.get(stage).contains(2L), s"$stage: $perStage")
+    for (stage <- Seq("scrub", "chunk", "monitor"))
+      assert(!perStage.contains(stage), s"disabled $stage sampled: $perStage")
+    // bounded state: every bucket bound is a power of two <= 2^14 or
+    // the overflow marker — the contract that makes the state fixed
+    assert(hist.forall { case (_, le, _) =>
+      le == -1L || (le >= 1L && le <= (1L << 14) && (le & (le - 1L)) == 0L) })
+    // percentile reads: defined, monotone, and -1 for unknown stages
+    val p50 = s.latencyPercentile("admit", 50)
+    val p99 = s.latencyPercentile("admit", 99)
+    assert(p50 >= 1L && p99 >= p50, s"p50=$p50 p99=$p99")
+    assert(s.latencyPercentile("nope", 50) == -1L)
+  }
+
   test("doc stream: quality-drift monitor — stream ≡ batch moments on a split feed; sagging batch flags") {
     val work = Files.createTempDirectory("graft-docstream-drift").toString
     def stream(sub: String) = new DocStream(spark, s"$work/$sub/drop",
