@@ -2978,6 +2978,22 @@ object SparkEntry {
         .withColumnRenamed("score", "quality")
         .orderBy("doc_id")),
 
+    "p_pack_curriculum" -> ((s, dir) =>
+      // packing that RESPECTS the curriculum: every 2048-token
+      // sequence is bucket-pure (pack partition = bucket x shard) and
+      // sched_no feeds bucket 0's sequences before bucket 1's within
+      // each shard — plain packing would shuffle difficulty into
+      // every sequence and destroy the schedule
+      SampleOps.packCurriculum(
+          table(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("text"),
+              TextOps.tokenCount(col("text")).as("tokens")),
+          "doc_id", "tokens", TextOps.qualityScore(col("text")), "lang",
+          k = 4, seqTokens = 2048L, shards = 4)
+        .select(col("doc_id"), col("tokens"), col("bucket"), col("shard"),
+          col("seq_no"), col("sched_no"), col("seq_offset"))
+        .orderBy("doc_id")),
+
     "p_shard" -> ((s, dir) =>
       // rendezvous sharding into 16 shards: the stable layout key —
       // adding a shard moves only the docs the new shard wins
@@ -4828,6 +4844,58 @@ object SparkEntry {
         |  FROM q)
         |SELECT lang, doc_id, quality, ((rank - 1) * 10) // n AS bucket
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // the p_curriculum quality/rank CTEs at k=4 feeding the p_pack
+    // window per (bucket, shard), plus the bucket-major schedule base
+    "p_pack_curriculum" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, text,
+        |         length(text)::BIGINT AS len,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS lw,
+        |         (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))::BIGINT AS np
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, lang, len, np,
+        |    len(lw)::BIGINT AS nw,
+        |    len(list_filter(lw, x -> x IN ('the','a','an','of','to','and','in','is','on','for')))::BIGINT AS ns
+        |  FROM w),
+        |q AS (
+        |  SELECT doc_id, lang,
+        |       (400 * least(len, 500)) // 500
+        |     + CASE WHEN nw = 0 THEN 0 ELSE (300 * least(ns * 5, nw)) // nw END
+        |     + CASE WHEN len = 0 THEN 0 ELSE (300 * greatest(len - np * 5, 0)) // len END AS quality
+        |  FROM f),
+        |r AS (
+        |  SELECT lang, doc_id, quality,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY quality DESC, doc_id ASC) AS rank,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM q),
+        |bk AS (SELECT doc_id, ((rank - 1) * 4) // n AS bucket FROM r),
+        |t AS (
+        |  SELECT doc_id,
+        |         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS tokens,
+        |         substr(md5('pack:' || doc_id), 1, 15) AS k,
+        |         (('0x' || substr(md5('pack:' || doc_id), 1, 15))::BIGINT % 4) AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT t.doc_id, tokens, bucket, shard,
+        |         (sum(tokens) OVER (PARTITION BY bucket, shard ORDER BY k, t.doc_id
+        |                            ROWS UNBOUNDED PRECEDING) - tokens)::BIGINT AS seq_offset
+        |  FROM t JOIN bk ON t.doc_id = bk.doc_id),
+        |s AS (
+        |  SELECT doc_id, tokens, bucket, shard, seq_offset,
+        |         (seq_offset // 2048)::BIGINT AS seq_no
+        |  FROM c),
+        |ns AS (SELECT bucket, shard, max(seq_no) + 1 AS nseq FROM s GROUP BY 1, 2),
+        |b AS (
+        |  SELECT bucket, shard,
+        |         coalesce(sum(nseq) OVER (PARTITION BY shard ORDER BY bucket
+        |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS base
+        |  FROM ns)
+        |SELECT s.doc_id, tokens, bucket::BIGINT AS bucket, shard::BIGINT AS shard,
+        |       seq_no, (base + seq_no)::BIGINT AS sched_no, seq_offset
+        |FROM s JOIN b USING (bucket, shard) ORDER BY doc_id""".stripMargin,
 
     "p_shard" ->
       """WITH h AS (

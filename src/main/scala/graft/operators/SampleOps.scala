@@ -172,6 +172,60 @@ object SampleOps {
   }
 
   /**
+   * PACKING-AWARE curriculum: [[packSequences]] composed with
+   * [[curriculumBuckets]] so bin composition respects the schedule.
+   * Plain packing shuffles difficulty into every sequence — a
+   * curriculum that feeds "easiest first" is destroyed the moment
+   * sequences mix buckets. Here the pack partition is
+   * (bucket, shard): every training sequence is BUCKET-PURE, and
+   * `sched_no` orders sequences bucket-major within each shard
+   * (all of bucket 0's sequences precede bucket 1's — the feed
+   * order IS the curriculum), computed as the per-bucket `seq_no`
+   * plus the shard's cumulative sequence count over lower buckets.
+   *
+   * Determinism: buckets are [[curriculumBuckets]]' integer
+   * retention math; within a (bucket, shard) the pack order is the
+   * [[packSequences]] hash order; the schedule base is an exact
+   * integer prefix sum over a k×shards frame. Engine-replayable end
+   * to end.
+   *
+   * Scale shape: one id-keyed join against the bucket frame, the
+   * packSequences running-sum window per (bucket, shard), and a
+   * k×shards aggregate broadcast back — no new corpus-sized shuffle
+   * beyond what packing already pays. Output: input columns +
+   * (bucket, shard, seq_offset, seq_no, sched_no).
+   */
+  def packCurriculum(docs: DataFrame, idCol: String, tokensCol: String,
+                     score: Column, groupCol: String, k: Int,
+                     seqTokens: Long, shards: Int,
+                     salt: String = "pack"): DataFrame = {
+    require(seqTokens >= 1 && shards >= 1,
+      s"packCurriculum seqTokens=$seqTokens shards=$shards")
+    val buckets = curriculumBuckets(docs, idCol, score, groupCol, k)
+      .select(col("id").as(idCol), col("bucket"))
+    val shard = pmod(conv(hashKey(col(idCol), salt), 16, 10).cast("long"),
+      lit(shards.toLong))
+    val win = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(hashKey(col(idCol), salt), col(idCol))
+    val packed = docs.join(buckets, idCol)
+      .withColumn("shard", shard)
+      .withColumn("seq_offset", sum(col(tokensCol)).over(win) - col(tokensCol))
+      .withColumn("seq_no", IntDiv(col("seq_offset"), lit(seqTokens)).cast("long"))
+    // schedule base: within a shard, bucket b's sequences start after
+    // every lower bucket's — a k×shards frame, broadcast back
+    val base = packed.groupBy("bucket", "shard")
+      .agg((max(col("seq_no")) + 1L).as("_nseq"))
+      .withColumn("_base",
+        coalesce(sum(col("_nseq")).over(
+          Window.partitionBy("shard").orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("shard"), col("_base"))
+    packed.join(broadcast(base), Seq("bucket", "shard"))
+      .withColumn("sched_no", col("_base") + col("seq_no"))
+      .drop("_base")
+  }
+
+  /**
    * Deterministic global shuffle: every doc gets a stable position
    * `1..N` in hash order — the "randomize example order" step before
    * sharding a training set, reproducible run-to-run.

@@ -771,6 +771,49 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, 5L, 0.292893), (5L, 2L, 0.0)), s"got $got")
   }
 
+  test("packCurriculum: sequences bucket-pure; schedule bucket-major and dense per shard; per-bucket packing identity") {
+    val ss = spark; import ss.implicits._
+    // text length drives both the token count and the quality score,
+    // so buckets and packing interact on a varied fixture
+    val docs = (1 to 40).map { i =>
+      val words = Seq.fill(5 + (i * 7) % 23)(s"w$i").mkString(" ")
+      (i.toLong, if (i % 2 == 0) "en" else "de", words)
+    }.toDF("doc_id", "lang", "text")
+      .withColumn("tokens", TextOps.tokenCount(col("text")))
+    val got = SampleOps.packCurriculum(docs, "doc_id", "tokens",
+        TextOps.qualityScore(col("text")), "lang", k = 3, seqTokens = 40L, shards = 2)
+      .select("doc_id", "bucket", "shard", "seq_no", "sched_no", "seq_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.length == 40)
+    // (1) bucket-pure: a (shard, sched_no) sequence never mixes buckets
+    got.groupBy(r => (r._3, r._5)).foreach { case (seq, rs) =>
+      assert(rs.map(_._2).distinct.length == 1, s"mixed-bucket sequence $seq: $rs")
+    }
+    got.groupBy(_._3).foreach { case (sh, rs) =>
+      // (2) schedule monotone in bucket within the shard: every
+      // sequence of bucket b precedes every sequence of bucket b' > b
+      val spans = rs.groupBy(_._2).map { case (b, x) =>
+        (b, x.map(_._5).min, x.map(_._5).max) }.toSeq.sortBy(_._1)
+      spans.zip(spans.drop(1)).foreach { case ((b1, _, mx), (b2, mn, _)) =>
+        assert(mx < mn, s"shard $sh: bucket $b1 sched max $mx !< bucket $b2 min $mn")
+      }
+      // (3) the schedule is dense from 0 — a feed can iterate it
+      val scheds = rs.map(_._5).distinct.sorted.toSeq
+      assert(scheds == (0L until scheds.size.toLong), s"shard $sh scheds $scheds")
+    }
+    // (4) composition identity: inside one bucket the packing IS
+    // packSequences run on that bucket's docs alone
+    val b0 = got.filter(_._2 == 0L).map(_._1).toSet
+    val direct = SampleOps.packSequences(
+        docs.filter(col("doc_id").isin(b0.toSeq: _*)),
+        "doc_id", "tokens", seqTokens = 40L, shards = 2)
+      .select("doc_id", "shard", "seq_no", "seq_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val gotB0 = got.filter(_._2 == 0L).map(r => (r._1, r._3, r._4, r._6)).toSet
+    assert(gotB0 == direct, s"bucket-0 packing diverges: ${gotB0 -- direct} / ${direct -- gotB0}")
+  }
+
   test("farthestPointSampleCoreset: composition identity, chosen ⊆ pool, greedy dists non-increasing, bounded slack vs full") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding"))
