@@ -1994,6 +1994,27 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s_ann_ivf_auto" -> ((s, dir) => {
+      // corpus-priced AUTO cells for IVF: fixed ncells=16 grows
+      // candidates per query (nprobe*n/ncells) linearly with the
+      // corpus; the smallest power-of-two ncells with n <= 128*ncells
+      // holds cell density - the faiss sqrt-n rule as a replayable
+      // integer pick, same family as s_ann_lsh_auto's banding
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      SimilarityOps.ivfTopKAuto(e.filter(col("id") < 5), e, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "s_recall_ivf_auto" -> ((s, dir) => {
+      // the audit row pricing the auto pick's recall vs brute truth
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") < 5)
+      SimilarityOps.recallAudit(
+          SimilarityOps.ivfTopKAuto(q, e, k = 5),
+          SimilarityOps.bruteForceTopK(q, e, k = 5))
+        .orderBy("query_id")
+    }),
+
     "s_recall_lsh_auto" -> ((s, dir) => {
       // the audit row pricing what the density pick trades: auto-banded
       // qd recall@5 vs brute truth (the fixed-band geometry reads ~the
@@ -3774,6 +3795,13 @@ object SparkEntry {
          |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
          |  FROM qprobe q JOIN banded c ON q.band = c.band AND q.bandval = c.bandval
          |  WHERE q.vec_id <> c.vec_id),"""
+    cand + "\n" + rerankTailSql(recall)
+  }
+
+  /** The exact-cosine re-rank top-k (or the recall audit against brute
+    * truth) over any `cand(query_id, neighbor_id)` candidate CTE —
+    * shared by the probing-LSH and auto-IVF oracle generators. */
+  private def rerankTailSql(recall: Boolean): String = {
     val topk =
       """|scored AS (
          |  SELECT query_id, neighbor_id,
@@ -3824,7 +3852,46 @@ object SparkEntry {
          |SELECT query_id, count(*)::BIGINT AS k_exact, sum(hit)::BIGINT AS hits,
          |       ((sum(hit) * 1000000) // count(*))::BIGINT AS recall_ppm
          |FROM j GROUP BY 1 ORDER BY query_id"""
-    cand + "\n" + (if (recall) audit else topk)
+    if (recall) audit else topk
+  }
+
+  /**
+   * Corpus-priced AUTO-cells IVF replay (s_ann_ivf_auto /
+   * s_recall_ivf_auto): the `geo` CTE re-derives the cell count the
+   * Spark side prices from the corpus count — the smallest
+   * power-of-two ncells in [16, 4096] with n ≤ 128·ncells — then the
+   * s_ann_ivf machinery verbatim with the centroid generate range
+   * read from `geo`.
+   */
+  private def ivfAutoOracleSql(recall: Boolean): String = {
+    val prefix =
+      """WITH geo AS (
+        |  SELECT (1::BIGINT << e) AS ncells
+        |  FROM (SELECT unnest(generate_series(4, 12)) AS e) ee,
+        |       (SELECT count(*) AS n FROM embeddings) cc
+        |  WHERE n <= 128 * (1::BIGINT << e) OR e = 12
+        |  ORDER BY e LIMIT 1),
+        |cent AS (
+        |  SELECT c, list_transform(generate_series(0, 63),
+        |           d -> (('0x' || substr(md5('centroid:' || c || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS cv
+        |  FROM (SELECT unnest(generate_series(0, (SELECT ncells FROM geo) - 1)) AS c)),
+        |cellsim AS (
+        |  SELECT vec_id, c,
+        |         list_sum(list_transform(range(1, 65), i -> cv[i] * embedding[i]::DOUBLE)) /
+        |         (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) *
+        |          sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS csim
+        |  FROM embeddings, cent),
+        |ranked_cells AS (
+        |  SELECT vec_id, c,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c ASC) AS crank
+        |  FROM cellsim),
+        |assign AS (SELECT vec_id, c AS cell FROM ranked_cells WHERE crank = 1),
+        |probes AS (SELECT vec_id, c AS cell FROM ranked_cells WHERE crank <= 6 AND vec_id < 5),
+        |cand AS (
+        |  SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+        |  FROM probes p JOIN assign a ON p.cell = a.cell
+        |  WHERE p.vec_id <> a.vec_id),"""
+    (prefix + "\n" + rerankTailSql(recall)).stripMargin
   }
 
   /**
@@ -8210,6 +8277,11 @@ object SparkEntry {
     "s_ann_lsh_auto" -> lshQdAutoOracleSql(recall = false),
 
     "s_recall_lsh_auto" -> lshQdAutoOracleSql(recall = true),
+
+    // auto-cells IVF: cell count re-derived from count(embeddings)
+    "s_ann_ivf_auto" -> ivfAutoOracleSql(recall = false),
+
+    "s_recall_ivf_auto" -> ivfAutoOracleSql(recall = true),
 
     "s_recall_lsh_qa" -> lshQdOracleSql(recall = true, global = true),
 

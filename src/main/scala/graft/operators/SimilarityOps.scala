@@ -535,22 +535,7 @@ object SimilarityOps {
     val centroids: Array[Array[Double]] = Array.tabulate(ncells, dim) { (c, d) =>
       md5Head32(s"centroid:$c:$d").toDouble / (1L << 31) - 1.0
     }
-    def cellsUdf(n: Int) = udf { (v: Seq[Float]) =>
-      val cs = centroids
-      // rank cells by cosine to the vector, take top n
-      val sims = cs.indices.map { ci =>
-        val c = cs(ci)
-        var dot = 0.0; var nc = 0.0; var nv = 0.0
-        var d = 0
-        val len = math.min(c.length, v.length)
-        while (d < len) { dot += c(d) * v(d); nc += c(d) * c(d); nv += v(d).toDouble * v(d); d += 1 }
-        // zero-norm guard — matches KMeansOps.cellsUdf (and the oracle's
-        // NULL-last ordering) exactly
-        val den = math.sqrt(nc) * math.sqrt(nv)
-        (ci, if (den == 0.0) -Double.MaxValue else dot / den)
-      }
-      sims.sortBy { case (ci, s) => (-s, ci) }.take(n).map(_._1)
-    }
+    def cellsUdf(n: Int) = udf { (v: Array[Float]) => nearestCells(centroids, v, n) }
     // candidates carry ONLY 8-byte ids through the cell join and the
     // distinct — same shape as cosineNearDuplicates (15x measured win):
     // vectors join back per-id AFTER dedup, so no array-typed shuffle
@@ -578,6 +563,81 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(win))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /**
+   * The cell count [[ivfTopKAuto]] picks for a corpus of `n` vectors:
+   * the smallest power-of-two ncells with n ≤ targetCell·ncells
+   * (floor 16 = the manual default, cap 4096) — the IVF member of the
+   * corpus-priced AUTO family. Fixed ncells = 16 grows per-cell
+   * population — and therefore candidates PER QUERY
+   * (nprobe·n/ncells) — linearly with the corpus; holding cell
+   * density ≤ targetCell keeps the per-query scan constant, which is
+   * the faiss √n-cells rule of thumb realized as an integer pick any
+   * engine replays from the count alone. Centroids stay the
+   * md5-derived codebook, so a wider pick changes NOTHING but the
+   * generate range.
+   */
+  def autoCells(n: Long, targetCell: Long = 128L): Int =
+    (4 to 12).map(e => 1 << e).find(c => n <= targetCell * c).getOrElse(1 << 12)
+
+  /** [[ivfTopK]] with the cell count priced from the corpus count via
+    * [[autoCells]] (one count of the id column) — deterministic in n,
+    * oracle-replayable, identical to the fixed geometry while the
+    * corpus fits 16 cells at the target density. */
+  def ivfTopKAuto(queries: DataFrame, corpus: DataFrame, k: Int,
+                  nprobe: Int = 6, dim: Int = 64,
+                  targetCell: Long = 128L): DataFrame = {
+    val ncells = autoCells(corpus.count(), targetCell)
+    ivfTopK(queries, corpus, k, ncells = ncells, nprobe = nprobe, dim = dim)
+  }
+
+  /**
+   * Top-`n` nearest centroid indices by (cosine DESC, index ASC) as a
+   * primitive selection loop — value-identical to ranking every cell
+   * with a tuple sort (same left-to-right accumulation, same zero-norm
+   * guard, strict-> argmax keeps the earlier index on ties), but with
+   * no per-cell tuple boxing and no full sort. The boxed form cost
+   * ~2.4 s of the 20k-vector sf1 assignment once [[autoCells]] widened
+   * the codebook to 256; this loop makes assignment cost m·d flops and
+   * nothing else. The vector norm hoists out of the cell loop (same
+   * accumulation order, same value).
+   */
+  private def nearestCells(cs: Array[Array[Double]], v: Array[Float], n: Int): Seq[Int] = {
+    val m = cs.length
+    var nv = 0.0
+    var d0 = 0
+    while (d0 < v.length) { nv += v(d0).toDouble * v(d0); d0 += 1 }
+    val sims = new Array[Double](m)
+    var ci = 0
+    while (ci < m) {
+      val c = cs(ci)
+      var dot = 0.0; var nc = 0.0
+      var d = 0
+      val len = math.min(c.length, v.length)
+      while (d < len) { dot += c(d) * v(d); nc += c(d) * c(d); d += 1 }
+      // zero-norm guard — matches KMeansOps.cellsUdf (and the oracle's
+      // NULL-last ordering) exactly
+      val den = math.sqrt(nc) * math.sqrt(nv)
+      sims(ci) = if (den == 0.0) -Double.MaxValue else dot / den
+      ci += 1
+    }
+    val out = new Array[Int](math.min(n, m))
+    val taken = new Array[Boolean](m)
+    var k = 0
+    while (k < out.length) {
+      var best = -1
+      var bs = 0.0
+      var i = 0
+      while (i < m) {
+        if (!taken(i) && (best < 0 || sims(i) > bs)) { best = i; bs = sims(i) }
+        i += 1
+      }
+      taken(best) = true
+      out(k) = best
+      k += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 
   /** First 8 md5 hex chars of `s` as an unsigned 32-bit value. */

@@ -1009,6 +1009,27 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"auto qd recall $ra/${brute.size} fell below the pinned 0.8 floor")
   }
 
+  test("ivfTopKAuto: cell count follows the corpus; identical to fixed geometry while 16 cells hold the density") {
+    // the pick: 16 through 2048 vectors at density 128, 256 at the
+    // sf1-derived 20k, the 4096 cap past half a million
+    assert(SimilarityOps.autoCells(500L) == 16)
+    assert(SimilarityOps.autoCells(2048L) == 16)
+    assert(SimilarityOps.autoCells(20000L) == 256)
+    assert(SimilarityOps.autoCells(1L << 40) == 4096)
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.filter(col("id") < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // at this corpus size the pick IS 16 cells, so auto must equal the
+    // fixed geometry row for row — the composition identity that makes
+    // the auto variant a pure widening, never a behavior change
+    assert(rows(SimilarityOps.ivfTopKAuto(q, e, k = 5)) ==
+      rows(SimilarityOps.ivfTopK(q, e, k = 5)),
+      "auto-cells must equal fixed ncells=16 while the corpus fits the density")
+  }
+
   test("queryDirectedProbes: cheap two-bit flip outranks an expensive one-bit flip; home first; tie -> mask order") {
     // hand-built geometry: 6 axis-aligned planes (2 bands x 3 bits), so
     // each bit's margin IS the vector coordinate — selection maths is
