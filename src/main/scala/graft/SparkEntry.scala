@@ -750,6 +750,16 @@ object SparkEntry {
       GraphOps.kTruss(e, k = 4, rounds = 3).orderBy("a", "b")
     }),
 
+    "q60_attribution" -> ((s, dir) =>
+      // multi-touch attribution: each touch credits the user's NEXT
+      // purchase within a 1-hour lookback; first/last/linear models
+      // split each conversion's 1e6 ppm exactly (remainder to the
+      // last touch). One descending-time window, no range join.
+      EventOps.attribution(events(s, dir), "user_id", "tsec",
+          "event_type", "event_id", convType = "purchase",
+          lookbackSec = 3600L)
+        .orderBy("event_type")),
+
     "q58_reach_out" -> ((s, dir) => {
       // DIRECTED HyperBall on the skip-chain graph, out-balls: per
       // node, how much of the graph it REACHES within 3 hops and the
@@ -4192,6 +4202,37 @@ object SparkEntry {
     "q52_hyperball" -> hyperballOracleSql(3),
 
     "q53_neighborhood" -> neighborhoodOracleSql(4),
+
+    // nearest following conversion within lookback per touch (the
+    // window scan replayed as a rank-1 pick), then the three credit
+    // models with the remainder-to-last conservation rule
+    "q60_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |                  CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+        |c AS (SELECT event_id AS cid, user_id, tsec AS cts FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT event_id, user_id, event_type, tsec FROM e WHERE event_type <> 'purchase'),
+        |nx AS (
+        |  SELECT t.event_id, t.user_id, t.event_type, t.tsec, c.cid,
+        |         row_number() OVER (PARTITION BY t.event_id
+        |                            ORDER BY c.cts ASC, c.cid ASC) AS rn
+        |  FROM t JOIN c ON c.user_id = t.user_id
+        |                AND c.cts > t.tsec AND c.cts - t.tsec <= 3600),
+        |a AS (SELECT * FROM nx WHERE rn = 1),
+        |g AS (
+        |  SELECT event_type, cid,
+        |         count(*) OVER (PARTITION BY user_id, cid) AS n,
+        |         row_number() OVER (PARTITION BY user_id, cid
+        |                            ORDER BY tsec ASC, event_id ASC) AS rfirst,
+        |         row_number() OVER (PARTITION BY user_id, cid
+        |                            ORDER BY tsec DESC, event_id DESC) AS rlast
+        |  FROM a)
+        |SELECT event_type, count(*)::BIGINT AS n_touches,
+        |       count(DISTINCT cid)::BIGINT AS conversions_touched,
+        |       sum(CASE WHEN rfirst = 1 THEN 1000000 ELSE 0 END)::BIGINT AS first_ppm,
+        |       sum(CASE WHEN rlast = 1 THEN 1000000 ELSE 0 END)::BIGINT AS last_ppm,
+        |       sum((1000000 // n) + CASE WHEN rlast = 1
+        |             THEN 1000000 - (1000000 // n) * n ELSE 0 END)::BIGINT AS linear_ppm
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // directed register recurrences: same body, symmetrizing union
     // dropped (out) / edge set transposed (in)

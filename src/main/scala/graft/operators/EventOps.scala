@@ -541,4 +541,78 @@ object EventOps {
         graft.operators.IntDiv((col("prior_conv") + col("n_conv")) * 1000000L,
           col("n_total")).cast("long").as("cum_conv_ppm"))
   }
+
+  /**
+   * Multi-touch attribution — the conversion-credit report every
+   * behavioral pipeline ships next to the funnel: each touch event
+   * attributes to the SAME user's NEXT conversion (type `convType`)
+   * when that conversion lands within `lookbackSec` strictly after
+   * the touch, and three classic models split each conversion's
+   * 10⁶ ppm of credit across its touches:
+   *
+   *  - first-touch: the earliest touch (ties to the smaller event id)
+   *    takes all of it;
+   *  - last-touch: the latest touch (ties to the larger id) does;
+   *  - linear: every touch takes 10⁶ div n, with the integral-division
+   *    remainder assigned to the LAST touch — so credit sums to
+   *    EXACTLY 10⁶ per conversion under all three models (the
+   *    conservation property the spec pins).
+   *
+   * Scale shape: NO range join — touches and conversions union into
+   * one frame and a single per-user window scanned in DESCENDING time
+   * order carries the nearest following conversion to every touch
+   * (the asofJoin trick mirrored forward; a conversion at the SAME
+   * timestamp sorts after the touch, so attribution is strictly
+   * forward). Credit assignment is one per-conversion window over the
+   * attributed touches; the report is one channel-sized aggregate.
+   *
+   * Output: (event_type, n_touches, conversions_touched, first_ppm,
+   * last_ppm, linear_ppm) summed per touch channel.
+   */
+  def attribution(events: DataFrame, userCol: String, tsecCol: String,
+                  typeCol: String, idCol: String, convType: String,
+                  lookbackSec: Long): DataFrame = {
+    require(lookbackSec >= 1, s"attribution lookbackSec=$lookbackSec")
+    val e = events.select(col(userCol).as("user"), col(tsecCol).as("ts"),
+      col(typeCol).as("etype"), col(idCol).as("eid"))
+    val touch = e.filter(col("etype") =!= convType)
+      .select(col("user"), col("ts"), col("etype"), col("eid"),
+        lit(null).cast("long").as("c_ts"), lit(null).cast("long").as("c_id"))
+    val conv = e.filter(col("etype") === convType)
+      .select(col("user"), col("ts"),
+        lit(null).cast("string").as("etype"), lit(null).cast("long").as("eid"),
+        col("ts").as("c_ts"), col("eid").as("c_id"))
+    // descending-time scan: the running last-seen conversion IS the
+    // nearest following one. Nulls-first on c_id keeps same-ts touches
+    // BEFORE conversions (strictly-forward attribution); descending
+    // c_id among same-ts conversions leaves the SMALLEST id as the
+    // final state — the deterministic pick the oracle replays.
+    val scanW = Window.partitionBy("user")
+      .orderBy(col("ts").desc, col("c_id").desc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attributed = touch.unionByName(conv)
+      .withColumn("nc", last(
+          when(col("c_id").isNotNull, struct(col("c_ts"), col("c_id"))),
+          ignoreNulls = true).over(scanW))
+      .filter(col("eid").isNotNull && col("nc").isNotNull &&
+        col("nc.c_ts") - col("ts") <= lookbackSec)
+    val convW = Window.partitionBy(col("user"), col("nc.c_id"))
+    val linearBase = IntDiv(lit(1000000L), col("n"))
+    val credited = attributed
+      .withColumn("n", count(lit(1)).over(convW))
+      .withColumn("tkey", struct(col("ts"), col("eid")))
+      .withColumn("is_first", col("tkey") === min(col("tkey")).over(convW))
+      .withColumn("is_last", col("tkey") === max(col("tkey")).over(convW))
+      .select(col("etype"), col("nc.c_id").as("c_id"),
+        when(col("is_first"), 1000000L).otherwise(0L).as("first_ppm"),
+        when(col("is_last"), 1000000L).otherwise(0L).as("last_ppm"),
+        (linearBase + when(col("is_last"),
+          lit(1000000L) - linearBase * col("n")).otherwise(0L)).as("linear_ppm"))
+    credited.groupBy(col("etype").as("event_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        count_distinct(col("c_id")).as("conversions_touched"),
+        sum(col("first_ppm")).as("first_ppm"),
+        sum(col("last_ppm")).as("last_ppm"),
+        sum(col("linear_ppm")).as("linear_ppm"))
+  }
 }

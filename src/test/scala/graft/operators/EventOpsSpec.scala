@@ -349,6 +349,42 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 3L, 1L, 333333L, 500000L)), s"got ${got.toSeq}")
   }
 
+  test("attribution: credit conserved per conversion; remainder to last touch; lookback and same-ts excluded; nearest conversion wins") {
+    val ss = spark; import ss.implicits._
+    val ev = Seq(
+      // user 1: three touches then a purchase at 700 — the earliest
+      // touch sits exactly AT the 600 s lookback (inclusive); linear
+      // splits 333333 each with the remainder (+1) on the LAST touch
+      (10L, 1L, 100L, "view"), (11L, 1L, 200L, "click"), (12L, 1L, 300L, "view"),
+      (13L, 1L, 700L, "purchase"),
+      // user 2: a touch beyond the 600 s lookback — unattributed;
+      // a same-ts touch — strictly-forward rule drops it too
+      (20L, 2L, 100L, "view"), (21L, 2L, 800L, "purchase"),
+      (22L, 2L, 800L, "click"),
+      // user 3: two purchases — the touch credits the NEAREST one (31)
+      (30L, 3L, 50L, "click"), (31L, 3L, 100L, "purchase"),
+      (32L, 3L, 200L, "purchase")
+    ).toDF("event_id", "user_id", "tsec", "event_type")
+      .select(col("user_id"), col("tsec"), col("event_type"), col("event_id"))
+    val got = EventOps.attribution(ev, "user_id", "tsec", "event_type",
+        "event_id", convType = "purchase", lookbackSec = 600L)
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // user 1: view@100 first (1e6 first), view@300 last (1e6 last +
+    // linear remainder 333334), click@200 middle (linear 333333);
+    // user 3: click@50 is both first and last of purchase 31 (1e6 in
+    // every model). Users 2's touches attribute to nothing.
+    assert(got == Seq(
+      ("click", 2L, 2L, 1000000L, 1000000L, 1333333L),
+      ("view", 2L, 1L, 1000000L, 1000000L, 666667L)), s"got $got")
+    // conservation: every model's total equals 1e6 x conversions hit
+    val convs = 2L
+    assert(got.map(_._4).sum == convs * 1000000L)
+    assert(got.map(_._5).sum == convs * 1000000L)
+    assert(got.map(_._6).sum == convs * 1000000L)
+  }
+
   test("conversionHazardCensored: censors leave the risk set after their bucket; hand life table") {
     val ss = spark; import ss.implicits._
     // study end = max ts over ALL events = 7200 (u2's purchase)
