@@ -2784,6 +2784,25 @@ object SparkEntry {
       MultimodalOps.resampledStats(media, box = 8).orderBy("media_id")
     }),
 
+    "m_media_pixels_ras" -> ((s, dir) => {
+      // Sun Raster decode: %2 parity picks RGB (stored BGR the decoder
+      // must swap back) vs grayscale — different n_vals per parity pin
+      // the channel count; %3==0 docs store Sun byte-RLE (pixel PAIRS
+      // share values so the encoder emits genuine 0x80-escape runs,
+      // free to cross row boundaries). %4==3 docs -> magic-less junk.
+      val buildRas = udf { (docId: Long) =>
+        val w = 16; val h = 16
+        val ch = if (docId % 2 == 0) 3 else 1
+        val px = Array.tabulate(w * h * ch)(i =>
+          ((docId * 19 + (i / (2 * ch)) * 23 + (i % ch) * 7) % 256).toByte)
+        MultimodalOps.encodeRas(px, w, h, ch, rle = docId % 3 == 0)
+      }
+      val docs = table(s, dir, "documents").withColumn("blob",
+        when(col("doc_id") % 4 === 3, unhex(unknownHex)).otherwise(buildRas(col("doc_id"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+      MultimodalOps.resampledStats(media, box = 8).orderBy("media_id")
+    }),
+
     "m_media_exif" -> ((s, dir) => {
       // EXIF orientation audit: each %4!=3 doc is a real baseline
       // JPEG with an APP1 EXIF segment planted right after SOI —
@@ -9312,6 +9331,50 @@ object SparkEntry {
     // index ((j//24)*2*16 + (j%24)//3*2)*3 + j%3 of the planted stream
     // PCX replay: closed-form fixture pixels through the same 2x box
     // walk; srcbyte = (((j//24)*2)*16 + ((j%24)//3)*2)*3 + j%3
+    // resampled-formula replay (the m_media convention): RGB docs map
+    // out j to src byte i = (2*(j//24)*16 + 2*((j%24)//3))*3 + j%3 and
+    // value (doc*19 + (i//6)*23 + (i%3)*7) % 256; gray docs map
+    // i = 2*(j//8)*16 + 2*(j%8), value (doc*19 + (i//2)*23) % 256
+    "m_media_pixels_ras" ->
+      """WITH rgb AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 191),
+        |           j -> (doc_id * 19
+        |                 + (((((j // 24) * 2) * 16 + ((j % 24) // 3) * 2) * 3 + (j % 3)) // 6) * 23
+        |                 + (j % 3) * 7) % 256) AS q
+        |  FROM documents WHERE doc_id % 4 <> 3 AND doc_id % 2 = 0),
+        |gray AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 63),
+        |           j -> (doc_id * 19
+        |                 + (((((j // 8) * 2) * 16 + (j % 8) * 2)) // 2) * 23) % 256) AS q
+        |  FROM documents WHERE doc_id % 4 <> 3 AND doc_id % 2 = 1),
+        |junk AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 16),
+        |           i -> CASE WHEN i = 0 THEN 0
+        |                     ELSE ('0x' || substr(upper(md5(text)), (i - 1) * 2 + 1, 2))::BIGINT END) AS b
+        |  FROM documents WHERE doc_id % 4 = 3)
+        |SELECT doc_id AS media_id, 'ras' AS format, true AS decoded,
+        |       8::BIGINT AS out_w, 8::BIGINT AS out_h, 192::BIGINT AS n_vals,
+        |       ((list_sum(q) * 1000) // 192)::BIGINT AS mean_milli,
+        |       len(list_distinct(q))::BIGINT AS distinct_vals,
+        |       list_max(q)::BIGINT AS max_val
+        |FROM rgb
+        |UNION ALL
+        |SELECT doc_id AS media_id, 'ras' AS format, true AS decoded,
+        |       8::BIGINT, 8::BIGINT, 64::BIGINT,
+        |       ((list_sum(q) * 1000) // 64)::BIGINT,
+        |       len(list_distinct(q))::BIGINT, list_max(q)::BIGINT
+        |FROM gray
+        |UNION ALL
+        |SELECT doc_id AS media_id, 'unknown' AS format, false AS decoded,
+        |       0::BIGINT, 0::BIGINT, 17::BIGINT,
+        |       ((list_sum(b) * 1000) // 17)::BIGINT,
+        |       len(list_distinct(b))::BIGINT, list_max(b)::BIGINT
+        |FROM junk
+        |ORDER BY media_id""".stripMargin,
+
     "m_media_pixels_pcx" ->
       """WITH ip AS (
         |  SELECT doc_id,

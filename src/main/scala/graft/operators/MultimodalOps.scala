@@ -200,6 +200,10 @@ object MultimodalOps {
               case m if m.format == "farbfeld" && px.length == m.width * m.height * 4 =>
                 ("farbfeld", px, m.width.toInt, m.height.toInt, 4)
             }))
+            .orElse(decodeRasPixels(content).flatMap(px => hdr.collect {
+              case m if m.format == "ras" && px.length == m.width * m.height * m.channels =>
+                ("ras", px, m.width.toInt, m.height.toInt, m.channels.toInt)
+            }))
           decoded match {
             case Some((f, px, w, h, ch)) =>
               val (out, ow, oh) = resample(px, w, h, ch)
@@ -287,6 +291,10 @@ object MultimodalOps {
             .orElse(decodeFarbfeldPixels(content).flatMap(px => hdr.collect {
               case m if m.format == "farbfeld" && px.length == m.width * m.height * 4 =>
                 ("farbfeld", px, m.width.toInt, m.height.toInt, 4)
+            }))
+            .orElse(decodeRasPixels(content).flatMap(px => hdr.collect {
+              case m if m.format == "ras" && px.length == m.width * m.height * m.channels =>
+                ("ras", px, m.width.toInt, m.height.toInt, m.channels.toInt)
             }))
           decoded match {
             case Some((f, px, w, h, ch)) =>
@@ -481,6 +489,16 @@ object MultimodalOps {
         b(4) == 'f' && b(5) == 'e' && b(6) == 'l' && b(7) == 'd') {
       val w = u32be(b, 8); val h = u32be(b, 12)
       if (w > 0L && h > 0L) return Some(MediaHeader("farbfeld", w, h, 4L, 0L))
+      return None
+    }
+    // Sun Raster: 0x59A66A95 magic, eight u32be header words; depth 8
+    // (gray) or 24 (stored BGR), no colormap, raw (1) or byte-RLE (2)
+    if (b.length >= 32 && u32be(b, 0) == 0x59a66a95L) {
+      val w = u32be(b, 4); val h = u32be(b, 8)
+      val depth = u32be(b, 12); val rtype = u32be(b, 20)
+      if (w > 0L && h > 0L && (depth == 8L || depth == 24L) &&
+          (rtype == 1L || rtype == 2L) && u32be(b, 24) == 0L && u32be(b, 28) == 0L)
+        return Some(MediaHeader("ras", w, h, if (depth == 24L) 3L else 1L, 0L))
       return None
     }
     // ICO: 00 00 01 00 + count, dims from the first entry's DIB
@@ -1877,6 +1895,131 @@ object MultimodalOps {
       y += 1
     }
     Some(out)
+  }
+
+  /**
+   * REAL Sun Raster decode — the SunOS-era `.ras`/`.sun` format
+   * scanned-archive corpora still carry: a 32-byte big-endian header
+   * (magic 0x59A66A95, width, height, depth, length, type, maptype,
+   * maplength), then raw (type 1) or Sun byte-RLE (type 2) image
+   * data. Depth 8 is grayscale; depth 24 is stored BGR and converts
+   * to the logical RGB stream; every stored row pads to an EVEN byte
+   * count. The type-2 RLE is the Sun escape scheme: `0x80 n v` emits
+   * n+1 copies of v, `0x80 0x00` is a literal 0x80, anything else is
+   * a literal — and unlike PCX, runs MAY cross row boundaries (the
+   * compressed stream covers the whole padded raster as one
+   * sequence).
+   *
+   * Honest-refusal scope: colormapped files (maptype ≠ 0), depths
+   * other than 8/24, types other than 1/2 (old type 0 has no
+   * reliable length contract); `maxPixelBytes` caps dimension bombs.
+   */
+  private[graft] def decodeRasPixels(b: Array[Byte],
+                                     maxPixelBytes: Int = 1 << 26): Option[Array[Byte]] = {
+    if (b == null || b.length < 32) return None
+    if (u32be(b, 0) != 0x59a66a95L) return None
+    val w = u32be(b, 4).toInt; val h = u32be(b, 8).toInt
+    val depth = u32be(b, 12).toInt; val rtype = u32be(b, 20).toInt
+    if (w <= 0 || h <= 0) return None
+    if (depth != 8 && depth != 24) return None
+    if (rtype != 1 && rtype != 2) return None
+    if (u32be(b, 24) != 0L || u32be(b, 28) != 0L) return None
+    val ch = if (depth == 24) 3 else 1
+    val total = w.toLong * h * ch
+    if (total > maxPixelBytes) return None
+    val rowBytes = w * ch
+    val bpr = if ((rowBytes & 1) == 1) rowBytes + 1 else rowBytes
+    val need = bpr * h
+    val rows = new Array[Byte](need)
+    if (rtype == 1) {
+      if (b.length - 32 < need) return None
+      System.arraycopy(b, 32, rows, 0, need)
+    } else {
+      var p = 32
+      var o = 0
+      while (o < need) {
+        if (p >= b.length) return None
+        val v = b(p) & 0xff; p += 1
+        if (v == 0x80) {
+          if (p >= b.length) return None
+          val n = b(p) & 0xff; p += 1
+          if (n == 0) { rows(o) = 0x80.toByte; o += 1 }
+          else {
+            if (p >= b.length) return None
+            val value = b(p); p += 1
+            if (o + n + 1 > need) return None // over-run past the raster
+            var k = 0
+            while (k <= n) { rows(o) = value; o += 1; k += 1 }
+          }
+        } else { rows(o) = v.toByte; o += 1 }
+      }
+    }
+    val out = new Array[Byte](total.toInt)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (ch == 3) {
+          val s = y * bpr + x * 3
+          val d = (y * w + x) * 3
+          out(d) = rows(s + 2); out(d + 1) = rows(s + 1); out(d + 2) = rows(s)
+        } else out(y * w + x) = rows(y * bpr + x)
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
+  /** Sun Raster encoder — the fixture counterpart of
+    * [[decodeRasPixels]]: logical RGB/gray rows to stored BGR with
+    * even row padding; type 2 emits the Sun byte-RLE (`0x80 n v` for
+    * runs ≥ 3 — or ≥ 2 when the value is the 0x80 escape itself —
+    * and `0x80 0x00` for a lone literal 0x80), runs free to cross
+    * row boundaries like the real format's. */
+  private[graft] def encodeRas(px: Array[Byte], w: Int, h: Int,
+                               channels: Int = 3, rle: Boolean = false): Array[Byte] = {
+    require(channels == 1 || channels == 3, "RAS here is gray (1) or RGB (3)")
+    require(w > 0 && h > 0 && px.length == w * h * channels, "px must be w*h*channels")
+    val rowBytes = w * channels
+    val bpr = if ((rowBytes & 1) == 1) rowBytes + 1 else rowBytes
+    val rows = new Array[Byte](bpr * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (channels == 3) {
+          val s = (y * w + x) * 3; val d = y * bpr + x * 3
+          rows(d) = px(s + 2); rows(d + 1) = px(s + 1); rows(d + 2) = px(s)
+        } else rows(y * bpr + x) = px(y * w + x)
+        x += 1
+      }
+      y += 1
+    }
+    val body: Array[Byte] =
+      if (!rle) rows
+      else {
+        val out = new java.io.ByteArrayOutputStream(rows.length)
+        var i = 0
+        while (i < rows.length) {
+          val v = rows(i) & 0xff
+          var run = 1
+          while (i + run < rows.length && (rows(i + run) & 0xff) == v && run < 256) run += 1
+          if (run >= 3 || (run >= 2 && v == 0x80)) {
+            out.write(0x80); out.write(run - 1); out.write(v); i += run
+          } else if (v == 0x80) { out.write(0x80); out.write(0); i += 1 }
+          else { out.write(v); i += 1 }
+        }
+        out.toByteArray
+      }
+    val hdr = new Array[Byte](32)
+    def p32(off: Int, v: Long): Unit = {
+      hdr(off) = ((v >> 24) & 0xff).toByte; hdr(off + 1) = ((v >> 16) & 0xff).toByte
+      hdr(off + 2) = ((v >> 8) & 0xff).toByte; hdr(off + 3) = (v & 0xff).toByte
+    }
+    p32(0, 0x59a66a95L); p32(4, w); p32(8, h); p32(12, channels * 8L)
+    p32(16, body.length); p32(20, if (rle) 2L else 1L); p32(24, 0L); p32(28, 0L)
+    hdr ++ body
   }
 
   /** PCX encoder — the fixture counterpart of [[decodePcxPixels]]:

@@ -86,7 +86,12 @@ class MediaFuzzSpec extends AnyFunSuite {
       ("pcx", MultimodalOps.encodePcx(
         Array.tabulate(9 * 5 * 3)(i => (((i / 6) * 11 + 180) % 256).toByte), 9, 5)),
       ("pcx-gray", MultimodalOps.encodePcx(
-        Array.tabulate(7 * 4)(i => ((i / 3) * 13).toByte), 7, 4, planes = 1)))
+        Array.tabulate(7 * 4)(i => ((i / 3) * 13).toByte), 7, 4, planes = 1)),
+      ("ras-rle", MultimodalOps.encodeRas(
+        Array.tabulate(9 * 5 * 3)(i => (((i / 6) * 11 + 120) % 256).toByte), 9, 5,
+        rle = true)),
+      ("ras-gray", MultimodalOps.encodeRas(
+        Array.tabulate(7 * 4)(i => ((i / 3) * 13).toByte), 7, 4, channels = 1)))
   }
 
   private def decodeAll(b: Array[Byte]): Unit = {
@@ -103,6 +108,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     MultimodalOps.decodePnmPixels(b)
     MultimodalOps.decodeQoiPixels(b)
     MultimodalOps.decodePcxPixels(b)
+    MultimodalOps.decodeRasPixels(b)
     MultimodalOps.exifOrientation(b)
     MultimodalOps.parseHeader(b)
     ()

@@ -376,6 +376,50 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MultimodalOps.decodePcxPixels(crossRun).isEmpty)
   }
 
+  test("decodeRasPixels: raw + RLE round-trips, BGR storage order, odd-width padding, 0x80 literal, cross-row runs") {
+    val w = 9; val h = 5 // odd width -> gray rows pad to 10 bytes
+    val rgb = Array.tabulate(w * h * 3)(i => (((i / 6) * 11 + (i % 3) * 7 + 120) % 256).toByte)
+    for (rle <- Seq(false, true)) {
+      val ras = MultimodalOps.encodeRas(rgb, w, h, rle = rle)
+      assert(MultimodalOps.decodeRasPixels(ras).exists(_.sameElements(rgb)),
+        s"rgb rle=$rle must round-trip")
+      assert(MultimodalOps.parseHeader(ras)
+        .contains(MultimodalOps.MediaHeader("ras", w, h, 3, 0)))
+    }
+    val gray = Array.tabulate(w * h)(i => ((i / 3) * 7 + 100).toByte)
+    val g = MultimodalOps.encodeRas(gray, w, h, channels = 1, rle = true)
+    assert(MultimodalOps.decodeRasPixels(g).exists(_.sameElements(gray)))
+    // a value of exactly 0x80 must survive the escape (0x80 0x00 form)
+    val esc = Array.fill(4 * 2 * 3)(0x80.toByte); esc(5) = 0x33
+    val e = MultimodalOps.encodeRas(esc, 4, 2, rle = true)
+    assert(MultimodalOps.decodeRasPixels(e).exists(_.sameElements(esc)),
+      "literal 0x80 must round-trip through the escape")
+    // BGR storage: hand-build a raw 1x1 RGB file storing B=1,G=2,R=3 —
+    // the logical stream must come back R,G,B = 3,2,1
+    val one = MultimodalOps.encodeRas(Array[Byte](3, 2, 1), 1, 1)
+    assert(MultimodalOps.decodeRasPixels(one).exists(_.sameElements(Array[Byte](3, 2, 1))))
+    assert(one(32) == 1 && one(33) == 2 && one(34) == 3, "stored order must be BGR")
+    // a flat image genuinely compresses (each row's pad byte breaks
+    // the run, so the floor is ~4 bytes per row, not 3 per image)
+    val flat = Array.fill(w * h * 3)(77.toByte)
+    assert(MultimodalOps.encodeRas(flat, w, h, rle = true).length <
+      MultimodalOps.encodeRas(flat, w, h).length / 3)
+    // refusals: colormap present, unsupported depth, unknown type,
+    // truncated raw body, RLE over-run past the raster
+    val ok = MultimodalOps.encodeRas(rgb, w, h)
+    val cmap = ok.clone(); cmap(27) = 1 // maptype RGB
+    assert(MultimodalOps.decodeRasPixels(cmap).isEmpty)
+    val d32 = ok.clone(); d32(15) = 32
+    assert(MultimodalOps.decodeRasPixels(d32).isEmpty)
+    val t0 = ok.clone(); t0(23) = 0
+    assert(MultimodalOps.decodeRasPixels(t0).isEmpty)
+    assert(MultimodalOps.decodeRasPixels(ok.take(ok.length - 1)).isEmpty)
+    val over = MultimodalOps.encodeRas(Array[Byte](5, 5, 5), 1, 1, rle = true).clone()
+    // 1x1 RGB needs 4 padded bytes; claim a 6-byte run
+    val overRun = over.take(32) ++ Array[Byte](0x80.toByte, 5, 9)
+    assert(MultimodalOps.decodeRasPixels(overRun).isEmpty)
+  }
+
   test("decodeQoiPixels: hand-built op stream decodes exactly (all six ops)") {
     // 2x3 RGB image built op by op against the spec state machine
     // (pixels chosen so their 64-slot hashes DON'T collide: p0 -> 9,
