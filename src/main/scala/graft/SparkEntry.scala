@@ -798,6 +798,22 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "q61_lin_closeness" -> ((s, dir) => {
+      // Lin's index over the skip-chain graph: |B|^2/sum-dist from the
+      // q56 register state — the closeness that rewards REACH (classic
+      // 1/sum-dist lets a 2-node island beat the giant component's
+      // center); sum_dist=0 nodes take Lin's defined value 1
+      val users = events(s, dir).select(col("user_id")).distinct()
+      val uDst = users.select(col("user_id").as("dst"))
+      val e1 = users.filter(col("user_id") % 64 =!= 63)
+        .select(col("user_id").as("src"), (col("user_id") + 1).as("dst"))
+        .join(uDst, Seq("dst"))
+      val e2 = users.filter(col("user_id") % 64 < 48)
+        .select(col("user_id").as("src"), (col("user_id") + 16).as("dst"))
+        .join(uDst, Seq("dst"))
+      GraphOps.hyperBallLin(e1.union(e2), rounds = 3).orderBy("node")
+    }),
+
     "q56_ball_profile" -> ((s, dir) => {
       // per-node distance profile from the HyperBall state: final
       // ball, median distance (smallest t holding half the final
@@ -3977,12 +3993,32 @@ object SparkEntry {
 
   /** q56 finisher over the hyperball body: per-node union of the
     * round estimates, one lag window per node, the median-t and
-    * Σ t·Δ aggregates. */
-  private def ballProfileOracleSql(rounds: Int): String = {
+    * Σ t·Δ aggregates. `lin` swaps the median column for Lin's index
+    * (q61): ball² div (Σd·1000) in HUGEINT, 1000 when Σd = 0. */
+  private def ballProfileOracleSql(rounds: Int, lin: Boolean = false): String = {
     val unions = (0 to rounds).map(t =>
       s"SELECT node, $t::BIGINT AS t, est FROM f$t").mkString("\n  UNION ALL ")
+    val finisher =
+      if (lin)
+        s""",
+            |agg AS (
+            |  SELECT node,
+            |         max(CASE WHEN t = $rounds THEN est END)::BIGINT AS ball_milli,
+            |         sum(delta * t)::BIGINT AS sum_dist_milli
+            |  FROM dd GROUP BY 1)
+            |SELECT node, ball_milli, sum_dist_milli,
+            |       (CASE WHEN sum_dist_milli > 0
+            |             THEN (ball_milli::HUGEINT * ball_milli) // (sum_dist_milli::HUGEINT * 1000)
+            |             ELSE 1000 END)::BIGINT AS lin_milli
+            |FROM agg ORDER BY node"""
+      else
+        s"""SELECT node,
+            |       max(CASE WHEN t = $rounds THEN est END)::BIGINT AS ball_milli,
+            |       min(CASE WHEN est * 2 >= fin THEN t END)::BIGINT AS t_median,
+            |       sum(delta * t)::BIGINT AS sum_dist_milli
+            |FROM dd GROUP BY 1 ORDER BY node"""
     hyperballBodyCtes(rounds) + ",\n" +
-      s"""|ub AS ($unions),
+      (s"""|ub AS ($unions),
           |fin AS (SELECT node, est AS fin FROM f$rounds),
           |dd AS (
           |  SELECT ub.node, ub.t, ub.est, fin.fin,
@@ -3990,11 +4026,7 @@ object SparkEntry {
           |              THEN greatest(ub.est - lag(ub.est) OVER (PARTITION BY ub.node ORDER BY ub.t), 0)
           |              ELSE 0 END AS delta
           |  FROM ub JOIN fin USING (node))
-          |SELECT node,
-          |       max(CASE WHEN t = $rounds THEN est END)::BIGINT AS ball_milli,
-          |       min(CASE WHEN est * 2 >= fin THEN t END)::BIGINT AS t_median,
-          |       sum(delta * t)::BIGINT AS sum_dist_milli
-          |FROM dd GROUP BY 1 ORDER BY node""".stripMargin
+          |""" + finisher).stripMargin
   }
 
   private def hyperballBodyCtes(rounds: Int, mode: String = "und"): String = {
@@ -4260,6 +4292,8 @@ object SparkEntry {
     "q59_reach_in" -> hyperballOracleSql(3, mode = "in"),
 
     "q56_ball_profile" -> ballProfileOracleSql(3),
+
+    "q61_lin_closeness" -> ballProfileOracleSql(3, lin = true),
 
     // chunk-level containment replay: the d_dedup_cdc instance CTEs,
     // per-doc distinct fps, the [2, 100] df keep rule, the fp-keyed

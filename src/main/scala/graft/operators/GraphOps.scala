@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -976,6 +976,32 @@ object GraphOps {
         max(when(col("t") === rounds, col("est_milli"))).as("ball_milli"),
         min(when(col("est_milli") * 2L >= col("_fin"), col("t"))).as("t_median"),
         sum(col("_delta") * col("t")).cast("long").as("sum_dist_milli"))
+  }
+
+  /**
+   * LIN'S INDEX — the closeness variant Boldi & Vigna recommend for
+   * graphs with unreachable pairs ("Axioms for centrality", Internet
+   * Math 2014): classic closeness 1/Σd rewards nodes that reach
+   * almost NOTHING (a 2-node island beats the giant component's
+   * center); Lin's |R(v)|²/Σ_{u∈R(v)} d(v,u) weights by the square of
+   * the coreachable set so reaching more always helps. Computed from
+   * the same register state as [[hyperBallProfile]]:
+   * lin_milli = 1000·|B|²/Σd = ball_milli² div (sum_dist_milli·1000),
+   * in decimal cross-products so the square stays exact past the
+   * LONG envelope (|B| > ~3M). A node whose ball never grew (Σd = 0)
+   * takes Lin's defined value 1 — isolated nodes stay comparable
+   * instead of dividing by zero.
+   *
+   * Output: (node, ball_milli, sum_dist_milli, lin_milli).
+   */
+  def hyperBallLin(edges: DataFrame, rounds: Int, p: Int = 8): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    hyperBallProfile(edges, rounds, p)
+      .select(col("node"), col("ball_milli"), col("sum_dist_milli"),
+        when(col("sum_dist_milli") > 0L,
+          IntDiv(dec(col("ball_milli")) * dec(col("ball_milli")),
+            dec(col("sum_dist_milli")) * lit(1000L)))
+          .otherwise(lit(1000L)).cast("long").as("lin_milli"))
   }
 
   /**

