@@ -760,6 +760,15 @@ object SparkEntry {
           lookbackSec = 3600L)
         .orderBy("event_type")),
 
+    "q62_attribution_decay" -> ((s, dir) =>
+      // time-decay attribution: weights halve per 15-minute half-life
+      // bucket (integer 2^-x — no libm pow), credit w*1e6 div sum(w)
+      // per conversion, remainder to the last touch
+      EventOps.attributionDecay(events(s, dir), "user_id", "tsec",
+          "event_type", "event_id", convType = "purchase",
+          lookbackSec = 3600L, halfLifeSec = 900L)
+        .orderBy("event_type")),
+
     "q58_reach_out" -> ((s, dir) => {
       // DIRECTED HyperBall on the skip-chain graph, out-balls: per
       // node, how much of the graph it REACHES within 3 hops and the
@@ -4253,6 +4262,41 @@ object SparkEntry {
     "q52_hyperball" -> hyperballOracleSql(3),
 
     "q53_neighborhood" -> neighborhoodOracleSql(4),
+
+    // the q60 assignment with halving-bucket decay weights:
+    // w = 1e6 >> (age div 900), credit w*1e6 // sum(w), remainder to
+    // the last touch
+    "q62_attribution_decay" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |                  CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+        |c AS (SELECT event_id AS cid, user_id, tsec AS cts FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT event_id, user_id, event_type, tsec FROM e WHERE event_type <> 'purchase'),
+        |nx AS (
+        |  SELECT t.event_id, t.user_id, t.event_type, t.tsec, c.cid, c.cts,
+        |         row_number() OVER (PARTITION BY t.event_id
+        |                            ORDER BY c.cts ASC, c.cid ASC) AS rn
+        |  FROM t JOIN c ON c.user_id = t.user_id
+        |                AND c.cts > t.tsec AND c.cts - t.tsec <= 3600),
+        |a AS (SELECT * FROM nx WHERE rn = 1),
+        |g AS (
+        |  SELECT event_type, user_id, cid, tsec, event_id,
+        |         (1000000 >> least((cts - tsec) // 900, 62))::BIGINT AS w,
+        |         row_number() OVER (PARTITION BY user_id, cid
+        |                            ORDER BY tsec DESC, event_id DESC) AS rlast
+        |  FROM a),
+        |wsum AS (
+        |  SELECT *, sum(w) OVER (PARTITION BY user_id, cid) AS sw,
+        |         (w * 1000000) // sum(w) OVER (PARTITION BY user_id, cid) AS base
+        |  FROM g),
+        |cr AS (
+        |  SELECT event_type,
+        |         base + CASE WHEN rlast = 1
+        |                THEN 1000000 - sum(base) OVER (PARTITION BY user_id, cid)
+        |                ELSE 0 END AS decay_ppm
+        |  FROM wsum)
+        |SELECT event_type, count(*)::BIGINT AS n_touches,
+        |       sum(decay_ppm)::BIGINT AS decay_ppm
+        |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // nearest following conversion within lookback per touch (the
     // window scan replayed as a rank-1 pick), then the three credit

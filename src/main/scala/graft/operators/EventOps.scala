@@ -572,30 +572,8 @@ object EventOps {
   def attribution(events: DataFrame, userCol: String, tsecCol: String,
                   typeCol: String, idCol: String, convType: String,
                   lookbackSec: Long): DataFrame = {
-    require(lookbackSec >= 1, s"attribution lookbackSec=$lookbackSec")
-    val e = events.select(col(userCol).as("user"), col(tsecCol).as("ts"),
-      col(typeCol).as("etype"), col(idCol).as("eid"))
-    val touch = e.filter(col("etype") =!= convType)
-      .select(col("user"), col("ts"), col("etype"), col("eid"),
-        lit(null).cast("long").as("c_ts"), lit(null).cast("long").as("c_id"))
-    val conv = e.filter(col("etype") === convType)
-      .select(col("user"), col("ts"),
-        lit(null).cast("string").as("etype"), lit(null).cast("long").as("eid"),
-        col("ts").as("c_ts"), col("eid").as("c_id"))
-    // descending-time scan: the running last-seen conversion IS the
-    // nearest following one. Nulls-first on c_id keeps same-ts touches
-    // BEFORE conversions (strictly-forward attribution); descending
-    // c_id among same-ts conversions leaves the SMALLEST id as the
-    // final state — the deterministic pick the oracle replays.
-    val scanW = Window.partitionBy("user")
-      .orderBy(col("ts").desc, col("c_id").desc_nulls_first)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attributed = touch.unionByName(conv)
-      .withColumn("nc", last(
-          when(col("c_id").isNotNull, struct(col("c_ts"), col("c_id"))),
-          ignoreNulls = true).over(scanW))
-      .filter(col("eid").isNotNull && col("nc").isNotNull &&
-        col("nc.c_ts") - col("ts") <= lookbackSec)
+    val attributed = attributedTouches(events, userCol, tsecCol, typeCol,
+      idCol, convType, lookbackSec)
     val convW = Window.partitionBy(col("user"), col("nc.c_id"))
     val linearBase = IntDiv(lit(1000000L), col("n"))
     val credited = attributed
@@ -614,5 +592,77 @@ object EventOps {
         sum(col("first_ppm")).as("first_ppm"),
         sum(col("last_ppm")).as("last_ppm"),
         sum(col("linear_ppm")).as("linear_ppm"))
+  }
+
+  /** The shared touch→next-conversion assignment of the attribution
+    * family: touches and conversions union into one frame; a single
+    * per-user window scanned in DESCENDING time order carries the
+    * nearest following conversion to every touch. Nulls-first on c_id
+    * keeps same-ts touches BEFORE conversions (strictly-forward
+    * attribution); descending c_id among same-ts conversions leaves
+    * the SMALLEST id as the final state — the deterministic pick the
+    * oracles replay. Output: touch rows with `nc = (c_ts, c_id)`. */
+  private def attributedTouches(events: DataFrame, userCol: String,
+                                tsecCol: String, typeCol: String,
+                                idCol: String, convType: String,
+                                lookbackSec: Long): DataFrame = {
+    require(lookbackSec >= 1, s"attribution lookbackSec=$lookbackSec")
+    val e = events.select(col(userCol).as("user"), col(tsecCol).as("ts"),
+      col(typeCol).as("etype"), col(idCol).as("eid"))
+    val touch = e.filter(col("etype") =!= convType)
+      .select(col("user"), col("ts"), col("etype"), col("eid"),
+        lit(null).cast("long").as("c_ts"), lit(null).cast("long").as("c_id"))
+    val conv = e.filter(col("etype") === convType)
+      .select(col("user"), col("ts"),
+        lit(null).cast("string").as("etype"), lit(null).cast("long").as("eid"),
+        col("ts").as("c_ts"), col("eid").as("c_id"))
+    val scanW = Window.partitionBy("user")
+      .orderBy(col("ts").desc, col("c_id").desc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    touch.unionByName(conv)
+      .withColumn("nc", last(
+          when(col("c_id").isNotNull, struct(col("c_ts"), col("c_id"))),
+          ignoreNulls = true).over(scanW))
+      .filter(col("eid").isNotNull && col("nc").isNotNull &&
+        col("nc.c_ts") - col("ts") <= lookbackSec)
+  }
+
+  /**
+   * TIME-DECAY attribution — the fourth classic model next to
+   * [[attribution]]'s first/last/linear: a touch's share of its
+   * conversion's 10⁶ ppm decays exponentially with its age at
+   * conversion time, quantized to HALVING BUCKETS so the model is
+   * integer-exact on any engine (no libm pow in the contract — the
+   * p_temperature floor-sqrt convention applied to 2^−x): weight
+   * w = 10⁶ >> min(age div halfLifeSec, 62), credit = w·10⁶ div Σw
+   * per conversion, with the integral-division remainder assigned to
+   * the LAST touch — credit sums to EXACTLY 10⁶ per conversion, the
+   * same conservation rule the linear model makes.
+   *
+   * Same scale shape as [[attribution]]: the shared descending-time
+   * assignment window, one per-conversion weight window, one
+   * channel-sized aggregate. Output: (event_type, n_touches,
+   * decay_ppm).
+   */
+  def attributionDecay(events: DataFrame, userCol: String, tsecCol: String,
+                       typeCol: String, idCol: String, convType: String,
+                       lookbackSec: Long, halfLifeSec: Long): DataFrame = {
+    require(halfLifeSec >= 1, s"attributionDecay halfLifeSec=$halfLifeSec")
+    val attributed = attributedTouches(events, userCol, tsecCol, typeCol,
+      idCol, convType, lookbackSec)
+    val convW = Window.partitionBy(col("user"), col("nc.c_id"))
+    val credited = attributed
+      .withColumn("w", expr(
+        "shiftright(cast(1000000 as bigint), " +
+          s"cast(least((nc.c_ts - ts) div $halfLifeSec, 62) as int))"))
+      .withColumn("sw", sum(col("w")).over(convW))
+      .withColumn("base", IntDiv(col("w") * 1000000L, col("sw")))
+      .withColumn("tkey", struct(col("ts"), col("eid")))
+      .withColumn("decay_ppm",
+        col("base") + when(col("tkey") === max(col("tkey")).over(convW),
+          lit(1000000L) - sum(col("base")).over(convW)).otherwise(0L))
+    credited.groupBy(col("etype").as("event_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("decay_ppm")).as("decay_ppm"))
   }
 }

@@ -383,6 +383,21 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._4).sum == convs * 1000000L)
     assert(got.map(_._5).sum == convs * 1000000L)
     assert(got.map(_._6).sum == convs * 1000000L)
+
+    // time-decay on the same feed, half-life 200 s: user 1's ages at
+    // the t=700 purchase are 600/500/400 -> 3/2/2 halvings -> weights
+    // 125000/250000/250000, Σ 625000; credits 200000 (view@100),
+    // 400000 (click@200), 400000 + remainder 0 (view@300 is last:
+    // 1e6 - 200000 - 400000 - 400000 = 0). User 3's click@50 (age 50,
+    // 0 halvings) takes the whole 1e6. Channel sums: click 400000 +
+    // 1000000, view 200000 + 400000.
+    val decay = EventOps.attributionDecay(ev, "user_id", "tsec", "event_type",
+        "event_id", convType = "purchase", lookbackSec = 600L, halfLifeSec = 200L)
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(decay == Seq(("click", 2L, 1400000L), ("view", 2L, 600000L)),
+      s"decay got $decay")
+    assert(decay.map(_._3).sum == convs * 1000000L, "decay credit conserved")
   }
 
   test("conversionHazardCensored: censors leave the risk set after their bucket; hand life table") {
