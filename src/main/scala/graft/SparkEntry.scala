@@ -2828,6 +2828,24 @@ object SparkEntry {
       MultimodalOps.resampledStats(media, box = 8).orderBy("media_id")
     }),
 
+    "m_media_pixels_hdr" -> ((s, dir) => {
+      // Radiance RGBE decode: new-style RLE scanlines (four separated
+      // component streams per row; pixel PAIRS share values along x so
+      // the encoder emits genuine run packets), output = the raw
+      // 4-channel RGBE byte planes (exposure-preserving — floats never
+      // enter the integer contract). %4==3 docs -> magic-less junk.
+      val buildHdr = udf { (docId: Long) =>
+        val w = 16; val h = 16
+        val px = Array.tabulate(w * h * 4)(i =>
+          ((docId * 23 + ((i / 4) / 2) * 13 + (i % 4) * 5) % 256).toByte)
+        MultimodalOps.encodeHdr(px, w, h)
+      }
+      val docs = table(s, dir, "documents").withColumn("blob",
+        when(col("doc_id") % 4 === 3, unhex(unknownHex)).otherwise(buildHdr(col("doc_id"))))
+      val media = MultimodalOps.toMediaFrame(docs, "doc_id", "blob", "mixed")
+      MultimodalOps.resampledStats(media, box = 8).orderBy("media_id")
+    }),
+
     "m_media_exif" -> ((s, dir) => {
       // EXIF orientation audit: each %4!=3 doc is a real baseline
       // JPEG with an APP1 EXIF segment planted right after SOI —
@@ -9409,6 +9427,37 @@ object SparkEntry {
     // index ((j//24)*2*16 + (j%24)//3*2)*3 + j%3 of the planted stream
     // PCX replay: closed-form fixture pixels through the same 2x box
     // walk; srcbyte = (((j//24)*2)*16 + ((j%24)//3)*2)*3 + j%3
+    // 4-channel resampled replay (the farbfeld mapping): out j ->
+    // src byte i = (2*(j//32)*16 + 2*((j%32)//4))*4 + j%4, value
+    // (doc*23 + ((i//4)//2)*13 + (i%4)*5) % 256
+    "m_media_pixels_hdr" ->
+      """WITH ip AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 255),
+        |           j -> (doc_id * 23
+        |                 + ((((((j // 32) * 2) * 16 + ((j % 32) // 4) * 2) * 4 + (j % 4)) // 4) // 2) * 13
+        |                 + (j % 4) * 5) % 256) AS q
+        |  FROM documents WHERE doc_id % 4 <> 3),
+        |junk AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 16),
+        |           i -> CASE WHEN i = 0 THEN 0
+        |                     ELSE ('0x' || substr(upper(md5(text)), (i - 1) * 2 + 1, 2))::BIGINT END) AS b
+        |  FROM documents WHERE doc_id % 4 = 3)
+        |SELECT doc_id AS media_id, 'hdr' AS format, true AS decoded,
+        |       8::BIGINT AS out_w, 8::BIGINT AS out_h, 256::BIGINT AS n_vals,
+        |       ((list_sum(q) * 1000) // 256)::BIGINT AS mean_milli,
+        |       len(list_distinct(q))::BIGINT AS distinct_vals,
+        |       list_max(q)::BIGINT AS max_val
+        |FROM ip
+        |UNION ALL
+        |SELECT doc_id AS media_id, 'unknown' AS format, false AS decoded,
+        |       0::BIGINT, 0::BIGINT, 17::BIGINT,
+        |       ((list_sum(b) * 1000) // 17)::BIGINT,
+        |       len(list_distinct(b))::BIGINT, list_max(b)::BIGINT
+        |FROM junk
+        |ORDER BY media_id""".stripMargin,
+
     // resampled-formula replay (the m_media convention): RGB docs map
     // out j to src byte i = (2*(j//24)*16 + 2*((j%24)//3))*3 + j%3 and
     // value (doc*19 + (i//6)*23 + (i%3)*7) % 256; gray docs map

@@ -204,6 +204,10 @@ object MultimodalOps {
               case m if m.format == "ras" && px.length == m.width * m.height * m.channels =>
                 ("ras", px, m.width.toInt, m.height.toInt, m.channels.toInt)
             }))
+            .orElse(decodeHdrPixels(content).flatMap(px => hdr.collect {
+              case m if m.format == "hdr" && px.length == m.width * m.height * 4 =>
+                ("hdr", px, m.width.toInt, m.height.toInt, 4)
+            }))
           decoded match {
             case Some((f, px, w, h, ch)) =>
               val (out, ow, oh) = resample(px, w, h, ch)
@@ -295,6 +299,10 @@ object MultimodalOps {
             .orElse(decodeRasPixels(content).flatMap(px => hdr.collect {
               case m if m.format == "ras" && px.length == m.width * m.height * m.channels =>
                 ("ras", px, m.width.toInt, m.height.toInt, m.channels.toInt)
+            }))
+            .orElse(decodeHdrPixels(content).flatMap(px => hdr.collect {
+              case m if m.format == "hdr" && px.length == m.width * m.height * 4 =>
+                ("hdr", px, m.width.toInt, m.height.toInt, 4)
             }))
           decoded match {
             case Some((f, px, w, h, ch)) =>
@@ -490,6 +498,15 @@ object MultimodalOps {
       val w = u32be(b, 8); val h = u32be(b, 12)
       if (w > 0L && h > 0L) return Some(MediaHeader("farbfeld", w, h, 4L, 0L))
       return None
+    }
+    // Radiance HDR: "#?RADIANCE"/"#?RGBE" ASCII magic; dims from the
+    // "-Y h +X w" resolution line after the blank header terminator
+    if (b.length >= 2 && b(0) == '#' && b(1) == '?') {
+      hdrInfo(b) match {
+        case Some((w, h, _)) =>
+          return Some(MediaHeader("hdr", w.toLong, h.toLong, 4L, 0L))
+        case None => return None
+      }
     }
     // Sun Raster: 0x59A66A95 magic, eight u32be header words; depth 8
     // (gray) or 24 (stored BGR), no colormap, raw (1) or byte-RLE (2)
@@ -1969,6 +1986,149 @@ object MultimodalOps {
       y += 1
     }
     Some(out)
+  }
+
+  /** Radiance header walk: ASCII lines to the blank terminator (must
+    * include FORMAT=32-bit_rle_rgbe), then the standard-orientation
+    * resolution line "-Y h +X w". Returns (w, h, pixel data offset). */
+  private def hdrInfo(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 2 || b(0) != '#' || b(1) != '?') return None
+    var p = 0
+    var sawFormat = false
+    var line = new StringBuilder
+    var resLine: String = null
+    while (p < b.length && resLine == null) {
+      val c = b(p) & 0xff; p += 1
+      if (c == '\n') {
+        val l = line.toString; line = new StringBuilder
+        if (l == "FORMAT=32-bit_rle_rgbe") sawFormat = true
+        else if (l.isEmpty) {
+          // blank terminator: the NEXT line is the resolution
+          val q = b.indexOf('\n'.toByte, p)
+          if (q < 0) return None
+          resLine = new String(b, p, q - p, java.nio.charset.StandardCharsets.US_ASCII)
+          p = q + 1
+        }
+      } else if (c > 127 || line.length > 255) return None // binary junk in the header
+      else line += c.toChar
+    }
+    if (resLine == null || !sawFormat) return None
+    resLine.split(" ") match {
+      case Array("-Y", hs, "+X", ws) =>
+        try {
+          val w = ws.toInt; val h = hs.toInt
+          if (w > 0 && h > 0) Some((w, h, p)) else None
+        } catch { case _: NumberFormatException => None }
+      case _ => None // flipped/rotated orientations out of scope
+    }
+  }
+
+  /**
+   * REAL Radiance RGBE decode (Ward's .hdr/.pic format — the standard
+   * interchange for HDR photography and IBL environment maps): ASCII
+   * header (magic `#?…`, `FORMAT=32-bit_rle_rgbe`, blank line,
+   * `-Y h +X w` resolution), then per-scanline NEW-STYLE RLE — marker
+   * 0x02 0x02 + the 16-bit BE width, followed by FOUR separated
+   * component streams (R, G, B, E) each run-length coded: a count
+   * byte > 128 repeats the next byte (count−128) times, ≤ 128 copies
+   * that many literal bytes. Output is the raw 4-channel RGBE byte
+   * stream (R, G, B, shared-exponent E per pixel) — the
+   * exposure-preserving byte planes, deliberately NOT resolved to
+   * floats (mantissa·2^(E−136) would put engine-varying doubles in an
+   * integer-exact pipeline; consumers that need radiance apply the
+   * shared exponent themselves).
+   *
+   * Honest-refusal scope: old-style (uncompressed / 1-1-1-shift run)
+   * scanlines — new-style RLE requires 8 ≤ w < 32768 and every real
+   * encoder uses it there; flipped/rotated resolution orientations;
+   * `maxPixelBytes` caps dimension bombs.
+   */
+  private[graft] def decodeHdrPixels(b: Array[Byte],
+                                     maxPixelBytes: Int = 1 << 26): Option[Array[Byte]] = {
+    if (b == null) return None
+    val info = hdrInfo(b)
+    if (info.isEmpty) return None
+    val (w, h, start) = info.get
+    if (w < 8 || w >= 32768) return None // old-style territory: refuse
+    val total = 4L * w * h
+    if (total > maxPixelBytes) return None
+    val out = new Array[Byte](total.toInt)
+    var p = start
+    var y = 0
+    while (y < h) {
+      if (p + 4 > b.length) return None
+      if ((b(p) & 0xff) != 2 || (b(p + 1) & 0xff) != 2) return None
+      if (((b(p + 2) & 0xff) << 8 | (b(p + 3) & 0xff)) != w) return None
+      p += 4
+      var c = 0
+      while (c < 4) {
+        var x = 0
+        while (x < w) {
+          if (p >= b.length) return None
+          val n = b(p) & 0xff; p += 1
+          if (n > 128) {
+            val run = n - 128
+            if (p >= b.length || x + run > w) return None
+            val v = b(p); p += 1
+            var k = 0
+            while (k < run) { out((y * w + x + k) * 4 + c) = v; k += 1 }
+            x += run
+          } else {
+            if (n == 0 || p + n > b.length || x + n > w) return None
+            var k = 0
+            while (k < n) { out((y * w + x + k) * 4 + c) = b(p + k); k += 1 }
+            p += n; x += n
+          }
+        }
+        c += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
+  /** Radiance encoder — the fixture counterpart of [[decodeHdrPixels]]:
+    * new-style RLE scanlines (runs ≥ 3 as run packets, literals
+    * chunked ≤ 128, both capped at 127/128 per packet). `px` is the
+    * interleaved 4-channel RGBE stream. */
+  private[graft] def encodeHdr(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(w >= 8 && w < 32768 && h > 0 && px.length == w * h * 4,
+      "px must be w*h*4 RGBE bytes with 8 <= w < 32768")
+    val out = new java.io.ByteArrayOutputStream(64 + px.length)
+    out.write("#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(s"-Y $h +X $w\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val comp = new Array[Byte](w)
+    var y = 0
+    while (y < h) {
+      out.write(2); out.write(2); out.write((w >> 8) & 0xff); out.write(w & 0xff)
+      var c = 0
+      while (c < 4) {
+        var x = 0
+        while (x < w) { comp(x) = px((y * w + x) * 4 + c); x += 1 }
+        var i = 0
+        while (i < w) {
+          var run = 1
+          while (i + run < w && comp(i + run) == comp(i) && run < 127) run += 1
+          if (run >= 3) { out.write(128 + run); out.write(comp(i) & 0xff); i += run }
+          else {
+            var lit = 0
+            // literal chunk up to the next run of >= 3 (or 128 bytes)
+            while (i + lit < w && lit < 128 &&
+              !(i + lit + 2 < w && comp(i + lit) == comp(i + lit + 1) &&
+                comp(i + lit) == comp(i + lit + 2))) lit += 1
+            if (lit == 0) lit = 1
+            out.write(lit)
+            var k = 0
+            while (k < lit) { out.write(comp(i + k) & 0xff); k += 1 }
+            i += lit
+          }
+        }
+        c += 1
+      }
+      y += 1
+    }
+    out.toByteArray
   }
 
   /** Sun Raster encoder — the fixture counterpart of

@@ -91,7 +91,9 @@ class MediaFuzzSpec extends AnyFunSuite {
         Array.tabulate(9 * 5 * 3)(i => (((i / 6) * 11 + 120) % 256).toByte), 9, 5,
         rle = true)),
       ("ras-gray", MultimodalOps.encodeRas(
-        Array.tabulate(7 * 4)(i => ((i / 3) * 13).toByte), 7, 4, channels = 1)))
+        Array.tabulate(7 * 4)(i => ((i / 3) * 13).toByte), 7, 4, channels = 1)),
+      ("hdr", MultimodalOps.encodeHdr(
+        Array.tabulate(9 * 4 * 4)(i => (((i / 8) * 11 + (i % 4) * 5) % 256).toByte), 9, 4)))
   }
 
   private def decodeAll(b: Array[Byte]): Unit = {
@@ -109,6 +111,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     MultimodalOps.decodeQoiPixels(b)
     MultimodalOps.decodePcxPixels(b)
     MultimodalOps.decodeRasPixels(b)
+    MultimodalOps.decodeHdrPixels(b)
     MultimodalOps.exifOrientation(b)
     MultimodalOps.parseHeader(b)
     ()

@@ -420,6 +420,49 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MultimodalOps.decodeRasPixels(overRun).isEmpty)
   }
 
+  test("decodeHdrPixels: RLE round-trip, header walk, run/literal boundaries, refusals") {
+    val w = 16; val h = 5
+    val px = Array.tabulate(w * h * 4)(i => (((i / 4) / 2 * 13 + (i % 4) * 5 + 40) % 256).toByte)
+    val hdr = MultimodalOps.encodeHdr(px, w, h)
+    assert(MultimodalOps.decodeHdrPixels(hdr).exists(_.sameElements(px)),
+      "component-separated RLE scanlines must round-trip")
+    assert(MultimodalOps.parseHeader(hdr)
+      .contains(MultimodalOps.MediaHeader("hdr", w, h, 4, 0)))
+    // a flat image genuinely compresses (long runs per component)
+    val flat = Array.fill(w * h * 4)(99.toByte)
+    assert(MultimodalOps.encodeHdr(flat, w, h).length <
+      MultimodalOps.encodeHdr(px, w, h).length / 2)
+    assert(MultimodalOps.decodeHdrPixels(MultimodalOps.encodeHdr(flat, w, h))
+      .exists(_.sameElements(flat)))
+    // all-distinct components exercise the pure-literal path
+    val lit = Array.tabulate(w * h * 4)(i => (i * 7 % 256).toByte)
+    assert(MultimodalOps.decodeHdrPixels(MultimodalOps.encodeHdr(lit, w, h))
+      .exists(_.sameElements(lit)))
+    // refusals: missing FORMAT line, flipped orientation, width under
+    // the new-style floor, scanline marker corruption, truncation,
+    // run past the scanline end
+    val noFmt = new String(hdr.takeWhile(_ != 2.toByte), "US-ASCII")
+      .replace("FORMAT=32-bit_rle_rgbe\n", "") // header minus FORMAT
+    assert(MultimodalOps.decodeHdrPixels(
+      noFmt.getBytes("US-ASCII") ++ hdr.dropWhile(_ != 2.toByte)).isEmpty)
+    val flipped = ("#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n" + s"+Y $h +X $w\n")
+      .getBytes("US-ASCII") ++ hdr.dropWhile(_ != 2.toByte)
+    assert(MultimodalOps.decodeHdrPixels(flipped).isEmpty)
+    intercept[IllegalArgumentException](
+      MultimodalOps.encodeHdr(Array.fill(4 * 2 * 4)(1.toByte), 4, 2))
+    val badMark = hdr.clone()
+    val m = badMark.indexOf(2.toByte); badMark(m) = 1
+    assert(MultimodalOps.decodeHdrPixels(badMark).isEmpty)
+    assert(MultimodalOps.decodeHdrPixels(hdr.take(hdr.length - 1)).isEmpty)
+    // hand scanline with a run overflowing the width: 16-wide row,
+    // one 130-run (2 bytes) at x=15 would pass x+run > w
+    val head = s"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n-Y 1 +X 16\n".getBytes("US-ASCII")
+    val overRun = head ++ Array[Byte](2, 2, 0, 16, // marker + width
+      (128 + 15).toByte, 7, // 15 of 16 R bytes
+      (128 + 2).toByte, 7) // run of 2 past the row end
+    assert(MultimodalOps.decodeHdrPixels(overRun).isEmpty)
+  }
+
   test("decodeQoiPixels: hand-built op stream decodes exactly (all six ops)") {
     // 2x3 RGB image built op by op against the spec state machine
     // (pixels chosen so their 64-slot hashes DON'T collide: p0 -> 9,
