@@ -760,6 +760,15 @@ object SparkEntry {
           lookbackSec = 3600L)
         .orderBy("event_type")),
 
+    "q63_attribution_position" -> ((s, dir) =>
+      // U-shaped 40/20/40 attribution: discovery and closer take 40%
+      // each, middles share 20%; one touch takes all, two split 50/50,
+      // middle remainder to the last touch (exact conservation)
+      EventOps.attributionPosition(events(s, dir), "user_id", "tsec",
+          "event_type", "event_id", convType = "purchase",
+          lookbackSec = 3600L)
+        .orderBy("event_type")),
+
     "q62_attribution_decay" -> ((s, dir) =>
       // time-decay attribution: weights halve per 15-minute half-life
       // bucket (integer 2^-x — no libm pow), credit w*1e6 div sum(w)
@@ -4280,6 +4289,40 @@ object SparkEntry {
     "q52_hyperball" -> hyperballOracleSql(3),
 
     "q53_neighborhood" -> neighborhoodOracleSql(4),
+
+    // the q60 assignment with the U-shaped 40/20/40 schedule
+    "q63_attribution_position" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |                  CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+        |c AS (SELECT event_id AS cid, user_id, tsec AS cts FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT event_id, user_id, event_type, tsec FROM e WHERE event_type <> 'purchase'),
+        |nx AS (
+        |  SELECT t.event_id, t.user_id, t.event_type, t.tsec, c.cid,
+        |         row_number() OVER (PARTITION BY t.event_id
+        |                            ORDER BY c.cts ASC, c.cid ASC) AS rn
+        |  FROM t JOIN c ON c.user_id = t.user_id
+        |                AND c.cts > t.tsec AND c.cts - t.tsec <= 3600),
+        |a AS (SELECT * FROM nx WHERE rn = 1),
+        |g AS (
+        |  SELECT event_type, user_id, cid,
+        |         count(*) OVER (PARTITION BY user_id, cid) AS n,
+        |         row_number() OVER (PARTITION BY user_id, cid
+        |                            ORDER BY tsec ASC, event_id ASC) AS rfirst,
+        |         row_number() OVER (PARTITION BY user_id, cid
+        |                            ORDER BY tsec DESC, event_id DESC) AS rlast
+        |  FROM a),
+        |cr AS (
+        |  SELECT event_type,
+        |         CASE WHEN n = 1 THEN 1000000
+        |              WHEN n = 2 THEN 500000
+        |              WHEN rfirst = 1 THEN 400000
+        |              WHEN rlast = 1
+        |                THEN 400000 + 200000 - (200000 // (n - 2)) * (n - 2)
+        |              ELSE 200000 // (n - 2) END AS position_ppm
+        |  FROM g)
+        |SELECT event_type, count(*)::BIGINT AS n_touches,
+        |       sum(position_ppm)::BIGINT AS position_ppm
+        |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the q60 assignment with halving-bucket decay weights:
     // w = 1e6 >> (age div 900), credit w*1e6 // sum(w), remainder to

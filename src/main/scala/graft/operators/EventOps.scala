@@ -628,6 +628,47 @@ object EventOps {
   }
 
   /**
+   * POSITION-BASED (U-shaped, 40/20/40) attribution — the fifth
+   * classic model: the FIRST touch (discovery) and the LAST touch
+   * (closer) each take 40% of the conversion's 10⁶ ppm and the
+   * middles share the remaining 20% evenly — the schedule marketing
+   * stacks ship as "position-based". Degenerate counts follow the
+   * standard convention, kept exactly conservative: one touch takes
+   * everything; two touches split 50/50; at n ≥ 3 the middles take
+   * 2·10⁵ div (n−2) each and the integral-division remainder goes to
+   * the LAST touch (the family's remainder rule), so credit sums to
+   * EXACTLY 10⁶ per conversion. Ties on the first/last designation
+   * break by (ts, event id) like the other models.
+   *
+   * Same scale shape as [[attribution]]. Output: (event_type,
+   * n_touches, position_ppm).
+   */
+  def attributionPosition(events: DataFrame, userCol: String, tsecCol: String,
+                          typeCol: String, idCol: String, convType: String,
+                          lookbackSec: Long): DataFrame = {
+    val attributed = attributedTouches(events, userCol, tsecCol, typeCol,
+      idCol, convType, lookbackSec)
+    val convW = Window.partitionBy(col("user"), col("nc.c_id"))
+    val mid = IntDiv(lit(200000L), col("n") - 2L)
+    val credited = attributed
+      .withColumn("n", count(lit(1)).over(convW))
+      .withColumn("tkey", struct(col("ts"), col("eid")))
+      .withColumn("is_first", col("tkey") === min(col("tkey")).over(convW))
+      .withColumn("is_last", col("tkey") === max(col("tkey")).over(convW))
+      .withColumn("position_ppm",
+        when(col("n") === 1L, 1000000L)
+          .when(col("n") === 2L, 500000L)
+          .otherwise(
+            when(col("is_first"), 400000L)
+              .when(col("is_last"),
+                lit(400000L) + lit(200000L) - mid * (col("n") - 2L))
+              .otherwise(mid)))
+    credited.groupBy(col("etype").as("event_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("position_ppm")).as("position_ppm"))
+  }
+
+  /**
    * TIME-DECAY attribution — the fourth classic model next to
    * [[attribution]]'s first/last/linear: a touch's share of its
    * conversion's 10⁶ ppm decays exponentially with its age at

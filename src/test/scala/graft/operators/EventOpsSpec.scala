@@ -398,6 +398,37 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(decay == Seq(("click", 2L, 1400000L), ("view", 2L, 600000L)),
       s"decay got $decay")
     assert(decay.map(_._3).sum == convs * 1000000L, "decay credit conserved")
+
+    // U-shaped 40/20/40 on the same feed: user 1's three touches take
+    // 400000 (view@100 first) / 200000 (click@200 middle, 200000 div 1)
+    // / 400000 + 0 remainder (view@300 last); user 3's lone click takes
+    // 1000000. Channel sums: click 200000 + 1000000, view 800000.
+    val pos = EventOps.attributionPosition(ev, "user_id", "tsec", "event_type",
+        "event_id", convType = "purchase", lookbackSec = 600L)
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pos == Seq(("click", 2L, 1200000L), ("view", 2L, 800000L)),
+      s"position got $pos")
+    assert(pos.map(_._3).sum == convs * 1000000L, "position credit conserved")
+    // the two-touch 50/50 and middle-remainder rules on a dedicated
+    // user: 4 touches at half-life-irrelevant spacing -> middles take
+    // 100000 each (200000 div 2, remainder 0); then drop one to check
+    // the n=2 split
+    val ev4 = Seq(
+      (40L, 4L, 10L, "view"), (41L, 4L, 20L, "click"),
+      (42L, 4L, 30L, "click"), (43L, 4L, 40L, "view"),
+      (44L, 4L, 100L, "purchase"),
+      (50L, 5L, 10L, "view"), (51L, 5L, 20L, "click"),
+      (52L, 5L, 100L, "purchase")
+    ).toDF("event_id", "user_id", "tsec", "event_type")
+      .select(col("user_id"), col("tsec"), col("event_type"), col("event_id"))
+    val pos4 = EventOps.attributionPosition(ev4, "user_id", "tsec", "event_type",
+        "event_id", convType = "purchase", lookbackSec = 600L)
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    // user 4: view 400000 + 400000, clicks 100000 + 100000;
+    // user 5 (n=2): view 500000 (first), click 500000 (last)
+    assert(pos4 == Map("view" -> 1300000L, "click" -> 700000L), s"got $pos4")
   }
 
   test("conversionHazardCensored: censors leave the risk set after their bucket; hand life table") {
