@@ -816,6 +816,24 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "q64_reach_profile" -> ((s, dir) => {
+      // directed ball profile (out): per node, the 3-hop reach, the
+      // median forward distance, and the total-distance mass — the
+      // per-node "how far does my reach extend" numbers the q58
+      // neighborhood summary aggregates away
+      val users = events(s, dir).select(col("user_id")).distinct()
+      val uDst = users.select(col("user_id").as("dst"))
+      val e1 = users.filter(col("user_id") % 64 =!= 63)
+        .select(col("user_id").as("src"), (col("user_id") + 1).as("dst"))
+        .join(uDst, Seq("dst"))
+      val e2 = users.filter(col("user_id") % 64 < 48)
+        .select(col("user_id").as("src"), (col("user_id") + 16).as("dst"))
+        .join(uDst, Seq("dst"))
+      GraphOps.hyperBallProfileDirected(e1.union(e2), rounds = 3,
+          direction = "out")
+        .orderBy("node")
+    }),
+
     "q61_lin_closeness" -> ((s, dir) => {
       // Lin's index over the skip-chain graph: |B|^2/sum-dist from the
       // q56 register state — the closeness that rewards REACH (classic
@@ -4031,7 +4049,8 @@ object SparkEntry {
     * round estimates, one lag window per node, the median-t and
     * Σ t·Δ aggregates. `lin` swaps the median column for Lin's index
     * (q61): ball² div (Σd·1000) in HUGEINT, 1000 when Σd = 0. */
-  private def ballProfileOracleSql(rounds: Int, lin: Boolean = false): String = {
+  private def ballProfileOracleSql(rounds: Int, lin: Boolean = false,
+                                   mode: String = "und"): String = {
     val unions = (0 to rounds).map(t =>
       s"SELECT node, $t::BIGINT AS t, est FROM f$t").mkString("\n  UNION ALL ")
     val finisher =
@@ -4053,7 +4072,7 @@ object SparkEntry {
             |       min(CASE WHEN est * 2 >= fin THEN t END)::BIGINT AS t_median,
             |       sum(delta * t)::BIGINT AS sum_dist_milli
             |FROM dd GROUP BY 1 ORDER BY node"""
-    hyperballBodyCtes(rounds) + ",\n" +
+    hyperballBodyCtes(rounds, mode) + ",\n" +
       (s"""|ub AS ($unions),
           |fin AS (SELECT node, est AS fin FROM f$rounds),
           |dd AS (
@@ -4399,6 +4418,8 @@ object SparkEntry {
     "q56_ball_profile" -> ballProfileOracleSql(3),
 
     "q61_lin_closeness" -> ballProfileOracleSql(3, lin = true),
+
+    "q64_reach_profile" -> ballProfileOracleSql(3, mode = "out"),
 
     // chunk-level containment replay: the d_dedup_cdc instance CTEs,
     // per-doc distinct fps, the [2, 100] df keep rule, the fp-keyed

@@ -946,7 +946,38 @@ object GraphOps {
     val und = undirect(edges).localCheckpoint()
     val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
-    val nodes = adj.select(col("a").as("node")).distinct()
+    profileFromAdj(adj, rounds, p)
+  }
+
+  /**
+   * DIRECTED ball profile — [[hyperBallProfile]] on out-balls
+   * ("how far does my reach extend", direction "out") or in-balls
+   * ("how far do my readers sit", "in"): the same median-distance +
+   * total-distance-mass finisher over the directed register
+   * recurrence of [[hyperBallHarmonicDirected]], whose adjacency
+   * conventions (strict self-loop/dup hygiene, both-endpoint node
+   * seeding) this shares verbatim.
+   */
+  def hyperBallProfileDirected(edges: DataFrame, rounds: Int, p: Int = 8,
+                               direction: String = "out"): DataFrame = {
+    require(rounds >= 1 && rounds <= 32, s"hyperBallProfileDirected rounds=$rounds")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val adj = (direction match {
+      case "out" => e.select(col("src").as("a"), col("dst").as("b"))
+      case "in"  => e.select(col("dst").as("a"), col("src").as("b"))
+      case other => throw new IllegalArgumentException(
+        s"hyperBallProfileDirected direction must be out|in, got: $other")
+    }).localCheckpoint()
+    profileFromAdj(adj, rounds, p)
+  }
+
+  /** The ball-profile recurrence + finisher over an already-oriented
+    * adjacency — shared by the undirected and directed entry points
+    * (the harmonicFromAdj pattern). */
+  private def profileFromAdj(adj: DataFrame, rounds: Int, p: Int): DataFrame = {
+    val nodes = adj.select(col("a").as("node"))
+      .union(adj.select(col("b").as("node"))).distinct()
     var regs = SketchOps.hllRegisters(
         nodes.select(col("node"), col("node").as("_v")), Seq("node"), "_v", p)
       .localCheckpoint()

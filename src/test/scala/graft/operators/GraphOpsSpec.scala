@@ -621,6 +621,20 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got(0L)._1 > gin(0L), s"source 0: out ${got(0L)._1} !> in ${gin(0L)}")
     assert(gin(3L) > got(3L)._1, s"sink 3: in ${gin(3L)} !> out ${got(3L)._1}")
+    // the directed PROFILE rides the identical registers: its ball
+    // equals the harmonic frame's, its Σ t·Δ folds the same exact
+    // per-round estimates, and its median is the first t holding half
+    // the final mass
+    val prof = GraphOps.hyperBallProfileDirected(e, rounds, direction = "out")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    nodes.foreach { n =>
+      val (ball, tMed, sumDist) = prof(n)
+      assert(ball == got(n)._1, s"node $n profile ball $ball != harmonic ${got(n)._1}")
+      val sd = (1 to rounds).map(t => math.max(ests(t)(n) - ests(t - 1)(n), 0L) * t).sum
+      assert(sumDist == sd, s"node $n sum_dist $sumDist != exact fold $sd")
+      val med = (0 to rounds).find(t => ests(t)(n) * 2 >= ests(rounds)(n)).get
+      assert(tMed == med, s"node $n t_median $tMed != $med")
+    }
   }
 
   test("hyperBallLin: agrees with profile state; reach beats the island where classic closeness inverts; isolated = 1") {
