@@ -132,7 +132,17 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
                 // already catches identical docs; near-dups inside one
                 // batch admit together — the forward-only contract the
                 // line scrub also makes).
-                dedupChunksMinShared: Option[Int] = None) {
+                dedupChunksMinShared: Option[Int] = None,
+                // persist per-batch latency DELTAS (one row per active
+                // stage per batch: stage, le_ms bucket, count) to
+                // `_latency/batch=b<id>` — the durable twin of the
+                // in-memory histograms. Deltas are mergeable by plain
+                // concatenation (the _qstats convention), so compaction
+                // folds and restarts compose: the persisted history is
+                // the sum over dirs however the session epochs fell.
+                // Timing data, not correctness data — a replayed batch
+                // overwrites its dir with the REPLAY's timings.
+                exportLatency: Boolean = false) {
 
   private val inputSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -178,6 +188,12 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
   private val latency =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
 
+  /** The current batch's latency deltas (stage -> bucket index), reset
+    * per batch and flushed to `_latency/batch=b<id>` when
+    * `exportLatency` is on. processBatch is serial (foreachBatch), so
+    * plain instance state suffices. */
+  private val batchLatency = scala.collection.mutable.Map.empty[String, Int]
+
   private def recordLatency(stage: String, ms: Long): Unit = {
     val h = latency.computeIfAbsent(stage, _ => new Array[Long](latencyBuckets))
     // smallest i with ms <= 2^i (0 for ms <= 1), capped at the overflow
@@ -185,6 +201,37 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
       if (ms <= 1L) 0
       else math.min(latencyBuckets - 1, 64 - java.lang.Long.numberOfLeadingZeros(ms - 1))
     h.synchronized { h(b) += 1L }
+    batchLatency.synchronized { batchLatency(stage) = b }
+  }
+
+  /** Flush this batch's per-stage samples as an idempotent delta dir. */
+  private def flushLatency(batchId: Long): Unit = {
+    if (!exportLatency) { batchLatency.clear(); return }
+    val rows = batchLatency.synchronized {
+      val r = batchLatency.toSeq; batchLatency.clear(); r
+    }
+    if (rows.isEmpty) return
+    import spark.implicits._
+    rows.map { case (stage, b) =>
+      (stage, if (b == latencyBuckets - 1) -1L else 1L << b, 1L)
+    }.toDF("stage", "le_ms", "count")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$corpusDir/_latency/batch=b$batchId")
+  }
+
+  /** The persisted latency history: per (stage, le_ms bucket) total
+    * counts summed over every delta dir — restart- and fold-invariant
+    * by the concatenation-merge contract. */
+  def latencyHistogramPersisted(): DataFrame = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("stage", StringType), StructField("le_ms", LongType),
+        StructField("count", LongType))))
+    if (!tableExists(s"$corpusDir/_latency")) empty
+    else
+      try spark.read.parquet(s"$corpusDir/_latency")
+        .groupBy("stage", "le_ms").agg(sum(col("count")).as("count"))
+      catch { case _: org.apache.spark.sql.AnalysisException => empty }
   }
 
   private def timed[T](stage: String)(f: => T): T = {
@@ -586,7 +633,10 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
     lastDriftStats = (batchId, ppm, maxAbs, flagged)
   }
 
-  private[streaming] def processBatch(batch0: DataFrame, batchId: Long): Unit = {
+  private[streaming] def processBatch(batch0: DataFrame, batchId: Long): Unit =
+    try processBatchInner(batch0, batchId) finally flushLatency(batchId)
+
+  private def processBatchInner(batch0: DataFrame, batchId: Long): Unit = {
     val n0 = timed("ingest")(batch0.count())
     if (n0 == 0) return
     // downstream rejection counters key off the post-url-gate count, so
@@ -689,6 +739,10 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
             if (dedupChunksMinShared.isDefined && tableExists(s"$corpusDir/_chunkfps"))
               TableCompactor.onlineCompactAppend(spark, s"$corpusDir/_chunkfps",
                 fence = batchId, sortCols = Seq("cfp"))
+            // latency deltas read via per-bucket sums — concatenation merges
+            if (exportLatency && tableExists(s"$corpusDir/_latency"))
+              TableCompactor.onlineCompactAppend(spark, s"$corpusDir/_latency",
+                fence = batchId, sortCols = Seq("stage"))
           } catch {
             case scala.util.control.NonFatal(e) =>
               org.slf4j.LoggerFactory.getLogger(getClass)

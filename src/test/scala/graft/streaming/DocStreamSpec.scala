@@ -453,6 +453,33 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.latencyPercentile("nope", 50) == -1L)
   }
 
+  test("doc stream: latency export — persisted deltas sum to the in-memory histograms; folds and restarts compose") {
+    val work = Files.createTempDirectory("graft-docstream-latx").toString
+    def stream() = new DocStream(spark, s"$work/drop", s"$work/corpus", s"$work/ckpt",
+      minQuality = 0L, maxFilesPerTrigger = Some(1),
+      compactEveryBatches = Some(1), exportLatency = true)
+    jsonl(s"$work/drop", "a.jsonl", Seq(1L -> goodText("alpha")))
+    jsonl(s"$work/drop", "b.jsonl", Seq(2L -> goodText("beta")))
+    val s1 = stream()
+    s1.runAvailableNow()
+    def sums(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val mem1 = sums(s1.latencyHistogram())
+    val per1 = sums(s1.latencyHistogramPersisted())
+    assert(per1 == mem1, s"persisted $per1 != in-memory $mem1")
+    assert(per1.values.forall(_ == 2L), s"two batches -> two samples per stage: $per1")
+    // restart: a NEW instance starts with empty in-memory state but the
+    // persisted (folded) history keeps accumulating across epochs
+    jsonl(s"$work/drop", "c.jsonl", Seq(3L -> goodText("gamma")))
+    val s2 = stream()
+    s2.runAvailableNow()
+    val per2 = sums(s2.latencyHistogramPersisted())
+    assert(per2.values.forall(_ == 3L),
+      s"three batches across two sessions, folds included: $per2")
+    assert(sums(s2.latencyHistogram()).values.forall(_ == 1L),
+      "in-memory state is per-session by design")
+  }
+
   test("doc stream: quality-drift monitor — stream ≡ batch moments on a split feed; sagging batch flags") {
     val work = Files.createTempDirectory("graft-docstream-drift").toString
     def stream(sub: String) = new DocStream(spark, s"$work/$sub/drop",
