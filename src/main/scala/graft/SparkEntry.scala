@@ -834,6 +834,24 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "q65_lin_in" -> ((s, dir) => {
+      // directed Lin's index, IN orientation: reach-weighted closeness
+      // over who-can-get-here distances — the authority reading next
+      // to q61's undirected form; chain tails score high (big
+      // audience), chain heads fall to the isolated convention
+      val users = events(s, dir).select(col("user_id")).distinct()
+      val uDst = users.select(col("user_id").as("dst"))
+      val e1 = users.filter(col("user_id") % 64 =!= 63)
+        .select(col("user_id").as("src"), (col("user_id") + 1).as("dst"))
+        .join(uDst, Seq("dst"))
+      val e2 = users.filter(col("user_id") % 64 < 48)
+        .select(col("user_id").as("src"), (col("user_id") + 16).as("dst"))
+        .join(uDst, Seq("dst"))
+      GraphOps.hyperBallLinDirected(e1.union(e2), rounds = 3,
+          direction = "in")
+        .orderBy("node")
+    }),
+
     "q61_lin_closeness" -> ((s, dir) => {
       // Lin's index over the skip-chain graph: |B|^2/sum-dist from the
       // q56 register state — the closeness that rewards REACH (classic
@@ -4063,7 +4081,7 @@ object SparkEntry {
             |  FROM dd GROUP BY 1)
             |SELECT node, ball_milli, sum_dist_milli,
             |       (CASE WHEN sum_dist_milli > 0
-            |             THEN (ball_milli::HUGEINT * ball_milli) // (sum_dist_milli::HUGEINT * 1000)
+            |             THEN (ball_milli::HUGEINT * ball_milli) // sum_dist_milli::HUGEINT
             |             ELSE 1000 END)::BIGINT AS lin_milli
             |FROM agg ORDER BY node"""
       else
@@ -4420,6 +4438,8 @@ object SparkEntry {
     "q61_lin_closeness" -> ballProfileOracleSql(3, lin = true),
 
     "q64_reach_profile" -> ballProfileOracleSql(3, mode = "out"),
+
+    "q65_lin_in" -> ballProfileOracleSql(3, lin = true, mode = "in"),
 
     // chunk-level containment replay: the d_dedup_cdc instance CTEs,
     // per-doc distinct fps, the [2, 100] df keep rule, the fp-keyed

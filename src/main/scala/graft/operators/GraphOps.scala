@@ -1017,21 +1017,35 @@ object GraphOps {
    * center); Lin's |R(v)|²/Σ_{u∈R(v)} d(v,u) weights by the square of
    * the coreachable set so reaching more always helps. Computed from
    * the same register state as [[hyperBallProfile]]:
-   * lin_milli = 1000·|B|²/Σd = ball_milli² div (sum_dist_milli·1000),
-   * in decimal cross-products so the square stays exact past the
-   * LONG envelope (|B| > ~3M). A node whose ball never grew (Σd = 0)
+   * lin_milli = 1000·|B|²/Σd = ball_milli² div sum_dist_milli (the
+   * milli factors cancel to exactly one), in decimal cross-products
+   * so the square stays exact past the LONG envelope (|B| > ~3M). A node whose ball never grew (Σd = 0)
    * takes Lin's defined value 1 — isolated nodes stay comparable
    * instead of dividing by zero.
    *
    * Output: (node, ball_milli, sum_dist_milli, lin_milli).
    */
-  def hyperBallLin(edges: DataFrame, rounds: Int, p: Int = 8): DataFrame = {
+  def hyperBallLin(edges: DataFrame, rounds: Int, p: Int = 8): DataFrame =
+    linFromProfile(hyperBallProfile(edges, rounds, p))
+
+  /** DIRECTED Lin's index — the [[hyperBallLin]] arithmetic over the
+    * directed profile state: "out" weights forward REACH (a crawl
+    * seed's value), "in" weights AUDIENCE (who can get here — the
+    * authority reading). Same conventions as every directed HyperBall
+    * member. */
+  def hyperBallLinDirected(edges: DataFrame, rounds: Int, p: Int = 8,
+                           direction: String = "out"): DataFrame =
+    linFromProfile(hyperBallProfileDirected(edges, rounds, p, direction))
+
+  private def linFromProfile(profile: DataFrame): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    hyperBallProfile(edges, rounds, p)
+    // units: ball = 1000·|B|, sum = 1000·Σd, so 1000·|B|²/Σd reduces
+    // to exactly ball²/sum — one decimal square, one integral division
+    profile
       .select(col("node"), col("ball_milli"), col("sum_dist_milli"),
         when(col("sum_dist_milli") > 0L,
           IntDiv(dec(col("ball_milli")) * dec(col("ball_milli")),
-            dec(col("sum_dist_milli")) * lit(1000L)))
+            dec(col("sum_dist_milli"))))
           .otherwise(lit(1000L)).cast("long").as("lin_milli"))
   }
 

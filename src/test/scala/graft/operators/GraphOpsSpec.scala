@@ -652,7 +652,7 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the lin frame IS the profile state plus the index arithmetic
     lin.foreach { case (n, (ball, sd, lm)) =>
       assert((ball, sd) == prof(n), s"node $n state diverges from profile")
-      val expect = if (sd > 0) ball * ball / (sd * 1000L) else 1000L
+      val expect = if (sd > 0) ball * ball / sd else 1000L
       assert(lm == expect, s"node $n lin $lm != $expect")
     }
     // island node: ball 2, Σd = 1 -> classic closeness 1/1; path center
@@ -666,6 +666,18 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sdI < sdC, "classic closeness 1/sd would rank the island first")
     assert(linC >= linI, s"Lin must not invert: center $linC vs island $linI")
     assert(ballC > ballI, "the center genuinely reaches more")
+    // directed composition: on a directed chain 20→21→22, the head's
+    // OUT Lin sees the whole chain while its IN Lin is the isolated
+    // convention (nothing reaches it) — and vice versa for the tail
+    val de = Seq((20L, 21L), (21L, 22L)).toDF("src", "dst")
+    def linMap(dir: String) =
+      GraphOps.hyperBallLinDirected(de, rounds = 4, direction = dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val lo = linMap("out"); val li = linMap("in")
+    assert(li(20L) == 1000L && lo(22L) == 1000L,
+      s"unreached ends take the defined value 1: in-head ${li(20L)}, out-tail ${lo(22L)}")
+    assert(lo(20L) > 1000L && li(22L) > 1000L,
+      s"reaching ends score above it: out-head ${lo(20L)}, in-tail ${li(22L)}")
   }
 
   test("kTruss: decremented support equals a fresh enumeration on the final subgraph; early stop ≡ excess rounds") {
