@@ -204,6 +204,13 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
     batchLatency.synchronized { batchLatency(stage) = b }
   }
 
+  /** Batch ids this session flushed — [[latencyAlarm]] excludes them
+    * from its history side so a session never drifts against itself.
+    * Best-effort by design: once a compaction fold moves them into
+    * c-dirs they join history like any earlier epoch (by then the
+    * session IS history — the forward-only convention). */
+  private val flushedBatches = scala.collection.mutable.Set.empty[Long]
+
   /** Flush this batch's per-stage samples as an idempotent delta dir. */
   private def flushLatency(batchId: Long): Unit = {
     if (!exportLatency) { batchLatency.clear(); return }
@@ -217,20 +224,27 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
     }.toDF("stage", "le_ms", "count")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$corpusDir/_latency/batch=b$batchId")
+    flushedBatches.synchronized { flushedBatches += batchId }
   }
 
   /** The persisted latency history: per (stage, le_ms bucket) total
     * counts summed over every delta dir — restart- and fold-invariant
     * by the concatenation-merge contract. */
-  def latencyHistogramPersisted(): DataFrame = {
+  def latencyHistogramPersisted(): DataFrame =
+    latencyHistogramPersistedRaw()
+      .groupBy("stage", "le_ms").agg(sum(col("count")).as("count"))
+
+  /** The raw delta rows with their `batch` dir column (so the alarm
+    * can exclude this session's own epochs before summing). */
+  private def latencyHistogramPersistedRaw(): DataFrame = {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(StructField("stage", StringType), StructField("le_ms", LongType),
-        StructField("count", LongType))))
+        StructField("count", LongType), StructField("batch", StringType))))
     if (!tableExists(s"$corpusDir/_latency")) empty
     else
       try spark.read.parquet(s"$corpusDir/_latency")
-        .groupBy("stage", "le_ms").agg(sum(col("count")).as("count"))
+        .select("stage", "le_ms", "count", "batch")
       catch { case _: org.apache.spark.sql.AnalysisException => empty }
   }
 
@@ -275,6 +289,57 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
       i += 1
     }
     -1L
+  }
+
+  /**
+   * The ops-side latency ALARM — the drift-monitor pattern applied to
+   * the latency export: per stage, the CURRENT session's p99 bucket
+   * against the PERSISTED history's p99 bucket, with this session's
+   * own flushed epochs EXCLUDED from the history side (a session
+   * never drifts against itself — the drift monitor's own-batch
+   * exclusion; best-effort once a fold absorbs them); a stage
+   * whose conservative p99 bound rose at least `minSteps` log₂ steps
+   * flags. A stage with no history never flags (first-session
+   * convention, like the drift monitor's first batch); a session p99
+   * in the overflow bucket flags against ANY finite history. The
+   * collect is stages × ≤16 rows — model-sized by contract.
+   * Returns (stage, hist_p99_ms, session_p99_ms, flagged), one row
+   * per stage active this session.
+   */
+  def latencyAlarm(minSteps: Int = 2): Seq[(String, Long, Long, Boolean)] = {
+    require(minSteps >= 1, s"latencyAlarm minSteps=$minSteps")
+    val own = flushedBatches.synchronized(flushedBatches.toSeq).map(id => s"b$id")
+    val histDf = {
+      val all = latencyHistogramPersistedRaw()
+      if (own.isEmpty) all else all.filter(!col("batch").isin(own: _*))
+    }.groupBy("stage", "le_ms").agg(sum(col("count")).as("count"))
+    val hist = histDf.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    def p99(rows: Seq[(String, Long, Long)]): Long = {
+      val total = rows.map(_._3).sum
+      val target = (total * 99L + 99L) / 100L
+      // overflow (-1) sorts after every finite bound
+      val ordered = rows.sortBy { case (_, le, _) => if (le < 0) Long.MaxValue else le }
+      var cum = 0L
+      ordered.foreach { case (_, le, c) =>
+        cum += c
+        if (cum >= target) return le
+      }
+      -1L
+    }
+    import scala.jdk.CollectionConverters._
+    latency.keys.asScala.toSeq.sorted.map { stage =>
+      val sess = latencyPercentile(stage, 99)
+      val h = hist.get(stage).map(rows => p99(rows.toSeq))
+      val flagged = h match {
+        case None => false // no history: nothing to drift from
+        case Some(-1L) => false // history already in overflow
+        case Some(hp) =>
+          sess == -1L || (sess >= 0L && hp > 0L && sess >= (hp << minSteps))
+      }
+      (stage, h.getOrElse(-1L), sess, flagged)
+    }
   }
 
   private def source(): DataFrame = {

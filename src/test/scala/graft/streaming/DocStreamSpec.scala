@@ -480,6 +480,37 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       "in-memory state is per-session by design")
   }
 
+  test("doc stream: latency alarm — p99 two log2 steps over persisted history flags; no history never flags") {
+    val ss = spark; import ss.implicits._
+    val work = Files.createTempDirectory("graft-docstream-alarm").toString
+    def stream() = new DocStream(spark, s"$work/drop", s"$work/corpus", s"$work/ckpt",
+      minQuality = 0L, maxFilesPerTrigger = Some(1), exportLatency = true)
+    // plant a history epoch claiming every stage ran at <= 1 ms: any
+    // real batch's p99 sits many log2 steps above it
+    Seq(("ingest", 1L, 50L), ("admit", 1L, 50L), ("maintain", 1L, 50L))
+      .toDF("stage", "le_ms", "count")
+      .write.parquet(s"$work/corpus/_latency/batch=b999")
+    jsonl(s"$work/drop", "a.jsonl", Seq(1L -> goodText("alpha")))
+    val s1 = stream()
+    s1.runAvailableNow()
+    val alarm = s1.latencyAlarm(minSteps = 2).map(a => a._1 -> a).toMap
+    for (stage <- Seq("ingest", "admit")) {
+      val (_, hp, sp, flagged) = alarm(stage)
+      assert(hp == 1L, s"$stage history p99 $hp")
+      assert(flagged && (sp == -1L || sp >= 4L),
+        s"$stage must flag against the 1 ms history: p99=$sp")
+    }
+    // a fresh corpus (no history at all) never flags — the
+    // first-session convention
+    val work2 = Files.createTempDirectory("graft-docstream-alarm2").toString
+    val s2 = new DocStream(spark, s"$work2/drop", s"$work2/corpus", s"$work2/ckpt",
+      minQuality = 0L, maxFilesPerTrigger = Some(1))
+    jsonl(s"$work2/drop", "a.jsonl", Seq(1L -> goodText("alpha")))
+    s2.runAvailableNow()
+    assert(s2.latencyAlarm().nonEmpty && s2.latencyAlarm().forall(!_._4),
+      s"no-history session must not flag: ${s2.latencyAlarm()}")
+  }
+
   test("doc stream: quality-drift monitor — stream ≡ batch moments on a split feed; sagging batch flags") {
     val work = Files.createTempDirectory("graft-docstream-drift").toString
     def stream(sub: String) = new DocStream(spark, s"$work/$sub/drop",
