@@ -4362,8 +4362,9 @@ object SparkEntry {
         |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the q60 assignment with halving-bucket decay weights:
-    // w = 1e6 >> (age div 900), credit w*1e6 // sum(w), remainder to
-    // the last touch
+    // w = max(1e6 >> (age div 900), 1) — floored so all-stale
+    // conversions never hit sum(w)=0 — credit w*1e6 // sum(w),
+    // remainder to the last touch
     "q62_attribution_decay" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |                  CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
@@ -4378,7 +4379,7 @@ object SparkEntry {
         |a AS (SELECT * FROM nx WHERE rn = 1),
         |g AS (
         |  SELECT event_type, user_id, cid, tsec, event_id,
-        |         (1000000 >> least((cts - tsec) // 900, 62))::BIGINT AS w,
+        |         greatest((1000000 >> least((cts - tsec) // 900, 62)), 1)::BIGINT AS w,
         |         row_number() OVER (PARTITION BY user_id, cid
         |                            ORDER BY tsec DESC, event_id DESC) AS rlast
         |  FROM a),
@@ -4412,7 +4413,7 @@ object SparkEntry {
         |                AND c.cts > t.tsec AND c.cts - t.tsec <= 3600),
         |a AS (SELECT * FROM nx WHERE rn = 1),
         |g AS (
-        |  SELECT event_type, cid,
+        |  SELECT event_type, user_id, cid,
         |         count(*) OVER (PARTITION BY user_id, cid) AS n,
         |         row_number() OVER (PARTITION BY user_id, cid
         |                            ORDER BY tsec ASC, event_id ASC) AS rfirst,
@@ -4420,7 +4421,7 @@ object SparkEntry {
         |                            ORDER BY tsec DESC, event_id DESC) AS rlast
         |  FROM a)
         |SELECT event_type, count(*)::BIGINT AS n_touches,
-        |       count(DISTINCT cid)::BIGINT AS conversions_touched,
+        |       count(DISTINCT (user_id, cid))::BIGINT AS conversions_touched,
         |       sum(CASE WHEN rfirst = 1 THEN 1000000 ELSE 0 END)::BIGINT AS first_ppm,
         |       sum(CASE WHEN rlast = 1 THEN 1000000 ELSE 0 END)::BIGINT AS last_ppm,
         |       sum((1000000 // n) + CASE WHEN rlast = 1

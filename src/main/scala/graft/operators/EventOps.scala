@@ -581,14 +581,17 @@ object EventOps {
       .withColumn("tkey", struct(col("ts"), col("eid")))
       .withColumn("is_first", col("tkey") === min(col("tkey")).over(convW))
       .withColumn("is_last", col("tkey") === max(col("tkey")).over(convW))
-      .select(col("etype"), col("nc.c_id").as("c_id"),
+      .select(col("etype"), col("user"), col("nc.c_id").as("c_id"),
         when(col("is_first"), 1000000L).otherwise(0L).as("first_ppm"),
         when(col("is_last"), 1000000L).otherwise(0L).as("last_ppm"),
         (linearBase + when(col("is_last"),
           lit(1000000L) - linearBase * col("n")).otherwise(0L)).as("linear_ppm"))
     credited.groupBy(col("etype").as("event_type"))
       .agg(count(lit(1)).as("n_touches"),
-        count_distinct(col("c_id")).as("conversions_touched"),
+        // distinct (user, conversion) PAIRS: event ids only need to be
+        // unique per user — a cross-user c_id collision must not
+        // collapse two different users' conversions into one
+        count_distinct(col("user"), col("c_id")).as("conversions_touched"),
         sum(col("first_ppm")).as("first_ppm"),
         sum(col("last_ppm")).as("last_ppm"),
         sum(col("linear_ppm")).as("linear_ppm"))
@@ -675,10 +678,16 @@ object EventOps {
    * conversion time, quantized to HALVING BUCKETS so the model is
    * integer-exact on any engine (no libm pow in the contract — the
    * p_temperature floor-sqrt convention applied to 2^−x): weight
-   * w = 10⁶ >> min(age div halfLifeSec, 62), credit = w·10⁶ div Σw
-   * per conversion, with the integral-division remainder assigned to
-   * the LAST touch — credit sums to EXACTLY 10⁶ per conversion, the
-   * same conservation rule the linear model makes.
+   * w = max(10⁶ >> min(age div halfLifeSec, 62), 1), credit =
+   * w·10⁶ div Σw per conversion, with the integral-division remainder
+   * assigned to the LAST touch — credit sums to EXACTLY 10⁶ per
+   * conversion, the same conservation rule the linear model makes.
+   * The floor at 1 matters: 10⁶ < 2²⁰, so a touch ≥ 20 half-lives old
+   * would otherwise shift to weight 0, and a conversion whose touches
+   * are ALL that old (reachable whenever lookbackSec ≥
+   * 20·halfLifeSec) would divide by Σw = 0 — NULL credit, silently
+   * breaking conservation. Floored, such a conversion degrades to the
+   * linear split, which is the right asymptotic answer anyway.
    *
    * Same scale shape as [[attribution]]: the shared descending-time
    * assignment window, one per-conversion weight window, one
@@ -694,8 +703,9 @@ object EventOps {
     val convW = Window.partitionBy(col("user"), col("nc.c_id"))
     val credited = attributed
       .withColumn("w", expr(
-        "shiftright(cast(1000000 as bigint), " +
-          s"cast(least((nc.c_ts - ts) div $halfLifeSec, 62) as int))"))
+        "greatest(shiftright(cast(1000000 as bigint), " +
+          s"cast(least((nc.c_ts - ts) div $halfLifeSec, 62) as int)), " +
+          "cast(1 as bigint))"))
       .withColumn("sw", sum(col("w")).over(convW))
       .withColumn("base", IntDiv(col("w") * 1000000L, col("sw")))
       .withColumn("tkey", struct(col("ts"), col("eid")))

@@ -188,11 +188,15 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
   private val latency =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
 
-  /** The current batch's latency deltas (stage -> bucket index), reset
-    * per batch and flushed to `_latency/batch=b<id>` when
-    * `exportLatency` is on. processBatch is serial (foreachBatch), so
-    * plain instance state suffices. */
-  private val batchLatency = scala.collection.mutable.Map.empty[String, Int]
+  /** The current batch's latency deltas ((stage, bucket) -> count),
+    * reset per batch and flushed to `_latency/batch=b<id>` when
+    * `exportLatency` is on. Accumulating COUNTS (not a last-bucket
+    * overwrite) keeps the persisted history ≡ the session histogram
+    * even if a stage is ever timed more than once per batch.
+    * processBatch is serial (foreachBatch), so plain instance state
+    * suffices. */
+  private val batchLatency =
+    scala.collection.mutable.Map.empty[(String, Int), Long]
 
   private def recordLatency(stage: String, ms: Long): Unit = {
     val h = latency.computeIfAbsent(stage, _ => new Array[Long](latencyBuckets))
@@ -201,7 +205,9 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
       if (ms <= 1L) 0
       else math.min(latencyBuckets - 1, 64 - java.lang.Long.numberOfLeadingZeros(ms - 1))
     h.synchronized { h(b) += 1L }
-    batchLatency.synchronized { batchLatency(stage) = b }
+    batchLatency.synchronized {
+      batchLatency((stage, b)) = batchLatency.getOrElse((stage, b), 0L) + 1L
+    }
   }
 
   /** Batch ids this session flushed — [[latencyAlarm]] excludes them
@@ -219,8 +225,8 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
     }
     if (rows.isEmpty) return
     import spark.implicits._
-    rows.map { case (stage, b) =>
-      (stage, if (b == latencyBuckets - 1) -1L else 1L << b, 1L)
+    rows.map { case ((stage, b), c) =>
+      (stage, if (b == latencyBuckets - 1) -1L else 1L << b, c)
     }.toDF("stage", "le_ms", "count")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$corpusDir/_latency/batch=b$batchId")

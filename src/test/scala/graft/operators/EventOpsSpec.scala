@@ -431,6 +431,33 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pos4 == Map("view" -> 1300000L, "click" -> 700000L), s"got $pos4")
   }
 
+  test("attributionDecay: weight floors at 1 past 20 half-lives — all-stale conversions keep exact conservation (no sum(w)=0 divide)") {
+    val ss = spark; import ss.implicits._
+    // halfLife 1 s, lookback 100 s >> 20 half-lives: 1e6 < 2^20, so an
+    // unfloored weight would shift to 0 for any touch >= 20 s old.
+    // user 1: BOTH touches stale (ages 100/90) -> floored w=1 each,
+    // sw=2, base 500000 each, remainder 0 -> the linear split.
+    // user 2: stale (age 100, w=1) + near (age 1, w=500000):
+    // base stale = 1e6 // 500001 = 1, base near = 5e11 // 500001 =
+    // 999998, near is last -> +1 remainder = 999999.
+    val ev = Seq(
+      (10L, 1L, 0L, "view"), (11L, 1L, 10L, "click"),
+      (12L, 1L, 100L, "purchase"),
+      (20L, 2L, 0L, "view"), (21L, 2L, 99L, "click"),
+      (22L, 2L, 100L, "purchase")
+    ).toDF("event_id", "user_id", "tsec", "event_type")
+      .select(col("user_id"), col("tsec"), col("event_type"), col("event_id"))
+    val got = EventOps.attributionDecay(ev, "user_id", "tsec", "event_type",
+        "event_id", convType = "purchase", lookbackSec = 100L, halfLifeSec = 1L)
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // click: u1's stale 500000 (last of u1, remainder 0) + u2's near
+    // 999999; view: u1's stale 500000 + u2's stale 1
+    assert(got == Seq(("click", 2L, 1499999L), ("view", 2L, 500001L)),
+      s"got $got")
+    assert(got.map(_._3).sum == 2L * 1000000L, "credit conserved under full staleness")
+  }
+
   test("conversionHazardCensored: censors leave the risk set after their bucket; hand life table") {
     val ss = spark; import ss.implicits._
     // study end = max ts over ALL events = 7200 (u2's purchase)
