@@ -737,6 +737,24 @@ object SparkEntry {
       GraphOps.hyperBallHarmonic(e1.union(e2), rounds = 3).orderBy("node")
     }),
 
+    "q66_betweenness" -> ((s, dir) => {
+      // pivot-sampled Brandes betweenness over the SAME skip-chain
+      // graph as q47/q52: exact BFS + integer dependency accumulation
+      // from the 16 md5-ranked pivot sources, distance-bounded at 3 —
+      // bridge users (the +16 skip landing points) carry the mass,
+      // chain interiors read low, leaves read zero
+      val users = events(s, dir).select(col("user_id")).distinct()
+      val uDst = users.select(col("user_id").as("dst"))
+      val e1 = users.filter(col("user_id") % 64 =!= 63)
+        .select(col("user_id").as("src"), (col("user_id") + 1).as("dst"))
+        .join(uDst, Seq("dst"))
+      val e2 = users.filter(col("user_id") % 64 < 48)
+        .select(col("user_id").as("src"), (col("user_id") + 16).as("dst"))
+        .join(uDst, Seq("dst"))
+      GraphOps.betweennessPivots(e1.union(e2), radius = 3, pivots = 16)
+        .orderBy("node")
+    }),
+
     "q54_ktruss" -> ((s, dir) => {
       // 4-truss peeling over the banded graph: drop edges in < 2
       // triangles of the current subgraph, 3 rounds — the community
@@ -3850,6 +3868,63 @@ object SparkEntry {
    * arithmetic verbatim per round; harmonic_micro folds the clamped
    * ball-size deltas with integer division.
    */
+  /**
+   * Pivot-Brandes replay (q66_betweenness): the skip-chain graph,
+   * the md5-ranked pivot pick (the coreset-pool convention), then the
+   * exact machinery UNROLLED per level — forward σ sums with
+   * LEFT-JOIN anti dedup against the seen set, backward per-edge
+   * integer credits (σv·(10⁶+δw)) // σw — exactly the quantized
+   * recursion GraphOps.betweennessPivots runs.
+   */
+  private def betweennessOracleSql(radius: Int, pivots: Int): String = {
+    val fwd = (1 to radius).map { t =>
+      val seen =
+        if (t == 1) "l0"
+        else s"(${(0 until t).map(i => s"SELECT s, node FROM l$i").mkString(" UNION ALL ")})"
+      s"""x$t AS (
+         |  SELECT l${t - 1}.s, adj.b AS node, sum(l${t - 1}.sigma)::BIGINT AS sigma
+         |  FROM l${t - 1} JOIN adj ON adj.a = l${t - 1}.node GROUP BY 1, 2),
+         |l$t AS (
+         |  SELECT x$t.s, x$t.node, x$t.sigma FROM x$t
+         |  LEFT JOIN $seen sn ON sn.s = x$t.s AND sn.node = x$t.node
+         |  WHERE sn.node IS NULL)""".stripMargin
+    }.mkString(",\n")
+    val bwd = (radius to 1 by -1).map { t =>
+      val dw = if (t == radius) "0" else s"coalesce(d$t.delta, 0)"
+      val dJoin = if (t == radius) ""
+        else s"\n|  LEFT JOIN d$t ON d$t.s = p.s AND d$t.node = adj.b"
+      s"""up$t AS (
+         |  SELECT p.s, p.node AS v,
+         |         (p.sigma * (1000000 + $dw)) // w.sigma AS c
+         |  FROM l${t - 1} p JOIN adj ON adj.a = p.node
+         |  JOIN l$t w ON w.s = p.s AND w.node = adj.b$dJoin),
+         |d${t - 1} AS (SELECT s, v AS node, sum(c)::BIGINT AS delta FROM up$t GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val contrib = (0 until radius)
+      .map(t => s"SELECT s, node, delta FROM d$t WHERE node <> s")
+      .mkString(" UNION ALL ")
+    s"""WITH u AS (SELECT DISTINCT user_id AS id FROM events),
+       |e AS (
+       |  SELECT a.id AS src, a.id + 1 AS dst
+       |  FROM u a JOIN u b ON b.id = a.id + 1 WHERE a.id % 64 <> 63
+       |  UNION ALL
+       |  SELECT a.id AS src, a.id + 16 AS dst
+       |  FROM u a JOIN u b ON b.id = a.id + 16 WHERE a.id % 64 < 48),
+       |adj AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst AS a, src AS b FROM e),
+       |nodes AS (SELECT DISTINCT a AS node FROM adj),
+       |piv AS (SELECT node AS s FROM (
+       |          SELECT node, ('0x' || substr(md5(node::VARCHAR), 1, 15))::BIGINT AS h
+       |          FROM nodes) z ORDER BY h, node LIMIT $pivots),
+       |l0 AS (SELECT s, s AS node, 1::BIGINT AS sigma FROM piv),
+       |$fwd,
+       |$bwd,
+       |contrib AS ($contrib),
+       |bc AS (SELECT node, sum(delta)::BIGINT AS bc_ppm FROM contrib GROUP BY 1)
+       |SELECT n.node, coalesce(bc.bc_ppm, 0)::BIGINT AS bc_ppm
+       |FROM nodes n LEFT JOIN bc ON bc.node = n.node
+       |ORDER BY n.node""".stripMargin
+  }
+
   private def hyperballOracleSql(rounds: Int, mode: String = "und"): String = {
     val deltas = (1 to rounds).map(t =>
       s"(greatest(f$t.est - f${t - 1}.est, 0) * 1000) // $t").mkString(" + ")
@@ -4687,6 +4762,10 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+
+    // exact BFS + quantized dependency sweep from the md5-ranked
+    // pivot set, unrolled per level (the k-core/LPA round precedent)
+    "q66_betweenness" -> betweennessOracleSql(3, 16),
 
     "q52_hyperball" -> hyperballOracleSql(3),
 

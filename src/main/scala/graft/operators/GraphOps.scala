@@ -819,6 +819,96 @@ object GraphOps {
   }
 
   /**
+   * Pivot-sampled Brandes betweenness centrality — the last classic
+   * centrality family member next to harmonic/Lin/closeness/PageRank/
+   * HITS: how often a node sits INSIDE other nodes' shortest paths
+   * (Brandes, "A Faster Algorithm for Betweenness Centrality", J.
+   * Math. Sociology 2001; pivot estimation per Brandes & Pich,
+   * "Centrality Estimation in Large Networks", IJBC 2007). Exact
+   * all-pairs Brandes is Θ(n·m) — a non-starter at corpus scale — so
+   * the estimator runs the exact single-source accumulation from a
+   * deterministic PIVOT set only: the `pivots` nodes with the
+   * smallest (md5Head60(node), node) rank, the same seedless uniform
+   * sample as [[SimilarityOps.farthestPointSampleCoreset]]'s pool.
+   * BFS is distance-bounded at `radius` (the [[harmonicCentrality]]
+   * convention — unbounded exact BFS is the same non-starter in pair
+   * form), so the estimate is the bounded-distance betweenness
+   * restricted to the pivot sources.
+   *
+   * Determinism (the quantized-credit contract): per source, the
+   * level-synchronous BFS carries exact LONG shortest-path counts
+   * σ(s,v) = Σ_{u∈pred(v)} σ(s,u); the dependency sweep runs the
+   * levels backwards with per-edge integer credit
+   * c(v,w) = σv·(10⁶ + δ(w)) div σw and δ(v) = Σ_{w∈succ(v)} c(v,w) —
+   * each edge term floors independently, so the sum is partition- and
+   * engine-order independent, and the value is EXACT Brandes ×10⁶
+   * whenever the σ divisions are exact (spec-pinned on hand graphs).
+   *
+   * Scale shape: pair state is bounded by pivots × ball(radius) —
+   * NEVER n² — and each of the 2·radius rounds is one frontier ⋈ adj
+   * shuffle plus a grouped sum, with `localCheckpoint` pinning rounds
+   * exactly like [[kCore]]. The pivot rank is one distributed top-k;
+   * nothing corpus-sized reaches the driver. Output: (node, bc_ppm)
+   * for EVERY node of the graph (zeros kept — leaves are the point),
+   * bc_ppm = Σ_pivots δ_s(node)·10⁶ over s ≠ node.
+   */
+  def betweennessPivots(edges: DataFrame, radius: Int, pivots: Int,
+                        scale: Long = 1000000L): DataFrame = {
+    require(radius >= 1 && radius <= 6, s"betweennessPivots radius=$radius")
+    require(pivots >= 1 && pivots <= 256, s"betweennessPivots pivots=$pivots")
+    val und = undirect(edges).localCheckpoint()
+    val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val nodes = adj.select(col("a").as("node")).distinct().localCheckpoint()
+    val piv = nodes
+      .orderBy(FastHash.md5Head60(col("node").cast("string")).asc, col("node").asc)
+      .limit(pivots)
+      .select(col("node").as("s"))
+      .localCheckpoint()
+    // forward: level-synchronous BFS with exact path counts. A node
+    // joins the level of its FIRST visit (anti-join against seen), and
+    // its sigma sums over ALL preds in the previous level.
+    val levels = new Array[DataFrame](radius + 1)
+    levels(0) = piv.select(col("s"), col("s").as("node"), lit(1L).as("sigma"))
+      .localCheckpoint()
+    var seen = levels(0).select("s", "node").localCheckpoint()
+    for (t <- 1 to radius) {
+      val expanded = levels(t - 1).join(adj, levels(t - 1)("node") === adj("a"))
+        .groupBy(col("s"), col("b").as("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+      levels(t) = expanded
+        .join(seen, Seq("s", "node"), "left_anti")
+        .localCheckpoint()
+      seen = seen.union(levels(t).select("s", "node")).localCheckpoint()
+    }
+    // backward: dependency accumulation, deepest level first. δ at the
+    // deepest level is 0, so its up-edges carry pure endpoint credit.
+    var delta: DataFrame = null // (s, node, delta) for the level below
+    var bc: DataFrame = null
+    for (t <- radius to 1 by -1) {
+      val down = levels(t).select(col("s"), col("node").as("w"), col("sigma").as("sw"))
+      val withDelta =
+        if (delta == null) down.withColumn("dw", lit(0L))
+        else down.join(delta.select(col("s"), col("node").as("w"), col("delta").as("dw")),
+          Seq("s", "w"), "left").withColumn("dw", coalesce(col("dw"), lit(0L)))
+      val up = levels(t - 1)
+        .join(adj, levels(t - 1)("node") === adj("a"))
+        .select(col("s"), col("node").as("v"), col("sigma").as("sv"), col("b").as("w"))
+        .join(withDelta, Seq("s", "w"))
+        .select(col("s"), col("v"),
+          IntDiv(col("sv") * (lit(scale) + col("dw")), col("sw")).as("c"))
+      delta = up.groupBy(col("s"), col("v").as("node"))
+        .agg(sum(col("c")).as("delta"))
+        .localCheckpoint()
+      val contrib = delta.filter(col("node") =!= col("s"))
+      bc = if (bc == null) contrib else bc.union(contrib)
+    }
+    val scored = bc.groupBy("node").agg(sum(col("delta")).as("bc_ppm"))
+    nodes.join(scored, Seq("node"), "left")
+      .select(col("node"), coalesce(col("bc_ppm"), lit(0L)).as("bc_ppm"))
+  }
+
+  /**
    * HyperBall harmonic centrality (Boldi & Vigna, "In-Core Computation
    * of Geometric Centralities with HyperBall", ICDMW 2013) — the
    * UNBOUNDED-radius upgrade [[harmonicCentrality]]'s scaladoc names:

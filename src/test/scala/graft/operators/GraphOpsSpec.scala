@@ -473,6 +473,67 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == (0L to 3L).map(n => (n, 2500L, 3L)))
   }
 
+  test("betweennessPivots: exact Brandes x 1e6 on the path and the diamond (all nodes as pivots)") {
+    val ss = spark; import ss.implicits._
+    // path 0-1-2-3 with every node a pivot: interior nodes sit on the
+    // shortest paths of the 4 ordered endpoint-ish pairs crossing them
+    // — exact Brandes bc(1) = bc(2) = 4.0, endpoints 0 (all sigma = 1,
+    // so every integer division is exact)
+    val path = (0L until 3L).map(i => (i, i + 1)).toDF("src", "dst")
+    val gotP = GraphOps.betweennessPivots(path, radius = 3, pivots = 4)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotP.toSeq == Seq((0L, 0L), (1L, 4000000L), (2L, 4000000L), (3L, 0L)),
+      s"path got ${gotP.toSeq}")
+    // diamond 0-1, 0-2, 1-3, 2-3 (the 4-cycle): EVERY node is interior
+    // to exactly one of its opposite pair's two shortest paths — 0.5
+    // per ordered pair, two orderings — exact Brandes bc = 1.0 for all
+    // four; the sigma = 2 division is exact so the quantized value is
+    // exact x 1e6
+    val diamond = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val gotD = GraphOps.betweennessPivots(diamond, radius = 3, pivots = 4)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotD.toSeq == (0L to 3L).map(n => (n, 1000000L)),
+      s"diamond got ${gotD.toSeq}")
+    // break the tie with a chord: 0-1, 0-2, 1-3, 2-3, 1-2 — now (0,3)
+    // still splits over {1,2} but (1,2) is direct, so bc(0) = bc(3) = 0
+    // while 1 and 2 keep the split: exact Brandes bc(1) = bc(2) = 1.0
+    val chord = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (1L, 2L))
+      .toDF("src", "dst")
+    val gotC = GraphOps.betweennessPivots(chord, radius = 3, pivots = 4)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotC.toSeq == Seq((0L, 0L), (1L, 1000000L), (2L, 1000000L), (3L, 0L)),
+      s"chord got ${gotC.toSeq}")
+  }
+
+  test("betweennessPivots: radius caps the credited pairs; pivot subset only sums its own sources; layout-invariant") {
+    val ss = spark; import ss.implicits._
+    // path 0-1-2-3-4: radius 2 from every pivot drops the d=3/d=4
+    // pairs — node 2 keeps only (0,2-hop) crossings: from 0: delta(1)
+    // counts pairs (0,1 excluded as endpoint... exact replay below)
+    val path = (0L until 4L).map(i => (i, i + 1)).toDF("src", "dst")
+    val full = GraphOps.betweennessPivots(path, radius = 4, pivots = 5)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exact Brandes on the 5-path: bc(1) = bc(3) = 6, bc(2) = 8
+    assert(full.toSeq == Seq((0L, 0L), (1L, 6000000L), (2L, 8000000L),
+      (3L, 6000000L), (4L, 0L)), s"full got ${full.toSeq}")
+    val capped = GraphOps.betweennessPivots(path, radius = 2, pivots = 5)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // radius 2 keeps only length-2 pairs: each interior node carries
+    // the two ordered pairs exactly one hop each side of it
+    assert(capped.toSeq == Seq((0L, 0L), (1L, 2000000L), (2L, 2000000L),
+      (3L, 2000000L), (4L, 0L)), s"capped got ${capped.toSeq}")
+    // determinism: the estimate is a pure function of the corpus
+    val a = GraphOps.betweennessPivots(path.repartition(1), radius = 3, pivots = 2)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = GraphOps.betweennessPivots(path.repartition(7), radius = 3, pivots = 2)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b, s"pivot run must be layout-invariant: $a vs $b")
+    // and a strict subset of the all-pivot run per node
+    val fullMap = full.toMap
+    a.foreach { case (n, v) => assert(v <= fullMap(n),
+      s"pivot-subset bc($n) = $v exceeds the all-pivot value ${fullMap(n)}") }
+  }
+
   test("hyperBallHarmonic: ball estimates track exact BFS balls; fixpoint past diameter; order matches exact harmonic") {
     val ss = spark; import ss.implicits._
     // path 0-1-2-3-4-5 with a chord 1-4: diameter 3 (0..5 = 0-1-4-5)
