@@ -2905,16 +2905,21 @@ object SparkEntry {
     }),
 
     "m_media_pixels_hdr" -> ((s, dir) => {
-      // Radiance RGBE decode: new-style RLE scanlines (four separated
-      // component streams per row; pixel PAIRS share values along x so
-      // the encoder emits genuine run packets), output = the raw
+      // Radiance RGBE decode, BOTH scanline generations: even docs are
+      // new-style RLE (four separated component streams per row; pixel
+      // PAIRS share values along x so the encoder emits genuine run
+      // packets); odd docs are OLD-STYLE rows (flat 4-byte RGBE with
+      // the (1,1,1,n) previous-pixel repeat convention; pixel QUADS
+      // share values so genuine run markers appear). Output = the raw
       // 4-channel RGBE byte planes (exposure-preserving — floats never
       // enter the integer contract). %4==3 docs -> magic-less junk.
       val buildHdr = udf { (docId: Long) =>
         val w = 16; val h = 16
+        val group = if (docId % 2 == 1) 4 else 2
         val px = Array.tabulate(w * h * 4)(i =>
-          ((docId * 23 + ((i / 4) / 2) * 13 + (i % 4) * 5) % 256).toByte)
-        MultimodalOps.encodeHdr(px, w, h)
+          ((docId * 23 + ((i / 4) / group) * 13 + (i % 4) * 5) % 256).toByte)
+        if (docId % 2 == 1) MultimodalOps.encodeHdrOld(px, w, h)
+        else MultimodalOps.encodeHdr(px, w, h)
       }
       val docs = table(s, dir, "documents").withColumn("blob",
         when(col("doc_id") % 4 === 3, unhex(unknownHex)).otherwise(buildHdr(col("doc_id"))))
@@ -9959,12 +9964,16 @@ object SparkEntry {
     // 4-channel resampled replay (the farbfeld mapping): out j ->
     // src byte i = (2*(j//32)*16 + 2*((j%32)//4))*4 + j%4, value
     // (doc*23 + ((i//4)//2)*13 + (i%4)*5) % 256
+    // even docs: new-style pair pattern (//2); odd docs: old-style
+    // quad pattern (//4) — the decode output is the planted stream
+    // either way, so only the value formula splits
     "m_media_pixels_hdr" ->
       """WITH ip AS (
         |  SELECT doc_id,
         |         list_transform(generate_series(0, 255),
         |           j -> (doc_id * 23
-        |                 + ((((((j // 32) * 2) * 16 + ((j % 32) // 4) * 2) * 4 + (j % 4)) // 4) // 2) * 13
+        |                 + ((((((j // 32) * 2) * 16 + ((j % 32) // 4) * 2) * 4 + (j % 4)) // 4)
+        |                    // (CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 2 END)) * 13
         |                 + (j % 4) * 5) % 256) AS q
         |  FROM documents WHERE doc_id % 4 <> 3),
         |junk AS (

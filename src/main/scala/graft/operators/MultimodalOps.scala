@@ -2027,20 +2027,24 @@ object MultimodalOps {
    * REAL Radiance RGBE decode (Ward's .hdr/.pic format — the standard
    * interchange for HDR photography and IBL environment maps): ASCII
    * header (magic `#?…`, `FORMAT=32-bit_rle_rgbe`, blank line,
-   * `-Y h +X w` resolution), then per-scanline NEW-STYLE RLE — marker
+   * `-Y h +X w` resolution), then BOTH scanline generations with the
+   * reference reader's per-row dispatch: NEW-STYLE RLE — marker
    * 0x02 0x02 + the 16-bit BE width, followed by FOUR separated
    * component streams (R, G, B, E) each run-length coded: a count
    * byte > 128 repeats the next byte (count−128) times, ≤ 128 copies
-   * that many literal bytes. Output is the raw 4-channel RGBE byte
-   * stream (R, G, B, shared-exponent E per pixel) — the
-   * exposure-preserving byte planes, deliberately NOT resolved to
-   * floats (mantissa·2^(E−136) would put engine-varying doubles in an
+   * that many literal bytes — and OLD-STYLE rows (pre-1994 writers,
+   * plus every writer's fallback for widths outside [8, 0x8000)):
+   * flat 4-byte RGBE pixels where (1,1,1,n) repeats the previous
+   * pixel n·2^rshift times, consecutive markers accumulating the
+   * count base-256. Output is the raw 4-channel RGBE byte stream
+   * (R, G, B, shared-exponent E per pixel) — the exposure-preserving
+   * byte planes, deliberately NOT resolved to floats
+   * (mantissa·2^(E−136) would put engine-varying doubles in an
    * integer-exact pipeline; consumers that need radiance apply the
    * shared exponent themselves).
    *
-   * Honest-refusal scope: old-style (uncompressed / 1-1-1-shift run)
-   * scanlines — new-style RLE requires 8 ≤ w < 32768 and every real
-   * encoder uses it there; flipped/rotated resolution orientations;
+   * Honest-refusal scope: flipped/rotated resolution orientations; a
+   * leading run marker (nothing to repeat) and count overflows;
    * `maxPixelBytes` caps dimension bombs.
    */
   private[graft] def decodeHdrPixels(b: Array[Byte],
@@ -2049,7 +2053,6 @@ object MultimodalOps {
     val info = hdrInfo(b)
     if (info.isEmpty) return None
     val (w, h, start) = info.get
-    if (w < 8 || w >= 32768) return None // old-style territory: refuse
     val total = 4L * w * h
     if (total > maxPixelBytes) return None
     val out = new Array[Byte](total.toInt)
@@ -2057,30 +2060,74 @@ object MultimodalOps {
     var y = 0
     while (y < h) {
       if (p + 4 > b.length) return None
-      if ((b(p) & 0xff) != 2 || (b(p + 1) & 0xff) != 2) return None
-      if (((b(p + 2) & 0xff) << 8 | (b(p + 3) & 0xff)) != w) return None
-      p += 4
-      var c = 0
-      while (c < 4) {
+      // per-scanline style dispatch, exactly the reference reader's
+      // (ray/src/common/color.c freadcolrs): a row starting 0x02 0x02
+      // with the high bit of byte 3 clear is a new-style header — and
+      // only widths in [8, 0x8000) may BE new-style, so out-of-range
+      // widths always take the old-style path (fwritecolrs makes the
+      // same fallback when writing)
+      val newStyle = w >= 8 && w < 32768 &&
+        (b(p) & 0xff) == 2 && (b(p + 1) & 0xff) == 2 && (b(p + 2) & 0x80) == 0
+      if (newStyle) {
+        if (((b(p + 2) & 0xff) << 8 | (b(p + 3) & 0xff)) != w) return None
+        p += 4
+        var c = 0
+        while (c < 4) {
+          var x = 0
+          while (x < w) {
+            if (p >= b.length) return None
+            val n = b(p) & 0xff; p += 1
+            if (n > 128) {
+              val run = n - 128
+              if (p >= b.length || x + run > w) return None
+              val v = b(p); p += 1
+              var k = 0
+              while (k < run) { out((y * w + x + k) * 4 + c) = v; k += 1 }
+              x += run
+            } else {
+              if (n == 0 || p + n > b.length || x + n > w) return None
+              var k = 0
+              while (k < n) { out((y * w + x + k) * 4 + c) = b(p + k); k += 1 }
+              p += n; x += n
+            }
+          }
+          c += 1
+        }
+      } else {
+        // OLD-STYLE scanline (pre-1994 writers, and the fallback every
+        // writer still takes for widths outside [8, 0x8000)): flat
+        // 4-byte RGBE pixels, with (1,1,1,n) repeating the PREVIOUS
+        // pixel n·2^rshift times — consecutive markers accumulate the
+        // count base-256, rshift += 8 per marker (oldreadcolrs)
         var x = 0
+        var rshift = 0
         while (x < w) {
-          if (p >= b.length) return None
-          val n = b(p) & 0xff; p += 1
-          if (n > 128) {
-            val run = n - 128
-            if (p >= b.length || x + run > w) return None
-            val v = b(p); p += 1
+          if (p + 4 > b.length) return None
+          val r = b(p) & 0xff; val g = b(p + 1) & 0xff
+          val bl = b(p + 2) & 0xff; val e = b(p + 3)
+          p += 4
+          if (r == 1 && g == 1 && bl == 1) {
+            if (x == 0 || rshift > 24) return None // nothing to repeat / count overflow
+            val cnt = (e & 0xff).toLong << rshift
+            if (x + cnt > w) return None
+            val base = (y * w + x - 1) * 4
             var k = 0
-            while (k < run) { out((y * w + x + k) * 4 + c) = v; k += 1 }
-            x += run
+            while (k < cnt) {
+              val d = (y * w + x + k) * 4
+              out(d) = out(base); out(d + 1) = out(base + 1)
+              out(d + 2) = out(base + 2); out(d + 3) = out(base + 3)
+              k += 1
+            }
+            x += cnt.toInt
+            rshift += 8
           } else {
-            if (n == 0 || p + n > b.length || x + n > w) return None
-            var k = 0
-            while (k < n) { out((y * w + x + k) * 4 + c) = b(p + k); k += 1 }
-            p += n; x += n
+            val d = (y * w + x) * 4
+            out(d) = r.toByte; out(d + 1) = g.toByte
+            out(d + 2) = bl.toByte; out(d + 3) = e
+            x += 1
+            rshift = 0
           }
         }
-        c += 1
       }
       y += 1
     }
@@ -2125,6 +2172,50 @@ object MultimodalOps {
           }
         }
         c += 1
+      }
+      y += 1
+    }
+    out.toByteArray
+  }
+
+  /** Old-style Radiance encoder — the pre-1994 fixture counterpart of
+    * [[encodeHdr]]: flat 4-byte RGBE pixels with pixel runs ≥ 2
+    * collapsed to (1,1,1,n) markers after the first literal pixel;
+    * run lengths > 255 emit consecutive markers carrying base-256
+    * digits (the rshift convention). `w` may sit OUTSIDE the
+    * new-style [8, 32768) envelope — that is the case real writers
+    * still produce today. */
+  private[graft] def encodeHdrOld(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(w >= 1 && h > 0 && px.length == w * h * 4,
+      "px must be w*h*4 RGBE bytes")
+    val out = new java.io.ByteArrayOutputStream(64 + px.length)
+    out.write("#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(s"-Y $h +X $w\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val s = (y * w + x) * 4
+        out.write(px(s) & 0xff); out.write(px(s + 1) & 0xff)
+        out.write(px(s + 2) & 0xff); out.write(px(s + 3) & 0xff)
+        var run = 0L
+        while (x + 1 + run < w && {
+          val t = (y * w + x + 1 + run.toInt) * 4
+          px(t) == px(s) && px(t + 1) == px(s + 1) &&
+            px(t + 2) == px(s + 2) && px(t + 3) == px(s + 3)
+        }) run += 1
+        if (run >= 2) {
+          // base-256 digits, low first — each marker's count is read
+          // as digit << rshift with rshift advancing 8 per marker
+          var rest = run
+          do {
+            out.write(1); out.write(1); out.write(1)
+            out.write((rest & 0xff).toInt)
+            rest >>= 8
+          } while (rest > 0)
+          x += 1 + run.toInt
+        } else x += 1
       }
       y += 1
     }

@@ -93,7 +93,9 @@ class MediaFuzzSpec extends AnyFunSuite {
       ("ras-gray", MultimodalOps.encodeRas(
         Array.tabulate(7 * 4)(i => ((i / 3) * 13).toByte), 7, 4, channels = 1)),
       ("hdr", MultimodalOps.encodeHdr(
-        Array.tabulate(9 * 4 * 4)(i => (((i / 8) * 11 + (i % 4) * 5) % 256).toByte), 9, 4)))
+        Array.tabulate(9 * 4 * 4)(i => (((i / 8) * 11 + (i % 4) * 5) % 256).toByte), 9, 4)),
+      ("hdr-old", MultimodalOps.encodeHdrOld(
+        Array.tabulate(9 * 4 * 4)(i => (((i / 16) * 11 + (i % 4) * 5) % 256).toByte), 9, 4)))
   }
 
   private def decodeAll(b: Array[Byte]): Unit = {

@@ -450,9 +450,15 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MultimodalOps.decodeHdrPixels(flipped).isEmpty)
     intercept[IllegalArgumentException](
       MultimodalOps.encodeHdr(Array.fill(4 * 2 * 4)(1.toByte), 4, 2))
+    // a corrupted new-style marker is NOT a refusal any more: the
+    // reference reader's per-row dispatch reads a row that doesn't
+    // open 0x02 0x02 as old-style flat pixels (the format is ambiguous
+    // by construction — freadcolrs makes exactly this fallback), so
+    // the bytes reinterpret; they must NOT round-trip to the true px
     val badMark = hdr.clone()
     val m = badMark.indexOf(2.toByte); badMark(m) = 1
-    assert(MultimodalOps.decodeHdrPixels(badMark).isEmpty)
+    assert(!MultimodalOps.decodeHdrPixels(badMark).exists(_.sameElements(px)),
+      "a corrupted marker must not silently yield the true pixels")
     assert(MultimodalOps.decodeHdrPixels(hdr.take(hdr.length - 1)).isEmpty)
     // hand scanline with a run overflowing the width: 16-wide row,
     // one 130-run (2 bytes) at x=15 would pass x+run > w
@@ -461,6 +467,41 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       (128 + 15).toByte, 7, // 15 of 16 R bytes
       (128 + 2).toByte, 7) // run of 2 past the row end
     assert(MultimodalOps.decodeHdrPixels(overRun).isEmpty)
+  }
+
+  test("decodeHdrPixels old-style: flat + repeat-marker round-trips, sub-floor widths, base-256 runs, refusals") {
+    // quad-run pattern at an in-range width: the per-row dispatch must
+    // pick OLD style from the first pixel (no 0x02 0x02 header)
+    val w = 16; val h = 4
+    val px = Array.tabulate(w * h * 4)(i => (((i / 4) / 4 * 13 + (i % 4) * 5 + 40) % 256).toByte)
+    val old = MultimodalOps.encodeHdrOld(px, w, h)
+    assert(MultimodalOps.decodeHdrPixels(old).exists(_.sameElements(px)),
+      "old-style quad-run rows must round-trip")
+    // genuine markers present: flat rows shrink well below 4 bytes/px
+    val flat = Array.fill(w * h * 4)(77.toByte)
+    assert(MultimodalOps.encodeHdrOld(flat, w, h).length < w * h * 4 / 2)
+    assert(MultimodalOps.decodeHdrPixels(MultimodalOps.encodeHdrOld(flat, w, h))
+      .exists(_.sameElements(flat)))
+    // width BELOW the new-style floor — the class the decoder used to
+    // refuse wholesale; old-style carries it
+    val tiny = Array.tabulate(4 * 2 * 4)(i => (i * 9 % 256).toByte)
+    assert(MultimodalOps.decodeHdrPixels(MultimodalOps.encodeHdrOld(tiny, 4, 2))
+      .exists(_.sameElements(tiny)), "w=4 old-style must decode")
+    // a run longer than 255 forces consecutive markers (base-256
+    // digits through the rshift accumulation): 300-wide flat row
+    val wide = Array.fill(300 * 1 * 4)(5.toByte)
+    val wideHdr = MultimodalOps.encodeHdrOld(wide, 300, 1)
+    // 1 literal pixel + 2 markers (299 = 43 + 1*256) = 12 bytes of body
+    assert(wideHdr.length < 64 + 16, s"expected marker chain, got ${wideHdr.length} bytes")
+    assert(MultimodalOps.decodeHdrPixels(wideHdr).exists(_.sameElements(wide)))
+    // refusals: a LEADING run marker has nothing to repeat; a count
+    // past the row end; truncation mid-row
+    val head = "#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n-Y 1 +X 4\n".getBytes("US-ASCII")
+    val leadRun = head ++ Array[Byte](1, 1, 1, 2, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9)
+    assert(MultimodalOps.decodeHdrPixels(leadRun).isEmpty)
+    val overRun = head ++ Array[Byte](9, 9, 9, 9, 1, 1, 1, 5)
+    assert(MultimodalOps.decodeHdrPixels(overRun).isEmpty)
+    assert(MultimodalOps.decodeHdrPixels(old.take(old.length - 3)).isEmpty)
   }
 
   test("decodeQoiPixels: hand-built op stream decodes exactly (all six ops)") {
