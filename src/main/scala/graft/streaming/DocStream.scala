@@ -348,6 +348,62 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
     }
   }
 
+  /** The current batch's quality-drift alarm rows (kind, stage,
+    * hist_val, cur_val), buffered by the monitor and flushed with the
+    * batch's latency alarms. processBatch is serial, so plain
+    * instance state suffices. */
+  private val batchQualityAlarms =
+    scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
+
+  /**
+   * Durable alarm log — the answer to "what fired last week" a
+   * restarted session cannot reconstruct from in-memory flags: every
+   * batch (when either monitor is on) writes its FLAGGED events to
+   * `_alarms/batch=b<id>` as delta rows (kind ∈ latency|quality,
+   * stage = pipeline stage or language, hist_val / cur_val = the
+   * compared pair: history p99 ms vs session p99 ms, or prior corpus
+   * mean milli vs batch mean milli) — mergeable by plain
+   * concatenation like `_latency`, so compaction folds and restarts
+   * compose, and a silent batch's (empty) dir overwrites any stale
+   * replay rows idempotently. Latency flags are evaluated AFTER the
+   * batch's own `_latency` flush, so the alarm's own-epoch exclusion
+   * applies and the persisted rows equal [[latencyAlarm]]'s flagged
+   * set at that moment.
+   */
+  private def flushAlarms(batchId: Long): Unit = {
+    if (!exportLatency && driftTolMilli.isEmpty) { batchQualityAlarms.clear(); return }
+    val qRows = { val r = batchQualityAlarms.toList; batchQualityAlarms.clear(); r }
+    val lRows =
+      if (exportLatency)
+        latencyAlarm().collect { case (stage, hp, sp, true) => ("latency", stage, hp, sp) }
+      else Seq.empty
+    import spark.implicits._
+    // the firing batch id travels as a DATA column: compaction folds
+    // rewrite the partition dir name, so only an in-row id keeps
+    // "which batch fired" answerable after a fold
+    (qRows ++ lRows).map { case (k, st, hv, cv) => (k, st, hv, cv, batchId) }
+      .toDF("kind", "stage", "hist_val", "cur_val", "at_batch")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$corpusDir/_alarms/batch=b$batchId")
+  }
+
+  /** The persisted alarm events: (kind, stage, hist_val, cur_val,
+    * at_batch) — every flag any session of this corpus ever raised,
+    * restart- and fold-invariant by the concatenation-merge contract
+    * (at_batch is an in-row column, so folds preserve it). */
+  def alarmsPersisted(): DataFrame = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("kind", StringType), StructField("stage", StringType),
+        StructField("hist_val", LongType), StructField("cur_val", LongType),
+        StructField("at_batch", LongType))))
+    if (!tableExists(s"$corpusDir/_alarms")) empty
+    else
+      try spark.read.parquet(s"$corpusDir/_alarms")
+        .select("kind", "stage", "hist_val", "cur_val", "at_batch")
+      catch { case _: org.apache.spark.sql.AnalysisException => empty }
+  }
+
   private def source(): DataFrame = {
     val r = spark.readStream
       .schema(inputSchema)
@@ -695,17 +751,34 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
       dec(col("sq_h")) * lit(1000L) * dec(col("n")))
     val deltas = stats.join(hist, Seq("lang"), "left")
       .filter(col("n_h").isNotNull && col("n_h") > 0L && col("n") > 0L)
-      .select(graft.operators.IntDiv(cross, dec(col("n")) * dec(col("n_h")))
-        .cast("long").as("abs_delta_milli"))
-      .collect().map(_.getLong(0))
-    val maxAbs = if (deltas.isEmpty) 0L else deltas.max
-    val flagged = deltas.count(_ >= tol).toLong
+      .select(col("lang"),
+        graft.operators.IntDiv(cross, dec(col("n")) * dec(col("n_h")))
+          .cast("long").as("abs_delta_milli"),
+        graft.operators.IntDiv(col("sq_h") * lit(1000L), col("n_h"))
+          .cast("long").as("hist_mean_milli"),
+        graft.operators.IntDiv(col("sum_q") * lit(1000L), col("n"))
+          .cast("long").as("batch_mean_milli"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val maxAbs = if (deltas.isEmpty) 0L else deltas.map(_._2).max
+    val flagged = deltas.count(_._2 >= tol).toLong
+    // flagged languages join the batch's durable alarm rows with the
+    // compared mean pair, the latency-alarm convention
+    batchQualityAlarms ++= deltas.collect {
+      case (lang, d, hm, bm) if d >= tol => ("quality", lang, hm, bm)
+    }
     val ppm = if (nPostGate == 0) 0L else nAdmitted * 1000000L / nPostGate
     lastDriftStats = (batchId, ppm, maxAbs, flagged)
   }
 
   private[streaming] def processBatch(batch0: DataFrame, batchId: Long): Unit =
-    try processBatchInner(batch0, batchId) finally flushLatency(batchId)
+    try processBatchInner(batch0, batchId)
+    finally {
+      // latency first: the alarm evaluation then excludes this batch's
+      // own epoch from its history side
+      flushLatency(batchId)
+      flushAlarms(batchId)
+    }
 
   private def processBatchInner(batch0: DataFrame, batchId: Long): Unit = {
     val n0 = timed("ingest")(batch0.count())
@@ -814,6 +887,11 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
             if (exportLatency && tableExists(s"$corpusDir/_latency"))
               TableCompactor.onlineCompactAppend(spark, s"$corpusDir/_latency",
                 fence = batchId, sortCols = Seq("stage"))
+            // alarm events are plain rows — concatenation merges
+            if ((exportLatency || driftTolMilli.isDefined) &&
+                tableExists(s"$corpusDir/_alarms"))
+              TableCompactor.onlineCompactAppend(spark, s"$corpusDir/_alarms",
+                fence = batchId, sortCols = Seq("kind", "stage"))
           } catch {
             case scala.util.control.NonFatal(e) =>
               org.slf4j.LoggerFactory.getLogger(getClass)

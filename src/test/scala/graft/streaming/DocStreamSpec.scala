@@ -511,6 +511,61 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no-history session must not flag: ${s2.latencyAlarm()}")
   }
 
+  test("doc stream: durable alarm log — persisted rows equal in-session flags, survive folds and restarts; silent batches write nothing") {
+    val ss0 = spark; import ss0.implicits._
+    val work = Files.createTempDirectory("graft-docstream-alog").toString
+    def stream() = new DocStream(spark, s"$work/drop", s"$work/corpus", s"$work/ckpt",
+      minQuality = 0L, maxFilesPerTrigger = Some(1),
+      compactEveryBatches = Some(1), driftTolMilli = Some(50L),
+      exportLatency = true)
+    // plant a 1 ms-everything latency history: every real batch's p99
+    // flags against it (the latency-alarm spec's epoch trick)
+    Seq(("ingest", 1L, 50L), ("admit", 1L, 50L), ("maintain", 1L, 50L))
+      .toDF("stage", "le_ms", "count")
+      .write.parquet(s"$work/corpus/_latency/batch=b999")
+    jsonl(s"$work/drop", "a.jsonl", Seq(1L -> goodText("alpha"), 2L -> goodText("beta")))
+    // batch 2: sagging stopword docs -> the drift monitor flags too
+    jsonl(s"$work/drop", "b.jsonl", Seq(5L -> "the of and to", 6L -> "a in is it"))
+    val s1 = stream()
+    s1.runAvailableNow()
+    val persisted = s1.alarmsPersisted().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // in-session flags must appear durably: every currently-flagged
+    // latency stage has a persisted row for the LAST batch...
+    val lastBatch = persisted.map(_._5).max
+    val sessFlags = s1.latencyAlarm().collect { case (st, hp, sp, true) => (st, hp, sp) }.toSet
+    val lastLat = persisted.filter(p => p._1 == "latency" && p._5 == lastBatch)
+      .map(p => (p._2, p._3, p._4)).toSet
+    assert(sessFlags.nonEmpty && lastLat == sessFlags,
+      s"persisted latency flags $lastLat != in-session $sessFlags")
+    // ...and the sagging batch logged a quality row with the mean pair
+    val qRows = persisted.filter(_._1 == "quality")
+    assert(qRows.nonEmpty, s"drift flag must persist: ${persisted.toSeq}")
+    assert(qRows.forall(q => math.abs(q._3 - q._4) >= 50L),
+      s"quality rows carry a mean pair at least tol apart: ${qRows.toSeq}")
+    // fold + restart: a NEW session reads the identical event log
+    // (folds are concatenation-merges) and keeps appending to it
+    val before = persisted.toSet
+    jsonl(s"$work/drop", "c.jsonl", Seq(7L -> goodText("gamma")))
+    val s2 = stream()
+    s2.runAvailableNow()
+    val after = s2.alarmsPersisted().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(before.subsetOf(after),
+      s"fold/restart must preserve the event log: missing ${before -- after}")
+    // a fresh corpus with NO histories stays silent — dirs exist (one
+    // per batch, idempotent on replay) but hold zero alarm rows
+    val work2 = Files.createTempDirectory("graft-docstream-alog2").toString
+    val s3 = new DocStream(spark, s"$work2/drop", s"$work2/corpus", s"$work2/ckpt",
+      minQuality = 0L, maxFilesPerTrigger = Some(1),
+      driftTolMilli = Some(50L), exportLatency = true)
+    jsonl(s"$work2/drop", "a.jsonl", Seq(1L -> goodText("alpha")))
+    s3.runAvailableNow()
+    assert(s3.alarmsPersisted().count() == 0L,
+      "first-session convention: nothing to drift from, nothing fires")
+  }
+
   test("doc stream: quality-drift monitor — stream ≡ batch moments on a split feed; sagging batch flags") {
     val work = Files.createTempDirectory("graft-docstream-drift").toString
     def stream(sub: String) = new DocStream(spark, s"$work/$sub/drop",
