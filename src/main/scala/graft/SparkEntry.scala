@@ -3286,6 +3286,34 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s_ann_ivf_opq" -> ((s, dir) => {
+      // IVF+OPQ: the learned rotation applied to the CODE stage only —
+      // coarse cosine cells are rotation-invariant in quality (an
+      // orthonormal basis preserves angles), so they stay on original
+      // vectors and replay byte-identical to s_ann_ivf_pq's, while the
+      // sub-codebooks/codes/distance-tables decorrelate in rotated
+      // space (where OPQ pays). Recall >= IVF+PQ at identical
+      // geometry, spec-pinned.
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      PqOps.ivfOpqTopK(e.filter(col("id") < 5), e, topk = 5,
+          ncells = 16, nprobe = 6, coarseIters = 2,
+          m = 8, k = 32, pqIters = 1, cand = 50, opqIters = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    "s_recall_ivf_opq" -> ((s, dir) => {
+      // the audit row pricing what the rotation buys under IVF
+      // pruning (the probe set caps the gain — measured +0.01 over
+      // ivf+pq at 25/50 queries, never below)
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") < 5)
+      SimilarityOps.recallAudit(
+          PqOps.ivfOpqTopK(q, e, topk = 5, ncells = 16, nprobe = 6,
+            coarseIters = 2, m = 8, k = 32, pqIters = 1, cand = 50, opqIters = 3),
+          SimilarityOps.bruteForceTopK(q, e, k = 5))
+        .orderBy("query_id")
+    }),
+
     "s_covariance" -> ((s, dir) =>
       // exact-integer embedding covariance (upper triangle, 0-based):
       // one mapPartitions pass -> dim²/2 LONG partials per partition
@@ -3739,8 +3767,52 @@ object SparkEntry {
     * tables, probe-set ADC shortlist, exact-cosine ranked) shared by
     * the retrieval and classification surfaces — only the query-set
     * predicate and the final projection differ. */
-  private def ivfPqOracle(maxQuery: Int, tail: String): String =
-    s"""WITH c0 AS (
+  /** The recall-audit finisher for the [[ivfPqOracle]] chain: the
+    * ranked approximate top-5 id set LEFT-joined against the exact
+    * cosine top-5 — the s_recall convention on the `ranked` CTE. */
+  private val ivfAuditTail: String =
+    """|, ap AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+       |qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+       |scored_b AS (
+       |  SELECT query_id, ce.vec_id AS neighbor_id,
+       |         round(
+       |           list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * ce.embedding[i]::DOUBLE)) /
+       |           (sqrt(list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * qe[i]::DOUBLE))) *
+       |            sqrt(list_sum(list_transform(range(1, 65), i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)))), 6) AS sim
+       |  FROM qv, embeddings ce WHERE query_id <> ce.vec_id),
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |    FROM scored_b) WHERE rank <= 5),
+       |j AS (
+       |  SELECT ex.query_id,
+       |         (ap.neighbor_id IS NOT NULL)::INT AS hit
+       |  FROM ex LEFT JOIN ap ON ex.query_id = ap.query_id
+       |                       AND ex.neighbor_id = ap.neighbor_id)
+       |SELECT query_id, count(*)::BIGINT AS k_exact, sum(hit)::BIGINT AS hits,
+       |       ((sum(hit) * 1000000) // count(*))::BIGINT AS recall_ppm
+       |FROM j GROUP BY 1 ORDER BY query_id""".stripMargin
+
+  private def ivfPqOracle(maxQuery: Int, tail: String,
+                          rotated: Boolean = false): String = {
+    // rotated=true swaps the PQ stage onto the OPQ-rotated column:
+    // the rotation CTEs (the s_ann_opq literals) are prepended and the
+    // sub-codebook chain reads rvec.rv instead of embeddings.embedding
+    // — the coarse chain stays on originals, exactly like
+    // PqOps.ivfOpqTopK. pv() is the per-component accessor.
+    val pqT = if (rotated) "rvec" else "embeddings"
+    def pv(e: String) = if (rotated) s"rv[$e]" else s"embedding[$e]::DOUBLE"
+    val rotCtes = if (!rotated) "" else
+      s"""blist AS (SELECT unnest(range(0, 4096)) AS pos, unnest([$opqBasisSf001]) AS r),
+         |b2 AS (SELECT (pos // 64)::INT AS i, (pos % 64)::INT AS j, r::BIGINT AS r FROM blist),
+         |rq0 AS (
+         |  SELECT e.vec_id, b2.i,
+         |         sum(b2.r * floor(e.embedding[b2.j + 1]::DOUBLE * 10000000.0 + 0.5)::BIGINT)::BIGINT AS yq
+         |  FROM embeddings e, b2 GROUP BY 1, 2),
+         |rvec AS (SELECT vec_id, list(yq::DOUBLE / 100000000000000.0 ORDER BY i) AS rv FROM rq0 GROUP BY 1),
+         |""".stripMargin
+    s"""WITH ${rotCtes}c0 AS (
         |  SELECT c, list_transform(generate_series(0, 63),
         |           d -> (('0x' || substr(md5('kmeans:' || c || ':' || d), 1, 8))::BIGINT / 2147483648.0) - 1) AS cv
         |  FROM (SELECT unnest(generate_series(0, 15)) AS c)),
@@ -3799,27 +3871,27 @@ object SparkEntry {
         |  WHERE p.vec_id <> a.vec_id),
         |subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
         |sdims AS (SELECT unnest(generate_series(1, 8)) AS d),
-        |seed AS (SELECT vec_id, embedding,
+        |seed AS (SELECT vec_id, ${if (rotated) "rv" else "embedding"} AS sv,
         |                row_number() OVER (ORDER BY vec_id) - 1 AS c
-        |         FROM embeddings QUALIFY c < 32),
+        |         FROM $pqT QUALIFY c < 32),
         |pc0 AS (
         |  SELECT sub, seed.c,
-        |         list(seed.embedding[sub*8 + d]::DOUBLE ORDER BY d) AS cv
+        |         list(${if (rotated) "seed.sv[sub*8 + d]" else "seed.sv[sub*8 + d]::DOUBLE"} ORDER BY d) AS cv
         |  FROM subs, seed, sdims GROUP BY 1, 2),
         |ps0 AS (
         |  SELECT vec_id, sub, c,
         |         list_sum(list_transform(range(1, 9),
-        |           i -> (embedding[sub*8 + i]::DOUBLE - cv[i]) * (embedding[sub*8 + i]::DOUBLE - cv[i]))) AS dist
-        |  FROM embeddings, pc0),
+        |           i -> (${pv("sub*8 + i")} - cv[i]) * (${pv("sub*8 + i")} - cv[i]))) AS dist
+        |  FROM $pqT, pc0),
         |pa0 AS (SELECT vec_id, sub, c AS cell FROM (
         |         SELECT vec_id, sub, c,
         |                row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, c ASC) AS rn
         |         FROM ps0) z WHERE rn = 1),
         |pm1 AS (
         |  SELECT pa0.sub, pa0.cell, sdims.d,
-        |         sum(floor(e.embedding[pa0.sub*8 + sdims.d]::DOUBLE * 10000000.0 + 0.5))::BIGINT AS sq,
+        |         sum(floor(${if (rotated) "e.rv[pa0.sub*8 + sdims.d]" else "e.embedding[pa0.sub*8 + sdims.d]::DOUBLE"} * 10000000.0 + 0.5))::BIGINT AS sq,
         |         count(*) AS n
-        |  FROM pa0, embeddings e, sdims WHERE pa0.vec_id = e.vec_id
+        |  FROM pa0, $pqT e, sdims WHERE pa0.vec_id = e.vec_id
         |  GROUP BY 1, 2, 3),
         |pc1m AS (SELECT sub, cell AS c, list(sq::DOUBLE / (n::DOUBLE * 10000000.0) ORDER BY d) AS cv
         |        FROM pm1 GROUP BY 1, 2),
@@ -3828,8 +3900,8 @@ object SparkEntry {
         |ps1 AS (
         |  SELECT vec_id, sub, c,
         |         list_sum(list_transform(range(1, 9),
-        |           i -> (embedding[sub*8 + i]::DOUBLE - cv[i]) * (embedding[sub*8 + i]::DOUBLE - cv[i]))) AS dist
-        |  FROM embeddings, pc1),
+        |           i -> (${pv("sub*8 + i")} - cv[i]) * (${pv("sub*8 + i")} - cv[i]))) AS dist
+        |  FROM $pqT, pc1),
         |codes AS (SELECT vec_id, sub, c AS cell FROM (
         |            SELECT vec_id, sub, c,
         |                   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, c ASC) AS rn
@@ -3837,9 +3909,9 @@ object SparkEntry {
         |qd AS (
         |  SELECT vec_id AS query_id, sub, c,
         |         floor(list_sum(list_transform(range(1, 9),
-        |           i -> (embedding[sub*8 + i]::DOUBLE - cv[i]) * (embedding[sub*8 + i]::DOUBLE - cv[i])))
+        |           i -> (${pv("sub*8 + i")} - cv[i]) * (${pv("sub*8 + i")} - cv[i])))
         |           * 1000000000.0 + 0.5)::BIGINT AS dq
-        |  FROM embeddings, pc1 WHERE vec_id < $maxQuery),
+        |  FROM $pqT, pc1 WHERE vec_id < $maxQuery),
         |adc AS (
         |  SELECT cd.query_id, cd.neighbor_id, sum(qd.dq)::BIGINT AS adist_q
         |  FROM cand0 cd JOIN codes x ON x.vec_id = cd.neighbor_id
@@ -3864,6 +3936,7 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
         |  FROM scored)
         |$tail""".stripMargin
+  }
 
   /**
    * Unrolled HyperBall register-recurrence replay for q52 (p = 8: idx
@@ -10970,6 +11043,15 @@ object SparkEntry {
     "s_ann_ivf_pq" -> ivfPqOracle(5,
       """SELECT query_id, rank::BIGINT AS rank, neighbor_id, sim
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // the same coarse chain (on originals) + the PQ chain on the
+    // rotated column (the s_ann_opq literals), exactly ivfOpqTopK
+    "s_ann_ivf_opq" -> ivfPqOracle(5,
+      """SELECT query_id, rank::BIGINT AS rank, neighbor_id, sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      rotated = true),
+
+    "s_recall_ivf_opq" -> ivfPqOracle(5, ivfAuditTail, rotated = true),
 
     "s_label_knn_ivf_pq" -> ivfPqOracle(25,
       """, votes AS (

@@ -518,6 +518,54 @@ object PqOps {
         distTableUdf(books)(col("embedding")).as("dt"),
         KMeansOps.cellsUdfPublic(centroids, nprobe)(col("embedding")).as("probes"))
       .select(col("query_id"), col("dt"), explode(col("probes")).as("cell"))
+    ivfAdcRerank(idx, q, q0, corpus, topk, m, k, cand, excludeSelf)
+  }
+
+  /**
+   * IVF+OPQ ANN — [[ivfPqTopK]] with the learned [[opqTrainRotation]]
+   * basis applied to the CODE stage: sub-codebooks, corpus codes and
+   * query distance tables all live in rotated space, while the coarse
+   * quantizer stays on the ORIGINAL vectors. Deliberate composition
+   * order, documented: the coarse cells here are COSINE direction
+   * cells, and an orthonormal rotation preserves every angle, so
+   * rotating the coarse stage would change which cells exist without
+   * changing their quality — keeping it original keeps the coarse
+   * replay byte-identical to [[ivfPqTopK]]'s and spends the rotation
+   * where it pays, the subspace decorrelation of the codes (the same
+   * place [[opqTopK]] measured 0.81 → 0.86 recall). Exact re-rank and
+   * reported `sim` on original floats as always.
+   */
+  def ivfOpqTopK(queries: DataFrame, corpus: DataFrame, topk: Int,
+                 ncells: Int = 16, nprobe: Int = 6, coarseIters: Int = 2,
+                 m: Int = 8, k: Int = 32, pqIters: Int = 1, cand: Int = 50,
+                 dim: Int = 64, opqIters: Int = 3,
+                 excludeSelf: Boolean = true): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val centroids = KMeansOps.train(corpus, "embedding", ncells, coarseIters, dim)
+    val rq = opqTrainRotation(corpus, "id", "embedding", dim, m, k, opqIters)
+    val rot = corpus.select(col("id"), col("embedding"),
+      rotateUdf(rq)(col("embedding")).as("rv")).localCheckpoint()
+    val books = trainSubCodebooksD(rot, "id", "rv", m, k, subDim, pqIters)
+    val q0 = queries.localCheckpoint()
+    val idx = rot.select(col("id").as("neighbor_id"),
+      element_at(KMeansOps.cellsUdfPublic(centroids, 1)(col("embedding")), 1).as("cell"),
+      codesUdfD(books)(col("rv")).as("codes"))
+    val q = q0.select(col("id").as("query_id"),
+        distTableUdfD(books)(rotateUdf(rq)(col("embedding"))).as("dt"),
+        KMeansOps.cellsUdfPublic(centroids, nprobe)(col("embedding")).as("probes"))
+      .select(col("query_id"), col("dt"), explode(col("probes")).as("cell"))
+    ivfAdcRerank(idx, q, q0, corpus, topk, m, k, cand, excludeSelf)
+  }
+
+  /** The shared cell-join ADC tail of [[ivfPqTopK]] / [[ivfOpqTopK]]:
+    * broadcast probe rows hash-join the (neighbor_id, cell, codes)
+    * index on `cell`, the LONG table-lookup sum ranks candidates, and
+    * the `cand` shortlist re-ranks by exact cosine over ORIGINAL
+    * floats. */
+  private def ivfAdcRerank(idx: DataFrame, q: DataFrame, q0: DataFrame,
+                           corpus: DataFrame, topk: Int, m: Int, k: Int,
+                           cand: Int, excludeSelf: Boolean): DataFrame = {
     val adistQ: Column = (0 until m)
       .map(sub => element_at(col("dt"),
         lit(sub * k) + element_at(col("codes"), sub + 1) + 1))

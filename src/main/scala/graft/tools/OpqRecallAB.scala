@@ -32,7 +32,9 @@ object OpqRecallAB {
       }
       val pq = recallOf(PqOps.pqTopK(queries, e, topk = 5, m = 8, k = 32, iters = 1, cand = 50))
       val opq = recallOf(PqOps.opqTopK(queries, e, topk = 5, m = 8, k = 32, iters = 1, cand = 50, opqIters = 3))
-      println(f"nq=$nq%3d  pq=$pq%.3f  opq=$opq%.3f  delta=${opq - pq}%+.3f")
+      val ivfPq = recallOf(PqOps.ivfPqTopK(queries, e, topk = 5))
+      val ivfOpq = recallOf(PqOps.ivfOpqTopK(queries, e, topk = 5))
+      println(f"nq=$nq%3d  pq=$pq%.3f  opq=$opq%.3f  delta=${opq - pq}%+.3f  ivfpq=$ivfPq%.3f  ivfopq=$ivfOpq%.3f  delta=${ivfOpq - ivfPq}%+.3f")
     }
     spark.stop()
   }

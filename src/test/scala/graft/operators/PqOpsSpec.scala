@@ -145,6 +145,45 @@ class PqOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ivfOpqTopK: recall@5 >= ivfPqTopK at identical geometry; neighbors still come from probed cells") {
+    val e = embeddings
+    for (nq <- Seq(25, 50)) {
+      val queries = e.filter(col("id") < nq)
+      val brute = SimilarityOps.bruteForceTopK(queries, e, k = 5)
+        .select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+        val got = df.select("query_id", "neighbor_id").collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        val rs = brute.keys.toSeq.map(q =>
+          (got.getOrElse(q, Set.empty[Long]) & brute(q)).size.toDouble / 5.0)
+        rs.sum / rs.length
+      }
+      val ivfPq = recallOf(PqOps.ivfPqTopK(queries, e, topk = 5))
+      val ivfOpq = recallOf(PqOps.ivfOpqTopK(queries, e, topk = 5))
+      // the probe set caps the gain (misses happen before ADC ever
+      // sees the codes) — the pin is "the rotation never hurts"
+      assert(ivfOpq >= ivfPq, s"nq=$nq: ivf+opq $ivfOpq < ivf+pq $ivfPq")
+    }
+    // coarse stage untouched by the rotation: every returned neighbor
+    // still lives in a probed cell of the ORIGINAL-vector quantizer
+    val queries = e.filter(col("id") < 25)
+    val approx = PqOps.ivfOpqTopK(queries, e, topk = 5)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val cent = KMeansOps.train(e, "embedding", 16, 2, 64)
+    val assign = e.select(col("id"),
+        element_at(KMeansOps.cellsUdfPublic(cent, 1)(col("embedding")), 1).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probes = queries.select(col("id"),
+        KMeansOps.cellsUdfPublic(cent, 6)(col("embedding")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSet).toMap
+    approx.foreach { case (q, ns) =>
+      ns.foreach(n => assert(probes(q).contains(assign(n)),
+        s"neighbor $n of query $q is outside the probed cells"))
+    }
+  }
+
   test("ivfPqTopK: IVF candidates bound the scan; recall@5 vs brute force stays usable") {
     val e = embeddings
     val queries = e.filter(col("id") < 25)
