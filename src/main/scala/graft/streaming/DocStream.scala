@@ -142,7 +142,20 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
                 // the sum over dirs however the session epochs fell.
                 // Timing data, not correctness data — a replayed batch
                 // overwrites its dir with the REPLAY's timings.
-                exportLatency: Boolean = false) {
+                exportLatency: Boolean = false,
+                // per-REASON admission-rate alarm: persist each batch's
+                // rejection breakdown (n_in, dup_within, dup_existing,
+                // low_quality, gate_rejects, admitted — the counts
+                // [[lastBatchStats]] already computes, no extra jobs)
+                // to `_astats/batch=b<id>`, and flag any reason whose
+                // batch rate departs from the accumulated history rate
+                // by ≥ this many ppm — the gate-level twin of the
+                // quality-drift monitor (a crawler suddenly feeding 60%
+                // duplicates shows on the FIRST bad batch, not at
+                // release review). Flags persist to `_alarms` with
+                // kind="admission". First batch has no history and
+                // stays silent, the monitor family's convention.
+                admitTolPpm: Option[Long] = None) {
 
   private val inputSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -371,7 +384,7 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
    * set at that moment.
    */
   private def flushAlarms(batchId: Long): Unit = {
-    if (!exportLatency && driftTolMilli.isEmpty) { batchQualityAlarms.clear(); return }
+    if (!exportLatency && driftTolMilli.isEmpty && admitTolPpm.isEmpty) { batchQualityAlarms.clear(); return }
     val qRows = { val r = batchQualityAlarms.toList; batchQualityAlarms.clear(); r }
     val lRows =
       if (exportLatency)
@@ -771,6 +784,65 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
     lastDriftStats = (batchId, ppm, maxAbs, flagged)
   }
 
+  /** The per-reason admission-rate monitor: persist this batch's
+    * rejection breakdown (read from [[lastBatchStats]] — the counts
+    * the admit stage already paid for) as `_astats/batch=b<id>`, then
+    * flag any reason whose batch ppm departs from the accumulated
+    * history ppm by ≥ tol. Rates are exact integral ppm on both
+    * sides; history excludes this batch's own dir so replays compare
+    * against the same baseline (the `_qstats` convention). */
+  private def admissionRateMonitor(batchId: Long, tol: Long): Unit = {
+    val (_, admitted, dupW, dupE, lowQ, gates) = lastBatchStats
+    val nIn = admitted + dupW + dupE + lowQ + gates
+    import spark.implicits._
+    Seq((nIn, dupW, dupE, lowQ, gates, admitted))
+      .toDF("n_in", "dup_within", "dup_existing", "low_quality",
+        "gate_rejects", "admitted")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$corpusDir/_astats/batch=b$batchId")
+    if (nIn == 0) return
+    val hist = admissionStatsRaw(excludeBatch = batchId).collect()
+    if (hist.isEmpty || hist(0).isNullAt(0)) return
+    val hn = hist(0).getLong(0)
+    if (hn == 0) return
+    val hvals = (1 to 5).map(hist(0).getLong)
+    val bvals = Seq(dupW, dupE, lowQ, gates, admitted)
+    val names = Seq("dup_within", "dup_existing", "low_quality",
+      "gate_rejects", "admitted")
+    (names, bvals, hvals).zipped.foreach { (reason, b, h) =>
+      val bp = b * 1000000L / nIn
+      val hp = h * 1000000L / hn
+      if (math.abs(bp - hp) >= tol)
+        batchQualityAlarms += (("admission", reason, hp, bp))
+    }
+  }
+
+  /** Accumulated admission breakdown sums, excluding a replayed
+    * batch's own dir — one row of six LONGs, or empty pre-history. */
+  private def admissionStatsRaw(excludeBatch: Long): DataFrame = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq("n_in", "dup_within", "dup_existing", "low_quality",
+        "gate_rejects", "admitted").map(StructField(_, LongType))))
+    val raw =
+      if (!tableExists(s"$corpusDir/_astats")) empty
+      else
+        try spark.read.parquet(s"$corpusDir/_astats")
+          .filter(col("batch") =!= lit(s"b$excludeBatch"))
+          .select("n_in", "dup_within", "dup_existing", "low_quality",
+            "gate_rejects", "admitted")
+        catch { case _: org.apache.spark.sql.AnalysisException => empty }
+    raw.agg(sum(col("n_in")).as("n_in"), sum(col("dup_within")).as("dup_within"),
+      sum(col("dup_existing")).as("dup_existing"),
+      sum(col("low_quality")).as("low_quality"),
+      sum(col("gate_rejects")).as("gate_rejects"),
+      sum(col("admitted")).as("admitted"))
+  }
+
+  /** The accumulated admission breakdown (one six-LONG row) — exposed
+    * so the stream ≡ batch identity is testable. */
+  def admissionStats(): DataFrame = admissionStatsRaw(excludeBatch = -1L)
+
   private[streaming] def processBatch(batch0: DataFrame, batchId: Long): Unit =
     try processBatchInner(batch0, batchId)
     finally {
@@ -852,6 +924,8 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
       // this batch's dir, so replays compare against the same baseline
       driftTolMilli.foreach(t =>
         timed("monitor")(qualityDriftMonitor(admitted, batchId, n, nAdmitted, t)))
+      admitTolPpm.foreach(t =>
+        timed("monitor")(admissionRateMonitor(batchId, t)))
 
       // dirs below the current batch id are checkpoint-committed and
       // immutable — quiesce-free fold, failure tolerated (retried next
@@ -887,8 +961,12 @@ class DocStream(spark: SparkSession, dropDir: String, corpusDir: String,
             if (exportLatency && tableExists(s"$corpusDir/_latency"))
               TableCompactor.onlineCompactAppend(spark, s"$corpusDir/_latency",
                 fence = batchId, sortCols = Seq("stage"))
+            // admission breakdowns read via column sums — concatenation merges
+            if (admitTolPpm.isDefined && tableExists(s"$corpusDir/_astats"))
+              TableCompactor.onlineCompactAppend(spark, s"$corpusDir/_astats",
+                fence = batchId, sortCols = Seq("n_in"))
             // alarm events are plain rows — concatenation merges
-            if ((exportLatency || driftTolMilli.isDefined) &&
+            if ((exportLatency || driftTolMilli.isDefined || admitTolPpm.isDefined) &&
                 tableExists(s"$corpusDir/_alarms"))
               TableCompactor.onlineCompactAppend(spark, s"$corpusDir/_alarms",
                 fence = batchId, sortCols = Seq("kind", "stage"))

@@ -566,6 +566,45 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       "first-session convention: nothing to drift from, nothing fires")
   }
 
+  test("doc stream: admission-rate alarm — a duplicate-heavy batch flags per reason; sums split-invariant; first batch silent") {
+    val work = Files.createTempDirectory("graft-docstream-adm").toString
+    def stream(sub: String) = new DocStream(spark, s"$work/$sub/drop",
+      s"$work/$sub/corpus", s"$work/$sub/ckpt",
+      minQuality = 0L, maxFilesPerTrigger = Some(1),
+      admitTolPpm = Some(100000L)) // 10 points of rate move flags
+    val docs = Seq(1L -> goodText("alpha"), 2L -> goodText("beta"))
+    // batch 1: fresh docs, NO history -> silent; batch 2: the same
+    // CONTENT under new ids -> 100% dup_existing vs a 100%-admitted
+    // history -> both the dup_existing and admitted rates flag
+    jsonl(s"$work/split/drop", "a.jsonl", docs)
+    jsonl(s"$work/split/drop", "b.jsonl", Seq(11L -> goodText("alpha"), 12L -> goodText("beta")))
+    val ss = stream("split")
+    ss.runAvailableNow()
+    val alarms = ss.alarmsPersisted().filter(org.apache.spark.sql.functions.col("kind") === "admission").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(alarms == Set(
+      ("dup_existing", 0L, 1000000L, 1L),
+      ("admitted", 1000000L, 0L, 1L)), s"got $alarms")
+    // the persisted breakdown sums are feed-split invariant
+    jsonl(s"$work/one/drop", "a.jsonl",
+      docs ++ Seq(11L -> goodText("alpha"), 12L -> goodText("beta")))
+    val so = stream("one")
+    so.runAvailableNow()
+    def st(s: DocStream) = s.admissionStats().collect()
+      .map(r => (0 to 5).map(r.getLong)).head
+    // one-shot: the within-batch window dedups the clones instead of
+    // the exists-cache — dup bucket differs by design (forward-only
+    // semantics), but totals and admitted agree
+    val (sp, on) = (st(ss), st(so))
+    assert(sp(0) == 4L && on(0) == 4L, s"n_in $sp vs $on")
+    assert(sp(5) == 2L && on(5) == 2L, s"admitted $sp vs $on")
+    assert(sp(1) + sp(2) == 2L && on(1) + on(2) == 2L,
+      s"two clones rejected as dups either way: $sp vs $on")
+    // and the one-shot run (a single batch, no history) stayed silent
+    assert(so.alarmsPersisted().filter(org.apache.spark.sql.functions.col("kind") === "admission").count() == 0L,
+      "first-batch convention: no history, no admission alarm")
+  }
+
   test("doc stream: quality-drift monitor — stream ≡ batch moments on a split feed; sagging batch flags") {
     val work = Files.createTempDirectory("graft-docstream-drift").toString
     def stream(sub: String) = new DocStream(spark, s"$work/$sub/drop",
