@@ -1738,6 +1738,19 @@ object SparkEntry {
       SampleOps.mixtureDrift(a, b, "lang").orderBy("domain")
     }),
 
+    "p_unimax" -> ((s, dir) => {
+      // UniMax waterfill at a 3-total-epoch budget, 4-epoch cap: the
+      // four tail languages hit their caps, English absorbs the rest
+      // (and every division remainder — k=1 last). Budget is
+      // corpus-priced (3x total chars), so the branch structure holds
+      // across scale factors.
+      val d = table(s, dir, "documents")
+      val total = d.agg(sum(length(col("text")))).first().getLong(0)
+      SampleOps.unimaxAllocation(d, "lang", "text",
+          budget = 3L * total, epochCap = 4L)
+        .orderBy("lang")
+    }),
+
     "p_temperature" -> ((s, dir) =>
       // alpha=1/2 temperature sampling weights per language — raw vs
       // flattened ppm shares and the upsampling boost, integer-exact
@@ -8083,6 +8096,32 @@ object SparkEntry {
         |  (coalesce(share_b_ppm, 0) - coalesce(share_a_ppm, 0))::BIGINT AS delta_ppm
         |FROM sa FULL OUTER JOIN sb ON sa.lang = sb.lang
         |ORDER BY domain""".stripMargin,
+
+    // the UniMax waterfill recurrence as a recursive CTE over the
+    // capacity-ascending language list: state r after language i,
+    // alloc_i = least(cap_i, r_{i-1} // (L - (i-1))) — k=1 at the
+    // last language absorbs every division remainder
+    "p_unimax" ->
+      """WITH RECURSIVE counts AS (
+        |  SELECT lang, sum(length(text))::BIGINT AS n,
+        |         (SELECT count(DISTINCT lang) FROM documents)::BIGINT AS cnt,
+        |         (SELECT 3 * sum(length(text)) FROM documents)::BIGINT AS budget
+        |  FROM documents GROUP BY 1),
+        |ord AS (SELECT lang, n, n * 4 AS cap, cnt, budget,
+        |               row_number() OVER (ORDER BY n * 4 ASC, lang ASC) AS i
+        |        FROM counts),
+        |rec AS (
+        |  SELECT 0::BIGINT AS i, (SELECT budget FROM ord LIMIT 1)::BIGINT AS r
+        |  UNION ALL
+        |  SELECT o.i::BIGINT, rec.r - least(o.cap, rec.r // (o.cnt - rec.i))
+        |  FROM rec JOIN ord o ON o.i = rec.i + 1),
+        |alloc AS (
+        |  SELECT o.lang, o.n, o.cap,
+        |         least(o.cap, rec.r // (o.cnt - rec.i)) AS alloc
+        |  FROM ord o JOIN rec ON rec.i = o.i - 1)
+        |SELECT lang, n AS n_chars, cap::BIGINT AS capacity, alloc::BIGINT AS alloc,
+        |       (CASE WHEN n = 0 THEN 0 ELSE (alloc * 1000) // n END)::BIGINT AS epochs_milli
+        |FROM alloc ORDER BY lang""".stripMargin,
 
     // floor(sqrt(n)) is IEEE-exact on both engines (sqrt correctly
     // rounded, n < 2^53); everything downstream is integral division

@@ -527,6 +527,54 @@ object SampleOps {
   }
 
   /**
+   * UniMax language-budget allocation (Chung, Garcia, Ruder et al.,
+   * "UniMax: Fairer and More Effective Language Sampling for
+   * Large-Scale Multilingual Pretraining", ICLR 2023): spend a total
+   * character budget as UNIFORMLY across languages as possible while
+   * capping every language at `epochCap` repeats of its corpus — the
+   * waterfilling alternative to [[temperatureShares]]' power-law
+   * compromise, and the mixture schedule multilingual pretraining
+   * stacks actually ship: no head language starves the tail, no tail
+   * language over-epochs into memorization.
+   *
+   * Deterministic integer contract: languages process in ASCENDING
+   * capacity order (capacity = n_chars·epochCap; ties by language
+   * code); each takes min(capacity, R div k) with R the unspent
+   * budget and k the languages remaining. The last language's k = 1
+   * makes R div 1 absorb every division remainder (the family's
+   * remainder-to-last convention), so Σ alloc = min(budget,
+   * Σ capacity) EXACTLY — spec-pinned. The oracle replays the
+   * recurrence as a recursive CTE over the ordered language list.
+   *
+   * Scale shape: ONE language-sized aggregate (map-side combined);
+   * the waterfill runs driver-side on language-cardinality rows (the
+   * model-sized contract [[temperatureShares]] makes). Output:
+   * (lang, n_chars, capacity, alloc, epochs_milli = alloc·10³ div
+   * n_chars — the per-language repeat factor the scheduler reads).
+   */
+  def unimaxAllocation(docs: DataFrame, langCol: String, textCol: String,
+                       budget: Long, epochCap: Long): DataFrame = {
+    require(budget >= 0L, s"unimaxAllocation budget=$budget")
+    require(epochCap >= 1L, s"unimaxAllocation epochCap=$epochCap")
+    val spark = docs.sparkSession
+    val counts = docs.groupBy(col(langCol).cast("string").as("lang"))
+      .agg(sum(length(col(textCol))).as("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val ordered = counts.map { case (l, n) => (l, n, n * epochCap) }
+      .sortBy { case (l, _, cap) => (cap, l) }
+    var r = budget
+    var k = ordered.length
+    val rows = ordered.map { case (l, n, cap) =>
+      val alloc = math.min(cap, r / k)
+      r -= alloc
+      k -= 1
+      (l, n, cap, alloc, if (n == 0L) 0L else alloc * 1000L / n)
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("lang", "n_chars", "capacity", "alloc", "epochs_milli")
+  }
+
+  /**
    * Exact two-sample Kolmogorov–Smirnov DRIFT GATE over an integer
    * column — the distribution-shape release check [[mixtureDrift]]'s
    * per-domain shares can't see: a refreshed crawl whose language MIX

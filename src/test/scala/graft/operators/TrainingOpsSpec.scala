@@ -372,6 +372,30 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r("a")._4 < 1000L && r("c")._4 > 1000L)
   }
 
+  test("unimaxAllocation: caps bind ascending, last language absorbs remainders, budget conserved") {
+    val ss = spark; import ss.implicits._
+    // chars: a=10, b=40, c=100 (one doc each, text length = chars);
+    // epochCap 2 -> capacities 20, 80, 200
+    val docs = Seq((1L, "a", "x" * 10), (2L, "b", "y" * 40), (3L, "c", "z" * 100))
+      .toDF("id", "lang", "text")
+    // budget 150: a takes min(20, 150/3=50) = 20 (capped); b takes
+    // min(80, 130/2=65) = 65; c takes min(200, 65/1) = 65 — the k=1
+    // tail absorbs the division remainder, and sum = 150 exactly
+    val r = SampleOps.unimaxAllocation(docs, "lang", "text", budget = 150L, epochCap = 2L)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r("a") == ((10L, 20L, 20L, 2000L)), s"a: ${r("a")}")
+    assert(r("b") == ((40L, 80L, 65L, 1625L)), s"b: ${r("b")}")
+    assert(r("c") == ((100L, 200L, 65L, 650L)), s"c: ${r("c")}")
+    assert(r.values.map(_._3).sum == 150L, "under-capacity budget spends exactly")
+    // over-capacity budget: everyone sits at cap, sum = total capacity
+    val r2 = SampleOps.unimaxAllocation(docs, "lang", "text", budget = 1000L, epochCap = 2L)
+      .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(r2 == Map("a" -> 20L, "b" -> 80L, "c" -> 200L), s"got $r2")
+    // no language ever exceeds epochCap: epochs_milli <= cap * 1000 / n = 2000
+    assert(r.values.forall(_._4 <= 2000L))
+  }
+
   test("ivfTopKTrained recall@5 vs bruteForceTopK on sf0.01 embeddings") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding"))
