@@ -92,29 +92,99 @@ object KMeansOps {
     }
   }
 
+  /** The Lloyd assignment of [[cellsUdf]] at n=1 as a plain function —
+    * the SAME fold (dims left-to-right, double accumulators, zero-norm
+    * guard) and the same tie policy (strict > keeps the lowest cell
+    * index), so [[lloydPartials]] assigns bit-identically to the UDF
+    * formulation the oracle replays. */
+  private[graft] def assignCellLocal(v: Seq[Float], centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestS = Double.NegativeInfinity
+    var ci = 0
+    while (ci < centroids.length) {
+      val c = centroids(ci)
+      var dot = 0.0; var nc = 0.0; var nv = 0.0
+      var d = 0
+      val len = math.min(c.length, v.length)
+      while (d < len) { dot += c(d) * v(d); nc += c(d) * c(d); nv += v(d).toDouble * v(d); d += 1 }
+      val den = math.sqrt(nc) * math.sqrt(nv)
+      val s = if (den == 0.0) -Double.MaxValue else dot / den
+      if (s > bestS) { bestS = s; best = ci }
+      ci += 1
+    }
+    best
+  }
+
+  /** One fused Lloyd pass: assignment + quantized component sums in a
+    * SINGLE mapPartitions job. Per partition a cell-keyed map of
+    * (dim long sums + count) accumulates — bounded by
+    * min(touched cells, partition rows) entries, the same volume the
+    * old map-side hash aggregate held — then partials reduce by cell
+    * key before the driver sees anything, so driver traffic stays the
+    * k*dim model rows. Long sums are order-independent; value-identity
+    * to the checkpoint+posexplode+groupBy formulation is pinned by
+    * TrainingOpsSpec (fused ≡ reference on the same corpus). */
+  private def lloydPartials(corpus: DataFrame, vecCol: String,
+                            centroids: Array[Array[Double]]): Array[(Int, Array[Long])] = {
+    val cs = centroids
+    corpus.select(col(vecCol)).rdd.mapPartitions { it =>
+      val acc = new java.util.HashMap[Integer, Array[Long]]()
+      it.foreach { r =>
+        val v = r.getSeq[Float](0)
+        val cell = assignCellLocal(v, cs)
+        var a = acc.get(cell)
+        if (a == null) { a = new Array[Long](v.length + 1); acc.put(cell, a) }
+        var d = 0
+        while (d < v.length) { a(d) += math.floor(v(d).toDouble * 1.0e7 + 0.5).toLong; d += 1 }
+        a(v.length) += 1L
+      }
+      import scala.jdk.CollectionConverters._
+      acc.asScala.iterator.map { case (c, a) => (c.intValue, a) }
+    }.reduceByKey { (x, y) =>
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }.collect()
+  }
+
   /**
    * `iters` Lloyd rounds from the md5 init. Each round: assign every
-   * vector to its argmax-cosine cell (projection, no shuffle), then
-   * recompute each cell's centroid as the exact quantized mean (one
-   * groupBy(cell, dim) shuffle producing k*dim rows). A cell that
-   * captured no vectors keeps its previous centroid. iters=0 returns
-   * the init codebook (= the fixed-codebook behavior).
+   * vector to its argmax-cosine cell and accumulate the exact
+   * quantized component sums in ONE fused pass ([[lloydPartials]] —
+   * one job per round; the previous checkpoint-then-posexplode-then-
+   * groupBy formulation cost two jobs plus a pinned corpus copy per
+   * round, and the fused kernel still never fans the UDF out per
+   * exploded element). A cell that captured no vectors keeps its
+   * previous centroid. iters=0 returns the init codebook (= the
+   * fixed-codebook behavior).
    */
   def train(corpus: DataFrame, vecCol: String, k: Int, iters: Int, dim: Int): Array[Array[Double]] = {
     var centroids = initCentroids(k, dim)
     for (_ <- 0 until iters) {
-      // the assignment MATERIALIZES before the explode: fused, the UDF
-      // column collapses into the aggregate below the Generate and gets
-      // re-evaluated once per exploded ELEMENT — dim x per vector, a
-      // measured 37x on this stage (15.8 s -> 0.4 s at sf0.1). The
-      // checkpointed relation is (int, vector) per row — corpus-count
-      // sized, not text-sized.
+      val next = centroids.map(_.clone())
+      lloydPartials(corpus, vecCol, centroids).foreach { case (cell, a) =>
+        val n = a(a.length - 1)
+        var pos = 0
+        while (pos < a.length - 1) {
+          next(cell)(pos) = a(pos).toDouble / (n.toDouble * 1.0e7)
+          pos += 1
+        }
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** The pre-fusion reference formulation of [[train]] (checkpointed
+    * assignment + posexplode + groupBy per round) — kept ONLY as the
+    * equivalence anchor TrainingOpsSpec pins the fused kernel against. */
+  private[graft] def trainReference(corpus: DataFrame, vecCol: String, k: Int, iters: Int,
+                                    dim: Int): Array[Array[Double]] = {
+    var centroids = initCentroids(k, dim)
+    for (_ <- 0 until iters) {
       val assigned = corpus.select(
         element_at(cellsUdf(centroids, 1)(col(vecCol)), 1).as("cell"),
         col(vecCol).as("v")).localCheckpoint()
-      // exact integer sums: floor(x*1e7 + 0.5) per component, summed as
-      // longs — order-independent, so ANY engine/partitioning that
-      // replays this arithmetic lands on the identical mean double
       val sums = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "el")))
         .groupBy("cell", "pos")

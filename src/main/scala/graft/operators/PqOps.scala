@@ -145,7 +145,7 @@ object PqOps {
   def trainSubCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
                         m: Int, k: Int, subDim: Int, iters: Int): Array[Array[Array[Double]]] =
     trainCore(corpus, vecCol, subDim, iters,
-      initSubCodebooks(corpus, idCol, vecCol, m, k, subDim), codesUdf)
+      initSubCodebooks(corpus, idCol, vecCol, m, k, subDim))
 
   /** [[initSubCodebooks]] over an `array<double>` vector column. */
   def initSubCodebooksD(corpus: DataFrame, idCol: String, vecCol: String,
@@ -164,12 +164,84 @@ object PqOps {
   def trainSubCodebooksD(corpus: DataFrame, idCol: String, vecCol: String,
                          m: Int, k: Int, subDim: Int, iters: Int): Array[Array[Array[Double]]] =
     trainCore(corpus, vecCol, subDim, iters,
-      initSubCodebooksD(corpus, idCol, vecCol, m, k, subDim), codesUdfD)
+      initSubCodebooksD(corpus, idCol, vecCol, m, k, subDim))
+
+  /** One fused Lloyd pass over all m subquantizers: per-subspace argmin
+    * assignment + quantized component sums in a SINGLE mapPartitions
+    * job — the previous formulation cost two jobs plus a pinned corpus
+    * copy per round (checkpointed codes, posexplode, groupBy). Per
+    * partition a (sub,cell)-keyed map of (subDim long sums + count)
+    * accumulates (≤ m·k entries — model-sized), partials reduce by key
+    * before collect, so driver traffic stays the m·k·subDim model rows
+    * and long sums keep the result partition-order independent.
+    * Value-identity to the aggregation formulation is pinned by
+    * PqOpsSpec (fused ≡ reference). Handles both float (raw) and
+    * double (rotated) vector columns via the schema element type. */
+  private def lloydPartials(corpus: DataFrame, vecCol: String, subDim: Int,
+                            books: Array[Array[Array[Double]]])
+      : Array[((Int, Int), Array[Long])] = {
+    val m = books.length
+    val isDouble = corpus.schema(vecCol).dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.DoubleType
+    corpus.select(col(vecCol)).rdd.mapPartitions { it =>
+      val acc = new java.util.HashMap[(Int, Int), Array[Long]]()
+      it.foreach { r =>
+        val at: Int => Double =
+          if (isDouble) { val v = r.getSeq[Double](0); i => v(i) }
+          else { val v = r.getSeq[Float](0); i => v(i).toDouble }
+        var sub = 0
+        while (sub < m) {
+          val cell = argminCell(at, books(sub), sub, subDim)
+          val key = (sub, cell)
+          var a = acc.get(key)
+          if (a == null) { a = new Array[Long](subDim + 1); acc.put(key, a) }
+          var d = 0
+          while (d < subDim) {
+            a(d) += math.floor(at(sub * subDim + d) * 1.0e7 + 0.5).toLong
+            d += 1
+          }
+          a(subDim) += 1L
+          sub += 1
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      acc.asScala.iterator.map { case (k, a) => (k, a) }
+    }.reduceByKey { (x, y) =>
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }.collect()
+  }
 
   private def trainCore(corpus: DataFrame, vecCol: String, subDim: Int, iters: Int,
-                        init: Array[Array[Array[Double]]],
-                        encoder: Array[Array[Array[Double]]] => org.apache.spark.sql.expressions.UserDefinedFunction)
+                        init: Array[Array[Array[Double]]]): Array[Array[Array[Double]]] = {
+    var books = init
+    for (_ <- 0 until iters) {
+      val next = books.map(_.map(_.clone()))
+      lloydPartials(corpus, vecCol, subDim, books).foreach { case ((sub, cell), a) =>
+        val n = a(subDim)
+        var d = 0
+        while (d < subDim) {
+          next(sub)(cell)(d) = a(d).toDouble / (n.toDouble * 1.0e7)
+          d += 1
+        }
+      }
+      books = next
+    }
+    books
+  }
+
+  /** The pre-fusion reference formulation of [[trainCore]] — kept ONLY
+    * as the equivalence anchor PqOpsSpec pins the fused kernel against. */
+  private[graft] def trainCoreReference(corpus: DataFrame, vecCol: String, subDim: Int, iters: Int,
+                                        init: Array[Array[Array[Double]]])
       : Array[Array[Array[Double]]] = {
+    val isDouble = corpus.schema(vecCol).dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.DoubleType
+    val encoder: Array[Array[Array[Double]]] => org.apache.spark.sql.expressions.UserDefinedFunction =
+      if (isDouble) codesUdfD else codesUdf
     var books = init
     for (_ <- 0 until iters) {
       // materialize codes before the explode (the KMeansOps lesson:
@@ -295,24 +367,29 @@ object PqOps {
     * function of integers and the oracle reproduces it bit-for-bit
     * from the rotation literals (|Σ| ≤ 64·1e7·2e7 ≈ 1.3e16, inside
     * the long envelope). */
-  private[graft] def rotateUdf(rq: Array[Array[Long]]) = {
+  /** The exact-integer rotation of one vector — shared verbatim by the
+    * executor-side [[rotateUdf]] and the driver-side Forgy seed
+    * derivation in [[opqTrainRotation]], so the two are bit-identical
+    * by construction. */
+  private[graft] def rotateVec(rq: Array[Array[Long]], v: Seq[Float]): Array[Double] = {
     val dim = rq.length
-    udf { (v: Seq[Float]) =>
-      val xq = new Array[Long](dim)
-      var j = 0
-      while (j < dim) {
-        xq(j) = math.floor(v(j).toDouble * 1.0e7 + 0.5).toLong
-        j += 1
-      }
-      Array.tabulate(dim) { i =>
-        val row = rq(i)
-        var s = 0L
-        var jj = 0
-        while (jj < dim) { s += row(jj) * xq(jj); jj += 1 }
-        s.toDouble / 1.0e14
-      }
+    val xq = new Array[Long](dim)
+    var j = 0
+    while (j < dim) {
+      xq(j) = math.floor(v(j).toDouble * 1.0e7 + 0.5).toLong
+      j += 1
+    }
+    Array.tabulate(dim) { i =>
+      val row = rq(i)
+      var s = 0L
+      var jj = 0
+      while (jj < dim) { s += row(jj) * xq(jj); jj += 1 }
+      s.toDouble / 1.0e14
     }
   }
+
+  private[graft] def rotateUdf(rq: Array[Array[Long]]) =
+    udf { (v: Seq[Float]) => rotateVec(rq, v) }
 
   /** The OPQ correlation matrix M(i)(j) = Σ_rows x̂(i)·x(j), where x̂
     * is the codebook reconstruction of the ROTATED vector and x the
@@ -420,17 +497,44 @@ object PqOps {
    * parallel.
    */
   def opqTrainRotation(corpus: DataFrame, idCol: String, vecCol: String,
-                       dim: Int, m: Int, k: Int, opqIters: Int): Array[Array[Long]] = {
+                       dim: Int, m: Int, k: Int, opqIters: Int): Array[Array[Long]] =
+    opqTrainRotationWithSeed(corpus, idCol, vecCol, dim, m, k, opqIters)._1
+
+  /** [[opqTrainRotation]] plus the collected Forgy seed vectors, so
+    * callers that train final sub-codebooks on the rotated corpus
+    * ([[opqTopK]], [[ivfOpqTopK]]) can derive their init driver-side
+    * instead of paying another TakeOrdered collect. */
+  private def opqTrainRotationWithSeed(corpus: DataFrame, idCol: String, vecCol: String,
+                                       dim: Int, m: Int, k: Int, opqIters: Int)
+      : (Array[Array[Long]], Array[Seq[Float]]) = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
+    // Forgy seed rows (the k lowest-id ORIGINAL vectors) collect ONCE
+    // before the loop; each alternation derives its rotated seed
+    // driver-side through [[rotateVec]] — the same exact-integer
+    // arithmetic the executor UDF runs, so the seed is bit-identical to
+    // collecting it from the rotated frame, minus one TakeOrdered job
+    // per alternation.
+    val seed = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(k).collect()
+    require(seed.length == k, s"PQ Forgy init needs >= $k corpus vectors, got ${seed.length}")
+    val seedVecs: Array[Seq[Float]] = seed.map(_.getSeq[Float](1))
     var rq = Array.tabulate(dim, dim)((i, j) => if (i == j) 10000000L else 0L)
     for (_ <- 0 until opqIters) {
+      // no localCheckpoint: the two per-alternation passes (fused Lloyd,
+      // M accumulation) each recompute the rotation projection inside
+      // their own scan — at 100 TB that is one extra embarrassingly
+      // parallel projection instead of materializing a 512 B/row rotated
+      // corpus copy to executor storage, and at bench scale it removes a
+      // whole job per alternation.
       val rot = corpus.select(col(idCol).as("id"), col(vecCol).as("ov"),
-        rotateUdf(rq)(col(vecCol)).as("rv")).localCheckpoint()
-      val books = trainSubCodebooksD(rot, "id", "rv", m, k, subDim, iters = 1)
+        rotateUdf(rq)(col(vecCol)).as("rv"))
+      val rotSeed = seedVecs.map(v => rotateVec(rq, v))
+      val init = Array.tabulate(m, k, subDim)((sub, c, d) => rotSeed(c)(sub * subDim + d))
+      val books = trainCore(rot, "rv", subDim, iters = 1, init)
       rq = procrustesQ(accumulateM(rot, books, m, k, subDim))
     }
-    rq
+    (rq, seedVecs)
   }
 
   /**
@@ -453,10 +557,16 @@ object PqOps {
               excludeSelf: Boolean = true): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
-    val rq = opqTrainRotation(corpus, "id", "embedding", dim, m, k, opqIters)
+    val (rq, seedVecs) = opqTrainRotationWithSeed(corpus, "id", "embedding", dim, m, k, opqIters)
+    // rotated frame stays LAZY (no checkpoint): the one extra consumer
+    // beyond training is the final codes projection, which recomputes
+    // the rotation inside the ADC scan — a per-row projection, vs
+    // materializing a rotated corpus copy to executor storage at 100 TB
     val rot = corpus.select(col("id"), col("embedding"),
-      rotateUdf(rq)(col("embedding")).as("rv")).localCheckpoint()
-    val books = trainSubCodebooksD(rot, "id", "rv", m, k, subDim, iters)
+      rotateUdf(rq)(col("embedding")).as("rv"))
+    val rotSeed = seedVecs.map(v => rotateVec(rq, v))
+    val init = Array.tabulate(m, k, subDim)((sub, c, d) => rotSeed(c)(sub * subDim + d))
+    val books = trainCore(rot, "rv", subDim, iters, init)
     val q0 = queries.localCheckpoint()
     val codes = rot.select(col("id").as("neighbor_id"),
       codesUdfD(books)(col("rv")).as("codes"))
@@ -543,10 +653,13 @@ object PqOps {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
     val centroids = KMeansOps.train(corpus, "embedding", ncells, coarseIters, dim)
-    val rq = opqTrainRotation(corpus, "id", "embedding", dim, m, k, opqIters)
+    val (rq, seedVecs) = opqTrainRotationWithSeed(corpus, "id", "embedding", dim, m, k, opqIters)
+    // lazy rotated frame — same rationale as [[opqTopK]]
     val rot = corpus.select(col("id"), col("embedding"),
-      rotateUdf(rq)(col("embedding")).as("rv")).localCheckpoint()
-    val books = trainSubCodebooksD(rot, "id", "rv", m, k, subDim, pqIters)
+      rotateUdf(rq)(col("embedding")).as("rv"))
+    val rotSeed = seedVecs.map(v => rotateVec(rq, v))
+    val init = Array.tabulate(m, k, subDim)((sub, c, d) => rotSeed(c)(sub * subDim + d))
+    val books = trainCore(rot, "rv", subDim, pqIters, init)
     val q0 = queries.localCheckpoint()
     val idx = rot.select(col("id").as("neighbor_id"),
       element_at(KMeansOps.cellsUdfPublic(centroids, 1)(col("embedding")), 1).as("cell"),

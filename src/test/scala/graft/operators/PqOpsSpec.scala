@@ -36,6 +36,24 @@ class PqOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.flatten.flatten.toSeq == b.flatten.flatten.toSeq)
   }
 
+  test("fused Lloyd pass ≡ reference (checkpoint+posexplode+groupBy) formulation — float and rotated-double corpora") {
+    val e = embeddings
+    // float corpus
+    val init = PqOps.initSubCodebooks(e, "id", "embedding", m = 8, k = 32, subDim = 8)
+    val fusedF = PqOps.trainSubCodebooks(e, "id", "embedding", 8, 32, 8, iters = 2)
+    val refF = PqOps.trainCoreReference(e.select(col("embedding")), "embedding", 8, 2, init)
+    assert(fusedF.flatten.flatten.toSeq == refF.flatten.flatten.toSeq,
+      "fused float-corpus training must be bit-identical to the reference formulation")
+    // rotated (array<double>) corpus — identity rotation keeps the values honest doubles
+    val rq = Array.tabulate(64, 64)((i, j) => if (i == j) 10000000L else 0L)
+    val rot = e.select(col("id"), PqOps.rotateUdf(rq)(col("embedding")).as("rv"))
+    val initD = PqOps.initSubCodebooksD(rot, "id", "rv", 8, 32, 8)
+    val fusedD = PqOps.trainSubCodebooksD(rot, "id", "rv", 8, 32, 8, iters = 2)
+    val refD = PqOps.trainCoreReference(rot.select(col("rv")), "rv", 8, 2, initD)
+    assert(fusedD.flatten.flatten.toSeq == refD.flatten.flatten.toSeq,
+      "fused double-corpus training must be bit-identical to the reference formulation")
+  }
+
   test("codes are m small ints; every cell index < k") {
     val books = PqOps.trainSubCodebooks(embeddings, "id", "embedding", 8, 32, 8, iters = 1)
     val codes = PqOps.encode(embeddings, "id", "embedding", books).collect()

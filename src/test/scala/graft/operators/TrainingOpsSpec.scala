@@ -248,6 +248,16 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.flatten.toSeq != KMeansOps.initCentroids(8, 64).flatten.toSeq)
   }
 
+  test("kmeans fused Lloyd pass ≡ reference (checkpoint+posexplode+groupBy) formulation") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val fused = KMeansOps.train(e, "embedding", k = 8, iters = 2, dim = 64)
+    val ref = KMeansOps.trainReference(e, "embedding", k = 8, iters = 2, dim = 64)
+    // bit-exact: the fused mapPartitions kernel replays the identical
+    // assignment fold and the identical quantized-long sums
+    assert(fused.flatten.toSeq == ref.flatten.toSeq)
+  }
+
   test("kmeans keeps the previous centroid for a cell that captured nothing") {
     val ss = spark; import ss.implicits._
     // 3 near-identical vectors -> they all land in one argmax cell, the
