@@ -25,80 +25,89 @@ object PlanScratch {
     // warmup
     materialize(docs.select(md5(col("text"))))
 
-    // variant A: current simhash (60 agg exprs over projected h)
-    time("A 60-agg") {
-      materialize(graft.operators.DedupOps.simhash(docs, "doc_id", "text"))
-    }
+    import graft.operators.DedupOps
+    val cand0 = DedupOps.minhashCandidates(docs, "doc_id", "text", 16, 8, 8,
+      charGrams = true, maxBucket = 64).localCheckpoint()
+    val lens = docs.select(col("doc_id").as("id"), length(col("text")).as("len"))
+    val cand = cand0
+      .join(lens.select(col("id").as("id_a"), col("len").as("la")), "id_a")
+      .join(lens.select(col("id").as("id_b"), col("len").as("lb")), "id_b")
+      .filter(abs(col("la") - col("lb")) <= 80)
+      .select("id_a", "id_b").localCheckpoint()
+    println("cand pairs: " + cand.count())
 
-    // variant B: h materialized through an exchange before the 60 aggs
-    time("B exchange-then-agg") {
-      val wordRows = docs
-        .select(col("doc_id").as("id"), explode(graft.operators.TextOps.words(col("text"))).as("w"))
-        .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
-        .select("id", "h")
-        .repartition(32, col("id"))
-      val bitSums = (0 until 60).map(b =>
-        sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
-      val assemble = (0 until 60)
-        .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
-        .reduce(_ + _)
-      materialize(wordRows.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-        .select(col("id"), assemble.as("simhash")))
-    }
+    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    println("distinct docs in pairs: " + candIds.count())
+    val texts = docs.select(col("doc_id").as("id"), col("text"))
+      .join(candIds, "id").localCheckpoint()
 
-    // variant C: contributions precomputed in one projection, plain sums agg
-    time("C project-contrib") {
-      val wordRows = docs
-        .select(col("doc_id").as("id"), explode(graft.operators.TextOps.words(col("text"))).as("w"))
-        .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
-      val withContribs = wordRows.select(
-        col("id") +: (0 until 60).map(b =>
-          (expr(s"shiftright(h, $b) & 1") * 2 - 1).cast("long").as(s"c$b")): _*)
-      val sums = (0 until 60).map(b => sum(col(s"c$b")).as(s"s$b"))
-      val assemble = (0 until 60)
-        .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
-        .reduce(_ + _)
-      materialize(withContribs.groupBy("id").agg(sums.head, sums.tail: _*)
-        .select(col("id"), assemble.as("simhash")))
-    }
+    val joined = cand
+      .join(texts.select(col("id").as("id_a"), col("text").as("ta")), "id_a")
+      .join(texts.select(col("id").as("id_b"), col("text").as("tb")), "id_b")
+      .localCheckpoint()
 
-    // variant D: typed Aggregator, one Array[Long](60) buffer instead of
-    // 60 SUM aggregates (imperative update loop; leaves codegen)
-    time("D typed-aggregator") {
-      import spark.implicits._
-      val wordRows = docs
-        .select(col("doc_id").as("id"), explode(graft.operators.TextOps.words(col("text"))).as("w"))
-        .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
-        .select(col("id").as[Long], col("h").as[Long])
-      val simAgg = new org.apache.spark.sql.expressions.Aggregator[(Long, Long), Array[Long], Long] {
-        def zero: Array[Long] = new Array[Long](60)
-        def reduce(buf: Array[Long], row: (Long, Long)): Array[Long] = {
-          val h = row._2
-          var b = 0
-          while (b < 60) { buf(b) += ((h >>> b) & 1L) * 2 - 1; b += 1 }
-          buf
+    val banded = udf { (a: String, b: String) =>
+      val k = 80
+      val x0 = a.codePoints.toArray
+      val y0 = b.codePoints.toArray
+      // strip common prefix/suffix
+      var lo = 0
+      val maxLo = math.min(x0.length, y0.length)
+      while (lo < maxLo && x0(lo) == y0(lo)) lo += 1
+      var hxi = x0.length - 1; var hyi = y0.length - 1
+      while (hxi >= lo && hyi >= lo && x0(hxi) == y0(hyi)) { hxi -= 1; hyi -= 1 }
+      val n = hxi - lo + 1
+      val m = hyi - lo + 1
+      val (x, y, nn, mm) = if (n <= m) (x0, y0, n, m) else (y0, x0, m, n)
+      if (mm - nn > k) -1
+      else if (nn == 0) mm
+      else {
+        // Ukkonen band: row i covers j in [i-k, i+k] intersect [0, mm]
+        val prev = new Array[Int](mm + 1)
+        val cur = new Array[Int](mm + 1)
+        var j = 0
+        while (j <= math.min(mm, k)) { prev(j) = j; j += 1 }
+        var i = 1
+        var bailed = false
+        while (i <= nn && !bailed) {
+          val jLo = math.max(1, i - k)
+          val jHi = math.min(mm, i + k)
+          cur(jLo - 1) = if (jLo == 1) i else Int.MaxValue / 2
+          var rowMin = cur(jLo - 1)
+          val xi = x(lo + i - 1)
+          j = jLo
+          while (j <= jHi) {
+            val c = if (xi == y(lo + j - 1)) prev(j - 1)
+              else math.min(math.min(prev(j - 1), prev(j)), cur(j - 1)) + 1
+            // prev(j) out of band (j == i+k) must not be read as stale:
+            val cc = if (j == i + k)
+              (if (xi == y(lo + j - 1)) prev(j - 1)
+               else math.min(prev(j - 1), cur(j - 1)) + 1)
+              else c
+            cur(j) = cc
+            if (cc < rowMin) rowMin = cc
+            j += 1
+          }
+          if (rowMin > k) bailed = true
+          System.arraycopy(cur, jLo - 1, prev, jLo - 1, jHi - jLo + 2)
+          i += 1
         }
-        def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-          var i = 0
-          while (i < 60) { a(i) += b(i); i += 1 }
-          a
-        }
-        def finish(buf: Array[Long]): Long = {
-          var sig = 0L
-          var b = 0
-          while (b < 60) { if (buf(b) > 0) sig |= 1L << b; b += 1 }
-          sig
-        }
-        def bufferEncoder = implicitly[org.apache.spark.sql.Encoder[Array[Long]]]
-        def outputEncoder = implicitly[org.apache.spark.sql.Encoder[Long]]
+        if (bailed) -1
+        else { val d = prev(mm); if (d > k) -1 else d }
       }
-      materialize(
-        wordRows.groupByKey(_._1).agg(simAgg.toColumn.name("simhash")).toDF("id", "simhash"))
     }
-
-    args.headOption.foreach { q =>
-      println(s"=== plan for $q ===")
-      graft.SparkEntry.queries(q)(spark, sfDir).explain("formatted")
+    for (pass <- 1 to 2) {
+      println(s"-- pass $pass --")
+      time("levenshtein builtin(80) on joined") {
+        materialize(joined.select(levenshtein(col("ta"), col("tb"), 80)))
+      }
+      time("banded UDF on joined") {
+        materialize(joined.select(banded(col("ta"), col("tb"))))
+      }
+      val diff = joined.select(levenshtein(col("ta"), col("tb"), 80).as("x"),
+        banded(col("ta"), col("tb")).as("y")).filter(col("x") =!= col("y")).count()
+      println("  disagreements: " + diff)
+      graft.core.Blocks.releaseAll(spark)
     }
     spark.stop()
   }

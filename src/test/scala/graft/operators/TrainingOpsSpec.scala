@@ -1342,6 +1342,44 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((1L, 2L, 11L)), s"dense-edit pair must survive char-gram blocking: $got")
   }
 
+  test("boundedLevenshtein ≡ Spark levenshtein(threshold): corpus pairs + unicode/boundary fixtures") {
+    val ss = spark; import ss.implicits._
+    // (a) every sf0.01 all-pairs combination of the first 60 docs, at two
+    // thresholds — the real-text regime (incl. pairs far above the cap)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("id"), col("text")).filter(col("id") < 60)
+    val pairs = docs.as("a").crossJoin(docs.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.text").as("ta"), col("b.text").as("tb"))
+    for (k <- Seq(0, 80)) {
+      val diff = pairs.select(
+          levenshtein(col("ta"), col("tb"), k).as("x"),
+          DedupOps.boundedLevenshteinUdf(k)(col("ta"), col("tb")).as("y"))
+        .filter(col("x") =!= col("y")).count()
+      assert(diff == 0L, s"banded kernel disagrees with the builtin at k=$k on corpus pairs")
+    }
+    // (b) boundary and unicode fixtures: distances straddling the cap,
+    // empty sides, surrogate pairs (one codepoint = one edit), shared
+    // prefix/suffix collapse
+    val cases = Seq(
+      ("", ""), ("", "abc"), ("abc", ""), ("abc", "abc"),
+      ("kitten", "sitting"), ("flaw", "lawn"),
+      ("abcdefgh", "abcdefgZ"), ("abcdefgh", "Zbcdefgh"),
+      ("aaaaaaaaaa", "bbbbbbbbbb"),               // dist 10, exactly at k=10
+      ("aaaaaaaaaaa", "bbbbbbbbbbb"),             // dist 11, just past k=10
+      ("prefix common 𝄞 suffix", "prefix common 𝄟 suffix"), // surrogate pair: 1 edit
+      ("иван τεστ", "иван тест"),
+      ("xy" * 300 + "MIDDLE" + "yx" * 300, "xy" * 300 + "M1DDL3" + "yx" * 300))
+    val fx = cases.toDF("ta", "tb")
+    for (k <- Seq(0, 1, 2, 10, 11, 80)) {
+      val rows = fx.select(levenshtein(col("ta"), col("tb"), k).as("x"),
+          DedupOps.boundedLevenshteinUdf(k)(col("ta"), col("tb")).as("y"))
+        .collect()
+      rows.foreach(r => assert(r.getInt(0) == r.getInt(1),
+        s"k=$k: builtin ${r.getInt(0)} vs banded ${r.getInt(1)}"))
+    }
+  }
+
   test("prefixJaccardPairs: exact — equals brute-force jaccardPairs, recall 1") {
     val ss = spark; import ss.implicits._
     // sf0.01 corpus: the prefix-filtered plan must reproduce the
