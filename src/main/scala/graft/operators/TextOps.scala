@@ -511,9 +511,7 @@ object TextOps {
     val fps = winnowFingerprints(docs, idCol, textCol, k, window)
     fps.groupBy("fp").agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxFpDf)
-      .select(explode(expr(
-        "filter(flatten(transform(ids, x -> transform(ids, y -> struct(x as id_a, y as id_b)))), p -> p.id_a < p.id_b)"))
-        .as("p"))
+      .select(explode(DedupOps.orderedPairs("ids")).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
