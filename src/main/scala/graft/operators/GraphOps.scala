@@ -548,14 +548,17 @@ object GraphOps {
    * (incidence is a SET, so a repeated link cannot inflate w).
    */
   def bipartiteProject(edges: DataFrame, maxLeftDeg: Long = 1000L): DataFrame = {
-    val inc = edges.select(col("left"), col("right")).distinct()
-    val ldeg = inc.groupBy("left").agg(count(lit(1)).as("ld"))
-    val capped = inc.join(ldeg.filter(col("ld") <= maxLeftDeg), "left")
-      .select(col("left"), col("right"))
-    capped.as("x")
-      .join(capped.as("y"),
-        col("x.left") === col("y.left") && col("x.right") < col("y.right"))
-      .select(col("x.right").as("node_a"), col("y.right").as("node_b"))
+    // grouped-pairs plan (the jaccardPairs shape): ONE exchange groups
+    // the distinct rights per left (collect_set is the built-in dedup,
+    // so the separate distinct + degree aggregate + cap join + self-
+    // join of the previous formulation — four exchanges and a double
+    // evaluation of the incidence scan — collapse into this single
+    // aggregate), the cap is an array-size filter, and pair generation
+    // is the codegen'd C(n,2) expansion bounded by cap² per group.
+    edges.groupBy("left").agg(collect_set(col("right")).as("rs"))
+      .filter(size(col("rs")) >= 2 && size(col("rs")) <= maxLeftDeg)
+      .select(explode(DedupOps.orderedPairs("rs")).as("p"))
+      .select(col("p.id_a").as("node_a"), col("p.id_b").as("node_b"))
       .groupBy("node_a", "node_b").agg(count(lit(1)).as("w"))
   }
 
