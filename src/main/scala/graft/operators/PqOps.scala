@@ -618,8 +618,18 @@ object PqOps {
                 dim: Int = 64, excludeSelf: Boolean = true): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
-    val centroids = KMeansOps.train(corpus, "embedding", ncells, coarseIters, dim)
-    val books = trainSubCodebooks(corpus, "id", "embedding", m, k, subDim, pqIters)
+    // the coarse quantizer and the sub-codebooks are INDEPENDENT models
+    // over the same corpus: train them as concurrent driver-side jobs
+    // (guide §2.6 overlap) so the second chain's stages back-fill the
+    // first one's stragglers — the models themselves are unchanged
+    // (each training is deterministic on its own).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val centroidsF = Future(KMeansOps.train(corpus, "embedding", ncells, coarseIters, dim))
+    val booksF = Future(trainSubCodebooks(corpus, "id", "embedding", m, k, subDim, pqIters))
+    val centroids = Await.result(centroidsF, Duration.Inf)
+    val books = Await.result(booksF, Duration.Inf)
     val q0 = queries.localCheckpoint()
     val idx = corpus.select(col("id").as("neighbor_id"),
       element_at(KMeansOps.cellsUdfPublic(centroids, 1)(col("embedding")), 1).as("cell"),
@@ -652,8 +662,16 @@ object PqOps {
                  excludeSelf: Boolean = true): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
-    val centroids = KMeansOps.train(corpus, "embedding", ncells, coarseIters, dim)
-    val (rq, seedVecs) = opqTrainRotationWithSeed(corpus, "id", "embedding", dim, m, k, opqIters)
+    // coarse quantizer (original vectors) and the OPQ rotation chain are
+    // independent — overlap them as concurrent driver jobs (guide §2.6);
+    // each chain is internally sequential and deterministic on its own
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val centroidsF = Future(KMeansOps.train(corpus, "embedding", ncells, coarseIters, dim))
+    val rqF = Future(opqTrainRotationWithSeed(corpus, "id", "embedding", dim, m, k, opqIters))
+    val centroids = Await.result(centroidsF, Duration.Inf)
+    val (rq, seedVecs) = Await.result(rqF, Duration.Inf)
     // lazy rotated frame — same rationale as [[opqTopK]]
     val rot = corpus.select(col("id"), col("embedding"),
       rotateUdf(rq)(col("embedding")).as("rv"))
